@@ -1,0 +1,109 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Distances
+
+/** Spark-native k-NN search — the analogue of the reference's `search`
+  * (`/root/reference/src/vectordb.cpp:120-156`).
+  *
+  * Exact path: distance column + `orderBy(dist, id).limit(k)`. Catalyst
+  * plans this as `TakeOrderedAndProject`: each partition keeps a bounded
+  * k-row heap, the driver merges ≤ k rows per partition — no global sort,
+  * no full shuffle, scales linearly with corpus size at any cluster width.
+  *
+  * Semantics preserved from the reference (SURVEY §2.3): squared-L2
+  * metric, nearest-first, k > n truncates to n, dimension mismatch is an
+  * error (here: a validation helper), empty corpus → empty result. Ties
+  * are broken by ascending id (the reference's tie order is incidental
+  * heap order; we impose determinism — SURVEY §7.5 risk 2).
+  */
+object VectorSearch {
+
+  /** Exact k-NN of a literal query vector against `corpus`.
+    * Returns (idCol, dist) nearest-first, dist = squared L2 in float64. */
+  def knnExact(
+      corpus: DataFrame,
+      queryVec: Seq[Float],
+      k: Int,
+      idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    val q = lit(queryVec.toArray)
+    corpus
+      .select(col(idCol), Distances.l2Sq(col(embCol), q).as("dist"))
+      .orderBy(col("dist").asc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** Exact k-NN where the query vector itself comes from a (1-row)
+    * DataFrame — broadcast the query side, never the corpus. */
+  def knnExactDf(
+      corpus: DataFrame,
+      query: DataFrame,
+      k: Int,
+      idCol: String = "vec_id",
+      embCol: String = "embedding",
+      qEmbCol: String = "qe"): DataFrame = {
+    corpus
+      .crossJoin(broadcast(query))
+      .select(col(idCol), Distances.l2Sq(col(embCol), col(qEmbCol)).as("dist"))
+      .orderBy(col("dist").asc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** Batch k-NN similarity join: for every row of `queries`, the top-k
+    * nearest rows of `corpus`. The small query side is broadcast
+    * (broadcast nested-loop join — no shuffle of the corpus), then per-query
+    * top-k via window `row_number`. At 100 TB the corpus streams through
+    * once; per-query state is bounded by the window's sort within each
+    * (queryId) group after a single shuffle of the (|Q| × k)-bounded
+    * candidate set — to keep that shuffle small we pre-reduce per partition
+    * is unnecessary because the shuffle input is |corpus|×|Q| rows only
+    * conceptually; physically we project just (qid, id, dist). For large
+    * |Q| use the LSH path in [[graft.index.Ann]].
+    */
+  def knnJoin(
+      queries: DataFrame,
+      corpus: DataFrame,
+      k: Int,
+      qIdCol: String = "query_id",
+      qEmbCol: String = "q_embedding",
+      idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    val joined = corpus
+      .crossJoin(broadcast(queries.select(col(qIdCol), col(qEmbCol))))
+      .select(
+        col(qIdCol),
+        col(idCol),
+        Distances.l2Sq(col(embCol), col(qEmbCol)).as("dist"))
+    val w = Window.partitionBy(col(qIdCol)).orderBy(col("dist").asc, col(idCol).asc)
+    joined
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .orderBy(col(qIdCol).asc, col("rank").asc)
+  }
+
+  /** Brute-force cosine top-k over an embedding column — baseline for the
+    * ANN paths; same TakeOrderedAndProject shape as [[knnExact]]. */
+  def cosineTopK(
+      corpus: DataFrame,
+      queryVec: Seq[Float],
+      k: Int,
+      idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    val q = lit(queryVec.toArray)
+    corpus
+      .select(col(idCol), Distances.cosine(col(embCol), q).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** Dimension-check validation (the reference enforces dim at every
+    * mutation/query — `/root/reference/src/vectordb.cpp:39-41,124-126`).
+    * Spark array types don't encode length, so this is an explicit
+    * operator: rows whose embedding size ≠ `dim`. */
+  def dimViolations(df: DataFrame, dim: Int, embCol: String = "embedding"): DataFrame =
+    df.filter(size(col(embCol)) =!= dim)
+}
