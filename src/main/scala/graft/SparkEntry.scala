@@ -3,7 +3,9 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.VectorSearch
+import graft.core.VectorRecord
+import graft.io.Envelope
+import graft.ops.{VectorCrud, VectorSearch, VectorStore}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -56,6 +58,80 @@ object SparkEntry {
         .filter(col("vec_id") < 3)
         .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
       VectorSearch.knnJoin(queries, corpus, k = 5)
+    }),
+
+    // O3 get: point lookup by id (reference vectordb.cpp:54-59) — the
+    // filter pushes to the parquet scan.
+    "vec_get" -> ((s, dir) => {
+      VectorCrud.get(emb(s, dir), 42, idCol = "vec_id")
+        .select(col("vec_id"), col("label"), size(col("embedding")).cast("long").as("dim"))
+    }),
+
+    // O5 delete: anti-filter by id (vectordb.cpp:74-80); checksum output.
+    "vec_delete" -> ((s, dir) => {
+      VectorCrud.delete(emb(s, dir), 42, idCol = "vec_id")
+        .agg(count(lit(1)).as("n_rows"), sum(col("vec_id")).as("id_sum"))
+    }),
+
+    // O2 add: append a row with id = max+1 (the reference's nextId
+    // contract, vectordb.cpp:38-52); checksum output.
+    "vec_add" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val newRow = e.agg((max(col("vec_id")) + 1).as("vec_id"))
+        .withColumn("embedding", array_repeat(lit(0.0f), EmbDim))
+        .withColumn("label", lit(-1))
+      VectorCrud.add(e, newRow)
+        .agg(count(lit(1)).as("n_rows"), max(col("vec_id")).as("max_id"))
+    }),
+
+    // O4 update: in-place replace by id via when/otherwise projection
+    // (vectordb.cpp:61-72); window of ids around the change.
+    "vec_update" -> ((s, dir) => {
+      val updated = VectorCrud.update(
+        emb(s, dir), 42,
+        Map("embedding" -> array_repeat(lit(1.0f), EmbDim)),
+        idCol = "vec_id")
+      updated
+        .filter(col("vec_id").between(40, 44))
+        .select(col("vec_id"), element_at(col("embedding"), 1).cast("double").as("e0"))
+        .orderBy(col("vec_id"))
+    }),
+
+    // O1 init: create an empty fixed-dim database (vectordb.cpp:23-36),
+    // reload it, report its observable state.
+    "vec_init" -> ((s, _) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_init").toString
+      val store = VectorStore.init(s, s"$tmp/db.json", EmbDim)
+      val reloaded = VectorStore.load(s, s"$tmp/db.json")
+      import s.implicits._
+      Seq((reloaded.getDimensions.toLong, reloaded.toDF.count()))
+        .toDF("dim", "n_vectors")
+    }),
+
+    // O10 getDimensions: schema introspection over the corpus
+    // (vectordb.cpp:220-222).
+    "vec_dims" -> ((s, dir) => {
+      emb(s, dir).agg(max(size(col("embedding"))).as("dim"))
+    }),
+
+    // O8+O9 save/load: full envelope round-trip — corpus → reference
+    // JSON envelope → back, then join against the original and count
+    // any id/embedding mismatches (must be 0: float32→double→float32
+    // widening is lossless).
+    "envelope_roundtrip" -> ((s, dir) => {
+      import s.implicits._
+      val orig = emb(s, dir)
+        .select(col("vec_id").as("id"), col("embedding"),
+          concat(lit("{\"label\": "), col("label"), lit("}")).as("metadata"))
+        .as[VectorRecord]
+      val tmp = java.nio.file.Files.createTempDirectory("graft_env").toString
+      Envelope.saveDataset(EmbDim, orig.count() + 1, orig, s"$tmp/db.json")
+      val (_, _, loaded) = Envelope.loadDataset(s, s"$tmp/db.json").get
+      val joined = loaded.toDF("id", "embedding2", "metadata2")
+        .join(orig.toDF(), "id")
+      joined.agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("embedding") =!= col("embedding2"), 1L).otherwise(0L)).as("n_mismatch"))
     })
   )
 
@@ -76,6 +152,34 @@ object SparkEntry {
          |             CAST(row_number() OVER (PARTITION BY query_id ORDER BY dist ASC, vec_id ASC) AS INTEGER) AS rank
          |      FROM d)
          |SELECT query_id, vec_id, dist, rank FROM r WHERE rank <= 5
-         |ORDER BY query_id ASC, rank ASC""".stripMargin
+         |ORDER BY query_id ASC, rank ASC""".stripMargin,
+
+    "vec_get" ->
+      "SELECT vec_id, label, len(embedding) AS dim FROM embeddings WHERE vec_id = 42",
+
+    "vec_delete" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows, CAST(sum(vec_id) AS BIGINT) AS id_sum
+        |FROM embeddings WHERE vec_id <> 42""".stripMargin,
+
+    "vec_add" ->
+      """WITH added AS (SELECT vec_id FROM embeddings
+        |               UNION ALL SELECT max(vec_id) + 1 FROM embeddings)
+        |SELECT CAST(count(*) AS BIGINT) AS n_rows, max(vec_id) AS max_id FROM added""".stripMargin,
+
+    "vec_update" ->
+      """SELECT vec_id,
+        |       CASE WHEN vec_id = 42 THEN CAST(1.0 AS DOUBLE)
+        |            ELSE CAST(embedding[1] AS DOUBLE) END AS e0
+        |FROM embeddings WHERE vec_id BETWEEN 40 AND 44 ORDER BY vec_id""".stripMargin,
+
+    "vec_init" ->
+      "SELECT CAST(64 AS BIGINT) AS dim, CAST(0 AS BIGINT) AS n_vectors",
+
+    "vec_dims" ->
+      "SELECT CAST(max(len(embedding)) AS INTEGER) AS dim FROM embeddings",
+
+    "envelope_roundtrip" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows, CAST(0 AS BIGINT) AS n_mismatch
+        |FROM embeddings""".stripMargin
   )
 }

@@ -1,0 +1,69 @@
+package graft.io
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.VectorRecord
+
+/** Envelope parity against the reference's on-disk format
+  * (FIXTURES.md §A1; writer /root/reference/src/vectordb.cpp:158-178). */
+class EnvelopeSpec extends AnyFunSuite {
+
+  private val refDb = "/root/reference/my_db.json"
+
+  test("load parses the reference sample db") {
+    val db = Envelope.load(refDb).get
+    assert(db.dim == 2)
+    assert(db.nextId == 5)
+    assert(db.records.map(_.id) == Seq(1L, 2L, 3L, 4L))
+    assert(db.records.head.embedding.toSeq == Seq(1.0f, 1.0f))
+    // float32 artifacts narrow back exactly
+    assert(db.records(1).embedding.toSeq == Seq(1.1f, 1.2f))
+    assert(db.records.head.metadata == """{"name":"point_A"}""")
+  }
+
+  test("save round-trips the reference sample db byte-for-byte") {
+    val db = Envelope.load(refDb).get
+    val out = Files.createTempDirectory("env").resolve("rt.json").toString
+    Envelope.save(db, out)
+    val expected = Files.readString(Paths.get(refDb), StandardCharsets.UTF_8)
+    val actual = Files.readString(Paths.get(out), StandardCharsets.UTF_8)
+    assert(actual == expected)
+  }
+
+  test("missing file is a fresh start (None), matching vectordb.cpp:183-186") {
+    assert(Envelope.load("/tmp/does_not_exist_graft.json").isEmpty)
+  }
+
+  test("malformed JSON throws, matching vectordb.cpp:191-194") {
+    val p = Files.createTempDirectory("env").resolve("bad.json")
+    Files.writeString(p, "{not json")
+    assertThrows[Exception](Envelope.load(p.toString))
+  }
+
+  test("missing fields throw, matching vectordb.cpp:212-214") {
+    val p = Files.createTempDirectory("env").resolve("missing.json")
+    Files.writeString(p, """{"dim": 2}""")
+    assertThrows[Exception](Envelope.load(p.toString))
+  }
+
+  test("empty db emits vectors: [] like nlohmann") {
+    val out = Files.createTempDirectory("env").resolve("empty.json").toString
+    Envelope.save(Envelope.Db(3, 1L, Seq.empty), out)
+    val s = Files.readString(Paths.get(out))
+    assert(s == "{\n  \"dim\": 3,\n  \"nextId\": 1,\n  \"vectors\": []\n}")
+    val back = Envelope.load(out).get
+    assert(back.dim == 3 && back.nextId == 1 && back.records.isEmpty)
+  }
+
+  test("arbitrary nested metadata round-trips semantically") {
+    val meta = """{"b":[1,2.5,{"x":null}],"a":"s\"tr","c":true}"""
+    val out = Files.createTempDirectory("env").resolve("meta.json").toString
+    Envelope.save(Envelope.Db(1, 2L, Seq(VectorRecord(1L, Array(0.5f), meta))), out)
+    val back = Envelope.load(out).get
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    assert(mapper.readTree(back.records.head.metadata) == mapper.readTree(meta))
+  }
+}

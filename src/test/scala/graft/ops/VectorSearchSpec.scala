@@ -1,0 +1,92 @@
+package graft.ops
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** ScalaCheck properties from SURVEY §5: results sorted ascending,
+  * ids ⊆ table, |results| = min(k,n), exact-kNN ≡ brute-force oracle;
+  * knnJoin ≡ per-query knnExact. Generators are driven manually
+  * (seeded Gen.apply) — the scalatestplus bridge isn't a declared dep. */
+class VectorSearchSpec extends AnyFunSuite {
+
+  private def forAll[A](gen: Gen[A], n: Int)(body: A => Unit): Unit =
+    (0 until n).foreach { i =>
+      gen(org.scalacheck.Gen.Parameters.default, Seed(42L + i))
+        .foreach(body)
+    }
+
+  private lazy val spark = SparkTestSession.spark
+
+  private def l2sqRef(a: Array[Float], b: Array[Float]): Double =
+    a.zip(b).map { case (x, y) => (x.toDouble - y.toDouble) * (x.toDouble - y.toDouble) }.sum
+
+  private val corpusGen = for {
+    dim <- Gen.choose(1, 8)
+    n <- Gen.choose(0, 30)
+    rows <- Gen.listOfN(n, Gen.listOfN(dim, Gen.choose(-10.0f, 10.0f)))
+    q <- Gen.listOfN(dim, Gen.choose(-10.0f, 10.0f))
+    k <- Gen.choose(1, 40)
+  } yield (rows.map(_.toArray), q.toArray, k)
+
+  test("knnExact matches a driver-side brute-force oracle") {
+    import spark.implicits._
+    forAll(corpusGen, 15) { case (rows, q, k) =>
+      val df = rows.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("vec_id", "embedding")
+      val got = VectorSearch.knnExact(df, q.toSeq, k).collect()
+        .map(r => (r.getLong(0), r.getDouble(1)))
+      val want = rows.zipWithIndex
+        .map { case (v, i) => (i.toLong, l2sqRef(v, q)) }
+        .sortBy { case (id, d) => (d, id) }
+        .take(k)
+      assert(got.length == math.min(k, rows.length))
+      assert(got.map(_._1).toSeq == want.map(_._1).toSeq)
+      got.zip(want).foreach { case ((_, gd), (_, wd)) =>
+        assert(math.abs(gd - wd) < 1e-9)
+      }
+      // sorted ascending, ids ⊆ table
+      assert(got.map(_._2).toSeq == got.map(_._2).sorted.toSeq)
+      assert(got.map(_._1).toSet.subsetOf(rows.indices.map(_.toLong).toSet))
+    }
+  }
+
+  test("knnJoin equals per-query knnExact") {
+    import spark.implicits._
+    val dim = 4
+    val rnd = new scala.util.Random(7)
+    val rows = (0L until 50L).map(i => (i, Array.fill(dim)(rnd.nextFloat() * 10)))
+    val corpus = rows.toDF("vec_id", "embedding")
+    val queries = rows.take(3)
+      .map { case (i, v) => (i, v) }.toDF("query_id", "q_embedding")
+    val joined = VectorSearch.knnJoin(queries, corpus, k = 5).collect()
+      .groupBy(_.getLong(0))
+    rows.take(3).foreach { case (qid, qv) =>
+      val expect = VectorSearch.knnExact(corpus, qv.toSeq, 5).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val got = joined(qid).sortBy(_.getInt(3)).map(r => (r.getLong(1), r.getDouble(2))).toSeq
+      assert(got == expect)
+    }
+  }
+
+  test("cosineTopK: nearest by cosine is the vector itself") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val rows = (0L until 20L).map(i => (i, Array.fill(8)(rnd.nextFloat() - 0.5f)))
+    val corpus = rows.toDF("vec_id", "embedding")
+    val res = VectorSearch.cosineTopK(corpus, rows(7)._2.toSeq, 1).collect()
+    assert(res.head.getLong(0) == 7L)
+    assert(math.abs(res.head.getDouble(1) - 1.0) < 1e-9)
+  }
+
+  test("dimViolations flags wrong-length rows") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq(1.0f, 2.0f)),
+      (2L, Seq(1.0f))).toDF("vec_id", "embedding")
+    val bad = VectorSearch.dimViolations(df, 2, "embedding").collect()
+    assert(bad.map(_.getLong(0)).toSeq == Seq(2L))
+  }
+}
