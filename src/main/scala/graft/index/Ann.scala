@@ -1,0 +1,78 @@
+package graft.index
+
+import org.apache.spark.ml.feature.{BucketedRandomProjectionLSH, BucketedRandomProjectionLSHModel}
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.ml.linalg.Vectors
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** O6 `rebuild` + approximate O7 `search`, Spark-first.
+  *
+  * The reference rebuilds an in-memory HNSW graph on every load
+  * (`/root/reference/src/vectordb.cpp:82-118,216-217`) — a single-node
+  * structure that cannot shard. The Spark-native batch analogue (per
+  * BASELINE.json "spark_approach") is an MLlib LSH model: `fit` IS the
+  * index build (O6), the model is tiny (random hyperplanes), broadcastable,
+  * and persistable via MLlib writers — which also fixes the reference's
+  * never-persisted-index gap (`main.cpp:125-126`).
+  *
+  * Scale: `approxSimilarityJoin` hashes both sides and joins on bucket
+  * keys — a shuffle on hash buckets instead of an all-pairs cartesian,
+  * which is the only shape that survives 100 TB.
+  */
+object Ann {
+
+  /** Defaults tuned on embeddings.parquet (unit-norm 64-dim, projection
+    * std ≈ 1/√64): bucketLength ≈ 2× projection std keeps buckets
+    * selective; more tables = higher recall, linear cost. */
+  final case class Params(numHashTables: Int = 6, bucketLength: Double = 0.25)
+
+  /** O6 — index build. `embCol` is `array<float>`; the MLlib boundary
+    * needs a `Vector` column (float64 — SURVEY §1.2), added here. */
+  def fit(df: DataFrame, embCol: String = "embedding", params: Params = Params()): BucketedRandomProjectionLSHModel = {
+    new BucketedRandomProjectionLSH()
+      .setInputCol("features")
+      .setOutputCol("hashes")
+      .setNumHashTables(params.numHashTables)
+      .setBucketLength(params.bucketLength)
+      .setSeed(42L)
+      .fit(withFeatures(df, embCol))
+  }
+
+  /** Approximate O7 — single-query ANN top-k (squared-L2 output to match
+    * the exact path; MLlib reports unsquared L2 in distCol). */
+  def searchApprox(
+      model: BucketedRandomProjectionLSHModel,
+      df: DataFrame,
+      query: Array[Float],
+      k: Int,
+      idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    val key = Vectors.dense(query.map(_.toDouble))
+    model
+      .approxNearestNeighbors(withFeatures(df, embCol), key, k)
+      .select(col(idCol), (col("distCol") * col("distCol")).as("dist"))
+      .orderBy(col("dist").asc, col(idCol).asc)
+  }
+
+  /** Approximate all-pairs within `threshold` (L2): the LSH-bucketed
+    * near-duplicate / similarity-join path. */
+  def similarityJoinApprox(
+      model: BucketedRandomProjectionLSHModel,
+      a: DataFrame,
+      b: DataFrame,
+      threshold: Double,
+      embCol: String = "embedding"): DataFrame =
+    model.approxSimilarityJoin(
+      withFeatures(a, embCol), withFeatures(b, embCol), threshold, "dist").toDF()
+
+  /** Persist / restore the fitted index (MLlib writers). */
+  def save(model: BucketedRandomProjectionLSHModel, path: String): Unit =
+    model.write.overwrite().save(path)
+
+  def load(path: String): BucketedRandomProjectionLSHModel =
+    BucketedRandomProjectionLSHModel.load(path)
+
+  private[index] def withFeatures(df: DataFrame, embCol: String): DataFrame =
+    df.withColumn("features", array_to_vector(col(embCol)))
+}

@@ -1,0 +1,99 @@
+package graft.index
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+import graft.ops.VectorSearch
+
+/** LSH (O6 rebuild + approx O7) and IVF recall gates vs the exact path,
+  * on the driver fixture embeddings.parquet (SURVEY §5). */
+class AnnSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+  private lazy val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+
+  private def queryVec(id: Long): Array[Float] =
+    emb.filter(org.apache.spark.sql.functions.col("vec_id") === id)
+      .head().getAs[scala.collection.Seq[Float]]("embedding").toArray
+
+  private def exactIds(q: Array[Float], k: Int): Set[Long] =
+    VectorSearch.knnExact(emb, q.toSeq, k).collect().map(_.getLong(0)).toSet
+
+  test("LSH approx search: recall@10 >= 0.9 over 20 queries") {
+    val model = Ann.fit(emb)
+    val recalls = (0L until 20L).map { qid =>
+      val q = queryVec(qid)
+      val approx = Ann.searchApprox(model, emb, q, 10).collect().map(_.getLong(0)).toSet
+      val exact = exactIds(q, 10)
+      exact.intersect(approx).size.toDouble / exact.size
+    }
+    val mean = recalls.sum / recalls.size
+    info(s"LSH mean recall@10 = $mean")
+    assert(mean >= 0.9, s"recall $mean below gate; recalls=$recalls")
+  }
+
+  test("LSH approx distances are squared-L2, ascending") {
+    val model = Ann.fit(emb)
+    val q = queryVec(0)
+    val rows = Ann.searchApprox(model, emb, q, 5).collect()
+    assert(rows.nonEmpty)
+    val dists = rows.map(_.getDouble(1)).toSeq
+    assert(dists == dists.sorted)
+    // nearest to a corpus vector is itself at dist 0
+    assert(rows.head.getLong(0) == 0L && math.abs(rows.head.getDouble(1)) < 1e-9)
+  }
+
+  test("LSH model save/load round-trips (fixes the reference's never-persisted index)") {
+    val model = Ann.fit(emb)
+    val dir = java.nio.file.Files.createTempDirectory("lsh").toString + "/model"
+    Ann.save(model, dir)
+    val back = Ann.load(dir)
+    val q = queryVec(3)
+    val a = Ann.searchApprox(model, emb, q, 5).collect().map(_.getLong(0)).toSeq
+    val b = Ann.searchApprox(back, emb, q, 5).collect().map(_.getLong(0)).toSeq
+    assert(a == b)
+  }
+
+  test("IVF: exhaustive probe (nprobe = nlist) equals exact search") {
+    val index = Ivf.fit(emb, nlist = 8)
+    val assigned = Ivf.assign(index, emb).cache()
+    val q = queryVec(5)
+    val ivf = Ivf.search(index, assigned, q, 10, nprobe = 8).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val exact = VectorSearch.knnExact(emb, q.toSeq, 10).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(ivf == exact)
+  }
+
+  test("IVF: recall@10 rises with nprobe and clears 0.75 at half the lists") {
+    val index = Ivf.fit(emb, nlist = 10)
+    val assigned = Ivf.assign(index, emb).cache()
+    def meanRecall(nprobe: Int): Double = {
+      val recalls = (0L until 20L).map { qid =>
+        val q = queryVec(qid)
+        val got = Ivf.search(index, assigned, q, 10, nprobe).collect().map(_.getLong(0)).toSet
+        val exact = exactIds(q, 10)
+        exact.intersect(got).size.toDouble / exact.size
+      }
+      recalls.sum / recalls.size
+    }
+    val r2 = meanRecall(2); val r5 = meanRecall(5); val r8 = meanRecall(8)
+    info(s"IVF mean recall@10: nprobe=2 → $r2, nprobe=5 → $r5, nprobe=8 → $r8")
+    // The fixture's 10 planted clusters overlap heavily at k=10, so recall
+    // is probe-bounded; the contract is monotone improvement + a floor.
+    assert(r2 <= r5 + 0.05 && r5 <= r8 + 0.05, "recall must not degrade with more probes")
+    assert(r5 >= 0.75, s"recall $r5 below gate at nprobe=5")
+    assert(r8 >= 0.9, s"recall $r8 below gate at nprobe=8")
+  }
+
+  test("IVF partitioned layout prunes and searches correctly") {
+    val index = Ivf.fit(emb, nlist = 8)
+    val dir = java.nio.file.Files.createTempDirectory("ivf").toString + "/corpus"
+    Ivf.writePartitioned(index, emb, dir)
+    val q = queryVec(7)
+    val got = Ivf.searchPartitioned(spark, index, dir, q, 10, nprobe = 8).collect()
+      .map(_.getLong(0)).toSeq
+    val exact = VectorSearch.knnExact(emb, q.toSeq, 10).collect().map(_.getLong(0)).toSeq
+    assert(got == exact)
+  }
+}
