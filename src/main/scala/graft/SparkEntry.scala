@@ -4,8 +4,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.VectorRecord
+import graft.dedup.Dedup
 import graft.io.Envelope
 import graft.ops.{VectorCrud, VectorSearch, VectorStore}
+import graft.text.TextAnalysis
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -25,12 +27,38 @@ object SparkEntry {
   private def emb(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
 
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+
+  /** The driver fixtures store `ts` as parquet TIMESTAMP(NANOS), which
+    * Spark 4 refuses by default; read it as a long and convert via
+    * integer division (a double roundtrip would lose precision above
+    * 2^53 ns). DuckDB truncates ns→µs identically. */
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
   /** Left-associative squared-L2 sum over explicit 1-based SQL array
     * indexes — bit-identical to Distances.l2Sq's fold. */
   private def l2SqSql(a: String, b: String, dim: Int = EmbDim): String =
     (1 to dim)
       .map(i => s"(CAST($a[$i] AS DOUBLE) - CAST($b[$i] AS DOUBLE)) * (CAST($a[$i] AS DOUBLE) - CAST($b[$i] AS DOUBLE))")
       .mkString(" + ")
+
+  /** Left-associative dot product over explicit 1-based SQL indexes —
+    * bit-identical to Distances.dot's fold. */
+  private def dotSql(a: String, b: String, dim: Int = EmbDim): String =
+    (1 to dim)
+      .map(i => s"(CAST($a[$i] AS DOUBLE) * CAST($b[$i] AS DOUBLE))")
+      .mkString(" + ")
+
+  /** DuckDB normalization/tokenization identical to
+    * TextAnalysis.normalizeText / tokens (note the 'g' flag — DuckDB
+    * regexp_replace is first-match-only by default). */
+  private val NormSql = "lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))"
+  private val ToksSql = s"string_split($NormSql, ' ')"
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {
@@ -132,6 +160,119 @@ object SparkEntry {
       joined.agg(
         count(lit(1)).as("n_rows"),
         sum(when(col("embedding") =!= col("embedding2"), 1L).otherwise(0L)).as("n_mismatch"))
+    }),
+
+    // ---- text analysis (charter LLM-pipeline extensions) ----
+
+    // Token counting: whitespace + BPE-ish counts, length stats — a
+    // narrow single-pass projection (no shuffle).
+    "doc_token_stats" -> ((s, dir) => {
+      TextAnalysis.docStats(docs(s, dir)).orderBy(col("doc_id"))
+    }),
+
+    // Quality scoring: length/diversity/stopword heuristic filter score.
+    "doc_quality" -> ((s, dir) => {
+      docs(s, dir)
+        .select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("quality"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Language-ID heuristic: per-language marker-word hits + argmax.
+    "doc_lang_id" -> ((s, dir) => {
+      val scoreCols = TextAnalysis.langScores(col("text")).map { case (n, c) => c.as(n) }
+      docs(s, dir)
+        .select(col("doc_id") +: scoreCols :+ TextAnalysis.languageId(col("text")).as("lang_id"): _*)
+        .orderBy(col("doc_id"))
+    }),
+
+    // Document fingerprinting: md5 content hash of normalized text.
+    "doc_fingerprint" -> ((s, dir) => {
+      docs(s, dir)
+        .select(col("doc_id"), TextAnalysis.fingerprintMd5(col("text")).as("fp_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- dedup ----
+
+    // Exact dedup summary: hash-groupBy over the md5 fingerprint.
+    "doc_exact_dups" -> ((s, dir) => {
+      val g = docs(s, dir)
+        .select(TextAnalysis.fingerprintMd5(col("text")).as("h"))
+        .groupBy("h").agg(count(lit(1)).as("c"))
+      g.agg(
+        sum(col("c")).cast("long").as("n_docs"),
+        count(lit(1)).cast("long").as("n_distinct"),
+        sum(when(col("c") > 1, 1L).otherwise(0L)).as("n_dup_groups"))
+    }),
+
+    // Exact n-gram Jaccard near-dup pairs (shared-shingle candidate join).
+    "doc_ngram_jaccard" -> ((s, dir) => {
+      Dedup.ngramJaccardPairs(docs(s, dir), n = 3, minJaccard = 0.3,
+          maxShingleDf = Long.MaxValue)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // MinHash-LSH near-dup pairs (banded bucket join; rows-only check —
+    // xxhash-free but MLlib hash functions aren't DuckDB-expressible).
+    "dedup_minhash" -> ((s, dir) => {
+      Dedup.minHashNearDups(docs(s, dir), maxJaccardDist = 0.6)
+        .select(col("id_a"), col("id_b"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // SimHash near-dup pairs (4×16-bit band join + hamming filter;
+    // rows-only check — xxhash64 has no DuckDB equivalent).
+    "dedup_simhash" -> ((s, dir) => {
+      Dedup.simHashNearDups(docs(s, dir), maxHamming = 3)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // Embedding-cosine near-dups via the L2-LSH bucket join (rows-only).
+    "emb_near_dups" -> ((s, dir) => {
+      Dedup.embeddingNearDups(emb(s, dir), minCosine = 0.95)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // ---- similarity search ----
+
+    // Brute-force cosine top-k (ANN baseline).
+    "knn_cosine_top10" -> ((s, dir) => {
+      val corpus = emb(s, dir)
+      val query = corpus.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+      VectorSearch.cosineTopKDf(corpus, query, k = 10)
+    }),
+
+    // Metadata-filtered hybrid search: the label predicate prunes the
+    // scan BELOW the top-k (visible as a parquet PushedFilter).
+    "knn_hybrid" -> ((s, dir) => {
+      val corpus = emb(s, dir)
+      val query = corpus.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+      VectorSearch.knnExactDf(corpus.filter(col("label") === 3), query, k = 10)
+    }),
+
+    // ---- events: JSON metadata + windowed aggregation ----
+
+    // JSON-metadata predicate + aggregate (get_json_object pushdown shape).
+    "events_json_filter" -> ((s, dir) => {
+      events(s, dir)
+        .filter(get_json_object(col("props"), "$.k").cast("int") > 80)
+        .agg(
+          count(lit(1)).as("n_events"),
+          sum(get_json_object(col("props"), "$.k").cast("long")).as("k_sum"))
+    }),
+
+    // Tumbling 1-hour window aggregation — the batch shape of the
+    // Structured-Streaming windowed agg (value summed in exact integer
+    // milli-units: float sums are partition-order-dependent).
+    "events_hourly" -> ((s, dir) => {
+      events(s, dir)
+        .groupBy(
+          date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour"),
+          col("event_type"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          sum(floor(col("value") * 1000).cast("long")).as("value_milli"))
+        .orderBy(col("hour"), col("event_type"))
     })
   )
 
@@ -180,6 +321,98 @@ object SparkEntry {
 
     "envelope_roundtrip" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_rows, CAST(0 AS BIGINT) AS n_mismatch
-        |FROM embeddings""".stripMargin
+        |FROM embeddings""".stripMargin,
+
+    "doc_token_stats" ->
+      s"""WITH t AS (SELECT doc_id, $NormSql AS norm, $ToksSql AS toks FROM documents)
+         |SELECT doc_id,
+         |       CAST(len(toks) AS BIGINT) AS n_tokens,
+         |       CAST(ceil(CAST(length(regexp_replace(norm, '[^\\p{L}\\p{N}]', '', 'g')) AS DOUBLE) / 4.0)
+         |            + length(regexp_replace(norm, '[\\p{L}\\p{N} ]', '', 'g')) AS BIGINT) AS n_bpe_tokens,
+         |       CAST(length(norm) AS BIGINT) AS n_chars_norm,
+         |       CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS mean_token_len,
+         |       CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS unique_ratio
+         |FROM t ORDER BY doc_id""".stripMargin,
+
+    "doc_quality" ->
+      s"""WITH t AS (SELECT doc_id, $ToksSql AS toks FROM documents),
+         |s AS (SELECT doc_id,
+         |        CAST(len(toks) AS DOUBLE) AS n_tok,
+         |        CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS diversity,
+         |        CAST(len(list_filter(toks, x -> x IN ('the','a','an','and','or','of','to','in','is','on','for','with'))) AS DOUBLE)
+         |          / CAST(len(toks) AS DOUBLE) AS stop
+         |      FROM t)
+         |SELECT doc_id,
+         |       least(n_tok / 64.0, 1.0) * 0.4 + diversity * 0.4 +
+         |       (CASE WHEN stop BETWEEN 0.01 AND 0.6 THEN 1.0 ELSE 0.5 END) * 0.2 AS quality
+         |FROM s ORDER BY doc_id""".stripMargin,
+
+    "doc_lang_id" ->
+      s"""WITH t AS (SELECT doc_id, $ToksSql AS toks FROM documents),
+         |s AS (SELECT doc_id,
+         |  CAST(len(list_filter(toks, x -> x IN ('the','and','of','is','with'))) AS BIGINT) AS score_en,
+         |  CAST(len(list_filter(toks, x -> x IN ('el','la','de','que','con'))) AS BIGINT) AS score_es,
+         |  CAST(len(list_filter(toks, x -> x IN ('der','die','und','ist','mit'))) AS BIGINT) AS score_de,
+         |  CAST(len(list_filter(toks, x -> x IN ('le','la','et','est','avec'))) AS BIGINT) AS score_fr,
+         |  CAST(len(list_filter(toks, x -> x IN ('的','是','和','在','了'))) AS BIGINT) AS score_zh
+         |  FROM t)
+         |SELECT doc_id, score_en, score_es, score_de, score_fr, score_zh,
+         |  CASE WHEN greatest(score_en, score_es, score_de, score_fr, score_zh) <= 0 THEN 'und'
+         |       WHEN score_en = greatest(score_en, score_es, score_de, score_fr, score_zh) THEN 'en'
+         |       WHEN score_es = greatest(score_en, score_es, score_de, score_fr, score_zh) THEN 'es'
+         |       WHEN score_de = greatest(score_en, score_es, score_de, score_fr, score_zh) THEN 'de'
+         |       WHEN score_fr = greatest(score_en, score_es, score_de, score_fr, score_zh) THEN 'fr'
+         |       ELSE 'zh' END AS lang_id
+         |FROM s ORDER BY doc_id""".stripMargin,
+
+    "doc_fingerprint" ->
+      s"SELECT doc_id, md5($NormSql) AS fp_md5 FROM documents ORDER BY doc_id",
+
+    "doc_exact_dups" ->
+      s"""WITH g AS (SELECT md5($NormSql) AS h, count(*) AS c FROM documents GROUP BY 1)
+         |SELECT CAST(sum(c) AS BIGINT) AS n_docs, CAST(count(*) AS BIGINT) AS n_distinct,
+         |       CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_groups FROM g""".stripMargin,
+
+    "doc_ngram_jaccard" ->
+      s"""WITH t AS (SELECT doc_id, $ToksSql AS toks FROM documents),
+         |sh AS (SELECT doc_id,
+         |              unnest(list_distinct([array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks) - 1)])) AS shingle
+         |       FROM t WHERE len(toks) >= 3),
+         |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS set_size FROM sh GROUP BY 1),
+         |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS n_inter
+         |          FROM sh a JOIN sh b USING (shingle) WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+         |SELECT id_a, id_b,
+         |       CAST(n_inter AS DOUBLE) / CAST(sa.set_size + sb.set_size - n_inter AS DOUBLE) AS jaccard
+         |FROM inter
+         |JOIN sz sa ON sa.doc_id = id_a
+         |JOIN sz sb ON sb.doc_id = id_b
+         |WHERE CAST(n_inter AS DOUBLE) / CAST(sa.set_size + sb.set_size - n_inter AS DOUBLE) >= 0.3
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "knn_cosine_top10" ->
+      s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+         |SELECT e.vec_id AS vec_id,
+         |       (${dotSql("e.embedding", "q.qe")})
+         |         / (sqrt(${dotSql("e.embedding", "e.embedding")}) * sqrt(${dotSql("q.qe", "q.qe")})) AS cos_sim
+         |FROM embeddings e CROSS JOIN q
+         |ORDER BY cos_sim DESC, vec_id ASC LIMIT 10""".stripMargin,
+
+    "knn_hybrid" ->
+      s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+         |SELECT e.vec_id AS vec_id, ${l2SqSql("e.embedding", "q.qe")} AS dist
+         |FROM embeddings e CROSS JOIN q
+         |WHERE e.label = 3
+         |ORDER BY dist ASC, vec_id ASC LIMIT 10""".stripMargin,
+
+    "events_json_filter" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_events,
+        |       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum
+        |FROM events WHERE CAST(json_extract_string(props, '$.k') AS INTEGER) > 80""".stripMargin,
+
+    "events_hourly" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
+        |       CAST(count(*) AS BIGINT) AS n_events,
+        |       CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS value_milli
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 }

@@ -100,6 +100,21 @@ object VectorSearch {
       .limit(k)
   }
 
+  /** Cosine top-k where the query vector comes from a (1-row) DataFrame —
+    * broadcast the query side; same shape as [[knnExactDf]]. */
+  def cosineTopKDf(
+      corpus: DataFrame,
+      query: DataFrame,
+      k: Int,
+      idCol: String = "vec_id",
+      embCol: String = "embedding",
+      qEmbCol: String = "qe"): DataFrame =
+    corpus
+      .crossJoin(broadcast(query))
+      .select(col(idCol), Distances.cosine(col(embCol), col(qEmbCol)).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col(idCol).asc)
+      .limit(k)
+
   /** Dimension-check validation (the reference enforces dim at every
     * mutation/query — `/root/reference/src/vectordb.cpp:39-41,124-126`).
     * Spark array types don't encode length, so this is an explicit

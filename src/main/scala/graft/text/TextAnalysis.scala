@@ -1,0 +1,155 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for LLM training-data pipelines (charter
+  * extension beyond the reference surface — the reference has no string
+  * functions at all, SURVEY §2.4).
+  *
+  * Everything here is a [[Column]] composed from built-in SQL functions,
+  * so the operators are narrow (per-row, no shuffle), partition-parallel,
+  * and expressible identically in the DuckDB oracle. At 100 TB each of
+  * these is a single pass over the text column with no wide dependency.
+  */
+object TextAnalysis {
+
+  /** Canonical text normalization: trim, collapse runs of whitespace,
+    * lowercase. The shared preamble for dedup hashing and tokenization. */
+  def normalizeText(c: Column): Column =
+    lower(regexp_replace(trim(c), "\\s+", " "))
+
+  /** Whitespace tokens of the normalized text. */
+  def tokens(c: Column): Column =
+    split(normalizeText(c), " ")
+
+  /** Whitespace token count. */
+  def tokenCount(c: Column): Column =
+    size(tokens(c)).cast("long")
+
+  /** BPE-ish subword count: word characters count ~1 token per 4 chars
+    * (ceil), every non-word non-space symbol counts as its own token.
+    * A deterministic, library-free approximation of byte-pair tokenizer
+    * budgets, computed from two length probes. */
+  def approxBpeTokenCount(c: Column): Column = {
+    val n = normalizeText(c)
+    val wordChars = length(regexp_replace(n, "[^\\p{L}\\p{N}]", ""))
+    val symbols = length(regexp_replace(n, "[\\p{L}\\p{N} ]", ""))
+    (ceil(wordChars.cast("double") / 4.0) + symbols).cast("long")
+  }
+
+  /** Distinct-token ratio — low values flag repetitive/boilerplate text. */
+  def uniqueTokenRatio(c: Column): Column = {
+    val t = tokens(c)
+    size(array_distinct(t)).cast("double") / size(t).cast("double")
+  }
+
+  /** Mean token length in characters. */
+  def meanTokenLen(c: Column): Column = {
+    val t = tokens(c)
+    aggregate(t, lit(0L), (acc, x) => acc + length(x)).cast("double") /
+      size(t).cast("double")
+  }
+
+  /** Fraction of tokens found in `words` (e.g. a stopword list). */
+  def wordListRatio(c: Column, words: Seq[String]): Column = {
+    val t = tokens(c)
+    val hits = filter(t, x => x.isInCollection(words))
+    size(hits).cast("double") / size(t).cast("double")
+  }
+
+  /** Punctuation characters per character of text. */
+  def punctRatio(c: Column): Column = {
+    val n = normalizeText(c)
+    (length(n) - length(regexp_replace(n, "[.,;:!?'\"()]", ""))).cast("double") /
+      length(n).cast("double")
+  }
+
+  /** English-ish stopwords used by [[qualityScore]]; public so the oracle
+    * SQL and tests can mirror the exact list. */
+  val Stopwords: Seq[String] =
+    Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "on", "for", "with")
+
+  /** Composite quality score in [0,1]: length sweet-spot, lexical
+    * diversity, and a bounded stopword-presence band — the standard
+    * pretraining-filter shape (length/punct/stopword heuristics). */
+  def qualityScore(c: Column): Column = {
+    val nTok = tokenCount(c).cast("double")
+    val lengthScore = least(nTok / 64.0, lit(1.0))
+    val diversity = uniqueTokenRatio(c)
+    val stop = wordListRatio(c, Stopwords)
+    val stopScore = when(stop.between(0.01, 0.6), 1.0).otherwise(0.5)
+    // No round(): Spark (BigDecimal HALF_UP) and DuckDB round doubles
+    // differently; raw doubles from identical op order are bit-identical.
+    lengthScore * 0.4 + diversity * 0.4 + stopScore * 0.2
+  }
+
+  /** Marker words per language for the n-gram/stopword language-ID
+    * heuristic. Public for oracle mirroring. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "is", "with"),
+    "es" -> Seq("el", "la", "de", "que", "con"),
+    "de" -> Seq("der", "die", "und", "ist", "mit"),
+    "fr" -> Seq("le", "la", "et", "est", "avec"),
+    "zh" -> Seq("的", "是", "和", "在", "了"))
+
+  /** Count of tokens that belong to `words`. */
+  private def markerHits(t: Column, words: Seq[String]): Column =
+    size(filter(t, x => x.isInCollection(words))).cast("long")
+
+  /** Per-language marker-hit columns `score_<lang>`. */
+  def langScores(c: Column): Seq[(String, Column)] = {
+    val t = tokens(c)
+    LangMarkers.map { case (lang, ws) => (s"score_$lang", markerHits(t, ws)) }
+  }
+
+  /** Language-ID heuristic: argmax of marker hits, first-listed language
+    * wins ties, `und` when nothing matches. Deterministic; at 100 TB this
+    * is a narrow map with a small broadcast-free marker table baked into
+    * the plan. */
+  def languageId(c: Column): Column = {
+    val scores = langScores(c)
+    val maxScore = greatest(scores.map(_._2): _*)
+    // First-wins cascade on ties (folded in reverse so the first listed
+    // language ends up outermost) — mirrored verbatim in the oracle SQL.
+    val cascade = scores.reverse.foldLeft(lit("und")) { case (els, (name, s)) =>
+      when(s === maxScore, name.stripPrefix("score_")).otherwise(els)
+    }
+    when(maxScore <= 0, "und").otherwise(cascade)
+  }
+
+  /** Content fingerprint: md5 of the normalized text — the exact-dedup
+    * key; hex string, byte-identical to DuckDB's `md5()`. */
+  def fingerprintMd5(c: Column): Column =
+    md5(normalizeText(c))
+
+  /** 64-bit rolling content fingerprint (xxhash64 of normalized text) —
+    * the cheap join/partition key form of the fingerprint. */
+  def fingerprint64(c: Column): Column =
+    xxhash64(normalizeText(c))
+
+  /** Word n-gram shingles of the normalized text (distinct), the input
+    * to MinHash/Jaccard dedup. */
+  def wordShingles(c: Column, n: Int): Column = {
+    val t = tokens(c)
+    // guard: sequence(0, negative) would count DOWN in Spark
+    when(size(t) < n, array().cast("array<string>")).otherwise(
+      array_distinct(
+        transform(
+          sequence(lit(0), size(t) - n),
+          i => concat_ws(" ", slice(t, i + 1, lit(n))))))
+  }
+
+  /** Full per-document stats projection used by the `doc_token_stats`
+    * declared query. */
+  def docStats(df: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val c = col(textCol)
+    df.select(
+      col(idCol),
+      tokenCount(c).as("n_tokens"),
+      approxBpeTokenCount(c).as("n_bpe_tokens"),
+      length(normalizeText(c)).cast("long").as("n_chars_norm"),
+      meanTokenLen(c).as("mean_token_len"),
+      uniqueTokenRatio(c).as("unique_ratio"))
+  }
+}

@@ -1,0 +1,94 @@
+package graft.dedup
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+class DedupSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  // Corpus with planted duplicates:
+  //  - 1 and 2 are byte-identical after normalization (exact dups)
+  //  - 3 is 1 with one word changed (near-dup)
+  //  - 4 and 5 are unrelated
+  private lazy val docs = Seq(
+    (1L, "spark shuffles data across the cluster for wide operations like join and group by"),
+    (2L, "Spark  shuffles data across the cluster for wide operations like join and group by"),
+    (3L, "spark shuffles data across the network for wide operations like join and group by"),
+    (4L, "completely different text about cooking pasta with tomato sauce and fresh basil leaves"),
+    (5L, "unrelated words concerning mountain hiking trails weather forecasts and camping equipment")
+  ).toDF("doc_id", "text")
+
+  test("exactDupGroups finds the planted identical pair only") {
+    val groups = Dedup.exactDupGroups(docs).as[(String, Long, Seq[Long])].collect()
+    assert(groups.length == 1)
+    assert(groups.head._3 == Seq(1L, 2L))
+  }
+
+  test("dedupExact keeps the lowest-id representative") {
+    val kept = Dedup.dedupExact(docs).select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(1L, 3L, 4L, 5L))
+  }
+
+  test("minHashNearDups surfaces exact and near dups, not unrelated pairs") {
+    val pairs = Dedup.minHashNearDups(docs, maxJaccardDist = 0.6)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((1L, 3L)) || pairs.contains((2L, 3L)))
+    assert(!pairs.exists { case (a, b) => Set(a, b).contains(4L) || Set(a, b).contains(5L) })
+  }
+
+  test("simHashCol: identical texts share a signature; hamming small for near-dups") {
+    val sigs = docs.select($"doc_id", Dedup.simHashCol("text").as("sig"))
+      .as[(Long, Long)].collect().toMap
+    assert(sigs(1L) == sigs(2L))
+    val hammingNear = java.lang.Long.bitCount(sigs(1L) ^ sigs(3L))
+    val hammingFar = java.lang.Long.bitCount(sigs(1L) ^ sigs(4L))
+    assert(hammingNear < hammingFar)
+  }
+
+  test("simHashNearDups finds the exact pair at hamming 0") {
+    val pairs = Dedup.simHashNearDups(docs, maxHamming = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists { case (a, b) => Set(a, b).intersect(Set(4L, 5L)).nonEmpty })
+  }
+
+  test("ngramJaccardPairs: planted near-dup scores high, unrelated pairs absent") {
+    val pairs = Dedup.ngramJaccardPairs(docs, n = 3, minJaccard = 0.3)
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, j) => (a, b) -> j }.toMap
+    assert(pairs((1L, 2L)) == 1.0) // identical after normalization
+    assert(pairs.contains((1L, 3L)))
+    assert(pairs((1L, 3L)) > 0.3 && pairs((1L, 3L)) < 1.0)
+    assert(!pairs.keys.exists { case (a, b) => Set(a, b).intersect(Set(4L, 5L)).nonEmpty })
+  }
+
+  test("ngramJaccardPairs maxShingleDf drops hot shingles (skew guard)") {
+    // a shingle present in every doc would join all pairs; with cap 1 no
+    // candidate pairs survive
+    val clones = (1L to 6L).map(i => (i, s"common shingle text plus unique$i word$i suffix$i")).toDF("doc_id", "text")
+    val capped = Dedup.ngramJaccardPairs(clones, n = 3, minJaccard = 0.0, maxShingleDf = 1L)
+    assert(capped.count() == 0)
+  }
+
+  test("embeddingNearDups finds planted near-identical vectors") {
+    val base = Array.fill(16)(0.25f)
+    def unit(v: Array[Float]): Array[Float] = {
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat
+      v.map(_ / n)
+    }
+    val vecs = Seq(
+      (1L, unit(base)),
+      (2L, unit(base.clone())),                                      // identical
+      (3L, unit(base.zipWithIndex.map { case (x, i) => if (i == 0) x + 0.01f else x })), // near
+      (4L, unit(Array.tabulate(16)(i => if (i % 2 == 0) 1f else -1f))) // far
+    ).toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDups(vecs, minCosine = 0.99)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)) && pairs.contains((1L, 3L)))
+    assert(!pairs.exists { case (a, b) => Set(a, b).contains(4L) })
+  }
+}

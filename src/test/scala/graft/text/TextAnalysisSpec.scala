@@ -1,0 +1,82 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+class TextAnalysisSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def one(text: String) = Seq((1L, text)).toDF("doc_id", "text")
+
+  test("normalizeText collapses whitespace and lowercases") {
+    val r = one("  Hello   WORLD\t foo ")
+      .select(TextAnalysis.normalizeText($"text")).as[String].head()
+    assert(r == "hello world foo")
+  }
+
+  test("tokenCount and meanTokenLen") {
+    val df = one("aa bbb cccc")
+    assert(df.select(TextAnalysis.tokenCount($"text")).as[Long].head() == 3L)
+    val mean = df.select(TextAnalysis.meanTokenLen($"text")).as[Double].head()
+    assert(math.abs(mean - 3.0) < 1e-12)
+  }
+
+  test("approxBpeTokenCount: ~1 token per 4 word chars plus symbols") {
+    // "abcdefgh ij!" → word chars "abcdefghij" (10) → ceil(10/4)=3; symbol "!" → +1
+    val n = one("abcdefgh ij!")
+      .select(TextAnalysis.approxBpeTokenCount($"text")).as[Long].head()
+    assert(n == 4L)
+  }
+
+  test("uniqueTokenRatio flags repetition") {
+    val rep = one("a a a a").select(TextAnalysis.uniqueTokenRatio($"text")).as[Double].head()
+    val uniq = one("a b c d").select(TextAnalysis.uniqueTokenRatio($"text")).as[Double].head()
+    assert(rep == 0.25 && uniq == 1.0)
+  }
+
+  test("languageId picks the language with most marker hits; und on none") {
+    val rows = Seq(
+      (1L, "the cat and the dog is here"),
+      (2L, "el perro que la casa con gato"),
+      (3L, "der hund und die katze ist da"),
+      (4L, "xyz qqq zzz"))
+      .toDF("doc_id", "text")
+      .select($"doc_id", TextAnalysis.languageId($"text").as("lang"))
+      .orderBy($"doc_id").as[(Long, String)].collect()
+    assert(rows.map(_._2).toSeq == Seq("en", "es", "de", "und"))
+  }
+
+  test("languageId tie-break: first listed language wins") {
+    // 'la' is both es and fr; equal scores → es (listed first)
+    val r = one("la la").select(TextAnalysis.languageId($"text")).as[String].head()
+    assert(r == "es")
+  }
+
+  test("fingerprintMd5 is whitespace/case-insensitive and distinct on content") {
+    val df = Seq((1L, "Hello  World"), (2L, "hello world"), (3L, "other text"))
+      .toDF("doc_id", "text")
+      .select(TextAnalysis.fingerprintMd5($"text").as("fp")).as[String].collect()
+    assert(df(0) == df(1) && df(0) != df(2))
+  }
+
+  test("wordShingles: distinct n-grams; short docs yield empty") {
+    val sh = one("a b c d").select(TextAnalysis.wordShingles($"text", 3)).as[Seq[String]].head()
+    assert(sh.toSet == Set("a b c", "b c d"))
+    val short = one("a b").select(TextAnalysis.wordShingles($"text", 3)).as[Seq[String]].head()
+    assert(short.isEmpty)
+  }
+
+  test("qualityScore is in [0,1] and penalizes repetitive text") {
+    val docs = Seq(
+      (1L, ("spark is the fast engine for big data work and more " * 8).trim), // long, diverse, stopwords
+      (2L, "a a a a a a a a"))                                                 // repetitive
+      .toDF("doc_id", "text")
+      .select($"doc_id", TextAnalysis.qualityScore($"text").as("q"))
+      .as[(Long, Double)].collect().toMap
+    assert(docs.values.forall(q => q >= 0.0 && q <= 1.0))
+    assert(docs(1L) > docs(2L))
+  }
+}
