@@ -2,6 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.VectorExpressions
 
 /** Vector distance / similarity columns composed from built-in
   * higher-order functions (`zip_with` + `aggregate`), so the whole kernel
@@ -19,8 +20,14 @@ object Distances {
 
   private def asD(c: Column): Column = c.cast("array<double>")
 
-  /** Squared L2 distance between two float-array columns (float64). */
-  def l2Sq(a: Column, b: Column): Column =
+  /** Squared L2 distance between two float-array columns (float64).
+    * Native codegen expression — see [[VectorExpressions]]; bit-identical
+    * to [[l2SqHof]]. */
+  def l2Sq(a: Column, b: Column): Column = VectorExpressions.l2Sq(a, b)
+
+  /** Higher-order-function form of [[l2Sq]] (interpreted; kept as the
+    * cross-check twin for the codegen expression). */
+  def l2SqHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(asD(a), asD(b), (x, y) => (x - y) * (x - y)),
       lit(0.0),
@@ -30,8 +37,11 @@ object Distances {
     * (`/root/reference/src/main.cpp:115-116`). */
   def l2(a: Column, b: Column): Column = sqrt(l2Sq(a, b))
 
-  /** Dot product of two float-array columns (float64). */
-  def dot(a: Column, b: Column): Column =
+  /** Dot product of two float-array columns (float64, codegen). */
+  def dot(a: Column, b: Column): Column = VectorExpressions.dot(a, b)
+
+  /** Higher-order-function form of [[dot]] (cross-check twin). */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(asD(a), asD(b), (x, y) => x * y),
       lit(0.0),
