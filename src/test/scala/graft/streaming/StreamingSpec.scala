@@ -1,0 +1,87 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+
+  test("windowedCounts aggregates tumbling windows under a watermark") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String)]
+    val out = StreamingIngest.windowedCounts(
+      input.toDF().toDF("ts", "event_type"),
+      windowLen = "10 minutes", delay = "5 minutes")
+    val q = out.writeStream.format("memory").queryName("win_counts")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      input.addData((ts(1), "click"), (ts(2), "click"), (ts(11), "view"))
+      q.processAllAvailable()
+      val rows = spark.table("win_counts")
+        .select(date_format($"window_start", "HH:mm").as("w"), $"event_type", $"n_events")
+        .as[(String, String, Long)].collect().toSet
+      assert(rows == Set(("10:00", "click", 2L), ("10:10", "view", 1L)))
+    } finally q.stop()
+  }
+
+  test("streamingDedup drops same-content rows within the watermark horizon") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val out = StreamingIngest.streamingDedup(
+      input.toDF().toDF("ts", "doc_id", "text"), delay = "1 hour")
+    val q = out.writeStream.format("memory").queryName("dedup_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        (ts(1), 1L, "spark streams data"),
+        (ts(2), 2L, "Spark  streams DATA"), // same after normalization
+        (ts(3), 3L, "different content entirely"))
+      q.processAllAvailable()
+      val kept = spark.table("dedup_out").select("doc_id").as[Long].collect().toSet
+      assert(kept.size == 2 && kept.contains(3L))
+      assert(kept.contains(1L) ^ kept.contains(2L))
+    } finally q.stop()
+  }
+
+  test("ingest appends a stream into the parquet store") {
+    implicit val sc = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    val input = MemoryStream[(Long, Seq[Float])]
+    val q = StreamingIngest.ingest(
+      input.toDF().toDF("vec_id", "embedding"),
+      s"$dir/data", s"$dir/ckpt").start()
+    try {
+      input.addData((1L, Seq(1f, 2f)), (2L, Seq(3f, 4f)))
+      q.processAllAvailable()
+      assert(spark.read.parquet(s"$dir/data").count() == 2)
+    } finally q.stop()
+  }
+
+  test("periodicIndexRefit persists a loadable ANN model per batch") {
+    implicit val sc = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_refit").toString
+    val input = MemoryStream[(Long, Seq[Float])]
+    val q = StreamingIngest.periodicIndexRefit(
+      input.toDF().toDF("vec_id", "embedding"),
+      s"$dir/corpus", s"$dir/model", s"$dir/ckpt",
+      interval = "0 seconds")
+    try {
+      val rng = new scala.util.Random(3)
+      input.addData((1L to 20L).map(i => (i, Seq.fill(8)(rng.nextFloat()))): _*)
+      q.processAllAvailable()
+      val model = graft.index.Ann.load(s"$dir/model")
+      assert(model.getNumHashTables > 0)
+      assert(spark.read.parquet(s"$dir/corpus").count() == 20)
+    } finally q.stop()
+  }
+}
