@@ -100,6 +100,15 @@ object Envelope {
     if (meta == null) mapper.nullNode()
     else mapper.readTree(meta)
 
+  /** nlohmann-`dump(2)`-style pretty print of a JSON string (sorted keys,
+    * 2-space indent) — the format the reference CLI prints metadata in
+    * (`/root/reference/src/main.cpp:84`). */
+  def dump2(json: String): String = {
+    val sb = new java.lang.StringBuilder
+    emit(parse(json), sb, indent = 0)
+    sb.toString
+  }
+
   private def compact(n: JsonNode): String = mapper.writeValueAsString(n)
 
   /** nlohmann-style number formatting: shortest-round-trip double repr

@@ -1,0 +1,77 @@
+package graft.cli
+
+import java.io.{ByteArrayOutputStream, PrintStream}
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+class CliSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def captureOut(body: => Int): (Int, String) = {
+    val bos = new ByteArrayOutputStream()
+    val code = Console.withOut(new PrintStream(bos, true, "UTF-8")) {
+      val old = System.out
+      System.setOut(new PrintStream(bos, true, "UTF-8"))
+      try body finally System.setOut(old)
+    }
+    (code, bos.toString("UTF-8"))
+  }
+
+  private def tmpDb(): String =
+    Files.createTempDirectory("graft_cli").resolve("db.json").toString
+
+  test("search over the reference sample db prints the verified fixture bytes") {
+    // FIXTURES §A2 [verified against the compiled reference]:
+    // query (1.0,1.05) k=2 → "- ID: 1, Dist: 0.05" / "- ID: 2, Dist: 0.180278"
+    val db = tmpDb()
+    Files.copy(Paths.get("/root/reference/my_db.json"), Paths.get(db),
+      StandardCopyOption.REPLACE_EXISTING)
+    val (code, out) = captureOut(Cli.run(spark, Array(db, "search", "2", "1.0,1.05")))
+    assert(code == 0)
+    assert(out ==
+      "Search results (ID, Distance):\n- ID: 1, Dist: 0.05\n- ID: 2, Dist: 0.180278\n")
+  }
+
+  test("full lifecycle: init → add → get → update → delete with reference messages") {
+    val db = tmpDb()
+    val (c1, o1) = captureOut(Cli.run(spark, Array(db, "init", "2")))
+    assert(c1 == 0 && o1 == s"Database initialized at '$db' with dimension 2\n")
+
+    val (c2, o2) = captureOut(Cli.run(spark, Array(db, "add", "1.0,2.0", """{"tag": "a"}""")))
+    assert(c2 == 0 && o2 == "Vector added with ID: 1. Run 'rebuild' to index.\n")
+
+    val (c3, o3) = captureOut(Cli.run(spark, Array(db, "get", "1")))
+    assert(c3 == 0)
+    assert(o3 == "ID: 1\nMetadata: {\n  \"tag\": \"a\"\n}\nVector: [1, 2]\n")
+
+    val (c4, o4) = captureOut(Cli.run(spark, Array(db, "update", "1", "3.0,4.0", """{"tag": "b"}""")))
+    assert(c4 == 0 && o4 == "Vector 1 updated. Run 'rebuild' to update index.\n")
+
+    val (c5, o5) = captureOut(Cli.run(spark, Array(db, "delete", "1")))
+    assert(c5 == 0 && o5 == "Vector 1 deleted. Run 'rebuild' to update index.\n")
+
+    // miss after delete: error to stderr, exit 0 (reference falls through)
+    val (c6, o6) = captureOut(Cli.run(spark, Array(db, "get", "1")))
+    assert(c6 == 0 && o6.isEmpty)
+  }
+
+  test("init refuses an existing file; dim mismatch and unknown command error") {
+    val db = tmpDb()
+    assert(Cli.run(spark, Array(db, "init", "2")) == 0)
+    assert(Cli.run(spark, Array(db, "init", "2")) == 1)
+    assert(Cli.run(spark, Array(db, "add", "1.0,2.0,3.0", "{}")) == 1)
+    assert(Cli.run(spark, Array(db, "frobnicate")) == 1)
+    assert(Cli.run(spark, Array(db)) == 1)
+  }
+
+  test("cppNum matches C++ default float formatting") {
+    assert(Cli.cppNum(0.05000000074505806) == "0.05")
+    assert(Cli.cppNum(0.18027755737304688) == "0.180278")
+    assert(Cli.cppNum(1.0) == "1")
+    assert(Cli.cppNum(1.100000023841858) == "1.1")
+    assert(Cli.cppNum(15000000.0) == "15000000")
+  }
+}
