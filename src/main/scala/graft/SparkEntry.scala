@@ -205,10 +205,13 @@ object SparkEntry {
         sum(when(col("c") > 1, 1L).otherwise(0L)).as("n_dup_groups"))
     }),
 
-    // Exact n-gram Jaccard near-dup pairs (shared-shingle candidate join).
+    // Exact n-gram Jaccard near-dup pairs (shared-shingle candidate
+    // join; shingles in >500 docs are dropped — the hot-key skew guard
+    // that keeps the candidate join bounded at scale, mirrored in the
+    // oracle SQL).
     "doc_ngram_jaccard" -> ((s, dir) => {
       Dedup.ngramJaccardPairs(docs(s, dir), n = 3, minJaccard = 0.3,
-          maxShingleDf = Long.MaxValue)
+          maxShingleDf = 500L)
         .orderBy(col("id_a"), col("id_b"))
     }),
 
@@ -227,9 +230,17 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
-    // Embedding-cosine near-dups via the L2-LSH bucket join (rows-only).
+    // Embedding-cosine near-dups via the SRP band join. The fixture
+    // embeddings are near-orthogonal random vectors (max natural cosine
+    // ≈ 0.51), so the query plants 20 exact duplicates (vec_id+1000000)
+    // — the operator must surface exactly those pairs, and the oracle
+    // recomputes them with a brute-force SQL join over the same planted
+    // corpus.
     "emb_near_dups" -> ((s, dir) => {
-      Dedup.embeddingNearDups(emb(s, dir), minCosine = 0.95)
+      val e = emb(s, dir).select(col("vec_id"), col("embedding"))
+      val planted = e.filter(col("vec_id") < 20)
+        .withColumn("vec_id", col("vec_id") + lit(1000000L))
+      Dedup.embeddingNearDups(e.union(planted), minCosine = 0.95)
         .orderBy(col("id_a"), col("id_b"))
     }),
 
@@ -375,9 +386,11 @@ object SparkEntry {
 
     "doc_ngram_jaccard" ->
       s"""WITH t AS (SELECT doc_id, $ToksSql AS toks FROM documents),
-         |sh AS (SELECT doc_id,
+         |sh0 AS (SELECT doc_id,
          |              unnest(list_distinct([array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks) - 1)])) AS shingle
          |       FROM t WHERE len(toks) >= 3),
+         |rare AS (SELECT shingle FROM sh0 GROUP BY 1 HAVING count(*) <= 500),
+         |sh AS (SELECT sh0.doc_id, sh0.shingle FROM sh0 JOIN rare USING (shingle)),
          |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS set_size FROM sh GROUP BY 1),
          |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS n_inter
          |          FROM sh a JOIN sh b USING (shingle) WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
@@ -387,6 +400,18 @@ object SparkEntry {
          |JOIN sz sa ON sa.doc_id = id_a
          |JOIN sz sb ON sb.doc_id = id_b
          |WHERE CAST(n_inter AS DOUBLE) / CAST(sa.set_size + sb.set_size - n_inter AS DOUBLE) >= 0.3
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "emb_near_dups" ->
+      s"""WITH c AS (SELECT vec_id, embedding FROM embeddings
+         |           UNION ALL
+         |           SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id < 20)
+         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |       (${dotSql("a.embedding", "b.embedding")})
+         |         / (sqrt(${dotSql("a.embedding", "a.embedding")}) * sqrt(${dotSql("b.embedding", "b.embedding")})) AS cos_sim
+         |FROM c a JOIN c b ON a.vec_id < b.vec_id
+         |WHERE (${dotSql("a.embedding", "b.embedding")})
+         |        / (sqrt(${dotSql("a.embedding", "a.embedding")}) * sqrt(${dotSql("b.embedding", "b.embedding")})) >= 0.95
          |ORDER BY id_a, id_b""".stripMargin,
 
     "knn_cosine_top10" ->

@@ -1,11 +1,11 @@
 package graft.dedup
 
-import org.apache.spark.ml.feature.{HashingTF, MinHashLSH, MinHashLSHModel}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.VectorExpressions
 
-import graft.index.Ann
+import graft.functions.Distances
 import graft.text.TextAnalysis._
 
 /** Deduplication operators for LLM training-data pipelines.
@@ -15,10 +15,10 @@ import graft.text.TextAnalysis._
   * join, LSH bucket join); nothing here is an all-pairs cartesian:
   *
   *  - exact:      md5/sha2 of normalized text, hash groupBy
-  *  - MinHash:    word shingles → HashingTF → MinHashLSH banded join
+  *  - MinHash:    word shingles → banded b×r MinHash join → exact Jaccard
   *  - SimHash:    64-bit signature, 4×16-bit band join, hamming filter
   *  - n-gram Jaccard: exact Jaccard restricted to pairs sharing a shingle
-  *  - embedding:  cosine near-dup via the LSH bucket join in [[Ann]]
+  *  - embedding:  cosine near-dup via SRP-signature band join → exact cos
   */
 object Dedup {
 
@@ -44,70 +44,59 @@ object Dedup {
 
   // -------------------------------------------------------------- MinHash
 
-  /** Shingle → sparse-vector featurization shared by fit and query paths.
-    * numFeatures fixes the MinHash universe; 2^18 keeps collision noise
-    * below the Jaccard thresholds we filter at. */
-  private def featurize(df: DataFrame, textCol: String, shingleN: Int, numFeatures: Int): DataFrame = {
-    val withShingles = df.withColumn("shingles", wordShingles(col(textCol), shingleN))
-    new HashingTF()
-      .setInputCol("shingles").setOutputCol("features")
-      .setNumFeatures(numFeatures).setBinary(true)
-      .transform(withShingles)
-      // MinHashLSH requires at least one non-zero entry per row
-      .filter(size(col("shingles")) > 0)
-  }
-
-  /** Fit the MinHash index (the dedup analogue of O6 rebuild). */
-  def fitMinHash(
-      df: DataFrame,
-      textCol: String = "text",
-      shingleN: Int = 3,
-      numHashTables: Int = 5,
-      numFeatures: Int = 1 << 18): MinHashLSHModel =
-    new MinHashLSH()
-      .setInputCol("features").setOutputCol("hashes")
-      .setNumHashTables(numHashTables).setSeed(42L)
-      .fit(featurize(df, textCol, shingleN, numFeatures))
-
-  /** Near-duplicate pairs by MinHash LSH: banded bucket join, then exact
-    * Jaccard-distance filter at `maxJaccardDist`. Returns (id_a, id_b,
-    * jaccard_dist) with id_a < id_b. The join is on hash bands — at scale
-    * the shuffle key is the band value, never an all-pairs product. */
+  /** Near-duplicate pairs by banded MinHash: a `numBands × rowsPerBand`
+    * signature (codegen [[VectorExpressions.minHash]]), candidate pairs
+    * share at least one full band (AND-amplification inside a band keeps
+    * the candidate set small even when the vocabulary is tiny and raw
+    * shingle collisions are common; OR across bands keeps recall:
+    * P(candidate) = 1−(1−j^r)^b ≈ 0.995 at j=0.6 with b=12, r=2), then
+    * the EXACT Jaccard filter runs on candidates only. Returns
+    * (id_a, id_b, jaccard_dist) with id_a < id_b, jaccard_dist ≤
+    * `maxJaccardDist`. Shuffle key = (band, r-hash key) — bucketed,
+    * never all-pairs. */
   def minHashNearDups(
       df: DataFrame,
       maxJaccardDist: Double = 0.5,
       idCol: String = "doc_id",
       textCol: String = "text",
       shingleN: Int = 3,
-      numHashTables: Int = 5): DataFrame = {
-    val model = fitMinHash(df, textCol, shingleN, numHashTables)
-    val feats = featurize(df, textCol, shingleN, 1 << 18)
-    model.approxSimilarityJoin(feats, feats, maxJaccardDist, "jaccard_dist")
-      .select(
-        col(s"datasetA.$idCol").as("id_a"),
-        col(s"datasetB.$idCol").as("id_b"),
-        col("jaccard_dist"))
+      numBands: Int = 12,
+      rowsPerBand: Int = 2): DataFrame = {
+    val sh = df
+      .select(col(idCol), wordShingles(col(textCol), shingleN).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val sig = sh.withColumn("sig",
+      VectorExpressions.minHash(col("sh"), numBands * rowsPerBand))
+    val banded = sig.select(
+      col(idCol),
+      explode(transform(sequence(lit(0), lit(numBands - 1)),
+        b => struct(b.as("band"), slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)).as("key")))).as("bk"))
+      .select(col(idCol), col("bk.band").as("band"), col("bk.key").as("key"))
+    val candidates = banded.select(col("band"), col("key"), col(idCol).as("id_a"))
+      .join(banded.select(col("band"), col("key"), col(idCol).as("id_b")), Seq("band", "key"))
       .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+    val shA = sh.select(col(idCol).as("id_a"), col("sh").as("sh_a"))
+    val shB = sh.select(col(idCol).as("id_b"), col("sh").as("sh_b"))
+    candidates
+      .join(shA, "id_a").join(shB, "id_b")
+      .withColumn("jaccard_dist",
+        lit(1.0) - size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      .filter(col("jaccard_dist") <= maxJaccardDist)
+      .select("id_a", "id_b", "jaccard_dist")
   }
 
   // -------------------------------------------------------------- SimHash
 
   /** 64-bit SimHash of the whitespace tokens of normalized text: each
-    * token hashed once (xxhash64), a ±1 vote per bit, sign → bit pack.
-    * Narrow per-row compute, no shuffle. Written as a SQL expression
-    * because Spark's Scala `shiftleft` only accepts a literal shift
-    * amount, while the per-bit loop needs a column. */
-  def simHashCol(textCol: String): Column = expr(
-    s"""aggregate(
-       |  transform(split(lower(regexp_replace(trim($textCol), '\\\\s+', ' ')), ' '), t -> xxhash64(t)),
-       |  transform(sequence(0, 63), j -> 0L),
-       |  (acc, h) -> zip_with(acc,
-       |                       transform(sequence(0, 63),
-       |                                 j -> IF((h & shiftleft(1L, j)) != 0, 1L, -1L)),
-       |                       (a, b) -> a + b),
-       |  acc -> aggregate(zip_with(acc, sequence(0, 63), (v, j) -> IF(v > 0, shiftleft(1L, j), 0L)),
-       |                   0L, (s, b) -> s | b)
-       |)""".stripMargin)
+    * token hashed once (xxhash64, same seed as the SQL function), a ±1
+    * vote per bit, sign → bit pack. Codegen expression
+    * ([[VectorExpressions.simHash]]) — narrow per-row compute, no
+    * shuffle, no interpreted lambda per bit. */
+  def simHashCol(textCol: String): Column =
+    VectorExpressions.simHash(tokens(col(textCol)))
 
   /** Hamming distance between two 64-bit signatures. */
   def hamming64(a: Column, b: Column): Column =
@@ -181,21 +170,49 @@ object Dedup {
 
   // ------------------------------------------------- embedding near-dups
 
-  /** Embedding-cosine near-duplicates: for unit-norm embeddings,
-    * cosine ≥ t  ⇔  L2² ≤ 2(1−t), so the L2 LSH bucket join in [[Ann]]
-    * answers cosine near-dup directly. Returns (id_a, id_b, cos_sim). */
+  /** Embedding-cosine near-duplicates via SRP (sign-random-projection)
+    * banding — the cosine analogue of the SimHash band join. A `bits`-bit
+    * signature per row (codegen [[VectorExpressions.srpSign]]); candidate
+    * pairs agree on at least one `rowsPerBand`-bit band
+    * (P(bit) = 1−θ/π ⇒ recall ≈ 1−(1−p^r)^b — at cos 0.95 with 256/16
+    * that is ~96%, exact dups always collide); then the EXACT cosine is
+    * recomputed on candidates only, with the same left-to-right codegen
+    * fold the oracle mirrors. Shuffle key = (band, key) — bucketed,
+    * never all-pairs. Returns (id_a, id_b, cos_sim ≥ minCosine). */
   def embeddingNearDups(
       df: DataFrame,
       minCosine: Double = 0.95,
       idCol: String = "vec_id",
-      embCol: String = "embedding"): DataFrame = {
-    val l2Threshold = math.sqrt(2.0 * (1.0 - minCosine))
-    val model = Ann.fit(df, embCol)
-    Ann.similarityJoinApprox(model, df, df, l2Threshold, embCol)
-      .select(
-        col(s"datasetA.$idCol").as("id_a"),
-        col(s"datasetB.$idCol").as("id_b"),
-        round(lit(1.0) - col("dist") * col("dist") / 2.0, 6).as("cos_sim"))
+      embCol: String = "embedding",
+      bits: Int = 256,
+      rowsPerBand: Int = 16,
+      seed: Long = 42L): DataFrame = {
+    require(rowsPerBand > 0 && 64 % rowsPerBand == 0,
+      s"rowsPerBand must divide 64, got $rowsPerBand")
+    val bands = bits / rowsPerBand
+    val mask = if (rowsPerBand == 64) -1L else (1L << rowsPerBand) - 1
+    val sigs = df.select(col(idCol),
+      VectorExpressions.srpSign(col(embCol), bits, seed).as("sig"))
+    val bandStructs = (0 until bands).map { b =>
+      val longIdx = (b * rowsPerBand) / 64 + 1 // element_at is 1-based
+      val shift = (b * rowsPerBand) % 64
+      struct(lit(b).as("band"),
+        shiftright(element_at(col("sig"), longIdx), shift).bitwiseAND(lit(mask)).as("key"))
+    }
+    val banded = sigs
+      .select(col(idCol), explode(array(bandStructs: _*)).as("bk"))
+      .select(col(idCol), col("bk.band").as("band"), col("bk.key").as("key"))
+    val candidates = banded.select(col("band"), col("key"), col(idCol).as("id_a"))
+      .join(banded.select(col("band"), col("key"), col(idCol).as("id_b")), Seq("band", "key"))
       .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+    val embA = df.select(col(idCol).as("id_a"), col(embCol).as("emb_a"))
+    val embB = df.select(col(idCol).as("id_b"), col(embCol).as("emb_b"))
+    candidates
+      .join(embA, "id_a").join(embB, "id_b")
+      .withColumn("cos_sim", Distances.cosine(col("emb_a"), col("emb_b")))
+      .filter(col("cos_sim") >= minCosine)
+      .select("id_a", "id_b", "cos_sim")
   }
 }

@@ -128,17 +128,13 @@ object TextAnalysis {
   def fingerprint64(c: Column): Column =
     xxhash64(normalizeText(c))
 
-  /** Word n-gram shingles of the normalized text (distinct), the input
-    * to MinHash/Jaccard dedup. */
-  def wordShingles(c: Column, n: Int): Column = {
-    val t = tokens(c)
-    // guard: sequence(0, negative) would count DOWN in Spark
-    when(size(t) < n, array().cast("array<string>")).otherwise(
-      array_distinct(
-        transform(
-          sequence(lit(0), size(t) - n),
-          i => concat_ws(" ", slice(t, i + 1, lit(n))))))
-  }
+  /** Word n-gram shingles of the normalized text (distinct, first-
+    * occurrence order), the input to MinHash/Jaccard dedup. Compiled
+    * expression — the HOF transform/slice/concat_ws pipeline was the
+    * dominant cost of the dedup operators because self-joins re-evaluate
+    * it per branch. */
+  def wordShingles(c: Column, n: Int): Column =
+    org.apache.spark.sql.graft.VectorExpressions.shingles(tokens(c), n)
 
   /** Full per-document stats projection used by the `doc_token_stats`
     * declared query. */

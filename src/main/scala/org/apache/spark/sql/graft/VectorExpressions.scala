@@ -1,11 +1,11 @@
 package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.classic.ExpressionUtils
-import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, FloatType, LongType, StringType}
 
 // This file lives in the org.apache.spark.sql namespace because the
 // Expression SPI it needs (AbstractDataType, the classic Column↔Expression
@@ -102,6 +102,219 @@ case class DotExpr(left: Expression, right: Expression) extends VectorFoldExpres
     copy(left = l, right = r)
 }
 
+/** 64-bit SimHash of a token array: every token hashed once with
+  * xxhash64 (seed 42, identical to the SQL `xxhash64` function), a ±1
+  * vote per bit, sign → bit pack. Codegen loop replaces the interpreted
+  * higher-order-function fold (~64 lambda evals per token per row).
+  * Null tokens hash like SQL xxhash64 does (seed passes through). */
+case class SimHashExpr(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "simhash64"
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val arr = a.asInstanceOf[ArrayData]
+    val votes = new Array[Long](64)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      val h =
+        if (arr.isNullAt(i)) 42L
+        else XXH64.hashUTF8String(arr.getUTF8String(i), 42L)
+      var j = 0
+      while (j < 64) {
+        votes(j) += (if (((h >>> j) & 1L) == 1L) 1L else -1L)
+        j += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var j = 0
+    while (j < 64) { if (votes(j) > 0) sig |= (1L << j); j += 1 }
+    sig
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val xxh = classOf[XXH64].getName
+      s"""
+         |long[] votes = new long[64];
+         |final int n = $a.numElements();
+         |for (int i = 0; i < n; i++) {
+         |  final long h = $a.isNullAt(i) ? 42L : $xxh.hashUTF8String($a.getUTF8String(i), 42L);
+         |  for (int j = 0; j < 64; j++) {
+         |    votes[j] += (((h >>> j) & 1L) == 1L) ? 1L : -1L;
+         |  }
+         |}
+         |long sig = 0L;
+         |for (int j = 0; j < 64; j++) { if (votes[j] > 0) sig |= (1L << j); }
+         |${ev.value} = sig;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** MinHash signature of a (distinct) shingle array: element j of the
+  * result is min over shingles of xxhash64(shingle, seed = j). One
+  * compiled pass over shingles × k seeds. Empty input → Long.MaxValue
+  * sentinels (the identity of min), so empty docs never collide with
+  * real signatures in a band join. */
+case class MinHashExpr(child: Expression, k: Int) extends UnaryExpression with ExpectsInputTypes {
+  require(k > 0, s"k must be positive, got $k")
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "minhash"
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val arr = a.asInstanceOf[ArrayData]
+    val mins = Array.fill(k)(Long.MaxValue)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val s = arr.getUTF8String(i)
+        var j = 0
+        while (j < k) {
+          val h = XXH64.hashUTF8String(s, j.toLong)
+          if (h < mins(j)) mins(j) = h
+          j += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val xxh = classOf[XXH64].getName
+      val gad = classOf[GenericArrayData].getName
+      s"""
+         |long[] mins = new long[$k];
+         |java.util.Arrays.fill(mins, Long.MAX_VALUE);
+         |final int n = $a.numElements();
+         |for (int i = 0; i < n; i++) {
+         |  if (!$a.isNullAt(i)) {
+         |    final org.apache.spark.unsafe.types.UTF8String s = $a.getUTF8String(i);
+         |    for (int j = 0; j < $k; j++) {
+         |      final long h = $xxh.hashUTF8String(s, (long) j);
+         |      if (h < mins[j]) mins[j] = h;
+         |    }
+         |  }
+         |}
+         |${ev.value} = new $gad(mins);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Static kernel shared by [[ShinglesExpr]]'s interpreted and codegen
+  * paths: distinct word n-grams (space-joined, first-occurrence order,
+  * null tokens skipped like `concat_ws`). */
+object ShingleUtil {
+  def shingles(tokens: ArrayData, n: Int): ArrayData = {
+    val len = tokens.numElements()
+    if (len < n) return new GenericArrayData(Array.empty[Any])
+    val sep = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+    val seen = new java.util.LinkedHashSet[org.apache.spark.unsafe.types.UTF8String]()
+    var i = 0
+    while (i <= len - n) {
+      val parts = new Array[org.apache.spark.unsafe.types.UTF8String](n)
+      var j = 0
+      while (j < n) {
+        parts(j) = if (tokens.isNullAt(i + j)) null else tokens.getUTF8String(i + j)
+        j += 1
+      }
+      seen.add(org.apache.spark.unsafe.types.UTF8String.concatWs(sep, parts: _*))
+      i += 1
+    }
+    new GenericArrayData(seen.toArray.asInstanceOf[Array[Any]])
+  }
+}
+
+/** Distinct word n-gram shingles of a token array — the compiled
+  * replacement for the transform/slice/concat_ws/array_distinct HOF
+  * pipeline, whose interpreted lambdas dominated the dedup operators
+  * (the shingle expression is re-evaluated on every branch of a
+  * self-join). Semantics identical: space-joined n-grams, distinct,
+  * first-occurrence order; fewer than n tokens → empty array. */
+case class ShinglesExpr(child: Expression, n: Int) extends UnaryExpression with ExpectsInputTypes {
+  require(n > 0, s"n must be positive, got $n")
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "word_shingles"
+
+  override protected def nullSafeEval(a: Any): Any =
+    ShingleUtil.shingles(a.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = org.apache.spark.sql.graft.ShingleUtil.shingles($a, $n);")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Static kernel for [[SrpSignExpr]]: Rademacher (±1) hyperplane sign
+  * matrices, cached per (bits, seed, dim) — built once per executor, not
+  * per row. */
+object SrpUtil {
+  private val cache = new java.util.concurrent.ConcurrentHashMap[(Int, Long, Int), Array[Array[Byte]]]()
+
+  private def matrix(bits: Int, seed: Long, dim: Int): Array[Array[Byte]] =
+    cache.computeIfAbsent((bits, seed, dim), { _ =>
+      val rnd = new java.util.Random(seed)
+      Array.fill(bits)(Array.fill(dim)(if (rnd.nextBoolean()) 1.toByte else -1.toByte))
+    })
+
+  def sign(v: ArrayData, bits: Int, seed: Long): ArrayData = {
+    val dim = v.numElements()
+    val m = matrix(bits, seed, dim)
+    val words = new Array[Long](bits / 64)
+    var i = 0
+    while (i < bits) {
+      val row = m(i)
+      var s = 0.0
+      var j = 0
+      while (j < dim) {
+        val x = if (v.isNullAt(j)) 0.0 else v.getFloat(j).toDouble
+        s += (if (row(j) > 0) x else -x)
+        j += 1
+      }
+      if (s > 0) words(i / 64) |= (1L << (i % 64))
+      i += 1
+    }
+    new GenericArrayData(words)
+  }
+}
+
+/** Sign-random-projection (SRP) bit signature of an embedding — the
+  * cosine analogue of SimHash: bit i is the sign of the dot product with
+  * a deterministic Rademacher hyperplane. P(bits agree) = 1 − θ/π, so
+  * banded signatures give a cosine LSH with AND-amplification inside a
+  * band; used by the embedding near-dup join. Output: bits/64 longs. */
+case class SrpSignExpr(child: Expression, bits: Int, seed: Long)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(bits > 0 && bits % 64 == 0, s"bits must be a positive multiple of 64, got $bits")
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "srp_sign"
+
+  override protected def nullSafeEval(a: Any): Any =
+    SrpUtil.sign(a.asInstanceOf[ArrayData], bits, seed)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = org.apache.spark.sql.graft.SrpUtil.sign($a, $bits, ${seed}L);")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object VectorExpressions {
   /** Codegen squared-L2 column. */
   def l2Sq(a: Column, b: Column): Column =
@@ -112,4 +325,20 @@ object VectorExpressions {
   def dot(a: Column, b: Column): Column =
     ExpressionUtils.column(
       DotExpr(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  /** Codegen 64-bit SimHash of a token-array column. */
+  def simHash(tokens: Column): Column =
+    ExpressionUtils.column(SimHashExpr(ExpressionUtils.expression(tokens)))
+
+  /** Codegen k-element MinHash signature of a shingle-array column. */
+  def minHash(shingles: Column, k: Int): Column =
+    ExpressionUtils.column(MinHashExpr(ExpressionUtils.expression(shingles), k))
+
+  /** Codegen distinct word n-gram shingles of a token-array column. */
+  def shingles(tokens: Column, n: Int): Column =
+    ExpressionUtils.column(ShinglesExpr(ExpressionUtils.expression(tokens), n))
+
+  /** Codegen SRP bit signature (bits/64 longs) of an embedding column. */
+  def srpSign(emb: Column, bits: Int, seed: Long = 42L): Column =
+    ExpressionUtils.column(SrpSignExpr(ExpressionUtils.expression(emb), bits, seed))
 }
