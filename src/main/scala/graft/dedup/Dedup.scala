@@ -120,12 +120,20 @@ object Dedup {
           shiftright(col("sig"), 16 * b).bitwiseAND(lit(0xFFFFL)).as("key"))
       }: _*)).as("bk"))
       .select(col(idCol), col("sig"), col("bk.band").as("band"), col("bk.key").as("key"))
-    val a = banded.select(col("band"), col("key"), col(idCol).as("id_a"), col("sig").as("sig_a"))
-    val b = banded.select(col("band"), col("key"), col(idCol).as("id_b"), col("sig").as("sig_b"))
-    a.join(b, Seq("band", "key"))
+    val a = banded.select(col("band"), col("key"), col(idCol).as("id_a"))
+    val b = banded.select(col("band"), col("key"), col(idCol).as("id_b"))
+    // distinct the id pairs BEFORE hamming: a pair found by several bands
+    // is deduped while the rows are narrow (two longs), then signatures
+    // join back once per surviving pair
+    val candidates = a.join(b, Seq("band", "key"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), hamming64(col("sig_a"), col("sig_b")).as("hamming"))
+      .select("id_a", "id_b")
       .distinct()
+    val sigA = sigs.select(col(idCol).as("id_a"), col("sig").as("sig_a"))
+    val sigB = sigs.select(col(idCol).as("id_b"), col("sig").as("sig_b"))
+    candidates
+      .join(sigA, "id_a").join(sigB, "id_b")
+      .select(col("id_a"), col("id_b"), hamming64(col("sig_a"), col("sig_b")).as("hamming"))
       .filter(col("hamming") <= maxHamming)
   }
 
