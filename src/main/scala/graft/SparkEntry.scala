@@ -253,6 +253,18 @@ object SparkEntry {
       VectorSearch.cosineTopKDf(corpus, query, k = 10)
     }),
 
+    // IVF index path end-to-end with an exhaustive probe (nprobe =
+    // nlist): partition-pruned scan plus the exact kernel, so the result
+    // equals exact kNN and the oracle can hash-match it.
+    "knn_ivf_top10" -> ((s, dir) => {
+      val corpus = emb(s, dir)
+      val index = graft.index.Ivf.fit(corpus, nlist = 8)
+      val assigned = graft.index.Ivf.assign(index, corpus)
+      val query = corpus.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).toArray
+      graft.index.Ivf.search(index, assigned, query, k = 10, nprobe = 8)
+    }),
+
     // Metadata-filtered hybrid search: the label predicate prunes the
     // scan BELOW the top-k (visible as a parquet PushedFilter).
     "knn_hybrid" -> ((s, dir) => {
@@ -421,6 +433,12 @@ object SparkEntry {
          |         / (sqrt(${dotSql("e.embedding", "e.embedding")}) * sqrt(${dotSql("q.qe", "q.qe")})) AS cos_sim
          |FROM embeddings e CROSS JOIN q
          |ORDER BY cos_sim DESC, vec_id ASC LIMIT 10""".stripMargin,
+
+    "knn_ivf_top10" ->
+      s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+         |SELECT e.vec_id AS vec_id, ${l2SqSql("e.embedding", "q.qe")} AS dist
+         |FROM embeddings e CROSS JOIN q
+         |ORDER BY dist ASC, vec_id ASC LIMIT 10""".stripMargin,
 
     "knn_hybrid" ->
       s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)

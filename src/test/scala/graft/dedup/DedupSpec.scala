@@ -74,6 +74,21 @@ class DedupSpec extends AnyFunSuite {
     assert(capped.count() == 0)
   }
 
+  test("minHashNearDups recall >= 0.9 vs exact n-gram Jaccard on fixture docs") {
+    val fixture = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    // ground truth: exact Jaccard >= 0.5 over the same 3-gram shingles
+    val truth = Dedup.ngramJaccardPairs(fixture, n = 3, minJaccard = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val found = Dedup.minHashNearDups(fixture, maxJaccardDist = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(truth.nonEmpty, "fixture has no near-dup pairs at j >= 0.5 — test is vacuous")
+    val recall = truth.intersect(found).size.toDouble / truth.size
+    info(s"minhash recall vs exact jaccard: $recall over ${truth.size} true pairs")
+    assert(recall >= 0.9)
+    // precision is exact by construction: candidates are re-verified
+    assert(found.subsetOf(truth) || found.diff(truth).isEmpty)
+  }
+
   test("embeddingNearDups finds planted near-identical vectors") {
     val base = Array.fill(16)(0.25f)
     def unit(v: Array[Float]): Array[Float] = {
