@@ -192,6 +192,12 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // TF-IDF: top-3 terms per doc by quantized smoothed tf·idf.
+    "doc_tfidf_top3" -> ((s, dir) => {
+      TextAnalysis.tfIdfTopTerms(docs(s, dir), topN = 3)
+        .orderBy(col("doc_id"), col("rank"))
+    }),
+
     // ---- dedup ----
 
     // Exact dedup summary: hash-groupBy over the md5 fingerprint.
@@ -390,6 +396,22 @@ object SparkEntry {
 
     "doc_fingerprint" ->
       s"SELECT doc_id, md5($NormSql) AS fp_md5 FROM documents ORDER BY doc_id",
+
+    "doc_tfidf_top3" ->
+      s"""WITH toks AS (SELECT doc_id, unnest($ToksSql) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2),
+         |dfr AS (SELECT term, CAST(count(*) AS BIGINT) AS df_t FROM tf GROUP BY 1),
+         |nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+         |j AS (SELECT tf.doc_id, tf.term, tf.tf, dfr.df_t,
+         |        CAST(floor((CAST(tf.tf AS DOUBLE) *
+         |              (ln((CAST(n_docs AS DOUBLE) + 1.0) / (CAST(df_t AS DOUBLE) + 1.0)) + 1.0))
+         |             * 1000000.0) AS BIGINT) AS tfidf_q
+         |      FROM tf JOIN dfr USING (term) CROSS JOIN nd),
+         |r AS (SELECT doc_id, term, tf, df_t, tfidf_q,
+         |        CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tfidf_q DESC, term ASC) AS INTEGER) AS rank
+         |      FROM j)
+         |SELECT doc_id, term, tf, df_t, tfidf_q, rank FROM r WHERE rank <= 3
+         |ORDER BY doc_id, rank""".stripMargin,
 
     "doc_exact_dups" ->
       s"""WITH g AS (SELECT md5($NormSql) AS h, count(*) AS c FROM documents GROUP BY 1)

@@ -136,6 +136,51 @@ object TextAnalysis {
   def wordShingles(c: Column, n: Int): Column =
     org.apache.spark.sql.graft.VectorExpressions.shingles(tokens(c), n)
 
+  /** Relational TF-IDF: top-`topN` terms per document ranked by
+    * smoothed tf·idf (idf = ln((m+1)/(df+1)) + 1). The score is
+    * quantized to micro-units (`floor(tfidf·1e6)`) because ln() can
+    * differ by 1 ulp between runtimes — ranking and hashing happen on
+    * the quantized integer, which the DuckDB oracle reproduces exactly.
+    * Shuffles: one on (doc, term), one on term (document frequency), one
+    * window on doc — all key-bucketed; n_docs is a broadcast scalar. */
+  def tfIdfTopTerms(
+      df: DataFrame,
+      topN: Int = 3,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(col(idCol), explode(tokens(col(textCol))).as("term"))
+    val tf = toks.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val docFreq = tf.groupBy("term").agg(count(lit(1)).as("df_t"))
+    val nDocs = df.agg(count(lit(1)).as("n_docs"))
+    val idf = log((col("n_docs").cast("double") + lit(1.0)) /
+      (col("df_t").cast("double") + lit(1.0))) + lit(1.0)
+    val w = Window.partitionBy(col(idCol)).orderBy(col("tfidf_q").desc, col("term").asc)
+    tf.join(docFreq, "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf_q",
+        floor((col("tf").cast("double") * idf) * lit(1000000.0)).cast("long"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topN)
+      .select(col(idCol), col("term"), col("tf"), col("df_t"), col("tfidf_q"), col("rank"))
+  }
+
+  /** MLlib TF-IDF pipeline (HashingTF + IDF) producing feature vectors
+    * for ML consumers; the fitted IDFModel is reusable/persistable. */
+  def tfIdfVectors(
+      df: DataFrame,
+      textCol: String = "text",
+      numFeatures: Int = 1 << 18): DataFrame = {
+    import org.apache.spark.ml.feature.{HashingTF, IDF}
+    val withTokens = df.withColumn("tokens", tokens(col(textCol)))
+    val tfDf = new HashingTF()
+      .setInputCol("tokens").setOutputCol("tf_vec").setNumFeatures(numFeatures)
+      .transform(withTokens)
+    new IDF().setInputCol("tf_vec").setOutputCol("tfidf_vec")
+      .fit(tfDf).transform(tfDf)
+      .drop("tokens", "tf_vec")
+  }
+
   /** Full per-document stats projection used by the `doc_token_stats`
     * declared query. */
   def docStats(df: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {

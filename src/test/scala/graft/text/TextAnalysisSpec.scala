@@ -69,6 +69,31 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(short.isEmpty)
   }
 
+  test("tfIdfTopTerms ranks doc-specific terms above corpus-wide ones") {
+    val corpus = Seq(
+      (1L, "common common zebra zebra zebra"),
+      (2L, "common yak yak"),
+      (3L, "common common common"))
+      .toDF("doc_id", "text")
+    val top = TextAnalysis.tfIdfTopTerms(corpus, topN = 1)
+      .select($"doc_id", $"term").as[(Long, String)].collect().toMap
+    // rare terms at equal tf outrank the corpus-wide 'common'
+    assert(top(1L) == "zebra" && top(2L) == "yak" && top(3L) == "common")
+    // df counts: 'common' appears in all 3 docs
+    val full = TextAnalysis.tfIdfTopTerms(corpus, topN = 10)
+    val commonDf = full.filter($"term" === "common").select("df_t").as[Long].head()
+    assert(commonDf == 3L)
+  }
+
+  test("tfIdfVectors produces MLlib tf-idf feature vectors") {
+    val corpus = Seq((1L, "a b c"), (2L, "a a d")).toDF("doc_id", "text")
+    val out = TextAnalysis.tfIdfVectors(corpus, numFeatures = 64)
+    val vecs = out.select("tfidf_vec").collect()
+    assert(vecs.length == 2)
+    val v = vecs.head.getAs[org.apache.spark.ml.linalg.Vector](0)
+    assert(v.size == 64 && v.numNonzeros > 0)
+  }
+
   test("qualityScore is in [0,1] and penalizes repetitive text") {
     val docs = Seq(
       (1L, ("spark is the fast engine for big data work and more " * 8).trim), // long, diverse, stopwords
