@@ -271,6 +271,17 @@ object SparkEntry {
       graft.index.Ivf.search(index, assigned, query, k = 10, nprobe = 8)
     }),
 
+    // LSH approximate top-10 (O6 rebuild → fit, approx O7) — rows-only:
+    // MLlib's random hyperplanes have no DuckDB equivalent; recall vs
+    // the exact path is pinned by AnnSpec instead.
+    "knn_lsh_top10" -> ((s, dir) => {
+      val corpus = emb(s, dir)
+      val model = graft.index.Ann.fit(corpus)
+      val query = corpus.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).toArray
+      graft.index.Ann.searchApprox(model, corpus, query, k = 10)
+    }),
+
     // Metadata-filtered hybrid search: the label predicate prunes the
     // scan BELOW the top-k (visible as a parquet PushedFilter).
     "knn_hybrid" -> ((s, dir) => {
@@ -288,6 +299,19 @@ object SparkEntry {
         .agg(
           count(lit(1)).as("n_events"),
           sum(get_json_object(col("props"), "$.k").cast("long")).as("k_sum"))
+    }),
+
+    // Distinct-count aggregation per event type (the groupBy-distinct
+    // shape: two-phase partial aggregation, no driver collect).
+    "events_user_stats" -> ((s, dir) => {
+      events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"),
+          min(col("user_id")).as("min_user"),
+          max(col("user_id")).as("max_user"))
+        .orderBy(col("event_type"))
     }),
 
     // Tumbling 1-hour window aggregation — the batch shape of the
@@ -473,6 +497,13 @@ object SparkEntry {
       """SELECT CAST(count(*) AS BIGINT) AS n_events,
         |       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum
         |FROM events WHERE CAST(json_extract_string(props, '$.k') AS INTEGER) > 80""".stripMargin,
+
+    "events_user_stats" ->
+      """SELECT event_type,
+        |       CAST(count(*) AS BIGINT) AS n_events,
+        |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        |       min(user_id) AS min_user, max(user_id) AS max_user
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "events_hourly" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
