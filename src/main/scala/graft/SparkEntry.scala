@@ -264,7 +264,9 @@ object SparkEntry {
     // equals exact kNN and the oracle can hash-match it.
     "knn_ivf_top10" -> ((s, dir) => {
       val corpus = emb(s, dir)
-      val index = graft.index.Ivf.fit(corpus, nlist = 8)
+      // few KMeans iterations: the exhaustive probe is exact regardless
+      // of quantizer quality, so don't pay for convergence here
+      val index = graft.index.Ivf.fit(corpus, nlist = 8, maxIter = 3)
       val assigned = graft.index.Ivf.assign(index, corpus)
       val query = corpus.filter(col("vec_id") === 0)
         .select(col("embedding")).head().getSeq[Float](0).toArray

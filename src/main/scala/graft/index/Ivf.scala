@@ -29,11 +29,13 @@ object Ivf {
       df: DataFrame,
       nlist: Int,
       embCol: String = "embedding",
-      sampleFraction: Double = 1.0): Index = {
+      sampleFraction: Double = 1.0,
+      maxIter: Int = 20): Index = {
     val base = Ann.withFeatures(df, embCol)
     val sampled = if (sampleFraction >= 1.0) base else base.sample(sampleFraction, 42L)
     val model = new KMeans()
       .setK(nlist).setSeed(42L).setFeaturesCol("features").setPredictionCol("cluster")
+      .setMaxIter(maxIter)
       .fit(sampled)
     Index(model, nlist)
   }

@@ -1,0 +1,75 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+/** SQL registration for the graft codegen kernels, so SQL-first users
+  * can call them directly:
+  *
+  * {{{
+  *   spark.sql("SELECT l2sq(embedding, query) AS dist FROM corpus")
+  *   spark.sql("SELECT simhash64(split(text, ' ')) FROM docs")
+  *   spark.sql("SELECT minhash(word_shingles(split(text, ' '), 3), 24) FROM docs")
+  * }}}
+  *
+  * Two entry points:
+  *  - [[GraftFunctions.register]] injects into an existing session
+  *  - [[GraftExtensions]] for `spark.sql.extensions=org.apache.spark.sql.graft.GraftExtensions`
+  */
+object GraftFunctions {
+
+  private def intArg(e: Expression, fn: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn: argument must be an integer literal, got $other")
+  }
+
+  /** (name, builder, usage) for every graft SQL function. */
+  private val functions: Seq[(String, Seq[Expression] => Expression, String)] = Seq(
+    ("l2sq",
+      { case Seq(a, b) => L2SqExpr(a, b) },
+      "l2sq(arrA, arrB) - squared L2 distance of two float arrays (float64)"),
+    ("vec_dot",
+      { case Seq(a, b) => DotExpr(a, b) },
+      "vec_dot(arrA, arrB) - dot product of two float arrays (float64)"),
+    ("simhash64",
+      { case Seq(a) => SimHashExpr(a) },
+      "simhash64(tokens) - 64-bit SimHash of a string array"),
+    ("minhash",
+      { case Seq(a, k) => MinHashExpr(a, intArg(k, "minhash")) },
+      "minhash(shingles, k) - k-element MinHash signature of a string array"),
+    ("word_shingles",
+      { case Seq(a, n) => ShinglesExpr(a, intArg(n, "word_shingles")) },
+      "word_shingles(tokens, n) - distinct word n-grams of a string array"),
+    ("srp_sign",
+      { case Seq(a, bits) => SrpSignExpr(a, intArg(bits, "srp_sign"), 42L) },
+      "srp_sign(embedding, bits) - SRP bit signature (bits/64 longs) of a float array"))
+
+  /** Register every graft function into `spark`'s function registry. */
+  def register(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    functions.foreach { case (name, builder, usage) =>
+      registry.registerFunction(
+        FunctionIdentifier(name),
+        new ExpressionInfo("graft", null, name, usage, ""),
+        builder)
+    }
+  }
+
+  private[graft] def inject(extensions: SparkSessionExtensions): Unit =
+    functions.foreach { case (name, builder, usage) =>
+      extensions.injectFunction(
+        (FunctionIdentifier(name),
+          new ExpressionInfo("graft", null, name, usage, ""),
+          builder))
+    }
+}
+
+/** `spark.sql.extensions` entry point. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(extensions: SparkSessionExtensions): Unit =
+    GraftFunctions.inject(extensions)
+}
