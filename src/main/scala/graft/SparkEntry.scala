@@ -88,6 +88,17 @@ object SparkEntry {
       VectorSearch.knnJoin(queries, corpus, k = 5)
     }),
 
+    // Same batch kNN join via the bounded TopKAggregator (map-side
+    // partial aggregation: shuffle is |partitions|×|Q|×k instead of
+    // |corpus|×|Q|) — same oracle as the window form.
+    "knn_join_agg_top5" -> ((s, dir) => {
+      val corpus = emb(s, dir)
+      val queries = corpus
+        .filter(col("vec_id") < 3)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+      VectorSearch.knnJoinAgg(queries, corpus, k = 5)
+    }),
+
     // O3 get: point lookup by id (reference vectordb.cpp:54-59) — the
     // filter pushes to the parquet scan.
     "vec_get" -> ((s, dir) => {
@@ -341,6 +352,16 @@ object SparkEntry {
          |ORDER BY dist ASC, vec_id ASC LIMIT 10""".stripMargin,
 
     "knn_join_top5" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 3),
+         |d AS (SELECT q.query_id, e.vec_id, ${l2SqSql("e.embedding", "q.qe")} AS dist
+         |      FROM embeddings e CROSS JOIN q),
+         |r AS (SELECT query_id, vec_id, dist,
+         |             CAST(row_number() OVER (PARTITION BY query_id ORDER BY dist ASC, vec_id ASC) AS INTEGER) AS rank
+         |      FROM d)
+         |SELECT query_id, vec_id, dist, rank FROM r WHERE rank <= 5
+         |ORDER BY query_id ASC, rank ASC""".stripMargin,
+
+    "knn_join_agg_top5" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 3),
          |d AS (SELECT q.query_id, e.vec_id, ${l2SqSql("e.embedding", "q.qe")} AS dist
          |      FROM embeddings e CROSS JOIN q),

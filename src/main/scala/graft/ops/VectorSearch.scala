@@ -100,6 +100,39 @@ object VectorSearch {
       .limit(k)
   }
 
+  /** [[knnJoin]] via the bounded [[TopKAggregator]] instead of a window:
+    * map-side partial aggregation caps the shuffle at
+    * |partitions|×|Q|×k rows instead of |corpus|×|Q| — the form to use
+    * when the corpus is large relative to the cluster. Output is
+    * identical to [[knnJoin]] (equivalence is test-pinned). */
+  def knnJoinAgg(
+      queries: DataFrame,
+      corpus: DataFrame,
+      k: Int,
+      qIdCol: String = "query_id",
+      qEmbCol: String = "q_embedding",
+      idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val scored = corpus
+      .crossJoin(broadcast(queries.select(col(qIdCol), col(qEmbCol))))
+      .select(
+        col(qIdCol).cast("long"),
+        col(idCol).cast("long"),
+        Distances.l2Sq(col(embCol), col(qEmbCol)).as("dist"))
+      .as[(Long, Long, Double)]
+    scored
+      .groupByKey(_._1)
+      .mapValues(t => (t._2, t._3))
+      .agg(new TopKAggregator(k).toColumn.name("topk"))
+      .flatMap { case (qid, arr) =>
+        arr.iterator.zipWithIndex.map { case ((id, d), i) => (qid, id, d, i + 1) }
+      }
+      .toDF(qIdCol, idCol, "dist", "rank")
+      .orderBy(col(qIdCol).asc, col("rank").asc)
+  }
+
   /** Cosine top-k where the query vector comes from a (1-row) DataFrame —
     * broadcast the query side; same shape as [[knnExactDf]]. */
   def cosineTopKDf(
