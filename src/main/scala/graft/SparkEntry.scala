@@ -327,6 +327,25 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    // As-of join: each click joined to the user's most recent prior
+    // signup (union + window last_value — one shuffle on user_id, no
+    // per-row range scan). Timestamps emitted as epoch micros so both
+    // engines hash identical integers.
+    "events_asof" -> ((s, dir) => {
+      val e = events(s, dir)
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("click_ts"), col("event_id"))
+      val signups = e.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("ts").as("signup_ts"))
+      graft.ops.Joins.asOfJoin(clicks, signups, "user_id", "click_ts", "signup_ts")
+        .select(
+          col("user_id"),
+          unix_micros(col("click_ts")).as("click_us"),
+          col("event_id"),
+          unix_micros(col("signup_ts")).as("signup_us"))
+        .orderBy(col("user_id"), col("click_us"), col("event_id"))
+    }),
+
     // Tumbling 1-hour window aggregation — the batch shape of the
     // Structured-Streaming windowed agg (value summed in exact integer
     // milli-units: float sums are partition-order-dependent).
@@ -527,6 +546,13 @@ object SparkEntry {
         |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
         |       min(user_id) AS min_user, max(user_id) AS max_user
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "events_asof" ->
+      """WITH clicks AS (SELECT user_id, ts AS cts, event_id FROM events WHERE event_type = 'click'),
+        |s AS (SELECT user_id, ts AS sts FROM events WHERE event_type = 'signup')
+        |SELECT c.user_id, epoch_us(c.cts) AS click_us, c.event_id, epoch_us(s.sts) AS signup_us
+        |FROM clicks c ASOF LEFT JOIN s ON c.user_id = s.user_id AND c.cts >= s.sts
+        |ORDER BY c.user_id, click_us, event_id""".stripMargin,
 
     "events_hourly" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,

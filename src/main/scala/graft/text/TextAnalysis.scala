@@ -51,11 +51,12 @@ object TextAnalysis {
       size(t).cast("double")
   }
 
-  /** Fraction of tokens found in `words` (e.g. a stopword list). */
+  /** Fraction of tokens found in `words` (e.g. a stopword list).
+    * Compiled set-membership count — see [[TokenSetCountExpr]]. */
   def wordListRatio(c: Column, words: Seq[String]): Column = {
     val t = tokens(c)
-    val hits = filter(t, x => x.isInCollection(words))
-    size(hits).cast("double") / size(t).cast("double")
+    org.apache.spark.sql.graft.VectorExpressions.tokenSetCount(t, words).cast("double") /
+      size(t).cast("double")
   }
 
   /** Punctuation characters per character of text. */
@@ -93,9 +94,9 @@ object TextAnalysis {
     "fr" -> Seq("le", "la", "et", "est", "avec"),
     "zh" -> Seq("的", "是", "和", "在", "了"))
 
-  /** Count of tokens that belong to `words`. */
+  /** Count of tokens that belong to `words` (compiled set membership). */
   private def markerHits(t: Column, words: Seq[String]): Column =
-    size(filter(t, x => x.isInCollection(words))).cast("long")
+    org.apache.spark.sql.graft.VectorExpressions.tokenSetCount(t, words)
 
   /** Per-language marker-hit columns `score_<lang>`. */
   def langScores(c: Column): Seq[(String, Column)] = {

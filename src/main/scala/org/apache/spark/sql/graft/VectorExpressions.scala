@@ -315,6 +315,45 @@ case class SrpSignExpr(child: Expression, bits: Int, seed: Long)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Count of array elements contained in a fixed word set — the compiled
+  * replacement for `size(filter(tokens, _.isInCollection(words)))`,
+  * whose interpreted lambda dominated the language-ID and quality-score
+  * operators (5 language filters per row). The set is built once per
+  * expression instance, not per row. */
+case class TokenSetCountExpr(child: Expression, words: Seq[String])
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "token_set_count"
+
+  @transient private lazy val set: java.util.HashSet[org.apache.spark.unsafe.types.UTF8String] = {
+    val s = new java.util.HashSet[org.apache.spark.unsafe.types.UTF8String](words.size * 2)
+    words.foreach(w => s.add(org.apache.spark.unsafe.types.UTF8String.fromString(w)))
+    s
+  }
+
+  def countIn(arr: ArrayData): Long = {
+    val n = arr.numElements()
+    var c = 0L
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i) && set.contains(arr.getUTF8String(i))) c += 1
+      i += 1
+    }
+    c
+  }
+
+  override protected def nullSafeEval(a: Any): Any = countIn(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("tokenSetCounter", this, classOf[TokenSetCountExpr].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.countIn($a);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object VectorExpressions {
   /** Codegen squared-L2 column. */
   def l2Sq(a: Column, b: Column): Column =
@@ -341,4 +380,8 @@ object VectorExpressions {
   /** Codegen SRP bit signature (bits/64 longs) of an embedding column. */
   def srpSign(emb: Column, bits: Int, seed: Long = 42L): Column =
     ExpressionUtils.column(SrpSignExpr(ExpressionUtils.expression(emb), bits, seed))
+
+  /** Codegen count of tokens contained in a fixed word set. */
+  def tokenSetCount(tokens: Column, words: Seq[String]): Column =
+    ExpressionUtils.column(TokenSetCountExpr(ExpressionUtils.expression(tokens), words))
 }

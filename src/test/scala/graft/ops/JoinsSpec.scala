@@ -1,0 +1,63 @@
+package graft.ops
+
+import java.sql.Timestamp
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+class JoinsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def ts(m: Int): Timestamp = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+
+  test("asOfJoin picks the nearest prior right row per key") {
+    val quotes = Seq(
+      ("A", ts(0), 100.0), ("A", ts(10), 110.0), ("A", ts(20), 120.0),
+      ("B", ts(5), 50.0))
+      .toDF("sym", "qts", "px")
+    val trades = Seq(
+      ("A", ts(1), 7L),   // after A@0   → 100.0
+      ("A", ts(10), 8L),  // exactly at A@10 (<=) → 110.0
+      ("A", ts(25), 9L),  // after A@20  → 120.0
+      ("B", ts(4), 1L),   // before any B quote → null
+      ("C", ts(9), 2L))   // key with no right rows → null
+      .toDF("sym", "tts", "qty")
+
+    val out = Joins.asOfJoin(trades, quotes, key = "sym", leftTs = "tts", rightTs = "qts")
+      .select($"sym", $"tts", $"qty", $"px")
+      .as[(String, Timestamp, Long, Option[Double])].collect()
+      .map { case (s, t, q, px) => (s, t.getTime, q, px) }.toSet
+
+    assert(out == Set(
+      ("A", ts(1).getTime, 7L, Some(100.0)),
+      ("A", ts(10).getTime, 8L, Some(110.0)),
+      ("A", ts(25).getTime, 9L, Some(120.0)),
+      ("B", ts(4).getTime, 1L, None),
+      ("C", ts(9).getTime, 2L, None)))
+  }
+
+  test("saltedJoin equals a plain inner join on skewed keys") {
+    val rng = new scala.util.Random(5)
+    // 90% of rows share one hot key
+    val large = (1 to 2000).map { i =>
+      (if (rng.nextDouble() < 0.9) "hot" else s"k${rng.nextInt(10)}", i.toLong)
+    }.toDF("key", "v")
+    val small = (Seq("hot") ++ (0 until 10).map(i => s"k$i")).zipWithIndex
+      .map { case (k, i) => (k, i * 100) }.toDF("key", "w")
+
+    val plain = large.join(small, "key")
+      .select("key", "v", "w").as[(String, Long, Int)].collect().toSet
+    val salted = Joins.saltedJoin(large, small, "key", saltFactor = 8)
+      .select("key", "v", "w").as[(String, Long, Int)].collect().toSet
+    assert(salted == plain)
+  }
+
+  test("saltedJoin output is deterministic across evaluations (hash salt, not rand)") {
+    val large = (1 to 100).map(i => ("k", i.toLong)).toDF("key", "v")
+    val small = Seq(("k", 1)).toDF("key", "w")
+    val j = Joins.saltedJoin(large, small, "key", saltFactor = 4)
+    assert(j.count() == j.count() && j.count() == 100)
+  }
+}
