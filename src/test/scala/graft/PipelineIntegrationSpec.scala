@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.dedup.Dedup
+import graft.index.Ann
+import graft.multimodal.Multimodal
+import graft.multimodal.Multimodal.MediaRecord
+import graft.ops.VectorSearch
+
+/** End-to-end pipeline: media bytes → extracted embeddings → ANN index →
+  * search and near-dup — the cross-module story a training-data
+  * pipeline actually runs.
+  */
+class PipelineIntegrationSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("media → features → exact search and SRP near-dup agree on the planted duplicate") {
+    val rng = new scala.util.Random(17)
+    val blobs = (1L to 30L).map(i => MediaRecord(i, "image",
+      Array.fill(256)(rng.nextInt().toByte), s"""{"src": "cam$i"}"""))
+    // plant: row 31 is a byte-copy of row 1 → identical extracted features
+    val media = (blobs :+ blobs.head.copy(media_id = 31L)).toDS()
+
+    val feats = Multimodal.extractFeatures(media, dim = 16)
+      .toDF("vec_id", "embedding")
+
+    // exact search with row 1's embedding must return 1 and 31 at dist 0
+    val q = feats.filter($"vec_id" === 1L).select($"embedding".as("qe"))
+    val top = VectorSearch.knnExactDf(feats, q, k = 2)
+      .as[(Long, Double)].collect()
+    assert(top.map(_._1).toSet == Set(1L, 31L))
+    assert(top.forall(_._2 == 0.0))
+
+    // SRP near-dup finds exactly the planted pair at cosine >= 0.999
+    val dups = Dedup.embeddingNearDups(feats, minCosine = 0.999)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(dups == Set((1L, 31L)))
+
+    // and the LSH index built on the features retrieves the duplicate
+    val model = Ann.fit(feats)
+    val qVec = feats.filter($"vec_id" === 1L)
+      .select("embedding").head().getSeq[Float](0).toArray
+    val approx = Ann.searchApprox(model, feats, qVec, k = 2)
+      .select("vec_id").as[Long].collect().toSet
+    assert(approx == Set(1L, 31L))
+  }
+}
