@@ -89,6 +89,18 @@ class DedupSpec extends AnyFunSuite {
     assert(found.subsetOf(truth) || found.diff(truth).isEmpty)
   }
 
+  test("prefix-filtered Jaccard equals the full shared-shingle join on fixture docs") {
+    val fixture = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    for (t <- Seq(0.3, 0.5)) {
+      val full = Dedup.ngramJaccardPairs(fixture, n = 3, minJaccard = t)
+        .as[(Long, Long, Double)].collect().toSet
+      val prefixed = Dedup.ngramJaccardPairs(fixture, n = 3, minJaccard = t,
+          prefixFilter = true)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(prefixed == full, s"prefix filter changed results at t=$t")
+    }
+  }
+
   test("embeddingNearDups finds planted near-identical vectors") {
     val base = Array.fill(16)(0.25f)
     def unit(v: Array[Float]): Array[Float] = {
