@@ -111,11 +111,39 @@ object Envelope {
 
   private def compact(n: JsonNode): String = mapper.writeValueAsString(n)
 
-  /** nlohmann-style number formatting: shortest-round-trip double repr
-    * ("1.0" for whole floats, full artifact digits otherwise) — Java's
-    * Double.toString matches for the value range float widening produces;
-    * the byte-parity test against my_db.json pins this. */
-  private def num(d: Double): String = d.toString
+  /** nlohmann-style number formatting, re-implementing the exact
+    * `format_buffer` rules of the vendored dtoa (json.hpp:18600-18667,
+    * kMinExp=-4, kMaxExp=digits10=15, `e±XX` exponents ≥2 digits):
+    * decimal "digits000.0" / "dig.its" / "0.000digits" inside the
+    * exponent window, scientific outside. Digits come from Java's
+    * shortest-distinguishing repr; a handful of extreme values (e.g.
+    * float32 subnormals) get one more digit on Java 17 than Grisu2
+    * emits — still round-trip-exact, just not byte-identical there. */
+  private[io] def num(d: Double): String = {
+    if (d == 0.0) return if (1.0 / d < 0) "-0.0" else "0.0"
+    val neg = d < 0
+    val repr = java.lang.Double.toString(math.abs(d))
+    val (mant, exp10) =
+      if (repr.contains('E')) { val Array(m, e) = repr.split('E'); (m, e.toInt) }
+      else (repr, 0)
+    val idx = mant.indexOf('.')
+    val digitsRaw = mant.replace(".", "")
+    val lead = digitsRaw.takeWhile(_ == '0').length
+    val digits0 = digitsRaw.drop(lead).reverse.dropWhile(_ == '0').reverse
+    val digits = if (digits0.isEmpty) "0" else digits0
+    val n = idx - lead + exp10 // decimal point position in the digit string
+    val k = digits.length
+    val out =
+      if (k <= n && n <= 15) digits + ("0" * (n - k)) + ".0"
+      else if (0 < n && n <= 15) digits.take(n) + "." + digits.drop(n)
+      else if (-4 < n && n <= 0) "0." + ("0" * -n) + digits
+      else {
+        val e = n - 1
+        val m = if (k == 1) digits else digits.take(1) + "." + digits.drop(1)
+        f"${m}e${if (e < 0) "-" else "+"}${math.abs(e)}%02d"
+      }
+    if (neg) "-" + out else out
+  }
 
   /** Recursive nlohmann-dump(2)-style emitter: object keys sorted,
     * 2-space indent per level, space after colon. */

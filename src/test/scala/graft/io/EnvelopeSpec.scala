@@ -33,6 +33,31 @@ class EnvelopeSpec extends AnyFunSuite {
     assert(actual == expected)
   }
 
+  test("num matches nlohmann dump() byte-for-byte across its format regimes") {
+    // expected strings produced by compiling the vendored json.hpp and
+    // dumping each value (format_buffer rules: kMinExp=-4, kMaxExp=15)
+    val cases = Seq(
+      12345678.0 -> "12345678.0",
+      1e7 -> "10000000.0",
+      123456789012345.0 -> "123456789012345.0",
+      1e15 -> "1e+15",
+      1e20 -> "1e+20",
+      0.0001 -> "0.0001",
+      1e-5 -> "1e-05",
+      0.00012345 -> "0.00012345",
+      1.5e-7 -> "1.5e-07",
+      3.4028234663852886e38 -> "3.4028234663852886e+38",
+      1.100000023841858 -> "1.100000023841858",
+      1.0 -> "1.0",
+      -0.5 -> "-0.5",
+      100.0 -> "100.0",
+      0.1 -> "0.1",
+      990000000000000.0 -> "990000000000000.0")
+    cases.foreach { case (d, want) =>
+      assert(Envelope.num(d) == want, s"for $d")
+    }
+  }
+
   test("missing file is a fresh start (None), matching vectordb.cpp:183-186") {
     assert(Envelope.load("/tmp/does_not_exist_graft.json").isEmpty)
   }
