@@ -36,6 +36,37 @@ object Joins {
     saltedLarge.join(saltedSmall, Seq(key, "_salt")).drop("_salt")
   }
 
+  /** Range (interval) join: left point-events joined to right intervals
+    * containing them (`start ≤ ts < end`), same key. A naive theta-join
+    * is a per-key cartesian; here both sides are bucketed into
+    * `binWidth`-second time bins — intervals explode into the bins they
+    * overlap, points into their single bin — so the join is an equi-join
+    * on (key, bin) with an exact containment filter after. Shuffle key =
+    * (key, bin); an interval costs ceil(len/binWidth) replicas, so pick
+    * binWidth near the typical interval length.
+    */
+  def rangeJoin(
+      points: DataFrame,
+      intervals: DataFrame,
+      key: String,
+      tsCol: String,
+      startCol: String,
+      endCol: String,
+      binWidthSec: Long = 3600L): DataFrame = {
+    require(binWidthSec > 0, s"binWidthSec must be positive, got $binWidthSec")
+    val binnedPoints = points.withColumn("_bin",
+      floor(unix_timestamp(col(tsCol)) / binWidthSec))
+    val binnedIntervals = intervals.withColumn("_bin",
+      explode(sequence(
+        floor(unix_timestamp(col(startCol)) / binWidthSec),
+        // end is exclusive: a zero-length tail bin is still generated,
+        // the exact filter discards non-matches
+        floor(unix_timestamp(col(endCol)) / binWidthSec))))
+    binnedPoints.join(binnedIntervals, Seq(key, "_bin"))
+      .filter(col(tsCol) >= col(startCol) && col(tsCol) < col(endCol))
+      .drop("_bin")
+  }
+
   /** As-of join: for every left row, the single right row with the
     * greatest `rightTs` ≤ `leftTs` within the same `key` (classic
     * market-data / feature-store semantics). Implemented as union +

@@ -38,6 +38,32 @@ class JoinsSpec extends AnyFunSuite {
       ("C", ts(9).getTime, 2L, None)))
   }
 
+  test("rangeJoin matches a brute-force theta join across bin boundaries") {
+    val intervals = Seq(
+      ("A", ts(0), ts(30), "i1"),   // spans multiple 10-min bins
+      ("A", ts(30), ts(40), "i2"),  // adjacent — end exclusive
+      ("B", ts(5), ts(6), "i3"))    // sub-bin interval
+      .toDF("key", "start", "end", "ival")
+    val points = Seq(
+      ("A", ts(0), "p0"),   // at i1 start (inclusive)
+      ("A", ts(29), "p1"),  // inside i1
+      ("A", ts(30), "p2"),  // i1 end (exclusive) = i2 start
+      ("A", ts(45), "p3"),  // in no interval
+      ("B", ts(5), "p4"))
+      .toDF("key", "pts", "pt")
+
+    val got = Joins.rangeJoin(points, intervals, "key", "pts", "start", "end",
+        binWidthSec = 600L)
+      .select("pt", "ival").as[(String, String)].collect().toSet
+    val want = points.as[(String, Timestamp, String)].collect().flatMap { case (k, t, p) =>
+      intervals.as[(String, Timestamp, Timestamp, String)].collect().collect {
+        case (k2, s, e, i) if k == k2 && !t.before(s) && t.before(e) => (p, i)
+      }
+    }.toSet
+    assert(got == want)
+    assert(got == Set(("p0", "i1"), ("p1", "i1"), ("p2", "i2"), ("p4", "i3")))
+  }
+
   test("saltedJoin equals a plain inner join on skewed keys") {
     val rng = new scala.util.Random(5)
     // 90% of rows share one hot key
@@ -52,6 +78,17 @@ class JoinsSpec extends AnyFunSuite {
     val salted = Joins.saltedJoin(large, small, "key", saltFactor = 8)
       .select("key", "v", "w").as[(String, Long, Int)].collect().toSet
     assert(salted == plain)
+  }
+
+  test("VectorCrud.deleteAll removes the key set via broadcast anti-join") {
+    val df = (1L to 100L).map(i => (i, i * 2)).toDF("id", "v")
+    val ids = Seq(3L, 7L, 999L).toDF("id")
+    val out = VectorCrud.deleteAll(df, ids)
+    assert(out.count() == 98)
+    assert(out.filter($"id".isin(3L, 7L)).count() == 0)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"expected broadcast anti-join:\n$plan")
   }
 
   test("saltedJoin output is deterministic across evaluations (hash salt, not rand)") {
