@@ -443,13 +443,13 @@ object SparkEntry {
          |FROM s ORDER BY doc_id""".stripMargin,
 
     "doc_lang_id" ->
-      s"""WITH t AS (SELECT doc_id, $ToksSql AS toks FROM documents),
+      s"""WITH t AS (SELECT doc_id, $NormSql AS norm, $ToksSql AS toks FROM documents),
          |s AS (SELECT doc_id,
          |  CAST(len(list_filter(toks, x -> x IN ('the','and','of','is','with'))) AS BIGINT) AS score_en,
          |  CAST(len(list_filter(toks, x -> x IN ('el','la','de','que','con'))) AS BIGINT) AS score_es,
          |  CAST(len(list_filter(toks, x -> x IN ('der','die','und','ist','mit'))) AS BIGINT) AS score_de,
          |  CAST(len(list_filter(toks, x -> x IN ('le','la','et','est','avec'))) AS BIGINT) AS score_fr,
-         |  CAST(len(list_filter(toks, x -> x IN ('的','是','和','在','了'))) AS BIGINT) AS score_zh
+         |  CAST(length(norm) - length(regexp_replace(norm, '[\\x{4e00}-\\x{9fff}]', '', 'g')) AS BIGINT) AS score_zh
          |  FROM t)
          |SELECT doc_id, score_en, score_es, score_de, score_fr, score_zh,
          |  CASE WHEN greatest(score_en, score_es, score_de, score_fr, score_zh) <= 0 THEN 'und'

@@ -63,6 +63,26 @@ object StreamingIngest {
       .withWatermark(tsCol, delay)
       .dropDuplicates("content_hash")
 
+  /** Stream-stream inner join within a time bound: left and right
+    * events on the same key join when their timestamps are within
+    * `joinWindow` of each other. Both sides carry watermarks, so the
+    * join state (buffered unmatched rows) is expired once the watermark
+    * passes `ts + joinWindow` — bounded state, the only shape that
+    * survives an unbounded stream. */
+  def streamJoinWithin(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      joinWindow: String = "10 minutes",
+      delay: String = "5 minutes"): DataFrame = {
+    val l = left.withWatermark("lts", delay)
+    val r = right.withWatermark("rts", delay)
+    l.join(r,
+      l(key) === r(key) &&
+        expr(s"rts BETWEEN lts - INTERVAL $joinWindow AND lts + INTERVAL $joinWindow"))
+      .drop(r(key))
+  }
+
   /** Streaming O6: refit + persist the ANN index every `interval` over
     * the accumulated corpus — the explicit-cadence version of the
     * reference's rebuild-on-every-load. */

@@ -85,23 +85,34 @@ object TextAnalysis {
     lengthScore * 0.4 + diversity * 0.4 + stopScore * 0.2
   }
 
-  /** Marker words per language for the n-gram/stopword language-ID
-    * heuristic. Public for oracle mirroring. */
+  /** Marker words per (whitespace-tokenized) language for the language-ID
+    * heuristic. Public for oracle mirroring. Chinese is NOT in this list:
+    * zh text has no whitespace tokens, so its score is the CJK character
+    * count instead (see [[langScores]]). */
   val LangMarkers: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "and", "of", "is", "with"),
     "es" -> Seq("el", "la", "de", "que", "con"),
     "de" -> Seq("der", "die", "und", "ist", "mit"),
-    "fr" -> Seq("le", "la", "et", "est", "avec"),
-    "zh" -> Seq("的", "是", "和", "在", "了"))
+    "fr" -> Seq("le", "la", "et", "est", "avec"))
 
   /** Count of tokens that belong to `words` (compiled set membership). */
   private def markerHits(t: Column, words: Seq[String]): Column =
     org.apache.spark.sql.graft.VectorExpressions.tokenSetCount(t, words)
 
-  /** Per-language marker-hit columns `score_<lang>`. */
+  /** Count of CJK-ideograph characters — the zh signal (marker tokens
+    * can never match unsegmented Chinese). The `\x{...}` class parses
+    * identically in Java regex and DuckDB's RE2. */
+  def cjkCharCount(c: Column): Column = {
+    val n = normalizeText(c)
+    (length(n) - length(regexp_replace(n, "[\\x{4e00}-\\x{9fff}]", ""))).cast("long")
+  }
+
+  /** Per-language score columns `score_<lang>`: marker-token hits for
+    * the whitespace-tokenized languages, CJK char count for zh. */
   def langScores(c: Column): Seq[(String, Column)] = {
     val t = tokens(c)
-    LangMarkers.map { case (lang, ws) => (s"score_$lang", markerHits(t, ws)) }
+    LangMarkers.map { case (lang, ws) => (s"score_$lang", markerHits(t, ws)) } :+
+      ("score_zh" -> cjkCharCount(c))
   }
 
   /** Language-ID heuristic: argmax of marker hits, first-listed language

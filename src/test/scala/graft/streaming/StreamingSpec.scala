@@ -53,6 +53,28 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream join matches within the time bound, drops beyond it") {
+    implicit val sc = spark.sqlContext
+    val clicks = MemoryStream[(Long, Timestamp)]
+    val views = MemoryStream[(Long, Timestamp)]
+    val out = StreamingIngest.streamJoinWithin(
+      clicks.toDF().toDF("user", "lts"),
+      views.toDF().toDF("user", "rts"),
+      key = "user", joinWindow = "10 minutes")
+    val q = out.writeStream.format("memory").queryName("ss_join")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      clicks.addData((1L, ts(20)), (2L, ts(20)))
+      views.addData((1L, ts(15)), (2L, ts(45)), (3L, ts(20)))
+      q.processAllAvailable()
+      val rows = spark.table("ss_join")
+        .select($"user", $"lts", $"rts").as[(Long, Timestamp, Timestamp)].collect()
+      // user 1: 5 min apart → joins; user 2: 25 min apart → dropped;
+      // user 3: no left side → dropped
+      assert(rows.toSeq == Seq((1L, ts(20), ts(15))))
+    } finally q.stop()
+  }
+
   test("ingest appends a stream into the parquet store") {
     implicit val sc = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString

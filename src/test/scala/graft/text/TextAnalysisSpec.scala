@@ -42,11 +42,12 @@ class TextAnalysisSpec extends AnyFunSuite {
       (1L, "the cat and the dog is here"),
       (2L, "el perro que la casa con gato"),
       (3L, "der hund und die katze ist da"),
-      (4L, "xyz qqq zzz"))
+      (4L, "xyz qqq zzz"),
+      (5L, "这是一段真正的中文文本没有空格分词"))
       .toDF("doc_id", "text")
       .select($"doc_id", TextAnalysis.languageId($"text").as("lang"))
       .orderBy($"doc_id").as[(Long, String)].collect()
-    assert(rows.map(_._2).toSeq == Seq("en", "es", "de", "und"))
+    assert(rows.map(_._2).toSeq == Seq("en", "es", "de", "und", "zh"))
   }
 
   test("languageId tie-break: first listed language wins") {
