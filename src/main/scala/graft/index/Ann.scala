@@ -66,6 +66,39 @@ object Ann {
     model.approxSimilarityJoin(
       withFeatures(a, embCol), withFeatures(b, embCol), threshold, "dist").toDF()
 
+  /** Batch approximate kNN join: top-k corpus neighbours for EVERY query
+    * row, from LSH-bucketed candidates only — the scale path when the
+    * query side is too large to broadcast ([[graft.ops.VectorSearch.knnJoin]]'s
+    * |Q|×|corpus| product stops being writable). `maxDistance` bounds the
+    * candidate search radius (L2); rows with fewer than k in-radius
+    * candidates return what was found. Output (query_id, vec_id, dist
+    * [squared L2], rank) matches the exact join's schema. */
+  def knnJoinApprox(
+      model: BucketedRandomProjectionLSHModel,
+      queries: DataFrame,
+      corpus: DataFrame,
+      k: Int,
+      maxDistance: Double,
+      qIdCol: String = "query_id",
+      qEmbCol: String = "q_embedding",
+      idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val joined = model.approxSimilarityJoin(
+        withFeatures(queries.withColumnRenamed(qEmbCol, "embedding_q"), "embedding_q"),
+        withFeatures(corpus, embCol),
+        maxDistance, "l2")
+      .select(
+        col(s"datasetA.$qIdCol").as(qIdCol),
+        col(s"datasetB.$idCol").as(idCol),
+        (col("l2") * col("l2")).as("dist"))
+    val w = Window.partitionBy(col(qIdCol)).orderBy(col("dist").asc, col(idCol).asc)
+    joined
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .orderBy(col(qIdCol).asc, col("rank").asc)
+  }
+
   /** Persist / restore the fitted index (MLlib writers). */
   def save(model: BucketedRandomProjectionLSHModel, path: String): Unit =
     model.write.overwrite().save(path)

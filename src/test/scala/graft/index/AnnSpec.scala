@@ -32,6 +32,27 @@ class AnnSpec extends AnyFunSuite {
     assert(mean >= 0.9, s"recall $mean below gate; recalls=$recalls")
   }
 
+  test("knnJoinApprox: per-query recall@5 >= 0.8 vs the exact join") {
+    import org.apache.spark.sql.functions.col
+    val model = Ann.fit(emb)
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+    // fixture vectors are unit-norm: sq-L2 ∈ [0, 4]; radius 2.0 keeps
+    // all plausible neighbours in range
+    val approx = Ann.knnJoinApprox(model, queries, emb, k = 5, maxDistance = 2.0)
+      .select("query_id", "vec_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val exact = VectorSearch.knnJoin(queries, emb, k = 5)
+      .select("query_id", "vec_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val recalls = exact.map { case (qid, ids) =>
+      ids.intersect(approx.getOrElse(qid, Set.empty)).size.toDouble / ids.size
+    }
+    val mean = recalls.sum / recalls.size
+    info(s"knnJoinApprox mean recall@5 = $mean")
+    assert(mean >= 0.8)
+  }
+
   test("LSH approx distances are squared-L2, ascending") {
     val model = Ann.fit(emb)
     val q = queryVec(0)
