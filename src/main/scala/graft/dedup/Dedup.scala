@@ -102,39 +102,59 @@ object Dedup {
   def hamming64(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b)).cast("int")
 
-  /** SimHash near-dup pairs: signatures are banded into 4×16-bit keys;
-    * candidate pairs share at least one band (pigeonhole: any pair with
-    * hamming ≤ 3 over 4 bands must agree on one band exactly), then the
-    * exact hamming filter runs on candidates only. Shuffle key = band
-    * value — bucketed, never all-pairs. */
+  /** SimHash near-dup pairs: signatures are banded into `maxHamming + 1`
+    * keys covering all 64 bits (pigeonhole: a pair with ≤ maxHamming
+    * differing bits must agree on at least one band exactly, so
+    * candidate generation is COMPLETE for the threshold), then the exact
+    * hamming filter runs on candidates only. Shuffle key = band value —
+    * bucketed, never all-pairs. Fewer bands (tighter threshold) means
+    * wider bands and fewer random collisions. */
   def simHashNearDups(
       df: DataFrame,
       maxHamming: Int = 3,
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     val sigs = df.select(col(idCol), simHashCol(textCol).as("sig"))
-    val banded = sigs.select(
-      col(idCol), col("sig"),
-      explode(array((0 until 4).map { b =>
-        struct(lit(b).as("band"),
-          shiftright(col("sig"), 16 * b).bitwiseAND(lit(0xFFFFL)).as("key"))
-      }: _*)).as("bk"))
-      .select(col(idCol), col("sig"), col("bk.band").as("band"), col("bk.key").as("key"))
-    val a = banded.select(col("band"), col("key"), col(idCol).as("id_a"))
-    val b = banded.select(col("band"), col("key"), col(idCol).as("id_b"))
-    // distinct the id pairs BEFORE hamming: a pair found by several bands
-    // is deduped while the rows are narrow (two longs), then signatures
-    // join back once per surviving pair
-    val candidates = a.join(b, Seq("band", "key"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
-      .distinct()
+    val candidates = simHashBandPairs(sigs, maxHamming, idCol)
     val sigA = sigs.select(col(idCol).as("id_a"), col("sig").as("sig_a"))
     val sigB = sigs.select(col(idCol).as("id_b"), col("sig").as("sig_b"))
     candidates
       .join(sigA, "id_a").join(sigB, "id_b")
       .select(col("id_a"), col("id_b"), hamming64(col("sig_a"), col("sig_b")).as("hamming"))
       .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Candidate (id_a, id_b) pairs whose 64-bit signatures agree on at
+    * least one of `maxHamming + 1` bands (bits distributed as evenly as
+    * possible). Factored out so completeness is unit-testable on
+    * synthetic signatures. `sigs` must have columns (idCol, sig). */
+  private[dedup] def simHashBandPairs(
+      sigs: DataFrame,
+      maxHamming: Int,
+      idCol: String = "doc_id"): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64,
+      s"maxHamming must be in [0, 64), got $maxHamming")
+    val bands = maxHamming + 1
+    val baseWidth = 64 / bands
+    val extra = 64 % bands
+    val bandStructs = (0 until bands).map { i =>
+      val width = baseWidth + (if (i < extra) 1 else 0)
+      val offset = i * baseWidth + math.min(i, extra)
+      val mask = if (width == 64) -1L else (1L << width) - 1
+      struct(lit(i).as("band"),
+        shiftright(col("sig"), offset).bitwiseAND(lit(mask)).as("key"))
+    }
+    val banded = sigs
+      .select(col(idCol), explode(array(bandStructs: _*)).as("bk"))
+      .select(col(idCol), col("bk.band").as("band"), col("bk.key").as("key"))
+    // distinct the id pairs BEFORE hamming: a pair found by several bands
+    // is deduped while the rows are narrow (two longs), then signatures
+    // join back once per surviving pair
+    banded.select(col("band"), col("key"), col(idCol).as("id_a"))
+      .join(banded.select(col("band"), col("key"), col(idCol).as("id_b")), Seq("band", "key"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
   }
 
   // ------------------------------------------------------ n-gram Jaccard

@@ -56,6 +56,29 @@ class DedupSpec extends AnyFunSuite {
     assert(!pairs.exists { case (a, b) => Set(a, b).intersect(Set(4L, 5L)).nonEmpty })
   }
 
+  test("simHashBandPairs is complete: every pair within maxHamming is a candidate") {
+    // synthetic signatures: base, and flips of h bits for h = 1..8
+    val base = 0x0F0F33CC55AA9966L
+    def flip(v: Long, bits: Seq[Int]): Long = bits.foldLeft(v)((x, b) => x ^ (1L << b))
+    val rng = new scala.util.Random(23)
+    val rows = (1 to 8).map { h =>
+      (h.toLong, flip(base, Seq.fill(h)(rng.nextInt(64)).distinct.take(h)))
+    } :+ (0L, base)
+    val sigs = rows.toDF("doc_id", "sig")
+    for (maxH <- Seq(1, 3, 7)) {
+      val cands = Dedup.simHashBandPairs(sigs, maxH)
+        .as[(Long, Long)].collect().toSet
+      rows.combinations(2).foreach { case Seq((idA, sigA), (idB, sigB)) =>
+        val hamming = java.lang.Long.bitCount(sigA ^ sigB)
+        if (hamming <= maxH) {
+          val pair = (math.min(idA, idB), math.max(idA, idB))
+          assert(cands.contains(pair),
+            s"pair $pair at hamming $hamming missing from candidates at maxHamming=$maxH")
+        }
+      }
+    }
+  }
+
   test("ngramJaccardPairs: planted near-dup scores high, unrelated pairs absent") {
     val pairs = Dedup.ngramJaccardPairs(docs, n = 3, minJaccard = 0.3)
       .as[(Long, Long, Double)].collect()
