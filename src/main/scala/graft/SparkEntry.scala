@@ -327,6 +327,20 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    // Ordered funnel conversion over first-occurrence times (one
+    // shuffle on user, no self-joins).
+    "events_funnel" -> ((s, dir) => {
+      graft.ops.EventAnalytics.funnel(events(s, dir), Seq("view", "click", "purchase"))
+    }),
+
+    // Fixed-width histogram of the value column (single partial
+    // aggregation on the bin id; edge bins clamp out-of-range mass).
+    "events_value_hist" -> ((s, dir) => {
+      graft.ops.EventAnalytics.histogram(events(s, dir), "value",
+          minVal = 0.0, maxVal = 1000.0, bins = 20)
+        .select(col("bin"), col("n"), col("bin_start"))
+    }),
+
     // As-of join: each click joined to the user's most recent prior
     // signup (union + window last_value — one shuffle on user_id, no
     // per-row range scan). Timestamps emitted as epoch micros so both
@@ -546,6 +560,24 @@ object SparkEntry {
         |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
         |       min(user_id) AS min_user, max(user_id) AS max_user
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "events_funnel" ->
+      """WITH u AS (SELECT user_id,
+        |             min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+        |             min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+        |             min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+        |           FROM events GROUP BY 1)
+        |SELECT CAST(sum(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_step1_view,
+        |       CAST(sum(CASE WHEN t_view IS NOT NULL AND t_click IS NOT NULL
+        |                      AND t_view < t_click THEN 1 ELSE 0 END) AS BIGINT) AS n_step2_click,
+        |       CAST(sum(CASE WHEN t_view IS NOT NULL AND t_click IS NOT NULL AND t_purchase IS NOT NULL
+        |                      AND t_view < t_click AND t_click < t_purchase THEN 1 ELSE 0 END) AS BIGINT) AS n_step3_purchase
+        |FROM u""".stripMargin,
+
+    "events_value_hist" ->
+      """WITH b AS (SELECT least(greatest(CAST(floor((value - 0.0) / 50.0) AS BIGINT), 0), 19) AS bin FROM events)
+        |SELECT bin, CAST(count(*) AS BIGINT) AS n, 0.0 + bin * 50.0 AS bin_start
+        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "events_asof" ->
       """WITH clicks AS (SELECT user_id, ts AS cts, event_id FROM events WHERE event_type = 'click'),

@@ -1,0 +1,58 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Event-analytics operators over (user, ts, event_type, value) streams —
+  * the profiling layer of a training-data/telemetry pipeline. Both are
+  * single-shuffle shapes: funnel groups once by user, histogram
+  * aggregates once by bin.
+  */
+object EventAnalytics {
+
+  /** Ordered funnel conversion: for each prefix of `steps`, how many
+    * users performed those steps in timestamp order (first occurrence of
+    * each step; strictly increasing first-occurrence times). One shuffle
+    * on user, then a tiny aggregation — no self-joins, no explosion in
+    * the number of steps. */
+  def funnel(
+      events: DataFrame,
+      steps: Seq[String],
+      userCol: String = "user_id",
+      tsCol: String = "ts",
+      typeCol: String = "event_type"): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val firstSeen: Seq[Column] = steps.map { s =>
+      min(when(col(typeCol) === s, col(tsCol))).as(s"t_$s")
+    }
+    val perUser = events.groupBy(col(userCol)).agg(firstSeen.head, firstSeen.tail: _*)
+    // reached step i  ⇔  every t_1..t_i non-null and strictly increasing
+    val reached: Seq[Column] = steps.indices.map { i =>
+      val chain = (0 to i).map(j => col(s"t_${steps(j)}"))
+      val ordered = chain.sliding(2).collect { case Seq(a, b) => a < b }
+        .foldLeft(lit(true))(_ && _)
+      val allPresent = chain.map(_.isNotNull).reduce(_ && _)
+      sum(when(allPresent && ordered, 1L).otherwise(0L)).as(s"n_step${i + 1}_${steps(i)}")
+    }
+    perUser.agg(reached.head, reached.tail: _*)
+  }
+
+  /** Fixed-width histogram of a numeric column over [minVal, maxVal):
+    * one partial-aggregating groupBy on the bin id; out-of-range rows
+    * are clamped into the edge bins so mass is never dropped. */
+  def histogram(
+      df: DataFrame,
+      valueCol: String,
+      minVal: Double,
+      maxVal: Double,
+      bins: Int): DataFrame = {
+    require(bins > 0 && maxVal > minVal, "need bins > 0 and maxVal > minVal")
+    val width = (maxVal - minVal) / bins
+    val rawBin = floor((col(valueCol) - minVal) / width).cast("long")
+    val bin = least(greatest(rawBin, lit(0L)), lit(bins - 1L))
+    df.groupBy(bin.as("bin"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("bin_start", lit(minVal) + col("bin") * width)
+      .orderBy(col("bin"))
+  }
+}

@@ -1,0 +1,53 @@
+package graft.ops
+
+import java.sql.Timestamp
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+class EventAnalyticsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def ts(m: Int): Timestamp = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+
+  test("funnel counts users reaching each ordered step prefix") {
+    val events = Seq(
+      // user 1: full ordered funnel
+      (1L, ts(0), "view"), (1L, ts(1), "click"), (1L, ts(2), "purchase"),
+      // user 2: view then click only
+      (2L, ts(0), "view"), (2L, ts(5), "click"),
+      // user 3: out of order (click before view) → only step 1
+      (3L, ts(5), "view"), (3L, ts(1), "click"),
+      // user 4: purchase before the rest → steps 1,2 only
+      (4L, ts(0), "purchase"), (4L, ts(1), "view"), (4L, ts(2), "click"),
+      // user 5: never views
+      (5L, ts(0), "click"))
+      .toDF("user_id", "ts", "event_type")
+    val out = EventAnalytics.funnel(events, Seq("view", "click", "purchase"))
+      .as[(Long, Long, Long)].head()
+    assert(out == ((4L, 3L, 1L)))
+  }
+
+  test("funnel ignores repeat events after the first occurrence") {
+    val events = Seq(
+      (1L, ts(0), "view"), (1L, ts(9), "view"),  // second view later is irrelevant
+      (1L, ts(5), "click"))
+      .toDF("user_id", "ts", "event_type")
+    val out = EventAnalytics.funnel(events, Seq("view", "click"))
+      .as[(Long, Long)].head()
+    assert(out == ((1L, 1L)))
+  }
+
+  test("histogram bins values and clamps out-of-range mass into edge bins") {
+    val df = Seq(-5.0, 0.0, 4.9, 5.0, 9.9, 10.0, 99.0, 150.0).toDF("v")
+    val out = EventAnalytics.histogram(df, "v", minVal = 0.0, maxVal = 100.0, bins = 20)
+      .select("bin", "n").as[(Long, Long)].collect().toMap
+    assert(out(0L) == 3L)  // -5 (clamped), 0.0, 4.9
+    assert(out(1L) == 2L)  // 5.0, 9.9
+    assert(out(2L) == 1L)  // 10.0
+    assert(out(19L) == 2L) // 99.0, 150.0 (clamped)
+    assert(out.values.sum == 8L)
+  }
+}
