@@ -36,8 +36,9 @@ abstract class VectorFoldExpression extends BinaryExpression with ExpectsInputTy
   /** Per-element contribution in the interpreted path. */
   protected def combine(x: Double, y: Double): Double
 
-  /** Java source for the per-element contribution, in terms of `d1`/`d2`. */
-  protected def combineJava: String
+  /** Java source for the per-element contribution given the two element
+    * variable names. */
+  protected def combineJava(d1: String, d2: String): String
 
   private lazy val leftHasNulls =
     left.dataType.asInstanceOf[ArrayType].containsNull
@@ -61,23 +62,31 @@ abstract class VectorFoldExpression extends BinaryExpression with ExpectsInputTy
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      // fresh names: this block may be inlined next to other loops (HOF
+      // lambdas, a second instance of this expression) and bare locals
+      // would collide ("Redefinition of local variable")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val i = ctx.freshName("i")
+      val d1 = ctx.freshName("d1")
+      val d2 = ctx.freshName("d2")
       val nullCheck =
         if (leftHasNulls || rightHasNulls)
-          s"""if ($a.isNullAt(i) || $b.isNullAt(i)) { ${ev.isNull} = true; break; }"""
+          s"""if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"""
         else ""
       s"""
-         |final int n = $a.numElements();
-         |if (n != $b.numElements()) {
+         |final int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
          |  ${ev.isNull} = true;
          |} else {
-         |  double s = 0.0;
-         |  for (int i = 0; i < n; i++) {
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
          |    $nullCheck
-         |    final double d1 = (double) $a.getFloat(i);
-         |    final double d2 = (double) $b.getFloat(i);
-         |    s += $combineJava;
+         |    final double $d1 = (double) $a.getFloat($i);
+         |    final double $d2 = (double) $b.getFloat($i);
+         |    $s += ${combineJava(d1, d2)};
          |  }
-         |  if (!${ev.isNull}) { ${ev.value} = s; }
+         |  if (!${ev.isNull}) { ${ev.value} = $s; }
          |}
        """.stripMargin
     })
@@ -87,7 +96,7 @@ abstract class VectorFoldExpression extends BinaryExpression with ExpectsInputTy
 /** Squared L2 distance: Σ (aᵢ−bᵢ)², float64, left-to-right. */
 case class L2SqExpr(left: Expression, right: Expression) extends VectorFoldExpression {
   override protected def combine(x: Double, y: Double): Double = { val d = x - y; d * d }
-  override protected def combineJava: String = "(d1 - d2) * (d1 - d2)"
+  override protected def combineJava(d1: String, d2: String): String = s"($d1 - $d2) * ($d1 - $d2)"
   override def prettyName: String = "l2sq"
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
@@ -96,7 +105,7 @@ case class L2SqExpr(left: Expression, right: Expression) extends VectorFoldExpre
 /** Dot product: Σ aᵢ·bᵢ, float64, left-to-right. */
 case class DotExpr(left: Expression, right: Expression) extends VectorFoldExpression {
   override protected def combine(x: Double, y: Double): Double = x * y
-  override protected def combineJava: String = "d1 * d2"
+  override protected def combineJava(d1: String, d2: String): String = s"$d1 * $d2"
   override def prettyName: String = "dot"
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
@@ -138,18 +147,25 @@ case class SimHashExpr(child: Expression) extends UnaryExpression with ExpectsIn
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a => {
       val xxh = classOf[XXH64].getName
+      // fresh names: avoid local-variable collisions when inlined
+      val votes = ctx.freshName("votes")
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val h = ctx.freshName("h")
+      val j = ctx.freshName("j")
+      val sig = ctx.freshName("sig")
       s"""
-         |long[] votes = new long[64];
-         |final int n = $a.numElements();
-         |for (int i = 0; i < n; i++) {
-         |  final long h = $a.isNullAt(i) ? 42L : $xxh.hashUTF8String($a.getUTF8String(i), 42L);
-         |  for (int j = 0; j < 64; j++) {
-         |    votes[j] += (((h >>> j) & 1L) == 1L) ? 1L : -1L;
+         |long[] $votes = new long[64];
+         |final int $n = $a.numElements();
+         |for (int $i = 0; $i < $n; $i++) {
+         |  final long $h = $a.isNullAt($i) ? 42L : $xxh.hashUTF8String($a.getUTF8String($i), 42L);
+         |  for (int $j = 0; $j < 64; $j++) {
+         |    $votes[$j] += ((($h >>> $j) & 1L) == 1L) ? 1L : -1L;
          |  }
          |}
-         |long sig = 0L;
-         |for (int j = 0; j < 64; j++) { if (votes[j] > 0) sig |= (1L << j); }
-         |${ev.value} = sig;
+         |long $sig = 0L;
+         |for (int $j = 0; $j < 64; $j++) { if ($votes[$j] > 0) $sig |= (1L << $j); }
+         |${ev.value} = $sig;
        """.stripMargin
     })
 
@@ -192,20 +208,27 @@ case class MinHashExpr(child: Expression, k: Int) extends UnaryExpression with E
     nullSafeCodeGen(ctx, ev, a => {
       val xxh = classOf[XXH64].getName
       val gad = classOf[GenericArrayData].getName
+      // fresh names: avoid local-variable collisions when inlined
+      val mins = ctx.freshName("mins")
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      val j = ctx.freshName("j")
+      val h = ctx.freshName("h")
       s"""
-         |long[] mins = new long[$k];
-         |java.util.Arrays.fill(mins, Long.MAX_VALUE);
-         |final int n = $a.numElements();
-         |for (int i = 0; i < n; i++) {
-         |  if (!$a.isNullAt(i)) {
-         |    final org.apache.spark.unsafe.types.UTF8String s = $a.getUTF8String(i);
-         |    for (int j = 0; j < $k; j++) {
-         |      final long h = $xxh.hashUTF8String(s, (long) j);
-         |      if (h < mins[j]) mins[j] = h;
+         |long[] $mins = new long[$k];
+         |java.util.Arrays.fill($mins, Long.MAX_VALUE);
+         |final int $n = $a.numElements();
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$a.isNullAt($i)) {
+         |    final org.apache.spark.unsafe.types.UTF8String $s = $a.getUTF8String($i);
+         |    for (int $j = 0; $j < $k; $j++) {
+         |      final long $h = $xxh.hashUTF8String($s, (long) $j);
+         |      if ($h < $mins[$j]) $mins[$j] = $h;
          |    }
          |  }
          |}
-         |${ev.value} = new $gad(mins);
+         |${ev.value} = new $gad($mins);
        """.stripMargin
     })
 

@@ -45,6 +45,19 @@ class VectorExpressionsSpec extends AnyFunSuite {
     assert(v == (1.0 + 4.0 + 9.0))
   }
 
+  test("multiple expression instances plus HOF lambdas coexist in one projection") {
+    // regression: generated locals must be fresh-named — two instances
+    // inlined into one codegen block previously collided on "i"
+    val df = Seq((Array(1f, 2f), Array(2f, 4f))).toDF("a", "b")
+    val deq = transform($"a".cast("array<double>"), x => x * 2.0).cast("array<float>")
+    val row = df.select(
+      Distances.l2Sq($"a", $"b").as("d1"),
+      Distances.l2Sq(deq, $"b").as("d2"),
+      Distances.dot($"a", $"b").as("d3"))
+      .as[(Double, Double, Double)].head()
+    assert(row == ((5.0, 0.0, 10.0)))
+  }
+
   test("l2Sq stays inside whole-stage codegen in the kNN plan") {
     // literal data plans as LocalTableScan (never codegens) — use parquet
     val dir = java.nio.file.Files.createTempDirectory("graft_wscg").toString
