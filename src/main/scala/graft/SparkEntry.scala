@@ -295,6 +295,21 @@ object SparkEntry {
       graft.index.Ann.searchApprox(model, corpus, query, k = 10)
     }),
 
+    // kNN over int8-quantized-then-dequantized embeddings — proves the
+    // quantization arithmetic end-to-end against the oracle (identical
+    // float64 op order both sides; floor(x+0.5), never round()).
+    "knn_quantized_top10" -> ((s, dir) => {
+      import graft.functions.{Distances, Quantization}
+      val e = emb(s, dir)
+      val deq = Quantization.quantize(e).select(col("vec_id"),
+        Quantization.dequantize(col("codes"), col("q_min"), col("q_scale")).as("deq"))
+      val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+      deq.crossJoin(broadcast(q))
+        .select(col("vec_id"), Distances.l2SqHof(col("deq"), col("qe")).as("dist"))
+        .orderBy(col("dist").asc, col("vec_id").asc)
+        .limit(10)
+    }),
+
     // Metadata-filtered hybrid search: the label predicate prunes the
     // scan BELOW the top-k (visible as a parquet PushedFilter).
     "knn_hybrid" -> ((s, dir) => {
@@ -540,6 +555,22 @@ object SparkEntry {
       s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
          |SELECT e.vec_id AS vec_id, ${l2SqSql("e.embedding", "q.qe")} AS dist
          |FROM embeddings e CROSS JOIN q
+         |ORDER BY dist ASC, vec_id ASC LIMIT 10""".stripMargin,
+
+    "knn_quantized_top10" ->
+      s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         |p AS (SELECT vec_id, embedding,
+         |        CAST(list_min(embedding) AS DOUBLE) AS mn,
+         |        CASE WHEN CAST(list_max(embedding) AS DOUBLE) > CAST(list_min(embedding) AS DOUBLE)
+         |             THEN (CAST(list_max(embedding) AS DOUBLE) - CAST(list_min(embedding) AS DOUBLE)) / 255.0
+         |             ELSE 1.0 END AS sc
+         |      FROM embeddings),
+         |d AS (SELECT vec_id,
+         |        list_transform(embedding,
+         |          x -> mn + least(greatest(floor((CAST(x AS DOUBLE) - mn) / sc + 0.5), 0.0), 255.0) * sc) AS deq
+         |      FROM p)
+         |SELECT d.vec_id AS vec_id, ${l2SqSql("d.deq", "q.qe")} AS dist
+         |FROM d CROSS JOIN q
          |ORDER BY dist ASC, vec_id ASC LIMIT 10""".stripMargin,
 
     "knn_hybrid" ->
