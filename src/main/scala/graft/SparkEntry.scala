@@ -261,6 +261,14 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // Winnowing partial-overlap pairs (rows-only: the Karp-Rabin window
+    // minima have no DuckDB equivalent; the substring-match guarantee
+    // is pinned by DedupSpec instead).
+    "dedup_winnow" -> ((s, dir) => {
+      Dedup.winnowOverlapPairs(docs(s, dir), minShared = 3)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // ---- similarity search ----
 
     // Brute-force cosine top-k (ANN baseline).

@@ -252,6 +252,29 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  // ------------------------------------------------------- winnowing
+
+  /** Partial-overlap pairs by winnowing-fingerprint intersection: docs
+    * sharing ≥ `minShared` fingerprints (any common substring of length
+    * ≥ w+k−1 yields a shared fingerprint — catches copied passages that
+    * whole-document methods miss). Candidate generation is a
+    * shared-fingerprint join — bucketed on the fingerprint value. */
+  def winnowOverlapPairs(
+      df: DataFrame,
+      minShared: Long = 2L,
+      k: Int = 8,
+      w: Int = 4,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val fps = df.select(col(idCol),
+      explode(winnowFingerprints(col(textCol), k, w)).as("fp"))
+    fps.select(col("fp"), col(idCol).as("id_a"))
+      .join(fps.select(col("fp"), col(idCol).as("id_b")), "fp")
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   // ------------------------------------------------- embedding near-dups
 
   /** Embedding-cosine near-duplicates via SRP (sign-random-projection)

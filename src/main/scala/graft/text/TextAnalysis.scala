@@ -135,10 +135,18 @@ object TextAnalysis {
   def fingerprintMd5(c: Column): Column =
     md5(normalizeText(c))
 
-  /** 64-bit rolling content fingerprint (xxhash64 of normalized text) —
-    * the cheap join/partition key form of the fingerprint. */
+  /** 64-bit content fingerprint (xxhash64 of normalized text) — the
+    * cheap join/partition key form of the fingerprint. */
   def fingerprint64(c: Column): Column =
     xxhash64(normalizeText(c))
+
+  /** Winnowing fingerprints (Karp-Rabin rolling hash over character
+    * k-grams, window minima — Schleimer et al. SIGMOD'03): any shared
+    * substring of length ≥ w + k − 1 between two documents produces a
+    * shared fingerprint, which is what makes partial-overlap/plagiarism
+    * detection work where whole-document hashing cannot. */
+  def winnowFingerprints(c: Column, k: Int = 8, w: Int = 4): Column =
+    org.apache.spark.sql.graft.VectorExpressions.winnow(normalizeText(c), k, w)
 
   /** Word n-gram shingles of the normalized text (distinct, first-
     * occurrence order), the input to MinHash/Jaccard dedup. Compiled

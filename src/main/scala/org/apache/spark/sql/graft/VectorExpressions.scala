@@ -377,6 +377,81 @@ case class TokenSetCountExpr(child: Expression, words: Seq[String])
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Static kernel for [[WinnowExpr]]: winnowing fingerprints (Schleimer,
+  * Wilkerson & Aiken, SIGMOD'03 — the MOSS algorithm). Karp-Rabin
+  * rolling hashes of character k-grams; from every window of w
+  * consecutive hashes keep the minimum (rightmost on ties), dedup
+  * preserving order. Guarantees: any substring match of length
+  * ≥ w + k − 1 shares at least one fingerprint. */
+object WinnowUtil {
+  private final val Base = 1000003L
+
+  def fingerprints(text: org.apache.spark.unsafe.types.UTF8String, k: Int, w: Int): ArrayData = {
+    val s = text.toString
+    val n = s.length
+    if (n < k) return new GenericArrayData(Array.empty[Any])
+    val nGrams = n - k + 1
+    val hashes = new Array[Long](nGrams)
+    // Karp-Rabin: h(i+1) = (h(i) - s(i)·B^(k-1))·B + s(i+k)
+    var pow = 1L
+    var j = 1
+    while (j < k) { pow *= Base; j += 1 }
+    var h = 0L
+    var i = 0
+    while (i < k) { h = h * Base + s.charAt(i); i += 1 }
+    hashes(0) = h
+    i = 1
+    while (i < nGrams) {
+      h = (h - s.charAt(i - 1) * pow) * Base + s.charAt(i + k - 1)
+      hashes(i) = h
+      i += 1
+    }
+    if (nGrams <= w) {
+      // degenerate: one window — keep the global min
+      var m = hashes(0)
+      i = 1
+      while (i < nGrams) { if (hashes(i) <= m) m = hashes(i); i += 1 }
+      return new GenericArrayData(Array[Any](m))
+    }
+    val out = new java.util.LinkedHashSet[java.lang.Long]()
+    var start = 0
+    while (start <= nGrams - w) {
+      var m = hashes(start)
+      var mi = start
+      i = start + 1
+      while (i < start + w) {
+        if (hashes(i) <= m) { m = hashes(i); mi = i } // rightmost min on ties
+        i += 1
+      }
+      out.add(m)
+      start += 1
+    }
+    new GenericArrayData(out.toArray.asInstanceOf[Array[Any]])
+  }
+}
+
+/** Winnowing document fingerprints: array<long> of selected k-gram
+  * rolling hashes. Narrow per-row compute; near-dup candidates come
+  * from a shared-fingerprint join (same bucketed shape as the shingle
+  * join). */
+case class WinnowExpr(child: Expression, k: Int, w: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(k > 0 && w > 0, s"k and w must be positive, got k=$k w=$w")
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "winnow_fingerprints"
+
+  override protected def nullSafeEval(a: Any): Any =
+    WinnowUtil.fingerprints(a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], k, w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = org.apache.spark.sql.graft.WinnowUtil.fingerprints($a, $k, $w);")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object VectorExpressions {
   /** Codegen squared-L2 column. */
   def l2Sq(a: Column, b: Column): Column =
@@ -407,4 +482,8 @@ object VectorExpressions {
   /** Codegen count of tokens contained in a fixed word set. */
   def tokenSetCount(tokens: Column, words: Seq[String]): Column =
     ExpressionUtils.column(TokenSetCountExpr(ExpressionUtils.expression(tokens), words))
+
+  /** Codegen winnowing fingerprints (k-gram size, window size). */
+  def winnow(text: Column, k: Int, w: Int): Column =
+    ExpressionUtils.column(WinnowExpr(ExpressionUtils.expression(text), k, w))
 }

@@ -124,6 +124,31 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("winnowing: a copied passage inside otherwise-different docs is detected") {
+    val passage = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val corpus = Seq(
+      (1L, s"intro text alpha beta gamma. $passage and then some closing words"),
+      (2L, s"completely different opening lines here. $passage with another ending entirely"),
+      (3L, "no shared passage at all just original content about cooking pasta dishes"),
+      (4L, "another fully original document describing mountain hiking gear and trails"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.winnowOverlapPairs(corpus, minShared = 2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists { case (a, b) => Set(a, b).intersect(Set(3L, 4L)).nonEmpty })
+  }
+
+  test("winnowing guarantee: substring matches of length >= w+k-1 share a fingerprint") {
+    import graft.text.TextAnalysis
+    val k = 8; val w = 4
+    val shared = "abcdefghijklmnopq" // length 17 >= w+k-1 = 11
+    val df = Seq((1L, s"xxxxx$shared yyyy"), (2L, s"zz $shared wwwwww"))
+      .toDF("doc_id", "text")
+    val fps = df.select($"doc_id", TextAnalysis.winnowFingerprints($"text", k, w).as("fp"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(fps(1L).toSet.intersect(fps(2L).toSet).nonEmpty)
+  }
+
   test("embeddingNearDups finds planted near-identical vectors") {
     val base = Array.fill(16)(0.25f)
     def unit(v: Array[Float]): Array[Float] = {
