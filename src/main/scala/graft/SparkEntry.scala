@@ -265,7 +265,7 @@ object SparkEntry {
     // minima have no DuckDB equivalent; the substring-match guarantee
     // is pinned by DedupSpec instead).
     "dedup_winnow" -> ((s, dir) => {
-      Dedup.winnowOverlapPairs(docs(s, dir), minShared = 3)
+      Dedup.winnowOverlapPairs(docs(s, dir), minShared = 3, maxFingerprintDf = 20L)
         .orderBy(col("id_a"), col("id_b"))
     }),
 

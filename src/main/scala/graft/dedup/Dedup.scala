@@ -265,11 +265,19 @@ object Dedup {
       k: Int = 8,
       w: Int = 4,
       idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text",
+      maxFingerprintDf: Long = 500L): DataFrame = {
     val fps = df.select(col(idCol),
       explode(winnowFingerprints(col(textCol), k, w)).as("fp"))
-    fps.select(col("fp"), col(idCol).as("id_a"))
-      .join(fps.select(col("fp"), col(idCol).as("id_b")), "fp")
+    // hot-fingerprint guard (same role as maxShingleDf): a fingerprint
+    // shared by hundreds of docs is a common phrase, not evidence of
+    // copying, and would explode the candidate join quadratically
+    val rare = fps.groupBy("fp").agg(count(lit(1)).as("df_count"))
+      .filter(col("df_count") <= maxFingerprintDf)
+      .select("fp")
+    val pruned = fps.join(rare, "fp")
+    pruned.select(col("fp"), col(idCol).as("id_a"))
+      .join(pruned.select(col("fp"), col(idCol).as("id_b")), "fp")
       .filter(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
