@@ -56,30 +56,34 @@ object Cli {
   }
 
   /** Runs one command against `path`; returns the process exit code.
-    * Factored from `main` so tests can drive it with a shared session. */
+    * Factored from `main` so tests can drive it with a shared session.
+    * The on-disk file is `<path>.json` — the reference appends the
+    * suffix to whatever path the user passes (vectordb.cpp:10), so the
+    * CLI mirrors that; messages echo the user's raw path. */
   def run(spark: SparkSession, args: Array[String], prog: String = "graft"): Int = {
     if (args.length < 2) { usage(prog); return 1 }
     val path = args(0)
+    val file = path + ".json"
     val command = args(1)
     try {
       command match {
         case "init" =>
           if (args.length != 3) { System.err.println(s"Usage: $prog $path init <dimension>"); return 1 }
           val dim = args(2).toInt
-          VectorStore.init(spark, path, dim)
+          VectorStore.init(spark, file, dim)
           println(s"Database initialized at '$path' with dimension $dim")
 
         case "add" =>
           if (args.length != 4) { System.err.println(s"Usage: $prog $path add <vector> <metadata_json>"); return 1 }
-          val db = VectorStore.load(spark, path)
+          val db = VectorStore.load(spark, file)
           val vec = parseVector(args(2), db.getDimensions)
           val id = db.add(vec, args(3))
-          db.save(path)
+          db.save(file)
           println(s"Vector added with ID: $id. Run 'rebuild' to index.")
 
         case "get" =>
           if (args.length != 3) { System.err.println(s"Usage: $prog $path get <id>"); return 1 }
-          val db = VectorStore.load(spark, path)
+          val db = VectorStore.load(spark, file)
           val id = args(2).toLong
           db.get(id) match {
             case Some(rec) =>
@@ -92,7 +96,7 @@ object Cli {
 
         case "search" =>
           if (args.length != 4) { System.err.println(s"Usage: $prog $path search <k> <query_vector>"); return 1 }
-          val db = VectorStore.load(spark, path)
+          val db = VectorStore.load(spark, file)
           val k = args(2).toInt
           val query = parseVector(args(3), db.getDimensions)
           val results = db.search(query, k).collect()
@@ -104,26 +108,26 @@ object Cli {
           }
 
         case "rebuild" =>
-          VectorStore.load(spark, path)
+          VectorStore.load(spark, file)
           println("Rebuilding index...")
           println("Index rebuild complete.")
 
         case "delete" =>
           if (args.length != 3) { System.err.println(s"Usage: $prog $path delete <id>"); return 1 }
-          val db = VectorStore.load(spark, path)
+          val db = VectorStore.load(spark, file)
           val id = args(2).toLong
           if (db.delete(id)) {
-            db.save(path)
+            db.save(file)
             println(s"Vector $id deleted. Run 'rebuild' to update index.")
           } else System.err.println(s"Error: Vector with ID $id not found.")
 
         case "update" =>
           if (args.length != 5) { System.err.println(s"Usage: $prog $path update <id> <vector> <metadata>"); return 1 }
-          val db = VectorStore.load(spark, path)
+          val db = VectorStore.load(spark, file)
           val id = args(2).toLong
           val vec = parseVector(args(3), db.getDimensions)
           if (db.update(id, vec, args(4))) {
-            db.save(path)
+            db.save(file)
             println(s"Vector $id updated. Run 'rebuild' to update index.")
           } else System.err.println(s"Error: Vector with ID $id not found.")
 

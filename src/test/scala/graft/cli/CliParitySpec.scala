@@ -56,8 +56,9 @@ class CliParitySpec extends AnyFunSuite {
   test("scripted session produces byte-identical stdout to the compiled reference") {
     assume(refBinary.isDefined, "no C++ toolchain available to build the reference")
     val bin = refBinary.get
-    val refDb = Files.createTempDirectory("ref_cli").resolve("db.json").toString
-    val ourDb = Files.createTempDirectory("our_cli").resolve("db.json").toString
+    // pass the path WITHOUT the .json suffix: both CLIs append it
+    val refDb = Files.createTempDirectory("ref_cli").resolve("db").toString
+    val ourDb = Files.createTempDirectory("our_cli").resolve("db").toString
 
     val script: Seq[Seq[String]] = Seq(
       Seq("init", "3"),
@@ -77,5 +78,11 @@ class CliParitySpec extends AnyFunSuite {
       val ours = runOurs(ourDb, args).replace(ourDb, "<DB>")
       assert(ours == ref, s"divergence on command: ${args.mkString(" ")}")
     }
+
+    // after the identical mutation sequence, the persisted databases
+    // must also be byte-identical (envelope format + float emission)
+    val refFile = new String(Files.readAllBytes(Paths.get(refDb + ".json")), "UTF-8")
+    val ourFile = new String(Files.readAllBytes(Paths.get(ourDb + ".json")), "UTF-8")
+    assert(ourFile == refFile, "persisted db.json diverged")
   }
 }

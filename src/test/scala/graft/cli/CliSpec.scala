@@ -20,14 +20,16 @@ class CliSpec extends AnyFunSuite {
     (code, bos.toString("UTF-8"))
   }
 
+  // the CLI mirrors the reference's path semantics: the on-disk file is
+  // <path>.json (vectordb.cpp:10), so pass the path WITHOUT the suffix
   private def tmpDb(): String =
-    Files.createTempDirectory("graft_cli").resolve("db.json").toString
+    Files.createTempDirectory("graft_cli").resolve("db").toString
 
   test("search over the reference sample db prints the verified fixture bytes") {
     // FIXTURES §A2 [verified against the compiled reference]:
     // query (1.0,1.05) k=2 → "- ID: 1, Dist: 0.05" / "- ID: 2, Dist: 0.180278"
     val db = tmpDb()
-    Files.copy(Paths.get("/root/reference/my_db.json"), Paths.get(db),
+    Files.copy(Paths.get("/root/reference/my_db.json"), Paths.get(db + ".json"),
       StandardCopyOption.REPLACE_EXISTING)
     val (code, out) = captureOut(Cli.run(spark, Array(db, "search", "2", "1.0,1.05")))
     assert(code == 0)
