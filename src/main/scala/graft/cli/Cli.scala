@@ -35,11 +35,28 @@ object Cli {
   }
 
   private def parseVector(s: String, dim: Int): Array[Float] = {
-    val vec = s.split(",").map(_.trim.toFloat)
+    val vec = s.split(",").map { item =>
+      try item.trim.toFloat
+      catch {
+        case _: NumberFormatException =>
+          // reference text, main.cpp:16
+          throw new IllegalArgumentException(
+            "Invalid vector format. Must be comma-separated floats.")
+      }
+    }
     if (dim > 0 && vec.length != dim)
       throw new IllegalArgumentException(
         s"Vector dimension mismatch. Expected $dim got ${vec.length}")
     vec
+  }
+
+  /** The reference rebuilds its index inside every `load()`/`init` and
+    * warns on stderr when the db is empty (vectordb.cpp:106-108) —
+    * observable CLI behavior, mirrored for byte parity. */
+  private def warnIfEmpty(db: VectorStore): VectorStore = {
+    if (db.toDF.isEmpty)
+      System.err.println("Warning: Rebuilding index with 0 vectors.")
+    db
   }
 
   private def usage(prog: String): Unit = {
@@ -70,12 +87,12 @@ object Cli {
         case "init" =>
           if (args.length != 3) { System.err.println(s"Usage: $prog $path init <dimension>"); return 1 }
           val dim = args(2).toInt
-          VectorStore.init(spark, file, dim)
+          warnIfEmpty(VectorStore.init(spark, file, dim))
           println(s"Database initialized at '$path' with dimension $dim")
 
         case "add" =>
           if (args.length != 4) { System.err.println(s"Usage: $prog $path add <vector> <metadata_json>"); return 1 }
-          val db = VectorStore.load(spark, file)
+          val db = warnIfEmpty(VectorStore.load(spark, file))
           val vec = parseVector(args(2), db.getDimensions)
           val id = db.add(vec, args(3))
           db.save(file)
@@ -83,7 +100,7 @@ object Cli {
 
         case "get" =>
           if (args.length != 3) { System.err.println(s"Usage: $prog $path get <id>"); return 1 }
-          val db = VectorStore.load(spark, file)
+          val db = warnIfEmpty(VectorStore.load(spark, file))
           val id = args(2).toLong
           db.get(id) match {
             case Some(rec) =>
@@ -96,7 +113,7 @@ object Cli {
 
         case "search" =>
           if (args.length != 4) { System.err.println(s"Usage: $prog $path search <k> <query_vector>"); return 1 }
-          val db = VectorStore.load(spark, file)
+          val db = warnIfEmpty(VectorStore.load(spark, file))
           val k = args(2).toInt
           val query = parseVector(args(3), db.getDimensions)
           val results = db.search(query, k).collect()
@@ -108,13 +125,16 @@ object Cli {
           }
 
         case "rebuild" =>
-          VectorStore.load(spark, file)
+          // the reference rebuilds twice here — once inside load(), once
+          // explicitly (main.cpp:120-123) — so an empty db warns twice
+          val db = warnIfEmpty(VectorStore.load(spark, file))
           println("Rebuilding index...")
+          warnIfEmpty(db)
           println("Index rebuild complete.")
 
         case "delete" =>
           if (args.length != 3) { System.err.println(s"Usage: $prog $path delete <id>"); return 1 }
-          val db = VectorStore.load(spark, file)
+          val db = warnIfEmpty(VectorStore.load(spark, file))
           val id = args(2).toLong
           if (db.delete(id)) {
             db.save(file)
@@ -123,7 +143,7 @@ object Cli {
 
         case "update" =>
           if (args.length != 5) { System.err.println(s"Usage: $prog $path update <id> <vector> <metadata>"); return 1 }
-          val db = VectorStore.load(spark, file)
+          val db = warnIfEmpty(VectorStore.load(spark, file))
           val id = args(2).toLong
           val vec = parseVector(args(3), db.getDimensions)
           if (db.update(id, vec, args(4))) {

@@ -33,50 +33,76 @@ class CliParitySpec extends AnyFunSuite {
     } catch { case _: Exception => None }
   }
 
-  private def runRef(bin: String, db: String, args: Seq[String]): String = {
-    val sb = new StringBuilder
-    // capture stdout only (stderr carries usage/errors in both CLIs)
-    Process(Seq(bin, db) ++ args).!(ProcessLogger(l => sb.append(l).append('\n'), _ => ()))
-    sb.toString
+  private def runRef(bin: String, db: String, args: Seq[String]): (String, String) = {
+    val out = new StringBuilder
+    val err = new StringBuilder
+    Process(Seq(bin, db) ++ args).!(ProcessLogger(
+      l => out.append(l).append('\n'), l => err.append(l).append('\n')))
+    (out.toString, err.toString)
   }
 
-  private def runOurs(db: String, args: Seq[String]): String = {
-    val bos = new ByteArrayOutputStream()
-    val ps = new PrintStream(bos, true, "UTF-8")
+  private def runOurs(db: String, args: Seq[String]): (String, String) = {
+    val outB = new ByteArrayOutputStream()
+    val errB = new ByteArrayOutputStream()
+    val outPs = new PrintStream(outB, true, "UTF-8")
+    val errPs = new PrintStream(errB, true, "UTF-8")
     // println goes through Console.out (which caches the original
-    // System.out), so redirect both
-    Console.withOut(ps) {
-      val old = System.out
-      System.setOut(ps)
-      try Cli.run(spark, (db +: args).toArray) finally System.setOut(old)
+    // System.out), so redirect both layers, both streams
+    Console.withOut(outPs) {
+      Console.withErr(errPs) {
+        val (oldOut, oldErr) = (System.out, System.err)
+        System.setOut(outPs)
+        System.setErr(errPs)
+        try Cli.run(spark, (db +: args).toArray)
+        finally { System.setOut(oldOut); System.setErr(oldErr) }
+      }
     }
-    bos.toString("UTF-8")
+    // drop Spark log4j lines ("yy/MM/dd HH:mm:ss LEVEL ...") that the
+    // shared session may emit on the redirected stderr
+    def clean(s: String): String =
+      s.linesWithSeparators.filterNot(_.matches("""^\d\d/\d\d/\d\d .*""")).mkString
+    (clean(outB.toString("UTF-8")), clean(errB.toString("UTF-8")))
   }
 
   test("scripted session produces byte-identical stdout to the compiled reference") {
     assume(refBinary.isDefined, "no C++ toolchain available to build the reference")
     val bin = refBinary.get
+    // materialize the lazy session NOW, or its startup logs land in the
+    // first command's captured stderr
+    spark.sparkContext
     // pass the path WITHOUT the .json suffix: both CLIs append it
     val refDb = Files.createTempDirectory("ref_cli").resolve("db").toString
     val ourDb = Files.createTempDirectory("our_cli").resolve("db").toString
 
     val script: Seq[Seq[String]] = Seq(
       Seq("init", "3"),
+      Seq("search", "3", "1.0,1.0,1.0"),            // empty-db search + warning
+      Seq("rebuild"),                               // double warning on empty db
       Seq("add", "1.0,2.0,3.0", """{"tag": "a"}"""),
       Seq("add", "1.5,2.5,3.5", """{"tag": "b", "n": 7}"""),
+      Seq("add", "1.1,1.2,1.3", "null"),            // float32 artifact values
       Seq("get", "1"),
-      Seq("get", "2"),
+      Seq("get", "3"),
+      Seq("get", "999"),                            // miss → stderr
       Seq("search", "2", "1.0,2.0,3.1"),
+      Seq("search", "50", "1.0,2.0,3.1"),           // k > n truncates
+      Seq("search", "2", "1.0,2.0"),                // dim mismatch → error
+      Seq("search", "2", "a,b,c"),                  // parse error text
       Seq("update", "2", "9.0,9.0,9.0", """{"tag": "c"}"""),
+      Seq("update", "999", "1.0,1.0,1.0", "{}"),    // miss → stderr
       Seq("search", "2", "1.0,2.0,3.1"),
       Seq("delete", "1"),
+      Seq("delete", "1"),                           // second delete misses
       Seq("search", "2", "1.0,2.0,3.1"),
       Seq("rebuild"))
 
     script.foreach { args =>
-      val ref = runRef(bin, refDb, args).replace(refDb, "<DB>")
-      val ours = runOurs(ourDb, args).replace(ourDb, "<DB>")
-      assert(ours == ref, s"divergence on command: ${args.mkString(" ")}")
+      val (refOut, refErr) = runRef(bin, refDb, args)
+      val (ourOut, ourErr) = runOurs(ourDb, args)
+      assert(ourOut.replace(ourDb, "<DB>") == refOut.replace(refDb, "<DB>"),
+        s"stdout divergence on command: ${args.mkString(" ")}")
+      assert(ourErr.replace(ourDb, "<DB>") == refErr.replace(refDb, "<DB>"),
+        s"stderr divergence on command: ${args.mkString(" ")}")
     }
 
     // after the identical mutation sequence, the persisted databases
