@@ -364,6 +364,20 @@ object SparkEntry {
         .select(col("bin"), col("n"), col("bin_start"))
     }),
 
+    // Multi-level aggregation: ROLLUP over (hour, event_type) — subtotal
+    // and grand-total rows from one pass (partial-aggregated like any
+    // groupBy; no per-level rescan).
+    "events_rollup" -> ((s, dir) => {
+      events(s, dir)
+        .rollup(
+          date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour"),
+          col("event_type"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          sum(floor(col("value") * 1000).cast("long")).as("value_milli"))
+        .orderBy(col("hour").asc_nulls_first, col("event_type").asc_nulls_first)
+    }),
+
     // As-of join: each click joined to the user's most recent prior
     // signup (union + window last_value — one shuffle on user_id, no
     // per-row range scan). Timestamps emitted as epoch micros so both
@@ -599,6 +613,13 @@ object SparkEntry {
         |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
         |       min(user_id) AS min_user, max(user_id) AS max_user
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "events_rollup" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
+        |       CAST(count(*) AS BIGINT) AS n_events,
+        |       CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS value_milli
+        |FROM events GROUP BY ROLLUP (1, 2)
+        |ORDER BY hour NULLS FIRST, event_type NULLS FIRST""".stripMargin,
 
     "events_funnel" ->
       """WITH u AS (SELECT user_id,
