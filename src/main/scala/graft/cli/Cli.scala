@@ -2,7 +2,7 @@ package graft.cli
 
 import org.apache.spark.sql.SparkSession
 
-import graft.io.Envelope
+import graft.io.{CppJson, Envelope}
 import graft.ops.VectorStore
 
 /** CLI frontend mirroring the reference's command surface and output
@@ -11,53 +11,133 @@ import graft.ops.VectorStore
   *
   *   init, add, get, update, delete, rebuild, search
   *
-  * Float printing follows C++ default ostream formatting (6 significant
-  * digits, trailing zeros stripped — `main.cpp:115-116` prints
-  * `Dist: 0.180278` for sqrt(0.0325)). `rebuild` is a parity no-op plus
-  * message: the exact path needs no index and the reference CLI's own
-  * rebuild is redundant (SURVEY §3 entry point 3, [verified]).
+  * Byte-parity notes (each verified against the compiled binary):
+  *  - float printing follows C++ default ostream formatting (6
+  *    significant digits, trailing zeros stripped; the plain-integer form
+  *    only below 1e6 — `15000000.0f` prints `1.5e+07`)
+  *  - numeric arguments parse with `std::stoi`/`std::stoll` semantics:
+  *    longest valid prefix, errors report just "stoi"/"stoll"
+  *  - vector components parse with `std::stof` semantics: longest prefix,
+  *    hex floats and inf/nan accepted, ERANGE (overflow/subnormal) →
+  *    "Invalid vector format." (main.cpp:14-17)
+  *  - metadata parses with `json::parse` up front (main.cpp:70,153) via
+  *    [[CppJson]], so malformed JSON reports nlohmann's exact text
+  *  - the empty-index warning only fires when the db file exists: the
+  *    reference's `load()` returns before `rebuildIndex()` on a missing
+  *    file (vectordb.cpp:183-186)
+  *  - `rebuild` warns twice on an existing empty db — once inside load,
+  *    once for the explicit rebuild (main.cpp:120-123)
   */
 object Cli {
 
-  /** C++ `operator<<(float)` default formatting: 6 significant digits,
-    * fixed or scientific by magnitude, trailing zeros stripped. */
+  /** C++ `operator<<(float)` default formatting — printf %g with
+    * precision 6: round the EXACT binary value to 6 significant decimal
+    * digits half-even, then fixed form for rounded exponent in [-4, 6),
+    * scientific outside, trailing zeros stripped. Implemented over exact
+    * BigDecimal arithmetic because Java's %g rounds HALF_UP and diverges
+    * from glibc on decimal ties (e.g. float values ending in .5 with
+    * exactly seven significant digits). Verified against the compiled
+    * reference: 15000000.0f → "1.5e+07", 1000000.0f → "1e+06",
+    * 999999.0f → "999999". */
   private[cli] def cppNum(d: Double): String = {
-    if (d == d.toLong && math.abs(d) < 1e15) return d.toLong.toString
-    val s = f"$d%.6g"
-    if (s.contains('e') || s.contains('E')) {
-      // strip zeros in mantissa: 1.50000e+07 → 1.5e+07
-      val Array(m, e) = s.split("[eE]")
-      val m2 = if (m.contains('.')) m.reverse.dropWhile(_ == '0').stripPrefix(".").reverse else m
-      s"${m2}e$e"
-    } else if (s.contains('.')) {
-      s.reverse.dropWhile(_ == '0').reverse.stripSuffix(".")
-    } else s
+    if (d.isNaN) return "nan"
+    if (d.isInfinite) return if (d > 0) "inf" else "-inf"
+    if (d == 0.0) return if (1.0 / d < 0) "-0" else "0"
+    val neg = d < 0
+    val bd = new java.math.BigDecimal(math.abs(d))
+      .round(new java.math.MathContext(6, java.math.RoundingMode.HALF_EVEN))
+    val exp10 = bd.precision - 1 - bd.scale // exponent of the rounded value
+    val digits = bd.unscaledValue.toString.reverse.dropWhile(_ == '0').reverse
+    val out =
+      if (exp10 < -4 || exp10 >= 6) {
+        val mant = if (digits.length == 1) digits else digits.take(1) + "." + digits.drop(1)
+        f"${mant}e${if (exp10 < 0) "-" else "+"}${math.abs(exp10)}%02d"
+      } else {
+        val n = exp10 + 1 // digit count before the decimal point
+        if (n >= digits.length) digits + ("0" * (n - digits.length))
+        else if (n > 0) digits.take(n) + "." + digits.drop(n)
+        else "0." + ("0" * -n) + digits
+      }
+    if (neg) "-" + out else out
   }
 
-  private def parseVector(s: String, dim: Int): Array[Float] = {
-    val vec = s.split(",").map { item =>
-      try item.trim.toFloat
-      catch {
-        case _: NumberFormatException =>
-          // reference text, main.cpp:16
-          throw new IllegalArgumentException(
-            "Invalid vector format. Must be comma-separated floats.")
-      }
-    }
-    if (dim > 0 && vec.length != dim)
+  /** `std::stoi`/`std::stoll`: skip whitespace, optional sign, decimal
+    * digits; no conversion → invalid_argument whose what() is the bare
+    * function name; out of range → out_of_range with the same what(). */
+  private val intPrefixRe = """^\s*[+-]?\d+""".r
+
+  private[cli] def cppStoi(s: String): Int = {
+    val m = intPrefixRe.findFirstIn(s).getOrElse(throw new IllegalArgumentException("stoi"))
+    val b = BigInt(m.trim)
+    if (!b.isValidInt) throw new IllegalArgumentException("stoi")
+    b.toInt
+  }
+
+  private[cli] def cppStoll(s: String): Long = {
+    val m = intPrefixRe.findFirstIn(s).getOrElse(throw new IllegalArgumentException("stoll"))
+    val b = BigInt(m.trim)
+    if (!b.isValidLong) throw new IllegalArgumentException("stoll")
+    b.toLong
+  }
+
+  /** `std::stof`: longest valid strtof prefix — decimal/hex floats,
+    * inf/infinity/nan, leading whitespace. Throws (→ "Invalid vector
+    * format.") on no conversion or ERANGE: overflow to infinity, or a
+    * nonzero value rounding to zero/subnormal (glibc sets ERANGE for
+    * subnormal results, so `1e-39` is rejected by the reference). */
+  private val floatPrefixRe =
+    ("""^\s*[+-]?(?:""" +
+      """0[xX](?:[0-9a-fA-F]+(?:\.[0-9a-fA-F]*)?|\.[0-9a-fA-F]+)(?:[pP][+-]?[0-9]+)?""" +
+      """|(?:[0-9]+(?:\.[0-9]*)?|\.[0-9]+)(?:[eE][+-]?[0-9]+)?""" +
+      """|[iI][nN][fF](?:[iI][nN][iI][tT][yY])?""" +
+      """|[nN][aA][nN](?:\([0-9a-zA-Z_]*\))?""" +
+      """)""").r
+
+  private[cli] def cppStof(s: String): Float = {
+    def invalid() = throw new IllegalArgumentException(
+      "Invalid vector format. Must be comma-separated floats.")
+    val tok = floatPrefixRe.findFirstIn(s).getOrElse(invalid()).trim
+    val neg = tok.startsWith("-")
+    val mag = tok.stripPrefix("-").stripPrefix("+")
+    val lower = mag.toLowerCase
+    if (lower.startsWith("inf")) return if (neg) Float.NegativeInfinity else Float.PositiveInfinity
+    if (lower.startsWith("nan")) return Float.NaN
+    val isHex = lower.startsWith("0x")
+    val javaTok = if (isHex && !lower.contains('p')) mag + "p0" else mag
+    val f0 = java.lang.Float.parseFloat(javaTok)
+    val mantissa = lower.stripPrefix("0x").takeWhile(c => c != 'e' && c != 'p')
+    val mathNonzero = mantissa.exists(c => c != '0' && c != '.')
+    if (f0.isInfinite) invalid() // overflow
+    if (mathNonzero && (f0 == 0.0f || math.abs(f0) < java.lang.Float.MIN_NORMAL)) invalid() // ERANGE underflow
+    if (neg) -f0 else f0
+  }
+
+  /** C++ `std::getline(ss, item, ',')` tokenization (main.cpp:8-13): a
+    * trailing comma yields no empty final item, interior empty items are
+    * kept (and fail stof). The dimension check always runs — on a fresh
+    * store the expected dimension is 0 (main.cpp:19-21). */
+  private[cli] def parseVector(s: String, expectedDim: Int): Array[Float] = {
+    val parts0 = s.split(",", -1)
+    val parts = if (parts0.last.isEmpty) parts0.dropRight(1) else parts0
+    val vec = parts.map(cppStof)
+    if (vec.length != expectedDim)
       throw new IllegalArgumentException(
-        s"Vector dimension mismatch. Expected $dim got ${vec.length}")
+        s"Vector dimension mismatch. Expected $expectedDim got ${vec.length}")
     vec
   }
 
-  /** The reference rebuilds its index inside every `load()`/`init` and
-    * warns on stderr when the db is empty (vectordb.cpp:106-108) —
-    * observable CLI behavior, mirrored for byte parity. */
-  private def warnIfEmpty(db: VectorStore): VectorStore = {
-    if (db.toDF.isEmpty)
+  /** The reference rebuilds its index inside `load()` only when the file
+    * exists, and warns on stderr when the db is empty (vectordb.cpp:106-108,
+    * 183-186) — observable CLI behavior, mirrored for byte parity. */
+  private def warnIfLoadedEmpty(db: VectorStore): VectorStore = {
+    if (db.fromFile && db.toDF.isEmpty)
       System.err.println("Warning: Rebuilding index with 0 vectors.")
     db
   }
+
+  private def warnIfEmpty(db: VectorStore): Unit =
+    if (db.toDF.isEmpty)
+      System.err.println("Warning: Rebuilding index with 0 vectors.")
 
   private def usage(prog: String): Unit = {
     System.err.println(s"Usage: $prog <db_path> <command> [args]")
@@ -86,22 +166,27 @@ object Cli {
       command match {
         case "init" =>
           if (args.length != 3) { System.err.println(s"Usage: $prog $path init <dimension>"); return 1 }
-          val dim = args(2).toInt
-          warnIfEmpty(VectorStore.init(spark, file, dim))
+          val dim = cppStoi(args(2))
+          val store = VectorStore.init(spark, file, dim)
+          // init rebuilds the (empty) index explicitly (vectordb.cpp:31)
+          warnIfEmpty(store)
           println(s"Database initialized at '$path' with dimension $dim")
 
         case "add" =>
           if (args.length != 4) { System.err.println(s"Usage: $prog $path add <vector> <metadata_json>"); return 1 }
-          val db = warnIfEmpty(VectorStore.load(spark, file))
+          val db = warnIfLoadedEmpty(VectorStore.load(spark, file))
           val vec = parseVector(args(2), db.getDimensions)
-          val id = db.add(vec, args(3))
+          // the reference parses metadata before mutating (main.cpp:70);
+          // malformed JSON surfaces nlohmann's exact error text
+          val metadata = CppJson.compact(CppJson.parse(args(3)))
+          val id = db.add(vec, metadata)
           db.save(file)
           println(s"Vector added with ID: $id. Run 'rebuild' to index.")
 
         case "get" =>
           if (args.length != 3) { System.err.println(s"Usage: $prog $path get <id>"); return 1 }
-          val db = warnIfEmpty(VectorStore.load(spark, file))
-          val id = args(2).toLong
+          val db = warnIfLoadedEmpty(VectorStore.load(spark, file))
+          val id = cppStoll(args(2))
           db.get(id) match {
             case Some(rec) =>
               println(s"ID: ${rec.id}")
@@ -113,9 +198,12 @@ object Cli {
 
         case "search" =>
           if (args.length != 4) { System.err.println(s"Usage: $prog $path search <k> <query_vector>"); return 1 }
-          val db = warnIfEmpty(VectorStore.load(spark, file))
-          val k = args(2).toInt
+          val db = warnIfLoadedEmpty(VectorStore.load(spark, file))
+          val k = cppStoi(args(2))
           val query = parseVector(args(3), db.getDimensions)
+          // with no db file, load() never built an index (vectordb.cpp:121-123)
+          if (!db.fromFile)
+            throw new IllegalStateException("Index is not built. Run 'rebuild' first.")
           val results = db.search(query, k).collect()
           println("Search results (ID, Distance):")
           if (results.isEmpty) println("No results found. Have you run 'rebuild'?")
@@ -125,17 +213,17 @@ object Cli {
           }
 
         case "rebuild" =>
-          // the reference rebuilds twice here — once inside load(), once
-          // explicitly (main.cpp:120-123) — so an empty db warns twice
-          val db = warnIfEmpty(VectorStore.load(spark, file))
+          // the reference rebuilds twice here — once inside load() (only
+          // if the file exists), once explicitly (main.cpp:120-123)
+          val db = warnIfLoadedEmpty(VectorStore.load(spark, file))
           println("Rebuilding index...")
           warnIfEmpty(db)
           println("Index rebuild complete.")
 
         case "delete" =>
           if (args.length != 3) { System.err.println(s"Usage: $prog $path delete <id>"); return 1 }
-          val db = warnIfEmpty(VectorStore.load(spark, file))
-          val id = args(2).toLong
+          val db = warnIfLoadedEmpty(VectorStore.load(spark, file))
+          val id = cppStoll(args(2))
           if (db.delete(id)) {
             db.save(file)
             println(s"Vector $id deleted. Run 'rebuild' to update index.")
@@ -143,10 +231,11 @@ object Cli {
 
         case "update" =>
           if (args.length != 5) { System.err.println(s"Usage: $prog $path update <id> <vector> <metadata>"); return 1 }
-          val db = warnIfEmpty(VectorStore.load(spark, file))
-          val id = args(2).toLong
+          val db = warnIfLoadedEmpty(VectorStore.load(spark, file))
+          val id = cppStoll(args(2))
           val vec = parseVector(args(3), db.getDimensions)
-          if (db.update(id, vec, args(4))) {
+          val metadata = CppJson.compact(CppJson.parse(args(4)))
+          if (db.update(id, vec, metadata)) {
             db.save(file)
             println(s"Vector $id updated. Run 'rebuild' to update index.")
           } else System.err.println(s"Error: Vector with ID $id not found.")

@@ -31,25 +31,65 @@ object Envelope {
 
   private val mapper = new ObjectMapper()
 
-  /** Reference `load()` semantics: missing file → None ("start fresh",
-    * `vectordb.cpp:183-186`); malformed JSON / missing fields → throw
-    * (`vectordb.cpp:191-194,212-214`). */
+  /** nlohmann type name for a Jackson node (json.hpp `type_name()`), used
+    * in the corruption-error texts below. */
+  private def typeName(n: JsonNode): String =
+    if (n == null || n.isNull) "null"
+    else if (n.isObject) "object"
+    else if (n.isArray) "array"
+    else if (n.isTextual) "string"
+    else if (n.isBoolean) "boolean"
+    else "number"
+
+  /** `j.at(key)` parity: missing key → out_of_range.403. */
+  private def at(n: JsonNode, key: String): JsonNode = {
+    val v = n.get(key)
+    if (v == null)
+      throw new CppJsonException(s"[json.exception.out_of_range.403] key '$key' not found")
+    v
+  }
+
+  private def numberOf(n: JsonNode): Double = {
+    if (!n.isNumber)
+      throw new CppJsonException(
+        s"[json.exception.type_error.302] type must be number, but is ${typeName(n)}")
+    n.asDouble()
+  }
+
+  /** Reference `load()` semantics (`vectordb.cpp:180-218`): missing file →
+    * None ("start fresh", :183-186); malformed JSON → runtime error with the
+    * JSON parser's message (:191-194); missing/mistyped fields → the
+    * "corrupted" error with the `at()`/`get<>` message (:212-214). Parsed
+    * with [[CppJson]] so both error texts are byte-identical to the CLI's. */
   def load(path: String): Option[Db] = {
     val p = Paths.get(path)
     if (!Files.exists(p)) return None
-    val root = mapper.readTree(Files.readString(p, StandardCharsets.UTF_8))
-    require(root != null && root.isObject, s"Envelope $path: not a JSON object")
-    require(root.has("dim") && root.has("nextId") && root.has("vectors"),
-      s"Envelope $path: missing dim/nextId/vectors")
-    val dim = root.get("dim").asInt()
-    val nextId = root.get("nextId").asLong()
-    val records = root.get("vectors").elements().asScala.map { v =>
-      require(v.has("id") && v.has("vec"), s"Envelope $path: record missing id/vec")
-      val vec = v.get("vec").elements().asScala.map(_.asDouble().toFloat).toArray
-      val meta = if (v.has("metadata")) compact(v.get("metadata")) else null
-      VectorRecord(v.get("id").asLong(), vec, meta)
-    }.toSeq
-    Some(Db(dim, nextId, records))
+    val root =
+      try CppJson.parse(new String(Files.readAllBytes(p), StandardCharsets.UTF_8), requireEof = false)
+      catch {
+        case e: CppJsonException =>
+          throw new RuntimeException(s"Failed to parse database file (JSON error): ${e.getMessage}")
+      }
+    try {
+      val dim = numberOf(at(root, "dim")).toInt
+      val nextId = numberOf(at(root, "nextId")).toLong
+      val vectorsNode = if (root.has("vectors")) root.get("vectors") else null
+      val records =
+        if (vectorsNode == null || !vectorsNode.isArray) Seq.empty[VectorRecord]
+        else vectorsNode.elements().asScala.map { v =>
+          val id = numberOf(at(v, "id")).toLong
+          val meta = compact(at(v, "metadata"))
+          val vecNode = at(v, "vec")
+          val vec =
+            if (vecNode.isArray) vecNode.elements().asScala.map(e => numberOf(e).toFloat).toArray
+            else { numberOf(vecNode); Array.empty[Float] }
+          VectorRecord(id, vec, meta)
+        }.toSeq
+      Some(Db(dim, nextId, records))
+    } catch {
+      case e: CppJsonException =>
+        throw new RuntimeException(s"Database file is corrupted (missing fields): ${e.getMessage}")
+    }
   }
 
   def loadDataset(spark: SparkSession, path: String): Option[(Int, Long, Dataset[VectorRecord])] =
@@ -66,7 +106,10 @@ object Envelope {
     sb.append("{\n  \"dim\": ").append(db.dim)
     sb.append(",\n  \"nextId\": ").append(db.nextId)
     sb.append(",\n  \"vectors\": ")
-    if (db.records.isEmpty) sb.append("[]")
+    // reference quirk: `json& j_vectors = j["vectors"]` (vectordb.cpp:162)
+    // stays null when no records are pushed, so an empty db serializes
+    // "vectors": null — not []
+    if (db.records.isEmpty) sb.append("null")
     else {
       sb.append("[\n")
       var first = true
@@ -111,28 +154,20 @@ object Envelope {
 
   private def compact(n: JsonNode): String = mapper.writeValueAsString(n)
 
-  /** nlohmann-style number formatting, re-implementing the exact
-    * `format_buffer` rules of the vendored dtoa (json.hpp:18600-18667,
-    * kMinExp=-4, kMaxExp=digits10=15, `e±XX` exponents ≥2 digits):
-    * decimal "digits000.0" / "dig.its" / "0.000digits" inside the
-    * exponent window, scientific outside. Digits come from Java's
-    * shortest-distinguishing repr; a handful of extreme values (e.g.
-    * float32 subnormals) get one more digit on Java 17 than Grisu2
-    * emits — still round-trip-exact, just not byte-identical there. */
+  /** nlohmann-style number formatting: digits from [[Grisu]] (the same
+    * Grisu2 shortest-digit algorithm the vendored dtoa runs,
+    * json.hpp:18440-18568) laid out by the exact `format_buffer` rules
+    * (json.hpp:18600-18667, kMinExp=-4, kMaxExp=digits10=15, `e±XX`
+    * exponents ≥2 digits): decimal "digits000.0" / "dig.its" /
+    * "0.000digits" inside the exponent window, scientific outside.
+    * Non-finite values emit "null" like `dump_float` (json.hpp:19669). */
   private[io] def num(d: Double): String = {
+    if (d.isNaN || d.isInfinite) return "null"
     if (d == 0.0) return if (1.0 / d < 0) "-0.0" else "0.0"
     val neg = d < 0
-    val repr = java.lang.Double.toString(math.abs(d))
-    val (mant, exp10) =
-      if (repr.contains('E')) { val Array(m, e) = repr.split('E'); (m, e.toInt) }
-      else (repr, 0)
-    val idx = mant.indexOf('.')
-    val digitsRaw = mant.replace(".", "")
-    val lead = digitsRaw.takeWhile(_ == '0').length
-    val digits0 = digitsRaw.drop(lead).reverse.dropWhile(_ == '0').reverse
-    val digits = if (digits0.isEmpty) "0" else digits0
-    val n = idx - lead + exp10 // decimal point position in the digit string
+    val (digits, exp10) = Grisu.shortest(math.abs(d))
     val k = digits.length
+    val n = k + exp10 // decimal point position in the digit string
     val out =
       if (k <= n && n <= 15) digits + ("0" * (n - k)) + ".0"
       else if (0 < n && n <= 15) digits.take(n) + "." + digits.drop(n)
@@ -176,7 +211,10 @@ object Envelope {
         sb.append("\n").append(pad).append("]")
       }
     } else if (n.isTextual) sb.append(quote(n.textValue()))
-    else if (n.isIntegralNumber) sb.append(n.asLong().toString)
+    else if (n.isIntegralNumber)
+      // u64 values above Long.MaxValue keep full digits (nlohmann stores
+      // them as number_unsigned and dumps the decimal digits)
+      sb.append(if (n.canConvertToLong) n.asLong().toString else n.bigIntegerValue().toString)
     else if (n.isFloatingPointNumber) sb.append(num(n.asDouble()))
     else if (n.isBoolean) sb.append(n.asBoolean().toString)
     else sb.append(n.toString)

@@ -32,7 +32,12 @@ final class VectorStore private (
     val spark: SparkSession,
     val dim: Int,
     private var cursor: Long,
-    private var data: Dataset[VectorRecord]) {
+    private var data: Dataset[VectorRecord],
+    /** Whether `load` found the file on disk — the reference's `load()`
+      * returns before `rebuildIndex()` when the file is missing
+      * (vectordb.cpp:181-186), so the empty-index warning and the built
+      * index itself only exist when the file was present. */
+    val fromFile: Boolean = false) {
 
   import spark.implicits._
 
@@ -45,8 +50,10 @@ final class VectorStore private (
   def nextId: Long = cursor
 
   private def checkDim(vec: Array[Float]): Unit =
-    require(vec.length == dim,
-      s"Vector dimension mismatch. Expected $dim got ${vec.length}")
+    // reference text exactly (vectordb.cpp:40,66) — no require(), which
+    // would prepend "requirement failed: " and break CLI stderr parity
+    if (vec.length != dim)
+      throw new IllegalArgumentException("Vector dimension mismatch.")
 
   /** O2 — insert one record, server-side id assignment. */
   def add(vec: Array[Float], metadata: String): Long = {
@@ -116,8 +123,9 @@ object VectorStore {
     * (vectordb.cpp:24-26) and saves the empty envelope immediately
     * (vectordb.cpp:31-35). */
   def init(spark: SparkSession, path: String, dim: Int): VectorStore = {
-    require(!Files.exists(Paths.get(path)),
-      s"Database file already exists: $path")
+    if (Files.exists(Paths.get(path)))
+      // reference text exactly (vectordb.cpp:25)
+      throw new IllegalStateException("Database file already exists. Cannot initialize.")
     import spark.implicits._
     val store = new VectorStore(spark, dim, 1L, spark.emptyDataset[VectorRecord])
     store.save(path)
@@ -130,8 +138,8 @@ object VectorStore {
   def load(spark: SparkSession, path: String, dimIfFresh: Int = 0): VectorStore = {
     import spark.implicits._
     Envelope.loadDataset(spark, path) match {
-      case Some((dim, nextId, ds)) => new VectorStore(spark, dim, nextId, ds)
-      case None => new VectorStore(spark, dimIfFresh, 1L, spark.emptyDataset[VectorRecord])
+      case Some((dim, nextId, ds)) => new VectorStore(spark, dim, nextId, ds, fromFile = true)
+      case None => new VectorStore(spark, dimIfFresh, 1L, spark.emptyDataset[VectorRecord], fromFile = false)
     }
   }
 

@@ -41,7 +41,7 @@ class CliParitySpec extends AnyFunSuite {
     (out.toString, err.toString)
   }
 
-  private def runOurs(db: String, args: Seq[String]): (String, String) = {
+  private def runOurs(db: String, args: Seq[String], prog: String = "graft"): (String, String) = {
     val outB = new ByteArrayOutputStream()
     val errB = new ByteArrayOutputStream()
     val outPs = new PrintStream(outB, true, "UTF-8")
@@ -53,7 +53,7 @@ class CliParitySpec extends AnyFunSuite {
         val (oldOut, oldErr) = (System.out, System.err)
         System.setOut(outPs)
         System.setErr(errPs)
-        try Cli.run(spark, (db +: args).toArray)
+        try Cli.run(spark, (db +: args).toArray, prog)
         finally { System.setOut(oldOut); System.setErr(oldErr) }
       }
     }
@@ -62,6 +62,116 @@ class CliParitySpec extends AnyFunSuite {
     def clean(s: String): String =
       s.linesWithSeparators.filterNot(_.matches("""^\d\d/\d\d/\d\d .*""")).mkString
     (clean(outB.toString("UTF-8")), clean(errB.toString("UTF-8")))
+  }
+
+  /** Runs the same command list through both CLIs, asserting stdout and
+    * stderr parity per command; optionally the persisted file too. */
+  private def compareSession(script: Seq[Seq[String]], alsoFile: Boolean = true): Unit = {
+    assume(refBinary.isDefined, "no C++ toolchain available to build the reference")
+    spark.sparkContext // materialize before capturing stderr
+    val refDb = Files.createTempDirectory("ref_cli").resolve("db").toString
+    val ourDb = Files.createTempDirectory("our_cli").resolve("db").toString
+    script.foreach { args =>
+      val (refOut, refErr) = runRef(refBinary.get, refDb, args)
+      // usage lines echo argv[0]; give our CLI the same program name
+      val (ourOut, ourErr) = runOurs(ourDb, args, prog = refBinary.get)
+      assert(ourOut.replace(ourDb, "<DB>") == refOut.replace(refDb, "<DB>"),
+        s"stdout divergence on command: ${args.mkString(" ")}")
+      assert(ourErr.replace(ourDb, "<DB>") == refErr.replace(refDb, "<DB>"),
+        s"stderr divergence on command: ${args.mkString(" ")}")
+    }
+    if (alsoFile && Files.exists(Paths.get(refDb + ".json"))) {
+      val refFile = new String(Files.readAllBytes(Paths.get(refDb + ".json")), "UTF-8")
+      val ourFile = new String(Files.readAllBytes(Paths.get(ourDb + ".json")), "UTF-8")
+      assert(ourFile == refFile, "persisted db.json diverged")
+    }
+  }
+
+  test("init-only db file matches byte-for-byte (vectors stays null)") {
+    compareSession(Seq(Seq("init", "3")))
+  }
+
+  test("missing-file commands and argument-parsing edges match the reference") {
+    compareSession(Seq(
+      Seq("add", "1.0,2.0", "{}"),         // dim-0 mismatch, NO empty-db warning
+      Seq("get", "5"),                     // miss without load warning
+      Seq("update", "3", "1.0", "{}"),
+      Seq("delete", "9"),
+      Seq("rebuild"),                      // single warning (load skips missing file)
+      Seq("search", "3", ""),              // empty query on dim-0: index never built
+      Seq("search", "3", "1.0"),           // dim mismatch beats index error
+      Seq("get", "abc"),                   // std::stoll failure text
+      Seq("init", "abc"),                  // std::stoi failure text
+      Seq("init", "3.7"),                  // stoi prefix: dim 3
+      Seq("init", "4"),                    // now exists → reference error text
+      Seq("frobnicate"),
+      Seq("add", "1.0,2.0,3.0")),          // wrong arity → usage line
+      alsoFile = true)
+  }
+
+  test("stof prefix/hex/range semantics and %g printing match the reference") {
+    compareSession(Seq(
+      Seq("init", "3"),
+      Seq("add", "0x10,0x1p2,.5", "{}"),            // hex floats, bare fraction
+      Seq("add", "1.5abc,2.0xyz,3.", "{}"),         // longest-prefix parse
+      Seq("add", "  2.5 , 2 ,3", "{}"),             // whitespace tolerance
+      // (vector values kept distinct: equal distances would expose the
+      // reference HNSW's arbitrary tie order vs our deterministic (dist,id))
+      Seq("add", "15000000,1000000,999999", "{}"),  // %g scientific cutoff at 1e6
+      Seq("add", "-0.0,0.0,1", "{}"),               // signed zero prints "-0"
+      Seq("add", "1.0,2.0,3.0,", "{}"),             // trailing comma: 3 items
+      Seq("add", "1e39,1,1", "{}"),                 // overflow → ERANGE → invalid
+      Seq("add", "1e-39,1,1", "{}"),                // subnormal → ERANGE → invalid
+      Seq("add", "1e-46,1,1", "{}"),                // underflow-to-zero → invalid
+      Seq("add", "1.0,,3.0", "{}"),                 // interior empty item
+      Seq("add", "2x", "{}", "extra"),              // arity
+      Seq("search", "2x", "1.0,2.0,3.0"),           // stoi prefix for k
+      Seq("get", "1"), Seq("get", "2"), Seq("get", "3"),
+      Seq("get", "4"), Seq("get", "5"), Seq("get", "6"),
+      Seq("search", "3", "16,4,0.5")))
+  }
+
+  test("metadata parse errors surface nlohmann's exact text through the CLI") {
+    val bad = Seq("notjson", "{", "", """{"a":}""", "[1,2", "\"abc", "1 2",
+      "{}extra", "tru", "-a", "1.", "1e", "01", """"a\x"""", "+1",
+      """{"a" 1}""", """{"a":1,}""", "[1 2]", "[,]", "1e999")
+    compareSession(
+      Seq(Seq("init", "1")) ++
+        bad.map(m => Seq("add", "1.0", m)) ++
+        Seq(
+          Seq("add", "1.0", """{"n":18446744073709551615}"""), // u64 stays integral
+          Seq("add", "1.0", """{"x":1e-999}"""),               // underflow is fine
+          Seq("add", "1.0", """{"d":1.5e300, "i":-9223372036854775809}"""),
+          Seq("update", "1", "2.0", "{bad"),                   // update parses too
+          Seq("get", "1"), Seq("get", "2"), Seq("get", "3")))
+  }
+
+  test("non-finite components serialize as null and poison later loads identically") {
+    compareSession(Seq(
+      Seq("init", "3"),
+      Seq("add", "inf,1,1", "{}"),   // stof accepts inf; dump writes null
+      Seq("get", "1"),               // load now fails: type_error.302 text
+      Seq("search", "1", "1,1,1"),
+      Seq("add", "nan,2,2", "{}"),   // load fails before the add
+      Seq("rebuild")))
+  }
+
+  test("random float32 sessions round-trip with byte-identical files and output") {
+    val rnd = new scala.util.Random(0xF10A7)
+    def safeFloat(): Float = {
+      while (true) {
+        val f = java.lang.Float.intBitsToFloat(rnd.nextInt())
+        // std::stof rejects non-finite-producing and subnormal inputs
+        if (!f.isNaN && !f.isInfinite && (f == 0.0f || math.abs(f) >= java.lang.Float.MIN_NORMAL))
+          return f
+      }
+      0.0f
+    }
+    val adds = (1 to 12).map { _ =>
+      Seq("add", (1 to 4).map(_ => safeFloat().toString).mkString(","), "{}")
+    }
+    val gets = (1 to 12).map(i => Seq("get", i.toString))
+    compareSession(Seq(Seq("init", "4")) ++ adds ++ gets)
   }
 
   test("scripted session produces byte-identical stdout to the compiled reference") {

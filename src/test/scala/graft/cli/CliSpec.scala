@@ -74,6 +74,10 @@ class CliSpec extends AnyFunSuite {
     assert(Cli.cppNum(0.18027755737304688) == "0.180278")
     assert(Cli.cppNum(1.0) == "1")
     assert(Cli.cppNum(1.100000023841858) == "1.1")
-    assert(Cli.cppNum(15000000.0) == "15000000")
+    // %g switches to scientific at exponent 6 even for integral values
+    // (verified against the compiled reference: 15000000.0f → "1.5e+07")
+    assert(Cli.cppNum(15000000.0) == "1.5e+07")
+    assert(Cli.cppNum(1000000.0) == "1e+06")
+    assert(Cli.cppNum(999999.0) == "999999")
   }
 }

@@ -74,11 +74,13 @@ class EnvelopeSpec extends AnyFunSuite {
     assertThrows[Exception](Envelope.load(p.toString))
   }
 
-  test("empty db emits vectors: [] like nlohmann") {
+  test("empty db emits vectors: null like nlohmann (vectordb.cpp:162)") {
+    // `json& j_vectors = j["vectors"]` stays null when nothing is pushed —
+    // verified by running the compiled reference's init
     val out = Files.createTempDirectory("env").resolve("empty.json").toString
     Envelope.save(Envelope.Db(3, 1L, Seq.empty), out)
     val s = Files.readString(Paths.get(out))
-    assert(s == "{\n  \"dim\": 3,\n  \"nextId\": 1,\n  \"vectors\": []\n}")
+    assert(s == "{\n  \"dim\": 3,\n  \"nextId\": 1,\n  \"vectors\": null\n}")
     val back = Envelope.load(out).get
     assert(back.dim == 3 && back.nextId == 1 && back.records.isEmpty)
   }

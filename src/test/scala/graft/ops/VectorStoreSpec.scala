@@ -34,7 +34,9 @@ class VectorStoreSpec extends AnyFunSuite {
   test("init refuses an existing file (vectordb.cpp:24-26)") {
     val path = tmpDb()
     VectorStore.init(spark, path, 2)
-    assertThrows[IllegalArgumentException](VectorStore.init(spark, path, 2))
+    val e = intercept[IllegalStateException](VectorStore.init(spark, path, 2))
+    // reference text exactly (vectordb.cpp:25) — the CLI prints "Error: " + this
+    assert(e.getMessage == "Database file already exists. Cannot initialize.")
   }
 
   // test.cpp:54-88 — scenario 2: add, save, reload, get
