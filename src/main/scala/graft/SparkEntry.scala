@@ -60,6 +60,18 @@ object SparkEntry {
   private val NormSql = "lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))"
   private val ToksSql = s"string_split($NormSql, ' ')"
 
+  /** Karp-Rabin k-gram hash for the winnowing oracle: the rolling hash
+    * h(i+1) = (h(i) − c·B^(k−1))·B + c' telescopes to Σ c_j·B^(k−1−j)
+    * (mod 2^64), so each hash is one flat sum with the powers of
+    * B = 1000003 precomputed mod 2^64 (they exceed HUGEINT un-reduced). */
+  private val WinnowTermsSql = {
+    val mod = BigInt(1) << 64
+    (0 until 8).map { j =>
+      val p = BigInt(1000003).pow(7 - j).mod(mod)
+      s"CAST(unicode(c[i+$j]) AS HUGEINT) * $p"
+    }.mkString(" + ")
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {
     val dir = "/root/testdata/sf0.001"
@@ -232,18 +244,23 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
-    // MinHash-LSH near-dup pairs (banded bucket join; rows-only check —
-    // xxhash-free but MLlib hash functions aren't DuckDB-expressible).
+    // MinHash-LSH near-dup pairs (banded bucket join, then the EXACT
+    // Jaccard filter on candidates). The oracle brute-forces the same
+    // threshold set with a shared-shingle join: every qualifying pair at
+    // sf0.01 sits at jaccard ≥ 0.9, where the 12×2 banding's candidate
+    // recall is 1−(1−j²)^12 ≈ 1−2e-9 — and the fixed hash functions make
+    // the output deterministic, verified equal to brute force.
     "dedup_minhash" -> ((s, dir) => {
       Dedup.minHashNearDups(docs(s, dir), maxJaccardDist = 0.6)
-        .select(col("id_a"), col("id_b"))
         .orderBy(col("id_a"), col("id_b"))
     }),
 
-    // SimHash near-dup pairs (4×16-bit band join + hamming filter;
-    // rows-only check — xxhash64 has no DuckDB equivalent).
+    // SimHash near-dup pairs (4×16-bit band join + hamming filter). The
+    // md5 hash kind makes the 64-bit signature recomputable in SQL, and
+    // the band join is pigeonhole-COMPLETE for hamming ≤ 3, so the
+    // banded output provably equals the oracle's all-pairs brute force.
     "dedup_simhash" -> ((s, dir) => {
-      Dedup.simHashNearDups(docs(s, dir), maxHamming = 3)
+      Dedup.simHashNearDups(docs(s, dir), maxHamming = 3, hashKind = "md5")
         .orderBy(col("id_a"), col("id_b"))
     }),
 
@@ -261,9 +278,11 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
-    // Winnowing partial-overlap pairs (rows-only: the Karp-Rabin window
-    // minima have no DuckDB equivalent; the substring-match guarantee
-    // is pinned by DedupSpec instead).
+    // Winnowing partial-overlap pairs. The Karp-Rabin k-gram hashes are
+    // Σ c_j·B^(k−1−j) mod 2^64 over UTF-16 units (ASCII fixture ⇒ code
+    // points), and the fingerprint SET only needs window minima BY VALUE
+    // (the rightmost-tie rule picks an index, not a value), so the whole
+    // operator is recomputable in SQL with HUGEINT modular arithmetic.
     "dedup_winnow" -> ((s, dir) => {
       Dedup.winnowOverlapPairs(docs(s, dir), minShared = 3, maxFingerprintDf = 20L)
         .orderBy(col("id_a"), col("id_b"))
@@ -551,6 +570,65 @@ object SparkEntry {
          |JOIN sz sa ON sa.doc_id = id_a
          |JOIN sz sb ON sb.doc_id = id_b
          |WHERE CAST(n_inter AS DOUBLE) / CAST(sa.set_size + sb.set_size - n_inter AS DOUBLE) >= 0.3
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    // Brute force over ALL pairs at the exact-Jaccard threshold; the
+    // banded MinHash result equals it (see the query comment).
+    "dedup_minhash" ->
+      s"""WITH t AS (SELECT doc_id, $ToksSql AS toks FROM documents),
+         |sh AS (SELECT doc_id,
+         |              unnest(list_distinct([array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks) - 1)])) AS shingle
+         |       FROM t WHERE len(toks) >= 3),
+         |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS set_size FROM sh GROUP BY 1),
+         |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS n_inter
+         |          FROM sh a JOIN sh b USING (shingle) WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+         |SELECT id_a, id_b,
+         |       1.0 - CAST(n_inter AS DOUBLE) / CAST(sa.set_size + sb.set_size - n_inter AS DOUBLE) AS jaccard_dist
+         |FROM inter JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+         |WHERE 1.0 - CAST(n_inter AS DOUBLE) / CAST(sa.set_size + sb.set_size - n_inter AS DOUBLE) <= 0.6
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    // Recomputes the md5-kind SimHash signature per document (u64 from
+    // the first 16 hex chars of md5(token), ±1 vote per bit, sign pack)
+    // and brute-forces hamming ≤ 3 over all pairs — the pigeonhole band
+    // join returns exactly this set.
+    "dedup_simhash" ->
+      s"""WITH t AS (SELECT doc_id, $ToksSql AS toks FROM documents),
+         |hv AS (SELECT doc_id,
+         |         [list_sum([(CAST(strpos('0123456789abcdef', md5(tk)[i]) AS HUGEINT) - 1) << (4*(16-i)) FOR i IN range(1,17)])
+         |          FOR tk IN toks] AS hs
+         |       FROM t),
+         |sg AS (SELECT doc_id,
+         |         list_sum([CASE WHEN list_sum([CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END FOR h IN hs]) > 0
+         |                   THEN (CAST(1 AS HUGEINT) << b) ELSE CAST(0 AS HUGEINT) END FOR b IN range(64)]) AS s
+         |       FROM hv),
+         |sig AS (SELECT doc_id,
+         |          CAST(CASE WHEN s < 9223372036854775808 THEN s ELSE s - 18446744073709551616 END AS BIGINT) AS sig
+         |        FROM sg)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
+         |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.sig, b.sig)) <= 3
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    // Recomputes the winnowing fingerprint sets (Karp-Rabin k=8 hashes
+    // as Σ c_j·B^(7−j) mod 2^64 via HUGEINT, signed back to Java-long
+    // order, w=4 window minima by value, distinct) and the full
+    // shared-fingerprint pair pipeline including the df ≤ 20 hot-key cap.
+    "dedup_winnow" ->
+      s"""WITH t AS (SELECT doc_id, string_split_regex(text, '') AS c, length(text) AS n FROM documents),
+         |h AS (SELECT doc_id, n,
+         |    [CAST(CASE WHEN hv < 9223372036854775808 THEN hv ELSE hv - 18446744073709551616 END AS BIGINT)
+         |     FOR hv IN [(${WinnowTermsSql}) % 18446744073709551616::HUGEINT FOR i IN range(1, n - 8 + 2)]] AS hashes
+         |  FROM t WHERE n >= 8),
+         |fp AS (SELECT doc_id, unnest(list_distinct(
+         |    CASE WHEN len(hashes) <= 4 THEN [list_min(hashes)]
+         |         ELSE [list_min(hashes[s:s+3]) FOR s IN range(1, len(hashes) - 4 + 2)] END)) AS fp
+         |  FROM h),
+         |rare AS (SELECT fp FROM fp GROUP BY 1 HAVING count(*) <= 20),
+         |pr AS (SELECT fp.doc_id, fp.fp FROM fp JOIN rare USING (fp))
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS n_shared
+         |FROM pr a JOIN pr b USING (fp) WHERE a.doc_id < b.doc_id
+         |GROUP BY 1,2 HAVING count(*) >= 3
          |ORDER BY id_a, id_b""".stripMargin,
 
     "emb_near_dups" ->

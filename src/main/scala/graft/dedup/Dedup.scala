@@ -95,8 +95,8 @@ object Dedup {
     * vote per bit, sign → bit pack. Codegen expression
     * ([[VectorExpressions.simHash]]) — narrow per-row compute, no
     * shuffle, no interpreted lambda per bit. */
-  def simHashCol(textCol: String): Column =
-    VectorExpressions.simHash(tokens(col(textCol)))
+  def simHashCol(textCol: String, hashKind: String = "xx"): Column =
+    VectorExpressions.simHash(tokens(col(textCol)), hashKind)
 
   /** Hamming distance between two 64-bit signatures. */
   def hamming64(a: Column, b: Column): Column =
@@ -113,8 +113,9 @@ object Dedup {
       df: DataFrame,
       maxHamming: Int = 3,
       idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
-    val sigs = df.select(col(idCol), simHashCol(textCol).as("sig"))
+      textCol: String = "text",
+      hashKind: String = "xx"): DataFrame = {
+    val sigs = df.select(col(idCol), simHashCol(textCol, hashKind).as("sig"))
     val candidates = simHashBandPairs(sigs, maxHamming, idCol)
     val sigA = sigs.select(col(idCol).as("id_a"), col("sig").as("sig_a"))
     val sigB = sigs.select(col(idCol).as("id_b"), col("sig").as("sig_b"))

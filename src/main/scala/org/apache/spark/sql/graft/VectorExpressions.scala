@@ -111,12 +111,36 @@ case class DotExpr(left: Expression, right: Expression) extends VectorFoldExpres
     copy(left = l, right = r)
 }
 
-/** 64-bit SimHash of a token array: every token hashed once with
-  * xxhash64 (seed 42, identical to the SQL `xxhash64` function), a ±1
-  * vote per bit, sign → bit pack. Codegen loop replaces the interpreted
+/** Token-hash helpers shared by interpreted and generated SimHash code. */
+object GraftHash {
+  private val md5Pool = ThreadLocal.withInitial[java.security.MessageDigest](
+    () => java.security.MessageDigest.getInstance("MD5"))
+
+  /** First 8 bytes of the MD5 digest, big-endian — equals the first 16
+    * hex chars of `md5(token)` read as an unsigned 64-bit value, which a
+    * SQL oracle can recompute (DuckDB `md5` + hex arithmetic). */
+  def md5Long(s: org.apache.spark.unsafe.types.UTF8String): Long = {
+    val md = md5Pool.get()
+    md.reset()
+    val d = md.digest(s.getBytes)
+    java.nio.ByteBuffer.wrap(d).getLong
+  }
+}
+
+/** 64-bit SimHash of a token array: every token hashed once, a ±1 vote
+  * per bit, sign → bit pack. Codegen loop replaces the interpreted
   * higher-order-function fold (~64 lambda evals per token per row).
-  * Null tokens hash like SQL xxhash64 does (seed passes through). */
-case class SimHashExpr(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+  *
+  * `hashKind` selects the token hash:
+  *  - "xx": xxhash64 seed 42 (identical to the SQL `xxhash64` function) —
+  *    the fast default for production pipelines
+  *  - "md5": first 8 bytes of MD5 — slower, but recomputable by an
+  *    external SQL engine, which makes the whole near-dup operator
+  *    oracle-checkable end-to-end
+  * Null tokens hash to the xx seed in both kinds. */
+case class SimHashExpr(child: Expression, hashKind: String = "xx")
+    extends UnaryExpression with ExpectsInputTypes {
+  require(hashKind == "xx" || hashKind == "md5", s"unknown hashKind $hashKind")
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
@@ -126,10 +150,12 @@ case class SimHashExpr(child: Expression) extends UnaryExpression with ExpectsIn
     val arr = a.asInstanceOf[ArrayData]
     val votes = new Array[Long](64)
     val n = arr.numElements()
+    val md5 = hashKind == "md5"
     var i = 0
     while (i < n) {
       val h =
         if (arr.isNullAt(i)) 42L
+        else if (md5) GraftHash.md5Long(arr.getUTF8String(i))
         else XXH64.hashUTF8String(arr.getUTF8String(i), 42L)
       var j = 0
       while (j < 64) {
@@ -147,6 +173,7 @@ case class SimHashExpr(child: Expression) extends UnaryExpression with ExpectsIn
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a => {
       val xxh = classOf[XXH64].getName
+      val gh = GraftHash.getClass.getName.stripSuffix("$") + "$.MODULE$"
       // fresh names: avoid local-variable collisions when inlined
       val votes = ctx.freshName("votes")
       val n = ctx.freshName("n")
@@ -154,11 +181,14 @@ case class SimHashExpr(child: Expression) extends UnaryExpression with ExpectsIn
       val h = ctx.freshName("h")
       val j = ctx.freshName("j")
       val sig = ctx.freshName("sig")
+      val hashCall =
+        if (hashKind == "md5") s"$gh.md5Long($a.getUTF8String($i))"
+        else s"$xxh.hashUTF8String($a.getUTF8String($i), 42L)"
       s"""
          |long[] $votes = new long[64];
          |final int $n = $a.numElements();
          |for (int $i = 0; $i < $n; $i++) {
-         |  final long $h = $a.isNullAt($i) ? 42L : $xxh.hashUTF8String($a.getUTF8String($i), 42L);
+         |  final long $h = $a.isNullAt($i) ? 42L : $hashCall;
          |  for (int $j = 0; $j < 64; $j++) {
          |    $votes[$j] += ((($h >>> $j) & 1L) == 1L) ? 1L : -1L;
          |  }
@@ -463,9 +493,10 @@ object VectorExpressions {
     ExpressionUtils.column(
       DotExpr(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 
-  /** Codegen 64-bit SimHash of a token-array column. */
-  def simHash(tokens: Column): Column =
-    ExpressionUtils.column(SimHashExpr(ExpressionUtils.expression(tokens)))
+  /** Codegen 64-bit SimHash of a token-array column. `hashKind` "xx"
+    * (fast default) or "md5" (SQL-oracle-recomputable). */
+  def simHash(tokens: Column, hashKind: String = "xx"): Column =
+    ExpressionUtils.column(SimHashExpr(ExpressionUtils.expression(tokens), hashKind))
 
   /** Codegen k-element MinHash signature of a shingle-array column. */
   def minHash(shingles: Column, k: Int): Column =
