@@ -91,7 +91,12 @@ object Ann {
       .select(
         col(s"datasetA.$qIdCol").as(qIdCol),
         col(s"datasetB.$idCol").as(idCol),
-        (col("l2") * col("l2")).as("dist"))
+        // recompute with the engine's codegen kernel: squaring MLlib's
+        // euclidean (√x)² is not bit-identical to the exact join's dist,
+        // and the output contract is "same schema AND same values as the
+        // exact join for every pair it reports"
+        graft.functions.Distances
+          .l2Sq(col("datasetA.embedding_q"), col(s"datasetB.$embCol")).as("dist"))
     val w = Window.partitionBy(col(qIdCol)).orderBy(col("dist").asc, col(idCol).asc)
     joined
       .withColumn("rank", row_number().over(w))

@@ -89,4 +89,75 @@ object Ivf {
       idCol: String = "vec_id",
       embCol: String = "embedding"): DataFrame =
     search(index, spark.read.parquet(dir), query, k, nprobe, idCol, embCol)
+
+  // ------------------------------------------------- persisted layout
+
+  /** The searchable on-disk form of an IVF index: the cluster-partitioned
+    * parquet plus a centroid sidecar. Probing only needs the centroids —
+    * not the fitted KMeansModel — so a layout loads without any ML state
+    * and a long-lived service never re-fits (the reference rebuilds its
+    * whole index on every query, vectordb.cpp:216-217 — the exact
+    * anti-pattern this split exists to avoid). */
+  final case class Layout(dir: String, centroids: Array[Array[Double]])
+
+  private val centroidFile = "_centroids.json"
+
+  /** Fit (if needed) and persist the partitioned layout + sidecar.
+    * Idempotent across processes: an existing complete layout is reused —
+    * the quantizer is seeded, so a rebuild would produce the same files. */
+  def buildLayout(
+      spark: SparkSession,
+      df: DataFrame,
+      dir: String,
+      nlist: Int,
+      maxIter: Int = 20,
+      sampleFraction: Double = 1.0,
+      embCol: String = "embedding"): Layout = {
+    val sidecar = java.nio.file.Paths.get(dir, centroidFile)
+    if (java.nio.file.Files.exists(sidecar)) return loadLayout(dir)
+    val index = fit(df, nlist, embCol, sampleFraction, maxIter)
+    writePartitioned(index, df, dir, embCol)
+    val centroids = index.model.clusterCenters.map(_.toArray)
+    val json = centroids.map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
+    java.nio.file.Files.writeString(sidecar, json)
+    Layout(dir, centroids)
+  }
+
+  def loadLayout(dir: String): Layout = {
+    val json = java.nio.file.Files.readString(java.nio.file.Paths.get(dir, centroidFile))
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = mapper.readTree(json)
+    import scala.jdk.CollectionConverters._
+    val centroids = node.elements().asScala
+      .map(row => row.elements().asScala.map(_.asDouble()).toArray).toArray
+    Layout(dir, centroids)
+  }
+
+  private def probeClustersOf(centroids: Array[Array[Double]], query: Array[Float], nprobe: Int): Seq[Int] = {
+    val q = query.map(_.toDouble)
+    centroids.zipWithIndex
+      .map { case (c, i) =>
+        var s = 0.0
+        var j = 0
+        while (j < q.length) { val d = c(j) - q(j); s += d * d; j += 1 }
+        (s, i)
+      }
+      .sortBy(_._1).take(nprobe).map(_._2).toSeq
+  }
+
+  /** Probe a persisted layout: centroid ranking driver-side, `cluster IN`
+    * partition pruning, exact kernel within the probed inverted lists. */
+  def searchLayout(
+      spark: SparkSession,
+      layout: Layout,
+      query: Array[Float],
+      k: Int,
+      nprobe: Int,
+      idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    val clusters = probeClustersOf(layout.centroids, query, nprobe)
+    VectorSearch.knnExact(
+      spark.read.parquet(layout.dir).filter(col("cluster").isin(clusters: _*)),
+      query.toSeq, k, idCol, embCol)
+  }
 }

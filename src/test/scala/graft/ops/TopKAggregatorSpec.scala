@@ -38,9 +38,30 @@ class TopKAggregatorSpec extends AnyFunSuite {
     val agg = new TopKAggregator(3)
     val rows = Seq((5L, 0.5), (1L, 0.1), (2L, 0.1), (9L, 0.9), (4L, 0.4), (3L, 0.3))
     val buf = rows.foldLeft(agg.zero)(agg.reduce)
-    assert(buf.length <= 6) // never exceeds 2k
+    assert(buf.size <= 3) // heap never exceeds k entries
     val merged = agg.merge(buf, agg.reduce(agg.zero, (0L, 0.05)))
     val out = agg.finish(merged)
     assert(out.toSeq == Seq((0L, 0.05), (1L, 0.1), (2L, 0.1)))
+  }
+
+  test("heap buffer matches a reference sort under random fire, including ties") {
+    val rng = new scala.util.Random(7)
+    (1 to 50).foreach { _ =>
+      val k = 1 + rng.nextInt(8)
+      val agg = new TopKAggregator(k)
+      val n = rng.nextInt(60)
+      // coarse dists force (dist, id) tie-breaks regularly
+      val rows = Seq.fill(n)((rng.nextLong(100), rng.nextInt(5) / 10.0))
+      val split = if (n == 0) 0 else rng.nextInt(n + 1)
+      val (r1, r2) = rows.splitAt(split)
+      val merged = agg.merge(
+        r1.foldLeft(agg.zero)(agg.reduce),
+        r2.foldLeft(agg.zero)(agg.reduce))
+      val expected = rows.distinct.sortBy { case (id, d) => (d, id) }.take(k)
+      // distinct is not applied by the aggregator; emulate duplicates too
+      val expectedWithDups = rows.sortBy { case (id, d) => (d, id) }.take(k)
+      assert(agg.finish(merged).toSeq == expectedWithDups,
+        s"k=$k rows=$rows (distinct-expected $expected)")
+    }
   }
 }
