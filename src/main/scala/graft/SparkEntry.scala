@@ -60,6 +60,27 @@ object SparkEntry {
   private val NormSql = "lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))"
   private val ToksSql = s"string_split($NormSql, ' ')"
 
+  /** Deterministic synthetic media corpus: 200 rows whose binary content
+    * is the UTF-8 bytes of concatenated md5 hex strings (ASCII ⇒ every
+    * byte is positive, so the decode stub's `Arrays.hashCode` fold is a
+    * plain polynomial an oracle can recompute), truncated to a per-row
+    * length. The same construction is expressed in DuckDB SQL in
+    * `oracleSql("media_decode_stats")` — the fixture IS the parity
+    * contract, no files involved. */
+  private def mediaFixture(s: SparkSession): org.apache.spark.sql.Dataset[graft.multimodal.Multimodal.MediaRecord] = {
+    import s.implicits._
+    val chunks = (1 to 5).map(c =>
+      md5(((col("id") * 7919 + c).cast("string")).cast("binary")))
+    s.range(200).select(
+      col("id").as("media_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (col("id") % 3).cast("int") + 1).as("modality"),
+      concat(chunks: _*).substr(lit(1), lit(64) + (col("id") % 80).cast("int"))
+        .cast("binary").as("content"),
+      lit("""{"src":"synthetic"}""").as("meta"))
+      .as[graft.multimodal.Multimodal.MediaRecord]
+  }
+
   /** Deterministic per-(sf-dir, variant) location for the persisted IVF
     * layout: build-once, probe-many — bench iterations and verify reruns
     * reuse the files (the seeded quantizer makes rebuilds identical). */
@@ -146,6 +167,26 @@ object SparkEntry {
         sum(when(col("dist") > lit(2.0 * 2.0), 1L).otherwise(0L)).as("out_of_radius"),
         sum(when(col("rank") =!= col("rank_check"), 1L).otherwise(0L)).as("rank_violations"),
         sum(when(col("rank") > 5, 1L).otherwise(0L)).as("over_k"))
+    }),
+
+    // Multimodal decode + frame-sample over a binary column: per-media
+    // descriptor (dimensions, frame counts, byte totals) joined with the
+    // sampled-frame summary. The decode kernel is the documented
+    // deterministic stub; its outputs are pure functions of the content
+    // bytes, and the oracle recomputes them (hashCode fold, slicing
+    // arithmetic) from the same synthetic corpus — the first
+    // driver-checked surface touching a `binary` column.
+    "media_decode_stats" -> ((s, dir) => {
+      val media = mediaFixture(s)
+      val decoded = graft.multimodal.Multimodal.decode(media).toDF()
+      val frames = graft.multimodal.Multimodal.sampleFrames(media, maxFrames = 4).toDF()
+        .groupBy("media_id")
+        .agg(count(lit(1)).as("frames_sampled"),
+          sum(length(col("frame_bytes")).cast("long")).as("frame_bytes"))
+      decoded.join(frames, "media_id")
+        .select(col("media_id"), col("modality"), col("width"), col("height"),
+          col("n_frames"), col("n_bytes"), col("frames_sampled"), col("frame_bytes"))
+        .orderBy(col("media_id"))
     }),
 
     // O3 get: point lookup by id (reference vectordb.cpp:54-59) — the
@@ -525,6 +566,39 @@ object SparkEntry {
       """SELECT CAST(5 AS BIGINT) AS n_queries, CAST(0 AS BIGINT) AS bad_dist,
         |       CAST(0 AS BIGINT) AS out_of_radius, CAST(0 AS BIGINT) AS rank_violations,
         |       CAST(0 AS BIGINT) AS over_k""".stripMargin,
+
+    // Rebuilds the synthetic media corpus (same md5-hex construction as
+    // mediaFixture) and recomputes the decode stub: Arrays.hashCode is
+    // 31^n + Σ b_j·31^(n−1−j) mod 2^32 (ASCII content ⇒ bytes positive),
+    // the Java sign quirks reduce to abs() on the signed value, and the
+    // frame-sampling slice arithmetic is plain positive integer division.
+    "media_decode_stats" -> {
+      val pows = (0 to 150).map(k => BigInt(31).pow(k).mod(BigInt(2).pow(32))).mkString("[", ",", "]")
+      val md5s = (1 to 5).map(c => s"md5(CAST(t.i*7919+$c AS VARCHAR))").mkString(" || ")
+      s"""WITH p AS (SELECT $pows AS pw),
+         |m AS (SELECT t.i AS media_id,
+         |        CASE t.i % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+         |        substr($md5s, 1, CAST(64 + t.i % 80 AS INTEGER)) AS cs
+         |      FROM range(200) t(i)),
+         |h0 AS (SELECT media_id, modality, length(cs) AS n,
+         |         (pw[length(cs)+1] + list_sum([unicode(cs[j]) * pw[length(cs)-j+1] FOR j IN range(1, length(cs)+1)])) % 4294967296 AS h32
+         |       FROM m CROSS JOIN p),
+         |hs AS (SELECT media_id, modality, n,
+         |         CAST(abs(CASE WHEN h32 >= 2147483648 THEN h32 - 4294967296 ELSE h32 END) AS BIGINT) AS a
+         |       FROM h0),
+         |d AS (SELECT media_id, modality, n, 64 + a % 960 AS width, 64 + (a // 960) % 960 AS height,
+         |        CASE WHEN modality = 'video' THEN 1 + a % 240 ELSE 1 END AS nf
+         |      FROM hs),
+         |f AS (SELECT *, least(4, nf) AS fs, greatest(1, n // greatest(1, nf)) AS sl FROM d)
+         |SELECT media_id, modality, CAST(width AS INTEGER) AS width, CAST(height AS INTEGER) AS height,
+         |       CAST(nf AS INTEGER) AS n_frames, CAST(n AS BIGINT) AS n_bytes,
+         |       CAST(fs AS BIGINT) AS frames_sampled,
+         |       CAST(list_sum([least(n, least(n-1, (CASE WHEN fs = 1 THEN 0 ELSE (k*(nf-1)) // (fs-1) END) * sl) + sl)
+         |                      - least(n-1, (CASE WHEN fs = 1 THEN 0 ELSE (k*(nf-1)) // (fs-1) END) * sl)
+         |                      FOR k IN range(0, fs)]) AS BIGINT) AS frame_bytes
+         |FROM f
+         |ORDER BY media_id""".stripMargin
+    },
 
     "vec_get" ->
       "SELECT vec_id, label, len(embedding) AS dim FROM embeddings WHERE vec_id = 42",

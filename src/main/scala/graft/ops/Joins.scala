@@ -84,11 +84,78 @@ object Joins {
       key: String,
       leftTs: String,
       rightTs: String): DataFrame = {
+    val (tagged, rightVals, leftCols) = tagSides(left, right, key, leftTs, rightTs)
+    val w = Window.partitionBy(col(key))
+      .orderBy(col("_ts").asc, col("_side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    projectAsOf(fillLast(tagged, w, rightVals, leftCols, key), key, rightVals, leftCols)
+  }
+
+  /** [[asOfJoin]] for HOT keys: a single pathological key serializes one
+    * window partition in the plain form (everything for that key lands on
+    * one reducer). Here time is cut into `bucketSec` buckets and the
+    * window runs per (key, bucket) — parallelism grows with the key's
+    * time span. Correctness across bucket boundaries comes from a
+    * carry-in pass: the last right row of every earlier bucket (a tiny
+    * per-(key, bucket) summary, shuffled once) is injected into each
+    * bucket as a synthetic predecessor row.
+    *
+    * Equivalent to [[asOfJoin]] whenever right rows have distinct
+    * timestamps per key (on exact right-ts ties the two forms may pick
+    * different tied rows — the plain window's pick is itself
+    * order-dependent there).
+    */
+  def asOfJoinSalted(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      leftTs: String,
+      rightTs: String,
+      bucketSec: Long = 86400L): DataFrame = {
+    require(bucketSec > 0, s"bucketSec must be positive, got $bucketSec")
+    val (tagged0, rightVals, leftCols) = tagSides(left, right, key, leftTs, rightTs)
+    val rCols = rightVals.map(c => s"_r_$c")
+    val tagged = tagged0.withColumn("_bucket",
+      floor(unix_timestamp(col("_ts")) / bucketSec))
+
+    // last right row of each (key, bucket): max of (ts, side, values) —
+    // struct ordering puts the greatest timestamp first
+    val rightSummary = tagged.filter(col("_side") === 0)
+      .groupBy(col(key), col("_bucket"))
+      .agg(max(struct((col("_ts") +: rCols.map(col)): _*)).as("_last"))
+
+    // running carry: for every bucket the key appears in, the last right
+    // row from any STRICTLY EARLIER bucket (a per-(key,bucket) summary —
+    // the hot key contributes #buckets rows here, not #events)
+    val wc = Window.partitionBy(col(key)).orderBy(col("_bucket").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = tagged.select(col(key), col("_bucket")).distinct()
+      .join(rightSummary, Seq(key, "_bucket"), "left")
+      .withColumn("_carry", last(col("_last"), ignoreNulls = true).over(wc))
+      .filter(col("_carry").isNotNull)
+
+    val carryRows = carry.select(
+      Seq(col(key), col("_carry._ts").as("_ts"), lit(-1).as("_side"), col("_bucket")) ++
+        rCols.map(c => col(s"_carry.$c").as(c)) ++
+        leftCols.filterNot(_ == key).map(c => lit(null).as(s"_l_$c")): _*)
+
+    val w = Window.partitionBy(col(key), col("_bucket"))
+      .orderBy(col("_ts").asc, col("_side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = fillLast(tagged.unionByName(carryRows), w, rightVals, leftCols, key)
+    projectAsOf(filled, key, rightVals, leftCols)
+  }
+
+  /** Tag and align the two sides on (key, ts); right rows sort before
+    * left rows at the same timestamp so "<=" semantics hold. */
+  private def tagSides(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      leftTs: String,
+      rightTs: String): (DataFrame, Seq[String], Seq[String]) = {
     val rightVals = right.columns.filterNot(_ == key).toSeq
     val leftCols = left.columns.toSeq
-
-    // tag and align the two sides on (key, ts); right rows sort before
-    // left rows at the same timestamp so "<=" semantics hold
     val taggedRight = right
       .withColumn("_ts", col(rightTs))
       .withColumn("_side", lit(0))
@@ -101,19 +168,27 @@ object Joins {
       .select(Seq(col(key), col("_ts"), col("_side")) ++
         rightVals.map(c => lit(null).cast(right.schema(c).dataType).as(s"_r_$c")) ++
         leftCols.filterNot(_ == key).map(c => col(c).as(s"_l_$c")): _*)
+    (taggedRight.unionByName(taggedLeft), rightVals, leftCols)
+  }
 
-    val w = Window.partitionBy(col(key))
-      .orderBy(col("_ts").asc, col("_side").asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = taggedRight.unionByName(taggedLeft)
-      .select(
-        (Seq(col(key), col("_ts"), col("_side")) ++
-          leftCols.filterNot(_ == key).map(c => col(s"_l_$c")) ++
-          rightVals.map(c => last(col(s"_r_$c"), ignoreNulls = true).over(w).as(s"_r_$c"))): _*)
+  private def fillLast(
+      tagged: DataFrame,
+      w: org.apache.spark.sql.expressions.WindowSpec,
+      rightVals: Seq[String],
+      leftCols: Seq[String],
+      key: String): DataFrame =
+    tagged.select(
+      (Seq(col(key), col("_ts"), col("_side")) ++
+        leftCols.filterNot(_ == key).map(c => col(s"_l_$c")) ++
+        rightVals.map(c => last(col(s"_r_$c"), ignoreNulls = true).over(w).as(s"_r_$c"))): _*)
       .filter(col("_side") === 1)
 
+  private def projectAsOf(
+      filled: DataFrame,
+      key: String,
+      rightVals: Seq[String],
+      leftCols: Seq[String]): DataFrame =
     filled.select(
       leftCols.map(c => if (c == key) col(key) else col(s"_l_$c").as(c)) ++
         rightVals.map(c => col(s"_r_$c").as(c)): _*)
-  }
 }

@@ -44,6 +44,22 @@ final class VectorStore private (
   /** O10 — schema introspection. */
   def getDimensions: Int = dim
 
+  /** Mutations since the last lineage checkpoint. Every mutation rebinds
+    * `data` to a new plan on top of the old one (union/map/filter), so a
+    * long session would accrete an O(mutations) lineage and every action
+    * would replan all of it; truncating via localCheckpoint every N keeps
+    * plan size O(1) amortized. */
+  private var mutationsSinceCheckpoint = 0
+  private val checkpointEvery = 32
+
+  private def afterMutation(): Unit = {
+    mutationsSinceCheckpoint += 1
+    if (mutationsSinceCheckpoint >= checkpointEvery) {
+      data = data.localCheckpoint(true)
+      mutationsSinceCheckpoint = 0
+    }
+  }
+
   def toDS: Dataset[VectorRecord] = data
   def toDF: DataFrame = data.toDF()
 
@@ -61,6 +77,7 @@ final class VectorStore private (
     val id = cursor
     cursor += 1
     data = data.union(spark.createDataset(Seq(VectorRecord(id, vec, metadata))))
+    afterMutation()
     id
   }
 
@@ -72,6 +89,7 @@ final class VectorStore private (
     val recs = rows.zip(ids).map { case ((v, m), id) => VectorRecord(id, v, m) }
     cursor += rows.size
     data = data.union(spark.createDataset(recs))
+    afterMutation()
     ids
   }
 
@@ -86,6 +104,7 @@ final class VectorStore private (
     if (get(id).isEmpty) false
     else {
       data = data.map(r => if (r.id == id) VectorRecord(id, vec, metadata) else r)
+      afterMutation()
       true
     }
   }
@@ -95,6 +114,7 @@ final class VectorStore private (
     if (get(id).isEmpty) false
     else {
       data = data.filter(org.apache.spark.sql.functions.col("id") =!= id)
+      afterMutation()
       true
     }
   }

@@ -38,6 +38,29 @@ class JoinsSpec extends AnyFunSuite {
       ("C", ts(9).getTime, 2L, None)))
   }
 
+  test("asOfJoinSalted equals asOfJoin on a pathologically hot key") {
+    // one key owns 95% of both sides, timestamps spread over ~40 buckets
+    // (bucketSec=3600), so carry-in must fire across many bucket edges
+    val rng = new scala.util.Random(33)
+    def t(sec: Int): Timestamp = new Timestamp(1704100000000L + sec * 1000L)
+    val right = (1 to 400).map { i =>
+      val k = if (rng.nextInt(20) == 0) s"cold${rng.nextInt(5)}" else "hot"
+      (k, t(rng.nextInt(140000)), rng.nextDouble())
+    }.toDF("k", "rts", "v")
+      .dropDuplicates("k", "rts") // exact right-ts ties are documented out of scope
+    val left = (1 to 1200).map { i =>
+      val k = if (rng.nextInt(20) == 0) s"cold${rng.nextInt(5)}" else "hot"
+      (k, t(rng.nextInt(150000)), i.toLong)
+    }.toDF("k", "lts", "n")
+
+    val plain = Joins.asOfJoin(left, right, "k", "lts", "rts")
+      .as[(String, Timestamp, Long, Option[Timestamp], Option[Double])].collect().toSet
+    val salted = Joins.asOfJoinSalted(left, right, "k", "lts", "rts", bucketSec = 3600L)
+      .as[(String, Timestamp, Long, Option[Timestamp], Option[Double])].collect().toSet
+    assert(salted == plain)
+    assert(plain.size == 1200)
+  }
+
   test("rangeJoin matches a brute-force theta join across bin boundaries") {
     val intervals = Seq(
       ("A", ts(0), ts(30), "i1"),   // spans multiple 10-min bins

@@ -31,6 +31,18 @@ class VectorStoreSpec extends AnyFunSuite {
     assert(s2.get(1).isEmpty)
   }
 
+  test("long mutation sequences keep the plan bounded (lineage checkpoint)") {
+    val path = tmpDb()
+    val store = VectorStore.init(spark, path, 2)
+    (1 to 100).foreach(i => store.add(Array(i.toFloat, i.toFloat), "{}"))
+    // without checkpointing this lineage is ~100 stacked unions; with the
+    // every-32 localCheckpoint it stays a handful of nodes
+    val planNodes = store.toDS.queryExecution.logical.collect { case n => n }.size
+    assert(planNodes < 40, s"plan grew to $planNodes nodes — lineage not truncated")
+    assert(store.toDF.count() == 100)
+    assert(store.get(57L).exists(_.embedding.sameElements(Array(57f, 57f))))
+  }
+
   test("init refuses an existing file (vectordb.cpp:24-26)") {
     val path = tmpDb()
     VectorStore.init(spark, path, 2)
