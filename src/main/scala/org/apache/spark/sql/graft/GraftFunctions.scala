@@ -59,13 +59,16 @@ object GraftFunctions {
     }
   }
 
-  private[graft] def inject(extensions: SparkSessionExtensions): Unit =
+  private[graft] def inject(extensions: SparkSessionExtensions): Unit = {
     functions.foreach { case (name, builder, usage) =>
       extensions.injectFunction(
         (FunctionIdentifier(name),
           new ExpressionInfo("graft", null, name, usage, ""),
           builder))
     }
+    // opt-in via spark.graft.rewriteTopK=true (see TopKWindowRewrite)
+    extensions.injectOptimizerRule(_ => TopKWindowRewrite)
+  }
 }
 
 /** `spark.sql.extensions` entry point. */
