@@ -46,7 +46,10 @@ object GraftFunctions {
       "word_shingles(tokens, n) - distinct word n-grams of a string array"),
     ("srp_sign",
       { case Seq(a, bits) => SrpSignExpr(a, intArg(bits, "srp_sign"), 42L) },
-      "srp_sign(embedding, bits) - SRP bit signature (bits/64 longs) of a float array"))
+      "srp_sign(embedding, bits) - SRP bit signature (bits/64 longs) of a float array"),
+    ("winnow_fingerprints",
+      { case Seq(a, k, w) => WinnowExpr(a, intArg(k, "winnow_fingerprints"), intArg(w, "winnow_fingerprints")) },
+      "winnow_fingerprints(text, k, w) - winnowing (MOSS) document fingerprints: k-gram size k, window w"))
 
   /** Register every graft function into `spark`'s function registry. */
   def register(spark: SparkSession): Unit = {

@@ -32,6 +32,13 @@ class GraftFunctionsSpec extends AnyFunSuite {
     val srp = spark.sql("SELECT srp_sign(array(CAST(0.5 AS FLOAT), CAST(-0.5 AS FLOAT)), 128)")
       .as[Seq[Long]].head()
     assert(srp.length == 2)
+
+    // winnowing guarantee: identical text → identical fingerprint set
+    val fp = spark.sql("SELECT winnow_fingerprints('the quick brown fox jumps', 8, 4)")
+      .as[Seq[Long]].head()
+    val fp2 = spark.sql("SELECT winnow_fingerprints('the quick brown fox jumps', 8, 4)")
+      .as[Seq[Long]].head()
+    assert(fp.nonEmpty && fp == fp2)
   }
 
   test("non-literal k in minhash raises a clear error") {
