@@ -515,6 +515,25 @@ object SparkEntry {
         .orderBy(col("user_id"), col("click_us"), col("event_id"))
     }),
 
+    // Hot-key-safe as-of variant (per-(key, day-bucket) windows with a
+    // carry-in pass) — declared against the SAME oracle as events_asof:
+    // the salted plan must reproduce the plain as-of bit-for-bit.
+    "events_asof_salted" -> ((s, dir) => {
+      val e = events(s, dir)
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("click_ts"), col("event_id"))
+      val signups = e.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("ts").as("signup_ts"))
+      graft.ops.Joins.asOfJoinSalted(clicks, signups, "user_id", "click_ts", "signup_ts",
+          bucketSec = 86400L)
+        .select(
+          col("user_id"),
+          unix_micros(col("click_ts")).as("click_us"),
+          col("event_id"),
+          unix_micros(col("signup_ts")).as("signup_us"))
+        .orderBy(col("user_id"), col("click_us"), col("event_id"))
+    }),
+
     // Tumbling 1-hour window aggregation — the batch shape of the
     // Structured-Streaming windowed agg (value summed in exact integer
     // milli-units: float sums are partition-order-dependent).
@@ -871,6 +890,14 @@ object SparkEntry {
         |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "events_asof" ->
+      """WITH clicks AS (SELECT user_id, ts AS cts, event_id FROM events WHERE event_type = 'click'),
+        |s AS (SELECT user_id, ts AS sts FROM events WHERE event_type = 'signup')
+        |SELECT c.user_id, epoch_us(c.cts) AS click_us, c.event_id, epoch_us(s.sts) AS signup_us
+        |FROM clicks c ASOF LEFT JOIN s ON c.user_id = s.user_id AND c.cts >= s.sts
+        |ORDER BY c.user_id, click_us, event_id""".stripMargin,
+
+    // identical expected output — the salted plan changes shape, not rows
+    "events_asof_salted" ->
       """WITH clicks AS (SELECT user_id, ts AS cts, event_id FROM events WHERE event_type = 'click'),
         |s AS (SELECT user_id, ts AS sts FROM events WHERE event_type = 'signup')
         |SELECT c.user_id, epoch_us(c.cts) AS click_us, c.event_id, epoch_us(s.sts) AS signup_us
