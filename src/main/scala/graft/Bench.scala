@@ -4,7 +4,8 @@ import org.apache.spark.sql.SparkSession
 /** Bench harness: one JSON line with per-query timings at the target SF.
   *
   * Each query runs once COLD (includes plan compilation, codegen, JIT,
-  * and any build-once fixture like the IVF layout) and then twice WARM;
+  * and any build-once fixture like the IVF layout) and then
+  * `SPARK_GRAFT_BENCH_RUNS` (default 3) times WARM;
   * the headline per-query number is the best warm run — at sf0.1 most of
   * a single-shot measurement is plan-compile and JIT jitter, which made
   * run-to-run totals swing by >25%. Cold numbers are still emitted

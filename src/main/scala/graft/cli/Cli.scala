@@ -105,7 +105,11 @@ object Cli {
     val isHex = lower.startsWith("0x")
     val javaTok = if (isHex && !lower.contains('p')) mag + "p0" else mag
     val f0 = java.lang.Float.parseFloat(javaTok)
-    val mantissa = lower.stripPrefix("0x").takeWhile(c => c != 'e' && c != 'p')
+    // mantissa digits end at the exponent marker — which is 'p' for hex
+    // tokens ('e' IS a hex digit there) and 'e' for decimal ones
+    val mantissa =
+      if (isHex) lower.stripPrefix("0x").takeWhile(_ != 'p')
+      else lower.takeWhile(_ != 'e')
     val mathNonzero = mantissa.exists(c => c != '0' && c != '.')
     if (f0.isInfinite) invalid() // overflow
     if (mathNonzero && (f0 == 0.0f || math.abs(f0) < java.lang.Float.MIN_NORMAL)) invalid() // ERANGE underflow

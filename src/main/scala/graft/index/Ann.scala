@@ -39,8 +39,11 @@ object Ann {
       .fit(withFeatures(df, embCol))
   }
 
-  /** Approximate O7 — single-query ANN top-k (squared-L2 output to match
-    * the exact path; MLlib reports unsquared L2 in distCol). */
+  /** Approximate O7 — single-query ANN top-k. The distance column is
+    * recomputed with the engine's codegen l2sq kernel: MLlib reports
+    * unsquared L2, and squaring that √ is not bit-identical to the exact
+    * path's fold, so results would not line up with exact-path values for
+    * the same ids. */
   def searchApprox(
       model: BucketedRandomProjectionLSHModel,
       df: DataFrame,
@@ -51,7 +54,8 @@ object Ann {
     val key = Vectors.dense(query.map(_.toDouble))
     model
       .approxNearestNeighbors(withFeatures(df, embCol), key, k)
-      .select(col(idCol), (col("distCol") * col("distCol")).as("dist"))
+      .select(col(idCol),
+        graft.functions.Distances.l2Sq(col(embCol), lit(query)).as("dist"))
       .orderBy(col("dist").asc, col(idCol).asc)
   }
 

@@ -50,17 +50,8 @@ object Ivf {
     assign(index, df, embCol).write.mode("overwrite").partitionBy("cluster").parquet(dir)
 
   /** Driver-side: the nprobe clusters nearest to the query. */
-  def probeClusters(index: Index, query: Array[Float], nprobe: Int): Seq[Int] = {
-    val q = query.map(_.toDouble)
-    index.model.clusterCenters.zipWithIndex
-      .map { case (c, i) =>
-        var s = 0.0
-        var j = 0
-        while (j < q.length) { val d = c(j) - q(j); s += d * d; j += 1 }
-        (s, i)
-      }
-      .sortBy(_._1).take(nprobe).map(_._2).toSeq
-  }
+  def probeClusters(index: Index, query: Array[Float], nprobe: Int): Seq[Int] =
+    probeClustersOf(index.model.clusterCenters.map(_.toArray), query, nprobe)
 
   /** ANN top-k over an assigned (or partition-pruned parquet) corpus. */
   def search(
@@ -102,9 +93,23 @@ object Ivf {
 
   private val centroidFile = "_centroids.json"
 
+  /** Cheap content fingerprint of the corpus: row count plus an
+    * order-independent hash of the embedding column. One narrow scan —
+    * the price of never probing a stale cached layout after the input
+    * data changes under the same path. */
+  private def fingerprint(df: DataFrame, embCol: String): (Long, Long) = {
+    // bit_xor, not sum: order-independent AND overflow-free under ANSI
+    val row = df.select(xxhash64(col(embCol)).as("_h"))
+      .agg(count(lit(1)), expr("bit_xor(_h)")).head()
+    (row.getLong(0), if (row.isNullAt(1)) 0L else row.getLong(1))
+  }
+
   /** Fit (if needed) and persist the partitioned layout + sidecar.
-    * Idempotent across processes: an existing complete layout is reused —
-    * the quantizer is seeded, so a rebuild would produce the same files. */
+    * Idempotent across processes: an existing layout is reused only when
+    * its recorded corpus fingerprint matches the current input — a
+    * regenerated fixture or a hash-collided cache dir forces a rebuild
+    * instead of silently probing stale data. The sidecar is written LAST,
+    * so a crashed build never looks complete. */
   def buildLayout(
       spark: SparkSession,
       df: DataFrame,
@@ -114,23 +119,30 @@ object Ivf {
       sampleFraction: Double = 1.0,
       embCol: String = "embedding"): Layout = {
     val sidecar = java.nio.file.Paths.get(dir, centroidFile)
-    if (java.nio.file.Files.exists(sidecar)) return loadLayout(dir)
+    val (nRows, dataHash) = fingerprint(df, embCol)
+    if (java.nio.file.Files.exists(sidecar)) {
+      val (layout, storedCount, storedHash) = loadLayoutWithFingerprint(dir)
+      if (storedCount == nRows && storedHash == dataHash) return layout
+    }
     val index = fit(df, nlist, embCol, sampleFraction, maxIter)
     writePartitioned(index, df, dir, embCol)
     val centroids = index.model.clusterCenters.map(_.toArray)
-    val json = centroids.map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
-    java.nio.file.Files.writeString(sidecar, json)
+    val centroidJson = centroids.map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
+    java.nio.file.Files.writeString(sidecar,
+      s"""{"count":$nRows,"hash":$dataHash,"centroids":$centroidJson}""")
     Layout(dir, centroids)
   }
 
-  def loadLayout(dir: String): Layout = {
+  def loadLayout(dir: String): Layout = loadLayoutWithFingerprint(dir)._1
+
+  private def loadLayoutWithFingerprint(dir: String): (Layout, Long, Long) = {
     val json = java.nio.file.Files.readString(java.nio.file.Paths.get(dir, centroidFile))
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val node = mapper.readTree(json)
     import scala.jdk.CollectionConverters._
-    val centroids = node.elements().asScala
+    val centroids = node.get("centroids").elements().asScala
       .map(row => row.elements().asScala.map(_.asDouble()).toArray).toArray
-    Layout(dir, centroids)
+    (Layout(dir, centroids), node.get("count").asLong(), node.get("hash").asLong())
   }
 
   private def probeClustersOf(centroids: Array[Array[Double]], query: Array[Float], nprobe: Int): Seq[Int] = {

@@ -31,7 +31,13 @@ final class CppJsonException(msg: String) extends RuntimeException(msg)
 object CppJson {
 
   def parse(s: String, requireEof: Boolean = true): JsonNode =
-    parseBytes(s.getBytes(StandardCharsets.UTF_8), requireEof)
+    parse(s.getBytes(StandardCharsets.UTF_8), requireEof)
+
+  /** Byte-level entry point — file contents must NOT be decoded to a
+    * String first, or ill-formed UTF-8 would be silently replaced with
+    * U+FFFD before the lexer's validator sees it. */
+  def parse(input: Array[Byte], requireEof: Boolean): JsonNode =
+    new Parser(new Lexer(input), requireEof).parse()
 
   /** Compact re-serialization that Jackson can re-read with identical node
     * types (used to canonicalize CLI metadata for storage). */
@@ -139,10 +145,13 @@ object CppJson {
 
     def scan(): Tok.Value = {
       if (charsReadTotal == 0 && input.length >= 1 && (input(0) & 0xFF) == 0xEF) {
-        // BOM handling: consume a full EF BB BF or error
-        if (input.length >= 3 && (input(1) & 0xFF) == 0xBB && (input(2) & 0xFF) == 0xBF) {
-          get(); get(); get()
-        } else { get(); errorMessage = "invalid BOM; must be 0xEF 0xBB 0xBF if given"; return Tok.ParseError }
+        // BOM: json.hpp skip_bom short-circuits — a mismatch stops reading
+        // at the offending byte, which fixes the reported column
+        get()
+        if (get() != 0xBB || get() != 0xBF) {
+          errorMessage = "invalid BOM; must be 0xEF 0xBB 0xBF if given"
+          return Tok.ParseError
+        }
       }
       skipWhitespace()
       current match {
@@ -413,6 +422,4 @@ object CppJson {
     }
   }
 
-  private def parseBytes(input: Array[Byte], requireEof: Boolean): JsonNode =
-    new Parser(new Lexer(input), requireEof).parse()
 }

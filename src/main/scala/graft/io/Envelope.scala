@@ -41,15 +41,22 @@ object Envelope {
     else if (n.isBoolean) "boolean"
     else "number"
 
-  /** `j.at(key)` parity: missing key → out_of_range.403. */
+  /** `j.at(key)` parity: at() on a non-object → type_error.304; missing
+    * key → out_of_range.403. */
   private def at(n: JsonNode, key: String): JsonNode = {
+    if (!n.isObject)
+      throw new CppJsonException(
+        s"[json.exception.type_error.304] cannot use at() with ${typeName(n)}")
     val v = n.get(key)
     if (v == null)
       throw new CppJsonException(s"[json.exception.out_of_range.403] key '$key' not found")
     v
   }
 
+  /** `get<arithmetic>` parity: numbers AND booleans convert (nlohmann's
+    * arithmetic from_json casts booleans), everything else is 302. */
   private def numberOf(n: JsonNode): Double = {
+    if (n.isBoolean) return if (n.asBoolean()) 1.0 else 0.0
     if (!n.isNumber)
       throw new CppJsonException(
         s"[json.exception.type_error.302] type must be number, but is ${typeName(n)}")
@@ -65,7 +72,9 @@ object Envelope {
     val p = Paths.get(path)
     if (!Files.exists(p)) return None
     val root =
-      try CppJson.parse(new String(Files.readAllBytes(p), StandardCharsets.UTF_8), requireEof = false)
+      // parse the raw bytes: decoding to String first would replace
+      // ill-formed UTF-8 before the parser's validator can report it
+      try CppJson.parse(Files.readAllBytes(p), requireEof = false)
       catch {
         case e: CppJsonException =>
           throw new RuntimeException(s"Failed to parse database file (JSON error): ${e.getMessage}")
@@ -74,17 +83,24 @@ object Envelope {
       val dim = numberOf(at(root, "dim")).toInt
       val nextId = numberOf(at(root, "nextId")).toLong
       val vectorsNode = if (root.has("vectors")) root.get("vectors") else null
-      val records =
-        if (vectorsNode == null || !vectorsNode.isArray) Seq.empty[VectorRecord]
-        else vectorsNode.elements().asScala.map { v =>
-          val id = numberOf(at(v, "id")).toLong
-          val meta = compact(at(v, "metadata"))
-          val vecNode = at(v, "vec")
-          val vec =
-            if (vecNode.isArray) vecNode.elements().asScala.map(e => numberOf(e).toFloat).toArray
-            else { numberOf(vecNode); Array.empty[Float] }
-          VectorRecord(id, vec, meta)
-        }.toSeq
+      // nlohmann range-for semantics: arrays iterate elements, objects
+      // iterate member values, null iterates nothing, and any other
+      // primitive iterates ONCE over the value itself (so a corrupted
+      // scalar "vectors" fails inside at(), exactly like the reference)
+      val elems: Iterator[JsonNode] =
+        if (vectorsNode == null || vectorsNode.isNull) Iterator.empty
+        else if (vectorsNode.isArray || vectorsNode.isObject) vectorsNode.elements().asScala
+        else Iterator.single(vectorsNode)
+      val records = elems.map { v =>
+        val id = numberOf(at(v, "id")).toLong
+        val meta = compact(at(v, "metadata"))
+        val vecNode = at(v, "vec")
+        if (!vecNode.isArray)
+          throw new CppJsonException(
+            s"[json.exception.type_error.302] type must be array, but is ${typeName(vecNode)}")
+        val vec = vecNode.elements().asScala.map(e => numberOf(e).toFloat).toArray
+        VectorRecord(id, vec, meta)
+      }.toSeq
       Some(Db(dim, nextId, records))
     } catch {
       case e: CppJsonException =>

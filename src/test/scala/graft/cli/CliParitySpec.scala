@@ -174,6 +174,47 @@ class CliParitySpec extends AnyFunSuite {
     compareSession(Seq(Seq("init", "4")) ++ adds ++ gets)
   }
 
+  test("hand-corrupted db files produce the reference's exact load errors") {
+    assume(refBinary.isDefined, "no C++ toolchain available to build the reference")
+    spark.sparkContext
+    val cases: Seq[Array[Byte]] = Seq(
+      """{"dim": 2, "nextId": 2, "vectors": 5}""",              // at() on number → 304
+      """{"dim": 2, "nextId": 2, "vectors": "x"}""",            // at() on string → 304
+      """{"dim": 2, "nextId": 2, "vectors": [{"id": 1, "metadata": null, "vec": 2.5}]}""", // 302 array
+      """{"dim": true, "nextId": 2, "vectors": null}""",        // boolean dim is ACCEPTED
+      """{"dim": 2, "nextId": 2, "vectors": {"a": {"id": 1, "metadata": null, "vec": [1.0,2.0]}}}""", // object iterates values
+      """{"dim": 2, "nextId": 2, "vectors": [{"id": 1, "vec": [1.0,2.0]}]}""", // 403 metadata
+      """{"dim": 2, "nextId": 2, "vectors": null}extra""",      // operator>> stops after one value
+      """{"dim": 2""",                                          // truncated → parse error
+      // NOTE: ill-formed-UTF-8 files (e.g. a bad BOM) are excluded: the
+      // reference echoes the raw invalid bytes in its error context, and
+      // a JVM String cannot emit lone invalid bytes — the column and the
+      // message text still match (pinned in CppJsonSpec), only the raw
+      // byte echo is substituted with U+FFFD
+      "not json at all").map(_.getBytes("UTF-8"))
+    cases.zipWithIndex.foreach { case (bytes, i) =>
+      val refDb = Files.createTempDirectory("ref_cor").resolve("db").toString
+      val ourDb = Files.createTempDirectory("our_cor").resolve("db").toString
+      Files.write(Paths.get(refDb + ".json"), bytes)
+      Files.write(Paths.get(ourDb + ".json"), bytes)
+      val (refOut, refErr) = runRef(refBinary.get, refDb, Seq("get", "1"))
+      val (ourOut, ourErr) = runOurs(ourDb, Seq("get", "1"), prog = refBinary.get)
+      assert(ourOut.replace(ourDb, "<DB>") == refOut.replace(refDb, "<DB>"),
+        s"stdout divergence on corrupted case $i: ${new String(bytes, "UTF-8").take(60)}")
+      assert(ourErr.replace(ourDb, "<DB>") == refErr.replace(refDb, "<DB>"),
+        s"stderr divergence on corrupted case $i: ${new String(bytes, "UTF-8").take(60)}")
+    }
+  }
+
+  test("hex-float ERANGE rejection matches the reference (e is a hex digit)") {
+    compareSession(Seq(
+      Seq("init", "3"),
+      Seq("add", "0xep-160,1,1", "{}"),   // subnormal via hex, mantissa is 'e'
+      Seq("add", "0xe0p-200,1,1", "{}"),  // underflow to zero via hex
+      Seq("add", "0xep0,1,1", "{}"),      // plain hex 'e' = 14, accepted
+      Seq("get", "1")))
+  }
+
   test("scripted session produces byte-identical stdout to the compiled reference") {
     assume(refBinary.isDefined, "no C++ toolchain available to build the reference")
     val bin = refBinary.get

@@ -78,6 +78,18 @@ class CppJsonSpec extends AnyFunSuite {
       "syntax error while parsing value - unexpected '}'; expected '[', '{', or a literal"))
     assert(err("1e999") ==
       "[json.exception.out_of_range.406] number overflow parsing '1e999'")
+    // bad BOM: column counts the short-circuited skip_bom reads (3 for
+    // EF BB x, 2 for EF x); the raw-byte echo is U+FFFD-substituted here
+    // because a JVM String cannot carry lone invalid bytes
+    def errBytes(b: Array[Byte]): String =
+      try { CppJson.parse(b, requireEof = true); "OK" }
+      catch { case e: CppJsonException => e.getMessage }
+    assert(errBytes(Array(0xEF.toByte, 0xBB.toByte, 'A'.toByte))
+      .startsWith(p101((1, 3), "syntax error while parsing value - invalid BOM; must be 0xEF 0xBB 0xBF if given; last read: '")))
+    assert(errBytes(Array(0xEF.toByte, 'A'.toByte))
+      .startsWith(p101((1, 2), "syntax error while parsing value - invalid BOM; must be 0xEF 0xBB 0xBF if given; last read: '")))
+    // a correct BOM is consumed silently
+    assert(errBytes("﻿{\"a\": 1}".getBytes(java.nio.charset.StandardCharsets.UTF_8)) == "OK")
     assert(err("""{"a":1e999}""") ==
       "[json.exception.out_of_range.406] number overflow parsing '1e999'")
   }

@@ -54,10 +54,10 @@ class PlanAuditSpec extends AnyFunSuite {
   test("IVF partitioned layout turns cluster probes into partition pruning") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ivf_plan").toString
     val corpus = spark.read.parquet(s"$sfDir/embeddings.parquet")
-    val index = Ivf.fit(corpus, nlist = 4)
-    Ivf.writePartitioned(index, corpus, dir)
+    val layout = Ivf.buildLayout(spark, corpus, dir, nlist = 4)
     val query = Array.fill(64)(0.1f)
-    val df = Ivf.searchPartitioned(spark, index, dir, query, k = 5, nprobe = 1)
+    // the persisted-layout probe path (what the declared queries use)
+    val df = Ivf.searchLayout(spark, layout, query, k = 5, nprobe = 1)
     val scan = df.queryExecution.executedPlan.toString
     // the cluster IN (...) predicate must land in PartitionFilters, not a
     // post-scan Filter — that is what makes a probe read nprobe/nlist of
