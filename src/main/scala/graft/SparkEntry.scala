@@ -421,6 +421,38 @@ object SparkEntry {
       graft.index.Ann.searchApprox(model, corpus, query, k = 10)
     }),
 
+    // Invariant summary for the LSH search path (its bucket choices are
+    // not SQL-expressible, so the rows stay rows-only above): every
+    // reported distance must equal the exact kernel's value for that id,
+    // the result must be (dist, id)-sorted with at most k rows, and the
+    // approximate top-10 must intersect the exact top-10 in at least 8
+    // ids (the seeded index is deterministic; recall is also pinned in
+    // AnnSpec). All counts are invariants, so the oracle pins constants.
+    "knn_lsh_check" -> ((s, dir) => {
+      val corpus = emb(s, dir)
+      val model = graft.index.Ann.fit(corpus)
+      val query = corpus.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).toArray
+      val approx = graft.index.Ann.searchApprox(model, corpus, query, k = 10)
+      val exact = VectorSearch.knnExact(corpus, query.toSeq, k = 10)
+      val truth = corpus.select(col("vec_id"),
+        graft.functions.Distances.l2Sq(col("embedding"), lit(query)).as("true_dist"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("dist").asc, col("vec_id").asc)
+      val checked = approx
+        .join(truth, "vec_id")
+        .join(exact.select(col("vec_id"), lit(1).as("in_exact")), Seq("vec_id"), "left")
+        .withColumn("pos", row_number().over(w))
+      checked.agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("dist") =!= col("true_dist"), 1L).otherwise(0L)).as("bad_dist"),
+        sum(when(col("in_exact").isNotNull, 1L).otherwise(0L)).cast("long").as("recall10_hits"),
+        max(col("pos")).cast("long").as("max_pos"))
+        .select(col("n_rows"), col("bad_dist"),
+          when(col("recall10_hits") >= 8, 1L).otherwise(0L).as("recall_ok"),
+          col("max_pos"))
+    }),
+
     // kNN over int8-quantized-then-dequantized embeddings — proves the
     // quantization arithmetic end-to-end against the oracle (identical
     // float64 op order both sides; floor(x+0.5), never round()).
@@ -577,6 +609,10 @@ object SparkEntry {
          |      FROM d)
          |SELECT query_id, vec_id, dist, rank FROM r WHERE rank <= 5
          |ORDER BY query_id ASC, rank ASC""".stripMargin,
+
+    "knn_lsh_check" ->
+      """SELECT CAST(10 AS BIGINT) AS n_rows, CAST(0 AS BIGINT) AS bad_dist,
+        |       CAST(1 AS BIGINT) AS recall_ok, CAST(10 AS BIGINT) AS max_pos""".stripMargin,
 
     // The invariant counts hold for ANY candidate set the LSH index
     // surfaces (distances recomputed exactly, radius respected, ranks
