@@ -72,10 +72,15 @@ object Dedup {
       explode(transform(sequence(lit(0), lit(numBands - 1)),
         b => struct(b.as("band"), slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)).as("key")))).as("bk"))
       .select(col(idCol), col("bk.band").as("band"), col("bk.key").as("key"))
-    val candidates = banded.select(col("band"), col("key"), col(idCol).as("id_a"))
-      .join(banded.select(col("band"), col("key"), col(idCol).as("id_b")), Seq("band", "key"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
+    // aliased self-join (projections above the shared subplan): the
+    // signature pipeline is derived once and the second side's exchange
+    // canonicalizes identically for reuse, instead of recomputing
+    // shingling + MinHash per branch
+    val candidates = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
       .distinct()
     val shA = sh.select(col(idCol).as("id_a"), col("sh").as("sh_a"))
     val shB = sh.select(col(idCol).as("id_b"), col("sh").as("sh_b"))
@@ -150,11 +155,13 @@ object Dedup {
       .select(col(idCol), col("bk.band").as("band"), col("bk.key").as("key"))
     // distinct the id pairs BEFORE hamming: a pair found by several bands
     // is deduped while the rows are narrow (two longs), then signatures
-    // join back once per surviving pair
-    banded.select(col("band"), col("key"), col(idCol).as("id_a"))
-      .join(banded.select(col("band"), col("key"), col(idCol).as("id_b")), Seq("band", "key"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
+    // join back once per surviving pair. Aliased self-join so the
+    // signature compute is one shared subplan, not one per branch.
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
       .distinct()
   }
 
@@ -192,18 +199,21 @@ object Dedup {
       .groupBy("shingle").agg(count(lit(1)).as("df_count"))
       .filter(col("df_count") <= maxShingleDf)
       .select("shingle")
+    // set sizes attached by window (not a separate groupBy+join): every
+    // projection stays ABOVE the shared subplan, so the self-join's two
+    // sides canonicalize identically and Spark reuses one exchange —
+    // the naive aliased-branch form derived this scan+explode pipeline
+    // four times (8 file scans at sf0.1, zero reuse)
     val pruned = shingled.join(rare, "shingle")
-    val sizes = pruned.groupBy(col(idCol)).agg(count(lit(1)).as("set_size"))
-    val a = pruned.select(col("shingle"), col(idCol).as("id_a"))
-    val b = pruned.select(col("shingle"), col(idCol).as("id_b"))
-    val inter = a.join(b, "shingle")
-      .filter(col("id_a") < col("id_b"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_inter"))
-    val sizesA = sizes.select(col(idCol).as("id_a"), col("set_size").as("size_a"))
-    val sizesB = sizes.select(col(idCol).as("id_b"), col("set_size").as("size_b"))
+      .withColumn("set_size", count(lit(1)).over(Window.partitionBy(col(idCol))))
+    val inter = pruned.as("a")
+      .join(pruned.as("b"),
+        col("a.shingle") === col("b.shingle") && col(s"a.$idCol") < col(s"b.$idCol"))
+      .groupBy(
+        col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
+        col("a.set_size").as("size_a"), col("b.set_size").as("size_b"))
+      .agg(count(lit(1)).as("n_inter"))
     inter
-      .join(sizesA, "id_a")
-      .join(sizesB, "id_b")
       .withColumn("jaccard",
         col("n_inter").cast("double") /
           (col("size_a") + col("size_b") - col("n_inter")).cast("double"))
@@ -277,10 +287,13 @@ object Dedup {
       .filter(col("df_count") <= maxFingerprintDf)
       .select("fp")
     val pruned = fps.join(rare, "fp")
-    pruned.select(col("fp"), col(idCol).as("id_a"))
-      .join(pruned.select(col("fp"), col(idCol).as("id_b")), "fp")
-      .filter(col("id_a") < col("id_b"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_shared"))
+    // aliased self-join: the rolling-hash fingerprint pipeline is one
+    // shared subplan for both sides
+    pruned.as("a")
+      .join(pruned.as("b"),
+        col("a.fp") === col("b.fp") && col(s"a.$idCol") < col(s"b.$idCol"))
+      .groupBy(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
   }
 
@@ -318,10 +331,12 @@ object Dedup {
     val banded = sigs
       .select(col(idCol), explode(array(bandStructs: _*)).as("bk"))
       .select(col(idCol), col("bk.band").as("band"), col("bk.key").as("key"))
-    val candidates = banded.select(col("band"), col("key"), col(idCol).as("id_a"))
-      .join(banded.select(col("band"), col("key"), col(idCol).as("id_b")), Seq("band", "key"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
+    // aliased self-join: one SRP-signature subplan for both sides
+    val candidates = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
       .distinct()
     val embA = df.select(col(idCol).as("id_a"), col(embCol).as("emb_a"))
     val embB = df.select(col(idCol).as("id_b"), col(embCol).as("emb_b"))
