@@ -244,10 +244,13 @@ object Dedup {
       .withColumn("set_size", count(lit(1)).over(Window.partitionBy(col(idCol))))
     val prefix = sized.filter(
       col("rn") <= col("set_size") - ceil(lit(minJaccard) * col("set_size")) + 1)
-    val candidates = prefix.select(col("shingle"), col(idCol).as("id_a"))
-      .join(prefix.select(col("shingle"), col(idCol).as("id_b")), "shingle")
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
+    // aliased self-join: one shared prefix-selection subplan (see
+    // ngramJaccardPairs — per-branch derivation re-runs the df-count
+    // join and both windows)
+    val candidates = prefix.as("a")
+      .join(prefix.as("b"),
+        col("a.shingle") === col("b.shingle") && col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
       .distinct()
     // exact verify on the pruned shingle sets
     val prunedSets = pruned.groupBy(col(idCol))
