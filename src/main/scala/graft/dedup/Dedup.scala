@@ -121,23 +121,27 @@ object Dedup {
       textCol: String = "text",
       hashKind: String = "xx"): DataFrame = {
     val sigs = df.select(col(idCol), simHashCol(textCol, hashKind).as("sig"))
-    val candidates = simHashBandPairs(sigs, maxHamming, idCol)
-    val sigA = sigs.select(col(idCol).as("id_a"), col("sig").as("sig_a"))
-    val sigB = sigs.select(col(idCol).as("id_b"), col("sig").as("sig_b"))
-    candidates
-      .join(sigA, "id_a").join(sigB, "id_b")
-      .select(col("id_a"), col("id_b"), hamming64(col("sig_a"), col("sig_b")).as("hamming"))
+    // the signature is one long, so it rides through the band explode for
+    // free and the hamming filter runs inside the self-join — no
+    // join-back, no second (or third) signature computation over the text
+    val banded = simHashBanded(sigs, maxHamming, idCol)
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
+        hamming64(col("a.sig"), col("b.sig")).as("hamming"))
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 
-  /** Candidate (id_a, id_b) pairs whose 64-bit signatures agree on at
-    * least one of `maxHamming + 1` bands (bits distributed as evenly as
-    * possible). Factored out so completeness is unit-testable on
-    * synthetic signatures. `sigs` must have columns (idCol, sig). */
-  private[dedup] def simHashBandPairs(
+  /** (idCol, sig, band, key) — every signature exploded into its
+    * `maxHamming + 1` band keys (bits distributed as evenly as
+    * possible). */
+  private def simHashBanded(
       sigs: DataFrame,
       maxHamming: Int,
-      idCol: String = "doc_id"): DataFrame = {
+      idCol: String): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 64,
       s"maxHamming must be in [0, 64), got $maxHamming")
     val bands = maxHamming + 1
@@ -150,13 +154,20 @@ object Dedup {
       struct(lit(i).as("band"),
         shiftright(col("sig"), offset).bitwiseAND(lit(mask)).as("key"))
     }
-    val banded = sigs
-      .select(col(idCol), explode(array(bandStructs: _*)).as("bk"))
-      .select(col(idCol), col("bk.band").as("band"), col("bk.key").as("key"))
-    // distinct the id pairs BEFORE hamming: a pair found by several bands
-    // is deduped while the rows are narrow (two longs), then signatures
-    // join back once per surviving pair. Aliased self-join so the
-    // signature compute is one shared subplan, not one per branch.
+    sigs
+      .select(col(idCol), col("sig"), explode(array(bandStructs: _*)).as("bk"))
+      .select(col(idCol), col("sig"), col("bk.band").as("band"), col("bk.key").as("key"))
+  }
+
+  /** Candidate (id_a, id_b) pairs whose 64-bit signatures agree on at
+    * least one band. Factored out so pigeonhole completeness is
+    * unit-testable on synthetic signatures. `sigs` must have columns
+    * (idCol, sig). */
+  private[dedup] def simHashBandPairs(
+      sigs: DataFrame,
+      maxHamming: Int,
+      idCol: String = "doc_id"): DataFrame = {
+    val banded = simHashBanded(sigs, maxHamming, idCol)
     banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
