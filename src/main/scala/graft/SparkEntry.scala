@@ -569,6 +569,36 @@ object SparkEntry {
     // Tumbling 1-hour window aggregation — the batch shape of the
     // Structured-Streaming windowed agg (value summed in exact integer
     // milli-units: float sums are partition-order-dependent).
+    // Structured Streaming end-to-end, driver-checked: the events table
+    // replayed as a FILE STREAM through the library's watermarked
+    // windowed aggregation (Trigger.AvailableNow, complete mode into a
+    // memory sink); the finished result must hash-match the batch SQL
+    // oracle — streaming and batch semantics agree on the same data.
+    // (Complete-mode memory sink is the bounded-replay test harness; a
+    // production run writes append-mode files per closed window.)
+    "stream_hourly" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      // the fixture is a single file and the file-stream source wants a
+      // directory: stream the parent with a glob pinned to this table
+      val stream = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val counts = graft.streaming.StreamingIngest.windowedCounts(stream, "1 hour", "10 minutes")
+      val qname = "graft_stream_hourly_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = counts.writeStream
+        .outputMode("complete").format("memory").queryName(qname)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(qname)
+        .select(
+          date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+          col("event_type"), col("n_events"))
+        .orderBy(col("hour"), col("event_type"))
+    }),
+
     "events_hourly" -> ((s, dir) => {
       events(s, dir)
         .groupBy(
@@ -944,6 +974,12 @@ object SparkEntry {
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
         |       CAST(count(*) AS BIGINT) AS n_events,
         |       CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS value_milli
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // the streaming replay must converge to exactly the batch aggregation
+    "stream_hourly" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
+        |       CAST(count(*) AS BIGINT) AS n_events
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 }
