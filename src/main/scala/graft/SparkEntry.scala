@@ -81,6 +81,17 @@ object SparkEntry {
       .as[graft.multimodal.Multimodal.MediaRecord]
   }
 
+  /** Process-level PQ codebook memo: the driver-side Lloyd's fit runs
+    * once per scale factor; encoding stays a lazy distributed plan. */
+  private val pqCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (graft.index.Pq.Codebooks, DataFrame)]()
+
+  private def pqIndex(dir: String, corpus: DataFrame): (graft.index.Pq.Codebooks, DataFrame) =
+    pqCache.computeIfAbsent(dir, _ => {
+      val cb = graft.index.Pq.fit(corpus, m = 8, k = 64, maxSample = 8192)
+      (cb, graft.index.Pq.encode(corpus, cb))
+    })
+
   /** Deterministic per-(sf-dir, variant) location for the persisted IVF
     * layout: build-once, probe-many — bench iterations and verify reruns
     * reuse the files (the seeded quantizer makes rebuilds identical). */
@@ -408,6 +419,21 @@ object SparkEntry {
       val query = corpus.filter(col("vec_id") === 0)
         .select(col("embedding")).head().getSeq[Float](0).toArray
       graft.index.Ivf.searchLayout(s, layout, query, k = 10, nprobe = 1)
+    }),
+
+    // Product quantization + exact re-rank: the corpus is compressed to
+    // 8 one-byte codes per vector (32× smaller — the memory-side scale
+    // path for 100 TB ANN), ADC scans the codes for a 200-candidate
+    // shortlist, and the exact kernel re-ranks the shortlist. With the
+    // true neighbours inside the shortlist the result EQUALS exact
+    // top-10, so the brute-force oracle hash-matches it. Codebooks are
+    // memoized per scale factor (build once, query many).
+    "knn_pq_rerank" -> ((s, dir) => {
+      val corpus = emb(s, dir)
+      val (cb, enc) = pqIndex(dir, corpus)
+      val query = corpus.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).toArray
+      graft.index.Pq.searchRerank(enc, corpus, cb, query, k = 10, shortlist = 200)
     }),
 
     // LSH approximate top-10 (O6 rebuild → fit, approx O7) — rows-only:
@@ -893,6 +919,14 @@ object SparkEntry {
          |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
          |SELECT c.vec_id AS vec_id, ${l2SqSql("c.embedding", "q.qe")} AS dist
          |FROM c CROSS JOIN q
+         |ORDER BY dist ASC, vec_id ASC LIMIT 10""".stripMargin,
+
+    // PQ + re-rank converges to exact top-10, so it shares the exact
+    // brute-force oracle
+    "knn_pq_rerank" ->
+      s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+         |SELECT e.vec_id AS vec_id, ${l2SqSql("e.embedding", "q.qe")} AS dist
+         |FROM embeddings e CROSS JOIN q
          |ORDER BY dist ASC, vec_id ASC LIMIT 10""".stripMargin,
 
     "knn_quantized_top10" ->

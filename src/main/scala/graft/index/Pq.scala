@@ -1,0 +1,186 @@
+package graft.index
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+import graft.ops.VectorSearch
+
+/** Product quantization (PQ) — the memory-side scale path for ANN
+  * (Jégou, Douze & Schmid, "Product Quantization for Nearest Neighbor
+  * Search", TPAMI 2011; the compression scheme behind FAISS's IVF-PQ).
+  *
+  * The embedding is split into `m` subvectors; each subspace gets its own
+  * `k`-centroid codebook (Lloyd's iterations on a driver-side sample — the
+  * codebooks are m×k×(dim/m) floats, tiny), and a vector is stored as `m`
+  * one-byte codes: 64 float32 dims (256 B) become 8 bytes, a 32×
+  * compression that decides whether a 100 TB corpus's codes fit in
+  * cluster memory. Search uses asymmetric distance computation (ADC): one
+  * m×k lookup table per query, then a distance is `m` table lookups —
+  * evaluated by a codegen expression, no per-row decode.
+  *
+  * Encoding is a build step (like the quantizer fit itself) and runs as
+  * `mapPartitions` with the broadcast codebooks; queries stay in
+  * whole-stage codegen via [[org.apache.spark.sql.graft.VectorExpressions.pqAdc]].
+  */
+object Pq {
+
+  /** m subspace codebooks: centroids(s)(c) is the c-th centroid of
+    * subspace s, each of length dim/m. */
+  final case class Codebooks(m: Int, k: Int, dim: Int, centroids: Array[Array[Array[Float]]])
+
+  /** Fit per-subspace codebooks with Lloyd's iterations over a sampled,
+    * driver-collected slice of the corpus (PQ codebooks converge on small
+    * samples; the sample bound caps driver memory). */
+  def fit(
+      df: DataFrame,
+      m: Int = 8,
+      k: Int = 256,
+      embCol: String = "embedding",
+      maxSample: Int = 1 << 16,
+      iters: Int = 10,
+      seed: Long = 42L): Codebooks = {
+    val dim = df.select(size(col(embCol))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim must be divisible by m=$m")
+    val dsub = dim / m
+    val sample = df.select(col(embCol)).limit(maxSample)
+      .collect().map(_.getSeq[Float](0).toArray)
+    require(sample.nonEmpty, "cannot fit PQ on an empty corpus")
+    val rnd = new scala.util.Random(seed)
+    val centroids = Array.tabulate(m) { s =>
+      val sub = sample.map(v => java.util.Arrays.copyOfRange(v, s * dsub, (s + 1) * dsub))
+      lloyd(sub, math.min(k, sub.length), iters, rnd)
+    }
+    Codebooks(m, k, dim, centroids)
+  }
+
+  /** Plain Lloyd's iterations with random-point init; deterministic for a
+    * seeded Random. Empty clusters keep their previous centroid. */
+  private def lloyd(points: Array[Array[Float]], k: Int, iters: Int,
+      rnd: scala.util.Random): Array[Array[Float]] = {
+    val d = points(0).length
+    val centroids = Array.tabulate(k)(i => points(rnd.nextInt(points.length)).clone())
+    val sums = Array.ofDim[Double](k, d)
+    val counts = new Array[Long](k)
+    var it = 0
+    while (it < iters) {
+      java.util.Arrays.fill(counts, 0L)
+      sums.foreach(java.util.Arrays.fill(_, 0.0))
+      points.foreach { p =>
+        val c = nearest(centroids, p)
+        counts(c) += 1
+        var j = 0
+        while (j < d) { sums(c)(j) += p(j); j += 1 }
+      }
+      var c = 0
+      while (c < k) {
+        if (counts(c) > 0) {
+          var j = 0
+          while (j < d) { centroids(c)(j) = (sums(c)(j) / counts(c)).toFloat; j += 1 }
+        }
+        c += 1
+      }
+      it += 1
+    }
+    centroids
+  }
+
+  private def nearest(centroids: Array[Array[Float]], p: Array[Float]): Int = {
+    var best = 0
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < centroids.length) {
+      var s = 0.0
+      var j = 0
+      val cen = centroids(c)
+      while (j < p.length) { val diff = cen(j) - p(j); s += diff * diff; j += 1 }
+      if (s < bestD) { bestD = s; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** Encode every row to `m` one-byte codes (build step; broadcast
+    * codebooks, per-partition amortized). Output: (idCol, codes binary). */
+  def encode(
+      df: DataFrame,
+      cb: Codebooks,
+      idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(cb)
+    val ds: Dataset[(Long, Array[Float])] =
+      df.select(col(idCol).cast("long"), col(embCol)).as[(Long, Array[Float])]
+    ds.mapPartitions { it =>
+      val books = bc.value
+      val dsub = books.dim / books.m
+      it.map { case (id, v) =>
+        val codes = new Array[Byte](books.m)
+        var s = 0
+        while (s < books.m) {
+          val sub = java.util.Arrays.copyOfRange(v, s * dsub, (s + 1) * dsub)
+          codes(s) = nearest(books.centroids(s), sub).toByte
+          s += 1
+        }
+        (id, codes)
+      }
+    }.toDF(idCol, "codes")
+  }
+
+  /** ADC lookup table for one query: table(s*k + c) = squared L2 between
+    * the query's s-th subvector and centroid c of subspace s. */
+  def adcTable(cb: Codebooks, query: Array[Float]): Array[Double] = {
+    require(query.length == cb.dim, s"query dim ${query.length} != ${cb.dim}")
+    val dsub = cb.dim / cb.m
+    val table = new Array[Double](cb.m * cb.k)
+    var s = 0
+    while (s < cb.m) {
+      var c = 0
+      while (c < cb.centroids(s).length) {
+        var sum = 0.0
+        var j = 0
+        val cen = cb.centroids(s)(c)
+        while (j < dsub) { val d = cen(j) - query(s * dsub + j); sum += d * d; j += 1 }
+        table(s * cb.k + c) = sum
+        c += 1
+      }
+      s += 1
+    }
+    table
+  }
+
+  /** Approximate top-k by ADC over the encoded corpus: the per-row cost
+    * is m byte-indexed lookups in a broadcast table (codegen expression),
+    * and the plan is the same bounded TakeOrderedAndProject as exact
+    * search — over 8-byte codes instead of 256-byte vectors. */
+  def search(
+      encoded: DataFrame,
+      cb: Codebooks,
+      query: Array[Float],
+      k: Int,
+      idCol: String = "vec_id"): DataFrame = {
+    val table = adcTable(cb, query)
+    encoded
+      .select(col(idCol),
+        org.apache.spark.sql.graft.VectorExpressions.pqAdc(col("codes"), table, cb.k).as("dist"))
+      .orderBy(col("dist").asc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** Exact re-ranking of a PQ candidate set: fetch the true vectors for
+    * the shortlist only (broadcast-join by id) and re-score with the
+    * exact kernel — the standard PQ + re-rank pipeline. */
+  def searchRerank(
+      encoded: DataFrame,
+      corpus: DataFrame,
+      cb: Codebooks,
+      query: Array[Float],
+      k: Int,
+      shortlist: Int = 100,
+      idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    val candidates = search(encoded, cb, query, shortlist, idCol).select(col(idCol))
+    VectorSearch.knnExact(
+      corpus.join(broadcast(candidates), idCol), query.toSeq, k, idCol, embCol)
+  }
+}

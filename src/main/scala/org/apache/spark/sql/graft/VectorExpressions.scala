@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInput
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.classic.ExpressionUtils
-import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, FloatType, LongType, StringType}
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, BinaryType, DataType, DoubleType, FloatType, LongType, StringType}
 
 // This file lives in the org.apache.spark.sql namespace because the
 // Expression SPI it needs (AbstractDataType, the classic Column↔Expression
@@ -368,6 +368,52 @@ case class SrpSignExpr(child: Expression, bits: Int, seed: Long)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** PQ asymmetric-distance computation: `dist = Σ_s table[s·k + code_s]`
+  * — m byte-indexed lookups into the per-query ADC table (squared-L2
+  * from each query subvector to every subspace centroid). The table is
+  * embedded in the expression (one instance per query, a few KB), so the
+  * per-row work in the scan is m array reads: the cheapest possible
+  * distance kernel over a compressed corpus. */
+case class PqAdcExpr(child: Expression, table: Seq[Double], k: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(k > 0 && table.nonEmpty && table.length % k == 0,
+    s"table length ${table.length} must be a positive multiple of k=$k")
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "pq_adc"
+
+  @transient private lazy val tableArr: Array[Double] = table.toArray
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val codes = a.asInstanceOf[Array[Byte]]
+    var s = 0
+    var sum = 0.0
+    while (s < codes.length) {
+      sum += tableArr(s * k + (codes(s) & 0xFF))
+      s += 1
+    }
+    sum
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val tableRef = ctx.addReferenceObj("pqTable", tableArr, "double[]")
+    nullSafeCodeGen(ctx, ev, a => {
+      val s = ctx.freshName("s")
+      val sum = ctx.freshName("sum")
+      s"""
+         |double $sum = 0.0;
+         |for (int $s = 0; $s < $a.length; $s++) {
+         |  $sum += $tableRef[$s * $k + ($a[$s] & 0xFF)];
+         |}
+         |${ev.value} = $sum;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Count of array elements contained in a fixed word set — the compiled
   * replacement for `size(filter(tokens, _.isInCollection(words)))`,
   * whose interpreted lambda dominated the language-ID and quality-score
@@ -517,4 +563,8 @@ object VectorExpressions {
   /** Codegen winnowing fingerprints (k-gram size, window size). */
   def winnow(text: Column, k: Int, w: Int): Column =
     ExpressionUtils.column(WinnowExpr(ExpressionUtils.expression(text), k, w))
+
+  /** Codegen PQ asymmetric distance over a codes column (see [[PqAdcExpr]]). */
+  def pqAdc(codes: Column, table: Array[Double], k: Int): Column =
+    ExpressionUtils.column(PqAdcExpr(ExpressionUtils.expression(codes), table.toSeq, k))
 }
