@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Single-machine scale probe: replicates the sf0.1 fixtures N× with
+  * shifted ids (no new data files — the replicas differ only in id, so
+  * operator work scales while distances/hashes keep their distribution)
+  * and times the flagship operators once each. The point is linear-shape
+  * evidence — no candidate blowups, no driver collects — not a tuned
+  * benchmark; run with `sbt "runMain graft.ScaleProbe [factor]"`.
+  */
+object ScaleProbe {
+
+  private def time[A](name: String)(body: => A): Unit = {
+    val t0 = System.nanoTime()
+    body
+    println(f"[scale] $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+  }
+
+  private def noop(df: DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
+  def main(args: Array[String]): Unit = {
+    val factor = args.headOption.map(_.toInt).getOrElse(20)
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def replicate(df: DataFrame, idCol: String, times: Int): DataFrame = {
+      val n = df.count()
+      df.crossJoin(spark.range(times).select(col("id").as("_rep")))
+        .withColumn(idCol, col(idCol) + col("_rep") * lit(n * 10))
+        .drop("_rep")
+    }
+
+    // the vector corpus is small per scale factor — replicate it 10×
+    // harder so the ANN numbers exercise a meaningful row count
+    val emb = replicate(spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id", "embedding"), "vec_id", factor * 10)
+    val docs = replicate(spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text"), "doc_id", factor)
+    val nVec = emb.count()
+    val nDoc = docs.count()
+    println(s"[scale] corpus: $nVec vectors (${factor * 10}x), $nDoc documents (${factor}x sf0.1)")
+
+    val query = Array.fill(64)(0.1f)
+
+    time("exact kNN top-10")(noop(
+      graft.ops.VectorSearch.knnExact(emb, query.toSeq, 10)))
+
+    time("TopKAggregator kNN join")(noop {
+      val queries = emb.filter(col("vec_id") < 4)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+      graft.ops.VectorSearch.knnJoinAgg(queries, emb, k = 5)
+    })
+
+    val cb = graft.index.Pq.fit(emb, m = 8, k = 64, maxSample = 8192)
+    val codes = graft.index.Pq.encode(emb, cb)
+    time("PQ encode (build)")(noop(codes))
+    // materialize codes once so the ADC timing is the scan, not the encode
+    val codesCached = codes.persist()
+    codesCached.count()
+    time("PQ ADC scan top-10")(noop(
+      graft.index.Pq.search(codesCached, cb, query, k = 10)))
+    codesCached.unpersist()
+
+    // near-dup probes replicate at the doc factor: every replica pair IS
+    // a true duplicate, so output volume grows quadratically in the
+    // replication factor and would dominate the timing at 200×
+    val embSmall = replicate(spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id", "embedding"), "vec_id", factor)
+    time("SRP embedding near-dup")(noop(
+      graft.dedup.Dedup.embeddingNearDups(embSmall, minCosine = 0.95)))
+
+    time("exact dedup groups")(noop(
+      graft.dedup.Dedup.exactDupGroups(docs)))
+
+    time("MinHash near-dup")(noop(
+      graft.dedup.Dedup.minHashNearDups(docs, maxJaccardDist = 0.6)))
+
+    time("winnowing overlap")(noop(
+      graft.dedup.Dedup.winnowOverlapPairs(docs, minShared = 3, maxFingerprintDf = 20L * factor)))
+
+    spark.stop()
+  }
+}
