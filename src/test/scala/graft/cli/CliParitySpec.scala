@@ -215,6 +215,29 @@ class CliParitySpec extends AnyFunSuite {
       Seq("get", "1")))
   }
 
+  test("randomized 60-command sessions stay byte-identical (state after failures included)") {
+    // seeded generator mixing valid and invalid commands: exercises the
+    // persisted-state interactions (adds after failed adds, deletes of
+    // missing ids, searches between mutations) beyond the fixed script
+    val rnd = new scala.util.Random(0xC11F)
+    def vec(dim: Int): String = (1 to dim).map(_ =>
+      (math.floor(rnd.nextFloat() * 1000) / 100.0).toString).mkString(",")
+    def randomCommand(): Seq[String] = rnd.nextInt(10) match {
+      case 0 => Seq("add", vec(3), s"""{"n": ${rnd.nextInt(100)}}""")
+      case 1 => Seq("add", vec(2 + rnd.nextInt(3)), "{}")       // maybe dim mismatch
+      case 2 => Seq("get", rnd.nextInt(12).toString)
+      case 3 => Seq("delete", rnd.nextInt(12).toString)
+      case 4 => Seq("update", rnd.nextInt(12).toString, vec(3), """{"u": true}""")
+      case 5 => Seq("search", (1 + rnd.nextInt(5)).toString, vec(3))
+      case 6 => Seq("rebuild")
+      case 7 => Seq("add", vec(3), Seq("notjson", "{", "[1,", """{"a":}""")(rnd.nextInt(4)))
+      case 8 => Seq("search", "2", vec(3) + "x")                // prefix parse tail
+      case _ => Seq("get", "abc")                               // stoll failure
+    }
+    val script = Seq(Seq("init", "3")) ++ (1 to 60).map(_ => randomCommand())
+    compareSession(script)
+  }
+
   test("scripted session produces byte-identical stdout to the compiled reference") {
     assume(refBinary.isDefined, "no C++ toolchain available to build the reference")
     val bin = refBinary.get
