@@ -10,6 +10,25 @@ import org.apache.spark.sql.functions._
   */
 object VectorCrud {
 
+  /** Persist a table bucketed+sorted by id so that REPEATED equi-joins
+    * on id (vectors ⋈ codes, vectors ⋈ features, incremental CRUD
+    * merges) are co-located: both sides read pre-hashed buckets and the
+    * join plans with zero Exchange. At 100 TB this converts every id
+    * join from a full shuffle into a local merge — pay the shuffle once
+    * at write time, amortize it over every subsequent join. Requires a
+    * table name (bucketing is a metastore feature). */
+  def writeBucketed(
+      df: DataFrame,
+      table: String,
+      buckets: Int,
+      idCol: String = "id"): Unit =
+    df.write
+      .mode("overwrite")
+      .bucketBy(buckets, idCol)
+      .sortBy(idCol)
+      .format("parquet")
+      .saveAsTable(table)
+
   /** O3 — point lookup: `filter` that pushes to the scan as an
     * id predicate (PushedFilters: [EqualTo(id, x)]). */
   def get(df: DataFrame, id: Long, idCol: String = "id"): DataFrame =

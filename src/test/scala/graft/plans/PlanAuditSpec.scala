@@ -67,6 +67,32 @@ class PlanAuditSpec extends AnyFunSuite {
       s"cluster predicate not pruning partitions:\n$scan")
   }
 
+  test("bucketed tables join on id with zero exchange (co-located join)") {
+    val corpus = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    graft.ops.VectorCrud.writeBucketed(corpus, "graft_bucket_vec", 8, "vec_id")
+    graft.ops.VectorCrud.writeBucketed(
+      corpus.select(col("vec_id"), size(col("embedding")).as("dim")),
+      "graft_bucket_meta", 8, "vec_id")
+    val oldThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // force the shuffle-join path: with broadcast allowed the planner
+      // would (reasonably) broadcast the small side and skip the buckets
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("graft_bucket_vec")
+        .join(spark.table("graft_bucket_meta"), "vec_id")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed join still shuffles:\n$plan")
+      assert(plan.contains("Bucketed: true"), s"buckets not used:\n$plan")
+      assert(joined.count() == corpus.count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", oldThreshold)
+      spark.sql("DROP TABLE IF EXISTS graft_bucket_vec")
+      spark.sql("DROP TABLE IF EXISTS graft_bucket_meta")
+    }
+  }
+
   test("distance expressions stay codegen (no BatchEvalPython/interpreted eval markers)") {
     val corpus = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val query = corpus.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
