@@ -167,6 +167,53 @@ object Pq {
       .limit(k)
   }
 
+  /** IVF-PQ: the FAISS-style composition of both index structures. The
+    * codes are written partitioned by the IVF cluster id, so a probe
+    * prunes to nprobe/nlist of the (already 32×-compressed) codes before
+    * the ADC scan — IO shrinks multiplicatively. Returns the PQ-ranked
+    * shortlist; follow with [[searchRerank]]'s exact pass via
+    * `rerankShortlist`. */
+  def writeIvfPqCodes(
+      ivf: Ivf.Index,
+      cb: Codebooks,
+      df: DataFrame,
+      dir: String,
+      idCol: String = "vec_id",
+      embCol: String = "embedding"): Unit = {
+    val assigned = Ivf.assign(ivf, df, embCol)
+    encode(assigned.select(col(idCol), col(embCol)), cb, idCol, embCol)
+      .join(assigned.select(col(idCol), col("cluster")), idCol)
+      .write.mode("overwrite").partitionBy("cluster").parquet(dir)
+  }
+
+  def searchIvfPq(
+      spark: org.apache.spark.sql.SparkSession,
+      layoutDir: String,
+      ivf: Ivf.Index,
+      cb: Codebooks,
+      query: Array[Float],
+      shortlist: Int,
+      nprobe: Int,
+      idCol: String = "vec_id"): DataFrame = {
+    val clusters = Ivf.probeClusters(ivf, query, nprobe)
+    val codes = spark.read.parquet(layoutDir)
+      .filter(col("cluster").isin(clusters: _*))
+    search(codes, cb, query, shortlist, idCol)
+  }
+
+  /** Exact re-rank of any candidate id set against the full-precision
+    * corpus (broadcast-join by id, then the exact kernel). */
+  def rerankShortlist(
+      candidates: DataFrame,
+      corpus: DataFrame,
+      query: Array[Float],
+      k: Int,
+      idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame =
+    VectorSearch.knnExact(
+      corpus.join(broadcast(candidates.select(col(idCol))), idCol),
+      query.toSeq, k, idCol, embCol)
+
   /** Exact re-ranking of a PQ candidate set: fetch the true vectors for
     * the shortlist only (broadcast-join by id) and re-score with the
     * exact kernel — the standard PQ + re-rank pipeline. */

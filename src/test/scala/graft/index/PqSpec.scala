@@ -57,6 +57,29 @@ class PqSpec extends AnyFunSuite {
     assert(exact.intersect(reranked).size >= 9)
   }
 
+  test("IVF-PQ: pruned code scan + exact re-rank recovers the exact top-10") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq").toString
+    val cb = Pq.fit(corpus, m = 8, k = 32)
+    val ivf = Ivf.fit(corpus, nlist = 4, maxIter = 5)
+    Pq.writeIvfPqCodes(ivf, cb, corpus, dir)
+    // plant the query as its own best match: its cluster contains it, so
+    // the pruned probe must surface it even at nprobe=1
+    val query = corpus.filter($"vec_id" === 3L).select($"embedding")
+      .head().getSeq[Float](0).toArray
+    val shortlist = Pq.searchIvfPq(spark, dir, ivf, cb, query, shortlist = 100, nprobe = 2)
+    val plan = shortlist.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(cluster") ||
+           plan.contains("PartitionFilters: [cluster"),
+      s"cluster probe not pruning partitions:\n$plan")
+    val reranked = Pq.rerankShortlist(shortlist, corpus, query, k = 10)
+      .select("vec_id").as[Long].collect()
+    assert(reranked.head == 3L) // the query itself at dist 0
+    val exact = VectorSearch.knnExact(corpus, query.toSeq, k = 10)
+      .select("vec_id").as[Long].collect().toSet
+    assert(exact.intersect(reranked.toSet).size >= 6,
+      s"pruned recall collapsed: ${exact.intersect(reranked.toSet).size}/10")
+  }
+
   test("the ADC scan plans as TakeOrderedAndProject with codegen (no UDF)") {
     val cb = Pq.fit(corpus, m = 4, k = 16)
     val enc = Pq.encode(corpus, cb)
