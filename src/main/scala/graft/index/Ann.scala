@@ -52,11 +52,16 @@ object Ann {
       idCol: String = "vec_id",
       embCol: String = "embedding"): DataFrame = {
     val key = Vectors.dense(query.map(_.toDouble))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("dist").asc, col(idCol).asc)
     model
       .approxNearestNeighbors(withFeatures(df, embCol), key, k)
       .select(col(idCol),
         graft.functions.Distances.l2Sq(col(embCol), lit(query)).as("dist"))
-      .orderBy(col("dist").asc, col(idCol).asc)
+      // explicit rank in the output contract (matches the join forms) so
+      // an external check can pin the ordering against (dist, id)
+      .withColumn("rank", row_number().over(w))
+      .orderBy(col("rank").asc)
   }
 
   /** Approximate all-pairs within `threshold` (L2): the LSH-bucketed

@@ -39,10 +39,17 @@ object Pq {
       maxSample: Int = 1 << 16,
       iters: Int = 10,
       seed: Long = 42L): Codebooks = {
+    require(k >= 1 && k <= 256, s"k must be in [1, 256] (codes are one byte), got $k")
     val dim = df.select(size(col(embCol))).head().getInt(0)
     require(dim % m == 0, s"dim $dim must be divisible by m=$m")
     val dsub = dim / m
-    val sample = df.select(col(embCol)).limit(maxSample)
+    // a seeded random sample, not limit(): the first N physical rows of a
+    // clustered/replicated corpus would give degenerate codebooks
+    val n = df.count()
+    val fraction = math.min(1.0, maxSample * 1.2 / math.max(1L, n))
+    val sample = df.select(col(embCol))
+      .sample(withReplacement = false, fraction, seed)
+      .limit(maxSample)
       .collect().map(_.getSeq[Float](0).toArray)
     require(sample.nonEmpty, "cannot fit PQ on an empty corpus")
     val rnd = new scala.util.Random(seed)
@@ -99,6 +106,18 @@ object Pq {
     best
   }
 
+  private def encodeOne(books: Codebooks, v: Array[Float]): Array[Byte] = {
+    val dsub = books.dim / books.m
+    val codes = new Array[Byte](books.m)
+    var s = 0
+    while (s < books.m) {
+      val sub = java.util.Arrays.copyOfRange(v, s * dsub, (s + 1) * dsub)
+      codes(s) = nearest(books.centroids(s), sub).toByte
+      s += 1
+    }
+    codes
+  }
+
   /** Encode every row to `m` one-byte codes (build step; broadcast
     * codebooks, per-partition amortized). Output: (idCol, codes binary). */
   def encode(
@@ -113,17 +132,7 @@ object Pq {
       df.select(col(idCol).cast("long"), col(embCol)).as[(Long, Array[Float])]
     ds.mapPartitions { it =>
       val books = bc.value
-      val dsub = books.dim / books.m
-      it.map { case (id, v) =>
-        val codes = new Array[Byte](books.m)
-        var s = 0
-        while (s < books.m) {
-          val sub = java.util.Arrays.copyOfRange(v, s * dsub, (s + 1) * dsub)
-          codes(s) = nearest(books.centroids(s), sub).toByte
-          s += 1
-        }
-        (id, codes)
-      }
+      it.map { case (id, v) => (id, encodeOne(books, v)) }
     }.toDF(idCol, "codes")
   }
 
@@ -180,9 +189,19 @@ object Pq {
       dir: String,
       idCol: String = "vec_id",
       embCol: String = "embedding"): Unit = {
+    // carry the cluster through the encode pass: re-joining it by id
+    // would run the assignment pipeline twice plus a full shuffle
     val assigned = Ivf.assign(ivf, df, embCol)
-    encode(assigned.select(col(idCol), col(embCol)), cb, idCol, embCol)
-      .join(assigned.select(col(idCol), col("cluster")), idCol)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(cb)
+    assigned.select(col(idCol).cast("long"), col(embCol), col("cluster"))
+      .as[(Long, Array[Float], Int)]
+      .mapPartitions { it =>
+        val books = bc.value
+        it.map { case (id, v, cluster) => (id, encodeOne(books, v), cluster) }
+      }
+      .toDF(idCol, "codes", "cluster")
       .write.mode("overwrite").partitionBy("cluster").parquet(dir)
   }
 
@@ -225,9 +244,7 @@ object Pq {
       k: Int,
       shortlist: Int = 100,
       idCol: String = "vec_id",
-      embCol: String = "embedding"): DataFrame = {
-    val candidates = search(encoded, cb, query, shortlist, idCol).select(col(idCol))
-    VectorSearch.knnExact(
-      corpus.join(broadcast(candidates), idCol), query.toSeq, k, idCol, embCol)
-  }
+      embCol: String = "embedding"): DataFrame =
+    rerankShortlist(search(encoded, cb, query, shortlist, idCol),
+      corpus, query, k, idCol, embCol)
 }
