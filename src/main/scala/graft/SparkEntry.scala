@@ -583,6 +583,34 @@ object SparkEntry {
         .orderBy(col("user_id"), col("click_us"), col("event_id"))
     }),
 
+    // Bin-bucketed range (interval) join: clicks against one-hour
+    // windows opened by each signup, same user. The bins turn a per-key
+    // cartesian into an equi-join on (user, bin) + exact containment
+    // filter; the oracle brute-forces the theta join, which must match.
+    "events_range_join" -> ((s, dir) => {
+      val e = events(s, dir)
+      val points = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val intervals = e.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("ts").as("start_ts"),
+          (col("ts") + expr("INTERVAL 1 HOUR")).as("end_ts"))
+      graft.ops.Joins.rangeJoin(points, intervals, "user_id", "ts", "start_ts", "end_ts",
+          binWidthSec = 3600L)
+        .select(col("user_id"), unix_micros(col("ts")).as("click_us"),
+          col("event_id"), unix_micros(col("start_ts")).as("signup_us"))
+        .orderBy(col("user_id"), col("click_us"), col("event_id"), col("signup_us"))
+    }),
+
+    // Exact dedup keep-lowest-representative: summary of what survives
+    // (the groups view is doc_exact_dups; this pins the kept-row side).
+    "doc_dedup_keep" -> ((s, dir) => {
+      val kept = graft.dedup.Dedup.dedupExact(docs(s, dir))
+      kept.agg(
+        count(lit(1)).as("n_kept"),
+        sum(col("doc_id")).cast("long").as("id_sum"),
+        sum(length(col("text")).cast("long")).as("chars_kept"))
+    }),
+
     // Hot-key-safe as-of variant (per-(key, day-bucket) windows with a
     // carry-in pass) — declared against the SAME oracle as events_asof:
     // the salted plan must reproduce the plain as-of bit-for-bit.
@@ -1011,6 +1039,22 @@ object SparkEntry {
         |SELECT c.user_id, epoch_us(c.cts) AS click_us, c.event_id, epoch_us(s.sts) AS signup_us
         |FROM clicks c ASOF LEFT JOIN s ON c.user_id = s.user_id AND c.cts >= s.sts
         |ORDER BY c.user_id, click_us, event_id""".stripMargin,
+
+    // brute-force theta join; the binned equi-join must reproduce it
+    "events_range_join" ->
+      """WITH p AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'),
+        |i AS (SELECT user_id, ts AS start_ts, ts + INTERVAL 1 HOUR AS end_ts FROM events WHERE event_type = 'signup')
+        |SELECT p.user_id, epoch_us(p.ts) AS click_us, p.event_id, epoch_us(i.start_ts) AS signup_us
+        |FROM p JOIN i ON p.user_id = i.user_id AND p.ts >= i.start_ts AND p.ts < i.end_ts
+        |ORDER BY p.user_id, click_us, event_id, signup_us""".stripMargin,
+
+    "doc_dedup_keep" ->
+      s"""WITH k AS (SELECT doc_id, text,
+         |             row_number() OVER (PARTITION BY md5($NormSql) ORDER BY doc_id ASC) AS rn
+         |           FROM documents)
+         |SELECT CAST(count(*) AS BIGINT) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS id_sum,
+         |       CAST(sum(length(text)) AS BIGINT) AS chars_kept
+         |FROM k WHERE rn = 1""".stripMargin,
 
     // identical expected output — the salted plan changes shape, not rows
     "events_asof_salted" ->
