@@ -583,6 +583,38 @@ object SparkEntry {
         .orderBy(col("user_id"), col("click_us"), col("event_id"))
     }),
 
+    // Skew-salted equi-join declared against the plain-join oracle: the
+    // deterministic hash salt spreads a hot user over saltFactor shuffle
+    // partitions but must not change a single output row.
+    "events_salted_join" -> ((s, dir) => {
+      val e = events(s, dir)
+        .select(col("user_id"), col("event_id"), col("event_type"))
+      val dims = e.select(col("user_id")).distinct()
+        .withColumn("cohort", pmod(col("user_id"), lit(7)))
+      graft.ops.Joins.saltedJoin(e, dims, "user_id", saltFactor = 8)
+        .select(col("user_id"), col("event_id"), col("event_type"), col("cohort"))
+        .orderBy(col("user_id"), col("event_id"), col("event_type"))
+    }),
+
+    // Sketch accuracy invariants: HLL distinct estimate and the
+    // approximate quantiles must land within their documented error of
+    // the exact values — booleans the oracle pins as constants (the
+    // sketches themselves have no SQL-equivalent bit pattern).
+    "events_sketch_check" -> ((s, dir) => {
+      val e = events(s, dir)
+      val agg = e.agg(
+        countDistinct(col("user_id")).cast("double").as("exact_d"),
+        graft.functions.Sketches.approxDistinct(col("user_id")).cast("double").as("est_d"),
+        expr("percentile(value, 0.5)").as("exact_p50"),
+        graft.functions.Sketches.approxQuantiles(col("value"), Seq(0.5)).getItem(0).as("est_p50"),
+        min(col("value")).as("lo"), max(col("value")).as("hi"))
+      agg.select(
+        when(abs(col("est_d") - col("exact_d")) / col("exact_d") <= 0.05, 1L)
+          .otherwise(0L).as("hll_ok"),
+        when(abs(col("est_p50") - col("exact_p50")) <= (col("hi") - col("lo")) * 0.01, 1L)
+          .otherwise(0L).as("quantile_ok"))
+    }),
+
     // Bin-bucketed range (interval) join: clicks against one-hour
     // windows opened by each signup, same user. The bins turn a per-key
     // cartesian into an equi-join on (user, bin) + exact containment
@@ -1039,6 +1071,17 @@ object SparkEntry {
         |SELECT c.user_id, epoch_us(c.cts) AS click_us, c.event_id, epoch_us(s.sts) AS signup_us
         |FROM clicks c ASOF LEFT JOIN s ON c.user_id = s.user_id AND c.cts >= s.sts
         |ORDER BY c.user_id, click_us, event_id""".stripMargin,
+
+    // the salted plan must reproduce the plain inner join row for row
+    "events_salted_join" ->
+      """WITH d AS (SELECT DISTINCT user_id, user_id % 7 AS cohort FROM events)
+        |SELECT e.user_id, e.event_id, e.event_type, d.cohort
+        |FROM events e JOIN d USING (user_id)
+        |ORDER BY e.user_id, e.event_id, e.event_type""".stripMargin,
+
+    // accuracy bounds hold by construction; the oracle pins the booleans
+    "events_sketch_check" ->
+      """SELECT CAST(1 AS BIGINT) AS hll_ok, CAST(1 AS BIGINT) AS quantile_ok""",
 
     // brute-force theta join; the binned equi-join must reproduce it
     "events_range_join" ->
