@@ -583,6 +583,24 @@ object SparkEntry {
         .orderBy(col("user_id"), col("click_us"), col("event_id"))
     }),
 
+    // Interchange-format round trip: embeddings → JSONL → back, then a
+    // checksum the oracle recomputes from the source table — a lossy
+    // writer, reader, or float re-parse would shift the sums.
+    "emb_jsonl_roundtrip" -> ((s, dir) => {
+      import s.implicits._
+      val src = emb(s, dir).select(col("vec_id").as("id"),
+        col("embedding"), lit("""{"tag":"rt"}""").as("metadata"))
+        .as[graft.core.VectorRecord]
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_jsonl_rt_" +
+        java.lang.Integer.toHexString(dir.hashCode)
+      graft.io.Formats.writeJsonl(src, out)
+      graft.io.Formats.readJsonl(s, out).toDF()
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("id")).cast("long").as("id_sum"),
+          sum(size(col("embedding"))).cast("long").as("dims_total"),
+          sum(floor(element_at(col("embedding"), 1).cast("double") * 1e6).cast("long")).as("first_dim_micro"))
+    }),
+
     // Skew-salted equi-join declared against the plain-join oracle: the
     // deterministic hash salt spreads a hot user over saltFactor shuffle
     // partitions but must not change a single output row.
@@ -1071,6 +1089,13 @@ object SparkEntry {
         |SELECT c.user_id, epoch_us(c.cts) AS click_us, c.event_id, epoch_us(s.sts) AS signup_us
         |FROM clicks c ASOF LEFT JOIN s ON c.user_id = s.user_id AND c.cts >= s.sts
         |ORDER BY c.user_id, click_us, event_id""".stripMargin,
+
+    // the round trip must preserve every id and every float32 exactly
+    "emb_jsonl_roundtrip" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows, CAST(sum(vec_id) AS BIGINT) AS id_sum,
+        |       CAST(sum(len(embedding)) AS BIGINT) AS dims_total,
+        |       CAST(sum(CAST(floor(CAST(embedding[1] AS DOUBLE) * 1e6) AS BIGINT)) AS BIGINT) AS first_dim_micro
+        |FROM embeddings""".stripMargin,
 
     // the salted plan must reproduce the plain inner join row for row
     "events_salted_join" ->
