@@ -443,15 +443,27 @@ object SparkEntry {
       graft.index.Pq.searchRerank(enc, corpus, cb, query, k = 10, shortlist = 200)
     }),
 
-    // LSH approximate top-10 (O6 rebuild → fit, approx O7) — rows-only:
-    // MLlib's random hyperplanes have no DuckDB equivalent; recall vs
-    // the exact path is pinned by AnnSpec instead.
+    // LSH approximate top-10 (O6 rebuild → fit, approx O7), oracle-checked
+    // via the planted-copy construction (same device as knn_ivf_pruned):
+    // nine exact copies of the query vector join the corpus, so exactly
+    // ten rows (self + nine copies) sit at dist 0. An exact copy hashes
+    // identically to the key in EVERY hash table — floor((v·h + b)/w) is
+    // a pure function of v — so all ten are guaranteed candidates of the
+    // single-probe lookup, and any sort-by-distance must keep precisely
+    // the ten dist-0 rows in its top-10. The approximate path therefore
+    // provably equals the brute-force exact oracle while still exercising
+    // the full LSH plumbing (fit, bucket probe, candidate re-rank). Recall
+    // on the RAW corpus stays pinned by knn_lsh_check and AnnSpec.
     "knn_lsh_top10" -> ((s, dir) => {
       val corpus = emb(s, dir)
-      val model = graft.index.Ann.fit(corpus)
+      val planted = corpus.filter(col("vec_id") === 0)
+        .crossJoin(s.range(9))
+        .select((col("id") + lit(3000000L)).as("vec_id"), col("embedding"))
+      val full = corpus.select(col("vec_id"), col("embedding")).union(planted)
+      val model = graft.index.Ann.fit(full)
       val query = corpus.filter(col("vec_id") === 0)
         .select(col("embedding")).head().getSeq[Float](0).toArray
-      graft.index.Ann.searchApprox(model, corpus, query, k = 10)
+      graft.index.Ann.searchApprox(model, full, query, k = 10)
     }),
 
     // Invariant summary for the LSH search path (its bucket choices are
@@ -758,6 +770,21 @@ object SparkEntry {
          |      FROM d)
          |SELECT query_id, vec_id, dist, rank FROM r WHERE rank <= 5
          |ORDER BY query_id ASC, rank ASC""".stripMargin,
+
+    // Exact brute force over the same planted corpus — the ten dist-0
+    // rows (query self-match + nine exact copies) are guaranteed LSH
+    // candidates, so the approximate search must reproduce this exactly.
+    "knn_lsh_top10" ->
+      s"""WITH c AS (SELECT vec_id, embedding FROM embeddings
+         |           UNION ALL
+         |           SELECT 3000000 + r.i AS vec_id, e.embedding
+         |           FROM embeddings e CROSS JOIN range(9) r(i) WHERE e.vec_id = 0),
+         |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         |d AS (SELECT c.vec_id, ${l2SqSql("c.embedding", "q.qe")} AS dist
+         |      FROM c CROSS JOIN q)
+         |SELECT vec_id, dist,
+         |       CAST(row_number() OVER (ORDER BY dist ASC, vec_id ASC) AS INTEGER) AS rank
+         |FROM d ORDER BY dist ASC, vec_id ASC LIMIT 10""".stripMargin,
 
     "knn_lsh_check" ->
       """SELECT CAST(10 AS BIGINT) AS n_rows, CAST(0 AS BIGINT) AS bad_dist,

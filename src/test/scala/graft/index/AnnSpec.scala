@@ -7,10 +7,16 @@ import graft.ops.VectorSearch
 
 /** LSH (O6 rebuild + approx O7) and IVF recall gates vs the exact path,
   * on the driver fixture embeddings.parquet (SURVEY §5). */
-class AnnSpec extends AnyFunSuite {
+class AnnSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
 
   private lazy val spark = SparkTestSession.spark
   private lazy val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+
+  // The cache is keyed by canonical plan in the session-wide CacheManager,
+  // so leaving it behind would serve later suites' reads of the same path
+  // from an InMemoryRelation — hiding the parquet PushedFilters that
+  // PlanAuditSpec asserts on. Drop it when this suite finishes.
+  override def afterAll(): Unit = { emb.unpersist(blocking = true); super.afterAll() }
 
   private def queryVec(id: Long): Array[Float] =
     emb.filter(org.apache.spark.sql.functions.col("vec_id") === id)
