@@ -340,6 +340,22 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // Duplicate-cluster closure: connected components over the exact
+    // n-gram Jaccard pair graph (min-label propagation with pointer
+    // jumping — O(log d) bucketed join rounds, no driver row traffic).
+    // Pairs only say A~B; keep-one-per-group curation needs the
+    // transitive closure, keyed by the component's minimum doc id.
+    "dedup_clusters" -> ((s, dir) => {
+      val pairs = Dedup.ngramJaccardPairs(docs(s, dir), n = 3, minJaccard = 0.3,
+          maxShingleDf = 500L)
+        .select("id_a", "id_b")
+      Dedup.connectedComponents(pairs)
+        .withColumn("cluster_size",
+          count(lit(1)).over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("cluster_id"))))
+        .orderBy(col("id"))
+    }),
+
     // MinHash-LSH near-dup pairs (banded bucket join, then the EXACT
     // Jaccard filter on candidates). The oracle brute-forces the same
     // threshold set with a shared-shingle join: every qualifying pair at
@@ -943,6 +959,31 @@ object SparkEntry {
          |JOIN sz sb ON sb.doc_id = id_b
          |WHERE CAST(n_inter AS DOUBLE) / CAST(sa.set_size + sb.set_size - n_inter AS DOUBLE) >= 0.3
          |ORDER BY id_a, id_b""".stripMargin,
+
+    // Same pair CTEs as doc_ngram_jaccard, then the transitive closure
+    // by recursive CTE: min reachable id per node = the component label
+    // the distributed min-label propagation converges to.
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE t AS (SELECT doc_id, $ToksSql AS toks FROM documents),
+         |sh0 AS (SELECT doc_id,
+         |              unnest(list_distinct([array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks) - 1)])) AS shingle
+         |       FROM t WHERE len(toks) >= 3),
+         |rare AS (SELECT shingle FROM sh0 GROUP BY 1 HAVING count(*) <= 500),
+         |sh AS (SELECT sh0.doc_id, sh0.shingle FROM sh0 JOIN rare USING (shingle)),
+         |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS set_size FROM sh GROUP BY 1),
+         |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS n_inter
+         |          FROM sh a JOIN sh b USING (shingle) WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+         |p AS (SELECT id_a, id_b FROM inter
+         |      JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+         |      WHERE CAST(n_inter AS DOUBLE) / CAST(sa.set_size + sb.set_size - n_inter AS DOUBLE) >= 0.3),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM p UNION SELECT id_b, id_a FROM p),
+         |reach(a, b) AS (SELECT src, dst FROM edges
+         |                UNION
+         |                SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src),
+         |comp AS (SELECT a AS id, LEAST(a, MIN(b)) AS cluster_id FROM reach GROUP BY a)
+         |SELECT id, cluster_id,
+         |       CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
+         |FROM comp ORDER BY id""".stripMargin,
 
     // Brute force over ALL pairs at the exact-Jaccard threshold; the
     // banded MinHash result equals it (see the query comment).

@@ -360,4 +360,72 @@ object Dedup {
       .filter(col("cos_sim") >= minCosine)
       .select("id_a", "id_b", "cos_sim")
   }
+
+  // ------------------------------------------- duplicate-cluster closure
+
+  /** Connected components over a near-duplicate pair graph: every node
+    * that appears in `pairs` is labeled with the smallest id reachable
+    * from it — the canonical "duplicate cluster" id a curation pipeline
+    * keys keep-one-per-cluster decisions on. Pair generators (MinHash /
+    * SimHash / Jaccard / embedding bands) emit PAIRS; transitive overlap
+    * (A~B, B~C but not A~C) still means A, B, C are one duplicate group,
+    * which only the component closure exposes.
+    *
+    * Algorithm: distributed min-label propagation with pointer jumping.
+    * Each round does (1) `label(v) ← min(label(v), min_{u∈N(v)} label(u))`
+    * — one hash join + one groupBy on the symmetrized edge list — and
+    * (2) `label(v) ← label(label(v))` (pointer jumping), which contracts
+    * label chains so convergence needs O(log d) rounds for diameter-d
+    * components rather than O(d). Near-dup components are dense clumps
+    * with tiny diameter, so in practice 2–3 rounds close sf0.1. Every
+    * round ends in an eager `localCheckpoint` — the loop's driver side
+    * touches only a 1-row convergence aggregate, never row data, and the
+    * checkpoint keeps the plan O(1) deep instead of O(rounds). At
+    * cluster scale swap `localCheckpoint` for a reliable `checkpoint`
+    * (HDFS-backed) so executor loss cannot orphan a round; the
+    * alternating large-star/small-star formulation (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14) is the
+    * drop-in upgrade if adversarially long chains ever matter.
+    *
+    * Returns (id, cluster_id) for every node in `pairs`, cluster_id =
+    * min id of the component. */
+  def connectedComponents(
+      pairs: DataFrame,
+      idACol: String = "id_a",
+      idBCol: String = "id_b",
+      maxIter: Int = 50): DataFrame = {
+    val edges = pairs
+      .select(col(idACol).cast("long").as("src"), col(idBCol).cast("long").as("dst"))
+      .union(pairs.select(col(idBCol).cast("long").as("src"), col(idACol).cast("long").as("dst")))
+      .distinct()
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("src"), col("label").as("src_label")), "src")
+        .groupBy(col("dst").as("id"))
+        .agg(min(col("src_label")).as("nbr_min"))
+      val propagated = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
+      // pointer jumping: follow the label one hop (labels are node ids,
+      // so the label table maps them); halves chain length every round
+      val jumped = propagated.as("p")
+        .join(propagated.select(col("id").as("label"), col("label").as("parent")).as("q"),
+          Seq("label"), "left")
+        .select(col("id"), coalesce(col("parent"), col("label")).as("label"))
+        .localCheckpoint()
+      val changed = jumped.as("n").join(labels.as("o"), "id")
+        .filter(col("n.label") =!= col("o.label"))
+        .limit(1).count()
+      labels = jumped
+      converged = changed == 0
+      iter += 1
+    }
+    labels.select(col("id"), col("label").as("cluster_id"))
+  }
 }

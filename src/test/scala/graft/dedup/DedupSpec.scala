@@ -166,4 +166,29 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.contains((1L, 2L)) && pairs.contains((1L, 3L)))
     assert(!pairs.exists { case (a, b) => Set(a, b).contains(4L) })
   }
+
+  test("connectedComponents labels transitive chains with the component min id") {
+    // 1-2, 2-3 (chain — 1~3 only transitively), 10-11 separate, 20-21-22
+    // via a hub; nodes outside any pair must not appear
+    val pairs = Seq((2L, 3L), (1L, 2L), (10L, 11L), (20L, 21L), (20L, 22L))
+      .toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
+  test("connectedComponents closes a long path graph (pointer jumping)") {
+    // path 100-101-...-120: diameter 20, worst case for pure propagation;
+    // pointer jumping must still close it within the iteration cap
+    val pairs = (100L until 120L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(pairs, maxIter = 10)
+      .as[(Long, Long)].collect().toMap
+    assert(cc.size == 21 && cc.values.forall(_ == 100L))
+  }
+
+  test("connectedComponents on an empty pair set returns no rows") {
+    val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(Dedup.connectedComponents(empty).count() == 0)
+  }
 }
