@@ -689,6 +689,16 @@ object SparkEntry {
         sum(length(col("text")).cast("long")).as("chars_kept"))
     }),
 
+    // Full curation pipeline (language gate → quality gate → exact dedup
+    // → near-dup cluster keep-min): every stage is an engine operator,
+    // composed in the cost order a 100 TB pipeline wants — narrow
+    // per-row gates shrink the corpus before the candidate joins run.
+    "corpus_curate" -> ((s, dir) => {
+      graft.text.Curation.curate(docs(s, dir))
+        .select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Hot-key-safe as-of variant (per-(key, day-bucket) windows with a
     // carry-in pass) — declared against the SAME oracle as events_asof:
     // the salted plan must reproduce the plain as-of bit-for-bit.
@@ -1191,6 +1201,56 @@ object SparkEntry {
          |SELECT CAST(count(*) AS BIGINT) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS id_sum,
          |       CAST(sum(length(text)) AS BIGINT) AS chars_kept
          |FROM k WHERE rn = 1""".stripMargin,
+
+    // The whole curation chain re-derived in SQL: the lang/quality gate
+    // expressions are verbatim the doc_lang_id / doc_quality oracles
+    // (both hash-matched, so the float comparisons agree bit-for-bit),
+    // exact dedup is the doc_dedup_keep row_number device, and the
+    // near-dup keep-set is the dedup_clusters recursive closure over the
+    // gated survivors, keeping each component's minimum id.
+    "corpus_curate" ->
+      s"""WITH RECURSIVE base AS (SELECT doc_id, text, $NormSql AS norm, $ToksSql AS toks FROM documents),
+         |ling AS (SELECT doc_id, text, norm, toks,
+         |  CAST(len(list_filter(toks, x -> x IN ('the','and','of','is','with'))) AS BIGINT) AS score_en,
+         |  CAST(len(list_filter(toks, x -> x IN ('el','la','de','que','con'))) AS BIGINT) AS score_es,
+         |  CAST(len(list_filter(toks, x -> x IN ('der','die','und','ist','mit'))) AS BIGINT) AS score_de,
+         |  CAST(len(list_filter(toks, x -> x IN ('le','la','et','est','avec'))) AS BIGINT) AS score_fr,
+         |  CAST(length(norm) - length(regexp_replace(norm, '[\\x{4e00}-\\x{9fff}]', '', 'g')) AS BIGINT) AS score_zh
+         |  FROM base),
+         |gated AS (SELECT doc_id, text, norm, toks FROM ling
+         |  WHERE (CASE WHEN greatest(score_en, score_es, score_de, score_fr, score_zh) <= 0 THEN 'und'
+         |              WHEN score_en = greatest(score_en, score_es, score_de, score_fr, score_zh) THEN 'en'
+         |              WHEN score_es = greatest(score_en, score_es, score_de, score_fr, score_zh) THEN 'es'
+         |              WHEN score_de = greatest(score_en, score_es, score_de, score_fr, score_zh) THEN 'de'
+         |              WHEN score_fr = greatest(score_en, score_es, score_de, score_fr, score_zh) THEN 'fr'
+         |              ELSE 'zh' END) = 'en'
+         |    AND (least(CAST(len(toks) AS DOUBLE) / 64.0, 1.0) * 0.4 +
+         |         CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE) * 0.4 +
+         |         (CASE WHEN CAST(len(list_filter(toks, x -> x IN ('the','a','an','and','or','of','to','in','is','on','for','with'))) AS DOUBLE)
+         |                    / CAST(len(toks) AS DOUBLE) BETWEEN 0.01 AND 0.6 THEN 1.0 ELSE 0.5 END) * 0.2) >= 0.5),
+         |ex AS (SELECT doc_id, text, toks FROM
+         |        (SELECT doc_id, text, toks,
+         |                row_number() OVER (PARTITION BY md5(norm) ORDER BY doc_id ASC) AS rn
+         |         FROM gated) WHERE rn = 1),
+         |sh0 AS (SELECT doc_id,
+         |              unnest(list_distinct([array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks) - 1)])) AS shingle
+         |       FROM ex WHERE len(toks) >= 3),
+         |rare AS (SELECT shingle FROM sh0 GROUP BY 1 HAVING count(*) <= 500),
+         |sh AS (SELECT sh0.doc_id, sh0.shingle FROM sh0 JOIN rare USING (shingle)),
+         |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS set_size FROM sh GROUP BY 1),
+         |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS n_inter
+         |          FROM sh a JOIN sh b USING (shingle) WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+         |p AS (SELECT id_a, id_b FROM inter
+         |      JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+         |      WHERE CAST(n_inter AS DOUBLE) / CAST(sa.set_size + sb.set_size - n_inter AS DOUBLE) >= 0.3),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM p UNION SELECT id_b, id_a FROM p),
+         |reach(a, b) AS (SELECT src, dst FROM edges
+         |                UNION
+         |                SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src),
+         |comp AS (SELECT a AS id, LEAST(a, MIN(b)) AS cluster_id FROM reach GROUP BY a)
+         |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens FROM ex
+         |WHERE doc_id NOT IN (SELECT id FROM comp WHERE id <> cluster_id)
+         |ORDER BY doc_id""".stripMargin,
 
     // identical expected output — the salted plan changes shape, not rows
     "events_asof_salted" ->

@@ -1,0 +1,54 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+
+/** End-to-end training-corpus curation: the standard pretraining filter
+  * chain, composed from the engine's own operators (charter extension —
+  * the reference has no text surface at all, SURVEY §2.4).
+  *
+  * Stages, in the order a 100 TB pipeline wants them (cheap narrow
+  * filters first so the expensive candidate joins see the smallest
+  * possible corpus):
+  *
+  *  1. language gate  — [[TextAnalysis.languageId]] (per-row, no shuffle)
+  *  2. quality gate   — [[TextAnalysis.qualityScore]] ≥ `minQuality`
+  *                      (per-row, no shuffle)
+  *  3. exact dedup    — [[Dedup.dedupExact]] keep-lowest-id per content
+  *                      hash (one skew-free shuffle on the 16-byte md5)
+  *  4. near-dup dedup — [[Dedup.ngramJaccardPairs]] over survivors
+  *                      (bucketed shared-shingle candidate join), closed
+  *                      into duplicate clusters by
+  *                      [[Dedup.connectedComponents]] (O(log d) join
+  *                      rounds); every cluster keeps its minimum id
+  *
+  * The final keep-set subtracts cluster losers with a left-anti join;
+  * the loser side is a tiny id list relative to the corpus, so AQE
+  * broadcasts it — no corpus shuffle in the last stage.
+  */
+object Curation {
+
+  def curate(
+      docs: DataFrame,
+      lang: String = "en",
+      minQuality: Double = 0.5,
+      minJaccard: Double = 0.3,
+      maxShingleDf: Long = 500L,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val gated = docs.filter(
+      TextAnalysis.languageId(col(textCol)) === lang &&
+        TextAnalysis.qualityScore(col(textCol)) >= minQuality)
+    val exact = Dedup.dedupExact(gated, idCol, textCol)
+    val pairs = Dedup
+      .ngramJaccardPairs(exact, n = 3, minJaccard = minJaccard,
+        idCol = idCol, textCol = textCol, maxShingleDf = maxShingleDf)
+      .select("id_a", "id_b")
+    val losers = Dedup.connectedComponents(pairs)
+      .filter(col("id") =!= col("cluster_id"))
+      .select(col("id").as(idCol))
+    exact.join(losers, Seq(idCol), "left_anti")
+  }
+}
