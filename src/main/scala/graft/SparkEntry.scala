@@ -699,6 +699,29 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Deterministic stratified sampling: downsample English to 20%, keep
+    // every other stratum whole (the classic rebalancing device).
+    // Inclusion is a pure function of md5(doc_id ‖ salt) — replayable
+    // under retries and recomputable by the oracle, unlike rand().
+    "doc_sample_stratified" -> ((s, dir) => {
+      val d = docs(s, dir).withColumn("lang_id", TextAnalysis.languageId(col("text")))
+      graft.ops.Sampling.stratifiedBernoulli(d, col("lang_id"),
+          rates = Map("en" -> 0.2), defaultRate = 1.0, salt = "s1")
+        .select(col("doc_id"), col("lang_id"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Sequence packing into 256-token context windows: docs hash into 8
+    // independent parts (pure function of the id), each packed by a
+    // greedy in-id-order scan — embarrassingly parallel, and the oracle
+    // replays every bin assignment with a per-part recursive recurrence.
+    "seq_pack" -> ((s, dir) => {
+      val d = docs(s, dir)
+        .select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+      graft.ops.Packing.packGreedy(d, budget = 256L, nParts = 8)
+        .orderBy(col("doc_id"))
+    }),
+
     // Hot-key-safe as-of variant (per-(key, day-bucket) windows with a
     // carry-in pass) — declared against the SAME oracle as events_asof:
     // the salted plan must reproduce the plain as-of bit-for-bit.
@@ -1251,6 +1274,56 @@ object SparkEntry {
          |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens FROM ex
          |WHERE doc_id NOT IN (SELECT id FROM comp WHERE id <> cluster_id)
          |ORDER BY doc_id""".stripMargin,
+
+    // Recomputes the 32-bit md5 deviate (first 8 hex chars, digit-parsed
+    // — same device as the simhash signature oracle) and the lang-id
+    // CASE, then applies the per-stratum per-myriad thresholds.
+    "doc_sample_stratified" ->
+      s"""WITH t AS (SELECT doc_id, $NormSql AS norm, $ToksSql AS toks FROM documents),
+         |s AS (SELECT doc_id,
+         |  CAST(len(list_filter(toks, x -> x IN ('the','and','of','is','with'))) AS BIGINT) AS score_en,
+         |  CAST(len(list_filter(toks, x -> x IN ('el','la','de','que','con'))) AS BIGINT) AS score_es,
+         |  CAST(len(list_filter(toks, x -> x IN ('der','die','und','ist','mit'))) AS BIGINT) AS score_de,
+         |  CAST(len(list_filter(toks, x -> x IN ('le','la','et','est','avec'))) AS BIGINT) AS score_fr,
+         |  CAST(length(norm) - length(regexp_replace(norm, '[\\x{4e00}-\\x{9fff}]', '', 'g')) AS BIGINT) AS score_zh
+         |  FROM t),
+         |l AS (SELECT doc_id,
+         |  CASE WHEN greatest(score_en, score_es, score_de, score_fr, score_zh) <= 0 THEN 'und'
+         |       WHEN score_en = greatest(score_en, score_es, score_de, score_fr, score_zh) THEN 'en'
+         |       WHEN score_es = greatest(score_en, score_es, score_de, score_fr, score_zh) THEN 'es'
+         |       WHEN score_de = greatest(score_en, score_es, score_de, score_fr, score_zh) THEN 'de'
+         |       WHEN score_fr = greatest(score_en, score_es, score_de, score_fr, score_zh) THEN 'fr'
+         |       ELSE 'zh' END AS lang_id
+         |  FROM s),
+         |h AS (SELECT doc_id, lang_id,
+         |  list_sum([(CAST(strpos('0123456789abcdef', md5(CAST(doc_id AS VARCHAR) || 's1')[i]) AS BIGINT) - 1)
+         |            * (CAST(1 AS BIGINT) << (4*(8-i))) FOR i IN range(1, 9)]) % 10000 AS bucket
+         |  FROM l)
+         |SELECT doc_id, lang_id FROM h
+         |WHERE bucket < (CASE WHEN lang_id = 'en' THEN 2000 ELSE 10000 END)
+         |ORDER BY doc_id""".stripMargin,
+
+    // Replays the two-level packing exactly: the same md5 deviate mod 8
+    // assigns parts, and a per-part recursive recurrence walks docs in
+    // id order carrying (bin_idx, fill) — the greedy rule verbatim.
+    "seq_pack" ->
+      s"""WITH RECURSIVE base AS (
+         |  SELECT doc_id,
+         |         CAST(list_sum([(CAST(strpos('0123456789abcdef', md5(CAST(doc_id AS VARCHAR))[i]) AS BIGINT) - 1)
+         |                        * (CAST(1 AS BIGINT) << (4*(8-i))) FOR i IN range(1, 9)]) % 8 AS INTEGER) AS part,
+         |         CAST(len($ToksSql) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |d AS (SELECT doc_id, part, n_tokens,
+         |             CAST(row_number() OVER (PARTITION BY part ORDER BY doc_id) AS INTEGER) AS rn
+         |      FROM base),
+         |pack(part, rn, doc_id, bin_idx, fill) AS (
+         |  SELECT part, rn, doc_id, CAST(0 AS BIGINT) AS bin_idx, n_tokens AS fill FROM d WHERE rn = 1
+         |  UNION ALL
+         |  SELECT d.part, d.rn, d.doc_id,
+         |         CASE WHEN p.fill + d.n_tokens <= 256 THEN p.bin_idx ELSE p.bin_idx + 1 END,
+         |         CASE WHEN p.fill + d.n_tokens <= 256 THEN p.fill + d.n_tokens ELSE d.n_tokens END
+         |  FROM pack p JOIN d ON d.part = p.part AND d.rn = p.rn + 1)
+         |SELECT doc_id, part, bin_idx FROM pack ORDER BY doc_id""".stripMargin,
 
     // identical expected output — the salted plan changes shape, not rows
     "events_asof_salted" ->

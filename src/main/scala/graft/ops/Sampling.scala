@@ -1,0 +1,41 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling for training-data pipelines.
+  *
+  * `rand()`-based sampling is non-replayable (a retry or a re-run draws a
+  * different corpus) and cannot be verified by an external oracle. Here
+  * inclusion is a pure function of the row id: a 32-bit uniform deviate
+  * from md5(id ‖ salt), reduced mod 10⁴, compared against the stratum's
+  * per-myriad threshold. Per-row, no shuffle, stable under retries,
+  * recomputable by any engine with md5 — the property the DuckDB oracle
+  * exercises. Distinct salts give independent samples.
+  */
+object Sampling {
+
+  /** The 32-bit deviate: first 8 hex chars of md5(id ‖ salt) as a long.
+    * Uniform on [0, 2³²); mod-10⁴ bias is ≤ 2⁻¹⁸ — immaterial for
+    * corpus sampling and identical in every engine. */
+  def hashBucket(id: Column, salt: String): Column =
+    pmod(conv(substring(md5(concat(id.cast("string"), lit(salt))), 1, 8), 16, 10)
+      .cast("long"), lit(10000L))
+
+  /** Per-stratum Bernoulli sampling: keep a row iff its bucket falls
+    * under `rates(stratum)` (fraction in [0,1]; strata absent from the
+    * map use `defaultRate`). The canonical rebalancing device: downsample
+    * the majority language, keep minority strata whole. */
+  def stratifiedBernoulli(
+      df: DataFrame,
+      strata: Column,
+      rates: Map[String, Double],
+      defaultRate: Double = 1.0,
+      idCol: String = "doc_id",
+      salt: String = ""): DataFrame = {
+    val threshold = rates.foldLeft(lit(math.round(defaultRate * 10000))) {
+      case (acc, (k, v)) => when(strata === k, lit(math.round(v * 10000))).otherwise(acc)
+    }
+    df.filter(hashBucket(col(idCol), salt) < threshold)
+  }
+}

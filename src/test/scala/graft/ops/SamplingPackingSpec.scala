@@ -1,0 +1,74 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** Deterministic sampling + sequence packing invariants. */
+class SamplingPackingSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private lazy val docs = (1L to 400L).map(i => (i, if (i % 4 == 0) "es" else "en"))
+    .toDF("doc_id", "lang")
+
+  test("stratifiedBernoulli is deterministic and respects rate boundaries") {
+    def run() = Sampling
+      .stratifiedBernoulli(docs, col("lang"), Map("en" -> 0.2), 1.0, salt = "t")
+      .select("doc_id").as[Long].collect().toSet
+    val s1 = run()
+    assert(s1 == run(), "same salt must reproduce the same sample")
+    // every non-en row kept (rate 1.0); en rows roughly 20% (hash-uniform)
+    val es = docs.filter(col("lang") === "es").select("doc_id").as[Long].collect().toSet
+    assert(es.subsetOf(s1))
+    val enKept = (s1 -- es).size
+    assert(enKept > 30 && enKept < 90, s"~20% of 300 en rows expected, got $enKept")
+  }
+
+  test("rate 0 excludes the stratum; a different salt draws a different sample") {
+    val none = Sampling
+      .stratifiedBernoulli(docs, col("lang"), Map("en" -> 0.0), 1.0, salt = "t")
+      .filter(col("lang") === "en").count()
+    assert(none == 0)
+    def sample(salt: String) = Sampling
+      .stratifiedBernoulli(docs, col("lang"), Map("en" -> 0.5), 1.0, salt = salt)
+      .select("doc_id").as[Long].collect().toSet
+    assert(sample("a") != sample("b"))
+  }
+
+  test("packGreedy: every doc assigned once, no bin over budget, bins dense in id order") {
+    val d = (1L to 300L).map(i => (i, 20L + i % 50)).toDF("doc_id", "n_tokens")
+    val packed = Packing.packGreedy(d, budget = 128L, nParts = 4)
+      .join(d, "doc_id")
+      .as[(Long, Int, Long, Long)].collect()
+    assert(packed.length == 300 && packed.map(_._1).distinct.length == 300)
+    // no bin over budget (no doc here exceeds the budget alone)
+    val byBin = packed.groupBy(p => (p._2, p._3))
+    assert(byBin.values.forall(_.map(_._4).sum <= 128L))
+    // within a part, bin ids start at 0 and never decrease in doc order
+    packed.groupBy(_._2).values.foreach { part =>
+      val bins = part.sortBy(_._1).map(_._3)
+      assert(bins.head == 0L)
+      assert(bins.zip(bins.tail).forall { case (a, b) => b == a || b == a + 1 })
+    }
+  }
+
+  test("packGreedy gives an oversized doc its own bin") {
+    val d = Seq((1L, 5L), (2L, 500L), (3L, 5L)).toDF("doc_id", "n_tokens")
+    val packed = Packing.packGreedy(d, budget = 100L, nParts = 1)
+      .as[(Long, Int, Long)].collect().sortBy(_._1)
+    // id order within the single part: 1 opens bin 0; 2 overflows into
+    // bin 1 alone; 3 cannot join (fill 500 + 5 > 100) and opens bin 2
+    assert(packed.map(_._3).toSeq == Seq(0L, 1L, 2L))
+  }
+
+  test("packGreedy is invariant to the physical partition count") {
+    val d = (1L to 100L).map(i => (i, 30L)).toDF("doc_id", "n_tokens")
+    val a = Packing.packGreedy(d, budget = 100L, nParts = 8)
+      .as[(Long, Int, Long)].collect().toSet
+    val b = Packing.packGreedy(d.repartition(13), budget = 100L, nParts = 8)
+      .as[(Long, Int, Long)].collect().toSet
+    assert(a == b)
+  }
+}
