@@ -394,9 +394,14 @@ object Dedup {
       idACol: String = "id_a",
       idBCol: String = "id_b",
       maxIter: Int = 50): DataFrame = {
-    val edges = pairs
+    // materialize the (possibly expensive) pair generator ONCE before
+    // symmetrizing — union's two branches would otherwise each re-derive
+    // the full candidate-join subplan
+    val p0 = pairs
       .select(col(idACol).cast("long").as("src"), col(idBCol).cast("long").as("dst"))
-      .union(pairs.select(col(idBCol).cast("long").as("src"), col(idACol).cast("long").as("dst")))
+      .localCheckpoint()
+    val edges = p0
+      .union(p0.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .localCheckpoint()
     var labels = edges.select(col("src").as("id")).distinct()

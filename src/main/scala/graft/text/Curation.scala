@@ -41,7 +41,11 @@ object Curation {
     val gated = docs.filter(
       TextAnalysis.languageId(col(textCol)) === lang &&
         TextAnalysis.qualityScore(col(textCol)) >= minQuality)
-    val exact = Dedup.dedupExact(gated, idCol, textCol)
+    // three consumers (pair self-join sides share one subplan, but the
+    // closure loop and the final anti-join would each re-run the gate +
+    // dedup chain) — materialize the survivors once; at cluster scale
+    // swap for a reliable checkpoint or an intermediate parquet write
+    val exact = Dedup.dedupExact(gated, idCol, textCol).localCheckpoint()
     val pairs = Dedup
       .ngramJaccardPairs(exact, n = 3, minJaccard = minJaccard,
         idCol = idCol, textCol = textCol, maxShingleDf = maxShingleDf)
