@@ -24,9 +24,12 @@ import graft.dedup.Dedup
   *                      [[Dedup.connectedComponents]] (O(log d) join
   *                      rounds); every cluster keeps its minimum id
   *
-  * The final keep-set subtracts cluster losers with a left-anti join;
-  * the loser side is a tiny id list relative to the corpus, so AQE
-  * broadcasts it — no corpus shuffle in the last stage.
+  * The final keep-set subtracts cluster losers with a left-anti join.
+  * The loser side is a bare id list (one long per dropped near-dup), so
+  * AQE flips the statically-planned sort-merge join to broadcast at
+  * runtime once the true size is known (plan-audit-pinned); if a corpus
+  * ever produced more loser ids than a broadcast can hold, the adaptive
+  * plan falls back to the shuffled anti-join rather than failing.
   */
 object Curation {
 

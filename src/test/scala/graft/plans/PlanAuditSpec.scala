@@ -93,6 +93,37 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("stratified sampling is a pure per-row filter: no exchange, no UDF") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val plan = graft.ops.Sampling
+      .stratifiedBernoulli(docs, lit("en"), Map("en" -> 0.2), 1.0, salt = "p")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"sampling filter shuffles:\n$plan")
+    assert(!plan.contains("ScalaUDF"), s"UDF crept into sampling:\n$plan")
+  }
+
+  test("sequence packing shuffles exactly once (the part repartition)") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), lit(10L).as("n_tokens"))
+    val plan = graft.ops.Packing.packGreedy(docs, budget = 256L, nParts = 8)
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1, s"expected exactly 1 shuffle, got $exchanges:\n$plan")
+  }
+
+  test("curation's final keep-set subtraction broadcasts the loser ids (via AQE)") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val df = graft.text.Curation.curate(docs)
+    // the loser side is a checkpointed RDD scan with no stats, so the
+    // static plan is a sort-merge join; AQE must flip it to broadcast
+    // once the true (tiny) size is known — assert on the FINAL plan
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("isFinalPlan=true"), s"AQE final plan missing:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"loser-id anti-join not broadcast at runtime:\n$plan")
+  }
+
   test("distance expressions stay codegen (no BatchEvalPython/interpreted eval markers)") {
     val corpus = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val query = corpus.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
