@@ -711,6 +711,24 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Leakage-safe train/val/test split: the split label is a function
+    // of the near-dup CLUSTER id (docs outside any cluster group alone),
+    // so near-duplicates of a training doc can never leak into eval —
+    // the contamination-control op every pretraining corpus needs.
+    "corpus_split" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val pairs = Dedup.ngramJaccardPairs(d, n = 3, minJaccard = 0.3,
+          maxShingleDf = 500L)
+        .select("id_a", "id_b")
+      val cc = Dedup.connectedComponents(pairs)
+        .withColumnRenamed("id", "doc_id")
+      d.join(cc, Seq("doc_id"), "left")
+        .withColumn("grp", coalesce(col("cluster_id"), col("doc_id")))
+        .withColumn("split", graft.ops.Sampling.groupedSplit(col("grp"), salt = "sp1"))
+        .select(col("doc_id"), col("grp"), col("split"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Sequence packing into 256-token context windows: docs hash into 8
     // independent parts (pure function of the id), each packed by a
     // greedy in-id-order scan — embarrassingly parallel, and the oracle
@@ -1302,6 +1320,37 @@ object SparkEntry {
          |SELECT doc_id, lang_id FROM h
          |WHERE bucket < (CASE WHEN lang_id = 'en' THEN 2000 ELSE 10000 END)
          |ORDER BY doc_id""".stripMargin,
+
+    // The dedup_clusters closure, left-joined onto the corpus (cluster
+    // id for members, own id otherwise), then the same md5 deviate
+    // bucketed into cumulative split cuts (8000/9000/10000).
+    "corpus_split" ->
+      s"""WITH RECURSIVE t AS (SELECT doc_id, $ToksSql AS toks FROM documents),
+         |sh0 AS (SELECT doc_id,
+         |              unnest(list_distinct([array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks) - 1)])) AS shingle
+         |       FROM t WHERE len(toks) >= 3),
+         |rare AS (SELECT shingle FROM sh0 GROUP BY 1 HAVING count(*) <= 500),
+         |sh AS (SELECT sh0.doc_id, sh0.shingle FROM sh0 JOIN rare USING (shingle)),
+         |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS set_size FROM sh GROUP BY 1),
+         |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS n_inter
+         |          FROM sh a JOIN sh b USING (shingle) WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+         |p AS (SELECT id_a, id_b FROM inter
+         |      JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+         |      WHERE CAST(n_inter AS DOUBLE) / CAST(sa.set_size + sb.set_size - n_inter AS DOUBLE) >= 0.3),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM p UNION SELECT id_b, id_a FROM p),
+         |reach(a, b) AS (SELECT src, dst FROM edges
+         |                UNION
+         |                SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src),
+         |comp AS (SELECT a AS id, LEAST(a, MIN(b)) AS cluster_id FROM reach GROUP BY a),
+         |g AS (SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS grp
+         |      FROM documents d LEFT JOIN comp c ON c.id = d.doc_id),
+         |h AS (SELECT doc_id, grp,
+         |  list_sum([(CAST(strpos('0123456789abcdef', md5(CAST(grp AS VARCHAR) || 'sp1')[i]) AS BIGINT) - 1)
+         |            * (CAST(1 AS BIGINT) << (4*(8-i))) FOR i IN range(1, 9)]) % 10000 AS bucket
+         |  FROM g)
+         |SELECT doc_id, grp,
+         |       CASE WHEN bucket < 8000 THEN 'train' WHEN bucket < 9000 THEN 'val' ELSE 'test' END AS split
+         |FROM h ORDER BY doc_id""".stripMargin,
 
     // Replays the two-level packing exactly: the same md5 deviate mod 8
     // assigns parts, and a per-part recursive recurrence walks docs in

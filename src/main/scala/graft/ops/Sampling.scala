@@ -38,4 +38,29 @@ object Sampling {
     }
     df.filter(hashBucket(col(idCol), salt) < threshold)
   }
+
+  /** Leakage-safe dataset split: the split label is a pure function of
+    * `group` (not the row id), so every member of a group — e.g. a
+    * near-duplicate cluster from
+    * [[graft.dedup.Dedup.connectedComponents]] — lands in the SAME
+    * split, and eval contamination by near-dups of training docs is
+    * impossible by construction. `fractions` are (label, weight) in
+    * order, weights summing to 1; buckets partition [0, 10⁴) by
+    * cumulative weight. Per-row, no shuffle. */
+  def groupedSplit(
+      group: Column,
+      fractions: Seq[(String, Double)] =
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+      salt: String = ""): Column = {
+    require(fractions.nonEmpty && math.abs(fractions.map(_._2).sum - 1.0) < 1e-9,
+      s"fractions must sum to 1, got $fractions")
+    val bucket = hashBucket(group, salt)
+    val cuts = fractions.scanLeft(0L) { case (acc, (_, f)) =>
+      acc + math.round(f * 10000)
+    }.tail
+    fractions.init.zip(cuts.init).reverse
+      .foldLeft(lit(fractions.last._1): Column) {
+        case (acc, ((label, _), cut)) => when(bucket < cut, lit(label)).otherwise(acc)
+      }
+  }
 }

@@ -37,6 +37,17 @@ class SamplingPackingSpec extends AnyFunSuite {
     assert(sample("a") != sample("b"))
   }
 
+  test("groupedSplit keeps every group member in one split, at roughly the asked fractions") {
+    val d = (1L to 3000L).map(i => (i, i / 3)).toDF("doc_id", "grp") // groups of 3
+    val withSplit = d.withColumn("split", Sampling.groupedSplit(col("grp"), salt = "x"))
+    val rows = withSplit.as[(Long, Long, String)].collect()
+    // no group straddles splits
+    assert(rows.groupBy(_._2).values.forall(_.map(_._3).distinct.length == 1))
+    val frac = rows.groupBy(_._3).view.mapValues(_.length / 3000.0).toMap
+    assert(math.abs(frac("train") - 0.8) < 0.05 && math.abs(frac("val") - 0.1) < 0.04 &&
+      math.abs(frac("test") - 0.1) < 0.04, s"fractions off: $frac")
+  }
+
   test("packGreedy: every doc assigned once, no bin over budget, bins dense in id order") {
     val d = (1L to 300L).map(i => (i, 20L + i % 50)).toDF("doc_id", "n_tokens")
     val packed = Packing.packGreedy(d, budget = 128L, nParts = 4)
