@@ -87,6 +87,35 @@ object ScaleProbe {
     time("winnowing overlap")(noop(
       graft.dedup.Dedup.winnowOverlapPairs(docs, minShared = 3, maxFingerprintDf = 20L * factor)))
 
+    // replicas are exact dups of their originals, so the curation chain's
+    // exact-dedup stage collapses them BEFORE the expensive candidate
+    // join — the probe demonstrates that the pipeline's quadratic-risk
+    // stage only ever sees unique survivors
+    time("curation pipeline")(noop(
+      graft.text.Curation.curate(docs)))
+
+    // synthetic 2M-node graph (400k size-5 path components): probes the
+    // closure's join rounds at a row count where a non-distributed or
+    // quadratic formulation would be obvious
+    time("connected components 2M nodes")(noop {
+      val edges = spark.range(2000000L).filter(col("id") % 5 =!= 4)
+        .select(col("id").as("id_a"), (col("id") + 1).as("id_b"))
+      graft.dedup.Dedup.connectedComponents(edges)
+    })
+
+    time("greedy packing 2048-tok bins")(noop {
+      val d = docs.select(col("doc_id"),
+        graft.text.TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+      graft.ops.Packing.packGreedy(d, budget = 2048L, nParts = 64)
+    })
+
+    time("stratified sample + split")(noop {
+      val d = docs.withColumn("grp", col("doc_id") % 1000)
+      graft.ops.Sampling
+        .stratifiedBernoulli(d, lit("en"), Map("en" -> 0.5), salt = "sp")
+        .withColumn("split", graft.ops.Sampling.groupedSplit(col("grp")))
+    })
+
     spark.stop()
   }
 }
