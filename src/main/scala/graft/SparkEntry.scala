@@ -304,6 +304,29 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Gopher-style repetition signals: duplicate-n-gram and top-n-gram
+    // occupancy fractions — the boilerplate/degenerate-loop filters that
+    // complement the composite quality score. Per-row, no shuffle.
+    "doc_repetition" -> ((s, dir) => {
+      docs(s, dir).select(col("doc_id"),
+          TextAnalysis.dupNgramFraction(col("text"), 2).as("dup_2gram_frac"),
+          TextAnalysis.topNgramFraction(col("text"), 2).as("top_2gram_frac"),
+          TextAnalysis.dupNgramFraction(col("text"), 3).as("dup_3gram_frac"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Eval decontamination: corpus docs sharing ≥2 distinct 5-gram
+    // shingles with a benchmark set (here: every 100th doc, re-keyed) —
+    // the pre-training contamination sweep. Bucketed shared-shingle
+    // join; the hot-shingle cap is computed on the corpus side.
+    "decontaminate" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val bench = d.filter(col("doc_id") % 100 === 0)
+        .select((col("doc_id") + lit(9000000L)).as("bench_id"), col("text"))
+      Dedup.crossCorpusOverlap(d, bench, n = 5, minShared = 2L, maxShingleDf = 500L)
+        .orderBy(col("doc_id"), col("bench_id"))
+    }),
+
     // Document fingerprinting: md5 content hash of normalized text.
     "doc_fingerprint" -> ((s, dir) => {
       docs(s, dir)
@@ -971,6 +994,41 @@ object SparkEntry {
 
     "doc_fingerprint" ->
       s"SELECT doc_id, md5($NormSql) AS fp_md5 FROM documents ORDER BY doc_id",
+
+    // Raw (non-distinct) n-gram lists rebuilt with list comprehensions;
+    // every fraction is a single integer division, so float values match
+    // bit-for-bit.
+    "doc_repetition" ->
+      s"""WITH t AS (SELECT doc_id, $ToksSql AS toks FROM documents),
+         |g AS (SELECT doc_id,
+         |        CASE WHEN len(toks) < 2 THEN [] ELSE [array_to_string(toks[i:i+1], ' ') FOR i IN range(1, len(toks))] END AS g2,
+         |        CASE WHEN len(toks) < 3 THEN [] ELSE [array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks) - 1)] END AS g3
+         |      FROM t)
+         |SELECT doc_id,
+         |  CASE WHEN len(g2) = 0 THEN 0.0
+         |       ELSE 1.0 - CAST(len(list_distinct(g2)) AS DOUBLE) / CAST(len(g2) AS DOUBLE) END AS dup_2gram_frac,
+         |  CASE WHEN len(g2) = 0 THEN 0.0
+         |       ELSE CAST(list_max([len(list_filter(g2, y -> y = x)) FOR x IN list_distinct(g2)]) AS DOUBLE)
+         |            / CAST(len(g2) AS DOUBLE) END AS top_2gram_frac,
+         |  CASE WHEN len(g3) = 0 THEN 0.0
+         |       ELSE 1.0 - CAST(len(list_distinct(g3)) AS DOUBLE) / CAST(len(g3) AS DOUBLE) END AS dup_3gram_frac
+         |FROM g ORDER BY doc_id""".stripMargin,
+
+    // The same distinct-5-gram construction on both sides; the corpus-
+    // side df cap and the ≥2 shared-shingle floor mirror the operator.
+    "decontaminate" ->
+      s"""WITH t AS (SELECT doc_id, $ToksSql AS toks FROM documents),
+         |cs AS (SELECT doc_id,
+         |              unnest(list_distinct([array_to_string(toks[i:i+4], ' ') FOR i IN range(1, len(toks) - 3)])) AS shingle
+         |       FROM t WHERE len(toks) >= 5),
+         |bs AS (SELECT doc_id + 9000000 AS bench_id,
+         |              unnest(list_distinct([array_to_string(toks[i:i+4], ' ') FOR i IN range(1, len(toks) - 3)])) AS shingle
+         |       FROM t WHERE doc_id % 100 = 0 AND len(toks) >= 5),
+         |rare AS (SELECT shingle FROM cs GROUP BY 1 HAVING count(*) <= 500)
+         |SELECT cs.doc_id, bs.bench_id, CAST(count(*) AS BIGINT) AS n_shared
+         |FROM cs JOIN rare USING (shingle) JOIN bs USING (shingle)
+         |GROUP BY 1, 2 HAVING count(*) >= 2
+         |ORDER BY doc_id, bench_id""".stripMargin,
 
     "doc_tfidf_top3" ->
       s"""WITH toks AS (SELECT doc_id, unnest($ToksSql) AS term FROM documents),

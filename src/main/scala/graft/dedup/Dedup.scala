@@ -361,6 +361,38 @@ object Dedup {
       .select("id_a", "id_b", "cos_sim")
   }
 
+  // ---------------------------------------------- eval decontamination
+
+  /** Cross-corpus contamination check: corpus documents sharing at least
+    * `minShared` distinct word n-gram shingles with ANY benchmark
+    * document — the standard eval-decontamination sweep run before
+    * training (flag, then drop or audit). Same bucketed shape as the
+    * near-dup joins, but cross-corpus: shuffle key = shingle, benchmark
+    * side is tiny (eval sets are thousands of docs, the corpus is the
+    * 100 TB side), and the hot-shingle cap is computed on the CORPUS
+    * side, bounding every bucket's fan-out regardless of how common a
+    * benchmark phrase is. Returns (idCol, benchIdCol, n_shared). */
+  def crossCorpusOverlap(
+      corpus: DataFrame,
+      bench: DataFrame,
+      n: Int = 5,
+      minShared: Long = 2L,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      benchIdCol: String = "bench_id",
+      maxShingleDf: Long = 1000L): DataFrame = {
+    val cs = corpus.select(col(idCol), explode(wordShingles(col(textCol), n)).as("shingle"))
+    val bs = bench.select(col(benchIdCol), explode(wordShingles(col(textCol), n)).as("shingle"))
+    val rare = cs.groupBy("shingle").agg(count(lit(1)).as("df_count"))
+      .filter(col("df_count") <= maxShingleDf)
+      .select("shingle")
+    cs.join(rare, "shingle")
+      .join(bs, "shingle")
+      .groupBy(col(idCol), col(benchIdCol))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   // ------------------------------------------- duplicate-cluster closure
 
   /** Connected components over a near-duplicate pair graph: every node

@@ -85,6 +85,39 @@ object TextAnalysis {
     lengthScore * 0.4 + diversity * 0.4 + stopScore * 0.2
   }
 
+  /** Raw (non-distinct) word n-grams — the occurrence list the
+    * repetition signals need; [[org.apache.spark.sql.graft.VectorExpressions.wordShingles]]
+    * dedups and serves the join-key paths instead. */
+  def rawNgrams(c: Column, n: Int): Column = {
+    val t = tokens(c)
+    when(size(t) < n, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), size(t) - n),
+        i => concat_ws(" ", slice(t, i + 1, lit(n)))))
+  }
+
+  /** Gopher-style repetition signal: fraction of n-gram occurrences that
+    * are repeats (1 − distinct/total). High values flag boilerplate and
+    * degenerate loops — the standard pretraining repetition filter
+    * (Rae et al., "Scaling Language Models", arXiv:2112.11446 §A1.1). */
+  def dupNgramFraction(c: Column, n: Int): Column = {
+    val g = rawNgrams(c, n)
+    when(size(g) === 0, lit(0.0))
+      .otherwise(lit(1.0) -
+        size(array_distinct(g)).cast("double") / size(g).cast("double"))
+  }
+
+  /** Companion repetition signal: fraction of all n-gram occurrences
+    * taken by the single most frequent n-gram. Computed entirely inside
+    * the row (distinct × filter scan) — no shuffle; document n-gram
+    * lists are bounded by document length. */
+  def topNgramFraction(c: Column, n: Int): Column = {
+    val g = rawNgrams(c, n)
+    when(size(g) === 0, lit(0.0))
+      .otherwise(
+        array_max(transform(array_distinct(g), x => size(filter(g, y => y === x))))
+          .cast("double") / size(g).cast("double"))
+  }
+
   /** Marker words per (whitespace-tokenized) language for the language-ID
     * heuristic. Public for oracle mirroring. Chinese is NOT in this list:
     * zh text has no whitespace tokens, so its score is the CJK character

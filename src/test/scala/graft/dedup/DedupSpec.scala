@@ -167,6 +167,20 @@ class DedupSpec extends AnyFunSuite {
     assert(!pairs.exists { case (a, b) => Set(a, b).contains(4L) })
   }
 
+  test("crossCorpusOverlap flags docs sharing shingles with the benchmark side only") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),       // = bench doc
+      (2L, "alpha beta gamma delta epsilon other words"),// shares 5-gram prefix? (4-gram n=4 test)
+      (3L, "totally unrelated content with no overlap at all")
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, "alpha beta gamma delta epsilon zeta")).toDF("bench_id", "text")
+    val hits = Dedup.crossCorpusOverlap(corpus, bench, n = 4, minShared = 1L)
+      .select("doc_id", "bench_id", "n_shared")
+      .as[(Long, Long, Long)].collect().toSet
+    // doc 1 shares all three 4-grams; doc 2 shares the first two; doc 3 none
+    assert(hits == Set((1L, 100L, 3L), (2L, 100L, 2L)))
+  }
+
   test("connectedComponents labels transitive chains with the component min id") {
     // 1-2, 2-3 (chain — 1~3 only transitively), 10-11 separate, 20-21-22
     // via a hub; nodes outside any pair must not appear
