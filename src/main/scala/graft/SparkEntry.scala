@@ -734,6 +734,34 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Mixture resampling: re-weight the corpus toward a target source
+    // distribution (30/30/40 over three sources; the rest dropped)
+    // without upsampling — domain-mixture control, the knob every
+    // pretraining data recipe turns. Thresholds are integer per-myriad
+    // math from the source histogram (broadcast back; corpus never
+    // shuffles), inclusion the usual md5 deviate.
+    "corpus_mixture" -> ((s, dir) => {
+      graft.ops.Sampling.mixtureResample(docs(s, dir), "source",
+          Map("src0" -> 0.3, "src1" -> 0.3, "src2" -> 0.4), salt = "mx")
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Corpus report: per-(source, lang) row counts, token volume, and
+    // ln-quantized quality sums — the reporting rollup a curation run
+    // ships with. One shuffle on the tiny (source, lang) key space.
+    "corpus_report" -> ((s, dir) => {
+      val d = docs(s, dir)
+      d.groupBy(col("source"), col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(TextAnalysis.tokenCount(col("text"))).as("n_tokens"),
+          sum(floor(TextAnalysis.qualityScore(col("text")) * 1e6).cast("long")).as("quality_micro"),
+          min(col("n_chars")).as("min_chars"),
+          max(col("n_chars")).as("max_chars"))
+        .orderBy(col("source"), col("lang"))
+    }),
+
     // Leakage-safe train/val/test split: the split label is a function
     // of the near-dup CLUSTER id (docs outside any cluster group alone),
     // so near-duplicates of a training doc can never leak into eval —
@@ -1378,6 +1406,41 @@ object SparkEntry {
          |SELECT doc_id, lang_id FROM h
          |WHERE bucket < (CASE WHEN lang_id = 'en' THEN 2000 ELSE 10000 END)
          |ORDER BY doc_id""".stripMargin,
+
+    // Same integer threshold derivation from the source histogram, same
+    // md5 deviate. floor() operands stay far below 2^53, so the double
+    // floors are exact integer arithmetic in both engines.
+    "corpus_mixture" ->
+      s"""WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY 1),
+         |tm AS (SELECT source, n,
+         |         CASE source WHEN 'src0' THEN 3000 WHEN 'src1' THEN 3000 WHEN 'src2' THEN 4000 ELSE 0 END AS t_pm
+         |       FROM c),
+         |f AS (SELECT min(CAST(floor(n * 10000 / t_pm) AS BIGINT)) AS feasible_total FROM tm WHERE t_pm > 0),
+         |th AS (SELECT source, least(10000, CAST(floor(feasible_total * t_pm / n) AS BIGINT)) AS thresh
+         |       FROM tm, f WHERE t_pm > 0),
+         |h AS (SELECT d.doc_id, d.source, th.thresh,
+         |        list_sum([(CAST(strpos('0123456789abcdef', md5(CAST(d.doc_id AS VARCHAR) || 'mx')[i]) AS BIGINT) - 1)
+         |                  * (CAST(1 AS BIGINT) << (4*(8-i))) FOR i IN range(1, 9)]) % 10000 AS bucket
+         |      FROM documents d JOIN th USING (source))
+         |SELECT doc_id, source FROM h WHERE bucket < thresh ORDER BY doc_id""".stripMargin,
+
+    // Quality re-derived per row (verbatim the doc_quality oracle) and
+    // ln-quantized BEFORE summing, so the aggregate is an integer sum —
+    // order-free, hash-stable.
+    "corpus_report" ->
+      s"""WITH t AS (SELECT doc_id, source, lang, n_chars, $ToksSql AS toks FROM documents),
+         |q AS (SELECT doc_id, source, lang, n_chars,
+         |        CAST(len(toks) AS BIGINT) AS n_tok,
+         |        least(CAST(len(toks) AS DOUBLE) / 64.0, 1.0) * 0.4 +
+         |        CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE) * 0.4 +
+         |        (CASE WHEN CAST(len(list_filter(toks, x -> x IN ('the','a','an','and','or','of','to','in','is','on','for','with'))) AS DOUBLE)
+         |                   / CAST(len(toks) AS DOUBLE) BETWEEN 0.01 AND 0.6 THEN 1.0 ELSE 0.5 END) * 0.2 AS quality
+         |      FROM t)
+         |SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+         |       CAST(sum(CAST(floor(quality * 1e6) AS BIGINT)) AS BIGINT) AS quality_micro,
+         |       min(n_chars) AS min_chars, max(n_chars) AS max_chars
+         |FROM q GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // The dedup_clusters closure, left-joined onto the corpus (cluster
     // id for members, own id otherwise), then the same md5 deviate

@@ -39,6 +39,43 @@ object Sampling {
     df.filter(hashBucket(col(idCol), salt) < threshold)
   }
 
+  /** Resample to a target category mixture (e.g. "30% src0, 30% src1,
+    * 40% src2") without ever upsampling: the largest feasible kept-total
+    * is `min_i count_i·10⁴/t_i` over targeted categories (t_i = target
+    * per-myriad), giving per-category keep thresholds
+    * `min(10⁴, feasible·t_i/count_i)`. All threshold math is integer
+    * (floors of exact sub-2⁵³ products), so any engine derives the same
+    * thresholds, and row inclusion is the same md5 deviate as
+    * [[stratifiedBernoulli]]. Categories outside `target` are dropped.
+    * The category histogram is a tiny aggregate joined back by
+    * broadcast — the corpus never shuffles. */
+  def mixtureResample(
+      df: DataFrame,
+      catCol: String,
+      target: Map[String, Double],
+      idCol: String = "doc_id",
+      salt: String = ""): DataFrame = {
+    require(target.nonEmpty && math.abs(target.values.sum - 1.0) < 1e-9,
+      s"target mixture must sum to 1, got $target")
+    val perMyriad = target.map { case (k, v) => k -> math.round(v * 10000) }
+      .filter(_._2 > 0)
+    val tExpr = perMyriad.foldLeft(lit(0L): Column) {
+      case (acc, (k, v)) => when(col(catCol) === k, lit(v)).otherwise(acc)
+    }
+    val counts = df.groupBy(col(catCol)).agg(count(lit(1)).as("n"))
+      .withColumn("t_pm", tExpr)
+      .filter(col("t_pm") > 0)
+      .withColumn("limit_total", floor(col("n") * lit(10000L) / col("t_pm")))
+    val feasible = counts.agg(min(col("limit_total")).as("feasible_total"))
+    val thresholds = counts.crossJoin(feasible)
+      .withColumn("thresh",
+        least(lit(10000L), floor(col("feasible_total") * col("t_pm") / col("n"))))
+      .select(col(catCol), col("thresh"))
+    df.join(broadcast(thresholds), Seq(catCol))
+      .filter(hashBucket(col(idCol), salt) < col("thresh"))
+      .drop("thresh")
+  }
+
   /** Leakage-safe dataset split: the split label is a pure function of
     * `group` (not the row id), so every member of a group — e.g. a
     * near-duplicate cluster from

@@ -37,6 +37,19 @@ class SamplingPackingSpec extends AnyFunSuite {
     assert(sample("a") != sample("b"))
   }
 
+  test("mixtureResample hits the target mixture without upsampling or dropping whole strata") {
+    val d = ((1L to 600L).map(i => (i, "a")) ++ (601L to 900L).map(i => (i, "b")) ++
+      (901L to 1000L).map(i => (i, "c"))).toDF("doc_id", "cat")
+    val kept = Sampling.mixtureResample(d, "cat", Map("a" -> 0.5, "b" -> 0.5), salt = "m")
+      .select("doc_id", "cat").as[(Long, String)].collect()
+    // feasible total = min(600/0.5, 300/0.5) = 600 → b keeps all 300
+    // (threshold 10^4 is exact, no hash involved), a keeps ~300 of 600
+    val byCat = kept.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(!byCat.contains("c"), "untargeted category must be dropped")
+    assert(byCat("b") == 300, "threshold 10000 must keep the whole stratum")
+    assert(math.abs(byCat("a") - 300) < 60, s"~300 of 600 expected, got ${byCat("a")}")
+  }
+
   test("groupedSplit keeps every group member in one split, at roughly the asked fractions") {
     val d = (1L to 3000L).map(i => (i, i / 3)).toDF("doc_id", "grp") // groups of 3
     val withSplit = d.withColumn("split", Sampling.groupedSplit(col("grp"), salt = "x"))
