@@ -107,6 +107,20 @@ object SparkEntry {
     s"${System.getProperty("java.io.tmpdir")}/graft_ivf_${variant}_$key"
   }
 
+  /** Recursive file copy (test/bench plumbing for the append query: the
+    * cached base layout stays pristine; each invocation appends into a
+    * throwaway copy). */
+  private def copyDir(src: String, dst: String): Unit = {
+    val s = java.nio.file.Paths.get(src)
+    val d = java.nio.file.Paths.get(dst)
+    java.nio.file.Files.walk(s).forEach { p =>
+      val t = d.resolve(s.relativize(p).toString)
+      if (java.nio.file.Files.isDirectory(p)) java.nio.file.Files.createDirectories(t)
+      else java.nio.file.Files.copy(p, t,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+  }
+
   /** Karp-Rabin k-gram hash for the winnowing oracle: the rolling hash
     * h(i+1) = (h(i) − c·B^(k−1))·B + c' telescopes to Σ c_j·B^(k−1−j)
     * (mod 2^64), so each hash is one flat sum with the powers of
@@ -462,6 +476,30 @@ object SparkEntry {
       val full = corpus.select(col("vec_id"), col("embedding")).union(planted)
       val layout = graft.index.Ivf.buildLayout(s, full,
         ivfLayoutDir(dir, "pruned"), nlist = 8, maxIter = 3)
+      val query = corpus.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).toArray
+      graft.index.Ivf.searchLayout(s, layout, query, k = 10, nprobe = 1)
+    }),
+
+    // Incremental IVF maintenance (O2 add at the index level): ten exact
+    // copies of the query append into a throwaway copy of the cached
+    // base layout — assignByCentroids uses the probe's own double
+    // arithmetic, so every appended copy provably lands in the probe's
+    // top-1 cluster, and the nprobe=1 search of the appended layout must
+    // reproduce the brute-force oracle over corpus ∪ appended. The
+    // timing intentionally covers append + probe: append IS the
+    // operator (the base build stays cached, like the other IVF rows).
+    "knn_ivf_append" -> ((s, dir) => {
+      val corpus = emb(s, dir)
+      val base = graft.index.Ivf.buildLayout(s, corpus,
+        ivfLayoutDir(dir, "appendbase"), nlist = 8, maxIter = 3)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_ivf_append").toString
+      copyDir(base.dir, tmp)
+      val layout = graft.index.Ivf.loadLayout(tmp)
+      val planted = corpus.filter(col("vec_id") === 0)
+        .crossJoin(s.range(10))
+        .select((col("id") + lit(4000000L)).as("vec_id"), col("embedding"), col("label"))
+      graft.index.Ivf.appendToLayout(layout, planted)
       val query = corpus.filter(col("vec_id") === 0)
         .select(col("embedding")).head().getSeq[Float](0).toArray
       graft.index.Ivf.searchLayout(s, layout, query, k = 10, nprobe = 1)
@@ -1214,6 +1252,19 @@ object SparkEntry {
       s"""WITH c AS (SELECT vec_id, embedding FROM embeddings
          |           UNION ALL
          |           SELECT 2000000 + r.i AS vec_id, e.embedding
+         |           FROM embeddings e CROSS JOIN range(10) r(i) WHERE e.vec_id = 0),
+         |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+         |SELECT c.vec_id AS vec_id, ${l2SqSql("c.embedding", "q.qe")} AS dist
+         |FROM c CROSS JOIN q
+         |ORDER BY dist ASC, vec_id ASC LIMIT 10""".stripMargin,
+
+    // Exact brute force over corpus ∪ the ten appended copies: the
+    // nprobe=1 probe of the APPENDED layout must reproduce it (all
+    // eleven dist-0 rows share the probed cluster by construction).
+    "knn_ivf_append" ->
+      s"""WITH c AS (SELECT vec_id, embedding FROM embeddings
+         |           UNION ALL
+         |           SELECT 4000000 + r.i AS vec_id, e.embedding
          |           FROM embeddings e CROSS JOIN range(10) r(i) WHERE e.vec_id = 0),
          |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
          |SELECT c.vec_id AS vec_id, ${l2SqSql("c.embedding", "q.qe")} AS dist

@@ -157,6 +157,50 @@ object Ivf {
       .sortBy(_._1).take(nprobe).map(_._2).toSeq
   }
 
+  /** Assign rows to inverted lists using only the sidecar centroids (no
+    * ML state), with EXACTLY [[probeClustersOf]]'s double arithmetic
+    * (left-to-right fold over the dimension index — [[graft.functions.Distances.l2SqHof]]
+    * is the same op sequence) and its tie-break (lexicographic
+    * (dist, cluster)): a row whose embedding equals a probe query
+    * provably lands in that probe's top-1 cluster. */
+  def assignByCentroids(layout: Layout, df: DataFrame, embCol: String = "embedding"): DataFrame = {
+    val members = layout.centroids.zipWithIndex.map { case (c, i) =>
+      struct(
+        graft.functions.Distances.l2SqHof(col(embCol), lit(c)).as("d"),
+        lit(i).as("c"))
+    }
+    df.withColumn("cluster", array_min(array(members.toIndexedSeq: _*)).getField("c"))
+  }
+
+  /** O2 `add` at the index level: incremental layout maintenance. New
+    * rows are assigned by [[assignByCentroids]] and APPENDED to the
+    * partitioned parquet — no rebuild, no rewrite of existing inverted
+    * lists (the reference rewrites its whole database file on every add,
+    * `vectordb.cpp:158-178`, and refits the index per query). The
+    * sidecar fingerprint updates compositionally (counts add, xxhash64
+    * xors — the fingerprint aggregate is xor exactly so this works), so
+    * no rescan of the layout is needed; it is rewritten AFTER the data
+    * append, so a crash in between leaves a mismatched fingerprint that
+    * [[buildLayout]] treats as "rebuild" — never a silently stale probe.
+    * Standard IVF caveat: heavy appends under distribution drift skew
+    * the inverted lists; rebuild when drift matters. */
+  def appendToLayout(
+      layout: Layout,
+      rows: DataFrame,
+      embCol: String = "embedding"): Layout = {
+    assignByCentroids(layout, rows, embCol)
+      .write.mode("append").partitionBy("cluster").parquet(layout.dir)
+    val (nNew, hNew) = fingerprint(rows, embCol)
+    val sidecar = java.nio.file.Paths.get(layout.dir, centroidFile)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = mapper.readTree(java.nio.file.Files.readString(sidecar))
+    val count = node.get("count").asLong() + nNew
+    val hash = node.get("hash").asLong() ^ hNew
+    java.nio.file.Files.writeString(sidecar,
+      s"""{"count":$count,"hash":$hash,"centroids":${node.get("centroids").toString}}""")
+    layout
+  }
+
   /** Probe a persisted layout: centroid ranking driver-side, `cluster IN`
     * partition pruning, exact kernel within the probed inverted lists. */
   def searchLayout(

@@ -123,4 +123,35 @@ class AnnSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     val exact = VectorSearch.knnExact(emb, q.toSeq, 10).collect().map(_.getLong(0)).toSeq
     assert(got == exact)
   }
+
+  test("IVF appendToLayout: incremental add probes correctly, fingerprint stays honest") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val dir = java.nio.file.Files.createTempDirectory("ivf_append").toString + "/corpus"
+    val layout = Ivf.buildLayout(spark, emb, dir, nlist = 8, maxIter = 3)
+    val q = queryVec(2)
+    val planted = emb.filter(col("vec_id") === 2)
+      .crossJoin(spark.range(5))
+      .select((col("id") + lit(5000000L)).as("vec_id"), col("embedding"), col("label"))
+    Ivf.appendToLayout(layout, planted)
+    // appendByCentroids shares the probe's arithmetic, so the five exact
+    // copies + the original row are the nprobe=1 dist-0 set
+    val got = Ivf.searchLayout(spark, layout, q, k = 6, nprobe = 1).collect()
+      .map(_.getLong(0)).toSeq
+    assert(got == Seq(2L, 5000000L, 5000001L, 5000002L, 5000003L, 5000004L))
+    // the compositional fingerprint matches the appended state: a build
+    // over corpus ∪ planted is a cache HIT (sidecar untouched)...
+    val sidecar = java.nio.file.Paths.get(dir, "_centroids.json")
+    val mtime = java.nio.file.Files.getLastModifiedTime(sidecar)
+    val union = emb.select(col("vec_id"), col("embedding"), col("label")).union(planted)
+    Ivf.buildLayout(spark, union, dir, nlist = 8, maxIter = 3)
+    assert(java.nio.file.Files.getLastModifiedTime(sidecar) == mtime,
+      "matching fingerprint must reuse the layout without rebuilding")
+    // ...while a build over the ORIGINAL corpus detects the drift and
+    // refits, discarding the appended rows
+    val layout2 = Ivf.buildLayout(spark, emb, dir, nlist = 8, maxIter = 3)
+    val after = Ivf.searchLayout(spark, layout2, q, k = 6, nprobe = 8).collect()
+      .map(_.getLong(0)).toSet
+    assert(!after.contains(5000000L),
+      "rebuild over the original corpus must discard appended rows")
+  }
 }
