@@ -322,10 +322,14 @@ object SparkEntry {
     // occupancy fractions — the boilerplate/degenerate-loop filters that
     // complement the composite quality score. Per-row, no shuffle.
     "doc_repetition" -> ((s, dir) => {
-      docs(s, dir).select(col("doc_id"),
-          TextAnalysis.dupNgramFraction(col("text"), 2).as("dup_2gram_frac"),
-          TextAnalysis.topNgramFraction(col("text"), 2).as("top_2gram_frac"),
-          TextAnalysis.dupNgramFraction(col("text"), 3).as("dup_3gram_frac"))
+      docs(s, dir)
+        .select(col("doc_id"),
+          TextAnalysis.rawNgrams(col("text"), 2).as("g2"),
+          TextAnalysis.rawNgrams(col("text"), 3).as("g3"))
+        .select(col("doc_id"),
+          TextAnalysis.dupNgramFraction(col("g2")).as("dup_2gram_frac"),
+          TextAnalysis.topNgramFraction(col("g2")).as("top_2gram_frac"),
+          TextAnalysis.dupNgramFraction(col("g3")).as("dup_3gram_frac"))
         .orderBy(col("doc_id"))
     }),
 

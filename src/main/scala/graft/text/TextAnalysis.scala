@@ -98,24 +98,39 @@ object TextAnalysis {
   /** Gopher-style repetition signal: fraction of n-gram occurrences that
     * are repeats (1 − distinct/total). High values flag boilerplate and
     * degenerate loops — the standard pretraining repetition filter
-    * (Rae et al., "Scaling Language Models", arXiv:2112.11446 §A1.1). */
-  def dupNgramFraction(c: Column, n: Int): Column = {
-    val g = rawNgrams(c, n)
-    when(size(g) === 0, lit(0.0))
+    * (Rae et al., "Scaling Language Models", arXiv:2112.11446 §A1.1).
+    *
+    * `grams` MUST be a materialized column from [[rawNgrams]] in a prior
+    * `select` — NOT the rawNgrams expression inline. Interpreted HOF
+    * lambdas re-evaluate their argument expression on every element, so
+    * inlining would re-run the tokenize regexp and the n-gram build
+    * O(n²) times per row (measured: turned a 0.5 s scan into minutes at
+    * sf0.1); a column reference is a cheap attribute read. */
+  def dupNgramFraction(grams: Column): Column =
+    when(size(grams) === 0, lit(0.0))
       .otherwise(lit(1.0) -
-        size(array_distinct(g)).cast("double") / size(g).cast("double"))
-  }
+        size(array_distinct(grams)).cast("double") / size(grams).cast("double"))
 
   /** Companion repetition signal: fraction of all n-gram occurrences
-    * taken by the single most frequent n-gram. Computed entirely inside
-    * the row (distinct × filter scan) — no shuffle; document n-gram
-    * lists are bounded by document length. */
-  def topNgramFraction(c: Column, n: Int): Column = {
-    val g = rawNgrams(c, n)
-    when(size(g) === 0, lit(0.0))
-      .otherwise(
-        array_max(transform(array_distinct(g), x => size(filter(g, y => y === x))))
-          .cast("double") / size(g).cast("double"))
+    * taken by the single most frequent n-gram. The max multiplicity is
+    * the longest equal-run in the SORTED gram list — one O(n log n)
+    * sort plus a linear fold per row, instead of the naive
+    * distinct×filter scan whose O(d·n) interpreted compares dominated
+    * the whole bench (16 s at sf0.1). Same staging requirement as
+    * [[dupNgramFraction]]; no shuffle. */
+  def topNgramFraction(grams: Column): Column = {
+    val top = aggregate(
+      array_sort(grams),
+      struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("best")),
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"), acc.getField("run") + 1)
+          .otherwise(lit(1))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+    when(size(grams) === 0, lit(0.0))
+      .otherwise(top.cast("double") / size(grams).cast("double"))
   }
 
   /** Marker words per (whitespace-tokenized) language for the language-ID

@@ -111,9 +111,10 @@ class TextAnalysisSpec extends AnyFunSuite {
     // distinct → dup 3/5; top ("x y" ×3) → 3/5
     val d = Seq((1L, "x y x y x y"), (2L, "all words differ here now"), (3L, "a"))
       .toDF("doc_id", "text")
+      .select($"doc_id", TextAnalysis.rawNgrams($"text", 2).as("g2"))
       .select($"doc_id",
-        TextAnalysis.dupNgramFraction($"text", 2).as("dup"),
-        TextAnalysis.topNgramFraction($"text", 2).as("top"))
+        TextAnalysis.dupNgramFraction($"g2").as("dup"),
+        TextAnalysis.topNgramFraction($"g2").as("top"))
       .as[(Long, Double, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
     assert(d(1L) == ((1.0 - 2.0 / 5.0, 3.0 / 5.0)))
     assert(d(2L) == ((0.0, 1.0 / 4.0)))   // all distinct: top gram is 1 of 4
