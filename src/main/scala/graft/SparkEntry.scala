@@ -323,9 +323,10 @@ object SparkEntry {
     // complement the composite quality score. Per-row, no shuffle.
     "doc_repetition" -> ((s, dir) => {
       docs(s, dir)
+        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
         .select(col("doc_id"),
-          TextAnalysis.rawNgrams(col("text"), 2).as("g2"),
-          TextAnalysis.rawNgrams(col("text"), 3).as("g3"))
+          TextAnalysis.rawNgrams(col("toks"), 2).as("g2"),
+          TextAnalysis.rawNgrams(col("toks"), 3).as("g3"))
         .select(col("doc_id"),
           TextAnalysis.dupNgramFraction(col("g2")).as("dup_2gram_frac"),
           TextAnalysis.topNgramFraction(col("g2")).as("top_2gram_frac"),

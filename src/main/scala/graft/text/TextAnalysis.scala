@@ -87,13 +87,18 @@ object TextAnalysis {
 
   /** Raw (non-distinct) word n-grams — the occurrence list the
     * repetition signals need; [[org.apache.spark.sql.graft.VectorExpressions.wordShingles]]
-    * dedups and serves the join-key paths instead. */
-  def rawNgrams(c: Column, n: Int): Column = {
-    val t = tokens(c)
-    when(size(t) < n, array().cast("array<string>"))
-      .otherwise(transform(sequence(lit(0), size(t) - n),
-        i => concat_ws(" ", slice(t, i + 1, lit(n)))))
-  }
+    * dedups and serves the join-key paths instead.
+    *
+    * `toks` MUST be a materialized [[tokens]] column from a prior
+    * `select`, not the tokens expression inline: the transform lambda's
+    * `slice` re-evaluates its child per position under interpreted eval,
+    * so an inline tokenize would re-run the normalize regexp O(tokens)
+    * times per row (measured at 15 s for 5000 docs at sf0.1; staged it
+    * is sub-second). An attribute reference is a cheap per-row read. */
+  def rawNgrams(toks: Column, n: Int): Column =
+    when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
 
   /** Gopher-style repetition signal: fraction of n-gram occurrences that
     * are repeats (1 − distinct/total). High values flag boilerplate and

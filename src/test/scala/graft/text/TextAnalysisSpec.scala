@@ -111,7 +111,8 @@ class TextAnalysisSpec extends AnyFunSuite {
     // distinct → dup 3/5; top ("x y" ×3) → 3/5
     val d = Seq((1L, "x y x y x y"), (2L, "all words differ here now"), (3L, "a"))
       .toDF("doc_id", "text")
-      .select($"doc_id", TextAnalysis.rawNgrams($"text", 2).as("g2"))
+      .select($"doc_id", TextAnalysis.tokens($"text").as("toks"))
+      .select($"doc_id", TextAnalysis.rawNgrams($"toks", 2).as("g2"))
       .select($"doc_id",
         TextAnalysis.dupNgramFraction($"g2").as("dup"),
         TextAnalysis.topNgramFraction($"g2").as("top"))
