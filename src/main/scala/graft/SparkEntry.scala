@@ -867,6 +867,15 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Batch sessionization: gap-split per-user sessions via the
+    // lag-flag-cumsum window (the batch twin of the streaming
+    // flatMapGroupsWithState sessionizer, which a SQL oracle can't
+    // replay; this form it can, exactly).
+    "events_sessions" -> ((s, dir) => {
+      graft.ops.EventAnalytics.sessionize(events(s, dir), gapSec = 1800L)
+        .orderBy(col("user_id"), col("session_id"))
+    }),
+
     // Hot-key-safe as-of variant (per-(key, day-bucket) windows with a
     // carry-in pass) — declared against the SAME oracle as events_asof:
     // the salted plan must reproduce the plain as-of bit-for-bit.
@@ -1618,6 +1627,25 @@ object SparkEntry {
          |         CASE WHEN p.fill + d.n_tokens <= 256 THEN p.fill + d.n_tokens ELSE d.n_tokens END
          |  FROM pack p JOIN d ON d.part = p.part AND d.rn = p.rn + 1)
          |SELECT doc_id, part, bin_idx FROM pack ORDER BY doc_id""".stripMargin,
+
+    // The same lag-flag-cumsum recurrence; row_number ties broken by
+    // event_id on both sides, so session numbering matches exactly.
+    "events_sessions" ->
+      """WITH l AS (SELECT user_id, ts, event_id,
+        |             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |           FROM events),
+        |f AS (SELECT user_id, ts,
+        |        CASE WHEN prev_ts IS NULL OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+        |             THEN 1 ELSE 0 END AS new_s, event_id
+        |      FROM l),
+        |s AS (SELECT user_id, ts,
+        |        sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                         ROWS UNBOUNDED PRECEDING) AS session_id
+        |      FROM f)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        |       CAST(count(*) AS BIGINT) AS n_events,
+        |       min(epoch_us(ts)) AS start_us, max(epoch_us(ts)) AS end_us
+        |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // identical expected output — the salted plan changes shape, not rows
     "events_asof_salted" ->

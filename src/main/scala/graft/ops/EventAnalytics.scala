@@ -37,6 +37,38 @@ object EventAnalytics {
     perUser.agg(reached.head, reached.tail: _*)
   }
 
+  /** Batch sessionization: split each user's event stream into sessions
+    * separated by gaps > `gapSec` — the classic lag-flag-cumsum window
+    * form (the batch twin of
+    * [[graft.streaming.Sessionize.sessions]]'s stateful streaming
+    * operator). One wide dependency: the per-user window (the session-id
+    * groupBy rides the same user partitioning). A pathologically hot
+    * user serializes one partition — same caveat and same salted-bucket
+    * remedy as the as-of join. Ties on `tsCol` are broken by `tieCol`
+    * so the session numbering is deterministic. */
+  def sessionize(
+      events: DataFrame,
+      gapSec: Long = 1800L,
+      userCol: String = "user_id",
+      tsCol: String = "ts",
+      tieCol: String = "event_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol).asc, col(tieCol).asc)
+    events
+      .withColumn("prev_ts", lag(col(tsCol), 1).over(w))
+      .withColumn("new_s",
+        when(col("prev_ts").isNull ||
+          unix_micros(col(tsCol)) - unix_micros(col("prev_ts")) > gapSec * 1000000L, 1L)
+          .otherwise(0L))
+      .withColumn("session_id",
+        sum(col("new_s")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(userCol), col("session_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(unix_micros(col(tsCol))).as("start_us"),
+        max(unix_micros(col(tsCol))).as("end_us"))
+  }
+
   /** Fixed-width histogram of a numeric column over [minVal, maxVal):
     * one partial-aggregating groupBy on the bin id; out-of-range rows
     * are clamped into the edge bins so mass is never dropped. */
