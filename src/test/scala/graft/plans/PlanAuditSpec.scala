@@ -124,6 +124,15 @@ class PlanAuditSpec extends AnyFunSuite {
       s"loser-id anti-join not broadcast at runtime:\n$plan")
   }
 
+  test("sessionization shuffles once: the session groupBy rides the user window's partitioning") {
+    val events = spark.range(1000).selectExpr("id % 50 as user_id",
+      "timestamp_micros(cast(id * 1000000 as long)) as ts", "id as event_id")
+    val plan = graft.ops.EventAnalytics.sessionize(events, gapSec = 60L)
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1, s"expected 1 shuffle, got $exchanges:\n$plan")
+  }
+
   test("distance expressions stay codegen (no BatchEvalPython/interpreted eval markers)") {
     val corpus = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val query = corpus.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
