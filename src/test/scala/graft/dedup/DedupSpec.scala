@@ -205,4 +205,30 @@ class DedupSpec extends AnyFunSuite {
     val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
     assert(Dedup.connectedComponents(empty).count() == 0)
   }
+
+  test("connectedComponents matches a union-find reference on random graphs") {
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 3) {
+      val nNodes = 60 + trial * 20
+      val edges = Seq.fill(90)((rnd.nextInt(nNodes).toLong, rnd.nextInt(nNodes).toLong))
+        .filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+        .distinct
+      // driver-side union-find reference
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) => parent(find(a)) = find(b) }
+      val nodes = edges.flatMap(t => Seq(t._1, t._2)).distinct
+      val expected = {
+        val minOfRoot = nodes.groupBy(find).map { case (r, ns) => r -> ns.min }
+        nodes.map(n => n -> minOfRoot(find(n))).toMap
+      }
+      val got = Dedup.connectedComponents(edges.toDF("id_a", "id_b"))
+        .as[(Long, Long)].collect().toMap
+      assert(got == expected, s"trial $trial: distributed labels diverge from union-find")
+    }
+  }
 }
