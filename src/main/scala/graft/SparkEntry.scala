@@ -335,6 +335,26 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ORC sink/source roundtrip (the "other formats" row of SURVEY §2.4
+    // — free via Spark's DataSource V2, demonstrated rather than
+    // claimed): documents write to ORC and read back; the declared
+    // output is an order-free content summary (counts, id/char sums,
+    // xor of a 32-bit md5 deviate of the raw text) that the oracle
+    // recomputes from the PARQUET original — any loss or corruption in
+    // the ORC path breaks the hash match.
+    "orc_roundtrip" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_orc").toString + "/docs"
+      docs(s, dir).write.mode("overwrite").orc(tmp)
+      s.read.orc(tmp)
+        .withColumn("h",
+          conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          sum(col("doc_id")).cast("long").as("id_sum"),
+          sum(col("n_chars")).cast("long").as("chars_sum"),
+          expr("bit_xor(h)").as("text_hash_xor"))
+    }),
+
     // Gopher-style repetition signals: duplicate-n-gram and top-n-gram
     // occupancy fractions — the boilerplate/degenerate-loop filters that
     // complement the composite quality score. Per-row, no shuffle.
@@ -1134,6 +1154,16 @@ object SparkEntry {
 
     "doc_fingerprint" ->
       s"SELECT doc_id, md5($NormSql) AS fp_md5 FROM documents ORDER BY doc_id",
+
+    // Recomputed from the parquet original: equality proves the ORC
+    // write+read preserved every row bit-for-bit (md5 of the raw text).
+    "orc_roundtrip" ->
+      s"""SELECT CAST(count(*) AS BIGINT) AS n_rows,
+         |       CAST(sum(doc_id) AS BIGINT) AS id_sum,
+         |       CAST(sum(n_chars) AS BIGINT) AS chars_sum,
+         |       CAST(bit_xor(CAST(list_sum([(CAST(strpos('0123456789abcdef', md5(text)[i]) AS BIGINT) - 1)
+         |                                   * (CAST(1 AS BIGINT) << (4*(8-i))) FOR i IN range(1, 9)]) AS BIGINT)) AS BIGINT) AS text_hash_xor
+         |FROM documents""".stripMargin,
 
     // Raw (non-distinct) n-gram lists rebuilt with list comprehensions;
     // every fraction is a single integer division, so float values match
