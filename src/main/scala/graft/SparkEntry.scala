@@ -130,12 +130,30 @@ object SparkEntry {
   private def copyDir(src: String, dst: String): Unit = {
     val s = java.nio.file.Paths.get(src)
     val d = java.nio.file.Paths.get(dst)
-    java.nio.file.Files.walk(s).forEach { p =>
+    // Files.walk holds open directory handles until closed — leaking one
+    // per bench iteration would eventually exhaust the fd limit
+    val walk = java.nio.file.Files.walk(s)
+    try walk.forEach { p =>
       val t = d.resolve(s.relativize(p).toString)
       if (java.nio.file.Files.isDirectory(p)) java.nio.file.Files.createDirectories(t)
       else java.nio.file.Files.copy(p, t,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    } finally walk.close()
+  }
+
+  /** Delete-then-recreate a process-stable scratch dir: repeated
+    * invocations (bench iterations) reuse ONE corpus-sized working copy
+    * instead of accumulating temp dirs until /tmp fills. */
+  private def freshScratchDir(sfDir: String, variant: String): String = {
+    val dir = java.nio.file.Paths.get(ivfLayoutDir(sfDir, variant))
+    if (java.nio.file.Files.exists(dir)) {
+      val walk = java.nio.file.Files.walk(dir)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.delete(p))
+      finally walk.close()
     }
+    java.nio.file.Files.createDirectories(dir)
+    dir.toString
   }
 
   /** Karp-Rabin k-gram hash for the winnowing oracle: the rolling hash
@@ -343,7 +361,7 @@ object SparkEntry {
     // recomputes from the PARQUET original — any loss or corruption in
     // the ORC path breaks the hash match.
     "orc_roundtrip" -> ((s, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_orc").toString + "/docs"
+      val tmp = ivfLayoutDir(dir, "orcwork") + "/docs"
       docs(s, dir).write.mode("overwrite").orc(tmp)
       s.read.orc(tmp)
         .withColumn("h",
@@ -535,7 +553,7 @@ object SparkEntry {
       val corpus = emb(s, dir)
       val base = graft.index.Ivf.buildLayout(s, corpus,
         ivfLayoutDir(dir, "appendbase"), nlist = 8, maxIter = 3)
-      val tmp = java.nio.file.Files.createTempDirectory("graft_ivf_append").toString
+      val tmp = freshScratchDir(dir, "appendwork")
       copyDir(base.dir, tmp)
       val layout = graft.index.Ivf.loadLayout(tmp)
       val planted = corpus.filter(col("vec_id") === 0)

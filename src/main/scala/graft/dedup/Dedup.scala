@@ -441,6 +441,15 @@ object Dedup {
       .localCheckpoint()
     var converged = false
     var iter = 0
+    // round lifecycle: each label table is persisted, fully materialized,
+    // then explicitly unpersisted as soon as the next round supersedes it
+    // — the loop holds at most two cached copies at any moment instead of
+    // accumulating O(rounds) of them. Every 8th round localCheckpoints
+    // instead, truncating the logical-plan lineage that persist() alone
+    // lets grow (those rare checkpoint blocks are freed by the
+    // ContextCleaner once unreferenced). The final round's table stays
+    // cached for the caller's consumption.
+    var prevCached: DataFrame = null
     while (!converged && iter < maxIter) {
       val nbrMin = edges
         .join(labels.select(col("id").as("src"), col("label").as("src_label")), "src")
@@ -451,15 +460,22 @@ object Dedup {
           least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
       // pointer jumping: follow the label one hop (labels are node ids,
       // so the label table maps them); halves chain length every round
-      val jumped = propagated.as("p")
+      val contracted = propagated.as("p")
         .join(propagated.select(col("id").as("label"), col("label").as("parent")).as("q"),
           Seq("label"), "left")
         .select(col("id"), coalesce(col("parent"), col("label")).as("label"))
-        .localCheckpoint()
-      val changed = jumped.as("n").join(labels.as("o"), "id")
+      val checkpointRound = iter % 8 == 7
+      val next = if (checkpointRound) contracted.localCheckpoint() else contracted.persist()
+      // materialize EVERY partition before dropping the previous cache:
+      // the convergence probe alone short-circuits (limit 1) and would
+      // leave holes that later recompute through the unpersisted ancestor
+      if (!checkpointRound) next.count()
+      val changed = next.as("n").join(labels.as("o"), "id")
         .filter(col("n.label") =!= col("o.label"))
         .limit(1).count()
-      labels = jumped
+      if (prevCached != null) prevCached.unpersist()
+      prevCached = if (checkpointRound) null else next
+      labels = next
       converged = changed == 0
       iter += 1
     }

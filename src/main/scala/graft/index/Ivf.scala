@@ -188,9 +188,13 @@ object Ivf {
       layout: Layout,
       rows: DataFrame,
       embCol: String = "embedding"): Layout = {
-    assignByCentroids(layout, rows, embCol)
-      .write.mode("append").partitionBy("cluster").parquet(layout.dir)
-    val (nNew, hNew) = fingerprint(rows, embCol)
+    // pin the batch ONCE: writing and fingerprinting from two separate
+    // evaluations of `rows` would let a nondeterministic input store one
+    // dataset while the sidecar attests another — exactly the silent
+    // staleness the fingerprint exists to rule out
+    val assigned = assignByCentroids(layout, rows, embCol).localCheckpoint()
+    assigned.write.mode("append").partitionBy("cluster").parquet(layout.dir)
+    val (nNew, hNew) = fingerprint(assigned, embCol)
     val sidecar = java.nio.file.Paths.get(layout.dir, centroidFile)
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val node = mapper.readTree(java.nio.file.Files.readString(sidecar))

@@ -42,8 +42,10 @@ object Packing {
     import spark.implicits._
     val withPart = docs.select(
       col(idCol).cast("long").as("id"),
-      pmod(conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
-        .cast("long"), lit(nParts.toLong)).cast("int").as("part"),
+      // the shared parity-critical deviate (Sampling.hashDeviate) mod
+      // the part count — salt-free, mirrored by the seq_pack oracle
+      pmod(Sampling.hashDeviate(col(idCol), salt = ""), lit(nParts.toLong))
+        .cast("int").as("part"),
       col(tokensCol).cast("long").as("n_tokens"))
     withPart
       .repartition(nParts, col("part"))

@@ -15,12 +15,20 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
-  /** The 32-bit deviate: first 8 hex chars of md5(id ‖ salt) as a long.
-    * Uniform on [0, 2³²); mod-10⁴ bias is ≤ 2⁻¹⁸ — immaterial for
-    * corpus sampling and identical in every engine. */
+  /** The raw 32-bit deviate: first 8 hex chars of md5(id ‖ salt) as a
+    * long, uniform on [0, 2³²). THE single parity-critical expression
+    * every deterministic sampling/packing operator reduces — keep all
+    * call sites (and their DuckDB digit-parse oracle twins) on this one
+    * definition. */
+  def hashDeviate(id: Column, salt: String): Column =
+    conv(substring(md5(concat(id.cast("string"), lit(salt))), 1, 8), 16, 10)
+      .cast("long")
+
+  /** [[hashDeviate]] reduced mod 10⁴ (per-myriad bucket). The mod-10⁴
+    * bias is ≤ 2⁻¹⁸ — immaterial for corpus sampling and identical in
+    * every engine. */
   def hashBucket(id: Column, salt: String): Column =
-    pmod(conv(substring(md5(concat(id.cast("string"), lit(salt))), 1, 8), 16, 10)
-      .cast("long"), lit(10000L))
+    pmod(hashDeviate(id, salt), lit(10000L))
 
   /** Per-stratum Bernoulli sampling: keep a row iff its bucket falls
     * under `rates(stratum)` (fraction in [0,1]; strata absent from the
@@ -46,9 +54,12 @@ object Sampling {
     * `min(10⁴, feasible·t_i/count_i)`. All threshold math is integer
     * (floors of exact sub-2⁵³ products), so any engine derives the same
     * thresholds, and row inclusion is the same md5 deviate as
-    * [[stratifiedBernoulli]]. Categories outside `target` are dropped.
-    * The category histogram is a tiny aggregate joined back by
-    * broadcast — the corpus never shuffles. */
+    * [[stratifiedBernoulli]]. Categories outside `target` are dropped;
+    * a targeted category with NO rows is an error (a silently absent
+    * stratum — usually a typo'd name — would skew the whole mixture).
+    * The category histogram is a one-aggregate driver round-trip
+    * (categories are metadata-sized); the corpus itself sees only a
+    * narrow literal-threshold filter — no join, no shuffle. */
   def mixtureResample(
       df: DataFrame,
       catCol: String,
@@ -59,21 +70,19 @@ object Sampling {
       s"target mixture must sum to 1, got $target")
     val perMyriad = target.map { case (k, v) => k -> math.round(v * 10000) }
       .filter(_._2 > 0)
-    val tExpr = perMyriad.foldLeft(lit(0L): Column) {
+    val hist = df.groupBy(col(catCol)).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val missing = perMyriad.keySet -- hist.keySet
+    require(missing.isEmpty,
+      s"target categories absent from the data (typo?): ${missing.mkString(", ")}")
+    val feasible = perMyriad.map { case (k, t) => hist(k) * 10000L / t }.min
+    val thresholds = perMyriad.map { case (k, t) =>
+      k -> math.min(10000L, feasible * t / hist(k))
+    }
+    val threshExpr = thresholds.foldLeft(lit(0L): Column) {
       case (acc, (k, v)) => when(col(catCol) === k, lit(v)).otherwise(acc)
     }
-    val counts = df.groupBy(col(catCol)).agg(count(lit(1)).as("n"))
-      .withColumn("t_pm", tExpr)
-      .filter(col("t_pm") > 0)
-      .withColumn("limit_total", floor(col("n") * lit(10000L) / col("t_pm")))
-    val feasible = counts.agg(min(col("limit_total")).as("feasible_total"))
-    val thresholds = counts.crossJoin(feasible)
-      .withColumn("thresh",
-        least(lit(10000L), floor(col("feasible_total") * col("t_pm") / col("n"))))
-      .select(col(catCol), col("thresh"))
-    df.join(broadcast(thresholds), Seq(catCol))
-      .filter(hashBucket(col(idCol), salt) < col("thresh"))
-      .drop("thresh")
+    df.filter(hashBucket(col(idCol), salt) < threshExpr)
   }
 
   /** Leakage-safe dataset split: the split label is a pure function of
