@@ -353,6 +353,23 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // PII scrubbing: the redaction pass a corpus runs before training.
+    // The fixture has no organic PII, so every 7th doc gets a planted
+    // email + phone suffix (identically in the oracle); the declared
+    // output is the scrubbed-text md5 and the redaction count, so a
+    // single missed or mangled replacement breaks the hash match.
+    "doc_pii_scrub" -> ((s, dir) => {
+      val planted = docs(s, dir).withColumn("txt",
+        when(col("doc_id") % 7 === 0,
+          concat(col("text"),
+            lit(" contact bob.smith+spam@example-corp.io or 555-867-5309 now")))
+          .otherwise(col("text")))
+      planted.select(col("doc_id"),
+          md5(TextAnalysis.scrubPii(col("txt"))).as("scrub_md5"),
+          TextAnalysis.piiCount(col("txt")).as("n_redactions"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ORC sink/source roundtrip (the "other formats" row of SURVEY §2.4
     // — free via Spark's DataSource V2, demonstrated rather than
     // claimed): documents write to ORC and read back; the declared
@@ -1172,6 +1189,22 @@ object SparkEntry {
 
     "doc_fingerprint" ->
       s"SELECT doc_id, md5($NormSql) AS fp_md5 FROM documents ORDER BY doc_id",
+
+    // Same planted suffix, same patterns (Java regex and RE2 agree on
+    // these constructs), 'g' for replace-all to match Spark's default.
+    "doc_pii_scrub" ->
+      s"""WITH d AS (SELECT doc_id,
+         |             CASE WHEN doc_id % 7 = 0
+         |                  THEN text || ' contact bob.smith+spam@example-corp.io or 555-867-5309 now'
+         |                  ELSE text END AS txt
+         |           FROM documents)
+         |SELECT doc_id,
+         |       md5(regexp_replace(regexp_replace(txt,
+         |             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+         |             '\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b', '<PHONE>', 'g')) AS scrub_md5,
+         |       CAST(len(regexp_extract_all(txt, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+         |            + len(regexp_extract_all(txt, '\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b')) AS BIGINT) AS n_redactions
+         |FROM d ORDER BY doc_id""".stripMargin,
 
     // Recomputed from the parquet original: equality proves the ORC
     // write+read preserved every row bit-for-bit (md5 of the raw text).

@@ -138,6 +138,27 @@ object TextAnalysis {
       .otherwise(top.cast("double") / size(grams).cast("double"))
   }
 
+  /** PII patterns for [[scrubPii]], public for oracle mirroring. Kept to
+    * constructs whose semantics agree between Java regex and DuckDB's
+    * RE2 (character classes, +, bounded repetition, \b, \d): email
+    * addresses and NNN-NNN-NNNN phone numbers. */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhonePattern = "\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b"
+
+  /** PII scrubbing — the redaction pass a training corpus runs before
+    * anything else sees the text: emails and phone numbers replaced by
+    * typed placeholders. Pure per-row regexp_replace chain, no shuffle;
+    * at 100 TB this is one narrow projection pass. */
+  def scrubPii(c: Column): Column =
+    regexp_replace(
+      regexp_replace(c, EmailPattern, "<EMAIL>"),
+      PhonePattern, "<PHONE>")
+
+  /** Count of PII matches [[scrubPii]] would redact. */
+  def piiCount(c: Column): Column =
+    (size(regexp_extract_all(c, lit(EmailPattern), lit(0))) +
+      size(regexp_extract_all(c, lit(PhonePattern), lit(0)))).cast("long")
+
   /** Marker words per (whitespace-tokenized) language for the language-ID
     * heuristic. Public for oracle mirroring. Chinese is NOT in this list:
     * zh text has no whitespace tokens, so its score is the CJK character

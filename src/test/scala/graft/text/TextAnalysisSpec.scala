@@ -106,6 +106,21 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(docs(1L) > docs(2L))
   }
 
+  test("scrubPii redacts emails and phones, piiCount counts them") {
+    val d = Seq(
+      (1L, "write to a.b_c+tag@mail-host.example.org or call 555-123-4567 today"),
+      (2L, "no pii here at all"),
+      (3L, "two mails: x@y.io and z@w.co plus 123 456 7890"))
+      .toDF("doc_id", "text")
+      .select($"doc_id",
+        TextAnalysis.scrubPii($"text").as("s"),
+        TextAnalysis.piiCount($"text").as("n"))
+      .as[(Long, String, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(d(1L)._1 == "write to <EMAIL> or call <PHONE> today" && d(1L)._2 == 2L)
+    assert(d(2L) == (("no pii here at all", 0L)))
+    assert(d(3L)._1 == "two mails: <EMAIL> and <EMAIL> plus <PHONE>" && d(3L)._2 == 3L)
+  }
+
   test("repetition signals: exact fractions on crafted n-gram lists") {
     // "x y x y x y": 2-grams = [x y, y x, x y, y x, x y] → 5 total, 2
     // distinct → dup 3/5; top ("x y" ×3) → 3/5
