@@ -466,13 +466,13 @@ object Dedup {
         .select(col("id"), coalesce(col("parent"), col("label")).as("label"))
       val checkpointRound = iter % 8 == 7
       val next = if (checkpointRound) contracted.localCheckpoint() else contracted.persist()
-      // materialize EVERY partition before dropping the previous cache:
-      // the convergence probe alone short-circuits (limit 1) and would
-      // leave holes that later recompute through the unpersisted ancestor
-      if (!checkpointRound) next.count()
+      // one job serves both purposes: the full-table diff count
+      // materializes every partition of `next` into its cache (so the
+      // superseded cache can be dropped without recompute holes) AND
+      // yields the exact convergence signal — no separate count() pass
       val changed = next.as("n").join(labels.as("o"), "id")
         .filter(col("n.label") =!= col("o.label"))
-        .limit(1).count()
+        .count()
       if (prevCached != null) prevCached.unpersist()
       prevCached = if (checkpointRound) null else next
       labels = next
