@@ -64,6 +64,10 @@ object SparkEntry {
   private val NormSql = "lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))"
   private val ToksSql = s"string_split($NormSql, ' ')"
 
+  /** Planted-PII suffix for doc_pii_scrub — shared by the Spark query
+    * and the oracle SQL so the fixture cannot drift. */
+  private val PiiSuffix = " contact bob.smith+spam@example-corp.io or 555-867-5309 now"
+
   /** Deterministic synthetic media corpus: 200 rows whose binary content
     * is the UTF-8 bytes of concatenated md5 hex strings (ASCII ⇒ every
     * byte is positive, so the decode stub's `Arrays.hashCode` fold is a
@@ -143,9 +147,12 @@ object SparkEntry {
 
   /** Delete-then-recreate a process-stable scratch dir: repeated
     * invocations (bench iterations) reuse ONE corpus-sized working copy
-    * instead of accumulating temp dirs until /tmp fills. */
+    * instead of accumulating temp dirs until /tmp fills. The pid in the
+    * key keeps concurrent processes (a Verify overlapping a Bench on the
+    * same fixtures) from deleting each other's live scratch. */
   private def freshScratchDir(sfDir: String, variant: String): String = {
-    val dir = java.nio.file.Paths.get(ivfLayoutDir(sfDir, variant))
+    val dir = java.nio.file.Paths.get(
+      ivfLayoutDir(sfDir, s"${variant}_p${ProcessHandle.current().pid()}"))
     if (java.nio.file.Files.exists(dir)) {
       val walk = java.nio.file.Files.walk(dir)
       try walk.sorted(java.util.Comparator.reverseOrder())
@@ -361,8 +368,7 @@ object SparkEntry {
     "doc_pii_scrub" -> ((s, dir) => {
       val planted = docs(s, dir).withColumn("txt",
         when(col("doc_id") % 7 === 0,
-          concat(col("text"),
-            lit(" contact bob.smith+spam@example-corp.io or 555-867-5309 now")))
+          concat(col("text"), lit(PiiSuffix)))
           .otherwise(col("text")))
       planted.select(col("doc_id"),
           md5(TextAnalysis.scrubPii(col("txt"))).as("scrub_md5"),
@@ -378,7 +384,8 @@ object SparkEntry {
     // recomputes from the PARQUET original — any loss or corruption in
     // the ORC path breaks the hash match.
     "orc_roundtrip" -> ((s, dir) => {
-      val tmp = ivfLayoutDir(dir, "orcwork") + "/docs"
+      val tmp = ivfLayoutDir(dir,
+        s"orcwork_p${ProcessHandle.current().pid()}") + "/docs"
       docs(s, dir).write.mode("overwrite").orc(tmp)
       s.read.orc(tmp)
         .withColumn("h",
@@ -1190,21 +1197,26 @@ object SparkEntry {
     "doc_fingerprint" ->
       s"SELECT doc_id, md5($NormSql) AS fp_md5 FROM documents ORDER BY doc_id",
 
-    // Same planted suffix, same patterns (Java regex and RE2 agree on
-    // these constructs), 'g' for replace-all to match Spark's default.
+    // Same planted suffix and patterns — interpolated from the SAME
+    // constants the operator uses (TextAnalysis.EmailPattern/
+    // PhonePattern, PiiSuffix), so the pair cannot drift. Java regex and
+    // RE2 agree on these constructs; 'g' matches Spark's replace-all
+    // default; the phone count runs on email-scrubbed text like the
+    // operator.
     "doc_pii_scrub" ->
       s"""WITH d AS (SELECT doc_id,
          |             CASE WHEN doc_id % 7 = 0
-         |                  THEN text || ' contact bob.smith+spam@example-corp.io or 555-867-5309 now'
+         |                  THEN text || '$PiiSuffix'
          |                  ELSE text END AS txt
-         |           FROM documents)
+         |           FROM documents),
+         |e AS (SELECT doc_id, txt,
+         |             regexp_replace(txt, '${TextAnalysis.EmailPattern}', '<EMAIL>', 'g') AS txt_e
+         |      FROM d)
          |SELECT doc_id,
-         |       md5(regexp_replace(regexp_replace(txt,
-         |             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-         |             '\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b', '<PHONE>', 'g')) AS scrub_md5,
-         |       CAST(len(regexp_extract_all(txt, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
-         |            + len(regexp_extract_all(txt, '\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b')) AS BIGINT) AS n_redactions
-         |FROM d ORDER BY doc_id""".stripMargin,
+         |       md5(regexp_replace(txt_e, '${TextAnalysis.PhonePattern}', '<PHONE>', 'g')) AS scrub_md5,
+         |       CAST(len(regexp_extract_all(txt, '${TextAnalysis.EmailPattern}'))
+         |            + len(regexp_extract_all(txt_e, '${TextAnalysis.PhonePattern}')) AS BIGINT) AS n_redactions
+         |FROM e ORDER BY doc_id""".stripMargin,
 
     // Recomputed from the parquet original: equality proves the ORC
     // write+read preserved every row bit-for-bit (md5 of the raw text).

@@ -441,15 +441,15 @@ object Dedup {
       .localCheckpoint()
     var converged = false
     var iter = 0
-    // round lifecycle: each label table is persisted, fully materialized,
-    // then explicitly unpersisted as soon as the next round supersedes it
-    // — the loop holds at most two cached copies at any moment instead of
-    // accumulating O(rounds) of them. Every 8th round localCheckpoints
-    // instead, truncating the logical-plan lineage that persist() alone
-    // lets grow (those rare checkpoint blocks are freed by the
-    // ContextCleaner once unreferenced). The final round's table stays
-    // cached for the caller's consumption.
-    var prevCached: DataFrame = null
+    // round lifecycle: every round ends in a LAZY localCheckpoint,
+    // materialized by the full diff count below (one job per round).
+    // The checkpoint is load-bearing twice over: it truncates lineage
+    // (the pointer-jump self-join embeds the round's subtree TWICE, so
+    // an uncheckpointed plan doubles in size every round — exponential),
+    // and unlike persist() it creates no session-lifetime CacheManager
+    // entry — superseded rounds' blocks are ContextCleaner-reclaimed
+    // once unreferenced, and the caller's result is itself one
+    // checkpointed table reclaimed the same way when dropped.
     while (!converged && iter < maxIter) {
       val nbrMin = edges
         .join(labels.select(col("id").as("src"), col("label").as("src_label")), "src")
@@ -464,17 +464,13 @@ object Dedup {
         .join(propagated.select(col("id").as("label"), col("label").as("parent")).as("q"),
           Seq("label"), "left")
         .select(col("id"), coalesce(col("parent"), col("label")).as("label"))
-      val checkpointRound = iter % 8 == 7
-      val next = if (checkpointRound) contracted.localCheckpoint() else contracted.persist()
+      val next = contracted.localCheckpoint(eager = false)
       // one job serves both purposes: the full-table diff count
-      // materializes every partition of `next` into its cache (so the
-      // superseded cache can be dropped without recompute holes) AND
-      // yields the exact convergence signal — no separate count() pass
+      // materializes the lazy checkpoint AND yields the exact
+      // convergence signal — no separate materialization pass
       val changed = next.as("n").join(labels.as("o"), "id")
         .filter(col("n.label") =!= col("o.label"))
         .count()
-      if (prevCached != null) prevCached.unpersist()
-      prevCached = if (checkpointRound) null else next
       labels = next
       converged = changed == 0
       iter += 1

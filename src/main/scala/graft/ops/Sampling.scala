@@ -70,7 +70,10 @@ object Sampling {
       s"target mixture must sum to 1, got $target")
     val perMyriad = target.map { case (k, v) => k -> math.round(v * 10000) }
       .filter(_._2 > 0)
-    val hist = df.groupBy(col(catCol)).agg(count(lit(1)).as("n"))
+    // compare categories as display strings so non-string category
+    // columns (int source ids, …) work — target keys are strings
+    val hist = df.groupBy(col(catCol).cast("string").as("cat"))
+      .agg(count(lit(1)).as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val missing = perMyriad.keySet -- hist.keySet
     require(missing.isEmpty,
@@ -80,7 +83,7 @@ object Sampling {
       k -> math.min(10000L, feasible * t / hist(k))
     }
     val threshExpr = thresholds.foldLeft(lit(0L): Column) {
-      case (acc, (k, v)) => when(col(catCol) === k, lit(v)).otherwise(acc)
+      case (acc, (k, v)) => when(col(catCol).cast("string") === k, lit(v)).otherwise(acc)
     }
     df.filter(hashBucket(col(idCol), salt) < threshExpr)
   }

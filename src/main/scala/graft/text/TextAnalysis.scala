@@ -154,10 +154,16 @@ object TextAnalysis {
       regexp_replace(c, EmailPattern, "<EMAIL>"),
       PhonePattern, "<PHONE>")
 
-  /** Count of PII matches [[scrubPii]] would redact. */
+  /** Count of PII matches [[scrubPii]] actually redacts: emails on the
+    * raw text, phones on the EMAIL-SCRUBBED text — mirroring the
+    * replace order, so a phone-shaped string inside an email match
+    * (e.g. `123-456-7890@x.io`, consumed whole by the email pass) is
+    * counted once, not twice. */
   def piiCount(c: Column): Column =
     (size(regexp_extract_all(c, lit(EmailPattern), lit(0))) +
-      size(regexp_extract_all(c, lit(PhonePattern), lit(0)))).cast("long")
+      size(regexp_extract_all(
+        regexp_replace(c, EmailPattern, "<EMAIL>"), lit(PhonePattern), lit(0))))
+      .cast("long")
 
   /** Marker words per (whitespace-tokenized) language for the language-ID
     * heuristic. Public for oracle mirroring. Chinese is NOT in this list:

@@ -110,7 +110,8 @@ class TextAnalysisSpec extends AnyFunSuite {
     val d = Seq(
       (1L, "write to a.b_c+tag@mail-host.example.org or call 555-123-4567 today"),
       (2L, "no pii here at all"),
-      (3L, "two mails: x@y.io and z@w.co plus 123 456 7890"))
+      (3L, "two mails: x@y.io and z@w.co plus 123 456 7890"),
+      (4L, "reach 123-456-7890@x.io"))  // phone-shaped local part: ONE redaction
       .toDF("doc_id", "text")
       .select($"doc_id",
         TextAnalysis.scrubPii($"text").as("s"),
@@ -119,6 +120,9 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(d(1L)._1 == "write to <EMAIL> or call <PHONE> today" && d(1L)._2 == 2L)
     assert(d(2L) == (("no pii here at all", 0L)))
     assert(d(3L)._1 == "two mails: <EMAIL> and <EMAIL> plus <PHONE>" && d(3L)._2 == 3L)
+    // the email pass consumes the whole token; the count must mirror the
+    // replace order instead of double-counting the embedded phone shape
+    assert(d(4L) == (("reach <EMAIL>", 1L)))
   }
 
   test("repetition signals: exact fractions on crafted n-gram lists") {
