@@ -929,6 +929,15 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Cohort retention: users bucketed by first-seen day, counted as
+    // active per day offset — the engagement rollup every event
+    // pipeline ships. The distinct (user, day) pass makes the final
+    // count a plain count, no countDistinct re-shuffle.
+    "events_retention" -> ((s, dir) => {
+      graft.ops.EventAnalytics.cohortRetention(events(s, dir))
+        .orderBy(col("cohort"), col("day_offset"))
+    }),
+
     // Batch sessionization: gap-split per-user sessions via the
     // lag-flag-cumsum window (the batch twin of the streaming
     // flatMapGroupsWithState sessionizer, which a SQL oracle can't
@@ -1720,6 +1729,17 @@ object SparkEntry {
          |         CASE WHEN p.fill + d.n_tokens <= 256 THEN p.fill + d.n_tokens ELSE d.n_tokens END
          |  FROM pack p JOIN d ON d.part = p.part AND d.rn = p.rn + 1)
          |SELECT doc_id, part, bin_idx FROM pack ORDER BY doc_id""".stripMargin,
+
+    // DuckDB date subtraction yields days directly; the distinct
+    // (user, day) activity set mirrors the Spark pass.
+    "events_retention" ->
+      """WITH f AS (SELECT user_id, min(CAST(ts AS DATE)) AS cohort FROM events GROUP BY 1),
+        |a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events)
+        |SELECT strftime(f.cohort, '%Y-%m-%d') AS cohort,
+        |       CAST(a.day - f.cohort AS INTEGER) AS day_offset,
+        |       CAST(count(*) AS BIGINT) AS n_users
+        |FROM a JOIN f USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // The same lag-flag-cumsum recurrence; row_number ties broken by
     // event_id on both sides, so session numbering matches exactly.

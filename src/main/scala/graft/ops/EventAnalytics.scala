@@ -69,6 +69,27 @@ object EventAnalytics {
         max(unix_micros(col(tsCol))).as("end_us"))
   }
 
+  /** Cohort retention: users grouped by first-seen day (the cohort),
+    * counted as active at each day offset from that cohort. Three
+    * bucketed shuffles — first-seen per user, distinct (user, day),
+    * final (cohort, offset) rollup — all on uniform keys, no windows,
+    * no self-join: the shape that holds when the event log is the
+    * 100 TB side. */
+  def cohortRetention(
+      events: DataFrame,
+      userCol: String = "user_id",
+      tsCol: String = "ts"): DataFrame = {
+    val day = to_date(col(tsCol))
+    val first = events.groupBy(col(userCol))
+      .agg(min(day).as("cohort"))
+    val active = events.select(col(userCol), day.as("day")).distinct()
+    active.join(first, userCol)
+      .groupBy(
+        date_format(col("cohort"), "yyyy-MM-dd").as("cohort"),
+        datediff(col("day"), col("cohort")).as("day_offset"))
+      .agg(count(lit(1)).cast("long").as("n_users"))
+  }
+
   /** Fixed-width histogram of a numeric column over [minVal, maxVal):
     * one partial-aggregating groupBy on the bin id; out-of-range rows
     * are clamped into the edge bins so mass is never dropped. */
