@@ -40,6 +40,36 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(out == ((1L, 1L)))
   }
 
+  test("sessionize splits on gaps, numbers sessions deterministically, aggregates bounds") {
+    val events = Seq(
+      (1L, ts(0), 10L), (1L, ts(5), 11L),   // session 1: 10:00-10:05
+      (1L, ts(40), 12L),                    // gap 35min > 30min → session 2
+      (2L, ts(1), 20L)                      // separate user
+    ).toDF("user_id", "ts", "event_id")
+    val out = EventAnalytics.sessionize(events, gapSec = 1800L)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4, r._5)).toMap
+    assert(out.keySet == Set((1L, 1L), (1L, 2L), (2L, 1L)))
+    val (n1, s1, e1) = out((1L, 1L))
+    assert(n1 == 2L && (e1 - s1) == 5L * 60 * 1000000L)
+    assert(out((1L, 2L))._1 == 1L && out((2L, 1L))._1 == 1L)
+  }
+
+  test("cohortRetention counts each user once per active day offset") {
+    def day(d: Int, h: Int) = Timestamp.valueOf(f"2024-01-0$d $h%02d:00:00")
+    val events = Seq(
+      (1L, day(1, 9)), (1L, day(1, 17)),  // two events same day → one active day
+      (1L, day(3, 9)),                    // offset 2
+      (2L, day(2, 9)), (2L, day(3, 9))    // cohort Jan 2, offsets 0 and 1
+    ).toDF("user_id", "ts")
+    val out = EventAnalytics.cohortRetention(events)
+      .as[(String, Int, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(out == Map(
+      ("2024-01-01", 0) -> 1L, ("2024-01-01", 2) -> 1L,
+      ("2024-01-02", 0) -> 1L, ("2024-01-02", 1) -> 1L))
+  }
+
   test("histogram bins values and clamps out-of-range mass into edge bins") {
     val df = Seq(-5.0, 0.0, 4.9, 5.0, 9.9, 10.0, 99.0, 150.0).toDF("v")
     val out = EventAnalytics.histogram(df, "v", minVal = 0.0, maxVal = 100.0, bins = 20)
