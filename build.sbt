@@ -15,6 +15,12 @@ run / fork := true
 // logger: the logger prepends "[info] " to every line, which breaks
 // machine parsing of Bench/Verify's single-line JSON output.
 run / outputStrategy := Some(StdoutOutput)
+// Drop sbt's "[success] Total time: ..." epilogue: it prints AFTER the
+// bench JSON line, and the driver parses the LAST stdout line, so the
+// epilogue (not the logger prefix, fixed above) is what kept
+// BENCH_r*.json at parsed:null through round 4.
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
