@@ -39,7 +39,12 @@ object Bench {
       }
     }
 
-    val results = SparkEntry.queries.flatMap { case (name, fn) =>
+    // optional comma-separated subset for local iteration; the driver
+    // leaves it unset and benches everything
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only.fold(SparkEntry.queries)(s => SparkEntry.queries.filter(q => s(q._1)))
+    val results = selected.flatMap { case (name, fn) =>
       runOnce(name, fn).map { cold =>
         val warm = (1 to warmRuns).flatMap(_ => runOnce(name, fn))
         name -> (cold, if (warm.nonEmpty) warm.min else cold)

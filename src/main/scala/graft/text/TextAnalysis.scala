@@ -198,8 +198,20 @@ object TextAnalysis {
   /** Language-ID heuristic: argmax of marker hits, first-listed language
     * wins ties, `und` when nothing matches. Deterministic; at 100 TB this
     * is a narrow map with a small broadcast-free marker table baked into
-    * the plan. */
-  def languageId(c: Column): Column = {
+    * the plan. Compiled to ONE fused byte scan ([[LangIdExpr]]): the
+    * declarative cascade ([[languageIdCascade]]) is ~a dozen split/regexp
+    * evaluations per row inside Filter predicates, where codegen does no
+    * subexpression elimination — language gates are exactly where this
+    * expression lives (curation, stratified sampling). */
+  def languageId(c: Column): Column =
+    org.apache.spark.sql.graft.VectorExpressions.langId(normalizeText(c))
+
+  /** The declarative twin of [[languageId]] — greatest over the
+    * [[langScores]] columns with a first-wins `when` cascade, exactly
+    * the form the DuckDB oracle SQL encodes. Kept as the reference
+    * implementation the spec bit-compares the fused expression against;
+    * not used in hot paths. */
+  def languageIdCascade(c: Column): Column = {
     val scores = langScores(c)
     val maxScore = greatest(scores.map(_._2): _*)
     // First-wins cascade on ties (folded in reverse so the first listed

@@ -506,6 +506,119 @@ object WinnowUtil {
   }
 }
 
+/** Static kernel for [[LangIdExpr]]: one fused pass over the normalized
+  * text computing every per-language marker-hit count plus the CJK
+  * character count, then the first-wins argmax — semantically identical
+  * to the declarative cascade in `TextAnalysis.languageId`
+  * (greatest over 4× token-set-count + cjk-count, first listed language
+  * wins ties, "und" when the max is ≤ 0), which remains the reference
+  * implementation the spec bit-compares against. The fusion matters in
+  * Filter predicates: FilterExec does no subexpression elimination, so
+  * the declarative cascade re-evaluates its split/regexp children about
+  * a dozen times per row there — this kernel is one byte scan. */
+object LangIdUtil {
+  /** Cascade order; index 4 (zh) is scored by CJK chars, not markers. */
+  val Langs: Array[org.apache.spark.unsafe.types.UTF8String] =
+    Array("en", "es", "de", "fr", "zh")
+      .map(org.apache.spark.unsafe.types.UTF8String.fromString)
+  private val Und = org.apache.spark.unsafe.types.UTF8String.fromString("und")
+
+  /** Marker words per language index, mirroring
+    * `TextAnalysis.LangMarkers` (which the oracle SQL also encodes).
+    * All markers are 2–5 ASCII bytes, so a token can only match if it
+    * is too; "la" carries two language bits (es and fr). */
+  private val MarkerMask: java.util.HashMap[java.lang.Long, java.lang.Integer] = {
+    val markers = Seq(
+      0 -> Seq("the", "and", "of", "is", "with"),
+      1 -> Seq("el", "la", "de", "que", "con"),
+      2 -> Seq("der", "die", "und", "ist", "mit"),
+      3 -> Seq("le", "la", "et", "est", "avec"))
+    val m = new java.util.HashMap[java.lang.Long, java.lang.Integer](64)
+    for ((idx, ws) <- markers; w <- ws) {
+      val k = java.lang.Long.valueOf(packKey(w))
+      val prev = m.get(k)
+      m.put(k, java.lang.Integer.valueOf((if (prev == null) 0 else prev.intValue()) | (1 << idx)))
+    }
+    m
+  }
+
+  /** Exact base-128 packing of a ≤5-byte ASCII token, length-prefixed
+    * by the leading 1 bit so "aa" and "a" can never collide. */
+  private def packKey(w: String): Long =
+    w.getBytes("US-ASCII").foldLeft(1L)((k, b) => (k << 7) | b)
+
+  def langId(s: org.apache.spark.unsafe.types.UTF8String): org.apache.spark.unsafe.types.UTF8String = {
+    val n = s.numBytes()
+    val counts = new Array[Long](5)
+    var key = 1L
+    var tokLen = 0
+    var asciiTok = true
+    var i = 0
+    def flush(): Unit = {
+      if (asciiTok && tokLen >= 2 && tokLen <= 5) {
+        val mask = MarkerMask.get(java.lang.Long.valueOf(key))
+        if (mask != null) {
+          val m = mask.intValue()
+          var l = 0
+          while (l < 4) { if ((m & (1 << l)) != 0) counts(l) += 1; l += 1 }
+        }
+      }
+      key = 1L; tokLen = 0; asciiTok = true
+    }
+    while (i < n) {
+      val b = s.getByte(i)
+      if (b == 0x20) { flush(); i += 1 }
+      else if (b >= 0) { // ASCII, not a space
+        if (tokLen < 5) key = (key << 7) | b else asciiTok = false
+        tokLen += 1
+        i += 1
+      } else { // multi-byte UTF-8 head or continuation
+        asciiTok = false
+        tokLen += 1
+        val ub = b & 0xFF
+        if ((ub & 0xE0) == 0xC0) i += 2
+        else if ((ub & 0xF0) == 0xE0) {
+          if (i + 2 < n) {
+            val cp = ((ub & 0x0F) << 12) |
+              ((s.getByte(i + 1) & 0x3F) << 6) | (s.getByte(i + 2) & 0x3F)
+            if (cp >= 0x4E00 && cp <= 0x9FFF) counts(4) += 1
+          }
+          i += 3
+        } else if ((ub & 0xF8) == 0xF0) i += 4
+        else i += 1 // stray continuation byte
+      }
+    }
+    flush()
+    var mx = counts(0)
+    var l = 1
+    while (l < 5) { if (counts(l) > mx) mx = counts(l); l += 1 }
+    if (mx <= 0L) return Und
+    var win = 0
+    while (counts(win) != mx) win += 1
+    Langs(win)
+  }
+}
+
+/** Fused single-pass language-ID over a NORMALIZED text column (the
+  * caller applies `normalizeText` first, exactly as the declarative
+  * cascade's `tokens`/`cjkCharCount` children do). */
+case class LangIdExpr(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "lang_id"
+
+  override protected def nullSafeEval(a: Any): Any =
+    LangIdUtil.langId(a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = org.apache.spark.sql.graft.LangIdUtil.langId($a);")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Winnowing document fingerprints: array<long> of selected k-gram
   * rolling hashes. Narrow per-row compute; near-dup candidates come
   * from a shared-fingerprint join (same bucketed shape as the shingle
@@ -563,6 +676,10 @@ object VectorExpressions {
   /** Codegen winnowing fingerprints (k-gram size, window size). */
   def winnow(text: Column, k: Int, w: Int): Column =
     ExpressionUtils.column(WinnowExpr(ExpressionUtils.expression(text), k, w))
+
+  /** Fused one-pass language-ID of a NORMALIZED text column. */
+  def langId(normText: Column): Column =
+    ExpressionUtils.column(LangIdExpr(ExpressionUtils.expression(normText)))
 
   /** Codegen PQ asymmetric distance over a codes column (see [[PqAdcExpr]]). */
   def pqAdc(codes: Column, table: Array[Double], k: Int): Column =

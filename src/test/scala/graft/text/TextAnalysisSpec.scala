@@ -56,6 +56,30 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(r == "es")
   }
 
+  test("fused languageId ≡ declarative cascade on fixtures and edge cases") {
+    val edge = Seq(
+      "", " ", "\t\n", "the", "thex the xthe", "there and those", // prefix ≠ match
+      "la la le le",            // es/fr tie → es
+      "le le la",               // fr wins: le=2(fr), la=1(es)+1(fr)=3 fr vs 1 es
+      "avec estx est que con",  // 4/5-char markers, mixed langs
+      "与 the 中文 and 混合 is 文本", // CJK + en markers mixed
+      "这是中文",                 // pure CJK
+      "é ü ß der die und",      // non-ASCII tokens alongside de markers
+      "wordlongerthanfive with of", "a b c d e f",
+      "THE AND OF IS WITH",     // uppercase → normalized lowercase
+      "Ke the")            // Kelvin-sign token must not match anything
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val fixture = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text")
+    val all = edge.toDF("doc_id", "text").unionByName(fixture)
+    val diff = all.select(
+        TextAnalysis.languageId($"text").as("fused"),
+        TextAnalysis.languageIdCascade($"text").as("cascade"))
+      .filter(!($"fused" <=> $"cascade"))
+      .count()
+    assert(diff == 0L)
+  }
+
   test("fingerprintMd5 is whitespace/case-insensitive and distinct on content") {
     val df = Seq((1L, "Hello  World"), (2L, "hello world"), (3L, "other text"))
       .toDF("doc_id", "text")
