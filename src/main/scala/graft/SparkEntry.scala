@@ -68,6 +68,16 @@ object SparkEntry {
     * and the oracle SQL so the fixture cannot drift. */
   private val PiiSuffix = " contact bob.smith+spam@example-corp.io or 555-867-5309 now"
 
+  /** Planted boilerplate for dedup_chunks: EXACTLY 25 tokens — one full
+    * chunk at chunkTokens=25 — prepended to every doc_id%5==0 row, so
+    * all planted docs share chunk 0 verbatim and chunk dedup must strip
+    * it everywhere but the first occurrence. Shared with the oracle SQL
+    * so the fixture cannot drift. */
+  private val ChunkBoilerplate =
+    "terms of service this content is provided as is without warranty " +
+      "of any kind either express or implied including but not limited " +
+      "to the implied"
+
   /** Deterministic synthetic media corpus: 200 rows whose binary content
     * is the UTF-8 bytes of concatenated md5 hex strings (ASCII ⇒ every
     * byte is positive, so the decode stub's `Arrays.hashCode` fold is a
@@ -475,6 +485,21 @@ object SparkEntry {
           count(lit(1)).over(org.apache.spark.sql.expressions.Window
             .partitionBy(col("cluster_id"))))
         .orderBy(col("id"))
+    }),
+
+    // Chunk-level exact dedup (boilerplate removal): a 25-token
+    // boilerplate paragraph is planted on every fifth doc, and the
+    // operator must keep exactly one corpus-wide occurrence of every
+    // repeated chunk and reassemble the survivors in document order.
+    // The md5 of the reassembled text pins the whole reconstruction.
+    "dedup_chunks" -> ((s, dir) => {
+      val planted = docs(s, dir).withColumn("text",
+        when(col("doc_id") % 5 === 0, concat(lit(ChunkBoilerplate + " "), col("text")))
+          .otherwise(col("text")))
+      Dedup.chunkDedup(planted, chunkTokens = 25)
+        .select(col("doc_id"), col("n_chunks"), col("n_kept"),
+          md5(col("clean_text")).as("clean_md5"))
+        .orderBy(col("doc_id"))
     }),
 
     // MinHash-LSH near-dup pairs (banded bucket join, then the EXACT
@@ -1335,6 +1360,30 @@ object SparkEntry {
          |SELECT id, cluster_id,
          |       CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
          |FROM comp ORDER BY id""".stripMargin,
+
+    // Replays the chunking (25-token windows of the normalized token
+    // list), first-occurrence selection (min doc_id*2^20+idx per chunk
+    // string), and document reassembly — md5 of the rebuilt text pins
+    // every surviving byte.
+    "dedup_chunks" ->
+      s"""WITH base AS (SELECT doc_id,
+         |                     CASE WHEN doc_id % 5 = 0
+         |                          THEN '$ChunkBoilerplate ' || text
+         |                          ELSE text END AS text
+         |              FROM documents),
+         |toks AS (SELECT doc_id, $ToksSql AS t FROM base),
+         |chunks AS (SELECT doc_id, u.i AS chunk_idx,
+         |                  array_to_string(t[(u.i*25+1):(u.i*25+25)], ' ') AS chunk,
+         |                  doc_id*1048576 + u.i AS occ_key
+         |           FROM toks, unnest(range((len(t)+24)//25)) AS u(i)),
+         |marked AS (SELECT doc_id, chunk_idx, chunk,
+         |                  occ_key = min(occ_key) OVER (PARTITION BY chunk) AS kept
+         |           FROM chunks)
+         |SELECT doc_id,
+         |       count(*) AS n_chunks,
+         |       CAST(count(*) FILTER (WHERE kept) AS BIGINT) AS n_kept,
+         |       md5(coalesce(array_to_string(list(chunk ORDER BY chunk_idx) FILTER (WHERE kept), ' '), '')) AS clean_md5
+         |FROM marked GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // Brute force over ALL pairs at the exact-Jaccard threshold; the
     // banded MinHash result equals it (see the query comment).

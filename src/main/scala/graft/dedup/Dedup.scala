@@ -393,6 +393,71 @@ object Dedup {
       .filter(col("n_shared") >= minShared)
   }
 
+  // -------------------------------------------------- chunk-level exact
+
+  /** Chunk-level exact dedup: the boilerplate-removal pass every web
+    * corpus needs (repeated cookie banners, license headers, nav text) —
+    * whole-document hashing can't see a duplicated PARAGRAPH inside
+    * otherwise-distinct documents. Documents are tokenized
+    * ([[graft.text.TextAnalysis.tokens]]) and split into fixed
+    * `chunkTokens`-token chunks; every chunk occurrence after the
+    * corpus-wide first (minimum `(id, chunk_idx)` occurrence in the
+    * total order) is dropped, and surviving chunks reassemble in
+    * document order.
+    *
+    * Output: one row per input doc — (id, n_chunks, n_kept, clean_text).
+    *
+    * 100 TB shape: three keyed shuffles, none skew-fragile. The
+    * first-occurrence table is a groupBy MIN on the 16-byte chunk md5 —
+    * partial aggregation collapses a hot boilerplate chunk map-side, so
+    * a chunk repeated 10⁹ times contributes one row per mapper, not a
+    * hot reducer. The join back on the hash has probe-side skew on hot
+    * chunks (AQE skew-split handles it), and the reassembly groupBy keys
+    * on the doc id. The 128-bit hash keeps keys collision-free at
+    * corpus scale (64 bits would birthday-collide past ~2³² distinct
+    * chunks).
+    *
+    * `occ_key = id·2²⁰ + chunk_idx` packs the occurrence order into one
+    * long (ids must stay below 2⁴³, docs below 2²⁰ chunks ≈ 26 M
+    * tokens; the packing is asserted per row, never silently wrapped). */
+  def chunkDedup(
+      df: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      chunkTokens: Int = 25): DataFrame = {
+    require(chunkTokens > 0, s"chunkTokens must be positive, got $chunkTokens")
+    val maxChunks = 1L << 20
+    // stage the token array BEFORE the HOFs: interpreted lambdas
+    // re-evaluate argument expressions per element (see TextAnalysis)
+    val staged = df.select(col(idCol), tokens(col(textCol)).as("t"))
+    val nChunks = floor((size(col("t")) + lit(chunkTokens - 1)).cast("double") / chunkTokens).cast("int")
+    val chunked = staged
+      .select(col(idCol), posexplode(transform(
+        sequence(lit(0), nChunks - 1),
+        i => concat_ws(" ", slice(col("t"), i * chunkTokens + 1, lit(chunkTokens))))))
+      .withColumnRenamed("pos", "chunk_idx")
+      .withColumnRenamed("col", "chunk")
+    val keyed = chunked.select(
+      col(idCol), col("chunk_idx"), col("chunk"),
+      // assert_true feeds the key arithmetic so the guard can't be
+      // pruned: a doc past 2^20 chunks fails loudly instead of
+      // silently colliding occurrence keys
+      (col(idCol) * maxChunks + col("chunk_idx") +
+        coalesce(assert_true(col("chunk_idx") < maxChunks).cast("long"), lit(0L))).as("occ_key"),
+      md5(col("chunk")).as("chunk_hash"))
+    val firstOcc = keyed.groupBy("chunk_hash").agg(min("occ_key").as("min_key"))
+    keyed.join(firstOcc, "chunk_hash")
+      .withColumn("kept", col("occ_key") === col("min_key"))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(col("kept").cast("long")).as("n_kept"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(when(col("kept"),
+            struct(col("chunk_idx"), col("chunk"))))),
+          s => s.getField("chunk"))).as("clean_text"))
+  }
+
   // ------------------------------------------- duplicate-cluster closure
 
   /** Connected components over a near-duplicate pair graph: every node

@@ -231,4 +231,34 @@ class DedupSpec extends AnyFunSuite {
       assert(got == expected, s"trial $trial: distributed labels diverge from union-find")
     }
   }
+
+  test("chunkDedup keeps the first corpus-wide occurrence of every chunk") {
+    // chunkTokens=2: doc0 "alpha beta"+"delta"; doc1 "alpha beta"+"gamma";
+    // doc2 duplicates doc0 entirely; doc3 = one chunk equal to doc1's 2nd
+    val corpus = Seq(
+      (0L, "alpha beta delta"),
+      (1L, "alpha beta gamma"),
+      (2L, "alpha beta delta"),
+      (3L, "gamma")
+    ).toDF("doc_id", "text")
+    val r = Dedup.chunkDedup(corpus, chunkTokens = 2)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(r == Seq(
+      (0L, 2L, 2L, "alpha beta delta"), // first occurrence of both chunks
+      (1L, 2L, 1L, "gamma"),            // "alpha beta" already seen in doc0
+      (2L, 2L, 0L, ""),                 // full duplicate of doc0 → nothing left
+      (3L, 1L, 0L, "")))                // its only chunk first appeared in doc1
+  }
+
+  test("chunkDedup is invariant to physical partitioning") {
+    val corpus = (0L to 40L)
+      .map(i => (i, s"tok${i % 7} filler common shared words here tok${i % 3} tail$i"))
+      .toDF("doc_id", "text")
+    val a = Dedup.chunkDedup(corpus, chunkTokens = 3)
+      .orderBy("doc_id").collect().toSeq
+    val b = Dedup.chunkDedup(corpus.repartition(13), chunkTokens = 3)
+      .orderBy("doc_id").collect().toSeq
+    assert(a == b)
+  }
 }
