@@ -536,6 +536,20 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // SemDeDup-style semantic dedup: k-means clusters scope the pair
+    // search; exact copies (vec_id<30 planted at +2000000) are
+    // guaranteed intra-cluster (identical input ⇒ identical argmin), so
+    // the cluster-scoped search must equal the brute-force oracle: the
+    // fixture has no natural pair at cos ≥ 0.99, and every planted pair
+    // sits at cos = 1.
+    "emb_semdedup" -> ((s, dir) => {
+      val e = emb(s, dir).select(col("vec_id"), col("embedding"))
+      val planted = e.filter(col("vec_id") < 30)
+        .withColumn("vec_id", col("vec_id") + lit(2000000L))
+      Dedup.semanticNearDups(e.union(planted), nClusters = 8, minCosine = 0.99)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // Winnowing partial-overlap pairs. The Karp-Rabin k-gram hashes are
     // Σ c_j·B^(k−1−j) mod 2^64 over UTF-16 units (ASCII fixture ⇒ code
     // points), and the fingerprint SET only needs window minima BY VALUE
@@ -1454,6 +1468,21 @@ object SparkEntry {
          |FROM c a JOIN c b ON a.vec_id < b.vec_id
          |WHERE (${dotSql("a.embedding", "b.embedding")})
          |        / (sqrt(${dotSql("a.embedding", "a.embedding")}) * sqrt(${dotSql("b.embedding", "b.embedding")})) >= 0.95
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    // Brute force over ALL pairs at the cosine threshold: equals the
+    // cluster-scoped search because exact copies always share a cluster
+    // and nothing else reaches 0.99 (see the query comment).
+    "emb_semdedup" ->
+      s"""WITH c AS (SELECT vec_id, embedding FROM embeddings
+         |           UNION ALL
+         |           SELECT vec_id + 2000000, embedding FROM embeddings WHERE vec_id < 30)
+         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |       (${dotSql("a.embedding", "b.embedding")})
+         |         / (sqrt(${dotSql("a.embedding", "a.embedding")}) * sqrt(${dotSql("b.embedding", "b.embedding")})) AS cos_sim
+         |FROM c a JOIN c b ON a.vec_id < b.vec_id
+         |WHERE (${dotSql("a.embedding", "b.embedding")})
+         |        / (sqrt(${dotSql("a.embedding", "a.embedding")}) * sqrt(${dotSql("b.embedding", "b.embedding")})) >= 0.99
          |ORDER BY id_a, id_b""".stripMargin,
 
     "knn_cosine_top10" ->

@@ -361,6 +361,52 @@ object Dedup {
       .select("id_a", "id_b", "cos_sim")
   }
 
+  // ------------------------------------------ semantic dedup (SemDeDup)
+
+  /** Semantic near-duplicates, SemDeDup-style (Abbas et al. 2023,
+    * arXiv:2303.09540): k-means-cluster the embedding space, then
+    * compare pairs ONLY within a cluster — the cluster pass replaces the
+    * quadratic all-pairs search with k independent O((n/k)²) problems,
+    * which is the whole trick. Returns (id_a, id_b, cos_sim) with
+    * id_a < id_b, cos_sim ≥ `minCosine`, both ids in the same cluster.
+    *
+    * Unlike the IVF search index, the clustering here is PART of the
+    * operator (a one-shot pipeline pass, not a build-once/probe-many
+    * index), so the fit intentionally runs inside: fitting on a sample
+    * (`sampleFraction`) and few iterations are fine — any reasonable
+    * partition works, exactness comes from the explicit cosine on
+    * candidate pairs.
+    *
+    * Contract vs the banded [[embeddingNearDups]]: byte-identical
+    * embeddings always share a cluster (same input ⇒ same argmin), so
+    * EXACT duplicates are found with probability 1; near-duplicates very
+    * close to a cluster boundary can straddle it — the standard SemDeDup
+    * approximation (recall is spec-pinned on jittered fixtures).
+    *
+    * 100 TB shape: one shuffle keyed on the cluster id for the
+    * self-join; choose `nClusters` ∝ corpus/target-cluster-size so the
+    * per-cluster quadratic stays bounded, and let AQE skew-split hot
+    * clusters. The aliased self-join shares one assignment subplan via
+    * exchange reuse. */
+  def semanticNearDups(
+      df: DataFrame,
+      nClusters: Int,
+      minCosine: Double = 0.99,
+      idCol: String = "vec_id",
+      embCol: String = "embedding",
+      sampleFraction: Double = 1.0,
+      maxIter: Int = 5): DataFrame = {
+    val idx = graft.index.Ivf.fit(df, nClusters, embCol, sampleFraction, maxIter)
+    val assigned = graft.index.Ivf.assign(idx, df, embCol)
+      .select(col(idCol), col(embCol), col("cluster"))
+    assigned.as("a")
+      .join(assigned.as("b"),
+        col("a.cluster") === col("b.cluster") && col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
+        Distances.cosine(col(s"a.$embCol"), col(s"b.$embCol")).as("cos_sim"))
+      .filter(col("cos_sim") >= minCosine)
+  }
+
   // ---------------------------------------------- eval decontamination
 
   /** Cross-corpus contamination check: corpus documents sharing at least

@@ -232,6 +232,25 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("semanticNearDups finds every exact-copy pair; cluster scoping drops nothing exact") {
+    val rnd = new scala.util.Random(42)
+    val base = (0L until 300L).map(i => (i, Array.fill(16)(rnd.nextFloat() * 2f - 1f)))
+    // exact copies of ids 0..9 at +1000; a jittered near-copy of 10 at +2000
+    val copies = (0L until 10L).map(i => (i + 1000L, base(i.toInt)._2))
+    val jitter = base(10)._2.map(v => v + 1e-4f)
+    val corpus = (base ++ copies :+ (2010L, jitter)).toDF("vec_id", "embedding")
+    val pairs = Dedup.semanticNearDups(corpus, nClusters = 6, minCosine = 0.999)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val exactExpected = (0L until 10L).map(i => (i, i + 1000L)).toSet
+    assert(exactExpected.subsetOf(pairs),
+      s"missing exact pairs: ${exactExpected -- pairs}")
+    // the jittered pair sits at cos ≈ 1-1e-9; with this seed it shares a
+    // cluster and must surface (deterministic: fixed seeds end to end)
+    assert(pairs.contains((10L, 2010L)))
+    // nothing else in a random corpus reaches 0.999
+    assert(pairs == exactExpected + ((10L, 2010L)))
+  }
+
   test("chunkDedup keeps the first corpus-wide occurrence of every chunk") {
     // chunkTokens=2: doc0 "alpha beta"+"delta"; doc1 "alpha beta"+"gamma";
     // doc2 duplicates doc0 entirely; doc3 = one chunk equal to doc1's 2nd
