@@ -924,6 +924,18 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Epoch-upsampling mixture: 50/30/20 over three sources within 4
+    // epochs — src0 runs 4 full epochs, src1 lands between 2 and 3
+    // (deterministic md5-deviate fraction gets the 3rd), src2 between
+    // 1 and 2. One row per (doc, epoch); pure integer threshold math.
+    "corpus_epochs" -> ((s, dir) => {
+      graft.ops.Sampling.upsampleToMixture(docs(s, dir), "source",
+          Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2),
+          maxEpochs = 4, salt = "ep")
+        .select(col("doc_id"), col("source"), col("epoch"))
+        .orderBy(col("doc_id"), col("epoch"))
+    }),
+
     // Corpus report: per-(source, lang) row counts, token volume, and
     // ln-quantized quality sums — the reporting rollup a curation run
     // ships with. One shuffle on the tiny (source, lang) key space.
@@ -1736,6 +1748,30 @@ object SparkEntry {
          |                  * (CAST(1 AS BIGINT) << (4*(8-i))) FOR i IN range(1, 9)]) % 10000 AS bucket
          |      FROM documents d JOIN th USING (source))
          |SELECT doc_id, source FROM h WHERE bucket < thresh ORDER BY doc_id""".stripMargin,
+
+    // Replays the integer epoch plan (feasible total → per-category
+    // base epochs + extra-epoch threshold, all // arithmetic) and
+    // expands each doc with unnest(range(epochs)).
+    "corpus_epochs" ->
+      s"""WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY 1),
+         |tm AS (SELECT source, n,
+         |         CASE source WHEN 'src0' THEN 5000 WHEN 'src1' THEN 3000 WHEN 'src2' THEN 2000 ELSE 0 END AS t_pm
+         |       FROM c),
+         |f AS (SELECT min((n * 4 * 10000) // t_pm) AS feasible FROM tm WHERE t_pm > 0),
+         |pl AS (SELECT source, n, (feasible * t_pm) // 10000 AS needed
+         |       FROM tm, f WHERE t_pm > 0),
+         |th AS (SELECT source, needed // n AS base_e,
+         |              ((needed % n) * 10000) // n AS extra_pm
+         |       FROM pl),
+         |h AS (SELECT d.doc_id, d.source,
+         |        th.base_e + CASE WHEN
+         |          list_sum([(CAST(strpos('0123456789abcdef', md5(CAST(d.doc_id AS VARCHAR) || 'ep')[i]) AS BIGINT) - 1)
+         |                    * (CAST(1 AS BIGINT) << (4*(8-i))) FOR i IN range(1, 9)]) % 10000 < th.extra_pm
+         |          THEN 1 ELSE 0 END AS epochs
+         |      FROM documents d JOIN th USING (source))
+         |SELECT doc_id, source, CAST(u.e AS BIGINT) AS epoch
+         |FROM h, unnest(range(epochs)) AS u(e)
+         |WHERE epochs > 0 ORDER BY doc_id, epoch""".stripMargin,
 
     // Quality re-derived per row (verbatim the doc_quality oracle) and
     // ln-quantized BEFORE summing, so the aggregate is an integer sum —

@@ -88,6 +88,68 @@ object Sampling {
     df.filter(hashBucket(col(idCol), salt) < threshExpr)
   }
 
+  /** Epoch-upsampling mixture: reach a target mixture by REPEATING
+    * documents (training epochs) as well as dropping them — the form
+    * every pretraining recipe actually uses (high-quality small domains
+    * run for several epochs while the big web crawl runs under one).
+    * Each doc in category i is emitted `base_i` times plus one extra
+    * epoch for a deterministic md5-deviate fraction of ids, where
+    *
+    *   feasible  = min_i floor(c_i · maxEpochs · 10⁴ / t_i)   (largest
+    *               total every category can supply within `maxEpochs`)
+    *   needed_i  = floor(feasible · t_i / 10⁴)
+    *   base_i    = needed_i / c_i,   extra-epoch per-myriad threshold
+    *               = floor((needed_i mod c_i) · 10⁴ / c_i)
+    *
+    * All integer math (exact in any engine), row fate a pure function of
+    * the id — replayable and oracle-recomputable like
+    * [[mixtureResample]], which this generalizes (maxEpochs = 1 ⇒ pure
+    * downsampling). Output: one row per (doc, epoch), `epoch` in
+    * [0, epochs). Categories outside `target` are dropped; a targeted
+    * category with no rows is an error.
+    *
+    * 100 TB shape: a metadata-sized histogram round-trip, then a
+    * per-row literal-threshold map + explode — NO shuffle; output size
+    * is bounded by maxEpochs × input. */
+  def upsampleToMixture(
+      df: DataFrame,
+      catCol: String,
+      target: Map[String, Double],
+      maxEpochs: Int = 4,
+      idCol: String = "doc_id",
+      salt: String = ""): DataFrame = {
+    require(maxEpochs >= 1, s"maxEpochs must be ≥ 1, got $maxEpochs")
+    require(target.nonEmpty && math.abs(target.values.sum - 1.0) < 1e-9,
+      s"target mixture must sum to 1, got $target")
+    val perMyriad = target.map { case (k, v) => k -> math.round(v * 10000) }
+      .filter(_._2 > 0)
+    val hist = df.groupBy(col(catCol).cast("string").as("cat"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val missing = perMyriad.keySet -- hist.keySet
+    require(missing.isEmpty,
+      s"target categories absent from the data (typo?): ${missing.mkString(", ")}")
+    val feasible = perMyriad.map { case (k, t) => hist(k) * maxEpochs * 10000L / t }.min
+    val plan = perMyriad.map { case (k, t) =>
+      val c = hist(k)
+      val needed = feasible * t / 10000L
+      k -> (needed / c, (needed % c) * 10000L / c) // (base epochs, extra per-myriad)
+    }
+    val catStr = col(catCol).cast("string")
+    val baseExpr = plan.foldLeft(lit(-1L): Column) { // -1 ⇒ untargeted category
+      case (acc, (k, (b, _))) => when(catStr === k, lit(b)).otherwise(acc)
+    }
+    val extraExpr = plan.foldLeft(lit(0L): Column) {
+      case (acc, (k, (_, e))) => when(catStr === k, lit(e)).otherwise(acc)
+    }
+    val epochs = baseExpr +
+      when(hashBucket(col(idCol), salt) < extraExpr, 1L).otherwise(0L)
+    df.withColumn("epochs", epochs)
+      .filter(col("epochs") > 0) // drops untargeted (-1) and zero-epoch rows
+      .withColumn("epoch", explode(sequence(lit(0L), col("epochs") - 1L)))
+      .drop("epochs")
+  }
+
   /** Leakage-safe dataset split: the split label is a pure function of
     * `group` (not the row id), so every member of a group — e.g. a
     * near-duplicate cluster from
