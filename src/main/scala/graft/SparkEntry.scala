@@ -1079,6 +1079,34 @@ object SparkEntry {
         .orderBy(col("content_hash"))
     }),
 
+    // Streaming curation replay: language + quality gates feeding the
+    // watermarked exact dedup, over the documents table as a file
+    // stream. As with stream_dedup, WHICH row represents a hash is
+    // micro-batch order-dependent, so the declared output is the
+    // deterministic part: the distinct content-hash set of gate
+    // survivors, equal to the batch gates + DISTINCT.
+    "stream_curate" -> ((s, dir) => {
+      val schema = s.read.parquet(s"$dir/documents.parquet").schema
+      val stream = s.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        .withColumn("ts", lit("2026-01-01 00:00:00").cast("timestamp"))
+      val curated = graft.streaming.StreamingIngest.streamingCurate(
+        stream, lang = "en", minQuality = 0.5, delay = "1 hour")
+      val qname = "graft_stream_curate_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = curated.select(col("content_hash")).writeStream
+        .outputMode("append").format("memory").queryName(qname)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val projected = s.table(qname).select(col("content_hash"))
+      val rows = projected.collect()
+      val outSchema = projected.schema
+      s.catalog.dropTempView(qname)
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), outSchema)
+        .orderBy(col("content_hash"))
+    }),
+
     // Tumbling 1-hour window aggregation — the batch shape of the
     // streaming windowed agg (value summed in exact integer milli-units:
     // float sums are partition-order-dependent).
@@ -1891,6 +1919,30 @@ object SparkEntry {
     // the streaming dedup's hash set must equal the batch DISTINCT
     "stream_dedup" ->
       s"""SELECT DISTINCT md5($NormSql) AS content_hash FROM documents
+         |ORDER BY content_hash""".stripMargin,
+
+    // batch replay of the streaming gates + dedup: lang/quality gate
+    // fragments verbatim from the corpus_curate oracle, then DISTINCT
+    "stream_curate" ->
+      s"""WITH base AS (SELECT doc_id, $NormSql AS norm, $ToksSql AS toks FROM documents),
+         |ling AS (SELECT doc_id, norm, toks,
+         |  CAST(len(list_filter(toks, x -> x IN ('the','and','of','is','with'))) AS BIGINT) AS score_en,
+         |  CAST(len(list_filter(toks, x -> x IN ('el','la','de','que','con'))) AS BIGINT) AS score_es,
+         |  CAST(len(list_filter(toks, x -> x IN ('der','die','und','ist','mit'))) AS BIGINT) AS score_de,
+         |  CAST(len(list_filter(toks, x -> x IN ('le','la','et','est','avec'))) AS BIGINT) AS score_fr,
+         |  CAST(length(norm) - length(regexp_replace(norm, '[\\x{4e00}-\\x{9fff}]', '', 'g')) AS BIGINT) AS score_zh
+         |  FROM base)
+         |SELECT DISTINCT md5(norm) AS content_hash FROM ling
+         |WHERE (CASE WHEN greatest(score_en, score_es, score_de, score_fr, score_zh) <= 0 THEN 'und'
+         |            WHEN score_en = greatest(score_en, score_es, score_de, score_fr, score_zh) THEN 'en'
+         |            WHEN score_es = greatest(score_en, score_es, score_de, score_fr, score_zh) THEN 'es'
+         |            WHEN score_de = greatest(score_en, score_es, score_de, score_fr, score_zh) THEN 'de'
+         |            WHEN score_fr = greatest(score_en, score_es, score_de, score_fr, score_zh) THEN 'fr'
+         |            ELSE 'zh' END) = 'en'
+         |  AND (least(CAST(len(toks) AS DOUBLE) / 64.0, 1.0) * 0.4 +
+         |       CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE) * 0.4 +
+         |       (CASE WHEN CAST(len(list_filter(toks, x -> x IN ('the','a','an','and','or','of','to','in','is','on','for','with'))) AS DOUBLE)
+         |                  / CAST(len(toks) AS DOUBLE) BETWEEN 0.01 AND 0.6 THEN 1.0 ELSE 0.5 END) * 0.2) >= 0.5
          |ORDER BY content_hash""".stripMargin,
 
     // the streaming replay must converge to exactly the batch aggregation

@@ -63,6 +63,27 @@ object StreamingIngest {
       .withWatermark(tsCol, delay)
       .dropDuplicates("content_hash")
 
+  /** Streaming curation: [[graft.text.Curation.curate]]'s per-row gates
+    * (language, quality) plus watermark-bounded exact dedup as one
+    * unbounded pipeline — the ingest-side half of a curation deployment.
+    * The near-dup stage stays a periodic BATCH pass over the streamed
+    * survivors: its candidate joins are corpus-wide by nature, which no
+    * watermark can bound (the standard streaming-ingest/batch-refine
+    * split). Gates run before the dedup state so the state store only
+    * ever holds hashes of documents worth keeping. */
+  def streamingCurate(
+      docsStream: DataFrame,
+      lang: String = "en",
+      minQuality: Double = 0.5,
+      delay: String = "1 hour",
+      tsCol: String = "ts",
+      textCol: String = "text"): DataFrame =
+    streamingDedup(
+      docsStream.filter(
+        TextAnalysis.languageId(col(textCol)) === lang &&
+          TextAnalysis.qualityScore(col(textCol)) >= minQuality),
+      delay, tsCol, textCol)
+
   /** Stream-stream inner join within a time bound: left and right
     * events on the same key join when their timestamps are within
     * `joinWindow` of each other. Both sides carry watermarks, so the

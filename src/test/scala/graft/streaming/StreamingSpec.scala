@@ -53,6 +53,27 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streamingCurate gates language and quality before the dedup state") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val out = StreamingIngest.streamingCurate(
+      input.toDF().toDF("ts", "doc_id", "text"),
+      lang = "en", minQuality = 0.3, delay = "1 hour")
+    val q = out.writeStream.format("memory").queryName("curate_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        (ts(1), 1L, "the quick brown fox jumps over the lazy dog and runs off with it"),
+        (ts(2), 2L, "THE quick  brown fox jumps over the lazy dog and runs off with it"), // dup of 1
+        (ts(3), 3L, "el perro que la casa con el gato que ladra"), // wrong language
+        (ts(4), 4L, "is is is is is is is is is is is is")) // en but low quality
+      q.processAllAvailable()
+      val kept = spark.table("curate_out").select("doc_id").as[Long].collect().toSet
+      assert(kept.size == 1 && (kept.contains(1L) ^ kept.contains(2L)),
+        s"expected exactly one of the duplicate pair, got $kept")
+    } finally q.stop()
+  }
+
   test("stream-stream join matches within the time bound, drops beyond it") {
     implicit val sc = spark.sqlContext
     val clicks = MemoryStream[(Long, Timestamp)]
