@@ -49,7 +49,10 @@ object GraftFunctions {
       "srp_sign(embedding, bits) - SRP bit signature (bits/64 longs) of a float array"),
     ("winnow_fingerprints",
       { case Seq(a, k, w) => WinnowExpr(a, intArg(k, "winnow_fingerprints"), intArg(w, "winnow_fingerprints")) },
-      "winnow_fingerprints(text, k, w) - winnowing (MOSS) document fingerprints: k-gram size k, window w"))
+      "winnow_fingerprints(text, k, w) - winnowing (MOSS) document fingerprints: k-gram size k, window w"),
+    ("lang_id",
+      { case Seq(a) => LangIdExpr(a) },
+      "lang_id(normText) - fused one-pass language-ID of NORMALIZED text (en/es/de/fr/zh/und)"))
 
   /** Register every graft function into `spark`'s function registry. */
   def register(spark: SparkSession): Unit = {

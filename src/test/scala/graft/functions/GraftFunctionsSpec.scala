@@ -39,6 +39,11 @@ class GraftFunctionsSpec extends AnyFunSuite {
     val fp2 = spark.sql("SELECT winnow_fingerprints('the quick brown fox jumps', 8, 4)")
       .as[Seq[Long]].head()
     assert(fp.nonEmpty && fp == fp2)
+
+    val langs = spark.sql(
+      "SELECT lang_id('the cat and the dog'), lang_id('el que la con'), lang_id('xyz')")
+      .as[(String, String, String)].head()
+    assert(langs == (("en", "es", "und")))
   }
 
   test("non-literal k in minhash raises a clear error") {

@@ -111,6 +111,27 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(exchanges == 1, s"expected exactly 1 shuffle, got $exchanges:\n$plan")
   }
 
+  test("epoch upsampling is a per-row map + explode: no shuffle beyond the histogram") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val plan = graft.ops.Sampling.upsampleToMixture(docs, "source",
+        Map("src0" -> 0.5, "src1" -> 0.5), maxEpochs = 2, salt = "p")
+      .queryExecution.executedPlan.toString
+    // the histogram round-trip happens at plan-BUILD time; the emitted
+    // plan itself must be shuffle-free (literal thresholds + explode)
+    assert(!plan.contains("Exchange"), s"epoch expansion shuffles:\n$plan")
+    assert(!plan.contains("ScalaUDF"), s"UDF crept into epoch expansion:\n$plan")
+  }
+
+  test("chunk dedup aggregates the first-occurrence table with partial (map-side) aggregation") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val plan = graft.dedup.Dedup.chunkDedup(docs, chunkTokens = 25)
+      .queryExecution.executedPlan.toString
+    // hot boilerplate chunks must collapse map-side: the min(occ_key)
+    // groupBy needs a partial_min before its exchange
+    assert(plan.contains("partial_min"), s"first-occurrence MIN not partial:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"chunk join degenerated:\n$plan")
+  }
+
   test("curation's final keep-set subtraction broadcasts the loser ids (via AQE)") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val df = graft.text.Curation.curate(docs)
