@@ -924,6 +924,15 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Corpus-trained bigram LM score (perplexity filtering): add-one-
+    // smoothed transition probabilities from the corpus's own unigram/
+    // bigram counts, each ln quantized to micro-units before summing so
+    // the aggregate is an exact integer any engine reproduces.
+    "doc_lm_score" -> ((s, dir) => {
+      TextAnalysis.bigramLmScores(docs(s, dir))
+        .orderBy(col("doc_id"))
+    }),
+
     // Epoch-upsampling mixture: 50/30/20 over three sources within 4
     // epochs — src0 runs 4 full epochs, src1 lands between 2 and 3
     // (deterministic md5-deviate fraction gets the 3rd), src2 between
@@ -1776,6 +1785,27 @@ object SparkEntry {
          |                  * (CAST(1 AS BIGINT) << (4*(8-i))) FOR i IN range(1, 9)]) % 10000 AS bucket
          |      FROM documents d JOIN th USING (source))
          |SELECT doc_id, source FROM h WHERE bucket < thresh ORDER BY doc_id""".stripMargin,
+
+    // Rebuilds the bigram LM from scratch: unigram/bigram counts over
+    // the same token stream, identical smoothing arithmetic, identical
+    // per-term ln micro-quantization.
+    "doc_lm_score" ->
+      s"""WITH t AS (SELECT doc_id, $ToksSql AS toks FROM documents),
+         |occ AS (SELECT doc_id, toks[i] || ' ' || toks[i+1] AS gram, toks[i] AS w1
+         |        FROM t, unnest(range(1, len(toks))) AS u(i)),
+         |uni AS (SELECT w1, CAST(count(*) AS BIGINT) AS uc
+         |        FROM (SELECT unnest(toks) AS w1 FROM t) GROUP BY 1),
+         |v AS (SELECT CAST(count(*) AS BIGINT) AS v_size FROM uni),
+         |bi AS (SELECT gram, CAST(count(*) AS BIGINT) AS bc FROM occ GROUP BY 1),
+         |sc AS (SELECT o.doc_id,
+         |         CAST(floor(ln(CAST(bc + 1 AS DOUBLE) / CAST(uc + v_size AS DOUBLE)) * 1e6) AS BIGINT) AS lp
+         |       FROM occ o JOIN bi USING (gram) JOIN uni USING (w1) CROSS JOIN v),
+         |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |               CAST(sum(lp) AS BIGINT) AS lm_micro
+         |        FROM sc GROUP BY 1)
+         |SELECT d.doc_id, coalesce(n_bigrams, 0) AS n_bigrams,
+         |       coalesce(lm_micro, 0) AS lm_micro
+         |FROM documents d LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin,
 
     // Replays the integer epoch plan (feasible total → per-category
     // base epochs + extra-epoch threshold, all // arithmetic) and

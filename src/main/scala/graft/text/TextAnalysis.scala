@@ -248,6 +248,51 @@ object TextAnalysis {
   def wordShingles(c: Column, n: Int): Column =
     org.apache.spark.sql.graft.VectorExpressions.shingles(tokens(c), n)
 
+  /** Corpus-trained bigram language-model score — perplexity filtering
+    * (CCNet, Wenzek et al. arXiv:1911.00359): documents whose token
+    * transitions are improbable under a model trained on the corpus
+    * itself score low (gibberish, boilerplate soup, wrong-language
+    * fragments). Per bigram occurrence, add-one-smoothed conditional
+    *
+    *   p(w₂|w₁) = (c(w₁w₂) + 1) / (c(w₁) + V),   V = vocabulary size,
+    *
+    * quantized per term as floor(ln(p)·10⁶) (ln can differ by 1 ulp
+    * between runtimes; ranking/hashing happens on the quantized
+    * integer, the [[tfIdfTopTerms]] convention). Output: (id,
+    * n_bigrams, lm_micro = Σ quantized ln p) — avg = lm_micro /
+    * n_bigrams is the caller's perplexity knob; docs under 2 tokens
+    * keep (0, 0).
+    *
+    * 100 TB shape: unigram + bigram count groupBys (map-side partial
+    * collapses hot stopword keys), an occurrence join keyed on the
+    * bigram then the unigram (hot "the" key → AQE skew-split; broadcast
+    * `uni` instead when the vocabulary fits), and a doc-id rollup. The
+    * vocabulary size rides a 1-row broadcast. */
+  def bigramLmScores(
+      df: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val toksDf = df.select(col(idCol), tokens(col(textCol)).as("t"))
+    val occ = toksDf.select(col(idCol), explode(rawNgrams(col("t"), 2)).as("gram"))
+      .withColumn("w1", substring_index(col("gram"), " ", 1))
+    val uni = toksDf.select(explode(col("t")).as("w1"))
+      .groupBy("w1").agg(count(lit(1)).as("uc"))
+    val vocab = uni.select(count(lit(1)).as("v_size"))
+    val bi = occ.groupBy("gram").agg(count(lit(1)).as("bc"))
+    val scored = occ.join(bi, "gram").join(uni, "w1")
+      .crossJoin(broadcast(vocab))
+      .withColumn("lp_micro",
+        floor(log((col("bc") + 1).cast("double") / (col("uc") + col("v_size")).cast("double")) * 1e6)
+          .cast("long"))
+    df.select(col(idCol)).join(
+        scored.groupBy(col(idCol)).agg(
+          count(lit(1)).as("n_bigrams"), sum(col("lp_micro")).as("lm_micro")),
+        Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("lm_micro"), lit(0L)).as("lm_micro"))
+  }
+
   /** Relational TF-IDF: top-`topN` terms per document ranked by
     * smoothed tf·idf (idf = ln((m+1)/(df+1)) + 1). The score is
     * quantized to micro-units (`floor(tfidf·1e6)`) because ln() can

@@ -56,6 +56,20 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(r == "es")
   }
 
+  test("bigramLmScores: add-one smoothing arithmetic pinned on a tiny corpus") {
+    // corpus: "a b a b", "a c", "x" → unigrams a:3 b:2 c:1 x:1, V=4
+    // (doc 3 contributes no bigram but its token still enters the
+    // vocabulary); bigrams: "a b":2, "b a":1, "a c":1
+    val d = Seq((1L, "a b a b"), (2L, "a c"), (3L, "x"))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.bigramLmScores(d)
+      .orderBy("doc_id").as[(Long, Long, Long)].collect().toSeq
+    def lp(bc: Long, uc: Long) = math.floor(math.log((bc + 1.0) / (uc + 4.0)) * 1e6).toLong
+    val doc1 = lp(2, 3) + lp(1, 2) + lp(2, 3) // a b, b a, a b
+    val doc2 = lp(1, 3)                       // a c
+    assert(r == Seq((1L, 3L, doc1), (2L, 1L, doc2), (3L, 0L, 0L)))
+  }
+
   test("fused languageId ≡ declarative cascade on fixtures and edge cases") {
     val edge = Seq(
       "", " ", "\t\n", "the", "thex the xthe", "there and those", // prefix ≠ match
