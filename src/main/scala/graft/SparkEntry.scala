@@ -945,6 +945,13 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("epoch"))
     }),
 
+    // Deterministic corpus shuffle: the reproducible training order —
+    // md5(id‖salt) range sort, seed-stable under retries and engines.
+    "corpus_shuffle" -> ((s, dir) => {
+      graft.ops.Sampling.shuffleOrder(docs(s, dir), salt = "sh")
+        .select(col("doc_id"), col("shuffle_key"))
+    }),
+
     // Corpus report: per-(source, lang) row counts, token volume, and
     // ln-quantized quality sums — the reporting rollup a curation run
     // ships with. One shuffle on the tiny (source, lang) key space.
@@ -1806,6 +1813,10 @@ object SparkEntry {
          |SELECT d.doc_id, coalesce(n_bigrams, 0) AS n_bigrams,
          |       coalesce(lm_micro, 0) AS lm_micro
          |FROM documents d LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    "corpus_shuffle" ->
+      """SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || 'sh') AS shuffle_key
+        |FROM documents ORDER BY shuffle_key, doc_id""".stripMargin,
 
     // Replays the integer epoch plan (feasible total → per-category
     // base epochs + extra-epoch threshold, all // arithmetic) and

@@ -150,6 +150,22 @@ object Sampling {
       .drop("epochs")
   }
 
+  /** Deterministic global training order: every row keyed by
+    * md5(id ‖ salt) and range-sorted on it — a reproducible, seed-stable
+    * corpus shuffle (a retry or a different engine derives the SAME
+    * order, unlike `orderBy(rand())`). Distinct salts give independent
+    * permutations, e.g. one per epoch. 100 TB shape: one range sort —
+    * the standard sample-based range partitioning, no single-partition
+    * window (a global row_number would serialize; downstream consumers
+    * read the order from the sort itself). */
+  def shuffleOrder(
+      df: DataFrame,
+      idCol: String = "doc_id",
+      salt: String = ""): DataFrame =
+    df.withColumn("shuffle_key",
+        md5(concat(col(idCol).cast("string"), lit(salt))))
+      .orderBy(col("shuffle_key"), col(idCol))
+
   /** Leakage-safe dataset split: the split label is a pure function of
     * `group` (not the row id), so every member of a group — e.g. a
     * near-duplicate cluster from
