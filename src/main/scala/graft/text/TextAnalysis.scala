@@ -73,8 +73,19 @@ object TextAnalysis {
 
   /** Composite quality score in [0,1]: length sweet-spot, lexical
     * diversity, and a bounded stopword-presence band — the standard
-    * pretraining-filter shape (length/punct/stopword heuristics). */
-  def qualityScore(c: Column): Column = {
+    * pretraining-filter shape (length/punct/stopword heuristics).
+    * Compiled to ONE fused scan ([[QualityScoreExpr]]) for the same
+    * reason as [[languageId]]: quality gates live in Filter predicates,
+    * where the declarative form re-evaluates its split/regexp children
+    * once per reference. [[qualityScoreDeclarative]] stays as the
+    * bit-compared reference implementation. */
+  def qualityScore(c: Column): Column =
+    org.apache.spark.sql.graft.VectorExpressions.qualityScore(normalizeText(c))
+
+  /** The declarative twin of [[qualityScore]] — exactly the form the
+    * DuckDB oracle SQL encodes; kept for the bit-equality spec, not
+    * used in hot paths. */
+  def qualityScoreDeclarative(c: Column): Column = {
     val nTok = tokenCount(c).cast("double")
     val lengthScore = least(nTok / 64.0, lit(1.0))
     val diversity = uniqueTokenRatio(c)

@@ -599,6 +599,83 @@ object LangIdUtil {
   }
 }
 
+/** Static kernel for [[QualityScoreExpr]]: one pass over the normalized
+  * text computing token count, distinct-token count, and stopword hits,
+  * then the exact double arithmetic of the declarative
+  * `TextAnalysis.qualityScore` (which stays as the bit-compared
+  * reference). Token segmentation mirrors Spark `split(s, " ", -1)`:
+  * every boundary yields a token, empty segments included. */
+object QualityUtil {
+  /** `TextAnalysis.Stopwords`, packed like [[LangIdUtil]]'s markers
+    * (all are 1–5 ASCII bytes). */
+  private val StopKeys: java.util.HashSet[java.lang.Long] = {
+    val s = new java.util.HashSet[java.lang.Long](32)
+    Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "on", "for", "with")
+      .foreach { w =>
+        s.add(java.lang.Long.valueOf(
+          w.getBytes("US-ASCII").foldLeft(1L)((k, b) => (k << 7) | b)))
+      }
+    s
+  }
+
+  def score(s: org.apache.spark.unsafe.types.UTF8String): Double = {
+    val bytes = s.getBytes
+    val n = bytes.length
+    val seen = new java.util.HashSet[org.apache.spark.unsafe.types.UTF8String](64)
+    var nTok = 0L; var nDistinct = 0L; var nStop = 0L
+    var st = 0
+    var key = 1L
+    var packable = true // ≤5 bytes, all ASCII — eligible for the stop set
+    var i = 0
+    def flush(end: Int): Unit = {
+      nTok += 1
+      if (packable && end - st >= 1 && end - st <= 5 &&
+        StopKeys.contains(java.lang.Long.valueOf(key))) nStop += 1
+      if (seen.add(org.apache.spark.unsafe.types.UTF8String.fromBytes(bytes, st, end - st)))
+        nDistinct += 1
+      st = end + 1; key = 1L; packable = true
+    }
+    while (i < n) {
+      val b = bytes(i)
+      if (b == 0x20) flush(i)
+      else if (b >= 0 && i - st < 5) key = (key << 7) | b
+      else packable = false
+      i += 1
+    }
+    flush(n)
+    // exactly the declarative op order: least(nTok/64, 1)·0.4 +
+    // distinct/nTok·0.4 + stop-band·0.2 (nTok ≥ 1 always: split of ""
+    // yields one empty token)
+    val nTokD = nTok.toDouble
+    val lengthScore = math.min(nTokD / 64.0, 1.0)
+    val diversity = nDistinct.toDouble / nTokD
+    val stop = nStop.toDouble / nTokD
+    val stopScore = if (stop >= 0.01 && stop <= 0.6) 1.0 else 0.5
+    lengthScore * 0.4 + diversity * 0.4 + stopScore * 0.2
+  }
+}
+
+/** Fused single-pass quality score over a NORMALIZED text column — same
+  * Filter-predicate motivation as [[LangIdExpr]] (quality gates live in
+  * filters, where the declarative form re-evaluates its split/regexp
+  * children per reference). */
+case class QualityScoreExpr(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "quality_score"
+
+  override protected def nullSafeEval(a: Any): Any =
+    QualityUtil.score(a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = org.apache.spark.sql.graft.QualityUtil.score($a);")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Fused single-pass language-ID over a NORMALIZED text column (the
   * caller applies `normalizeText` first, exactly as the declarative
   * cascade's `tokens`/`cjkCharCount` children do). */
@@ -680,6 +757,10 @@ object VectorExpressions {
   /** Fused one-pass language-ID of a NORMALIZED text column. */
   def langId(normText: Column): Column =
     ExpressionUtils.column(LangIdExpr(ExpressionUtils.expression(normText)))
+
+  /** Fused one-pass quality score of a NORMALIZED text column. */
+  def qualityScore(normText: Column): Column =
+    ExpressionUtils.column(QualityScoreExpr(ExpressionUtils.expression(normText)))
 
   /** Codegen PQ asymmetric distance over a codes column (see [[PqAdcExpr]]). */
   def pqAdc(codes: Column, table: Array[Double], k: Int): Column =

@@ -70,6 +70,26 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(r == Seq((1L, 3L, doc1), (2L, 1L, doc2), (3L, 0L, 0L)))
   }
 
+  test("fused qualityScore ≡ declarative form on fixtures and edge cases") {
+    val edge = Seq(
+      "", " ", "\t", "a", "the", "the the the the",
+      "the quick brown fox jumps over the lazy dog",
+      "a a a a a a a a a a a a a a a a a a a a",          // repetition
+      "wordlongerthanfive the of with in on for to is",   // stop-heavy
+      "unique tokens every single one here today now",    // zero stopwords? ('one' not in list)
+      ("tok " * 100).trim)                                // > 64 tokens
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val fixture = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text")
+    val all = edge.toDF("doc_id", "text").unionByName(fixture)
+    val diff = all.select(
+        TextAnalysis.qualityScore($"text").as("fused"),
+        TextAnalysis.qualityScoreDeclarative($"text").as("declarative"))
+      .filter(!($"fused" <=> $"declarative"))   // bit-exact, not approx
+      .count()
+    assert(diff == 0L)
+  }
+
   test("fused languageId ≡ declarative cascade on fixtures and edge cases") {
     val edge = Seq(
       "", " ", "\t\n", "the", "thex the xthe", "there and those", // prefix ≠ match
