@@ -116,6 +116,27 @@ object ScaleProbe {
         .withColumn("split", graft.ops.Sampling.groupedSplit(col("grp")))
     })
 
+    // replicas share every chunk with their original, so dedup volume is
+    // maximal: the first-occurrence MIN and reassembly see the worst case
+    time("chunk dedup + reassembly")(noop(
+      graft.dedup.Dedup.chunkDedup(docs, chunkTokens = 25)))
+
+    // cluster count grows with the corpus so the per-cluster quadratic
+    // stays bounded — the SemDeDup scaling contract
+    time("semantic dedup (k-means scoped)")(noop(
+      graft.dedup.Dedup.semanticNearDups(embSmall, nClusters = 8 * factor,
+        minCosine = 0.999, sampleFraction = math.min(1.0, 50000.0 / (nVec / 10)))))
+
+    time("bigram LM scores")(noop(
+      graft.text.TextAnalysis.bigramLmScores(docs)))
+
+    time("epoch upsample + shuffle order")(noop {
+      val d = docs.withColumn("source", concat(lit("src"), col("doc_id") % 4))
+      graft.ops.Sampling.shuffleOrder(
+        graft.ops.Sampling.upsampleToMixture(d, "source",
+          Map("src0" -> 0.4, "src1" -> 0.3, "src2" -> 0.3), maxEpochs = 3))
+    })
+
     spark.stop()
   }
 }
