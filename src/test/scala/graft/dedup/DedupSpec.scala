@@ -270,6 +270,23 @@ class DedupSpec extends AnyFunSuite {
       (3L, 1L, 0L, "")))                // its only chunk first appeared in doc1
   }
 
+  test("chunkDedup is identity on a corpus with no repeated chunks") {
+    // every chunk unique → nothing dropped, reassembly must reproduce
+    // the normalized text byte-for-byte
+    val corpus = (0L to 30L)
+      .map(i => (i, (0 until 7).map(j => s"w${i}_$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val r = Dedup.chunkDedup(corpus, chunkTokens = 3)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect()
+    assert(r.forall { case (_, nChunks, nKept, _) => nChunks == 3 && nKept == 3 })
+    val rebuilt = r.map(t => t._1 -> t._4).toMap
+    (0L to 30L).foreach { i =>
+      val expected = (0 until 7).map(j => s"w${i}_$j").mkString(" ")
+      assert(rebuilt(i) == expected, s"doc $i reassembly diverged")
+    }
+  }
+
   test("chunkDedup is invariant to physical partitioning") {
     val corpus = (0L to 40L)
       .map(i => (i, s"tok${i % 7} filler common shared words here tok${i % 3} tail$i"))
