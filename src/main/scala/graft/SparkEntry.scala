@@ -536,6 +536,19 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // Semantic decontamination: a synthetic "benchmark" of 15 copied
+    // corpus vectors (vec_id<15 at +3000000) must be traced back to its
+    // training-set origins by the cross-corpus SRP band join — exact
+    // copies collide in every band, and the fixture has no natural
+    // cross pair at cos ≥ 0.95 (same corpus as emb_near_dups).
+    "decontaminate_semantic" -> ((s, dir) => {
+      val e = emb(s, dir).select(col("vec_id"), col("embedding"))
+      val benchmark = e.filter(col("vec_id") < 15)
+        .withColumn("vec_id", col("vec_id") + lit(3000000L))
+      Dedup.crossEmbeddingNearDups(e, benchmark, minCosine = 0.95)
+        .orderBy(col("corpus_id"), col("probe_id"))
+    }),
+
     // SemDeDup-style semantic dedup: k-means clusters scope the pair
     // search; exact copies (vec_id<30 planted at +2000000) are
     // guaranteed intra-cluster (identical input ⇒ identical argmin), so
@@ -1525,6 +1538,19 @@ object SparkEntry {
          |WHERE (${dotSql("a.embedding", "b.embedding")})
          |        / (sqrt(${dotSql("a.embedding", "a.embedding")}) * sqrt(${dotSql("b.embedding", "b.embedding")})) >= 0.95
          |ORDER BY id_a, id_b""".stripMargin,
+
+    // Brute-force cross join at the threshold: equals the banded search
+    // because exact copies collide in every band and nothing else in
+    // the fixture reaches 0.95 across the two sides.
+    "decontaminate_semantic" ->
+      s"""WITH p AS (SELECT vec_id + 3000000 AS probe_id, embedding FROM embeddings WHERE vec_id < 15)
+         |SELECT c.vec_id AS corpus_id, p.probe_id,
+         |       (${dotSql("c.embedding", "p.embedding")})
+         |         / (sqrt(${dotSql("c.embedding", "c.embedding")}) * sqrt(${dotSql("p.embedding", "p.embedding")})) AS cos_sim
+         |FROM embeddings c CROSS JOIN p
+         |WHERE (${dotSql("c.embedding", "p.embedding")})
+         |        / (sqrt(${dotSql("c.embedding", "c.embedding")}) * sqrt(${dotSql("p.embedding", "p.embedding")})) >= 0.95
+         |ORDER BY corpus_id, probe_id""".stripMargin,
 
     // Brute force over ALL pairs at the cosine threshold: equals the
     // cluster-scoped search because exact copies always share a cluster

@@ -361,6 +361,54 @@ object Dedup {
       .select("id_a", "id_b", "cos_sim")
   }
 
+  /** Cross-corpus embedding near-duplicates — SEMANTIC decontamination:
+    * does the training corpus contain (near-)copies of benchmark items
+    * that n-gram overlap ([[crossCorpusOverlap]]) can't see because they
+    * were paraphrased? Same SRP banding as [[embeddingNearDups]], but
+    * the band join runs CROSS-corpus (corpus side × probe side), so the
+    * shuffle is keyed on (band, key) buckets and the small probe side
+    * never forces an all-pairs scan. Exact copies collide in every band
+    * (identical signatures) — found with probability 1; paraphrase-level
+    * pairs follow the banding recall curve. Returns
+    * (corpus_id, probe_id, cos_sim ≥ minCosine). */
+  def crossEmbeddingNearDups(
+      corpus: DataFrame,
+      probe: DataFrame,
+      minCosine: Double = 0.95,
+      idCol: String = "vec_id",
+      embCol: String = "embedding",
+      bits: Int = 256,
+      rowsPerBand: Int = 16,
+      seed: Long = 42L): DataFrame = {
+    require(rowsPerBand > 0 && 64 % rowsPerBand == 0,
+      s"rowsPerBand must divide 64, got $rowsPerBand")
+    val bands = bits / rowsPerBand
+    val mask = if (rowsPerBand == 64) -1L else (1L << rowsPerBand) - 1
+    def banded(df: DataFrame, outId: String) = {
+      val sigs = df.select(col(idCol).as(outId),
+        VectorExpressions.srpSign(col(embCol), bits, seed).as("sig"))
+      val bandStructs = (0 until bands).map { b =>
+        val longIdx = (b * rowsPerBand) / 64 + 1
+        val shift = (b * rowsPerBand) % 64
+        struct(lit(b).as("band"),
+          shiftright(element_at(col("sig"), longIdx), shift).bitwiseAND(lit(mask)).as("key"))
+      }
+      sigs.select(col(outId), explode(array(bandStructs: _*)).as("bk"))
+        .select(col(outId), col("bk.band").as("band"), col("bk.key").as("key"))
+    }
+    val candidates = banded(corpus, "corpus_id")
+      .join(banded(probe, "probe_id"), Seq("band", "key"))
+      .select("corpus_id", "probe_id")
+      .distinct()
+    val embC = corpus.select(col(idCol).as("corpus_id"), col(embCol).as("emb_c"))
+    val embP = probe.select(col(idCol).as("probe_id"), col(embCol).as("emb_p"))
+    candidates
+      .join(embC, "corpus_id").join(embP, "probe_id")
+      .withColumn("cos_sim", Distances.cosine(col("emb_c"), col("emb_p")))
+      .filter(col("cos_sim") >= minCosine)
+      .select("corpus_id", "probe_id", "cos_sim")
+  }
+
   // ------------------------------------------ semantic dedup (SemDeDup)
 
   /** Semantic near-duplicates, SemDeDup-style (Abbas et al. 2023,

@@ -232,6 +232,19 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("crossEmbeddingNearDups traces benchmark copies to their corpus origins") {
+    val rnd = new scala.util.Random(7)
+    val corpus = (0L until 200L).map(i => (i, Array.fill(16)(rnd.nextFloat() * 2f - 1f)))
+    val bench = (0L until 5L).map(i => (i + 500L, corpus(i.toInt)._2)) :+
+      (600L, Array.fill(16)(rnd.nextFloat() * 2f - 1f)) // clean benchmark item
+    val pairs = Dedup.crossEmbeddingNearDups(
+        corpus.toDF("vec_id", "embedding"), bench.toDF("vec_id", "embedding"),
+        minCosine = 0.999)
+      .select("corpus_id", "probe_id").as[(Long, Long)].collect().toSet
+    assert(pairs == (0L until 5L).map(i => (i, i + 500L)).toSet,
+      s"expected exactly the 5 planted contamination pairs, got $pairs")
+  }
+
   test("semanticNearDups finds every exact-copy pair; cluster scoping drops nothing exact") {
     val rnd = new scala.util.Random(42)
     val base = (0L until 300L).map(i => (i, Array.fill(16)(rnd.nextFloat() * 2f - 1f)))
