@@ -1136,6 +1136,24 @@ object SparkEntry {
         .orderBy(col("content_hash"))
     }),
 
+    // Top-3 users per hour, written in the NAIVE window-rank form with
+    // the TopKWindowRewrite rule enabled: the optimizer must replace the
+    // per-hour sort with the bounded row_topk aggregate (plan-audited),
+    // and the result must still equal the window-form oracle exactly.
+    "events_top3_hourly" -> ((s, dir) => {
+      org.apache.spark.sql.graft.TopKWindowRewrite.enable(s)
+      val counts = events(s, dir)
+        .groupBy(
+          date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour"),
+          col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("hour")).orderBy(col("n_events").desc, col("user_id").asc)
+      counts.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .orderBy(col("hour"), col("rank"))
+    }),
+
     // Tumbling 1-hour window aggregation — the batch shape of the
     // streaming windowed agg (value summed in exact integer milli-units:
     // float sums are partition-order-dependent).
@@ -2011,6 +2029,17 @@ object SparkEntry {
          |       (CASE WHEN CAST(len(list_filter(toks, x -> x IN ('the','a','an','and','or','of','to','in','is','on','for','with'))) AS DOUBLE)
          |                  / CAST(len(toks) AS DOUBLE) BETWEEN 0.01 AND 0.6 THEN 1.0 ELSE 0.5 END) * 0.2) >= 0.5
          |ORDER BY content_hash""".stripMargin,
+
+    // the window-rank form the rewrite must reproduce bit-for-bit
+    "events_top3_hourly" ->
+      """WITH c AS (SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, user_id,
+        |                  CAST(count(*) AS BIGINT) AS n_events
+        |           FROM events GROUP BY 1, 2),
+        |r AS (SELECT hour, user_id, n_events,
+        |             CAST(row_number() OVER (PARTITION BY hour ORDER BY n_events DESC, user_id ASC) AS INTEGER) AS rank
+        |      FROM c)
+        |SELECT hour, user_id, n_events, rank FROM r WHERE rank <= 3
+        |ORDER BY hour, rank""".stripMargin,
 
     // the streaming replay must converge to exactly the batch aggregation
     "stream_hourly" ->

@@ -145,6 +145,19 @@ class PlanAuditSpec extends AnyFunSuite {
       s"loser-id anti-join not broadcast at runtime:\n$plan")
   }
 
+  test("events_top3_hourly plans the bounded row_topk aggregate, not a per-group sort") {
+    try {
+      val plan = graft.SparkEntry.queries("events_top3_hourly")(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("row_topk"), s"TopKWindowRewrite did not fire:\n$plan")
+      assert(!plan.contains("Window"), s"window survived the rewrite:\n$plan")
+    } finally
+      // the query enables the rewrite session-wide (harmless in Verify/
+      // Bench, whose queries all tolerate it) — but TopKRewriteSpec's
+      // baseline assertions share this test session and need it off
+      spark.conf.set(org.apache.spark.sql.graft.TopKWindowRewrite.ConfKey, "false")
+  }
+
   test("sessionization shuffles once: the session groupBy rides the user window's partitioning") {
     val events = spark.range(1000).selectExpr("id % 50 as user_id",
       "timestamp_micros(cast(id * 1000000 as long)) as ts", "id as event_id")
