@@ -617,6 +617,29 @@ object SparkEntry {
       graft.index.Ivf.searchLayout(s, layout, query, k = 10, nprobe = 1)
     }),
 
+    // Hybrid (filtered) IVF probe: ten dist-0 copies of the query
+    // planted WITH the target label fill the filtered top-10 and share
+    // the probed cluster by construction, so the nprobe=1 pruned +
+    // label-pushed scan must reproduce the brute-force filtered oracle.
+    // IO is multiplicative: partition pruning × PushedFilters
+    // (plan-audit-pinned).
+    "knn_ivf_hybrid" -> ((s, dir) => {
+      val corpus = emb(s, dir)
+      val planted = corpus.filter(col("vec_id") === 0)
+        .crossJoin(s.range(10))
+        .select((col("id") + lit(5000000L)).as("vec_id"), col("embedding"),
+          lit(3).as("label"))
+      val full = corpus.select(col("vec_id"), col("embedding"), col("label"))
+        .union(planted)
+      val layout = graft.index.Ivf.buildLayout(s, full,
+        ivfLayoutDir(dir, "hybrid"), nlist = 8, maxIter = 3)
+      val query = corpus.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).toArray
+      graft.index.Ivf.searchLayoutWhere(s, layout, query, k = 10, nprobe = 1,
+          col("label") === 3)
+        .select(col("vec_id"), col("dist"))
+    }),
+
     // Incremental IVF maintenance (O2 add at the index level): ten exact
     // copies of the query append into a throwaway copy of the cached
     // base layout — assignByCentroids uses the probe's own double
@@ -1662,6 +1685,19 @@ object SparkEntry {
          |SELECT e.vec_id AS vec_id, ${l2SqSql("e.embedding", "q.qe")} AS dist
          |FROM embeddings e CROSS JOIN q
          |WHERE e.label = 3
+         |ORDER BY dist ASC, vec_id ASC LIMIT 10""".stripMargin,
+
+    // Brute force over (corpus ∪ planted label-3 copies) restricted to
+    // the label — the pruned, filter-pushed probe must reproduce it.
+    "knn_ivf_hybrid" ->
+      s"""WITH c AS (SELECT vec_id, embedding, label FROM embeddings
+         |           UNION ALL
+         |           SELECT 5000000 + r.i AS vec_id, e.embedding, 3 AS label
+         |           FROM embeddings e CROSS JOIN range(10) r(i) WHERE e.vec_id = 0),
+         |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+         |SELECT c.vec_id AS vec_id, ${l2SqSql("c.embedding", "q.qe")} AS dist
+         |FROM c CROSS JOIN q
+         |WHERE c.label = 3
          |ORDER BY dist ASC, vec_id ASC LIMIT 10""".stripMargin,
 
     "events_json_filter" ->

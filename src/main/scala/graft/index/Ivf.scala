@@ -2,7 +2,7 @@ package graft.index
 
 import org.apache.spark.ml.clustering.{KMeans, KMeansModel}
 import org.apache.spark.ml.functions.array_to_vector
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.ops.VectorSearch
@@ -218,6 +218,30 @@ object Ivf {
     val clusters = probeClustersOf(layout.centroids, query, nprobe)
     VectorSearch.knnExact(
       spark.read.parquet(layout.dir).filter(col("cluster").isin(clusters: _*)),
+      query.toSeq, k, idCol, embCol)
+  }
+
+  /** Hybrid (filtered) probe of a partitioned layout: the metadata
+    * predicate rides the SAME scan as the cluster probe, so IO is
+    * multiplicative — `nprobe/nlist` of the partitions (partition
+    * pruning) × the predicate's row-group selectivity (parquet
+    * `PushedFilters`). The reference has no filtered search at all; a
+    * post-filter over [[searchLayout]]'s top-k would be WRONG (it
+    * returns fewer than k survivors), so the filter must sit under the
+    * top-k, where Catalyst pushes it into the scan. */
+  def searchLayoutWhere(
+      spark: SparkSession,
+      layout: Layout,
+      query: Array[Float],
+      k: Int,
+      nprobe: Int,
+      predicate: Column,
+      idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    val clusters = probeClustersOf(layout.centroids, query, nprobe)
+    VectorSearch.knnExact(
+      spark.read.parquet(layout.dir)
+        .filter(col("cluster").isin(clusters: _*) && predicate),
       query.toSeq, k, idCol, embCol)
   }
 }

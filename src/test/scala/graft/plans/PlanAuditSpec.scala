@@ -111,6 +111,21 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(exchanges == 1, s"expected exactly 1 shuffle, got $exchanges:\n$plan")
   }
 
+  test("hybrid IVF probe prunes partitions AND pushes the label filter into the same scan") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"), col("label"))
+    val dir = s"/tmp/graft_audit_ivf_hybrid_${ProcessHandle.current().pid()}"
+    val layout = Ivf.buildLayout(spark, emb, dir, nlist = 4, maxIter = 2)
+    val query = Array.fill(64)(0.1f)
+    val plan = Ivf.searchLayoutWhere(spark, layout, query, k = 5, nprobe = 1,
+        col("label") === 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cluster"),
+      s"cluster probe not a partition filter:\n$plan")
+    assert(plan.contains("EqualTo(label,3)"),
+      s"label predicate not pushed into the layout scan:\n$plan")
+  }
+
   test("epoch upsampling is a per-row map + explode: no shuffle beyond the histogram") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val plan = graft.ops.Sampling.upsampleToMixture(docs, "source",
