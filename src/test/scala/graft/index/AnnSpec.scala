@@ -124,6 +124,22 @@ class AnnSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     assert(got == exact)
   }
 
+  test("IVF hybrid probe: the filter sits UNDER the top-k, not over it") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("ivfhyb").toString + "/corpus"
+    val layout = Ivf.buildLayout(spark, emb, dir, nlist = 4, maxIter = 3)
+    val q = queryVec(3)
+    val got = Ivf.searchLayoutWhere(spark, layout, q, k = 10, nprobe = 4,
+      col("label") === 3).collect()
+    // exhaustive probe + filter-under-top-k ≡ exact filtered search
+    val exact = VectorSearch.knnExact(emb.filter(col("label") === 3), q.toSeq, 10)
+      .collect()
+    assert(got.map(_.getLong(0)).toSeq == exact.map(_.getLong(0)).toSeq)
+    assert(got.length == 10,
+      "filtered probe must return k label-matching rows; a post-filter " +
+        s"over the unfiltered top-k would return fewer (got ${got.length})")
+  }
+
   test("IVF appendToLayout: incremental add probes correctly, fingerprint stays honest") {
     import org.apache.spark.sql.functions.{col, lit}
     val dir = java.nio.file.Files.createTempDirectory("ivf_append").toString + "/corpus"

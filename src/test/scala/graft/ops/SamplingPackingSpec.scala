@@ -91,6 +91,17 @@ class SamplingPackingSpec extends AnyFunSuite {
       math.abs(frac("test") - 0.1) < 0.04, s"fractions off: $frac")
   }
 
+  test("shuffleOrder is a deterministic permutation, distinct per salt") {
+    val d = (1L to 500L).map(i => (i, s"t$i")).toDF("doc_id", "text")
+    def order(salt: String) = Sampling.shuffleOrder(d, salt = salt)
+      .select("doc_id").as[Long].collect().toSeq
+    val o1 = order("a")
+    assert(o1 == order("a"))                      // replayable
+    assert(o1.sorted == (1L to 500L))             // a permutation
+    assert(o1 != (1L to 500L).toSeq)              // actually shuffled
+    assert(o1 != order("b"))                      // independent per salt
+  }
+
   test("packGreedy: every doc assigned once, no bin over budget, bins dense in id order") {
     val d = (1L to 300L).map(i => (i, 20L + i % 50)).toDF("doc_id", "n_tokens")
     val packed = Packing.packGreedy(d, budget = 128L, nParts = 4)
