@@ -1,7 +1,7 @@
 package graft
 import org.apache.spark.sql.SparkSession
 
-/** Bench harness: one JSON line with per-query timings at the target SF.
+/** Bench harness: per-query timings at the target SF.
   *
   * Each query runs once COLD (includes plan compilation, codegen, JIT,
   * and any build-once fixture like the IVF layout) and then
@@ -10,8 +10,49 @@ import org.apache.spark.sql.SparkSession
   * a single-shot measurement is plan-compile and JIT jitter, which made
   * run-to-run totals swing by >25%. Cold numbers are still emitted
   * separately so regressions in planning cost stay visible.
+  *
+  * OUTPUT CONTRACT: the harness that consumes this only sees the last
+  * ~2000 characters of stdout and parses the LAST line as JSON. The full
+  * per-query detail (~4 KB with 70 queries) therefore goes out as the
+  * FIRST line and to BENCH_DETAIL.json; the final stdout line is a
+  * compact summary hard-capped at [[Bench.MaxSummaryBytes]] bytes
+  * (per-query dict included only when it fits the cap).
   */
 object Bench {
+  /** Byte budget for the final stdout line; comfortably under the
+    * consumer's 2000-char tail even with a trailing newline and any
+    * stray epilogue characters. */
+  val MaxSummaryBytes = 1400
+
+  private def r3(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+
+  private def dictOf(entries: Seq[(String, Double)]): String =
+    entries.map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
+
+  /** The compact final-stdout line. Per-query warm timings ride along only
+    * if the full line stays under `maxBytes`; otherwise they are dropped
+    * (they are still available in the detail line / BENCH_DETAIL.json). */
+  def summaryLine(totalWarm: Double, totalCold: Double,
+                  queriesWarm: Seq[(String, Double)],
+                  sf: String, warmRuns: Int,
+                  maxBytes: Int = MaxSummaryBytes): String = {
+    val base = s"""{"metric":"total","value":${r3(totalWarm)},"unit":"sec",""" +
+      s""""total_cold":${r3(totalCold)},"warm_runs":$warmRuns,"n_queries":${queriesWarm.size},"sf":"$sf""""
+    val withDict = base + s""","queries":${dictOf(queriesWarm)}}"""
+    if (withDict.getBytes("UTF-8").length <= maxBytes) withDict else base + "}"
+  }
+
+  /** Full detail record: warm and cold per-query dicts, unrounded totals. */
+  def detailLine(totalWarm: Double, totalCold: Double,
+                 results: Seq[(String, (Double, Double))],
+                 sf: String, warmRuns: Int): String = {
+    def dict(f: ((Double, Double)) => Double): String =
+      results.map { case (k, v) => "\"" + k + "\":" + r3(f(v)) }.mkString("{", ",", "}")
+    s"""{"metric":"total","value":$totalWarm,"unit":"sec","queries":${dict(_._2)},""" +
+      s""""queries_cold":${dict(_._1)},"total_cold":$totalCold,"warm_runs":$warmRuns,"sf":"$sf"}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -23,6 +64,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    SparkEntry.setupSession(spark)
     // absorb session/executor startup so the first query's time is real
     spark.read.parquet(s"$sfDir/embeddings.parquet")
       .write.format("noop").mode("overwrite").save()
@@ -44,18 +86,22 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
     val selected = only.fold(SparkEntry.queries)(s => SparkEntry.queries.filter(q => s(q._1)))
-    val results = selected.flatMap { case (name, fn) =>
+    val results: Seq[(String, (Double, Double))] = selected.toSeq.flatMap { case (name, fn) =>
       runOnce(name, fn).map { cold =>
         val warm = (1 to warmRuns).flatMap(_ => runOnce(name, fn))
         name -> (cold, if (warm.nonEmpty) warm.min else cold)
       }
     }
-    def dict(f: ((Double, Double)) => Double): String =
-      results.map { case (k, v) => "\"" + k + "\":" + f(v) }.mkString("{", ",", "}")
-    val totalWarm = results.values.map(_._2).sum
-    val totalCold = results.values.map(_._1).sum
-    println(s"""{"metric":"total","value":$totalWarm,"unit":"sec","queries":${dict(_._2)},""" +
-      s""""queries_cold":${dict(_._1)},"total_cold":$totalCold,"warm_runs":$warmRuns,"sf":"$sfDir"}""")
+    val totalWarm = results.map(_._2._2).sum
+    val totalCold = results.map(_._2._1).sum
+    val detail = detailLine(totalWarm, totalCold, results, sfDir, warmRuns)
+    println(detail) // first line: full per-query detail for humans/logs
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("BENCH_DETAIL.json"),
+      (detail + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable => System.err.println(s"[bench] detail file: ${e.getMessage}") }
+    // LAST stdout line — must survive the consumer's 2000-char tail
+    println(summaryLine(totalWarm, totalCold, results.map { case (k, v) => (k, v._2) }, sfDir, warmRuns))
     spark.stop()
   }
 }

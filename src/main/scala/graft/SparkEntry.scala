@@ -20,6 +20,16 @@ import graft.text.TextAnalysis
   */
 object SparkEntry {
 
+  /** One-time session setup shared by the Bench and Verify mains:
+    * library optimizer rules are switched on HERE, not inside query
+    * thunks, so every query is planned under identical session state
+    * regardless of execution order or `SPARK_GRAFT_BENCH_ONLY` subsets
+    * (a thunk that mutated `experimental.extraOptimizations` made later
+    * queries' plans depend on which queries ran before them). */
+  def setupSession(s: SparkSession): Unit = {
+    org.apache.spark.sql.graft.TopKWindowRewrite.enable(s)
+  }
+
   /** Embedding dimensionality of the driver fixtures
     * (embeddings.parquet under /root/testdata, FIXTURES.md §B1). */
   val EmbDim = 64
@@ -97,6 +107,32 @@ object SparkEntry {
         .cast("binary").as("content"),
       lit("""{"src":"synthetic"}""").as("meta"))
       .as[graft.multimodal.Multimodal.MediaRecord]
+  }
+
+  /** Runs a bounded streaming query (Trigger.AvailableNow) into a
+    * scratch PARQUET sink via foreachBatch and hands back the sink read
+    * as a DataFrame — the scale-safe declared-query shape: results flow
+    * executor→disk→executor and never materialize on the driver (the
+    * earlier memory-sink + collect() form put the whole streaming
+    * result in driver memory, a scale-killer for unbounded results).
+    * `overwrite = true` is the complete-mode shape (each micro-batch
+    * rewrites the full result, the final batch wins); `false` appends
+    * each batch's newly-emitted rows. */
+  private def runStreamToParquet(s: SparkSession, result: DataFrame,
+      outputMode: String, overwrite: Boolean, tag: String): DataFrame = {
+    val scratch = java.nio.file.Files.createTempDirectory(s"graft_$tag").toString
+    val sinkDir = s"$scratch/sink"
+    val saveMode = if (overwrite) "overwrite" else "append"
+    val q = result.writeStream
+      .outputMode(outputMode)
+      .option("checkpointLocation", s"$scratch/chk")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode(saveMode).parquet(sinkDir)
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.parquet(sinkDir)
   }
 
   /** Process-level PQ codebook memo: the driver-side Lloyd's fit runs
@@ -778,13 +814,21 @@ object SparkEntry {
 
     // ---- events: JSON metadata + windowed aggregation ----
 
-    // JSON-metadata predicate + aggregate (get_json_object pushdown shape).
+    // JSON-metadata predicate + aggregate. The extraction is staged ONCE
+    // into a column and the predicate folded into the aggregates: a
+    // Filter + agg both referencing get_json_object parses every
+    // surviving row's blob twice (no subexpression elimination across
+    // FilterExec), and predicate pushdown re-inlines a staged alias
+    // under the filter anyway. The conditional-aggregate form keeps the
+    // staging Project intact (CollapseProject refuses to duplicate a
+    // non-cheap expression into two aggregates), so each blob is parsed
+    // exactly once — asserted in PlanAuditSpec.
     "events_json_filter" -> ((s, dir) => {
       events(s, dir)
-        .filter(get_json_object(col("props"), "$.k").cast("int") > 80)
+        .select(get_json_object(col("props"), "$.k").cast("long").as("k"))
         .agg(
-          count(lit(1)).as("n_events"),
-          sum(get_json_object(col("props"), "$.k").cast("long")).as("k_sum"))
+          count(when(col("k") > 80, 1)).as("n_events"),
+          sum(when(col("k") > 80, col("k"))).as("k_sum"))
     }),
 
     // Distinct-count aggregation per event type (the groupBy-distinct
@@ -1071,11 +1115,12 @@ object SparkEntry {
 
     // Structured Streaming end-to-end, driver-checked: the events table
     // replayed as a FILE STREAM through the library's watermarked
-    // windowed aggregation (Trigger.AvailableNow, complete mode into a
-    // memory sink); the finished result must hash-match the batch SQL
-    // oracle — streaming and batch semantics agree on the same data.
-    // (Complete-mode memory sink is the bounded-replay test harness; a
-    // production run writes append-mode files per closed window.)
+    // windowed aggregation (Trigger.AvailableNow, complete mode); the
+    // finished result must hash-match the batch SQL oracle — streaming
+    // and batch semantics agree on the same data. Results flow through a
+    // foreachBatch PARQUET sink and are read back — executor→disk→
+    // executor, nothing materialized on the driver, so the declared
+    // shape is the one that survives an unbounded result at scale.
     "stream_hourly" -> ((s, dir) => {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val schema = s.read.parquet(s"$dir/events.parquet").schema
@@ -1084,23 +1129,11 @@ object SparkEntry {
       val stream = fixEventTs(s.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet").parquet(dir))
       val counts = graft.streaming.StreamingIngest.windowedCounts(stream, "1 hour", "10 minutes")
-      val qname = "graft_stream_hourly_" +
-        java.util.UUID.randomUUID().toString.replace("-", "")
-      val q = counts.writeStream
-        .outputMode("complete").format("memory").queryName(qname)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      // hand the caller a detached copy and drop the memory-sink view —
-      // repeated invocations (bench warm runs) must not accumulate
-      // materialized results in the session
-      val projected = s.table(qname).select(
-        date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
-        col("event_type"), col("n_events"))
-      val rows = projected.collect()
-      val outSchema = projected.schema
-      s.catalog.dropTempView(qname)
-      s.createDataFrame(java.util.Arrays.asList(rows: _*), outSchema)
+      runStreamToParquet(s, counts, outputMode = "complete",
+          overwrite = true, tag = "stream_hourly")
+        .select(
+          date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+          col("event_type"), col("n_events"))
         .orderBy(col("hour"), col("event_type"))
     }),
 
@@ -1116,18 +1149,8 @@ object SparkEntry {
         .option("pathGlobFilter", "documents.parquet").parquet(dir)
         .withColumn("ts", lit("2026-01-01 00:00:00").cast("timestamp"))
       val deduped = graft.streaming.StreamingIngest.streamingDedup(stream, delay = "1 hour")
-      val qname = "graft_stream_dedup_" +
-        java.util.UUID.randomUUID().toString.replace("-", "")
-      val q = deduped.select(col("content_hash")).writeStream
-        .outputMode("append").format("memory").queryName(qname)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      val projected = s.table(qname).select(col("content_hash"))
-      val rows = projected.collect()
-      val outSchema = projected.schema
-      s.catalog.dropTempView(qname)
-      s.createDataFrame(java.util.Arrays.asList(rows: _*), outSchema)
+      runStreamToParquet(s, deduped.select(col("content_hash")),
+          outputMode = "append", overwrite = false, tag = "stream_dedup")
         .orderBy(col("content_hash"))
     }),
 
@@ -1144,27 +1167,18 @@ object SparkEntry {
         .withColumn("ts", lit("2026-01-01 00:00:00").cast("timestamp"))
       val curated = graft.streaming.StreamingIngest.streamingCurate(
         stream, lang = "en", minQuality = 0.5, delay = "1 hour")
-      val qname = "graft_stream_curate_" +
-        java.util.UUID.randomUUID().toString.replace("-", "")
-      val q = curated.select(col("content_hash")).writeStream
-        .outputMode("append").format("memory").queryName(qname)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      val projected = s.table(qname).select(col("content_hash"))
-      val rows = projected.collect()
-      val outSchema = projected.schema
-      s.catalog.dropTempView(qname)
-      s.createDataFrame(java.util.Arrays.asList(rows: _*), outSchema)
+      runStreamToParquet(s, curated.select(col("content_hash")),
+          outputMode = "append", overwrite = false, tag = "stream_curate")
         .orderBy(col("content_hash"))
     }),
 
-    // Top-3 users per hour, written in the NAIVE window-rank form with
-    // the TopKWindowRewrite rule enabled: the optimizer must replace the
+    // Top-3 users per hour, written in the NAIVE window-rank form. Under
+    // the TopKWindowRewrite rule — enabled once in setupSession, NOT
+    // here: a thunk-level enable() mutated the shared session and made
+    // later queries' plans order-dependent — the optimizer replaces the
     // per-hour sort with the bounded row_topk aggregate (plan-audited),
     // and the result must still equal the window-form oracle exactly.
     "events_top3_hourly" -> ((s, dir) => {
-      org.apache.spark.sql.graft.TopKWindowRewrite.enable(s)
       val counts = events(s, dir)
         .groupBy(
           date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour"),

@@ -162,15 +162,26 @@ class PlanAuditSpec extends AnyFunSuite {
 
   test("events_top3_hourly plans the bounded row_topk aggregate, not a per-group sort") {
     try {
+      // the rewrite is session-level state owned by setupSession (the
+      // Bench/Verify mains call it once up front; query thunks must not)
+      graft.SparkEntry.setupSession(spark)
       val plan = graft.SparkEntry.queries("events_top3_hourly")(spark, sfDir)
         .queryExecution.executedPlan.toString
       assert(plan.contains("row_topk"), s"TopKWindowRewrite did not fire:\n$plan")
       assert(!plan.contains("Window"), s"window survived the rewrite:\n$plan")
     } finally
-      // the query enables the rewrite session-wide (harmless in Verify/
-      // Bench, whose queries all tolerate it) — but TopKRewriteSpec's
-      // baseline assertions share this test session and need it off
+      // TopKRewriteSpec's baseline assertions share this test session
+      // and need the rewrite off again
       spark.conf.set(org.apache.spark.sql.graft.TopKWindowRewrite.ConfKey, "false")
+  }
+
+  test("events_json_filter parses each props blob exactly once (staged extraction)") {
+    val plan = graft.SparkEntry.queries("events_json_filter")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    val parses = "get_json_object".r.findAllIn(plan).length
+    // one occurrence in the staging Project; a Filter+agg pair that each
+    // re-extracts $.k would show 2+ (and parse surviving rows twice)
+    assert(parses == 1, s"expected 1 get_json_object, got $parses:\n$plan")
   }
 
   test("sessionization shuffles once: the session groupBy rides the user window's partitioning") {
