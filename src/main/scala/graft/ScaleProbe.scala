@@ -137,6 +137,35 @@ object ScaleProbe {
           Map("src0" -> 0.4, "src1" -> 0.3, "src2" -> 0.3), maxEpochs = 3))
     })
 
+    // the window-rank top-k rewrite must keep firing AT SCALE, under AQE,
+    // where it matters: per-hour user counts over a factor×-replicated
+    // events table, written in the naive row_number form. The executed
+    // plan must contain the bounded row_topk aggregate — a per-group
+    // sort here is the shape that melts at 100 TB.
+    {
+      org.apache.spark.sql.graft.TopKWindowRewrite.enable(spark)
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val events = replicate(spark.read.parquet(s"$sfDir/events.parquet")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .select("user_id", "ts"), "user_id", factor)
+      val counts = events.groupBy(
+          date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour"),
+          col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("hour")).orderBy(col("n_events").desc, col("user_id").asc)
+      val top3 = counts.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+      time(s"window top-3 rewrite ${factor}x")(noop(top3))
+      val plan = top3.queryExecution.executedPlan.toString
+      val fired = plan.contains("row_topk") && !plan.contains("Window")
+      println(s"[scale] row_topk in executed plan at ${factor}x: $fired")
+      if (!fired) {
+        System.err.println(s"[scale] TopKWindowRewrite DID NOT FIRE at ${factor}x:\n$plan")
+        sys.exit(1)
+      }
+    }
+
     spark.stop()
   }
 }

@@ -88,25 +88,39 @@ object SparkEntry {
       "of any kind either express or implied including but not limited " +
       "to the implied"
 
-  /** Deterministic synthetic media corpus: 200 rows whose binary content
-    * is the UTF-8 bytes of concatenated md5 hex strings (ASCII ⇒ every
-    * byte is positive, so the decode stub's `Arrays.hashCode` fold is a
-    * plain polynomial an oracle can recompute), truncated to a per-row
-    * length. The same construction is expressed in DuckDB SQL in
-    * `oracleSql("media_decode_stats")` — the fixture IS the parity
-    * contract, no files involved. */
+  /** Deterministic synthetic media corpus: 200 REAL minimal files built
+    * by [[graft.multimodal.MediaCodecs]] — JPEG and PNG stills
+    * (alternating), PCM WAV audio, and MJPEG multi-frame video, with
+    * dimensions / channel counts / frame counts derived from the row id.
+    * The decode side re-extracts those values by parsing the actual
+    * container headers (SOF0 / IHDR+CRC / RIFF chunks / marker walk),
+    * and `oracleSql("media_decode_stats")` recomputes the expected
+    * values from the same id arithmetic — so the oracle check proves
+    * the header WRITER and PARSER agree through real byte formats (an
+    * endianness or offset bug on either side breaks the hash match). */
   private def mediaFixture(s: SparkSession): org.apache.spark.sql.Dataset[graft.multimodal.Multimodal.MediaRecord] = {
     import s.implicits._
-    val chunks = (1 to 5).map(c =>
-      md5(((col("id") * 7919 + c).cast("string")).cast("binary")))
-    s.range(200).select(
-      col("id").as("media_id"),
-      element_at(array(lit("image"), lit("audio"), lit("video")),
-        (col("id") % 3).cast("int") + 1).as("modality"),
-      concat(chunks: _*).substr(lit(1), lit(64) + (col("id") % 80).cast("int"))
-        .cast("binary").as("content"),
-      lit("""{"src":"synthetic"}""").as("meta"))
-      .as[graft.multimodal.Multimodal.MediaRecord]
+    import graft.multimodal.{MediaCodecs, Multimodal}
+    val meta = """{"src":"synthetic"}"""
+    s.range(200).map { id =>
+      val w = 64 + (id * 13 % 960).toInt
+      val h = 64 + (id * 7 % 540).toInt
+      (id % 3) match {
+        case 0 =>
+          val bytes = if ((id / 3) % 2 == 0) MediaCodecs.jpegBytes(w, h)
+                      else MediaCodecs.pngBytes(w, h)
+          Multimodal.MediaRecord(id, "image", bytes, meta)
+        case 1 =>
+          val channels = 1 + (id % 2).toInt
+          val audioFrames = 100 + (id % 400).toInt
+          Multimodal.MediaRecord(id, "audio",
+            MediaCodecs.wavBytes(channels, 8000, 16, audioFrames), meta)
+        case _ =>
+          val videoFrames = 1 + (id % 5).toInt
+          Multimodal.MediaRecord(id, "video",
+            MediaCodecs.mjpegBytes(w, h, videoFrames), meta)
+      }
+    }
   }
 
   /** Runs a bounded streaming query (Trigger.AvailableNow) into a
@@ -291,11 +305,12 @@ object SparkEntry {
 
     // Multimodal decode + frame-sample over a binary column: per-media
     // descriptor (dimensions, frame counts, byte totals) joined with the
-    // sampled-frame summary. The decode kernel is the documented
-    // deterministic stub; its outputs are pure functions of the content
-    // bytes, and the oracle recomputes them (hashCode fold, slicing
-    // arithmetic) from the same synthetic corpus — the first
-    // driver-checked surface touching a `binary` column.
+    // sampled-frame summary. The decode kernel is a REAL container
+    // parse (JPEG SOF0, PNG IHDR + CRC, WAV RIFF chunks, MJPEG marker
+    // walk — MediaCodecs) over real minimal files the fixture encodes;
+    // the oracle recomputes the expected values from the fixture's id
+    // arithmetic, so writer and parser must agree through the actual
+    // byte formats for the hash to match.
     "media_decode_stats" -> ((s, dir) => {
       val media = mediaFixture(s)
       val decoded = graft.multimodal.Multimodal.decode(media).toDF()
@@ -1263,38 +1278,32 @@ object SparkEntry {
         |       CAST(0 AS BIGINT) AS out_of_radius, CAST(0 AS BIGINT) AS rank_violations,
         |       CAST(0 AS BIGINT) AS over_k""".stripMargin,
 
-    // Rebuilds the synthetic media corpus (same md5-hex construction as
-    // mediaFixture) and recomputes the decode stub: Arrays.hashCode is
-    // 31^n + Σ b_j·31^(n−1−j) mod 2^32 (ASCII content ⇒ bytes positive),
-    // the Java sign quirks reduce to abs() on the signed value, and the
-    // frame-sampling slice arithmetic is plain positive integer division.
-    "media_decode_stats" -> {
-      val pows = (0 to 150).map(k => BigInt(31).pow(k).mod(BigInt(2).pow(32))).mkString("[", ",", "]")
-      val md5s = (1 to 5).map(c => s"md5(CAST(t.i*7919+$c AS VARCHAR))").mkString(" || ")
-      s"""WITH p AS (SELECT $pows AS pw),
-         |m AS (SELECT t.i AS media_id,
-         |        CASE t.i % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
-         |        substr($md5s, 1, CAST(64 + t.i % 80 AS INTEGER)) AS cs
-         |      FROM range(200) t(i)),
-         |h0 AS (SELECT media_id, modality, length(cs) AS n,
-         |         (pw[length(cs)+1] + list_sum([unicode(cs[j]) * pw[length(cs)-j+1] FOR j IN range(1, length(cs)+1)])) % 4294967296 AS h32
-         |       FROM m CROSS JOIN p),
-         |hs AS (SELECT media_id, modality, n,
-         |         CAST(abs(CASE WHEN h32 >= 2147483648 THEN h32 - 4294967296 ELSE h32 END) AS BIGINT) AS a
-         |       FROM h0),
-         |d AS (SELECT media_id, modality, n, 64 + a % 960 AS width, 64 + (a // 960) % 960 AS height,
-         |        CASE WHEN modality = 'video' THEN 1 + a % 240 ELSE 1 END AS nf
-         |      FROM hs),
-         |f AS (SELECT *, least(4, nf) AS fs, greatest(1, n // greatest(1, nf)) AS sl FROM d)
-         |SELECT media_id, modality, CAST(width AS INTEGER) AS width, CAST(height AS INTEGER) AS height,
-         |       CAST(nf AS INTEGER) AS n_frames, CAST(n AS BIGINT) AS n_bytes,
-         |       CAST(fs AS BIGINT) AS frames_sampled,
-         |       CAST(list_sum([least(n, least(n-1, (CASE WHEN fs = 1 THEN 0 ELSE (k*(nf-1)) // (fs-1) END) * sl) + sl)
-         |                      - least(n-1, (CASE WHEN fs = 1 THEN 0 ELSE (k*(nf-1)) // (fs-1) END) * sl)
-         |                      FOR k IN range(0, fs)]) AS BIGINT) AS frame_bytes
-         |FROM f
-         |ORDER BY media_id""".stripMargin
-    },
+    // Recomputes the expected decode output from the fixture's id
+    // arithmetic: dims w = 64+(i*13)%960, h = 64+(i*7)%540; WAV sample
+    // frames 100+i%400 at 16-bit × (1+i%2) channels; MJPEG 1+i%5
+    // frames. Byte sizes are the container constants — header-only JPEG
+    // = 23 bytes (SOI + SOF0[17] + EOI), minimal PNG = 45 (sig + IHDR +
+    // IEND), canonical WAV header = 44 + data. The Spark side gets these
+    // numbers by PARSING the real headers MediaCodecs wrote, so the
+    // match proves writer and parser agree through the byte format.
+    "media_decode_stats" ->
+      """WITH t AS (SELECT i AS media_id,
+        |    CASE i % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+        |    64 + (i*13) % 960 AS w, 64 + (i*7) % 540 AS h,
+        |    1 + i % 2 AS ch, 100 + i % 400 AS af, 1 + i % 5 AS vf,
+        |    (i // 3) % 2 AS png  -- image rows alternate JPEG (0) / PNG (1)
+        |  FROM range(200) t(i))
+        |SELECT media_id, modality,
+        |  CAST(CASE modality WHEN 'audio' THEN 0 ELSE w END AS INTEGER) AS width,
+        |  CAST(CASE modality WHEN 'audio' THEN 0 ELSE h END AS INTEGER) AS height,
+        |  CAST(CASE modality WHEN 'image' THEN 1 WHEN 'audio' THEN af ELSE vf END AS INTEGER) AS n_frames,
+        |  CAST(CASE modality WHEN 'image' THEN CASE WHEN png = 1 THEN 45 ELSE 23 END
+        |       WHEN 'audio' THEN 44 + af*ch*2 ELSE 23*vf END AS BIGINT) AS n_bytes,
+        |  CAST(CASE modality WHEN 'video' THEN least(4, vf) ELSE 1 END AS BIGINT) AS frames_sampled,
+        |  CAST(CASE modality WHEN 'image' THEN CASE WHEN png = 1 THEN 45 ELSE 23 END
+        |       WHEN 'audio' THEN 44 + af*ch*2 ELSE 23*least(4, vf) END AS BIGINT) AS frame_bytes
+        |FROM t
+        |ORDER BY media_id""".stripMargin,
 
     "vec_get" ->
       "SELECT vec_id, label, len(embedding) AS dim FROM embeddings WHERE vec_id = 42",

@@ -332,6 +332,11 @@ object Dedup {
       seed: Long = 42L): DataFrame = {
     require(rowsPerBand > 0 && 64 % rowsPerBand == 0,
       s"rowsPerBand must divide 64, got $rowsPerBand")
+    // bits must fill whole longs AND whole bands — otherwise the band
+    // loop silently ignores trailing signature bits, quietly lowering
+    // recall (64 % rowsPerBand == 0 makes bits % rowsPerBand follow)
+    require(bits > 0 && bits % 64 == 0,
+      s"bits must be a positive multiple of 64, got $bits")
     val bands = bits / rowsPerBand
     val mask = if (rowsPerBand == 64) -1L else (1L << rowsPerBand) - 1
     val sigs = df.select(col(idCol),
@@ -382,6 +387,10 @@ object Dedup {
       seed: Long = 42L): DataFrame = {
     require(rowsPerBand > 0 && 64 % rowsPerBand == 0,
       s"rowsPerBand must divide 64, got $rowsPerBand")
+    // same trailing-bits guard as embeddingNearDups: partial longs or
+    // partial bands would be silently dropped by the band loop
+    require(bits > 0 && bits % 64 == 0,
+      s"bits must be a positive multiple of 64, got $bits")
     val bands = bits / rowsPerBand
     val mask = if (rowsPerBand == 64) -1L else (1L << rowsPerBand) - 1
     def banded(df: DataFrame, outId: String) = {
@@ -455,6 +464,22 @@ object Dedup {
       .filter(col("cos_sim") >= minCosine)
   }
 
+  /** The SemDeDup k-vs-n scaling POLICY, pinned as API: the cluster
+    * count must GROW with the corpus — `k = ⌈n / targetClusterSize⌉`
+    * holds the expected cluster size constant, so total candidate work
+    * Σ|cᵢ|² ≈ n · targetClusterSize stays LINEAR in n. A fixed k makes
+    * it n²/k — quadratic again at 1000× the data, which is exactly the
+    * blow-up the clustering exists to avoid. (DedupSpec asserts the
+    * linearity on two corpus sizes.) `targetClusterSize` trades recall
+    * (bigger clusters → fewer boundary-straddling near-dup pairs lost)
+    * against per-cluster cost; 4096 suits 100 TB-scale runs where the
+    * per-cluster quadratic must stay comfortably inside one task. */
+  def semDedupClusters(n: Long, targetClusterSize: Long = 4096L): Int = {
+    require(n >= 0 && targetClusterSize > 0,
+      s"bad sizes: n=$n targetClusterSize=$targetClusterSize")
+    math.max(1L, (n + targetClusterSize - 1) / targetClusterSize).toInt
+  }
+
   // ---------------------------------------------- eval decontamination
 
   /** Cross-corpus contamination check: corpus documents sharing at least
@@ -512,8 +537,14 @@ object Dedup {
     * chunks).
     *
     * `occ_key = id·2²⁰ + chunk_idx` packs the occurrence order into one
-    * long (ids must stay below 2⁴³, docs below 2²⁰ chunks ≈ 26 M
-    * tokens; the packing is asserted per row, never silently wrapped). */
+    * long (BOTH halves are asserted per row — ids in [0, 2⁴³), docs
+    * below 2²⁰ chunks ≈ 26 M tokens — never silently wrapped: an id
+    * past 2⁴³ or negative would otherwise flip which occurrence is
+    * treated as first).
+    *
+    * NULL text counts as empty: the row survives with
+    * (id, 0, 0, '') rather than vanishing from the output — the
+    * one-row-per-input-doc contract holds for every input. */
   def chunkDedup(
       df: DataFrame,
       idCol: String = "doc_id",
@@ -521,31 +552,44 @@ object Dedup {
       chunkTokens: Int = 25): DataFrame = {
     require(chunkTokens > 0, s"chunkTokens must be positive, got $chunkTokens")
     val maxChunks = 1L << 20
+    val maxId = 1L << 43
     // stage the token array BEFORE the HOFs: interpreted lambdas
-    // re-evaluate argument expressions per element (see TextAnalysis)
-    val staged = df.select(col(idCol), tokens(col(textCol)).as("t"))
+    // re-evaluate argument expressions per element (see TextAnalysis).
+    // The empty-token filter matters only for the degenerate inputs:
+    // split('') is [''], which would otherwise count as one phantom chunk
+    val staged = df.select(col(idCol),
+      filter(tokens(coalesce(col(textCol), lit(""))), x => x =!= lit("")).as("t"))
     val nChunks = floor((size(col("t")) + lit(chunkTokens - 1)).cast("double") / chunkTokens).cast("int")
+    // posexplode_OUTER + the empty-array guard keep a zero-chunk doc
+    // (empty/NULL text) as one all-null row instead of dropping it —
+    // without the guard sequence(0, -1) would walk backwards and emit
+    // two phantom chunks
     val chunked = staged
-      .select(col(idCol), posexplode(transform(
+      .select(col(idCol), posexplode_outer(when(size(col("t")) > 0, transform(
         sequence(lit(0), nChunks - 1),
-        i => concat_ws(" ", slice(col("t"), i * chunkTokens + 1, lit(chunkTokens))))))
+        i => concat_ws(" ", slice(col("t"), i * chunkTokens + 1, lit(chunkTokens)))))
+        .otherwise(array())))
       .withColumnRenamed("pos", "chunk_idx")
       .withColumnRenamed("col", "chunk")
     val keyed = chunked.select(
       col(idCol), col("chunk_idx"), col("chunk"),
       // assert_true feeds the key arithmetic so the guard can't be
-      // pruned: a doc past 2^20 chunks fails loudly instead of
-      // silently colliding occurrence keys
+      // pruned: a doc past 2^20 chunks or an id outside [0, 2^43)
+      // fails loudly instead of silently colliding occurrence keys
+      // (the all-null zero-chunk row passes vacuously)
       (col(idCol) * maxChunks + col("chunk_idx") +
-        coalesce(assert_true(col("chunk_idx") < maxChunks).cast("long"), lit(0L))).as("occ_key"),
+        coalesce(assert_true(col("chunk_idx").isNull ||
+          (col("chunk_idx") < maxChunks &&
+            col(idCol) >= 0 && col(idCol) < maxId)).cast("long"), lit(0L))).as("occ_key"),
       md5(col("chunk")).as("chunk_hash"))
     val firstOcc = keyed.groupBy("chunk_hash").agg(min("occ_key").as("min_key"))
-    keyed.join(firstOcc, "chunk_hash")
+    // LEFT join: the zero-chunk row has a NULL hash and must survive
+    keyed.join(firstOcc, Seq("chunk_hash"), "left")
       .withColumn("kept", col("occ_key") === col("min_key"))
       .groupBy(col(idCol))
       .agg(
-        count(lit(1)).as("n_chunks"),
-        sum(col("kept").cast("long")).as("n_kept"),
+        count(col("chunk")).as("n_chunks"),
+        coalesce(sum(col("kept").cast("long")), lit(0L)).as("n_kept"),
         concat_ws(" ", transform(
           array_sort(collect_list(when(col("kept"),
             struct(col("chunk_idx"), col("chunk"))))),

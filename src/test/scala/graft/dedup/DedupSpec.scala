@@ -310,4 +310,57 @@ class DedupSpec extends AnyFunSuite {
       .orderBy("doc_id").collect().toSeq
     assert(a == b)
   }
+
+  test("chunkDedup keeps one row per input doc even for NULL and empty text") {
+    val corpus = Seq(
+      (0L, "alpha beta gamma"),
+      (1L, null.asInstanceOf[String]), // NULL text → (id, 0, 0, '')
+      (2L, ""),                        // empty text → same
+      (3L, "alpha beta gamma")         // full dup of doc0
+    ).toDF("doc_id", "text")
+    val r = Dedup.chunkDedup(corpus, chunkTokens = 3)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(r == Seq(
+      (0L, 1L, 1L, "alpha beta gamma"),
+      (1L, 0L, 0L, ""),
+      (2L, 0L, 0L, ""),
+      (3L, 1L, 0L, "")))
+  }
+
+  test("chunkDedup rejects ids outside the occ_key packing range loudly") {
+    val corpus = Seq((1L << 43, "some words here")).toDF("doc_id", "text")
+    val e = intercept[Exception] {
+      Dedup.chunkDedup(corpus, chunkTokens = 3).collect()
+    }
+    // Spark wraps the assert_true failure; the point is it THROWS rather
+    // than silently wrapping the packed key and flipping first-occurrence
+    assert(e.getMessage != null)
+  }
+
+  test("SemDeDup k-vs-n policy: candidate work grows linearly with the corpus, not quadratically") {
+    import graft.index.Ivf
+    val rnd = new scala.util.Random(7)
+    def corpus(n: Int) = (0 until n)
+      .map(i => (i.toLong, Array.fill(8)(rnd.nextFloat() * 2f - 1f)))
+      .toDF("vec_id", "embedding")
+    val target = 50L
+    // Σ|c|² over the policy's k = ⌈n/target⌉ clusters — the exact number
+    // of within-cluster candidate pairs semanticNearDups will compare
+    def candidateWork(n: Int): (Long, Long) = {
+      val df = corpus(n)
+      val k = Dedup.semDedupClusters(n, target)
+      val sizes = Ivf.assign(Ivf.fit(df, k, maxIter = 5), df)
+        .groupBy("cluster").count().select("count").as[Long].collect()
+      (sizes.map(c => c * c).sum, sizes.max)
+    }
+    val (work1, _) = candidateWork(400)
+    val (work2, max2) = candidateWork(1600)
+    // 4× the corpus under the policy ⇒ ≈4× the pairs (k-means skew gives
+    // slack); a FIXED k would give 16×
+    val ratio = work2.toDouble / work1.toDouble
+    assert(ratio < 8.0, s"candidate work grew superlinearly: $work1 -> $work2 (x$ratio)")
+    // and no cluster grows with n: max stays O(target), far under n
+    assert(max2 <= 10 * target, s"a cluster scaled with the corpus: $max2")
+  }
 }

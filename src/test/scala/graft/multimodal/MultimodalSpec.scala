@@ -9,24 +9,61 @@ class MultimodalSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
   import spark.implicits._
 
-  private def bytesOf(seed: Int, n: Int): Array[Byte] = {
-    val r = new scala.util.Random(seed)
-    Array.fill(n)(r.nextInt().toByte)
-  }
-
   private lazy val media = Seq(
-    MediaRecord(1L, "image", bytesOf(1, 512), """{"fmt": "png", "src": "cam1"}"""),
-    MediaRecord(2L, "video", bytesOf(2, 4096), """{"fmt": "mp4", "src": "cam2"}"""),
-    MediaRecord(3L, "audio", bytesOf(3, 1024), """{"fmt": "wav", "src": "mic1"}""")
+    MediaRecord(1L, "image", MediaCodecs.pngBytes(640, 480), """{"fmt": "png", "src": "cam1"}"""),
+    MediaRecord(2L, "video", MediaCodecs.mjpegBytes(320, 240, 6), """{"fmt": "mjpeg", "src": "cam2"}"""),
+    MediaRecord(3L, "audio", MediaCodecs.wavBytes(2, 44100, 16, 441), """{"fmt": "wav", "src": "mic1"}""")
   ).toDS()
 
-  test("decode is deterministic and schema-complete") {
-    val d1 = decode(media).collect().sortBy(_.media_id)
-    val d2 = decode(media).collect().sortBy(_.media_id)
-    assert(d1.toSeq == d2.toSeq)
-    assert(d1.forall(d => d.width >= 64 && d.height >= 64 && d.n_frames >= 1))
-    assert(d1.map(_.n_bytes).toSeq == Seq(512L, 4096L, 1024L))
-    assert(d1.find(_.modality == "image").get.n_frames == 1)
+  // ------------------------------------------------------------- codecs
+
+  test("JPEG round-trip: SOF0 dims survive the builder → marker-walk parser") {
+    for ((w, h) <- Seq((1, 1), (64, 64), (255, 256), (1920, 1080), (65535, 65535))) {
+      val b = MediaCodecs.jpegBytes(w, h)
+      assert(MediaCodecs.isJpeg(b))
+      assert(MediaCodecs.parseJpeg(b).contains(MediaCodecs.ImageInfo(w, h)),
+        s"JPEG ${w}x$h did not round-trip")
+    }
+  }
+
+  test("PNG round-trip: IHDR dims + CRC survive; corrupted CRC is rejected") {
+    for ((w, h) <- Seq((1, 1), (640, 480), (70000, 3))) { // PNG dims are u32 — past JPEG's u16
+      val b = MediaCodecs.pngBytes(w, h)
+      assert(MediaCodecs.isPng(b))
+      assert(MediaCodecs.parsePng(b).contains(MediaCodecs.ImageInfo(w, h)))
+    }
+    val corrupt = MediaCodecs.pngBytes(640, 480)
+    corrupt(17) = (corrupt(17) ^ 0x40).toByte // flip a width bit; CRC now stale
+    assert(MediaCodecs.parsePng(corrupt).isEmpty, "CRC-invalid IHDR must not parse")
+  }
+
+  test("WAV round-trip: fmt/data chunk walk recovers channels, rate, bits, frames") {
+    val b = MediaCodecs.wavBytes(channels = 2, sampleRate = 44100, bitsPerSample = 16, nSampleFrames = 441)
+    assert(MediaCodecs.isWav(b))
+    assert(MediaCodecs.parseWav(b).contains(MediaCodecs.WavInfo(2, 44100, 16, 441L)))
+    assert(b.length == 44 + 441 * 4) // canonical header + PCM frames
+  }
+
+  test("MJPEG frame walk finds every SOI..EOI span; single JPEG is one frame") {
+    val stream = MediaCodecs.mjpegBytes(320, 240, 6)
+    val offs = MediaCodecs.mjpegFrameOffsets(stream)
+    assert(offs.length == 6)
+    assert(offs.forall { case (s, e) => e - s == 23 }) // header-only frame size
+    assert(MediaCodecs.mjpegFrameOffsets(MediaCodecs.jpegBytes(8, 8)).length == 1)
+  }
+
+  // ------------------------------------------------------------- decode
+
+  test("decode parses real headers: PNG/MJPEG dims, WAV sample frames") {
+    val d = decode(media).collect().sortBy(_.media_id)
+    assert(d(0) == Decoded(1L, "image", 640, 480, 1, 45L))
+    assert(d(1) == Decoded(2L, "video", 320, 240, 6, 23L * 6))
+    assert(d(2) == Decoded(3L, "audio", 0, 0, 441, 44L + 441 * 4))
+  }
+
+  test("decode flags unrecognized bytes as (-1,-1,0) instead of throwing") {
+    val junk = Seq(MediaRecord(9L, "image", Array.fill(64)(0x42.toByte), "{}")).toDS()
+    assert(decode(junk).collect().head == Decoded(9L, "image", -1, -1, 0, 64L))
   }
 
   test("extractFeatures yields unit-norm embeddings usable by the ANN ops") {
@@ -42,26 +79,67 @@ class MultimodalSpec extends AnyFunSuite {
       .forall { case (a, b) => a.embedding.sameElements(b.embedding) })
   }
 
-  test("sampleFrames: videos yield up to maxFrames evenly spaced; others one frame") {
+  test("sampleFrames: MJPEG emits evenly spaced REAL JPEG frames; others pass whole") {
     val frames = sampleFrames(media, maxFrames = 4).collect()
     val byId = frames.groupBy(_.media_id)
     assert(byId(1L).length == 1 && byId(3L).length == 1)
-    assert(byId(2L).length > 1 && byId(2L).length <= 4)
-    assert(byId(2L).map(_.frame_idx).distinct.length == byId(2L).length)
-    assert(frames.forall(_.frame_bytes.nonEmpty))
+    assert(byId(2L).length == 4) // 6 frames sampled down to 4
+    assert(byId(2L).map(_.frame_idx).toSet == Set(0, 1, 3, 5)) // k*(nf-1)/(n-1)
+    // every extracted video frame is itself a parseable standalone JPEG
+    byId(2L).foreach { f =>
+      assert(MediaCodecs.parseJpeg(f.frame_bytes).contains(MediaCodecs.ImageInfo(320, 240)))
+    }
+    assert(byId(1L).head.frame_bytes.length == 45) // whole PNG passes through
   }
 
   test("withMeta extracts typed JSON metadata fields") {
     val out = withMeta(media.toDF(), Map("fmt" -> "$.fmt", "src" -> "$.src"))
       .select("media_id", "fmt", "src").as[(Long, String, String)].collect().toSet
-    assert(out == Set((1L, "png", "cam1"), (2L, "mp4", "cam2"), (3L, "wav", "mic1")))
+    assert(out == Set((1L, "png", "cam1"), (2L, "mjpeg", "cam2"), (3L, "wav", "mic1")))
   }
 
-  test("repartitionByBytes sizes partitions from blob bytes") {
-    val df = media.toDF()
-    val out = repartitionByBytes(df, targetBytes = 2048L)
-    // total bytes = 5632 → ceil-ish 2 partitions
-    assert(out.rdd.getNumPartitions >= 2)
-    assert(out.count() == 3)
+  // --------------------------------------------------- byte partitioning
+
+  private def partitionBytes(df: org.apache.spark.sql.DataFrame): Seq[Long] = {
+    val idx = df.schema.fieldIndex("content")
+    df.rdd.mapPartitions { it =>
+      var s = 0L
+      it.foreach(r => s += r.get(idx).asInstanceOf[Array[Byte]].length.toLong)
+      Iterator(s)
+    }.collect().toSeq
+  }
+
+  test("repartitionByBytes balances actual bytes, not row counts") {
+    // 64 rows of 1 KiB — uniform sizes, so every 4 KiB bin gets ~4 rows
+    val rows = (1L to 64L).map(i => MediaRecord(i, "image", new Array[Byte](1024), "{}"))
+    val out = repartitionByBytes(rows.toDS().toDF(), targetBytes = 4096L)
+    assert(out.count() == 64)
+    assert(out.rdd.getNumPartitions == 16)
+    val sizes = partitionBytes(out).filter(_ > 0)
+    assert(sizes.max <= 2 * 4096L, s"partition over 2x budget: $sizes")
+  }
+
+  test("repartitionByBytes skew: a 100x blob lands ALONE in its partition") {
+    val target = 10 * 1024L
+    val rows = (1L to 50L).map(i => MediaRecord(i, "image", new Array[Byte](1024), "{}")) :+
+      MediaRecord(99L, "video", new Array[Byte](100 * 1024), "{}") // 10x the target
+    val out = repartitionByBytes(rows.toDS().toDF(), target)
+    assert(out.count() == 51)
+    val idIdx = out.schema.fieldIndex("media_id")
+    val cIdx = out.schema.fieldIndex("content")
+    val perPart = out.rdd.mapPartitions { it =>
+      val rs = it.toVector
+      Iterator((rs.map(_.get(idIdx).asInstanceOf[Long]),
+        rs.map(_.get(cIdx).asInstanceOf[Array[Byte]].length.toLong).sum))
+    }.collect()
+    val blobPart = perPart.find(_._1.contains(99L)).get
+    assert(blobPart._1 == Vector(99L), s"blob shares a partition: ${blobPart._1}")
+    // every other partition stays within budget + one row of slack
+    perPart.filterNot(_._1.contains(99L)).foreach { case (ids, bytes) =>
+      assert(bytes <= target + 1024L, s"partition $ids over budget: $bytes")
+    }
+    // max/mean over the small partitions stays tight — the balance claim
+    val small = perPart.filterNot(_._1.contains(99L)).map(_._2).filter(_ > 0)
+    assert(small.max.toDouble / (small.sum.toDouble / small.size) <= 2.0)
   }
 }
