@@ -462,15 +462,17 @@ object SparkEntry {
     // occupancy fractions — the boilerplate/degenerate-loop filters that
     // complement the composite quality score. Per-row, no shuffle.
     "doc_repetition" -> ((s, dir) => {
+      // fused single-pass kernel (RepetitionExpr); the declarative
+      // rawNgrams/dupNgramFraction/topNgramFraction cascade stays as
+      // the bit-compared reference (TextAnalysisSpec)
       docs(s, dir)
         .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
         .select(col("doc_id"),
-          TextAnalysis.rawNgrams(col("toks"), 2).as("g2"),
-          TextAnalysis.rawNgrams(col("toks"), 3).as("g3"))
+          org.apache.spark.sql.graft.VectorExpressions.repetition(col("toks")).as("r"))
         .select(col("doc_id"),
-          TextAnalysis.dupNgramFraction(col("g2")).as("dup_2gram_frac"),
-          TextAnalysis.topNgramFraction(col("g2")).as("top_2gram_frac"),
-          TextAnalysis.dupNgramFraction(col("g3")).as("dup_3gram_frac"))
+          col("r.dup_2gram_frac").as("dup_2gram_frac"),
+          col("r.top_2gram_frac").as("top_2gram_frac"),
+          col("r.dup_3gram_frac").as("dup_3gram_frac"))
         .orderBy(col("doc_id"))
     }),
 
@@ -1089,6 +1091,17 @@ object SparkEntry {
         .select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("n_tokens"))
       graft.ops.Packing.packGreedy(d, budget = 256L, nParts = 8)
         .orderBy(col("doc_id"))
+    }),
+
+    // Per-source document cap (C4/RefinedWeb per-domain cap): keep the
+    // first 40 docs by id of every source. Naive window-rank form; the
+    // TopKWindowRewrite (setupSession) plans it as the bounded row_topk
+    // aggregate — plan-audited — while the result must still equal the
+    // DuckDB window-form oracle exactly.
+    "corpus_source_cap" -> ((s, dir) => {
+      graft.ops.Sampling.capPerGroup(docs(s, dir), col("source"), col("doc_id"), cap = 40)
+        .select(col("doc_id"), col("source"), col("rk"))
+        .orderBy(col("source"), col("rk"))
     }),
 
     // Cohort retention: users bucketed by first-seen day, counted as
@@ -2015,6 +2028,16 @@ object SparkEntry {
          |         CASE WHEN p.fill + d.n_tokens <= 256 THEN p.fill + d.n_tokens ELSE d.n_tokens END
          |  FROM pack p JOIN d ON d.part = p.part AND d.rn = p.rn + 1)
          |SELECT doc_id, part, bin_idx FROM pack ORDER BY doc_id""".stripMargin,
+
+    // The window form IS the spec; Spark executes the rewritten
+    // bounded-aggregate plan and must reproduce it exactly.
+    // (row_number: INT in Spark, BIGINT in DuckDB — cast.)
+    "corpus_source_cap" ->
+      """WITH r AS (SELECT doc_id, source,
+        |    CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id) AS INTEGER) AS rk
+        |  FROM documents)
+        |SELECT doc_id, source, rk FROM r WHERE rk <= 40
+        |ORDER BY source, rk""".stripMargin,
 
     // DuckDB date subtraction yields days directly; the distinct
     // (user, day) activity set mirrors the Spark pass.

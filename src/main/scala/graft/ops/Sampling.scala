@@ -166,6 +166,24 @@ object Sampling {
         md5(concat(col(idCol).cast("string"), lit(salt))))
       .orderBy(col("shuffle_key"), col(idCol))
 
+  /** Per-group document cap — the C4/RefinedWeb-style per-domain cap: a
+    * handful of giant hosts must not dominate the corpus, so keep at
+    * most `cap` rows per group in deterministic `order` order and drop
+    * the rest. Deliberately written in the NAIVE window-rank form: under
+    * [[org.apache.spark.sql.graft.TopKWindowRewrite]] (enabled by
+    * `SparkEntry.setupSession`) it plans as the bounded `row_topk`
+    * aggregate — per-group state is `cap` rows and each map partition
+    * contributes at most `cap` rows per group to the shuffle, which is
+    * the shape that survives a 100 TB corpus with a million-doc host.
+    * Output keeps all input columns plus `rk` (1-based rank within the
+    * group). `order` must be a total order within each group (append a
+    * unique id tiebreak) or ranks are nondeterministic. */
+  def capPerGroup(df: DataFrame, group: Column, order: Column, cap: Int): DataFrame = {
+    require(cap >= 1, s"cap must be positive, got $cap")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(group).orderBy(order)
+    df.withColumn("rk", row_number().over(w)).filter(col("rk") <= cap)
+  }
+
   /** Leakage-safe dataset split: the split label is a pure function of
     * `group` (not the row id), so every member of a group — e.g. a
     * near-duplicate cluster from

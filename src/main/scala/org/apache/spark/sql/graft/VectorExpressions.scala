@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInput
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.classic.ExpressionUtils
-import org.apache.spark.sql.types.{AbstractDataType, ArrayType, BinaryType, DataType, DoubleType, FloatType, LongType, StringType}
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, BinaryType, DataType, DoubleType, FloatType, LongType, StringType, StructField, StructType}
 
 // This file lives in the org.apache.spark.sql namespace because the
 // Expression SPI it needs (AbstractDataType, the classic Column↔Expression
@@ -696,6 +696,69 @@ case class LangIdExpr(child: Expression)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Static kernel for [[RepetitionExpr]]: ONE pass over the token array
+  * computing all three Gopher-style repetition fractions — duplicate
+  * 2-gram fraction, top-2-gram fraction, duplicate 3-gram fraction.
+  * Tokens cannot contain spaces (they come from splitting on space), so
+  * counting distinct token TUPLES is exactly counting the declarative
+  * path's space-joined gram strings — the declarative
+  * `TextAnalysis.dupNgramFraction`/`topNgramFraction` stay as the
+  * bit-compared reference. All fractions are ratios of exact integers,
+  * so fused and declarative doubles are bit-identical. */
+object RepetitionUtil {
+  def stats(toks: org.apache.spark.sql.catalyst.util.ArrayData): Any = {
+    val n = toks.numElements()
+    val total2 = n - 1
+    val total3 = n - 2
+    var dup2 = 0.0; var top2 = 0.0; var dup3 = 0.0
+    if (total2 > 0) {
+      val t = new Array[org.apache.spark.unsafe.types.UTF8String](n)
+      var j = 0
+      while (j < n) { t(j) = toks.getUTF8String(j); j += 1 }
+      val counts2 = new java.util.HashMap[AnyRef, Array[Int]](total2 * 2)
+      val seen3 = new java.util.HashSet[AnyRef](if (total3 > 0) total3 * 2 else 1)
+      var max2 = 0
+      var i = 0
+      while (i < total2) {
+        val c2 = counts2.computeIfAbsent((t(i), t(i + 1)), _ => new Array[Int](1))
+        c2(0) += 1
+        if (c2(0) > max2) max2 = c2(0)
+        if (i < total3) seen3.add((t(i), t(i + 1), t(i + 2)))
+        i += 1
+      }
+      dup2 = 1.0 - counts2.size.toDouble / total2.toDouble
+      top2 = max2.toDouble / total2.toDouble
+      if (total3 > 0) dup3 = 1.0 - seen3.size.toDouble / total3.toDouble
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](dup2, top2, dup3))
+  }
+}
+
+/** Fused one-pass repetition signals over a STAGED token-array column
+  * (same staging contract as the declarative forms): replaces two
+  * interpreted gram-array builds + array_distinct + array_sort + an
+  * aggregate HOF per row with a single hash-counting pass. */
+case class RepetitionExpr(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = StructType(Seq(
+    StructField("dup_2gram_frac", DoubleType, nullable = false),
+    StructField("top_2gram_frac", DoubleType, nullable = false),
+    StructField("dup_3gram_frac", DoubleType, nullable = false)))
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "repetition_stats"
+
+  override protected def nullSafeEval(a: Any): Any =
+    RepetitionUtil.stats(a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = (InternalRow) org.apache.spark.sql.graft.RepetitionUtil.stats($a);")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Winnowing document fingerprints: array<long> of selected k-gram
   * rolling hashes. Narrow per-row compute; near-dup candidates come
   * from a shared-fingerprint join (same bucketed shape as the shingle
@@ -761,6 +824,10 @@ object VectorExpressions {
   /** Fused one-pass quality score of a NORMALIZED text column. */
   def qualityScore(normText: Column): Column =
     ExpressionUtils.column(QualityScoreExpr(ExpressionUtils.expression(normText)))
+
+  /** Fused one-pass repetition fractions of a STAGED token-array column. */
+  def repetition(toks: Column): Column =
+    ExpressionUtils.column(RepetitionExpr(ExpressionUtils.expression(toks)))
 
   /** Codegen PQ asymmetric distance over a codes column (see [[PqAdcExpr]]). */
   def pqAdc(codes: Column, table: Array[Double], k: Int): Column =

@@ -136,4 +136,15 @@ class SamplingPackingSpec extends AnyFunSuite {
       .as[(Long, Int, Long)].collect().toSet
     assert(a == b)
   }
+
+  test("capPerGroup keeps the first `cap` rows per group in order, drops the rest") {
+    // host a: 10 docs, host b: 3, host c: 1 → cap 4 keeps 4 + 3 + 1
+    val d = ((1L to 10L).map(i => (i, "a")) ++ Seq((20L, "b"), (21L, "b"), (22L, "b"), (30L, "c")))
+      .toDF("doc_id", "source")
+    val kept = Sampling.capPerGroup(d, col("source"), col("doc_id"), cap = 4)
+      .select("doc_id", "source", "rk").as[(Long, String, Int)].collect().toSet
+    assert(kept == Set(
+      (1L, "a", 1), (2L, "a", 2), (3L, "a", 3), (4L, "a", 4),
+      (20L, "b", 1), (21L, "b", 2), (22L, "b", 3), (30L, "c", 1)))
+  }
 }

@@ -175,6 +175,17 @@ class PlanAuditSpec extends AnyFunSuite {
       spark.conf.set(org.apache.spark.sql.graft.TopKWindowRewrite.ConfKey, "false")
   }
 
+  test("corpus_source_cap plans the bounded row_topk aggregate (per-domain cap at scale)") {
+    try {
+      graft.SparkEntry.setupSession(spark)
+      val plan = graft.SparkEntry.queries("corpus_source_cap")(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("row_topk"), s"TopKWindowRewrite did not fire:\n$plan")
+      assert(!plan.contains("Window"), s"window survived the rewrite:\n$plan")
+    } finally
+      spark.conf.set(org.apache.spark.sql.graft.TopKWindowRewrite.ConfKey, "false")
+  }
+
   test("events_json_filter parses each props blob exactly once (staged extraction)") {
     val plan = graft.SparkEntry.queries("events_json_filter")(spark, sfDir)
       .queryExecution.executedPlan.toString

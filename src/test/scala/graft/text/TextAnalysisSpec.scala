@@ -114,6 +114,33 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(diff == 0L)
   }
 
+  test("fused repetition ≡ declarative n-gram fraction cascade on fixtures and edge cases") {
+    val edge = Seq(
+      "", " ", "a", "a b", "a b c",          // below/at the gram sizes
+      "a a a a a a", "a b a b a b",          // maximal repetition
+      "one two three four five six seven",   // zero repetition
+      ("spam " * 50).trim,                   // one gram takes everything
+      "x y x y z x y w x y")                 // mixed runs
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val fixture = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text")
+    val all = edge.toDF("doc_id", "text").unionByName(fixture)
+    val diff = all
+      .select($"doc_id", TextAnalysis.tokens($"text").as("toks"))
+      .select($"doc_id", $"toks",
+        TextAnalysis.rawNgrams($"toks", 2).as("g2"),
+        TextAnalysis.rawNgrams($"toks", 3).as("g3"))
+      .select(
+        org.apache.spark.sql.graft.VectorExpressions.repetition($"toks").as("r"),
+        TextAnalysis.dupNgramFraction($"g2").as("d2"),
+        TextAnalysis.topNgramFraction($"g2").as("t2"),
+        TextAnalysis.dupNgramFraction($"g3").as("d3"))
+      .filter(!($"r.dup_2gram_frac" <=> $"d2") || !($"r.top_2gram_frac" <=> $"t2") ||
+        !($"r.dup_3gram_frac" <=> $"d3")) // bit-exact, not approx
+      .count()
+    assert(diff == 0L)
+  }
+
   test("fingerprintMd5 is whitespace/case-insensitive and distinct on content") {
     val df = Seq((1L, "Hello  World"), (2L, "hello world"), (3L, "other text"))
       .toDF("doc_id", "text")
