@@ -1104,6 +1104,37 @@ object SparkEntry {
         .orderBy(col("source"), col("rk"))
     }),
 
+    // Packed-sequence MATERIALIZATION: the trainer-facing output of
+    // seq_pack — each (part, bin) emits its docs' text concatenated in
+    // id order. The oracle replays the greedy recurrence AND the
+    // ordered string_agg, so the whole pack→emit path is hash-pinned.
+    "seq_pack_text" -> ((s, dir) => {
+      val d = docs(s, dir)
+        .select(col("doc_id"), col("text"),
+          TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+      val packed = graft.ops.Packing.packGreedy(
+        d.select("doc_id", "n_tokens"), budget = 256L, nParts = 8)
+      graft.ops.Packing.packText(packed, d, sep = "\n")
+        .select(col("part"), col("bin_idx"), col("n_docs"),
+          md5(col("packed_text")).as("packed_md5"))
+        .orderBy(col("part"), col("bin_idx"))
+    }),
+
+    // SLIDING-window aggregation (1 h window / 30 min slide): each event
+    // lands in exactly two overlapping windows. Spark's window()
+    // generation is checked against an independent arithmetic oracle
+    // (the two grid-aligned starts per event) — the tumbling analogue
+    // is events_hourly.
+    "events_sliding" -> ((s, dir) => {
+      events(s, dir)
+        .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(
+          date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+          col("event_type"), col("n_events"))
+        .orderBy(col("win_start"), col("event_type"))
+    }),
+
     // Cohort retention: users bucketed by first-seen day, counted as
     // active per day offset — the engagement rollup every event
     // pipeline ships. The distinct (user, day) pass makes the final
@@ -2029,6 +2060,31 @@ object SparkEntry {
          |  FROM pack p JOIN d ON d.part = p.part AND d.rn = p.rn + 1)
          |SELECT doc_id, part, bin_idx FROM pack ORDER BY doc_id""".stripMargin,
 
+    // Replays the seq_pack recurrence, then the ordered concatenation:
+    // md5 of string_agg(text, '\n' ORDER BY doc_id) per (part, bin)
+    // must equal Spark's array_sort-struct reassembly byte-for-byte.
+    "seq_pack_text" ->
+      s"""WITH RECURSIVE base AS (
+         |  SELECT doc_id, text,
+         |         CAST(list_sum([(CAST(strpos('0123456789abcdef', md5(CAST(doc_id AS VARCHAR))[i]) AS BIGINT) - 1)
+         |                        * (CAST(1 AS BIGINT) << (4*(8-i))) FOR i IN range(1, 9)]) % 8 AS INTEGER) AS part,
+         |         CAST(len($ToksSql) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |d AS (SELECT doc_id, part, n_tokens,
+         |             CAST(row_number() OVER (PARTITION BY part ORDER BY doc_id) AS INTEGER) AS rn
+         |      FROM base),
+         |pack(part, rn, doc_id, bin_idx, fill) AS (
+         |  SELECT part, rn, doc_id, CAST(0 AS BIGINT) AS bin_idx, n_tokens AS fill FROM d WHERE rn = 1
+         |  UNION ALL
+         |  SELECT d.part, d.rn, d.doc_id,
+         |         CASE WHEN p.fill + d.n_tokens <= 256 THEN p.bin_idx ELSE p.bin_idx + 1 END,
+         |         CASE WHEN p.fill + d.n_tokens <= 256 THEN p.fill + d.n_tokens ELSE d.n_tokens END
+         |  FROM pack p JOIN d ON d.part = p.part AND d.rn = p.rn + 1)
+         |SELECT p.part, p.bin_idx, CAST(count(*) AS BIGINT) AS n_docs,
+         |       md5(string_agg(b.text, chr(10) ORDER BY b.doc_id)) AS packed_md5
+         |FROM pack p JOIN base b USING (doc_id)
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     // The window form IS the spec; Spark executes the rewritten
     // bounded-aggregate plan and must reproduce it exactly.
     // (row_number: INT in Spark, BIGINT in DuckDB — cast.)
@@ -2082,6 +2138,19 @@ object SparkEntry {
         |       CAST(count(*) AS BIGINT) AS n_events,
         |       CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS value_milli
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // Independent sliding-window arithmetic: with a 1 h window on a
+    // 30 min slide, each event belongs to EXACTLY the two grid-aligned
+    // starts floor_30m(ts) and floor_30m(ts) − 30 min — Spark's
+    // window() generation must reproduce this grid.
+    "events_sliding" ->
+      """WITH w AS (
+        |  SELECT event_type,
+        |         to_timestamp(CAST(floor(epoch(ts) / 1800) AS BIGINT) * 1800 - i * 1800) AS win_start
+        |  FROM events CROSS JOIN (SELECT unnest([0, 1]) AS i) g)
+        |SELECT strftime(win_start, '%Y-%m-%d %H:%M:%S') AS win_start, event_type,
+        |       CAST(count(*) AS BIGINT) AS n_events
+        |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // the streaming dedup's hash set must equal the batch DISTINCT
     "stream_dedup" ->

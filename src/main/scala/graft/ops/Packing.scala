@@ -64,4 +64,27 @@ object Packing {
       }
       .toDF(idCol, "part", "bin_idx")
   }
+
+  /** Materialize the packed TRAINING SEQUENCES: join a [[packGreedy]]
+    * assignment back to the document text and concatenate each bin's
+    * docs in ascending id order with `sep` — the step that actually
+    * emits what a trainer reads. One shuffle on (part, bin_idx); the
+    * in-order concat is the chunkDedup reassembly pattern (array_sort
+    * over (id, text) structs, then a field projection). Bins are
+    * token-budget bounded by construction, so no group's packed string
+    * can exceed budget × max-token-length — the agg state is bounded. */
+  def packText(
+      assignments: DataFrame,
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      sep: String = "\n"): DataFrame =
+    assignments
+      .join(docs.select(col(idCol), col(textCol)), Seq(idCol))
+      .groupBy(col("part"), col("bin_idx"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        concat_ws(sep, transform(
+          array_sort(collect_list(struct(col(idCol), col(textCol)))),
+          s => s.getField(textCol))).as("packed_text"))
 }

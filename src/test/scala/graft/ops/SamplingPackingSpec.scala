@@ -137,6 +137,19 @@ class SamplingPackingSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("packText concatenates each bin's docs in id order with the separator") {
+    val d = Seq(
+      (1L, "one", 60L), (2L, "two", 60L), (3L, "three", 60L),
+      (4L, "four", 60L), (5L, "five", 60L), (6L, "six", 60L))
+      .toDF("doc_id", "text", "n_tokens")
+    val packed = Packing.packGreedy(d.select("doc_id", "n_tokens"), budget = 120L, nParts = 1)
+    val out = Packing.packText(packed, d, sep = "|")
+      .orderBy("part", "bin_idx")
+      .select("n_docs", "packed_text").as[(Long, String)].collect().toSeq
+    // part 0, id order, 2 docs of 60 tokens per 120-budget bin
+    assert(out == Seq((2L, "one|two"), (2L, "three|four"), (2L, "five|six")))
+  }
+
   test("capPerGroup keeps the first `cap` rows per group in order, drops the rest") {
     // host a: 10 docs, host b: 3, host c: 1 → cap 4 keeps 4 + 3 + 1
     val d = ((1L to 10L).map(i => (i, "a")) ++ Seq((20L, "b"), (21L, "b"), (22L, "b"), (30L, "c")))
