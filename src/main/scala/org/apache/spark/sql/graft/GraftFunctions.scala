@@ -52,7 +52,13 @@ object GraftFunctions {
       "winnow_fingerprints(text, k, w) - winnowing (MOSS) document fingerprints: k-gram size k, window w"),
     ("lang_id",
       { case Seq(a) => LangIdExpr(a) },
-      "lang_id(normText) - fused one-pass language-ID of NORMALIZED text (en/es/de/fr/zh/und)"))
+      "lang_id(normText) - fused one-pass language-ID of NORMALIZED text (en/es/de/fr/zh/und)"),
+    ("quality_score",
+      { case Seq(a) => QualityScoreExpr(a) },
+      "quality_score(normText) - fused one-pass [0,1] quality score of NORMALIZED text"),
+    ("repetition_stats",
+      { case Seq(a) => RepetitionExpr(a) },
+      "repetition_stats(tokens) - struct(dup_2gram_frac, top_2gram_frac, dup_3gram_frac) of a token array"))
 
   /** Register every graft function into `spark`'s function registry. */
   def register(spark: SparkSession): Unit = {

@@ -44,6 +44,18 @@ class GraftFunctionsSpec extends AnyFunSuite {
       "SELECT lang_id('the cat and the dog'), lang_id('el que la con'), lang_id('xyz')")
       .as[(String, String, String)].head()
     assert(langs == (("en", "es", "und")))
+
+    val q = spark.sql("SELECT quality_score('the quick brown fox and the lazy dog')")
+      .as[Double].head()
+    assert(q > 0.0 && q <= 1.0)
+
+    // "a b a b a": 2-grams [ab, ba, ab, ba] → dup 1/2, top 1/2;
+    // 3-grams [aba, bab, aba] → dup 1/3
+    val rep = spark.sql(
+      "SELECT r.dup_2gram_frac, r.top_2gram_frac, r.dup_3gram_frac " +
+        "FROM (SELECT repetition_stats(array('a','b','a','b','a')) AS r)")
+      .as[(Double, Double, Double)].head()
+    assert(rep == ((0.5, 0.5, 1.0 - 2.0 / 3.0)))
   }
 
   test("non-literal k in minhash raises a clear error") {

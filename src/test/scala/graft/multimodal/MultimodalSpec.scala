@@ -52,6 +52,36 @@ class MultimodalSpec extends AnyFunSuite {
     assert(MediaCodecs.mjpegFrameOffsets(MediaCodecs.jpegBytes(8, 8)).length == 1)
   }
 
+  test("JPEG parser handles a realistic file: APP0/DQT/DHT/SOS entropy, FF-stuffing, RST") {
+    val out = new java.io.ByteArrayOutputStream()
+    def w(bs: Int*): Unit = bs.foreach(b => out.write(b & 0xff))
+    w(0xff, 0xd8)                                                    // SOI
+    w(0xff, 0xe0, 0x00, 0x10); (1 to 14).foreach(_ => w(0x4a))       // APP0/JFIF, len 16
+    w(0xff, 0xdb, 0x00, 0x43, 0x00); (1 to 64).foreach(i => w(i))    // DQT, len 67
+    w(0xff, 0xc0, 0x00, 0x11, 0x08, 0x01, 0xe0, 0x02, 0x80, 0x03,   // SOF0: 640x480
+      0x01, 0x22, 0x00, 0x02, 0x11, 0x01, 0x03, 0x11, 0x01)
+    w(0xff, 0xc4, 0x00, 0x1f, 0x00); (1 to 28).foreach(_ => w(0x05)) // DHT, len 31
+    w(0xff, 0xda, 0x00, 0x0c, 0x03, 0x01, 0x00, 0x02, 0x11, 0x03,   // SOS, len 12
+      0x11, 0x00, 0x3f, 0x00)
+    w(0x12, 0x34, 0xff, 0x00, 0x56, 0xff, 0xd0, 0x78, 0x9a)         // entropy: stuffed FF00 + RST0
+    w(0xff, 0xd9)                                                    // EOI
+    val jpeg = out.toByteArray
+    assert(MediaCodecs.parseJpeg(jpeg).contains(MediaCodecs.ImageInfo(640, 480)))
+    assert(MediaCodecs.mjpegFrameOffsets(jpeg) == IndexedSeq((0, jpeg.length)))
+    // trailing non-SOI junk ends the MJPEG walk without corrupting the frame
+    val junked = jpeg ++ Array[Byte](0x00, 0x42)
+    assert(MediaCodecs.mjpegFrameOffsets(junked) == IndexedSeq((0, jpeg.length)))
+  }
+
+  test("WAV parser walks past extra chunks before fmt/data") {
+    val base = MediaCodecs.wavBytes(1, 8000, 16, 10)
+    // splice a LIST chunk between the RIFF header and fmt (real encoders do this)
+    val extra = "LIST".getBytes("US-ASCII") ++
+      Array[Byte](4, 0, 0, 0) ++ "INFO".getBytes("US-ASCII")
+    val spliced = base.slice(0, 12) ++ extra ++ base.drop(12)
+    assert(MediaCodecs.parseWav(spliced).contains(MediaCodecs.WavInfo(1, 8000, 16, 10L)))
+  }
+
   // ------------------------------------------------------------- decode
 
   test("decode parses real headers: PNG/MJPEG dims, WAV sample frames") {
