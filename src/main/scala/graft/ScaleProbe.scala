@@ -137,6 +137,29 @@ object ScaleProbe {
           Map("src0" -> 0.4, "src1" -> 0.3, "src2" -> 0.3), maxEpochs = 3))
     })
 
+    // multimodal decode at scale: real-codec blobs (MJPEG / WAV / PNG,
+    // id-derived shapes) decoded and frame-sampled — narrow
+    // mapPartitions passes that must stay linear in rows
+    {
+      import spark.implicits._
+      val media = spark.range(10000L * factor).map { id =>
+        val w = 16 + (id % 640).toInt
+        val h = 16 + (id % 480).toInt
+        (id % 3) match {
+          case 0 => graft.multimodal.Multimodal.MediaRecord(
+            id, "video", graft.multimodal.MediaCodecs.mjpegBytes(w, h, 1 + (id % 8).toInt), "{}")
+          case 1 => graft.multimodal.Multimodal.MediaRecord(
+            id, "audio", graft.multimodal.MediaCodecs.wavBytes(1 + (id % 2).toInt, 8000, 16, 50 + (id % 200).toInt), "{}")
+          case _ => graft.multimodal.Multimodal.MediaRecord(
+            id, "image", graft.multimodal.MediaCodecs.pngBytes(w, h), "{}")
+        }
+      }
+      time(s"media decode+frames ${10 * factor}k blobs") {
+        noop(graft.multimodal.Multimodal.decode(media).toDF())
+        noop(graft.multimodal.Multimodal.sampleFrames(media).toDF())
+      }
+    }
+
     // the window-rank top-k rewrite must keep firing AT SCALE, under AQE,
     // where it matters: per-hour user counts over a factor×-replicated
     // events table, written in the naive row_number form. The executed
