@@ -123,6 +123,37 @@ object SparkEntry {
     }
   }
 
+  /** Per-tag scratch directories for queries that must materialize
+    * through disk (streaming sinks, envelope files). Each new request
+    * for a tag deletes that tag's PREVIOUS directory — safe because by
+    * then its contents have been fully consumed (Verify writes the
+    * returned DataFrame to parquet and Bench noop-saves it before the
+    * query is ever re-invoked) — and a JVM shutdown hook removes
+    * whatever is left, so repeated bench warm runs cannot accumulate
+    * corpus-sized temp trees. Concurrent use of the SAME tag is the
+    * caller's race, not supported; distinct tags never interact. */
+  private val scratchDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(p)) {
+      val walk = java.nio.file.Files.walk(p)
+      // Files.walk holds directory fds — close even when a delete throws
+      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => java.nio.file.Files.deleteIfExists(f))
+      finally walk.close()
+    }
+
+  private val scratchCleanupHook =
+    sys.addShutdownHook(scratchDirs.values.forEach(deleteRecursively(_)))
+
+  private def scratchDir(tag: String): String = {
+    val fresh = java.nio.file.Files.createTempDirectory(s"graft_$tag")
+    val prev = scratchDirs.put(tag, fresh)
+    if (prev != null) deleteRecursively(prev)
+    fresh.toString
+  }
+
   /** Runs a bounded streaming query (Trigger.AvailableNow) into a
     * scratch PARQUET sink via foreachBatch and hands back the sink read
     * as a DataFrame — the scale-safe declared-query shape: results flow
@@ -134,7 +165,7 @@ object SparkEntry {
     * each batch's newly-emitted rows. */
   private def runStreamToParquet(s: SparkSession, result: DataFrame,
       outputMode: String, overwrite: Boolean, tag: String): DataFrame = {
-    val scratch = java.nio.file.Files.createTempDirectory(s"graft_$tag").toString
+    val scratch = scratchDir(tag)
     val sinkDir = s"$scratch/sink"
     val saveMode = if (overwrite) "overwrite" else "append"
     val q = result.writeStream
@@ -364,7 +395,7 @@ object SparkEntry {
     // O1 init: create an empty fixed-dim database (vectordb.cpp:23-36),
     // reload it, report its observable state.
     "vec_init" -> ((s, _) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_init").toString
+      val tmp = scratchDir("init")
       val store = VectorStore.init(s, s"$tmp/db.json", EmbDim)
       val reloaded = VectorStore.load(s, s"$tmp/db.json")
       import s.implicits._
@@ -388,7 +419,7 @@ object SparkEntry {
         .select(col("vec_id").as("id"), col("embedding"),
           concat(lit("{\"label\": "), col("label"), lit("}")).as("metadata"))
         .as[VectorRecord]
-      val tmp = java.nio.file.Files.createTempDirectory("graft_env").toString
+      val tmp = scratchDir("env")
       Envelope.saveDataset(EmbDim, orig.count() + 1, orig, s"$tmp/db.json")
       val (_, _, loaded) = Envelope.loadDataset(s, s"$tmp/db.json").get
       val joined = loaded.toDF("id", "embedding2", "metadata2")
