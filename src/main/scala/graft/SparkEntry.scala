@@ -355,6 +355,27 @@ object SparkEntry {
         .orderBy(col("media_id"))
     }),
 
+    // REAL image resize: PPM rasters with arithmetic pixels, downscaled
+    // fit-within-32×32 by actual nearest-neighbor resampling
+    // (MediaCodecs.resizePpmNearest); the oracle recomputes output
+    // dims, byte counts, AND the full raster checksum from the same
+    // integer arithmetic — every output pixel byte is pinned.
+    "media_resize_stats" -> ((s, dir) => {
+      import s.implicits._
+      val src = s.range(200).map { id =>
+        val w = 8 + (id % 97).toInt
+        val h = 8 + (id % 89).toInt
+        graft.multimodal.Multimodal.MediaRecord(id, "image",
+          graft.multimodal.MediaCodecs.ppmBytes(w, h, (x, y) =>
+            ((7 * x + 13 * y) % 251, (3 * x + 5 * y) % 241, (11 * x + 2 * y) % 239)),
+          """{"fmt":"ppm"}""")
+      }
+      graft.multimodal.Multimodal.ppmStats(
+          graft.multimodal.Multimodal.resizeImages(src, maxW = 32, maxH = 32))
+        .toDF()
+        .orderBy(col("media_id"))
+    }),
+
     // O3 get: point lookup by id (reference vectordb.cpp:54-59) — the
     // filter pushes to the parquet scan.
     "vec_get" -> ((s, dir) => {
@@ -1379,6 +1400,29 @@ object SparkEntry {
         |       WHEN 'audio' THEN 44 + af*ch*2 ELSE 23*least(4, vf) END AS BIGINT) AS frame_bytes
         |FROM t
         |ORDER BY media_id""".stripMargin,
+
+    // Replays the whole resize pipeline arithmetically: fit-within dims
+    // via the same floor divisions, header length from the dims' digit
+    // counts, and the raster checksum as a sum over every output pixel
+    // of the source-pixel channel formulas at (⌊x·w/dw⌋, ⌊y·h/dh⌋).
+    "media_resize_stats" ->
+      """WITH t AS (SELECT i AS media_id, 8 + i % 97 AS w, 8 + i % 89 AS h FROM range(200) t(i)),
+        |d AS (SELECT media_id, w, h,
+        |        CASE WHEN w <= 32 AND h <= 32 THEN w
+        |             WHEN w >= h THEN 32 ELSE greatest(1, (w*32)//h) END AS dw,
+        |        CASE WHEN w <= 32 AND h <= 32 THEN h
+        |             WHEN w >= h THEN greatest(1, (h*32)//w) ELSE 32 END AS dh
+        |      FROM t),
+        |s AS (SELECT media_id, dw, dh,
+        |        list_sum([  (7*(((p % dw)*w)//dw) + 13*(((p // dw)*h)//dh)) % 251
+        |                  + (3*(((p % dw)*w)//dw) +  5*(((p // dw)*h)//dh)) % 241
+        |                  + (11*(((p % dw)*w)//dw) + 2*(((p // dw)*h)//dh)) % 239
+        |                  FOR p IN range(0, dw*dh)]) AS rgb_sum
+        |      FROM d)
+        |SELECT media_id, CAST(dw AS INTEGER) AS width, CAST(dh AS INTEGER) AS height,
+        |       CAST(9 + length(CAST(dw AS VARCHAR)) + length(CAST(dh AS VARCHAR)) + 3*dw*dh AS BIGINT) AS n_bytes,
+        |       CAST(rgb_sum AS BIGINT) AS rgb_sum
+        |FROM s ORDER BY media_id""".stripMargin,
 
     "vec_get" ->
       "SELECT vec_id, label, len(embedding) AS dim FROM embeddings WHERE vec_id = 42",

@@ -183,6 +183,100 @@ object MediaCodecs {
     out.toByteArray
   }
 
+  // ----------------------------------------------------------------- PPM
+
+  def isPpm(b: Array[Byte]): Boolean =
+    b.length >= 2 && b(0) == 'P' && b(1) == '6'
+
+  private def isPpmWs(c: Byte): Boolean =
+    c == ' ' || c == '\n' || c == '\r' || c == '\t'
+
+  /** Header of a binary Netpbm PPM (P6): "P6" ws width ws height ws
+    * maxval, ONE whitespace byte, then the w·h·3 raster. `#` comments
+    * inside the header are skipped per the spec. Returns (dims, raster
+    * offset); None on malformed header, maxval ≠ 255, or a short
+    * raster. */
+  def parsePpm(b: Array[Byte]): Option[(ImageInfo, Int)] = {
+    if (!isPpm(b)) return None
+    var pos = 2
+    def skipWs(): Boolean = {
+      val start = pos
+      var go = true
+      while (go && pos < b.length) {
+        if (isPpmWs(b(pos))) pos += 1
+        else if (b(pos) == '#') { while (pos < b.length && b(pos) != '\n') pos += 1 }
+        else go = false
+      }
+      pos > start
+    }
+    def readInt(): Long = {
+      var v = 0L
+      var any = false
+      while (pos < b.length && b(pos) >= '0' && b(pos) <= '9' && v <= Int.MaxValue) {
+        v = v * 10 + (b(pos) - '0'); pos += 1; any = true
+      }
+      if (any) v else -1L
+    }
+    if (!skipWs()) return None
+    val w = readInt(); if (w < 1 || w > Int.MaxValue) return None
+    if (!skipWs()) return None
+    val h = readInt(); if (h < 1 || h > Int.MaxValue) return None
+    if (!skipWs()) return None
+    if (readInt() != 255L) return None
+    if (pos >= b.length || !isPpmWs(b(pos))) return None // exactly one ws, then raster
+    pos += 1
+    if (b.length - pos < 3L * w * h) return None
+    Some((ImageInfo(w.toInt, h.toInt), pos))
+  }
+
+  /** Binary P6 PPM with pixels from `pix(x, y) = (r, g, b)` (each
+    * channel 0–255). */
+  def ppmBytes(width: Int, height: Int, pix: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+    require(width >= 1 && height >= 1, s"PPM dims must be positive, got ${width}x$height")
+    val header = s"P6\n$width $height\n255\n".getBytes("US-ASCII")
+    val out = new Array[Byte](header.length + 3 * width * height)
+    System.arraycopy(header, 0, out, 0, header.length)
+    var o = header.length
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val (r, g, bl) = pix(x, y)
+        out(o) = r.toByte; out(o + 1) = g.toByte; out(o + 2) = bl.toByte
+        o += 3; x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** REAL nearest-neighbor resample of a P6 raster to `dw`×`dh`:
+    * output pixel (x, y) copies source pixel (⌊x·w/dw⌋, ⌊y·h/dh⌋) —
+    * floor mapping, pure integer arithmetic, so an oracle can replay
+    * every output byte. */
+  def resizePpmNearest(b: Array[Byte], dw: Int, dh: Int): Option[Array[Byte]] = {
+    require(dw >= 1 && dh >= 1, s"target dims must be positive, got ${dw}x$dh")
+    parsePpm(b).map { case (info, off) =>
+      val header = s"P6\n$dw $dh\n255\n".getBytes("US-ASCII")
+      val out = new Array[Byte](header.length + 3 * dw * dh)
+      System.arraycopy(header, 0, out, 0, header.length)
+      var o = header.length
+      var y = 0
+      while (y < dh) {
+        val sy = (y.toLong * info.height / dh).toInt
+        var x = 0
+        while (x < dw) {
+          val sx = (x.toLong * info.width / dw).toInt
+          val so = off + 3 * (sy * info.width + sx)
+          out(o) = b(so); out(o + 1) = b(so + 1); out(o + 2) = b(so + 2)
+          o += 3; x += 1
+        }
+        y += 1
+      }
+      out
+    }
+  }
+
   // ----------------------------------------------------------------- WAV
 
   /** fmt + data chunks of a RIFF/WAVE file (chunk walk, LE fields). */

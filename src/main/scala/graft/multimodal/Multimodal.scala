@@ -119,6 +119,57 @@ object Multimodal {
     }
   }
 
+  /** Aspect-preserving fit-within target dims, INTEGER arithmetic only
+    * (floor division) so an oracle can replay the exact output shape:
+    * the tighter side pins to its max, the other scales by the same
+    * ratio, floored, min 1. */
+  def fitWithin(w: Int, h: Int, maxW: Int, maxH: Int): (Int, Int) =
+    if (w.toLong * maxH >= h.toLong * maxW)
+      (maxW, math.max(1, (h.toLong * maxW / w).toInt))
+    else
+      (math.max(1, (w.toLong * maxH / h).toInt), maxH)
+
+  /** REAL image resize over PPM rows: any P6 raster larger than
+    * `maxW`×`maxH` is downscaled with nearest-neighbor resampling
+    * ([[MediaCodecs.resizePpmNearest]] — actual pixel work on actual
+    * bytes) to the [[fitWithin]] shape; smaller rasters and non-PPM
+    * rows pass through unchanged. A narrow mapPartitions pass — no
+    * shuffle; at 100 TB this is the standard normalize-before-encode
+    * step and runs at scan speed. */
+  def resizeImages(media: Dataset[MediaRecord], maxW: Int, maxH: Int): Dataset[MediaRecord] = {
+    require(maxW >= 1 && maxH >= 1, s"bad bounds: ${maxW}x$maxH")
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { r =>
+      val resized = MediaCodecs.parsePpm(r.content) match {
+        case Some((info, _)) if info.width > maxW || info.height > maxH =>
+          val (dw, dh) = fitWithin(info.width, info.height, maxW, maxH)
+          MediaCodecs.resizePpmNearest(r.content, dw, dh).map(out => r.copy(content = out))
+        case _ => None
+      }
+      resized.getOrElse(r)
+    })
+  }
+
+  /** Per-row PPM descriptor for parity checks: dims, total bytes, and
+    * the raster checksum (sum of all RGB channel bytes). Non-PPM rows
+    * flag as (-1, -1, len, -1). */
+  final case class PpmStats(media_id: Long, width: Int, height: Int, n_bytes: Long, rgb_sum: Long)
+
+  def ppmStats(media: Dataset[MediaRecord]): Dataset[PpmStats] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { r =>
+      MediaCodecs.parsePpm(r.content) match {
+        case Some((info, off)) =>
+          val end = off + 3 * info.width * info.height
+          var s = 0L
+          var i = off
+          while (i < end) { s += (r.content(i) & 0xff); i += 1 }
+          PpmStats(r.media_id, info.width, info.height, r.content.length.toLong, s)
+        case None => PpmStats(r.media_id, -1, -1, r.content.length.toLong, -1L)
+      }
+    })
+  }
+
   /** Typed metadata access over the JSON `meta` column. */
   def withMeta(df: DataFrame, fields: Map[String, String]): DataFrame =
     fields.foldLeft(df) { case (acc, (name, jsonPath)) =>

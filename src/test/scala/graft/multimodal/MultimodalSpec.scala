@@ -82,6 +82,41 @@ class MultimodalSpec extends AnyFunSuite {
     assert(MediaCodecs.parseWav(spliced).contains(MediaCodecs.WavInfo(1, 8000, 16, 10L)))
   }
 
+  test("PPM round-trip: P6 header with comments parses; raster offset is exact") {
+    val b = MediaCodecs.ppmBytes(3, 2, (x, y) => (x * 10, y * 20, x + y))
+    val parsed = MediaCodecs.parsePpm(b)
+    assert(parsed.map(_._1).contains(MediaCodecs.ImageInfo(3, 2)))
+    val off = parsed.get._2
+    assert(b.length - off == 3 * 3 * 2)
+    assert((b(off) & 0xff, b(off + 1) & 0xff, b(off + 2) & 0xff) == ((0, 0, 0)))
+    // a commented header (real Netpbm tools emit these) still parses
+    val commented = "P6\n# made by hand\n3 2\n255\n".getBytes("US-ASCII") ++ b.drop(off)
+    assert(MediaCodecs.parsePpm(commented).map(_._1).contains(MediaCodecs.ImageInfo(3, 2)))
+  }
+
+  test("resizePpmNearest: floor-mapped source pixels land in the output raster") {
+    // 4x2 with pixel = (x, y, x+y); downscale to 2x1: picks (0,0) and (2,0)
+    val src = MediaCodecs.ppmBytes(4, 2, (x, y) => (x, y, x + y))
+    val out = MediaCodecs.resizePpmNearest(src, 2, 1).get
+    val Some((info, off)) = MediaCodecs.parsePpm(out)
+    assert(info == MediaCodecs.ImageInfo(2, 1))
+    assert((out(off) & 0xff) == 0 && (out(off + 3) & 0xff) == 2) // r channel = srcX
+  }
+
+  test("resizeImages fits within bounds preserving aspect; non-PPM passes through") {
+    val rows = Seq(
+      MediaRecord(1L, "image", MediaCodecs.ppmBytes(100, 50, (_, _) => (1, 2, 3)), "{}"),
+      MediaRecord(2L, "image", MediaCodecs.ppmBytes(10, 20, (_, _) => (4, 5, 6)), "{}"), // fits
+      MediaRecord(3L, "image", MediaCodecs.pngBytes(640, 480), "{}")                     // not PPM
+    ).toDS()
+    val out = resizeImages(rows, maxW = 32, maxH = 32).collect().sortBy(_.media_id)
+    val Some((d1, _)) = MediaCodecs.parsePpm(out(0).content)
+    assert(d1 == MediaCodecs.ImageInfo(32, 16)) // 100x50 → 32x16, aspect held
+    val Some((d2, _)) = MediaCodecs.parsePpm(out(1).content)
+    assert(d2 == MediaCodecs.ImageInfo(10, 20)) // already inside: untouched
+    assert(out(2).content.sameElements(MediaCodecs.pngBytes(640, 480)))
+  }
+
   // ------------------------------------------------------------- decode
 
   test("decode parses real headers: PNG/MJPEG dims, WAV sample frames") {
