@@ -60,23 +60,21 @@ object GraftFunctions {
       { case Seq(a) => RepetitionExpr(a) },
       "repetition_stats(tokens) - struct(dup_2gram_frac, top_2gram_frac, dup_3gram_frac) of a token array"))
 
+  private def info(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo("graft", null, name, usage,
+      "", "", "", "", "", "", "built-in")
+
   /** Register every graft function into `spark`'s function registry. */
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
     functions.foreach { case (name, builder, usage) =>
-      registry.registerFunction(
-        FunctionIdentifier(name),
-        new ExpressionInfo("graft", null, name, usage, ""),
-        builder)
+      registry.registerFunction(FunctionIdentifier(name), info(name, usage), builder)
     }
   }
 
   private[graft] def inject(extensions: SparkSessionExtensions): Unit = {
     functions.foreach { case (name, builder, usage) =>
-      extensions.injectFunction(
-        (FunctionIdentifier(name),
-          new ExpressionInfo("graft", null, name, usage, ""),
-          builder))
+      extensions.injectFunction((FunctionIdentifier(name), info(name, usage), builder))
     }
     // opt-in via spark.graft.rewriteTopK=true (see TopKWindowRewrite)
     extensions.injectOptimizerRule(_ => TopKWindowRewrite)
