@@ -1082,6 +1082,20 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Model-based filtering: hashing-trick linear classifier score
+    // (fastText shape, feature hashing) with a deterministic integer
+    // weight table — the oracle replays every token's md5-bucket and
+    // weight, so the score matches exactly; keep = score > 0.
+    "doc_classifier_score" -> ((s, dir) => {
+      docs(s, dir)
+        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+        .select(col("doc_id"),
+          size(col("toks")).cast("long").as("n_tokens"),
+          TextAnalysis.hashedLinearScore(col("toks")).as("score_sum"))
+        .withColumn("keep", col("score_sum") > 0)
+        .orderBy(col("doc_id"))
+    }),
+
     // Epoch-upsampling mixture: 50/30/20 over three sources within 4
     // epochs — src0 runs 4 full epochs, src1 lands between 2 and 3
     // (deterministic md5-deviate fraction gets the 3rd), src2 between
@@ -2035,6 +2049,22 @@ object SparkEntry {
          |SELECT d.doc_id, coalesce(n_bigrams, 0) AS n_bigrams,
          |       coalesce(lm_micro, 0) AS lm_micro
          |FROM documents d LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // Replays the feature-hashing classifier exactly: per token, bucket
+    // = first-8-hex-digits of md5 mod 2^20, weight = Knuth
+    // multiplicative derivation into [-2^30, 2^30), summed in exact
+    // integer units.
+    "doc_classifier_score" ->
+      s"""WITH t AS (SELECT doc_id, $ToksSql AS toks FROM documents),
+         |s AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+         |        CAST(coalesce(list_sum([
+         |          ((list_sum([(CAST(strpos('0123456789abcdef', md5(tok)[i]) AS BIGINT) - 1)
+         |                      * (CAST(1 AS BIGINT) << (4*(8-i))) FOR i IN range(1, 9)])
+         |            % 1048576) * 2654435761) % 2147483648 - 1073741824
+         |          FOR tok IN toks]), 0) AS BIGINT) AS score_sum
+         |      FROM t)
+         |SELECT doc_id, n_tokens, score_sum, score_sum > 0 AS keep
+         |FROM s ORDER BY doc_id""".stripMargin,
 
     "corpus_shuffle" ->
       """SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || 'sh') AS shuffle_key

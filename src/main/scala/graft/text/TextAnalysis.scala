@@ -149,6 +149,31 @@ object TextAnalysis {
       .otherwise(top.cast("double") / size(grams).cast("double"))
   }
 
+  /** Hashing-trick linear text classifier score — the fastText-style
+    * model-based quality/domain filter shape every pretraining pipeline
+    * runs (feature hashing: Weinberger et al., ICML 2009):
+    * `score = Σ_tokens w[h(token) mod buckets]`.
+    *
+    * The weight table here is a deterministic integer derivation from
+    * the bucket id (Knuth multiplicative hash into [−2³⁰, 2³⁰), exact
+    * integer units — no float accumulation, so the DuckDB oracle
+    * replays the score bit-for-bit); the token hash is the first 8 hex
+    * digits of md5, which both engines compute identically over UTF-8
+    * bytes. Swapping in TRAINED weights keeps the identical shape: a
+    * broadcast array lookup instead of the derivation.
+    *
+    * `toks` must be a STAGED token column (the usual HOF contract).
+    * Narrow per-row pass: no shuffle, no UDF, nothing collected — at
+    * 100 TB this filter runs at scan speed. */
+  def hashedLinearScore(toks: Column, buckets: Int = 1 << 20): Column = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    aggregate(
+      transform(toks, t =>
+        (pmod(conv(substring(md5(t), 1, 8), 16, 10).cast("long"), lit(buckets.toLong))
+          * lit(2654435761L)) % lit(2147483648L) - lit(1073741824L)),
+      lit(0L), (acc, x) => acc + x)
+  }
+
   /** PII patterns for [[scrubPii]], public for oracle mirroring. Kept to
     * constructs whose semantics agree between Java regex and DuckDB's
     * RE2 (character classes, +, bounded repetition, \b, \d): email

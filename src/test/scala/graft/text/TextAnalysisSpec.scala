@@ -141,6 +141,24 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(diff == 0L)
   }
 
+  test("hashedLinearScore matches an independent feature-hashing reimplementation") {
+    def weight(tok: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5").digest(tok.getBytes("UTF-8"))
+      val hex = md.take(4).map(b => f"$b%02x").mkString // first 8 hex digits of md5
+      val bucket = java.lang.Long.parseLong(hex, 16) % (1L << 20)
+      (bucket * 2654435761L) % 2147483648L - 1073741824L
+    }
+    val d = Seq((1L, "alpha beta gamma"), (2L, ""), (3L, "alpha"), (4L, "é ü ß"))
+      .toDF("doc_id", "text")
+    val got = d.select($"doc_id", TextAnalysis.tokens($"text").as("toks"))
+      .select($"doc_id", TextAnalysis.hashedLinearScore($"toks").as("s"))
+      .as[(Long, Long)].collect().toMap
+    assert(got(1L) == Seq("alpha", "beta", "gamma").map(weight).sum)
+    assert(got(3L) == weight("alpha"))
+    assert(got(2L) == weight("")) // tokens('') is [''] — one empty token
+    assert(got(4L) == Seq("é", "ü", "ß").map(weight).sum) // multi-byte UTF-8 hashes agree
+  }
+
   test("fingerprintMd5 is whitespace/case-insensitive and distinct on content") {
     val df = Seq((1L, "Hello  World"), (2L, "hello world"), (3L, "other text"))
       .toDF("doc_id", "text")
