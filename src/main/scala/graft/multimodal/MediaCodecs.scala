@@ -233,6 +233,8 @@ object MediaCodecs {
     * channel 0–255). */
   def ppmBytes(width: Int, height: Int, pix: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
     require(width >= 1 && height >= 1, s"PPM dims must be positive, got ${width}x$height")
+    require(3L * width * height < Int.MaxValue - 64,
+      s"raster ${width}x$height overflows a byte array")
     val header = s"P6\n$width $height\n255\n".getBytes("US-ASCII")
     val out = new Array[Byte](header.length + 3 * width * height)
     System.arraycopy(header, 0, out, 0, header.length)
@@ -256,6 +258,8 @@ object MediaCodecs {
     * every output byte. */
   def resizePpmNearest(b: Array[Byte], dw: Int, dh: Int): Option[Array[Byte]] = {
     require(dw >= 1 && dh >= 1, s"target dims must be positive, got ${dw}x$dh")
+    require(3L * dw * dh < Int.MaxValue - 64,
+      s"target raster ${dw}x$dh overflows a byte array")
     parsePpm(b).map { case (info, off) =>
       val header = s"P6\n$dw $dh\n255\n".getBytes("US-ASCII")
       val out = new Array[Byte](header.length + 3 * dw * dh)
@@ -279,13 +283,18 @@ object MediaCodecs {
 
   // ----------------------------------------------------------------- WAV
 
-  /** fmt + data chunks of a RIFF/WAVE file (chunk walk, LE fields). */
+  /** fmt + data chunks of a RIFF/WAVE file (chunk walk, LE fields).
+    * Chunk sizes are u32 and attacker-controlled: the walk advances in
+    * Long so a corrupt size near 2³² cannot overflow the position into
+    * a negative index (which would throw, or worse loop) — it just ends
+    * the walk and the file flags as unparseable. */
   def parseWav(b: Array[Byte]): Option[WavInfo] = {
     if (!isWav(b)) return None
     var pos = 12
     var channels, rate, bits, blockAlign = -1
     var dataSize = -1L
-    while (pos + 8 <= b.length) {
+    var go = true
+    while (go && pos + 8 <= b.length) {
       val cc = fourCc(b, pos)
       val size = le32(b, pos + 4)
       if (cc == "fmt " && size >= 16 && pos + 8 + 16 <= b.length) {
@@ -294,7 +303,8 @@ object MediaCodecs {
         blockAlign = le16(b, pos + 20)
         bits = le16(b, pos + 22)
       } else if (cc == "data") dataSize = size
-      pos += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
+      val next = pos.toLong + 8L + size + (size & 1L) // chunks are word-aligned
+      if (next > Int.MaxValue) go = false else pos = next.toInt
     }
     if (channels < 1 || blockAlign < 1 || dataSize < 0) None
     else Some(WavInfo(channels, rate, bits, dataSize / blockAlign))

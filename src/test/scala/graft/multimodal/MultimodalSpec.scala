@@ -82,6 +82,18 @@ class MultimodalSpec extends AnyFunSuite {
     assert(MediaCodecs.parseWav(spliced).contains(MediaCodecs.WavInfo(1, 8000, 16, 10L)))
   }
 
+  test("WAV parser survives a corrupt near-2^32 chunk size (no crash, no hang)") {
+    // RIFF/WAVE + one chunk claiming size 0xFFFFFFFF: the u32->int
+    // overflow used to drive the walk position negative and throw
+    val evil = "RIFF".getBytes("US-ASCII") ++ Array[Byte](36, 0, 0, 0) ++
+      "WAVE".getBytes("US-ASCII") ++ "JUNK".getBytes("US-ASCII") ++
+      Array[Byte](-1, -1, -1, -1)
+    assert(MediaCodecs.parseWav(evil).isEmpty)
+    // and through decode(): a flagged row, not a task failure
+    val d = decode(Seq(MediaRecord(7L, "audio", evil, "{}")).toDS()).collect().head
+    assert(d == Decoded(7L, "audio", -1, -1, 0, evil.length.toLong))
+  }
+
   test("PPM round-trip: P6 header with comments parses; raster offset is exact") {
     val b = MediaCodecs.ppmBytes(3, 2, (x, y) => (x * 10, y * 20, x + y))
     val parsed = MediaCodecs.parsePpm(b)
