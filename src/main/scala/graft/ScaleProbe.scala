@@ -185,6 +185,7 @@ object ScaleProbe {
       println(s"[scale] row_topk in executed plan at ${factor}x: $fired")
       if (!fired) {
         System.err.println(s"[scale] TopKWindowRewrite DID NOT FIRE at ${factor}x:\n$plan")
+        spark.stop() // graceful shutdown (temp/event-log cleanup) before the hard exit
         sys.exit(1)
       }
     }

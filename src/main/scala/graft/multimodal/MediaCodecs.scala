@@ -73,6 +73,10 @@ object MediaCodecs {
     var dims: Option[ImageInfo] = None
     while (pos + 2 <= b.length) {
       if (u8(b, pos) != 0xff) return None // marker expected
+      // T.81 B.1.1.2: a marker may be preceded by any number of 0xFF
+      // fill bytes — skip the run so fill is not misread as a marker id
+      while (pos + 2 <= b.length && u8(b, pos + 1) == 0xff) pos += 1
+      if (pos + 2 > b.length) return None
       val m = u8(b, pos + 1)
       pos += 2
       if (m == 0xd9) return Some((dims, pos)) // EOI
@@ -302,7 +306,11 @@ object MediaCodecs {
         rate = le32(b, pos + 12).toInt
         blockAlign = le16(b, pos + 20)
         bits = le16(b, pos + 22)
-      } else if (cc == "data") dataSize = size
+      } else if (cc == "data")
+        // the declared size is attacker-controlled: clamp to the bytes
+        // actually present so a corrupt near-2^32 claim yields the real
+        // (possibly zero) frame count instead of a wrapped Long
+        dataSize = math.min(size, (b.length - (pos + 8)).toLong)
       val next = pos.toLong + 8L + size + (size & 1L) // chunks are word-aligned
       if (next > Int.MaxValue) go = false else pos = next.toInt
     }

@@ -57,7 +57,11 @@ object Multimodal {
       }
     } else if (MediaCodecs.isWav(r.content))
       MediaCodecs.parseWav(r.content) match {
-        case Some(w) => Decoded(r.media_id, r.modality, 0, 0, w.nSampleFrames.toInt, n)
+        case Some(w) =>
+          // frame counts are clamped by parseWav to the bytes present;
+          // saturate the Long→Int anyway so no input can wrap negative
+          Decoded(r.media_id, r.modality, 0, 0,
+            math.min(w.nSampleFrames, Int.MaxValue.toLong).toInt, n)
         case None    => Decoded(r.media_id, r.modality, -1, -1, 0, n)
       }
     else Decoded(r.media_id, r.modality, -1, -1, 0, n)
@@ -121,10 +125,12 @@ object Multimodal {
 
   /** Aspect-preserving fit-within target dims, INTEGER arithmetic only
     * (floor division) so an oracle can replay the exact output shape:
-    * the tighter side pins to its max, the other scales by the same
-    * ratio, floored, min 1. */
+    * inputs already inside the bounds return unchanged (no upscale —
+    * the contract the name implies), otherwise the tighter side pins to
+    * its max and the other scales by the same ratio, floored, min 1. */
   def fitWithin(w: Int, h: Int, maxW: Int, maxH: Int): (Int, Int) =
-    if (w.toLong * maxH >= h.toLong * maxW)
+    if (w <= maxW && h <= maxH) (w, h)
+    else if (w.toLong * maxH >= h.toLong * maxW)
       (maxW, math.max(1, (h.toLong * maxW / w).toInt))
     else
       (math.max(1, (w.toLong * maxH / h).toInt), maxH)
@@ -196,8 +202,12 @@ object Multimodal {
     * round-trip is deliberate: Spark SQL has no "place rows at exact
     * computed partition" operator, and this is genuine per-partition
     * imperative logic (the running byte sum). Input is scanned twice
-    * (size pass + shuffle pass) — same cost class as the sum+head the
-    * previous version paid. */
+    * (size pass + shuffle pass); `localCheckpoint` pins ONE materialized
+    * snapshot for both passes — a nondeterministic upstream (sampled
+    * read, changed source files) can therefore never hand pass 2 rows
+    * whose sizes disagree with pass 1's offsets: lineage is truncated,
+    * so lost blocks fail loudly instead of silently recomputing, and
+    * the blocks are freed by the context cleaner when the RDD is GC'd. */
   def repartitionByBytes(df: DataFrame, targetBytes: Long = 128L << 20): DataFrame = {
     require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
     val spark = df.sparkSession
@@ -207,7 +217,7 @@ object Multimodal {
       val v = r.get(contentIdx)
       if (v == null) 0L else v.asInstanceOf[Array[Byte]].length.toLong
     }
-    val rdd = df.rdd
+    val rdd = df.rdd.localCheckpoint() // materialized by the size pass below
     val partTotals = rdd
       .mapPartitionsWithIndex { (i, it) =>
         var s = 0L; it.foreach(s += rowBytes(_)); Iterator((i, s))

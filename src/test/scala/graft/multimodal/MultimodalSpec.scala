@@ -94,6 +94,34 @@ class MultimodalSpec extends AnyFunSuite {
     assert(d == Decoded(7L, "audio", -1, -1, 0, evil.length.toLong))
   }
 
+  test("WAV data chunk over-declaring its size is clamped to the bytes present") {
+    // 10 mono 16-bit frames (20 data bytes); patch the declared data size
+    // to 0xFFFFFFFF — the parse must clamp to the real 20 bytes instead of
+    // wrapping the frame count (and decode() must not go negative)
+    val evil = MediaCodecs.wavBytes(1, 8000, 16, 10)
+    evil(40) = -1; evil(41) = -1; evil(42) = -1; evil(43) = -1
+    assert(MediaCodecs.parseWav(evil).contains(MediaCodecs.WavInfo(1, 8000, 16, 10L)))
+    val d = decode(Seq(MediaRecord(8L, "audio", evil, "{}")).toDS()).collect().head
+    assert(d == Decoded(8L, "audio", 0, 0, 10, evil.length.toLong))
+  }
+
+  test("JPEG FF fill bytes before a marker are skipped (T.81 B.1.1.2)") {
+    val base = MediaCodecs.jpegBytes(320, 240)
+    // splice fill runs before the SOF marker and before EOI — legal encoders
+    // may pad with any number of 0xFF bytes ahead of a marker
+    val filled = base.slice(0, 2) ++ Array.fill(3)(0xff.toByte) ++
+      base.slice(2, base.length - 2) ++ Array.fill(2)(0xff.toByte) ++
+      base.drop(base.length - 2)
+    assert(MediaCodecs.parseJpeg(filled).contains(MediaCodecs.ImageInfo(320, 240)))
+    assert(MediaCodecs.mjpegFrameOffsets(filled) == IndexedSeq((0, filled.length)))
+  }
+
+  test("fitWithin never upscales: dims already inside the bounds are unchanged") {
+    assert(fitWithin(16, 16, 32, 32) == ((16, 16)))
+    assert(fitWithin(100, 50, 32, 32) == ((32, 16)))
+    assert(fitWithin(50, 100, 32, 32) == ((16, 32)))
+  }
+
   test("PPM round-trip: P6 header with comments parses; raster offset is exact") {
     val b = MediaCodecs.ppmBytes(3, 2, (x, y) => (x * 10, y * 20, x + y))
     val parsed = MediaCodecs.parsePpm(b)
