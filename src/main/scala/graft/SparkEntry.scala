@@ -1078,7 +1078,9 @@ object SparkEntry {
     // bigram counts, each ln quantized to micro-units before summing so
     // the aggregate is an exact integer any engine reproduces.
     "doc_lm_score" -> ((s, dir) => {
-      TextAnalysis.bigramLmScores(docs(s, dir))
+      // the fixture vocabulary is tiny — take the broadcast-unigram path
+      // (the open-vocabulary shuffle form is spec-pinned to match it)
+      TextAnalysis.bigramLmScores(docs(s, dir), broadcastUnigrams = true)
         .orderBy(col("doc_id"))
     }),
 

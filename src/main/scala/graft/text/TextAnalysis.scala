@@ -299,30 +299,41 @@ object TextAnalysis {
     * n_bigrams is the caller's perplexity knob; docs under 2 tokens
     * keep (0, 0).
     *
-    * 100 TB shape: unigram + bigram count groupBys (map-side partial
-    * collapses hot stopword keys), an occurrence join keyed on the
-    * bigram then the unigram (hot "the" key → AQE skew-split; broadcast
-    * `uni` instead when the vocabulary fits), and a doc-id rollup. The
-    * vocabulary size rides a 1-row broadcast. */
+    * 100 TB shape: every per-occurrence row is PRE-AGGREGATED to
+    * (doc, gram, cnt) before anything joins — map-side partial combine
+    * collapses the repeated-gram factor (stopword bigrams dominate raw
+    * text), so the join shuffles distinct (doc, gram) pairs, not every
+    * token occurrence; the r6 form that shipped raw occurrences through
+    * two joins was the single worst cold query of the round. The bigram
+    * model itself derives from the same pre-aggregate (a second partial
+    * combine, no extra scan of the text). `broadcastUnigrams` ships the
+    * unigram table to every task instead of shuffling on w1 — right
+    * whenever the vocabulary fits in executor memory (typical curated
+    * corpora); leave false for open-vocabulary web text, where the w1
+    * join rides AQE skew-split. The vocabulary size rides a 1-row
+    * broadcast either way. */
   def bigramLmScores(
       df: DataFrame,
       idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text",
+      broadcastUnigrams: Boolean = false): DataFrame = {
     val toksDf = df.select(col(idCol), tokens(col(textCol)).as("t"))
     val occ = toksDf.select(col(idCol), explode(rawNgrams(col("t"), 2)).as("gram"))
+      .groupBy(col(idCol), col("gram")).agg(count(lit(1)).as("cnt"))
       .withColumn("w1", substring_index(col("gram"), " ", 1))
     val uni = toksDf.select(explode(col("t")).as("w1"))
       .groupBy("w1").agg(count(lit(1)).as("uc"))
+    val uniJ = if (broadcastUnigrams) broadcast(uni) else uni
     val vocab = uni.select(count(lit(1)).as("v_size"))
-    val bi = occ.groupBy("gram").agg(count(lit(1)).as("bc"))
-    val scored = occ.join(bi, "gram").join(uni, "w1")
+    val bi = occ.groupBy("gram").agg(sum(col("cnt")).as("bc"))
+    val scored = occ.join(bi, "gram").join(uniJ, "w1")
       .crossJoin(broadcast(vocab))
       .withColumn("lp_micro",
         floor(log((col("bc") + 1).cast("double") / (col("uc") + col("v_size")).cast("double")) * 1e6)
           .cast("long"))
     df.select(col(idCol)).join(
         scored.groupBy(col(idCol)).agg(
-          count(lit(1)).as("n_bigrams"), sum(col("lp_micro")).as("lm_micro")),
+          sum(col("cnt")).as("n_bigrams"), sum(col("cnt") * col("lp_micro")).as("lm_micro")),
         Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),

@@ -70,6 +70,19 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(r == Seq((1L, 3L, doc1), (2L, 1L, doc2), (3L, 0L, 0L)))
   }
 
+  test("bigramLmScores: broadcast-unigram and shuffle-join plans agree exactly") {
+    // the two physical shapes (broadcast vocab vs w1 shuffle join) must be
+    // semantically interchangeable — same integers, row for row
+    val d = (1L to 40L).map(i => (i, s"tok${i % 7} the tok${i % 5} of tok${i % 3} the"))
+      .toDF("doc_id", "text")
+    val shuffled = TextAnalysis.bigramLmScores(d)
+      .orderBy("doc_id").as[(Long, Long, Long)].collect().toSeq
+    val bcast = TextAnalysis.bigramLmScores(d, broadcastUnigrams = true)
+      .orderBy("doc_id").as[(Long, Long, Long)].collect().toSeq
+    assert(shuffled == bcast)
+    assert(shuffled.forall(_._2 == 5L)) // 6 tokens per doc → 5 bigram occurrences
+  }
+
   test("fused qualityScore ≡ declarative form on fixtures and edge cases") {
     val edge = Seq(
       "", " ", "\t", "a", "the", "the the the the",
