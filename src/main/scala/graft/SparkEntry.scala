@@ -123,6 +123,41 @@ object SparkEntry {
     }
   }
 
+  /** Deterministic media-features corpus: 100 REAL P6 rasters with
+    * id-parameterized arithmetic pixels — ids 80–99 near-duplicate ids
+    * 0–19 (same raster with a +1 red bump, the visual-near-dup plant) —
+    * and 100 REAL mono 16-bit PCM WAVs with id-parameterized sample
+    * values. [[graft.multimodal.Multimodal.extractFeatures]] does actual
+    * pixel / PCM arithmetic on these bytes, and the oracle SQL replays
+    * the identical integer arithmetic from the id formulas, so the
+    * feature path (build → container parse → subsample / frame stats)
+    * is hash-pinned end to end. */
+  private def mediaFeatFixture(s: SparkSession): org.apache.spark.sql.Dataset[graft.multimodal.Multimodal.MediaRecord] = {
+    import s.implicits._
+    import graft.multimodal.{MediaCodecs, Multimodal}
+    s.range(200).map { id =>
+      if (id < 100) {
+        val base = (if (id < 80) id.toLong else id - 80).toInt
+        val bump = if (id < 80) 0 else 1
+        val w = 8 + base % 23
+        val h = 8 + base % 19
+        val a = 5 + base % 11
+        val bmul = 7 + base % 13
+        Multimodal.MediaRecord(id, "image",
+          MediaCodecs.ppmBytes(w, h, (x, y) =>
+            ((a * x + bmul * y + 3 * base) % 251 + bump,
+             (bmul * x + a * y + 5 * base) % 241,
+             ((a + bmul) * x + 2 * base) % 239)),
+          """{"fmt":"ppm"}""")
+      } else {
+        val n = 120 + (id % 80).toInt
+        val samples = Array.tabulate(n)(i => (((i * 37L + id * 101L) % 4001L) - 2000L).toShort)
+        Multimodal.MediaRecord(id, "audio",
+          MediaCodecs.wavPcmBytes(8000, samples), """{"fmt":"wav"}""")
+      }
+    }
+  }
+
   /** Per-tag scratch directories for queries that must materialize
     * through disk (streaming sinks, envelope files). Each new request
     * for a tag deletes that tag's PREVIOUS directory — safe because by
@@ -266,6 +301,29 @@ object SparkEntry {
     }.mkString(" + ")
   }
 
+  /** One image-feature dimension of the media-features oracle: dim `d`
+    * (0–47, row-major cell-y/cell-x/channel) sampled at the
+    * resizePpmNearest floor map sx = cx·w//4, sy = cy·h//4, replaying
+    * [[mediaFeatFixture]]'s pixel-channel formulas. References columns
+    * media_id/base/bump/w/h/a/bm of the `ic` CTE and the comprehension
+    * variable `d`. */
+  private val ImgFeatDimSql = {
+    val sx = "((((d % 12) // 3) * w) // 4)"
+    val sy = "(((d // 12) * h) // 4)"
+    s"""CASE d % 3
+       |  WHEN 0 THEN (a * $sx + bm * $sy + 3*base) % 251 + bump
+       |  WHEN 1 THEN (bm * $sx + a * $sy + 5*base) % 241
+       |  ELSE ((a + bm) * $sx + 2*base) % 239 END""".stripMargin.replaceAll("\\s+", " ")
+  }
+
+  /** The four per-quarter mean-|sample| band energies of the audio
+    * feature oracle (floor division, quarter q = j·4//n), over the `ab`
+    * abs-sample list and frame count `n` of the `ast` CTE. */
+  private val BandEnergySql = (0 until 4).map { q =>
+    s"list_sum([ab[j+1] FOR j IN range(0, n) IF (j*4)//n = $q])" +
+      s" // len([j FOR j IN range(0, n) IF (j*4)//n = $q])"
+  }.mkString(", ")
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {
     val dir = "/root/testdata/sf0.001"
@@ -374,6 +432,40 @@ object SparkEntry {
           graft.multimodal.Multimodal.resizeImages(src, maxW = 32, maxH = 32))
         .toDF()
         .orderBy(col("media_id"))
+    }),
+
+    // REAL feature extraction over decoded media content: P6 rasters →
+    // 4×4×3 subsampled-RGB vectors (actual pixel bytes via the
+    // nearest-neighbor thumbnail), PCM WAVs → 8 amplitude frame stats —
+    // all integer arithmetic the oracle replays from the fixture's id
+    // formulas. Declared output is the exact integer projection of every
+    // feature vector (dim count, sum, min, max).
+    "media_features" -> ((s, dir) => {
+      val feats = graft.multimodal.Multimodal
+        .extractFeatures(mediaFeatFixture(s), grid = 4).toDF()
+      feats.select(col("media_id"),
+          size(col("embedding")).as("n_dims"),
+          aggregate(col("embedding"), lit(0L), (acc, x) => acc + x.cast("long")).as("f_sum"),
+          array_min(col("embedding")).cast("long").as("f_min"),
+          array_max(col("embedding")).cast("long").as("f_max"))
+        .orderBy(col("media_id"))
+    }),
+
+    // The extracted image features feed the embedding-dedup ANN operator
+    // directly: SRP-banded near-dup over the 48-dim grid vectors
+    // surfaces the 20 planted red-bump near-duplicates (cos ≥ 0.99993)
+    // plus 15 genuinely similar low-id gradient rasters that sit above
+    // the 0.999 gate — all deterministic (fixed fixture, seeded SRP;
+    // band-miss probability at the gate ≈ 1e-11). The oracle recomputes
+    // the features AND the brute-force cosine join in SQL — media bytes
+    // to ANN verdict, one hash-pinned path.
+    "media_feature_dups" -> ((s, dir) => {
+      import s.implicits._
+      val imgs = mediaFeatFixture(s).filter(_.modality == "image")
+      val feats = graft.multimodal.Multimodal.extractFeatures(imgs, grid = 4).toDF()
+        .select(col("media_id").as("vec_id"), col("embedding"))
+      Dedup.embeddingNearDups(feats, minCosine = 0.999)
+        .orderBy(col("id_a"), col("id_b"))
     }),
 
     // O3 get: point lookup by id (reference vectordb.cpp:54-59) — the
@@ -1439,6 +1531,65 @@ object SparkEntry {
         |       CAST(9 + length(CAST(dw AS VARCHAR)) + length(CAST(dh AS VARCHAR)) + 3*dw*dh AS BIGINT) AS n_bytes,
         |       CAST(rgb_sum AS BIGINT) AS rgb_sum
         |FROM s ORDER BY media_id""".stripMargin,
+
+    // Replays the whole feature-extraction path arithmetically: the
+    // image vectors as the 4×4-grid subsampled pixel-channel formulas
+    // (sx = cx·w//4, sy = cy·h//4 — the resizePpmNearest floor map),
+    // the audio vectors as integer frame stats over the replayed PCM
+    // sample list. The Spark side gets the same numbers by PARSING the
+    // real PPM/WAV bytes the fixture encodes.
+    "media_features" ->
+      s"""WITH ip AS (SELECT i AS media_id,
+         |         CASE WHEN i < 80 THEN i ELSE i - 80 END AS base,
+         |         CASE WHEN i < 80 THEN 0 ELSE 1 END AS bump
+         |       FROM range(100) t(i)),
+         |ic AS (SELECT media_id, base, bump,
+         |         8 + base % 23 AS w, 8 + base % 19 AS h,
+         |         5 + base % 11 AS a, 7 + base % 13 AS bm
+         |       FROM ip),
+         |iv AS (SELECT media_id, [ $ImgFeatDimSql FOR d IN range(0, 48) ] AS v FROM ic),
+         |aud AS (SELECT i AS media_id, 120 + i % 80 AS n FROM range(100, 200) t(i)),
+         |asmp AS (SELECT media_id, n,
+         |           [ ((j*37 + media_id*101) % 4001) - 2000 FOR j IN range(0, n) ] AS smp
+         |         FROM aud),
+         |ast AS (SELECT media_id, n, [abs(x) FOR x IN smp] AS ab,
+         |          list_sum([ CASE WHEN (smp[j+1] < 0) <> (smp[j] < 0) THEN 1 ELSE 0 END
+         |                     FOR j IN range(1, n) ]) AS zc
+         |        FROM asmp),
+         |av AS (SELECT media_id,
+         |         [ n, list_sum(ab) // n, zc, list_max(ab), $BandEnergySql ] AS v
+         |       FROM ast),
+         |allv AS (SELECT media_id, v FROM iv UNION ALL SELECT media_id, v FROM av)
+         |SELECT media_id, CAST(len(v) AS INTEGER) AS n_dims,
+         |       CAST(list_sum(v) AS BIGINT) AS f_sum,
+         |       CAST(list_min(v) AS BIGINT) AS f_min,
+         |       CAST(list_max(v) AS BIGINT) AS f_max
+         |FROM allv ORDER BY media_id""".stripMargin,
+
+    // Brute-force cosine join over the REPLAYED image feature vectors at
+    // the same 0.999 gate: equals the SRP-banded Spark search — the 20
+    // planted red-bump pairs sit at cos ≥ 0.99993 and the 15 natural
+    // gradient pairs above the gate are found with band-miss probability
+    // ≈ 1e-11 under the fixed seed (verified: 35/35 hash-match).
+    // Integer-valued features make every dot product exact, so cos_sim
+    // is bit-identical across engines.
+    "media_feature_dups" ->
+      s"""WITH ip AS (SELECT i AS media_id,
+         |         CASE WHEN i < 80 THEN i ELSE i - 80 END AS base,
+         |         CASE WHEN i < 80 THEN 0 ELSE 1 END AS bump
+         |       FROM range(100) t(i)),
+         |ic AS (SELECT media_id, base, bump,
+         |         8 + base % 23 AS w, 8 + base % 19 AS h,
+         |         5 + base % 11 AS a, 7 + base % 13 AS bm
+         |       FROM ip),
+         |iv AS (SELECT media_id, [ $ImgFeatDimSql FOR d IN range(0, 48) ] AS v FROM ic)
+         |SELECT a.media_id AS id_a, b.media_id AS id_b,
+         |       (${dotSql("a.v", "b.v", 48)})
+         |         / (sqrt(${dotSql("a.v", "a.v", 48)}) * sqrt(${dotSql("b.v", "b.v", 48)})) AS cos_sim
+         |FROM iv a JOIN iv b ON a.media_id < b.media_id
+         |WHERE (${dotSql("a.v", "b.v", 48)})
+         |        / (sqrt(${dotSql("a.v", "a.v", 48)}) * sqrt(${dotSql("b.v", "b.v", 48)})) >= 0.999
+         |ORDER BY id_a, id_b""".stripMargin,
 
     "vec_get" ->
       "SELECT vec_id, label, len(embedding) AS dim FROM embeddings WHERE vec_id = 42",

@@ -318,6 +318,57 @@ object MediaCodecs {
     else Some(WavInfo(channels, rate, bits, dataSize / blockAlign))
   }
 
+  /** Mono 16-bit PCM WAV carrying REAL sample data (LE, canonical
+    * 44-byte header) — the audio twin of [[ppmBytes]]: fixtures get
+    * actual PCM the feature extractor can do arithmetic on. */
+  def wavPcmBytes(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+    require(sampleRate >= 1, s"sample rate must be positive, got $sampleRate")
+    val dataSize = samples.length * 2
+    val out = new java.io.ByteArrayOutputStream(44 + dataSize)
+    def w8(v: Int): Unit = out.write(v & 0xff)
+    def w16(v: Int): Unit = { w8(v); w8(v >> 8) }
+    def w32(v: Long): Unit = { w8(v.toInt); w8((v >> 8).toInt); w8((v >> 16).toInt); w8((v >> 24).toInt) }
+    out.write("RIFF".getBytes("US-ASCII")); w32(36L + dataSize)
+    out.write("WAVE".getBytes("US-ASCII"))
+    out.write("fmt ".getBytes("US-ASCII")); w32(16L)
+    w16(1); w16(1); w32(sampleRate.toLong)
+    w32(sampleRate.toLong * 2); w16(2); w16(16)
+    out.write("data".getBytes("US-ASCII")); w32(dataSize.toLong)
+    samples.foreach(s => w16(s.toInt))
+    out.toByteArray
+  }
+
+  /** Channel-0 sample values of a 16-bit PCM WAV, sign-extended to Int —
+    * the decode step feature extraction runs on. Any channel count (the
+    * first sample of each frame is read); None when the container or
+    * sample format is not 16-bit PCM. Data size is clamped to the bytes
+    * present, same policy as [[parseWav]]. */
+  def wavChannel0Samples(b: Array[Byte]): Option[Array[Int]] = {
+    if (!isWav(b)) return None
+    var pos = 12
+    var blockAlign, bits = -1
+    var dataOff, dataLen = -1
+    var go = true
+    while (go && pos + 8 <= b.length) {
+      val cc = fourCc(b, pos)
+      val size = le32(b, pos + 4)
+      if (cc == "fmt " && size >= 16 && pos + 8 + 16 <= b.length) {
+        blockAlign = le16(b, pos + 20)
+        bits = le16(b, pos + 22)
+      } else if (cc == "data") {
+        dataOff = pos + 8
+        dataLen = math.min(size, (b.length - dataOff).toLong).toInt
+      }
+      val next = pos.toLong + 8L + size + (size & 1L)
+      if (next > Int.MaxValue) go = false else pos = next.toInt
+    }
+    if (bits != 16 || blockAlign < 2 || dataOff < 0) None
+    else Some(Array.tabulate(dataLen / blockAlign) { f =>
+      val v = le16(b, dataOff + f * blockAlign)
+      if (v >= 0x8000) v - 0x10000 else v
+    })
+  }
+
   /** Canonical 44-byte-header PCM WAV with `nSampleFrames` zero frames. */
   def wavBytes(channels: Int, sampleRate: Int, bitsPerSample: Int, nSampleFrames: Int): Array[Byte] = {
     require(channels >= 1 && sampleRate >= 1 && bitsPerSample % 8 == 0 && nSampleFrames >= 0,

@@ -10,10 +10,11 @@ import org.apache.spark.sql.functions._
   * decoder state initializes once per partition, not per row. The decode
   * kernel is a REAL container-header parse ([[MediaCodecs]]: JPEG SOF,
   * PNG IHDR with CRC check, WAV fmt/data chunk walk, MJPEG marker walk),
-  * so any correctly-encoded file decodes; only the feature-extraction
-  * ENCODER ([[extractFeatures]]) remains a documented deterministic fake
-  * — a vision/audio embedding model genuinely cannot run in this
-  * environment, and swapping it for a JNI/FFI model call changes no plan.
+  * so any correctly-encoded file decodes; feature extraction
+  * ([[extractFeatures]]) computes REAL content-derived vectors from the
+  * decoded pixels / PCM samples (grid-subsampled RGB, amplitude frame
+  * stats) — a learned vision/audio encoder would slot into the same
+  * partition pass without changing any plan.
   *
   * Scale notes: media rows are large and skewed — repartition by byte
   * budget, not row count ([[repartitionByBytes]]); frame sampling is a
@@ -77,23 +78,67 @@ object Multimodal {
     }
   }
 
-  /** STUB — deterministic fake feature extraction: bytes → unit-norm
-    * float vector derived from rolling byte hashes. A real implementation
-    * batches rows through a vision/audio encoder model here. */
-  def extractFeatures(media: Dataset[MediaRecord], dim: Int = 16): Dataset[MediaFeature] = {
+  /** REAL content-derived feature extraction over the decoded media —
+    * no model, no fake, every dimension computed from actual pixel /
+    * PCM values by integer arithmetic an oracle replays from the bytes:
+    *
+    *  - P6 PPM rasters → `grid`×`grid`×3 subsampled-RGB vector: the
+    *    raster bytes of [[MediaCodecs.resizePpmNearest]] at grid² (a
+    *    real thumbnail — the fixed-grid pooling every visual near-dup
+    *    pipeline starts from), row-major (y, x, RGB), values 0–255.
+    *  - 16-bit PCM WAV → 8 frame-stats dims `[n, mean|s|, zero-
+    *    crossings, max|s|, e₀…e₃]` where eₖ is the mean |s| of the k-th
+    *    time quarter (floor division throughout) — amplitude envelope +
+    *    rate-of-change, the classic audio fingerprint features.
+    *  - anything else (header-only containers, corrupt blobs) → an
+    *    EMPTY vector: a filterable flagged row, never a throw.
+    *
+    * The outputs feed the ANN / embedding-dedup operators directly
+    * ([[graft.dedup.Dedup.embeddingNearDups]] — see the
+    * `media_feature_dups` declared query). Narrow mapPartitions, scan
+    * speed at 100 TB; a learned encoder slots into the same partition
+    * pass without changing the plan. */
+  def extractFeatures(media: Dataset[MediaRecord], grid: Int = 4): Dataset[MediaFeature] = {
+    require(grid >= 1, s"grid must be positive, got $grid")
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       it.map { r =>
-        val v = new Array[Float](dim)
-        var h = 1125899906842597L
-        var i = 0
-        while (i < r.content.length) {
-          h = h * 31 + (r.content(i) & 0xff)
-          v(i % dim) += ((h % 1000).toFloat / 1000f)
-          i += 1
-        }
-        val n = math.sqrt(v.map(x => x.toDouble * x).sum)
-        MediaFeature(r.media_id, if (n == 0) v else v.map(x => (x / n).toFloat))
+        if (MediaCodecs.isPpm(r.content)) {
+          MediaCodecs.resizePpmNearest(r.content, grid, grid) match {
+            case Some(thumb) =>
+              val off = thumb.length - 3 * grid * grid
+              val v = new Array[Float](3 * grid * grid)
+              var i = 0
+              while (i < v.length) { v(i) = (thumb(off + i) & 0xff).toFloat; i += 1 }
+              MediaFeature(r.media_id, v)
+            case None => MediaFeature(r.media_id, Array.emptyFloatArray)
+          }
+        } else if (MediaCodecs.isWav(r.content)) {
+          MediaCodecs.wavChannel0Samples(r.content) match {
+            case Some(s) if s.nonEmpty =>
+              val n = s.length
+              var sumAbs, maxAbs, zc = 0L
+              val bandSum = new Array[Long](4)
+              val bandCnt = new Array[Long](4)
+              var i = 0
+              while (i < n) {
+                val a = math.abs(s(i)).toLong
+                sumAbs += a
+                if (a > maxAbs) maxAbs = a
+                if (i > 0 && ((s(i) < 0) != (s(i - 1) < 0))) zc += 1
+                val q = i * 4 / n
+                bandSum(q) += a
+                bandCnt(q) += 1
+                i += 1
+              }
+              def bandMean(q: Int): Float =
+                if (bandCnt(q) == 0) 0f else (bandSum(q) / bandCnt(q)).toFloat
+              MediaFeature(r.media_id, Array(n.toFloat, (sumAbs / n).toFloat,
+                zc.toFloat, maxAbs.toFloat,
+                bandMean(0), bandMean(1), bandMean(2), bandMean(3)))
+            case _ => MediaFeature(r.media_id, Array.emptyFloatArray)
+          }
+        } else MediaFeature(r.media_id, Array.emptyFloatArray)
       }
     }
   }

@@ -19,12 +19,19 @@ class PipelineIntegrationSpec extends AnyFunSuite {
 
   test("media → features → exact search and SRP near-dup agree on the planted duplicate") {
     val rng = new scala.util.Random(17)
-    val blobs = (1L to 30L).map(i => MediaRecord(i, "image",
-      Array.fill(256)(rng.nextInt().toByte), s"""{"src": "cam$i"}"""))
+    // real P6 rasters with random pixels: distinct images land around
+    // cos ≈ 0.75 (all-positive uniform channels), far from the 0.999 gate
+    val blobs = (1L to 30L).map { i =>
+      val px = Array.fill(16 * 16 * 3)(rng.nextInt(256))
+      MediaRecord(i, "image",
+        graft.multimodal.MediaCodecs.ppmBytes(16, 16,
+          (x, y) => (px(3 * (y * 16 + x)), px(3 * (y * 16 + x) + 1), px(3 * (y * 16 + x) + 2))),
+        s"""{"src": "cam$i"}""")
+    }
     // plant: row 31 is a byte-copy of row 1 → identical extracted features
     val media = (blobs :+ blobs.head.copy(media_id = 31L)).toDS()
 
-    val feats = Multimodal.extractFeatures(media, dim = 16)
+    val feats = Multimodal.extractFeatures(media, grid = 4)
       .toDF("vec_id", "embedding")
 
     // exact search with row 1's embedding must return 1 and 31 at dist 0

@@ -171,17 +171,39 @@ class MultimodalSpec extends AnyFunSuite {
     assert(decode(junk).collect().head == Decoded(9L, "image", -1, -1, 0, 64L))
   }
 
-  test("extractFeatures yields unit-norm embeddings usable by the ANN ops") {
-    val feats = extractFeatures(media, dim = 16).collect()
-    assert(feats.length == 3 && feats.forall(_.embedding.length == 16))
-    feats.foreach { f =>
-      val n = math.sqrt(f.embedding.map(x => x.toDouble * x).sum)
-      assert(math.abs(n - 1.0) < 1e-4)
+  test("extractFeatures: PPM grid vector = exact subsampled pixel bytes") {
+    // 8x8 image, pixel = (x, y, x+y); grid 4 samples sx = x*8/4 = 2x
+    val rows = Seq(MediaRecord(1L, "image",
+      MediaCodecs.ppmBytes(8, 8, (x, y) => (x, y, x + y)), "{}")).toDS()
+    val f = extractFeatures(rows, grid = 4).collect().head
+    assert(f.embedding.length == 48)
+    for (cy <- 0 until 4; cx <- 0 until 4) {
+      val d = 3 * (cy * 4 + cx)
+      assert(f.embedding(d) == (2 * cx).toFloat)      // r = sampled x
+      assert(f.embedding(d + 1) == (2 * cy).toFloat)  // g = sampled y
+      assert(f.embedding(d + 2) == (2 * cx + 2 * cy).toFloat)
     }
-    // deterministic: same content → same embedding
-    val again = extractFeatures(media, dim = 16).collect()
-    assert(feats.sortBy(_.media_id).zip(again.sortBy(_.media_id))
-      .forall { case (a, b) => a.embedding.sameElements(b.embedding) })
+  }
+
+  test("extractFeatures: WAV PCM frame stats match hand arithmetic") {
+    // samples: [100, -200, 300, -400, 500, -600, 700, 800] → n=8
+    val s = Array[Short](100, -200, 300, -400, 500, -600, 700, 800)
+    val rows = Seq(MediaRecord(2L, "audio",
+      MediaCodecs.wavPcmBytes(8000, s), "{}")).toDS()
+    val f = extractFeatures(rows).collect().head
+    // sum|s| = 3600, mean = 450; sign changes at 6 of 7 steps; max 800
+    // quarters of 2: means (150, 350, 550, 750)
+    assert(f.embedding.toSeq == Seq(8f, 450f, 6f, 800f, 150f, 350f, 550f, 750f))
+  }
+
+  test("extractFeatures flags non-decodable content with an empty vector") {
+    val rows = Seq(
+      MediaRecord(3L, "image", MediaCodecs.pngBytes(64, 64), "{}"),    // no raster
+      MediaRecord(4L, "image", Array.fill(32)(0x42.toByte), "{}"),     // junk
+      MediaRecord(5L, "audio", MediaCodecs.wavBytes(1, 8000, 8, 4), "{}") // 8-bit PCM
+    ).toDS()
+    val out = extractFeatures(rows).collect()
+    assert(out.forall(_.embedding.isEmpty))
   }
 
   test("sampleFrames: MJPEG emits evenly spaced REAL JPEG frames; others pass whole") {
