@@ -170,4 +170,18 @@ class AnnSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     assert(!after.contains(5000000L),
       "rebuild over the original corpus must discard appended rows")
   }
+
+  test("Recall.measure: seeded LSH/pruned-IVF recall@10 floors hold") {
+    val r = Recall.measure(emb.select("vec_id", "embedding"),
+      nQueries = 10, k = 10, nlist = 8, nprobe = 2)
+    info(f"recall@10: lsh=${r.lsh}%.3f ivf(nprobe=2/8)=${r.ivf}%.3f")
+    assert(r.nQueries == 10 && r.k == 10)
+    assert(r.lsh >= 0.90, s"LSH recall degraded: ${r.lsh}")
+    assert(r.ivf >= 0.25, s"pruned-IVF recall degraded: ${r.ivf}")
+    assert(r.lsh <= 1.0 && r.ivf <= 1.0)
+    // the report line Bench embeds must be a valid JSON fragment
+    val node = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(s"{${r.json}}")
+    assert(node.get("recall").get("lsh_at10").asDouble() == (r.lsh * 1000).round / 1000.0)
+  }
 }
