@@ -1176,16 +1176,18 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
-    // Model-based filtering: hashing-trick linear classifier score
-    // (fastText shape, feature hashing) with a deterministic integer
-    // weight table — the oracle replays every token's md5-bucket and
-    // weight, so the score matches exactly; keep = score > 0.
+    // Model-based filtering with TRAINED weights: closed-form
+    // multinomial Naive-Bayes log-odds per hashed feature bucket, fit
+    // on the corpus itself labeled by its lang column (positive class =
+    // 'en'), then scored in the fastText feature-hashing shape. The
+    // oracle retrains the same closed form in SQL — bucket counts, the
+    // same smoothed ln-quantized weights, the same per-doc sums — so
+    // every weight is provably derived from the data, not a hash.
+    // keep = score > 0 (the NB verdict "more likely en than not").
     "doc_classifier_score" -> ((s, dir) => {
-      docs(s, dir)
-        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
-        .select(col("doc_id"),
-          size(col("toks")).cast("long").as("n_tokens"),
-          TextAnalysis.hashedLinearScore(col("toks")).as("score_sum"))
+      val d = docs(s, dir)
+      val w = TextAnalysis.nbBucketWeights(d, col("lang") === "en")
+      TextAnalysis.classifierScores(d, w)
         .withColumn("keep", col("score_sum") > 0)
         .orderBy(col("doc_id"))
     }),
@@ -2204,21 +2206,35 @@ object SparkEntry {
          |       coalesce(lm_micro, 0) AS lm_micro
          |FROM documents d LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin,
 
-    // Replays the feature-hashing classifier exactly: per token, bucket
-    // = first-8-hex-digits of md5 mod 2^20, weight = Knuth
-    // multiplicative derivation into [-2^30, 2^30), summed in exact
-    // integer units.
+    // RETRAINS the classifier in SQL: per-token md5 bucket (mod 2^20),
+    // per-bucket pos/neg occurrence counts under the lang='en' label,
+    // the same add-one-smoothed ln-quantized NB log-odds weights, and
+    // the same per-doc score sums — weight table and verdicts must both
+    // reproduce from the data for the hash to match.
     "doc_classifier_score" ->
-      s"""WITH t AS (SELECT doc_id, $ToksSql AS toks FROM documents),
-         |s AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
-         |        CAST(coalesce(list_sum([
-         |          ((list_sum([(CAST(strpos('0123456789abcdef', md5(tok)[i]) AS BIGINT) - 1)
-         |                      * (CAST(1 AS BIGINT) << (4*(8-i))) FOR i IN range(1, 9)])
-         |            % 1048576) * 2654435761) % 2147483648 - 1073741824
-         |          FOR tok IN toks]), 0) AS BIGINT) AS score_sum
-         |      FROM t)
-         |SELECT doc_id, n_tokens, score_sum, score_sum > 0 AS keep
-         |FROM s ORDER BY doc_id""".stripMargin,
+      s"""WITH t AS (SELECT doc_id, lang, $ToksSql AS toks FROM documents),
+         |occ AS (SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+         |          (list_sum([(CAST(strpos('0123456789abcdef', md5(tok)[i]) AS BIGINT) - 1)
+         |                     * (CAST(1 AS BIGINT) << (4*(8-i))) FOR i IN range(1, 9)])
+         |           % 1048576) AS bucket
+         |        FROM t, unnest(toks) AS u(tok)),
+         |agg AS (SELECT bucket, CAST(sum(y) AS BIGINT) AS pos,
+         |               CAST(sum(1 - y) AS BIGINT) AS neg
+         |        FROM occ GROUP BY 1),
+         |tot AS (SELECT CAST(sum(pos) AS BIGINT) AS pos_tot,
+         |               CAST(sum(neg) AS BIGINT) AS neg_tot FROM agg),
+         |w AS (SELECT bucket,
+         |        CAST(floor((ln(CAST(pos + 1 AS DOUBLE) / CAST(pos_tot + 1048576 AS DOUBLE))
+         |                  - ln(CAST(neg + 1 AS DOUBLE) / CAST(neg_tot + 1048576 AS DOUBLE))) * 1e6)
+         |             AS BIGINT) AS w_micro
+         |      FROM agg CROSS JOIN tot),
+         |sc AS (SELECT o.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |              CAST(sum(w.w_micro) AS BIGINT) AS score_sum
+         |       FROM occ o JOIN w USING (bucket) GROUP BY 1)
+         |SELECT d.doc_id, coalesce(n_tokens, 0) AS n_tokens,
+         |       coalesce(score_sum, 0) AS score_sum,
+         |       coalesce(score_sum, 0) > 0 AS keep
+         |FROM documents d LEFT JOIN sc USING (doc_id) ORDER BY doc_id""".stripMargin,
 
     "corpus_shuffle" ->
       """SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || 'sh') AS shuffle_key

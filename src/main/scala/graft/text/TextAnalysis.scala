@@ -169,9 +169,79 @@ object TextAnalysis {
     require(buckets > 0, s"buckets must be positive, got $buckets")
     aggregate(
       transform(toks, t =>
-        (pmod(conv(substring(md5(t), 1, 8), 16, 10).cast("long"), lit(buckets.toLong))
-          * lit(2654435761L)) % lit(2147483648L) - lit(1073741824L)),
+        (tokenBucket(t, buckets) * lit(2654435761L)) % lit(2147483648L) - lit(1073741824L)),
       lit(0L), (acc, x) => acc + x)
+  }
+
+  /** Hashed feature bucket of a token: first 8 hex digits of md5 mod
+    * `buckets` — both halves computable identically in DuckDB over the
+    * same UTF-8 bytes, so a weight table keyed on this bucket id is
+    * engine-portable. */
+  def tokenBucket(t: Column, buckets: Int): Column =
+    pmod(conv(substring(md5(t), 1, 8), 16, 10).cast("long"), lit(buckets.toLong))
+
+  /** TRAIN the feature-hashing classifier: closed-form multinomial
+    * Naive-Bayes log-odds per hashed bucket over a labeled corpus
+    * (`labelCol` = boolean positive-class indicator) —
+    *
+    *   w[b] = ⌊( ln((pos_b+1)/(posTot+B)) − ln((neg_b+1)/(negTot+B)) )·10⁶⌋,
+    *
+    * add-one smoothing with B = `buckets` features, quantized to exact
+    * integer micro-units (the [[bigramLmScores]] convention) so any
+    * engine replays the weights from the data. Closed-form NB is THE
+    * deterministic stand-in for a fastText-style trained filter: same
+    * feature transform, same linear form, weights genuinely estimated
+    * from labeled data (a gradient-trained model would only change the
+    * numbers in this table). Two aggregations, both map-side partial;
+    * the table is ≤ min(vocab, B) rows — broadcastable by construction,
+    * which is the point of hashing into bounded buckets. */
+  def nbBucketWeights(
+      df: DataFrame,
+      labelCol: Column,
+      textCol: String = "text",
+      buckets: Int = 1 << 20): DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    val counts = df
+      .select(labelCol.cast("int").as("y"), explode(tokens(col(textCol))).as("tok"))
+      .select(col("y"), tokenBucket(col("tok"), buckets).as("bucket"))
+      .groupBy("bucket")
+      .agg(sum(col("y")).cast("long").as("pos"),
+        sum(lit(1) - col("y")).cast("long").as("neg"))
+    val totals = counts.agg(
+      sum(col("pos")).as("pos_tot"), sum(col("neg")).as("neg_tot"))
+    counts.crossJoin(broadcast(totals))
+      .select(col("bucket"),
+        floor((log((col("pos") + 1).cast("double") / (col("pos_tot") + lit(buckets)).cast("double"))
+          - log((col("neg") + 1).cast("double") / (col("neg_tot") + lit(buckets)).cast("double"))) * 1e6)
+          .cast("long").as("w_micro"))
+  }
+
+  /** SCORE with the trained table: per document,
+    * `score_sum = Σ_tokens w[bucket(token)]` (unseen buckets weigh 0) —
+    * the inference half of the fastText-shape filter. Token occurrences
+    * pre-aggregate to (doc, bucket, cnt) before the weight join (the
+    * repeated-token factor never shuffles), the weight table broadcasts,
+    * and the rollup is the only doc-keyed shuffle. Returns (`idCol`,
+    * n_tokens, score_sum); `score_sum > 0` ⇒ the NB model judges the doc
+    * more likely positive-class than not. */
+  def classifierScores(
+      df: DataFrame,
+      weights: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      buckets: Int = 1 << 20): DataFrame = {
+    val occ = df
+      .select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+      .select(col(idCol), tokenBucket(col("tok"), buckets).as("bucket"))
+      .groupBy(col(idCol), col("bucket")).agg(count(lit(1)).as("cnt"))
+    val scored = occ.join(broadcast(weights), Seq("bucket"), "left")
+      .groupBy(col(idCol))
+      .agg(sum(col("cnt")).as("n_tokens"),
+        sum(col("cnt") * coalesce(col("w_micro"), lit(0L))).as("score_sum"))
+    df.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("score_sum"), lit(0L)).as("score_sum"))
   }
 
   /** PII patterns for [[scrubPii]], public for oracle mirroring. Kept to

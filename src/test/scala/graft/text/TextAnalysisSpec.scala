@@ -70,6 +70,34 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(r == Seq((1L, 3L, doc1), (2L, 1L, doc2), (3L, 0L, 0L)))
   }
 
+  test("NB-trained classifier: weights match the closed form, scores separate classes") {
+    val B = 1 << 20
+    def bucketOf(tok: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(tok.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(md, 16) % B
+    }
+    // pos occurrences: aa:3 bb:1 cc:1 (posTot 5); neg: dd:3 ee:1 ff:1 (negTot 5)
+    val d = Seq(
+      (1L, "aa aa bb", true), (2L, "aa cc", true),
+      (3L, "dd dd ee", false), (4L, "dd ff", false)
+    ).toDF("doc_id", "text", "en")
+    val w = TextAnalysis.nbBucketWeights(d, $"en", buckets = B)
+    val wMap = w.as[(Long, Long)].collect().toMap
+    def wExp(pos: Long, neg: Long): Long =
+      math.floor((math.log((pos + 1.0) / (5.0 + B)) - math.log((neg + 1.0) / (5.0 + B))) * 1e6).toLong
+    assert(wMap(bucketOf("aa")) == wExp(3, 0))
+    assert(wMap(bucketOf("bb")) == wExp(1, 0))
+    assert(wMap(bucketOf("dd")) == wExp(0, 3))
+    assert(wMap.size == 6) // no bucket collisions among the 6 tokens
+    val scores = TextAnalysis.classifierScores(d, w, buckets = B)
+      .orderBy("doc_id").as[(Long, Long, Long)].collect().toSeq
+    assert(scores.map(_._2) == Seq(3L, 2L, 3L, 2L)) // token counts
+    assert(scores(0)._3 == 2 * wExp(3, 0) + wExp(1, 0)) // doc 1 exact sum
+    assert(scores.take(2).forall(_._3 > 0) && scores.drop(2).forall(_._3 < 0),
+      s"NB log-odds must separate the classes: $scores")
+  }
+
   test("bigramLmScores: broadcast-unigram and shuffle-join plans agree exactly") {
     // the two physical shapes (broadcast vocab vs w1 shuffle join) must be
     // semantically interchangeable — same integers, row for row
