@@ -12,17 +12,25 @@ import org.apache.spark.sql.functions._
   */
 object ScaleProbe {
 
-  private def time[A](name: String)(body: => A): Unit = {
-    val t0 = System.nanoTime()
-    body
-    println(f"[scale] $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
-  }
+  /** Optional probe filter (second CLI arg, comma-separated substrings)
+    * so a single suspicious number can be re-measured without paying
+    * for the whole suite. */
+  private var onlyFilter: Option[Set[String]] = None
+
+  private def time[A](name: String)(body: => A): Unit =
+    if (onlyFilter.forall(_.exists(name.contains))) {
+      val t0 = System.nanoTime()
+      body
+      println(f"[scale] $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+    }
 
   private def noop(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
 
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(20)
+    onlyFilter = args.drop(1).headOption
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -37,6 +45,26 @@ object ScaleProbe {
       df.crossJoin(spark.range(times).select(col("id").as("_rep")))
         .withColumn(idCol, col(idCol) + col("_rep") * lit(n * 10))
         .drop("_rep")
+    }
+
+    // content-VARIED doc replication: every replica group gets a
+    // per-group token prefix, so shingle/fingerprint sets of different
+    // groups are DISJOINT and candidate-pair volume scales LINEARLY
+    // with the factor — the honest fixture for probing the pair-finding
+    // operators themselves. (Id-only replication turns every doc into a
+    // factor-sized exact-dup clique, growing candidate AND output
+    // volume quadratically in the factor: at 40× that fixture effect —
+    // 780 pairs per clique vs 190 at 20× — dwarfed the operators'
+    // own scaling in earlier rounds' tables.)
+    def replicateVaried(factor: Int): DataFrame = {
+      val base = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select("doc_id", "text")
+      val n = base.count()
+      base.crossJoin(spark.range(factor).select(col("id").as("_rep")))
+        .select(
+          (col("doc_id") + col("_rep") * lit(n * 10)).as("doc_id"),
+          concat_ws(" ", transform(split(col("text"), " "),
+            t => concat(lit("g"), col("_rep"), lit("_"), t))).as("text"))
     }
 
     // the vector corpus is small per scale factor — replicate it 10×
@@ -81,11 +109,17 @@ object ScaleProbe {
     time("exact dedup groups")(noop(
       graft.dedup.Dedup.exactDupGroups(docs)))
 
+    // pair-finding probes run on the VARIED replication (disjoint
+    // shingles across replica groups → linear pair volume); the
+    // natural near-dups WITHIN each group still exercise the verify
+    // stage at every factor
+    lazy val docsVaried = replicateVaried(factor)
+
     time("MinHash near-dup")(noop(
-      graft.dedup.Dedup.minHashNearDups(docs, maxJaccardDist = 0.6)))
+      graft.dedup.Dedup.minHashNearDups(docsVaried, maxJaccardDist = 0.6)))
 
     time("winnowing overlap")(noop(
-      graft.dedup.Dedup.winnowOverlapPairs(docs, minShared = 3, maxFingerprintDf = 20L * factor)))
+      graft.dedup.Dedup.winnowOverlapPairs(docsVaried, minShared = 3, maxFingerprintDf = 20L)))
 
     // replicas are exact dups of their originals, so the curation chain's
     // exact-dedup stage collapses them BEFORE the expensive candidate
@@ -129,6 +163,21 @@ object ScaleProbe {
 
     time("bigram LM scores")(noop(
       graft.text.TextAnalysis.bigramLmScores(docs)))
+
+    // leakage-split shape (corpus_split minus the artifact cache): the
+    // candidate-pair join + connected components + grouped-split join,
+    // on the varied replication (linear pair volume)
+    time("leakage split (pairs+CC+join)")(noop {
+      val pairs = graft.dedup.Dedup.ngramJaccardPairs(docsVaried, n = 3,
+          minJaccard = 0.3, maxShingleDf = 500L)
+        .select("id_a", "id_b")
+      val cc = graft.dedup.Dedup.connectedComponents(pairs)
+        .withColumnRenamed("id", "doc_id")
+      docsVaried.join(cc, Seq("doc_id"), "left")
+        .withColumn("grp", coalesce(col("cluster_id"), col("doc_id")))
+        .withColumn("split", graft.ops.Sampling.groupedSplit(col("grp"), salt = "sp1"))
+        .select("doc_id", "grp", "split")
+    })
 
     time("epoch upsample + shuffle order")(noop {
       val d = docs.withColumn("source", concat(lit("src"), col("doc_id") % 4))
