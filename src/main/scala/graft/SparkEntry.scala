@@ -468,6 +468,67 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // Temperature-flattened mixture (α = 1/2 exponent sampling, the
+    // XLM-R-style rebalance): per-source keep thresholds ∝ √n_s under a
+    // 300-doc budget — all integer arithmetic (⌊√n⌋ is exact) the
+    // oracle rederives from the same histogram; row fate is the usual
+    // md5 deviate. Narrow literal-threshold filter, no shuffle.
+    "corpus_temp_mixture" -> ((s, dir) => {
+      graft.ops.Sampling.temperatureMixture(docs(s, dir), "source",
+          budget = 300L, salt = "tm2")
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Overlapping context-window chunking (32-token windows, stride 24
+    // — 8-token overlap): the RAG / long-doc splitter. Boundaries are
+    // integer arithmetic; each chunk's CONTENT is pinned via the md5 of
+    // the space-joined window. Narrow explode, no shuffle.
+    "doc_chunks" -> ((s, dir) => {
+      TextAnalysis.docChunks(docs(s, dir), window = 32, stride = 24)
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    }),
+
+    // Corpus-wide top-40 vocabulary (count desc, token tiebreak) — the
+    // tokenizer/stopword-building rollup: map-side partial counts into
+    // a bounded global top-k (TakeOrderedAndProject), never a full sort.
+    "corpus_vocab" -> ((s, dir) => {
+      TextAnalysis.topTokens(docs(s, dir), k = 40)
+    }),
+
+    // Johnson–Lindenstrauss sign projection 64 → 16 dims: a fixed
+    // deterministic ±1 matrix (no RNG state), strictly left-associative
+    // float64 folds micro-quantized per output dim — the oracle bakes
+    // the identical sign literals, so all 16 projected coordinates of
+    // every vector are hash-pinned. Narrow codegen arithmetic.
+    "emb_project" -> ((s, dir) => {
+      val cols = (0 until 16).map(i =>
+        graft.functions.Projections.signProjectMicro(col("embedding"), i, EmbDim)
+          .as(f"p$i%02d"))
+      emb(s, dir).select((col("vec_id") +: cols): _*).orderBy(col("vec_id"))
+    }),
+
+    // Stream-static enrichment: the events FILE STREAM joined per
+    // micro-batch against the small static customer dimension
+    // (broadcast — the stream side never shuffles for the join), then a
+    // complete-mode rollup per (nation, event_type) through the parquet
+    // sink. The finished result must equal the batch join + group —
+    // streaming and batch enrichment semantics agree on the same data.
+    "stream_enrich" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val stream = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+      val dim = s.read.parquet(s"$dir/customer.parquet")
+        .select(col("c_custkey").as("user_id"), col("c_nationkey"))
+      val counts = stream.join(broadcast(dim), "user_id")
+        .groupBy(col("c_nationkey"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"), sum(col("event_id")).as("id_sum"))
+      runStreamToParquet(s, counts, outputMode = "complete",
+          overwrite = true, tag = "stream_enrich")
+        .orderBy(col("c_nationkey"), col("event_type"))
+    }),
+
     // O3 get: point lookup by id (reference vectordb.cpp:54-59) — the
     // filter pushes to the parquet scan.
     "vec_get" -> ((s, dir) => {
@@ -1593,6 +1654,62 @@ object SparkEntry {
          |WHERE (${dotSql("a.v", "b.v", 48)})
          |        / (sqrt(${dotSql("a.v", "a.v", 48)}) * sqrt(${dotSql("b.v", "b.v", 48)})) >= 0.999
          |ORDER BY id_a, id_b""".stripMargin,
+
+    // Rederives the √n thresholds from the same histogram with the same
+    // integer floor chain, then replays the md5 deviate filter.
+    "corpus_temp_mixture" ->
+      """WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY 1),
+        |r AS (SELECT source, n, CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS t FROM c),
+        |tot AS (SELECT CAST(sum(t) AS BIGINT) AS tr FROM r),
+        |th AS (SELECT source, n, least(10000, ((300 * t) // tr) * 10000 // n) AS thresh FROM r, tot),
+        |h AS (SELECT d.doc_id, d.source, th.thresh,
+        |        list_sum([(CAST(strpos('0123456789abcdef', md5(CAST(d.doc_id AS VARCHAR) || 'tm2')[i]) AS BIGINT) - 1)
+        |                  * (CAST(1 AS BIGINT) << (4*(8-i))) FOR i IN range(1, 9)]) % 10000 AS bucket
+        |      FROM documents d JOIN th USING (source))
+        |SELECT doc_id, source FROM h WHERE bucket < thresh ORDER BY doc_id""".stripMargin,
+
+    // Replays the window arithmetic (K = ⌈(n−32)/24⌉ via integer ceil)
+    // and pins every chunk's content hash.
+    "doc_chunks" ->
+      s"""WITH t AS (SELECT doc_id, $ToksSql AS toks FROM documents),
+         |st AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n FROM t),
+         |k AS (SELECT doc_id, toks, n,
+         |        unnest(range(0, CASE WHEN n <= 32 THEN 0 ELSE (n - 32 + 23) // 24 END + 1)) AS chunk_idx
+         |      FROM st),
+         |ch AS (SELECT doc_id, chunk_idx,
+         |         toks[(chunk_idx*24 + 1):least(chunk_idx*24 + 32, n)] AS chunk
+         |       FROM k)
+         |SELECT doc_id, chunk_idx, CAST(len(chunk) AS BIGINT) AS n_tokens,
+         |       md5(array_to_string(chunk, ' ')) AS chunk_md5
+         |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "corpus_vocab" ->
+      s"""WITH t AS (SELECT $ToksSql AS toks FROM documents),
+         |occ AS (SELECT unnest(toks) AS token FROM t)
+         |SELECT token, CAST(count(*) AS BIGINT) AS n FROM occ
+         |GROUP BY 1 ORDER BY n DESC, token LIMIT 40""".stripMargin,
+
+    // The identical ±1 literals and left-associative fold order, baked
+    // from the same Projections.sign table at SQL-generation time.
+    "emb_project" -> {
+      val outCols = (0 until 16).map { i =>
+        val terms = (0 until EmbDim).map { j =>
+          val s = if (graft.functions.Projections.sign(i, j, EmbDim) > 0) "+" else "-"
+          s"$s CAST(embedding[${j + 1}] AS DOUBLE)"
+        }.mkString(" ")
+        f"CAST(floor(($terms) * 1e6) AS BIGINT) AS p$i%02d"
+      }
+      s"""SELECT vec_id, ${outCols.mkString(",\n       ")}
+         |FROM embeddings ORDER BY vec_id""".stripMargin
+    },
+
+    // Batch twin of the stream-static enrichment: same join, same
+    // rollup — the streaming result must equal it exactly.
+    "stream_enrich" ->
+      """SELECT CAST(c.c_nationkey AS INTEGER) AS c_nationkey, e.event_type,
+        |       CAST(count(*) AS BIGINT) AS n_events, CAST(sum(e.event_id) AS BIGINT) AS id_sum
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "vec_get" ->
       "SELECT vec_id, label, len(embedding) AS dim FROM embeddings WHERE vec_id = 42",

@@ -88,6 +88,41 @@ object Sampling {
     df.filter(hashBucket(col(idCol), salt) < threshExpr)
   }
 
+  /** Temperature-flattened mixture — the α-sampling every multilingual
+    * / multi-source pretraining recipe uses (exponent sampling, e.g.
+    * XLM-R: Conneau et al. arXiv:1911.02116 §3.1): the kept share of
+    * source s is made ∝ n_s^α, flattening the natural size distribution
+    * toward uniform so huge sources stop drowning small ones. This
+    * implementation pins α = 1/2 (share ∝ √n_s) so every number is
+    * INTEGER arithmetic any engine replays exactly: t_s = ⌊√n_s⌋ (exact
+    * — IEEE sqrt is correctly rounded and the floor of it on a sub-2⁵²
+    * count is engine-independent), target kept_s = budget·t_s/Σt
+    * (integer floor), per-myriad threshold = min(10⁴, kept_s·10⁴/n_s),
+    * row fate the usual md5 deviate. Never upsamples (threshold caps at
+    * 10⁴). 100 TB shape: one metadata-sized histogram round-trip, then
+    * a narrow literal-threshold filter — no join, no shuffle. */
+  def temperatureMixture(
+      df: DataFrame,
+      catCol: String,
+      budget: Long,
+      idCol: String = "doc_id",
+      salt: String = ""): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val hist = df.groupBy(col(catCol).cast("string").as("cat"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    require(hist.nonEmpty, "cannot sample an empty corpus")
+    val roots = hist.map { case (k, n) => k -> math.sqrt(n.toDouble).toLong }
+    val totalRoot = roots.values.sum
+    val thresholds = hist.map { case (k, n) =>
+      k -> math.min(10000L, budget * roots(k) / totalRoot * 10000L / n)
+    }
+    val threshExpr = thresholds.foldLeft(lit(0L): Column) {
+      case (acc, (k, v)) => when(col(catCol).cast("string") === k, lit(v)).otherwise(acc)
+    }
+    df.filter(hashBucket(col(idCol), salt) < threshExpr)
+  }
+
   /** Epoch-upsampling mixture: reach a target mixture by REPEATING
     * documents (training epochs) as well as dropping them — the form
     * every pretraining recipe actually uses (high-quality small domains

@@ -455,6 +455,51 @@ object TextAnalysis {
       .drop("tokens", "tf_vec")
   }
 
+  /** Overlapping token-window chunking — the context-window splitter
+    * every RAG / long-doc training pipeline runs before embedding or
+    * packing: windows of `window` tokens starting every `stride`
+    * tokens (overlap = window − stride), last window partial. Chunk
+    * count K+1 with K = ⌈(n − window)/stride⌉ (0 when n ≤ window) —
+    * pure integer arithmetic, so the chunk boundaries are
+    * oracle-replayable; the emitted md5 of each space-joined chunk pins
+    * the actual chunk CONTENT, not just its shape. Narrow
+    * select + explode (output rows ≤ n/stride + 1 per doc), no shuffle;
+    * at 100 TB this is a scan-speed flatMap. */
+  def docChunks(
+      df: DataFrame,
+      window: Int = 32,
+      stride: Int = 24,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(window >= 1 && stride >= 1 && stride <= window,
+      s"need 1 <= stride <= window, got window=$window stride=$stride")
+    val staged = df.select(col(idCol), tokens(col(textCol)).as("t"))
+      .withColumn("n", size(col("t")).cast("long"))
+    staged
+      .withColumn("last_k",
+        when(col("n") <= window, lit(0L))
+          .otherwise(floor((col("n") - window + (stride - 1)) / stride).cast("long")))
+      .withColumn("chunk_idx", explode(sequence(lit(0L), col("last_k"))))
+      .withColumn("chunk", slice(col("t"), (col("chunk_idx") * stride + 1).cast("int"), lit(window)))
+      .select(col(idCol), col("chunk_idx"),
+        size(col("chunk")).cast("long").as("n_tokens"),
+        md5(concat_ws(" ", col("chunk"))).as("chunk_md5"))
+  }
+
+  /** Corpus-wide top-`k` tokens by frequency (ties broken by token) —
+    * the vocabulary-building / stopword-discovery primitive. Partial
+    * (map-side) count aggregation then a bounded global top-k
+    * (TakeOrderedAndProject — every partition contributes at most `k`
+    * rows, no global sort), the only shape that survives an open web
+    * vocabulary. */
+  def topTokens(df: DataFrame, k: Int, textCol: String = "text"): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    df.select(explode(tokens(col(textCol))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token").asc)
+      .limit(k)
+  }
+
   /** Full per-document stats projection used by the `doc_token_stats`
     * declared query. */
   def docStats(df: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {

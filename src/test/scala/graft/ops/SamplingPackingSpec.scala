@@ -150,6 +150,50 @@ class SamplingPackingSpec extends AnyFunSuite {
     assert(out == Seq((2L, "one|two"), (2L, "three|four"), (2L, "five|six")))
   }
 
+  test("temperatureMixture flattens toward small sources with exact integer thresholds") {
+    // counts: big=400, small=25 → roots 20, 5; budget 125 →
+    // big target = 125*20/25 = 100 → threshold 100*10⁴/400 = 2500
+    // small target = 125*5/25 = 25 → threshold min(10⁴, 25*10⁴/25) = 10⁴ (keep all)
+    val d = ((1L to 400L).map(i => (i, "big")) ++ (1001L to 1025L).map(i => (i, "small")))
+      .toDF("doc_id", "source")
+    def run() = Sampling.temperatureMixture(d, "source", budget = 125L, salt = "tt")
+      .select("doc_id", "source").as[(Long, String)].collect().toSet
+    val kept = run()
+    assert(kept == run(), "same salt must reproduce the same sample")
+    val small = kept.count(_._2 == "small")
+    val big = kept.count(_._2 == "big")
+    assert(small == 25, s"threshold 10⁴ must keep the whole small source, got $small")
+    // big keeps ~25% (threshold 2500/10⁴); hash-uniform within a wide band
+    assert(big >= 60 && big <= 140, s"big source kept $big of 400, expected ≈100")
+    // the flattening property: small keeps a strictly larger FRACTION
+    assert(small / 25.0 > big / 400.0)
+  }
+
+  test("docChunks: window/stride boundaries and content hashes are exact") {
+    val d = Seq((7L, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10")).toDF("doc_id", "text")
+    val out = graft.text.TextAnalysis.docChunks(d, window = 4, stride = 3)
+      .orderBy("chunk_idx").as[(Long, Long, Long, String)].collect().toSeq
+    // n=10, K = ceil(6/3) = 2 → starts 0, 3, 6 → lengths 4, 4, 4
+    assert(out.map(_._2) == Seq(0L, 1L, 2L))
+    assert(out.map(_._3) == Seq(4L, 4L, 4L))
+    def md5(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(out(0)._4 == md5("t1 t2 t3 t4"))
+    assert(out(2)._4 == md5("t7 t8 t9 t10"))
+    // a doc shorter than the window yields exactly one whole chunk
+    val short = Seq((8L, "a b")).toDF("doc_id", "text")
+    val one = graft.text.TextAnalysis.docChunks(short, window = 4, stride = 3)
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(one == Seq((8L, 0L, 2L, md5("a b"))))
+  }
+
+  test("topTokens: frequency order with token tiebreak, bounded at k") {
+    val d = Seq((1L, "b b b a a c"), (2L, "a d")).toDF("doc_id", "text")
+    val top = graft.text.TextAnalysis.topTokens(d, k = 3)
+      .as[(String, Long)].collect().toSeq
+    assert(top == Seq(("a", 3L), ("b", 3L), ("c", 1L))) // a before b on the tie
+  }
+
   test("capPerGroup keeps the first `cap` rows per group in order, drops the rest") {
     // host a: 10 docs, host b: 3, host c: 1 → cap 4 keeps 4 + 3 + 1
     val d = ((1L to 10L).map(i => (i, "a")) ++ Seq((20L, "b"), (21L, "b"), (22L, "b"), (30L, "c")))

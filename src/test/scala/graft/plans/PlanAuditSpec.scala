@@ -213,4 +213,35 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"),
       s"UDF crept into the hot path:\n$plan")
   }
+
+  test("classifier scoring broadcasts the weight table and pre-aggregates occurrences") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val w = graft.text.TextAnalysis.nbBucketWeights(docs, col("lang") === "en")
+    val plan = graft.text.TextAnalysis.classifierScores(docs, w)
+      .queryExecution.executedPlan.toString
+    // the SCORING join must be a broadcast hash join keyed on the
+    // bucket — the occurrence side is never shuffled for the lookup
+    // (the weight FIT's own bucket groupBy legitimately shuffles)
+    assert(plan.contains("BroadcastHashJoin [bucket"),
+      s"weight lookup is not a bucket-keyed broadcast join:\n$plan")
+    // occurrence rollup must partial-aggregate map-side before its shuffle
+    assert(plan.contains("partial_count"),
+      s"no map-side combine before the weight join:\n$plan")
+  }
+
+  test("corpus_split joins the persisted cluster artifact (no inline CC recompute)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_split_plan").toString
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val cc = graft.dedup.Dedup.clusterArtifact(docs, dir, n = 3, minJaccard = 0.3,
+      maxShingleDf = 500L)
+    val plan = docs.join(cc, Seq("doc_id"), "left")
+      .withColumn("grp", coalesce(col("cluster_id"), col("doc_id")))
+      .queryExecution.executedPlan.toString
+    // the artifact side must be a plain parquet scan of the persisted
+    // clusters, not the shingle join + iterative closure re-derived
+    assert(plan.contains(s"$dir/clusters") || plan.contains("clusters"),
+      s"artifact parquet scan missing:\n$plan")
+    assert(!plan.contains("shingles") && !plan.contains("posexplode"),
+      s"cluster derivation leaked back into the split plan:\n$plan")
+  }
 }
