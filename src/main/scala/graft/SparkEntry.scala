@@ -54,6 +54,11 @@ object SparkEntry {
   private def fixEventTs(df: DataFrame): DataFrame =
     df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
 
+  /** TPC-H-style star-schema table (ms timestamps — no nanos shim
+    * needed, unlike `events`). */
+  private def tbl(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
   /** Left-associative squared-L2 sum over explicit 1-based SQL array
     * indexes — bit-identical to Distances.l2Sq's fold. */
   private def l2SqSql(a: String, b: String, dim: Int = EmbDim): String =
@@ -1093,6 +1098,54 @@ object SparkEntry {
           sum(floor(col("value") * 1000).cast("long")).as("value_milli"))
         .orderBy(col("hour").asc_nulls_first, col("event_type").asc_nulls_first)
     }),
+
+    // ---- Relational OLAP pack over the star schema (Relational.scala).
+    // All money measures are integer cents (floor(x*100+0.5), identical
+    // IEEE ops in both engines), so partial-aggregation order can't
+    // shift a hash.
+
+    // TPC-H Q1 shape: single-pass partial-aggregated pricing summary.
+    "tpch_pricing" -> ((s, dir) =>
+      graft.ops.Relational.pricingSummary(tbl(s, dir, "lineitem"))),
+
+    // TPC-H Q5 shape: 6-table star join; constant dims broadcast,
+    // linear-scaling dims stay slim shuffle joins under AQE.
+    "tpch_nation_revenue" -> ((s, dir) =>
+      graft.ops.Relational.nationRevenue(
+        tbl(s, dir, "lineitem"), tbl(s, dir, "orders"),
+        tbl(s, dir, "customer"), tbl(s, dir, "supplier"),
+        tbl(s, dir, "nation"), tbl(s, dir, "region"),
+        regionName = "ASIA", orderYear = 1997)),
+
+    // Q10 shape: pre-aggregate the fact twice, TakeOrdered to k rows,
+    // THEN join the dimension (k-row side broadcasts for free).
+    "tpch_top_customers" -> ((s, dir) =>
+      graft.ops.Relational.topCustomersByRevenue(
+        tbl(s, dir, "lineitem"), tbl(s, dir, "orders"),
+        tbl(s, dir, "customer"), k = 10)),
+
+    // Pivot with an explicit value list (no values-discovery scan).
+    "tpch_order_pivot" -> ((s, dir) =>
+      graft.ops.Relational.orderPriorityPivot(tbl(s, dir, "orders"))),
+
+    // CUBE: all four grouping sets from one partial-aggregated pass.
+    "tpch_order_cube" -> ((s, dir) =>
+      graft.ops.Relational.orderStatusCube(tbl(s, dir, "orders"))),
+
+    // Window-rank top-k per group — rewritten to bounded row_topk by
+    // TopKWindowRewrite (asserted in PlanAuditSpec).
+    "tpch_brand_top3" -> ((s, dir) =>
+      graft.ops.Relational.topPartsPerBrand(tbl(s, dir, "part"), k = 3)),
+
+    // Running totals over an explicit ROWS frame (Spark's RANGE default
+    // would merge date ties; the oracle pins ROWS on both sides).
+    "tpch_running_total" -> ((s, dir) =>
+      graft.ops.Relational.customerRunningTotals(tbl(s, dir, "orders"))),
+
+    // Semi/anti join pair on the same slim filtered side.
+    "tpch_urgent_split" -> ((s, dir) =>
+      graft.ops.Relational.urgentCustomerSplit(
+        tbl(s, dir, "customer"), tbl(s, dir, "orders"))),
 
     // As-of join: each click joined to the user's most recent prior
     // signup (union + window last_value — one shuffle on user_id, no
@@ -2147,6 +2200,86 @@ object SparkEntry {
         |       CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS value_milli
         |FROM events GROUP BY ROLLUP (1, 2)
         |ORDER BY hour NULLS FIRST, event_type NULLS FIRST""".stripMargin,
+
+    "tpch_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |       CAST(sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS base_cents,
+        |       CAST(sum(CAST(floor((l_extendedprice * (1.0 - l_discount)) * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS disc_cents,
+        |       CAST(sum(CAST(floor(((l_extendedprice * (1.0 - l_discount)) * (1.0 + l_tax)) * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS charge_cents,
+        |       CAST(count(*) AS BIGINT) AS n_rows
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "tpch_nation_revenue" ->
+      """SELECT n_name AS nation,
+        |       CAST(sum(CAST(floor((l_extendedprice * (1.0 - l_discount)) * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents,
+        |       CAST(count(*) AS BIGINT) AS n_lineitems
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation   ON s_nationkey = n_nationkey
+        |JOIN region   ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA' AND EXTRACT(year FROM o_orderdate) = 1997
+        |GROUP BY 1 ORDER BY revenue_cents DESC, nation""".stripMargin,
+
+    "tpch_top_customers" ->
+      """WITH rev AS (
+        |  SELECT o_custkey,
+        |         CAST(sum(ord_cents) AS BIGINT) AS revenue_cents,
+        |         CAST(count(*) AS BIGINT) AS n_orders
+        |  FROM (SELECT l_orderkey,
+        |               CAST(sum(CAST(floor((l_extendedprice * (1.0 - l_discount)) * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS ord_cents
+        |        FROM lineitem GROUP BY 1) li
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  GROUP BY 1 ORDER BY revenue_cents DESC, o_custkey LIMIT 10)
+        |SELECT c_custkey, c_name, c_mktsegment, revenue_cents, n_orders
+        |FROM rev JOIN customer ON o_custkey = c_custkey
+        |ORDER BY revenue_cents DESC, c_custkey""".stripMargin,
+
+    "tpch_order_pivot" ->
+      """SELECT o_orderstatus,
+        |       CAST(count(*) FILTER (o_orderpriority = '1-URGENT') AS BIGINT) AS p_urgent,
+        |       CAST(count(*) FILTER (o_orderpriority = '2-HIGH') AS BIGINT) AS p_high,
+        |       CAST(count(*) FILTER (o_orderpriority = '3-MEDIUM') AS BIGINT) AS p_medium,
+        |       CAST(count(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS BIGINT) AS p_notspec,
+        |       CAST(count(*) FILTER (o_orderpriority = '5-LOW') AS BIGINT) AS p_low
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "tpch_order_cube" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |       CAST(count(*) AS BIGINT) AS n_orders,
+        |       CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents
+        |FROM orders GROUP BY CUBE (1, 2)
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+
+    "tpch_brand_top3" ->
+      """SELECT p_brand, CAST(rk AS INTEGER) AS rk, p_partkey,
+        |       CAST(floor(p_retailprice * 100.0 + 0.5) AS BIGINT) AS price_cents
+        |FROM (SELECT *, row_number() OVER (PARTITION BY p_brand
+        |                  ORDER BY p_retailprice DESC, p_partkey) AS rk
+        |      FROM part)
+        |WHERE rk <= 3 ORDER BY p_brand, rk""".stripMargin,
+
+    "tpch_running_total" ->
+      """SELECT o_custkey, o_orderkey,
+        |       strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+        |       CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+        |              OVER w AS BIGINT) AS cum_cents,
+        |       CAST(count(*) OVER w AS BIGINT) AS cum_orders
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "tpch_urgent_split" ->
+      """WITH u AS (SELECT DISTINCT o_custkey FROM orders
+        |           WHERE o_orderpriority = '1-URGENT')
+        |SELECT c_mktsegment,
+        |       CAST(count(u.o_custkey) AS BIGINT) AS n_with_urgent,
+        |       CAST(count(*) - count(u.o_custkey) AS BIGINT) AS n_without_urgent
+        |FROM customer c LEFT JOIN u ON c_custkey = o_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "events_funnel" ->
       """WITH u AS (SELECT user_id,
