@@ -534,6 +534,34 @@ object SparkEntry {
         .orderBy(col("c_nationkey"), col("event_type"))
     }),
 
+    // Custom-state streaming: sessionization via flatMapGroupsWithState
+    // (event-time timeout, bounded per-user state). Emission semantics
+    // are exactly replayable: a session closed by a later event of the
+    // same user emits intra-batch; the final no-data micro-batch fires
+    // the event-time timeout for trailing sessions whose end+gap is
+    // strictly below the final watermark (= floor(max event us / 1000)
+    // ms with a 0s delay). Session arithmetic is in MILLISECONDS
+    // (Timestamp.getTime floors the micros) — the oracle mirrors the
+    // floor division.
+    "stream_sessions" -> ((s, dir) => {
+      import s.implicits._
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val stream = fixEventTs(s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir))
+      val ev = stream.select(col("user_id"), col("ts"), col("event_type"))
+        .as[graft.streaming.Sessionize.Event]
+      val sess = graft.streaming.Sessionize.sessions(ev,
+        gapMs = 1800000L, watermarkDelay = "0 seconds").toDF()
+      runStreamToParquet(s, sess, outputMode = "append",
+          overwrite = false, tag = "stream_sessions")
+        .select(col("user_id"),
+          unix_micros(col("start")).as("start_us"),
+          unix_micros(col("end")).as("end_us"),
+          col("n_events"))
+        .orderBy(col("user_id"), col("start_us"))
+    }),
+
     // O3 get: point lookup by id (reference vectordb.cpp:54-59) — the
     // filter pushes to the parquet scan.
     "vec_get" -> ((s, dir) => {
@@ -2298,6 +2326,29 @@ object SparkEntry {
       """WITH b AS (SELECT least(greatest(CAST(floor((value - 0.0) / 50.0) AS BIGINT), 0), 19) AS bin FROM events)
         |SELECT bin, CAST(count(*) AS BIGINT) AS n, 0.0 + bin * 50.0 AS bin_start
         |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // streaming sessionization: gap-split in the ms domain
+    // (Timestamp.getTime floors micros→ms); a user's non-last sessions
+    // emit intra-batch, the last session emits only if the event-time
+    // timeout fired, i.e. end+gap strictly below the final watermark
+    "stream_sessions" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) // 1000 AS ms FROM events),
+        |l AS (SELECT user_id, ms, lag(ms) OVER (PARTITION BY user_id ORDER BY ms) AS prev_ms FROM e),
+        |f AS (SELECT user_id, ms,
+        |        CASE WHEN prev_ms IS NULL OR ms - prev_ms > 1800000 THEN 1 ELSE 0 END AS new_s
+        |      FROM l),
+        |s AS (SELECT user_id, ms,
+        |        sum(new_s) OVER (PARTITION BY user_id ORDER BY ms ROWS UNBOUNDED PRECEDING) AS sid
+        |      FROM f),
+        |g AS (SELECT user_id, sid, min(ms) AS start_ms, max(ms) AS end_ms,
+        |             CAST(count(*) AS BIGINT) AS n_events
+        |      FROM s GROUP BY 1, 2),
+        |mx AS (SELECT max(ms) AS wm FROM e),
+        |last AS (SELECT user_id, max(sid) AS last_sid FROM g GROUP BY 1)
+        |SELECT g.user_id, g.start_ms * 1000 AS start_us, g.end_ms * 1000 AS end_us, g.n_events
+        |FROM g JOIN last USING (user_id), mx
+        |WHERE g.sid < last.last_sid OR g.end_ms + 1800000 < mx.wm
+        |ORDER BY g.user_id, start_us""".stripMargin,
 
     "events_asof" ->
       """WITH clicks AS (SELECT user_id, ts AS cts, event_id FROM events WHERE event_type = 'click'),
