@@ -1127,6 +1127,18 @@ object SparkEntry {
         .orderBy(col("hour").asc_nulls_first, col("event_type").asc_nulls_first)
     }),
 
+    // Exact per-type quantiles, the counting-sort way: shuffle carries
+    // one row per distinct value-milli, the window runs over the
+    // bounded histogram, and the type-1 rank pick is pure integer math
+    // on both engines (interpolating percentiles would blend floats
+    // engine-specifically).
+    "events_quantiles" -> ((s, dir) => {
+      graft.ops.EventAnalytics.exactQuantiles(
+        events(s, dir), "event_type",
+        floor(col("value") * 1000).cast("long"),
+        Seq(0.5 -> "p50_milli", 0.9 -> "p90_milli", 0.99 -> "p99_milli"))
+    }),
+
     // ---- Relational OLAP pack over the star schema (Relational.scala).
     // All money measures are integer cents (floor(x*100+0.5), identical
     // IEEE ops in both engines), so partial-aggregation order can't
@@ -2228,6 +2240,20 @@ object SparkEntry {
         |       CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS value_milli
         |FROM events GROUP BY ROLLUP (1, 2)
         |ORDER BY hour NULLS FIRST, event_type NULLS FIRST""".stripMargin,
+
+    "events_quantiles" ->
+      """WITH em AS (SELECT event_type, CAST(floor(value * 1000) AS BIGINT) AS vm FROM events),
+        |h AS (SELECT event_type, vm, count(*) AS c FROM em GROUP BY 1, 2),
+        |cc AS (SELECT event_type, vm,
+        |         sum(c) OVER (PARTITION BY event_type ORDER BY vm
+        |                      ROWS UNBOUNDED PRECEDING) AS cum,
+        |         sum(c) OVER (PARTITION BY event_type) AS n
+        |       FROM h)
+        |SELECT event_type,
+        |       CAST(min(CASE WHEN cum >= ceil(n * 0.5) THEN vm END) AS BIGINT) AS p50_milli,
+        |       CAST(min(CASE WHEN cum >= ceil(n * 0.9) THEN vm END) AS BIGINT) AS p90_milli,
+        |       CAST(min(CASE WHEN cum >= ceil(n * 0.99) THEN vm END) AS BIGINT) AS p99_milli
+        |FROM cc GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "tpch_pricing" ->
       """SELECT l_returnflag, l_linestatus,

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Event-analytics operators over (user, ts, event_type, value) streams —
@@ -107,5 +108,39 @@ object EventAnalytics {
       .agg(count(lit(1)).as("n"))
       .withColumn("bin_start", lit(minVal) + col("bin") * width)
       .orderBy(col("bin"))
+  }
+
+  /** Exact per-group quantiles of an integer-quantized measure, the
+    * counting-sort way: aggregate to a (group, value) histogram first
+    * (shuffle carries one row per DISTINCT value, not per event), then
+    * rank-select over the cumulative counts. The only window runs over
+    * the bounded histogram — never over the raw events — so a hot group
+    * costs |distinct values| rows on one task, not |events|. The
+    * selected quantile is the classic type-1 discrete statistic
+    * (smallest value whose cumulative count reaches ceil(q·n)), which
+    * both engines reproduce bit-for-bit on integers — unlike
+    * interpolating percentiles, whose float blend is engine-specific.
+    * (The sketch-based scale path for continuous domains is
+    * approx_percentile, bounds-checked in events_sketch_check style.) */
+  def exactQuantiles(
+      df: DataFrame,
+      groupCol: String,
+      valueMilli: Column,
+      quantiles: Seq[(Double, String)]): DataFrame = {
+    require(quantiles.nonEmpty, "need at least one quantile")
+    val hist = df
+      .groupBy(col(groupCol), valueMilli.as("vm"))
+      .agg(count(lit(1)).as("c"))
+    val cum = Window.partitionBy(col(groupCol)).orderBy(col("vm"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy(col(groupCol))
+    val ranked = hist
+      .withColumn("cum", sum(col("c")).over(cum))
+      .withColumn("n", sum(col("c")).over(tot))
+    val picks = quantiles.map { case (q, name) =>
+      min(when(col("cum") >= ceil(col("n") * q), col("vm"))).as(name)
+    }
+    ranked.groupBy(col(groupCol)).agg(picks.head, picks.tail: _*)
+      .orderBy(col(groupCol))
   }
 }

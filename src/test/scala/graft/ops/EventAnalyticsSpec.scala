@@ -80,4 +80,30 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(out(19L) == 2L) // 99.0, 150.0 (clamped)
     assert(out.values.sum == 8L)
   }
+
+  test("exactQuantiles picks the type-1 discrete statistic per group") {
+    import org.apache.spark.sql.functions.col
+    // group a: values 1..10 → p50 = ceil(0.5*10)=5th = 5, p90 = 9th = 9
+    // group b: constant 7 → every quantile is 7
+    val df = ((1 to 10).map(v => ("a", v.toLong)) ++
+      Seq.fill(4)(("b", 7L))).toDF("g", "vm")
+    val out = EventAnalytics.exactQuantiles(df, "g", col("vm"),
+        Seq(0.5 -> "p50", 0.9 -> "p90"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out == Map("a" -> ((5L, 9L)), "b" -> ((7L, 7L))))
+  }
+
+  test("exactQuantiles windows over the histogram, not the raw rows") {
+    import org.apache.spark.sql.functions.col
+    val df = (1 to 1000).map(v => ("t", (v % 7).toLong)).toDF("g", "vm")
+    val plan = EventAnalytics.exactQuantiles(df, "g", col("vm"), Seq(0.5 -> "p50"))
+      .queryExecution.executedPlan.toString
+    // the aggregate that builds the (group, value) histogram must sit
+    // BELOW the window — a window directly over raw events would sort
+    // |events| rows on one task for a hot group
+    val winIdx = plan.indexOf("Window")
+    val aggBelow = plan.indexOf("HashAggregate", winIdx)
+    assert(winIdx >= 0 && aggBelow > winIdx,
+      s"histogram aggregate not below the window:\n$plan")
+  }
 }
