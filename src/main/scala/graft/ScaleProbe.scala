@@ -239,6 +239,31 @@ object ScaleProbe {
       }
     }
 
+    // star join at scale: fact tables replicated factor× (orderkeys
+    // shifted so the join fans out, not up), dimensions constant — the
+    // work that grows is exactly the lineitem pass + the broadcast
+    // probes + the 5-group aggregate, so the time should track the
+    // factor linearly. A super-linear jump here would mean the join
+    // plan degraded (lost broadcast, shuffled the fact twice).
+    {
+      // both sides of the orderkey join must shift by the SAME stride,
+      // or replica groups would only join within rep 0
+      def replicateKey(df: DataFrame, keyCol: String): DataFrame =
+        df.crossJoin(spark.range(factor).select(col("id").as("_rep")))
+          .withColumn(keyCol, col(keyCol) + col("_rep") * lit(100000000L))
+          .drop("_rep")
+      val li = replicateKey(spark.read.parquet(s"$sfDir/lineitem.parquet"), "l_orderkey")
+      val ord = replicateKey(spark.read.parquet(s"$sfDir/orders.parquet"), "o_orderkey")
+      val rev = graft.ops.Relational.nationRevenue(
+        li, ord,
+        spark.read.parquet(s"$sfDir/customer.parquet"),
+        spark.read.parquet(s"$sfDir/supplier.parquet"),
+        spark.read.parquet(s"$sfDir/nation.parquet"),
+        spark.read.parquet(s"$sfDir/region.parquet"),
+        regionName = "ASIA", orderYear = 1997)
+      time(s"tpch star join ${factor}x")(noop(rev))
+    }
+
     spark.stop()
   }
 }
