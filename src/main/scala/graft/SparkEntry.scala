@@ -501,6 +501,13 @@ object SparkEntry {
       TextAnalysis.topTokens(docs(s, dir), k = 40)
     }),
 
+    // Zipf profile: frequency-of-frequency over the vocabulary — both
+    // aggregations are massive reductions (wordcount partial-aggregates
+    // the hot head map-side; the second groupBy sees |vocab| rows).
+    "corpus_token_spectrum" -> ((s, dir) => {
+      TextAnalysis.tokenFrequencySpectrum(docs(s, dir))
+    }),
+
     // Johnson–Lindenstrauss sign projection 64 → 16 dims: a fixed
     // deterministic ±1 matrix (no RNG state), strictly left-associative
     // float64 folds micro-quantized per output dim — the oracle bakes
@@ -1781,6 +1788,13 @@ object SparkEntry {
          |occ AS (SELECT unnest(toks) AS token FROM t)
          |SELECT token, CAST(count(*) AS BIGINT) AS n FROM occ
          |GROUP BY 1 ORDER BY n DESC, token LIMIT 40""".stripMargin,
+
+    "corpus_token_spectrum" ->
+      s"""WITH t AS (SELECT $ToksSql AS toks FROM documents),
+         |occ AS (SELECT unnest(toks) AS token FROM t),
+         |v AS (SELECT token, CAST(count(*) AS BIGINT) AS occurrences FROM occ GROUP BY 1)
+         |SELECT occurrences, CAST(count(*) AS BIGINT) AS n_tokens
+         |FROM v GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // The identical ±1 literals and left-associative fold order, baked
     // from the same Projections.sign table at SQL-generation time.

@@ -500,6 +500,18 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Token frequency-of-frequency spectrum (the Zipf profile): how many
+    * distinct tokens occur exactly c times. Two aggregations, each a
+    * massive reduction — wordcount partial-aggregates the hot Zipf head
+    * map-side, and the second groupBy runs over |vocabulary| rows, not
+    * occurrences. The result is ≤ |distinct counts| rows, bounded and
+    * tiny at any corpus size. */
+  def tokenFrequencySpectrum(df: DataFrame, textCol: String = "text"): DataFrame =
+    df.select(explode(tokens(col(textCol))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("occurrences"))
+      .groupBy("occurrences").agg(count(lit(1)).as("n_tokens"))
+      .orderBy(col("occurrences"))
+
   /** Full per-document stats projection used by the `doc_token_stats`
     * declared query. */
   def docStats(df: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {

@@ -244,4 +244,5 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!plan.contains("shingles") && !plan.contains("posexplode"),
       s"cluster derivation leaked back into the split plan:\n$plan")
   }
+
 }

@@ -284,4 +284,12 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(d(2L) == ((0.0, 1.0 / 4.0)))   // all distinct: top gram is 1 of 4
     assert(d(3L) == ((0.0, 0.0)))         // shorter than n: empty list guard
   }
+
+  test("tokenFrequencySpectrum counts tokens at each occurrence level across docs") {
+    val df = Seq((1L, "a a b"), (2L, "a b c")).toDF("doc_id", "text")
+    // a ×3, b ×2, c ×1 → spectrum: 1→1 token, 2→1, 3→1
+    val got = TextAnalysis.tokenFrequencySpectrum(df)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
 }
