@@ -508,6 +508,16 @@ object SparkEntry {
       TextAnalysis.tokenFrequencySpectrum(docs(s, dir))
     }),
 
+    // BM25 retrieval: top-20 docs for a fixed query-term set. The
+    // occurrence scan filters to the query terms before any shuffle,
+    // df/length stats broadcast, TakeOrdered cuts the result; per-term
+    // scores are micro-quantized so the per-doc integer sum is
+    // aggregation-order-independent.
+    "doc_bm25_top20" -> ((s, dir) => {
+      TextAnalysis.bm25TopDocs(docs(s, dir),
+        terms = Seq("spark", "join", "merge", "window"))
+    }),
+
     // Johnson–Lindenstrauss sign projection 64 → 16 dims: a fixed
     // deterministic ±1 matrix (no RNG state), strictly left-associative
     // float64 folds micro-quantized per output dim — the oracle bakes
@@ -1795,6 +1805,25 @@ object SparkEntry {
          |v AS (SELECT token, CAST(count(*) AS BIGINT) AS occurrences FROM occ GROUP BY 1)
          |SELECT occurrences, CAST(count(*) AS BIGINT) AS n_tokens
          |FROM v GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // BM25: identical double ops in identical order, per-term micro
+    // quantization, integer per-doc sum — Lucene idf variant
+    "doc_bm25_top20" ->
+      s"""WITH d AS (SELECT doc_id, len($ToksSql) AS dl, $ToksSql AS toks FROM documents),
+         |occ AS (SELECT doc_id, dl, tok AS token, CAST(count(*) AS BIGINT) AS tf
+         |        FROM (SELECT doc_id, dl, unnest(toks) AS tok FROM d)
+         |        WHERE tok IN ('spark', 'join', 'merge', 'window')
+         |        GROUP BY 1, 2, 3),
+         |dft AS (SELECT token, CAST(count(*) AS BIGINT) AS dft FROM occ GROUP BY 1),
+         |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl FROM d),
+         |comp AS (SELECT doc_id,
+         |           CAST(floor((ln(1.0 + (CAST(n_docs - dft AS DOUBLE) + 0.5) / (CAST(dft AS DOUBLE) + 0.5))
+         |             * ((CAST(tf AS DOUBLE) * 2.2) / (CAST(tf AS DOUBLE) + 1.2
+         |                 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))))
+         |             * 1e6) AS BIGINT) AS comp
+         |         FROM occ JOIN dft USING (token), st)
+         |SELECT doc_id, CAST(sum(comp) AS BIGINT) AS bm25_micro, CAST(count(*) AS BIGINT) AS n_terms
+         |FROM comp GROUP BY 1 ORDER BY bm25_micro DESC, doc_id LIMIT 20""".stripMargin,
 
     // The identical ±1 literals and left-associative fold order, baked
     // from the same Projections.sign table at SQL-generation time.

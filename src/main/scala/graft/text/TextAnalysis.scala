@@ -500,6 +500,52 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** BM25 retrieval scoring (Robertson/Okapi, the Lucene idf variant
+    * `ln(1 + (N - df + 0.5)/(df + 0.5))`): top documents for a fixed
+    * query-term set. Occurrences filter to the query terms BEFORE the
+    * first shuffle (the candidate set is |docs|·|terms| bounded, the
+    * full posting space never materializes); document frequencies and
+    * the corpus length stats are broadcast scalars; the final cut is a
+    * TakeOrdered. Per-term components quantize to micro-units
+    * (floor(score·1e6)) so the integer per-doc sum is
+    * aggregation-order-independent and the oracle replays it exactly —
+    * the same ln-ulp discipline as [[tfIdfTopTerms]]. */
+  def bm25TopDocs(
+      df: DataFrame,
+      terms: Seq[String],
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      topN: Int = 20,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(terms.nonEmpty, "need at least one query term")
+    val d = df.select(col(idCol), tokens(col(textCol)).as("t"))
+      .select(col(idCol), size(col("t")).cast("long").as("dl"), col("t"))
+    val occ = d
+      .select(col(idCol), col("dl"), explode(col("t")).as("token"))
+      .filter(col("token").isin(terms: _*))
+      .groupBy(col(idCol), col("dl"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val dft = occ.groupBy("token").agg(count(lit(1)).as("dft"))
+    val stats = d.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val idf = log(lit(1.0) +
+      ((col("n_docs") - col("dft")).cast("double") + lit(0.5)) /
+        (col("dft").cast("double") + lit(0.5)))
+    val tfNorm = (col("tf").cast("double") * lit(k1 + 1.0)) /
+      (col("tf").cast("double") + lit(k1) *
+        (lit(1.0 - b) + lit(b) * (col("dl").cast("double") /
+          (col("sum_dl").cast("double") / col("n_docs").cast("double")))))
+    occ
+      .join(broadcast(dft), "token")
+      .crossJoin(broadcast(stats))
+      .withColumn("comp", floor(idf * tfNorm * lit(1e6)).cast("long"))
+      .groupBy(col(idCol))
+      .agg(sum(col("comp")).cast("long").as("bm25_micro"),
+        count(lit(1)).as("n_terms"))
+      .orderBy(col("bm25_micro").desc, col(idCol))
+      .limit(topN)
+  }
+
   /** Token frequency-of-frequency spectrum (the Zipf profile): how many
     * distinct tokens occur exactly c times. Two aggregations, each a
     * massive reduction — wordcount partial-aggregates the hot Zipf head

@@ -285,6 +285,26 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(d(3L) == ((0.0, 0.0)))         // shorter than n: empty list guard
   }
 
+  test("bm25TopDocs ranks by tf, idf, and length normalization; bounded cut") {
+    val df = Seq(
+      (1L, "cat cat cat dog"),            // high tf for 'cat'
+      (2L, "cat dog"),                    // same terms, shorter doc
+      (3L, "cat " + ("filler " * 50)),    // same tf=1, much longer doc
+      (4L, "bird only here"))             // no query terms
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.bm25TopDocs(df, Seq("cat", "dog"), topN = 10)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(!out.contains(4L), "doc without query terms must not appear")
+    // doc 1: tf=3 'cat' + 'dog'; doc 2: tf=1 each but shortest; both beat 3
+    assert(out(3L)._1 < out(1L)._1 && out(3L)._1 < out(2L)._1,
+      s"length normalization should penalize the long doc: $out")
+    assert(out(1L)._2 == 2L && out(3L)._2 == 1L) // matched-term counts
+    val plan = TextAnalysis.bm25TopDocs(df, Seq("cat", "dog"), topN = 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"top-k not bounded:\n$plan")
+    assert(plan.contains("BroadcastExchange"), s"df/stats not broadcast:\n$plan")
+  }
+
   test("tokenFrequencySpectrum counts tokens at each occurrence level across docs") {
     val df = Seq((1L, "a a b"), (2L, "a b c")).toDF("doc_id", "text")
     // a ×3, b ×2, c ×1 → spectrum: 1→1 token, 2→1, 3→1
