@@ -713,6 +713,31 @@ object SparkEntry {
           expr("bit_xor(h)").as("text_hash_xor"))
     }),
 
+    // CSV sink/source path (the interchange format the parquet-native
+    // stack still meets at ingest boundaries): write with an explicit
+    // escape discipline, read back with a declared schema (no inference
+    // pass — at 100 TB schema inference is a full extra scan), then the
+    // same content checksum as orc_roundtrip, recomputed by the oracle
+    // from the parquet original — a lossy writer, reader, or null/empty
+    // conflation would shift it.
+    "csv_roundtrip" -> ((s, dir) => {
+      val tmp = ivfLayoutDir(dir,
+        s"csvwork_p${ProcessHandle.current().pid()}") + "/docs"
+      docs(s, dir).write.mode("overwrite")
+        .option("header", "true").option("nullValue", "\\N")
+        .csv(tmp)
+      s.read.schema("doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
+        .option("header", "true").option("nullValue", "\\N")
+        .csv(tmp)
+        .withColumn("h",
+          conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          sum(col("doc_id")).cast("long").as("id_sum"),
+          sum(col("n_chars")).cast("long").as("chars_sum"),
+          expr("bit_xor(h)").as("text_hash_xor"))
+    }),
+
     // Gopher-style repetition signals: duplicate-n-gram and top-n-gram
     // occupancy fractions — the boilerplate/degenerate-loop filters that
     // complement the composite quality score. Per-row, no shuffle.
@@ -1944,6 +1969,14 @@ object SparkEntry {
     // Recomputed from the parquet original: equality proves the ORC
     // write+read preserved every row bit-for-bit (md5 of the raw text).
     "orc_roundtrip" ->
+      s"""SELECT CAST(count(*) AS BIGINT) AS n_rows,
+         |       CAST(sum(doc_id) AS BIGINT) AS id_sum,
+         |       CAST(sum(n_chars) AS BIGINT) AS chars_sum,
+         |       CAST(bit_xor(CAST(list_sum([(CAST(strpos('0123456789abcdef', md5(text)[i]) AS BIGINT) - 1)
+         |                                   * (CAST(1 AS BIGINT) << (4*(8-i))) FOR i IN range(1, 9)]) AS BIGINT)) AS BIGINT) AS text_hash_xor
+         |FROM documents""".stripMargin,
+
+    "csv_roundtrip" ->
       s"""SELECT CAST(count(*) AS BIGINT) AS n_rows,
          |       CAST(sum(doc_id) AS BIGINT) AS id_sum,
          |       CAST(sum(n_chars) AS BIGINT) AS chars_sum,
