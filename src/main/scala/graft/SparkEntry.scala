@@ -713,6 +713,32 @@ object SparkEntry {
           expr("bit_xor(h)").as("text_hash_xor"))
     }),
 
+    // Hive-style partitioned layout: write events partitioned by type
+    // once per process, then read ONE partition back — the filter
+    // becomes a PartitionFilter (directory pruning: 1/|types| of the
+    // bytes ever read, the same lever the IVF layout uses for cluster
+    // probes, here as a first-class relational surface). Plan-audited
+    // in PlanAuditSpec; checksum recomputed by the oracle from the
+    // unpartitioned original.
+    "events_partitioned_prune" -> ((s, dir) => {
+      val tmp = ivfLayoutDir(dir,
+        s"evpart_p${ProcessHandle.current().pid()}") + "/events"
+      // _SUCCESS (written last) gates reuse, so a crashed partial write
+      // is re-done rather than read
+      if (!new java.io.File(s"$tmp/_SUCCESS").exists()) {
+        events(s, dir)
+          .withColumn("ts_us", unix_micros(col("ts"))).drop("ts")
+          .write.mode("overwrite").partitionBy("event_type").parquet(tmp)
+      }
+      s.read.parquet(tmp)
+        .filter(col("event_type") === "click")
+        .agg(
+          count(lit(1)).as("n_clicks"),
+          sum(col("event_id")).cast("long").as("id_sum"),
+          sum(col("ts_us")).cast("long").as("ts_sum"),
+          sum(floor(col("value") * 1000).cast("long")).as("value_milli"))
+    }),
+
     // CSV sink/source path (the interchange format the parquet-native
     // stack still meets at ingest boundaries): write with an explicit
     // escape discipline, read back with a declared schema (no inference
@@ -1975,6 +2001,13 @@ object SparkEntry {
          |       CAST(bit_xor(CAST(list_sum([(CAST(strpos('0123456789abcdef', md5(text)[i]) AS BIGINT) - 1)
          |                                   * (CAST(1 AS BIGINT) << (4*(8-i))) FOR i IN range(1, 9)]) AS BIGINT)) AS BIGINT) AS text_hash_xor
          |FROM documents""".stripMargin,
+
+    "events_partitioned_prune" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_clicks,
+        |       CAST(sum(event_id) AS BIGINT) AS id_sum,
+        |       CAST(sum(epoch_us(ts)) AS BIGINT) AS ts_sum,
+        |       CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS value_milli
+        |FROM events WHERE event_type = 'click'""".stripMargin,
 
     "csv_roundtrip" ->
       s"""SELECT CAST(count(*) AS BIGINT) AS n_rows,

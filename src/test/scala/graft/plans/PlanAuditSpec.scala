@@ -245,4 +245,12 @@ class PlanAuditSpec extends AnyFunSuite {
       s"cluster derivation leaked back into the split plan:\n$plan")
   }
 
+  test("events_partitioned_prune reads one partition: the type filter is a PartitionFilter") {
+    val plan = graft.SparkEntry.queries("events_partitioned_prune")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(event_type"),
+      s"event_type not pruned at the directory level:\n$plan")
+    assert(plan.contains("= click)"),
+      s"click partition filter missing:\n$plan")
+  }
 }
