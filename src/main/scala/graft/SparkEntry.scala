@@ -1207,6 +1207,15 @@ object SparkEntry {
         Seq(0.5 -> "p50_milli", 0.9 -> "p90_milli", 0.99 -> "p99_milli"))
     }),
 
+    // Same counting-sort quantile operator over another table: document
+    // length distribution per source — the corpus-report form of the
+    // stat (sequence-length planning for packing/truncation budgets).
+    "doc_len_quantiles" -> ((s, dir) => {
+      graft.ops.EventAnalytics.exactQuantiles(
+        docs(s, dir), "source", col("n_chars"),
+        Seq(0.5 -> "p50_chars", 0.9 -> "p90_chars", 0.99 -> "p99_chars"))
+    }),
+
     // ---- Relational OLAP pack over the star schema (Relational.scala).
     // All money measures are integer cents (floor(x*100+0.5), identical
     // IEEE ops in both engines), so partial-aggregation order can't
@@ -2349,6 +2358,19 @@ object SparkEntry {
         |       CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS value_milli
         |FROM events GROUP BY ROLLUP (1, 2)
         |ORDER BY hour NULLS FIRST, event_type NULLS FIRST""".stripMargin,
+
+    "doc_len_quantiles" ->
+      """WITH h AS (SELECT source, n_chars AS vm, count(*) AS c FROM documents GROUP BY 1, 2),
+        |cc AS (SELECT source, vm,
+        |         sum(c) OVER (PARTITION BY source ORDER BY vm
+        |                      ROWS UNBOUNDED PRECEDING) AS cum,
+        |         sum(c) OVER (PARTITION BY source) AS n
+        |       FROM h)
+        |SELECT source,
+        |       CAST(min(CASE WHEN cum >= ceil(n * 0.5) THEN vm END) AS BIGINT) AS p50_chars,
+        |       CAST(min(CASE WHEN cum >= ceil(n * 0.9) THEN vm END) AS BIGINT) AS p90_chars,
+        |       CAST(min(CASE WHEN cum >= ceil(n * 0.99) THEN vm END) AS BIGINT) AS p99_chars
+        |FROM cc GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "events_quantiles" ->
       """WITH em AS (SELECT event_type, CAST(floor(value * 1000) AS BIGINT) AS vm FROM events),
