@@ -730,12 +730,15 @@ object SparkEntry {
           .withColumn("ts_us", unix_micros(col("ts"))).drop("ts")
           .write.mode("overwrite").partitionBy("event_type").parquet(tmp)
       }
+      // checksum sums micros-within-second, not raw epoch micros: a sum
+      // of ~1.7e15-scale epochs overflows Long past ~5k rows (ANSI mode
+      // faults) — caught at sf0.1, sf0.01 squeaked under Long.Max
       s.read.parquet(tmp)
         .filter(col("event_type") === "click")
         .agg(
           count(lit(1)).as("n_clicks"),
           sum(col("event_id")).cast("long").as("id_sum"),
-          sum(col("ts_us")).cast("long").as("ts_sum"),
+          sum(col("ts_us") % 1000000L).cast("long").as("ts_sum"),
           sum(floor(col("value") * 1000).cast("long")).as("value_milli"))
     }),
 
@@ -2014,7 +2017,7 @@ object SparkEntry {
     "events_partitioned_prune" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_clicks,
         |       CAST(sum(event_id) AS BIGINT) AS id_sum,
-        |       CAST(sum(epoch_us(ts)) AS BIGINT) AS ts_sum,
+        |       CAST(sum(epoch_us(ts) % 1000000) AS BIGINT) AS ts_sum,
         |       CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS value_milli
         |FROM events WHERE event_type = 'click'""".stripMargin,
 
