@@ -1198,6 +1198,27 @@ object SparkEntry {
         .orderBy(col("hour").asc_nulls_first, col("event_type").asc_nulls_first)
     }),
 
+    // Set operations as first-class relational surface: INTERSECT /
+    // EXCEPT over user-id sets (both plan as aggregate-then-join on the
+    // id — distinct semantics, partial-aggregated; no row-by-row
+    // comparison). Output is the membership count of each region of the
+    // click/purchase Venn diagram plus checksums.
+    "events_setops" -> ((s, dir) => {
+      val e = events(s, dir)
+      def users(t: String) =
+        e.filter(col("event_type") === t).select(col("user_id"))
+      val both = users("click").intersect(users("purchase"))
+      val clickOnly = users("click").except(users("purchase"))
+      val purchaseOnly = users("purchase").except(users("click"))
+      def agg(df: DataFrame, tag: String) =
+        df.agg(lit(tag).as("segment"), count(lit(1)).as("n_users"),
+          coalesce(sum(col("user_id")), lit(0L)).cast("long").as("id_sum"))
+      agg(both, "both")
+        .unionAll(agg(clickOnly, "click_only"))
+        .unionAll(agg(purchaseOnly, "purchase_only"))
+        .orderBy(col("segment"))
+    }),
+
     // Exact per-type quantiles, the counting-sort way: shuffle carries
     // one row per distinct value-milli, the window runs over the
     // bounded histogram, and the type-1 rank pick is pure integer math
@@ -2361,6 +2382,22 @@ object SparkEntry {
         |       CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS value_milli
         |FROM events GROUP BY ROLLUP (1, 2)
         |ORDER BY hour NULLS FIRST, event_type NULLS FIRST""".stripMargin,
+
+    "events_setops" ->
+      """WITH c AS (SELECT user_id FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id FROM events WHERE event_type = 'purchase'),
+        |b AS (SELECT user_id FROM c INTERSECT SELECT user_id FROM p),
+        |co AS (SELECT user_id FROM c EXCEPT SELECT user_id FROM p),
+        |po AS (SELECT user_id FROM p EXCEPT SELECT user_id FROM c),
+        |u AS (SELECT 'both' AS segment, CAST(count(*) AS BIGINT) AS n_users,
+        |             CAST(coalesce(sum(user_id), 0) AS BIGINT) AS id_sum FROM b
+        |      UNION ALL
+        |      SELECT 'click_only', CAST(count(*) AS BIGINT),
+        |             CAST(coalesce(sum(user_id), 0) AS BIGINT) FROM co
+        |      UNION ALL
+        |      SELECT 'purchase_only', CAST(count(*) AS BIGINT),
+        |             CAST(coalesce(sum(user_id), 0) AS BIGINT) FROM po)
+        |SELECT segment, n_users, id_sum FROM u ORDER BY segment""".stripMargin,
 
     "doc_len_quantiles" ->
       """WITH h AS (SELECT source, n_chars AS vm, count(*) AS c FROM documents GROUP BY 1, 2),
