@@ -93,6 +93,21 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(out == Map("a" -> ((5L, 9L)), "b" -> ((7L, 7L))))
   }
 
+  test("approx_percentile stays within its accuracy bound of the exact quantile") {
+    import org.apache.spark.sql.functions.{col, expr}
+    // the sketch is the 100 TB path for continuous domains; pin that it
+    // brackets the exact counting-sort statistic within its rank error
+    val n = 10000
+    val df = (1 to n).map(v => ("t", v.toLong)).toDF("g", "vm")
+    val exact = EventAnalytics.exactQuantiles(df, "g", col("vm"), Seq(0.5 -> "p50"))
+      .collect().head.getLong(1)
+    val approx = df.agg(expr("approx_percentile(vm, 0.5, 100)")).collect().head.getLong(0)
+    // accuracy=100 → rank error <= n/100; values are 1..n so value error
+    // tracks rank error directly
+    assert(math.abs(approx - exact) <= n / 100 + 1,
+      s"approx $approx vs exact $exact exceeds the rank-error bound")
+  }
+
   test("exactQuantiles windows over the histogram, not the raw rows") {
     import org.apache.spark.sql.functions.col
     val df = (1 to 1000).map(v => ("t", (v % 7).toLong)).toDF("g", "vm")
