@@ -54,6 +54,29 @@ class RelationalSpec extends AnyFunSuite {
       s"orders filter not near the scan:\n$plan")
   }
 
+  test("nationRevenue keeps only same-nation customer/supplier pairs in the region/year") {
+    val ts = java.sql.Timestamp.valueOf("1997-06-01 00:00:00")
+    val tsOff = java.sql.Timestamp.valueOf("1998-06-01 00:00:00")
+    val li = Seq(
+      (1L, 10L, 100.0, 0.0),  // order 1, supplier 10
+      (2L, 11L, 100.0, 0.0),  // order 2, supplier 11 (different nation than cust)
+      (3L, 10L, 100.0, 0.0))  // order 3: right pair, wrong year
+      .toDF("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    val ord = Seq((1L, 20L, ts), (2L, 20L, ts), (3L, 20L, tsOff))
+      .toDF("o_orderkey", "o_custkey", "o_orderdate")
+    val cust = Seq((20L, 1)).toDF("c_custkey", "c_nationkey")
+    val supp = Seq((10L, 1), (11L, 2)).toDF("s_suppkey", "s_nationkey")
+    val nat = Seq((1, "ALPHA", 7), (2, "BETA", 7)).toDF("n_nationkey", "n_name", "n_regionkey")
+    val reg = Seq((7, "ASIA")).toDF("r_regionkey", "r_name")
+    val out = Relational.nationRevenue(li, ord, cust, supp, nat, reg, "ASIA", 1997)
+      .collect()
+    // only order 1 survives: order 2's supplier nation mismatches the
+    // customer's, order 3 is outside the year
+    assert(out.length == 1)
+    assert(out.head.getString(0) == "ALPHA")
+    assert(out.head.getLong(1) == 10000L && out.head.getLong(2) == 1L)
+  }
+
   test("topCustomersByRevenue plans a bounded TakeOrdered before the dim join") {
     val plan = Relational.topCustomersByRevenue(
       spark.read.parquet(s"$sfDir/lineitem.parquet"),
