@@ -239,6 +239,16 @@ object ScaleProbe {
       }
     }
 
+    // wordcount shape at scale: the token-frequency spectrum over
+    // content-varied replicas (per-group prefixes grow the vocabulary
+    // linearly with the factor, the honest fixture for an explode +
+    // two-level aggregation)
+    {
+      val docsVaried = replicateVaried(factor)
+      time(s"token spectrum (varied) ${factor}x")(
+        noop(graft.text.TextAnalysis.tokenFrequencySpectrum(docsVaried)))
+    }
+
     // star join at scale: fact tables replicated factor× (orderkeys
     // shifted so the join fans out, not up), dimensions constant — the
     // work that grows is exactly the lineitem pass + the broadcast
