@@ -979,6 +979,27 @@ object SparkEntry {
       graft.index.Ivf.searchLayout(s, layout, query, k = 10, nprobe = 1)
     }),
 
+    // Spilled IVF (ScaNN-style multi-assignment): every row lands in
+    // its 2 nearest inverted lists, so boundary-straddling neighbors
+    // are findable at the SAME nprobe — 2× layout storage traded for
+    // read-side recall (quantified in the bench recall report). The
+    // planted dist-0 copies land top-1 in the query's own cluster, the
+    // nprobe=1 probe finds them all, and multi-assignment duplicates
+    // collapse before the heap — the result must hash-match the
+    // brute-force oracle over the union corpus.
+    "knn_ivf_spill_top10" -> ((s, dir) => {
+      val corpus = emb(s, dir)
+      val planted = corpus.filter(col("vec_id") === 0)
+        .crossJoin(s.range(10))
+        .select((col("id") + lit(3000000L)).as("vec_id"), col("embedding"))
+      val full = corpus.select(col("vec_id"), col("embedding")).union(planted)
+      val index = graft.index.Ivf.fit(full, nlist = 8, maxIter = 3)
+      val spilled = graft.index.Ivf.assignSpilled(index, full, spill = 2)
+      val query = corpus.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).toArray
+      graft.index.Ivf.searchSpilled(index, spilled, query, k = 10, nprobe = 1)
+    }),
+
     // Hybrid (filtered) IVF probe: ten dist-0 copies of the query
     // planted WITH the target label fill the filtered top-10 and share
     // the probed cluster by construction, so the nprobe=1 pruned +
@@ -2289,6 +2310,16 @@ object SparkEntry {
     // Exact brute force over the same planted corpus — the nprobe=1
     // probe must reproduce it because all dist-0 rows share the query's
     // cluster.
+    "knn_ivf_spill_top10" ->
+      s"""WITH c AS (SELECT vec_id, embedding FROM embeddings
+         |           UNION ALL
+         |           SELECT 3000000 + r.i AS vec_id, e.embedding
+         |           FROM embeddings e CROSS JOIN range(10) r(i) WHERE e.vec_id = 0),
+         |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+         |SELECT c.vec_id AS vec_id, ${l2SqSql("c.embedding", "q.qe")} AS dist
+         |FROM c CROSS JOIN q
+         |ORDER BY dist ASC, vec_id ASC LIMIT 10""".stripMargin,
+
     "knn_ivf_pruned" ->
       s"""WITH c AS (SELECT vec_id, embedding FROM embeddings
          |           UNION ALL

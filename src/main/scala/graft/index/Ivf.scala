@@ -172,6 +172,53 @@ object Ivf {
     df.withColumn("cluster", array_min(array(members.toIndexedSeq: _*)).getField("c"))
   }
 
+  /** Spilled (multi-)assignment, ScaNN-style: each row lands in its
+    * `spill` nearest inverted lists — same per-centroid arithmetic and
+    * lexicographic (dist, cluster) tie-break as [[assignByCentroids]],
+    * so the top-1 assignment is unchanged. Storage grows spill×, and a
+    * query whose true neighbors sit just across a Voronoi boundary
+    * finds them in an already-probed list: recall at FIXED nprobe
+    * rises without reading more clusters at query time (quantified in
+    * [[Recall.measure]]). That trades write-side space for read-side
+    * recall — the right direction at 100 TB, where probe IO dominates
+    * and the layout is written once. */
+  def assignSpilled(
+      index: Index,
+      df: DataFrame,
+      spill: Int,
+      embCol: String = "embedding"): DataFrame = {
+    val centroids = index.model.clusterCenters.map(_.toArray)
+    require(spill >= 1 && spill <= centroids.length,
+      s"spill must be in [1, ${centroids.length}], got $spill")
+    val members = centroids.zipWithIndex.map { case (c, i) =>
+      struct(
+        graft.functions.Distances.l2SqHof(col(embCol), lit(c)).as("d"),
+        lit(i).as("c"))
+    }
+    df.withColumn("cluster",
+      explode(slice(array_sort(array(members.toIndexedSeq: _*)), 1, spill)
+        .getField("c")))
+  }
+
+  /** Probe a spilled assignment: identical cluster ranking; rows probed
+    * through more than one list collapse BEFORE the top-k heap (a
+    * multi-assigned row must count once). The dedup shuffles only the
+    * probed subset — nprobe/nlist of the spilled rows. */
+  def searchSpilled(
+      index: Index,
+      assignedSpilled: DataFrame,
+      query: Array[Float],
+      k: Int,
+      nprobe: Int,
+      idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    val clusters = probeClusters(index, query, nprobe)
+    VectorSearch.knnExact(
+      assignedSpilled.filter(col("cluster").isin(clusters: _*))
+        .dropDuplicates(idCol),
+      query.toSeq, k, idCol, embCol)
+  }
+
   /** O2 `add` at the index level: incremental layout maintenance. New
     * rows are assigned by [[assignByCentroids]] and APPENDED to the
     * partitioned parquet — no rebuild, no rewrite of existing inverted

@@ -17,15 +17,19 @@ import org.apache.spark.sql.functions._
   */
 object Recall {
 
-  final case class Report(lsh: Double, ivf: Double, nQueries: Int, k: Int, nprobe: Int) {
+  final case class Report(lsh: Double, ivf: Double, ivfSpill: Double,
+      nQueries: Int, k: Int, nprobe: Int) {
     def json: String =
-      f""""recall":{"lsh_at$k":$lsh%.3f,"ivf_at$k":$ivf%.3f,"n_queries":$nQueries,"nprobe":$nprobe}"""
+      f""""recall":{"lsh_at$k":$lsh%.3f,"ivf_at$k":$ivf%.3f,"ivf_spill_at$k":$ivfSpill%.3f,"n_queries":$nQueries,"nprobe":$nprobe}"""
   }
 
-  /** recall@`k` of LSH (seeded BRP, the [[Ann]] defaults) and
-    * pruned-IVF (`nprobe` of `nlist` lists) search, averaged over the
-    * `nQueries` lowest-id corpus vectors as self-queries. Everything is
-    * seeded, so the numbers are reproducible run to run. */
+  /** recall@`k` of LSH (seeded BRP, the [[Ann]] defaults), pruned-IVF
+    * (`nprobe` of `nlist` lists), and spill-2 pruned-IVF
+    * ([[Ivf.assignSpilled]] — same nprobe, 2× storage) search, averaged
+    * over the `nQueries` lowest-id corpus vectors as self-queries.
+    * Everything is seeded, so the numbers are reproducible run to run;
+    * the lsh/ivf/ivfSpill triple quantifies the accuracy side of each
+    * index's accuracy/cost position at identical probe cost. */
   def measure(corpus: DataFrame, nQueries: Int = 10, k: Int = 10,
       nlist: Int = 8, nprobe: Int = 2): Report = {
     val qs = corpus.filter(col("vec_id") < nQueries)
@@ -35,7 +39,9 @@ object Recall {
     val ivfIndex = Ivf.fit(corpus, nlist = nlist, maxIter = 3)
     val assigned = Ivf.assign(ivfIndex, corpus).select("vec_id", "embedding", "cluster")
       .persist()
-    var lshHits, ivfHits = 0
+    val spilled = Ivf.assignSpilled(ivfIndex, corpus, spill = 2)
+      .select("vec_id", "embedding", "cluster").persist()
+    var lshHits, ivfHits, spillHits = 0
     try {
       qs.foreach { q =>
         val exact = graft.ops.VectorSearch.knnExact(corpus, q.toSeq, k)
@@ -44,11 +50,14 @@ object Recall {
           .select("vec_id").collect().map(_.getLong(0)).toSet
         val ivf = Ivf.search(ivfIndex, assigned, q, k, nprobe)
           .select("vec_id").collect().map(_.getLong(0)).toSet
+        val spill = Ivf.searchSpilled(ivfIndex, spilled, q, k, nprobe)
+          .select("vec_id").collect().map(_.getLong(0)).toSet
         lshHits += (exact & lsh).size
         ivfHits += (exact & ivf).size
+        spillHits += (exact & spill).size
       }
-    } finally assigned.unpersist()
+    } finally { assigned.unpersist(); spilled.unpersist() }
     val denom = (qs.length * k).toDouble
-    Report(lshHits / denom, ivfHits / denom, qs.length, k, nprobe)
+    Report(lshHits / denom, ivfHits / denom, spillHits / denom, qs.length, k, nprobe)
   }
 }

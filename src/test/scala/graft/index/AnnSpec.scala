@@ -171,17 +171,44 @@ class AnnSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
       "rebuild over the original corpus must discard appended rows")
   }
 
+  test("assignSpilled: spill rows per id, distinct lists, top-1 list unchanged") {
+    val corpus = emb.select("vec_id", "embedding")
+    val index = Ivf.fit(corpus, nlist = 4, maxIter = 3)
+    val spilled = Ivf.assignSpilled(index, corpus, spill = 2)
+      .select("vec_id", "cluster").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getInt(1)).toSeq).toMap
+    // compare against assignByCentroids — bit-identical arithmetic and
+    // tie-break (model.transform could differ by float ulps on ties)
+    val top1 = Ivf.assignByCentroids(
+        Ivf.Layout("unused", index.model.clusterCenters.map(_.toArray)), corpus)
+      .select("vec_id", "cluster").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    spilled.foreach { case (id, cs) =>
+      assert(cs.length == 2 && cs.distinct.length == 2,
+        s"id $id not in exactly 2 distinct lists: $cs")
+      // the first (nearest) assigned list is the plain top-1 assignment
+      assert(cs.head == top1(id),
+        s"id $id: spilled head ${cs.head} != top-1 ${top1(id)}")
+    }
+  }
+
   test("Recall.measure: seeded LSH/pruned-IVF recall@10 floors hold") {
     val r = Recall.measure(emb.select("vec_id", "embedding"),
       nQueries = 10, k = 10, nlist = 8, nprobe = 2)
-    info(f"recall@10: lsh=${r.lsh}%.3f ivf(nprobe=2/8)=${r.ivf}%.3f")
+    info(f"recall@10: lsh=${r.lsh}%.3f ivf(nprobe=2/8)=${r.ivf}%.3f spill2=${r.ivfSpill}%.3f")
     assert(r.nQueries == 10 && r.k == 10)
     assert(r.lsh >= 0.90, s"LSH recall degraded: ${r.lsh}")
     assert(r.ivf >= 0.25, s"pruned-IVF recall degraded: ${r.ivf}")
-    assert(r.lsh <= 1.0 && r.ivf <= 1.0)
+    // spill-2 probes the same lists over a superset assignment: recall
+    // can only improve (a top-1-assigned row is still in its list)
+    assert(r.ivfSpill >= r.ivf,
+      s"spilled recall ${r.ivfSpill} fell below plain IVF ${r.ivf}")
+    assert(r.lsh <= 1.0 && r.ivf <= 1.0 && r.ivfSpill <= 1.0)
     // the report line Bench embeds must be a valid JSON fragment
     val node = new com.fasterxml.jackson.databind.ObjectMapper()
       .readTree(s"{${r.json}}")
     assert(node.get("recall").get("lsh_at10").asDouble() == (r.lsh * 1000).round / 1000.0)
+    assert(node.get("recall").get("ivf_spill_at10").asDouble() ==
+      (r.ivfSpill * 1000).round / 1000.0)
   }
 }
