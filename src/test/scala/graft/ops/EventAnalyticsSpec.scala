@@ -93,6 +93,17 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(out == Map("a" -> ((5L, 9L)), "b" -> ((7L, 7L))))
   }
 
+  test("exactQuantiles: single-row group and empty input degenerate cleanly") {
+    import org.apache.spark.sql.functions.col
+    val one = Seq(("g", 42L)).toDF("g", "vm")
+    val r = EventAnalytics.exactQuantiles(one, "g", col("vm"),
+      Seq(0.5 -> "p50", 0.99 -> "p99")).collect()
+    assert(r.length == 1 && r.head.getLong(1) == 42L && r.head.getLong(2) == 42L)
+    val empty = Seq.empty[(String, Long)].toDF("g", "vm")
+    assert(EventAnalytics.exactQuantiles(empty, "g", col("vm"), Seq(0.5 -> "p50"))
+      .count() == 0)
+  }
+
   test("approx_percentile stays within its accuracy bound of the exact quantile") {
     import org.apache.spark.sql.functions.{col, expr}
     // the sketch is the 100 TB path for continuous domains; pin that it

@@ -145,6 +145,18 @@ class RelationalSpec extends AnyFunSuite {
     assert(got == Seq(1000L, 3000L, 6000L))
   }
 
+  test("empty inputs: pricingSummary yields no groups, urgentCustomerSplit puts everyone in the anti side") {
+    val emptyLi = Seq.empty[(String, String, Double, Double, Double, Double)]
+      .toDF("l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    assert(Relational.pricingSummary(emptyLi).count() == 0)
+    val cust = Seq((1L, "S"), (2L, "T")).toDF("c_custkey", "c_mktsegment")
+    val emptyOrders = Seq.empty[(Long, String)].toDF("o_custkey", "o_orderpriority")
+    val out = Relational.urgentCustomerSplit(cust, emptyOrders).collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("n_with_urgent"), r.getAs[Long]("n_without_urgent")))
+      .toMap
+    assert(out == Map("S" -> ((0L, 1L)), "T" -> ((0L, 1L))))
+  }
+
   test("urgentCustomerSplit partitions every customer exactly once per segment") {
     val cust = spark.read.parquet(s"$sfDir/customer.parquet")
     val ord = spark.read.parquet(s"$sfDir/orders.parquet")
