@@ -551,6 +551,39 @@ object SparkEntry {
         .orderBy(col("c_nationkey"), col("event_type"))
     }),
 
+    // Stream-STREAM interval join: clicks joined to same-user purchases
+    // within the following hour, both sides watermarked (the watermark
+    // bounds the join state Spark must hold — without it a stream-stream
+    // join buffers forever; with it, rows older than the watermark minus
+    // the interval are evicted). Inner-join emission is watermark-
+    // independent, and the file replay delivers everything in one batch,
+    // so the finished result equals the batch interval join the oracle
+    // runs.
+    "stream_join" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      def src() = fixEventTs(s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir))
+      val clicks = src().filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("ts").as("cts"),
+          col("event_id").as("click_id"))
+        .withWatermark("cts", "1 hour")
+      val purchases = src().filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("pts"),
+          col("event_id").as("purchase_id"))
+        .withWatermark("pts", "1 hour")
+      val joined = clicks.join(purchases,
+        col("c_user") === col("p_user") &&
+          col("pts") >= col("cts") &&
+          col("pts") <= col("cts") + expr("INTERVAL 1 HOUR"))
+      runStreamToParquet(s, joined, outputMode = "append",
+          overwrite = false, tag = "stream_join")
+        .select(col("c_user").as("user_id"), col("click_id"), col("purchase_id"),
+          unix_micros(col("cts")).as("click_us"),
+          unix_micros(col("pts")).as("purchase_us"))
+        .orderBy(col("user_id"), col("click_id"), col("purchase_id"))
+    }),
+
     // Custom-state streaming: sessionization via flatMapGroupsWithState
     // (event-time timeout, bounded per-user state). Emission semantics
     // are exactly replayable: a session closed by a later event of the
@@ -2554,6 +2587,16 @@ object SparkEntry {
       """WITH b AS (SELECT least(greatest(CAST(floor((value - 0.0) / 50.0) AS BIGINT), 0), 19) AS bin FROM events)
         |SELECT bin, CAST(count(*) AS BIGINT) AS n, 0.0 + bin * 50.0 AS bin_start
         |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // stream-stream interval join ≡ the batch interval join
+    "stream_join" ->
+      """SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+        |       epoch_us(c.ts) AS click_us, epoch_us(p.ts) AS purchase_us
+        |FROM events c JOIN events p
+        |  ON c.user_id = p.user_id
+        | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+        |WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+        |ORDER BY c.user_id, click_id, purchase_id""".stripMargin,
 
     // streaming sessionization: gap-split in the ms domain
     // (Timestamp.getTime floors micros→ms); a user's non-last sessions
