@@ -847,6 +847,41 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("bench_id"))
     }),
 
+    // Bloom-prefiltered decontamination: same answer as `decontaminate`
+    // (and the same oracle SQL — the hashes must agree), different
+    // 100 TB shape: the bench shingle set broadcasts as BITS and kills
+    // almost every corpus shingle map-side before any shuffle; the
+    // exact bench join removes bloom false positives, and the
+    // hot-shingle cap still sees exact corpus-wide counts because
+    // bloom membership is a pure function of the shingle value.
+    "decontaminate_bloom" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val bench = d.filter(col("doc_id") % 100 === 0)
+        .select((col("doc_id") + lit(9000000L)).as("bench_id"), col("text"))
+      Dedup.crossCorpusOverlapBloom(d, bench, n = 5, minShared = 2L,
+          maxShingleDf = 500L, fpp = 0.01)
+        .orderBy(col("doc_id"), col("bench_id"))
+    }),
+
+    // Gopher-rule quality gate (Rae et al. §A1.1): the canonical
+    // rule-based pretraining filter — word-count band, mean word
+    // length, symbol ratio, bullet/ellipsis line fractions, alphabetic
+    // word fraction, stopword floor. Narrow single-pass projection;
+    // stats ship with the verdict so re-thresholding needs no rescan.
+    "doc_gopher_filter" -> ((s, dir) => {
+      TextAnalysis.gopherStats(docs(s, dir), minWords = 10L, maxWords = 100000L)
+        .orderBy(col("doc_id"))
+    }),
+
+    // CCNet perplexity bucketing (Wenzek et al. §4.3): per-source
+    // head/middle/tail tiles by bigram-LM score. The Spark side computes
+    // NTILE via the counting-sort decomposition (no per-source global
+    // sort — the 100 TB shape); the oracle states plain NTILE.
+    "doc_ppl_buckets" -> ((s, dir) => {
+      TextAnalysis.perplexityBuckets(docs(s, dir), broadcastUnigrams = true)
+        .orderBy(col("doc_id"))
+    }),
+
     // Document fingerprinting: md5 content hash of normalized text.
     "doc_fingerprint" -> ((s, dir) => {
       docs(s, dir)
@@ -2155,6 +2190,86 @@ object SparkEntry {
          |FROM cs JOIN rare USING (shingle) JOIN bs USING (shingle)
          |GROUP BY 1, 2 HAVING count(*) >= 2
          |ORDER BY doc_id, bench_id""".stripMargin,
+
+    // IDENTICAL text to the `decontaminate` oracle: the bloom form must
+    // reproduce the exact answer — false positives die in the bench
+    // join, false negatives cannot exist, the df cap sees true counts.
+    "decontaminate_bloom" ->
+      s"""WITH t AS (SELECT doc_id, $ToksSql AS toks FROM documents),
+         |cs AS (SELECT doc_id,
+         |              unnest(list_distinct([array_to_string(toks[i:i+4], ' ') FOR i IN range(1, len(toks) - 3)])) AS shingle
+         |       FROM t WHERE len(toks) >= 5),
+         |bs AS (SELECT doc_id + 9000000 AS bench_id,
+         |              unnest(list_distinct([array_to_string(toks[i:i+4], ' ') FOR i IN range(1, len(toks) - 3)])) AS shingle
+         |       FROM t WHERE doc_id % 100 = 0 AND len(toks) >= 5),
+         |rare AS (SELECT shingle FROM cs GROUP BY 1 HAVING count(*) <= 500)
+         |SELECT cs.doc_id, bs.bench_id, CAST(count(*) AS BIGINT) AS n_shared
+         |FROM cs JOIN rare USING (shingle) JOIN bs USING (shingle)
+         |GROUP BY 1, 2 HAVING count(*) >= 2
+         |ORDER BY doc_id, bench_id""".stripMargin,
+
+    "doc_gopher_filter" ->
+      s"""WITH t AS (SELECT doc_id, $ToksSql AS toks, $NormSql AS norm,
+         |                  string_split(coalesce(text, ''), chr(10)) AS lines
+         |           FROM documents),
+         |s AS (SELECT doc_id,
+         |        CAST(len(toks) AS BIGINT) AS n_words,
+         |        CAST(floor(CAST(list_sum([len(x) FOR x IN toks]) AS DOUBLE) * 1000000.0
+         |                   / CAST(len(toks) AS DOUBLE)) AS BIGINT) AS mean_word_len_q,
+         |        CAST(len(norm) - len(replace(norm, '#', '')) AS BIGINT)
+         |          + CAST((len(norm) - len(replace(norm, '...', ''))) / 3 AS BIGINT) AS n_sym,
+         |        CAST(len(lines) AS BIGINT) AS n_lines,
+         |        CAST(len(list_filter(lines, l -> regexp_matches(trim(l), '^[-*•]'))) AS BIGINT) AS n_bullet,
+         |        CAST(len(list_filter(lines, l -> regexp_matches(trim(l), '(\\.\\.\\.|…)$$'))) AS BIGINT) AS n_ell,
+         |        CAST(len(list_filter(toks, x -> regexp_matches(x, '\\p{L}'))) AS BIGINT) AS n_alpha,
+         |        CAST(len(list_filter(['the','be','to','of','and','that','have','with'],
+         |                             w -> list_contains(toks, w))) AS BIGINT) AS stop_hits
+         |      FROM t),
+         |g AS (SELECT doc_id, n_words, mean_word_len_q,
+         |        CAST(floor(CAST(n_sym AS DOUBLE) * 1000000.0 / CAST(n_words AS DOUBLE)) AS BIGINT) AS symbol_ratio_q,
+         |        n_lines,
+         |        CAST(floor(CAST(n_bullet AS DOUBLE) * 1000000.0 / CAST(n_lines AS DOUBLE)) AS BIGINT) AS bullet_frac_q,
+         |        CAST(floor(CAST(n_ell AS DOUBLE) * 1000000.0 / CAST(n_lines AS DOUBLE)) AS BIGINT) AS ellipsis_frac_q,
+         |        CAST(floor(CAST(n_alpha AS DOUBLE) * 1000000.0 / CAST(n_words AS DOUBLE)) AS BIGINT) AS alpha_frac_q,
+         |        stop_hits
+         |      FROM s)
+         |SELECT *, (n_words BETWEEN 10 AND 100000 AND mean_word_len_q BETWEEN 3000000 AND 10000000
+         |           AND symbol_ratio_q <= 100000 AND bullet_frac_q < 900000
+         |           AND ellipsis_frac_q < 300000 AND alpha_frac_q >= 800000
+         |           AND stop_hits >= 2) AS passes
+         |FROM g ORDER BY doc_id""".stripMargin,
+
+    // Plain NTILE per source over the bigram-LM score — the Spark side
+    // computes the same assignment via the counting-sort decomposition
+    // (no per-source global sort); matching hashes prove equivalence.
+    "doc_ppl_buckets" ->
+      s"""WITH t AS (SELECT doc_id, $ToksSql AS toks FROM documents),
+         |occ AS (SELECT doc_id, toks[i] || ' ' || toks[i+1] AS gram, toks[i] AS w1
+         |        FROM t, unnest(range(1, len(toks))) AS u(i)),
+         |uni AS (SELECT w1, CAST(count(*) AS BIGINT) AS uc
+         |        FROM (SELECT unnest(toks) AS w1 FROM t) GROUP BY 1),
+         |v AS (SELECT CAST(count(*) AS BIGINT) AS v_size FROM uni),
+         |bi AS (SELECT gram, CAST(count(*) AS BIGINT) AS bc FROM occ GROUP BY 1),
+         |sc AS (SELECT o.doc_id,
+         |         CAST(floor(ln(CAST(bc + 1 AS DOUBLE) / CAST(uc + v_size AS DOUBLE)) * 1e6) AS BIGINT) AS lp
+         |       FROM occ o JOIN bi USING (gram) JOIN uni USING (w1) CROSS JOIN v),
+         |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |               CAST(sum(lp) AS BIGINT) AS lm_micro
+         |        FROM sc GROUP BY 1),
+         |lm AS (SELECT d.doc_id, d.source,
+         |              coalesce(n_bigrams, 0) AS n_bigrams, coalesce(lm_micro, 0) AS lm_micro
+         |       FROM documents d LEFT JOIN agg USING (doc_id)),
+         |qd AS (SELECT *, CASE WHEN n_bigrams = 0 THEN NULL
+         |         ELSE CAST(floor(CAST(lm_micro AS DOUBLE) * 1000000.0
+         |                         / CAST(n_bigrams AS DOUBLE)) AS BIGINT) END AS q
+         |       FROM lm),
+         |b AS (SELECT doc_id, source, n_bigrams, lm_micro,
+         |        CAST(ntile(3) OVER (PARTITION BY source ORDER BY q DESC NULLS LAST, doc_id) AS INTEGER) AS bucket
+         |      FROM qd)
+         |SELECT doc_id, source, n_bigrams, lm_micro, bucket,
+         |       CASE WHEN bucket = 1 THEN 'head' WHEN bucket = 3 THEN 'tail'
+         |            ELSE 'middle' END AS tier
+         |FROM b ORDER BY doc_id""".stripMargin,
 
     "doc_tfidf_top3" ->
       s"""WITH toks AS (SELECT doc_id, unnest($ToksSql) AS term FROM documents),

@@ -512,6 +512,61 @@ object Dedup {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** Bloom-prefiltered decontamination: identical output to
+    * [[crossCorpusOverlap]], different 100 TB shape. The exact form
+    * shuffles EVERY corpus shingle occurrence into the bench join even
+    * though almost none of them touch a benchmark phrase; at corpus
+    * scale that shuffle dwarfs the real work. Here the bench side —
+    * thousands of eval docs, the side that always fits in memory as
+    * BITS even when it is too wide to broadcast as a join table — is
+    * compacted into a Bloom filter (built with a `treeAggregate` under
+    * `stat.bloomFilter`, so the build itself is distributed), broadcast
+    * once, and applied map-side: only corpus shingles that might be
+    * benchmark shingles survive into the df-count and the join.
+    *
+    * Why the output is exactly equal, not approximately:
+    *  - no false negatives: every true benchmark shingle passes the
+    *    filter, so no overlap pair can be lost;
+    *  - false positives are killed by the exact bench join that
+    *    follows — a shingle not in `bs` joins to nothing;
+    *  - the `maxShingleDf` hot-shingle cap still sees exact corpus-wide
+    *    counts: bloom membership is a pure function of the shingle
+    *    VALUE, so all occurrences of a shingle pass or fail together
+    *    and a survivor's count among survivors IS its full-corpus df.
+    *
+    * The prefilter is a deliberate non-codegen UDF: one bit-test per
+    * shingle on the map side buys the elimination of the corpus-wide
+    * shuffle, which is the actual 100 TB bottleneck. */
+  def crossCorpusOverlapBloom(
+      corpus: DataFrame,
+      bench: DataFrame,
+      n: Int = 5,
+      minShared: Long = 2L,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      benchIdCol: String = "bench_id",
+      maxShingleDf: Long = 1000L,
+      fpp: Double = 0.01): DataFrame = {
+    require(fpp > 0.0 && fpp < 1.0, s"fpp must be in (0,1), got $fpp")
+    val cs = corpus.select(col(idCol), explode(wordShingles(col(textCol), n)).as("shingle"))
+    val bs = bench.select(col(benchIdCol), explode(wordShingles(col(textCol), n)).as("shingle"))
+    // occurrence count over-estimates the distinct-shingle cardinality,
+    // which only makes the filter larger / the fpp lower — never wrong
+    val nBench = math.max(bs.count(), 1L)
+    val bloom = bs.stat.bloomFilter("shingle", nBench, fpp)
+    val bloomB = corpus.sparkSession.sparkContext.broadcast(bloom)
+    val mightContain = udf((s: String) => s != null && bloomB.value.mightContainString(s))
+    val survivors = cs.filter(mightContain(col("shingle")))
+    val rare = survivors.groupBy("shingle").agg(count(lit(1)).as("df_count"))
+      .filter(col("df_count") <= maxShingleDf)
+      .select("shingle")
+    survivors.join(rare, "shingle")
+      .join(bs, "shingle")
+      .groupBy(col(idCol), col(benchIdCol))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   // -------------------------------------------------- chunk-level exact
 
   /** Chunk-level exact dedup: the boilerplate-removal pass every web

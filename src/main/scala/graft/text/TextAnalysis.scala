@@ -96,6 +96,81 @@ object TextAnalysis {
     lengthScore * 0.4 + diversity * 0.4 + stopScore * 0.2
   }
 
+  /** The eight Gopher stop words — a document must contain at least two
+    * (Rae et al., arXiv:2112.11446 §A1.1). Public for oracle/spec reuse. */
+  val GopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher-rule document filter (Rae et al., arXiv:2112.11446 §A1.1):
+    * the canonical rule-based pretraining quality gate. Emits the raw
+    * per-document statistics alongside the pass verdict so downstream
+    * can re-threshold without a second scan:
+    *
+    *  - `n_words` in [minWords, maxWords]        (50 / 100000 in Gopher)
+    *  - mean word length in [3, 10] characters
+    *  - symbol-to-word ratio ('#' chars + '...' runs) ≤ 0.1
+    *  - < 90% of lines start with a bullet ('-', '*', '•')
+    *  - < 30% of lines end with an ellipsis ('...' or '…')
+    *  - ≥ 80% of words contain at least one letter
+    *  - ≥ 2 distinct [[GopherStopwords]] present
+    *
+    * Word stats run over normalized [[tokens]]; line stats split the RAW
+    * text on '\n' (normalization collapses newlines). Ratios are
+    * quantized to integer millionths with numerator×10⁶ BEFORE the
+    * divide — both engines evaluate the identical double expression, so
+    * the floor is bit-stable. Narrow single-pass projection: no shuffle,
+    * no UDF — at 100 TB this is a map-only scan that feeds a filter. */
+  def gopherStats(
+      df: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      minWords: Long = 50L,
+      maxWords: Long = 100000L): DataFrame = {
+    val staged = df.select(
+      col(idCol),
+      tokens(col(textCol)).as("toks"),
+      normalizeText(col(textCol)).as("norm"),
+      split(coalesce(col(textCol), lit("")), "\n").as("lines"))
+    val nWords = size(col("toks")).cast("long")
+    val meanLenQ = floor(
+      aggregate(col("toks"), lit(0L), (acc, x) => acc + length(x)).cast("double") * 1000000.0 /
+        nWords.cast("double")).cast("long")
+    val nHash = (length(col("norm")) - length(regexp_replace(col("norm"), "#", ""))).cast("long")
+    val nEllipsis = ((length(col("norm")) -
+      length(regexp_replace(col("norm"), "\\.\\.\\.", ""))) / 3).cast("long")
+    val symbolQ = floor((nHash + nEllipsis).cast("double") * 1000000.0 /
+      nWords.cast("double")).cast("long")
+    val nLines = size(col("lines")).cast("long")
+    val bulletCount = size(filter(col("lines"),
+      l => trim(l).rlike("^[-*•]"))).cast("long")
+    val ellipsisEndCount = size(filter(col("lines"),
+      l => trim(l).rlike("(\\.\\.\\.|…)$"))).cast("long")
+    val bulletQ = floor(bulletCount.cast("double") * 1000000.0 / nLines.cast("double")).cast("long")
+    val ellipsisQ = floor(ellipsisEndCount.cast("double") * 1000000.0 / nLines.cast("double")).cast("long")
+    val alphaCount = size(filter(col("toks"), t => t.rlike("\\p{L}"))).cast("long")
+    val alphaQ = floor(alphaCount.cast("double") * 1000000.0 / nWords.cast("double")).cast("long")
+    val stopHits = size(filter(
+      array(GopherStopwords.map(lit): _*),
+      w => array_contains(col("toks"), w))).cast("long")
+    staged.select(
+      col(idCol),
+      nWords.as("n_words"),
+      meanLenQ.as("mean_word_len_q"),
+      symbolQ.as("symbol_ratio_q"),
+      nLines.as("n_lines"),
+      bulletQ.as("bullet_frac_q"),
+      ellipsisQ.as("ellipsis_frac_q"),
+      alphaQ.as("alpha_frac_q"),
+      stopHits.as("stop_hits"),
+      (nWords.between(minWords, maxWords) &&
+        meanLenQ.between(3000000L, 10000000L) &&
+        (symbolQ <= 100000L) &&
+        (bulletQ < 900000L) &&
+        (ellipsisQ < 300000L) &&
+        (alphaQ >= 800000L) &&
+        (stopHits >= 2L)).as("passes"))
+  }
+
   /** Raw (non-distinct) word n-grams — the occurrence list the
     * repetition signals need; [[org.apache.spark.sql.graft.VectorExpressions.wordShingles]]
     * dedups and serves the join-key paths instead.
@@ -408,6 +483,77 @@ object TextAnalysis {
       .select(col(idCol),
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
         coalesce(col("lm_micro"), lit(0L)).as("lm_micro"))
+  }
+
+  /** CCNet-style perplexity bucketing (Wenzek et al., arXiv:1911.00359
+    * §4.3): rank every document within its `groupCol` (language /
+    * snapshot in CCNet, `source` here) by per-token LM log-probability
+    * and cut the ranking into `nBuckets` equal tiles — bucket 1 ('head')
+    * is the lowest-perplexity slice that pretraining keeps, the last
+    * ('tail') the one it drops or down-weights.
+    *
+    * The bucket assignment is exactly SQL `NTILE(k) OVER (PARTITION BY
+    * group ORDER BY q DESC NULLS LAST, id)` — but computed WITHOUT a
+    * per-group global sort, because at 100 TB a source is billions of
+    * docs and `ntile` over that partition is a single-reducer sort.
+    * Instead the counting-sort decomposition used by the exact-quantile
+    * operator: (1) per-(group, score) doc counts — a partial-aggregated
+    * groupBy whose cardinality is #distinct scores, not #docs; (2) a
+    * cumulative-count window over that SMALL value table gives each
+    * score its global rank offset; (3) a fine-grained window partitioned
+    * by (group, score) — skew bounded by the largest score-tie, not the
+    * group — gives the within-tie order; (4) the NTILE bucket follows
+    * from the rank arithmetically (first n%k buckets get ⌈n/k⌉ rows).
+    * The oracle states the plain NTILE form; matching hashes prove the
+    * decomposition. Docs with no bigrams rank last (null score). */
+  def perplexityBuckets(
+      df: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      groupCol: String = "source",
+      nBuckets: Int = 3,
+      broadcastUnigrams: Boolean = false): DataFrame = {
+    require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
+    import org.apache.spark.sql.expressions.Window
+    val lm = bigramLmScores(df, idCol, textCol, broadcastUnigrams)
+    val base = df.select(col(idCol), col(groupCol)).join(lm, Seq(idCol))
+      .withColumn("q",
+        when(col("n_bigrams") === 0L, lit(null).cast("long"))
+          .otherwise(floor(col("lm_micro").cast("double") * 1000000.0 /
+            col("n_bigrams").cast("double")).cast("long")))
+    val tieW = Window.partitionBy(col(groupCol), col("q")).orderBy(col(idCol).asc)
+    val ranked = base.withColumn("tie_rn", row_number().over(tieW))
+    val counts = base.groupBy(col(groupCol), col("q")).agg(count(lit(1)).as("vc"))
+    val cumW = Window.partitionBy(col(groupCol)).orderBy(col("q").desc_nulls_last)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offsets = counts
+      .withColumn("cum", sum(col("vc")).over(cumW))
+      .withColumn("rank_start", col("cum") - col("vc"))
+      .withColumn("n_total", sum(col("vc")).over(Window.partitionBy(col(groupCol))))
+      .select(col(groupCol), col("q"), col("rank_start"), col("n_total"))
+    val k = lit(nBuckets.toLong)
+    // null-safe on q: the no-bigram docs carry a null score and must
+    // keep their row (a Seq-join would silently drop them)
+    val joined = ranked.alias("l")
+      .join(offsets.alias("o"),
+        col(s"l.$groupCol") === col(s"o.$groupCol") && col("l.q") <=> col("o.q"))
+      .withColumn("r", col("rank_start") + col("tie_rn"))
+    // Column./ on longs is DOUBLE division in Spark — floor() restores
+    // integer-division semantics exactly (counts are far below 2^53)
+    val big = col("n_total") % k
+    val smallSize = floor(col("n_total").cast("double") / k.cast("double")).cast("long")
+    val bigSize = smallSize + 1L
+    val bucket = when(col("r") <= big * bigSize,
+        floor((col("r") - 1L).cast("double") / bigSize.cast("double")).cast("long") + 1L)
+      .otherwise(big +
+        floor((col("r") - 1L - big * bigSize).cast("double") / smallSize.cast("double")).cast("long") + 1L)
+      .cast("int")
+    joined.select(
+      col(s"l.$idCol").as(idCol), col(s"l.$groupCol").as(groupCol),
+      col("n_bigrams"), col("lm_micro"),
+      bucket.as("bucket"),
+      when(bucket === 1, "head").when(bucket === nBuckets, "tail")
+        .otherwise("middle").as("tier"))
   }
 
   /** Relational TF-IDF: top-`topN` terms per document ranked by

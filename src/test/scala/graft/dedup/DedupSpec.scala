@@ -181,6 +181,47 @@ class DedupSpec extends AnyFunSuite {
     assert(hits == Set((1L, 100L, 3L), (2L, 100L, 2L)))
   }
 
+  test("crossCorpusOverlapBloom reproduces the exact overlap answer bit-for-bit") {
+    // a corpus big enough that the bloom prefilter is doing real work:
+    // 60 filler docs with disjoint shingles + the planted-overlap trio
+    val filler = (1000L until 1060L).map(i =>
+      (i, s"filler${i}a filler${i}b filler${i}c filler${i}d filler${i}e filler${i}f"))
+    val corpus = (Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon other words"),
+      (3L, "totally unrelated content with no overlap at all")
+    ) ++ filler).toDF("doc_id", "text")
+    val bench = Seq((100L, "alpha beta gamma delta epsilon zeta")).toDF("bench_id", "text")
+    val exact = Dedup.crossCorpusOverlap(corpus, bench, n = 4, minShared = 1L)
+      .select("doc_id", "bench_id", "n_shared")
+      .as[(Long, Long, Long)].collect().toSet
+    val bloom = Dedup.crossCorpusOverlapBloom(corpus, bench, n = 4, minShared = 1L)
+      .select("doc_id", "bench_id", "n_shared")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(bloom == exact)
+    assert(exact == Set((1L, 100L, 3L), (2L, 100L, 2L)))
+  }
+
+  test("crossCorpusOverlapBloom honors the hot-shingle cap with full-corpus counts") {
+    // the same 4-gram appears in 3 corpus docs AND the bench; with
+    // maxShingleDf = 2 the cap must kill it — proving the df count the
+    // bloom path sees is the full-corpus count, not a post-filter one
+    val corpus = Seq(
+      (1L, "hot gram one two extra a"),
+      (2L, "hot gram one two extra b"),
+      (3L, "hot gram one two extra c")
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, "hot gram one two")).toDF("bench_id", "text")
+    val capped = Dedup.crossCorpusOverlapBloom(corpus, bench, n = 4, minShared = 1L,
+        maxShingleDf = 2L)
+      .count()
+    assert(capped == 0L)
+    val uncapped = Dedup.crossCorpusOverlapBloom(corpus, bench, n = 4, minShared = 1L,
+        maxShingleDf = 10L)
+      .count()
+    assert(uncapped == 3L)
+  }
+
   test("connectedComponents labels transitive chains with the component min id") {
     // 1-2, 2-3 (chain — 1~3 only transitively), 10-11 separate, 20-21-22
     // via a hub; nodes outside any pair must not appear

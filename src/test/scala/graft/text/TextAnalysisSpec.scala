@@ -312,4 +312,94 @@ class TextAnalysisSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().toMap
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
   }
+
+  test("gopherStats computes each rule's statistic and the pass verdict") {
+    val good = "the quick brown fox jumps over that lazy dog with style and grace today"
+    val bullets = "- the item one\n- of item two\n- and item three\nnormal with that line"
+    val symbols = "the ### tag ### and more ... text ... with that noise here now ok"
+    val numeric = "111 222 333 444 555 666 777 888 999 000 the that"
+    val df = Seq(
+      (1L, good),     // passes every rule (minWords lowered to 5)
+      (2L, bullets),  // 3/4 bullet lines — fails only if threshold tightened; here n_lines=4
+      (3L, symbols),  // symbol ratio way over 0.1
+      (4L, numeric),  // alpha fraction 2/12 < 0.8
+      (5L, "tiny doc")// below min word count, no stopwords
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.gopherStats(df, minWords = 5L).collect()
+      .map(r => r.getLong(0) -> r).toMap
+
+    assert(out(1L).getAs[Boolean]("passes"))
+    val g = out(1L)
+    assert(g.getAs[Long]("n_words") == 14L)
+    assert(g.getAs[Long]("stop_hits") == 4L) // the, that, with, and
+    assert(g.getAs[Long]("alpha_frac_q") == 1000000L)
+
+    val b = out(2L)
+    assert(b.getAs[Long]("n_lines") == 4L)
+    assert(b.getAs[Long]("bullet_frac_q") == 750000L) // 3/4
+    assert(b.getAs[Boolean]("passes")) // 0.75 < 0.9 bullet threshold
+
+    val s = out(3L)
+    assert(s.getAs[Long]("symbol_ratio_q") > 100000L)
+    assert(!s.getAs[Boolean]("passes"))
+
+    val n = out(4L)
+    assert(n.getAs[Long]("alpha_frac_q") < 800000L)
+    assert(!n.getAs[Boolean]("passes"))
+
+    val t = out(5L)
+    assert(t.getAs[Long]("n_words") == 2L)
+    assert(t.getAs[Long]("stop_hits") == 0L)
+    assert(!t.getAs[Boolean]("passes"))
+  }
+
+  test("gopherStats ellipsis-line rule counts '...' and '…' line endings") {
+    val df = Seq((1L, "read more...\nand then…\nplain line\nalso plain")).toDF("doc_id", "text")
+    val r = TextAnalysis.gopherStats(df, minWords = 1L).collect().head
+    assert(r.getAs[Long]("ellipsis_frac_q") == 500000L) // 2/4 lines
+    assert(!r.getAs[Boolean]("passes")) // 0.5 >= 0.3 threshold
+  }
+
+  test("perplexityBuckets matches Spark's own NTILE over the same ordering") {
+    // 12 docs across 2 sources with repeated texts (score ties) and one
+    // empty doc (null score) — the counting-sort decomposition must
+    // reproduce NTILE(3) ... ORDER BY q DESC NULLS LAST, doc_id exactly
+    val texts = Seq(
+      "the cat sat on the mat", "the cat sat on the mat", // tie pair
+      "dogs run fast in parks", "a b c d e f g", "a b c d e f g",
+      "")
+    val df = (0 until 12).map { i =>
+      (i.toLong, texts(i % texts.length), if (i < 6) "web" else "books")
+    }.toDF("doc_id", "text", "source")
+    val got = TextAnalysis.perplexityBuckets(df, broadcastUnigrams = true)
+    import org.apache.spark.sql.expressions.Window
+    val q = when(col("n_bigrams") === 0L, lit(null).cast("long"))
+      .otherwise(floor(col("lm_micro").cast("double") * 1000000.0 /
+        col("n_bigrams").cast("double")).cast("long"))
+    val w = Window.partitionBy("source").orderBy(q.desc_nulls_last, col("doc_id").asc)
+    val expect = df.select(col("doc_id"), col("source"))
+      .join(TextAnalysis.bigramLmScores(df, broadcastUnigrams = true), Seq("doc_id"))
+      .withColumn("bucket", ntile(3).over(w))
+      .select("doc_id", "bucket").as[(Long, Int)].collect().toMap
+    val gotMap = got.select("doc_id", "bucket").as[(Long, Int)].collect().toMap
+    assert(gotMap == expect)
+    // every doc is bucketed, and tiles are balanced within each source
+    assert(gotMap.size == 12)
+    val sizes = got.groupBy("source", "bucket").count()
+      .as[(String, Int, Long)].collect().map(_._3)
+    assert(sizes.forall(c => c == 2L)) // 6 docs / 3 buckets per source
+  }
+
+  test("perplexityBuckets keeps no-bigram docs as tail with null-last ranking") {
+    val df = Seq(
+      (1L, "the cat sat on the mat", "web"),
+      (2L, "dogs run fast in parks", "web"),
+      (3L, "", "web") // split('') → [''] → 1 token → 0 bigrams
+    ).toDF("doc_id", "text", "source")
+    val out = TextAnalysis.perplexityBuckets(df).collect()
+      .map(r => r.getLong(0) -> (r.getAs[Long]("n_bigrams"), r.getAs[String]("tier"))).toMap
+    assert(out(3L)._1 == 0L)
+    assert(out(3L)._2 == "tail")
+    assert(out.size == 3)
+  }
 }
