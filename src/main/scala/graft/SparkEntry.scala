@@ -817,6 +817,36 @@ object SparkEntry {
           expr("bit_xor(h)").as("text_hash_xor"))
     }),
 
+    // XML sink/source roundtrip (Spark 4 built-in xml datasource, the
+    // spark-xml donation): events project to XML-safe scalars — the
+    // double `value` quantizes to integer cents BEFORE the write so no
+    // float ever round-trips through XML text formatting — written with
+    // an explicit rowTag, read back with a DECLARED schema (no sampling
+    // inference scan), and reduced to checksums the oracle replays from
+    // the parquet the XML was derived from.
+    "xml_roundtrip" -> ((s, dir) => {
+      val tmp = ivfLayoutDir(dir,
+        s"xmlwork_p${ProcessHandle.current().pid()}") + "/events"
+      events(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          floor(col("value") * 100.0 + 0.5).cast("long").as("value_cents"))
+        .write.mode("overwrite")
+        .option("rowTag", "event").option("rootTag", "events")
+        .format("xml").save(tmp)
+      s.read
+        .schema("event_id BIGINT, user_id BIGINT, event_type STRING, value_cents BIGINT")
+        .option("rowTag", "event")
+        .format("xml").load(tmp)
+        .withColumn("h",
+          conv(substring(md5(col("event_type")), 1, 8), 16, 10).cast("long"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          sum(col("event_id")).cast("long").as("id_sum"),
+          sum(col("user_id")).cast("long").as("user_sum"),
+          sum(col("value_cents")).cast("long").as("cents_sum"),
+          expr("bit_xor(h)").as("type_hash_xor"))
+    }),
+
     // Gopher-style repetition signals: duplicate-n-gram and top-n-gram
     // occupancy fractions — the boilerplate/degenerate-loop filters that
     // complement the composite quality score. Per-row, no shuffle.
@@ -2155,6 +2185,15 @@ object SparkEntry {
          |       CAST(bit_xor(CAST(list_sum([(CAST(strpos('0123456789abcdef', md5(text)[i]) AS BIGINT) - 1)
          |                                   * (CAST(1 AS BIGINT) << (4*(8-i))) FOR i IN range(1, 9)]) AS BIGINT)) AS BIGINT) AS text_hash_xor
          |FROM documents""".stripMargin,
+
+    "xml_roundtrip" ->
+      s"""SELECT CAST(count(*) AS BIGINT) AS n_rows,
+         |       CAST(sum(event_id) AS BIGINT) AS id_sum,
+         |       CAST(sum(user_id) AS BIGINT) AS user_sum,
+         |       CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS cents_sum,
+         |       CAST(bit_xor(CAST(list_sum([(CAST(strpos('0123456789abcdef', md5(event_type)[i]) AS BIGINT) - 1)
+         |                                   * (CAST(1 AS BIGINT) << (4*(8-i))) FOR i IN range(1, 9)]) AS BIGINT)) AS BIGINT) AS type_hash_xor
+         |FROM events""".stripMargin,
 
     // Raw (non-distinct) n-gram lists rebuilt with list comprehensions;
     // every fraction is a single integer division, so float values match

@@ -56,6 +56,28 @@ object Formats {
         col("metadata"))
       .write.mode("overwrite").option("header", "true").csv(dir)
 
+  /** XML sink (Spark 4 built-in `xml` datasource): one `<record>`
+    * element per row, embedding as repeated `<embedding>` children —
+    * XML's native list form, declared ArrayType on read. Floats travel
+    * as text; [[readXml]] declares the schema so no inference scan or
+    * lossy double-parse happens. Distributed on both sides. */
+  def writeXml(ds: Dataset[VectorRecord], dir: String): Unit =
+    ds.toDF()
+      .write.mode("overwrite")
+      .option("rowTag", "record").option("rootTag", "records")
+      .format("xml").save(dir)
+
+  /** XML source: declared schema (no sampling inference). A null
+    * metadata element is absent in the XML and comes back null. */
+  def readXml(spark: SparkSession, dir: String): Dataset[VectorRecord] = {
+    import spark.implicits._
+    spark.read
+      .schema(jsonlSchema)
+      .option("rowTag", "record")
+      .format("xml").load(dir)
+      .as[VectorRecord]
+  }
+
   /** CSV source: unpack the delimited embedding back to array<float>. */
   def readCsv(spark: SparkSession, dir: String): Dataset[VectorRecord] = {
     import spark.implicits._

@@ -43,4 +43,13 @@ class FormatsSpec extends AnyFunSuite {
     Formats.writeCsv(records.toDS(), dir)
     assertSame(Formats.readCsv(spark, dir).collect().toSeq, records)
   }
+
+  test("XML round-trips records with the embedding as repeated elements") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_xml").toString
+    Formats.writeXml(records.toDS(), dir)
+    // the file must contain real repeated-element structure
+    val raw = spark.read.text(dir).as[String].collect().mkString("\n")
+    assert(raw.contains("<record>") && raw.contains("<embedding>"))
+    assertSame(Formats.readXml(spark, dir).collect().toSeq, records)
+  }
 }
