@@ -164,6 +164,28 @@ object ScaleProbe {
     time("bigram LM scores")(noop(
       graft.text.TextAnalysis.bigramLmScores(docs)))
 
+    // decontamination, exact vs bloom-prefiltered, on the varied
+    // replication: the bench side stays FIXED (one replica group's
+    // sampled docs) while the corpus grows with the factor — exactly
+    // the 100 TB asymmetry. The exact form shuffles every corpus
+    // shingle; the bloom form kills non-bench shingles map-side, so its
+    // time should grow with the SCAN, not the shuffle.
+    {
+      lazy val benchSide = docsVaried.filter(col("doc_id") % 100 === 0)
+        .filter(col("doc_id") < 1000000L) // first replica group only
+        .select((col("doc_id") + lit(9000000L)).as("bench_id"), col("text"))
+      time("decontaminate exact")(noop(
+        graft.dedup.Dedup.crossCorpusOverlap(docsVaried, benchSide,
+          n = 5, minShared = 2L, maxShingleDf = 500L)))
+      time("decontaminate bloom")(noop(
+        graft.dedup.Dedup.crossCorpusOverlapBloom(docsVaried, benchSide,
+          n = 5, minShared = 2L, maxShingleDf = 500L)))
+    }
+
+    time("perplexity buckets (ntile)")(noop(
+      graft.text.TextAnalysis.perplexityBuckets(
+        docs.withColumn("source", (col("doc_id") % 7).cast("string")))))
+
     // leakage-split shape (corpus_split minus the artifact cache): the
     // candidate-pair join + connected components + grouped-split join,
     // on the varied replication (linear pair volume)

@@ -516,11 +516,17 @@ object TextAnalysis {
     require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
     import org.apache.spark.sql.expressions.Window
     val lm = bigramLmScores(df, idCol, textCol, broadcastUnigrams)
+    // the scored base fans out into BOTH the per-tie ranking and the
+    // value-level counts; without a materialization barrier the whole
+    // bigram-LM subplan (the expensive part) executes once per branch —
+    // localCheckpoint pins the narrow (id, group, score) projection
+    // exactly once (same discipline as connectedComponents' frontier)
     val base = df.select(col(idCol), col(groupCol)).join(lm, Seq(idCol))
       .withColumn("q",
         when(col("n_bigrams") === 0L, lit(null).cast("long"))
           .otherwise(floor(col("lm_micro").cast("double") * 1000000.0 /
             col("n_bigrams").cast("double")).cast("long")))
+      .localCheckpoint()
     val tieW = Window.partitionBy(col(groupCol), col("q")).orderBy(col(idCol).asc)
     val ranked = base.withColumn("tie_rn", row_number().over(tieW))
     val counts = base.groupBy(col(groupCol), col("q")).agg(count(lit(1)).as("vc"))
