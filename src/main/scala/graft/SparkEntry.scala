@@ -385,6 +385,18 @@ object SparkEntry {
       VectorSearch.knnJoinAgg(queries, corpus, k = 5)
     }),
 
+    // k-NN majority-vote classification: the labeled-corpus read path
+    // (weak labeling / tag suggestion). Bounded-agg neighbors, neighbor
+    // table broadcast back for labels, deterministic vote tie-break.
+    "knn_classify" -> ((s, dir) => {
+      val corpus = emb(s, dir)
+      val queries = corpus
+        .filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+      VectorSearch.knnClassify(queries, corpus, k = 10)
+        .orderBy(col("query_id"))
+    }),
+
     // Approximate batch kNN join (LSH-bucketed candidates — the scale
     // path when the query side is too large to broadcast), declared as a
     // single-row INVARIANT summary: every reported distance must equal
@@ -1658,6 +1670,20 @@ object SparkEntry {
         .orderBy(col("source"), col("rk"))
     }),
 
+    // Token-budget mix: best-quality-first selection per source until a
+    // cumulative token quota is spent — the budgeted variant of the
+    // row cap above (a mix recipe speaks in tokens, not rows). The
+    // first row of a group always survives even if it alone overshoots.
+    "corpus_token_budget" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("source"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+        TextAnalysis.qualityScore(col("text")).as("q"))
+      graft.ops.Sampling.tokenBudgetPerGroup(d, col("source"),
+          Seq(col("q").desc, col("doc_id").asc), col("n_tokens"), budget = 600L)
+        .select(col("doc_id"), col("source"), col("n_tokens"), col("cum_tokens"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Packed-sequence MATERIALIZATION: the trainer-facing output of
     // seq_pack — each (part, bin) emits its docs' text concatenated in
     // id order. The oracle replays the greedy recurrence AND the
@@ -1847,6 +1873,23 @@ object SparkEntry {
          |      FROM d)
          |SELECT query_id, vec_id, dist, rank FROM r WHERE rank <= 5
          |ORDER BY query_id ASC, rank ASC""".stripMargin,
+
+    "knn_classify" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
+         |d AS (SELECT q.query_id, e.vec_id, ${l2SqSql("e.embedding", "q.qe")} AS dist
+         |      FROM embeddings e CROSS JOIN q),
+         |r AS (SELECT query_id, vec_id,
+         |             row_number() OVER (PARTITION BY query_id ORDER BY dist ASC, vec_id ASC) AS rank
+         |      FROM d),
+         |nn AS (SELECT query_id, vec_id FROM r WHERE rank <= 10),
+         |v AS (SELECT nn.query_id, e.label, CAST(count(*) AS BIGINT) AS votes
+         |      FROM nn JOIN embeddings e USING (vec_id) GROUP BY 1, 2),
+         |t AS (SELECT query_id, label, votes,
+         |        CAST(row_number() OVER (PARTITION BY query_id ORDER BY votes DESC, label ASC) AS INTEGER) AS rn,
+         |        CAST(sum(votes) OVER (PARTITION BY query_id) AS BIGINT) AS n_neighbors
+         |      FROM v)
+         |SELECT query_id, label AS pred_label, votes, n_neighbors FROM t
+         |WHERE rn = 1 ORDER BY query_id""".stripMargin,
 
     // Exact brute force over the same planted corpus — the ten dist-0
     // rows (query self-match + nine exact copies) are guaranteed LSH
@@ -3112,6 +3155,30 @@ object SparkEntry {
         |  FROM documents)
         |SELECT doc_id, source, rk FROM r WHERE rk <= 40
         |ORDER BY source, rk""".stripMargin,
+
+    // Replays the quality expression (same op order as doc_quality),
+    // then the per-source best-first running token total; a row
+    // survives iff the budget was not exhausted BEFORE it.
+    "corpus_token_budget" ->
+      s"""WITH t AS (SELECT doc_id, source, $ToksSql AS toks FROM documents),
+         |s AS (SELECT doc_id, source,
+         |        CAST(len(toks) AS BIGINT) AS n_tokens,
+         |        CAST(len(toks) AS DOUBLE) AS n_tok,
+         |        CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS diversity,
+         |        CAST(len(list_filter(toks, x -> x IN ('the','a','an','and','or','of','to','in','is','on','for','with'))) AS DOUBLE)
+         |          / CAST(len(toks) AS DOUBLE) AS stop
+         |      FROM t),
+         |q AS (SELECT doc_id, source, n_tokens,
+         |        least(n_tok / 64.0, 1.0) * 0.4 + diversity * 0.4 +
+         |        (CASE WHEN stop BETWEEN 0.01 AND 0.6 THEN 1.0 ELSE 0.5 END) * 0.2 AS quality
+         |      FROM s),
+         |c AS (SELECT doc_id, source, n_tokens,
+         |        CAST(sum(n_tokens) OVER (PARTITION BY source
+         |          ORDER BY quality DESC, doc_id ASC
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+         |      FROM q)
+         |SELECT doc_id, source, n_tokens, cum_tokens FROM c
+         |WHERE cum_tokens - n_tokens < 600 ORDER BY doc_id""".stripMargin,
 
     // DuckDB date subtraction yields days directly; the distinct
     // (user, day) activity set mirrors the Spark pass.

@@ -219,6 +219,38 @@ object Sampling {
     df.withColumn("rk", row_number().over(w)).filter(col("rk") <= cap)
   }
 
+  /** Per-group selection under a cumulative TOKEN budget: the data-
+    * mixing primitive that [[capPerGroup]]'s row cap can't express —
+    * "take the best documents of each source until its token quota is
+    * spent". Rows are ordered inside each group by `order` (quality
+    * descending in the typical mix recipe; MUST be a total order for
+    * determinism — tie-break on the id), the token column accumulates
+    * in that order, and a row survives iff the budget is not yet
+    * exhausted BEFORE it (so the first row always survives even if it
+    * alone overshoots — a quota that admits nothing is never what a
+    * mix recipe means). Emits `cum_tokens` (inclusive) so the caller
+    * sees each group's realized spend.
+    *
+    * 100 TB shape: one running-total window per group — the same
+    * single-shuffle ordered-scan shape as the relational running
+    * total. A group is a SOURCE (dozens to thousands), so partitions
+    * are coarse but bounded; for a skewed mega-source the practical
+    * recipe pre-filters by a quality floor first, which this operator
+    * composes with trivially. */
+  def tokenBudgetPerGroup(
+      df: DataFrame,
+      group: Column,
+      order: Seq[Column],
+      tokensCol: Column,
+      budget: Long): DataFrame = {
+    require(budget >= 1, s"budget must be positive, got $budget")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(group).orderBy(order: _*)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    df.withColumn("cum_tokens", sum(tokensCol).over(w))
+      .filter(col("cum_tokens") - tokensCol < budget)
+  }
+
   /** Leakage-safe dataset split: the split label is a pure function of
     * `group` (not the row id), so every member of a group — e.g. a
     * near-duplicate cluster from

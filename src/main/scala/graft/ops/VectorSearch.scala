@@ -148,6 +148,42 @@ object VectorSearch {
       .orderBy(col("cos_sim").desc, col(idCol).asc)
       .limit(k)
 
+  /** k-NN majority-vote classification over a labeled corpus: the
+    * classic label-propagation read path a vector store serves (tag
+    * suggestion, weak labeling of new embeddings from an annotated
+    * seed set). Neighbors come from [[knnJoinAgg]] — the bounded
+    * TopKAggregator shape whose shuffle is capped at |parts|×|Q|×k —
+    * and the k×|Q|-row neighbor table (tiny by construction) BROADCASTS
+    * back onto the corpus to pick up labels, so the full corpus is
+    * never shuffled. Vote tie-break is deterministic: highest count,
+    * then smallest label. Output: (query_id, pred_label, votes,
+    * n_neighbors). */
+  def knnClassify(
+      queries: DataFrame,
+      corpus: DataFrame,
+      k: Int,
+      qIdCol: String = "query_id",
+      qEmbCol: String = "q_embedding",
+      idCol: String = "vec_id",
+      embCol: String = "embedding",
+      labelCol: String = "label"): DataFrame = {
+    val nn = knnJoinAgg(queries, corpus.select(col(idCol), col(embCol)), k,
+      qIdCol, qEmbCol, idCol, embCol)
+    val labeled = corpus.select(col(idCol).cast("long").as(idCol), col(labelCol))
+      .join(broadcast(nn.select(col(qIdCol), col(idCol))), Seq(idCol))
+    val votes = labeled.groupBy(col(qIdCol), col(labelCol))
+      .agg(count(lit(1)).as("votes"))
+    val w = Window.partitionBy(col(qIdCol))
+      .orderBy(col("votes").desc, col(labelCol).asc)
+    votes
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_neighbors",
+        sum(col("votes")).over(Window.partitionBy(col(qIdCol))))
+      .filter(col("rn") === 1)
+      .select(col(qIdCol), col(labelCol).as("pred_label"),
+        col("votes"), col("n_neighbors"))
+  }
+
   /** Dimension-check validation (the reference enforces dim at every
     * mutation/query — `/root/reference/src/vectordb.cpp:39-41,124-126`).
     * Spark array types don't encode length, so this is an explicit

@@ -204,4 +204,20 @@ class SamplingPackingSpec extends AnyFunSuite {
       (1L, "a", 1), (2L, "a", 2), (3L, "a", 3), (4L, "a", 4),
       (20L, "b", 1), (21L, "b", 2), (22L, "b", 3), (30L, "c", 1)))
   }
+
+  test("tokenBudgetPerGroup admits best-first until the quota is spent") {
+    // source a, quality order = doc_id asc: tokens 400, 300, 200 with
+    // budget 800: doc 1 (cum 400) and doc 2 (cum 700) start under
+    // budget; doc 3 starts at 700 < 800 so it ALSO survives (the rule
+    // is budget-not-exhausted-before-me); doc 4 starts at 900 → out.
+    // source b: one doc alone overshooting the budget still survives.
+    val d = Seq(
+      (1L, "a", 400L), (2L, "a", 300L), (3L, "a", 200L), (4L, "a", 500L),
+      (10L, "b", 5000L), (11L, "b", 1L)
+    ).toDF("doc_id", "source", "n_tokens")
+    val kept = Sampling.tokenBudgetPerGroup(d, col("source"),
+        Seq(col("doc_id").asc), col("n_tokens"), budget = 800L)
+      .select("doc_id", "cum_tokens").as[(Long, Long)].collect().toMap
+    assert(kept == Map(1L -> 400L, 2L -> 700L, 3L -> 900L, 10L -> 5000L))
+  }
 }

@@ -81,6 +81,33 @@ class VectorSearchSpec extends AnyFunSuite {
     assert(math.abs(res.head.getDouble(1) - 1.0) < 1e-9)
   }
 
+  test("knnClassify majority-votes neighbor labels with deterministic tie-break") {
+    import spark.implicits._
+    // two tight clusters around (0,0) label 1 and (10,10) label 2, plus
+    // one mislabeled point inside cluster A — k=5 must out-vote it
+    val clusterA = (0L until 6L).map(i => (i, Array(0.1f * i, 0.1f), if (i == 0) 2 else 1))
+    val clusterB = (10L until 16L).map(i => (i, Array(10f + 0.1f * (i - 10), 10f), 2))
+    val corpus = (clusterA ++ clusterB).toDF("vec_id", "embedding", "label")
+    val queries = Seq(
+      (100L, Array(0.05f, 0.1f)),   // inside cluster A
+      (101L, Array(10.2f, 10.0f))   // inside cluster B
+    ).toDF("query_id", "q_embedding")
+    val out = VectorSearch.knnClassify(queries, corpus, k = 5).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(100L)._1 == 1, s"mislabeled neighbor must be out-voted: $out")
+    assert(out(100L)._2 >= 4L && out(100L)._3 == 5L)
+    assert(out(101L) == ((2, 5L, 5L)))
+
+    // exact tie on votes → smallest label wins: k=2 over one point of
+    // each label equidistant from the query
+    val tieCorpus = Seq(
+      (1L, Array(1.0f, 0.0f), 7),
+      (2L, Array(-1.0f, 0.0f), 3)).toDF("vec_id", "embedding", "label")
+    val tieQ = Seq((200L, Array(0.0f, 0.0f))).toDF("query_id", "q_embedding")
+    val tie = VectorSearch.knnClassify(tieQ, tieCorpus, k = 2).collect().head
+    assert(tie.getInt(1) == 3 && tie.getLong(2) == 1L && tie.getLong(3) == 2L)
+  }
+
   test("dimViolations flags wrong-length rows") {
     import spark.implicits._
     val df = Seq(
