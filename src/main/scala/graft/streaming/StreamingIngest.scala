@@ -52,7 +52,18 @@ object StreamingIngest {
 
   /** Streaming exact dedup: drop rows whose normalized-content hash was
     * already seen within the watermark horizon. State is the hash set,
-    * expired by the watermark — bounded, unlike a global distinct. */
+    * expired by the watermark — bounded, unlike a global distinct.
+    *
+    * MUST be `dropDuplicatesWithinWatermark`, not `dropDuplicates`:
+    * plain dropDuplicates only evicts state when the event-time column
+    * is itself one of the dedup keys — keyed on the hash alone it keeps
+    * every hash forever, silently unbounded no matter what watermark is
+    * set. The WithinWatermark form is the operator Spark added for
+    * exactly this key-without-time shape: first occurrence wins, a
+    * key's state is dropped once the watermark passes its event time,
+    * and a duplicate arriving beyond the horizon re-emits — the honest
+    * streaming-dedup contract (the corpus-wide exact pass stays the
+    * batch refine stage, as with the near-dup family). */
   def streamingDedup(
       docsStream: DataFrame,
       delay: String = "1 hour",
@@ -61,7 +72,7 @@ object StreamingIngest {
     docsStream
       .withColumn("content_hash", TextAnalysis.fingerprintMd5(col(textCol)))
       .withWatermark(tsCol, delay)
-      .dropDuplicates("content_hash")
+      .dropDuplicatesWithinWatermark("content_hash")
 
   /** Streaming curation: [[graft.text.Curation.curate]]'s per-row gates
     * (language, quality) plus watermark-bounded exact dedup as one

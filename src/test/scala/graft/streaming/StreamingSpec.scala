@@ -53,6 +53,35 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streamingDedup evicts state past the watermark (bounded, re-emits beyond horizon)") {
+    // the property that separates dropDuplicatesWithinWatermark from
+    // plain dropDuplicates: after the watermark passes a key's event
+    // time its state is GONE — a later duplicate re-emits. Plain
+    // dropDuplicates keyed on the hash would hold the key forever
+    // (silently unbounded state) and this test would fail.
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val out = StreamingIngest.streamingDedup(
+      input.toDF().toDF("ts", "doc_id", "text"), delay = "1 hour")
+    val q = out.writeStream.format("memory").queryName("dedup_evict")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      def hr(h: Int): Timestamp = Timestamp.valueOf(f"2024-01-01 $h%02d:00:00")
+      input.addData((hr(10), 1L, "repeated content"), (hr(10), 2L, "repeated content"))
+      q.processAllAvailable()
+      // 2 is a within-horizon duplicate of 1 → dropped
+      assert(spark.table("dedup_evict").select("doc_id").as[Long].collect().toSet == Set(1L))
+      // advance the watermark far past hour 10 (hour 15 − 1h delay = 14)
+      input.addData((hr(15), 3L, "advancing the clock"))
+      q.processAllAvailable()
+      // key 1's state was evicted → the same content re-emits
+      input.addData((hr(15), 4L, "repeated content"))
+      q.processAllAvailable()
+      val kept = spark.table("dedup_evict").select("doc_id").as[Long].collect().toSet
+      assert(kept == Set(1L, 3L, 4L), s"expected eviction re-emit, got $kept")
+    } finally q.stop()
+  }
+
   test("streamingCurate gates language and quality before the dedup state") {
     implicit val sc = spark.sqlContext
     val input = MemoryStream[(Timestamp, Long, String)]
