@@ -924,6 +924,18 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // DSIR-style importance selection (Xie et al.): keep the 100 corpus
+    // docs a target-domain bigram LM prefers most over the corpus's own
+    // LM. The target model (the small curated side) broadcasts; both
+    // likelihoods sum over the same gram multiset so the weight is the
+    // exact quantized log-ratio; the cut is a TakeOrdered.
+    "corpus_dsir_select" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val target = d.filter(col("doc_id") % 100 === 0)
+      TextAnalysis.dsirSelect(d, target, topM = 100)
+        .orderBy(col("doc_id"))
+    }),
+
     // Document fingerprinting: md5 content hash of normalized text.
     "doc_fingerprint" -> ((s, dir) => {
       docs(s, dir)
@@ -2289,6 +2301,47 @@ object SparkEntry {
          |FROM cs JOIN rare USING (shingle) JOIN bs USING (shingle)
          |GROUP BY 1, 2 HAVING count(*) >= 2
          |ORDER BY doc_id, bench_id""".stripMargin,
+
+    // Replays both bigram LMs (raw = whole corpus, target = the %100
+    // subset), LEFT-joined so OOV grams take the add-one floor, then
+    // the top-100 by exact quantized log-ratio with id tie-break.
+    "corpus_dsir_select" ->
+      s"""WITH t AS (SELECT doc_id, $ToksSql AS toks FROM documents),
+         |g AS (SELECT doc_id, toks[i] || ' ' || toks[i+1] AS gram
+         |      FROM t, unnest(range(1, len(toks))) AS u(i)),
+         |occ AS (SELECT doc_id, gram, CAST(count(*) AS BIGINT) AS cnt FROM g GROUP BY 1, 2),
+         |runi AS (SELECT w1, CAST(count(*) AS BIGINT) AS uc
+         |         FROM (SELECT unnest(toks) AS w1 FROM t) GROUP BY 1),
+         |rv AS (SELECT greatest(CAST(count(*) AS BIGINT), 1) AS v_size FROM runi),
+         |rbi AS (SELECT gram, CAST(count(*) AS BIGINT) AS bc FROM g GROUP BY 1),
+         |tt AS (SELECT doc_id, toks FROM t WHERE doc_id % 100 = 0),
+         |tuni AS (SELECT w1, CAST(count(*) AS BIGINT) AS uc
+         |         FROM (SELECT unnest(toks) AS w1 FROM tt) GROUP BY 1),
+         |tv AS (SELECT greatest(CAST(count(*) AS BIGINT), 1) AS v_size FROM tuni),
+         |tbi AS (SELECT toks[i] || ' ' || toks[i+1] AS gram, CAST(count(*) AS BIGINT) AS bc
+         |        FROM tt, unnest(range(1, len(toks))) AS u(i) GROUP BY 1),
+         |rsc AS (SELECT o.doc_id, o.cnt,
+         |          CAST(floor(ln(CAST(coalesce(bc, 0) + 1 AS DOUBLE)
+         |            / CAST(coalesce(uc, 0) + v_size AS DOUBLE)) * 1e6) AS BIGINT) AS lp
+         |        FROM occ o LEFT JOIN rbi USING (gram)
+         |        LEFT JOIN runi ON split_part(o.gram, ' ', 1) = runi.w1 CROSS JOIN rv),
+         |ragg AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_bigrams,
+         |                CAST(sum(cnt * lp) AS BIGINT) AS raw_micro FROM rsc GROUP BY 1),
+         |tsc AS (SELECT o.doc_id, o.cnt,
+         |          CAST(floor(ln(CAST(coalesce(bc, 0) + 1 AS DOUBLE)
+         |            / CAST(coalesce(uc, 0) + v_size AS DOUBLE)) * 1e6) AS BIGINT) AS lp
+         |        FROM occ o LEFT JOIN tbi USING (gram)
+         |        LEFT JOIN tuni ON split_part(o.gram, ' ', 1) = tuni.w1 CROSS JOIN tv),
+         |tagg AS (SELECT doc_id, CAST(sum(cnt * lp) AS BIGINT) AS tgt_micro FROM tsc GROUP BY 1),
+         |j AS (SELECT d.doc_id,
+         |        coalesce(n_bigrams, 0) AS n_bigrams,
+         |        coalesce(raw_micro, 0) AS raw_micro,
+         |        coalesce(tgt_micro, 0) AS tgt_micro,
+         |        coalesce(tgt_micro, 0) - coalesce(raw_micro, 0) AS weight
+         |      FROM documents d LEFT JOIN ragg USING (doc_id) LEFT JOIN tagg USING (doc_id)),
+         |cut AS (SELECT * FROM j ORDER BY weight DESC, doc_id ASC LIMIT 100)
+         |SELECT doc_id, n_bigrams, raw_micro, tgt_micro, weight FROM cut
+         |ORDER BY doc_id""".stripMargin,
 
     "doc_gopher_filter" ->
       s"""WITH t AS (SELECT doc_id, $ToksSql AS toks, $NormSql AS norm,

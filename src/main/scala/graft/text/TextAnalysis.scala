@@ -485,6 +485,84 @@ object TextAnalysis {
         coalesce(col("lm_micro"), lit(0L)).as("lm_micro"))
   }
 
+  /** [[bigramLmScores]] generalized to score one corpus under a model
+    * trained on ANOTHER — the cross-corpus primitive behind
+    * importance-based selection ([[dsirSelect]]) and domain-match
+    * scoring. Counts come from `trainDf`; `scoreDf`'s grams LEFT-join
+    * them (an out-of-vocabulary gram scores ln(1/(0+V)), the add-one
+    * floor). `broadcastModel` ships both count tables — right whenever
+    * the TRAINING corpus is the small curated side (the DSIR shape:
+    * target = thousands of docs, corpus = the 100 TB side); set false
+    * to shuffle when the model itself is web-scale. */
+  def bigramLmScoresAgainst(
+      scoreDf: DataFrame,
+      trainDf: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      broadcastModel: Boolean = true): DataFrame = {
+    val occ = scoreDf.select(col(idCol), tokens(col(textCol)).as("t"))
+      .select(col(idCol), explode(rawNgrams(col("t"), 2)).as("gram"))
+      .groupBy(col(idCol), col("gram")).agg(count(lit(1)).as("cnt"))
+      .withColumn("w1", substring_index(col("gram"), " ", 1))
+    val toksTrain = trainDf.select(tokens(col(textCol)).as("t"))
+    val uni = toksTrain.select(explode(col("t")).as("w1"))
+      .groupBy("w1").agg(count(lit(1)).as("uc"))
+    val bi = toksTrain.select(explode(rawNgrams(col("t"), 2)).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("bc"))
+    val uniJ = if (broadcastModel) broadcast(uni) else uni
+    val biJ = if (broadcastModel) broadcast(bi) else bi
+    // greatest(...,1): an empty training corpus degrades to uniform
+    // ln(1/1)=0 scores instead of a divide-by-zero
+    val vocab = uni.select(greatest(count(lit(1)), lit(1L)).as("v_size"))
+    val scored = occ.join(biJ, Seq("gram"), "left").join(uniJ, Seq("w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .withColumn("lp_micro",
+        floor(log((coalesce(col("bc"), lit(0L)) + 1).cast("double") /
+          (coalesce(col("uc"), lit(0L)) + col("v_size")).cast("double")) * 1e6)
+          .cast("long"))
+    scoreDf.select(col(idCol)).join(
+        scored.groupBy(col(idCol)).agg(
+          sum(col("cnt")).as("n_bigrams"), sum(col("cnt") * col("lp_micro")).as("lm_micro")),
+        Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("lm_micro"), lit(0L)).as("lm_micro"))
+  }
+
+  /** DSIR-style importance selection (Xie et al., arXiv:2302.03169):
+    * rank corpus documents by how much more likely a TARGET-domain
+    * bigram LM finds them than the corpus's own LM — the importance
+    * weight log p_target(x) − log p_raw(x) over hashed n-gram features,
+    * here over the bigram multiset itself — and keep the top `topM`.
+    * Both likelihoods sum over the SAME gram multiset, so the
+    * difference of the quantized sums is the exact quantized log-ratio
+    * (no length normalization needed). Deterministic tie-break on id;
+    * the cut is a TakeOrdered, never a global sort.
+    *
+    * 100 TB shape: the target model (small curated side) broadcasts;
+    * the raw model is the corpus's own pre-aggregated counts — the
+    * same single-pass shape as [[bigramLmScores]]. */
+  def dsirSelect(
+      corpus: DataFrame,
+      target: DataFrame,
+      topM: Int,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      broadcastRaw: Boolean = false): DataFrame = {
+    require(topM > 0, s"topM must be positive, got $topM")
+    val raw = bigramLmScoresAgainst(corpus, corpus, idCol, textCol,
+        broadcastModel = broadcastRaw)
+      .withColumnRenamed("lm_micro", "raw_micro")
+    val tgt = bigramLmScoresAgainst(corpus, target, idCol, textCol,
+        broadcastModel = true)
+      .withColumnRenamed("lm_micro", "tgt_micro")
+      .drop("n_bigrams")
+    raw.join(tgt, Seq(idCol))
+      .withColumn("weight", col("tgt_micro") - col("raw_micro"))
+      .orderBy(col("weight").desc, col(idCol).asc)
+      .limit(topM)
+  }
+
   /** CCNet-style perplexity bucketing (Wenzek et al., arXiv:1911.00359
     * §4.3): rank every document within its `groupCol` (language /
     * snapshot in CCNet, `source` here) by per-token LM log-probability

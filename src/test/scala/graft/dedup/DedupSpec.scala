@@ -222,6 +222,29 @@ class DedupSpec extends AnyFunSuite {
     assert(uncapped == 3L)
   }
 
+  test("crossCorpusOverlapBloom equals exact on random corpora (property)") {
+    val words = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta",
+      "theta", "iota", "kappa", "lam", "mu")
+    (0 until 5).foreach { seed =>
+      val rnd = new scala.util.Random(1000 + seed)
+      def sentence(n: Int) = Seq.fill(n)(words(rnd.nextInt(words.length))).mkString(" ")
+      val corpus = (0L until 40L).map(i => (i, sentence(6 + rnd.nextInt(6)))).toDF("doc_id", "text")
+      val bench = (0L until 6L).map(i => (100L + i, sentence(6 + rnd.nextInt(6)))).toDF("bench_id", "text")
+      // a 12-word vocabulary makes shingle collisions (and hot shingles
+      // near the cap) common — the regime where an off-by-one in the
+      // df-count interaction would show
+      val exact = Dedup.crossCorpusOverlap(corpus, bench, n = 3, minShared = 1L,
+          maxShingleDf = 3L)
+        .select("doc_id", "bench_id", "n_shared")
+        .as[(Long, Long, Long)].collect().toSet
+      val bloom = Dedup.crossCorpusOverlapBloom(corpus, bench, n = 3, minShared = 1L,
+          maxShingleDf = 3L, fpp = 0.2)
+        .select("doc_id", "bench_id", "n_shared")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(bloom == exact, s"seed $seed: bloom=$bloom exact=$exact")
+    }
+  }
+
   test("connectedComponents labels transitive chains with the component min id") {
     // 1-2, 2-3 (chain — 1~3 only transitively), 10-11 separate, 20-21-22
     // via a hub; nodes outside any pair must not appear

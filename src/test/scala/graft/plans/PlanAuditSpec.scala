@@ -253,4 +253,58 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(plan.contains("= click)"),
       s"click partition filter missing:\n$plan")
   }
+
+  test("gopher filter is a pure narrow pass: zero exchanges, no UDF") {
+    val plan = graft.text.TextAnalysis
+      .gopherStats(spark.read.parquet(s"$sfDir/documents.parquet"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"gopher stats must not shuffle:\n$plan")
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"),
+      s"gopher stats must stay builtin/codegen:\n$plan")
+  }
+
+  test("bloom decontamination filters the corpus shingles BEFORE any exchange") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val bench = docs.filter(col("doc_id") % 100 === 0)
+      .select((col("doc_id") + lit(9000000L)).as("bench_id"), col("text"))
+    val plan = graft.dedup.Dedup
+      .crossCorpusOverlapBloom(docs, bench, n = 5, minShared = 2L, maxShingleDf = 500L)
+      .queryExecution.executedPlan.toString
+    // the map-side kill: a Filter containing the bloom UDF must appear,
+    // and scanning down from the corpus FileScan the first Filter must
+    // precede the first Exchange (text order mirrors child-before-parent
+    // within each WholeStageCodegen section)
+    assert(plan.contains("UDF"), s"bloom prefilter missing from plan:\n$plan")
+    val udfIdx = plan.indexOf("UDF")
+    val firstExchangeAbove = plan.lastIndexOf("Exchange", udfIdx)
+    // every Exchange that textually precedes the UDF filter belongs to a
+    // parent operator (toString prints parents first), so none of the
+    // shingle volume flows through an Exchange before the bloom filter
+    assert(firstExchangeAbove == -1 || plan.indexOf("FileScan", firstExchangeAbove) > udfIdx ||
+      plan.substring(udfIdx).contains("FileScan"),
+      s"bloom prefilter not map-side before the shuffle:\n$plan")
+  }
+
+  test("knn_classify broadcasts the neighbor table, never shuffles the corpus for labels") {
+    val corpus = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val queries = corpus.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+    val plan = VectorSearch.knnClassify(queries, corpus, k = 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"neighbor table must broadcast onto the corpus:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"label pickup must not shuffle the corpus:\n$plan")
+  }
+
+  test("token-budget selection shuffles once (the per-source window)") {
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("source"),
+        graft.text.TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+    val plan = graft.ops.Sampling.tokenBudgetPerGroup(d, col("source"),
+        Seq(col("doc_id").asc), col("n_tokens"), budget = 600L)
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected exactly one shuffle, got $exchanges:\n$plan")
+  }
 }

@@ -390,6 +390,49 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(sizes.forall(c => c == 2L)) // 6 docs / 3 buckets per source
   }
 
+  test("bigramLmScoresAgainst on itself equals bigramLmScores exactly") {
+    val df = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "dogs run fast in parks"),
+      (3L, "the cat ran on the grass"),
+      (4L, "")).toDF("doc_id", "text")
+    val self = TextAnalysis.bigramLmScoresAgainst(df, df)
+      .as[(Long, Long, Long)].collect().toSet
+    val ref = TextAnalysis.bigramLmScores(df)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(self == ref)
+  }
+
+  test("bigramLmScoresAgainst scores OOV grams at the add-one floor") {
+    val train = Seq((1L, "aa bb aa bb")).toDF("doc_id", "text") // vocab {aa,bb}, V=2
+    val score = Seq((10L, "zz yy")).toDF("doc_id", "text")      // fully OOV
+    val r = TextAnalysis.bigramLmScoresAgainst(score, train).collect().head
+    // one bigram "zz yy": lp = floor(ln((0+1)/(0+2))·1e6) = floor(-ln2·1e6)
+    assert(r.getLong(1) == 1L)
+    assert(r.getLong(2) == math.floor(math.log(0.5) * 1e6).toLong)
+  }
+
+  test("dsirSelect ranks target-like documents above off-domain ones") {
+    // target speaks "legal"; corpus has 3 legal-ish and 3 cooking docs
+    val target = Seq(
+      (900L, "the court finds the claim valid under the statute"),
+      (901L, "the statute governs the claim in this court")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "the court finds the statute governs the claim"),
+      (2L, "the claim under the statute is valid"),
+      (3L, "this court finds the claim valid"),
+      (4L, "simmer the onions in butter until golden"),
+      (5L, "whisk the eggs with cream and salt"),
+      (6L, "bake the dough until the crust browns")).toDF("doc_id", "text")
+    val top3 = TextAnalysis.dsirSelect(corpus, target, topM = 3)
+      .select("doc_id").as[Long].collect().toSet
+    assert(top3 == Set(1L, 2L, 3L), s"expected the legal docs on top, got $top3")
+    // and the selection is a bounded TakeOrdered, not a global sort
+    val plan = TextAnalysis.dsirSelect(corpus, target, topM = 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"cut not bounded:\n$plan")
+  }
+
   test("perplexityBuckets keeps no-bigram docs as tail with null-last ranking") {
     val df = Seq(
       (1L, "the cat sat on the mat", "web"),
