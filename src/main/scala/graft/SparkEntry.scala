@@ -924,6 +924,15 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Hashing-trick document embeddings: md5-bucketed token counts,
+    // ±1-signed per (bucket, dim) by a runtime Knuth hash bit — a
+    // model-free dense vector per doc in exact integer arithmetic,
+    // feeding the ANN/dedup family. One explode + one doc-keyed agg.
+    "doc_embed_hash" -> ((s, dir) => {
+      TextAnalysis.hashedEmbedding(docs(s, dir), outDim = 16)
+        .orderBy(col("doc_id"))
+    }),
+
     // DSIR-style importance selection (Xie et al.): keep the 100 corpus
     // docs a target-domain bigram LM prefers most over the corpus's own
     // LM. The target model (the small curated side) broadcasts; both
@@ -2301,6 +2310,28 @@ object SparkEntry {
          |FROM cs JOIN rare USING (shingle) JOIN bs USING (shingle)
          |GROUP BY 1, 2 HAVING count(*) >= 2
          |ORDER BY doc_id, bench_id""".stripMargin,
+
+    // Replays the feature-hashing embedding: the same md5 bucket as the
+    // classifier oracle, the same Knuth-hash sign bit per (bucket, dim),
+    // all-integer sums — the projection matrix reproduces from the data.
+    "doc_embed_hash" -> {
+      val bucketSql =
+        "(list_sum([(CAST(strpos('0123456789abcdef', md5(tok)[i]) AS BIGINT) - 1)" +
+          " * (CAST(1 AS BIGINT) << (4*(8-i))) FOR i IN range(1, 9)]) % 1048576)"
+      val dimCols = (0 until 16).map { i =>
+        f"CAST(sum(cnt * (CASE WHEN (((bucket * 16 + $i) * 2654435761) >> 16) & 1 = 1" +
+          f" THEN 1 ELSE -1 END)) AS BIGINT) AS p$i%02d"
+      }.mkString(",\n|        ")
+      val coalesced = (0 until 16).map(i => f"coalesce(p$i%02d, 0) AS p$i%02d").mkString(", ")
+      s"""WITH t AS (SELECT doc_id, $ToksSql AS toks FROM documents),
+         |occ AS (SELECT doc_id, $bucketSql AS bucket, CAST(count(*) AS BIGINT) AS cnt
+         |        FROM t, unnest(toks) AS u(tok) GROUP BY 1, 2),
+         |p AS (SELECT doc_id,
+         |        $dimCols
+         |      FROM occ GROUP BY 1)
+         |SELECT d.doc_id, $coalesced
+         |FROM documents d LEFT JOIN p USING (doc_id) ORDER BY doc_id""".stripMargin
+    },
 
     // Replays both bigram LMs (raw = whole corpus, target = the %100
     // subset), LEFT-joined so OOV grams take the add-one floor, then

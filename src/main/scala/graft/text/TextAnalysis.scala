@@ -529,6 +529,42 @@ object TextAnalysis {
         coalesce(col("lm_micro"), lit(0L)).as("lm_micro"))
   }
 
+  /** Hashing-trick document embedding (the fastText / Weinberger
+    * feature-hashing construction): token occurrences hash into
+    * [[tokenBucket]] buckets, and each output dimension is a ±1-signed
+    * sum of bucket counts — a signed random projection of the sparse
+    * bag-of-words, giving every document a cheap model-free dense
+    * vector that feeds the existing ANN / near-dup operators. The sign
+    * is a Knuth multiplicative hash bit of (bucket, dim), computed AT
+    * RUNTIME from the data (unlike [[graft.functions.Projections]],
+    * whose matrix bakes into the plan) so both engines derive the
+    * identical matrix; everything is integer arithmetic — exact.
+    *
+    * 100 TB shape: explode → map-side pre-aggregated (doc, bucket)
+    * counts → one doc-keyed groupBy producing all `outDim` sums in a
+    * single pass. No UDF, no model artifact, one shuffle. */
+  def hashedEmbedding(
+      df: DataFrame,
+      outDim: Int = 16,
+      buckets: Int = 1 << 20,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(outDim >= 1 && outDim <= 64, s"outDim must be in [1,64], got $outDim")
+    val occ = df.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+      .select(col(idCol), tokenBucket(col("tok"), buckets).as("bucket"))
+      .groupBy(col(idCol), col("bucket")).agg(count(lit(1)).as("cnt"))
+    val dims = (0 until outDim).map { i =>
+      val h = (col("bucket") * lit(outDim.toLong) + lit(i.toLong)) * lit(2654435761L)
+      val sign = when(shiftRight(h, 16) % 2 === 1L, lit(1L)).otherwise(lit(-1L))
+      sum(col("cnt") * sign).cast("long").as(f"p$i%02d")
+    }
+    val proj = occ.groupBy(col(idCol)).agg(dims.head, dims.tail: _*)
+    // null/absent-token docs keep their row as the zero vector
+    df.select(col(idCol)).join(proj, Seq(idCol), "left")
+      .select(col(idCol) +:
+        (0 until outDim).map(i => coalesce(col(f"p$i%02d"), lit(0L)).as(f"p$i%02d")): _*)
+  }
+
   /** DSIR-style importance selection (Xie et al., arXiv:2302.03169):
     * rank corpus documents by how much more likely a TARGET-domain
     * bigram LM finds them than the corpus's own LM — the importance

@@ -390,6 +390,24 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(sizes.forall(c => c == 2L)) // 6 docs / 3 buckets per source
   }
 
+  test("hashedEmbedding: deterministic, content-keyed, null keeps a zero row") {
+    val df = Seq(
+      (1L, "spark shuffles data"),
+      (2L, "spark  SHUFFLES data"), // same after normalization → same vector
+      (3L, "completely different words here"),
+      (4L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val out = TextAnalysis.hashedEmbedding(df, outDim = 8).collect()
+      .map(r => r.getLong(0) -> (1 to 8).map(r.getLong).toVector).toMap
+    assert(out.size == 4)
+    assert(out(1L) == out(2L), "normalized-equal texts must embed identically")
+    assert(out(1L) != out(3L), "different texts should differ")
+    assert(out(4L) == Vector.fill(8)(0L), "null text keeps its row as the zero vector")
+    // single-token doc: every dim must be ±1 (one bucket, count 1)
+    val one = TextAnalysis.hashedEmbedding(
+      Seq((9L, "sole")).toDF("doc_id", "text"), outDim = 8).collect().head
+    assert((1 to 8).map(one.getLong).forall(v => v == 1L || v == -1L))
+  }
+
   test("bigramLmScoresAgainst on itself equals bigramLmScores exactly") {
     val df = Seq(
       (1L, "the cat sat on the mat"),
