@@ -1526,6 +1526,30 @@ object SparkEntry {
           .otherwise(0L).as("quantile_ok"))
     }),
 
+    // Sketch MERGE as a first-class pattern: per-day HLL sketches
+    // (DataSketches hll_sketch_agg — the persistable per-partition
+    // artifact) unioned with hll_union_agg into the global distinct
+    // estimate. At 100 TB this is the shape that replaces recounting:
+    // daily sketches are tiny, mergeable, and associative, so any date
+    // range's distinct-user estimate is a union over stored sketches,
+    // never a rescan. The estimate is checked against the exact
+    // distinct (deterministic sketch on fixed data → stable flag, the
+    // events_sketch_check convention).
+    "events_sketch_merge" -> ((s, dir) => {
+      val e = events(s, dir)
+      val daily = e.groupBy(to_date(col("ts")).as("day"))
+        .agg(expr("hll_sketch_agg(user_id, 14)").as("sk"))
+      val merged = daily.agg(
+        count(lit(1)).cast("long").as("n_days"),
+        expr("hll_sketch_estimate(hll_union_agg(sk, true))")
+          .cast("double").as("est_d"))
+      val exact = e.agg(countDistinct(col("user_id")).cast("long").as("exact_d"))
+      merged.crossJoin(exact).select(
+        col("n_days"), col("exact_d"),
+        when(abs(col("est_d") - col("exact_d").cast("double")) /
+          col("exact_d").cast("double") <= 0.05, 1L).otherwise(0L).as("merge_ok"))
+    }),
+
     // Bin-bucketed range (interval) join: clicks against one-hour
     // windows opened by each signup, same user. The bins turn a per-key
     // cartesian into an equi-join on (user, bin) + exact containment
@@ -2943,6 +2967,14 @@ object SparkEntry {
     // accuracy bounds hold by construction; the oracle pins the booleans
     "events_sketch_check" ->
       """SELECT CAST(1 AS BIGINT) AS hll_ok, CAST(1 AS BIGINT) AS quantile_ok""",
+
+    // n_days and exact_d are exact (oracle-computable); the merged-HLL
+    // estimate flag follows the events_sketch_check convention
+    "events_sketch_merge" ->
+      """SELECT CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
+        |       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_d,
+        |       CAST(1 AS BIGINT) AS merge_ok
+        |FROM events""".stripMargin,
 
     // brute-force theta join; the binned equi-join must reproduce it
     "events_range_join" ->

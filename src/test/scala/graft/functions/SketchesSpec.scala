@@ -26,6 +26,27 @@ class SketchesSpec extends AnyFunSuite {
     assert(relErr <= 0.15)
   }
 
+  test("HLL sketch merge: union of partial sketches estimates like the single-pass sketch") {
+    // the mergeability contract the sketch-artifact pattern rests on.
+    // NOT asserted as bit-equality: DataSketches HLL keeps a sparse
+    // mode that unioning may densify, shifting the estimator by a few
+    // counts (measured: 2000 vs 2006 on this fixture) — the contract
+    // is that both land within the error bound, not that the bytes
+    // agree. (The declared events_sketch_merge flag budgets 5% for
+    // exactly this reason.)
+    val ids = (0L until 2000L).toDF("uid")
+    val single = ids.agg(expr("hll_sketch_estimate(hll_sketch_agg(uid, 14))"))
+      .head().getLong(0)
+    val merged = ids.withColumn("half", col("uid") % 2)
+      .groupBy("half").agg(expr("hll_sketch_agg(uid, 14)").as("sk"))
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk, true))"))
+      .head().getLong(0)
+    assert(math.abs(merged - single).toDouble / 2000.0 <= 0.01,
+      s"merged=$merged single=$single diverge beyond noise")
+    assert(math.abs(merged - 2000L).toDouble / 2000.0 <= 0.05)
+    assert(math.abs(single - 2000L).toDouble / 2000.0 <= 0.05)
+  }
+
   test("approx quantiles bracket the exact quantiles on fixture data") {
     val vals = events.select($"value").as[Double].collect().sorted
     def exactQ(p: Double): Double = vals(math.min(vals.length - 1, (p * vals.length).toInt))
