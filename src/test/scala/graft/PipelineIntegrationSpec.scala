@@ -54,4 +54,23 @@ class PipelineIntegrationSpec extends AnyFunSuite {
       .select("vec_id").as[Long].collect().toSet
     assert(approx == Set(1L, 31L))
   }
+
+  test("text → hashed embedding → SRP near-dup finds the near-identical document") {
+    // the model-free text-to-vector path: docs 1/2 differ by one word of
+    // twelve (hashed vectors nearly parallel); 3-5 are disjoint topics
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river"),
+      (2L, "the quick brown fox jumps over the lazy cat near the river"),
+      (3L, "simmer onions in butter with thyme until deeply golden brown"),
+      (4L, "gradient descent updates parameters along the negative loss slope"),
+      (5L, "tectonic plates drift slowly across the viscous upper mantle")
+    ).toDF("doc_id", "text")
+    val emb = graft.text.TextAnalysis.hashedEmbedding(docs, outDim = 16)
+    val feats = emb.select(col("doc_id").as("vec_id"),
+      array((1 to 16).map(i => col(emb.columns(i)).cast("float")): _*).as("embedding"))
+    val dups = Dedup.embeddingNearDups(feats, minCosine = 0.9,
+        bits = 256, rowsPerBand = 8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(dups == Set((1L, 2L)), s"expected only the near-identical pair, got $dups")
+  }
 }
