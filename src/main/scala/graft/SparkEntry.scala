@@ -1207,7 +1207,11 @@ object SparkEntry {
       val (cb, enc) = pqIndex(dir, corpus)
       val query = corpus.filter(col("vec_id") === 0)
         .select(col("embedding")).head().getSeq[Float](0).toArray
-      graft.index.Pq.searchRerank(enc, corpus, cb, query, k = 10, shortlist = 200)
+      // shortlist 1000: at sf0.1 the corpus is 10x sf0.01 and a 200-code
+      // ADC shortlist started missing true top-10 neighbors (caught by a
+      // full sf0.1 oracle sweep); the shortlist must grow with the
+      // corpus for the rerank-equals-exact contract to hold
+      graft.index.Pq.searchRerank(enc, corpus, cb, query, k = 10, shortlist = 1000)
     }),
 
     // IVF-PQ (the FAISS-style composition): codes partitioned by the
@@ -1222,7 +1226,7 @@ object SparkEntry {
       val query = corpus.filter(col("vec_id") === 0)
         .select(col("embedding")).head().getSeq[Float](0).toArray
       val short = graft.index.Pq.searchIvfPq(s, codesDir, ivf, cb, query,
-        shortlist = 200, nprobe = 8)
+        shortlist = 1000, nprobe = 8)
       graft.index.Pq.rerankShortlist(short, corpus, query, k = 10)
     }),
 
@@ -1515,7 +1519,9 @@ object SparkEntry {
       val e = events(s, dir)
       val agg = e.agg(
         countDistinct(col("user_id")).cast("double").as("exact_d"),
-        graft.functions.Sketches.approxDistinct(col("user_id")).cast("double").as("est_d"),
+        // rsd 0.01 under a 5% flag = a 5-sigma bound; the rsd-0.05
+        // default made the flag a coin flip (observed >5% off at sf0.1)
+        graft.functions.Sketches.approxDistinct(col("user_id"), rsd = 0.01).cast("double").as("est_d"),
         expr("percentile(value, 0.5)").as("exact_p50"),
         graft.functions.Sketches.approxQuantiles(col("value"), Seq(0.5)).getItem(0).as("est_p50"),
         min(col("value")).as("lo"), max(col("value")).as("hi"))
