@@ -18,9 +18,9 @@ import org.apache.spark.sql.functions._
 object Recall {
 
   final case class Report(lsh: Double, ivf: Double, ivfSpill: Double,
-      nQueries: Int, k: Int, nprobe: Int) {
+      pq: Double, nQueries: Int, k: Int, nprobe: Int) {
     def json: String =
-      f""""recall":{"lsh_at$k":$lsh%.3f,"ivf_at$k":$ivf%.3f,"ivf_spill_at$k":$ivfSpill%.3f,"n_queries":$nQueries,"nprobe":$nprobe}"""
+      f""""recall":{"lsh_at$k":$lsh%.3f,"ivf_at$k":$ivf%.3f,"ivf_spill_at$k":$ivfSpill%.3f,"pq_adc_at$k":$pq%.3f,"n_queries":$nQueries,"nprobe":$nprobe}"""
   }
 
   /** recall@`k` of LSH (seeded BRP, the [[Ann]] defaults), pruned-IVF
@@ -41,7 +41,12 @@ object Recall {
       .persist()
     val spilled = Ivf.assignSpilled(ivfIndex, corpus, spill = 2)
       .select("vec_id", "embedding", "cluster").persist()
-    var lshHits, ivfHits, spillHits = 0
+    // PQ: the ADC top-k BEFORE any exact re-rank — the number the
+    // rerank shortlist has to recover from (the sf0.1 sweep showed a
+    // too-small shortlist silently breaking rerank-equals-exact)
+    val cb = Pq.fit(corpus, m = 8, k = 64, maxSample = 8192)
+    val codes = Pq.encode(corpus, cb).persist()
+    var lshHits, ivfHits, spillHits, pqHits = 0
     try {
       qs.foreach { q =>
         val exact = graft.ops.VectorSearch.knnExact(corpus, q.toSeq, k)
@@ -52,12 +57,16 @@ object Recall {
           .select("vec_id").collect().map(_.getLong(0)).toSet
         val spill = Ivf.searchSpilled(ivfIndex, spilled, q, k, nprobe)
           .select("vec_id").collect().map(_.getLong(0)).toSet
+        val pq = Pq.search(codes, cb, q, k)
+          .select("vec_id").collect().map(_.getLong(0)).toSet
         lshHits += (exact & lsh).size
         ivfHits += (exact & ivf).size
         spillHits += (exact & spill).size
+        pqHits += (exact & pq).size
       }
-    } finally { assigned.unpersist(); spilled.unpersist() }
+    } finally { assigned.unpersist(); spilled.unpersist(); codes.unpersist() }
     val denom = (qs.length * k).toDouble
-    Report(lshHits / denom, ivfHits / denom, spillHits / denom, qs.length, k, nprobe)
+    Report(lshHits / denom, ivfHits / denom, spillHits / denom, pqHits / denom,
+      qs.length, k, nprobe)
   }
 }
