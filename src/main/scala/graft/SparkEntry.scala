@@ -933,6 +933,18 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Misra-Gries heavy hitters over the token stream: the mergeable
+    // O(capacity) frequent-items summary that finds hot keys without a
+    // full groupBy. The summary's low-frequency survivors depend on
+    // merge order, so the declared output is the deterministic
+    // contract: exact row/hitter counts plus the guarantee flag (every
+    // token with frequency > n/(capacity+1) is in the summary).
+    "doc_token_hitters" -> ((s, dir) => {
+      val toks = docs(s, dir)
+        .select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      graft.ops.HeavyHitters.heavyHitterCheck(toks, "tok", capacity = 30)
+    }),
+
     // DSIR-style importance selection (Xie et al.): keep the 100 corpus
     // docs a target-domain bigram LM prefers most over the corpus's own
     // LM. The target model (the small curated side) broadcasts; both
@@ -2365,6 +2377,17 @@ object SparkEntry {
          |SELECT d.doc_id, $coalesced
          |FROM documents d LEFT JOIN p USING (doc_id) ORDER BY doc_id""".stripMargin
     },
+
+    // n_rows and n_hitters are exact; the guarantee flag follows the
+    // sketch convention (holds whenever the MG implementation is right)
+    "doc_token_hitters" ->
+      s"""WITH t AS (SELECT unnest($ToksSql) AS tok FROM documents),
+         |n AS (SELECT CAST(count(*) AS BIGINT) AS n_rows FROM t),
+         |h AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM t GROUP BY 1)
+         |SELECT n.n_rows,
+         |       CAST((SELECT count(*) FROM h WHERE c > (SELECT n_rows // 31 FROM n)) AS BIGINT) AS n_hitters,
+         |       CAST(1 AS BIGINT) AS all_found
+         |FROM n""".stripMargin,
 
     // Replays both bigram LMs (raw = whole corpus, target = the %100
     // subset), LEFT-joined so OOV grams take the add-one floor, then
