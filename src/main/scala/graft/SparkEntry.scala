@@ -814,11 +814,17 @@ object SparkEntry {
     "csv_roundtrip" -> ((s, dir) => {
       val tmp = ivfLayoutDir(dir,
         s"csvwork_p${ProcessHandle.current().pid()}") + "/docs"
+      // explicit RFC-4180 escape (doubled quotes) on BOTH sides plus a
+      // multiLine read: the default reader splits records on raw
+      // newlines, so any document containing '\n' would break the
+      // roundtrip silently (the fixture gap CsvNewlineSpec pins)
       docs(s, dir).write.mode("overwrite")
         .option("header", "true").option("nullValue", "\\N")
+        .option("escape", "\"")
         .csv(tmp)
       s.read.schema("doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
         .option("header", "true").option("nullValue", "\\N")
+        .option("escape", "\"").option("multiLine", "true")
         .csv(tmp)
         .withColumn("h",
           conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long"))
@@ -2436,8 +2442,9 @@ object SparkEntry {
          |           FROM documents),
          |s AS (SELECT doc_id,
          |        CAST(len(toks) AS BIGINT) AS n_words,
-         |        CAST(floor(CAST(list_sum([len(x) FOR x IN toks]) AS DOUBLE) * 1000000.0
-         |                   / CAST(len(toks) AS DOUBLE)) AS BIGINT) AS mean_word_len_q,
+         |        CASE WHEN len(toks) = 0 THEN NULL
+         |             ELSE CAST(floor(CAST(list_sum([len(x) FOR x IN toks]) AS DOUBLE) * 1000000.0
+         |                   / CAST(len(toks) AS DOUBLE)) AS BIGINT) END AS mean_word_len_q,
          |        CAST(len(norm) - len(replace(norm, '#', '')) AS BIGINT)
          |          + CAST((len(norm) - len(replace(norm, '...', ''))) / 3 AS BIGINT) AS n_sym,
          |        CAST(len(lines) AS BIGINT) AS n_lines,
@@ -2448,11 +2455,13 @@ object SparkEntry {
          |                             w -> list_contains(toks, w))) AS BIGINT) AS stop_hits
          |      FROM t),
          |g AS (SELECT doc_id, n_words, mean_word_len_q,
-         |        CAST(floor(CAST(n_sym AS DOUBLE) * 1000000.0 / CAST(n_words AS DOUBLE)) AS BIGINT) AS symbol_ratio_q,
+         |        CASE WHEN n_words = 0 THEN NULL
+         |             ELSE CAST(floor(CAST(n_sym AS DOUBLE) * 1000000.0 / CAST(n_words AS DOUBLE)) AS BIGINT) END AS symbol_ratio_q,
          |        n_lines,
          |        CAST(floor(CAST(n_bullet AS DOUBLE) * 1000000.0 / CAST(n_lines AS DOUBLE)) AS BIGINT) AS bullet_frac_q,
          |        CAST(floor(CAST(n_ell AS DOUBLE) * 1000000.0 / CAST(n_lines AS DOUBLE)) AS BIGINT) AS ellipsis_frac_q,
-         |        CAST(floor(CAST(n_alpha AS DOUBLE) * 1000000.0 / CAST(n_words AS DOUBLE)) AS BIGINT) AS alpha_frac_q,
+         |        CASE WHEN n_words = 0 THEN NULL
+         |             ELSE CAST(floor(CAST(n_alpha AS DOUBLE) * 1000000.0 / CAST(n_words AS DOUBLE)) AS BIGINT) END AS alpha_frac_q,
          |        stop_hits
          |      FROM s)
          |SELECT *, (n_words BETWEEN 10 AND 100000 AND mean_word_len_q BETWEEN 3000000 AND 10000000

@@ -549,7 +549,11 @@ object Dedup {
       fpp: Double = 0.01): DataFrame = {
     require(fpp > 0.0 && fpp < 1.0, s"fpp must be in (0,1), got $fpp")
     val cs = corpus.select(col(idCol), explode(wordShingles(col(textCol), n)).as("shingle"))
+    // pin the (small-by-contract) bench shingles once: the count, the
+    // bloom build, and the final exact join each re-scanned and
+    // re-tokenized the bench side otherwise — three passes for one
     val bs = bench.select(col(benchIdCol), explode(wordShingles(col(textCol), n)).as("shingle"))
+      .localCheckpoint()
     // occurrence count over-estimates the distinct-shingle cardinality,
     // which only makes the filter larger / the fpp lower — never wrong
     val nBench = math.max(bs.count(), 1L)

@@ -244,6 +244,9 @@ object Sampling {
       tokensCol: Column,
       budget: Long): DataFrame = {
     require(budget >= 1, s"budget must be positive, got $budget")
+    require(!df.columns.contains("cum_tokens"),
+      "input already has a 'cum_tokens' column; it would be silently replaced " +
+        "by the emitted running total — rename it first")
     val w = org.apache.spark.sql.expressions.Window.partitionBy(group).orderBy(order: _*)
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)

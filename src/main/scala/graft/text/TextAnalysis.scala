@@ -132,14 +132,19 @@ object TextAnalysis {
       normalizeText(col(textCol)).as("norm"),
       split(coalesce(col(textCol), lit("")), "\n").as("lines"))
     val nWords = size(col("toks")).cast("long")
-    val meanLenQ = floor(
-      aggregate(col("toks"), lit(0L), (acc, x) => acc + length(x)).cast("double") * 1000000.0 /
-        nWords.cast("double")).cast("long")
+    // zero-token docs: every per-word ratio is 0/0 — emit null stats
+    // (passes stays false via the word-count band, which sits first in
+    // the conjunction so FALSE AND NULL = FALSE) instead of a NaN that
+    // ANSI refuses to cast to long
+    def perWordQ(num: Column): Column =
+      when(nWords === 0L, lit(null).cast("long"))
+        .otherwise(floor(num * 1000000.0 / nWords.cast("double")).cast("long"))
+    val meanLenQ = perWordQ(
+      aggregate(col("toks"), lit(0L), (acc, x) => acc + length(x)).cast("double"))
     val nHash = (length(col("norm")) - length(regexp_replace(col("norm"), "#", ""))).cast("long")
     val nEllipsis = ((length(col("norm")) -
       length(regexp_replace(col("norm"), "\\.\\.\\.", ""))) / 3).cast("long")
-    val symbolQ = floor((nHash + nEllipsis).cast("double") * 1000000.0 /
-      nWords.cast("double")).cast("long")
+    val symbolQ = perWordQ((nHash + nEllipsis).cast("double"))
     val nLines = size(col("lines")).cast("long")
     val bulletCount = size(filter(col("lines"),
       l => trim(l).rlike("^[-*•]"))).cast("long")
@@ -148,7 +153,7 @@ object TextAnalysis {
     val bulletQ = floor(bulletCount.cast("double") * 1000000.0 / nLines.cast("double")).cast("long")
     val ellipsisQ = floor(ellipsisEndCount.cast("double") * 1000000.0 / nLines.cast("double")).cast("long")
     val alphaCount = size(filter(col("toks"), t => t.rlike("\\p{L}"))).cast("long")
-    val alphaQ = floor(alphaCount.cast("double") * 1000000.0 / nWords.cast("double")).cast("long")
+    val alphaQ = perWordQ(alphaCount.cast("double"))
     val stopHits = size(filter(
       array(GopherStopwords.map(lit): _*),
       w => array_contains(col("toks"), w))).cast("long")

@@ -44,6 +44,30 @@ class FormatsSpec extends AnyFunSuite {
     assertSame(Formats.readCsv(spark, dir).collect().toSeq, records)
   }
 
+  test("CSV document roundtrip survives embedded newlines (multiLine + RFC-4180 escape)") {
+    // the csv_roundtrip query's option discipline, exercised on the text
+    // shape the fixture corpus happens to lack: a document WITH '\n'.
+    // Without multiLine + an explicit escape the default reader splits
+    // the record on the raw newline and the roundtrip silently corrupts.
+    val dir = java.nio.file.Files.createTempDirectory("graft_csvnl").toString
+    val rows = Seq(
+      (1L, "line one\nline two\n- bullet \"quoted\"", "en"),
+      (2L, "plain", null.asInstanceOf[String]))
+    rows.toDF("doc_id", "text", "lang")
+      .write.mode("overwrite")
+      .option("header", "true").option("nullValue", "\\N")
+      .option("escape", "\"")
+      .csv(dir)
+    val back = spark.read
+      .schema("doc_id BIGINT, text STRING, lang STRING")
+      .option("header", "true").option("nullValue", "\\N")
+      .option("escape", "\"").option("multiLine", "true")
+      .csv(dir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .sortBy(_._1).toSeq
+    assert(back == rows)
+  }
+
   test("XML round-trips records with the embedding as repeated elements") {
     val dir = java.nio.file.Files.createTempDirectory("graft_xml").toString
     Formats.writeXml(records.toDS(), dir)

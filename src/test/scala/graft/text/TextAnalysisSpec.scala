@@ -353,6 +353,25 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(!t.getAs[Boolean]("passes"))
   }
 
+  test("gopherStats on empty/whitespace/null documents cannot crash the gate") {
+    // degenerate docs must neither throw (0/0 = NaN under an ANSI
+    // cast-to-long) nor pass — the zero-word guard emits null per-word
+    // stats whenever the token count is 0 and the word-count band
+    // keeps the verdict false
+    val df = Seq((1L, ""), (2L, "   \n  \t "), (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.gopherStats(df, minWords = 2L).collect()
+    assert(out.length == 3)
+    out.foreach { r =>
+      assert(!r.getAs[Boolean]("passes"))
+      // whatever the tokenizer yields for the degenerate text, the
+      // per-word stats are either well-defined longs or null — never a
+      // NaN smuggled through a cast
+      val mw = r.fieldIndex("mean_word_len_q")
+      assert(r.isNullAt(mw) || r.getLong(mw) >= 0L)
+    }
+  }
+
   test("gopherStats ellipsis-line rule counts '...' and '…' line endings") {
     val df = Seq((1L, "read more...\nand then…\nplain line\nalso plain")).toDF("doc_id", "text")
     val r = TextAnalysis.gopherStats(df, minWords = 1L).collect().head
