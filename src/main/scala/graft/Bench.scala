@@ -7,18 +7,25 @@ import org.apache.spark.sql.SparkSession
   * — every run builds a FRESH plan (compilation, codegen, any
   * build-once fixture like the IVF layout); the first is additionally
   * process-cold (JIT, buffer pools) — and the reported cold number is
-  * the MIN across those runs. Single-shot cold produced phantom 3–5×
-  * swings round over round (GC pauses, JIT recompilation landing inside
-  * one measurement) that burned a verdict cycle each on noise; min-of-N
-  * keeps a real planning-cost regression visible while suppressing
-  * one-off stalls. Then `SPARK_GRAFT_BENCH_RUNS` (default 3) WARM runs;
-  * the headline per-query number is the best warm run. Both run counts
-  * ride in the output (`cold_runs` / `warm_runs`) so the consumer knows
-  * the protocol.
+  * the MIN across those runs. Then `SPARK_GRAFT_BENCH_RUNS` (default 3)
+  * WARM runs; the headline per-query number is the best warm run. Both
+  * run counts ride in the output (`cold_runs` / `warm_runs`).
+  *
+  * EVERY raw sample is recorded, not just the min: the detail record
+  * carries per-run cold/warm arrays (`samples`) plus a fingerprint of
+  * each run's POST-AQE executed plan (`plans_*`), so a
+  * round-over-round anomaly ("warm 6× slower than its own cold") is
+  * adjudicable from the record — one slow run vs three consistently
+  * slow runs vs a plan flip are three different diagnoses, and the
+  * min-only record could not distinguish them. Fingerprints are
+  * MD5-of-normalized-plan (expression ids, plan ids, and temp paths
+  * stripped — they legitimately differ run to run); identical
+  * fingerprints cold vs warm prove the plan was stable and the delta
+  * was environment, divergent ones localize a planner instability.
   *
   * OUTPUT CONTRACT: the harness that consumes this only sees the last
   * ~2000 characters of stdout and parses the LAST line as JSON. The full
-  * per-query detail (~4 KB with 70 queries) therefore goes out as the
+  * per-query detail (~20 KB with samples) therefore goes out as the
   * FIRST line and to BENCH_DETAIL.json; the final stdout line is a
   * compact summary hard-capped at [[Bench.MaxSummaryBytes]] bytes
   * (per-query dict included only when it fits the cap).
@@ -61,6 +68,48 @@ object Bench {
       s""""warm_runs":$warmRuns,"cold_runs":$coldRuns$extra,"sf":"$sf"}"""
   }
 
+  /** One run's measurement: elapsed seconds + executed-plan fingerprint
+    * ("none" when the plan could not be captured). */
+  final case class Run(secs: Double, plan: String)
+
+  /** All samples for one query, in run order. */
+  final case class Samples(cold: Seq[Run], warm: Seq[Run]) {
+    def coldMin: Double = cold.map(_.secs).min
+    def warmMin: Double = if (warm.nonEmpty) warm.map(_.secs).min else coldMin
+  }
+
+  /** The per-run record: every sample and every plan fingerprint, so the
+    * consumer can tell "one slow run" from "consistently slow" from
+    * "the plan changed". */
+  def samplesJson(results: Seq[(String, Samples)]): String = {
+    def arr(rs: Seq[Run]) = rs.map(r => r3(r.secs)).mkString("[", ",", "]")
+    def fps(rs: Seq[Run]) = rs.map(r => "\"" + r.plan + "\"").mkString("[", ",", "]")
+    results.map { case (name, s) =>
+      "\"" + name + "\":{" +
+        s""""cold":${arr(s.cold)},"warm":${arr(s.warm)},""" +
+        s""""plans_cold":${fps(s.cold)},"plans_warm":${fps(s.warm)}}"""
+    }.mkString("\"samples\":{", ",", "}")
+  }
+
+  /** Stable hash of an executed-plan string: run-varying identifiers
+    * (expression ids, plan/stage ids, scratch paths, object addresses)
+    * are normalized away, so two runs of the same logical query hash
+    * equal iff Catalyst/AQE produced the same physical shape. */
+  private[graft] def planFingerprint(plan: String): String = {
+    val norm = plan
+      .replaceAll("#\\d+[A-Za-z]*", "#x")
+      .replaceAll("plan_id=\\d+", "plan_id=x")
+      .replaceAll("exprId=\\d+", "exprId=x")
+      .replaceAll("\\[id=[^\\]]*\\]", "[id=x]")
+      .replaceAll("@[0-9a-fA-F]{6,}", "@x")
+      .replaceAll("ShuffleQueryStage \\d+", "ShuffleQueryStage x")
+      .replaceAll("BroadcastQueryStage \\d+", "BroadcastQueryStage x")
+      .replaceAll("/tmp/[\\w./-]*", "/tmp/x")
+      .replaceAll("graft_\\w+", "graft_x")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.digest(norm.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -78,13 +127,49 @@ object Bench {
     spark.read.parquet(s"$sfDir/embeddings.parquet")
       .write.format("noop").mode("overwrite").save()
 
+    // Post-AQE plan capture: QueryExecutionListener fires after every
+    // action with the EXECUTED QueryExecution (AdaptiveSparkPlanExec
+    // already holding its final plan). Delivery is async but FIFO, so
+    // after a query's terminal noop save the LAST event to land is that
+    // save's — [[drainLastPlan]] polls (outside the timed region) until
+    // the event counter is stable.
+    val lastPlan = new java.util.concurrent.atomic.AtomicReference[(Long, String)]((0L, ""))
+    spark.listenerManager.register(new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit = {
+        val prev = lastPlan.get()
+        lastPlan.set((prev._1 + 1, qe.executedPlan.toString))
+      }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, exception: Exception): Unit = ()
+    })
+
+    def drainLastPlan(sinceCount: Long): Option[String] = {
+      val deadline = System.nanoTime() + 2000000000L
+      var last = lastPlan.get()
+      var stableAt = System.nanoTime()
+      var done = false
+      while (!done && System.nanoTime() < deadline) {
+        Thread.sleep(5)
+        val cur = lastPlan.get()
+        if (cur._1 != last._1) { last = cur; stableAt = System.nanoTime() }
+        // an event arrived for THIS action and nothing newer for 30 ms →
+        // the FIFO bus has drained past our terminal save
+        done = last._1 > sinceCount && (System.nanoTime() - stableAt) > 30000000L
+      }
+      if (last._1 > sinceCount) Some(last._2) else None
+    }
+
     // noop sink materializes every row/column — count() alone would let
     // Catalyst prune the distance compute out of the measurement
-    def runOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Option[Double] = {
+    def runOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Option[Run] = {
+      val before = lastPlan.get()._1
       val t0 = System.nanoTime()
       try {
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        Some((System.nanoTime() - t0) / 1e9)
+        val secs = (System.nanoTime() - t0) / 1e9 // timed region ends HERE
+        val fp = drainLastPlan(before).map(planFingerprint).getOrElse("none")
+        Some(Run(secs, fp))
       } catch {
         case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}"); None
       }
@@ -95,18 +180,19 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
     val selected = only.fold(SparkEntry.queries)(s => SparkEntry.queries.filter(q => s(q._1)))
-    val results: Seq[(String, (Double, Double))] = selected.toSeq.flatMap { case (name, fn) =>
+    val results: Seq[(String, Samples)] = selected.toSeq.flatMap { case (name, fn) =>
       runOnce(name, fn).map { first =>
         // each extra cold run rebuilds the plan from scratch (fresh
         // DataFrame); only JIT/page-cache state carries over — min-of-N
         // suppresses one-off GC/JIT stalls without hiding planning cost
-        val cold = (first +: (2 to coldRuns).flatMap(_ => runOnce(name, fn))).min
+        val cold = first +: (2 to coldRuns).flatMap(_ => runOnce(name, fn))
         val warm = (1 to warmRuns).flatMap(_ => runOnce(name, fn))
-        name -> (cold, if (warm.nonEmpty) warm.min else cold)
+        name -> Samples(cold, warm)
       }
     }
-    val totalWarm = results.map(_._2._2).sum
-    val totalCold = results.map(_._2._1).sum
+    val minima = results.map { case (name, s) => name -> (s.coldMin, s.warmMin) }
+    val totalWarm = minima.map(_._2._2).sum
+    val totalCold = minima.map(_._2._1).sum
     // measured recall@10 of the approximate family (LSH, pruned IVF) vs
     // the exact scan — the accuracy/cost trade-off quantified per round
     val recall = try {
@@ -116,15 +202,25 @@ object Bench {
     } catch {
       case e: Throwable => System.err.println(s"[bench] recall: ${e.getMessage}"); None
     }
-    val detail = detailLine(totalWarm, totalCold, results, sfDir, warmRuns, coldRuns,
-      extra = recall.fold("")("," + _.json))
+    // rows-in-state per streaming query (max over micro-batches), so the
+    // claimed watermark bounds are MEASURED per round, not just
+    // spec-pinned once — a leak shows up as round-over-round growth here
+    val streamState = {
+      import scala.jdk.CollectionConverters._
+      val m = SparkEntry.streamStateRows.asScala.toSeq.sortBy(_._1)
+      if (m.isEmpty) ""
+      else m.map { case (k, v) => "\"" + k + "\":" + v }
+        .mkString(",\"stream_state\":{", ",", "}")
+    }
+    val extra = recall.fold("")("," + _.json) + "," + samplesJson(results) + streamState
+    val detail = detailLine(totalWarm, totalCold, minima, sfDir, warmRuns, coldRuns, extra)
     println(detail) // first line: full per-query detail for humans/logs
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_DETAIL.json"),
       (detail + "\n").getBytes("UTF-8"))
     catch { case e: Throwable => System.err.println(s"[bench] detail file: ${e.getMessage}") }
     // LAST stdout line — must survive the consumer's 2000-char tail
-    println(summaryLine(totalWarm, totalCold, results.map { case (k, v) => (k, v._2) }, sfDir, warmRuns, coldRuns))
+    println(summaryLine(totalWarm, totalCold, minima.map { case (k, v) => (k, v._2) }, sfDir, warmRuns, coldRuns))
     spark.stop()
   }
 }

@@ -233,9 +233,24 @@ object SparkEntry {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      // measured state bound: peak rows-in-state across micro-batches
+      // (summed over a query's stateful operators). The bench emits
+      // these per round so the claimed watermark bounds are observed
+      // numbers, not a one-time spec assertion — unbounded state growth
+      // would show up here long before it OOMs a 100 TB deployment.
+      val peak = q.recentProgress.iterator
+        .map(p => p.stateOperators.map(_.numRowsTotal).sum)
+        .foldLeft(0L)(math.max)
+      streamStateRows.put(tag, peak)
     } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     s.read.parquet(sinkDir)
   }
+
+  /** Peak state-store rows per streaming query tag, recorded by
+    * [[runStreamToParquet]] on every completed run — surfaced in the
+    * bench detail (`stream_state`). */
+  val streamStateRows =
+    new java.util.concurrent.ConcurrentHashMap[String, Long]()
 
   /** Process-level PQ codebook memo: the driver-side Lloyd's fit runs
     * once per scale factor. Only the session-free Codebooks are cached —

@@ -42,6 +42,43 @@ class BenchLineSpec extends AnyFunSuite {
     assert(node.get("queries").get("q1_agg").asDouble() == 0.512)
   }
 
+  test("samples extra (per-run arrays + plan fingerprints) keeps the detail line valid JSON") {
+    val samples = Seq(
+      "q1" -> Bench.Samples(
+        cold = Seq(Bench.Run(1.234, "ab12cd34ef56"), Bench.Run(0.9, "ab12cd34ef56")),
+        warm = Seq(Bench.Run(0.5, "ab12cd34ef56"), Bench.Run(0.51, "none"))),
+      "q2" -> Bench.Samples(cold = Seq(Bench.Run(2.0, "ffffffffffff")), warm = Nil))
+    val extra = "," + Bench.samplesJson(samples) + ",\"stream_state\":{\"stream_dedup\":500}"
+    val detail = Bench.detailLine(1.0, 2.0,
+      samples.map { case (k, s) => k -> (s.coldMin, s.warmMin) }, "sf0.1", 3, 2, extra)
+    val node = mapper.readTree(detail) // throws on malformed JSON
+    val q1 = node.get("samples").get("q1")
+    assert(q1.get("cold").size() == 2 && q1.get("warm").size() == 2)
+    assert(q1.get("cold").get(0).asDouble() == 1.234)
+    assert(q1.get("plans_cold").get(1).asText() == "ab12cd34ef56")
+    assert(node.get("samples").get("q2").get("warm").size() == 0)
+    assert(node.get("stream_state").get("stream_dedup").asLong() == 500L)
+    // warm falls back to cold min when no warm run succeeded
+    assert(node.get("queries").get("q2").asDouble() == 2.0)
+  }
+
+  test("plan fingerprint is stable across run-varying ids, sensitive to plan shape") {
+    val runA =
+      """AdaptiveSparkPlan isFinalPlan=true
+        |+- == Final Plan ==
+        |   TakeOrderedAndProject(limit=10, orderBy=[dist#123 ASC], output=[vec_id#45L,dist#123])
+        |   +- Project [vec_id#45L, l2sq(embedding#46, [1.0,2.0]) AS dist#123]
+        |      +- FileScan parquet [vec_id#45L,embedding#46] Location: InMemoryFileIndex[file:/tmp/graft_ivf_abc123/data]""".stripMargin
+    val runB = runA // same shape...
+      .replaceAll("#123", "#987").replaceAll("#45", "#61").replaceAll("#46", "#62")
+      .replace("/tmp/graft_ivf_abc123/data", "/tmp/graft_ivf_ff00aa/data") // ...fresh ids/paths
+    val changed = runA.replace("TakeOrderedAndProject(limit=10", "Sort(global=true") // real plan change
+    assert(Bench.planFingerprint(runA) == Bench.planFingerprint(runB),
+      "run-varying identifiers must not change the fingerprint")
+    assert(Bench.planFingerprint(runA) != Bench.planFingerprint(changed),
+      "a different physical shape must change the fingerprint")
+  }
+
   test("dict is dropped, not truncated, when it would blow the cap") {
     val many = (1 to 500).map(i => s"query_with_a_quite_long_name_$i" -> 1.234)
     val line = Bench.summaryLine(617.0, 1234.0, many, "sf0.1", 3)

@@ -82,6 +82,36 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streamingDedup state rows stay flat across a 2x replay of the same content") {
+    // the measured form of the watermark-bounds-state claim: replaying
+    // the identical corpus twice must NOT grow the dedup state — state
+    // is keyed by content hash within the horizon, and duplicates add
+    // no keys. An unbounded-state regression (e.g. reverting to plain
+    // dropDuplicates with extra key columns) would double it.
+    implicit val sc = spark.sqlContext
+    def peakState(replays: Int): Long = {
+      val input = MemoryStream[(Timestamp, Long, String)]
+      val out = StreamingIngest.streamingDedup(
+        input.toDF().toDF("ts", "doc_id", "text"), delay = "1 hour")
+      val q = out.writeStream.format("noop")
+        .outputMode(OutputMode.Append()).start()
+      try {
+        val docs = (1 to 50).map(i => (ts(i % 60), i.toLong, s"document body number $i"))
+        (1 to replays).foreach { r =>
+          input.addData(docs.map { case (t, id, txt) => (t, id + r * 1000L, txt) }: _*)
+          q.processAllAvailable()
+        }
+        q.recentProgress.iterator
+          .map(p => p.stateOperators.map(_.numRowsTotal).sum)
+          .foldLeft(0L)(math.max)
+      } finally q.stop()
+    }
+    val once = peakState(1)
+    val twice = peakState(2)
+    assert(once == 50L, s"expected 50 distinct hashes in state, got $once")
+    assert(twice == once, s"2x replay grew dedup state: $once -> $twice")
+  }
+
   test("streamingCurate gates language and quality before the dedup state") {
     implicit val sc = spark.sqlContext
     val input = MemoryStream[(Timestamp, Long, String)]
