@@ -3,6 +3,8 @@ package graft.index
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
+import graft.ops.VectorSearch
+
 /** Measured recall@k of the approximate search family against the exact
   * scan — the accuracy half of the accuracy/cost trade-off that the
   * reference's HNSW build parameters embody implicitly (M=16,
@@ -12,61 +14,89 @@ import org.apache.spark.sql.functions._
   * RecallSpec pins floors so a quietly-degraded index fails tests, not
   * production.
   *
-  * Driver-side loops here are bounded by `nQueries` (each iteration
-  * collects ≤ k ids) — the measurement harness is not a scale path.
+  * Fully distributed: ground truth is ONE batch [[VectorSearch.knnJoinAgg]]
+  * (bounded TopKAggregator shuffle), each method's candidates are a
+  * single unioned plan of bounded per-query top-k branches, and the hit
+  * counts come back from one join + aggregate. The only driver-side data
+  * are the `nQueries` probe vectors (needed to build probe predicates
+  * and ADC tables — tiny by construction) and the final count rows, so
+  * the report itself scales with the corpus.
   */
 object Recall {
 
   final case class Report(lsh: Double, ivf: Double, ivfSpill: Double,
-      pq: Double, nQueries: Int, k: Int, nprobe: Int) {
+      pq: Double, opq: Double, nQueries: Int, k: Int, nprobe: Int) {
     def json: String =
-      f""""recall":{"lsh_at$k":$lsh%.3f,"ivf_at$k":$ivf%.3f,"ivf_spill_at$k":$ivfSpill%.3f,"pq_adc_at$k":$pq%.3f,"n_queries":$nQueries,"nprobe":$nprobe}"""
+      f""""recall":{"lsh_at$k":$lsh%.3f,"ivf_at$k":$ivf%.3f,"ivf_spill_at$k":$ivfSpill%.3f,"pq_adc_at$k":$pq%.3f,"opq_adc_at$k":$opq%.3f,"n_queries":$nQueries,"nprobe":$nprobe}"""
   }
 
   /** recall@`k` of LSH (seeded BRP, the [[Ann]] defaults), pruned-IVF
-    * (`nprobe` of `nlist` lists), and spill-2 pruned-IVF
-    * ([[Ivf.assignSpilled]] — same nprobe, 2× storage) search, averaged
-    * over the `nQueries` lowest-id corpus vectors as self-queries.
-    * Everything is seeded, so the numbers are reproducible run to run;
-    * the lsh/ivf/ivfSpill triple quantifies the accuracy side of each
-    * index's accuracy/cost position at identical probe cost. */
+    * (`nprobe` of `nlist` lists), spill-2 pruned-IVF ([[Ivf.assignSpilled]]
+    * — same nprobe, 2× storage), raw PQ ADC, and OPQ ADC (same code size,
+    * learned rotation) search, averaged over the `nQueries` lowest-id
+    * corpus vectors as self-queries. Everything is seeded, so the numbers
+    * are reproducible run to run; the tuple quantifies the accuracy side
+    * of each index's accuracy/cost position at identical probe cost. */
   def measure(corpus: DataFrame, nQueries: Int = 10, k: Int = 10,
       nlist: Int = 8, nprobe: Int = 2): Report = {
-    val qs = corpus.filter(col("vec_id") < nQueries)
-      .select("vec_id", "embedding").collect()
-      .map(r => r.getSeq[Float](1).toArray)
+    val queries = corpus.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+    // bounded collect: nQueries rows, needed driver-side for probe-cluster
+    // ranking and per-query ADC tables (both are driver arithmetic anyway)
+    val qs: Array[(Long, Array[Float])] = queries.collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    require(qs.nonEmpty, "no probe queries below vec_id < nQueries")
+
+    // ground truth: one distributed batch kNN join
+    val gt = VectorSearch.knnJoinAgg(queries, corpus, k)
+      .select(col("query_id"), col("vec_id")).persist()
+    gt.count() // pin before the candidate plans reuse the query side
+
     val lshModel = Ann.fit(corpus)
     val ivfIndex = Ivf.fit(corpus, nlist = nlist, maxIter = 3)
     val assigned = Ivf.assign(ivfIndex, corpus).select("vec_id", "embedding", "cluster")
       .persist()
     val spilled = Ivf.assignSpilled(ivfIndex, corpus, spill = 2)
       .select("vec_id", "embedding", "cluster").persist()
-    // PQ: the ADC top-k BEFORE any exact re-rank — the number the
+    // PQ / OPQ: the ADC top-k BEFORE any exact re-rank — the number the
     // rerank shortlist has to recover from (the sf0.1 sweep showed a
     // too-small shortlist silently breaking rerank-equals-exact)
     val cb = Pq.fit(corpus, m = 8, k = 64, maxSample = 8192)
     val codes = Pq.encode(corpus, cb).persist()
-    var lshHits, ivfHits, spillHits, pqHits = 0
-    try {
-      qs.foreach { q =>
-        val exact = graft.ops.VectorSearch.knnExact(corpus, q.toSeq, k)
-          .select("vec_id").collect().map(_.getLong(0)).toSet
-        val lsh = Ann.searchApprox(lshModel, corpus, q, k)
-          .select("vec_id").collect().map(_.getLong(0)).toSet
-        val ivf = Ivf.search(ivfIndex, assigned, q, k, nprobe)
-          .select("vec_id").collect().map(_.getLong(0)).toSet
-        val spill = Ivf.searchSpilled(ivfIndex, spilled, q, k, nprobe)
-          .select("vec_id").collect().map(_.getLong(0)).toSet
-        val pq = Pq.search(codes, cb, q, k)
-          .select("vec_id").collect().map(_.getLong(0)).toSet
-        lshHits += (exact & lsh).size
-        ivfHits += (exact & ivf).size
-        spillHits += (exact & spill).size
-        pqHits += (exact & pq).size
+    val opqModel = Pq.fitOpq(corpus, m = 8, k = 64, maxSample = 8192)
+    val opqCodes = Pq.encodeOpq(corpus, opqModel).persist()
+
+    // one unioned plan per method: each branch is a bounded top-k
+    def tagged(name: String, branches: Seq[DataFrame]): DataFrame =
+      branches.reduce(_ union _).select(lit(name).as("method"),
+        col("query_id"), col("vec_id"))
+    def withQid(qid: Long, df: DataFrame): DataFrame =
+      df.select(lit(qid).as("query_id"), col("vec_id"))
+    val candidates = Seq(
+      tagged("lsh", qs.toSeq.map { case (qid, q) =>
+        withQid(qid, Ann.searchApprox(lshModel, corpus, q, k)) }),
+      tagged("ivf", qs.toSeq.map { case (qid, q) =>
+        withQid(qid, Ivf.search(ivfIndex, assigned, q, k, nprobe)) }),
+      tagged("spill", qs.toSeq.map { case (qid, q) =>
+        withQid(qid, Ivf.searchSpilled(ivfIndex, spilled, q, k, nprobe)) }),
+      tagged("pq", qs.toSeq.map { case (qid, q) =>
+        withQid(qid, Pq.search(codes, cb, q, k)) }),
+      tagged("opq", qs.toSeq.map { case (qid, q) =>
+        withQid(qid, Pq.searchOpq(opqCodes, opqModel, q, k)) })
+    ).reduce(_ union _)
+
+    val hits =
+      try {
+        candidates.join(gt, Seq("query_id", "vec_id"))
+          .groupBy("method").agg(count(lit(1)).as("hits"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      } finally {
+        gt.unpersist(); assigned.unpersist(); spilled.unpersist()
+        codes.unpersist(); opqCodes.unpersist()
       }
-    } finally { assigned.unpersist(); spilled.unpersist(); codes.unpersist() }
     val denom = (qs.length * k).toDouble
-    Report(lshHits / denom, ivfHits / denom, spillHits / denom, pqHits / denom,
+    def of(m: String): Double = hits.getOrElse(m, 0L) / denom
+    Report(of("lsh"), of("ivf"), of("spill"), of("pq"), of("opq"),
       qs.length, k, nprobe)
   }
 }

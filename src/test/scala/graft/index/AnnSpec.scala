@@ -195,7 +195,7 @@ class AnnSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
   test("Recall.measure: seeded LSH/pruned-IVF recall@10 floors hold") {
     val r = Recall.measure(emb.select("vec_id", "embedding"),
       nQueries = 10, k = 10, nlist = 8, nprobe = 2)
-    info(f"recall@10: lsh=${r.lsh}%.3f ivf(nprobe=2/8)=${r.ivf}%.3f spill2=${r.ivfSpill}%.3f pq=${r.pq}%.3f")
+    info(f"recall@10: lsh=${r.lsh}%.3f ivf(nprobe=2/8)=${r.ivf}%.3f spill2=${r.ivfSpill}%.3f pq=${r.pq}%.3f opq=${r.opq}%.3f")
     assert(r.nQueries == 10 && r.k == 10)
     assert(r.lsh >= 0.90, s"LSH recall degraded: ${r.lsh}")
     assert(r.ivf >= 0.25, s"pruned-IVF recall degraded: ${r.ivf}")
@@ -204,6 +204,11 @@ class AnnSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     // rerank shortlist must be generous (1000 codes) for
     // rerank-equals-exact to hold
     assert(r.pq >= 0.30 && r.pq <= 1.0, s"PQ ADC recall out of band: ${r.pq}")
+    // the learned OPQ rotation must buy recall at identical code size
+    // and scan cost (floor set from the measured sf0.001/sf0.1 values)
+    assert(r.opq >= 0.50, s"OPQ ADC recall degraded: ${r.opq}")
+    assert(r.opq >= r.pq - 0.05,
+      s"OPQ ${r.opq} fell below plain PQ ${r.pq}: rotation is hurting")
     // spill-2 probes the same lists over a superset assignment: recall
     // can only improve (a top-1-assigned row is still in its list)
     assert(r.ivfSpill >= r.ivf,
