@@ -266,6 +266,17 @@ object SparkEntry {
     (cb, graft.index.Pq.encode(corpus, cb))
   }
 
+  /** OPQ sibling of [[pqIndex]]: same memo discipline (session-free
+    * model cached, lazy encode rebuilt per call). */
+  private val opqCache =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.index.Pq.OpqModel]()
+
+  private def opqIndex(dir: String, corpus: DataFrame): (graft.index.Pq.OpqModel, DataFrame) = {
+    val model = opqCache.computeIfAbsent(dir,
+      _ => graft.index.Pq.fitOpq(corpus, m = 8, k = 64, maxSample = 8192))
+    (model, graft.index.Pq.encodeOpq(corpus, model))
+  }
+
   /** Memoized IVF-PQ composition per sf-dir: the coarse quantizer, the
     * codebooks, and the cluster-partitioned code layout are built once
     * per process (the seeded fits make rebuilds identical), so warm
@@ -1245,6 +1256,56 @@ object SparkEntry {
       // full sf0.1 oracle sweep); the shortlist must grow with the
       // corpus for the rerank-equals-exact contract to hold
       graft.index.Pq.searchRerank(enc, corpus, cb, query, k = 10, shortlist = 1000)
+    }),
+
+    // OPQ (learned-rotation PQ, Ge et al. CVPR'13) + re-rank: same code
+    // size and ADC scan as knn_pq_rerank, but the rotation re-balances
+    // subspace variance so the raw ADC ordering recalls more of the
+    // true top-k (0.37 → 0.51 measured, bench recall report) — which is
+    // what keeps the rerank shortlist sufficient as the corpus grows.
+    // Same 1000-code shortlist policy; converges to exact, shares the
+    // brute-force oracle.
+    "knn_opq_rerank" -> ((s, dir) => {
+      val corpus = emb(s, dir)
+      val (model, enc) = opqIndex(dir, corpus)
+      val query = corpus.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).toArray
+      graft.index.Pq.rerankShortlist(
+        graft.index.Pq.searchOpq(enc, model, query, k = 1000),
+        corpus, query, k = 10)
+    }),
+
+    // Recall-targeted index selection ("give me ≥0.9 recall@10 at
+    // minimum probe cost"): AnnSelector MEASURES the recall/scan-cost
+    // frontier of every approximate config (LSH, pruned IVF at several
+    // nprobe, spill-2) against a distributed exact ground truth, then
+    // picks the cheapest config clearing the target — the accuracy
+    // envelope the reference's fixed HNSW(16,200,200) parameters give
+    // implicitly, made explicit and measured. The summary row pins the
+    // contract: k rows returned, the self-query found at rank 1 (an
+    // exact copy is a guaranteed candidate under every config), the
+    // selected config's measured recall clears 0.9, and its measured
+    // scan cost is strictly below the exact scan. Bucket/probe choices
+    // are not SQL-expressible, so the oracle pins the invariant
+    // constants (same device as knn_lsh_check).
+    "knn_at_recall" -> ((s, dir) => {
+      val corpus = emb(s, dir).select("vec_id", "embedding")
+      val built = graft.index.AnnSelector.build(corpus, nQueries = 10, k = 10, nlist = 8)
+      try {
+        val point = graft.index.AnnSelector.select(built, 0.9)
+        val query = corpus.filter(col("vec_id") === 0)
+          .select(col("embedding")).head().getSeq[Float](0).toArray
+        graft.index.AnnSelector.search(built, corpus, point, query, k = 10)
+          .agg(
+            count(lit(1)).as("n_rows"),
+            sum(when(col("vec_id") === 0 && col("dist") === 0.0, 1L).otherwise(0L))
+              .as("self_found"))
+          .select(col("n_rows"), col("self_found"),
+            lit(if (point.recall >= 0.9) 1L else 0L).as("recall_ok"),
+            lit(if (point.scanFrac < 1.0) 1L else 0L).as("cheaper"))
+          // materialize before release(): the summary is one row
+          .localCheckpoint()
+      } finally built.release()
     }),
 
     // IVF-PQ (the FAISS-style composition): codes partitioned by the
@@ -2769,6 +2830,25 @@ object SparkEntry {
          |SELECT e.vec_id AS vec_id, ${l2SqSql("e.embedding", "q.qe")} AS dist
          |FROM embeddings e CROSS JOIN q
          |ORDER BY dist ASC, vec_id ASC LIMIT 10""".stripMargin,
+
+    // OPQ + re-rank converges to the same exact top-10 (the rotation
+    // only changes the shortlist's internal order, and 1000 codes cover
+    // the true neighbors with margin — measured ADC recall 0.51 > plain
+    // PQ's 0.37)
+    "knn_opq_rerank" ->
+      s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+         |SELECT e.vec_id AS vec_id, ${l2SqSql("e.embedding", "q.qe")} AS dist
+         |FROM embeddings e CROSS JOIN q
+         |ORDER BY dist ASC, vec_id ASC LIMIT 10""".stripMargin,
+
+    // Invariant summary (selection itself is not SQL-expressible): the
+    // self-query is a guaranteed dist-0 candidate under every config,
+    // the selector must find a ≥0.9-recall config cheaper than the
+    // exact scan on this corpus (spill-2/IVF probes measure well under
+    // it at every tested SF), and k rows come back.
+    "knn_at_recall" ->
+      """SELECT CAST(10 AS BIGINT) AS n_rows, CAST(1 AS BIGINT) AS self_found,
+        |       CAST(1 AS BIGINT) AS recall_ok, CAST(1 AS BIGINT) AS cheaper""".stripMargin,
 
     "knn_quantized_top10" ->
       s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),

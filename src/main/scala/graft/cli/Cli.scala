@@ -201,20 +201,55 @@ object Cli {
           }
 
         case "search" =>
-          if (args.length != 4) { System.err.println(s"Usage: $prog $path search <k> <query_vector>"); return 1 }
+          // `search --approx <k> <q>` extends the reference surface: the
+          // recall-targeted selector (AnnSelector) picks the cheapest
+          // measured ≥0.9-recall config; tiny stores fall back to the
+          // exact scan (an approximate index under ~64 rows measures
+          // nothing). Plain `search <k> <q>` stays byte-identical to the
+          // reference. The config note goes to stderr so stdout keeps
+          // the reference's parseable result format either way.
+          val approx = args.length >= 3 && args(2) == "--approx"
+          if (args.length != (if (approx) 5 else 4)) {
+            System.err.println(s"Usage: $prog $path search <k> <query_vector>"); return 1
+          }
           val db = warnIfLoadedEmpty(VectorStore.load(spark, file))
-          val k = cppStoi(args(2))
-          val query = parseVector(args(3), db.getDimensions)
+          val k = cppStoi(args(if (approx) 3 else 2))
+          val query = parseVector(args(if (approx) 4 else 3), db.getDimensions)
           // with no db file, load() never built an index (vectordb.cpp:121-123)
           if (!db.fromFile)
             throw new IllegalStateException("Index is not built. Run 'rebuild' first.")
-          val results = db.search(query, k).collect()
+          val results =
+            if (!approx) db.search(query, k).collect()
+            else {
+              val corpus = db.toDF.select(
+                org.apache.spark.sql.functions.col("id").as("vec_id"),
+                org.apache.spark.sql.functions.col("embedding"))
+              if (corpus.count() < 64) {
+                System.err.println("[approx] corpus below index threshold; using exact scan")
+                db.search(query, k).collect()
+              } else {
+                val (point, res) = graft.index.AnnSelector.searchAtRecall(
+                  corpus, query, k, targetRecall = 0.9)
+                System.err.println(s"[approx] config=${point.name}")
+                res.collect()
+              }
+            }
           println("Search results (ID, Distance):")
           if (results.isEmpty) println("No results found. Have you run 'rebuild'?")
           results.foreach { row =>
             // sqrt at presentation only, like main.cpp:115-116
             println(s"- ID: ${row.getLong(0)}, Dist: ${cppNum(math.sqrt(row.getDouble(1)))}")
           }
+
+        case "dedup" =>
+          // beyond the reference surface: exact-duplicate removal over
+          // the store (lowest id wins — graft.dedup's first-occurrence
+          // policy), persisted like any other mutation
+          if (args.length != 2) { System.err.println(s"Usage: $prog $path dedup"); return 1 }
+          val db = warnIfLoadedEmpty(VectorStore.load(spark, file))
+          val removed = db.dedupExact()
+          db.save(file)
+          println(s"Removed $removed duplicate vectors. Run 'rebuild' to index.")
 
         case "rebuild" =>
           // the reference rebuilds twice here — once inside load() (only

@@ -1,0 +1,191 @@
+package graft.index
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.ops.VectorSearch
+
+/** Recall-targeted index selection: "give me ≥ target recall@k at
+  * minimum probe cost".
+  *
+  * The reference's HNSW build parameters (M=16, M_max0=200, ef=200 —
+  * `/root/reference/lib/hnsw/hnsw.h:104-132`) hand its users a fixed,
+  * implicitly near-exact accuracy envelope. This engine instead exposes a
+  * whole family of approximate paths (LSH, pruned IVF at any nprobe,
+  * spill-2 IVF) whose recall differs by 30+ points at the same k — so a
+  * migrating user needs the selection the reference never had to make.
+  * [[build]] MEASURES each config's recall@k (against a distributed
+  * exact ground truth) and its scan cost (fraction of corpus rows scored
+  * per query — candidate rows for LSH, probed-list rows for IVF), and
+  * [[select]] walks that measured frontier: the cheapest config whose
+  * measured recall clears the target, falling back to the exact scan
+  * (recall 1.0, cost 1.0) when nothing does. Nothing here guesses from
+  * formulas — every point on the frontier is a measurement on the
+  * corpus at hand, so the answer tracks the data distribution.
+  */
+object AnnSelector {
+
+  /** One measured operating point: `scanFrac` is the measured fraction
+    * of corpus rows scored per query under this config. */
+  final case class Point(name: String, recall: Double, scanFrac: Double)
+
+  /** The built artifacts plus the measured frontier. `assigned` and
+    * `spilled` stay persisted until [[release]]. */
+  final case class Built(
+      lshModel: org.apache.spark.ml.feature.BucketedRandomProjectionLSHModel,
+      ivfIndex: Ivf.Index,
+      assigned: DataFrame,
+      spilled: DataFrame,
+      frontier: Seq[Point],
+      nQueries: Int,
+      k: Int) {
+    def release(): Unit = { assigned.unpersist(); spilled.unpersist() }
+  }
+
+  /** Measure the frontier on the `nQueries` lowest-id corpus vectors as
+    * probe queries (same protocol as [[Recall.measure]]): one batch
+    * ground truth, one unioned candidate plan across every config, one
+    * join+aggregate for hits — plus one tiny cluster-size aggregate for
+    * the IVF scan costs and a bucket-collision count for LSH's. */
+  def build(
+      corpus: DataFrame,
+      nQueries: Int = 10,
+      k: Int = 10,
+      nlist: Int = 8,
+      probes: Seq[Int] = Seq(1, 2, 3, 4, 6)): Built = {
+    val n = corpus.count().toDouble
+    require(n > 0, "cannot build a selector over an empty corpus")
+    val queries = corpus.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+    val qs: Array[(Long, Array[Float])] = queries.collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    require(qs.nonEmpty, "no probe queries below vec_id < nQueries")
+
+    val gt = VectorSearch.knnJoinAgg(queries, corpus, k)
+      .select(col("query_id"), col("vec_id")).persist()
+    gt.count()
+
+    val lshModel = Ann.fit(corpus)
+    val ivfIndex = Ivf.fit(corpus, nlist = nlist, maxIter = 3)
+    val assigned = Ivf.assign(ivfIndex, corpus)
+      .select("vec_id", "embedding", "cluster").persist()
+    val spilled = Ivf.assignSpilled(ivfIndex, corpus, spill = 2)
+      .select("vec_id", "embedding", "cluster").persist()
+
+    val validProbes = probes.filter(p => p >= 1 && p < nlist)
+
+    // ---- recall: one unioned plan over every (config, query) branch
+    def withQid(qid: Long, df: DataFrame): DataFrame =
+      df.select(lit(qid).as("query_id"), col("vec_id"))
+    def tagged(name: String, branches: Seq[DataFrame]): DataFrame =
+      branches.reduce(_ union _)
+        .select(lit(name).as("method"), col("query_id"), col("vec_id"))
+    val candidateSets =
+      tagged("lsh", qs.toSeq.map { case (qid, q) =>
+        withQid(qid, Ann.searchApprox(lshModel, corpus, q, k)) }) +:
+      validProbes.map { p =>
+        tagged(s"ivf_np$p", qs.toSeq.map { case (qid, q) =>
+          withQid(qid, Ivf.search(ivfIndex, assigned, q, k, p)) })
+      } ++:
+      validProbes.map { p =>
+        tagged(s"spill2_np$p", qs.toSeq.map { case (qid, q) =>
+          withQid(qid, Ivf.searchSpilled(ivfIndex, spilled, q, k, p)) })
+      }
+    val hits = candidateSets.reduce(_ union _)
+      .join(gt, Seq("query_id", "vec_id"))
+      .groupBy("method").agg(count(lit(1)).as("hits"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    gt.unpersist()
+    val denom = (qs.length * k).toDouble
+    def recallOf(m: String): Double = hits.getOrElse(m, 0L) / denom
+
+    // ---- scan cost, measured
+    // IVF: rows living in the probed lists, from the (nlist-row) size map
+    val sizes = assigned.groupBy("cluster").agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val spillSizes = spilled.groupBy("cluster").agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    def probedFrac(szs: Map[Int, Long], p: Int): Double =
+      qs.map { case (_, q) =>
+        Ivf.probeClusters(ivfIndex, q, p).map(c => szs.getOrElse(c, 0L)).sum / n
+      }.sum / qs.length
+    // LSH single-probe: candidate rows = corpus rows sharing ≥1 hash
+    // bucket with the query, counted through the model's own hashes
+    import org.apache.spark.ml.functions.vector_to_array
+    val corpusHashes = lshModel
+      .transform(Ann.withFeatures(corpus, "embedding"))
+      .select(col("vec_id"), posexplode(col("hashes")).as(Seq("table", "h")))
+      // BRP hashes are 1-element vectors; a scalar join key keeps the
+      // bucket join in codegen (UDT columns are not joinable)
+      .select(col("vec_id"), col("table"), vector_to_array(col("h")).getItem(0).as("bucket"))
+      .persist()
+    val queryHashes = lshModel
+      .transform(Ann.withFeatures(queries
+        .select(col("query_id"), col("q_embedding").as("embedding")), "embedding"))
+      .select(col("query_id"), posexplode(col("hashes")).as(Seq("table", "h")))
+      .select(col("query_id"), col("table"), vector_to_array(col("h")).getItem(0).as("bucket"))
+    val lshCand = corpusHashes
+      .join(broadcast(queryHashes), Seq("table", "bucket"))
+      .select("query_id", "vec_id").distinct()
+      .groupBy("query_id").agg(count(lit(1)).as("c"))
+      .agg(sum(col("c"))).head().getLong(0)
+    corpusHashes.unpersist()
+    val lshFrac = lshCand / (n * qs.length)
+
+    val measured =
+      Point("lsh", recallOf("lsh"), lshFrac) +:
+        validProbes.map(p => Point(s"ivf_np$p", recallOf(s"ivf_np$p"), probedFrac(sizes, p))) ++:
+        validProbes.map(p => Point(s"spill2_np$p", recallOf(s"spill2_np$p"), probedFrac(spillSizes, p)))
+    // a config at least as costly as the exact scan is strictly dominated
+    // (exact has recall 1.0 at cost 1.0) — e.g. spill-2 at high nprobe
+    // re-reads the doubled assignment; keep the frontier selectable-only
+    val frontier = (measured.filter(_.scanFrac < 1.0) :+ Point("exact", 1.0, 1.0))
+      .sortBy(p => (p.scanFrac, p.name))
+    Built(lshModel, ivfIndex, assigned, spilled, frontier, qs.length, k)
+  }
+
+  /** The cheapest measured config clearing `targetRecall`; the exact
+    * scan (always on the frontier at recall 1.0, cost 1.0) is the
+    * fallback, so selection never silently under-delivers. */
+  def select(built: Built, targetRecall: Double): Point = {
+    val meeting = built.frontier.filter(_.recall >= targetRecall)
+    if (meeting.isEmpty) built.frontier.find(_.name == "exact").get
+    else meeting.minBy(p => (p.scanFrac, p.name))
+  }
+
+  /** Run a top-k search under a selected config. */
+  def search(
+      built: Built,
+      corpus: DataFrame,
+      point: Point,
+      query: Array[Float],
+      k: Int): DataFrame = point.name match {
+    case "lsh" => Ann.searchApprox(built.lshModel, corpus, query, k)
+      .select(col("vec_id"), col("dist"))
+    case "exact" => VectorSearch.knnExact(corpus, query.toSeq, k)
+    case ivf if ivf.startsWith("ivf_np") =>
+      Ivf.search(built.ivfIndex, built.assigned, query, k, ivf.stripPrefix("ivf_np").toInt)
+    case sp if sp.startsWith("spill2_np") =>
+      Ivf.searchSpilled(built.ivfIndex, built.spilled, query, k, sp.stripPrefix("spill2_np").toInt)
+    case other => throw new IllegalArgumentException(s"unknown config: $other")
+  }
+
+  /** One-call form: measure, select for `targetRecall`, search. Returns
+    * the chosen point alongside the results so callers can log/audit
+    * what the selector committed to. */
+  def searchAtRecall(
+      corpus: DataFrame,
+      query: Array[Float],
+      k: Int,
+      targetRecall: Double,
+      nQueries: Int = 10,
+      nlist: Int = 8): (Point, DataFrame) = {
+    val built = build(corpus, nQueries, k, nlist)
+    try {
+      val point = select(built, targetRecall)
+      // materialize the (≤ k)-row result before releasing the cached
+      // assignment artifacts the plan reads from
+      (point, search(built, corpus, point, query, k).localCheckpoint())
+    } finally built.release()
+  }
+}

@@ -126,6 +126,26 @@ final class VectorStore private (
     VectorSearch.knnExact(data.toDF(), query.toSeq, k, idCol = "id", embCol = "embedding")
   }
 
+  /** Exact-duplicate removal (beyond the reference surface, CLI `dedup`):
+    * rows with an identical embedding collapse to the lowest id — the
+    * same first-occurrence policy as [[graft.dedup.Dedup.exactDedup]],
+    * expressed as a hash-partitioned window so it stays a single shuffle
+    * on the embedding key at any scale. Returns the number of rows
+    * removed. Metadata of the dropped duplicates is discarded (lowest id
+    * wins), matching batch dedup semantics. */
+  def dedupExact(): Long = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{col, row_number}
+    val before = data.count()
+    val w = Window.partitionBy(col("embedding")).orderBy(col("id").asc)
+    data = data.toDF()
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+      .as[VectorRecord]
+    afterMutation()
+    before - data.count()
+  }
+
   /** O8 — envelope sink. */
   def save(path: String): Unit =
     Envelope.saveDataset(dim, cursor, data, path)

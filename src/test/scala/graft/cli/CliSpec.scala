@@ -80,4 +80,59 @@ class CliSpec extends AnyFunSuite {
     assert(Cli.cppNum(1000000.0) == "1e+06")
     assert(Cli.cppNum(999999.0) == "999999")
   }
+
+  test("dedup removes exact-duplicate vectors, keeps the lowest id, persists") {
+    val db = tmpDb()
+    assert(Cli.run(spark, Array(db, "init", "2")) == 0)
+    assert(Cli.run(spark, Array(db, "add", "1.0,2.0", "{}")) == 0) // id 1
+    assert(Cli.run(spark, Array(db, "add", "3.0,4.0", "{}")) == 0) // id 2
+    assert(Cli.run(spark, Array(db, "add", "1.0,2.0", "{}")) == 0) // id 3 (dup of 1)
+    assert(Cli.run(spark, Array(db, "add", "1.0,2.0", "{}")) == 0) // id 4 (dup of 1)
+    val (cd, od) = captureOut(Cli.run(spark, Array(db, "dedup")))
+    assert(cd == 0 && od == "Removed 2 duplicate vectors. Run 'rebuild' to index.\n")
+    // the survivors are persisted: lowest id kept, duplicates gone
+    val (c1, o1) = captureOut(Cli.run(spark, Array(db, "get", "1")))
+    assert(c1 == 0 && o1.startsWith("ID: 1\n"))
+    val (c3, o3) = captureOut(Cli.run(spark, Array(db, "get", "3")))
+    assert(c3 == 0 && o3.isEmpty) // miss goes to stderr
+    // idempotent: a second pass removes nothing
+    val (cd2, od2) = captureOut(Cli.run(spark, Array(db, "dedup")))
+    assert(cd2 == 0 && od2 == "Removed 0 duplicate vectors. Run 'rebuild' to index.\n")
+  }
+
+  test("search --approx routes through the selector and matches exact output") {
+    val db = tmpDb()
+    assert(Cli.run(spark, Array(db, "init", "4")) == 0)
+    // build an 80-row store directly (80 CLI adds would dominate the
+    // suite); five exact copies of the query vector are planted, so the
+    // dist-0 top-6 is a guaranteed candidate set under EVERY selector
+    // config (identical hashes / same nearest centroid) — the approx
+    // output must equal the exact scan's bytes regardless of which
+    // config the measured frontier picks
+    val store = graft.ops.VectorStore.load(spark, db + ".json")
+    val rnd = new scala.util.Random(7)
+    val base = Seq.fill(75)((Array.fill(4)(rnd.nextFloat()), "{}"))
+    store.addBatch(base)
+    store.addBatch(Seq.fill(5)((base.head._1.clone(), "{}")))
+    store.save(db + ".json")
+    val qstr = base.head._1.mkString(",")
+    val (ce, oe) = captureOut(Cli.run(spark, Array(db, "search", "6", qstr)))
+    val (ca, oa) = captureOut(Cli.run(spark, Array(db, "search", "--approx", "6", qstr)))
+    assert(ce == 0 && ca == 0)
+    assert(oe.linesIterator.size == 7) // header + 6 results
+    assert(oa == oe, s"approx output diverged:\n$oa\nvs exact:\n$oe")
+  }
+
+  test("search --approx on a tiny store falls back to the exact scan") {
+    val db = tmpDb()
+    assert(Cli.run(spark, Array(db, "init", "2")) == 0)
+    assert(Cli.run(spark, Array(db, "add", "1.0,2.0", "{}")) == 0)
+    assert(Cli.run(spark, Array(db, "add", "5.0,6.0", "{}")) == 0)
+    val (ca, oa) = captureOut(Cli.run(spark, Array(db, "search", "--approx", "1", "1.0,2.1")))
+    assert(ca == 0)
+    // (2.1f − 2.0f)² ≈ 0.00999998 → √ prints as 0.0999999 under %g6
+    assert(oa == "Search results (ID, Distance):\n- ID: 1, Dist: 0.0999999\n")
+    // malformed arity still errors like plain search
+    assert(Cli.run(spark, Array(db, "search", "--approx", "1")) == 1)
+  }
 }
