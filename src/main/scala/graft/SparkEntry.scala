@@ -947,6 +947,27 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // C4 cleaning rules (Raffel et al. JMLR'20 §2.2): line-level keep
+    // rules (terminal punctuation, ≥3 words, no "javascript") + page
+    // verdict (≥5 surviving sentences, no "lorem ipsum"/"{"), emitting
+    // the cleaned text itself so the oracle hash-checks the rewrite,
+    // not just the counters. The fixture corpus is punctuation-free
+    // single-line word soup (every rule would trivially fail), so the
+    // query first derives a lined corpus deterministically: sentence
+    // breaks after each 'spark' token, a page-rejecting '{' line on
+    // every 17th doc, a 'lorem ipsum' line on every 23rd — the SAME
+    // derivation runs in the oracle SQL, so the rules are exercised on
+    // both pass and fail paths. Map-only HOF scan — no UDF, no shuffle.
+    "doc_c4_filter" -> ((s, dir) => {
+      val lined = docs(s, dir).select(col("doc_id"),
+        concat(
+          regexp_replace(col("text"), "spark", "spark.\n"),
+          when(col("doc_id") % 17 === 0, lit("\ncurly brace line {")).otherwise(lit("")),
+          when(col("doc_id") % 23 === 0, lit("\nthis page has lorem ipsum filler"))
+            .otherwise(lit(""))).as("text"))
+      TextAnalysis.c4Filter(lined).orderBy(col("doc_id"))
+    }),
+
     // CCNet perplexity bucketing (Wenzek et al. §4.3): per-source
     // head/middle/tail tiles by bigram-LM score. The Spark side computes
     // NTILE via the counting-sort decomposition (no per-source global
@@ -1651,6 +1672,19 @@ object SparkEntry {
         col("n_days"), col("exact_d"),
         when(abs(col("est_d") - col("exact_d").cast("double")) /
           col("exact_d").cast("double") <= 0.05, 1L).otherwise(0L).as("merge_ok"))
+    }),
+
+    // Count-Min sketch over event_type (Cormode & Muthukrishnan 2005):
+    // point-frequency estimates from O(depth·width) state, no groupBy
+    // shuffle of the keys. The summary pins the structural guarantees
+    // on real data: estimates never under-count, stay within εn above
+    // the truth, and the sketch's LINEARITY makes the half+half merge
+    // equal the whole-corpus grid bucket-for-bucket (unlike MG's lossy
+    // merge, no partition-order caveat). n_keys is exact and
+    // oracle-computed; the rest are the sketch contract.
+    "events_cms_check" -> ((s, dir) => {
+      graft.ops.CountMin.cmsCheck(events(s, dir), "event_type",
+        col("event_id") % 2 === 0)
     }),
 
     // Bin-bucketed range (interval) join: clicks against one-hour
@@ -2546,6 +2580,38 @@ object SparkEntry {
          |           AND stop_hits >= 2) AS passes
          |FROM g ORDER BY doc_id""".stripMargin,
 
+    // The C4 rules replayed in SQL: same line predicates (terminal
+    // punctuation after trim, ≥3 \S+ words, no "javascript"), same
+    // cleaned-text rejoin, same page verdict — the hash match covers
+    // the rewritten text byte-for-byte.
+    "doc_c4_filter" ->
+      """WITH d AS (SELECT doc_id,
+        |        replace(text, 'spark', 'spark.' || chr(10))
+        |        || CASE WHEN doc_id % 17 = 0 THEN chr(10) || 'curly brace line {' ELSE '' END
+        |        || CASE WHEN doc_id % 23 = 0 THEN chr(10) || 'this page has lorem ipsum filler' ELSE '' END
+        |          AS text
+        |      FROM documents),
+        |st AS (SELECT doc_id, text,
+        |        string_split(coalesce(text, ''), chr(10)) AS lines,
+        |        list_filter(string_split(coalesce(text, ''), chr(10)), l ->
+        |          regexp_matches(trim(l), '[.!?"]$')
+        |          AND len(regexp_extract_all(l, '\S+')) >= 3
+        |          AND NOT contains(lower(l), 'javascript')) AS kept
+        |      FROM d),
+        |c AS (SELECT doc_id, text,
+        |        CAST(len(lines) AS BIGINT) AS n_lines,
+        |        CAST(len(kept) AS BIGINT) AS n_kept,
+        |        coalesce(array_to_string(kept, chr(10)), '') AS clean_text
+        |      FROM st),
+        |s AS (SELECT *,
+        |        CAST(len(regexp_extract_all(clean_text, '[.!?]')) AS BIGINT) AS n_sentences
+        |      FROM c)
+        |SELECT doc_id, n_lines, n_kept, n_sentences,
+        |       (n_sentences >= 5 AND NOT contains(lower(text), 'lorem ipsum')
+        |        AND NOT contains(text, '{')) AS passes_c4,
+        |       clean_text
+        |FROM s ORDER BY doc_id""".stripMargin,
+
     // Plain NTILE per source over the bigram-LM score — the Spark side
     // computes the same assignment via the counting-sort decomposition
     // (no per-source global sort); matching hashes prove equivalence.
@@ -3110,6 +3176,15 @@ object SparkEntry {
       """SELECT CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
         |       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_d,
         |       CAST(1 AS BIGINT) AS merge_ok
+        |FROM events""".stripMargin,
+
+    // n_keys is the exact distinct count; under/over/merge are the CMS
+    // structural guarantees (never-undercount, εn ceiling, exact linear
+    // merge), deterministic for the seeded hash grid.
+    "events_cms_check" ->
+      """SELECT CAST(count(DISTINCT event_type) AS BIGINT) AS n_keys,
+        |       CAST(0 AS BIGINT) AS underest, CAST(0 AS BIGINT) AS over_bound,
+        |       CAST(1 AS BIGINT) AS merge_exact
         |FROM events""".stripMargin,
 
     // brute-force theta join; the binned equi-join must reproduce it

@@ -176,6 +176,46 @@ object TextAnalysis {
         (stopHits >= 2L)).as("passes"))
   }
 
+  /** C4-style cleaning (Raffel et al., "Exploring the Limits of Transfer
+    * Learning…", JMLR 2020 §2.2 — arXiv:1910.10683), the other canonical
+    * public web-corpus rule set next to [[gopherStats]]. Line rules:
+    * keep a line only if it ends in terminal punctuation (incl. closing
+    * quote), carries ≥ 3 words, and does not mention "javascript".
+    * Page rules: ≥ 5 sentences must survive, and "lorem ipsum" / "{"
+    * anywhere on the raw page reject it. Emits the cleaned text (kept
+    * lines re-joined) plus the counters, so the verdict is auditable.
+    * Single-pass narrow projection, higher-order functions only — no
+    * UDF, no shuffle: a map-only scan at any corpus size. */
+  def c4Filter(
+      df: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val staged = df.select(
+      col(idCol),
+      col(textCol),
+      split(coalesce(col(textCol), lit("")), "\n").as("lines"))
+    val kept = filter(col("lines"), l =>
+      trim(l).rlike("[.!?\"]$") &&
+        (size(regexp_extract_all(l, lit("\\S+"), lit(0))) >= 3) &&
+        !lower(l).contains("javascript"))
+    val withClean = staged.select(
+      col(idCol), col(textCol),
+      size(col("lines")).cast("long").as("n_lines"),
+      size(kept).cast("long").as("n_kept"),
+      array_join(kept, "\n").as("clean_text"))
+    val nSentences =
+      size(regexp_extract_all(col("clean_text"), lit("[.!?]"), lit(0))).cast("long")
+    withClean.select(
+      col(idCol),
+      col("n_lines"),
+      col("n_kept"),
+      nSentences.as("n_sentences"),
+      (nSentences >= 5L &&
+        !lower(col(textCol)).contains("lorem ipsum") &&
+        !col(textCol).contains("{")).as("passes_c4"),
+      col("clean_text"))
+  }
+
   /** Raw (non-distinct) word n-grams — the occurrence list the
     * repetition signals need; [[org.apache.spark.sql.graft.VectorExpressions.wordShingles]]
     * dedups and serves the join-key paths instead.

@@ -470,6 +470,41 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(plan.contains("TakeOrderedAndProject"), s"cut not bounded:\n$plan")
   }
 
+  test("c4Filter applies the line and page rules from the C4 paper") {
+    val df = Seq(
+      // 5 good sentences → passes
+      (1L, "the cat sat on the mat.\nthe dog ran far today.\n" +
+        "a bird flew over us.\nthe sun rose at dawn.\nrain fell all night long."),
+      // line rules: no terminal punct / <3 words / javascript mention
+      (2L, "no punctuation here at all\ntwo words.\n" +
+        "enable javascript to view this page.\na good sentence stays here.\n" +
+        "ok.\nanother fine sentence survives today.\nmore good text ends well.\n" +
+        "a fourth keeper line here.\na fifth keeper line too."),
+      // page rules: '{' rejects even with enough sentences
+      (3L, "one fine sentence here.\ntwo fine sentences here.\nthree good ones now.\n" +
+        "four good ones now.\nfive good ones now.\nvar x = { y: 1 }"),
+      // page rules: lorem ipsum rejects
+      (4L, "Lorem Ipsum dolor sit amet.\ngood sentence number two.\nthird one is fine.\n" +
+        "fourth one is fine.\nfifth one is fine."),
+      (5L, "")).toDF("doc_id", "text")
+    val out = TextAnalysis.c4Filter(df).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Boolean]("passes_c4"))
+    assert(out(1L).getAs[Long]("n_kept") == 5L && out(1L).getAs[Long]("n_sentences") == 5L)
+    // doc 2: drops the no-punct, the 2-word, the javascript, and the
+    // 1-word "ok." lines; the 5 keepers clear the sentence floor
+    assert(out(2L).getAs[Long]("n_lines") == 9L)
+    assert(out(2L).getAs[Long]("n_kept") == 5L)
+    assert(out(2L).getAs[Boolean]("passes_c4"))
+    assert(!out(2L).getAs[String]("clean_text").toLowerCase.contains("javascript"))
+    assert(!out(3L).getAs[Boolean]("passes_c4"), "curly brace must reject the page")
+    assert(!out(4L).getAs[Boolean]("passes_c4"), "lorem ipsum must reject the page")
+    assert(out(5L).getAs[Long]("n_kept") == 0L && out(5L).getAs[String]("clean_text") == "")
+    // map-only: no exchange, no UDF in the plan
+    val plan = TextAnalysis.c4Filter(df).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"c4Filter must not shuffle:\n$plan")
+  }
+
   test("perplexityBuckets keeps no-bigram docs as tail with null-last ranking") {
     val df = Seq(
       (1L, "the cat sat on the mat", "web"),
