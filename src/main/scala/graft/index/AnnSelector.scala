@@ -144,6 +144,26 @@ object AnnSelector {
     Built(lshModel, ivfIndex, assigned, spilled, frontier, qs.length, k)
   }
 
+  /** Reassemble a [[Built]] from its session-free parts (the seeded
+    * models and the measured frontier — what a process-level memo can
+    * hold) plus lazily re-derived assignment plans over `corpus`. The
+    * assignments are NOT persisted here: a single search executes only
+    * the selected config's branch, so caching every branch's input
+    * would cost more than it saves. Callers running many searches
+    * should persist `assigned`/`spilled` themselves. */
+  def fromParts(
+      corpus: DataFrame,
+      lshModel: org.apache.spark.ml.feature.BucketedRandomProjectionLSHModel,
+      ivfIndex: Ivf.Index,
+      frontier: Seq[Point],
+      nQueries: Int = 10,
+      k: Int = 10): Built =
+    Built(lshModel, ivfIndex,
+      Ivf.assign(ivfIndex, corpus).select("vec_id", "embedding", "cluster"),
+      Ivf.assignSpilled(ivfIndex, corpus, spill = 2)
+        .select("vec_id", "embedding", "cluster"),
+      frontier, nQueries, k)
+
   /** The cheapest measured config clearing `targetRecall`; the exact
     * scan (always on the frontier at recall 1.0, cost 1.0) is the
     * fallback, so selection never silently under-delivers. */
