@@ -121,6 +121,12 @@ object ScaleProbe {
     time("winnowing overlap")(noop(
       graft.dedup.Dedup.winnowOverlapPairs(docsVaried, minShared = 3, maxFingerprintDf = 20L)))
 
+    // duplicated spans: O(tokens) position explode + bucketed gram agg
+    // + per-doc islands window — should scale with the explode, not the
+    // (linear, by varied replication) duplicate volume
+    time("duplicated spans")(noop(
+      graft.dedup.Dedup.duplicatedSpans(docsVaried, n = 8)))
+
     // replicas are exact dups of their originals, so the curation chain's
     // exact-dedup stage collapses them BEFORE the expensive candidate
     // join — the probe demonstrates that the pipeline's quadratic-risk

@@ -1121,6 +1121,17 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ExactSubstr-style duplicated-span fractions (Lee et al. ACL'22):
+    // tokens covered by any 8-gram appearing verbatim in another doc,
+    // overlapping spans merged before counting — duplication at every
+    // alignment, where dedup_chunks only sees fixed chunk boundaries.
+    // Position explode → bucketed gram agg → equi-join → per-doc
+    // islands window; nothing all-pairs. 47/500 fixture docs carry
+    // real cross-doc spans at sf0.01.
+    "doc_dup_spans" -> ((s, dir) => {
+      Dedup.duplicatedSpans(docs(s, dir), n = 8).orderBy(col("doc_id"))
+    }),
+
     // MinHash-LSH near-dup pairs (banded bucket join, then the EXACT
     // Jaccard filter on candidates). The oracle brute-forces the same
     // threshold set with a shared-shingle join: every qualifying pair at
@@ -2790,6 +2801,39 @@ object SparkEntry {
          |       CAST(count(*) FILTER (WHERE kept) AS BIGINT) AS n_kept,
          |       md5(coalesce(array_to_string(list(chunk ORDER BY chunk_idx) FILTER (WHERE kept), ' '), '')) AS clean_md5
          |FROM marked GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Same span algebra in SQL: every 8-gram position, grams in ≥2
+    // docs, per-doc interval union via the identical islands window.
+    "doc_dup_spans" ->
+      s"""WITH t AS (SELECT doc_id, $ToksSql AS toks FROM documents),
+         |base AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, toks FROM t),
+         |g AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         |             array_to_string(toks[i+1:i+8], ' ') AS gram
+         |      FROM base, unnest(range(0, greatest(len(toks) - 7, 0))) AS u(i)),
+         |d AS (SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) > 1),
+         |p AS (SELECT g.doc_id, g.pos FROM g JOIN d USING (gram)),
+         |isl AS (SELECT doc_id, pos,
+         |          CASE WHEN max(pos + 7) OVER (PARTITION BY doc_id ORDER BY pos
+         |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+         |               OR pos > max(pos + 7) OVER (PARTITION BY doc_id ORDER BY pos
+         |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         |               THEN 1 ELSE 0 END AS ni
+         |        FROM p),
+         |isl2 AS (SELECT doc_id, pos,
+         |           sum(ni) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+         |         FROM isl),
+         |sp AS (SELECT doc_id, island,
+         |         CAST(max(pos) + 7 - min(pos) + 1 AS BIGINT) AS span_len
+         |       FROM isl2 GROUP BY 1, 2),
+         |cov AS (SELECT doc_id, CAST(sum(span_len) AS BIGINT) AS dup_tokens
+         |        FROM sp GROUP BY 1)
+         |SELECT b.doc_id, b.n_tokens,
+         |       coalesce(c.dup_tokens, 0) AS dup_tokens,
+         |       CAST(floor(CAST(coalesce(c.dup_tokens, 0) AS DOUBLE) * 1000000.0
+         |                  / CAST(b.n_tokens AS DOUBLE)) AS BIGINT) AS dup_frac_q,
+         |       (CAST(floor(CAST(coalesce(c.dup_tokens, 0) AS DOUBLE) * 1000000.0
+         |                   / CAST(b.n_tokens AS DOUBLE)) AS BIGINT) >= 500000) AS flagged
+         |FROM base b LEFT JOIN cov c USING (doc_id) ORDER BY doc_id""".stripMargin,
 
     // Brute force over ALL pairs at the exact-Jaccard threshold; the
     // banded MinHash result equals it (see the query comment).

@@ -655,6 +655,74 @@ object Dedup {
           s => s.getField("chunk"))).as("clean_text"))
   }
 
+  /** Cross-document duplicated-span analysis — the ExactSubstr signal
+    * of Lee et al., "Deduplicating Training Data Makes Language Models
+    * Better" (ACL 2022, arXiv:2107.06499): for every document, how many
+    * of its tokens sit inside an `n`-token span that also appears
+    * verbatim in ANOTHER document, with overlapping spans merged before
+    * counting (a token inside three overlapping duplicated 8-grams
+    * counts once). Where [[chunkDedup]] removes duplicate FIXED chunks,
+    * this measures duplication at every alignment — the signal the
+    * suffix-array pass in the paper extracts, re-expressed as bucketed
+    * relational algebra.
+    *
+    * Scale shape: one position explode (O(tokens) rows — the same cost
+    * class as winnowing), a per-gram aggregate to find grams spanning
+    * ≥2 docs (hash-bucketed, never all-pairs), an equi-join of
+    * positions against that gram set (each position row matches at most
+    * one gram row — no blowup), and a per-document window to merge
+    * overlapping spans (gaps-and-islands; state bounded by document
+    * length). Gram keys stay strings here for oracle parity — the
+    * 100 TB variant would shuffle xxhash64(gram) instead, 8 bytes per
+    * key with the same join structure.
+    *
+    * Output per input doc: (idCol, n_tokens, dup_tokens, dup_frac_q
+    * [micro-quantized], flagged [≥ half the doc duplicated]). */
+  def duplicatedSpans(
+      df: DataFrame,
+      n: Int = 8,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(n >= 2, s"span length must be at least 2, got $n")
+    val staged = df.select(col(idCol),
+      tokens(coalesce(col(textCol), lit(""))).as("toks"))
+    val base = staged.select(col(idCol),
+      size(col("toks")).cast("long").as("n_tokens"), col("toks"))
+    val grams = base.select(col(idCol),
+      posexplode(rawNgrams(col("toks"), n)).as(Seq("pos", "gram")))
+    // grams seen in ≥2 distinct docs; the distinct-count is per gram,
+    // map-side partial-aggregated like any hash agg
+    val dupGrams = grams.groupBy("gram")
+      .agg(countDistinct(col(idCol)).as("nd"))
+      .filter(col("nd") > 1)
+      .select("gram")
+    val dupPos = grams.join(dupGrams, "gram").select(col(idCol), col("pos"))
+    // merge overlapping [pos, pos+n-1] spans per doc (gaps-and-islands):
+    // a new island starts when this span begins past the running max
+    // end; adjacency may split islands, which leaves covered-token
+    // sums unchanged
+    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    val prevEnd = max(col("pos") + lit(n - 1))
+      .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    val covered = dupPos
+      .withColumn("ni",
+        when(prevEnd.isNull || col("pos") > prevEnd, 1L).otherwise(0L))
+      .withColumn("island", sum(col("ni"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(idCol), col("island"))
+      .agg((max(col("pos")) + lit(n - 1) - min(col("pos")) + 1L).as("span_len"))
+      .groupBy(col(idCol))
+      .agg(sum(col("span_len")).cast("long").as("dup_tokens"))
+    val fracQ = floor(coalesce(col("dup_tokens"), lit(0L)).cast("double") * 1000000.0 /
+      col("n_tokens").cast("double")).cast("long")
+    base.drop("toks")
+      .join(covered, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        fracQ.as("dup_frac_q"),
+        (fracQ >= 500000L).as("flagged"))
+  }
+
   // ------------------------------------------- duplicate-cluster closure
 
   /** Connected components over a near-duplicate pair graph: every node

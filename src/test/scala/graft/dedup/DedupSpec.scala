@@ -454,4 +454,34 @@ class DedupSpec extends AnyFunSuite {
     // and no cluster grows with n: max stays O(target), far under n
     assert(max2 <= 10 * target, s"a cluster scaled with the corpus: $max2")
   }
+
+  test("duplicatedSpans: cross-doc spans merge, within-doc repeats don't count") {
+    import spark.implicits._
+    // docs 1 & 2 share "a b c d" (n=4) twice in doc 1 at overlapping
+    // alignments; doc 3 repeats its own 4-gram but shares nothing
+    val df = Seq(
+      (1L, "x a b c d e a b c d y"), // shared gram at pos 1 and 6
+      (2L, "p q a b c d e r s t"),   // shared grams: "a b c d"(2), "b c d e"(3)
+      (3L, "m n o m n o m n o m n"), // self-repeats only
+      (4L, "entirely different words here now")
+    ).toDF("doc_id", "text")
+    val out = Dedup.duplicatedSpans(df, n = 4).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // doc 1: tokens 11; shared 4-grams with doc 2: "a b c d" at pos 1
+    // and 6, "b c d e" at pos 2 → spans [1,4],[2,5],[6,9] → union
+    // [1,5] ∪ [6,9] = 9 tokens
+    assert(out(1L).getAs[Long]("n_tokens") == 11L)
+    assert(out(1L).getAs[Long]("dup_tokens") == 9L,
+      s"expected merged coverage 9, got ${out(1L).getAs[Long]("dup_tokens")}")
+    assert(out(1L).getAs[Boolean]("flagged")) // 9/11 > 0.5
+    // doc 2: spans at pos 2 and 3 → union [2,6] = 5 of 10 tokens; the
+    // micro-quantized fraction is exactly 500000 → flagged
+    assert(out(2L).getAs[Long]("dup_tokens") == 5L)
+    assert(out(2L).getAs[Long]("dup_frac_q") == 500000L)
+    // doc 3: its 4-grams repeat within the doc only — not duplicated
+    // ACROSS documents, so nothing counts
+    assert(out(3L).getAs[Long]("dup_tokens") == 0L,
+      "within-doc repetition must not count as cross-doc duplication")
+    assert(out(4L).getAs[Long]("dup_tokens") == 0L && !out(4L).getAs[Boolean]("flagged"))
+  }
 }
