@@ -418,6 +418,20 @@ object SparkEntry {
       VectorSearch.knnJoinAgg(queries, corpus, k = 5)
     }),
 
+    // Hard-negative mining (ANCE-style): per anchor, the 5 nearest
+    // corpus rows with a DIFFERENT label. The label predicate sits
+    // under the bounded top-k aggregation — a post-filter over an
+    // unconstrained top-k would come up short whenever same-label rows
+    // crowd the front (they do: the fixture clusters BY label).
+    "knn_hard_negatives" -> ((s, dir) => {
+      val corpus = emb(s, dir).select("vec_id", "embedding", "label")
+      val queries = corpus
+        .filter(col("vec_id") < 3)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"),
+          col("label").as("q_label"))
+      VectorSearch.hardNegatives(queries, corpus, k = 5)
+    }),
+
     // k-NN majority-vote classification: the labeled-corpus read path
     // (weak labeling / tag suggestion). Bounded-agg neighbors, neighbor
     // table broadcast back for labels, deterministic vote tie-break.
@@ -2111,6 +2125,19 @@ object SparkEntry {
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 3),
          |d AS (SELECT q.query_id, e.vec_id, ${l2SqSql("e.embedding", "q.qe")} AS dist
          |      FROM embeddings e CROSS JOIN q),
+         |r AS (SELECT query_id, vec_id, dist,
+         |             CAST(row_number() OVER (PARTITION BY query_id ORDER BY dist ASC, vec_id ASC) AS INTEGER) AS rank
+         |      FROM d)
+         |SELECT query_id, vec_id, dist, rank FROM r WHERE rank <= 5
+         |ORDER BY query_id ASC, rank ASC""".stripMargin,
+
+    // Brute force with the label inequality applied BEFORE ranking —
+    // equivalent to the filtered bounded aggregation.
+    "knn_hard_negatives" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe, label AS ql
+         |           FROM embeddings WHERE vec_id < 3),
+         |d AS (SELECT q.query_id, e.vec_id, ${l2SqSql("e.embedding", "q.qe")} AS dist
+         |      FROM embeddings e CROSS JOIN q WHERE e.label <> q.ql),
          |r AS (SELECT query_id, vec_id, dist,
          |             CAST(row_number() OVER (PARTITION BY query_id ORDER BY dist ASC, vec_id ASC) AS INTEGER) AS rank
          |      FROM d)

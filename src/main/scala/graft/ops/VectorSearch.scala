@@ -112,11 +112,15 @@ object VectorSearch {
       qIdCol: String = "query_id",
       qEmbCol: String = "q_embedding",
       idCol: String = "vec_id",
-      embCol: String = "embedding"): DataFrame = {
+      embCol: String = "embedding",
+      pairPredicate: Option[Column] = None): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val scored = corpus
-      .crossJoin(broadcast(queries.select(col(qIdCol), col(qEmbCol))))
+    // without a predicate only (qid, qemb) broadcast; with one, the
+    // caller's extra query columns ride along for it to reference
+    val qSide = if (pairPredicate.isEmpty) queries.select(col(qIdCol), col(qEmbCol)) else queries
+    val paired = corpus.crossJoin(broadcast(qSide))
+    val scored = pairPredicate.fold(paired)(paired.filter)
       .select(
         col(qIdCol).cast("long"),
         col(idCol).cast("long"),
@@ -183,6 +187,31 @@ object VectorSearch {
       .select(col(qIdCol), col(labelCol).as("pred_label"),
         col("votes"), col("n_neighbors"))
   }
+
+  /** Hard-negative mining for contrastive/metric training (the
+    * in-batch-negatives upgrade every embedding-training pipeline
+    * eventually needs — e.g. Xiong et al., "Approximate Nearest
+    * Neighbor Negative Contrastive Learning", ICLR 2021): for every
+    * anchor query, the k NEAREST corpus rows carrying a DIFFERENT
+    * label — near-misses that teach the boundary, not random noise.
+    * The label predicate sits UNDER the bounded top-k aggregation (a
+    * post-filter over an unconstrained top-k would return fewer than k
+    * negatives whenever same-label rows crowd the front), and the
+    * shuffle stays capped at |parts|×|Q|×k by the TopKAggregator. */
+  def hardNegatives(
+      queries: DataFrame,
+      corpus: DataFrame,
+      k: Int,
+      qIdCol: String = "query_id",
+      qEmbCol: String = "q_embedding",
+      qLabelCol: String = "q_label",
+      idCol: String = "vec_id",
+      embCol: String = "embedding",
+      labelCol: String = "label"): DataFrame =
+    knnJoinAgg(
+      queries.select(col(qIdCol), col(qEmbCol), col(qLabelCol)),
+      corpus, k, qIdCol, qEmbCol, idCol, embCol,
+      pairPredicate = Some(col(labelCol) =!= col(qLabelCol)))
 
   /** Dimension-check validation (the reference enforces dim at every
     * mutation/query — `/root/reference/src/vectordb.cpp:39-41,124-126`).

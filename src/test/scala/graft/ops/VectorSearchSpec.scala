@@ -108,6 +108,31 @@ class VectorSearchSpec extends AnyFunSuite {
     assert(tie.getInt(1) == 3 && tie.getLong(2) == 1L && tie.getLong(3) == 2L)
   }
 
+  test("hardNegatives: nearest different-label rows, filter under the top-k") {
+    import spark.implicits._
+    // anchor at origin with label 1; same-label rows crowd the front —
+    // a post-filter over the unconstrained top-2 would return nothing
+    val corpus = Seq(
+      (0L, Array(0.0f, 0.0f), 1),
+      (1L, Array(0.1f, 0.0f), 1),
+      (2L, Array(0.2f, 0.0f), 1),
+      (3L, Array(0.3f, 0.0f), 2), // nearest negatives
+      (4L, Array(0.4f, 0.0f), 2),
+      (5L, Array(5.0f, 0.0f), 3)).toDF("vec_id", "embedding", "label")
+    val anchors = Seq((100L, Array(0.0f, 0.0f), 1)).toDF("query_id", "q_embedding", "q_label")
+    val got = VectorSearch.hardNegatives(anchors, corpus, k = 2).collect()
+    assert(got.map(_.getLong(1)).toSeq == Seq(3L, 4L),
+      s"expected the near-miss negatives, got ${got.toSeq}")
+    assert(got.forall(_.getLong(0) == 100L))
+    // ranks are contiguous from 1 within the filtered set
+    assert(got.map(_.getInt(3)).toSeq == Seq(1, 2))
+    // and the unfiltered join agg still behaves (no regression from the
+    // pairPredicate refactor): top-2 are the same-label nearest rows
+    val plain = VectorSearch.knnJoinAgg(
+      anchors.select($"query_id", $"q_embedding"), corpus, k = 2).collect()
+    assert(plain.map(_.getLong(1)).toSeq == Seq(0L, 1L))
+  }
+
   test("dimViolations flags wrong-length rows") {
     import spark.implicits._
     val df = Seq(
