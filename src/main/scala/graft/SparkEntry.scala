@@ -1146,6 +1146,18 @@ object SparkEntry {
       Dedup.duplicatedSpans(docs(s, dir), n = 8).orderBy(col("doc_id"))
     }),
 
+    // The removal half of ExactSubstr (Lee et al. cut the spans, not
+    // just count them): every doc rewritten with its cross-document
+    // duplicated 8-gram spans dropped — islands join back per doc and
+    // drive an indexed HOF filter over the token array (narrow map, no
+    // UDF). The md5 hash-match proves the rewrite byte-for-byte.
+    "doc_dup_scrub" -> ((s, dir) => {
+      Dedup.scrubDuplicatedSpans(docs(s, dir), n = 8)
+        .select(col("doc_id"), col("n_tokens"), col("kept_tokens"),
+          md5(col("clean_text")).as("clean_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
     // MinHash-LSH near-dup pairs (banded bucket join, then the EXACT
     // Jaccard filter on candidates). The oracle brute-forces the same
     // threshold set with a shared-shingle join: every qualifying pair at
@@ -2861,6 +2873,41 @@ object SparkEntry {
          |       (CAST(floor(CAST(coalesce(c.dup_tokens, 0) AS DOUBLE) * 1000000.0
          |                   / CAST(b.n_tokens AS DOUBLE)) AS BIGINT) >= 500000) AS flagged
          |FROM base b LEFT JOIN cov c USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // Same islands, then the indexed-lambda rewrite (DuckDB list_filter
+    // indexes are 1-based — hence i-1; Spark's are 0-based).
+    "doc_dup_scrub" ->
+      s"""WITH t AS (SELECT doc_id, $ToksSql AS toks FROM documents),
+         |base AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, toks FROM t),
+         |g AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         |             array_to_string(toks[i+1:i+8], ' ') AS gram
+         |      FROM base, unnest(range(0, greatest(len(toks) - 7, 0))) AS u(i)),
+         |d AS (SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) > 1),
+         |p AS (SELECT g.doc_id, g.pos FROM g JOIN d USING (gram)),
+         |isl AS (SELECT doc_id, pos,
+         |          CASE WHEN max(pos + 7) OVER (PARTITION BY doc_id ORDER BY pos
+         |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+         |               OR pos > max(pos + 7) OVER (PARTITION BY doc_id ORDER BY pos
+         |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         |               THEN 1 ELSE 0 END AS ni
+         |        FROM p),
+         |isl2 AS (SELECT doc_id, pos,
+         |           sum(ni) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+         |         FROM isl),
+         |sp AS (SELECT doc_id, island, min(pos) AS s, max(pos) + 7 AS e
+         |       FROM isl2 GROUP BY 1, 2),
+         |spl AS (SELECT doc_id, list(struct_pack(s := s, e := e)) AS spans
+         |        FROM sp GROUP BY 1),
+         |j AS (SELECT b.doc_id, b.n_tokens, b.toks,
+         |        coalesce(spl.spans, CAST([] AS STRUCT(s BIGINT, e BIGINT)[])) AS spans
+         |      FROM base b LEFT JOIN spl USING (doc_id)),
+         |k AS (SELECT doc_id, n_tokens,
+         |        list_filter(toks, (x, i) ->
+         |          len(list_filter(spans, sp -> i-1 >= sp.s AND i-1 <= sp.e)) = 0) AS kept
+         |      FROM j)
+         |SELECT doc_id, n_tokens, CAST(len(kept) AS BIGINT) AS kept_tokens,
+         |       md5(coalesce(array_to_string(kept, ' '), '')) AS clean_md5
+         |FROM k ORDER BY doc_id""".stripMargin,
 
     // Brute force over ALL pairs at the exact-Jaccard threshold; the
     // banded MinHash result equals it (see the query comment).

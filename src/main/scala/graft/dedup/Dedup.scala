@@ -688,6 +688,10 @@ object Dedup {
       tokens(coalesce(col(textCol), lit(""))).as("toks"))
     val base = staged.select(col(idCol),
       size(col("toks")).cast("long").as("n_tokens"), col("toks"))
+    // `grams` feeds both the dup-gram aggregate and the position join;
+    // the explode deliberately recomputes (two scan-bound passes) —
+    // caching O(tokens) exploded rows costs more memory than the
+    // second pass costs time at any interesting corpus size
     val grams = base.select(col(idCol),
       posexplode(rawNgrams(col("toks"), n)).as(Seq("pos", "gram")))
     // grams seen in ≥2 distinct docs; the distinct-count is per gram,
@@ -721,6 +725,55 @@ object Dedup {
         coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
         fracQ.as("dup_frac_q"),
         (fracQ >= 500000L).as("flagged"))
+  }
+
+  /** The REMOVAL half of ExactSubstr dedup (Lee et al. cut the
+    * duplicated spans, they don't just count them): rewrite every
+    * document with the tokens covered by any cross-document `n`-gram
+    * span dropped. Same bucketed span algebra as [[duplicatedSpans]];
+    * the merged islands aggregate to a per-doc interval list (bounded
+    * by document length) that joins back and drives an indexed
+    * higher-order filter over the token array — the rewrite itself is
+    * a narrow map, no UDF. Output: (idCol, n_tokens, kept_tokens,
+    * clean_text). */
+  def scrubDuplicatedSpans(
+      df: DataFrame,
+      n: Int = 8,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(n >= 2, s"span length must be at least 2, got $n")
+    val staged = df.select(col(idCol),
+      tokens(coalesce(col(textCol), lit(""))).as("toks"))
+    val base = staged.select(col(idCol),
+      size(col("toks")).cast("long").as("n_tokens"), col("toks"))
+    val grams = base.select(col(idCol),
+      posexplode(rawNgrams(col("toks"), n)).as(Seq("pos", "gram")))
+    val dupGrams = grams.groupBy("gram")
+      .agg(countDistinct(col(idCol)).as("nd"))
+      .filter(col("nd") > 1)
+      .select("gram")
+    val dupPos = grams.join(dupGrams, "gram").select(col(idCol), col("pos"))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    val prevEnd = max(col("pos") + lit(n - 1))
+      .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    val spans = dupPos
+      .withColumn("ni",
+        when(prevEnd.isNull || col("pos") > prevEnd, 1L).otherwise(0L))
+      .withColumn("island", sum(col("ni"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(idCol), col("island"))
+      .agg(min(col("pos")).as("s"), (max(col("pos")) + lit(n - 1)).as("e"))
+      .groupBy(col(idCol))
+      .agg(collect_list(struct(col("s"), col("e"))).as("spans"))
+    val spansOrEmpty = coalesce(col("spans"),
+      array().cast("array<struct<s:int,e:int>>"))
+    // indexed HOF filter: token i survives unless some island covers i
+    val keptToks = filter(col("toks"), (t, i) =>
+      !exists(spansOrEmpty, sp => i >= sp.getField("s") && i <= sp.getField("e")))
+    base.join(spans, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        size(keptToks).cast("long").as("kept_tokens"),
+        array_join(keptToks, " ").as("clean_text"))
   }
 
   // ------------------------------------------- duplicate-cluster closure

@@ -55,11 +55,16 @@ object AnnSelector {
       probes: Seq[Int] = Seq(1, 2, 3, 4, 6)): Built = {
     val n = corpus.count().toDouble
     require(n > 0, "cannot build a selector over an empty corpus")
-    val queries = corpus.filter(col("vec_id") < nQueries)
+    // probe queries = the nQueries LOWEST ids (a bounded TakeOrdered),
+    // not `id < nQueries`: a store whose low ids were deleted (CLI
+    // `search --approx` after churn) must still measure a frontier
+    val queries = corpus
       .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+      .orderBy(col("query_id").asc)
+      .limit(nQueries)
     val qs: Array[(Long, Array[Float])] = queries.collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
-    require(qs.nonEmpty, "no probe queries below vec_id < nQueries")
+    require(qs.nonEmpty, "no probe queries available")
 
     val gt = VectorSearch.knnJoinAgg(queries, corpus, k)
       .select(col("query_id"), col("vec_id")).persist()

@@ -123,6 +123,23 @@ class CliSpec extends AnyFunSuite {
     assert(oa == oe, s"approx output diverged:\n$oa\nvs exact:\n$oe")
   }
 
+  test("search --approx survives a store whose low ids were deleted") {
+    val db = tmpDb()
+    assert(Cli.run(spark, Array(db, "init", "4")) == 0)
+    val store = graft.ops.VectorStore.load(spark, db + ".json")
+    val rnd = new scala.util.Random(11)
+    val base = Seq.fill(75)((Array.fill(4)(rnd.nextFloat()), "{}"))
+    store.addBatch(base) // ids 1..75
+    store.addBatch(Seq.fill(5)((base.last._1.clone(), "{}"))) // dist-0 copies
+    (1L to 12L).foreach(store.delete) // churn: the low ids are gone
+    store.save(db + ".json")
+    val qstr = base.last._1.mkString(",")
+    val (ce, oe) = captureOut(Cli.run(spark, Array(db, "search", "6", qstr)))
+    val (ca, oa) = captureOut(Cli.run(spark, Array(db, "search", "--approx", "6", qstr)))
+    assert(ce == 0 && ca == 0)
+    assert(oa == oe, s"approx output diverged after id churn:\n$oa\nvs exact:\n$oe")
+  }
+
   test("search --approx on a tiny store falls back to the exact scan") {
     val db = tmpDb()
     assert(Cli.run(spark, Array(db, "init", "2")) == 0)

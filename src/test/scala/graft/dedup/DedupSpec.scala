@@ -483,5 +483,18 @@ class DedupSpec extends AnyFunSuite {
     assert(out(3L).getAs[Long]("dup_tokens") == 0L,
       "within-doc repetition must not count as cross-doc duplication")
     assert(out(4L).getAs[Long]("dup_tokens") == 0L && !out(4L).getAs[Boolean]("flagged"))
+
+    // the removal half: covered tokens are cut, survivors keep order
+    val scrubbed = Dedup.scrubDuplicatedSpans(df, n = 4).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // doc 1 keeps positions 0 and 10: "x y"
+    assert(scrubbed(1L).getAs[String]("clean_text") == "x y")
+    assert(scrubbed(1L).getAs[Long]("kept_tokens") == 2L)
+    // doc 2 cuts union [2,6]: "p q r s t" survives
+    assert(scrubbed(2L).getAs[String]("clean_text") == "p q r s t")
+    // untouched docs come back verbatim (normalized)
+    assert(scrubbed(3L).getAs[String]("clean_text") == "m n o m n o m n o m n")
+    assert(scrubbed(4L).getAs[Long]("kept_tokens")
+      == scrubbed(4L).getAs[Long]("n_tokens"))
   }
 }
