@@ -1663,6 +1663,28 @@ object SparkEntry {
       graft.ops.Relational.urgentCustomerSplit(
         tbl(s, dir, "customer"), tbl(s, dir, "orders"))),
 
+    // Co-located bucketed join: lineitem and orders persisted ONCE as
+    // bucketed layouts on the order key (fingerprint-sidecar'd like the
+    // IVF layouts — a fresh process re-registers over the existing
+    // files, metadata-only), then the per-order aggregation AND the
+    // fact join both plan with zero hash exchange: the bucketed scan
+    // already distributes on the key. The paid-once shuffle amortizes
+    // over every later join/agg on the key — the 100 TB fact⋈fact shape.
+    "tpch_colocated_rev" -> ((s, dir) => {
+      val key = java.lang.Integer.toHexString(dir.hashCode)
+      val tmp = System.getProperty("java.io.tmpdir")
+      graft.ops.Bucketed.ensure(s,
+        tbl(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount")),
+        s"graft_bl_li_$key", s"$tmp/graft_bucket_li_$key", buckets = 8, "l_orderkey")
+      graft.ops.Bucketed.ensure(s,
+        tbl(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus")),
+        s"graft_bl_o_$key", s"$tmp/graft_bucket_o_$key", buckets = 8, "o_orderkey")
+      graft.ops.Bucketed.colocatedOrderRevenue(s,
+        s"graft_bl_li_$key", s"graft_bl_o_$key", minRevCents = 45000000L)
+    }),
+
     // As-of join: each click joined to the user's most recent prior
     // signup (union + window last_value — one shuffle on user_id, no
     // per-row range scan). Timestamps emitted as epoch micros so both
@@ -3270,6 +3292,19 @@ object SparkEntry {
         |       CAST(count(*) - count(u.o_custkey) AS BIGINT) AS n_without_urgent
         |FROM customer c LEFT JOIN u ON c_custkey = o_custkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // The bucketed layout is an execution detail: the oracle is the
+    // plain join+agg with the shared integer-cents quantization.
+    "tpch_colocated_rev" ->
+      """WITH r AS (SELECT l_orderkey,
+        |             CAST(sum(CAST(floor((l_extendedprice * (1.0 - l_discount)) * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS rev_cents,
+        |             CAST(count(*) AS BIGINT) AS n_items
+        |           FROM lineitem GROUP BY 1)
+        |SELECT o_orderkey AS orderkey, o_custkey AS custkey,
+        |       o_orderstatus AS orderstatus, rev_cents, n_items
+        |FROM r JOIN orders ON l_orderkey = o_orderkey
+        |WHERE rev_cents >= 45000000
+        |ORDER BY orderkey""".stripMargin,
 
     "events_funnel" ->
       """WITH u AS (SELECT user_id,

@@ -1,0 +1,125 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persistent bucketed table layouts: pay the shuffle ONCE at write
+  * time, then every later join/aggregation on the bucket key plans with
+  * zero Exchange — the same build-once/probe-many discipline as the IVF
+  * layouts ([[graft.index.Ivf.buildLayout]]), applied to relational
+  * keys. At 100 TB this converts every fact⋈fact equi-join and every
+  * fact-key aggregation from a full shuffle into a local merge: the
+  * bucketed scan already hash-distributes on the key, so
+  * `groupBy(key)` collapses to a single no-exchange aggregate and a
+  * join against a co-bucketed table needs no exchange on either side.
+  *
+  * The reference engine has no relational surface at all
+  * (`/root/reference/src/vectordb.cpp` is a flat vector table); this is
+  * charter-extension machinery for the warehouse side.
+  *
+  * Spark's bucket metadata lives in the (session-scoped, when Hive is
+  * off) catalog, but the FILES carry their bucket ids in the file names
+  * — so the layout itself is process-durable. [[ensure]] makes that
+  * explicit: a fingerprint sidecar records what was bucketed; a fresh
+  * process re-registers an EXTERNAL bucketed table over the existing
+  * files (metadata-only, no data touched), and only a fingerprint
+  * mismatch (changed input) pays the write again. The sidecar is
+  * written LAST, so a crashed write never looks complete; its
+  * underscore-prefixed name keeps it invisible to the parquet scan.
+  */
+object Bucketed {
+
+  private val sidecarName = "_graft_bucket_sidecar.json"
+
+  /** Order-independent content fingerprint (count, xor of row hashes) —
+    * same device as the IVF layout sidecar (`Ivf.fingerprint`): bit_xor
+    * is commutative and overflow-free under ANSI, so the value is
+    * partitioning-invariant. */
+  private def fingerprint(df: DataFrame): (Long, Long) = {
+    val cols = df.columns.toIndexedSeq.map(col)
+    val row = df.select(xxhash64(struct(cols: _*)).as("_h"))
+      .agg(count(lit(1)), expr("bit_xor(_h)")).head()
+    (row.getLong(0), if (row.isNullAt(1)) 0L else row.getLong(1))
+  }
+
+  /** Idempotently materialize `df` as a bucketed+sorted external table
+    * named `table` at `dir`. Three tiers, cheapest first:
+    *   1. table already in this session's catalog → no-op;
+    *   2. sidecar fingerprint matches the input → metadata-only
+    *      re-registration over the existing bucket files;
+    *   3. otherwise → bucketed write (the one paid shuffle) + sidecar.
+    * Returns true when the data was (re)written. */
+  def ensure(
+      spark: SparkSession,
+      df: DataFrame,
+      table: String,
+      dir: String,
+      buckets: Int,
+      key: String): Boolean = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    require(df.columns.contains(key), s"bucket key '$key' not in ${df.columns.mkString(",")}")
+    if (spark.catalog.tableExists(table)) return false
+    val sidecar = java.nio.file.Paths.get(dir, sidecarName)
+    val (nRows, dataHash) = fingerprint(df)
+    val ddl = df.schema.toDDL
+    if (java.nio.file.Files.exists(sidecar)) {
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val node = mapper.readTree(java.nio.file.Files.readString(sidecar))
+      if (node.get("count").asLong() == nRows &&
+          node.get("hash").asLong() == dataHash &&
+          node.get("buckets").asInt() == buckets &&
+          node.get("key").asText() == key) {
+        spark.sql(
+          s"""CREATE TABLE $table ($ddl) USING PARQUET
+             |CLUSTERED BY ($key) SORTED BY ($key) INTO $buckets BUCKETS
+             |LOCATION '$dir'""".stripMargin)
+        return false
+      }
+    }
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    df.write
+      .mode("overwrite")
+      .option("path", dir)
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .format("parquet")
+      .saveAsTable(table)
+    java.nio.file.Files.writeString(sidecar,
+      s"""{"count":$nRows,"hash":$dataHash,"buckets":$buckets,"key":"$key"}""")
+    true
+  }
+
+  /** Per-order revenue over a bucketed lineitem joined to co-bucketed
+    * orders — the whole pipeline runs WITHOUT a single hash exchange:
+    * the bucketed scan hash-distributes on `l_orderkey`, so the
+    * groupBy aggregates in one no-exchange pass (partial and final
+    * collapse), the revenue filter prunes before the join, and the
+    * merge-hinted equi-join against the co-bucketed orders table is
+    * co-located. The only exchange left in the plan is the final
+    * presentation `orderBy` over the filtered (small) result. Money
+    * follows [[Relational.cents]] integer quantization so sums are
+    * order-independent and hash-match the oracle. */
+  def colocatedOrderRevenue(
+      spark: SparkSession,
+      lineitemTable: String,
+      ordersTable: String,
+      minRevCents: Long): DataFrame = {
+    val rev = spark.table(lineitemTable)
+      .groupBy(col("l_orderkey"))
+      .agg(
+        sum(Relational.cents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+          .cast("long").as("rev_cents"),
+        count(lit(1)).cast("long").as("n_items"))
+      .filter(col("rev_cents") >= minRevCents)
+    val o = spark.table(ordersTable)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
+    rev.join(o.hint("merge"), col("l_orderkey") === col("o_orderkey"))
+      .select(
+        col("o_orderkey").as("orderkey"),
+        col("o_custkey").as("custkey"),
+        col("o_orderstatus").as("orderstatus"),
+        col("rev_cents"),
+        col("n_items"))
+      .orderBy(col("orderkey"))
+  }
+}
