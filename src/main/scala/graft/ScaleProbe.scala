@@ -188,6 +188,27 @@ object ScaleProbe {
           n = 5, minShared = 2L, maxShingleDf = 500L)))
     }
 
+    // incremental dedup: the new-crawl batch stays FIXED while the
+    // corpus (and its persisted hash store) grows with the factor. The
+    // probe's cost must grow with the store SCAN (narrow, map-side
+    // semi join against the broadcast batch hashes) — contrast with
+    // re-running exact dedup over corpus ∪ batch, which re-tokenizes
+    // and re-shuffles all corpus text per batch.
+    {
+      lazy val storeDir =
+        java.nio.file.Files.createTempDirectory(s"probe_hstore_$factor").toString
+      lazy val batch = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select((col("doc_id") + lit(8000000L)).as("doc_id"), col("text"))
+      // the build probe is a prerequisite of the batch-vs-store probe:
+      // filter them together
+      time("hash store build")(
+        graft.dedup.Dedup.ensureHashStore(spark, docs, storeDir))
+      time("incremental batch-vs-store")(noop(
+        graft.dedup.Dedup.newAgainstStore(spark, storeDir, batch)))
+      time("full re-dedup (contrast)")(noop(
+        graft.dedup.Dedup.dedupExact(docs.unionByName(batch))))
+    }
+
     time("perplexity buckets (ntile)")(noop(
       graft.text.TextAnalysis.perplexityBuckets(
         docs.withColumn("source", (col("doc_id") % 7).cast("string")))))
@@ -245,9 +266,9 @@ object ScaleProbe {
     {
       org.apache.spark.sql.graft.TopKWindowRewrite.enable(spark)
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val events = replicate(spark.read.parquet(s"$sfDir/events.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-        .select("user_id", "ts"), "user_id", factor)
+      val events = replicate(
+        graft.SparkEntry.fixEventTs(spark.read.parquet(s"$sfDir/events.parquet"))
+          .select("user_id", "ts"), "user_id", factor)
       val counts = events.groupBy(
           date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour"),
           col("user_id"))

@@ -40,19 +40,29 @@ object SparkEntry {
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
 
-  /** The driver fixtures store `ts` as parquet TIMESTAMP(NANOS), which
-    * Spark 4 refuses by default; read it as a long and convert via
-    * integer division (a double roundtrip would lose precision above
-    * 2^53 ns). DuckDB truncates ns→µs identically. */
+  /** Some fixture generations store `ts` as parquet TIMESTAMP(NANOS)
+    * (which Spark 4 refuses by default — the nanosAsLong shim reads it
+    * as a long), others as plain TIMESTAMP(MICROS) (which arrives as
+    * TIMESTAMP_NTZ). Normalize either to a session-tz TIMESTAMP so
+    * every downstream query sees one type. DuckDB reads both as the
+    * same naive µs timestamp (ns truncate ≡ the integer division). */
   private def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     fixEventTs(s.read.parquet(s"$dir/events.parquet"))
   }
 
-  /** ns-long → µs timestamp, shared by the batch reader and the
-    * streaming replay so the conversion can never diverge. */
-  private def fixEventTs(df: DataFrame): DataFrame =
-    df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  /** ts normalization (ns-long → µs timestamp; NTZ → session-tz
+    * timestamp, an identity instant under the pinned UTC session),
+    * shared by the batch reader, the streaming replay, and ScaleProbe
+    * so the conversion can never diverge. */
+  private[graft] def fixEventTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => df
+    }
 
   /** TPC-H-style star-schema table (ms timestamps — no nanos shim
     * needed, unlike `events`). */
@@ -78,6 +88,27 @@ object SparkEntry {
     * regexp_replace is first-match-only by default). */
   private val NormSql = "lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))"
   private val ToksSql = s"string_split($NormSql, ' ')"
+
+  /** BM25 oracle, shared verbatim by `doc_bm25_top20` (corpus-scan
+    * path) and `doc_bm25_indexed` (persisted posting lists): the two
+    * queries hashing to the same oracle result IS the proof the index
+    * probe equals the scan. */
+  private lazy val Bm25OracleSql: String =
+    s"""WITH d AS (SELECT doc_id, len($ToksSql) AS dl, $ToksSql AS toks FROM documents),
+       |occ AS (SELECT doc_id, dl, tok AS token, CAST(count(*) AS BIGINT) AS tf
+       |        FROM (SELECT doc_id, dl, unnest(toks) AS tok FROM d)
+       |        WHERE tok IN ('spark', 'join', 'merge', 'window')
+       |        GROUP BY 1, 2, 3),
+       |dft AS (SELECT token, CAST(count(*) AS BIGINT) AS dft FROM occ GROUP BY 1),
+       |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl FROM d),
+       |comp AS (SELECT doc_id,
+       |           CAST(floor((ln(1.0 + (CAST(n_docs - dft AS DOUBLE) + 0.5) / (CAST(dft AS DOUBLE) + 0.5))
+       |             * ((CAST(tf AS DOUBLE) * 2.2) / (CAST(tf AS DOUBLE) + 1.2
+       |                 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))))
+       |             * 1e6) AS BIGINT) AS comp
+       |         FROM occ JOIN dft USING (token), st)
+       |SELECT doc_id, CAST(sum(comp) AS BIGINT) AS bm25_micro, CAST(count(*) AS BIGINT) AS n_terms
+       |FROM comp GROUP BY 1 ORDER BY bm25_micro DESC, doc_id LIMIT 20""".stripMargin
 
   /** Planted-PII suffix for doc_pii_scrub — shared by the Spark query
     * and the oracle SQL so the fixture cannot drift. */
@@ -591,6 +622,20 @@ object SparkEntry {
     // aggregation-order-independent.
     "doc_bm25_top20" -> ((s, dir) => {
       TextAnalysis.bm25TopDocs(docs(s, dir),
+        terms = Seq("spark", "join", "merge", "window"))
+    }),
+
+    // The same retrieval through the PERSISTED posting-list index
+    // (build-once bucketed-by-token table, term-bucket-pruned probe) —
+    // the text twin of the IVF build/probe split. Shares
+    // doc_bm25_top20's oracle SQL verbatim: matching hashes prove the
+    // indexed path equals the corpus-scan path.
+    "doc_bm25_indexed" -> ((s, dir) => {
+      val key = java.lang.Integer.toHexString(dir.hashCode)
+      val tmp = System.getProperty("java.io.tmpdir")
+      val stats = graft.text.InvertedIndex.ensure(s, docs(s, dir),
+        s"graft_post_$key", s"$tmp/graft_postings_$key", buckets = 8)
+      graft.text.InvertedIndex.bm25Search(s, s"graft_post_$key", stats,
         terms = Seq("spark", "join", "merge", "window"))
     }),
 
@@ -1341,6 +1386,31 @@ object SparkEntry {
       graft.index.Ivf.searchLayout(s, layout, query, k = 10, nprobe = 1)
     }),
 
+    // Index-maintenance DELETE (the triad's third leg, and the
+    // reference behavior we deliberately DON'T reproduce: its HNSW
+    // serves deleted ids until a manual rebuild — SURVEY §5). 15 copies
+    // of the query vector appended, 5 tombstoned; the nprobe=1 probe
+    // must return only live rows: the query's own cluster holds 11
+    // dist-0 rows after the delete, so the layout top-10 equals the
+    // global brute force the oracle runs over corpus ∪ planted \ deleted.
+    "knn_ivf_delete" -> ((s, dir) => {
+      val corpus = emb(s, dir)
+      val base = graft.index.Ivf.buildLayout(s, corpus,
+        ivfLayoutDir(dir, "appendbase"), nlist = 8, maxIter = 3)
+      val tmp = freshScratchDir(dir, "deletework")
+      copyDir(base.dir, tmp)
+      val layout = graft.index.Ivf.loadLayout(tmp)
+      val planted = corpus.filter(col("vec_id") === 0)
+        .crossJoin(s.range(15))
+        .select((col("id") + lit(4100000L)).as("vec_id"), col("embedding"), col("label"))
+      graft.index.Ivf.appendToLayout(layout, planted)
+      graft.index.Ivf.deleteFromLayout(layout,
+        s.range(5).select((col("id") + lit(4100000L)).as("vec_id")))
+      val query = corpus.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).toArray
+      graft.index.Ivf.searchLayout(s, layout, query, k = 10, nprobe = 1)
+    }),
+
     // Product quantization + exact re-rank: the corpus is compressed to
     // 8 one-byte codes per vector (32× smaller — the memory-side scale
     // path for 100 TB ANN), ADC scans the codes for a 200-candidate
@@ -1822,6 +1892,28 @@ object SparkEntry {
         count(lit(1)).as("n_kept"),
         sum(col("doc_id")).cast("long").as("id_sum"),
         sum(length(col("text")).cast("long")).as("chars_kept"))
+    }),
+
+    // INCREMENTAL dedup: a synthetic "new crawl batch" (every %10==7 doc
+    // re-delivered under a new id = planted duplicates; every %10==3 doc
+    // with a ' graft-novel' suffix = planted novel content) checked
+    // against the PERSISTED corpus hash store — the batch never touches
+    // corpus text, only the ~48-byte/doc fingerprint artifact, and the
+    // store side is never shuffled (batch hashes broadcast into its
+    // scan). The oracle replays the whole construction from the corpus.
+    "dedup_incremental" -> ((s, dir) => {
+      val key = java.lang.Integer.toHexString(dir.hashCode)
+      val tmp = System.getProperty("java.io.tmpdir")
+      val corpus = docs(s, dir)
+      val storeDir = s"$tmp/graft_hashstore_$key"
+      graft.dedup.Dedup.ensureHashStore(s, corpus, storeDir)
+      val redelivered = corpus.filter(col("doc_id") % 10 === 7)
+        .select((col("doc_id") + 5000000L).as("doc_id"), col("text"))
+      val novel = corpus.filter(col("doc_id") % 10 === 3)
+        .select((col("doc_id") + 6000000L).as("doc_id"),
+          concat(col("text"), lit(" graft-novel")).as("text"))
+      graft.dedup.Dedup.newAgainstStore(s, storeDir, redelivered.unionAll(novel))
+        .orderBy(col("doc_id"))
     }),
 
     // Full curation pipeline (language gate → quality gate → exact dedup
@@ -2375,22 +2467,12 @@ object SparkEntry {
 
     // BM25: identical double ops in identical order, per-term micro
     // quantization, integer per-doc sum — Lucene idf variant
-    "doc_bm25_top20" ->
-      s"""WITH d AS (SELECT doc_id, len($ToksSql) AS dl, $ToksSql AS toks FROM documents),
-         |occ AS (SELECT doc_id, dl, tok AS token, CAST(count(*) AS BIGINT) AS tf
-         |        FROM (SELECT doc_id, dl, unnest(toks) AS tok FROM d)
-         |        WHERE tok IN ('spark', 'join', 'merge', 'window')
-         |        GROUP BY 1, 2, 3),
-         |dft AS (SELECT token, CAST(count(*) AS BIGINT) AS dft FROM occ GROUP BY 1),
-         |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl FROM d),
-         |comp AS (SELECT doc_id,
-         |           CAST(floor((ln(1.0 + (CAST(n_docs - dft AS DOUBLE) + 0.5) / (CAST(dft AS DOUBLE) + 0.5))
-         |             * ((CAST(tf AS DOUBLE) * 2.2) / (CAST(tf AS DOUBLE) + 1.2
-         |                 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))))
-         |             * 1e6) AS BIGINT) AS comp
-         |         FROM occ JOIN dft USING (token), st)
-         |SELECT doc_id, CAST(sum(comp) AS BIGINT) AS bm25_micro, CAST(count(*) AS BIGINT) AS n_terms
-         |FROM comp GROUP BY 1 ORDER BY bm25_micro DESC, doc_id LIMIT 20""".stripMargin,
+    "doc_bm25_top20" -> Bm25OracleSql,
+
+    // IDENTICAL SQL as doc_bm25_top20: the indexed path must produce
+    // the same rows through the persisted posting lists — the matching
+    // hash is the equivalence proof (decontaminate_bloom's device).
+    "doc_bm25_indexed" -> Bm25OracleSql,
 
     // The identical ±1 literals and left-associative fold order, baked
     // from the same Projections.sign table at SQL-generation time.
@@ -3080,6 +3162,21 @@ object SparkEntry {
          |FROM c CROSS JOIN q
          |ORDER BY dist ASC, vec_id ASC LIMIT 10""".stripMargin,
 
+    // Corpus ∪ 15 planted copies minus the 5 deleted: after the delete
+    // 11 rows sit at dist 0 (the original + 10 surviving copies), so
+    // the probed-cluster top-10 IS the global top-10 the brute force
+    // returns — a resurrected tombstone would hash-mismatch here.
+    "knn_ivf_delete" ->
+      s"""WITH c AS (SELECT vec_id, embedding FROM embeddings
+         |           UNION ALL
+         |           SELECT 4100000 + r.i AS vec_id, e.embedding
+         |           FROM embeddings e CROSS JOIN range(15) r(i) WHERE e.vec_id = 0),
+         |live AS (SELECT * FROM c WHERE vec_id NOT BETWEEN 4100000 AND 4100004),
+         |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+         |SELECT live.vec_id AS vec_id, ${l2SqSql("live.embedding", "q.qe")} AS dist
+         |FROM live CROSS JOIN q
+         |ORDER BY dist ASC, vec_id ASC LIMIT 10""".stripMargin,
+
     // IVF-PQ with exhaustive probe + re-rank also converges to exact
     // top-10 — same brute-force oracle as the flat-PQ path.
     "knn_ivfpq_rerank" ->
@@ -3406,6 +3503,23 @@ object SparkEntry {
         |SELECT p.user_id, epoch_us(p.ts) AS click_us, p.event_id, epoch_us(i.start_ts) AS signup_us
         |FROM p JOIN i ON p.user_id = i.user_id AND p.ts >= i.start_ts AND p.ts < i.end_ts
         |ORDER BY p.user_id, click_us, event_id, signup_us""".stripMargin,
+
+    // Replays the store (first-owner per content hash) and the planted
+    // batch; the suffixed branch re-derives the normalized hash of the
+    // modified text exactly as the Spark side's concat.
+    "dedup_incremental" ->
+      s"""WITH st AS (SELECT md5($NormSql) AS h, min(doc_id) AS first_id FROM documents GROUP BY 1),
+         |b AS (SELECT doc_id + 5000000 AS doc_id, md5($NormSql) AS h
+         |      FROM documents WHERE doc_id % 10 = 7
+         |      UNION ALL
+         |      SELECT doc_id + 6000000 AS doc_id,
+         |             md5(lower(regexp_replace(trim(text || ' graft-novel'), '\\s+', ' ', 'g'))) AS h
+         |      FROM documents WHERE doc_id % 10 = 3)
+         |SELECT b.doc_id,
+         |       CAST(CASE WHEN st.first_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_new,
+         |       st.first_id AS dup_of
+         |FROM b LEFT JOIN st USING (h)
+         |ORDER BY doc_id""".stripMargin,
 
     "doc_dedup_keep" ->
       s"""WITH k AS (SELECT doc_id, text,

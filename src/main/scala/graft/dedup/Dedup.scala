@@ -42,6 +42,77 @@ object Dedup {
       .drop("rn", "content_hash")
   }
 
+  // -------------------------------------------- incremental (batch-vs-store)
+
+  private val hashStoreSidecar = "_graft_hashstore_sidecar.json"
+
+  /** Idempotently materialize the exact-dedup FINGERPRINT STORE for
+    * `corpus` at `dir`: one parquet row per distinct normalized-content
+    * md5 with its first (minimum-id) owner. This is the artifact that
+    * makes dedup INCREMENTAL — a new crawl batch checks itself against
+    * the compact hash store instead of re-scanning 100 TB of corpus
+    * text (the store is ~48 bytes/distinct doc; three orders of
+    * magnitude smaller than the text it summarizes). Same
+    * fingerprint-sidecar discipline as the IVF layouts: the sidecar is
+    * written LAST (a crashed build never looks complete) and a changed
+    * corpus forces a rebuild. */
+  def ensureHashStore(
+      spark: org.apache.spark.sql.SparkSession,
+      corpus: DataFrame,
+      dir: String,
+      idCol: String = "doc_id",
+      textCol: String = "text"): Unit = {
+    val sidecar = java.nio.file.Paths.get(dir, hashStoreSidecar)
+    val row = corpus.select(xxhash64(col(idCol), col(textCol)).as("_h"))
+      .agg(count(lit(1)), expr("bit_xor(_h)")).head()
+    val (nRows, dataHash) =
+      (row.getLong(0), if (row.isNullAt(1)) 0L else row.getLong(1))
+    if (java.nio.file.Files.exists(sidecar)) {
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val node = mapper.readTree(java.nio.file.Files.readString(sidecar))
+      if (node.get("count").asLong() == nRows && node.get("hash").asLong() == dataHash)
+        return
+    }
+    corpus
+      .select(graft.text.TextAnalysis.fingerprintMd5(col(textCol)).as("h"),
+        col(idCol).cast("long").as("first_id"))
+      .groupBy("h").agg(min(col("first_id")).as("first_id"))
+      .write.mode("overwrite").parquet(dir)
+    java.nio.file.Files.writeString(sidecar,
+      s"""{"count":$nRows,"hash":$dataHash}""")
+  }
+
+  /** Novelty check of a crawl `batch` against a persisted hash store
+    * ([[ensureHashStore]]): every batch row annotated with
+    * `is_new` (1 = content unseen in the corpus) and `dup_of` (the
+    * corpus's first-owner id, null for novel rows).
+    *
+    * 100 TB shape: the store is the big side and it is NEVER shuffled —
+    * the batch's distinct hashes broadcast INTO the store scan (a
+    * map-side semi join whose output is bounded by the batch size), and
+    * the surviving (hash, first_id) matches broadcast back onto the
+    * batch. Two broadcasts of batch-bounded tables; zero wide exchange.
+    * A null batch text hashes to null and never matches — it reports
+    * as novel, the contract every row keeps one output row. */
+  def newAgainstStore(
+      spark: org.apache.spark.sql.SparkSession,
+      storeDir: String,
+      batch: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(!batch.columns.contains("h"),
+      "batch already has an 'h' column; it would collide with the internal hash")
+    val store = spark.read.parquet(storeDir)
+    val bh = batch.select(col(idCol),
+      graft.text.TextAnalysis.fingerprintMd5(col(textCol)).as("h"))
+    val probes = bh.select("h").distinct()
+    val matches = store.join(broadcast(probes), "h")
+    bh.join(broadcast(matches), Seq("h"), "left")
+      .select(col(idCol),
+        when(col("first_id").isNull, 1L).otherwise(0L).as("is_new"),
+        col("first_id").as("dup_of"))
+  }
+
   // -------------------------------------------------------------- MinHash
 
   /** Near-duplicate pairs by banded MinHash: a `numBands × rowsPerBand`

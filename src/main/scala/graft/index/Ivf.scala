@@ -252,8 +252,99 @@ object Ivf {
     layout
   }
 
+  private val tombstoneDirName = "_tombstones"
+
+  /** Logical delete from a persisted layout (the reference's O5 for the
+    * partitioned index — with the CORRECT post-delete search the
+    * reference lacks: its HNSW keeps serving deleted ids until a manual
+    * rebuild, `vectordb.cpp:62-73` + SURVEY §5). Ids are appended as a
+    * TOMBSTONE table under the layout (`_tombstones/`, invisible to the
+    * data scan — Spark skips underscore paths), so a delete is one tiny
+    * write, never a partition rewrite; every probe anti-joins the
+    * (small, broadcast) tombstone set. The sidecar fingerprint is
+    * xor-updated with the removed rows' contribution, so a later
+    * [[buildLayout]] against the ORIGINAL corpus sees a mismatch and
+    * rebuilds rather than silently reusing the shrunken layout.
+    * Already-tombstoned and never-present ids are ignored (delete is
+    * idempotent; the fingerprint is never double-xored). Tombstones are
+    * written BEFORE the sidecar: a crash in between leaves probes
+    * correct and only the reuse check conservative. Returns the number
+    * of newly deleted rows. */
+  def deleteFromLayout(
+      layout: Layout,
+      ids: DataFrame,
+      idCol: String = "vec_id",
+      embCol: String = "embedding"): Long = {
+    val spark = ids.sparkSession
+    val tombPath = s"${layout.dir}/$tombstoneDirName"
+    val requested = ids.select(col(idCol).cast("long").as(idCol)).distinct()
+    val affected = liveRows(spark, layout, spark.read.parquet(layout.dir), idCol)
+      .join(broadcast(requested), Seq(idCol), "left_semi")
+      .localCheckpoint() // one evaluation feeds both the write and the xor
+    val (nDel, hDel) = fingerprint(affected, embCol)
+    if (nDel == 0L) return 0L
+    affected.select(col(idCol)).write.mode("append").parquet(tombPath)
+    val sidecar = java.nio.file.Paths.get(layout.dir, centroidFile)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = mapper.readTree(java.nio.file.Files.readString(sidecar))
+    java.nio.file.Files.writeString(sidecar,
+      s"""{"count":${node.get("count").asLong() - nDel},"hash":${node.get("hash").asLong() ^ hDel},"centroids":${node.get("centroids").toString}}""")
+    nDel
+  }
+
+  /** Physically remove tombstoned rows once they exceed
+    * `maxTombstoneFraction` of the layout: ONLY the clusters that
+    * contain a tombstoned row are rewritten (dynamic partition
+    * overwrite), then the tombstone table is dropped. Probes are
+    * correct through every crash window — an already-compacted
+    * tombstone anti-joins to nothing. Returns true when a compaction
+    * ran. */
+  def compactLayout(
+      spark: SparkSession,
+      layout: Layout,
+      maxTombstoneFraction: Double = 0.1,
+      idCol: String = "vec_id"): Boolean = {
+    val tombPath = s"${layout.dir}/$tombstoneDirName"
+    if (!new java.io.File(tombPath).exists()) return false
+    val tomb = spark.read.parquet(tombPath).select(col(idCol)).distinct()
+    val data = spark.read.parquet(layout.dir)
+    val nTomb = tomb.count()
+    if (nTomb == 0L || nTomb.toDouble / math.max(data.count(), 1L) <= maxTombstoneFraction)
+      return false
+    val affectedClusters = data.join(broadcast(tomb), Seq(idCol), "left_semi")
+      .select("cluster").distinct().collect().map(_.getInt(0))
+    val survivors = data
+      .filter(col("cluster").isin(affectedClusters.toIndexedSeq: _*))
+      .join(broadcast(tomb), Seq(idCol), "left_anti")
+      .localCheckpoint() // pin before the overwrite reads-under-write
+    val prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try survivors.write.mode("overwrite").partitionBy("cluster").parquet(layout.dir)
+    finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    // tombstones drop LAST: a crash above re-runs compaction harmlessly
+    val dirFile = new java.io.File(tombPath)
+    dirFile.listFiles().foreach(_.delete())
+    dirFile.delete()
+    true
+  }
+
+  /** Anti-join the tombstone set (if any) — the small side broadcasts;
+    * the layout scan itself is never reshuffled. */
+  private def liveRows(
+      spark: SparkSession,
+      layout: Layout,
+      df: DataFrame,
+      idCol: String): DataFrame = {
+    val tombPath = new java.io.File(layout.dir, tombstoneDirName)
+    if (!tombPath.exists()) df
+    else df.join(
+      broadcast(spark.read.parquet(tombPath.toString).select(col(idCol)).distinct()),
+      Seq(idCol), "left_anti")
+  }
+
   /** Probe a persisted layout: centroid ranking driver-side, `cluster IN`
-    * partition pruning, exact kernel within the probed inverted lists. */
+    * partition pruning, exact kernel within the probed inverted lists
+    * (tombstoned rows excluded — see [[deleteFromLayout]]). */
   def searchLayout(
       spark: SparkSession,
       layout: Layout,
@@ -264,7 +355,8 @@ object Ivf {
       embCol: String = "embedding"): DataFrame = {
     val clusters = probeClustersOf(layout.centroids, query, nprobe)
     VectorSearch.knnExact(
-      spark.read.parquet(layout.dir).filter(col("cluster").isin(clusters: _*)),
+      liveRows(spark, layout,
+        spark.read.parquet(layout.dir).filter(col("cluster").isin(clusters: _*)), idCol),
       query.toSeq, k, idCol, embCol)
   }
 
@@ -287,8 +379,9 @@ object Ivf {
       embCol: String = "embedding"): DataFrame = {
     val clusters = probeClustersOf(layout.centroids, query, nprobe)
     VectorSearch.knnExact(
-      spark.read.parquet(layout.dir)
-        .filter(col("cluster").isin(clusters: _*) && predicate),
+      liveRows(spark, layout,
+        spark.read.parquet(layout.dir)
+          .filter(col("cluster").isin(clusters: _*) && predicate), idCol),
       query.toSeq, k, idCol, embCol)
   }
 }

@@ -1,0 +1,132 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted inverted index (posting lists) for text retrieval — the
+  * build-once/probe-many discipline of the vector-side IVF layouts
+  * ([[graft.index.Ivf.buildLayout]]) applied to BM25 search. The
+  * reference has no text surface at all (SURVEY §2.4); this is charter
+  * extension for the retrieval side of a training-data pipeline
+  * (query-term mining, contamination lookups, corpus QA probes).
+  *
+  * Build pays the one corpus-wide tokenize + explode + (doc, token)
+  * aggregation and materializes postings `(token, doc_id, tf, dl)` as a
+  * parquet table BUCKETED BY token: every posting list lives in a known
+  * bucket file. Probe filters on the query terms, and Spark's bucket
+  * pruning turns that into reading ONLY the buckets that can contain
+  * those terms (`SelectedBucketsCount k out of n` in the scan — pinned
+  * by InvertedIndexSpec). Query cost scales with the probed posting
+  * lists, not the corpus: at 100 TB a 4-term query touches 4 buckets'
+  * worth of postings while the scan path re-tokenizes every document.
+  *
+  * Corpus-level BM25 statistics (n_docs, sum_dl) are computed at build
+  * time over the FULL corpus (they are not derivable from a term-pruned
+  * probe) and ride the fingerprint sidecar. The sidecar is written
+  * LAST, so a crashed build never looks complete; a fingerprint
+  * mismatch (changed corpus) pays the rebuild; a fresh process
+  * re-registers an external bucketed table over the existing files
+  * without touching data (same tiers as [[graft.ops.Bucketed.ensure]]).
+  */
+object InvertedIndex {
+
+  private val sidecarName = "_graft_postings_sidecar.json"
+
+  /** Build-time corpus stats carried by the sidecar. */
+  final case class CorpusStats(nDocs: Long, sumDl: Long)
+
+  /** Order-independent content fingerprint of the SOURCE corpus (id +
+    * text), not the derived postings — one narrow xxhash scan instead
+    * of re-running the posting explode per probe (`Ivf.fingerprint`'s
+    * device). */
+  private def fingerprint(df: DataFrame, idCol: String, textCol: String): (Long, Long) = {
+    val row = df.select(xxhash64(col(idCol), col(textCol)).as("_h"))
+      .agg(count(lit(1)), expr("bit_xor(_h)")).head()
+    (row.getLong(0), if (row.isNullAt(1)) 0L else row.getLong(1))
+  }
+
+  private val postingsDdl = "token STRING, doc_id BIGINT, tf BIGINT, dl BIGINT"
+
+  /** Idempotently materialize the postings table for `df` at `dir` and
+    * return the corpus stats. Tiers, cheapest first: session catalog
+    * hit (stats from sidecar, zero data touched) → sidecar fingerprint
+    * match (metadata-only external-table registration) → full build. */
+  def ensure(
+      spark: SparkSession,
+      df: DataFrame,
+      table: String,
+      dir: String,
+      buckets: Int,
+      idCol: String = "doc_id",
+      textCol: String = "text"): CorpusStats = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    val sidecar = java.nio.file.Paths.get(dir, sidecarName)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    if (spark.catalog.tableExists(table) && java.nio.file.Files.exists(sidecar)) {
+      val node = mapper.readTree(java.nio.file.Files.readString(sidecar))
+      return CorpusStats(node.get("nDocs").asLong(), node.get("sumDl").asLong())
+    }
+    val (nRows, dataHash) = fingerprint(df, idCol, textCol)
+    if (java.nio.file.Files.exists(sidecar)) {
+      val node = mapper.readTree(java.nio.file.Files.readString(sidecar))
+      if (node.get("count").asLong() == nRows &&
+          node.get("hash").asLong() == dataHash &&
+          node.get("buckets").asInt() == buckets) {
+        spark.sql(s"DROP TABLE IF EXISTS $table")
+        spark.sql(
+          s"""CREATE TABLE $table ($postingsDdl) USING PARQUET
+             |CLUSTERED BY (token) SORTED BY (token) INTO $buckets BUCKETS
+             |LOCATION '$dir'""".stripMargin)
+        return CorpusStats(node.get("nDocs").asLong(), node.get("sumDl").asLong())
+      }
+    }
+    // the one paid pass: tokenize, explode, (doc, token) aggregate.
+    // dl is the full token-array size (phantom '' of an empty text
+    // included) so the probe path reproduces bm25TopDocs bit-for-bit.
+    val d = df.select(col(idCol).cast("long").as("doc_id"),
+        TextAnalysis.tokens(col(textCol)).as("t"))
+      .select(col("doc_id"), size(col("t")).cast("long").as("dl"), col("t"))
+    val stats = d.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl")).head()
+    val nDocs = stats.getLong(0)
+    val sumDl = if (stats.isNullAt(1)) 0L else stats.getLong(1)
+    val postings = d
+      .select(col("doc_id"), col("dl"), explode(col("t")).as("token"))
+      .groupBy(col("token"), col("doc_id"), col("dl"))
+      .agg(count(lit(1)).cast("long").as("tf"))
+      .select(col("token"), col("doc_id"), col("tf"), col("dl"))
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    postings.write
+      .mode("overwrite")
+      .option("path", dir)
+      .bucketBy(buckets, "token")
+      .sortBy("token")
+      .format("parquet")
+      .saveAsTable(table)
+    java.nio.file.Files.writeString(sidecar,
+      s"""{"count":$nRows,"hash":$dataHash,"buckets":$buckets,"nDocs":$nDocs,"sumDl":$sumDl}""")
+    CorpusStats(nDocs, sumDl)
+  }
+
+  /** BM25 top-`topN` over the persisted postings: the probe filter on
+    * the query terms prunes the bucketed scan to the terms' buckets
+    * (SelectedBucketsCount in the plan), the pruned postings ARE the
+    * `occ` relation, and scoring routes through the same
+    * [[TextAnalysis.bm25ScoreOcc]] expression tree as the scan path —
+    * identical results, a corpus-scan cheaper plan. */
+  def bm25Search(
+      spark: SparkSession,
+      table: String,
+      stats: CorpusStats,
+      terms: Seq[String],
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      topN: Int = 20): DataFrame = {
+    require(terms.nonEmpty, "need at least one query term")
+    val occ = spark.table(table)
+      .filter(col("token").isin(terms: _*))
+      .select(col("doc_id"), col("dl"), col("token"), col("tf"))
+    val statsDf = spark.range(1).select(
+      lit(stats.nDocs).as("n_docs"), lit(stats.sumDl).as("sum_dl"))
+    TextAnalysis.bm25ScoreOcc(occ, statsDf, k1, b, topN, "doc_id")
+  }
+}

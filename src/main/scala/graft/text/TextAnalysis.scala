@@ -837,8 +837,25 @@ object TextAnalysis {
       .filter(col("token").isin(terms: _*))
       .groupBy(col(idCol), col("dl"), col("token"))
       .agg(count(lit(1)).as("tf"))
-    val dft = occ.groupBy("token").agg(count(lit(1)).as("dft"))
     val stats = d.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    bm25ScoreOcc(occ, stats, k1, b, topN, idCol)
+  }
+
+  /** Shared BM25 scoring core: `occ` carries one row per (doc, query
+    * term) with (idCol, dl, token, tf); `stats` is a one-row frame with
+    * (n_docs, sum_dl) over the FULL corpus. Both [[bm25TopDocs]] (scan
+    * path) and [[InvertedIndex.bm25Search]] (persisted-postings path)
+    * route through this exact expression tree, so the two paths are
+    * arithmetic-identical by construction — the driver proves it by
+    * giving both declared queries the same oracle SQL. */
+  private[text] def bm25ScoreOcc(
+      occ: DataFrame,
+      stats: DataFrame,
+      k1: Double,
+      b: Double,
+      topN: Int,
+      idCol: String): DataFrame = {
+    val dft = occ.groupBy("token").agg(count(lit(1)).as("dft"))
     val idf = log(lit(1.0) +
       ((col("n_docs") - col("dft")).cast("double") + lit(0.5)) /
         (col("dft").cast("double") + lit(0.5)))

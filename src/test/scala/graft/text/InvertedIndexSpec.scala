@@ -1,0 +1,88 @@
+package graft.text
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** Persisted posting-list index: build/reuse tiers, bucket-pruned probe
+  * plan, and exact agreement with the corpus-scan BM25 path. */
+class InvertedIndexSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private val terms = Seq("spark", "join", "merge", "window")
+
+  private def freshDir(tag: String): String = {
+    val d = Files.createTempDirectory(s"graft_iidx_$tag").toString
+    Files.deleteIfExists(Paths.get(d)) // ensure() owns creation
+    d
+  }
+
+  test("indexed BM25 equals the corpus-scan path row-for-row") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val dir = freshDir("eq")
+    val stats = InvertedIndex.ensure(spark, docs, "iidx_eq", dir, buckets = 8)
+    val indexed = InvertedIndex.bm25Search(spark, "iidx_eq", stats, terms)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val scanned = TextAnalysis.bm25TopDocs(docs, terms)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(indexed.toSeq == scanned.toSeq)
+    spark.sql("DROP TABLE IF EXISTS iidx_eq")
+  }
+
+  test("probe scan is bucket-pruned to the query terms' buckets") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val dir = freshDir("prune")
+    val stats = InvertedIndex.ensure(spark, docs, "iidx_prune", dir, buckets = 8)
+    val plan = InvertedIndex.bm25Search(spark, "iidx_prune", stats, terms)
+      .queryExecution.executedPlan.toString
+    val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+    val m = sel.findFirstMatchIn(plan)
+    assert(m.isDefined, s"no bucket pruning in probe plan:\n$plan")
+    assert(m.get.group(1).toInt < m.get.group(2).toInt,
+      s"probe read every bucket:\n$plan")
+    spark.sql("DROP TABLE IF EXISTS iidx_prune")
+  }
+
+  test("sidecar tiers: catalog hit, metadata-only re-register, fingerprint-mismatch rebuild") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(50)
+    val dir = freshDir("tiers")
+    val s1 = InvertedIndex.ensure(spark, docs, "iidx_t", dir, buckets = 4)
+    val files1 = Paths.get(dir).toFile.listFiles().map(f => f.getName -> f.lastModified).toMap
+
+    // catalog hit: no data touched, same stats
+    val s2 = InvertedIndex.ensure(spark, docs, "iidx_t", dir, buckets = 4)
+    assert(s2 == s1)
+
+    // fresh process simulated by dropping the catalog entry: the sidecar
+    // fingerprint matches, so re-registration rewrites nothing
+    spark.sql("DROP TABLE iidx_t")
+    val s3 = InvertedIndex.ensure(spark, docs, "iidx_t", dir, buckets = 4)
+    assert(s3 == s1)
+    val files3 = Paths.get(dir).toFile.listFiles().map(f => f.getName -> f.lastModified).toMap
+    assert(files3 == files1, "re-registration should not rewrite bucket files")
+    // and the re-registered table still answers correctly
+    val viaReg = InvertedIndex.bm25Search(spark, "iidx_t", s3, terms).count()
+    assert(viaReg >= 0)
+
+    // changed corpus under the same path forces a rebuild with new stats
+    spark.sql("DROP TABLE iidx_t")
+    val docs2 = spark.read.parquet(s"$sfDir/documents.parquet").limit(80)
+    val s4 = InvertedIndex.ensure(spark, docs2, "iidx_t", dir, buckets = 4)
+    assert(s4.nDocs == 80 && s4 != s1)
+    spark.sql("DROP TABLE IF EXISTS iidx_t")
+  }
+
+  test("corpus stats count every doc, not just docs containing query terms") {
+    val dir = freshDir("stats")
+    import spark.implicits._
+    val docs = Seq((1L, "spark join"), (2L, "nothing here"), (3L, "merge")).toDF("doc_id", "text")
+    val st = InvertedIndex.ensure(spark, docs, "iidx_s", dir, buckets = 2)
+    assert(st.nDocs == 3)
+    assert(st.sumDl == 2 + 2 + 1)
+    spark.sql("DROP TABLE IF EXISTS iidx_s")
+  }
+}
