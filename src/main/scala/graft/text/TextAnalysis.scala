@@ -886,6 +886,57 @@ object TextAnalysis {
       .groupBy("occurrences").agg(count(lit(1)).as("n_tokens"))
       .orderBy(col("occurrences"))
 
+  /** Windowed PMI collocations (Church & Hanks, CL'90) — the
+    * phrase-detection / word-association primitive (word2vec's phrase
+    * pass scores bigrams the same way): for ordered token pairs (a, b)
+    * with b at distance 1..`window` after a,
+    *
+    *   pmi = ln( (n_ab/P) / ((n_a/N)·(n_b/N)) ),
+    *
+    * N = total token occurrences, P = total pair slots, quantized to
+    * micro-units (floor(pmi·10⁶), the [[tfIdfTopTerms]] convention —
+    * ln can differ by 1 ulp between runtimes; ranking and hashing
+    * happen on the integer). Pairs below `minCount` are noise under
+    * PMI's low-frequency bias and are cut BEFORE the unigram joins.
+    *
+    * 100 TB shape: pair generation is MAP-ONLY — `posexplode` + a
+    * slice of the following `window` tokens, no self-join — and
+    * partial-aggregates map-side, so the shuffle carries distinct
+    * (a, b) pairs, not occurrences. The minCount filter runs on the
+    * pair aggregate before anything joins; both totals ride 1-row
+    * broadcasts; the final cut is a bounded TakeOrdered. */
+  def pmiPairs(
+      df: DataFrame,
+      textCol: String = "text",
+      window: Int = 3,
+      minCount: Long = 5L,
+      topK: Int = 30): DataFrame = {
+    val toks = df.select(tokens(col(textCol)).as("t"))
+    val pairs = toks
+      .select(posexplode(col("t")).as(Seq("pos", "a")), col("t"))
+      // pos is 0-based, slice is 1-based: tokens after position i
+      // start at 1-based index i + 2
+      .select(col("a"),
+        explode(slice(col("t"), col("pos") + lit(2), lit(window))).as("b"))
+    val pc = pairs.groupBy("a", "b").agg(count(lit(1)).as("n_ab"))
+    val uni = toks.select(explode(col("t")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n_w"))
+    val totT = uni.agg(sum(col("n_w")).cast("double").as("n_tok"))
+    val totP = pc.agg(sum(col("n_ab")).cast("double").as("n_pairs"))
+    pc.filter(col("n_ab") >= minCount)
+      .join(uni.select(col("w").as("a"), col("n_w").as("n_a")), "a")
+      .join(uni.select(col("w").as("b"), col("n_w").as("n_b")), "b")
+      .crossJoin(broadcast(totT))
+      .crossJoin(broadcast(totP))
+      .withColumn("pmi_micro", floor(log(
+        (col("n_ab").cast("double") / col("n_pairs")) /
+          ((col("n_a").cast("double") / col("n_tok")) *
+            (col("n_b").cast("double") / col("n_tok")))) * lit(1e6)).cast("long"))
+      .select(col("a"), col("b"), col("n_ab"), col("pmi_micro"))
+      .orderBy(col("pmi_micro").desc, col("a"), col("b"))
+      .limit(topK)
+  }
+
   /** Full per-document stats projection used by the `doc_token_stats`
     * declared query. */
   def docStats(df: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {

@@ -505,6 +505,42 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), s"c4Filter must not shuffle:\n$plan")
   }
 
+  test("pmiPairs matches a brute-force PMI computation and is plan-bounded") {
+    // planted collocation: "neural network" always adjacent; filler
+    // tokens vary so the pair's PMI clears the independent-token floor
+    val texts = (0 until 12).map { i =>
+      s"w$i neural network t${i % 4} neural network u${i % 3} x${i % 5}"
+    }
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val window = 3
+    val minCount = 5L
+    val out = TextAnalysis.pmiPairs(df, window = window, minCount = minCount, topK = 30)
+
+    // brute force with the identical arithmetic
+    val docs = texts.map(_.trim.toLowerCase.replaceAll("\\s+", " ").split(" ").toSeq)
+    val uni = docs.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val nTok = uni.values.sum.toDouble
+    val allPairs = docs.flatMap { t =>
+      for { i <- t.indices; d <- 1 to window; if i + d < t.length } yield (t(i), t(i + d))
+    }
+    val pc = allPairs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val nPairs = pc.values.sum.toDouble
+    val expected = pc.filter(_._2 >= minCount).map { case ((a, b), nab) =>
+      val pmi = math.log((nab / nPairs) / ((uni(a) / nTok) * (uni(b) / nTok)))
+      (a, b, nab, math.floor(pmi * 1e6).toLong)
+    }.toSeq.sortBy { case (a, b, _, m) => (-m, a, b) }.take(30)
+
+    val got = out.collect().map(r =>
+      (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == expected)
+    // the planted collocation dominates
+    assert(got.head._1 == "neural" && got.head._2 == "network")
+    // bounded cut in the executed plan, no full sort of the pair table
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"expected bounded top-k:\n$plan")
+  }
+
   test("perplexityBuckets keeps no-bigram docs as tail with null-last ranking") {
     val df = Seq(
       (1L, "the cat sat on the mat", "web"),
