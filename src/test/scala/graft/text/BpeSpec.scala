@@ -1,0 +1,92 @@
+package graft.text
+
+import scala.collection.mutable
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+class BpeSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  /** Reference BPE trainer (Sennrich ACL'16 alg. over word counts). */
+  private def refMerges(texts: Seq[String], n: Int): Seq[(Int, String, String, Long)] = {
+    val wc = mutable.Map.empty[String, Long].withDefaultValue(0L)
+    texts.foreach { t =>
+      t.trim.toLowerCase.replaceAll("\\s+", " ").split(" ")
+        .filter(_.nonEmpty).foreach(w => wc(w) += 1L)
+    }
+    var vocab: Map[String, List[String]] =
+      wc.keys.map(w => w -> (w.map(_.toString).toList :+ "</w>")).toMap
+    val out = mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    for (r <- 1 to n) {
+      val pairs = mutable.Map.empty[(String, String), Long].withDefaultValue(0L)
+      vocab.foreach { case (w, syms) =>
+        syms.sliding(2).foreach {
+          case List(a, b) => pairs((a, b)) += wc(w)
+          case _ =>
+        }
+      }
+      if (pairs.nonEmpty) {
+        val ((a, b), cnt) = pairs.toSeq.sortBy { case ((x, y), c) => (-c, x, y) }.head
+        out += ((r, a, b, cnt))
+        vocab = vocab.map { case (w, syms) =>
+          val acc = mutable.ListBuffer(syms.head)
+          syms.tail.foreach { x =>
+            if (acc.last == a && x == b) acc(acc.size - 1) = a + b
+            else acc += x
+          }
+          w -> acc.toList
+        }
+      }
+    }
+    out.toSeq
+  }
+
+  private val texts = Seq(
+    "the quick brown fox jumps over the lazy dog",
+    "the theater there is their thing",
+    "banana bandana ananas",
+    "aaaa aaa aa aaaa aaaa", // self-pair runs: the greedy-fold edge case
+    "lower lowest newer newest wider widest")
+  private val df = texts.zipWithIndex
+    .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+
+  test("learnMerges matches the reference trainer, self-pair runs included") {
+    val got = Bpe.learnMerges(df, numMerges = 6).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    val want = refMerges(texts, 6)
+    assert(got == want)
+    // the fixture makes the first merge the self-pair (a, a) — the case
+    // string-replace application would get wrong in later rounds
+    assert(got.head._2 == "a" && got.head._3 == "a")
+  }
+
+  test("applyMerges reproduces the trained segmentation") {
+    val merges = Bpe.learnMerges(df, numMerges = 6).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val toks = Bpe.applyMerges(df, merges)
+      .select("doc_id", "bpe_tokens").as[(Long, Seq[String])]
+      .collect().toMap
+    // "aaaa aaa aa ..." under merge (a,a) then whatever follows: the
+    // word 'aaaa' must segment pairwise — [aa, aa, </w>] modulo later
+    // merges built on 'aa'
+    val aaaa = toks(3L)
+    assert(aaaa.mkString(" ").startsWith("aa") || aaaa.head.startsWith("aa"))
+    // round-trip: concatenating a word's symbols restores word + </w>
+    val theSyms = toks(1L)
+    assert(theSyms.mkString("").contains("the</w>") ||
+      theSyms.mkString("").contains("the"))
+    // every merge pair no longer appears adjacent unmerged after full
+    // application, for the first learned rule
+    val (a, b) = merges.head
+    toks.values.foreach { syms =>
+      syms.sliding(2).foreach {
+        case Seq(x, y) => assert(!(x == a && y == b),
+          s"unmerged occurrence of ($a,$b) in $syms")
+        case _ =>
+      }
+    }
+  }
+}
