@@ -113,6 +113,104 @@ object Dedup {
         col("first_id").as("dup_of"))
   }
 
+  private val shingleStoreSidecar = "_graft_shinglestore_sidecar.json"
+
+  /** Idempotently materialize the NEAR-DUP SHINGLE STORE for `corpus`
+    * at `dir`: a posting table `dir/sh` of (shingle-md5, doc_id) rows
+    * plus per-doc set sizes `dir/sizes` — the incremental complement
+    * of [[ensureHashStore]] for NEAR duplicates. A new crawl batch
+    * Jaccard-checks itself against these postings instead of
+    * re-tokenizing 100 TB of corpus text (postings are ~32 bytes per
+    * distinct shingle — the doc_bm25_indexed discipline, an index
+    * artifact, not a text copy). The verdict is EXACT set Jaccard
+    * (equality on md5 keys ≡ equality on shingles), so unlike banded
+    * MinHash there is no recall caveat for the oracle to carry. Same
+    * fingerprint-sidecar protocol: sidecar written LAST, changed
+    * corpus forces a rebuild. */
+  def ensureShingleStore(
+      spark: org.apache.spark.sql.SparkSession,
+      corpus: DataFrame,
+      dir: String,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      shingleN: Int = 3): Unit = {
+    val sidecar = java.nio.file.Paths.get(dir, shingleStoreSidecar)
+    val row = corpus.select(xxhash64(col(idCol), col(textCol)).as("_h"))
+      .agg(count(lit(1)), expr("bit_xor(_h)")).head()
+    val (nRows, dataHash) =
+      (row.getLong(0), if (row.isNullAt(1)) 0L else row.getLong(1))
+    if (java.nio.file.Files.exists(sidecar)) {
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val node = mapper.readTree(java.nio.file.Files.readString(sidecar))
+      if (node.get("count").asLong() == nRows && node.get("hash").asLong() == dataHash)
+        return
+    }
+    val sh = corpus
+      .select(col(idCol).cast("long").as("c_id"),
+        explode(wordShingles(col(textCol), shingleN)).as("s"))
+      .select(md5(col("s")).as("sh"), col("c_id"))
+    sh.repartition(col("sh"))
+      .write.mode("overwrite").parquet(s"$dir/sh")
+    spark.read.parquet(s"$dir/sh")
+      .groupBy("c_id").agg(count(lit(1)).as("c_size"))
+      .write.mode("overwrite").parquet(s"$dir/sizes")
+    java.nio.file.Files.writeString(sidecar,
+      s"""{"count":$nRows,"hash":$dataHash}""")
+  }
+
+  /** Near-duplicate check of a crawl `batch` against a persisted
+    * shingle store ([[ensureShingleStore]]): every batch row annotated
+    * with `is_novel` (1 = no corpus doc within `maxJaccardDist`),
+    * `near_dup_of` (the MINIMUM matching corpus id — deterministic
+    * representative), and that match's exact `jaccard_dist` (null for
+    * novel rows).
+    *
+    * 100 TB shape, the [[newAgainstStore]] discipline: the store is
+    * the big side and is NEVER shuffled — the batch's distinct shingle
+    * hashes broadcast INTO the posting scan (map-side semi join,
+    * output bounded by batch postings × duplicate degree), the
+    * per-pair intersection count is a batch-bounded aggregation, the
+    * corpus sizes needed are fetched by broadcasting the candidate ids
+    * into the sizes scan, and everything broadcasts back onto the
+    * batch. Zero wide exchange of corpus data. */
+  def nearDupsAgainstShingleStore(
+      spark: org.apache.spark.sql.SparkSession,
+      storeDir: String,
+      batch: DataFrame,
+      maxJaccardDist: Double = 0.5,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      shingleN: Int = 3): DataFrame = {
+    val bsh = batch
+      .select(col(idCol).cast("long").as("b_id"),
+        explode(wordShingles(col(textCol), shingleN)).as("s"))
+      .select(col("b_id"), md5(col("s")).as("sh"))
+    val bsz = bsh.groupBy("b_id").agg(count(lit(1)).as("b_size"))
+    val store = spark.read.parquet(s"$storeDir/sh")
+    val hits = store.join(broadcast(bsh.select("sh").distinct()), "sh")
+    val inter = hits.join(broadcast(bsh), "sh")
+      .groupBy("b_id", "c_id").agg(count(lit(1)).as("n_inter"))
+    val sizes = spark.read.parquet(s"$storeDir/sizes")
+    val candSizes = sizes.join(
+      broadcast(inter.select("c_id").distinct()), "c_id")
+    val scored = inter
+      .join(broadcast(candSizes), "c_id")
+      .join(broadcast(bsz), "b_id")
+      .withColumn("jaccard_dist",
+        lit(1.0) - col("n_inter").cast("double") /
+          (col("b_size") + col("c_size") - col("n_inter")).cast("double"))
+      .filter(col("jaccard_dist") <= maxJaccardDist)
+    val w = Window.partitionBy(col("b_id")).orderBy(col("c_id").asc)
+    val best = scored
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("b_id"), col("c_id").as("near_dup_of"), col("jaccard_dist"))
+    batch.select(col(idCol).cast("long").as("b_id"))
+      .join(broadcast(best), Seq("b_id"), "left")
+      .select(col("b_id").as(idCol),
+        when(col("near_dup_of").isNull, 1L).otherwise(0L).as("is_novel"),
+        col("near_dup_of"), col("jaccard_dist"))
+  }
+
   // -------------------------------------------------------------- MinHash
 
   /** Near-duplicate pairs by banded MinHash: a `numBands × rowsPerBand`

@@ -71,6 +71,56 @@ class IncrementalDedupSpec extends AnyFunSuite {
       s"store side must not be shuffle-joined:\n$plan")
   }
 
+  test("shingle store: near-dup, novel, and exact-copy verdicts with exact Jaccard") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val corpus = Seq(
+      (1L, base),
+      (2L, "completely different words about other topics entirely here now")
+    ).toDF("doc_id", "text")
+    val dir = freshDir("shingle")
+    Dedup.ensureShingleStore(spark, corpus, dir)
+    val batch = Seq(
+      (100L, base + " appended tail tokens"), // near dup of 1
+      (101L, base),                           // exact copy → dist 0.0
+      (102L, "wholly novel content q7 w8 e9 r0 t1 y2 u3")
+    ).toDF("doc_id", "text")
+    val out = Dedup.nearDupsAgainstShingleStore(spark, dir, batch)
+      .orderBy("doc_id").collect()
+    val byId = out.map(r => r.getLong(0) ->
+      ((r.getLong(1), if (r.isNullAt(2)) -1L else r.getLong(2),
+        if (r.isNullAt(3)) -1.0 else r.getDouble(3)))).toMap
+    assert(byId(100L)._1 == 0L && byId(100L)._2 == 1L)
+    // 10-token doc: 8 shingles; +3 tokens: 11, inter 8 → 1 - 8/11
+    assert(math.abs(byId(100L)._3 - (1.0 - 8.0 / 11.0)) < 1e-12)
+    assert(byId(101L) == ((0L, 1L, 0.0)))
+    assert(byId(102L)._1 == 1L && byId(102L)._2 == -1L)
+  }
+
+  test("shingle store: postings join by broadcast — corpus side never shuffled") {
+    val corpus = spark.range(300).select(col("id").as("doc_id"),
+      concat(lit("some shared prefix tokens for document number "), col("id"),
+        lit(" with trailing filler words here")).as("text"))
+    val dir = freshDir("shplan")
+    Dedup.ensureShingleStore(spark, corpus, dir)
+    val batch = Seq((9000L, "some shared prefix tokens for document number 7 with trailing filler words here extra")).toDF("doc_id", "text")
+    val df = Dedup.nearDupsAgainstShingleStore(spark, dir, batch)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast joins:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"posting side must not be shuffle-joined:\n$plan")
+  }
+
+  test("shingle store reuse honors the sidecar fingerprint") {
+    val corpus = Seq((1L, "one two three four")).toDF("doc_id", "text")
+    val dir = freshDir("shreuse")
+    Dedup.ensureShingleStore(spark, corpus, dir)
+    val f1 = Paths.get(dir, "sh").toFile.listFiles().map(f => f.getName -> f.lastModified).toMap
+    Dedup.ensureShingleStore(spark, corpus, dir)
+    val f2 = Paths.get(dir, "sh").toFile.listFiles().map(f => f.getName -> f.lastModified).toMap
+    assert(f2 == f1, "unchanged corpus must not rewrite the postings")
+  }
+
   test("rejects a batch that already carries an 'h' column") {
     val corpus = Seq((1L, "one")).toDF("doc_id", "text")
     val dir = freshDir("hcol")
