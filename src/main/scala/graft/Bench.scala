@@ -98,6 +98,9 @@ object Bench {
   private[graft] def planFingerprint(plan: String): String = {
     val norm = plan
       .replaceAll("#\\d+[A-Za-z]*", "#x")
+      // codegen stage ids: two independent branches (e.g. parallel
+      // broadcast totals) get *(n) numbers in compile-completion order
+      .replaceAll("\\*\\(\\d+\\)", "*(n)")
       .replaceAll("plan_id=\\d+", "plan_id=x")
       .replaceAll("exprId=\\d+", "exprId=x")
       .replaceAll("\\[id=[^\\]]*\\]", "[id=x]")
@@ -160,6 +163,13 @@ object Bench {
       if (last._1 > sinceCount) Some(last._2) else None
     }
 
+    // raw plan text per (query, fingerprint): when a query's runs ever
+    // disagree on the fingerprint, every variant is dumped to /tmp so
+    // the divergence is diffable from the round's artifacts instead of
+    // unexplainable (the r7 doc_repetition lesson applied to plans)
+    val planTexts = scala.collection.mutable.Map
+      .empty[String, scala.collection.mutable.Map[String, String]]
+
     // noop sink materializes every row/column — count() alone would let
     // Catalyst prune the distance compute out of the measurement
     def runOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Option[Run] = {
@@ -168,7 +178,10 @@ object Bench {
       try {
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         val secs = (System.nanoTime() - t0) / 1e9 // timed region ends HERE
-        val fp = drainLastPlan(before).map(planFingerprint).getOrElse("none")
+        val raw = drainLastPlan(before)
+        val fp = raw.map(planFingerprint).getOrElse("none")
+        raw.foreach(p => planTexts.getOrElseUpdate(name,
+          scala.collection.mutable.Map.empty).getOrElseUpdate(fp, p))
         Some(Run(secs, fp))
       } catch {
         case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}"); None
@@ -188,6 +201,20 @@ object Bench {
         val cold = first +: (2 to coldRuns).flatMap(_ => runOnce(name, fn))
         val warm = (1 to warmRuns).flatMap(_ => runOnce(name, fn))
         name -> Samples(cold, warm)
+      }
+    }
+    // any query whose runs produced >1 distinct plan shape: dump every
+    // variant for offline diffing
+    planTexts.foreach { case (name, variants) =>
+      if (variants.size > 1) {
+        variants.foreach { case (fp, text) =>
+          val f = s"/tmp/graft_bench_plan_${name}_$fp.txt"
+          try java.nio.file.Files.writeString(java.nio.file.Paths.get(f), text)
+          catch { case _: Throwable => }
+        }
+        System.err.println(s"[bench] $name: ${variants.size} distinct plan " +
+          s"fingerprints (${variants.keys.mkString(", ")}) — variants dumped " +
+          s"to /tmp/graft_bench_plan_${name}_<fp>.txt")
       }
     }
     val minima = results.map { case (name, s) => name -> (s.coldMin, s.warmMin) }

@@ -904,13 +904,19 @@ object TextAnalysis {
     * partial-aggregates map-side, so the shuffle carries distinct
     * (a, b) pairs, not occurrences. The minCount filter runs on the
     * pair aggregate before anything joins; both totals ride 1-row
-    * broadcasts; the final cut is a bounded TakeOrdered. */
+    * broadcasts; the final cut is a bounded TakeOrdered.
+    * `broadcastUnigrams` ships the unigram table to every task (the
+    * [[bigramLmScores]] knob) — right when the vocabulary fits in
+    * executor memory, and it also pins the join strategy so the
+    * executed plan is identical run-to-run instead of flapping at the
+    * AQE broadcast threshold; leave false for open-vocabulary text. */
   def pmiPairs(
       df: DataFrame,
       textCol: String = "text",
       window: Int = 3,
       minCount: Long = 5L,
-      topK: Int = 30): DataFrame = {
+      topK: Int = 30,
+      broadcastUnigrams: Boolean = false): DataFrame = {
     val toks = df.select(tokens(col(textCol)).as("t"))
     val pairs = toks
       .select(posexplode(col("t")).as(Seq("pos", "a")), col("t"))
@@ -918,14 +924,25 @@ object TextAnalysis {
       // start at 1-based index i + 2
       .select(col("a"),
         explode(slice(col("t"), col("pos") + lit(2), lit(window))).as("b"))
+    // both aggregates fan into the totals AND the scored join —
+    // localCheckpoint so every branch reads the one materialized table
+    // (exchange reuse under AQE is timing-dependent, the
+    // perplexityBuckets discipline); both are vocab-bounded, already
+    // no larger than their own shuffle output
     val pc = pairs.groupBy("a", "b").agg(count(lit(1)).as("n_ab"))
+      .localCheckpoint()
     val uni = toks.select(explode(col("t")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("n_w"))
+      .localCheckpoint()
     val totT = uni.agg(sum(col("n_w")).cast("double").as("n_tok"))
     val totP = pc.agg(sum(col("n_ab")).cast("double").as("n_pairs"))
+    def uniSide(k: String, n: String): DataFrame = {
+      val side = uni.select(col("w").as(k), col("n_w").as(n))
+      if (broadcastUnigrams) broadcast(side) else side
+    }
     pc.filter(col("n_ab") >= minCount)
-      .join(uni.select(col("w").as("a"), col("n_w").as("n_a")), "a")
-      .join(uni.select(col("w").as("b"), col("n_w").as("n_b")), "b")
+      .join(uniSide("a", "n_a"), "a")
+      .join(uniSide("b", "n_b"), "b")
       .crossJoin(broadcast(totT))
       .crossJoin(broadcast(totP))
       .withColumn("pmi_micro", floor(log(

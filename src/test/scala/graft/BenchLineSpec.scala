@@ -67,11 +67,12 @@ class BenchLineSpec extends AnyFunSuite {
       """AdaptiveSparkPlan isFinalPlan=true
         |+- == Final Plan ==
         |   TakeOrderedAndProject(limit=10, orderBy=[dist#123 ASC], output=[vec_id#45L,dist#123])
-        |   +- Project [vec_id#45L, l2sq(embedding#46, [1.0,2.0]) AS dist#123]
+        |   +- *(4) Project [vec_id#45L, l2sq(embedding#46, [1.0,2.0]) AS dist#123]
         |      +- FileScan parquet [vec_id#45L,embedding#46] Location: InMemoryFileIndex[file:/tmp/graft_ivf_abc123/data]""".stripMargin
     val runB = runA // same shape...
       .replaceAll("#123", "#987").replaceAll("#45", "#61").replaceAll("#46", "#62")
       .replace("/tmp/graft_ivf_abc123/data", "/tmp/graft_ivf_ff00aa/data") // ...fresh ids/paths
+      .replace("*(4) Project", "*(9) Project") // codegen stage renumbering
     val changed = runA.replace("TakeOrderedAndProject(limit=10", "Sort(global=true") // real plan change
     assert(Bench.planFingerprint(runA) == Bench.planFingerprint(runB),
       "run-varying identifiers must not change the fingerprint")
