@@ -101,6 +101,14 @@ object Bench {
       // codegen stage ids: two independent branches (e.g. parallel
       // broadcast totals) get *(n) numbers in compile-completion order
       .replaceAll("\\*\\(\\d+\\)", "*(n)")
+      // HOF lambda variables carry a session-global freshName counter
+      // (lambda x_1190, x_1191, ...) that increments per construction
+      .replaceAll("\\b([a-z]+)_\\d+#x", "$1_n#x")
+      .replaceAll("ResultQueryStage \\d+", "ResultQueryStage x")
+      // Spark truncates long expression dumps with "..." at a byte
+      // width, so the cut point shifts with exprId digit counts —
+      // collapse the variable-length tail before the ellipsis
+      .replaceAll("\\S*\\.\\.\\.", "…")
       .replaceAll("plan_id=\\d+", "plan_id=x")
       .replaceAll("exprId=\\d+", "exprId=x")
       .replaceAll("\\[id=[^\\]]*\\]", "[id=x]")

@@ -209,6 +209,44 @@ object ScaleProbe {
         graft.dedup.Dedup.dedupExact(docs.unionByName(batch))))
     }
 
+    // incremental NEAR-dup: same fixed-batch/growing-store asymmetry —
+    // the posting store grows with the factor (varied corpus → linear
+    // posting volume), the batch stays one replica group; probe cost
+    // must grow with the posting SCAN (broadcast-semi, never shuffled)
+    {
+      lazy val shStoreDir =
+        java.nio.file.Files.createTempDirectory(s"probe_shstore_$factor").toString
+      lazy val shBatch = spark.read.parquet(s"$sfDir/documents.parquet")
+        .filter(col("doc_id") % 20 === 0)
+        .select((col("doc_id") + lit(8500000L)).as("doc_id"),
+          concat_ws(" ", transform(split(col("text"), " "),
+            t => concat(lit("g0_"), t))).as("text")) // group-0 vocabulary
+      time("shingle store build")(
+        graft.dedup.Dedup.ensureShingleStore(spark, docsVaried, shStoreDir))
+      time("incremental near-dup batch")(noop(
+        graft.dedup.Dedup.nearDupsAgainstShingleStore(spark, shStoreDir, shBatch)))
+    }
+
+    // PMI collocations on the varied replication: vocabulary AND pair
+    // table grow linearly with the factor — the non-broadcast join path
+    time("PMI collocations")(noop(
+      graft.text.TextAnalysis.pmiPairs(docsVaried)))
+
+    // BPE on the id-replicated corpus: the corpus-sized word count
+    // grows with the factor but the vocabulary (and so every merge
+    // round) is CONSTANT — the Sennrich word-count trick measured
+    time("BPE merges (6 rounds)")(
+      graft.text.Bpe.learnMerges(docs, numMerges = 6).collect())
+
+    // z-order layout stats: raw rows grow with the factor, but the
+    // only window runs over the occupied-cell table (≤ 2^20 rows at
+    // any corpus size) — cost must track the one bucketing aggregation
+    time("zorder layout stats")(noop {
+      val ev = replicate(spark.read.parquet(s"$sfDir/events.parquet")
+        .select("event_id", "user_id", "value"), "event_id", factor)
+      graft.ops.ZOrder.layoutStats(ev, "user_id", "value")
+    })
+
     time("perplexity buckets (ntile)")(noop(
       graft.text.TextAnalysis.perplexityBuckets(
         docs.withColumn("source", (col("doc_id") % 7).cast("string")))))

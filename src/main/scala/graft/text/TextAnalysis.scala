@@ -954,6 +954,47 @@ object TextAnalysis {
       .limit(topK)
   }
 
+  /** Phrase rewrite from learned collocations (the word2vec phrase
+    * pass, Mikolov et al. NIPS'13 §4): select the top adjacent-bigram
+    * collocations by PMI ([[pmiPairs]] at window 1), then rewrite every
+    * document merging each phrase occurrence into a single `a_b` token,
+    * greedy left-to-right (a token consumed by one merge is not
+    * available to the next — the [[graft.text.Bpe]] fold, keyed by a
+    * literal phrase set instead of one pair).
+    *
+    * The phrase list is a bounded driver artifact (`topK` rows — the
+    * BPE argmax discipline); the rewrite is a narrow map over the token
+    * array, no shuffle. Output: (id, n_tokens, n_tokens_after,
+    * text_md5) — the md5 makes the rewrite byte-checkable. */
+  def phraseRewrite(
+      df: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      minCount: Long = 5L,
+      topK: Int = 20,
+      broadcastUnigrams: Boolean = false): DataFrame = {
+    val phrases = pmiPairs(df, textCol, window = 1, minCount = minCount,
+        topK = topK, broadcastUnigrams = broadcastUnigrams)
+      .select("a", "b").collect()
+      .map(r => r.getString(0) + " " + r.getString(1)).toSeq
+    val phraseLit = array(phrases.map(lit): _*)
+    val toks = tokens(col(textCol))
+    val merged = when(size(toks) <= 1, toks).otherwise(aggregate(
+      slice(toks, lit(2), size(toks) - 1),
+      array(element_at(toks, 1)),
+      (acc, x) => when(
+          array_contains(phraseLit,
+            concat(element_at(acc, -1), lit(" "), x)),
+          concat(slice(acc, lit(1), size(acc) - 1),
+            array(concat(element_at(acc, -1), lit("_"), x))))
+        .otherwise(concat(acc, array(x)))))
+    df.select(
+      col(idCol),
+      size(toks).cast("long").as("n_tokens"),
+      size(merged).cast("long").as("n_tokens_after"),
+      md5(concat_ws(" ", merged)).as("text_md5"))
+  }
+
   /** Full per-document stats projection used by the `doc_token_stats`
     * declared query. */
   def docStats(df: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {

@@ -541,6 +541,44 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(plan.contains("TakeOrderedAndProject"), s"expected bounded top-k:\n$plan")
   }
 
+  test("phraseRewrite merges top-PMI adjacent collocations greedily") {
+    // "new york" planted 6× adjacent; "san francisco" 5×; fillers vary
+    val texts = (0 until 6).map(i =>
+      s"visit new york f$i and san francisco g${i % 5} soon w${i % 3}") :+
+      "san francisco alone" // 7th sf occurrence? no — keeps 6/6 planted counts intact
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.phraseRewrite(df, minCount = 5L, topK = 4)
+      .orderBy("doc_id").collect()
+    // reference rewrite with the same selection replayed by hand:
+    // compute PMI over adjacent pairs, take top-4 (minCount 5)
+    val docs = texts.map(_.trim.toLowerCase.replaceAll("\\s+", " ").split(" ").toSeq)
+    val uni = docs.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val nTok = uni.values.sum.toDouble
+    val pairs = docs.flatMap(t => t.zip(t.drop(1)))
+    val pcm = pairs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val nP = pcm.values.sum.toDouble
+    val sel = pcm.filter(_._2 >= 5L).map { case ((a, b), nab) =>
+      (a, b, math.floor(math.log((nab / nP) / ((uni(a) / nTok) * (uni(b) / nTok))) * 1e6).toLong)
+    }.toSeq.sortBy { case (a, b, m) => (-m, a, b) }.take(4)
+      .map { case (a, b, _) => s"$a $b" }.toSet
+    assert(sel.contains("new york") && sel.contains("san francisco"))
+    val expected = docs.map { t =>
+      val acc = scala.collection.mutable.ListBuffer(t.head)
+      t.tail.foreach { x =>
+        if (sel.contains(s"${acc.last} $x")) acc(acc.size - 1) = s"${acc.last}_$x"
+        else acc += x
+      }
+      acc.toList
+    }
+    out.zip(expected).foreach { case (row, exp) =>
+      assert(row.getLong(2) == exp.size.toLong,
+        s"doc ${row.getLong(0)}: ${row.getLong(2)} vs ${exp.size}")
+    }
+    // every doc shrank by its planted phrase count
+    assert(out(0).getLong(1) - out(0).getLong(2) == 2L) // new_york + san_francisco
+  }
+
   test("perplexityBuckets keeps no-bigram docs as tail with null-last ranking") {
     val df = Seq(
       (1L, "the cat sat on the mat", "web"),
