@@ -151,6 +151,54 @@ object ZOrder {
       .write.mode("overwrite").parquet(path)
   }
 
+  private val zorderSidecar = "_graft_zorder_sidecar.json"
+
+  /** Idempotently materialize a Z-ordered layout of `df` at `dir`
+    * ([[writeZOrdered]]) behind the fingerprint-sidecar protocol
+    * (sidecar written LAST — a crashed write never looks complete; a
+    * changed input forces a rewrite): the build-once/probe-many
+    * discipline of the IVF layouts and BM25 posting lists, applied to
+    * data LAYOUT. */
+  def ensureZOrderedLayout(
+      spark: org.apache.spark.sql.SparkSession,
+      df: DataFrame,
+      dir: String,
+      xCol: String,
+      yCol: String,
+      numFiles: Int = 32,
+      bits: Int = 10): Unit = {
+    val sidecar = java.nio.file.Paths.get(dir, zorderSidecar)
+    val row = df.select(xxhash64(df.columns.map(col): _*).as("_h"))
+      .agg(count(lit(1)), expr("bit_xor(_h)")).head()
+    val (nRows, dataHash) =
+      (row.getLong(0), if (row.isNullAt(1)) 0L else row.getLong(1))
+    if (java.nio.file.Files.exists(sidecar)) {
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val node = mapper.readTree(java.nio.file.Files.readString(sidecar))
+      if (node.get("count").asLong() == nRows && node.get("hash").asLong() == dataHash)
+        return
+    }
+    writeZOrdered(df, xCol, yCol, s"$dir/data", numFiles, bits)
+    java.nio.file.Files.writeString(sidecar,
+      s"""{"count":$nRows,"hash":$dataHash}""")
+  }
+
+  /** 2-D box scan through a Z-ordered layout: a plain filtered read —
+    * the point is what the LAYOUT does to it. Both range predicates
+    * reach the parquet scan (PushedFilters), and because every file's
+    * min/max footer stats bound BOTH columns, the reader skips the
+    * files (and row groups) whose box misses the predicate — at 100 TB
+    * the query touches O(box) files instead of every file for the
+    * second column. */
+  def scanBox(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      xCol: String, yCol: String,
+      xLo: Long, xHi: Long, yLo: Double, yHi: Double): DataFrame =
+    spark.read.parquet(s"$dir/data")
+      .filter(col(xCol) >= xLo && col(xCol) <= xHi &&
+        col(yCol) >= yLo && col(yCol) <= yHi)
+
   /** File-level pruning measurement for a written layout: per parquet
     * file, the (min, max) box of the two dimensions — exactly the
     * footer statistics a reader prunes on — and whether the box

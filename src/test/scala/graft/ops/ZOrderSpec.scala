@@ -51,6 +51,34 @@ class ZOrderSpec extends AnyFunSuite {
     assert(math.max(zx, zy) * 4 < math.max(byX, byY))
   }
 
+  test("ensureZOrderedLayout: sidecar reuse, pushed 2-D predicates, file skipping") {
+    val df = (for { x <- 0 until 100; y <- 0 until 100 }
+      yield (x.toLong * 10000 + y, x.toLong, y.toDouble)).toDF("event_id", "u", "v")
+    val dir = Files.createTempDirectory("zlayout").toString
+    ZOrder.ensureZOrderedLayout(spark, df, dir, "u", "v", numFiles = 16, bits = 7)
+    val f1 = new java.io.File(s"$dir/data").listFiles().map(f => f.getName -> f.lastModified).toMap
+    ZOrder.ensureZOrderedLayout(spark, df, dir, "u", "v", numFiles = 16, bits = 7)
+    val f2 = new java.io.File(s"$dir/data").listFiles().map(f => f.getName -> f.lastModified).toMap
+    assert(f1 == f2, "unchanged input must not rewrite the layout")
+
+    val scan = ZOrder.scanBox(spark, dir, "u", "v", 10L, 30L, 10.0, 30.0)
+    // both range predicates reach the parquet scan (the printed
+    // PushedFilters list is byte-width truncated, so assert the u
+    // range plus v's presence in the pushed list)
+    val explained = scan.queryExecution.executedPlan.toString
+    assert(explained.contains("GreaterThanOrEqual(u,10") &&
+      explained.contains("IsNotNull(v)") &&
+      explained.replaceAll("\\s", "").contains("DataFilters:[isnotnull(u"),
+      s"both predicates must push to the scan:\n$explained")
+    // correctness: equals the raw filter
+    val expect = df.filter($"u".between(10, 30) && $"v".between(10.0, 30.0)).count()
+    assert(scan.count() == expect)
+    // the layout prunes: the box intersects well under half the files
+    val (total, touched) = ZOrder.filesTouched(spark, s"$dir/data", "u", "v", 10, 30, 10, 30)
+    assert(total == 16L && touched < total / 2,
+      s"expected file-level pruning, box touches $touched of $total")
+  }
+
   test("writeZOrdered: 2-D box predicates touch fewer file-level min/max boxes") {
     val df = (for { x <- 0 until 100; y <- 0 until 100 }
       yield (x.toLong, y.toDouble)).toDF("u", "v")
