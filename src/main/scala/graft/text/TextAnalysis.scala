@@ -698,9 +698,13 @@ object TextAnalysis {
       .select(col(groupCol), col("q"), col("rank_start"), col("n_total"))
     val k = lit(nBuckets.toLong)
     // null-safe on q: the no-bigram docs carry a null score and must
-    // keep their row (a Seq-join would silently drop them)
+    // keep their row (a Seq-join would silently drop them). The
+    // offsets table is value-level (one row per distinct (group, q) —
+    // always ≤ the per-doc side): broadcast it explicitly so the build
+    // side is the small one AND deterministic, instead of AQE flipping
+    // BuildLeft/BuildRight between runs on near-equal size estimates
     val joined = ranked.alias("l")
-      .join(offsets.alias("o"),
+      .join(broadcast(offsets.alias("o")),
         col(s"l.$groupCol") === col(s"o.$groupCol") && col("l.q") <=> col("o.q"))
       .withColumn("r", col("rank_start") + col("tie_rn"))
     // Column./ on longs is DOUBLE division in Spark — floor() restores
