@@ -219,4 +219,50 @@ object VectorSearch {
     * operator: rows whose embedding size ≠ `dim`. */
   def dimViolations(df: DataFrame, dim: Int, embCol: String = "embedding"): DataFrame =
     df.filter(size(col(embCol)) =!= dim)
+
+  /** Hybrid sparse+dense retrieval with reciprocal-rank fusion
+    * (Cormack et al. SIGIR'09 RRF; the standard RAG first-stage):
+    * BM25 selects `kCandidates` keyword candidates, their embeddings
+    * are cosine-ranked against the query vector, and the two rankings
+    * fuse as Σ 1/(rrfK + rank) — quantized to micro-units so the
+    * fused score is integer-exact on both engines.
+    *
+    * 100 TB shape: BM25 candidate generation is the corpus-scale part
+    * and keeps `bm25TopDocs`'s shape (term-filtered occurrences,
+    * broadcast stats, TakeOrdered). Everything after operates on the
+    * ≤kCandidates-row set: the candidate ids broadcast INTO the
+    * embedding scan (map-side semi join — the corpus embedding table
+    * is never shuffled), and the two row_number windows run over the
+    * bounded candidate set only. The query embedding rides a 1-row
+    * broadcast. */
+  def hybridRrfRetrieve(
+      docs: DataFrame,
+      emb: DataFrame,
+      terms: Seq[String],
+      queryVecId: Long = 0L,
+      kCandidates: Int = 50,
+      k: Int = 10,
+      rrfK: Int = 60): DataFrame = {
+    val bm = graft.text.TextAnalysis.bm25TopDocs(docs, terms, topN = kCandidates)
+    val wBm = Window.orderBy(col("bm25_micro").desc, col("doc_id").asc)
+    val bmRanked = bm
+      .withColumn("r_bm25", row_number().over(wBm).cast("long"))
+      .select(col("doc_id"), col("r_bm25"))
+    val q = emb.filter(col("vec_id") === queryVecId)
+      .select(col("embedding").as("qe"))
+    val cand = emb
+      .join(broadcast(bmRanked), emb("vec_id") === bmRanked("doc_id"))
+      .crossJoin(broadcast(q))
+      .select(col("doc_id"), col("r_bm25"),
+        Distances.cosine(col("embedding"), col("qe")).as("cos_sim"))
+    val wCos = Window.orderBy(col("cos_sim").desc, col("doc_id").asc)
+    cand
+      .withColumn("r_cos", row_number().over(wCos).cast("long"))
+      .withColumn("rrf_micro",
+        (floor(lit(1e6) / (lit(rrfK.toLong) + col("r_bm25"))) +
+          floor(lit(1e6) / (lit(rrfK.toLong) + col("r_cos")))).cast("long"))
+      .select(col("doc_id"), col("r_bm25"), col("r_cos"), col("rrf_micro"))
+      .orderBy(col("rrf_micro").desc, col("doc_id").asc)
+      .limit(k)
+  }
 }

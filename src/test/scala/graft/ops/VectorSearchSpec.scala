@@ -133,6 +133,40 @@ class VectorSearchSpec extends AnyFunSuite {
     assert(plain.map(_.getLong(1)).toSeq == Seq(0L, 1L))
   }
 
+  test("hybridRrfRetrieve fuses keyword and cosine ranks; corpus never shuffle-joined") {
+    import spark.implicits._
+    // doc 1: strong keyword match AND embedding aligned with query 0
+    // doc 2: keyword-only; doc 3: embedding-only (not a BM25 candidate
+    // since it lacks the terms → must not appear at all)
+    val docs = Seq(
+      (0L, "anchor row spark join"),
+      (1L, "spark join spark join merge window"),
+      (2L, "spark join merge window filler words here"),
+      (3L, "nothing relevant textually")).toDF("doc_id", "text")
+    val emb = Seq(
+      (0L, Seq(1.0f, 0.0f)),
+      (1L, Seq(0.9f, 0.1f)),
+      (2L, Seq(0.0f, 1.0f)),
+      (3L, Seq(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val out = VectorSearch.hybridRrfRetrieve(docs, emb,
+      terms = Seq("spark", "join", "merge", "window"), kCandidates = 3, k = 3)
+    val rows = out.collect()
+    val ids = rows.map(_.getLong(0)).toSeq
+    assert(!ids.contains(3L), "non-candidates must not enter the fused list")
+    // RRF arithmetic replayed by hand from the returned ranks
+    rows.foreach { r =>
+      val expected = math.floor(1e6 / (60 + r.getLong(1))).toLong +
+        math.floor(1e6 / (60 + r.getLong(2))).toLong
+      assert(r.getLong(3) == expected)
+    }
+    // doc 1 leads both rankings among candidates → must be first
+    assert(ids.head == 1L)
+    // plan: the embedding side joins by broadcast, never sort-merge
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && !plan.contains("SortMergeJoin"),
+      s"embedding fetch must be a broadcast semi join:\n$plan")
+  }
+
   test("dimViolations flags wrong-length rows") {
     import spark.implicits._
     val df = Seq(
