@@ -113,6 +113,60 @@ object Dedup {
         col("first_id").as("dup_of"))
   }
 
+  /** One micro-batch step of STREAM-backed incremental dedup: verdicts
+    * for every batch row against the persisted hash store
+    * ([[ensureHashStore]] seeds it) AND durable store maintenance —
+    * the batch's novel first-occurrence hashes are APPENDED to the
+    * store so the next batch sees them. Within-batch duplicates are
+    * resolved first (min-id wins, the dedupExact rule): a later
+    * same-hash row reports `dup_of` = the batch's first id even when
+    * the hash is new to the store.
+    *
+    * This is the OTHER half of the streaming-dedup story next to
+    * `dropDuplicatesWithinWatermark`: the state-store form bounds
+    * memory by TIME (a duplicate beyond the horizon re-emits); this
+    * form bounds nothing and forgets nothing — dedup memory lives in
+    * the ~48-byte/hash parquet store, not executor state, which is
+    * the only shape that holds for a multi-month 100 TB crawl. The
+    * store side keeps the [[newAgainstStore]] plan (never shuffled;
+    * batch hashes broadcast in, matches broadcast back). NOTE: the
+    * append invalidates the seed sidecar by design — the stream owns
+    * the store after seeding; don't re-run ensureHashStore on it.
+    * Returns the verdict DataFrame (id, is_new, dup_of). */
+  def incrementalDedupBatch(
+      spark: org.apache.spark.sql.SparkSession,
+      storeDir: String,
+      batch: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val bh = batch.select(col(idCol).cast("long").as("_bid"),
+      graft.text.TextAnalysis.fingerprintMd5(col(textCol)).as("h"))
+    val w = Window.partitionBy(col("h")).orderBy(col("_bid").asc)
+    val ranked = bh
+      .withColumn("rn", row_number().over(w))
+      .withColumn("batch_first", min(col("_bid")).over(
+        Window.partitionBy(col("h"))))
+    val store = spark.read.parquet(storeDir)
+    val probes = bh.select("h").distinct()
+    val matches = store.join(broadcast(probes), "h")
+    val joined = ranked.join(broadcast(matches), Seq("h"), "left")
+      .select(col("_bid"), col("h"), col("rn"), col("batch_first"),
+        col("first_id").as("store_first"))
+      // bounded: batch-sized — materialize once for verdicts AND the
+      // store append below
+      .localCheckpoint()
+    // novel first occurrences → durable store rows for the NEXT batch
+    joined.filter(col("store_first").isNull && col("rn") === 1)
+      .select(col("h"), col("_bid").as("first_id"))
+      .write.mode("append").parquet(storeDir)
+    joined.select(
+      col("_bid").as(idCol),
+      when(col("store_first").isNull && col("rn") === 1, 1L)
+        .otherwise(0L).as("is_new"),
+      coalesce(col("store_first"),
+        when(col("rn") > 1, col("batch_first"))).as("dup_of"))
+  }
+
   private val shingleStoreSidecar = "_graft_shinglestore_sidecar.json"
 
   /** Idempotently materialize the NEAR-DUP SHINGLE STORE for `corpus`

@@ -135,4 +135,30 @@ object StreamingIngest {
         Ann.save(Ann.fit(corpus, embCol), modelPath)
       }
       .start()
+
+  /** STORE-backed streaming incremental dedup: every micro-batch is
+    * verdict-checked against the persisted hash store and the batch's
+    * novel first-occurrence hashes are durably APPENDED for the next
+    * batch ([[graft.dedup.Dedup.incrementalDedupBatch]]).
+    *
+    * The complement of [[streamingDedup]]'s watermark form: that one
+    * bounds executor state by TIME (beyond-horizon duplicates
+    * re-emit); this one forgets nothing — dedup memory is the
+    * ~48-byte/hash parquet store on disk, the only shape that holds
+    * across a multi-month crawl. Executor state here is ZERO (the
+    * foreachBatch body is stateless; all memory is the store). */
+  def streamingIncrementalDedup(
+      stream: DataFrame,
+      storeDir: String,
+      sinkDir: String,
+      checkpoint: String): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.dedup.Dedup
+          .incrementalDedupBatch(batch.sparkSession, storeDir, batch)
+          .write.mode("append").parquet(sinkDir)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
 }

@@ -34,6 +34,56 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streamingIncrementalDedup: durable store memory across micro-batches, zero executor state") {
+    implicit val sc = spark.sqlContext
+    val scratch = java.nio.file.Files.createTempDirectory("sid").toString
+    val storeDir = s"$scratch/store"
+    // seed: one known doc
+    Seq(("seed content already crawled", 100L)).toDF("text", "doc_id")
+      .select(graft.text.TextAnalysis.fingerprintMd5($"text").as("h"),
+        $"doc_id".as("first_id"))
+      .write.parquet(storeDir)
+    // batch 1: a store dup, a novel doc, a within-batch dup pair —
+    // data added BEFORE start (AvailableNow snapshots offsets at start)
+    val input = MemoryStream[(Long, String)]
+    input.addData(
+      (201L, "seed content already crawled"),
+      (202L, "fresh batch one content"),
+      (203L, "twin content"), (204L, "twin content"))
+    val q = StreamingIngest.streamingIncrementalDedup(
+      input.toDF().toDF("doc_id", "text"),
+      storeDir, s"$scratch/sink", s"$scratch/chk")
+    try {
+      q.awaitTermination()
+      // AvailableNow terminated; a second run over new input —
+      // REDELIVERY of batch-1 novel content under new ids
+      val input2 = MemoryStream[(Long, String)]
+      input2.addData(
+        (301L, "fresh batch one content"), // novel in b1 → must be dup now
+        (302L, "twin content"),            // b1's winner owns it
+        (303L, "genuinely new in batch two"))
+      val q2 = StreamingIngest.streamingIncrementalDedup(
+        input2.toDF().toDF("doc_id", "text"),
+        storeDir, s"$scratch/sink", s"$scratch/chk2")
+      q2.awaitTermination()
+      val out = spark.read.parquet(s"$scratch/sink")
+        .select($"doc_id", $"is_new",
+          coalesce($"dup_of", lit(-1L)).as("dup_of"))
+        .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(out(201L) == ((0L, 100L)), "store dup must point at the seed owner")
+      assert(out(202L) == ((1L, -1L)))
+      assert(out(203L) == ((1L, -1L)), "within-batch first occurrence is the winner")
+      assert(out(204L) == ((0L, 203L)), "within-batch duplicate points at the batch winner")
+      assert(out(301L) == ((0L, 202L)),
+        "batch-2 redelivery must hit the hash appended by batch 1 — durable memory")
+      assert(out(302L) == ((0L, 203L)))
+      assert(out(303L) == ((1L, -1L)))
+      // zero executor state: no stateful operators in the plan
+      assert(q2.recentProgress.forall(_.stateOperators.isEmpty),
+        "foreachBatch incremental dedup must carry no state-store state")
+    } finally { if (q.isActive) q.stop() }
+  }
+
   test("streamingDedup drops same-content rows within the watermark horizon") {
     implicit val sc = spark.sqlContext
     val input = MemoryStream[(Timestamp, Long, String)]
