@@ -94,23 +94,40 @@ object Bpe {
       .orderBy("merge_rank")
   }
 
-  /** Tokenize `textCol` with a learned merge list: per word, apply
-    * every merge in rank order (the inference half of BPE). Narrow —
-    * one fold per merge rule per word, no shuffle. */
+  /** Tokenize `textCol` with a learned merge list (the inference half
+    * of BPE), via the tokenizer word-cache: the merge folds run once
+    * per DISTINCT word — vocab-sized work, the same trick as training
+    * — with ONE materialized step per rule ([[applyMerge]] +
+    * `localCheckpoint`, the training-round discipline: a nested
+    * fold-per-rule expression references its input ~4× per layer, so
+    * 6 collapsed layers blow the expression tree up ~4⁶ and measured
+    * 30–80 s where this shape takes under a second). Every document's
+    * positional words then join the broadcast word→subwords table and
+    * re-assemble in position order. Output: (idCol, bpe_tokens).
+    * Empty-string tokens (an empty document) carry no subwords and
+    * drop out. */
   def applyMerges(df: DataFrame, merges: Seq[(String, String)],
-      textCol: String = "text"): DataFrame = {
-    val base = transform(TextAnalysis.tokens(col(textCol)),
-      w => concat(split(w, ""), array(lit("</w>"))))
-    val folded = merges.foldLeft(base) { case (cur, (a, b)) =>
-      transform(cur, syms =>
-        when(size(syms) <= 1, syms).otherwise(
-          aggregate(
-            slice(syms, lit(2), size(syms) - 1),
-            array(element_at(syms, 1)),
-            (acc, x) => when(element_at(acc, -1) === lit(a) && x === lit(b),
-                concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
-              .otherwise(concat(acc, array(x))))))
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    var vocab = df
+      .select(explode(TextAnalysis.tokens(col(textCol))).as("word"))
+      .filter(length(col("word")) > 0)
+      .distinct()
+      .select(col("word"),
+        concat(split(col("word"), ""), array(lit("</w>"))).as("syms"))
+      .localCheckpoint()
+    merges.foreach { case (a, b) =>
+      vocab = vocab
+        .select(col("word"), applyMerge(col("syms"), a, b).as("syms"))
+        .localCheckpoint()
     }
-    df.withColumn("bpe_tokens", flatten(folded))
+    val pos = df
+      .select(col(idCol),
+        posexplode(TextAnalysis.tokens(col(textCol))).as(Seq("pos", "word")))
+      .filter(length(col("word")) > 0)
+    pos.join(broadcast(vocab), "word")
+      .groupBy(col(idCol))
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("pos"), col("syms")))),
+        x => x.getField("syms"))).as("bpe_tokens"))
   }
 }

@@ -739,13 +739,18 @@ object TextAnalysis {
       textCol: String = "text"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val toks = df.select(col(idCol), explode(tokens(col(textCol))).as("term"))
+    // tf feeds both the df_t aggregate and the scored join — pin it
+    // once (exchange reuse under AQE is timing-dependent) and
+    // broadcast the always-smaller vocab-level df_t side so the build
+    // side is deterministic
     val tf = toks.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
     val docFreq = tf.groupBy("term").agg(count(lit(1)).as("df_t"))
     val nDocs = df.agg(count(lit(1)).as("n_docs"))
     val idf = log((col("n_docs").cast("double") + lit(1.0)) /
       (col("df_t").cast("double") + lit(1.0))) + lit(1.0)
     val w = Window.partitionBy(col(idCol)).orderBy(col("tfidf_q").desc, col("term").asc)
-    tf.join(docFreq, "term")
+    tf.join(broadcast(docFreq), "term")
       .crossJoin(broadcast(nDocs))
       .withColumn("tfidf_q",
         floor((col("tf").cast("double") * idf) * lit(1000000.0)).cast("long"))
