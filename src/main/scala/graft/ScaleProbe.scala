@@ -238,6 +238,15 @@ object ScaleProbe {
     time("BPE merges (6 rounds)")(
       graft.text.Bpe.learnMerges(docs, numMerges = 6).collect())
 
+    // BPE tokenize: the word-cache fold is vocab-bounded (constant
+    // here); cost must track the positional explode + broadcast join
+    time("BPE tokenize (apply 6)")(noop {
+      val merges = graft.text.Bpe.learnMerges(
+        spark.read.parquet(s"$sfDir/documents.parquet"), numMerges = 6)
+        .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+      graft.text.Bpe.applyMerges(docs, merges)
+    })
+
     // z-order layout stats: raw rows grow with the factor, but the
     // only window runs over the occupied-cell table (≤ 2^20 rows at
     // any corpus size) — cost must track the one bucketing aggregation
