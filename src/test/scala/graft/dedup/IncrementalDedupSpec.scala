@@ -121,6 +121,16 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(f2 == f1, "unchanged corpus must not rewrite the postings")
   }
 
+  test("shingle store: an all-short batch (no shingles) reports every row novel") {
+    val corpus = Seq((1L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val dir = freshDir("shortbatch")
+    Dedup.ensureShingleStore(spark, corpus, dir)
+    val batch = Seq((100L, "just two"), (101L, "one")).toDF("doc_id", "text")
+    val out = Dedup.nearDupsAgainstShingleStore(spark, dir, batch)
+      .orderBy("doc_id").collect()
+    assert(out.length == 2 && out.forall(r => r.getLong(1) == 1L && r.isNullAt(2)))
+  }
+
   test("rejects a batch that already carries an 'h' column") {
     val corpus = Seq((1L, "one")).toDF("doc_id", "text")
     val dir = freshDir("hcol")

@@ -63,6 +63,19 @@ class BpeSpec extends AnyFunSuite {
     assert(got.head._2 == "a" && got.head._3 == "a")
   }
 
+  test("degenerate inputs: empty corpus trains zero merges; single chars tokenize") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Bpe.learnMerges(empty, numMerges = 3).collect().isEmpty)
+    // a corpus of single-char words still has (char, </w>) pairs
+    val tiny = Seq((1L, "a b a b a b")).toDF("doc_id", "text")
+    val m = Bpe.learnMerges(tiny, numMerges = 2).collect()
+    assert(m.nonEmpty && m.head.getString(1) == "a" && m.head.getString(2) == "</w>")
+    val toks = Bpe.applyMerges(tiny,
+        m.map(r => (r.getString(1), r.getString(2))).toSeq)
+      .select("bpe_tokens").as[Seq[String]].head()
+    assert(toks.contains("a</w>"), s"merged end-of-word token expected in $toks")
+  }
+
   test("applyMerges reproduces the trained segmentation") {
     val merges = Bpe.learnMerges(df, numMerges = 6).collect()
       .map(r => (r.getString(1), r.getString(2))).toSeq

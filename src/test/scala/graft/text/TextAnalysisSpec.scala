@@ -579,6 +579,18 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out(0).getLong(1) - out(0).getLong(2) == 2L) // new_york + san_francisco
   }
 
+  test("pmiPairs and phraseRewrite survive empty and single-token corpora") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(TextAnalysis.pmiPairs(empty).collect().isEmpty)
+    val outE = TextAnalysis.phraseRewrite(empty).collect()
+    assert(outE.isEmpty)
+    // single-token docs: no pairs, rewrite is identity
+    val single = Seq((1L, "hello"), (2L, "world")).toDF("doc_id", "text")
+    assert(TextAnalysis.pmiPairs(single).collect().isEmpty)
+    val rw = TextAnalysis.phraseRewrite(single).orderBy("doc_id").collect()
+    assert(rw.map(r => (r.getLong(1), r.getLong(2))).toSeq == Seq((1L, 1L), (1L, 1L)))
+  }
+
   test("perplexityBuckets keeps no-bigram docs as tail with null-last ranking") {
     val df = Seq(
       (1L, "the cat sat on the mat", "web"),
