@@ -247,6 +247,27 @@ object ScaleProbe {
       graft.text.Bpe.applyMerges(docs, merges)
     })
 
+    // BATCHED BPE at the realistic rule count (~90 rules in 8 rounds):
+    // per-merge driver cost amortized ~11× vs the sequential trainer —
+    // compare against "BPE merges (6 rounds)" above, which pays 6
+    // driver rounds for 6 rules where this pays 8 for ~90. The corpus
+    // pass still scales with the factor; the 8 vocab-table rounds are
+    // constant-size.
+    time("BPE batched merges (~90 rules)")(
+      graft.text.Bpe.learnMergesBatched(docs,
+        rounds = 8, batchSize = 16, candCap = 256).collect())
+
+    // tokenize at the full rule count: 8 combined-fold vocab steps for
+    // ~90 rules (vs one per rule — the round-grouped apply is what
+    // makes a 32k-rule tokenizer a 64-step plan instead of 32k)
+    time("BPE batched tokenize (~90)")(noop {
+      val rounds = graft.text.Bpe.learnRounds(
+        spark.read.parquet(s"$sfDir/documents.parquet"),
+        rounds = 8, batchSize = 16, candCap = 256)
+        .map(_.map(t => (t._1, t._2)))
+      graft.text.Bpe.applyMergesGrouped(docs, rounds)
+    })
+
     // z-order layout stats: raw rows grow with the factor, but the
     // only window runs over the occupied-cell table (≤ 2^20 rows at
     // any corpus size) — cost must track the one bucketing aggregation

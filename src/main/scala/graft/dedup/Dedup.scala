@@ -62,24 +62,19 @@ object Dedup {
       dir: String,
       idCol: String = "doc_id",
       textCol: String = "text"): Unit = {
-    val sidecar = java.nio.file.Paths.get(dir, hashStoreSidecar)
     val row = corpus.select(xxhash64(col(idCol), col(textCol)).as("_h"))
       .agg(count(lit(1)), expr("bit_xor(_h)")).head()
     val (nRows, dataHash) =
       (row.getLong(0), if (row.isNullAt(1)) 0L else row.getLong(1))
-    if (java.nio.file.Files.exists(sidecar)) {
-      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-      val node = mapper.readTree(java.nio.file.Files.readString(sidecar))
-      if (node.get("count").asLong() == nRows && node.get("hash").asLong() == dataHash)
-        return
+    graft.io.Artifact.ensure(dir, hashStoreSidecar,
+      graft.io.Artifact.fingerprintJson(nRows, dataHash,
+        "idCol" -> idCol, "textCol" -> textCol)) {
+      corpus
+        .select(graft.text.TextAnalysis.fingerprintMd5(col(textCol)).as("h"),
+          col(idCol).cast("long").as("first_id"))
+        .groupBy("h").agg(min(col("first_id")).as("first_id"))
+        .write.mode("overwrite").parquet(dir)
     }
-    corpus
-      .select(graft.text.TextAnalysis.fingerprintMd5(col(textCol)).as("h"),
-        col(idCol).cast("long").as("first_id"))
-      .groupBy("h").agg(min(col("first_id")).as("first_id"))
-      .write.mode("overwrite").parquet(dir)
-    java.nio.file.Files.writeString(sidecar,
-      s"""{"count":$nRows,"hash":$dataHash}""")
   }
 
   /** Novelty check of a crawl `batch` against a persisted hash store
@@ -94,6 +89,14 @@ object Dedup {
     * batch. Two broadcasts of batch-bounded tables; zero wide exchange.
     * A null batch text hashes to null and never matches — it reports
     * as novel, the contract every row keeps one output row. */
+  /** The hash store as a DataFrame: the seed parquet under `dir` plus
+    * any `delta_*` batch-append subdirectories (the idempotent append
+    * layout of [[incrementalDedupBatch]] — recursiveFileLookup picks
+    * both up; the `_`-prefixed sidecar is ignored by the reader). */
+  private def readHashStore(
+      spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    spark.read.option("recursiveFileLookup", "true").parquet(dir)
+
   def newAgainstStore(
       spark: org.apache.spark.sql.SparkSession,
       storeDir: String,
@@ -102,11 +105,15 @@ object Dedup {
       textCol: String = "text"): DataFrame = {
     require(!batch.columns.contains("h"),
       "batch already has an 'h' column; it would collide with the internal hash")
-    val store = spark.read.parquet(storeDir)
+    val store = readHashStore(spark, storeDir)
     val bh = batch.select(col(idCol),
       graft.text.TextAnalysis.fingerprintMd5(col(textCol)).as("h"))
     val probes = bh.select("h").distinct()
+    // min-collapse AFTER the semi join (batch-bounded): duplicate store
+    // rows for one hash — a historical double-append — must not fan the
+    // left join out into duplicate verdict rows
     val matches = store.join(broadcast(probes), "h")
+      .groupBy("h").agg(min(col("first_id")).as("first_id"))
     bh.join(broadcast(matches), Seq("h"), "left")
       .select(col(idCol),
         when(col("first_id").isNull, 1L).otherwise(0L).as("is_new"),
@@ -132,13 +139,23 @@ object Dedup {
     * batch hashes broadcast in, matches broadcast back). NOTE: the
     * append invalidates the seed sidecar by design — the stream owns
     * the store after seeding; don't re-run ensureHashStore on it.
+    *
+    * IDEMPOTENCY: foreachBatch delivery is at-least-once, so a retried
+    * micro-batch re-runs this whole body. Pass the batch id as
+    * `batchTag` and the novel-hash append goes to the
+    * `delta_<tag>` subdirectory in OVERWRITE mode — a retry rewrites
+    * the same delta instead of appending the same hashes twice
+    * (duplicate store rows would mark true first occurrences as dups
+    * of themselves via the fan-out of the verdict join). Without a
+    * tag (ad-hoc batch use) the legacy plain append is kept.
     * Returns the verdict DataFrame (id, is_new, dup_of). */
   def incrementalDedupBatch(
       spark: org.apache.spark.sql.SparkSession,
       storeDir: String,
       batch: DataFrame,
       idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text",
+      batchTag: Option[String] = None): DataFrame = {
     val bh = batch.select(col(idCol).cast("long").as("_bid"),
       graft.text.TextAnalysis.fingerprintMd5(col(textCol)).as("h"))
     val w = Window.partitionBy(col("h")).orderBy(col("_bid").asc)
@@ -146,19 +163,34 @@ object Dedup {
       .withColumn("rn", row_number().over(w))
       .withColumn("batch_first", min(col("_bid")).over(
         Window.partitionBy(col("h"))))
-    val store = spark.read.parquet(storeDir)
+    // a RETRIED tagged batch must not see its own previous (possibly
+    // partial) delta: self-matches would flip every novel verdict to
+    // "dup of itself" and the delta overwrite would then erase the
+    // hashes — exclude the own-tag subdir from the store view
+    val store = batchTag.fold(readHashStore(spark, storeDir))(tag =>
+      readHashStore(spark, storeDir)
+        .where(!input_file_name().contains(s"/delta_$tag/")))
     val probes = bh.select("h").distinct()
+    // min-collapse after the semi join (batch-bounded): robust against
+    // duplicate store rows even where an untagged caller double-appended
     val matches = store.join(broadcast(probes), "h")
+      .groupBy("h").agg(min(col("first_id")).as("first_id"))
     val joined = ranked.join(broadcast(matches), Seq("h"), "left")
       .select(col("_bid"), col("h"), col("rn"), col("batch_first"),
         col("first_id").as("store_first"))
       // bounded: batch-sized — materialize once for verdicts AND the
-      // store append below
+      // store append below (and so the append cannot re-read the store
+      // it is writing)
       .localCheckpoint()
     // novel first occurrences → durable store rows for the NEXT batch
-    joined.filter(col("store_first").isNull && col("rn") === 1)
+    val novel = joined.filter(col("store_first").isNull && col("rn") === 1)
       .select(col("h"), col("_bid").as("first_id"))
-      .write.mode("append").parquet(storeDir)
+    batchTag match {
+      case Some(tag) =>
+        novel.write.mode("overwrite").parquet(s"$storeDir/delta_$tag")
+      case None =>
+        novel.write.mode("append").parquet(storeDir)
+    }
     joined.select(
       col("_bid").as(idCol),
       when(col("store_first").isNull && col("rn") === 1, 1L)
@@ -188,28 +220,24 @@ object Dedup {
       idCol: String = "doc_id",
       textCol: String = "text",
       shingleN: Int = 3): Unit = {
-    val sidecar = java.nio.file.Paths.get(dir, shingleStoreSidecar)
     val row = corpus.select(xxhash64(col(idCol), col(textCol)).as("_h"))
       .agg(count(lit(1)), expr("bit_xor(_h)")).head()
     val (nRows, dataHash) =
       (row.getLong(0), if (row.isNullAt(1)) 0L else row.getLong(1))
-    if (java.nio.file.Files.exists(sidecar)) {
-      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-      val node = mapper.readTree(java.nio.file.Files.readString(sidecar))
-      if (node.get("count").asLong() == nRows && node.get("hash").asLong() == dataHash)
-        return
+    graft.io.Artifact.ensure(dir, shingleStoreSidecar,
+      graft.io.Artifact.fingerprintJson(nRows, dataHash,
+        "idCol" -> idCol, "textCol" -> textCol,
+        "shingleN" -> shingleN.toString)) {
+      val sh = corpus
+        .select(col(idCol).cast("long").as("c_id"),
+          explode(wordShingles(col(textCol), shingleN)).as("s"))
+        .select(md5(col("s")).as("sh"), col("c_id"))
+      sh.repartition(col("sh"))
+        .write.mode("overwrite").parquet(s"$dir/sh")
+      spark.read.parquet(s"$dir/sh")
+        .groupBy("c_id").agg(count(lit(1)).as("c_size"))
+        .write.mode("overwrite").parquet(s"$dir/sizes")
     }
-    val sh = corpus
-      .select(col(idCol).cast("long").as("c_id"),
-        explode(wordShingles(col(textCol), shingleN)).as("s"))
-      .select(md5(col("s")).as("sh"), col("c_id"))
-    sh.repartition(col("sh"))
-      .write.mode("overwrite").parquet(s"$dir/sh")
-    spark.read.parquet(s"$dir/sh")
-      .groupBy("c_id").agg(count(lit(1)).as("c_size"))
-      .write.mode("overwrite").parquet(s"$dir/sizes")
-    java.nio.file.Files.writeString(sidecar,
-      s"""{"count":$nRows,"hash":$dataHash}""")
   }
 
   /** Near-duplicate check of a crawl `batch` against a persisted
@@ -234,19 +262,32 @@ object Dedup {
       maxJaccardDist: Double = 0.5,
       idCol: String = "doc_id",
       textCol: String = "text",
-      shingleN: Int = 3): DataFrame = {
+      shingleN: Int = 3,
+      excludeTag: Option[String] = None): DataFrame = {
     val bsh = batch
       .select(col(idCol).cast("long").as("b_id"),
         explode(wordShingles(col(textCol), shingleN)).as("s"))
       .select(col("b_id"), md5(col("s")).as("sh"))
     val bsz = bsh.groupBy("b_id").agg(count(lit(1)).as("b_size"))
-    val store = spark.read.parquet(s"$storeDir/sh")
+    // seed postings plus any delta_* batch-append subdirs (the
+    // [[incrementalNearDupBatch]] idempotent layout); a retried batch
+    // excludes its OWN delta so it cannot self-match and then erase it
+    def readPart(part: String): DataFrame = {
+      val all = spark.read.option("recursiveFileLookup", "true")
+        .parquet(s"$storeDir/$part")
+      excludeTag.fold(all)(tag =>
+        all.where(!input_file_name().contains(s"/delta_$tag/")))
+    }
+    val store = readPart("sh")
     val hits = store.join(broadcast(bsh.select("sh").distinct()), "sh")
     val inter = hits.join(broadcast(bsh), "sh")
       .groupBy("b_id", "c_id").agg(count(lit(1)).as("n_inter"))
-    val sizes = spark.read.parquet(s"$storeDir/sizes")
+    val sizes = readPart("sizes")
     val candSizes = sizes.join(
-      broadcast(inter.select("c_id").distinct()), "c_id")
+        broadcast(inter.select("c_id").distinct()), "c_id")
+      // candidate-bounded collapse: duplicate size rows for one corpus
+      // id (a historical double-append) must not fan out `inter`
+      .groupBy("c_id").agg(max(col("c_size")).as("c_size"))
     val scored = inter
       .join(broadcast(candSizes), "c_id")
       .join(broadcast(bsz), "b_id")
@@ -263,6 +304,53 @@ object Dedup {
       .select(col("b_id").as(idCol),
         when(col("near_dup_of").isNull, 1L).otherwise(0L).as("is_novel"),
         col("near_dup_of"), col("jaccard_dist"))
+  }
+
+  /** One micro-batch step of STREAM-backed incremental NEAR-dup:
+    * verdicts for every batch row against the persisted shingle store
+    * ([[ensureShingleStore]] seeds it) AND durable store maintenance —
+    * the batch's NOVEL documents' shingle postings and set sizes are
+    * appended so the next batch Jaccard-checks against them: the
+    * near-dup leg of the multi-month-crawl loop, durable memory in the
+    * posting artifact instead of executor state.
+    *
+    * Verdicts are computed against the store AS OF BATCH START
+    * (within-batch near-dup pairs are not detected — that candidate
+    * join is corpus-wide by nature and stays the periodic batch refine
+    * pass, the streamingCurate split); the verdict table is
+    * localCheckpointed BEFORE the append so the lazy plan cannot read
+    * the postings it is writing. Appends are keyed by `batchTag` into
+    * overwrite-mode `delta_<tag>` subdirs of `sh/` and `sizes/` — the
+    * [[incrementalDedupBatch]] idempotency discipline: an
+    * at-least-once foreachBatch retry rewrites its own delta instead
+    * of doubling postings (doubled postings would double `n_inter`
+    * and corrupt every later Jaccard verdict). */
+  def incrementalNearDupBatch(
+      spark: org.apache.spark.sql.SparkSession,
+      storeDir: String,
+      batch: DataFrame,
+      batchTag: String,
+      maxJaccardDist: Double = 0.5,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      shingleN: Int = 3): DataFrame = {
+    val verdicts = nearDupsAgainstShingleStore(
+        spark, storeDir, batch, maxJaccardDist, idCol, textCol, shingleN,
+        excludeTag = Some(batchTag))
+      .localCheckpoint()
+    val novelIds = verdicts.filter(col("is_novel") === 1L)
+      .select(col(idCol).cast("long").as("n_id"))
+    val novelSh = batch
+      .join(broadcast(novelIds), batch(idCol).cast("long") === col("n_id"))
+      .select(col(idCol).cast("long").as("c_id"),
+        explode(wordShingles(col(textCol), shingleN)).as("s"))
+      .select(md5(col("s")).as("sh"), col("c_id"))
+      // batch-bounded; reused by the postings AND sizes writes
+      .localCheckpoint()
+    novelSh.write.mode("overwrite").parquet(s"$storeDir/sh/delta_$batchTag")
+    novelSh.groupBy("c_id").agg(count(lit(1)).as("c_size"))
+      .write.mode("overwrite").parquet(s"$storeDir/sizes/delta_$batchTag")
+    verdicts
   }
 
   // -------------------------------------------------------------- MinHash

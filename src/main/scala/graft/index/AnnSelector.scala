@@ -195,6 +195,107 @@ object AnnSelector {
     case other => throw new IllegalArgumentException(s"unknown config: $other")
   }
 
+  /** Batch form of [[search]]: bounded top-k for EVERY row of a query
+    * TABLE (query_id, q_embedding) under one selected config — the
+    * recall-targeted path composed with `knnJoinAgg`'s shuffle cap.
+    * The corpus/assignment side is NEVER shuffled in any branch:
+    *
+    *  - ivf/spill2: per-query probe clusters come from a |Q|×nlist
+    *    distance rank against a broadcast centroid table (bounded,
+    *    query-side); the (query_id, cluster, q_embedding) probe table
+    *    then broadcasts INTO the assignment scan, and candidates run
+    *    through the bounded [[graft.ops.TopKAggregator]] (shuffle ≤
+    *    partitions×|Q|×k rows). Spilled assignments collapse
+    *    multi-probed rows per query BEFORE the heap.
+    *  - lsh: the corpus hash table joins the broadcast query hashes on
+    *    (table, bucket) — the single-probe candidate set of
+    *    `approxNearestNeighbors`, batched — then the same bounded agg.
+    *  - exact: [[VectorSearch.knnJoinAgg]] unchanged.
+    *
+    * Output: (query_id, vec_id, dist, rank), rank 1..≤k per query. */
+  def searchBatch(
+      built: Built,
+      corpus: DataFrame,
+      point: Point,
+      queries: DataFrame,
+      k: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    import graft.functions.Distances
+    import graft.ops.TopKAggregator
+
+    // (query_id, vec_id, dist) candidates → bounded per-query top-k
+    def boundedTopK(cands: DataFrame): DataFrame =
+      cands
+        .select(col("query_id").cast("long"), col("vec_id").cast("long"),
+          col("dist").cast("double"))
+        .as[(Long, Long, Double)]
+        .groupByKey(_._1)
+        .mapValues(t => (t._2, t._3))
+        .agg(new TopKAggregator(k).toColumn.name("topk"))
+        .flatMap { case (qid, arr) =>
+          arr.iterator.zipWithIndex.map { case ((id, d), i) => (qid, id, d, i + 1) }
+        }
+        .toDF("query_id", "vec_id", "dist", "rank")
+        .orderBy(col("query_id").asc, col("rank").asc)
+
+    def ivfBatch(assigned: DataFrame, nprobe: Int, dedupe: Boolean): DataFrame = {
+      // DOUBLE centroids + the l2SqHof fold = exactly probeClusters'
+      // driver arithmetic (and assignByCentroids'), so the batch path
+      // probes the very clusters the single-query path would
+      val centers = built.ivfIndex.model.clusterCenters.map(_.toArray.toSeq)
+      val centersDf = spark.createDataFrame(centers.toSeq.zipWithIndex.map(_.swap))
+        .toDF("cluster", "c_embedding")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id").orderBy(col("c_dist").asc, col("cluster").asc)
+      val probes = queries
+        .select(col("query_id"), col("q_embedding"))
+        .crossJoin(broadcast(centersDf))
+        .select(col("query_id"), col("q_embedding"), col("cluster"),
+          Distances.l2SqHof(col("q_embedding"), col("c_embedding")).as("c_dist"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= nprobe)
+        .select("query_id", "q_embedding", "cluster")
+      val joined = assigned.join(broadcast(probes), "cluster")
+      // a spill-assigned row probed via two of a query's clusters must
+      // count once for that query (the searchSpilled contract)
+      val once =
+        if (dedupe) joined.dropDuplicates("query_id", "vec_id") else joined
+      boundedTopK(once.select(col("query_id"), col("vec_id"),
+        Distances.l2Sq(col("embedding"), col("q_embedding")).as("dist")))
+    }
+
+    def lshBatch(): DataFrame = {
+      import org.apache.spark.ml.functions.vector_to_array
+      def hashed(df: DataFrame, idCol: String, embCol: String): DataFrame =
+        built.lshModel.transform(Ann.withFeatures(df, embCol))
+          .select(col(idCol), col(embCol),
+            posexplode(col("hashes")).as(Seq("table", "h")))
+          .select(col(idCol), col(embCol), col("table"),
+            vector_to_array(col("h")).getItem(0).as("bucket"))
+      val qh = hashed(
+        queries.select(col("query_id"), col("q_embedding").as("embedding")),
+        "query_id", "embedding")
+        .select(col("query_id"), col("embedding").as("q_embedding"),
+          col("table"), col("bucket"))
+      val cands = hashed(corpus, "vec_id", "embedding")
+        .join(broadcast(qh), Seq("table", "bucket"))
+        .dropDuplicates("query_id", "vec_id")
+      boundedTopK(cands.select(col("query_id"), col("vec_id"),
+        Distances.l2Sq(col("embedding"), col("q_embedding")).as("dist")))
+    }
+
+    point.name match {
+      case "exact" => VectorSearch.knnJoinAgg(queries, corpus, k)
+      case "lsh" => lshBatch()
+      case ivf if ivf.startsWith("ivf_np") =>
+        ivfBatch(built.assigned, ivf.stripPrefix("ivf_np").toInt, dedupe = false)
+      case sp if sp.startsWith("spill2_np") =>
+        ivfBatch(built.spilled, sp.stripPrefix("spill2_np").toInt, dedupe = true)
+      case other => throw new IllegalArgumentException(s"unknown config: $other")
+    }
+  }
+
   /** One-call form: measure, select for `targetRecall`, search. Returns
     * the chosen point alongside the results so callers can log/audit
     * what the selector committed to. */

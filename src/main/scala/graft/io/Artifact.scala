@@ -1,0 +1,66 @@
+package graft.io
+
+import java.nio.channels.FileChannel
+import java.nio.file.{Files, Paths, StandardOpenOption}
+
+/** The fingerprint-sidecar "ensure" protocol shared by the
+  * build-once/probe-many artifacts (IVF layouts, BM25 postings, dedup
+  * stores, Z-order layouts, phrase sets): an artifact directory is
+  * valid iff its sidecar file holds EXACTLY the expected fingerprint —
+  * a JSON string over the input data's (count, content-hash) AND every
+  * build parameter, so a re-invocation with different parameters (or
+  * changed data) rebuilds instead of silently reusing a stale layout.
+  * The sidecar is written LAST: a crashed build never looks complete.
+  *
+  * Builds run under a two-level lock: an intra-process monitor on the
+  * interned canonical dir path (JVM file locks are per-process, and
+  * overlapping locks within one JVM throw), plus an OS file lock on
+  * the SIBLING `<dir>.graft_lock` — outside the artifact dir, because
+  * builds that `mode("overwrite")` the dir itself would delete an
+  * in-dir lock file out from under its own lock — so two PROCESSES
+  * sharing the artifact dir (the bench and the correctness dump racing
+  * on the same tmpdir store) serialize: the loser of the race blocks,
+  * then sees the winner's sidecar and returns without rebuilding.
+  * Probing a COMPLETE artifact takes no lock — reads only race against
+  * a rebuild, and a rebuild only happens when data/params changed
+  * under a live process, which the fresh-fingerprint check already
+  * serializes. */
+object Artifact {
+
+  /** Build `fingerprint` string for `count`/`hash` plus build params —
+    * one canonical shape so equality comparison is exact. */
+  def fingerprintJson(count: Long, hash: Long, params: (String, String)*): String = {
+    val ps = params.map { case (k, v) => s""""$k":"$v"""" }.mkString(",")
+    s"""{"count":$count,"hash":$hash${if (ps.isEmpty) "" else s",$ps"}}"""
+  }
+
+  /** Idempotently materialize an artifact at `dir`: if the sidecar
+    * already holds `fingerprint`, return false (reused); otherwise run
+    * `build` under the dir lock, write the sidecar last, return true.
+    * `build` must (over)write everything under `dir` it owns. */
+  def ensure(dir: String, sidecarName: String, fingerprint: String)(build: => Unit): Boolean = {
+    val dirPath = Paths.get(dir).toAbsolutePath.normalize
+    Files.createDirectories(dirPath)
+    val sidecar = dirPath.resolve(sidecarName)
+    def upToDate: Boolean =
+      Files.exists(sidecar) && Files.readString(sidecar) == fingerprint
+    if (upToDate) return false
+    dirPath.toString.intern.synchronized {
+      val ch = FileChannel.open(
+        dirPath.resolveSibling(dirPath.getFileName.toString + ".graft_lock"),
+        StandardOpenOption.CREATE, StandardOpenOption.WRITE)
+      val lock = ch.lock()
+      try {
+        if (upToDate) false
+        else {
+          build
+          Files.writeString(sidecar, fingerprint)
+          true
+        }
+      } finally {
+        lock.release()
+        ch.close()
+      }
+    }
+  }
+}

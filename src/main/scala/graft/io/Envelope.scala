@@ -150,10 +150,26 @@ object Envelope {
     Files.writeString(Paths.get(path), sb.toString, StandardCharsets.UTF_8)
   }
 
-  def saveDataset(dim: Int, nextId: Long, ds: Dataset[VectorRecord], path: String): Unit =
+  /** Hard cap on envelope-sink rows: the single-document JSON format
+    * requires collecting every row to the driver, so an unbounded
+    * store would OOM the driver with no explanation. Above the cap the
+    * save REFUSES with an error naming the scale path instead. */
+  val MaxEnvelopeRows = 1000000L
+
+  def saveDataset(dim: Int, nextId: Long, ds: Dataset[VectorRecord], path: String,
+      maxRows: Long = MaxEnvelopeRows): Unit = {
     // Parity-shim scale note: the envelope is one JSON document, so the
     // rows must land on the driver; collect is inherent to the format.
+    // Guard BEFORE collecting: a 100 TB store pointed at the parity sink
+    // must fail with instructions, not an executor-to-driver OOM.
+    val n = ds.count()
+    require(n <= maxRows,
+      s"envelope save refused: $n rows exceeds the $maxRows-row " +
+        "single-document JSON cap (the whole envelope must materialize " +
+        "on the driver); use VectorStore.saveParquet for a distributed " +
+        "sink, or filter the store before exporting an envelope")
     save(Db(dim, nextId, ds.collect().toSeq), path)
+  }
 
   private def parse(meta: String): JsonNode =
     if (meta == null) mapper.nullNode()

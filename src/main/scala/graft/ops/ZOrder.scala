@@ -155,10 +155,11 @@ object ZOrder {
 
   /** Idempotently materialize a Z-ordered layout of `df` at `dir`
     * ([[writeZOrdered]]) behind the fingerprint-sidecar protocol
-    * (sidecar written LAST — a crashed write never looks complete; a
-    * changed input forces a rewrite): the build-once/probe-many
-    * discipline of the IVF layouts and BM25 posting lists, applied to
-    * data LAYOUT. */
+    * ([[graft.io.Artifact.ensure]]: sidecar written LAST under the dir
+    * lock — a crashed write never looks complete; a changed input OR
+    * changed build parameter forces a rewrite): the
+    * build-once/probe-many discipline of the IVF layouts and BM25
+    * posting lists, applied to data LAYOUT. */
   def ensureZOrderedLayout(
       spark: org.apache.spark.sql.SparkSession,
       df: DataFrame,
@@ -167,20 +168,16 @@ object ZOrder {
       yCol: String,
       numFiles: Int = 32,
       bits: Int = 10): Unit = {
-    val sidecar = java.nio.file.Paths.get(dir, zorderSidecar)
     val row = df.select(xxhash64(df.columns.map(col): _*).as("_h"))
       .agg(count(lit(1)), expr("bit_xor(_h)")).head()
     val (nRows, dataHash) =
       (row.getLong(0), if (row.isNullAt(1)) 0L else row.getLong(1))
-    if (java.nio.file.Files.exists(sidecar)) {
-      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-      val node = mapper.readTree(java.nio.file.Files.readString(sidecar))
-      if (node.get("count").asLong() == nRows && node.get("hash").asLong() == dataHash)
-        return
+    graft.io.Artifact.ensure(dir, zorderSidecar,
+      graft.io.Artifact.fingerprintJson(nRows, dataHash,
+        "xCol" -> xCol, "yCol" -> yCol,
+        "numFiles" -> numFiles.toString, "bits" -> bits.toString)) {
+      writeZOrdered(df, xCol, yCol, s"$dir/data", numFiles, bits)
     }
-    writeZOrdered(df, xCol, yCol, s"$dir/data", numFiles, bits)
-    java.nio.file.Files.writeString(sidecar,
-      s"""{"count":$nRows,"hash":$dataHash}""")
   }
 
   /** 2-D box scan through a Z-ordered layout: a plain filtered read —

@@ -25,6 +25,16 @@ import graft.text.TextAnalysis
   */
 object StreamingIngest {
 
+  /** Pipeline identity for store-delta tags: md5 of the checkpoint
+    * path. A RETRY of a micro-batch (same checkpoint lineage) reuses
+    * its tag — idempotent overwrite; a DIFFERENT pipeline sharing the
+    * store (fresh checkpoint, batch ids restarting at 0) gets a
+    * different tag, so its deltas never collide with — or get excluded
+    * as — another pipeline's. */
+  private def pipelineTag(checkpoint: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(checkpoint.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+
   /** Continuous append ingest into the parquet-backed vector store. */
   def ingest(stream: DataFrame, path: String, checkpoint: String): DataStreamWriter[Row] =
     stream.writeStream
@@ -146,7 +156,17 @@ object StreamingIngest {
     * re-emit); this one forgets nothing — dedup memory is the
     * ~48-byte/hash parquet store on disk, the only shape that holds
     * across a multi-month crawl. Executor state here is ZERO (the
-    * foreachBatch body is stateless; all memory is the store). */
+    * foreachBatch body is stateless; all memory is the store).
+    *
+    * foreachBatch is at-least-once, so BOTH side effects are keyed by
+    * the batch id: the store delta and the sink batch land in
+    * `delta_<pipeline>_b<id>` / `<pipeline>_b<id>` subdirectories in
+    * overwrite mode (pipeline = md5 of the checkpoint path, so two
+    * pipelines sharing one store never collide) — a
+    * retried micro-batch rewrites its own outputs instead of appending
+    * the same hashes/verdicts twice (a doubled store row would mark a
+    * true first occurrence as a dup of itself on every later batch).
+    * Read the sink with `recursiveFileLookup`. */
   def streamingIncrementalDedup(
       stream: DataFrame,
       storeDir: String,
@@ -154,10 +174,42 @@ object StreamingIngest {
       checkpoint: String): StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val tag = s"${pipelineTag(checkpoint)}_b$batchId"
         graft.dedup.Dedup
-          .incrementalDedupBatch(batch.sparkSession, storeDir, batch)
-          .write.mode("append").parquet(sinkDir)
+          .incrementalDedupBatch(batch.sparkSession, storeDir, batch,
+            batchTag = Some(tag))
+          .write.mode("overwrite").parquet(s"$sinkDir/$tag")
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** STORE-backed streaming incremental NEAR-dup — the
+    * [[streamingIncrementalDedup]] shape for the near-duplicate leg of
+    * the crawl loop: every micro-batch Jaccard-checks against the
+    * persisted shingle-posting store and appends its NOVEL documents'
+    * postings for the next batch
+    * ([[graft.dedup.Dedup.incrementalNearDupBatch]]). Durable dedup
+    * memory is the posting artifact (an index, ~32 bytes/shingle —
+    * never the text); executor state is ZERO. Both side effects are
+    * batch-id-keyed overwrites, so at-least-once redelivery is
+    * idempotent. Read the sink with `recursiveFileLookup`. */
+  def streamingIncrementalNearDedup(
+      stream: DataFrame,
+      storeDir: String,
+      sinkDir: String,
+      checkpoint: String,
+      maxJaccardDist: Double = 0.5,
+      shingleN: Int = 3): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val tag = s"${pipelineTag(checkpoint)}_b$batchId"
+        graft.dedup.Dedup
+          .incrementalNearDupBatch(batch.sparkSession, storeDir, batch,
+            batchTag = tag, maxJaccardDist = maxJaccardDist,
+            shingleN = shingleN)
+          .write.mode("overwrite").parquet(s"$sinkDir/$tag")
       }
       .trigger(Trigger.AvailableNow())
       .start()

@@ -981,11 +981,72 @@ object TextAnalysis {
       textCol: String = "text",
       minCount: Long = 5L,
       topK: Int = 20,
-      broadcastUnigrams: Boolean = false): DataFrame = {
-    val phrases = pmiPairs(df, textCol, window = 1, minCount = minCount,
-        topK = topK, broadcastUnigrams = broadcastUnigrams)
-      .select("a", "b").collect()
-      .map(r => r.getString(0) + " " + r.getString(1)).toSeq
+      broadcastUnigrams: Boolean = false): DataFrame =
+    phraseRewriteWith(df,
+      pmiPairs(df, textCol, window = 1, minCount = minCount,
+          topK = topK, broadcastUnigrams = broadcastUnigrams)
+        .select("a", "b").collect()
+        .map(r => r.getString(0) + " " + r.getString(1)).toSeq,
+      idCol, textCol)
+
+  private val phraseSidecar = "_graft_phrases_sidecar.json"
+
+  /** Idempotently persist the learned phrase SET (the [[pmiPairs]]
+    * window-1 top-K) at `dir` behind the fingerprint-sidecar protocol
+    * ([[graft.io.Artifact.ensure]]) — the IVF/BM25/cluster/Z-order
+    * build-once discipline applied to the collocation artifact, so
+    * repeat rewrites pay only the narrow fold instead of re-deriving
+    * the corpus-wide PMI statistics per invocation. A changed corpus
+    * or changed (minCount, topK) forces a re-derive. */
+  def ensurePhraseArtifact(
+      spark: org.apache.spark.sql.SparkSession,
+      df: DataFrame,
+      dir: String,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      minCount: Long = 5L,
+      topK: Int = 20,
+      broadcastUnigrams: Boolean = false): Unit = {
+    val row = df.select(xxhash64(col(idCol), col(textCol)).as("_h"))
+      .agg(count(lit(1)), expr("bit_xor(_h)")).head()
+    val (nRows, dataHash) =
+      (row.getLong(0), if (row.isNullAt(1)) 0L else row.getLong(1))
+    graft.io.Artifact.ensure(dir, phraseSidecar,
+      graft.io.Artifact.fingerprintJson(nRows, dataHash,
+        "textCol" -> textCol, "minCount" -> minCount.toString,
+        "topK" -> topK.toString)) {
+      pmiPairs(df, textCol, window = 1, minCount = minCount,
+          topK = topK, broadcastUnigrams = broadcastUnigrams)
+        .select("a", "b")
+        .write.mode("overwrite").parquet(s"$dir/data")
+    }
+  }
+
+  /** [[phraseRewrite]] against a persisted phrase artifact
+    * ([[ensurePhraseArtifact]]): reads the bounded (topK-row) phrase
+    * set and runs only the narrow rewrite fold — no PMI re-derivation.
+    * The rewrite is a SET-membership fold, so artifact row order is
+    * irrelevant. */
+  def phraseRewriteWithArtifact(
+      spark: org.apache.spark.sql.SparkSession,
+      df: DataFrame,
+      dir: String,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    phraseRewriteWith(df,
+      spark.read.parquet(s"$dir/data").collect()
+        .map(r => r.getString(0) + " " + r.getString(1)).toSeq,
+      idCol, textCol)
+
+  /** The narrow rewrite half of [[phraseRewrite]]: merge each
+    * occurrence of a learned phrase into a single `a_b` token, greedy
+    * left-to-right over the token array (the [[graft.text.Bpe]] fold
+    * keyed by a literal phrase set). Map-only; no shuffle. */
+  def phraseRewriteWith(
+      df: DataFrame,
+      phrases: Seq[String],
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
     val phraseLit = array(phrases.map(lit): _*)
     val toks = tokens(col(textCol))
     val merged = when(size(toks) <= 1, toks).otherwise(aggregate(

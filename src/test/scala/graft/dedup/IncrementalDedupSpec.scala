@@ -119,6 +119,12 @@ class IncrementalDedupSpec extends AnyFunSuite {
     Dedup.ensureShingleStore(spark, corpus, dir)
     val f2 = Paths.get(dir, "sh").toFile.listFiles().map(f => f.getName -> f.lastModified).toMap
     assert(f2 == f1, "unchanged corpus must not rewrite the postings")
+    // a different shingleN is a DIFFERENT artifact: 4 tokens have two
+    // 3-shingles but three 2-shingles — reuse here would silently serve
+    // the wrong granularity
+    Dedup.ensureShingleStore(spark, corpus, dir, shingleN = 2)
+    assert(spark.read.parquet(s"$dir/sh").count() == 3L,
+      "changed shingleN must rebuild the posting store")
   }
 
   test("shingle store: an all-short batch (no shingles) reports every row novel") {
@@ -139,5 +145,65 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException] {
       Dedup.newAgainstStore(spark, dir, batch)
     }
+  }
+
+  test("tagged batch append is idempotent: a redelivered micro-batch rewrites its delta") {
+    val corpus = Seq((1L, "seed content here")).toDF("doc_id", "text")
+    val dir = freshDir("idem")
+    Dedup.ensureHashStore(spark, corpus, dir)
+    val batch = Seq((100L, "novel content one"), (101L, "seed content here"))
+      .toDF("doc_id", "text")
+    def run() = Dedup.incrementalDedupBatch(spark, dir, batch,
+        batchTag = Some("b7"))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSeq
+    val first = run()
+    assert(first == Seq((100L, 1L, -1L), (101L, 0L, 1L)))
+    def storeRows() = spark.read.option("recursiveFileLookup", "true")
+      .parquet(dir).count()
+    val n1 = storeRows()
+    // at-least-once redelivery of the SAME batch id: verdicts must not
+    // flip (100 would become a dup of itself under a doubled store row)
+    // and the store must not grow
+    val second = run()
+    assert(second == first,
+      "a retried micro-batch must reproduce its verdicts exactly")
+    assert(storeRows() == n1, "a retried micro-batch must not grow the store")
+    // a genuinely NEW batch id with the same content: now 100's hash is
+    // in the store, so the redelivered doc is a dup of batch b7's winner
+    val third = Dedup.incrementalDedupBatch(spark, dir,
+        Seq((200L, "novel content one")).toDF("doc_id", "text"),
+        batchTag = Some("b8"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(third == Seq((200L, 0L, 100L)),
+      "the next batch must see the previous batch's appended hash")
+  }
+
+  test("incremental near-dup: novel postings are appended, retries are idempotent") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val corpus = Seq((1L, base)).toDF("doc_id", "text")
+    val dir = freshDir("nearinc")
+    Dedup.ensureShingleStore(spark, corpus, dir)
+    val novel = "wholly new q1 w2 e3 r4 t5 y6 u7 i8 o9 p0 extra tokens"
+    val b1 = Dedup.incrementalNearDupBatch(spark, dir,
+        Seq((100L, novel)).toDF("doc_id", "text"), batchTag = "b1")
+      .collect()
+    assert(b1.head.getLong(1) == 1L, "first sight must be novel")
+    def postings() = spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$dir/sh").count()
+    val p1 = postings()
+    // redeliver the SAME batch tag: store must not grow (doubled
+    // postings would double n_inter for every later verdict)
+    Dedup.incrementalNearDupBatch(spark, dir,
+      Seq((100L, novel)).toDF("doc_id", "text"), batchTag = "b1").collect()
+    assert(postings() == p1, "a retried micro-batch must rewrite, not double, its delta")
+    // batch 2: a near-dup of the doc APPENDED by batch 1 — durable
+    // cross-batch memory through the posting artifact
+    val b2 = Dedup.incrementalNearDupBatch(spark, dir,
+        Seq((200L, novel + " tail")).toDF("doc_id", "text"), batchTag = "b2")
+      .collect()
+    assert(b2.head.getLong(1) == 0L && b2.head.getLong(2) == 100L,
+      s"batch 2 must match batch 1's appended doc, got ${b2.toSeq}")
   }
 }

@@ -77,4 +77,36 @@ class AnnSelectorSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
       assert(rows.head.getLong(0) == 0L, s"${p.name} top-1 was ${rows.head.getLong(0)}")
     }
   }
+
+  test("searchBatch: per-query results equal the single-query path, every config") {
+    import spark.implicits._
+    val qids = Seq(0L, 5L, 17L)
+    val queries = emb.filter(col("vec_id").isin(qids: _*))
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+    built.frontier.foreach { p =>
+      val batch = AnnSelector.searchBatch(built, emb, p, queries, 5)
+        .select("query_id", "vec_id", "rank")
+        .as[(Long, Long, Int)].collect()
+        .groupBy(_._1).view.mapValues(_.sortBy(_._3).map(_._2).toSeq).toMap
+      qids.foreach { qid =>
+        val q = emb.filter(col("vec_id") === qid).head().getSeq[Float](1).toArray
+        val single = AnnSelector.search(built, emb, p, q, 5)
+          .collect().map(_.getLong(0)).toSeq
+        assert(batch(qid) == single,
+          s"${p.name} qid=$qid: batch ${batch(qid)} != single $single")
+      }
+    }
+  }
+
+  test("searchBatch plan: probe side broadcasts; the corpus is never shuffle-joined") {
+    val queries = emb.orderBy(col("vec_id").asc).limit(10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+    val point = AnnSelector.select(built, 0.9)
+    val df = AnnSelector.searchBatch(built, emb, point, queries, 10)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"corpus/assignment side must not be shuffle-joined:\n$plan")
+  }
 }

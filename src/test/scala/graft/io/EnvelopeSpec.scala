@@ -93,4 +93,24 @@ class EnvelopeSpec extends AnyFunSuite {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     assert(mapper.readTree(back.records.head.metadata) == mapper.readTree(meta))
   }
+
+  test("saveDataset refuses an over-cap store with the parquet path named") {
+    val spark = graft.SparkTestSession.spark
+    import spark.implicits._
+    val ds = Seq(
+      VectorRecord(1L, Array(0.1f), "{}"),
+      VectorRecord(2L, Array(0.2f), "{}"),
+      VectorRecord(3L, Array(0.3f), "{}")).toDS()
+    val out = Files.createTempDirectory("envcap").resolve("db.json").toString
+    val e = intercept[IllegalArgumentException] {
+      Envelope.saveDataset(1, 4L, ds, out, maxRows = 2L)
+    }
+    assert(e.getMessage.contains("envelope save refused") &&
+      e.getMessage.contains("saveParquet"),
+      s"refusal must name the scale path: ${e.getMessage}")
+    assert(!Files.exists(Paths.get(out)), "a refused save must write nothing")
+    // under the cap the same call succeeds
+    Envelope.saveDataset(1, 4L, ds, out, maxRows = 3L)
+    assert(Files.exists(Paths.get(out)))
+  }
 }

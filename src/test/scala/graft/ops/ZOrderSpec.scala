@@ -77,6 +77,15 @@ class ZOrderSpec extends AnyFunSuite {
     val (total, touched) = ZOrder.filesTouched(spark, s"$dir/data", "u", "v", 10, 30, 10, 30)
     assert(total == 16L && touched < total / 2,
       s"expected file-level pruning, box touches $touched of $total")
+
+    // CHANGED BUILD PARAMS on the same data must invalidate the layout:
+    // the sidecar fingerprints (cols, numFiles, bits), not just the
+    // input — a silent reuse here would serve an 16-file layout where
+    // the caller asked for 8
+    ZOrder.ensureZOrderedLayout(spark, df, dir, "u", "v", numFiles = 8, bits = 7)
+    val f3 = new java.io.File(s"$dir/data").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(f3 == 8, s"changed numFiles must rebuild the layout, found $f3 files")
   }
 
   test("writeZOrdered: 2-D box predicates touch fewer file-level min/max boxes") {

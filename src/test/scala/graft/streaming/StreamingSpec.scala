@@ -62,11 +62,16 @@ class StreamingSpec extends AnyFunSuite {
         (301L, "fresh batch one content"), // novel in b1 → must be dup now
         (302L, "twin content"),            // b1's winner owns it
         (303L, "genuinely new in batch two"))
+      // a separate pipeline (fresh checkpoint) restarts batch ids at 0,
+      // so it gets its OWN sink — batch-id keying is per checkpoint
+      // lineage; only a resumed/retried query may share one
       val q2 = StreamingIngest.streamingIncrementalDedup(
         input2.toDF().toDF("doc_id", "text"),
-        storeDir, s"$scratch/sink", s"$scratch/chk2")
+        storeDir, s"$scratch/sink2", s"$scratch/chk2")
       q2.awaitTermination()
-      val out = spark.read.parquet(s"$scratch/sink")
+      // batch-id-keyed sink subdirs (idempotent redelivery layout)
+      val out = spark.read.option("recursiveFileLookup", "true")
+        .parquet(s"$scratch/sink", s"$scratch/sink2")
         .select($"doc_id", $"is_new",
           coalesce($"dup_of", lit(-1L)).as("dup_of"))
         .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
@@ -81,6 +86,44 @@ class StreamingSpec extends AnyFunSuite {
       // zero executor state: no stateful operators in the plan
       assert(q2.recentProgress.forall(_.stateOperators.isEmpty),
         "foreachBatch incremental dedup must carry no state-store state")
+    } finally { if (q.isActive) q.stop() }
+  }
+
+  test("streamingIncrementalNearDedup: durable posting memory across runs, zero executor state") {
+    implicit val sc = spark.sqlContext
+    val scratch = java.nio.file.Files.createTempDirectory("sind").toString
+    val storeDir = s"$scratch/store"
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    graft.dedup.Dedup.ensureShingleStore(spark,
+      Seq((1L, base)).toDF("doc_id", "text"), storeDir)
+    // run 1: a near-dup of the seed and a wholly novel doc
+    val novel = "wholly new q1 w2 e3 r4 t5 y6 u7 i8 o9 p0 filler tokens"
+    val input = MemoryStream[(Long, String)]
+    input.addData((100L, base + " appended tail tokens"), (101L, novel))
+    val q = StreamingIngest.streamingIncrementalNearDedup(
+      input.toDF().toDF("doc_id", "text"),
+      storeDir, s"$scratch/sink", s"$scratch/chk")
+    try {
+      q.awaitTermination()
+      // run 2: a near-dup of run 1's NOVEL doc — only durable posting
+      // memory (the delta appended by run 1) can catch it
+      val input2 = MemoryStream[(Long, String)]
+      input2.addData((200L, novel + " tail"))
+      val q2 = StreamingIngest.streamingIncrementalNearDedup(
+        input2.toDF().toDF("doc_id", "text"),
+        storeDir, s"$scratch/sink2", s"$scratch/chk2")
+      q2.awaitTermination()
+      val out = spark.read.option("recursiveFileLookup", "true")
+        .parquet(s"$scratch/sink", s"$scratch/sink2")
+        .select($"doc_id", $"is_novel",
+          coalesce($"near_dup_of", lit(-1L)).as("near_dup_of"))
+        .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(out(100L) == ((0L, 1L)), "near-dup of the seeded corpus doc")
+      assert(out(101L) == ((1L, -1L)), "novel doc reported novel")
+      assert(out(200L) == ((0L, 101L)),
+        "run 2 must match run 1's appended postings — durable near-dup memory")
+      assert(q2.recentProgress.forall(_.stateOperators.isEmpty),
+        "foreachBatch incremental near-dedup must carry no state-store state")
     } finally { if (q.isActive) q.stop() }
   }
 

@@ -102,4 +102,96 @@ class BpeSpec extends AnyFunSuite {
       }
     }
   }
+
+  /** Reference BATCHED trainer: per round, rank pairs (count desc, a, b),
+    * greedily keep up to `batch` pairwise symbol-disjoint pairs over
+    * {a, b, a+b}, apply them in one left-to-right pass. */
+  private def refBatched(texts: Seq[String], rounds: Int, batch: Int,
+      cap: Int): Seq[Seq[(String, String, Long)]] = {
+    val wc = mutable.Map.empty[String, Long].withDefaultValue(0L)
+    texts.foreach { t =>
+      t.trim.toLowerCase.replaceAll("\\s+", " ").split(" ")
+        .filter(_.nonEmpty).foreach(w => wc(w) += 1L)
+    }
+    var vocab: Map[List[String], Long] = wc.toSeq
+      .groupBy { case (w, _) => w.map(_.toString).toList :+ "</w>" }
+      .map { case (s, ws) => s -> ws.map(_._2).sum }
+    val out = mutable.ArrayBuffer.empty[Seq[(String, String, Long)]]
+    for (_ <- 1 to rounds) {
+      val pairs = mutable.Map.empty[(String, String), Long].withDefaultValue(0L)
+      vocab.foreach { case (syms, c) =>
+        syms.sliding(2).foreach {
+          case List(x, y) => pairs((x, y)) += c
+          case _ =>
+        }
+      }
+      val cands = pairs.toSeq.sortBy { case ((x, y), c) => (-c, x, y) }
+        .take(cap).map { case ((x, y), c) => (x, y, c) }
+      val sel = mutable.ArrayBuffer.empty[(String, String, Long)]
+      val used = mutable.Set.empty[String]
+      cands.foreach { case c @ (x, y, _) =>
+        if (sel.size < batch && !(used(x) || used(y) || used(x + y))) {
+          sel += c; used ++= Seq(x, y, x + y)
+        }
+      }
+      out += sel.toSeq
+      if (sel.nonEmpty) {
+        val lk = sel.map(s => (s._1, s._2) -> (s._1 + s._2)).toMap
+        vocab = vocab.toSeq.map { case (syms, c) =>
+          val acc = mutable.ListBuffer(syms.head)
+          syms.tail.foreach { x =>
+            lk.get((acc.last, x)) match {
+              case Some(m) => acc(acc.size - 1) = m
+              case None => acc += x
+            }
+          }
+          (acc.toList, c)
+        }.groupBy(_._1).map { case (s, cs) => s -> cs.map(_._2).sum }
+      }
+    }
+    out.toSeq
+  }
+
+  test("learnRounds matches the reference batched trainer and keeps batches symbol-disjoint") {
+    val got = Bpe.learnRounds(df, rounds = 4, batchSize = 4, candCap = 64)
+    val want = refBatched(texts, rounds = 4, batch = 4, cap = 64)
+    assert(got == want)
+    got.foreach { round =>
+      // pairwise disjoint across RULES (a self-pair like (a,a) repeats
+      // its own symbol within one rule — that is fine; two rules
+      // sharing any of {a, b, ab} is not)
+      val sets = round.map { case (a, b, _) => Set(a, b, a + b) }
+      for (i <- sets.indices; j <- sets.indices if i < j)
+        assert((sets(i) & sets(j)).isEmpty,
+          s"rules $i and $j share symbols in round $round")
+    }
+    assert(got.flatten.size > 4, "batching must beat one merge per round here")
+  }
+
+  test("batchSize=1 batched training degenerates to the sequential trainer") {
+    val seq6 = Bpe.learnMerges(df, numMerges = 6).collect()
+      .map(r => (r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    val b1 = Bpe.learnRounds(df, rounds = 6, batchSize = 1, candCap = 64).flatten
+    assert(b1 == seq6)
+  }
+
+  test("one combined fold per round equals applying the round's rules one-by-one") {
+    val rounds = Bpe.learnRounds(df, rounds = 4, batchSize = 4, candCap = 64)
+      .map(_.map(t => (t._1, t._2)))
+    val grouped = Bpe.applyMergesGrouped(df, rounds)
+      .select("doc_id", "bpe_tokens").as[(Long, Seq[String])].collect().toMap
+    // the same rules in the same global order, each as its own group =
+    // strict sequential application
+    val sequential = Bpe.applyMergesGrouped(df, rounds.flatten.map(Seq(_)))
+      .select("doc_id", "bpe_tokens").as[(Long, Seq[String])].collect().toMap
+    assert(grouped == sequential,
+      "disjoint-batch combined fold must equal sequential rule application")
+  }
+
+  test("batched training on an empty corpus yields empty rounds, not an error") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val rounds = Bpe.learnRounds(empty, rounds = 3, batchSize = 4, candCap = 16)
+    assert(rounds == Seq(Seq(), Seq(), Seq()))
+    assert(Bpe.learnMergesBatched(empty, rounds = 2).collect().isEmpty)
+  }
 }
