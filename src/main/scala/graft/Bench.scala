@@ -96,10 +96,85 @@ object Bench {
     }.mkString("\"samples\":{", ",", "}")
   }
 
+  /** Canonicalize AQE's exchange-reuse CHOICE out of a (normalized)
+    * plan text: whether one of N identical exchanges prints as a
+    * `ReusedExchange` one-liner or as a fully inlined duplicate
+    * subtree — and WHICH of them does — is a stage-materialization
+    * race (same work every way; the r8 `events_setops` finding, where
+    * the reuse landed in a different union branch per run), so every
+    * spelling must hash equal. Rule: collapse to a
+    * `ReusedExchangeRef <exchange header>` marker (a) every
+    * `ReusedExchange` line (the embedded header is kept), (b) EVERY
+    * occurrence of an `Exchange` subtree whose stripped body appears
+    * more than once (not just the 2nd+ — the racing run may inline
+    * either copy), and (c) every `Exchange` subtree whose header some
+    * `ReusedExchange` line references (in a reuse run the surviving
+    * copy is the only full one, so duplicate-counting alone cannot see
+    * it). Unique, unreferenced exchanges keep their full subtree, so
+    * the fingerprint stays sensitive everywhere the race cannot
+    * reach. */
+  private[graft] def collapseExchangeDups(plan: String): String = {
+    val lines = plan.split("\n", -1)
+    def contentStart(l: String): Int = {
+      var i = 0
+      while (i < l.length && " :+-".indexOf(l(i)) >= 0) i += 1
+      i
+    }
+    def reusedHeader(content: String): String = {
+      val cut = content.indexOf("], ")
+      if (cut >= 0) content.substring(cut + 3) else content
+    }
+    def subtreeEnd(i: Int, cs: Int): Int = {
+      var j = i + 1
+      while (j < lines.length && contentStart(lines(j)) > cs) j += 1
+      j
+    }
+    def subtreeBody(i: Int, cs: Int): String = {
+      val b = new StringBuilder(lines(i).substring(cs))
+      var j = i + 1
+      while (j < lines.length && contentStart(lines(j)) > cs) {
+        b.append('\n').append(lines(j).substring(contentStart(lines(j))))
+        j += 1
+      }
+      b.toString
+    }
+    // pass 1: reuse-referenced headers + duplicate subtree bodies
+    val referenced = scala.collection.mutable.Set.empty[String]
+    val bodyCount = scala.collection.mutable.Map.empty[String, Int]
+    for (i <- lines.indices) {
+      val cs = contentStart(lines(i))
+      val content = lines(i).substring(cs)
+      if (content.startsWith("ReusedExchange ")) referenced += reusedHeader(content)
+      else if (content.startsWith("Exchange ")) {
+        val b = subtreeBody(i, cs)
+        bodyCount(b) = bodyCount.getOrElse(b, 0) + 1
+      }
+    }
+    // pass 2: rewrite
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < lines.length) {
+      val l = lines(i)
+      val cs = contentStart(l)
+      val content = l.substring(cs)
+      if (content.startsWith("ReusedExchange ")) {
+        out += l.substring(0, cs) + "ReusedExchangeRef " + reusedHeader(content)
+        i += 1
+      } else if (content.startsWith("Exchange ") &&
+          (referenced(content) || bodyCount(subtreeBody(i, cs)) > 1)) {
+        out += l.substring(0, cs) + "ReusedExchangeRef " + content
+        i = subtreeEnd(i, cs)
+      } else { out += l; i += 1 }
+    }
+    out.mkString("\n")
+  }
+
   /** Stable hash of an executed-plan string: run-varying identifiers
     * (expression ids, plan/stage ids, scratch paths, object addresses)
-    * are normalized away, so two runs of the same logical query hash
-    * equal iff Catalyst/AQE produced the same physical shape. */
+    * are normalized away — and AQE's reuse-vs-inline exchange race is
+    * canonicalized ([[collapseExchangeDups]]) — so two runs of the
+    * same logical query hash equal iff Catalyst/AQE produced the same
+    * physical shape. */
   private[graft] def planFingerprint(plan: String): String = {
     val norm = plan
       .replaceAll("#\\d+[A-Za-z]*", "#x")
@@ -122,8 +197,9 @@ object Bench {
       .replaceAll("BroadcastQueryStage \\d+", "BroadcastQueryStage x")
       .replaceAll("/tmp/[\\w./-]*", "/tmp/x")
       .replaceAll("graft_\\w+", "graft_x")
+    val canon = collapseExchangeDups(norm)
     val md = java.security.MessageDigest.getInstance("MD5")
-    md.digest(norm.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
+    md.digest(canon.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
   }
 
   def main(args: Array[String]): Unit = {
@@ -169,11 +245,20 @@ object Bench {
         Thread.sleep(5)
         val cur = lastPlan.get()
         if (cur._1 != last._1) { last = cur; stableAt = System.nanoTime() }
-        // an event arrived for THIS action and nothing newer for 30 ms →
-        // the FIFO bus has drained past our terminal save
-        done = last._1 > sinceCount && (System.nanoTime() - stableAt) > 30000000L
+        // an event arrived for THIS action, nothing newer for 30 ms, AND
+        // it is the TERMINAL noop save's plan — a query whose closure
+        // runs internal actions (an argmax head(), a frontier build)
+        // emits events for those too, and under listener-bus load the
+        // save's event can land after the 30 ms stability window, so
+        // stability alone occasionally fingerprinted an inner action
+        // (seen once on knn_at_recall in the r9 sweep)
+        done = last._1 > sinceCount &&
+          (System.nanoTime() - stableAt) > 30000000L &&
+          last._2.startsWith("OverwriteByExpression")
       }
-      if (last._1 > sinceCount) Some(last._2) else None
+      if (last._1 > sinceCount && last._2.startsWith("OverwriteByExpression"))
+        Some(last._2)
+      else None
     }
 
     // raw plan text per (query, fingerprint): when a query's runs ever

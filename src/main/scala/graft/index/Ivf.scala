@@ -122,7 +122,11 @@ object Ivf {
     val (nRows, dataHash) = fingerprint(df, embCol)
     if (java.nio.file.Files.exists(sidecar)) {
       val (layout, storedCount, storedHash) = loadLayoutWithFingerprint(dir)
-      if (storedCount == nRows && storedHash == dataHash) return layout
+      // nlist is structural: a caller asking for a different list count
+      // must get a rebuild, not a silent reuse of the old partitioning
+      // (the stored centroid count IS the built nlist)
+      if (storedCount == nRows && storedHash == dataHash &&
+          layout.centroids.length == nlist) return layout
     }
     val index = fit(df, nlist, embCol, sampleFraction, maxIter)
     writePartitioned(index, df, dir, embCol)

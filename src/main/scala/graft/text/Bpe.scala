@@ -237,6 +237,95 @@ object Bpe {
       .orderBy("merge_rank")
   }
 
+  private val mergeSidecar = "_graft_bpe_sidecar.json"
+
+  /** Idempotently persist the batched-training merge artifact at `dir`
+    * behind the fingerprint-sidecar protocol
+    * ([[graft.io.Artifact.ensure]]): one parquet row per learned rule,
+    * (round, sel_rank, lhs, rhs, pair_count) — the tokenizer file of
+    * this engine, built once per (corpus, params) and probed by every
+    * later training read or tokenize run (the IVF/BM25/phrase-set
+    * discipline applied to the vocabulary itself; a GPT-2-style
+    * `merges.txt` is exactly this artifact). Fingerprint covers the
+    * corpus text content AND every training parameter. */
+  def ensureMergeArtifact(
+      spark: SparkSession,
+      df: DataFrame,
+      dir: String,
+      textCol: String = "text",
+      rounds: Int = 8,
+      batchSize: Int = 16,
+      candCap: Int = 256): Unit = {
+    val row = df.select(xxhash64(col(textCol)).as("_h"))
+      .agg(count(lit(1)), expr("bit_xor(_h)")).head()
+    val (nRows, dataHash) =
+      (row.getLong(0), if (row.isNullAt(1)) 0L else row.getLong(1))
+    graft.io.Artifact.ensure(dir, mergeSidecar,
+      graft.io.Artifact.fingerprintJson(nRows, dataHash,
+        "textCol" -> textCol, "rounds" -> rounds.toString,
+        "batchSize" -> batchSize.toString, "candCap" -> candCap.toString)) {
+      val flat = learnRounds(df, textCol, rounds, batchSize, candCap)
+        .zipWithIndex.flatMap { case (batch, r) =>
+          batch.zipWithIndex.map { case ((a, b, n), i) => (r + 1, i + 1, a, b, n) }
+        }
+      spark.createDataFrame(flat)
+        .toDF("round", "sel_rank", "lhs", "rhs", "pair_count")
+        .repartition(1)
+        .write.mode("overwrite").parquet(s"$dir/data")
+    }
+  }
+
+  /** The persisted merge artifact in the trainer's output shape:
+    * (merge_rank, lhs, rhs, pair_count), merge_rank global in
+    * round-major selection order — equals [[learnMergesBatched]] on
+    * the same corpus/params (spec-pinned). */
+  def mergesFromArtifact(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("round").asc, col("sel_rank").asc)
+    spark.read.parquet(s"$dir/data")
+      .withColumn("merge_rank", row_number().over(w))
+      .select(col("merge_rank"), col("lhs"), col("rhs"), col("pair_count"))
+      .orderBy("merge_rank")
+  }
+
+  /** The persisted artifact as [[learnRounds]] output (minus counts) —
+    * what [[applyMergesGrouped]] consumes. Bounded read: the rule list
+    * is vocabulary-sized driver state by design. */
+  def loadMergeRounds(spark: SparkSession, dir: String): Seq[Seq[(String, String)]] =
+    spark.read.parquet(s"$dir/data")
+      .select("round", "sel_rank", "lhs", "rhs")
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getString(2), r.getString(3)))
+      .sortBy(t => (t._1, t._2))
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map(_._2.map(t => (t._3, t._4)).toSeq)
+
+  /** The corpus VOCABULARY after applying `mergeRounds`: one row per
+    * subword symbol with its weighted occurrence count, top `topK` by
+    * (count desc, subword) — the vocab table a trained tokenizer ships
+    * next to its merge list (what GPT-2's `vocab.json` enumerates).
+    * Work shape: the one corpus-sized word count, then vocab-bounded
+    * folds (one combined fold per round, the [[applyMergeBatch]]
+    * discipline) and a vocab-bounded aggregate — corpus text is read
+    * exactly once regardless of round count. */
+  def vocabAfterRounds(
+      df: DataFrame,
+      mergeRounds: Seq[Seq[(String, String)]],
+      textCol: String = "text",
+      topK: Int = 50): DataFrame = {
+    var words = wordTable(df, textCol).localCheckpoint()
+    mergeRounds.filter(_.nonEmpty).foreach { batch =>
+      words = words
+        .select(applyMergeBatch(col("syms"), batch).as("syms"), col("cnt"))
+        .localCheckpoint()
+    }
+    words
+      .select(explode(col("syms")).as("subword"), col("cnt"))
+      .groupBy("subword").agg(sum(col("cnt")).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("subword"))
+      .limit(topK)
+  }
+
   /** Tokenize `textCol` with a learned merge list (the inference half
     * of BPE), via the tokenizer word-cache: the merge folds run once
     * per DISTINCT word — vocab-sized work, the same trick as training

@@ -312,6 +312,63 @@ case class ShinglesExpr(child: Expression, n: Int) extends UnaryExpression with 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Greedy left-to-right phrase merge of a token array — the compiled
+  * replacement for the `aggregate`-HOF fold in the phrase-rewrite
+  * operator, whose interpreted lambda (O(|phrases|) array_contains +
+  * string concat per token) dominated `doc_phrase_rewrite`'s runtime.
+  * Semantics are EXACTLY the fold's: seed with the first token; for
+  * each next token x, if `last + " " + x` is in the phrase set, the
+  * accumulator's last element becomes `last + "_" + x` (a token
+  * consumed by one merge is not re-offered to the next — self-runs
+  * compress pairwise); a null on either side appends (the HOF's
+  * concat-null → array_contains-null → otherwise branch). The DuckDB
+  * oracle replays the identical fold, so the kernel's equivalence is
+  * hash-checked per round, not just spec-pinned. */
+case class PhraseMergeExpr(child: Expression, phrases: Seq[String])
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(StringType)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "phrase_merge"
+
+  @transient private lazy val set: java.util.HashSet[org.apache.spark.unsafe.types.UTF8String] = {
+    val s = new java.util.HashSet[org.apache.spark.unsafe.types.UTF8String](phrases.size * 2)
+    phrases.foreach(p => s.add(org.apache.spark.unsafe.types.UTF8String.fromString(p)))
+    s
+  }
+
+  private final val Space = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+  private final val Under = org.apache.spark.unsafe.types.UTF8String.fromString("_")
+
+  def mergeIn(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    val out = new java.util.ArrayList[org.apache.spark.unsafe.types.UTF8String](n)
+    var i = 0
+    while (i < n) {
+      // clone: getUTF8String can return a view over a reused unsafe
+      // buffer; stored elements must own their bytes
+      val x = if (arr.isNullAt(i)) null else arr.getUTF8String(i).clone()
+      val last = if (out.isEmpty) null else out.get(out.size - 1)
+      if (i > 0 && last != null && x != null &&
+          set.contains(org.apache.spark.unsafe.types.UTF8String.concat(last, Space, x)))
+        out.set(out.size - 1,
+          org.apache.spark.unsafe.types.UTF8String.concat(last, Under, x))
+      else out.add(x)
+      i += 1
+    }
+    new GenericArrayData(out.toArray.asInstanceOf[Array[Any]])
+  }
+
+  override protected def nullSafeEval(a: Any): Any = mergeIn(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("phraseMerger", this, classOf[PhraseMergeExpr].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.mergeIn($a);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Static kernel for [[SrpSignExpr]]: Rademacher (±1) hyperplane sign
   * matrices, cached per (bits, seed, dim) — built once per executor, not
   * per row. */
@@ -804,6 +861,10 @@ object VectorExpressions {
   /** Codegen distinct word n-gram shingles of a token-array column. */
   def shingles(tokens: Column, n: Int): Column =
     ExpressionUtils.column(ShinglesExpr(ExpressionUtils.expression(tokens), n))
+
+  /** Codegen greedy left-to-right phrase merge of a token-array column. */
+  def phraseMerge(tokens: Column, phrases: Seq[String]): Column =
+    ExpressionUtils.column(PhraseMergeExpr(ExpressionUtils.expression(tokens), phrases))
 
   /** Codegen SRP bit signature (bits/64 longs) of an embedding column. */
   def srpSign(emb: Column, bits: Int, seed: Long = 42L): Column =

@@ -80,6 +80,58 @@ class BenchLineSpec extends AnyFunSuite {
       "a different physical shape must change the fingerprint")
   }
 
+  test("AQE reuse-vs-inline exchange race hashes to one fingerprint") {
+    // the r8 events_setops finding: the SAME query sometimes prints the
+    // second of two identical exchanges as ReusedExchange, sometimes
+    // fully inlined — a stage-materialization race, not a plan change
+    val inlined =
+      """*(1) HashAggregate(keys=[], functions=[count(1)])
+        |+- Union
+        |   :- *(2) HashAggregate(keys=[k#1L], functions=[sum(v#2L)])
+        |   :  +- ShuffleQueryStage 0
+        |   :     +- Exchange hashpartitioning(k#1L, 32), ENSURE_REQUIREMENTS, [plan_id=10]
+        |   :        +- *(3) HashAggregate(keys=[k#1L], functions=[partial_sum(v#2L)])
+        |   :           +- Scan ExistingRDD[k#1L,v#2L]
+        |   +- *(4) HashAggregate(keys=[k#5L], functions=[sum(v#6L)])
+        |      +- ShuffleQueryStage 1
+        |         +- Exchange hashpartitioning(k#5L, 32), ENSURE_REQUIREMENTS, [plan_id=12]
+        |            +- *(5) HashAggregate(keys=[k#5L], functions=[partial_sum(v#6L)])
+        |               +- Scan ExistingRDD[k#5L,v#6L]""".stripMargin
+    val reused =
+      """*(1) HashAggregate(keys=[], functions=[count(1)])
+        |+- Union
+        |   :- *(2) HashAggregate(keys=[k#1L], functions=[sum(v#2L)])
+        |   :  +- ShuffleQueryStage 0
+        |   :     +- Exchange hashpartitioning(k#1L, 32), ENSURE_REQUIREMENTS, [plan_id=10]
+        |   :        +- *(3) HashAggregate(keys=[k#1L], functions=[partial_sum(v#2L)])
+        |   :           +- Scan ExistingRDD[k#1L,v#2L]
+        |   +- *(4) HashAggregate(keys=[k#5L], functions=[sum(v#6L)])
+        |      +- ShuffleQueryStage 2
+        |         +- ReusedExchange [k#5L, sum#9L], Exchange hashpartitioning(k#1L, 32), ENSURE_REQUIREMENTS, [plan_id=10]""".stripMargin
+    assert(Bench.planFingerprint(inlined) == Bench.planFingerprint(reused),
+      "reuse-vs-inline must canonicalize to one fingerprint")
+    // the race also picks WHICH branch reuses (the r9 finding: the
+    // ReusedExchange appeared in branch 2 one run, branch 3 the next) —
+    // the MIRRORED reuse must hash equal too
+    val reusedMirror =
+      """*(1) HashAggregate(keys=[], functions=[count(1)])
+        |+- Union
+        |   :- *(2) HashAggregate(keys=[k#1L], functions=[sum(v#2L)])
+        |   :  +- ShuffleQueryStage 2
+        |   :     +- ReusedExchange [k#1L, sum#9L], Exchange hashpartitioning(k#5L, 32), ENSURE_REQUIREMENTS, [plan_id=12]
+        |   +- *(4) HashAggregate(keys=[k#5L], functions=[sum(v#6L)])
+        |      +- ShuffleQueryStage 1
+        |         +- Exchange hashpartitioning(k#5L, 32), ENSURE_REQUIREMENTS, [plan_id=12]
+        |            +- *(5) HashAggregate(keys=[k#5L], functions=[partial_sum(v#6L)])
+        |               +- Scan ExistingRDD[k#5L,v#6L]""".stripMargin
+    assert(Bench.planFingerprint(reusedMirror) == Bench.planFingerprint(inlined),
+      "reuse landing in the other branch must hash equal too")
+    // but a GENUINELY different second exchange must not collapse
+    val different = inlined.replace("partial_sum(v#6L)", "partial_max(v#6L)")
+    assert(Bench.planFingerprint(different) != Bench.planFingerprint(inlined),
+      "distinct exchange contents must keep distinct fingerprints")
+  }
+
   test("dict is dropped, not truncated, when it would blow the cap") {
     val many = (1 to 500).map(i => s"query_with_a_quite_long_name_$i" -> 1.234)
     val line = Bench.summaryLine(617.0, 1234.0, many, "sf0.1", 3)

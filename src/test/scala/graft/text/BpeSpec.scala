@@ -188,6 +188,32 @@ class BpeSpec extends AnyFunSuite {
       "disjoint-batch combined fold must equal sequential rule application")
   }
 
+  test("merge artifact: equals the live trainer, reuses, and invalidates on params") {
+    val dir = java.nio.file.Files.createTempDirectory("bpe_art").toString
+    Bpe.ensureMergeArtifact(spark, df, dir, rounds = 4, batchSize = 4, candCap = 64)
+    // artifact read == live trainer, both shapes
+    val live = Bpe.learnMergesBatched(df, rounds = 4, batchSize = 4, candCap = 64)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    val art = Bpe.mergesFromArtifact(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(art == live)
+    assert(Bpe.loadMergeRounds(spark, dir) ==
+      Bpe.learnRounds(df, rounds = 4, batchSize = 4, candCap = 64)
+        .map(_.map(t => (t._1, t._2))).filter(_.nonEmpty))
+    // unchanged corpus+params: no rewrite
+    val f1 = new java.io.File(s"$dir/data").listFiles()
+      .map(f => f.getName -> f.lastModified).toMap
+    Bpe.ensureMergeArtifact(spark, df, dir, rounds = 4, batchSize = 4, candCap = 64)
+    val f2 = new java.io.File(s"$dir/data").listFiles()
+      .map(f => f.getName -> f.lastModified).toMap
+    assert(f2 == f1, "unchanged corpus+params must not retrain")
+    // changed rounds: different artifact → rebuild
+    Bpe.ensureMergeArtifact(spark, df, dir, rounds = 2, batchSize = 4, candCap = 64)
+    val n = Bpe.mergesFromArtifact(spark, dir).count()
+    val n2 = Bpe.learnRounds(df, rounds = 2, batchSize = 4, candCap = 64).flatten.size
+    assert(n == n2, s"changed params must rebuild the artifact: $n vs $n2")
+  }
+
   test("batched training on an empty corpus yields empty rounds, not an error") {
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
     val rounds = Bpe.learnRounds(empty, rounds = 3, batchSize = 4, candCap = 16)

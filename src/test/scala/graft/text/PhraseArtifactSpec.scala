@@ -47,6 +47,35 @@ class PhraseArtifactSpec extends AnyFunSuite {
     assert(n == 1L, s"changed topK must rebuild the artifact, got $n phrases")
   }
 
+  test("fused phrase-merge kernel bit-matches the declarative fold") {
+    import org.apache.spark.sql.functions._
+    // chain case: after "new york" merges, "york times" must NOT fire
+    // on the consumed york; a fresh "york times" later must
+    val docs = Seq(
+      (1L, "i read the new york times in new york york times"),
+      (2L, "a a a a"),            // self-run under phrase "a a"
+      (3L, "one"),                // single token
+      (4L, ""),                   // empty
+      (5L, "new york new york times")) // merge then chain boundary
+      .toDF("doc_id", "text")
+    val phrases = Seq("new york", "york times", "a a")
+    val toks = TextAnalysis.tokens(col("text"))
+    val both = docs.select(
+      org.apache.spark.sql.graft.VectorExpressions.phraseMerge(toks, phrases).as("k"),
+      TextAnalysis.phraseMergeHof(toks, phrases).as("h"))
+      .collect()
+    both.foreach { r =>
+      assert(r.getSeq[String](0) == r.getSeq[String](1),
+        s"kernel ${r.getSeq[String](0)} != fold ${r.getSeq[String](1)}")
+    }
+    // and the greedy semantics themselves, pinned
+    val d1 = docs.filter(col("doc_id") === 1L).select(
+      org.apache.spark.sql.graft.VectorExpressions.phraseMerge(toks, phrases))
+      .head().getSeq[String](0)
+    assert(d1 == Seq("i", "read", "the", "new_york", "times", "in",
+      "new_york", "york_times"), d1.toString)
+  }
+
   test("changed corpus invalidates the artifact") {
     val dir = Files.createTempDirectory("phr_inval").toString
     TextAnalysis.ensurePhraseArtifact(spark, df, dir, minCount = 5L, topK = 5)
