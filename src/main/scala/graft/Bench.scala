@@ -192,7 +192,13 @@ object Bench {
       .replaceAll("plan_id=\\d+", "plan_id=x")
       .replaceAll("exprId=\\d+", "exprId=x")
       .replaceAll("\\[id=[^\\]]*\\]", "[id=x]")
-      .replaceAll("@[0-9a-fA-F]{6,}", "@x")
+      // object addresses/hashCodes (Lambda$123/0x…@1a2b3c) — hashCode
+      // hex can be ANY length (a 5-char @39cec escaped the old {6,}
+      // bound and split media_resize_stats' fingerprint in r9); the
+      // lambda class id/address itself is per-JVM, which matters for
+      // the cross-process BENCH_FPS comparison in changed-only mode
+      .replaceAll("Lambda\\$\\d+/0x[0-9a-fA-F]+", "Lambda\\$x")
+      .replaceAll("@[0-9a-fA-F]+", "@x")
       .replaceAll("ShuffleQueryStage \\d+", "ShuffleQueryStage x")
       .replaceAll("BroadcastQueryStage \\d+", "BroadcastQueryStage x")
       .replaceAll("/tmp/[\\w./-]*", "/tmp/x")
