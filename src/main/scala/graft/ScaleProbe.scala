@@ -232,6 +232,13 @@ object ScaleProbe {
     time("PMI collocations")(noop(
       graft.text.TextAnalysis.pmiPairs(docsVaried)))
 
+    // phrase rewrite through the FUSED kernel (one hash-set probe per
+    // token) over the id-replicated corpus: pure map-only pass; cost
+    // must track the token volume linearly
+    time("phrase rewrite (kernel)")(noop(
+      graft.text.TextAnalysis.phraseRewriteWith(docs,
+        Seq("merge sort", "hash join", "shuffle write", "broadcast join"))))
+
     // BPE on the id-replicated corpus: the corpus-sized word count
     // grows with the factor but the vocabulary (and so every merge
     // round) is CONSTANT — the Sennrich word-count trick measured
