@@ -275,6 +275,26 @@ object ScaleProbe {
       graft.text.Bpe.applyMergesGrouped(docs, rounds)
     })
 
+    // the VOCAB axis at depth: the varied replication multiplies the
+    // distinct-word table by the factor (every replica group gets its
+    // own g<i>_ token prefix), so batch-64 rounds have room to select
+    // hundreds of rules — the closest this fixture gets to a
+    // production-size merge list. Reported: rules learned + wall time
+    // (per-rule cost must stay amortized at depth), then a tokenize
+    // pass applying ALL of them in `rounds` combined folds.
+    if (onlyFilter.forall(_.exists("BPE XL".contains))) {
+      val t0 = System.nanoTime()
+      val xl = graft.text.Bpe.learnRounds(docsVaried.localCheckpoint(),
+        rounds = 16, batchSize = 64, candCap = 1024)
+      val nRules = xl.map(_.size).sum
+      println(f"[scale] BPE XL train (16 rounds x batch 64): $nRules rules " +
+        f"in ${(System.nanoTime() - t0) / 1e9}%.2f s " +
+        f"(yields ${xl.map(_.size).mkString(",")})")
+      time(s"BPE XL tokenize ($nRules rules)")(noop(
+        graft.text.Bpe.applyMergesGrouped(docsVaried,
+          xl.map(_.map(t => (t._1, t._2))))))
+    }
+
     // z-order layout stats: raw rows grow with the factor, but the
     // only window runs over the occupied-cell table (≤ 2^20 rows at
     // any corpus size) — cost must track the one bucketing aggregation
