@@ -214,6 +214,27 @@ class BpeSpec extends AnyFunSuite {
     assert(n == n2, s"changed params must rebuild the artifact: $n vs $n2")
   }
 
+  test("broadcastVocab=false tokenizes identically through a shuffle join") {
+    val rounds = Bpe.learnRounds(df, rounds = 3, batchSize = 4, candCap = 64)
+      .map(_.map(t => (t._1, t._2)))
+    val on = Bpe.applyMergesGrouped(df, rounds, broadcastVocab = true)
+      .select("doc_id", "bpe_tokens").as[(Long, Seq[String])].collect().toMap
+    val offDf = Bpe.applyMergesGrouped(df, rounds, broadcastVocab = false)
+    val off = offDf
+      .select("doc_id", "bpe_tokens").as[(Long, Seq[String])].collect().toMap
+    assert(on == off, "the open-vocabulary shuffle path must match the broadcast path")
+    // the flag removes the broadcast PIN (AQE may still choose to
+    // broadcast a small vocab — the point is that a web-scale one is
+    // no longer forced executor-wide): hint present iff flag on
+    val onHinted = Bpe.applyMergesGrouped(df, rounds, broadcastVocab = true)
+      .queryExecution.analyzed.toString
+    val offHinted = offDf.queryExecution.analyzed.toString
+    assert(onHinted.toLowerCase.contains("broadcast"),
+      "broadcastVocab=true must pin the hint")
+    assert(!offHinted.toLowerCase.contains("broadcast"),
+      s"broadcastVocab=false must leave the join strategy to the planner:\n$offHinted")
+  }
+
   test("batched training on an empty corpus yields empty rounds, not an error") {
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
     val rounds = Bpe.learnRounds(empty, rounds = 3, batchSize = 4, candCap = 16)
