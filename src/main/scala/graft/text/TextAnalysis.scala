@@ -736,7 +736,8 @@ object TextAnalysis {
       df: DataFrame,
       topN: Int = 3,
       idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text",
+      broadcastVocab: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val toks = df.select(col(idCol), explode(tokens(col(textCol))).as("term"))
     // tf feeds both the df_t aggregate and the scored join — pin it
@@ -745,12 +746,17 @@ object TextAnalysis {
     // side is deterministic
     val tf = toks.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
       .localCheckpoint()
-    val docFreq = tf.groupBy("term").agg(count(lit(1)).as("df_t"))
+    val docFreq0 = tf.groupBy("term").agg(count(lit(1)).as("df_t"))
+    // vocab-sized: broadcast only when opted in (default true — it
+    // also pins the build side); false = shuffle join on the term
+    // key for open-vocabulary web corpora (the pmiPairs
+    // broadcastUnigrams convention, per the r8 advice)
+    val docFreq = if (broadcastVocab) broadcast(docFreq0) else docFreq0
     val nDocs = df.agg(count(lit(1)).as("n_docs"))
     val idf = log((col("n_docs").cast("double") + lit(1.0)) /
       (col("df_t").cast("double") + lit(1.0))) + lit(1.0)
     val w = Window.partitionBy(col(idCol)).orderBy(col("tfidf_q").desc, col("term").asc)
-    tf.join(broadcast(docFreq), "term")
+    tf.join(docFreq, "term")
       .crossJoin(broadcast(nDocs))
       .withColumn("tfidf_q",
         floor((col("tf").cast("double") * idf) * lit(1000000.0)).cast("long"))
