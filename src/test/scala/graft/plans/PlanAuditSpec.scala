@@ -307,4 +307,26 @@ class PlanAuditSpec extends AnyFunSuite {
     val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
     assert(exchanges == 1, s"expected exactly one shuffle, got $exchanges:\n$plan")
   }
+
+  test("phrase rewrite through the fused kernel is map-only: no exchange, no HOF") {
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+    val plan = graft.text.TextAnalysis.phraseRewriteWith(d,
+        Seq("merge sort", "hash join"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"rewrite must not shuffle:\n$plan")
+    assert(plan.contains("phrase_merge"), s"fused kernel missing from plan:\n$plan")
+    assert(!plan.toLowerCase.contains("aggregate("),
+      s"no HOF fold may remain in the hot path:\n$plan")
+  }
+
+  test("BPE vocabulary aggregate partial-combines map-side") {
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+    val rounds = Seq(Seq(("e", "r"), ("t", "h")))
+    val plan = graft.text.Bpe.vocabAfterRounds(d, rounds, topK = 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_sum") || plan.contains("partial_count"),
+      s"vocab aggregate must partial-combine before the shuffle:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"the top-K cut must be a bounded TakeOrdered, not a global sort:\n$plan")
+  }
 }

@@ -235,6 +235,23 @@ class BpeSpec extends AnyFunSuite {
       s"broadcastVocab=false must leave the join strategy to the planner:\n$offHinted")
   }
 
+  test("randomized corpora: batched trainer matches the reference implementation") {
+    val rnd = new scala.util.Random(20260814L)
+    val alphabet = "abcdefg"
+    for (trial <- 1 to 3) {
+      val words = (1 to 40).map { _ =>
+        (1 to (1 + rnd.nextInt(7))).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+      }
+      val texts = (1 to 30).map { _ =>
+        (1 to (3 + rnd.nextInt(10))).map(_ => words(rnd.nextInt(words.length))).mkString(" ")
+      }
+      val d = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val got = Bpe.learnRounds(d, rounds = 5, batchSize = 6, candCap = 128)
+      val want = refBatched(texts, rounds = 5, batch = 6, cap = 128)
+      assert(got == want, s"trial $trial diverged: $got vs $want")
+    }
+  }
+
   test("batched training on an empty corpus yields empty rounds, not an error") {
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
     val rounds = Bpe.learnRounds(empty, rounds = 3, batchSize = 4, candCap = 16)
