@@ -232,6 +232,7 @@ object Bench {
     // save's — [[drainLastPlan]] polls (outside the timed region) until
     // the event counter is stable.
     val lastPlan = new java.util.concurrent.atomic.AtomicReference[(Long, String)]((0L, ""))
+    val warnedNoTerminalPlan = new java.util.concurrent.atomic.AtomicBoolean(false)
     spark.listenerManager.register(new org.apache.spark.sql.util.QueryExecutionListener {
       override def onSuccess(funcName: String,
           qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit = {
@@ -264,7 +265,20 @@ object Bench {
       }
       if (last._1 > sinceCount && last._2.startsWith("OverwriteByExpression"))
         Some(last._2)
-      else None
+      else {
+        // warn ONCE per process: if a future Spark renames/wraps the
+        // noop-write root node, every fingerprint would silently
+        // degrade to "none" after the 2 s deadline — make the plan-root
+        // rename loud instead of an all-"none" record
+        if (!warnedNoTerminalPlan.getAndSet(true))
+          System.err.println(
+            "graft.Bench: drain deadline expired without a terminal " +
+              "'OverwriteByExpression' plan (saw root: '" +
+              last._2.linesIterator.take(1).mkString.take(80) +
+              "') — fingerprints may record as 'none'; check whether " +
+              "the noop-write plan root was renamed in this Spark version")
+        None
+      }
     }
 
     // raw plan text per (query, fingerprint): when a query's runs ever

@@ -62,13 +62,11 @@ object Dedup {
       dir: String,
       idCol: String = "doc_id",
       textCol: String = "text"): Unit = {
-    val row = corpus.select(xxhash64(col(idCol), col(textCol)).as("_h"))
-      .agg(count(lit(1)), expr("bit_xor(_h)")).head()
-    val (nRows, dataHash) =
-      (row.getLong(0), if (row.isNullAt(1)) 0L else row.getLong(1))
+    val (nRows, dataHash, hashSum) =
+      graft.io.Artifact.hashAgg(corpus, xxhash64(col(idCol), col(textCol)))
     graft.io.Artifact.ensure(dir, hashStoreSidecar,
       graft.io.Artifact.fingerprintJson(nRows, dataHash,
-        "idCol" -> idCol, "textCol" -> textCol)) {
+        "hsum" -> hashSum, "idCol" -> idCol, "textCol" -> textCol)) {
       corpus
         .select(graft.text.TextAnalysis.fingerprintMd5(col(textCol)).as("h"),
           col(idCol).cast("long").as("first_id"))
@@ -220,13 +218,11 @@ object Dedup {
       idCol: String = "doc_id",
       textCol: String = "text",
       shingleN: Int = 3): Unit = {
-    val row = corpus.select(xxhash64(col(idCol), col(textCol)).as("_h"))
-      .agg(count(lit(1)), expr("bit_xor(_h)")).head()
-    val (nRows, dataHash) =
-      (row.getLong(0), if (row.isNullAt(1)) 0L else row.getLong(1))
+    val (nRows, dataHash, hashSum) =
+      graft.io.Artifact.hashAgg(corpus, xxhash64(col(idCol), col(textCol)))
     graft.io.Artifact.ensure(dir, shingleStoreSidecar,
       graft.io.Artifact.fingerprintJson(nRows, dataHash,
-        "idCol" -> idCol, "textCol" -> textCol,
+        "hsum" -> hashSum, "idCol" -> idCol, "textCol" -> textCol,
         "shingleN" -> shingleN.toString)) {
       val sh = corpus
         .select(col(idCol).cast("long").as("c_id"),
@@ -1195,15 +1191,14 @@ object Dedup {
       textCol: String = "text"): DataFrame = {
     val spark = df.sparkSession
     val sidecar = java.nio.file.Paths.get(dir, "_fingerprint.json")
-    val row = df.select(xxhash64(col(idCol), col(textCol)).as("_h"))
-      .agg(count(lit(1)), expr("bit_xor(_h)")).head()
-    val nRows = row.getLong(0)
-    val hash = if (row.isNullAt(1)) 0L else row.getLong(1)
+    val (nRows, hash, hashSum) =
+      graft.io.Artifact.hashAgg(df, xxhash64(col(idCol), col(textCol)))
     val dataDir = s"$dir/clusters"
     if (java.nio.file.Files.exists(sidecar)) {
       val node = new com.fasterxml.jackson.databind.ObjectMapper()
         .readTree(java.nio.file.Files.readString(sidecar))
-      if (node.get("count").asLong() == nRows && node.get("hash").asLong() == hash)
+      if (node.get("count").asLong() == nRows && node.get("hash").asLong() == hash &&
+          node.hasNonNull("hsum") && node.get("hsum").asText() == hashSum)
         return spark.read.parquet(dataDir)
     }
     val pairs = ngramJaccardPairs(df, n, minJaccard, idCol, textCol, maxShingleDf)
@@ -1212,7 +1207,8 @@ object Dedup {
       .withColumnRenamed("id", idCol)
       .write.mode("overwrite").parquet(dataDir)
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
-    java.nio.file.Files.writeString(sidecar, s"""{"count":$nRows,"hash":$hash}""")
+    java.nio.file.Files.writeString(sidecar,
+      s"""{"count":$nRows,"hash":$hash,"hsum":"$hashSum"}""")
     spark.read.parquet(dataDir)
   }
 }

@@ -97,12 +97,10 @@ object Ivf {
     * order-independent hash of the embedding column. One narrow scan —
     * the price of never probing a stale cached layout after the input
     * data changes under the same path. */
-  private def fingerprint(df: DataFrame, embCol: String): (Long, Long) = {
-    // bit_xor, not sum: order-independent AND overflow-free under ANSI
-    val row = df.select(xxhash64(col(embCol)).as("_h"))
-      .agg(count(lit(1)), expr("bit_xor(_h)")).head()
-    (row.getLong(0), if (row.isNullAt(1)) 0L else row.getLong(1))
-  }
+  private def fingerprint(df: DataFrame, embCol: String): (Long, Long, String) =
+    // bit_xor (order-independent, ANSI-safe) + duplicate-robust
+    // decimal sum — the shared sidecar hash ([[graft.io.Artifact.hashAgg]])
+    graft.io.Artifact.hashAgg(df, xxhash64(col(embCol)))
 
   /** Fit (if needed) and persist the partitioned layout + sidecar.
     * Idempotent across processes: an existing layout is reused only when
@@ -119,13 +117,13 @@ object Ivf {
       sampleFraction: Double = 1.0,
       embCol: String = "embedding"): Layout = {
     val sidecar = java.nio.file.Paths.get(dir, centroidFile)
-    val (nRows, dataHash) = fingerprint(df, embCol)
+    val (nRows, dataHash, hashSum) = fingerprint(df, embCol)
     if (java.nio.file.Files.exists(sidecar)) {
-      val (layout, storedCount, storedHash) = loadLayoutWithFingerprint(dir)
+      val (layout, storedCount, storedHash, storedSum) = loadLayoutWithFingerprint(dir)
       // nlist is structural: a caller asking for a different list count
       // must get a rebuild, not a silent reuse of the old partitioning
       // (the stored centroid count IS the built nlist)
-      if (storedCount == nRows && storedHash == dataHash &&
+      if (storedCount == nRows && storedHash == dataHash && storedSum == hashSum &&
           layout.centroids.length == nlist) return layout
     }
     val index = fit(df, nlist, embCol, sampleFraction, maxIter)
@@ -133,20 +131,21 @@ object Ivf {
     val centroids = index.model.clusterCenters.map(_.toArray)
     val centroidJson = centroids.map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
     java.nio.file.Files.writeString(sidecar,
-      s"""{"count":$nRows,"hash":$dataHash,"centroids":$centroidJson}""")
+      s"""{"count":$nRows,"hash":$dataHash,"hsum":"$hashSum","centroids":$centroidJson}""")
     Layout(dir, centroids)
   }
 
   def loadLayout(dir: String): Layout = loadLayoutWithFingerprint(dir)._1
 
-  private def loadLayoutWithFingerprint(dir: String): (Layout, Long, Long) = {
+  private def loadLayoutWithFingerprint(dir: String): (Layout, Long, Long, String) = {
     val json = java.nio.file.Files.readString(java.nio.file.Paths.get(dir, centroidFile))
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val node = mapper.readTree(json)
     import scala.jdk.CollectionConverters._
     val centroids = node.get("centroids").elements().asScala
       .map(row => row.elements().asScala.map(_.asDouble()).toArray).toArray
-    (Layout(dir, centroids), node.get("count").asLong(), node.get("hash").asLong())
+    (Layout(dir, centroids), node.get("count").asLong(), node.get("hash").asLong(),
+      if (node.hasNonNull("hsum")) node.get("hsum").asText() else "")
   }
 
   private def probeClustersOf(centroids: Array[Array[Double]], query: Array[Float], nprobe: Int): Seq[Int] = {
@@ -245,16 +244,23 @@ object Ivf {
     // staleness the fingerprint exists to rule out
     val assigned = assignByCentroids(layout, rows, embCol).localCheckpoint()
     assigned.write.mode("append").partitionBy("cluster").parquet(layout.dir)
-    val (nNew, hNew) = fingerprint(assigned, embCol)
+    val (nNew, hNew, sNew) = fingerprint(assigned, embCol)
     val sidecar = java.nio.file.Paths.get(layout.dir, centroidFile)
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val node = mapper.readTree(java.nio.file.Files.readString(sidecar))
     val count = node.get("count").asLong() + nNew
     val hash = node.get("hash").asLong() ^ hNew
+    // xor and sum are both order-independent, so the sidecar fingerprint
+    // stays maintainable incrementally: xor toggles, sum adds
+    val hsum = storedHsum(node).add(new java.math.BigInteger(sNew))
     java.nio.file.Files.writeString(sidecar,
-      s"""{"count":$count,"hash":$hash,"centroids":${node.get("centroids").toString}}""")
+      s"""{"count":$count,"hash":$hash,"hsum":"$hsum","centroids":${node.get("centroids").toString}}""")
     layout
   }
+
+  private def storedHsum(node: com.fasterxml.jackson.databind.JsonNode): java.math.BigInteger =
+    if (node.hasNonNull("hsum")) new java.math.BigInteger(node.get("hsum").asText())
+    else java.math.BigInteger.ZERO
 
   private val tombstoneDirName = "_tombstones"
 
@@ -285,14 +291,15 @@ object Ivf {
     val affected = liveRows(spark, layout, spark.read.parquet(layout.dir), idCol)
       .join(broadcast(requested), Seq(idCol), "left_semi")
       .localCheckpoint() // one evaluation feeds both the write and the xor
-    val (nDel, hDel) = fingerprint(affected, embCol)
+    val (nDel, hDel, sDel) = fingerprint(affected, embCol)
     if (nDel == 0L) return 0L
     affected.select(col(idCol)).write.mode("append").parquet(tombPath)
     val sidecar = java.nio.file.Paths.get(layout.dir, centroidFile)
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val node = mapper.readTree(java.nio.file.Files.readString(sidecar))
+    val hsum = storedHsum(node).subtract(new java.math.BigInteger(sDel))
     java.nio.file.Files.writeString(sidecar,
-      s"""{"count":${node.get("count").asLong() - nDel},"hash":${node.get("hash").asLong() ^ hDel},"centroids":${node.get("centroids").toString}}""")
+      s"""{"count":${node.get("count").asLong() - nDel},"hash":${node.get("hash").asLong() ^ hDel},"hsum":"$hsum","centroids":${node.get("centroids").toString}}""")
     nDel
   }
 

@@ -3,6 +3,9 @@ package graft.io
 import java.nio.channels.FileChannel
 import java.nio.file.{Files, Paths, StandardOpenOption}
 
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions.{col, count, expr, lit, sum}
+
 /** The fingerprint-sidecar "ensure" protocol shared by the
   * build-once/probe-many artifacts (IVF layouts, BM25 postings, dedup
   * stores, Z-order layouts, phrase sets): an artifact directory is
@@ -26,6 +29,25 @@ import java.nio.file.{Files, Paths, StandardOpenOption}
   * under a live process, which the fresh-fingerprint check already
   * serializes. */
 object Artifact {
+
+  /** Shared content-hash aggregate for the fingerprint sidecars: row
+    * count, bit_xor of the per-row hashes, and an order-independent
+    * SUM of the hashes as decimal(38,0) — exact and overflow-free
+    * under ANSI up to ~1e19 rows, so it wraps nothing in practice.
+    * bit_xor alone is order-independent but cancels duplicate rows
+    * (h ^ h = 0): two corpora of equal count differing only in WHICH
+    * rows are duplicated could collide — a plausible input shape for a
+    * dedup-oriented engine. The sum breaks the cancellation
+    * (duplicates add, never cancel); all three ride one narrow scan. */
+  def hashAgg(df: DataFrame, h: Column): (Long, Long, String) = {
+    val row = df.select(h.as("_h"))
+      .agg(count(lit(1)), expr("bit_xor(_h)"),
+        sum(col("_h").cast(org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0))))
+      .head()
+    (row.getLong(0),
+      if (row.isNullAt(1)) 0L else row.getLong(1),
+      if (row.isNullAt(2)) "0" else row.getDecimal(2).toBigInteger.toString)
+  }
 
   /** Build `fingerprint` string for `count`/`hash` plus build params —
     * one canonical shape so equality comparison is exact. */

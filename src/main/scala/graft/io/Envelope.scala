@@ -160,15 +160,19 @@ object Envelope {
       maxRows: Long = MaxEnvelopeRows): Unit = {
     // Parity-shim scale note: the envelope is one JSON document, so the
     // rows must land on the driver; collect is inherent to the format.
-    // Guard BEFORE collecting: a 100 TB store pointed at the parity sink
-    // must fail with instructions, not an executor-to-driver OOM.
-    val n = ds.count()
-    require(n <= maxRows,
-      s"envelope save refused: $n rows exceeds the $maxRows-row " +
-        "single-document JSON cap (the whole envelope must materialize " +
+    // Guard via ONE bounded collect — limit(cap + 1) — so the upstream
+    // dataset is computed once (count + collect would pay it twice and
+    // open a TOCTOU window between the two), the driver never holds
+    // more than cap + 1 rows, and a 100 TB store pointed at the parity
+    // sink fails with instructions, not an executor-to-driver OOM.
+    val cap = math.min(maxRows, Int.MaxValue - 1L).toInt
+    val rows = ds.limit(cap + 1).collect()
+    require(rows.length <= cap,
+      s"envelope save refused: more than $cap rows (the " +
+        "single-document JSON cap — the whole envelope must materialize " +
         "on the driver); use VectorStore.saveParquet for a distributed " +
         "sink, or filter the store before exporting an envelope")
-    save(Db(dim, nextId, ds.collect().toSeq), path)
+    save(Db(dim, nextId, rows.toSeq), path)
   }
 
   private def parse(meta: String): JsonNode =

@@ -31,15 +31,14 @@ object Bucketed {
 
   private val sidecarName = "_graft_bucket_sidecar.json"
 
-  /** Order-independent content fingerprint (count, xor of row hashes) —
+  /** Order-independent content fingerprint (count, xor of row hashes,
+    * duplicate-robust wrapping sum — [[graft.io.Artifact.hashAgg]]) —
     * same device as the IVF layout sidecar (`Ivf.fingerprint`): bit_xor
     * is commutative and overflow-free under ANSI, so the value is
     * partitioning-invariant. */
-  private def fingerprint(df: DataFrame): (Long, Long) = {
+  private def fingerprint(df: DataFrame): (Long, Long, String) = {
     val cols = df.columns.toIndexedSeq.map(col)
-    val row = df.select(xxhash64(struct(cols: _*)).as("_h"))
-      .agg(count(lit(1)), expr("bit_xor(_h)")).head()
-    (row.getLong(0), if (row.isNullAt(1)) 0L else row.getLong(1))
+    graft.io.Artifact.hashAgg(df, xxhash64(struct(cols: _*)))
   }
 
   /** Idempotently materialize `df` as a bucketed+sorted external table
@@ -60,13 +59,14 @@ object Bucketed {
     require(df.columns.contains(key), s"bucket key '$key' not in ${df.columns.mkString(",")}")
     if (spark.catalog.tableExists(table)) return false
     val sidecar = java.nio.file.Paths.get(dir, sidecarName)
-    val (nRows, dataHash) = fingerprint(df)
+    val (nRows, dataHash, hashSum) = fingerprint(df)
     val ddl = df.schema.toDDL
     if (java.nio.file.Files.exists(sidecar)) {
       val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
       val node = mapper.readTree(java.nio.file.Files.readString(sidecar))
       if (node.get("count").asLong() == nRows &&
           node.get("hash").asLong() == dataHash &&
+          node.hasNonNull("hsum") && node.get("hsum").asText() == hashSum &&
           node.get("buckets").asInt() == buckets &&
           node.get("key").asText() == key) {
         spark.sql(
@@ -85,7 +85,7 @@ object Bucketed {
       .format("parquet")
       .saveAsTable(table)
     java.nio.file.Files.writeString(sidecar,
-      s"""{"count":$nRows,"hash":$dataHash,"buckets":$buckets,"key":"$key"}""")
+      s"""{"count":$nRows,"hash":$dataHash,"hsum":"$hashSum","buckets":$buckets,"key":"$key"}""")
     true
   }
 

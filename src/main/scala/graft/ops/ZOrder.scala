@@ -168,12 +168,11 @@ object ZOrder {
       yCol: String,
       numFiles: Int = 32,
       bits: Int = 10): Unit = {
-    val row = df.select(xxhash64(df.columns.map(col): _*).as("_h"))
-      .agg(count(lit(1)), expr("bit_xor(_h)")).head()
-    val (nRows, dataHash) =
-      (row.getLong(0), if (row.isNullAt(1)) 0L else row.getLong(1))
+    val (nRows, dataHash, hashSum) =
+      graft.io.Artifact.hashAgg(df, xxhash64(df.columns.map(col): _*))
     graft.io.Artifact.ensure(dir, zorderSidecar,
       graft.io.Artifact.fingerprintJson(nRows, dataHash,
+        "hsum" -> hashSum,
         "xCol" -> xCol, "yCol" -> yCol,
         "numFiles" -> numFiles.toString, "bits" -> bits.toString)) {
       writeZOrdered(df, xCol, yCol, s"$dir/data", numFiles, bits)

@@ -41,9 +41,11 @@ import org.apache.spark.sql.functions._
   *    applying them sequentially in rank order — one materialized
   *    vocab-table step per ROUND instead of per rule, so ~90 rules
   *    cost 8 rounds at batch 16 instead of 90 driver round-trips.
-  *    The SQL oracle replays the greedy pick as a recursive CTE
-  *    walking the ranked candidates with the kept-symbol set as
-  *    accumulator state.
+  *    The SQL oracle replays the greedy pick as `batchSize` chained
+  *    1-row NOT-EXISTS CTEs (pick k = the lowest-ranked candidate not
+  *    conflicting with picks 1..k-1); a recursive-CTE formulation was
+  *    rejected — DuckDB 1.0 silently mis-evaluates recursive CTEs
+  *    consumed under materialized upstreams (SparkEntry.bpeBatchRoundSql).
   *
   * The greedy application is a left fold seeded with the first symbol:
   * runs of a self-pair (`a a a a` under merge `(a,a)`) compress to
@@ -55,9 +57,16 @@ import org.apache.spark.sql.functions._
   */
 object Bpe {
 
-  /** Key separator inside the batch-merge lookup map; tokens are
-    * normalized alphanumerics, so U+0001 can never occur in a symbol (the oracle uses chr(1) for the same key). */
-  private val Sep = "\u0001"
+  /** Key separator inside the batch-merge lookup map (the oracle uses
+    * chr(1) for the same key). U+0001 is RESERVED by construction, not
+    * by assumption: [[selectBatch]] never keeps a candidate whose
+    * symbol contains it, so every map key holds exactly one separator,
+    * while a probe key built from a U+0001-carrying data symbol holds
+    * at least two or ends with one - such a probe can never collide
+    * with a clean key, it just fails to merge (normalizeText only
+    * lowercases and collapses whitespace, so adversarial text CAN
+    * carry U+0001 into tokens; it then never joins a merge rule). */
+  private[text] val Sep = "\u0001"
 
   /** Adjacent symbol pairs of `syms` as (a, b) structs. */
   private def adjacentPairs(syms: Column): Column =
@@ -98,11 +107,15 @@ object Bpe {
       })
   }
 
-  /** The batch-selection rule, driver-side (the oracle replays it as a
-    * recursive CTE over the same ranked candidate list): scan
+  /** The batch-selection rule, driver-side (the oracle replays it as
+    * chained 1-row NOT-EXISTS CTEs over the same ranked candidate
+    * list — see `SparkEntry.bpeBatchRoundSql`): scan
     * candidates in (count desc, a, b) order; keep one iff it shares NO
     * symbol — over {lhs, rhs, lhs+rhs} — with any ALREADY-KEPT
-    * candidate; stop at `batchSize` keepers. This is the standard
+    * candidate, and its symbols are free of the reserved [[Sep]]
+    * separator (keeps the lookup-map keys unambiguous on adversarial
+    * input; clean corpora are unaffected); stop at `batchSize`
+    * keepers. This is the standard
     * greedy maximal-independent-set pick: a rejected candidate does
     * NOT poison later ones (the alternative non-recursive rule —
     * conflict against every higher-ranked candidate, kept or not —
@@ -117,7 +130,8 @@ object Bpe {
     var i = 0
     while (i < cands.length && sel.size < batchSize) {
       val (a, b, _) = cands(i)
-      if (!(used(a) || used(b) || used(a + b))) {
+      if (!(used(a) || used(b) || used(a + b)) &&
+          !a.contains(Sep) && !b.contains(Sep)) {
         sel += cands(i)
         used += a; used += b; used += (a + b)
       }
@@ -256,12 +270,11 @@ object Bpe {
       rounds: Int = 8,
       batchSize: Int = 16,
       candCap: Int = 256): Unit = {
-    val row = df.select(xxhash64(col(textCol)).as("_h"))
-      .agg(count(lit(1)), expr("bit_xor(_h)")).head()
-    val (nRows, dataHash) =
-      (row.getLong(0), if (row.isNullAt(1)) 0L else row.getLong(1))
+    val (nRows, dataHash, hashSum) =
+      graft.io.Artifact.hashAgg(df, xxhash64(col(textCol)))
     graft.io.Artifact.ensure(dir, mergeSidecar,
       graft.io.Artifact.fingerprintJson(nRows, dataHash,
+        "hsum" -> hashSum,
         "textCol" -> textCol, "rounds" -> rounds.toString,
         "batchSize" -> batchSize.toString, "candCap" -> candCap.toString)) {
       val flat = learnRounds(df, textCol, rounds, batchSize, candCap)

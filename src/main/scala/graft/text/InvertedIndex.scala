@@ -39,11 +39,8 @@ object InvertedIndex {
     * text), not the derived postings — one narrow xxhash scan instead
     * of re-running the posting explode per probe (`Ivf.fingerprint`'s
     * device). */
-  private def fingerprint(df: DataFrame, idCol: String, textCol: String): (Long, Long) = {
-    val row = df.select(xxhash64(col(idCol), col(textCol)).as("_h"))
-      .agg(count(lit(1)), expr("bit_xor(_h)")).head()
-    (row.getLong(0), if (row.isNullAt(1)) 0L else row.getLong(1))
-  }
+  private def fingerprint(df: DataFrame, idCol: String, textCol: String): (Long, Long, String) =
+    graft.io.Artifact.hashAgg(df, xxhash64(col(idCol), col(textCol)))
 
   private val postingsDdl = "token STRING, doc_id BIGINT, tf BIGINT, dl BIGINT"
 
@@ -66,11 +63,12 @@ object InvertedIndex {
       val node = mapper.readTree(java.nio.file.Files.readString(sidecar))
       return CorpusStats(node.get("nDocs").asLong(), node.get("sumDl").asLong())
     }
-    val (nRows, dataHash) = fingerprint(df, idCol, textCol)
+    val (nRows, dataHash, hashSum) = fingerprint(df, idCol, textCol)
     if (java.nio.file.Files.exists(sidecar)) {
       val node = mapper.readTree(java.nio.file.Files.readString(sidecar))
       if (node.get("count").asLong() == nRows &&
           node.get("hash").asLong() == dataHash &&
+          node.hasNonNull("hsum") && node.get("hsum").asText() == hashSum &&
           node.get("buckets").asInt() == buckets) {
         spark.sql(s"DROP TABLE IF EXISTS $table")
         spark.sql(
@@ -103,7 +101,7 @@ object InvertedIndex {
       .format("parquet")
       .saveAsTable(table)
     java.nio.file.Files.writeString(sidecar,
-      s"""{"count":$nRows,"hash":$dataHash,"buckets":$buckets,"nDocs":$nDocs,"sumDl":$sumDl}""")
+      s"""{"count":$nRows,"hash":$dataHash,"hsum":"$hashSum","buckets":$buckets,"nDocs":$nDocs,"sumDl":$sumDl}""")
     CorpusStats(nDocs, sumDl)
   }
 

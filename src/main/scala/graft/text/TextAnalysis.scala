@@ -1013,12 +1013,11 @@ object TextAnalysis {
       minCount: Long = 5L,
       topK: Int = 20,
       broadcastUnigrams: Boolean = false): Unit = {
-    val row = df.select(xxhash64(col(idCol), col(textCol)).as("_h"))
-      .agg(count(lit(1)), expr("bit_xor(_h)")).head()
-    val (nRows, dataHash) =
-      (row.getLong(0), if (row.isNullAt(1)) 0L else row.getLong(1))
+    val (nRows, dataHash, hashSum) =
+      graft.io.Artifact.hashAgg(df, xxhash64(col(idCol), col(textCol)))
     graft.io.Artifact.ensure(dir, phraseSidecar,
       graft.io.Artifact.fingerprintJson(nRows, dataHash,
+        "hsum" -> hashSum,
         "textCol" -> textCol, "minCount" -> minCount.toString,
         "topK" -> topK.toString)) {
       pmiPairs(df, textCol, window = 1, minCount = minCount,
