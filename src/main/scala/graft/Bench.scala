@@ -69,8 +69,13 @@ object Bench {
   }
 
   /** One run's measurement: elapsed seconds + executed-plan fingerprint
-    * ("none" when the plan could not be captured). */
-  final case class Run(secs: Double, plan: String)
+    * ("none" when the plan could not be captured) + JVM GC time (ms)
+    * accumulated DURING the run — the r9 `tpch_nation_revenue`
+    * adjudication's blind spot: a warm>cold sample with an identical
+    * fingerprint could not distinguish "this query got slower" from
+    * "this sample paid a neighbor's GC debt"; now the debt is in the
+    * record. */
+  final case class Run(secs: Double, plan: String, gcMs: Long = 0L)
 
   /** Prior full-sweep record for the changed-only mode: per query, the
     * PRE-execution (optimized logical plan) fingerprint plus the
@@ -89,10 +94,12 @@ object Bench {
   def samplesJson(results: Seq[(String, Samples)]): String = {
     def arr(rs: Seq[Run]) = rs.map(r => r3(r.secs)).mkString("[", ",", "]")
     def fps(rs: Seq[Run]) = rs.map(r => "\"" + r.plan + "\"").mkString("[", ",", "]")
+    def gcs(rs: Seq[Run]) = rs.map(_.gcMs).mkString("[", ",", "]")
     results.map { case (name, s) =>
       "\"" + name + "\":{" +
         s""""cold":${arr(s.cold)},"warm":${arr(s.warm)},""" +
-        s""""plans_cold":${fps(s.cold)},"plans_warm":${fps(s.warm)}}"""
+        s""""plans_cold":${fps(s.cold)},"plans_warm":${fps(s.warm)},""" +
+        s""""gc_cold":${gcs(s.cold)},"gc_warm":${gcs(s.warm)}}"""
     }.mkString("\"samples\":{", ",", "}")
   }
 
@@ -186,8 +193,14 @@ object Bench {
       .replaceAll("\\b([a-z]+)_\\d+#x", "$1_n#x")
       .replaceAll("ResultQueryStage \\d+", "ResultQueryStage x")
       // Spark truncates long expression dumps with "..." at a byte
-      // width, so the cut point shifts with exprId digit counts —
-      // collapse the variable-length tail before the ellipsis
+      // width, so the cut point shifts with exprId digit counts — and
+      // can land after a space in one run but mid-token in another
+      // (seen on dedup_simhash's DataFilters dump: "md5)), i..." vs
+      // "md5)),..."), so collapsing only the last token is not enough:
+      // first collapse a whole unclosed bracket run ending in the
+      // ellipsis (the truncated dump's entire visible body), then any
+      // remaining bare truncated token
+      .replaceAll("\\[[^\\[\\]]*\\.\\.\\.", "[…")
       .replaceAll("\\S*\\.\\.\\.", "…")
       .replaceAll("plan_id=\\d+", "plan_id=x")
       .replaceAll("exprId=\\d+", "exprId=x")
@@ -299,19 +312,26 @@ object Bench {
 
     // noop sink materializes every row/column — count() alone would let
     // Catalyst prune the distance compute out of the measurement
+    def gcTimeMs(): Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(_.getCollectionTime).sum
+    }
     def runOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Option[Run] = {
       val before = lastPlan.get()._1
+      val g0 = gcTimeMs()
       val t0 = System.nanoTime()
       try {
         val df = fn(spark, sfDir)
         captureLfp(name, df)
         df.write.format("noop").mode("overwrite").save()
         val secs = (System.nanoTime() - t0) / 1e9 // timed region ends HERE
+        val gcMs = gcTimeMs() - g0
         val raw = drainLastPlan(before)
         val fp = raw.map(planFingerprint).getOrElse("none")
         raw.foreach(p => planTexts.getOrElseUpdate(name,
           scala.collection.mutable.Map.empty).getOrElseUpdate(fp, p))
-        Some(Run(secs, fp))
+        Some(Run(secs, fp, gcMs))
       } catch {
         case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}"); None
       }
@@ -322,6 +342,21 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
     val selected = only.fold(SparkEntry.queries)(s => SparkEntry.queries.filter(q => s(q._1)))
+
+    // Seeded per-sweep order randomization: queries share one JVM and
+    // one session, so a FIXED order lets a neighbor effect (a GC debt,
+    // an artifact build, page-cache pressure from the previous query)
+    // land on the same victim every sweep and masquerade as that
+    // query's own regression — the r9 `tpch_nation_revenue` warm>cold
+    // anomaly, which vanished in an isolated rerun. A recorded random
+    // order turns such effects into visible cross-sweep variance
+    // instead. The seed rides in the detail record (`order_seed`), and
+    // the detail/summary dict key order IS the run order, so any sweep
+    // is exactly replayable via SPARK_GRAFT_BENCH_ORDER_SEED.
+    val orderSeed = sys.env.get("SPARK_GRAFT_BENCH_ORDER_SEED")
+      .map(_.toLong).getOrElse(System.nanoTime())
+    val orderedSelected =
+      new scala.util.Random(orderSeed).shuffle(selected.toSeq.sortBy(_._1))
 
     // CHANGED-ONLY mode (local iteration; the driver leaves it unset and
     // the full five-sample sweep stays the recorded artifact): a query
@@ -353,7 +388,7 @@ object Bench {
       } else Map.empty
 
     val reused = scala.collection.mutable.Map.empty[String, Prior]
-    val results: Seq[(String, Samples)] = selected.toSeq.flatMap { case (name, fn) =>
+    val results: Seq[(String, Samples)] = orderedSelected.flatMap { case (name, fn) =>
       // in changed-only mode the skip check builds the query once
       // (outside any timing) for its pre-execution fingerprint
       val skip = changedOnly && {
@@ -427,7 +462,8 @@ object Bench {
       else m.map { case (k, v) => "\"" + k + "\":" + v }
         .mkString(",\"stream_state\":{", ",", "}")
     }
-    val extra = recall.fold("")("," + _.json) + "," + samplesJson(results) + streamState
+    val extra = recall.fold("")("," + _.json) +
+      s""","order_seed":$orderSeed,""" + samplesJson(results) + streamState
     val detail = detailLine(totalWarm, totalCold, minima, sfDir, warmRuns, coldRuns, extra)
     println(detail) // first line: full per-query detail for humans/logs
     try java.nio.file.Files.write(

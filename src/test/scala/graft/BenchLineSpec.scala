@@ -62,6 +62,34 @@ class BenchLineSpec extends AnyFunSuite {
     assert(node.get("queries").get("q2").asDouble() == 2.0)
   }
 
+  test("samples record per-run GC time arrays") {
+    val samples = Seq("q1" -> Bench.Samples(
+      cold = Seq(Bench.Run(1.0, "aa", gcMs = 42L)),
+      warm = Seq(Bench.Run(0.5, "aa", gcMs = 0L), Bench.Run(0.6, "aa", gcMs = 7L))))
+    val node = mapper.readTree("{" + Bench.samplesJson(samples) + "}")
+    val q1 = node.get("samples").get("q1")
+    assert(q1.get("gc_cold").get(0).asLong() == 42L)
+    assert(q1.get("gc_warm").get(0).asLong() == 0L && q1.get("gc_warm").get(1).asLong() == 7L)
+  }
+
+  test("truncated expression dumps hash equal regardless of where the cut lands") {
+    // Spark truncates long DataFilters/Project dumps with "..." at a
+    // byte width; exprId digit counts shift the cut point, which can
+    // land after a space in one run and mid-token in another (the real
+    // dedup_simhash pair from the r10 sweep below). Both spellings of
+    // the same truncated dump must hash equal.
+    val cutMidToken =
+      "FileScan parquet [doc_id#34L,text#4] DataFilters: [isnotnull(simhash64(split(lower(x)), md5)), i..., Format: Parquet, PushedFilters: [IsNotNull(doc_id)]"
+    val cutAfterSpace =
+      "FileScan parquet [doc_id#136L,text#106] DataFilters: [isnotnull(simhash64(split(lower(x)), md5)),..., Format: Parquet, PushedFilters: [IsNotNull(doc_id)]"
+    assert(Bench.planFingerprint(cutMidToken) == Bench.planFingerprint(cutAfterSpace),
+      "a shifted truncation cut must not change the fingerprint")
+    // sensitivity survives: a different filter body still distinguishes
+    val different = cutMidToken.replace("PushedFilters: [IsNotNull(doc_id)]",
+      "PushedFilters: [IsNotNull(text)]")
+    assert(Bench.planFingerprint(cutMidToken) != Bench.planFingerprint(different))
+  }
+
   test("plan fingerprint is stable across run-varying ids, sensitive to plan shape") {
     val runA =
       """AdaptiveSparkPlan isFinalPlan=true
