@@ -295,6 +295,42 @@ object ScaleProbe {
           xl.map(_.map(t => (t._1, t._2))))))
     }
 
+    // one tier past XL: ~2k rules at batch 256 — turns the 32k-rule
+    // shape claim from extrapolation into measurement (per-rule cost
+    // must stay flat vs the 359/443-rule XL runs; driver rounds stay
+    // fixed regardless of how many rules each round yields). Per-round
+    // yield is capped by the DISJOINT-rule budget the vocabulary
+    // affords, so the 2k tier needs the 40x varied corpus (~1.2k
+    // distinct words) and 40 rounds.
+    if (onlyFilter.forall(_.exists("BPE XXL".contains))) {
+      val t0 = System.nanoTime()
+      val xxl = graft.text.Bpe.learnRounds(docsVaried.localCheckpoint(),
+        rounds = 40, batchSize = 256, candCap = 4096)
+      val nRules = xxl.map(_.size).sum
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"[scale] BPE XXL train (40 rounds x batch 256): $nRules rules " +
+        f"in $secs%.2f s (${secs / math.max(1, nRules)}%.4f s/rule; " +
+        f"yields ${xxl.map(_.size).mkString(",")})")
+      time(s"BPE XXL tokenize ($nRules rules)")(noop(
+        graft.text.Bpe.applyMergesGrouped(docsVaried,
+          xxl.map(_.map(t => (t._1, t._2))))))
+    }
+
+    // EXTERNAL rank-ordered merge list (the inference kernel): the
+    // 1.1k-rule shipped fixture applied as ONE codegen priority-loop
+    // pass per DISTINCT word — cost must track the distinct-word
+    // table (multiplied by the varied factor) plus the positional
+    // join, NOT the rule count: the same probe restricted to the
+    // first 100 rules must cost about the same, because rules size
+    // only the executor-local hash map.
+    if (onlyFilter.forall(_.exists("BPE ext".contains))) {
+      val ext = graft.text.Bpe.externalFixtureMerges()
+      time(s"BPE ext apply (${ext.size} rules)")(noop(
+        graft.text.Bpe.applyMergesRanked(docsVaried, ext, maxIters = 24)))
+      time("BPE ext apply (100 rules)")(noop(
+        graft.text.Bpe.applyMergesRanked(docsVaried, ext.take(100), maxIters = 24)))
+    }
+
     // z-order layout stats: raw rows grow with the factor, but the
     // only window runs over the occupied-cell table (≤ 2^20 rows at
     // any corpus size) — cost must track the one bucketing aggregation

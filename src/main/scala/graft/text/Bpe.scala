@@ -388,6 +388,46 @@ object Bpe {
         .select(col("word"), applyMergeBatch(col("syms"), batch).as("syms"))
         .localCheckpoint()
     }
+    joinBackBySubwords(df, vocab, idCol, textCol, broadcastVocab)
+  }
+
+  /** Tokenize with an EXTERNAL rank-ordered merge list — rules where
+    * later merges consume earlier merges' outputs (GPT-2's 50k-rule
+    * `merges.txt` has no disjointness property, so neither the
+    * per-rule [[applyMerges]] chain — one materialized vocab step per
+    * RULE — nor the round-grouped fold is the right tool). The
+    * standard inference semantics (Sennrich `apply_bpe.py`, GPT-2
+    * `bpe()`): per word, repeatedly merge the lowest-ranked adjacent
+    * pair present until none remains. The word-cache discipline is
+    * kept — the priority loop runs ONCE per DISTINCT word — but the
+    * whole loop is a single codegen kernel over a hashed rank map
+    * ([[org.apache.spark.sql.graft.BpeRankMergeExpr]]), so the plan
+    * has ONE narrow map stage regardless of rule count: no
+    * localCheckpoint chain, no per-rule folds; rule count sizes only
+    * the broadcast-once rank map. `maxIters` bounds the per-word loop
+    * (>= longest word's symbol count − 1 means full convergence; the
+    * SQL oracle unrolls exactly `maxIters` steps, so the bound is part
+    * of the spec, not a heuristic). */
+  def applyMergesRanked(df: DataFrame, merges: Seq[(String, String)],
+      idCol: String = "doc_id", textCol: String = "text",
+      broadcastVocab: Boolean = true, maxIters: Int = 16): DataFrame = {
+    val vocab = df
+      .select(explode(TextAnalysis.tokens(col(textCol))).as("word"))
+      .filter(length(col("word")) > 0)
+      .distinct()
+      .select(col("word"),
+        org.apache.spark.sql.graft.VectorExpressions.bpeRankMerge(
+          concat(split(col("word"), ""), array(lit("</w>"))),
+          merges, maxIters).as("syms"))
+    joinBackBySubwords(df, vocab, idCol, textCol, broadcastVocab)
+  }
+
+  /** Shared tail of the tokenizer word-cache: every document's
+    * positional words join the (word → subwords) table and re-assemble
+    * in position order. Output: (idCol, bpe_tokens); empty-string
+    * tokens (an empty document) carry no subwords and drop out. */
+  private def joinBackBySubwords(df: DataFrame, vocab: DataFrame,
+      idCol: String, textCol: String, broadcastVocab: Boolean): DataFrame = {
     val pos = df
       .select(col(idCol),
         posexplode(TextAnalysis.tokens(col(textCol))).as(Seq("pos", "word")))
@@ -398,5 +438,25 @@ object Bpe {
       .agg(flatten(transform(
         array_sort(collect_list(struct(col("pos"), col("syms")))),
         x => x.getField("syms"))).as("bpe_tokens"))
+  }
+
+  /** The shipped external merge-list fixture (rank order = file order;
+    * `lhs rhs` per line, GPT-2 `merges.txt` layout), generated
+    * deterministically by `graft.tools.GenExtMerges` (a spec re-runs
+    * the generator and byte-compares, so provenance is reproducible).
+    * ~1.1k rules, rank-ordered and NON-disjoint — the shape
+    * [[applyMergesRanked]] exists for. */
+  def externalFixtureMerges(): Seq[(String, String)] = {
+    val in = getClass.getResourceAsStream("/graft/bpe/ext_merges.txt")
+    require(in != null, "fixture resource graft/bpe/ext_merges.txt not on classpath")
+    try {
+      scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .filter(_.nonEmpty)
+        .map { line =>
+          val sp = line.indexOf(' ')
+          (line.substring(0, sp), line.substring(sp + 1))
+        }
+        .toVector
+    } finally in.close()
   }
 }

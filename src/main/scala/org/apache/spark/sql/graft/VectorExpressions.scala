@@ -369,6 +369,116 @@ case class PhraseMergeExpr(child: Expression, phrases: Seq[String])
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Rank-priority BPE apply over a symbol array — the inference half of
+  * BPE for an EXTERNAL rank-ordered merge list (GPT-2's `merges.txt`
+  * shape: 50k rules where later rules consume earlier rules' outputs,
+  * so the batched trainer's per-round disjointness invariant does NOT
+  * hold and the grouped per-round fold is not legal). Semantics are
+  * the public standard (Sennrich's `apply_bpe.py`, GPT-2's `bpe()`):
+  * repeat up to `maxIters` times — find the LOWEST-RANKED adjacent
+  * pair present in the word, merge every occurrence greedy
+  * left-to-right (the shared fold semantics: a merged element is not
+  * re-offered to the next site, so an `a a a a` run under (a,a)
+  * compresses pairwise), stop when no adjacent pair is in the rank
+  * map. Each iteration shrinks the array, so `maxIters >=
+  * len(symbols) - 1` guarantees full convergence; the bound exists so
+  * the SQL oracle can replay the loop as exactly `maxIters` unrolled
+  * steps. Cost: O(len² · lookup) per DISTINCT word and O(1) driver
+  * steps — rule count only sizes the hash map, never the plan. The
+  * rank map rides inside the expression (task binaries are
+  * torrent-broadcast once per executor) and is rebuilt lazily on
+  * deserialization. U+0001 is the reserved rank-key separator
+  * (`graft.text.Bpe.Sep`); construction refuses rules containing it. */
+case class BpeRankMergeExpr(
+    child: Expression, merges: Seq[(String, String)], maxIters: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(maxIters > 0, s"maxIters must be positive, got $maxIters")
+  require(merges.nonEmpty, "empty merge list")
+  require(merges.forall { case (a, b) =>
+      a.nonEmpty && b.nonEmpty && !a.contains('\u0001') && !b.contains('\u0001')
+    }, "merge symbols must be non-empty and free of the reserved U+0001 separator")
+  require(merges.distinct.length == merges.length,
+    "duplicate (lhs, rhs) pair in merge list — ranks would be ambiguous")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(StringType)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "bpe_rank_merge"
+
+  @transient private lazy val ranks: java.util.HashMap[org.apache.spark.unsafe.types.UTF8String, Integer] = {
+    val m = new java.util.HashMap[org.apache.spark.unsafe.types.UTF8String, Integer](merges.size * 2)
+    merges.zipWithIndex.foreach { case ((a, b), i) =>
+      m.put(org.apache.spark.unsafe.types.UTF8String.fromString(a + "\u0001" + b),
+        Integer.valueOf(i))
+    }
+    m
+  }
+
+  private final val Sep = org.apache.spark.unsafe.types.UTF8String.fromString("\u0001")
+
+  def bpeIn(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    var word = new Array[org.apache.spark.unsafe.types.UTF8String](n)
+    var i = 0
+    while (i < n) {
+      // clone: getUTF8String can return a view over a reused buffer
+      word(i) = if (arr.isNullAt(i)) null else arr.getUTF8String(i).clone()
+      i += 1
+    }
+    var iter = 0
+    var converged = false
+    while (iter < maxIters && !converged) {
+      // lowest-ranked adjacent pair present (ranks are unique per pair,
+      // so the argmin is deterministic)
+      var bestRank = Integer.MAX_VALUE
+      var bestA: org.apache.spark.unsafe.types.UTF8String = null
+      var bestB: org.apache.spark.unsafe.types.UTF8String = null
+      var j = 0
+      while (j < word.length - 1) {
+        val a = word(j); val b = word(j + 1)
+        if (a != null && b != null) {
+          val r = ranks.get(org.apache.spark.unsafe.types.UTF8String.concat(a, Sep, b))
+          if (r != null && r.intValue() < bestRank) {
+            bestRank = r.intValue(); bestA = a; bestB = b
+          }
+        }
+        j += 1
+      }
+      if (bestA == null) converged = true
+      else {
+        // merge every (bestA, bestB) site via the shared fold: the
+        // merged element replaces the accumulator's last and is not
+        // re-offered (bestA+bestB != bestA since bestB is non-empty,
+        // so this equals the scan-with-skip formulation)
+        val out = new java.util.ArrayList[org.apache.spark.unsafe.types.UTF8String](word.length)
+        var k = 0
+        while (k < word.length) {
+          val x = word(k)
+          val last = if (out.isEmpty) null else out.get(out.size - 1)
+          if (k > 0 && last != null && x != null &&
+              last.equals(bestA) && x.equals(bestB))
+            out.set(out.size - 1,
+              org.apache.spark.unsafe.types.UTF8String.concat(bestA, bestB))
+          else out.add(x)
+          k += 1
+        }
+        word = out.toArray(new Array[org.apache.spark.unsafe.types.UTF8String](out.size))
+      }
+      iter += 1
+    }
+    new GenericArrayData(word.asInstanceOf[Array[Any]])
+  }
+
+  override protected def nullSafeEval(a: Any): Any = bpeIn(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeRankMerger", this, classOf[BpeRankMergeExpr].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.bpeIn($a);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Static kernel for [[SrpSignExpr]]: Rademacher (±1) hyperplane sign
   * matrices, cached per (bits, seed, dim) — built once per executor, not
   * per row. */
@@ -865,6 +975,12 @@ object VectorExpressions {
   /** Codegen greedy left-to-right phrase merge of a token-array column. */
   def phraseMerge(tokens: Column, phrases: Seq[String]): Column =
     ExpressionUtils.column(PhraseMergeExpr(ExpressionUtils.expression(tokens), phrases))
+
+  /** Codegen rank-priority BPE apply of an external merge list to a
+    * symbol-array column (see [[BpeRankMergeExpr]]). */
+  def bpeRankMerge(syms: Column, merges: Seq[(String, String)], maxIters: Int): Column =
+    ExpressionUtils.column(
+      BpeRankMergeExpr(ExpressionUtils.expression(syms), merges, maxIters))
 
   /** Codegen SRP bit signature (bits/64 longs) of an embedding column. */
   def srpSign(emb: Column, bits: Int, seed: Long = 42L): Column =
