@@ -40,6 +40,32 @@ object SparkEntry {
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
 
+  /** Fixture rows for the byte-level tokenizer queries: punctuation,
+    * case, accents, typographic dashes/quotes, currency, CJK, emoji —
+    * everything the char-level normalized-alphanumeric path drops.
+    * Shared verbatim with the oracle via [[extDocsSqlCte]]. (No
+    * U+000B: the one byte where Java's and RE2's `\s` differ.) */
+  private val ExtDocRows: Seq[(Long, String)] = Seq(
+    9000001L -> "Héllo, Wörld! It's naïve — café résumé.",
+    9000002L -> "Price: $42.50 (≈ €39) — 50% off!! #deal @shop",
+    9000003L -> "你好 world 🌍 ünïcödé; quotes: \"double\" 'single'")
+
+  /** The documents table extended with [[ExtDocRows]] — the corpus the
+    * byte-level queries run on. */
+  private def extDocs(s: SparkSession, dir: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    docs(s, dir).select(col("doc_id"), col("text"))
+      .unionAll(ExtDocRows.toDF("doc_id", "text"))
+  }
+
+  /** SQL twin of [[extDocs]]. */
+  private def extDocsSqlCte: String =
+    "SELECT doc_id, text FROM documents UNION ALL SELECT * FROM (VALUES " +
+      ExtDocRows.map { case (id, t) =>
+        s"(CAST($id AS BIGINT), '${t.replace("'", "''")}')"
+      }.mkString(",") + ") AS v(doc_id, text)"
+
   /** Some fixture generations store `ts` as parquet TIMESTAMP(NANOS)
     * (which Spark 4 refuses by default — the nanosAsLong shim reads it
     * as a long), others as plain TIMESTAMP(MICROS) (which arrives as
@@ -354,6 +380,82 @@ object SparkEntry {
        |SELECT t.doc_id, CAST(len(a.subs) AS BIGINT) AS n_subwords,
        |       md5(array_to_string(a.subs, ' ')) AS subword_md5
        |FROM t JOIN agg a USING (doc_id) ORDER BY t.doc_id""".stripMargin
+  }
+
+  /** Shared byte-level preamble CTEs: the extended corpus, the 256-row
+    * byte→symbol map (GPT-2 bytes_to_unicode, inlined), pretokens via
+    * the RE2-compatible pattern, and the round-0 word table built by
+    * UTF-8-encoding each code point IN SQL (the encoding arithmetic
+    * stated as a CASE over the code point — no blob support needed)
+    * and mapping every byte through the map. */
+  private def byteLevelW0Sql: String = {
+    val pat = graft.text.ByteLevel.PretokenPattern.replace("'", "''")
+    // UTF-8 encoding of code point cp as an INT list (surrogates cannot
+    // occur in valid strings; 4-byte plane covers the rest)
+    val utf8 =
+      """CASE WHEN cp < 128 THEN [cp]
+        |     WHEN cp < 2048 THEN [192 + cp // 64, 128 + cp % 64]
+        |     WHEN cp < 65536 THEN [224 + cp // 4096, 128 + (cp // 64) % 64, 128 + cp % 64]
+        |     ELSE [240 + cp // 262144, 128 + (cp // 4096) % 64, 128 + (cp // 64) % 64, 128 + cp % 64] END""".stripMargin
+    s"""ext AS ($extDocsSqlCte),
+       |bmap AS MATERIALIZED (SELECT map(list(b ORDER BY b), list(s ORDER BY b)) AS m
+       |        FROM (VALUES ${graft.text.ByteLevel.byteMapValuesSql}) AS t(b, s)),
+       |ptoks AS (SELECT tok, count(*) AS cnt
+       |          FROM (SELECT unnest(regexp_extract_all(text, '$pat')) AS tok FROM ext)
+       |          WHERE len(tok) > 0 GROUP BY tok),
+       |cps AS (SELECT tok, cnt, u.i AS i,
+       |          unicode(substring(tok, CAST(u.i AS INT), 1)) AS cp
+       |        FROM ptoks, unnest(range(1, length(tok) + 1)) AS u(i)),
+       |csyms AS (SELECT c.tok, c.cnt, c.i,
+       |            list_transform($utf8, b -> map_extract(bm.m, b)[1]) AS cs
+       |          FROM cps c, bmap bm),
+       |w0 AS MATERIALIZED (SELECT flatten(list(cs ORDER BY i)) AS syms, max(cnt) AS cnt
+       |       FROM csyms GROUP BY tok)""".stripMargin
+  }
+
+  /** Byte-level batched-training oracle: the shared byte-level w0, then
+    * the SAME unrolled training rounds as the char-level batch oracle
+    * ([[bpeBatchRoundSql]] — the machinery is symbolization-agnostic). */
+  private def bpeByteLevelOracleSql(rounds: Int, batchSize: Int, candCap: Int): String =
+    s"""WITH $byteLevelW0Sql,
+       |${(1 to rounds).map(bpeBatchRoundSql(_, batchSize, candCap, "")).mkString(",\n")},
+       |sel AS (${(1 to rounds).map(r =>
+           s"SELECT $r AS rnd, sel_rank, a, b, n FROM s$r")
+           .mkString(" UNION ALL ")})
+       |SELECT CAST(row_number() OVER (ORDER BY rnd, sel_rank) AS INTEGER) AS merge_rank,
+       |       a AS lhs, b AS rhs, CAST(n AS BIGINT) AS pair_count
+       |FROM sel ORDER BY merge_rank""".stripMargin
+
+  /** Byte-level coverage oracle: distinct non-whitespace characters of
+    * the extended corpus; byte-level coverage computed per char (every
+    * UTF-8 byte finds a row in the byte map), char-level coverage via
+    * the normalized token alphabet. */
+  private def byteLevelCoverageOracleSql: String = {
+    val utf8 =
+      """CASE WHEN cp < 128 THEN [cp]
+        |     WHEN cp < 2048 THEN [192 + cp // 64, 128 + cp % 64]
+        |     WHEN cp < 65536 THEN [224 + cp // 4096, 128 + (cp // 64) % 64, 128 + cp % 64]
+        |     ELSE [240 + cp // 262144, 128 + (cp // 4096) % 64, 128 + (cp // 64) % 64, 128 + cp % 64] END""".stripMargin
+    s"""WITH ext AS ($extDocsSqlCte),
+       |bmap AS MATERIALIZED (SELECT map(list(b ORDER BY b), list(s ORDER BY b)) AS m
+       |        FROM (VALUES ${graft.text.ByteLevel.byteMapValuesSql}) AS t(b, s)),
+       |chars AS (SELECT DISTINCT ch
+       |          FROM (SELECT unnest(string_split(text, '')) AS ch FROM ext)
+       |          WHERE len(ch) > 0 AND NOT regexp_matches(ch, '^\\s$$')),
+       |cl AS (SELECT DISTINCT ch FROM (
+       |         SELECT unnest(string_split(w, '')) AS ch
+       |         FROM (SELECT unnest($ToksSql) AS w FROM ext)
+       |         WHERE len(w) > 0)),
+       |cov AS (SELECT c.ch,
+       |          CASE WHEN len(list_filter(bl, b -> len(map_extract(bm.m, b)) > 0)) = len(bl)
+       |               THEN 1 ELSE 0 END AS in_b
+       |        FROM (SELECT ch, $utf8 AS bl
+       |              FROM (SELECT ch, unicode(ch) AS cp FROM chars)) c, bmap bm)
+       |SELECT CAST(count(*) AS BIGINT) AS n_chars,
+       |       CAST(sum(in_b) AS BIGINT) AS n_covered_bytelevel,
+       |       CAST(sum(CASE WHEN cl.ch IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_covered_charlevel,
+       |       sum(in_b) * 100.0 / count(*) AS bytelevel_pct
+       |FROM cov LEFT JOIN cl USING (ch)""".stripMargin
   }
 
   /** BM25 oracle, shared verbatim by `doc_bm25_top20` (corpus-scan
@@ -1014,6 +1116,26 @@ object SparkEntry {
           md5(concat_ws(" ", col("bpe_tokens"))).as("subword_md5"))
         .orderBy(col("doc_id"))
     }),
+
+    // BYTE-LEVEL BPE training (the GPT-2 construction): raw-text
+    // pretokens → UTF-8 bytes → the published bytes_to_unicode
+    // alphabet → the shared batched trainer. Runs on the corpus
+    // EXTENDED with punctuation/non-ASCII/emoji fixture rows — text
+    // the char-level path cannot even represent. The oracle rebuilds
+    // the byte symbolization from code-point arithmetic (UTF-8
+    // encoding stated in SQL) + the inlined 256-row byte map, then
+    // replays the identical training rounds.
+    "corpus_bpe_bytelevel" -> ((s, dir) =>
+      graft.text.ByteLevel.learnMergesBatched(extDocs(s, dir),
+        rounds = 4, batchSize = 8, candCap = 128)),
+
+    // The byte-fallback property MEASURED: of the extended corpus's
+    // distinct non-whitespace characters, every one decomposes into
+    // the 256-symbol byte-level base alphabet (computed per char, not
+    // assumed), while the char-level token alphabet covers only the
+    // lowercased survivors — uppercase, punctuation, CJK, emoji drop.
+    "doc_bytelevel_coverage" -> ((s, dir) =>
+      graft.text.ByteLevel.coverageReport(extDocs(s, dir))),
 
     // Phrase rewrite: top-20 adjacent-bigram collocations by PMI
     // (bounded driver artifact), then a narrow greedy fold merges each
@@ -3056,6 +3178,8 @@ object SparkEntry {
     "corpus_bpe_vocab" -> bpeBatchVocabOracleSql(rounds = 8, batchSize = 16, candCap = 256, topK = 50),
     "doc_bpe_tokenize_batch" -> bpeBatchTokenizeOracleSql(rounds = 8, batchSize = 16, candCap = 256),
     "doc_bpe_tokenize_ext" -> bpeExtTokenizeOracleSql(maxIters = 16),
+    "corpus_bpe_bytelevel" -> bpeByteLevelOracleSql(rounds = 4, batchSize = 8, candCap = 128),
+    "doc_bytelevel_coverage" -> byteLevelCoverageOracleSql,
 
     // Train→apply: same rounds with the word key carried through, then
     // positional re-tokenization of every document; md5 byte-check.

@@ -204,10 +204,22 @@ object Bpe {
       textCol: String = "text",
       rounds: Int = 4,
       batchSize: Int = 16,
-      candCap: Int = 256): Seq[Seq[(String, String, Long)]] = {
+      candCap: Int = 256): Seq[Seq[(String, String, Long)]] =
+    learnRoundsFrom(wordTable(df, textCol), rounds, batchSize, candCap)
+
+  /** [[learnRounds]] over a caller-supplied round-0 word table
+    * (syms: Array[String], cnt: Long) — the symbolization seam that
+    * lets the byte-level tokenizer ([[ByteLevel.wordTable]]) share the
+    * whole batched-training machinery with the whitespace/char-level
+    * path. */
+  def learnRoundsFrom(
+      words0: DataFrame,
+      rounds: Int,
+      batchSize: Int,
+      candCap: Int): Seq[Seq[(String, String, Long)]] = {
     require(batchSize >= 1 && candCap >= batchSize,
       s"need candCap >= batchSize >= 1, got $candCap/$batchSize")
-    var words = wordTable(df, textCol).localCheckpoint()
+    var words = words0.localCheckpoint()
     val out = ArrayBuffer.empty[Seq[(String, String, Long)]]
     for (_ <- 1 to rounds) {
       val cands = words

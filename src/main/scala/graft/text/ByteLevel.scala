@@ -1,0 +1,111 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.{ByteLevelUtil, VectorExpressions}
+
+/** Byte-level BPE pretokenization (the GPT-2 construction, public
+  * spec): raw text — NO normalization, byte-level keeps everything —
+  * splits into pretokens by a regex, each pretoken decomposes into its
+  * UTF-8 bytes, and every byte maps to a printable character via the
+  * published `bytes_to_unicode` table ([[ByteLevelUtil.ByteToSym]]).
+  * BPE then runs over those byte symbols, so the learned vocabulary
+  * covers 100% of any input — punctuation, non-ASCII, emoji — where
+  * the char-level path ([[TextAnalysis.tokens]]: lowercase, collapse
+  * whitespace, split on space) silently drops everything
+  * non-alphanumeric from the alphabet.
+  *
+  * The pretokenizer deviates from GPT-2's in ONE documented way: the
+  * original ends with `\s+(?!\S)|\s+` (trailing-space lookahead), but
+  * RE2 — the DuckDB oracle's engine — has no lookahead, so both sides
+  * run the lookahead-free tail `|\s+` (a multi-space run becomes one
+  * whitespace pretoken). Contractions and the letter/number/punct
+  * classes are GPT-2's. U+000B (vertical tab) is the one byte Java
+  * and RE2 class `\s` disagree on; corpus fixtures avoid it. */
+object ByteLevel {
+
+  /** RE2-compatible GPT-2-style pretokenizer (no lookahead). */
+  val PretokenPattern: String =
+    "'s|'t|'re|'ve|'m|'ll|'d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+
+  /** Pretokens of RAW text (no normalization — the byte-level point). */
+  def pretokens(c: Column): Column =
+    regexp_extract_all(c, lit(PretokenPattern), lit(0))
+
+  /** The round-0 byte-level word table: (syms, cnt) — weighted distinct
+    * pretokens, each symbolized byte-by-byte. No `</w>` marker: the
+    * space byte rides inside the pretoken as its mapped symbol (`Ġ`). */
+  def wordTable(df: DataFrame, textCol: String = "text"): DataFrame =
+    df.select(explode(pretokens(col(textCol))).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .select(VectorExpressions.byteLevelSyms(col("tok")).as("syms"), col("cnt"))
+
+  /** Batched byte-level training flattened to the tokenizer artifact
+    * shape (merge_rank, lhs, rhs, pair_count) — [[Bpe.learnMergesBatched]]
+    * over the byte-level word table. */
+  def learnMergesBatched(
+      df: DataFrame,
+      textCol: String = "text",
+      rounds: Int = 4,
+      batchSize: Int = 8,
+      candCap: Int = 128): DataFrame = {
+    val spark = df.sparkSession
+    val flat = Bpe.learnRoundsFrom(wordTable(df, textCol), rounds, batchSize, candCap)
+      .flatten.zipWithIndex
+      .map { case ((a, b, n), i) => (i + 1, a, b, n) }
+    spark.createDataFrame(flat)
+      .toDF("merge_rank", "lhs", "rhs", "pair_count")
+      .orderBy("merge_rank")
+  }
+
+  /** Alphabet-coverage report — the byte-fallback property measured,
+    * one row: of the corpus's distinct non-whitespace characters
+    * (code points), how many are representable in the byte-level base
+    * alphabet (all of them — every character decomposes into mapped
+    * byte symbols, each of the 256 byte values has one) versus how many
+    * survive into the CHAR-LEVEL token alphabet (the distinct
+    * characters of [[TextAnalysis.tokens]] output — lowercased
+    * alphanumerics and whatever else survives whitespace
+    * tokenization; uppercase, punctuation, and emoji do not).
+    * Work shape: two narrow explodes + distinct aggregates — one pass
+    * each, no joins wider than the distinct-char set (bounded by the
+    * corpus alphabet, thousands at web scale). */
+  def coverageReport(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val chars = df
+      .select(explode(split(col(textCol), "")).as("ch"))
+      .filter(length(col("ch")) > 0 && !col("ch").rlike("^\\s$"))
+      .distinct()
+    val charLevelAlphabet = df
+      .select(explode(TextAnalysis.tokens(col(textCol))).as("w"))
+      .filter(length(col("w")) > 0)
+      .select(explode(split(col("w"), "")).as("ch"))
+      .distinct()
+    // byte-level coverage is COMPUTED, not assumed: a char is covered
+    // iff every one of its UTF-8 byte symbols is in the 256-entry base
+    // alphabet (the oracle replays this as a byte-map join count)
+    val alphabet = ByteLevelUtil.ByteToSym.toSeq
+    chars
+      .withColumn("in_byte_level",
+        forall(VectorExpressions.byteLevelSyms(col("ch")),
+          s => s.isInCollection(alphabet)).cast("long"))
+      .join(charLevelAlphabet.withColumn("in_char_level", lit(1L)),
+        Seq("ch"), "left")
+      .agg(
+        count(lit(1)).as("n_chars"),
+        sum(col("in_byte_level")).cast("long").as("n_covered_bytelevel"),
+        sum(coalesce(col("in_char_level"), lit(0L))).cast("long")
+          .as("n_covered_charlevel"))
+      .select(col("n_chars"), col("n_covered_bytelevel"),
+        col("n_covered_charlevel"),
+        (col("n_covered_bytelevel") * lit(100.0) / col("n_chars"))
+          .as("bytelevel_pct"))
+  }
+
+  /** SQL VALUES body for the 256-row byte→symbol map (the oracle's
+    * copy of [[ByteLevelUtil.ByteToSym]]); single quotes doubled. */
+  def byteMapValuesSql: String =
+    ByteLevelUtil.ByteToSym.zipWithIndex.map { case (s, b) =>
+      s"($b,'${s.replace("'", "''")}')"
+    }.mkString(",")
+}

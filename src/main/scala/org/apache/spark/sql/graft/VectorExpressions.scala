@@ -479,6 +479,71 @@ case class BpeRankMergeExpr(
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** GPT-2's public byte-level alphabet (the `bytes_to_unicode` table from
+  * the released encoder): every one of the 256 byte values maps to a
+  * printable Unicode character — visually-printable bytes (`!`..`~`,
+  * `¡`..`¬`, `®`..`ÿ`) map to themselves, the rest to 256+n in
+  * increasing byte order (space → `Ġ`, newline → `Ċ`, …). BPE over
+  * these symbols can never hit an out-of-vocabulary character: any
+  * UTF-8 input decomposes into base alphabet symbols byte by byte —
+  * the byte-fallback property the char-level path lacks (punctuation
+  * and non-ASCII vanish from `TextAnalysis.tokens`' normalized
+  * alphanumerics). All mapped characters sit below U+0400, so their
+  * UTF-8 and UTF-16 orderings agree and driver-side string comparisons
+  * match Spark/DuckDB binary collation. */
+object ByteLevelUtil {
+  /** byte value (0–255) → mapped symbol, the GPT-2 table. */
+  val ByteToSym: Array[String] = {
+    val keep = ((33 to 126) ++ (161 to 172) ++ (174 to 255)).toSet
+    val out = new Array[String](256)
+    var n = 0
+    var b = 0
+    while (b < 256) {
+      if (keep(b)) out(b) = new String(Character.toChars(b))
+      else { out(b) = new String(Character.toChars(256 + n)); n += 1 }
+      b += 1
+    }
+    out
+  }
+
+  private val symUtf8: Array[org.apache.spark.unsafe.types.UTF8String] =
+    ByteToSym.map(org.apache.spark.unsafe.types.UTF8String.fromString)
+
+  /** UTF-8 bytes of `s`, each mapped to its alphabet symbol. */
+  def syms(s: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
+    val bytes = s.getBytes
+    val out = new Array[Any](bytes.length)
+    var i = 0
+    while (i < bytes.length) {
+      out(i) = symUtf8(bytes(i) & 0xff)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** Byte-level BPE symbolization of a (pre)token: the token's UTF-8
+  * bytes, each mapped through [[ByteLevelUtil.ByteToSym]] — the round-0
+  * word table of a GPT-2-class tokenizer (no `</w>` marker; the space
+  * byte rides inside the pretoken as `Ġ`). */
+case class ByteLevelSymsExpr(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "byte_level_syms"
+
+  override protected def nullSafeEval(a: Any): Any =
+    ByteLevelUtil.syms(a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val util = ByteLevelUtil.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $util.syms($a);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Static kernel for [[SrpSignExpr]]: Rademacher (±1) hyperplane sign
   * matrices, cached per (bits, seed, dim) — built once per executor, not
   * per row. */
@@ -981,6 +1046,10 @@ object VectorExpressions {
   def bpeRankMerge(syms: Column, merges: Seq[(String, String)], maxIters: Int): Column =
     ExpressionUtils.column(
       BpeRankMergeExpr(ExpressionUtils.expression(syms), merges, maxIters))
+
+  /** Codegen byte-level BPE symbolization of a (pre)token column. */
+  def byteLevelSyms(tok: Column): Column =
+    ExpressionUtils.column(ByteLevelSymsExpr(ExpressionUtils.expression(tok)))
 
   /** Codegen SRP bit signature (bits/64 longs) of an embedding column. */
   def srpSign(emb: Column, bits: Int, seed: Long = 42L): Column =

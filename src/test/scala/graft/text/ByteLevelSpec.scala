@@ -1,0 +1,91 @@
+package graft.text
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.ByteLevelUtil
+
+import graft.SparkTestSession
+
+/** The byte-level BPE construction: the GPT-2 bytes_to_unicode table
+  * (identity on printable ranges, 256+n elsewhere — Ġ for space, Ċ for
+  * newline), the byte symbolizer kernel, the RE2-compatible
+  * pretokenizer, the cross-engine per-code-point split seam, and the
+  * coverage report's lossy-vs-lossless story. */
+class ByteLevelSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("byte map is the GPT-2 table: bijective, identity on printables, Ġ/Ċ markers") {
+    val m = ByteLevelUtil.ByteToSym
+    assert(m.length == 256)
+    assert(m.distinct.length == 256, "mapping must be bijective")
+    // printable ranges map to themselves
+    assert(m('A'.toInt) == "A" && m('z'.toInt) == "z" && m('~'.toInt) == "~")
+    assert(m(0xA1) == "¡" && m(0xFF) == "ÿ")
+    // the famous markers: space → Ġ (U+0120), newline → Ċ (U+010A)
+    assert(m(' '.toInt) == "Ġ")
+    assert(m('\n'.toInt) == "Ċ")
+    // every symbol is a single code point below U+0400 (so UTF-8 and
+    // UTF-16 orderings agree — the driver-side comparison seam)
+    assert(m.forall(s => s.codePointCount(0, s.length) == 1 &&
+      s.codePointAt(0) < 0x400))
+  }
+
+  private def syms(tok: String): Seq[String] =
+    Seq(tok).toDF("t")
+      .select(org.apache.spark.sql.graft.VectorExpressions.byteLevelSyms(col("t")))
+      .head().getSeq[String](0).toSeq
+
+  test("symbolizer decomposes UTF-8 bytes through the map") {
+    // é = 0xC3 0xA9 → Ã © (both in printable keep-ranges)
+    assert(syms("é") == Seq("Ã", "©"))
+    assert(syms(" it") == Seq("Ġ", "i", "t"))
+    // 🌍 is 4 UTF-8 bytes, every one mapped inside the 256-symbol alphabet
+    val e = syms("🌍")
+    assert(e.length == 4 && e.forall(ByteLevelUtil.ByteToSym.contains))
+    assert(syms("") == Seq.empty)
+  }
+
+  test("pretokenizer matches the documented GPT-2-minus-lookahead semantics") {
+    val got = Seq("Héllo, wörld! it's 42").toDF("text")
+      .select(ByteLevel.pretokens(col("text"))).head().getSeq[String](0).toSeq
+    assert(got == Seq("Héllo", ",", " wörld", "!", " it", "'s", " 42"))
+    // multi-space run = ONE whitespace pretoken (the lookahead-free tail)
+    val ws = Seq("a  b").toDF("text")
+      .select(ByteLevel.pretokens(col("text"))).head().getSeq[String](0).toSeq
+    assert(ws == Seq("a", "  ", "b"))
+  }
+
+  test("Spark split-to-chars is per code point (the oracle's string_split seam)") {
+    val got = Seq("H🌍x").toDF("t")
+      .select(split(col("t"), "")).head().getSeq[String](0).toSeq
+    assert(got == Seq("H", "🌍", "x"),
+      "split must not cut surrogate pairs — DuckDB string_split('') is per code point")
+  }
+
+  test("coverage: byte-level 100%, char-level loses case/structure") {
+    val df = Seq((1L, "Ab !🌍")).toDF("doc_id", "text")
+    val r = ByteLevel.coverageReport(df).head()
+    // distinct non-whitespace chars: A b ! 🌍
+    assert(r.getLong(0) == 4L)
+    assert(r.getLong(1) == 4L, "every char must decompose into the byte alphabet")
+    // 'A' is lowercased away by the char-level normalizer
+    assert(r.getLong(2) == 3L)
+    assert(r.getDouble(3) == 100.0)
+  }
+
+  test("byte-level training learns raw-text structure the char path cannot see") {
+    val df = Seq.tabulate(30)(i => (i.toLong, "It's low-cost! It's low-risk!"))
+      .toDF("doc_id", "text")
+    val merges = ByteLevel.learnMergesBatched(df, rounds = 3, batchSize = 8)
+      .collect().map(r => (r.getString(1), r.getString(2)))
+    assert(merges.nonEmpty)
+    val alphabetUsed = merges.flatMap(p => (p._1 + p._2).toSeq).toSet
+    // the learned rules operate over byte symbols that include the
+    // space marker and preserved case — unreachable for the
+    // normalized char-level trainer
+    assert(alphabetUsed.contains('Ġ') || merges.exists(_._1 == "Ġ"),
+      s"expected the Ġ space marker in learned rules, got ${merges.take(8).mkString(",")}")
+  }
+}
