@@ -1935,6 +1935,48 @@ object SparkEntry {
       graft.index.Ivf.searchLayout(s, layout, query, k = 10, nprobe = 1)
     }),
 
+    // STREAMING IVF append — the embedding leg of the crawl loop,
+    // completing the incremental-store triple (exact-dup, near-dup,
+    // ANN). Ten exact copies of the query vector arrive as a file
+    // stream in TWO micro-batches (maxFilesPerTrigger=1); each batch
+    // lands as a batch-keyed OVERWRITE delta under the layout
+    // (Ivf.appendDelta — at-least-once redelivery rewrites, never
+    // double-appends), and the delta-aware nprobe=1 probe must
+    // reproduce the brute-force oracle over corpus ∪ appended: every
+    // copy is centroid-assigned with the probe's own arithmetic, so
+    // all land in the probed cluster, searchable the moment their
+    // batch commits.
+    "stream_ivf_append" -> ((s, dir) => {
+      val corpus = emb(s, dir)
+      val base = graft.index.Ivf.buildLayout(s, corpus,
+        ivfLayoutDir(dir, "appendbase"), nlist = 8, maxIter = 3)
+      val scratch = freshScratchDir(dir, "streamappend")
+      val layoutDir = s"$scratch/layout"
+      copyDir(base.dir, layoutDir)
+      val layout = graft.index.Ivf.loadLayout(layoutDir)
+      val planted = corpus.filter(col("vec_id") === 0)
+        .crossJoin(s.range(10))
+        .select((col("id") + lit(4200000L)).as("vec_id"),
+          col("embedding"), col("label"))
+      val inDir = s"$scratch/in"
+      planted.filter(col("vec_id") < 4200005L).coalesce(1)
+        .write.mode("overwrite").parquet(inDir)
+      planted.filter(col("vec_id") >= 4200005L).coalesce(1)
+        .write.mode("append").parquet(inDir)
+      val stream = s.readStream.schema(planted.schema)
+        .option("maxFilesPerTrigger", 1).parquet(inDir)
+      val q = graft.streaming.StreamingIngest.streamingIvfAppend(
+        stream, layoutDir, s"$scratch/chk")
+      q.awaitTermination()
+      SparkEntry.streamStateRows.put("stream_ivf_append",
+        q.recentProgress.iterator
+          .map(p => p.stateOperators.map(_.numRowsTotal).sum)
+          .foldLeft(0L)(math.max))
+      val query = corpus.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).toArray
+      graft.index.Ivf.searchLayoutDeltaAware(s, layout, query, k = 10, nprobe = 1)
+    }),
+
     // Index-maintenance DELETE (the triad's third leg, and the
     // reference behavior we deliberately DON'T reproduce: its HNSW
     // serves deleted ids until a manual rebuild — SURVEY §5). 15 copies
@@ -3953,6 +3995,20 @@ object SparkEntry {
       s"""WITH c AS (SELECT vec_id, embedding FROM embeddings
          |           UNION ALL
          |           SELECT 4000000 + r.i AS vec_id, e.embedding
+         |           FROM embeddings e CROSS JOIN range(10) r(i) WHERE e.vec_id = 0),
+         |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+         |SELECT c.vec_id AS vec_id, ${l2SqSql("c.embedding", "q.qe")} AS dist
+         |FROM c CROSS JOIN q
+         |ORDER BY dist ASC, vec_id ASC LIMIT 10""".stripMargin,
+
+    // Same brute-force shape for the STREAMING append: corpus ∪ the
+    // ten delta-appended copies — the delta-aware probe must serve
+    // both micro-batches' vectors (a lost batch, or a double-applied
+    // retry creating duplicate ids, would hash-mismatch here).
+    "stream_ivf_append" ->
+      s"""WITH c AS (SELECT vec_id, embedding FROM embeddings
+         |           UNION ALL
+         |           SELECT 4200000 + r.i AS vec_id, e.embedding
          |           FROM embeddings e CROSS JOIN range(10) r(i) WHERE e.vec_id = 0),
          |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
          |SELECT c.vec_id AS vec_id, ${l2SqSql("c.embedding", "q.qe")} AS dist

@@ -263,6 +263,75 @@ object Ivf {
     else java.math.BigInteger.ZERO
 
   private val tombstoneDirName = "_tombstones"
+  private val deltaDirPrefix = "_delta_"
+
+  /** Batch-keyed IDEMPOTENT append — the streaming-side O2 for the
+    * partitioned index: the batch's rows, assigned to their nearest
+    * centroid with the probe's own double arithmetic
+    * ([[assignByCentroids]]), land in an OVERWRITE-mode
+    * `_delta_<tag>` subdirectory of the layout, cluster-partitioned
+    * like the base data. foreachBatch is at-least-once, so the delta
+    * protocol from the incremental dedup stores applies verbatim: a
+    * retried micro-batch REWRITES its own delta instead of
+    * double-appending into the base layout (which `mode("append")` +
+    * a sidecar increment would corrupt twice over). The underscore
+    * prefix keeps deltas invisible to the base `parquet(layout.dir)`
+    * scan; delta-aware probes ([[searchLayoutDeltaAware]]) read them
+    * explicitly with the same cluster pruning. The sidecar is NOT
+    * touched — it attests the base corpus only, so [[buildLayout]]
+    * reuse semantics stay exact; fold deltas into the base with a
+    * batch [[appendToLayout]] + delta cleanup when compaction is due.
+    * Returns the number of rows written. */
+  def appendDelta(
+      layout: Layout,
+      rows: DataFrame,
+      tag: String,
+      embCol: String = "embedding"): Long = {
+    val assigned = assignByCentroids(layout, rows, embCol).localCheckpoint()
+    assigned.write.mode("overwrite").partitionBy("cluster")
+      .parquet(s"${layout.dir}/$deltaDirPrefix$tag")
+    assigned.count()
+  }
+
+  /** All delta rows of a layout (None when no delta dirs exist). Each
+    * delta dir is its own cluster-partitioned table, so they are read
+    * per-dir and unioned — a single multi-root read would trip
+    * partition discovery ("conflicting directory structures"). */
+  def deltaRows(spark: SparkSession, layout: Layout): Option[DataFrame] = {
+    val dirs = Option(new java.io.File(layout.dir).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith(deltaDirPrefix))
+      .sortBy(_.getName)
+    if (dirs.isEmpty) None
+    else Some(dirs.map(d => spark.read.parquet(d.getPath))
+      .reduce(_ unionByName _))
+  }
+
+  /** [[searchLayout]] over base ∪ streamed deltas: both sides prune to
+    * the probed clusters (partition pruning on the base scan AND on
+    * every delta dir — they share the cluster-partitioned disk
+    * layout), and the tombstone anti-join applies to the UNION, so a
+    * delete of a delta-appended id is honored ([[deleteFromLayout]]
+    * writes tombstones for delta rows too). */
+  def searchLayoutDeltaAware(
+      spark: SparkSession,
+      layout: Layout,
+      query: Array[Float],
+      k: Int,
+      nprobe: Int,
+      idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    val clusters = probeClustersOf(layout.centroids, query, nprobe)
+    val base = spark.read.parquet(layout.dir)
+      .filter(col("cluster").isin(clusters: _*))
+    val scan = deltaRows(spark, layout) match {
+      case Some(d) =>
+        base.unionByName(d.filter(col("cluster").isin(clusters: _*))
+          .select(base.columns.map(col).toIndexedSeq: _*))
+      case None => base
+    }
+    VectorSearch.knnExact(
+      liveRows(spark, layout, scan, idCol), query.toSeq, k, idCol, embCol)
+  }
 
   /** Logical delete from a persisted layout (the reference's O5 for the
     * partitioned index — with the CORRECT post-delete search the
@@ -291,8 +360,22 @@ object Ivf {
     val affected = liveRows(spark, layout, spark.read.parquet(layout.dir), idCol)
       .join(broadcast(requested), Seq(idCol), "left_semi")
       .localCheckpoint() // one evaluation feeds both the write and the xor
+    // delta-appended rows are tombstoned too (the streaming-append
+    // interplay), but NEVER enter the sidecar arithmetic — the sidecar
+    // attests only the base corpus, and delta rows were never added to it
+    val deltaAffected = deltaRows(spark, layout).map(
+      _.join(broadcast(requested), Seq(idCol), "left_semi")
+        .join(broadcast(spark.read.parquet(layout.dir)
+          .select(col(idCol)).distinct()), Seq(idCol), "left_anti")
+        .select(col(idCol)).distinct().localCheckpoint())
     val (nDel, hDel, sDel) = fingerprint(affected, embCol)
-    if (nDel == 0L) return 0L
+    val nDeltaDel = deltaAffected.map { d =>
+      val live = liveRows(spark, layout, d, idCol).localCheckpoint()
+      val n = live.count()
+      if (n > 0L) live.write.mode("append").parquet(tombPath)
+      n
+    }.getOrElse(0L)
+    if (nDel == 0L) return nDeltaDel
     affected.select(col(idCol)).write.mode("append").parquet(tombPath)
     val sidecar = java.nio.file.Paths.get(layout.dir, centroidFile)
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -300,7 +383,7 @@ object Ivf {
     val hsum = storedHsum(node).subtract(new java.math.BigInteger(sDel))
     java.nio.file.Files.writeString(sidecar,
       s"""{"count":${node.get("count").asLong() - nDel},"hash":${node.get("hash").asLong() ^ hDel},"hsum":"$hsum","centroids":${node.get("centroids").toString}}""")
-    nDel
+    nDel + nDeltaDel
   }
 
   /** Physically remove tombstoned rows once they exceed

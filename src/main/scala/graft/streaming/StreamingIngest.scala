@@ -213,4 +213,32 @@ object StreamingIngest {
       }
       .trigger(Trigger.AvailableNow())
       .start()
+
+  /** Streaming IVF index maintenance — the embedding leg of the crawl
+    * loop, completing the incremental triple (exact-dup store,
+    * near-dup store, ANN index): every micro-batch of (id, embedding)
+    * rows is centroid-assigned and appended to the persisted layout as
+    * a batch-keyed OVERWRITE delta ([[graft.index.Ivf.appendDelta]] —
+    * the `delta_<tag>` idempotency protocol, so at-least-once
+    * foreachBatch redelivery rewrites the same delta instead of
+    * double-appending). Vectors are searchable as soon as their batch
+    * commits ([[graft.index.Ivf.searchLayoutDeltaAware]]); tombstone
+    * deletes apply to delta rows like base rows. Executor state is
+    * ZERO — the foreachBatch body is stateless; all memory is the
+    * layout on disk. */
+  def streamingIvfAppend(
+      stream: DataFrame,
+      layoutDir: String,
+      checkpoint: String,
+      embCol: String = "embedding"): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val layout = graft.index.Ivf.loadLayout(layoutDir)
+        graft.index.Ivf.appendDelta(layout, batch,
+          s"${pipelineTag(checkpoint)}_b$batchId", embCol)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
 }

@@ -1,0 +1,102 @@
+package graft.index
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+import graft.streaming.StreamingIngest
+
+/** Streaming IVF append — the embedding leg of the incremental crawl
+  * triple: batch-keyed delta appends ([[Ivf.appendDelta]]) through
+  * [[StreamingIngest.streamingIvfAppend]], delta-aware search, retry
+  * idempotency of the `delta_<tag>` protocol, and the tombstone
+  * interplay (deleting a delta-appended vector). */
+class IvfStreamAppendSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  /** Tiny 2-cluster corpus: ids 1–3 near (0,0), ids 4–6 near (10,10). */
+  private def corpus = Seq(
+    (1L, Seq(0.0f, 0.1f)), (2L, Seq(0.1f, 0.0f)), (3L, Seq(0.2f, 0.2f)),
+    (4L, Seq(10.0f, 10.1f)), (5L, Seq(10.1f, 10.0f)), (6L, Seq(10.2f, 10.2f))
+  ).toDF("vec_id", "embedding")
+
+  private def freshLayout(tag: String): Ivf.Layout = {
+    val dir = java.nio.file.Files.createTempDirectory(tag).toString
+    Ivf.buildLayout(spark, corpus, s"$dir/layout", nlist = 2, maxIter = 5)
+  }
+
+  test("two-run streaming append: both runs' vectors searchable, zero executor state") {
+    implicit val sc = spark.sqlContext
+    val layout = freshLayout("ivfstream")
+    val scratch = java.nio.file.Files.createTempDirectory("ivfstream_s").toString
+
+    val input1 = MemoryStream[(Long, Seq[Float])]
+    input1.addData((101L, Seq(0.05f, 0.05f)))
+    val q1 = StreamingIngest.streamingIvfAppend(
+      input1.toDF().toDF("vec_id", "embedding"), layout.dir, s"$scratch/chk1")
+    q1.awaitTermination()
+
+    // a SECOND run (fresh checkpoint lineage = a later crawl leg):
+    // its vector must be searchable alongside run 1's
+    val input2 = MemoryStream[(Long, Seq[Float])]
+    input2.addData((102L, Seq(0.06f, 0.04f)))
+    val q2 = StreamingIngest.streamingIvfAppend(
+      input2.toDF().toDF("vec_id", "embedding"), layout.dir, s"$scratch/chk2")
+    q2.awaitTermination()
+
+    val got = Ivf.searchLayoutDeltaAware(
+        spark, layout, Array(0.0f, 0.0f), k = 5, nprobe = 1)
+      .select("vec_id").as[Long].collect().toSet
+    assert(got.contains(101L) && got.contains(102L),
+      s"both streamed vectors must be searchable, got $got")
+    assert((got -- Set(101L, 102L)).subsetOf(Set(1L, 2L, 3L)),
+      "probe must stay within the queried cluster's corpus")
+    assert(q2.recentProgress.forall(_.stateOperators.isEmpty),
+      "foreachBatch IVF append must carry no state-store state")
+  }
+
+  test("delta_<tag> retry idempotency: redelivering a batch rewrites, never doubles") {
+    val layout = freshLayout("ivfretry")
+    val rows = Seq((201L, Seq(0.03f, 0.03f)), (202L, Seq(0.04f, 0.02f)))
+      .toDF("vec_id", "embedding")
+    assert(Ivf.appendDelta(layout, rows, "t_b0") == 2L)
+    // at-least-once redelivery: the SAME tag arrives again
+    assert(Ivf.appendDelta(layout, rows, "t_b0") == 2L)
+    val delta = Ivf.deltaRows(spark, layout).get
+    assert(delta.count() == 2L,
+      "a retried batch must overwrite its own delta, not append a copy")
+    val got = Ivf.searchLayoutDeltaAware(
+        spark, layout, Array(0.0f, 0.0f), k = 6, nprobe = 1)
+      .select("vec_id").as[Long].collect()
+    assert(got.count(id => id == 201L) == 1 && got.count(id => id == 202L) == 1,
+      s"no duplicate results after redelivery, got ${got.toSeq}")
+  }
+
+  test("tombstone interplay: deleting a delta-appended vector hides it from search") {
+    val layout = freshLayout("ivftomb")
+    Ivf.appendDelta(layout,
+      Seq((301L, Seq(0.02f, 0.05f))).toDF("vec_id", "embedding"), "t_b0")
+    val before = Ivf.searchLayoutDeltaAware(
+        spark, layout, Array(0.0f, 0.0f), k = 6, nprobe = 1)
+      .select("vec_id").as[Long].collect().toSet
+    assert(before.contains(301L))
+    assert(Ivf.deleteFromLayout(layout,
+      Seq(301L).toDF("vec_id")) == 1L)
+    val after = Ivf.searchLayoutDeltaAware(
+        spark, layout, Array(0.0f, 0.0f), k = 6, nprobe = 1)
+      .select("vec_id").as[Long].collect().toSet
+    assert(!after.contains(301L), "tombstoned delta row must not be served")
+    // idempotent: a second delete of the same id is a no-op
+    assert(Ivf.deleteFromLayout(layout, Seq(301L).toDF("vec_id")) == 0L)
+    // base rows untouched, and a BASE delete still adjusts the sidecar
+    // (delta deletes never do — the sidecar attests base data only)
+    assert(after.intersect(Set(1L, 2L, 3L)).nonEmpty)
+    assert(Ivf.deleteFromLayout(layout, Seq(3L).toDF("vec_id")) == 1L)
+    val afterBase = Ivf.searchLayoutDeltaAware(
+        spark, layout, Array(0.0f, 0.0f), k = 6, nprobe = 1)
+      .select("vec_id").as[Long].collect().toSet
+    assert(!afterBase.contains(3L) && !afterBase.contains(301L))
+  }
+}
