@@ -329,4 +329,36 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(plan.contains("TakeOrderedAndProject"),
       s"the top-K cut must be a bounded TakeOrdered, not a global sort:\n$plan")
   }
+
+  test("external-list BPE apply broadcasts the word cache; no interpreted fold in the plan") {
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+    val df = graft.text.Bpe.applyMergesRanked(
+      d, graft.text.Bpe.externalFixtureMerges(), maxIters = 16)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"word-cache side must broadcast into the positional join:\n$plan")
+    // the 1.1k rules run inside ONE codegen kernel: no aggregate-HOF
+    // fold layers and no materialized intermediates in the apply path
+    assert(!plan.contains("ExistingRDD"),
+      s"ranked apply must not materialize vocab chains:\n$plan")
+    assert(!plan.toLowerCase.contains("batchevalpython"),
+      s"no interpreted eval in the kernel path:\n$plan")
+  }
+
+  test("delta-aware IVF probe prunes partitions on the BASE and every DELTA scan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_delta_plan").toString
+    val corpus = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val layout = Ivf.buildLayout(spark, corpus, dir, nlist = 4)
+    Ivf.appendDelta(layout,
+      corpus.filter(col("vec_id") < 3).select(
+        (col("vec_id") + 7000000L).as("vec_id"), col("embedding"), col("label")),
+      "plan_b0")
+    val df = Ivf.searchLayoutDeltaAware(
+      spark, layout, Array.fill(64)(0.1f), k = 5, nprobe = 1)
+    val scan = df.queryExecution.executedPlan.toString
+    val pruned = "PartitionFilters: \\[.{0,20}cluster".r
+      .findAllMatchIn(scan).size
+    assert(pruned >= 2,
+      s"cluster predicate must prune BOTH the base and the delta scan (found $pruned):\n$scan")
+  }
 }
