@@ -388,8 +388,11 @@ object SparkEntry {
     * UTF-8-encoding each code point IN SQL (the encoding arithmetic
     * stated as a CASE over the code point — no blob support needed)
     * and mapping every byte through the map. */
-  private def byteLevelW0Sql: String = {
+  private def byteLevelW0Sql: String = byteLevelW0Sql(carryWord = false)
+
+  private def byteLevelW0Sql(carryWord: Boolean): String = {
     val pat = graft.text.ByteLevel.PretokenPattern.replace("'", "''")
+    val wordSel = if (carryWord) "tok AS word, " else ""
     // UTF-8 encoding of code point cp as an INT list (surrogates cannot
     // occur in valid strings; 4-byte plane covers the rest)
     val utf8 =
@@ -409,7 +412,7 @@ object SparkEntry {
        |csyms AS (SELECT c.tok, c.cnt, c.i,
        |            list_transform($utf8, b -> map_extract(bm.m, b)[1]) AS cs
        |          FROM cps c, bmap bm),
-       |w0 AS MATERIALIZED (SELECT flatten(list(cs ORDER BY i)) AS syms, max(cnt) AS cnt
+       |w0 AS MATERIALIZED (SELECT ${wordSel}flatten(list(cs ORDER BY i)) AS syms, max(cnt) AS cnt
        |       FROM csyms GROUP BY tok)""".stripMargin
   }
 
@@ -425,6 +428,27 @@ object SparkEntry {
        |SELECT CAST(row_number() OVER (ORDER BY rnd, sel_rank) AS INTEGER) AS merge_rank,
        |       a AS lhs, b AS rhs, CAST(n AS BIGINT) AS pair_count
        |FROM sel ORDER BY merge_rank""".stripMargin
+
+  /** Byte-level TOKENIZE oracle: the word-carrying byte-level w0, the
+    * same unrolled training rounds, then every document re-assembled by
+    * joining its positional PRETOKENS to the final symbol table — the
+    * full byte-level train→apply path byte-checked (the byte-level twin
+    * of [[bpeBatchTokenizeOracleSql]]). */
+  private def bpeByteLevelTokenizeOracleSql(rounds: Int, batchSize: Int, candCap: Int): String = {
+    val pat = graft.text.ByteLevel.PretokenPattern.replace("'", "''")
+    s"""WITH ${byteLevelW0Sql(carryWord = true)},
+       |${(1 to rounds).map(bpeBatchRoundSql(_, batchSize, candCap, "word")).mkString(",\n")},
+       |pos AS (SELECT doc_id, u.i AS pos, ptk[u.i] AS word
+       |        FROM (SELECT doc_id, regexp_extract_all(text, '$pat') AS ptk FROM ext),
+       |             unnest(range(1, len(ptk) + 1)) AS u(i)),
+       |dtok AS (SELECT p.doc_id, p.pos, w$rounds.syms
+       |         FROM pos p JOIN w$rounds ON w$rounds.word = p.word),
+       |agg AS (SELECT doc_id, flatten(list(syms ORDER BY pos)) AS subs
+       |        FROM dtok GROUP BY 1)
+       |SELECT e.doc_id, CAST(len(a.subs) AS BIGINT) AS n_subwords,
+       |       md5(array_to_string(a.subs, ' ')) AS subword_md5
+       |FROM ext e JOIN agg a USING (doc_id) ORDER BY e.doc_id""".stripMargin
+  }
 
   /** Byte-level coverage oracle: distinct non-whitespace characters of
     * the extended corpus; byte-level coverage computed per char (every
@@ -1136,6 +1160,24 @@ object SparkEntry {
     // lowercased survivors — uppercase, punctuation, CJK, emoji drop.
     "doc_bytelevel_coverage" -> ((s, dir) =>
       graft.text.ByteLevel.coverageReport(extDocs(s, dir))),
+
+    // Byte-level train→APPLY end-to-end: the rounds learned over the
+    // byte-level word table tokenize the extended corpus through the
+    // shared word cache (distinct PRETOKENS, one combined fold per
+    // round, positional rejoin) — case, punctuation, and emoji survive
+    // into subwords the char-level path cannot produce.
+    "doc_bpe_bytelevel_tokenize" -> ((s, dir) => {
+      val d = extDocs(s, dir)
+      val rounds = graft.text.Bpe.learnRoundsFrom(
+          graft.text.ByteLevel.wordTable(d),
+          rounds = 4, batchSize = 8, candCap = 128)
+        .map(_.map(t => (t._1, t._2)))
+      graft.text.ByteLevel.applyMergesGrouped(d, rounds)
+        .select(col("doc_id"),
+          size(col("bpe_tokens")).cast("long").as("n_subwords"),
+          md5(concat_ws(" ", col("bpe_tokens"))).as("subword_md5"))
+        .orderBy(col("doc_id"))
+    }),
 
     // Phrase rewrite: top-20 adjacent-bigram collocations by PMI
     // (bounded driver artifact), then a narrow greedy fold merges each
@@ -3222,6 +3264,8 @@ object SparkEntry {
     "doc_bpe_tokenize_ext" -> bpeExtTokenizeOracleSql(maxIters = 16),
     "corpus_bpe_bytelevel" -> bpeByteLevelOracleSql(rounds = 4, batchSize = 8, candCap = 128),
     "doc_bytelevel_coverage" -> byteLevelCoverageOracleSql,
+    "doc_bpe_bytelevel_tokenize" ->
+      bpeByteLevelTokenizeOracleSql(rounds = 4, batchSize = 8, candCap = 128),
 
     // Train→apply: same rounds with the word key carried through, then
     // positional re-tokenization of every document; md5 byte-check.

@@ -437,12 +437,15 @@ object Bpe {
   /** Shared tail of the tokenizer word-cache: every document's
     * positional words join the (word → subwords) table and re-assemble
     * in position order. Output: (idCol, bpe_tokens); empty-string
-    * tokens (an empty document) carry no subwords and drop out. */
-  private def joinBackBySubwords(df: DataFrame, vocab: DataFrame,
-      idCol: String, textCol: String, broadcastVocab: Boolean): DataFrame = {
+    * tokens (an empty document) carry no subwords and drop out.
+    * `tokensOf` is the pretokenization seam — whitespace tokens for the
+    * char-level path, [[ByteLevel.pretokens]] for byte-level. */
+  private[text] def joinBackBySubwords(df: DataFrame, vocab: DataFrame,
+      idCol: String, textCol: String, broadcastVocab: Boolean,
+      tokensOf: Column => Column = TextAnalysis.tokens): DataFrame = {
     val pos = df
       .select(col(idCol),
-        posexplode(TextAnalysis.tokens(col(textCol))).as(Seq("pos", "word")))
+        posexplode(tokensOf(col(textCol))).as(Seq("pos", "word")))
       .filter(length(col("word")) > 0)
     val vocabSide = if (broadcastVocab) broadcast(vocab) else vocab
     pos.join(vocabSide, "word")
@@ -461,14 +464,27 @@ object Bpe {
   def externalFixtureMerges(): Seq[(String, String)] = {
     val in = getClass.getResourceAsStream("/graft/bpe/ext_merges.txt")
     require(in != null, "fixture resource graft/bpe/ext_merges.txt not on classpath")
-    try {
-      scala.io.Source.fromInputStream(in, "UTF-8").getLines()
-        .filter(_.nonEmpty)
-        .map { line =>
-          val sp = line.indexOf(' ')
-          (line.substring(0, sp), line.substring(sp + 1))
-        }
-        .toVector
-    } finally in.close()
+    try parseMergesTxt(scala.io.Source.fromInputStream(in, "UTF-8").getLines())
+    finally in.close()
   }
+
+  /** Load a rank-ordered merge list from a `merges.txt`-layout file on
+    * disk — the entry point for a user bringing a published tokenizer's
+    * rules (GPT-2/RoBERTa ship exactly this file; a leading `#version`
+    * comment line, as GPT-2's has, is skipped). Feed the result to
+    * [[applyMergesRanked]]. */
+  def loadMergesTxt(path: String): Seq[(String, String)] = {
+    val src = scala.io.Source.fromFile(path, "UTF-8")
+    try parseMergesTxt(src.getLines()) finally src.close()
+  }
+
+  private def parseMergesTxt(lines: Iterator[String]): Seq[(String, String)] =
+    lines
+      .filter(l => l.nonEmpty && !l.startsWith("#"))
+      .map { line =>
+        val sp = line.indexOf(' ')
+        require(sp > 0 && sp < line.length - 1, s"malformed merges.txt line: '$line'")
+        (line.substring(0, sp), line.substring(sp + 1))
+      }
+      .toVector
 }

@@ -59,6 +59,32 @@ object ByteLevel {
       .orderBy("merge_rank")
   }
 
+  /** Tokenize with a ROUND-GROUPED byte-level merge list — the
+    * byte-level twin of [[Bpe.applyMergesGrouped]]: the word cache
+    * holds DISTINCT PRETOKENS (raw, case- and punctuation-preserving),
+    * each symbolized byte-by-byte, with one combined disjoint-rule
+    * fold per training round; documents re-assemble through the shared
+    * positional join. Cost linear in rounds and corpus, never rules. */
+  def applyMergesGrouped(df: DataFrame,
+      mergeRounds: Seq[Seq[(String, String)]],
+      idCol: String = "doc_id", textCol: String = "text",
+      broadcastVocab: Boolean = true): DataFrame = {
+    var vocab = df
+      .select(explode(pretokens(col(textCol))).as("word"))
+      .filter(length(col("word")) > 0)
+      .distinct()
+      .select(col("word"),
+        VectorExpressions.byteLevelSyms(col("word")).as("syms"))
+      .localCheckpoint()
+    mergeRounds.filter(_.nonEmpty).foreach { batch =>
+      vocab = vocab
+        .select(col("word"), Bpe.applyMergeBatch(col("syms"), batch).as("syms"))
+        .localCheckpoint()
+    }
+    Bpe.joinBackBySubwords(df, vocab, idCol, textCol, broadcastVocab,
+      tokensOf = pretokens)
+  }
+
   /** Alphabet-coverage report — the byte-fallback property measured,
     * one row: of the corpus's distinct non-whitespace characters
     * (code points), how many are representable in the byte-level base

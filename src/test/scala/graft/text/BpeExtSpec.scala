@@ -104,6 +104,18 @@ class BpeExtSpec extends AnyFunSuite {
     }
   }
 
+  test("loadMergesTxt parses a merges.txt file with version-comment and rank order") {
+    val p = java.nio.file.Files.createTempFile("merges", ".txt")
+    java.nio.file.Files.writeString(p,
+      "#version: 0.2\nt h\nth e\ni n\n")
+    assert(Bpe.loadMergesTxt(p.toString) == Seq(("t", "h"), ("th", "e"), ("i", "n")))
+    intercept[IllegalArgumentException] {
+      val bad = java.nio.file.Files.createTempFile("merges_bad", ".txt")
+      java.nio.file.Files.writeString(bad, "nospace\n")
+      Bpe.loadMergesTxt(bad.toString)
+    }
+  }
+
   test("shipped fixture regenerates byte-identical from its committed generator") {
     val resource = {
       val in = getClass.getResourceAsStream("/graft/bpe/ext_merges.txt")
