@@ -346,31 +346,41 @@ object SparkEntry {
     * early-exit leaves them. Positional rejoin as in the other
     * tokenize oracles. Step count bounded by word LENGTH, never rule
     * count — the scalability claim, stated in SQL. */
-  private def bpeExtTokenizeOracleSql(maxIters: Int): String = {
-    val merges = graft.text.Bpe.externalFixtureMerges()
+  /** One unrolled priority-loop step for the external-merge-list
+    * oracles (shared by the char-level and byte-level ranked applies):
+    * per word, the lowest-ranked present adjacent pair (pair unnest →
+    * rank join → arg_min) merged via the shared left fold; converged
+    * words pass through the LEFT JOIN + CASE untouched. */
+  private def rankedPriorityLayerSql(k: Int): String =
+    s"""b$k AS (SELECT p.word, arg_min(r.lhs, r.rnk) AS a, arg_min(r.rhs, r.rnk) AS b
+       |  FROM (SELECT word, syms[i] AS x, syms[i+1] AS y
+       |        FROM w${k - 1}, unnest(range(1, len(syms))) AS u(i)) p
+       |  JOIN ranks r ON r.lhs = p.x AND r.rhs = p.y
+       |  GROUP BY p.word),
+       |w$k AS MATERIALIZED (SELECT w.word,
+       |  CASE WHEN b.a IS NULL THEN w.syms
+       |  ELSE list_reduce(list_transform(w.syms, s -> [s]),
+       |    (acc, x) -> CASE WHEN acc[-1] = b.a AND x[1] = b.b
+       |                THEN list_append(acc[1:-2], b.a || b.b)
+       |                ELSE list_concat(acc, x) END) END AS syms
+       |  FROM w${k - 1} w LEFT JOIN b$k b USING (word))""".stripMargin
+
+  /** Rank table VALUES body for an external merge list. */
+  private def ranksValuesSql(merges: Seq[(String, String)]): String = {
     require(merges.forall { case (a, b) => !a.contains("'") && !b.contains("'") },
       "fixture symbols must be quote-free to inline as SQL literals")
-    val values = merges.zipWithIndex
+    merges.zipWithIndex
       .map { case ((a, b), i) => s"(${i + 1},'$a','$b')" }.mkString(",")
-    def layer(k: Int): String =
-      s"""b$k AS (SELECT p.word, arg_min(r.lhs, r.rnk) AS a, arg_min(r.rhs, r.rnk) AS b
-         |  FROM (SELECT word, syms[i] AS x, syms[i+1] AS y
-         |        FROM w${k - 1}, unnest(range(1, len(syms))) AS u(i)) p
-         |  JOIN ranks r ON r.lhs = p.x AND r.rhs = p.y
-         |  GROUP BY p.word),
-         |w$k AS MATERIALIZED (SELECT w.word,
-         |  CASE WHEN b.a IS NULL THEN w.syms
-         |  ELSE list_reduce(list_transform(w.syms, s -> [s]),
-         |    (acc, x) -> CASE WHEN acc[-1] = b.a AND x[1] = b.b
-         |                THEN list_append(acc[1:-2], b.a || b.b)
-         |                ELSE list_concat(acc, x) END) END AS syms
-         |  FROM w${k - 1} w LEFT JOIN b$k b USING (word))""".stripMargin
+  }
+
+  private def bpeExtTokenizeOracleSql(maxIters: Int): String = {
+    val values = ranksValuesSql(graft.text.Bpe.externalFixtureMerges())
     s"""WITH ranks AS MATERIALIZED (SELECT * FROM (VALUES $values) AS r(rnk, lhs, rhs)),
        |t AS (SELECT doc_id, $ToksSql AS toks FROM documents),
        |w0 AS MATERIALIZED (SELECT word, list_append(string_split(word, ''), '</w>') AS syms
        |       FROM (SELECT DISTINCT unnest(toks) AS word FROM t)
        |       WHERE len(word) > 0),
-       |${(1 to maxIters).map(layer).mkString(",\n")},
+       |${(1 to maxIters).map(rankedPriorityLayerSql).mkString(",\n")},
        |pos AS (SELECT doc_id, i AS pos, toks[i] AS word
        |        FROM t, unnest(range(1, len(toks) + 1)) AS u(i)),
        |dtok AS (SELECT p.doc_id, p.pos, w$maxIters.syms
@@ -380,6 +390,28 @@ object SparkEntry {
        |SELECT t.doc_id, CAST(len(a.subs) AS BIGINT) AS n_subwords,
        |       md5(array_to_string(a.subs, ' ')) AS subword_md5
        |FROM t JOIN agg a USING (doc_id) ORDER BY t.doc_id""".stripMargin
+  }
+
+  /** The GPT-2 production inference path's oracle: byte-level
+    * word-carrying w0 (raw pretokens, byte symbolization), the
+    * external BYTE-LEVEL rank table, `maxIters` unrolled priority
+    * steps, positional pretoken rejoin. */
+  private def bpeGpt2TokenizeOracleSql(maxIters: Int): String = {
+    val values = ranksValuesSql(graft.text.ByteLevel.externalFixtureMerges())
+    val pat = graft.text.ByteLevel.PretokenPattern.replace("'", "''")
+    s"""WITH ranks AS MATERIALIZED (SELECT * FROM (VALUES $values) AS r(rnk, lhs, rhs)),
+       |${byteLevelW0Sql(carryWord = true)},
+       |${(1 to maxIters).map(rankedPriorityLayerSql).mkString(",\n")},
+       |pos AS (SELECT doc_id, u.i AS pos, ptk[u.i] AS word
+       |        FROM (SELECT doc_id, regexp_extract_all(text, '$pat') AS ptk FROM ext),
+       |             unnest(range(1, len(ptk) + 1)) AS u(i)),
+       |dtok AS (SELECT p.doc_id, p.pos, w$maxIters.syms
+       |         FROM pos p JOIN w$maxIters ON w$maxIters.word = p.word),
+       |agg AS (SELECT doc_id, flatten(list(syms ORDER BY pos)) AS subs
+       |        FROM dtok GROUP BY 1)
+       |SELECT e.doc_id, CAST(len(a.subs) AS BIGINT) AS n_subwords,
+       |       md5(array_to_string(a.subs, ' ')) AS subword_md5
+       |FROM ext e JOIN agg a USING (doc_id) ORDER BY e.doc_id""".stripMargin
   }
 
   /** Shared byte-level preamble CTEs: the extended corpus, the 256-row
@@ -1160,6 +1192,22 @@ object SparkEntry {
     // lowercased survivors — uppercase, punctuation, CJK, emoji drop.
     "doc_bytelevel_coverage" -> ((s, dir) =>
       graft.text.ByteLevel.coverageReport(extDocs(s, dir))),
+
+    // The GPT-2 PRODUCTION inference path end-to-end: raw-text
+    // pretokens → byte symbolization → the priority loop over an
+    // external rank-ordered BYTE-LEVEL merge list (the shipped
+    // 1.1k-rule fixture with Ġ-space merges) — byte-level × ranked,
+    // the combination every deployed tokenizer runs. One codegen
+    // kernel pass per distinct pretoken; the oracle unrolls the loop
+    // over the byte-level word table.
+    "doc_bpe_tokenize_gpt2" -> ((s, dir) => {
+      graft.text.ByteLevel.applyMergesRanked(extDocs(s, dir),
+          graft.text.ByteLevel.externalFixtureMerges(), maxIters = 24)
+        .select(col("doc_id"),
+          size(col("bpe_tokens")).cast("long").as("n_subwords"),
+          md5(concat_ws(" ", col("bpe_tokens"))).as("subword_md5"))
+        .orderBy(col("doc_id"))
+    }),
 
     // Byte-level train→APPLY end-to-end: the rounds learned over the
     // byte-level word table tokenize the extended corpus through the
@@ -3266,6 +3314,7 @@ object SparkEntry {
     "doc_bytelevel_coverage" -> byteLevelCoverageOracleSql,
     "doc_bpe_bytelevel_tokenize" ->
       bpeByteLevelTokenizeOracleSql(rounds = 4, batchSize = 8, candCap = 128),
+    "doc_bpe_tokenize_gpt2" -> bpeGpt2TokenizeOracleSql(maxIters = 24),
 
     // Train→apply: same rounds with the word key carried through, then
     // positional re-tokenization of every document; md5 byte-check.

@@ -85,6 +85,47 @@ object ByteLevel {
       tokensOf = pretokens)
   }
 
+  /** Tokenize with an EXTERNAL rank-ordered BYTE-LEVEL merge list —
+    * the full GPT-2 production inference path: raw-text pretokens,
+    * byte symbolization, then the standard priority loop
+    * (lowest-ranked present pair first) as one codegen kernel per
+    * DISTINCT pretoken ([[Bpe.applyMergesRanked]]'s byte-level twin).
+    * One narrow map stage regardless of rule count. */
+  def applyMergesRanked(df: DataFrame, merges: Seq[(String, String)],
+      idCol: String = "doc_id", textCol: String = "text",
+      broadcastVocab: Boolean = true, maxIters: Int = 24): DataFrame = {
+    val vocab = df
+      .select(explode(pretokens(col(textCol))).as("word"))
+      .filter(length(col("word")) > 0)
+      .distinct()
+      .select(col("word"),
+        VectorExpressions.bpeRankMerge(
+          VectorExpressions.byteLevelSyms(col("word")),
+          merges, maxIters).as("syms"))
+    Bpe.joinBackBySubwords(df, vocab, idCol, textCol, broadcastVocab,
+      tokensOf = pretokens)
+  }
+
+  /** The shipped BYTE-LEVEL external merge-list fixture (~1.1k
+    * rank-ordered, non-disjoint rules over the byte alphabet, Ġ-space
+    * merges included), generated deterministically by
+    * `graft.tools.GenExtMerges.byteLevelFixtureText` and
+    * byte-compare-pinned by spec. */
+  def externalFixtureMerges(): Seq[(String, String)] = {
+    val in = getClass.getResourceAsStream("/graft/bpe/ext_merges_bytelevel.txt")
+    require(in != null,
+      "fixture resource graft/bpe/ext_merges_bytelevel.txt not on classpath")
+    try {
+      scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .filter(l => l.nonEmpty && !l.startsWith("#"))
+        .map { line =>
+          val sp = line.indexOf(' ')
+          (line.substring(0, sp), line.substring(sp + 1))
+        }
+        .toVector
+    } finally in.close()
+  }
+
   /** Alphabet-coverage report — the byte-fallback property measured,
     * one row: of the corpus's distinct non-whitespace characters
     * (code points), how many are representable in the byte-level base

@@ -72,10 +72,16 @@ object GenExtMerges {
     * (count desc, pair asc) tie-break → merge everywhere). Stops early
     * if the pair table empties. */
   def sequentialBpe(
-      vocab: Seq[(String, Long)], numMerges: Int): Seq[(String, String)] = {
-    var words: Array[(Array[String], Long)] = vocab.map { case (w, c) =>
-      (w.split("").toArray :+ EndMark, c)
-    }.toArray
+      vocab: Seq[(String, Long)], numMerges: Int): Seq[(String, String)] =
+    sequentialBpeSyms(
+      vocab.map { case (w, c) => (w.split("").toArray :+ EndMark, c) },
+      numMerges)
+
+  /** [[sequentialBpe]] over caller-symbolized words — the seam that
+    * lets the byte-level fixture share the trainer core. */
+  def sequentialBpeSyms(
+      vocab: Seq[(Array[String], Long)], numMerges: Int): Seq[(String, String)] = {
+    var words: Array[(Array[String], Long)] = vocab.toArray
     val merges = mutable.ArrayBuffer.empty[(String, String)]
     var r = 0
     var exhausted = false
@@ -107,12 +113,30 @@ object GenExtMerges {
     sequentialBpe(trainingVocab, numMerges)
       .map { case (a, b) => s"$a $b" }.mkString("", "\n", "\n")
 
+  /** The BYTE-LEVEL fixture: the same training vocabulary as GPT-2-style
+    * pretokens — each word carries its leading space, so the learned
+    * rules include `Ġ` (space-marker) merges — symbolized through the
+    * published byte alphabet, no end marker. Rank-ordered and
+    * non-disjoint like the char fixture; symbols are mapped byte chars
+    * (never a raw space), so the `lhs rhs` line layout stays valid. */
+  def byteLevelFixtureText(numMerges: Int = 1300): String = {
+    val symbolize = (w: String) =>
+      w.getBytes("UTF-8").map(b =>
+        org.apache.spark.sql.graft.ByteLevelUtil.ByteToSym(b & 0xff))
+    sequentialBpeSyms(
+      trainingVocab.map { case (w, c) => (symbolize(" " + w), c) },
+      numMerges)
+      .map { case (a, b) => s"$a $b" }.mkString("", "\n", "\n")
+  }
+
   def main(args: Array[String]): Unit = {
-    val out = if (args.nonEmpty) args(0)
-      else "src/main/resources/graft/bpe/ext_merges.txt"
-    val p = java.nio.file.Paths.get(out)
-    java.nio.file.Files.createDirectories(p.getParent)
-    java.nio.file.Files.writeString(p, fixtureText())
-    println(s"wrote $out")
+    val dir = if (args.nonEmpty) args(0) else "src/main/resources/graft/bpe"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/ext_merges.txt"), fixtureText())
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/ext_merges_bytelevel.txt"),
+      byteLevelFixtureText())
+    println(s"wrote $dir/ext_merges.txt and $dir/ext_merges_bytelevel.txt")
   }
 }

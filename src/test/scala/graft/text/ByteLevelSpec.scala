@@ -75,6 +75,37 @@ class ByteLevelSpec extends AnyFunSuite {
     assert(r.getDouble(3) == 100.0)
   }
 
+  test("byte-level fixture regenerates from its generator; non-disjoint with space merges") {
+    val resource = {
+      val in = getClass.getResourceAsStream("/graft/bpe/ext_merges_bytelevel.txt")
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    }
+    assert(resource == graft.tools.GenExtMerges.byteLevelFixtureText(),
+      "byte-level fixture drifted from its generator")
+    val merges = ByteLevel.externalFixtureMerges()
+    assert(merges.size >= 1000)
+    assert(merges.exists(p => p._1.contains("Ġ") || p._2.contains("Ġ")),
+      "a GPT-2-style list must carry space-marker merges")
+    assert(merges.zipWithIndex.exists { case ((a, b), i) =>
+      merges.take(i).exists { case (pa, pb) => pa + pb == a || pa + pb == b }
+    }, "fixture must be non-disjoint (later rules consume earlier outputs)")
+  }
+
+  test("byte-level ranked apply tokenizes raw text losslessly through the priority loop") {
+    val df = Seq((1L, "fast scan"), (2L, "It's Fast!")).toDF("doc_id", "text")
+    val out = ByteLevel.applyMergesRanked(df, ByteLevel.externalFixtureMerges(),
+        maxIters = 24)
+      .orderBy("doc_id").collect()
+    val toks1 = out(0).getSeq[String](1)
+    // lossless: concatenating subwords recovers the byte-mapped text
+    assert(toks1.mkString == "fastĠscan",
+      s"subwords must reassemble to the mapped input, got $toks1")
+    // the fixture's trained rules actually fire (fewer symbols than bytes)
+    assert(toks1.length < "fast scan".length)
+    val toks2 = out(1).getSeq[String](1)
+    assert(toks2.mkString == "It'sĠFast!", s"case/punct must survive, got $toks2")
+  }
+
   test("byte-level training learns raw-text structure the char path cannot see") {
     val df = Seq.tabulate(30)(i => (i.toLong, "It's low-cost! It's low-risk!"))
       .toDF("doc_id", "text")
