@@ -306,6 +306,56 @@ object Ivf {
       .reduce(_ unionByName _))
   }
 
+  /** Fold streamed deltas into the base layout — the compaction leg of
+    * the streaming-append protocol, for when delta-dir count grows
+    * past listing comfort. Mechanics: per-cluster part FILES are
+    * MOVED (atomic rename, unique target names) from each
+    * `_delta_<tag>/cluster=N/` into the base `cluster=N/`, so at every
+    * instant each row lives in exactly one place — a crash mid-fold
+    * leaves some rows served from base and the rest from their delta,
+    * never both. The sidecar then updates compositionally (count adds,
+    * xor toggles, sum adds — fingerprinted BEFORE the moves from the
+    * same files); a crash between moves and sidecar write leaves the
+    * reuse check conservative (mismatch → rebuild), probes correct.
+    * Returns the number of delta directories folded. */
+  def compactDeltas(
+      spark: SparkSession,
+      layout: Layout,
+      embCol: String = "embedding"): Int = {
+    val dirs = Option(new java.io.File(layout.dir).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith(deltaDirPrefix))
+      .sortBy(_.getName)
+    if (dirs.isEmpty) return 0
+    val rows = dirs.map(d => spark.read.parquet(d.getPath)).reduce(_ unionByName _)
+    val (nNew, hNew, sNew) = fingerprint(rows, embCol)
+    dirs.foreach { d =>
+      Option(d.listFiles()).getOrElse(Array.empty)
+        .filter(c => c.isDirectory && c.getName.startsWith("cluster="))
+        .foreach { c =>
+          val target = java.nio.file.Paths.get(layout.dir, c.getName)
+          java.nio.file.Files.createDirectories(target)
+          Option(c.listFiles()).getOrElse(Array.empty)
+            .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+            .foreach { f =>
+              java.nio.file.Files.move(f.toPath,
+                target.resolve(s"${d.getName.stripPrefix("_")}_${f.getName}"))
+            }
+        }
+      // the emptied delta dir (and its marker files) goes last
+      val walk = java.nio.file.Files.walk(d.toPath)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.delete(p))
+      finally walk.close()
+    }
+    val sidecar = java.nio.file.Paths.get(layout.dir, centroidFile)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = mapper.readTree(java.nio.file.Files.readString(sidecar))
+    val hsum = storedHsum(node).add(new java.math.BigInteger(sNew))
+    java.nio.file.Files.writeString(sidecar,
+      s"""{"count":${node.get("count").asLong() + nNew},"hash":${node.get("hash").asLong() ^ hNew},"hsum":"$hsum","centroids":${node.get("centroids").toString}}""")
+    dirs.length
+  }
+
   /** [[searchLayout]] over base ∪ streamed deltas: both sides prune to
     * the probed clusters (partition pruning on the base scan AND on
     * every delta dir — they share the cluster-partitioned disk

@@ -74,6 +74,39 @@ class IvfStreamAppendSpec extends AnyFunSuite {
       s"no duplicate results after redelivery, got ${got.toSeq}")
   }
 
+  test("compactDeltas folds delta files into the base; search unchanged, dirs gone") {
+    val layout = freshLayout("ivfcompact")
+    Ivf.appendDelta(layout,
+      Seq((401L, Seq(0.03f, 0.06f))).toDF("vec_id", "embedding"), "t_b0")
+    Ivf.appendDelta(layout,
+      Seq((402L, Seq(0.05f, 0.01f))).toDF("vec_id", "embedding"), "t_b1")
+    val before = Ivf.searchLayoutDeltaAware(
+        spark, layout, Array(0.0f, 0.0f), k = 6, nprobe = 1)
+      .select("vec_id").as[Long].collect().toSet
+    assert(Ivf.compactDeltas(spark, layout) == 2)
+    assert(Ivf.deltaRows(spark, layout).isEmpty, "delta dirs must be gone")
+    val after = Ivf.searchLayoutDeltaAware(
+        spark, layout, Array(0.0f, 0.0f), k = 6, nprobe = 1)
+      .select("vec_id").as[Long].collect().toSet
+    assert(after == before, s"compaction must not change results: $before -> $after")
+    assert(after.contains(401L) && after.contains(402L))
+    // the BASE probe now serves the folded rows too
+    val baseOnly = Ivf.searchLayout(
+        spark, layout, Array(0.0f, 0.0f), k = 6, nprobe = 1)
+      .select("vec_id").as[Long].collect().toSet
+    assert(baseOnly == after, "after compaction the plain probe serves folded rows")
+    // idempotent: nothing left to fold
+    assert(Ivf.compactDeltas(spark, layout) == 0)
+    // sidecar stays compositionally consistent: a fresh buildLayout
+    // against the ORIGINAL corpus must detect the mismatch and rebuild
+    val rebuilt = Ivf.buildLayout(spark, corpus, layout.dir, nlist = 2, maxIter = 5)
+    val again = Ivf.searchLayout(
+        spark, rebuilt, Array(0.0f, 0.0f), k = 6, nprobe = 1)
+      .select("vec_id").as[Long].collect().toSet
+    assert(!again.contains(401L),
+      "post-compaction rebuild against the original corpus must drop folded rows")
+  }
+
   test("tombstone interplay: deleting a delta-appended vector hides it from search") {
     val layout = freshLayout("ivftomb")
     Ivf.appendDelta(layout,
