@@ -331,6 +331,17 @@ object ScaleProbe {
         graft.text.Bpe.applyMergesRanked(docsVaried, ext.take(100), maxIters = 24)))
     }
 
+    // the GPT-2 production path at scale: byte-level pretokens + the
+    // external byte-level rank list through the same kernel — raw text
+    // means the varied corpus's punctuation-free pretokens are longer
+    // (prefix + word per pretoken), the cost still tracks distinct
+    // pretokens + the positional join, not rules
+    if (onlyFilter.forall(_.exists("BPE gpt2".contains))) {
+      val ext = graft.text.ByteLevel.externalFixtureMerges()
+      time(s"BPE gpt2 apply (${ext.size} rules)")(noop(
+        graft.text.ByteLevel.applyMergesRanked(docsVaried, ext, maxIters = 32)))
+    }
+
     // z-order layout stats: raw rows grow with the factor, but the
     // only window runs over the occupied-cell table (≤ 2^20 rows at
     // any corpus size) — cost must track the one bucketing aggregation
