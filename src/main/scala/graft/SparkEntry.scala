@@ -396,7 +396,10 @@ object SparkEntry {
     * word-carrying w0 (raw pretokens, byte symbolization), the
     * external BYTE-LEVEL rank table, `maxIters` unrolled priority
     * steps, positional pretoken rejoin. */
-  private def bpeGpt2TokenizeOracleSql(maxIters: Int): String = {
+  /** Shared prefix of the GPT-2-path oracles: ranks, byte-level
+    * word-carrying w0, the unrolled priority layers, and per-doc
+    * subword lists (`agg(doc_id, subs)`). */
+  private def gpt2SubwordsSqlPrefix(maxIters: Int): String = {
     val values = ranksValuesSql(graft.text.ByteLevel.externalFixtureMerges())
     val pat = graft.text.ByteLevel.PretokenPattern.replace("'", "''")
     s"""WITH ranks AS MATERIALIZED (SELECT * FROM (VALUES $values) AS r(rnk, lhs, rhs)),
@@ -408,10 +411,33 @@ object SparkEntry {
        |dtok AS (SELECT p.doc_id, p.pos, w$maxIters.syms
        |         FROM pos p JOIN w$maxIters ON w$maxIters.word = p.word),
        |agg AS (SELECT doc_id, flatten(list(syms ORDER BY pos)) AS subs
-       |        FROM dtok GROUP BY 1)
+       |        FROM dtok GROUP BY 1)""".stripMargin
+  }
+
+  private def bpeGpt2TokenizeOracleSql(maxIters: Int): String =
+    s"""${gpt2SubwordsSqlPrefix(maxIters)}
        |SELECT e.doc_id, CAST(len(a.subs) AS BIGINT) AS n_subwords,
        |       md5(array_to_string(a.subs, ' ')) AS subword_md5
        |FROM ext e JOIN agg a USING (doc_id) ORDER BY e.doc_id""".stripMargin
+
+  /** Token-id oracle: the GPT-2-path subwords mapped through the
+    * vocab id table the fixture induces (inlined VALUES, duplicate
+    * outputs already first-rank-deduped by the generator helper). */
+  private def bpeTokenIdsOracleSql(maxIters: Int): String = {
+    val vocab = graft.text.ByteLevel.vocabForMerges(
+      graft.text.ByteLevel.externalFixtureMerges())
+    val values = vocab.map { case (s, i) =>
+      s"('${s.replace("'", "''")}',$i)"
+    }.mkString(",")
+    s"""${gpt2SubwordsSqlPrefix(maxIters)},
+       |vmap AS (SELECT map(list(sym ORDER BY id), list(id ORDER BY id)) AS m
+       |         FROM (VALUES $values) AS v(sym, id)),
+       |ids AS (SELECT a.doc_id,
+       |          list_transform(a.subs, s -> map_extract(v.m, s)[1]) AS tids
+       |        FROM agg a, vmap v)
+       |SELECT e.doc_id, CAST(len(i.tids) AS BIGINT) AS n_tokens,
+       |       md5(array_to_string(i.tids, ',')) AS ids_md5
+       |FROM ext e JOIN ids i USING (doc_id) ORDER BY e.doc_id""".stripMargin
   }
 
   /** Shared byte-level preamble CTEs: the extended corpus, the 256-row
@@ -1206,6 +1232,19 @@ object SparkEntry {
         .select(col("doc_id"),
           size(col("bpe_tokens")).cast("long").as("n_subwords"),
           md5(concat_ws(" ", col("bpe_tokens"))).as("subword_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // TOKEN IDS — the tensor a model consumes: the GPT-2-path subwords
+    // mapped through the vocab id table the fixture list induces (base
+    // bytes 0–255 by byte value, merge outputs 256+rank, first rank
+    // wins on duplicate outputs). One map-literal probe per subword.
+    "doc_bpe_token_ids" -> ((s, dir) => {
+      graft.text.ByteLevel.tokenIds(extDocs(s, dir),
+          graft.text.ByteLevel.externalFixtureMerges(), maxIters = 24)
+        .select(col("doc_id"),
+          size(col("token_ids")).cast("long").as("n_tokens"),
+          md5(concat_ws(",", col("token_ids"))).as("ids_md5"))
         .orderBy(col("doc_id"))
     }),
 
@@ -3315,6 +3354,7 @@ object SparkEntry {
     "doc_bpe_bytelevel_tokenize" ->
       bpeByteLevelTokenizeOracleSql(rounds = 4, batchSize = 8, candCap = 128),
     "doc_bpe_tokenize_gpt2" -> bpeGpt2TokenizeOracleSql(maxIters = 24),
+    "doc_bpe_token_ids" -> bpeTokenIdsOracleSql(maxIters = 24),
 
     // Train→apply: same rounds with the word key carried through, then
     // positional re-tokenization of every document; md5 byte-check.

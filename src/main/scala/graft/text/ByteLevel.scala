@@ -126,6 +126,37 @@ object ByteLevel {
     } finally in.close()
   }
 
+  /** The vocabulary id table a merge list induces (what GPT-2 ships as
+    * `vocab.json`): the 256 base byte symbols get ids 0–255 in byte
+    * order, each merge's output symbol gets 256 + rank. Two different
+    * rules CAN produce the same string (("a","bc") and ("ab","c") both
+    * yield "abc"); first rank wins, matching the first-occurrence
+    * convention a real vocab file encodes. Every symbol the priority
+    * loop can ever emit — base or merge output — has exactly one id. */
+  def vocabForMerges(merges: Seq[(String, String)]): Seq[(String, Int)] = {
+    val out = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+    ByteLevelUtil.ByteToSym.zipWithIndex.foreach { case (s, b) => out(s) = b }
+    merges.zipWithIndex.foreach { case ((a, b), i) =>
+      val sym = a + b
+      if (!out.contains(sym)) out(sym) = 256 + i
+    }
+    out.toVector
+  }
+
+  /** Tokenize to TOKEN IDS — the tensor a model actually consumes:
+    * [[applyMergesRanked]] subwords mapped through
+    * [[vocabForMerges]]'s id table as ONE map-literal probe per
+    * subword (`typedLit` map: a single literal, not 2×|vocab|
+    * expression nodes). Output: (idCol, token_ids). */
+  def tokenIds(df: DataFrame, merges: Seq[(String, String)],
+      idCol: String = "doc_id", textCol: String = "text",
+      broadcastVocab: Boolean = true, maxIters: Int = 24): DataFrame = {
+    val vmap = typedLit(vocabForMerges(merges).toMap)
+    applyMergesRanked(df, merges, idCol, textCol, broadcastVocab, maxIters)
+      .select(col(idCol),
+        transform(col("bpe_tokens"), s => element_at(vmap, s)).as("token_ids"))
+  }
+
   /** Alphabet-coverage report — the byte-fallback property measured,
     * one row: of the corpus's distinct non-whitespace characters
     * (code points), how many are representable in the byte-level base

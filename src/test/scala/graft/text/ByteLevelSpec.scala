@@ -106,6 +106,40 @@ class ByteLevelSpec extends AnyFunSuite {
     assert(toks2.mkString == "It'sĠFast!", s"case/punct must survive, got $toks2")
   }
 
+  test("vocab id table: base bytes 0-255, merges 256+rank, first rank wins duplicates") {
+    val vocab = ByteLevel.vocabForMerges(Seq(("a", "bc"), ("ab", "c"), ("x", "y")))
+    val m = vocab.toMap
+    assert(m("A") == 'A'.toInt && m("Ġ") == 32)
+    assert(m("abc") == 256, "first rule producing 'abc' owns the id")
+    assert(m("xy") == 258)
+    assert(vocab.size == 256 + 2, "duplicate merge output must not add a second id")
+    // every symbol has exactly one id
+    assert(vocab.map(_._1).distinct.size == vocab.size)
+  }
+
+  test("tokenIds maps every emitted subword; ids reassemble losslessly corpus-wide") {
+    val merges = ByteLevel.externalFixtureMerges()
+    val df = Seq((1L, "fast scan"), (2L, "It's Fast! 🌍"), (3L, "你好 café"))
+      .toDF("doc_id", "text")
+    val ids = ByteLevel.tokenIds(df, merges, maxIters = 24)
+      .orderBy("doc_id").collect()
+    // no subword may miss the vocab (null id)
+    ids.foreach(r => assert(!r.getSeq[Integer](1).contains(null),
+      s"unmapped subword in ${r.getSeq[Integer](1)}"))
+    // corpus-wide lossless reassembly: decoding ids through the reverse
+    // vocab and unmapping bytes recovers the ORIGINAL raw text
+    val rev = ByteLevel.vocabForMerges(merges).map(_.swap).toMap
+    val symToByte = org.apache.spark.sql.graft.ByteLevelUtil.ByteToSym
+      .zipWithIndex.map { case (s, b) => (s, b.toByte) }.toMap
+    val texts = df.orderBy("doc_id").collect().map(_.getString(1))
+    ids.zip(texts).foreach { case (r, original) =>
+      val bytes = r.getSeq[Integer](1)
+        .flatMap(id => rev(id.intValue()).split("").filter(_.nonEmpty).map(symToByte))
+      assert(new String(bytes.toArray, "UTF-8") == original,
+        s"ids must decode back to the raw text: '$original'")
+    }
+  }
+
   test("byte-level training learns raw-text structure the char path cannot see") {
     val df = Seq.tabulate(30)(i => (i.toLong, "It's low-cost! It's low-risk!"))
       .toDF("doc_id", "text")
