@@ -508,6 +508,53 @@ object SparkEntry {
        |FROM ext e JOIN agg a USING (doc_id) ORDER BY e.doc_id""".stripMargin
   }
 
+  /** Tokenize→pack→emit oracle: the gpt2 ids prefix (ranks, byte-level
+    * w0, unrolled priority layers, vocab map), then the seq_pack
+    * greedy recurrence replayed per part over the REAL token counts,
+    * then each bin's id lists flattened in doc order. The recursive
+    * pack CTE coexists with the materialized tokenizer chain here —
+    * verified empirically at all three SFs (the r9 recursive-CTE
+    * mis-evaluation shape involved aggregation directly over the
+    * recursive result under the batched-pick chain; this shape joins
+    * the recursion against MATERIALIZED derived tables, which is also
+    * load-bearing for cost: without materializing `d`, every one of
+    * the ~625 per-part recursion steps re-evaluates the entire
+    * 24-layer tokenizer chain — >10 min at sf0.1 vs ~2 s). */
+  private def seqPackIdsOracleSql(maxIters: Int, budget: Long, nParts: Int): String = {
+    val vocab = graft.text.ByteLevel.vocabForMerges(
+      graft.text.ByteLevel.externalFixtureMerges())
+    val values = vocab.map { case (s, i) =>
+      s"('${s.replace("'", "''")}',$i)"
+    }.mkString(",")
+    val partExpr =
+      s"""CAST(list_sum([(CAST(strpos('0123456789abcdef', md5(CAST(doc_id AS VARCHAR))[i]) AS BIGINT) - 1)
+         |               * (CAST(1 AS BIGINT) << (4*(8-i))) FOR i IN range(1, 9)]) % $nParts AS INTEGER)""".stripMargin
+    s"""${gpt2SubwordsSqlPrefix(maxIters).replaceFirst("^WITH ", "WITH RECURSIVE ")},
+       |vmap AS (SELECT map(list(sym ORDER BY id), list(id ORDER BY id)) AS m
+       |         FROM (VALUES $values) AS v(sym, id)),
+       |tid AS MATERIALIZED (SELECT a.doc_id,
+       |          list_transform(a.subs, s -> map_extract(v.m, s)[1]) AS tids
+       |        FROM agg a, vmap v),
+       |base AS MATERIALIZED (SELECT doc_id, tids, CAST(len(tids) AS BIGINT) AS n_tokens,
+       |                $partExpr AS part
+       |         FROM tid),
+       |d AS MATERIALIZED (SELECT doc_id, part, n_tokens,
+       |             CAST(row_number() OVER (PARTITION BY part ORDER BY doc_id) AS INTEGER) AS rn
+       |      FROM base),
+       |pack(part, rn, doc_id, bin_idx, fill) AS (
+       |  SELECT part, rn, doc_id, CAST(0 AS BIGINT) AS bin_idx, n_tokens AS fill FROM d WHERE rn = 1
+       |  UNION ALL
+       |  SELECT d.part, d.rn, d.doc_id,
+       |         CASE WHEN p.fill + d.n_tokens <= $budget THEN p.bin_idx ELSE p.bin_idx + 1 END,
+       |         CASE WHEN p.fill + d.n_tokens <= $budget THEN p.fill + d.n_tokens ELSE d.n_tokens END
+       |  FROM pack p JOIN d ON d.part = p.part AND d.rn = p.rn + 1)
+       |SELECT p.part, p.bin_idx, CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(sum(b.n_tokens) AS BIGINT) AS n_tokens,
+       |       md5(array_to_string(flatten(list(b.tids ORDER BY b.doc_id)), ',')) AS ids_md5
+       |FROM pack p JOIN base b USING (doc_id)
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
   /** Byte-level coverage oracle: distinct non-whitespace characters of
     * the extended corpus; byte-level coverage computed per char (every
     * UTF-8 byte finds a row in the byte map), char-level coverage via
@@ -1246,6 +1293,30 @@ object SparkEntry {
           size(col("token_ids")).cast("long").as("n_tokens"),
           md5(concat_ws(",", col("token_ids"))).as("ids_md5"))
         .orderBy(col("doc_id"))
+    }),
+
+    // The trainer feed end-to-end: GPT-2-path token ids packed into
+    // fixed-budget context windows and materialized as packed ID
+    // SEQUENCES per (part, bin) — tokenize → pack → emit, the last
+    // mile of the pretraining data pipeline. Packing rides the shared
+    // greedy part-local recurrence (seq_pack); the oracle chains the
+    // gpt2 ids prefix into the same recursive replay and the ordered
+    // flatten.
+    "seq_pack_ids" -> ((s, dir) => {
+      val ids = graft.text.ByteLevel.tokenIds(extDocs(s, dir),
+          graft.text.ByteLevel.externalFixtureMerges(), maxIters = 24)
+        .select(col("doc_id"), col("token_ids"),
+          size(col("token_ids")).cast("long").as("n_tokens"))
+      val packed = graft.ops.Packing.packGreedy(
+        ids.select("doc_id", "n_tokens"), budget = 512L, nParts = 8)
+      packed.join(ids, "doc_id")
+        .groupBy(col("part"), col("bin_idx"))
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum(col("n_tokens")).as("n_tokens"),
+          md5(concat_ws(",", flatten(transform(
+            array_sort(collect_list(struct(col("doc_id"), col("token_ids")))),
+            x => x.getField("token_ids"))))).as("ids_md5"))
+        .orderBy(col("part"), col("bin_idx"))
     }),
 
     // Byte-level train→APPLY end-to-end: the rounds learned over the
@@ -3355,6 +3426,7 @@ object SparkEntry {
       bpeByteLevelTokenizeOracleSql(rounds = 4, batchSize = 8, candCap = 128),
     "doc_bpe_tokenize_gpt2" -> bpeGpt2TokenizeOracleSql(maxIters = 24),
     "doc_bpe_token_ids" -> bpeTokenIdsOracleSql(maxIters = 24),
+    "seq_pack_ids" -> seqPackIdsOracleSql(maxIters = 24, budget = 512L, nParts = 8),
 
     // Train→apply: same rounds with the word key carried through, then
     // positional re-tokenization of every document; md5 byte-check.
