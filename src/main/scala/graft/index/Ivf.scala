@@ -412,11 +412,14 @@ object Ivf {
       .localCheckpoint() // one evaluation feeds both the write and the xor
     // delta-appended rows are tombstoned too (the streaming-append
     // interplay), but NEVER enter the sidecar arithmetic — the sidecar
-    // attests only the base corpus, and delta rows were never added to it
+    // attests only the base corpus, and delta rows were never added to
+    // it. The overlap exclusion (an id deleted via the base leg must
+    // not re-count here) anti-joins against `affected` — the
+    // batch-bounded requested∩live-in-base set — NOT against all base
+    // ids, which would broadcast a corpus-sized id table at scale.
     val deltaAffected = deltaRows(spark, layout).map(
       _.join(broadcast(requested), Seq(idCol), "left_semi")
-        .join(broadcast(spark.read.parquet(layout.dir)
-          .select(col(idCol)).distinct()), Seq(idCol), "left_anti")
+        .join(broadcast(affected.select(col(idCol))), Seq(idCol), "left_anti")
         .select(col(idCol)).distinct().localCheckpoint())
     val (nDel, hDel, sDel) = fingerprint(affected, embCol)
     val nDeltaDel = deltaAffected.map { d =>
