@@ -133,12 +133,19 @@ object ByteLevel {
     * yield "abc"); first rank wins, matching the first-occurrence
     * convention a real vocab file encodes. Every symbol the priority
     * loop can ever emit — base or merge output — has exactly one id. */
-  def vocabForMerges(merges: Seq[(String, String)]): Seq[(String, Int)] = {
+  def vocabForMerges(merges: Seq[(String, String)],
+      specials: Seq[String] = Nil): Seq[(String, Int)] = {
     val out = scala.collection.mutable.LinkedHashMap.empty[String, Int]
     ByteLevelUtil.ByteToSym.zipWithIndex.foreach { case (s, b) => out(s) = b }
     merges.zipWithIndex.foreach { case ((a, b), i) =>
       val sym = a + b
       if (!out.contains(sym)) out(sym) = 256 + i
+    }
+    // special tokens take the ids AFTER the merge block — GPT-2's
+    // convention exactly (<|endoftext|> = 256 + 50000 = 50256)
+    specials.foreach { s =>
+      require(!out.contains(s), s"special token '$s' collides with the vocabulary")
+      out(s) = out.size
     }
     out.toVector
   }
@@ -154,8 +161,10 @@ object ByteLevel {
     * Output: (idCol, token_ids). */
   def tokenIds(df: DataFrame, merges: Seq[(String, String)],
       idCol: String = "doc_id", textCol: String = "text",
-      broadcastVocab: Boolean = true, maxIters: Int = 24): DataFrame = {
-    val vmap = typedLit(vocabForMerges(merges).toMap)
+      broadcastVocab: Boolean = true, maxIters: Int = 24,
+      eos: Option[String] = None): DataFrame = {
+    val vocabIds = vocabForMerges(merges, eos.toSeq)
+    val vmap = typedLit(vocabIds.toMap)
     val vocab = df
       .select(explode(pretokens(col(textCol))).as("word"))
       .filter(length(col("word")) > 0)
@@ -165,9 +174,17 @@ object ByteLevel {
           VectorExpressions.bpeRankMerge(
             VectorExpressions.byteLevelSyms(col("word")), merges, maxIters),
           s => element_at(vmap, s)).as("syms"))
-    Bpe.joinBackBySubwords(df, vocab, idCol, textCol, broadcastVocab,
+    val base = Bpe.joinBackBySubwords(df, vocab, idCol, textCol, broadcastVocab,
         tokensOf = pretokens)
       .withColumnRenamed("bpe_tokens", "token_ids")
+    // the document terminator every packed pretraining corpus carries
+    // (ids are EOS-separated when bins concatenate downstream) — one
+    // array append per DOCUMENT, never per token
+    eos.fold(base) { e =>
+      val eosId = vocabIds.toMap.apply(e)
+      base.withColumn("token_ids",
+        concat(col("token_ids"), array(lit(eosId))))
+    }
   }
 
   /** Alphabet-coverage report — the byte-fallback property measured,

@@ -140,6 +140,27 @@ class ByteLevelSpec extends AnyFunSuite {
     }
   }
 
+  test("EOS special token: vocab-final id, appended once per document") {
+    val merges = ByteLevel.externalFixtureMerges()
+    val vocab = ByteLevel.vocabForMerges(merges, Seq("<|endoftext|>"))
+    // GPT-2's convention: specials take the ids after the merge block
+    assert(vocab.toMap.apply("<|endoftext|>") == vocab.size - 1)
+    intercept[IllegalArgumentException] {
+      ByteLevel.vocabForMerges(merges, Seq("a")) // collides with a base symbol
+    }
+    val df = Seq((1L, "fast scan"), (2L, "hash join")).toDF("doc_id", "text")
+    val plain = ByteLevel.tokenIds(df, merges, maxIters = 24)
+      .orderBy("doc_id").collect().map(_.getSeq[Integer](1))
+    val withEos = ByteLevel.tokenIds(df, merges, maxIters = 24,
+        eos = Some("<|endoftext|>"))
+      .orderBy("doc_id").collect().map(_.getSeq[Integer](1))
+    val eosId = vocab.toMap.apply("<|endoftext|>")
+    plain.zip(withEos).foreach { case (p, e) =>
+      assert(e == p :+ Integer.valueOf(eosId),
+        "eos must append exactly one terminator per document")
+    }
+  }
+
   test("byte-level training learns raw-text structure the char path cannot see") {
     val df = Seq.tabulate(30)(i => (i.toLong, "It's low-cost! It's low-risk!"))
       .toDF("doc_id", "text")
