@@ -321,13 +321,22 @@ object Ivf {
   def compactDeltas(
       spark: SparkSession,
       layout: Layout,
-      embCol: String = "embedding"): Int = {
+      embCol: String = "embedding",
+      idCol: String = "vec_id"): Int = {
     val dirs = Option(new java.io.File(layout.dir).listFiles()).getOrElse(Array.empty)
       .filter(f => f.isDirectory && f.getName.startsWith(deltaDirPrefix))
       .sortBy(_.getName)
     if (dirs.isEmpty) return 0
     val rows = dirs.map(d => spark.read.parquet(d.getPath)).reduce(_ unionByName _)
-    val (nNew, hNew, sNew) = fingerprint(rows, embCol)
+    // fingerprint only LIVE delta rows: a delta row deleted via
+    // [[deleteFromLayout]] never entered the sidecar arithmetic (delta
+    // deletes write tombstones only), so folding it into the count/
+    // hash/hsum here would make the sidecar attest a corpus containing
+    // deleted rows — every later [[buildLayout]] against the true live
+    // corpus would mismatch and silently full-rebuild. The tombstones
+    // themselves are kept (the moved files still contain the dead rows;
+    // probes keep anti-joining them until [[compactLayout]] rewrites).
+    val (nNew, hNew, sNew) = fingerprint(liveRows(spark, layout, rows, idCol), embCol)
     dirs.foreach { d =>
       Option(d.listFiles()).getOrElse(Array.empty)
         .filter(c => c.isDirectory && c.getName.startsWith("cluster="))
@@ -453,6 +462,14 @@ object Ivf {
       idCol: String = "vec_id"): Boolean = {
     val tombPath = s"${layout.dir}/$tombstoneDirName"
     if (!new java.io.File(tombPath).exists()) return false
+    // fold pending streamed deltas into the base FIRST: the rewrite
+    // below scans only base partitions (underscore-prefixed _delta_*
+    // dirs are invisible to it), so dropping the tombstone table while
+    // a tombstoned row's data file still lives in a delta dir would
+    // RESURRECT that row on the next delta-aware probe. After the fold
+    // every live row is base-resident and the final tombstone drop is
+    // safe.
+    compactDeltas(spark, layout, idCol = idCol)
     val tomb = spark.read.parquet(tombPath).select(col(idCol)).distinct()
     val data = spark.read.parquet(layout.dir)
     val nTomb = tomb.count()

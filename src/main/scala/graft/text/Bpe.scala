@@ -478,13 +478,24 @@ object Bpe {
     try parseMergesTxt(src.getLines()) finally src.close()
   }
 
-  private def parseMergesTxt(lines: Iterator[String]): Seq[(String, String)] =
-    lines
-      .filter(l => l.nonEmpty && !l.startsWith("#"))
+  /** merges.txt parsing, shared by the loaders here and the byte-level
+    * fixture reader. ONLY a leading `#version` header line is skipped
+    * (GPT-2's file starts with `#version: 0.2` and upstream loaders —
+    * openai's encoder.py, HF's GPT2Tokenizer — drop exactly that one
+    * line): real merge lists contain legitimate rules whose lhs IS `#`
+    * (`# #`, `## #` — vocab.json carries `##`/`###` tokens), so
+    * filtering every `#`-prefixed line would silently lose rules and
+    * shift every subsequent rank. */
+  private[text] def parseMergesTxt(lines: Iterator[String]): Seq[(String, String)] = {
+    val it = lines.buffered
+    if (it.hasNext && it.head.startsWith("#version")) it.next()
+    it
+      .filter(_.nonEmpty)
       .map { line =>
         val sp = line.indexOf(' ')
         require(sp > 0 && sp < line.length - 1, s"malformed merges.txt line: '$line'")
         (line.substring(0, sp), line.substring(sp + 1))
       }
       .toVector
+  }
 }

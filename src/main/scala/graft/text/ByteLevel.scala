@@ -115,15 +115,9 @@ object ByteLevel {
     val in = getClass.getResourceAsStream("/graft/bpe/ext_merges_bytelevel.txt")
     require(in != null,
       "fixture resource graft/bpe/ext_merges_bytelevel.txt not on classpath")
-    try {
-      scala.io.Source.fromInputStream(in, "UTF-8").getLines()
-        .filter(l => l.nonEmpty && !l.startsWith("#"))
-        .map { line =>
-          val sp = line.indexOf(' ')
-          (line.substring(0, sp), line.substring(sp + 1))
-        }
-        .toVector
-    } finally in.close()
+    try Bpe.parseMergesTxt(
+      scala.io.Source.fromInputStream(in, "UTF-8").getLines())
+    finally in.close()
   }
 
   /** The vocabulary id table a merge list induces (what GPT-2 ships as
@@ -141,11 +135,15 @@ object ByteLevel {
       val sym = a + b
       if (!out.contains(sym)) out(sym) = 256 + i
     }
-    // special tokens take the ids AFTER the merge block — GPT-2's
-    // convention exactly (<|endoftext|> = 256 + 50000 = 50256)
-    specials.foreach { s =>
+    // special tokens take the ids AFTER the merge block, offset by the
+    // TOTAL rule count — GPT-2's convention exactly (<|endoftext|> =
+    // 256 + 50000 = 50256). Offsetting by the deduped output count
+    // instead would shift special ids whenever a merge list contains
+    // duplicate output strings, diverging from vocab files produced by
+    // upstream tooling.
+    specials.zipWithIndex.foreach { case (s, k) =>
       require(!out.contains(s), s"special token '$s' collides with the vocabulary")
-      out(s) = out.size
+      out(s) = 256 + merges.size + k
     }
     out.toVector
   }

@@ -107,6 +107,60 @@ class IvfStreamAppendSpec extends AnyFunSuite {
       "post-compaction rebuild against the original corpus must drop folded rows")
   }
 
+  test("compactLayout folds deltas first: a deleted delta row is never resurrected") {
+    val layout = freshLayout("ivfressur")
+    Ivf.appendDelta(layout,
+      Seq((501L, Seq(0.02f, 0.07f))).toDF("vec_id", "embedding"), "t_b0")
+    // delete one base row AND the delta-appended row in one call
+    assert(Ivf.deleteFromLayout(layout, Seq(3L, 501L).toDF("vec_id")) == 2L)
+    // aggressive threshold forces the physical rewrite: the base-only
+    // rewrite used to drop 501's tombstone while its data file survived
+    // in the delta dir — the delete leg's rows must stay deleted
+    assert(Ivf.compactLayout(spark, layout, maxTombstoneFraction = 0.01))
+    val got = Ivf.searchLayoutDeltaAware(
+        spark, layout, Array(0.0f, 0.0f), k = 6, nprobe = 1)
+      .select("vec_id").as[Long].collect().toSet
+    assert(!got.contains(501L) && !got.contains(3L),
+      s"deleted rows must stay deleted through compactLayout, got $got")
+    // and a later delta fold finds nothing to resurrect either
+    Ivf.compactDeltas(spark, layout)
+    val after = Ivf.searchLayout(
+        spark, layout, Array(0.0f, 0.0f), k = 6, nprobe = 1)
+      .select("vec_id").as[Long].collect().toSet
+    assert(!after.contains(501L) && !after.contains(3L),
+      s"nothing may reappear after a post-compaction fold, got $after")
+  }
+
+  test("compactDeltas fingerprints live rows only: sidecar attests the live corpus") {
+    val layout = freshLayout("ivffpl")
+    Ivf.appendDelta(layout,
+      Seq((601L, Seq(0.02f, 0.08f)), (602L, Seq(0.07f, 0.01f)))
+        .toDF("vec_id", "embedding"), "t_b0")
+    // a delta-only delete: tombstone written, sidecar untouched
+    assert(Ivf.deleteFromLayout(layout, Seq(601L).toDF("vec_id")) == 1L)
+    Ivf.compactDeltas(spark, layout)
+    // the TRUE live corpus (base + the surviving delta row) must get a
+    // reuse hit — the old raw-union fingerprint folded the deleted row
+    // in, so every later buildLayout against live data full-rebuilt
+    val live = corpus.unionByName(
+      Seq((602L, Seq(0.07f, 0.01f))).toDF("vec_id", "embedding"))
+    val marker = java.nio.file.Paths.get(layout.dir, "_reuse_probe")
+    java.nio.file.Files.writeString(marker, "x")
+    Ivf.buildLayout(spark, live, layout.dir, nlist = 2, maxIter = 5)
+    assert(java.nio.file.Files.exists(marker),
+      "live-corpus fingerprint must match the sidecar — reuse, not rebuild")
+    val got = Ivf.searchLayoutDeltaAware(
+        spark, layout, Array(0.0f, 0.0f), k = 7, nprobe = 1)
+      .select("vec_id").as[Long].collect().toSet
+    assert(got.contains(602L) && !got.contains(601L))
+    // conversely a STALE corpus still carrying the deleted row mismatches
+    val stale = live.unionByName(
+      Seq((601L, Seq(0.02f, 0.08f))).toDF("vec_id", "embedding"))
+    Ivf.buildLayout(spark, stale, layout.dir, nlist = 2, maxIter = 5)
+    assert(!java.nio.file.Files.exists(marker),
+      "a corpus containing the deleted row must force a rebuild")
+  }
+
   test("tombstone interplay: deleting a delta-appended vector hides it from search") {
     val layout = freshLayout("ivftomb")
     Ivf.appendDelta(layout,

@@ -116,6 +116,22 @@ class BpeExtSpec extends AnyFunSuite {
     }
   }
 
+  test("loadMergesTxt keeps rules whose lhs is '#' — only a #version header is skipped") {
+    // real GPT-2/RoBERTa merge lists contain '#'-lhs rules ('# #',
+    // '## #' — vocab.json carries '##'/'###' tokens); upstream loaders
+    // skip ONLY the first '#version' line, and so must this one:
+    // dropping them would silently shift every subsequent rank
+    val p = java.nio.file.Files.createTempFile("merges_hash", ".txt")
+    java.nio.file.Files.writeString(p,
+      "#version: 0.2\n# #\n## #\nt h\n")
+    assert(Bpe.loadMergesTxt(p.toString) ==
+      Seq(("#", "#"), ("##", "#"), ("t", "h")))
+    // without a header, nothing is skipped at all
+    val q = java.nio.file.Files.createTempFile("merges_nohdr", ".txt")
+    java.nio.file.Files.writeString(q, "# #\nt h\n")
+    assert(Bpe.loadMergesTxt(q.toString) == Seq(("#", "#"), ("t", "h")))
+  }
+
   test("shipped fixture regenerates byte-identical from its committed generator") {
     val resource = {
       val in = getClass.getResourceAsStream("/graft/bpe/ext_merges.txt")

@@ -148,6 +148,16 @@ class ByteLevelSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       ByteLevel.vocabForMerges(merges, Seq("a")) // collides with a base symbol
     }
+    // specials offset by the TOTAL rule count, not the deduped output
+    // count: with duplicate-output rules (("a","bc") and ("ab","c")
+    // both yield "abc") the id must still be 256 + nMerges + k — the
+    // convention upstream vocab files encode
+    val dupVocab = ByteLevel.vocabForMerges(
+      Seq(("a", "bc"), ("ab", "c")), Seq("<|endoftext|>"))
+    assert(dupVocab.toMap.apply("abc") == 256,
+      "first rank wins for a duplicated output")
+    assert(dupVocab.toMap.apply("<|endoftext|>") == 256 + 2,
+      "special ids offset by total merge count, unshifted by duplicate outputs")
     val df = Seq((1L, "fast scan"), (2L, "hash join")).toDF("doc_id", "text")
     val plain = ByteLevel.tokenIds(df, merges, maxIters = 24)
       .orderBy("doc_id").collect().map(_.getSeq[Integer](1))
