@@ -48,7 +48,11 @@ object SparkEntry {
   private val ExtDocRows: Seq[(Long, String)] = Seq(
     9000001L -> "Héllo, Wörld! It's naïve — café résumé.",
     9000002L -> "Price: $42.50 (≈ €39) — 50% off!! #deal @shop",
-    9000003L -> "你好 world 🌍 ünïcödé; quotes: \"double\" 'single'")
+    9000003L -> "你好 world 🌍 ünïcödé; quotes: \"double\" 'single'",
+    // a >24-symbol pretoken (35 bytes incl. the space marker): proves
+    // the DERIVED ranked-apply iteration bound converges words a fixed
+    // 24-iteration bound could silently under-merge
+    9000004L -> "Long: supercalifragilisticexpialidocious 123456789012345678901234567890 end.")
 
   /** The documents table extended with [[ExtDocRows]] — the corpus the
     * byte-level queries run on. */
@@ -1234,12 +1238,14 @@ object SparkEntry {
     // cost 1.1k materialized steps. Instead: the standard priority
     // loop (lowest-ranked present pair first) as ONE codegen kernel
     // over the word cache — one narrow map stage; rule count sizes
-    // only the hashed rank map. maxIters = 16 >= longest word's
-    // symbol count, so every word fully converges; the oracle unrolls
-    // exactly 16 steps.
+    // only the hashed rank map. The iteration bound is DERIVED from
+    // the data (max symbol count - 1, logged) so every word fully
+    // converges structurally; the oracle unrolls a static 16 steps
+    // >= any derived bound here (converged words idle through surplus
+    // layers untouched).
     "doc_bpe_tokenize_ext" -> ((s, dir) => {
       graft.text.Bpe.applyMergesRanked(docs(s, dir),
-          graft.text.Bpe.externalFixtureMerges(), maxIters = 16)
+          graft.text.Bpe.externalFixtureMerges())
         .select(col("doc_id"),
           size(col("bpe_tokens")).cast("long").as("n_subwords"),
           md5(concat_ws(" ", col("bpe_tokens"))).as("subword_md5"))
@@ -1275,7 +1281,7 @@ object SparkEntry {
     // over the byte-level word table.
     "doc_bpe_tokenize_gpt2" -> ((s, dir) => {
       graft.text.ByteLevel.applyMergesRanked(extDocs(s, dir),
-          graft.text.ByteLevel.externalFixtureMerges(), maxIters = 24)
+          graft.text.ByteLevel.externalFixtureMerges())
         .select(col("doc_id"),
           size(col("bpe_tokens")).cast("long").as("n_subwords"),
           md5(concat_ws(" ", col("bpe_tokens"))).as("subword_md5"))
@@ -1285,10 +1291,12 @@ object SparkEntry {
     // TOKEN IDS — the tensor a model consumes: the GPT-2-path subwords
     // mapped through the vocab id table the fixture list induces (base
     // bytes 0–255 by byte value, merge outputs 256+rank, first rank
-    // wins on duplicate outputs). One map-literal probe per subword.
+    // wins on duplicate outputs). One HASHED reference-object probe
+    // per subword (VocabIdsExpr) — O(1) at any vocabulary size, where
+    // the earlier typedLit map literal cost a linear scan per lookup.
     "doc_bpe_token_ids" -> ((s, dir) => {
       graft.text.ByteLevel.tokenIds(extDocs(s, dir),
-          graft.text.ByteLevel.externalFixtureMerges(), maxIters = 24)
+          graft.text.ByteLevel.externalFixtureMerges())
         .select(col("doc_id"),
           size(col("token_ids")).cast("long").as("n_tokens"),
           md5(concat_ws(",", col("token_ids"))).as("ids_md5"))
@@ -1304,7 +1312,7 @@ object SparkEntry {
     // flatten.
     "seq_pack_ids" -> ((s, dir) => {
       val ids = graft.text.ByteLevel.tokenIds(extDocs(s, dir),
-          graft.text.ByteLevel.externalFixtureMerges(), maxIters = 24)
+          graft.text.ByteLevel.externalFixtureMerges())
         .select(col("doc_id"), col("token_ids"),
           size(col("token_ids")).cast("long").as("n_tokens"))
       val packed = graft.ops.Packing.packGreedy(
@@ -3424,9 +3432,12 @@ object SparkEntry {
     "doc_bytelevel_coverage" -> byteLevelCoverageOracleSql,
     "doc_bpe_bytelevel_tokenize" ->
       bpeByteLevelTokenizeOracleSql(rounds = 4, batchSize = 8, candCap = 128),
-    "doc_bpe_tokenize_gpt2" -> bpeGpt2TokenizeOracleSql(maxIters = 24),
-    "doc_bpe_token_ids" -> bpeTokenIdsOracleSql(maxIters = 24),
-    "seq_pack_ids" -> seqPackIdsOracleSql(maxIters = 24, budget = 512L, nParts = 8),
+    // 36 unrolled layers >= the derived per-run bound at any SF (the
+    // longest extended-corpus pretoken is 35 bytes; surplus layers are
+    // no-ops on converged words) — asserted by BpeExtSpec
+    "doc_bpe_tokenize_gpt2" -> bpeGpt2TokenizeOracleSql(maxIters = 36),
+    "doc_bpe_token_ids" -> bpeTokenIdsOracleSql(maxIters = 36),
+    "seq_pack_ids" -> seqPackIdsOracleSql(maxIters = 36, budget = 512L, nParts = 8),
 
     // Train→apply: same rounds with the word key carried through, then
     // positional re-tokenization of every document; md5 byte-check.

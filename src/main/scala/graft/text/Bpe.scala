@@ -57,6 +57,32 @@ import org.apache.spark.sql.functions._
   */
 object Bpe {
 
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Sentinel for the ranked-apply `maxIters` parameters: derive the
+    * iteration bound from the data — `max(symbol count) − 1` over the
+    * distinct-word table (one vocab-bounded aggregate; the bound is
+    * logged). Every priority-loop iteration shrinks a word by at least
+    * one symbol, so this bound makes full convergence STRUCTURAL: no
+    * pretoken — a long URL, a digit run, a CJK-heavy span — can
+    * silently under-merge relative to the published BPE semantics the
+    * way a fixed bound shorter than the longest word allows. The SQL
+    * oracles keep their unroll-exactly-N contract with a static N ≥
+    * any corpus's derived bound (converged words idle through surplus
+    * layers untouched — the LEFT JOIN + CASE pass-through — so any
+    * N ≥ bound yields identical results; specs assert the ≥). */
+  val AutoIters = 0
+
+  /** The derived ranked-apply iteration bound: `max(symCount) − 1`
+    * (at least 1) over `words`. */
+  private[text] def derivedIterBound(words: DataFrame, symCount: Column): Int = {
+    val row = words.agg(max(symCount.cast("int"))).head()
+    val maxLen = if (row.isNullAt(0)) 2 else row.getInt(0)
+    val bound = math.max(1, maxLen - 1)
+    log.info(s"derived BPE ranked-apply iteration bound $bound (max symbol count $maxLen)")
+    bound
+  }
+
   /** Key separator inside the batch-merge lookup map (the oracle uses
     * chr(1) for the same key). U+0001 is RESERVED by construction, not
     * by assumption: [[selectBatch]] never keeps a candidate whose
@@ -416,21 +442,31 @@ object Bpe {
     * ([[org.apache.spark.sql.graft.BpeRankMergeExpr]]), so the plan
     * has ONE narrow map stage regardless of rule count: no
     * localCheckpoint chain, no per-rule folds; rule count sizes only
-    * the broadcast-once rank map. `maxIters` bounds the per-word loop
-    * (>= longest word's symbol count − 1 means full convergence; the
-    * SQL oracle unrolls exactly `maxIters` steps, so the bound is part
-    * of the spec, not a heuristic). */
+    * the broadcast-once rank map. `maxIters` bounds the per-word loop;
+    * the default [[AutoIters]] derives it from the data
+    * (`max(symbol count) − 1` — full convergence guaranteed, bound
+    * logged), so no pretoken can silently under-merge; an explicit
+    * bound keeps the unroll-exactly-N spec for callers that pin it. */
   def applyMergesRanked(df: DataFrame, merges: Seq[(String, String)],
       idCol: String = "doc_id", textCol: String = "text",
-      broadcastVocab: Boolean = true, maxIters: Int = 16): DataFrame = {
-    val vocab = df
+      broadcastVocab: Boolean = true, maxIters: Int = AutoIters): DataFrame = {
+    val words = df
       .select(explode(TextAnalysis.tokens(col(textCol))).as("word"))
       .filter(length(col("word")) > 0)
       .distinct()
+    // in auto mode pin the (vocab-sized) distinct-word table so the
+    // bound aggregate and the merge fold read one materialization, not
+    // two corpus-sized recomputes
+    val (pinned, bound) =
+      if (maxIters == AutoIters) {
+        val w = words.localCheckpoint()
+        (w, derivedIterBound(w, size(split(col("word"), "")) + lit(1)))
+      } else (words, maxIters)
+    val vocab = pinned
       .select(col("word"),
         org.apache.spark.sql.graft.VectorExpressions.bpeRankMerge(
           concat(split(col("word"), ""), array(lit("</w>"))),
-          merges, maxIters).as("syms"))
+          merges, bound).as("syms"))
     joinBackBySubwords(df, vocab, idCol, textCol, broadcastVocab)
   }
 

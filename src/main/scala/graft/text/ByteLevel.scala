@@ -90,20 +90,38 @@ object ByteLevel {
     * byte symbolization, then the standard priority loop
     * (lowest-ranked present pair first) as one codegen kernel per
     * DISTINCT pretoken ([[Bpe.applyMergesRanked]]'s byte-level twin).
-    * One narrow map stage regardless of rule count. */
+    * One narrow map stage regardless of rule count. The default
+    * `maxIters = `[[Bpe.AutoIters]] derives the iteration bound from
+    * the data (`max(pretoken byte count) − 1` — convergence
+    * structural, bound logged). */
   def applyMergesRanked(df: DataFrame, merges: Seq[(String, String)],
       idCol: String = "doc_id", textCol: String = "text",
-      broadcastVocab: Boolean = true, maxIters: Int = 24): DataFrame = {
-    val vocab = df
-      .select(explode(pretokens(col(textCol))).as("word"))
-      .filter(length(col("word")) > 0)
-      .distinct()
+      broadcastVocab: Boolean = true, maxIters: Int = Bpe.AutoIters): DataFrame = {
+    val (words, bound) = pinnedWordsAndBound(df, textCol, maxIters)
+    val vocab = words
       .select(col("word"),
         VectorExpressions.bpeRankMerge(
           VectorExpressions.byteLevelSyms(col("word")),
-          merges, maxIters).as("syms"))
+          merges, bound).as("syms"))
     Bpe.joinBackBySubwords(df, vocab, idCol, textCol, broadcastVocab,
       tokensOf = pretokens)
+  }
+
+  /** Shared head of the ranked byte-level appliers: the distinct
+    * pretoken table, plus the resolved iteration bound — derived from
+    * the data in [[Bpe.AutoIters]] mode (a pretoken's symbol count is
+    * exactly its UTF-8 byte count, so the bound aggregate is an
+    * `octet_length` max — no symbolization pass needed). */
+  private def pinnedWordsAndBound(
+      df: DataFrame, textCol: String, maxIters: Int): (DataFrame, Int) = {
+    val words = df
+      .select(explode(pretokens(col(textCol))).as("word"))
+      .filter(length(col("word")) > 0)
+      .distinct()
+    if (maxIters == Bpe.AutoIters) {
+      val w = words.localCheckpoint()
+      (w, Bpe.derivedIterBound(w, octet_length(col("word"))))
+    } else (words, maxIters)
   }
 
   /** The shipped BYTE-LEVEL external merge-list fixture (~1.1k
@@ -150,28 +168,29 @@ object ByteLevel {
 
   /** Tokenize to TOKEN IDS — the tensor a model actually consumes:
     * [[applyMergesRanked]]'s subwords mapped through
-    * [[vocabForMerges]]'s id table INSIDE THE WORD CACHE — the map
-    * probe (a `typedLit` map literal, whose `element_at` is a linear
-    * scan) runs once per DISTINCT word's subwords, never per document
-    * token: measured 1.1 s/sweep cheaper than mapping post-join at
-    * sf0.1, and the gap is corpus-proportional. Documents then join
-    * the (word → id list) cache and flatten positionally as usual.
+    * [[vocabForMerges]]'s id table INSIDE THE WORD CACHE — the id
+    * probe runs once per DISTINCT word's subwords, never per document
+    * token (measured 1.1 s/sweep cheaper than mapping post-join at
+    * sf0.1, and the gap is corpus-proportional), and it is a HASHED
+    * reference-object lookup ([[VectorExpressions.vocabIds]]): O(1)
+    * per subword at any vocabulary size. The earlier `typedLit` map
+    * literal probed via `element_at` was a linear scan per lookup —
+    * invisible at the 1.4k fixture vocab, 50k comparisons per subword
+    * at a GPT-2-sized one. Documents then join the (word → id list)
+    * cache and flatten positionally as usual.
     * Output: (idCol, token_ids). */
   def tokenIds(df: DataFrame, merges: Seq[(String, String)],
       idCol: String = "doc_id", textCol: String = "text",
-      broadcastVocab: Boolean = true, maxIters: Int = 24,
+      broadcastVocab: Boolean = true, maxIters: Int = Bpe.AutoIters,
       eos: Option[String] = None): DataFrame = {
     val vocabIds = vocabForMerges(merges, eos.toSeq)
-    val vmap = typedLit(vocabIds.toMap)
-    val vocab = df
-      .select(explode(pretokens(col(textCol))).as("word"))
-      .filter(length(col("word")) > 0)
-      .distinct()
+    val (words, bound) = pinnedWordsAndBound(df, textCol, maxIters)
+    val vocab = words
       .select(col("word"),
-        transform(
+        VectorExpressions.vocabIds(
           VectorExpressions.bpeRankMerge(
-            VectorExpressions.byteLevelSyms(col("word")), merges, maxIters),
-          s => element_at(vmap, s)).as("syms"))
+            VectorExpressions.byteLevelSyms(col("word")), merges, bound),
+          vocabIds).as("syms"))
     val base = Bpe.joinBackBySubwords(df, vocab, idCol, textCol, broadcastVocab,
         tokensOf = pretokens)
       .withColumnRenamed("bpe_tokens", "token_ids")

@@ -414,9 +414,35 @@ case class BpeRankMergeExpr(
     m
   }
 
+  def bpeIn(arr: ArrayData): ArrayData =
+    new GenericArrayData(
+      BpeRankMergeUtil.run(arr, ranks, maxIters).word.asInstanceOf[Array[Any]])
+
+  override protected def nullSafeEval(a: Any): Any = bpeIn(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeRankMerger", this, classOf[BpeRankMergeExpr].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.bpeIn($a);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** The shared priority-loop core of [[BpeRankMergeExpr]] and
+  * [[BpeRankConvergedExpr]]: identical merge semantics, plus one bit of
+  * diagnostic output (did the word reach a state with no rankable
+  * adjacent pair within the iteration bound?). */
+object BpeRankMergeUtil {
   private final val Sep = org.apache.spark.unsafe.types.UTF8String.fromString("\u0001")
 
-  def bpeIn(arr: ArrayData): ArrayData = {
+  final class Result(
+      val word: Array[org.apache.spark.unsafe.types.UTF8String],
+      val converged: Boolean)
+
+  def run(
+      arr: ArrayData,
+      ranks: java.util.HashMap[org.apache.spark.unsafe.types.UTF8String, Integer],
+      maxIters: Int): Result = {
     val n = arr.numElements()
     var word = new Array[org.apache.spark.unsafe.types.UTF8String](n)
     var i = 0
@@ -466,14 +492,112 @@ case class BpeRankMergeExpr(
       }
       iter += 1
     }
-    new GenericArrayData(word.asInstanceOf[Array[Any]])
+    if (!converged) {
+      // the bound stopped the loop — check whether any rankable pair
+      // was actually left undone (the final iteration may have merged
+      // the last one)
+      var anyPair = false
+      var j = 0
+      while (j < word.length - 1 && !anyPair) {
+        val a = word(j); val b = word(j + 1)
+        if (a != null && b != null &&
+            ranks.get(org.apache.spark.unsafe.types.UTF8String.concat(a, Sep, b)) != null)
+          anyPair = true
+        j += 1
+      }
+      converged = !anyPair
+    }
+    new Result(word, converged)
+  }
+}
+
+/** Diagnostic twin of [[BpeRankMergeExpr]]: TRUE iff the priority loop
+  * reaches a state with no rankable adjacent pair within `maxIters`
+  * iterations — i.e. the bounded apply equals the unbounded published
+  * BPE semantics for this word. A pretoken longer than the bound allows
+  * can otherwise silently under-merge (long URLs, digit runs, CJK-heavy
+  * pretokens); specs assert zero unconverged words per corpus, and
+  * [[graft.text.Bpe.rankApplyBound]] derives a bound that makes
+  * convergence structural (>= max symbol count - 1, and every iteration
+  * shrinks the word by at least one symbol). */
+case class BpeRankConvergedExpr(
+    child: Expression, merges: Seq[(String, String)], maxIters: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(maxIters > 0, s"maxIters must be positive, got $maxIters")
+  require(merges.nonEmpty, "empty merge list")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "bpe_rank_converged"
+
+  @transient private lazy val ranks: java.util.HashMap[org.apache.spark.unsafe.types.UTF8String, Integer] = {
+    val m = new java.util.HashMap[org.apache.spark.unsafe.types.UTF8String, Integer](merges.size * 2)
+    merges.zipWithIndex.foreach { case ((a, b), i) =>
+      m.put(org.apache.spark.unsafe.types.UTF8String.fromString(a + "\u0001" + b),
+        Integer.valueOf(i))
+    }
+    m
   }
 
-  override protected def nullSafeEval(a: Any): Any = bpeIn(a.asInstanceOf[ArrayData])
+  def convergedIn(arr: ArrayData): Boolean =
+    BpeRankMergeUtil.run(arr, ranks, maxIters).converged
+
+  override protected def nullSafeEval(a: Any): Any = convergedIn(a.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val ref = ctx.addReferenceObj("bpeRankMerger", this, classOf[BpeRankMergeExpr].getName)
-    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.bpeIn($a);")
+    val ref = ctx.addReferenceObj("bpeRankConv", this, classOf[BpeRankConvergedExpr].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.convergedIn($a);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Subword -> vocabulary-id mapping as ONE hashed probe per element.
+  * The declarative alternative (`transform(arr, s => element_at(vmap,
+  * s))` over a `typedLit` map literal) is a LINEAR scan of the map per
+  * lookup in Catalyst — fine at a 1.4k fixture vocab, the wrong shape
+  * at a production 50k vocab (50k comparisons per subword). Here the
+  * vocab rides as a reference object (task binaries are broadcast once
+  * per executor) hashed on construction: O(1) per subword at any vocab
+  * size. Missing symbols map to null — `element_at`'s semantics, so
+  * the two formulations are bit-equal where both run. */
+case class VocabIdsExpr(child: Expression, vocab: Seq[(String, Int)])
+    extends UnaryExpression with ExpectsInputTypes {
+  require(vocab.nonEmpty, "empty vocabulary")
+  require(vocab.map(_._1).distinct.length == vocab.length,
+    "duplicate symbol in vocabulary — ids would be ambiguous")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = true)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "vocab_ids"
+
+  @transient private lazy val ids: java.util.HashMap[org.apache.spark.unsafe.types.UTF8String, Integer] = {
+    val m = new java.util.HashMap[org.apache.spark.unsafe.types.UTF8String, Integer](vocab.size * 2)
+    vocab.foreach { case (s, i) =>
+      m.put(org.apache.spark.unsafe.types.UTF8String.fromString(s), Integer.valueOf(i))
+    }
+    m
+  }
+
+  def idsIn(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      out(i) = if (arr.isNullAt(i)) null else ids.get(arr.getUTF8String(i))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def nullSafeEval(a: Any): Any = idsIn(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("vocabIdsMapper", this, classOf[VocabIdsExpr].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.idsIn($a);")
   }
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
@@ -1050,6 +1174,16 @@ object VectorExpressions {
   /** Codegen byte-level BPE symbolization of a (pre)token column. */
   def byteLevelSyms(tok: Column): Column =
     ExpressionUtils.column(ByteLevelSymsExpr(ExpressionUtils.expression(tok)))
+
+  /** Convergence diagnostic for the rank-priority BPE apply (see
+    * [[BpeRankConvergedExpr]]). */
+  def bpeRankConverged(syms: Column, merges: Seq[(String, String)], maxIters: Int): Column =
+    ExpressionUtils.column(
+      BpeRankConvergedExpr(ExpressionUtils.expression(syms), merges, maxIters))
+
+  /** Codegen hashed subword->id mapping (see [[VocabIdsExpr]]). */
+  def vocabIds(syms: Column, vocab: Seq[(String, Int)]): Column =
+    ExpressionUtils.column(VocabIdsExpr(ExpressionUtils.expression(syms), vocab))
 
   /** Codegen SRP bit signature (bits/64 longs) of an embedding column. */
   def srpSign(emb: Column, bits: Int, seed: Long = 42L): Column =

@@ -92,6 +92,85 @@ class BpeExtSpec extends AnyFunSuite {
       == Seq(Seq("aa", "a")))
   }
 
+  test("derived bound converges a word a fixed 24-iteration bound under-merges") {
+    // a 30-rule CHAIN where every rule consumes the previous rule's
+    // output: each priority iteration can apply exactly ONE merge, so
+    // a 31-symbol word needs all 30 iterations — the worst case the
+    // fixed default bound silently truncated
+    val chain = (1 to 30).map { i =>
+      ("a" + (1 until i).map(j => s"b$j").mkString, s"b$i")
+    }
+    val word = "a" +: (1 to 30).map(i => s"b$i")
+    val conv = { (w: Seq[String], iters: Int) =>
+      Seq((0, w)).toDF("i", "syms")
+        .select(org.apache.spark.sql.graft.VectorExpressions
+          .bpeRankConverged(col("syms"), chain, iters))
+        .head().getBoolean(0)
+    }
+    // under the old fixed bound: 24 iterations leave rankable pairs
+    assert(!conv(word, 24), "24 iterations must NOT converge the 31-symbol chain word")
+    assert(kernel(Seq(word), chain, 24).head.length == 31 - 24,
+      "the bounded apply under-merges — exactly the silent deviation")
+    // the derived bound (len - 1 = 30) converges it fully
+    assert(conv(word, 30))
+    assert(kernel(Seq(word), chain, 30) == Seq(Seq("a" + (1 to 30).map(i => s"b$i").mkString)))
+    // and convergence is sticky: surplus iterations change nothing
+    assert(conv(word, 40))
+    assert(kernel(Seq(word), chain, 40) == kernel(Seq(word), chain, 30))
+  }
+
+  test("zero unconverged words across the fixture corpora under the derived bounds") {
+    val dir = "/root/testdata/sf0.001"
+    // char-level: documents words under the char fixture list
+    val words = spark.read.parquet(s"$dir/documents.parquet")
+      .select(explode(TextAnalysis.tokens(col("text"))).as("word"))
+      .filter(length(col("word")) > 0).distinct()
+      .select(col("word"),
+        concat(split(col("word"), ""), array(lit("</w>"))).as("syms"))
+    val charBound = Bpe.derivedIterBound(words, size(col("syms")))
+    assert(charBound <= 16, s"char-level oracle unrolls 16 layers; derived bound $charBound must fit")
+    val unconv = words.select(org.apache.spark.sql.graft.VectorExpressions
+        .bpeRankConverged(col("syms"), Bpe.externalFixtureMerges(), charBound).as("c"))
+      .filter(!col("c")).count()
+    assert(unconv == 0L, s"$unconv char-level words failed to converge under the derived bound")
+    // byte-level: pretokens of documents + the long-pretoken fixture
+    // shape (the 35-byte pretoken the extended corpus carries)
+    val raw = spark.read.parquet(s"$dir/documents.parquet").select("text")
+      .unionAll(Seq(
+        "Long: supercalifragilisticexpialidocious 123456789012345678901234567890 end.")
+        .toDF("text"))
+    val ptoks = raw
+      .select(explode(ByteLevel.pretokens(col("text"))).as("word"))
+      .filter(length(col("word")) > 0).distinct()
+      .select(org.apache.spark.sql.graft.VectorExpressions
+        .byteLevelSyms(col("word")).as("syms"))
+    val byteBound = Bpe.derivedIterBound(ptoks, size(col("syms")))
+    assert(byteBound <= 36, s"byte-level oracles unroll 36 layers; derived bound $byteBound must fit")
+    val unconvB = ptoks.select(org.apache.spark.sql.graft.VectorExpressions
+        .bpeRankConverged(col("syms"), ByteLevel.externalFixtureMerges(), byteBound).as("c"))
+      .filter(!col("c")).count()
+    assert(unconvB == 0L, s"$unconvB byte-level pretokens failed to converge under the derived bound")
+  }
+
+  test("vocab-id hashed probe is bit-equal to the element_at map-literal formulation") {
+    val vocab = Seq(("a", 0), ("b", 1), ("ab", 256), ("abc", 257))
+    val df = Seq(
+      (1, Seq("ab", "a", "b")),
+      (2, Seq("abc", "zz", "a")) // zz is out-of-vocab → null id
+    ).toDF("i", "syms")
+    val hashed = df.select(col("i"),
+        org.apache.spark.sql.graft.VectorExpressions.vocabIds(col("syms"), vocab).as("ids"))
+      .orderBy("i").collect().map(_.getSeq[Integer](1))
+    val literal = df.select(col("i"),
+        transform(col("syms"), s => element_at(typedLit(vocab.toMap), s)).as("ids"))
+      .orderBy("i").collect().map(_.getSeq[Integer](1))
+    assert(hashed.toSeq == literal.toSeq)
+    assert(hashed(1) == Seq(257, null, 0))
+    intercept[IllegalArgumentException] {
+      org.apache.spark.sql.graft.VocabIdsExpr(null, Seq(("a", 1), ("a", 2)))
+    }
+  }
+
   test("construction refuses ambiguous or separator-carrying rule lists") {
     intercept[IllegalArgumentException] {
       kernel(Seq(Seq("a")), Seq(("a", "b"), ("a", "b")), 16) // duplicate pair
