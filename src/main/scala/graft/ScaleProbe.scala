@@ -342,6 +342,28 @@ object ScaleProbe {
         graft.text.ByteLevel.applyMergesRanked(docsVaried, ext, maxIters = 32)))
     }
 
+    // the PRODUCTION-SIZE external vocabulary end-to-end: a 50k-rule
+    // rank-ordered byte-level list (GPT-2's published size) loaded
+    // through the user entry point (loadMergesTxt on a merges.txt with
+    // a #version header), applied by the priority-loop kernel, and
+    // id-mapped through the HASHED vocab probe — per-word cost must
+    // stay flat vs the 1.1k fixture, because rules size only the
+    // executor-local hash maps (rank map ~2 MB, vocab map ~50k
+    // entries), never the plan
+    if (onlyFilter.forall(_.exists("BPE 50k".contains))) {
+      val big = graft.tools.GenExtMerges.syntheticRankedByteLevel(50000)
+      val f = java.nio.file.Files.createTempFile("merges50k", ".txt")
+      java.nio.file.Files.writeString(f, "#version: 0.2\n" +
+        big.map { case (a, b) => s"$a $b" }.mkString("", "\n", "\n"))
+      val loaded = graft.text.Bpe.loadMergesTxt(f.toString)
+      require(loaded == big, "merges.txt round-trip must preserve all 50k ranks")
+      val small = graft.text.ByteLevel.externalFixtureMerges()
+      time(s"BPE 50k tokenIds @${small.size} rules")(noop(
+        graft.text.ByteLevel.tokenIds(docsVaried, small)))
+      time(s"BPE 50k tokenIds @${loaded.size} rules")(noop(
+        graft.text.ByteLevel.tokenIds(docsVaried, loaded)))
+    }
+
     // z-order layout stats: raw rows grow with the factor, but the
     // only window runs over the occupied-cell table (≤ 2^20 rows at
     // any corpus size) — cost must track the one bucketing aggregation

@@ -129,6 +129,48 @@ object GenExtMerges {
       .map { case (a, b) => s"$a $b" }.mkString("", "\n", "\n")
   }
 
+  /** A PRODUCTION-SIZE rank-ordered byte-level merge list (GPT-2 ships
+    * 50k rules): the shipped ~1.1k trained fixture extended to `n`
+    * rules by deterministic splitmix64 composition over the growing
+    * symbol pool — each synthetic rule pairs two existing pool symbols
+    * (base bytes, trained outputs, or earlier synthetic outputs), so
+    * the list keeps the two structural properties of a real external
+    * list (rank order; later rules consume earlier outputs) at the
+    * size where map-scan vocab probes and per-rule plan steps fall
+    * over. Pure arithmetic — no RNG object, no clock; regenerates
+    * identically every call. Output symbols are capped at 24 chars and
+    * never contain spaces (the merges.txt line format stays valid). */
+  def syntheticRankedByteLevel(n: Int = 50000): Seq[(String, String)] = {
+    val trained = byteLevelFixtureText().linesIterator
+      .filter(_.nonEmpty)
+      .map { l => val sp = l.indexOf(' '); (l.substring(0, sp), l.substring(sp + 1)) }
+      .toVector
+    require(n >= trained.size, s"n=$n below the trained fixture size ${trained.size}")
+    val pool = mutable.ArrayBuffer.empty[String]
+    pool ++= org.apache.spark.sql.graft.ByteLevelUtil.ByteToSym
+    trained.foreach { case (a, b) => pool += (a + b) }
+    val seen = mutable.Set.empty[(String, String)]
+    seen ++= trained
+    val out = mutable.ArrayBuffer.empty[(String, String)]
+    out ++= trained
+    def mix(x: Long): Long = {
+      var z = x + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    var salt = 0L
+    while (out.size < n) {
+      val a = pool(((mix(salt) >>> 1) % pool.size).toInt)
+      val b = pool(((mix(salt + 0x632BE59BD9B4E019L) >>> 1) % pool.size).toInt)
+      if (a.length + b.length <= 24 && !seen((a, b))) {
+        out += ((a, b)); seen += ((a, b)); pool += (a + b)
+      }
+      salt += 1
+    }
+    out.toSeq
+  }
+
   def main(args: Array[String]): Unit = {
     val dir = if (args.nonEmpty) args(0) else "src/main/resources/graft/bpe"
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))

@@ -171,6 +171,40 @@ class ByteLevelSpec extends AnyFunSuite {
     }
   }
 
+  test("50k-rule production-size list: deterministic, rank-valid, lossless tokenIds") {
+    val big = graft.tools.GenExtMerges.syntheticRankedByteLevel(50000)
+    assert(big.size == 50000)
+    assert(big == graft.tools.GenExtMerges.syntheticRankedByteLevel(50000),
+      "generation must be deterministic")
+    assert(big.distinct.size == big.size, "ranks must be unambiguous")
+    assert(big.forall { case (a, b) =>
+      a.nonEmpty && b.nonEmpty && !a.contains(' ') && !b.contains(' ') },
+      "symbols must keep the merges.txt line format valid")
+    // it extends the shipped trained fixture in rank order
+    assert(big.take(ByteLevel.externalFixtureMerges().size) ==
+      ByteLevel.externalFixtureMerges())
+    // loadMergesTxt round-trips all 50k ranks through the user format
+    val f = java.nio.file.Files.createTempFile("merges50k_spec", ".txt")
+    java.nio.file.Files.writeString(f, "#version: 0.2\n" +
+      big.map { case (a, b) => s"$a $b" }.mkString("", "\n", "\n"))
+    assert(Bpe.loadMergesTxt(f.toString) == big)
+    // tokenIds at the 50k vocab (hashed probes on both maps): every
+    // subword mapped, ids decode back to the raw text
+    val df = Seq((1L, "fast scan join"), (2L, "It's Big-Data! 🌍 café"))
+      .toDF("doc_id", "text")
+    val ids = ByteLevel.tokenIds(df, big).orderBy("doc_id").collect()
+    ids.foreach(r => assert(!r.getSeq[Integer](1).contains(null)))
+    val rev = ByteLevel.vocabForMerges(big).map(_.swap).toMap
+    val symToByte = ByteLevelUtil.ByteToSym
+      .zipWithIndex.map { case (s, b) => (s, b.toByte) }.toMap
+    val texts = df.orderBy("doc_id").collect().map(_.getString(1))
+    ids.zip(texts).foreach { case (r, original) =>
+      val bytes = r.getSeq[Integer](1)
+        .flatMap(id => rev(id.intValue()).split("").filter(_.nonEmpty).map(symToByte))
+      assert(new String(bytes.toArray, "UTF-8") == original)
+    }
+  }
+
   test("byte-level training learns raw-text structure the char path cannot see") {
     val df = Seq.tabulate(30)(i => (i.toLong, "It's low-cost! It's low-risk!"))
       .toDF("doc_id", "text")
