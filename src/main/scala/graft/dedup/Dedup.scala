@@ -841,9 +841,11 @@ object Dedup {
     *    VALUE, so all occurrences of a shingle pass or fail together
     *    and a survivor's count among survivors IS its full-corpus df.
     *
-    * The prefilter is a deliberate non-codegen UDF: one bit-test per
-    * shingle on the map side buys the elimination of the corpus-wide
-    * shuffle, which is the actual 100 TB bottleneck. */
+    * The prefilter is a codegen Bloom probe
+    * ([[org.apache.spark.sql.graft.BloomProbeExpr]] — the sketch rides
+    * in the expression, probing UTF-8 bytes directly): one bit-test
+    * per shingle on the map side buys the elimination of the
+    * corpus-wide shuffle, which is the actual 100 TB bottleneck. */
   def crossCorpusOverlapBloom(
       corpus: DataFrame,
       bench: DataFrame,
@@ -865,9 +867,8 @@ object Dedup {
     // which only makes the filter larger / the fpp lower — never wrong
     val nBench = math.max(bs.count(), 1L)
     val bloom = bs.stat.bloomFilter("shingle", nBench, fpp)
-    val bloomB = corpus.sparkSession.sparkContext.broadcast(bloom)
-    val mightContain = udf((s: String) => s != null && bloomB.value.mightContainString(s))
-    val survivors = cs.filter(mightContain(col("shingle")))
+    val survivors = cs.filter(
+      org.apache.spark.sql.graft.VectorExpressions.bloomProbe(col("shingle"), bloom))
     val rare = survivors.groupBy("shingle").agg(count(lit(1)).as("df_count"))
       .filter(col("df_count") <= maxShingleDf)
       .select("shingle")

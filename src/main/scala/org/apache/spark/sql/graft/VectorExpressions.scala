@@ -603,6 +603,40 @@ case class VocabIdsExpr(child: Expression, vocab: Seq[(String, Int)])
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Codegen Bloom-filter membership probe over a string column — the
+  * map-side prefilter of the bloom-accelerated decontamination path.
+  * The sketch rides inside the expression as a reference object (task
+  * binaries are torrent-broadcast once per executor — the same
+  * distribution a manual `sparkContext.broadcast` buys, without the
+  * ScalaUDF eval layer), and the probe hashes the UTF8String's bytes
+  * directly — `BloomFilter.mightContainString` semantics (it hashes
+  * the UTF-8 bytes) without the per-row String materialization the
+  * UDF formulation paid. Null input yields null (filtered rows drop,
+  * matching the UDF's `s != null && ...` guard). */
+case class BloomProbeExpr(
+    child: Expression, bloom: org.apache.spark.util.sketch.BloomFilter)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(bloom != null, "null bloom filter")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "bloom_probe"
+
+  def probe(s: org.apache.spark.unsafe.types.UTF8String): Boolean =
+    bloom.mightContainBinary(s.getBytes)
+
+  override protected def nullSafeEval(a: Any): Any =
+    probe(a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bloomProber", this, classOf[BloomProbeExpr].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.probe($a);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** GPT-2's public byte-level alphabet (the `bytes_to_unicode` table from
   * the released encoder): every one of the 256 byte values maps to a
   * printable Unicode character — visually-printable bytes (`!`..`~`,
@@ -1184,6 +1218,10 @@ object VectorExpressions {
   /** Codegen hashed subword->id mapping (see [[VocabIdsExpr]]). */
   def vocabIds(syms: Column, vocab: Seq[(String, Int)]): Column =
     ExpressionUtils.column(VocabIdsExpr(ExpressionUtils.expression(syms), vocab))
+
+  /** Codegen Bloom membership probe (see [[BloomProbeExpr]]). */
+  def bloomProbe(s: Column, bloom: org.apache.spark.util.sketch.BloomFilter): Column =
+    ExpressionUtils.column(BloomProbeExpr(ExpressionUtils.expression(s), bloom))
 
   /** Codegen SRP bit signature (bits/64 longs) of an embedding column. */
   def srpSign(emb: Column, bits: Int, seed: Long = 42L): Column =

@@ -270,18 +270,22 @@ class PlanAuditSpec extends AnyFunSuite {
     val plan = graft.dedup.Dedup
       .crossCorpusOverlapBloom(docs, bench, n = 5, minShared = 2L, maxShingleDf = 500L)
       .queryExecution.executedPlan.toString
-    // the map-side kill: a Filter containing the bloom UDF must appear,
-    // and scanning down from the corpus FileScan the first Filter must
-    // precede the first Exchange (text order mirrors child-before-parent
-    // within each WholeStageCodegen section)
-    assert(plan.contains("UDF"), s"bloom prefilter missing from plan:\n$plan")
-    val udfIdx = plan.indexOf("UDF")
-    val firstExchangeAbove = plan.lastIndexOf("Exchange", udfIdx)
-    // every Exchange that textually precedes the UDF filter belongs to a
-    // parent operator (toString prints parents first), so none of the
+    // the map-side kill: a Filter containing the codegen bloom probe
+    // must appear, and scanning down from the corpus FileScan the first
+    // Filter must precede the first Exchange (text order mirrors
+    // child-before-parent within each WholeStageCodegen section)
+    assert(plan.contains("bloom_probe"), s"bloom prefilter missing from plan:\n$plan")
+    // the probe is a native expression — no Scala UDF eval layer left
+    // anywhere on the bloom path
+    assert(!plan.contains("ScalaUDF") && !plan.contains("BatchEvalPython"),
+      s"bloom path must stay codegen:\n$plan")
+    val probeIdx = plan.indexOf("bloom_probe")
+    val firstExchangeAbove = plan.lastIndexOf("Exchange", probeIdx)
+    // every Exchange that textually precedes the probe filter belongs to
+    // a parent operator (toString prints parents first), so none of the
     // shingle volume flows through an Exchange before the bloom filter
-    assert(firstExchangeAbove == -1 || plan.indexOf("FileScan", firstExchangeAbove) > udfIdx ||
-      plan.substring(udfIdx).contains("FileScan"),
+    assert(firstExchangeAbove == -1 || plan.indexOf("FileScan", firstExchangeAbove) > probeIdx ||
+      plan.substring(probeIdx).contains("FileScan"),
       s"bloom prefilter not map-side before the shuffle:\n$plan")
   }
 
