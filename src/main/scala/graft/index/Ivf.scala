@@ -293,6 +293,13 @@ object Ivf {
     assigned.count()
   }
 
+  /** Number of pending `_delta_<tag>` directories — what a probe's
+    * union width grows with, and the quantity the streaming
+    * auto-compaction policy bounds. */
+  def deltaDirCount(layout: Layout): Int =
+    Option(new java.io.File(layout.dir).listFiles()).getOrElse(Array.empty)
+      .count(f => f.isDirectory && f.getName.startsWith(deltaDirPrefix))
+
   /** All delta rows of a layout (None when no delta dirs exist). Each
     * delta dir is its own cluster-partitioned table, so they are read
     * per-dir and unioned — a single multi-root read would trip
@@ -317,14 +324,22 @@ object Ivf {
     * xor toggles, sum adds — fingerprinted BEFORE the moves from the
     * same files); a crash between moves and sidecar write leaves the
     * reuse check conservative (mismatch → rebuild), probes correct.
+    * `excludeTags` skips named deltas — the streaming auto-compaction
+    * hook passes the IN-FLIGHT batch's tag, because folding an
+    * uncommitted (possibly crashed-attempt) delta into the base and
+    * then redelivering its batch would re-add the folded rows; deltas
+    * of COMMITTED batches never redeliver and fold safely.
     * Returns the number of delta directories folded. */
   def compactDeltas(
       spark: SparkSession,
       layout: Layout,
       embCol: String = "embedding",
-      idCol: String = "vec_id"): Int = {
+      idCol: String = "vec_id",
+      excludeTags: Set[String] = Set.empty): Int = {
+    val excluded = excludeTags.map(deltaDirPrefix + _)
     val dirs = Option(new java.io.File(layout.dir).listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith(deltaDirPrefix))
+      .filter(f => f.isDirectory && f.getName.startsWith(deltaDirPrefix) &&
+        !excluded(f.getName))
       .sortBy(_.getName)
     if (dirs.isEmpty) return 0
     val rows = dirs.map(d => spark.read.parquet(d.getPath)).reduce(_ unionByName _)

@@ -225,18 +225,35 @@ object StreamingIngest {
     * commits ([[graft.index.Ivf.searchLayoutDeltaAware]]); tombstone
     * deletes apply to delta rows like base rows. Executor state is
     * ZERO — the foreachBatch body is stateless; all memory is the
-    * layout on disk. */
+    * layout on disk.
+    *
+    * `maxDeltaDirs` is the AUTO-COMPACTION policy a crawl that runs
+    * for months needs: each micro-batch leaves one `_delta_<tag>`
+    * dir, and delta-aware probes union every pending dir — unbounded
+    * accumulation means unbounded probe fan-in. When the pending
+    * count reaches the bound, the batch FIRST folds all COMMITTED
+    * deltas into the base ([[graft.index.Ivf.compactDeltas]],
+    * excluding its own tag — an uncommitted crashed-attempt delta
+    * must keep being rewritten by redelivery, never folded then
+    * re-added), then appends its delta. The probe-time union width is
+    * therefore bounded by `maxDeltaDirs + 1` at every instant, and a
+    * mid-stream compaction is invisible to probe results
+    * (spec-pinned). Set `Int.MaxValue` to disable. */
   def streamingIvfAppend(
       stream: DataFrame,
       layoutDir: String,
       checkpoint: String,
-      embCol: String = "embedding"): StreamingQuery =
+      embCol: String = "embedding",
+      maxDeltaDirs: Int = 16): StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val tag = s"${pipelineTag(checkpoint)}_b$batchId"
         val layout = graft.index.Ivf.loadLayout(layoutDir)
-        graft.index.Ivf.appendDelta(layout, batch,
-          s"${pipelineTag(checkpoint)}_b$batchId", embCol)
+        if (graft.index.Ivf.deltaDirCount(layout) >= maxDeltaDirs)
+          graft.index.Ivf.compactDeltas(batch.sparkSession, layout, embCol,
+            excludeTags = Set(tag))
+        graft.index.Ivf.appendDelta(layout, batch, tag, embCol)
         ()
       }
       .trigger(Trigger.AvailableNow())

@@ -107,6 +107,58 @@ class IvfStreamAppendSpec extends AnyFunSuite {
       "post-compaction rebuild against the original corpus must drop folded rows")
   }
 
+  test("auto-compaction bounds delta count mid-stream; probe results invariant") {
+    implicit val sc = spark.sqlContext
+    val layout = freshLayout("ivfauto")
+    val scratch = java.nio.file.Files.createTempDirectory("ivfauto_s").toString
+    // three sequential crawl legs (each its own checkpoint lineage —
+    // a fresh MemoryStream can't resume a foreign checkpoint) with
+    // maxDeltaDirs = 2: leg 3 starts with 2 pending deltas, so its
+    // batch folds them into the base before appending its own
+    val streamed = Seq(
+      (701L, Seq(0.02f, 0.03f)), (702L, Seq(0.04f, 0.05f)), (703L, Seq(0.01f, 0.06f)))
+    streamed.zipWithIndex.foreach { case (row, leg) =>
+      val in = MemoryStream[(Long, Seq[Float])]
+      in.addData(row)
+      StreamingIngest.streamingIvfAppend(
+        in.toDF().toDF("vec_id", "embedding"), layout.dir,
+        s"$scratch/chk$leg", maxDeltaDirs = 2).awaitTermination()
+    }
+    assert(Ivf.deltaDirCount(layout) == 1,
+      s"auto-compaction must fold committed deltas, ${Ivf.deltaDirCount(layout)} pending")
+    val got = Ivf.searchLayoutDeltaAware(
+        spark, layout, Array(0.0f, 0.0f), k = 8, nprobe = 1)
+      .select("vec_id").as[Long].collect()
+    assert(Set(701L, 702L, 703L).subsetOf(got.toSet),
+      s"every streamed vector must survive the mid-stream compaction, got ${got.toSeq}")
+    assert(got.length == got.toSet.size,
+      s"compaction must never double-serve a row: ${got.toSeq}")
+    // and the base probe already serves the folded legs
+    val baseOnly = Ivf.searchLayout(
+        spark, layout, Array(0.0f, 0.0f), k = 8, nprobe = 1)
+      .select("vec_id").as[Long].collect().toSet
+    assert(baseOnly.contains(701L) && baseOnly.contains(702L))
+  }
+
+  test("compactDeltas excludeTags: an in-flight batch's delta survives the fold") {
+    val layout = freshLayout("ivfexcl")
+    Ivf.appendDelta(layout,
+      Seq((801L, Seq(0.02f, 0.02f))).toDF("vec_id", "embedding"), "t_b0")
+    Ivf.appendDelta(layout,
+      Seq((802L, Seq(0.05f, 0.03f))).toDF("vec_id", "embedding"), "t_b1")
+    // fold only the committed b0; b1 is in flight
+    assert(Ivf.compactDeltas(spark, layout, excludeTags = Set("t_b1")) == 1)
+    assert(Ivf.deltaDirCount(layout) == 1)
+    // redelivery of the in-flight batch rewrites its delta — safe
+    Ivf.appendDelta(layout,
+      Seq((802L, Seq(0.05f, 0.03f))).toDF("vec_id", "embedding"), "t_b1")
+    val got = Ivf.searchLayoutDeltaAware(
+        spark, layout, Array(0.0f, 0.0f), k = 8, nprobe = 1)
+      .select("vec_id").as[Long].collect()
+    assert(got.count(_ == 801L) == 1 && got.count(_ == 802L) == 1,
+      s"fold + redelivery must serve each row exactly once: ${got.toSeq}")
+  }
+
   test("compactLayout folds deltas first: a deleted delta row is never resurrected") {
     val layout = freshLayout("ivfressur")
     Ivf.appendDelta(layout,
