@@ -444,6 +444,42 @@ object SparkEntry {
        |FROM ext e JOIN ids i USING (doc_id) ORDER BY e.doc_id""".stripMargin
   }
 
+  /** Detokenize oracle: the gpt2 ids prefix, then the DECODE direction
+    * replayed independently in SQL — each id through the reverse vocab
+    * map to its subword, subwords concatenated, every symbol char
+    * through the reverse 256-row byte map to its raw byte, bytes
+    * hex-assembled and UTF-8-decoded. `lossless` compares the decoded
+    * text to the ORIGINAL raw text, so the round-trip itself (not just
+    * Spark-vs-oracle agreement) sits under the hash gate. */
+  private def detokenizeOracleSql(maxIters: Int): String = {
+    val vocab = graft.text.ByteLevel.vocabForMerges(
+      graft.text.ByteLevel.externalFixtureMerges())
+    val values = vocab.map { case (s, i) =>
+      s"('${s.replace("'", "''")}',$i)"
+    }.mkString(",")
+    s"""${gpt2SubwordsSqlPrefix(maxIters)},
+       |vmap AS (SELECT map(list(sym ORDER BY id), list(id ORDER BY id)) AS m,
+       |                map(list(id ORDER BY id), list(sym ORDER BY id)) AS rm
+       |         FROM (VALUES $values) AS v(sym, id)),
+       |sbmap AS (SELECT map(list(s ORDER BY b), list(b ORDER BY b)) AS m
+       |          FROM (VALUES ${graft.text.ByteLevel.byteMapValuesSql}) AS t(b, s)),
+       |ids AS (SELECT a.doc_id,
+       |          list_transform(a.subs, s -> map_extract(v.m, s)[1]) AS tids
+       |        FROM agg a, vmap v),
+       |symchars AS (SELECT i.doc_id,
+       |               string_split(array_to_string(
+       |                 list_transform(i.tids, t -> map_extract(v.rm, t)[1]), ''), '') AS sl
+       |             FROM ids i, vmap v),
+       |rt AS (SELECT doc_id,
+       |         decode(unhex(string_agg(
+       |           lpad(to_hex(map_extract(sb.m, sl[u.i])[1]), 2, '0'), ''
+       |           ORDER BY u.i))) AS text_rt
+       |       FROM symchars, sbmap sb, unnest(range(1, len(sl) + 1)) AS u(i)
+       |       GROUP BY doc_id)
+       |SELECT e.doc_id, r.text_rt, r.text_rt = e.text AS lossless
+       |FROM ext e JOIN rt r USING (doc_id) ORDER BY e.doc_id""".stripMargin
+  }
+
   /** Shared byte-level preamble CTEs: the extended corpus, the 256-row
     * byte→symbol map (GPT-2 bytes_to_unicode, inlined), pretokens via
     * the RE2-compatible pattern, and the round-0 word table built by
@@ -1300,6 +1336,23 @@ object SparkEntry {
         .select(col("doc_id"),
           size(col("token_ids")).cast("long").as("n_tokens"),
           md5(concat_ws(",", col("token_ids"))).as("ids_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // DECODE as a declared query — the round-trip under the driver's
+    // hash gate: tokenIds' output decoded back through the reverse
+    // vocab + inverse byte alphabet in ONE codegen kernel, compared
+    // against the ORIGINAL raw text (`lossless`). A regression in
+    // either direction of the tokenizer shows up as a hash mismatch
+    // here, not just a failed unit spec.
+    "doc_detokenize" -> ((s, dir) => {
+      val d = extDocs(s, dir)
+      val fixture = graft.text.ByteLevel.externalFixtureMerges()
+      val ids = graft.text.ByteLevel.tokenIds(d, fixture)
+      graft.text.ByteLevel.detokenize(ids, fixture)
+        .join(d, "doc_id")
+        .select(col("doc_id"), col("text_rt"),
+          (col("text_rt") === col("text")).as("lossless"))
         .orderBy(col("doc_id"))
     }),
 
@@ -3437,6 +3490,7 @@ object SparkEntry {
     // no-ops on converged words) — asserted by BpeExtSpec
     "doc_bpe_tokenize_gpt2" -> bpeGpt2TokenizeOracleSql(maxIters = 36),
     "doc_bpe_token_ids" -> bpeTokenIdsOracleSql(maxIters = 36),
+    "doc_detokenize" -> detokenizeOracleSql(maxIters = 36),
     "seq_pack_ids" -> seqPackIdsOracleSql(maxIters = 36, budget = 512L, nParts = 8),
 
     // Train→apply: same rounds with the word key carried through, then

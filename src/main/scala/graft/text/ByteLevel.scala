@@ -204,6 +204,24 @@ object ByteLevel {
     }
   }
 
+  /** DECODE — token ids back to raw text, the inverse of [[tokenIds]]:
+    * each id resolves through the reverse vocabulary to its subword,
+    * subword chars unmap to raw bytes (the inverse byte alphabet), and
+    * the bytes UTF-8-decode — one codegen kernel per row with O(1)
+    * hashed id probes ([[VectorExpressions.byteLevelDecode]]). Output:
+    * (idCol, text_rt). Unknown/null ids (a foreign vocabulary) decode
+    * to null, never to silently partial text; special tokens decode to
+    * their literal name (upstream decode-with-specials semantics).
+    * Byte-level BPE is lossless by construction, so
+    * `detokenize(tokenIds(df)) == df` row-for-row — the round-trip the
+    * `doc_detokenize` query puts under the driver's hash gate. */
+  def detokenize(ids: DataFrame, merges: Seq[(String, String)],
+      idCol: String = "doc_id", idsCol: String = "token_ids",
+      specials: Seq[String] = Nil): DataFrame =
+    ids.select(col(idCol),
+      VectorExpressions.byteLevelDecode(
+        col(idsCol), vocabForMerges(merges, specials)).as("text_rt"))
+
   /** Alphabet-coverage report — the byte-fallback property measured,
     * one row: of the corpus's distinct non-whitespace characters
     * (code points), how many are representable in the byte-level base

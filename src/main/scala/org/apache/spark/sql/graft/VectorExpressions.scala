@@ -637,6 +637,84 @@ case class BloomProbeExpr(
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Token ids -> RAW TEXT: the decode direction of the byte-level
+  * tokenizer, as one codegen kernel. Each id resolves through the
+  * reverse vocabulary to its subword symbol string, each symbol char
+  * unmaps to its raw byte (the inverse of the published
+  * bytes_to_unicode table), and the byte sequence UTF-8-decodes to the
+  * original text — the losslessness property of byte-level BPE, here
+  * as an O(1)-per-id hashed probe with the per-id byte arrays
+  * PRECOMPUTED at construction (no per-row string walking of the
+  * vocabulary). An unknown or null id yields a null result (a decode
+  * of ids from a foreign vocabulary must be visibly wrong, not
+  * silently partial). */
+case class ByteLevelDecodeExpr(child: Expression, vocab: Seq[(String, Int)])
+    extends UnaryExpression with ExpectsInputTypes {
+  require(vocab.nonEmpty, "empty vocabulary")
+  require(vocab.map(_._2).distinct.length == vocab.length,
+    "duplicate id in vocabulary — decoding would be ambiguous")
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(org.apache.spark.sql.types.IntegerType))
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "byte_level_decode"
+
+  @transient private lazy val bytesById: java.util.HashMap[Integer, Array[Byte]] = {
+    val symToByte: Map[Char, Byte] = ByteLevelUtil.ByteToSym.zipWithIndex.map {
+      case (s, b) => (s.charAt(0), b.toByte)
+    }.toMap
+    val m = new java.util.HashMap[Integer, Array[Byte]](vocab.size * 2)
+    vocab.foreach { case (sym, id) =>
+      // a special token whose name uses alphabet chars (ASCII names
+      // like <|endoftext|> always do) decodes to its literal text —
+      // upstream decode-with-specials semantics; a symbol carrying a
+      // non-alphabet char cannot be byte-unmapped and yields null
+      val bytes =
+        if (sym.forall(symToByte.contains)) sym.map(symToByte).toArray else null
+      m.put(Integer.valueOf(id), bytes)
+    }
+    m
+  }
+
+  def decode(arr: ArrayData): org.apache.spark.unsafe.types.UTF8String = {
+    val n = arr.numElements()
+    var total = 0
+    val parts = new Array[Array[Byte]](n)
+    var i = 0
+    while (i < n) {
+      if (arr.isNullAt(i)) return null
+      val b = bytesById.get(Integer.valueOf(arr.getInt(i)))
+      if (b == null) return null
+      parts(i) = b
+      total += b.length
+      i += 1
+    }
+    val out = new Array[Byte](total)
+    var off = 0
+    i = 0
+    while (i < n) {
+      System.arraycopy(parts(i), 0, out, off, parts(i).length)
+      off += parts(i).length
+      i += 1
+    }
+    org.apache.spark.unsafe.types.UTF8String.fromBytes(out)
+  }
+
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(a: Any): Any = decode(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("byteLevelDecoder", this, classOf[ByteLevelDecodeExpr].getName)
+    nullSafeCodeGen(ctx, ev, a => s"""
+      ${ev.value} = $ref.decode($a);
+      ${ev.isNull} = (${ev.value} == null);""")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** GPT-2's public byte-level alphabet (the `bytes_to_unicode` table from
   * the released encoder): every one of the 256 byte values maps to a
   * printable Unicode character — visually-printable bytes (`!`..`~`,
@@ -1222,6 +1300,10 @@ object VectorExpressions {
   /** Codegen Bloom membership probe (see [[BloomProbeExpr]]). */
   def bloomProbe(s: Column, bloom: org.apache.spark.util.sketch.BloomFilter): Column =
     ExpressionUtils.column(BloomProbeExpr(ExpressionUtils.expression(s), bloom))
+
+  /** Codegen token-id -> raw-text decode (see [[ByteLevelDecodeExpr]]). */
+  def byteLevelDecode(ids: Column, vocab: Seq[(String, Int)]): Column =
+    ExpressionUtils.column(ByteLevelDecodeExpr(ExpressionUtils.expression(ids), vocab))
 
   /** Codegen SRP bit signature (bits/64 longs) of an embedding column. */
   def srpSign(emb: Column, bits: Int, seed: Long = 42L): Column =

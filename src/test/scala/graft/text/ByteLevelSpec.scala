@@ -171,6 +171,29 @@ class ByteLevelSpec extends AnyFunSuite {
     }
   }
 
+  test("detokenize inverts tokenIds; foreign/special ids decode to null, not partial text") {
+    val merges = ByteLevel.externalFixtureMerges()
+    val df = Seq((1L, "fast scan"), (2L, "It's Fast! 🌍 café 你好"))
+      .toDF("doc_id", "text")
+    val rt = ByteLevel.detokenize(ByteLevel.tokenIds(df, merges), merges)
+      .join(df, "doc_id").orderBy("doc_id").collect()
+    rt.foreach(r => assert(r.getString(1) == r.getString(2),
+      s"round-trip must be lossless: '${r.getString(1)}' vs '${r.getString(2)}'"))
+    // an id outside the vocabulary (or a null element) → null decode
+    val bad = Seq((1L, Seq[Integer](65, 999999)), (2L, Seq[Integer](65, null)))
+      .toDF("doc_id", "token_ids")
+    val got = ByteLevel.detokenize(bad, merges).orderBy("doc_id").collect()
+    assert(got.forall(_.isNullAt(1)), "foreign/null ids must decode to null")
+    // a special token decodes to its literal text (HF decode-with-
+    // specials semantics: "<|endoftext|>"'s chars are all in the byte
+    // alphabet and unmap to themselves)
+    val eosId = ByteLevel.vocabForMerges(merges, Seq("<|endoftext|>"))
+      .toMap.apply("<|endoftext|>")
+    val withEos = Seq((1L, Seq(65, eosId))).toDF("doc_id", "token_ids")
+    assert(ByteLevel.detokenize(withEos, merges, specials = Seq("<|endoftext|>"))
+      .head().getString(1) == "A<|endoftext|>")
+  }
+
   test("50k-rule production-size list: deterministic, rank-valid, lossless tokenIds") {
     val big = graft.tools.GenExtMerges.syntheticRankedByteLevel(50000)
     assert(big.size == 50000)
