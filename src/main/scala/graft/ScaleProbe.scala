@@ -364,6 +364,23 @@ object ScaleProbe {
         graft.text.ByteLevel.tokenIds(docsVaried, loaded)))
     }
 
+    // the unigram-LM (SentencePiece-family) pipeline at scale: training
+    // is one corpus-sized word count + vocab-bounded EM rounds (Viterbi
+    // kernel per DISTINCT word, costs as a task-broadcast hash map);
+    // tokenize rides the same word cache + positional join — cost must
+    // track distinct words + the join, never vocab or round count
+    if (onlyFilter.forall(_.exists("unigram".contains))) {
+      val dv = docsVaried.localCheckpoint()
+      val t0 = System.nanoTime()
+      val vocab = graft.text.Unigram.trainVocab(dv,
+          rounds = 2, maxPieceLen = 4, topMulti = 150)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      println(f"[scale] unigram train (2 EM rounds): ${vocab.size} pieces " +
+        f"in ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      time(s"unigram tokenize (${vocab.size} pieces)")(noop(
+        graft.text.Unigram.tokenize(dv, vocab)))
+    }
+
     // z-order layout stats: raw rows grow with the factor, but the
     // only window runs over the occupied-cell table (≤ 2^20 rows at
     // any corpus size) — cost must track the one bucketing aggregation

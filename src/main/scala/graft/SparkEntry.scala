@@ -480,6 +480,133 @@ object SparkEntry {
        |FROM ext e JOIN rt r USING (doc_id) ORDER BY e.doc_id""".stripMargin
   }
 
+  /** Unrolled Viterbi-DP unroll bound for the unigram oracles: must be
+    * >= the longest corpus word (8 measured across all SFs;
+    * spec-asserted). Words shorter than a layer pass through the
+    * layer's CASE untouched, so surplus layers are no-ops — the
+    * unroll-exactly-N discipline shared with the BPE priority-layer
+    * oracles. */
+  private val UnigramUnroll = 12
+
+  /** One Viterbi segmentation pass for the unigram oracles (the SQL
+    * twin of `UnigramViterbiExpr`) — FULLY RELATIONAL, deliberately
+    * free of list_reduce: DuckDB 1.0 evaluates list_reduce lambdas
+    * that capture row columns (the backtrack chain) or carry CASE
+    * stalls NONDETERMINISTICALLY under parallel execution (observed:
+    * the same query alternating row counts 45/46/47 over identical
+    * data). Structure: candidate (word, i, k) windows -> LEFT JOIN
+    * the previous counts (quantized-integer costs inline, single-char
+    * UNK fallback) -> per-(word, i) pivot to fixed c1..c4 slots ->
+    * `UnigramUnroll` chained dp layers (each a plain scalar
+    * least/CASE over the carried dp list, ties to the smallest j =
+    * longest piece via the c4-first CASE order) -> unrolled backtrack
+    * columns p1..pU -> pieces sliced and ''-filtered. */
+  private def unigramSegSql(seg: String, vprev: String, maxPieceLen: Int): String = {
+    require(maxPieceLen == 4, "the unrolled 4-slot edge pivot is written for maxPieceLen = 4")
+    val U = UnigramUnroll
+    def ak(k: Int) = s"(w.d[-$k].c + e.c$k)"
+    val best = s"least(${ak(4)}, ${ak(3)}, ${ak(2)}, ${ak(1)})"
+    val dpLayers = (1 to U).map { i =>
+      s"""${seg}_d$i AS (
+         |  SELECT w.word, w.cnt, w.n,
+         |    CASE WHEN w.n < $i THEN w.d
+         |      ELSE list_append(w.d, {'c': $best,
+         |        'b': CASE WHEN $best = ${ak(4)} THEN ${i - 4}
+         |                  WHEN $best = ${ak(3)} THEN ${i - 3}
+         |                  WHEN $best = ${ak(2)} THEN ${i - 2}
+         |                  ELSE ${i - 1} END})
+         |    END AS d
+         |  FROM ${seg}_d${i - 1} w LEFT JOIN ${seg}_ep e ON e.word = w.word AND e.i = $i)""".stripMargin
+    }.mkString(",\n")
+    val btLayers = (1 to U).map { t =>
+      s"""${seg}_bt$t AS (
+         |  SELECT *, CASE WHEN p${t - 1} = 0 THEN 0 ELSE d[p${t - 1} + 1].b END AS p$t
+         |  FROM ${seg}_bt${t - 1})""".stripMargin
+    }.mkString(",\n")
+    val pieces = (U to 1 by -1)
+      .map(t => s"substring(word, p$t + 1, p${t - 1} - p$t)").mkString(", ")
+    s"""${seg}_tot AS (SELECT CAST(sum(n) AS DOUBLE) AS total FROM $vprev),
+       |${seg}_cand AS (
+       |  SELECT w.word, w.cnt, length(w.word) AS n, ui.i AS i, uk.k AS k,
+       |    CASE WHEN uk.k <= ui.i
+       |      THEN substring(w.word, CAST(ui.i - uk.k + 1 AS INT), CAST(uk.k AS INT)) END AS piece
+       |  FROM uw w,
+       |       unnest(range(1, length(w.word) + 1)) AS ui(i),
+       |       unnest(range(1, $maxPieceLen + 1)) AS uk(k)),
+       |${seg}_edge AS (
+       |  SELECT c.word, c.cnt, c.n, c.i, c.k,
+       |    CASE WHEN c.k = 1 AND c.piece IS NOT NULL
+       |           THEN coalesce(CAST(-floor(1000000 * ln(CAST(v.n AS DOUBLE) / t.total)) AS BIGINT),
+       |                         CAST(${graft.text.Unigram.UnkCost} AS BIGINT))
+       |         ELSE CAST(-floor(1000000 * ln(CAST(v.n AS DOUBLE) / t.total)) AS BIGINT) END AS cost
+       |  FROM ${seg}_cand c CROSS JOIN ${seg}_tot t LEFT JOIN $vprev v ON v.piece = c.piece),
+       |${seg}_ep AS MATERIALIZED (
+       |  SELECT word, cnt, n, i,
+       |    max(CASE WHEN k = 1 THEN cost END) AS c1,
+       |    max(CASE WHEN k = 2 THEN cost END) AS c2,
+       |    max(CASE WHEN k = 3 THEN cost END) AS c3,
+       |    max(CASE WHEN k = 4 THEN cost END) AS c4
+       |  FROM ${seg}_edge GROUP BY 1, 2, 3, 4),
+       |${seg}_d0 AS (
+       |  SELECT word, cnt, n, [{'c': CAST(0 AS BIGINT), 'b': 0}] AS d
+       |  FROM (SELECT DISTINCT word, cnt, n FROM ${seg}_ep)),
+       |$dpLayers,
+       |${seg}_bt0 AS (SELECT word, cnt, n, d, CAST(n AS INT) AS p0 FROM ${seg}_d$U),
+       |$btLayers,
+       |$seg AS MATERIALIZED (
+       |  SELECT word, cnt,
+       |    list_filter([$pieces], x -> x <> '') AS ps
+       |  FROM ${seg}_bt$U)""".stripMargin
+  }
+
+  /** The unigram trainer's CTE chain: weighted distinct words, seed
+    * substring counts (all singles + top-`topMulti` multis), then
+    * `rounds` Viterbi-EM rounds (per-word segmentation under the
+    * previous counts' quantized costs -> new weighted counts) —
+    * `Unigram.trainVocab` replayed. */
+  private def unigramTrainCtes(rounds: Int, maxPieceLen: Int, topMulti: Int): String = {
+    val roundCtes = (1 to rounds).map { r =>
+      s"""${unigramSegSql(s"useg$r", s"v${r - 1}", maxPieceLen)},
+         |v$r AS MATERIALIZED (SELECT piece, sum(cnt) AS n
+         |  FROM (SELECT cnt, unnest(ps) AS piece FROM useg$r) GROUP BY 1)""".stripMargin
+    }.mkString(",\n")
+    s"""t AS (SELECT doc_id, $ToksSql AS toks FROM documents),
+       |uw AS MATERIALIZED (SELECT word, count(*) AS cnt
+       |  FROM (SELECT unnest(toks) AS word FROM t)
+       |  WHERE len(word) > 0 GROUP BY 1),
+       |usub AS (SELECT substring(word, CAST(ui.i AS INT), CAST(ul.l AS INT)) AS piece, sum(cnt) AS n
+       |  FROM uw, unnest(range(1, length(word) + 1)) AS ui(i),
+       |       unnest(range(1, least($maxPieceLen, length(word) - ui.i + 1) + 1)) AS ul(l)
+       |  GROUP BY 1),
+       |v0 AS MATERIALIZED (
+       |  SELECT piece, n FROM usub WHERE length(piece) = 1
+       |  UNION ALL
+       |  SELECT piece, n FROM (SELECT piece, n FROM usub WHERE length(piece) > 1
+       |                        ORDER BY n DESC, piece LIMIT $topMulti)),
+       |$roundCtes""".stripMargin
+  }
+
+  private def unigramVocabOracleSql(rounds: Int, maxPieceLen: Int, topMulti: Int): String =
+    s"""WITH ${unigramTrainCtes(rounds, maxPieceLen, topMulti)}
+       |SELECT piece, CAST(n AS BIGINT) AS n_count
+       |FROM v$rounds ORDER BY n_count DESC, piece""".stripMargin
+
+  /** Train + tokenize oracle: the training chain, one more Viterbi
+    * pass under the FINAL counts' costs, then the shared positional
+    * rejoin. */
+  private def unigramTokenizeOracleSql(rounds: Int, maxPieceLen: Int, topMulti: Int): String =
+    s"""WITH ${unigramTrainCtes(rounds, maxPieceLen, topMulti)},
+       |${unigramSegSql("usegF", s"v$rounds", maxPieceLen)},
+       |pos AS (SELECT doc_id, i AS pos, toks[i] AS word
+       |        FROM t, unnest(range(1, len(toks) + 1)) AS u(i)),
+       |dtok AS (SELECT p.doc_id, p.pos, s.ps
+       |         FROM pos p JOIN usegF s ON s.word = p.word),
+       |agg AS (SELECT doc_id, flatten(list(ps ORDER BY pos)) AS subs
+       |        FROM dtok GROUP BY 1)
+       |SELECT t.doc_id, CAST(len(a.subs) AS BIGINT) AS n_pieces,
+       |       md5(array_to_string(a.subs, ' ')) AS pieces_md5
+       |FROM t JOIN agg a USING (doc_id) ORDER BY t.doc_id""".stripMargin
+
   /** Shared byte-level preamble CTEs: the extended corpus, the 256-row
     * byte→symbol map (GPT-2 bytes_to_unicode, inlined), pretokens via
     * the RE2-compatible pattern, and the round-0 word table built by
@@ -1285,6 +1412,35 @@ object SparkEntry {
         .select(col("doc_id"),
           size(col("bpe_tokens")).cast("long").as("n_subwords"),
           md5(concat_ws(" ", col("bpe_tokens"))).as("subword_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // UNIGRAM-LM tokenizer training (Kudo ACL'18 — the SentencePiece
+    // family, the OTHER production tokenizer besides BPE): seed vocab
+    // from weighted substring counts, then deterministic Viterbi-EM
+    // rounds — costs are QUANTIZED INTEGERS (-floor(1e6*ln p)), so the
+    // whole DP is exact arithmetic and the oracle replays it as a
+    // list_reduce lattice walk with the identical (cost, j) tie-break.
+    // Work shape: one corpus-sized word count; every round is
+    // vocab-bounded (kernel per DISTINCT word, costs as a broadcast
+    // hash map).
+    "corpus_unigram_vocab" -> ((s, dir) =>
+      graft.text.Unigram.trainVocab(docs(s, dir),
+        rounds = 2, maxPieceLen = 4, topMulti = 150)),
+
+    // Unigram INFERENCE end-to-end: train (as above), then Viterbi-
+    // segment every document through the word cache under the final
+    // piece costs, positional rejoin — the complete SentencePiece-
+    // style pipeline, oracle-replayed train AND apply.
+    "doc_unigram_tokenize" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val vocab = graft.text.Unigram.trainVocab(d,
+          rounds = 2, maxPieceLen = 4, topMulti = 150)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      graft.text.Unigram.tokenize(d, vocab)
+        .select(col("doc_id"),
+          size(col("bpe_tokens")).cast("long").as("n_pieces"),
+          md5(concat_ws(" ", col("bpe_tokens"))).as("pieces_md5"))
         .orderBy(col("doc_id"))
     }),
 
@@ -3491,6 +3647,8 @@ object SparkEntry {
     "doc_bpe_tokenize_gpt2" -> bpeGpt2TokenizeOracleSql(maxIters = 36),
     "doc_bpe_token_ids" -> bpeTokenIdsOracleSql(maxIters = 36),
     "doc_detokenize" -> detokenizeOracleSql(maxIters = 36),
+    "corpus_unigram_vocab" -> unigramVocabOracleSql(rounds = 2, maxPieceLen = 4, topMulti = 150),
+    "doc_unigram_tokenize" -> unigramTokenizeOracleSql(rounds = 2, maxPieceLen = 4, topMulti = 150),
     "seq_pack_ids" -> seqPackIdsOracleSql(maxIters = 36, budget = 512L, nParts = 8),
 
     // Train→apply: same rounds with the word key carried through, then

@@ -1,0 +1,143 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.VectorExpressions
+
+/** Unigram-LM tokenizer training + Viterbi segmentation (Kudo ACL'18,
+  * arXiv:1804.10959 — the SentencePiece model family; the OTHER
+  * production tokenizer besides BPE). A vocabulary of PIECES carries
+  * probabilities; a word tokenizes to its maximum-likelihood
+  * segmentation (Viterbi over the piece lattice). Training here is the
+  * deterministic hard-EM (Viterbi-EM) variant of Kudo's lattice EM:
+  *
+  *  - SEED: all substrings of length 1..`maxPieceLen` of the weighted
+  *    distinct-word table, counted per occurrence; every single
+  *    character is kept (coverage), plus the top `topMulti` multi-char
+  *    substrings by (count desc, piece asc).
+  *  - EM ROUND: counts → quantized integer costs
+  *    (−floor(10⁶·ln(count/total)) — integers so the Viterbi DP is
+  *    exact arithmetic end-to-end and the SQL oracle replays it with
+  *    no float drift inside the DP); Viterbi-segment every distinct
+  *    word under those costs ([[org.apache.spark.sql.graft.UnigramViterbiExpr]]);
+  *    new counts = weighted piece occurrences over the segmentations.
+  *    Pieces that stop being used fall out of the vocabulary (the
+  *    pruning that concentrates mass on useful pieces); segmentation
+  *    stays total through the single-char `unkCost` fallback.
+  *
+  * Work shape at 100 TB: ONE corpus-sized aggregation builds the
+  * weighted distinct-word table; every EM round and the final
+  * tokenize are vocab-bounded (the word table is orders of magnitude
+  * smaller than the corpus, the piece table is driver-bounded by
+  * construction, and the Viterbi kernel runs once per DISTINCT word
+  * with the costs as a task-broadcast hash map). Documents re-
+  * assemble through the shared positional join
+  * ([[Bpe.joinBackBySubwords]]) — the identical scaling discipline as
+  * the BPE family.
+  */
+object Unigram {
+
+  /** Quantized-cost fallback for a single character absent from the
+    * vocabulary: large enough that any in-vocabulary split is
+    * preferred, small enough that sums never approach overflow. */
+  val UnkCost = 100000000L
+
+  /** Cost quantization: −floor(10⁶ · ln(count/total)) as a Long (floor,
+    * not round: `floor` has one definition everywhere, while
+    * round-half tie rules differ between Java and SQL engines). The
+    * one transcendental evaluation per PIECE (vocab-sized, not
+    * corpus-sized); identical formula in the SQL oracle. */
+  def costsFrom(counts: Seq[(String, Long)]): Seq[(String, Long)] = {
+    val total = counts.map(_._2).sum.toDouble
+    counts.map { case (p, c) =>
+      (p, (-Math.floor(1e6 * Math.log(c.toDouble / total))).toLong)
+    }
+  }
+
+  /** The weighted distinct-word table (word, cnt) — the one
+    * corpus-sized aggregation, shared with the BPE trainer's shape. */
+  private def wordCounts(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(TextAnalysis.tokens(col(textCol))).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+
+  /** Seed vocabulary: substring occurrence counts over the word table.
+    * All single chars (total coverage of the corpus alphabet) + the
+    * top `topMulti` multi-char substrings by (count desc, piece asc).
+    * Bounded driver artifact by construction. */
+  def seedVocab(
+      words: DataFrame,
+      maxPieceLen: Int = 4,
+      topMulti: Int = 150): Seq[(String, Long)] = {
+    val syms = split(col("word"), "")
+    // every (start, len) substring window, counted cnt× per occurrence
+    val subs = words
+      .select(col("cnt"), syms.as("s"))
+      .select(col("cnt"), explode(
+        flatten(transform(sequence(lit(1), size(col("s"))), i =>
+          transform(
+            sequence(lit(1), least(lit(maxPieceLen), size(col("s")) - i + 1)),
+            l => array_join(slice(col("s"), i, l), ""))))).as("piece"))
+      .groupBy("piece").agg(sum(col("cnt")).as("n"))
+    val singles = subs.filter(length(col("piece")) === 1)
+    val multis = subs.filter(length(col("piece")) > 1)
+      .orderBy(col("n").desc, col("piece")).limit(topMulti)
+    singles.unionAll(multis)
+      .orderBy(col("n").desc, col("piece"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+  }
+
+  /** One Viterbi-EM round: segment every distinct word under the
+    * current counts' costs; return the new weighted piece counts
+    * (unused pieces drop out; unknown single chars emitted by the
+    * fallback enter with their counts). */
+  def emRound(
+      words: DataFrame,
+      vocabCounts: Seq[(String, Long)],
+      maxPieceLen: Int = 4): Seq[(String, Long)] =
+    words
+      .select(col("cnt"), VectorExpressions.unigramViterbi(
+        split(col("word"), ""), costsFrom(vocabCounts), maxPieceLen, UnkCost).as("ps"))
+      .select(col("cnt"), explode(col("ps")).as("piece"))
+      .groupBy("piece").agg(sum(col("cnt")).as("n"))
+      .orderBy(col("n").desc, col("piece"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+
+  /** Train: seed → `rounds` Viterbi-EM rounds → the final piece table
+    * as a DataFrame (piece, n_count), ordered (count desc, piece) —
+    * the artifact a unigram tokenizer ships (SentencePiece's model
+    * file enumerates exactly piece → logprob). */
+  def trainVocab(
+      df: DataFrame,
+      textCol: String = "text",
+      rounds: Int = 2,
+      maxPieceLen: Int = 4,
+      topMulti: Int = 150): DataFrame = {
+    val spark = df.sparkSession
+    val words = wordCounts(df, textCol).localCheckpoint()
+    var vocab = seedVocab(words, maxPieceLen, topMulti)
+    for (_ <- 1 to rounds) vocab = emRound(words, vocab, maxPieceLen)
+    spark.createDataFrame(vocab).toDF("piece", "n_count")
+      .orderBy(col("n_count").desc, col("piece"))
+  }
+
+  /** Tokenize through the word cache: Viterbi once per DISTINCT word
+    * under the given piece counts' costs, positional rejoin
+    * ([[Bpe.joinBackBySubwords]]). Output: (idCol, bpe_tokens) — the
+    * shared tokenizer output shape. */
+  def tokenize(
+      df: DataFrame,
+      vocabCounts: Seq[(String, Long)],
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      maxPieceLen: Int = 4,
+      broadcastVocab: Boolean = true): DataFrame = {
+    val vocab = df
+      .select(explode(TextAnalysis.tokens(col(textCol))).as("word"))
+      .filter(length(col("word")) > 0)
+      .distinct()
+      .select(col("word"), VectorExpressions.unigramViterbi(
+        split(col("word"), ""), costsFrom(vocabCounts), maxPieceLen, UnkCost).as("syms"))
+    Bpe.joinBackBySubwords(df, vocab, idCol, textCol, broadcastVocab)
+  }
+}

@@ -715,6 +715,101 @@ case class ByteLevelDecodeExpr(child: Expression, vocab: Seq[(String, Int)])
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Viterbi segmentation under a unigram language model (Kudo ACL'18,
+  * arXiv:1804.10959 — the SentencePiece model family): per word, the
+  * minimum-total-cost split into vocabulary pieces, where a piece's
+  * cost is its quantized negative log-probability (integer — the
+  * whole DP is integer arithmetic, so the SQL oracle replays it
+  * bit-exactly with no transcendental-function drift inside the DP).
+  * dp[i] = min over j in [max(0, i-maxPieceLen), i) of dp[j] +
+  * cost(syms[j..i)); single-char pieces fall back to `unkCost` when
+  * absent (segmentation is total — no word is unrepresentable); ties
+  * break to the SMALLEST j (the longest last piece), scanning j
+  * ascending with strict improvement — the oracle's lexicographic
+  * (cost, j) struct-min. One kernel call per DISTINCT word; the
+  * vocabulary rides as a hashed reference object, so vocab size never
+  * touches the plan. */
+case class UnigramViterbiExpr(
+    child: Expression, pieces: Seq[(String, Long)], maxPieceLen: Int, unkCost: Long)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(pieces.nonEmpty, "empty piece vocabulary")
+  require(pieces.map(_._1).distinct.length == pieces.length,
+    "duplicate piece in vocabulary — costs would be ambiguous")
+  require(maxPieceLen >= 1, s"maxPieceLen must be >= 1, got $maxPieceLen")
+  require(unkCost > 0, s"unkCost must be positive, got $unkCost")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "unigram_viterbi"
+
+  @transient private lazy val costs: java.util.HashMap[org.apache.spark.unsafe.types.UTF8String, java.lang.Long] = {
+    val m = new java.util.HashMap[org.apache.spark.unsafe.types.UTF8String, java.lang.Long](pieces.size * 2)
+    pieces.foreach { case (p, c) =>
+      m.put(org.apache.spark.unsafe.types.UTF8String.fromString(p), java.lang.Long.valueOf(c))
+    }
+    m
+  }
+
+  def segment(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    val syms = new Array[org.apache.spark.unsafe.types.UTF8String](n)
+    var i = 0
+    while (i < n) {
+      if (arr.isNullAt(i)) return null
+      syms(i) = arr.getUTF8String(i).clone()
+      i += 1
+    }
+    val dp = new Array[Long](n + 1)
+    val back = new Array[Int](n + 1)
+    i = 1
+    while (i <= n) {
+      var best = Long.MaxValue
+      var bestJ = -1
+      var j = math.max(0, i - maxPieceLen)
+      while (j < i) {
+        val piece = org.apache.spark.unsafe.types.UTF8String
+          .concat(java.util.Arrays.copyOfRange(syms, j, i): _*)
+        val c = costs.get(piece)
+        val stepCost: java.lang.Long =
+          if (c != null) c
+          else if (i - j == 1) java.lang.Long.valueOf(unkCost)
+          else null
+        if (stepCost != null && dp(j) + stepCost.longValue() < best) {
+          best = dp(j) + stepCost.longValue(); bestJ = j
+        }
+        j += 1
+      }
+      dp(i) = best; back(i) = bestJ
+      i += 1
+    }
+    // backtrack: pieces right-to-left, then reverse
+    val out = new java.util.ArrayList[org.apache.spark.unsafe.types.UTF8String]()
+    var p = n
+    while (p > 0) {
+      val j = back(p)
+      out.add(org.apache.spark.unsafe.types.UTF8String
+        .concat(java.util.Arrays.copyOfRange(syms, j, p): _*))
+      p = j
+    }
+    java.util.Collections.reverse(out)
+    new GenericArrayData(out.toArray.asInstanceOf[Array[Any]])
+  }
+
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(a: Any): Any = segment(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("unigramViterbi", this, classOf[UnigramViterbiExpr].getName)
+    nullSafeCodeGen(ctx, ev, a => s"""
+      ${ev.value} = $ref.segment($a);
+      ${ev.isNull} = (${ev.value} == null);""")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** GPT-2's public byte-level alphabet (the `bytes_to_unicode` table from
   * the released encoder): every one of the 256 byte values maps to a
   * printable Unicode character — visually-printable bytes (`!`..`~`,
@@ -1304,6 +1399,12 @@ object VectorExpressions {
   /** Codegen token-id -> raw-text decode (see [[ByteLevelDecodeExpr]]). */
   def byteLevelDecode(ids: Column, vocab: Seq[(String, Int)]): Column =
     ExpressionUtils.column(ByteLevelDecodeExpr(ExpressionUtils.expression(ids), vocab))
+
+  /** Codegen unigram-LM Viterbi segmentation (see [[UnigramViterbiExpr]]). */
+  def unigramViterbi(syms: Column, pieces: Seq[(String, Long)],
+      maxPieceLen: Int, unkCost: Long): Column =
+    ExpressionUtils.column(
+      UnigramViterbiExpr(ExpressionUtils.expression(syms), pieces, maxPieceLen, unkCost))
 
   /** Codegen SRP bit signature (bits/64 longs) of an embedding column. */
   def srpSign(emb: Column, bits: Int, seed: Long = 42L): Column =

@@ -1,0 +1,114 @@
+package graft.text
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestSession
+
+/** The unigram-LM tokenizer family ([[Unigram]] + the
+  * `UnigramViterbiExpr` kernel): Viterbi semantics against an
+  * independent reference implementation, the pinned tie-break and UNK
+  * fallback, quantized-cost arithmetic, EM-round behavior, and the
+  * oracle's unroll-bound contract. */
+class UnigramSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def segment(words: Seq[String], vocab: Seq[(String, Long)],
+      maxPieceLen: Int = 4): Seq[Seq[String]] = {
+    val df = words.zipWithIndex.map { case (w, i) => (i, w) }.toDF("i", "word")
+    df.select(col("i"),
+        org.apache.spark.sql.graft.VectorExpressions.unigramViterbi(
+          split(col("word"), ""), vocab, maxPieceLen, Unigram.UnkCost).as("ps"))
+      .orderBy("i").collect().map(_.getSeq[String](1).toSeq).toSeq
+  }
+
+  /** Independent reference: recursive memoized minimum-cost
+    * segmentation (deliberately not the kernel's iterative DP), same
+    * tie rule — among equal-cost splits prefer the SMALLEST start j
+    * (the longest last piece). */
+  private def refSegment(word: String, costs: Map[String, Long],
+      maxPieceLen: Int): Seq[String] = {
+    val memo = scala.collection.mutable.Map.empty[Int, (Long, Seq[String])]
+    def best(i: Int): (Long, Seq[String]) = {
+      if (i == 0) return (0L, Nil)
+      memo.getOrElseUpdate(i, {
+        var r: (Long, Seq[String]) = (Long.MaxValue, Nil)
+        for (j <- math.max(0, i - maxPieceLen) until i) {
+          val piece = word.substring(j, i)
+          val c: Option[Long] =
+            costs.get(piece).orElse(if (i - j == 1) Some(Unigram.UnkCost) else None)
+          c.foreach { pc =>
+            val (cj, sj) = best(j)
+            if (cj + pc < r._1) r = (cj + pc, sj :+ piece)
+          }
+        }
+        r
+      })
+    }
+    best(word.length)._2
+  }
+
+  test("kernel matches the reference DP on randomized words and vocabularies") {
+    val rnd = new scala.util.Random(20260814L)
+    val alphabet = "abcde"
+    val pieces = (1 to 80).map { _ =>
+      Seq.fill(1 + rnd.nextInt(4))(alphabet(rnd.nextInt(alphabet.length))).mkString
+    }.distinct.map(p => (p, 50L + rnd.nextInt(5000).toLong))
+    val costs = Unigram.costsFrom(pieces)
+    val words = (1 to 300).map(_ =>
+      Seq.fill(1 + rnd.nextInt(10))(alphabet(rnd.nextInt(alphabet.length))).mkString)
+    val got = segment(words, costs)
+    words.zip(got).foreach { case (w, g) =>
+      assert(g == refSegment(w, costs.toMap, 4), s"mismatch on '$w'")
+      assert(g.mkString == w, s"pieces must reassemble '$w', got $g")
+    }
+  }
+
+  test("ties break to the longest last piece; UNK fallback keeps segmentation total") {
+    // equal costs: 'ab'+'cd' vs 'abc'+'d' vs ... pin with explicit costs
+    val vocab = Seq(("ab", 10L), ("cd", 10L), ("abc", 10L), ("d", 10L), ("a", 10L), ("b", 10L), ("c", 10L))
+    // "abcd": [ab, cd] cost 20 vs [abc, d] cost 20 — tie at the final
+    // prefix: j=2 ('cd') vs j=3 ('d'); smallest j wins → ['ab','cd']
+    assert(segment(Seq("abcd"), vocab) == Seq(Seq("ab", "cd")))
+    // chars absent from the vocab segment as single-char UNK pieces
+    assert(segment(Seq("zzq"), vocab) == Seq(Seq("z", "z", "q")))
+    // a cheap long piece beats per-char splits
+    val v2 = Seq(("hell", 5L), ("o", 5L), ("h", 100L), ("e", 100L), ("l", 100L))
+    assert(segment(Seq("hello"), v2) == Seq(Seq("hell", "o")))
+  }
+
+  test("quantized costs: -floor(1e6 ln p), integers, identical formula as the oracle") {
+    val costs = Unigram.costsFrom(Seq(("a", 3L), ("b", 1L))).toMap
+    // p(a)=3/4 → -floor(1e6*ln .75) = -floor(-287682.07...) = 287683
+    assert(costs("a") == 287683L)
+    assert(costs("b") == (-Math.floor(1e6 * Math.log(0.25))).toLong)
+  }
+
+  test("EM rounds concentrate mass and stay deterministic") {
+    val df = Seq.tabulate(40)(i => (i.toLong, "fast scan fast scan join"))
+      .toDF("doc_id", "text")
+    val v1 = Unigram.trainVocab(df, rounds = 2, maxPieceLen = 4, topMulti = 20)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val v2 = Unigram.trainVocab(df, rounds = 2, maxPieceLen = 4, topMulti = 20)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(v1 == v2, "training must be deterministic")
+    assert(v1.nonEmpty && v1.forall(_._2 > 0))
+    // frequent substrings of the repeated words must surface as pieces
+    val ps = v1.map(_._1).toSet
+    assert(ps.exists(_.length > 1), s"multi-char pieces must survive EM: $v1")
+    // tokenize through the trained vocab reassembles every word
+    val toks = Unigram.tokenize(df, v1)
+      .select(concat_ws(" ", col("bpe_tokens"))).head().getString(0)
+    assert(toks.replace(" ", "") == "fastscanfastscanjoin")
+  }
+
+  test("oracle unroll bound covers the corpus: no word longer than 12 chars") {
+    val maxLen = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(explode(TextAnalysis.tokens(col("text"))).as("word"))
+      .agg(max(length(col("word")))).head().getInt(0)
+    assert(maxLen <= 12,
+      s"unigram oracles unroll 12 Viterbi layers; corpus words reach $maxLen")
+  }
+}
