@@ -74,8 +74,12 @@ object Bench {
     * adjudication's blind spot: a warm>cold sample with an identical
     * fingerprint could not distinguish "this query got slower" from
     * "this sample paid a neighbor's GC debt"; now the debt is in the
-    * record. */
-  final case class Run(secs: Double, plan: String, gcMs: Long = 0L)
+    * record. `jitMs` is the same instrument for the OTHER in-JVM
+    * neighbor effect: JIT compilation time accumulated during the run
+    * (the r10 `doc_quality` anomaly rose in-sweep with gc=0 and an
+    * identical fingerprint — code-cache/JIT churn was the leading
+    * hypothesis the record could not confirm; now it can). */
+  final case class Run(secs: Double, plan: String, gcMs: Long = 0L, jitMs: Long = 0L)
 
   /** Prior full-sweep record for the changed-only mode: per query, the
     * PRE-execution (optimized logical plan) fingerprint plus the
@@ -95,11 +99,13 @@ object Bench {
     def arr(rs: Seq[Run]) = rs.map(r => r3(r.secs)).mkString("[", ",", "]")
     def fps(rs: Seq[Run]) = rs.map(r => "\"" + r.plan + "\"").mkString("[", ",", "]")
     def gcs(rs: Seq[Run]) = rs.map(_.gcMs).mkString("[", ",", "]")
+    def jits(rs: Seq[Run]) = rs.map(_.jitMs).mkString("[", ",", "]")
     results.map { case (name, s) =>
       "\"" + name + "\":{" +
         s""""cold":${arr(s.cold)},"warm":${arr(s.warm)},""" +
         s""""plans_cold":${fps(s.cold)},"plans_warm":${fps(s.warm)},""" +
-        s""""gc_cold":${gcs(s.cold)},"gc_warm":${gcs(s.warm)}}"""
+        s""""gc_cold":${gcs(s.cold)},"gc_warm":${gcs(s.warm)},""" +
+        s""""jit_cold":${jits(s.cold)},"jit_warm":${jits(s.warm)}}"""
     }.mkString("\"samples\":{", ",", "}")
   }
 
@@ -317,9 +323,15 @@ object Bench {
       java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
         .asScala.map(_.getCollectionTime).sum
     }
+    val jitBean = java.lang.management.ManagementFactory.getCompilationMXBean
+    def jitTimeMs(): Long =
+      if (jitBean != null && jitBean.isCompilationTimeMonitoringSupported)
+        jitBean.getTotalCompilationTime
+      else 0L
     def runOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Option[Run] = {
       val before = lastPlan.get()._1
       val g0 = gcTimeMs()
+      val j0 = jitTimeMs()
       val t0 = System.nanoTime()
       try {
         val df = fn(spark, sfDir)
@@ -327,11 +339,12 @@ object Bench {
         df.write.format("noop").mode("overwrite").save()
         val secs = (System.nanoTime() - t0) / 1e9 // timed region ends HERE
         val gcMs = gcTimeMs() - g0
+        val jitMs = jitTimeMs() - j0
         val raw = drainLastPlan(before)
         val fp = raw.map(planFingerprint).getOrElse("none")
         raw.foreach(p => planTexts.getOrElseUpdate(name,
           scala.collection.mutable.Map.empty).getOrElseUpdate(fp, p))
-        Some(Run(secs, fp, gcMs))
+        Some(Run(secs, fp, gcMs, jitMs))
       } catch {
         case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}"); None
       }
