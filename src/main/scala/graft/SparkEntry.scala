@@ -607,6 +607,32 @@ object SparkEntry {
        |       md5(array_to_string(a.subs, ' ')) AS pieces_md5
        |FROM t JOIN agg a USING (doc_id) ORDER BY t.doc_id""".stripMargin
 
+  /** Train + tokenize + SentencePiece-convention id emission: the
+    * tokenize chain, ids 3+rank assigned by row_number over the final
+    * vocabulary's (count desc, piece) order, OOV fallback pieces to
+    * <unk>=0 via LEFT JOIN + coalesce, </s>=2 appended per document. */
+  private def unigramIdsOracleSql(rounds: Int, maxPieceLen: Int, topMulti: Int): String =
+    s"""WITH ${unigramTrainCtes(rounds, maxPieceLen, topMulti)},
+       |${unigramSegSql("usegF", s"v$rounds", maxPieceLen)},
+       |vid AS (SELECT piece,
+       |          CAST(2 + row_number() OVER (ORDER BY n DESC, piece) AS INT) AS id
+       |        FROM v$rounds),
+       |wpos AS (SELECT s.word, u.i AS i, s.ps[u.i] AS piece
+       |         FROM usegF s, unnest(range(1, len(s.ps) + 1)) AS u(i)),
+       |wid AS (SELECT w.word, list(coalesce(v.id, 0) ORDER BY w.i) AS ids
+       |        FROM wpos w LEFT JOIN vid v ON v.piece = w.piece
+       |        GROUP BY w.word),
+       |pos AS (SELECT doc_id, i AS pos, toks[i] AS word
+       |        FROM t, unnest(range(1, len(toks) + 1)) AS u(i)),
+       |dtok AS (SELECT p.doc_id, p.pos, w.ids
+       |         FROM pos p JOIN wid w ON w.word = p.word),
+       |agg AS (SELECT doc_id,
+       |          list_append(flatten(list(ids ORDER BY pos)), 2) AS ids
+       |        FROM dtok GROUP BY 1)
+       |SELECT t.doc_id, CAST(len(a.ids) AS BIGINT) AS n_tokens,
+       |       md5(array_to_string(a.ids, ',')) AS ids_md5
+       |FROM t JOIN agg a USING (doc_id) ORDER BY t.doc_id""".stripMargin
+
   /** Shared byte-level preamble CTEs: the extended corpus, the 256-row
     * byte→symbol map (GPT-2 bytes_to_unicode, inlined), pretokens via
     * the RE2-compatible pattern, and the round-0 word table built by
@@ -1424,23 +1450,56 @@ object SparkEntry {
     // Work shape: one corpus-sized word count; every round is
     // vocab-bounded (kernel per DISTINCT word, costs as a broadcast
     // hash map).
-    "corpus_unigram_vocab" -> ((s, dir) =>
-      graft.text.Unigram.trainVocab(docs(s, dir),
-        rounds = 2, maxPieceLen = 4, topMulti = 150)),
+    // Training reads through the PERSISTED vocab artifact (fingerprint
+    // sidecar — the SentencePiece-style model file, built once per
+    // corpus+params and shared with the tokenize query below): repeat
+    // invocations pay an artifact read, not a retrain.
+    "corpus_unigram_vocab" -> ((s, dir) => {
+      val artDir =
+        s"${System.getProperty("java.io.tmpdir")}/graft_unigram_${dirKey(dir)}"
+      graft.text.Unigram.ensureVocabArtifact(s, docs(s, dir), artDir,
+        rounds = 2, maxPieceLen = 4, topMulti = 150)
+      graft.text.Unigram.vocabFromArtifact(s, artDir)
+    }),
 
-    // Unigram INFERENCE end-to-end: train (as above), then Viterbi-
-    // segment every document through the word cache under the final
-    // piece costs, positional rejoin — the complete SentencePiece-
-    // style pipeline, oracle-replayed train AND apply.
+    // Unigram INFERENCE end-to-end: train (as above, via the shared
+    // vocab artifact), then Viterbi-segment every document through the
+    // word cache under the final piece costs, positional rejoin — the
+    // complete SentencePiece-style pipeline, oracle-replayed train AND
+    // apply.
     "doc_unigram_tokenize" -> ((s, dir) => {
       val d = docs(s, dir)
-      val vocab = graft.text.Unigram.trainVocab(d,
-          rounds = 2, maxPieceLen = 4, topMulti = 150)
-        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      val artDir =
+        s"${System.getProperty("java.io.tmpdir")}/graft_unigram_${dirKey(dir)}"
+      graft.text.Unigram.ensureVocabArtifact(s, d, artDir,
+        rounds = 2, maxPieceLen = 4, topMulti = 150)
+      val vocab = graft.text.Unigram.loadVocabCounts(s, artDir)
       graft.text.Unigram.tokenize(d, vocab)
         .select(col("doc_id"),
           size(col("bpe_tokens")).cast("long").as("n_pieces"),
           md5(concat_ws(" ", col("bpe_tokens"))).as("pieces_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Unigram TOKEN IDS — SentencePiece id conventions (<unk>=0,
+    // <s>=1, </s>=2, trained pieces 3+rank by score order), the
+    // unigram twin of doc_bpe_token_ids: Viterbi AND the hashed
+    // piece->id probe (VocabIdsExpr — O(1) at any vocab size) both run
+    // inside the word cache, OOV fallback chars coalesce to <unk>, and
+    // each document terminates with </s>. The oracle assigns ids by
+    // row_number over the replayed final vocabulary and maps the
+    // segmented pieces through a LEFT JOIN + coalesce(0).
+    "doc_unigram_ids" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val artDir =
+        s"${System.getProperty("java.io.tmpdir")}/graft_unigram_${dirKey(dir)}"
+      graft.text.Unigram.ensureVocabArtifact(s, d, artDir,
+        rounds = 2, maxPieceLen = 4, topMulti = 150)
+      val vocab = graft.text.Unigram.loadVocabCounts(s, artDir)
+      graft.text.Unigram.tokenIds(d, vocab)
+        .select(col("doc_id"),
+          size(col("token_ids")).cast("long").as("n_tokens"),
+          md5(concat_ws(",", col("token_ids"))).as("ids_md5"))
         .orderBy(col("doc_id"))
     }),
 
@@ -3649,6 +3708,7 @@ object SparkEntry {
     "doc_detokenize" -> detokenizeOracleSql(maxIters = 36),
     "corpus_unigram_vocab" -> unigramVocabOracleSql(rounds = 2, maxPieceLen = 4, topMulti = 150),
     "doc_unigram_tokenize" -> unigramTokenizeOracleSql(rounds = 2, maxPieceLen = 4, topMulti = 150),
+    "doc_unigram_ids" -> unigramIdsOracleSql(rounds = 2, maxPieceLen = 4, topMulti = 150),
     "seq_pack_ids" -> seqPackIdsOracleSql(maxIters = 36, budget = 512L, nParts = 8),
 
     // Train→apply: same rounds with the word key carried through, then

@@ -121,6 +121,112 @@ object Unigram {
       .orderBy(col("n_count").desc, col("piece"))
   }
 
+  /** SentencePiece's reserved control ids (the upstream defaults every
+    * exported model carries): `<unk>`=0, `<s>`=1, `</s>`=2; trained
+    * pieces follow from 3 in score order. */
+  val UnkId = 0
+  val BosId = 1
+  val EosId = 2
+
+  /** The id table a trained unigram vocabulary induces — SentencePiece
+    * conventions: specials take ids 0–2 ([[UnkId]]/[[BosId]]/[[EosId]]),
+    * trained pieces get 3 + rank in (count desc, piece) order — the
+    * same deterministic order the artifact persists, enforced here
+    * rather than assumed. The single-char UNK fallback pieces the
+    * Viterbi kernel can emit for out-of-vocabulary characters have no
+    * row: they map to [[UnkId]] at probe time. */
+  def pieceIds(vocabCounts: Seq[(String, Long)]): Seq[(String, Int)] =
+    vocabCounts.sortBy { case (p, n) => (-n, p) }
+      .zipWithIndex.map { case ((p, _), i) => (p, 3 + i) }
+
+  /** Tokenize to TOKEN IDS — the tensor a model consumes, the unigram
+    * twin of [[ByteLevel.tokenIds]]: Viterbi segmentation AND the
+    * hashed piece→id probe ([[org.apache.spark.sql.graft.VectorExpressions.vocabIds]],
+    * O(1) per piece at any vocabulary size) both run INSIDE the word
+    * cache — once per DISTINCT word, never per document token — with
+    * out-of-vocabulary fallback pieces coalesced to [[UnkId]] (the
+    * SentencePiece `<unk>` semantics). Documents join the
+    * (word → id list) cache and flatten positionally; `appendEos`
+    * terminates each document with [[EosId]] (one array append per
+    * DOCUMENT), the separator a packed pretraining corpus carries.
+    * Output: (idCol, token_ids). */
+  def tokenIds(
+      df: DataFrame,
+      vocabCounts: Seq[(String, Long)],
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      maxPieceLen: Int = 4,
+      broadcastVocab: Boolean = true,
+      appendEos: Boolean = true): DataFrame = {
+    val ids = pieceIds(vocabCounts)
+    val vocab = df
+      .select(explode(TextAnalysis.tokens(col(textCol))).as("word"))
+      .filter(length(col("word")) > 0)
+      .distinct()
+      .select(col("word"), transform(
+        VectorExpressions.vocabIds(
+          VectorExpressions.unigramViterbi(
+            split(col("word"), ""), costsFrom(vocabCounts), maxPieceLen, UnkCost),
+          ids),
+        x => coalesce(x, lit(UnkId))).as("syms"))
+    val base = Bpe.joinBackBySubwords(df, vocab, idCol, textCol, broadcastVocab)
+      .withColumnRenamed("bpe_tokens", "token_ids")
+    if (appendEos)
+      base.withColumn("token_ids", concat(col("token_ids"), array(lit(EosId))))
+    else base
+  }
+
+  private val vocabSidecar = "_graft_unigram_sidecar.json"
+
+  /** Idempotently persist the trained piece table at `dir` behind the
+    * fingerprint-sidecar protocol ([[graft.io.Artifact.ensure]]): one
+    * parquet row per piece, (piece, n_count) — the model file a
+    * unigram tokenizer ships (SentencePiece's `.model` enumerates
+    * exactly piece → logprob), built once per (corpus, params) and
+    * probed by every later tokenize run. The same discipline as the
+    * BPE merge artifact ([[Bpe.ensureMergeArtifact]]): fingerprint
+    * covers the corpus text content (count + xor + duplicate-robust
+    * sum of per-row hashes) AND every training parameter, so a stale
+    * model can never be silently reused and an unchanged corpus never
+    * retrains. */
+  def ensureVocabArtifact(
+      spark: org.apache.spark.sql.SparkSession,
+      df: DataFrame,
+      dir: String,
+      textCol: String = "text",
+      rounds: Int = 2,
+      maxPieceLen: Int = 4,
+      topMulti: Int = 150): Unit = {
+    val (nRows, dataHash, hashSum) =
+      graft.io.Artifact.hashAgg(df, xxhash64(col(textCol)))
+    graft.io.Artifact.ensure(dir, vocabSidecar,
+      graft.io.Artifact.fingerprintJson(nRows, dataHash,
+        "hsum" -> hashSum,
+        "textCol" -> textCol, "rounds" -> rounds.toString,
+        "maxPieceLen" -> maxPieceLen.toString,
+        "topMulti" -> topMulti.toString)) {
+      trainVocab(df, textCol, rounds, maxPieceLen, topMulti)
+        .repartition(1)
+        .write.mode("overwrite").parquet(s"$dir/data")
+    }
+  }
+
+  /** The persisted piece table in the trainer's output shape:
+    * (piece, n_count) ordered (count desc, piece) — equals
+    * [[trainVocab]] on the same corpus/params (spec-pinned). */
+  def vocabFromArtifact(
+      spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/data")
+      .orderBy(col("n_count").desc, col("piece"))
+
+  /** The persisted artifact as the (piece, count) list [[tokenize]]
+    * consumes. Bounded read: the piece table is driver-bounded by
+    * construction (singles + topMulti). */
+  def loadVocabCounts(
+      spark: org.apache.spark.sql.SparkSession, dir: String): Seq[(String, Long)] =
+    vocabFromArtifact(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+
   /** Tokenize through the word cache: Viterbi once per DISTINCT word
     * under the given piece counts' costs, positional rejoin
     * ([[Bpe.joinBackBySubwords]]). Output: (idCol, bpe_tokens) — the

@@ -104,6 +104,70 @@ class UnigramSpec extends AnyFunSuite {
     assert(toks.replace(" ", "") == "fastscanfastscanjoin")
   }
 
+  test("token ids: SentencePiece conventions — unk=0, pieces 3+rank, </s> appended") {
+    val df = Seq((1L, "scan merge zzz"), (2L, "merge scan")).toDF("doc_id", "text")
+    val vocab = Unigram.trainVocab(df, rounds = 2, maxPieceLen = 4, topMulti = 20)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    // id table: 3 + rank in (count desc, piece) order, defensively re-sorted
+    val ids = Unigram.pieceIds(vocab).toMap
+    assert(Unigram.pieceIds(vocab).map(_._2) == (3 until 3 + vocab.size))
+    assert(Unigram.pieceIds(scala.util.Random.shuffle(vocab)) == Unigram.pieceIds(vocab),
+      "id assignment must not depend on input order")
+    // tokenIds == tokenize mapped through the id table + EOS, per doc
+    val toks = Unigram.tokenize(df, vocab)
+      .select("doc_id", "bpe_tokens").as[(Long, Seq[String])].collect().toMap
+    val got = Unigram.tokenIds(df, vocab)
+      .select("doc_id", "token_ids").as[(Long, Seq[Int])].collect().toMap
+    assert(got.keySet == toks.keySet)
+    toks.foreach { case (d, ps) =>
+      val expect = ps.map(p => ids.getOrElse(p, Unigram.UnkId)) :+ Unigram.EosId
+      assert(got(d) == expect, s"doc $d: ${got(d)} vs $expect")
+      assert(got(d).last == Unigram.EosId)
+    }
+    // a document containing only characters the vocab never saw:
+    // every char either falls back to <unk>=0 or is a trained single
+    val oov = Unigram.tokenIds(Seq((9L, "qqq")).toDF("doc_id", "text"), vocab)
+      .select("token_ids").as[Seq[Int]].head()
+    assert(oov == Seq(Unigram.UnkId, Unigram.UnkId, Unigram.UnkId, Unigram.EosId),
+      s"OOV chars must map to <unk>: $oov")
+    // appendEos=false drops exactly the terminator
+    val noEos = Unigram.tokenIds(df, vocab, appendEos = false)
+      .select("doc_id", "token_ids").as[(Long, Seq[Int])].collect().toMap
+    got.foreach { case (d, v) => assert(noEos(d) == v.dropRight(1)) }
+  }
+
+  test("vocab artifact: equals the live trainer, reuses, and invalidates on params") {
+    val df = Seq.tabulate(30)(i => (i.toLong, "pack merge pack merge scan"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("unigram_art").toString
+    Unigram.ensureVocabArtifact(spark, df, dir, rounds = 2, maxPieceLen = 4, topMulti = 20)
+    val live = Unigram.trainVocab(df, rounds = 2, maxPieceLen = 4, topMulti = 20)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val art = Unigram.vocabFromArtifact(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(art == live, "artifact read must equal the live trainer")
+    assert(Unigram.loadVocabCounts(spark, dir) == live)
+    // unchanged corpus+params: no rewrite
+    val f1 = new java.io.File(s"$dir/data").listFiles()
+      .map(f => f.getName -> f.lastModified).toMap
+    Unigram.ensureVocabArtifact(spark, df, dir, rounds = 2, maxPieceLen = 4, topMulti = 20)
+    val f2 = new java.io.File(s"$dir/data").listFiles()
+      .map(f => f.getName -> f.lastModified).toMap
+    assert(f2 == f1, "unchanged corpus+params must not retrain")
+    // changed topMulti: different artifact → rebuild
+    Unigram.ensureVocabArtifact(spark, df, dir, rounds = 2, maxPieceLen = 4, topMulti = 5)
+    val rebuilt = Unigram.loadVocabCounts(spark, dir)
+    val live5 = Unigram.trainVocab(df, rounds = 2, maxPieceLen = 4, topMulti = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(rebuilt == live5, "changed params must rebuild the artifact")
+    // tokenize through the artifact equals tokenize through the live vocab
+    val viaArt = Unigram.tokenize(df, rebuilt)
+      .select(concat_ws(" ", col("bpe_tokens"))).head().getString(0)
+    val viaLive = Unigram.tokenize(df, live5)
+      .select(concat_ws(" ", col("bpe_tokens"))).head().getString(0)
+    assert(viaArt == viaLive)
+  }
+
   test("oracle unroll bound covers the corpus: no word longer than 12 chars") {
     val maxLen = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select(explode(TextAnalysis.tokens(col("text"))).as("word"))
