@@ -379,6 +379,11 @@ object ScaleProbe {
         f"in ${(System.nanoTime() - t0) / 1e9}%.2f s")
       time(s"unigram tokenize (${vocab.size} pieces)")(noop(
         graft.text.Unigram.tokenize(dv, vocab)))
+      // id emission must cost the same word-cache pass + join — the
+      // hashed piece->id probe adds O(1) per piece, nothing
+      // vocab-proportional
+      time(s"unigram tokenIds (${vocab.size} pieces)")(noop(
+        graft.text.Unigram.tokenIds(dv, vocab)))
     }
 
     // z-order layout stats: raw rows grow with the factor, but the

@@ -501,9 +501,10 @@ object SparkEntry {
     * least/CASE over the carried dp list, ties to the smallest j =
     * longest piece via the c4-first CASE order) -> unrolled backtrack
     * columns p1..pU -> pieces sliced and ''-filtered. */
-  private def unigramSegSql(seg: String, vprev: String, maxPieceLen: Int): String = {
+  private def unigramSegSql(seg: String, vprev: String, maxPieceLen: Int,
+      wordsCte: String = "uw", unroll: Int = UnigramUnroll): String = {
     require(maxPieceLen == 4, "the unrolled 4-slot edge pivot is written for maxPieceLen = 4")
-    val U = UnigramUnroll
+    val U = unroll
     def ak(k: Int) = s"(w.d[-$k].c + e.c$k)"
     val best = s"least(${ak(4)}, ${ak(3)}, ${ak(2)}, ${ak(1)})"
     val dpLayers = (1 to U).map { i =>
@@ -530,7 +531,7 @@ object SparkEntry {
        |  SELECT w.word, w.cnt, length(w.word) AS n, ui.i AS i, uk.k AS k,
        |    CASE WHEN uk.k <= ui.i
        |      THEN substring(w.word, CAST(ui.i - uk.k + 1 AS INT), CAST(uk.k AS INT)) END AS piece
-       |  FROM uw w,
+       |  FROM $wordsCte w,
        |       unnest(range(1, length(w.word) + 1)) AS ui(i),
        |       unnest(range(1, $maxPieceLen + 1)) AS uk(k)),
        |${seg}_edge AS (
@@ -639,6 +640,65 @@ object SparkEntry {
     * UTF-8-encoding each code point IN SQL (the encoding arithmetic
     * stated as a CASE over the code point — no blob support needed)
     * and mapping every byte through the map. */
+  /** Byte-fallback oracle — train on `documents`, apply to the
+    * EXTENDED corpus (whose fixture rows carry characters the training
+    * corpus never saw — exactly when the fallback fires): the final
+    * vocabulary's costs segment the extended word table (unroll 36 ≥
+    * the 34-char fixture word), pieces found in the vocabulary map to
+    * 259+rank, misses (always single OOV characters) expand to their
+    * UTF-8 bytes at 3+byte, `</s>`=2 per document. */
+  private def unigramByteFallbackOracleSql(rounds: Int, maxPieceLen: Int, topMulti: Int): String =
+    s"""WITH ${unigramTrainCtes(rounds, maxPieceLen, topMulti)},
+       |ext AS ($extDocsSqlCte),
+       |xt AS (SELECT doc_id, $ToksSql AS toks FROM ext),
+       |xw AS MATERIALIZED (SELECT word, count(*) AS cnt
+       |  FROM (SELECT unnest(toks) AS word FROM xt)
+       |  WHERE len(word) > 0 GROUP BY 1),
+       |${unigramSegSql("usegX", s"v$rounds", maxPieceLen, wordsCte = "xw", unroll = 36)},
+       |vid AS (SELECT piece,
+       |          CAST(${graft.text.Unigram.ByteBase + graft.text.Unigram.BytePieces - 1}
+       |               + row_number() OVER (ORDER BY n DESC, piece) AS INT) AS id
+       |        FROM v$rounds),
+       |wj AS (SELECT w.word, w.i, w.piece, v.id
+       |       FROM (SELECT s.word, u.i AS i, s.ps[u.i] AS piece
+       |             FROM usegX s, unnest(range(1, len(s.ps) + 1)) AS u(i)) w
+       |       LEFT JOIN vid v ON v.piece = w.piece),
+       |fb AS (SELECT word, i,
+       |          flatten(list(list_transform($Utf8OfCpSql,
+       |                         b -> CAST(${graft.text.Unigram.ByteBase} + b AS INT))
+       |                       ORDER BY j)) AS ids
+       |        FROM (SELECT word, i, u.j AS j,
+       |                unicode(substring(piece, CAST(u.j AS INT), 1)) AS cp
+       |              FROM wj, unnest(range(1, length(piece) + 1)) AS u(j)
+       |              WHERE id IS NULL)
+       |        GROUP BY word, i),
+       |parts AS (SELECT word, i, [id] AS ids FROM wj WHERE id IS NOT NULL
+       |          UNION ALL SELECT word, i, ids FROM fb),
+       |wid AS (SELECT word, flatten(list(ids ORDER BY i)) AS ids FROM parts GROUP BY word),
+       |xpos AS (SELECT doc_id, u.i AS pos, toks[u.i] AS word
+       |         FROM xt, unnest(range(1, len(toks) + 1)) AS u(i)),
+       |xagg AS (SELECT p.doc_id,
+       |           list_append(flatten(list(w.ids ORDER BY p.pos)), ${graft.text.Unigram.EosId}) AS ids
+       |         FROM xpos p JOIN wid w ON w.word = p.word
+       |         GROUP BY p.doc_id)
+       |SELECT x.doc_id, CAST(len(a.ids) AS BIGINT) AS n_tokens,
+       |       CAST(len(list_filter(a.ids,
+       |         y -> y >= ${graft.text.Unigram.ByteBase}
+       |          AND y <= ${graft.text.Unigram.ByteBase + graft.text.Unigram.BytePieces - 1})) AS BIGINT)
+       |         AS n_fallback,
+       |       md5(array_to_string(a.ids, ',')) AS ids_md5
+       |FROM xt x JOIN xagg a USING (doc_id) ORDER BY x.doc_id""".stripMargin
+
+  /** UTF-8 encoding of code point `cp` as an INT list, stated as SQL
+    * arithmetic (surrogates cannot occur in valid strings; the 4-byte
+    * plane covers the rest) — shared by every oracle that re-derives
+    * bytes from text in DuckDB. */
+  private val Utf8OfCpSql =
+    """CASE WHEN cp < 128 THEN [cp]
+      |     WHEN cp < 2048 THEN [192 + cp // 64, 128 + cp % 64]
+      |     WHEN cp < 65536 THEN [224 + cp // 4096, 128 + (cp // 64) % 64, 128 + cp % 64]
+      |     ELSE [240 + cp // 262144, 128 + (cp // 4096) % 64, 128 + (cp // 64) % 64, 128 + cp % 64] END""".stripMargin
+
   private def byteLevelW0Sql: String = byteLevelW0Sql(carryWord = false)
 
   private def byteLevelW0Sql(carryWord: Boolean): String = {
@@ -646,11 +706,7 @@ object SparkEntry {
     val wordSel = if (carryWord) "tok AS word, " else ""
     // UTF-8 encoding of code point cp as an INT list (surrogates cannot
     // occur in valid strings; 4-byte plane covers the rest)
-    val utf8 =
-      """CASE WHEN cp < 128 THEN [cp]
-        |     WHEN cp < 2048 THEN [192 + cp // 64, 128 + cp % 64]
-        |     WHEN cp < 65536 THEN [224 + cp // 4096, 128 + (cp // 64) % 64, 128 + cp % 64]
-        |     ELSE [240 + cp // 262144, 128 + (cp // 4096) % 64, 128 + (cp // 64) % 64, 128 + cp % 64] END""".stripMargin
+    val utf8 = Utf8OfCpSql
     s"""ext AS ($extDocsSqlCte),
        |bmap AS MATERIALIZED (SELECT map(list(b ORDER BY b), list(s ORDER BY b)) AS m
        |        FROM (VALUES ${graft.text.ByteLevel.byteMapValuesSql}) AS t(b, s)),
@@ -753,11 +809,7 @@ object SparkEntry {
     * UTF-8 byte finds a row in the byte map), char-level coverage via
     * the normalized token alphabet. */
   private def byteLevelCoverageOracleSql: String = {
-    val utf8 =
-      """CASE WHEN cp < 128 THEN [cp]
-        |     WHEN cp < 2048 THEN [192 + cp // 64, 128 + cp % 64]
-        |     WHEN cp < 65536 THEN [224 + cp // 4096, 128 + (cp // 64) % 64, 128 + cp % 64]
-        |     ELSE [240 + cp // 262144, 128 + (cp // 4096) % 64, 128 + (cp // 64) % 64, 128 + cp % 64] END""".stripMargin
+    val utf8 = Utf8OfCpSql
     s"""WITH ext AS ($extDocsSqlCte),
        |bmap AS MATERIALIZED (SELECT map(list(b ORDER BY b), list(s ORDER BY b)) AS m
        |        FROM (VALUES ${graft.text.ByteLevel.byteMapValuesSql}) AS t(b, s)),
@@ -1499,6 +1551,34 @@ object SparkEntry {
       graft.text.Unigram.tokenIds(d, vocab)
         .select(col("doc_id"),
           size(col("token_ids")).cast("long").as("n_tokens"),
+          md5(concat_ws(",", col("token_ids"))).as("ids_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // BYTE FALLBACK (SentencePiece --byte_fallback, the Llama-family
+    // convention): train on `documents`, apply to the EXTENDED corpus
+    // — whose fixture rows carry accents/CJK/emoji the training corpus
+    // never saw, exactly when the fallback fires. An OOV character
+    // expands to its UTF-8 bytes as <0xXX> pieces (ids 3..258; trained
+    // pieces 259+rank) instead of collapsing to <unk>, so
+    // segmentation-by-ids stays TOTAL over arbitrary new text.
+    // n_fallback counts the byte-piece ids — the observable proving
+    // the fallback actually fired. Viterbi + the hashed
+    // probe-or-expand kernel run once per DISTINCT word.
+    "doc_unigram_byte_fallback" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val artDir =
+        s"${System.getProperty("java.io.tmpdir")}/graft_unigram_${dirKey(dir)}"
+      graft.text.Unigram.ensureVocabArtifact(s, d, artDir,
+        rounds = 2, maxPieceLen = 4, topMulti = 150)
+      val vocab = graft.text.Unigram.loadVocabCounts(s, artDir)
+      val lo = graft.text.Unigram.ByteBase
+      val hi = lo + graft.text.Unigram.BytePieces - 1
+      graft.text.Unigram.tokenIdsByteFallback(extDocs(s, dir), vocab)
+        .select(col("doc_id"),
+          size(col("token_ids")).cast("long").as("n_tokens"),
+          size(filter(col("token_ids"),
+            x => x.between(lit(lo), lit(hi)))).cast("long").as("n_fallback"),
           md5(concat_ws(",", col("token_ids"))).as("ids_md5"))
         .orderBy(col("doc_id"))
     }),
@@ -3709,6 +3789,7 @@ object SparkEntry {
     "corpus_unigram_vocab" -> unigramVocabOracleSql(rounds = 2, maxPieceLen = 4, topMulti = 150),
     "doc_unigram_tokenize" -> unigramTokenizeOracleSql(rounds = 2, maxPieceLen = 4, topMulti = 150),
     "doc_unigram_ids" -> unigramIdsOracleSql(rounds = 2, maxPieceLen = 4, topMulti = 150),
+    "doc_unigram_byte_fallback" -> unigramByteFallbackOracleSql(rounds = 2, maxPieceLen = 4, topMulti = 150),
     "seq_pack_ids" -> seqPackIdsOracleSql(maxIters = 36, budget = 512L, nParts = 8),
 
     // Train→apply: same rounds with the word key carried through, then

@@ -176,6 +176,52 @@ object Unigram {
     else base
   }
 
+  /** Byte-fallback id layout (SentencePiece `--byte_fallback`, the
+    * Llama-family convention): after the three control ids, the 256
+    * byte pieces `<0x00>`..`<0xFF>` occupy ids 3..258; trained pieces
+    * follow from 259 in score order. */
+  val ByteBase = 3
+  val BytePieces = 256
+
+  /** The byte-fallback id table: trained pieces at 259 + rank. */
+  def pieceIdsByteFallback(vocabCounts: Seq[(String, Long)]): Seq[(String, Int)] =
+    vocabCounts.sortBy { case (p, n) => (-n, p) }
+      .zipWithIndex.map { case ((p, _), i) => (p, ByteBase + BytePieces + i) }
+
+  /** Tokenize to ids with BYTE FALLBACK — segmentation-by-ids made
+    * TOTAL over arbitrary text: a character the training corpus never
+    * saw does not collapse to `<unk>` (which loses the text); it
+    * expands to its UTF-8 bytes as `<0xXX>` pieces, ids 3..258 — the
+    * SentencePiece `--byte_fallback` behavior the Llama tokenizers
+    * ship. This is the apply-to-NEW-text path: `df` may contain
+    * characters `vocabCounts`' corpus never saw, which is exactly when
+    * the fallback fires. Viterbi + the hashed probe-or-expand
+    * ([[org.apache.spark.sql.graft.ByteFallbackIdsExpr]]) run inside
+    * the word cache, once per DISTINCT word. */
+  def tokenIdsByteFallback(
+      df: DataFrame,
+      vocabCounts: Seq[(String, Long)],
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      maxPieceLen: Int = 4,
+      broadcastVocab: Boolean = true,
+      appendEos: Boolean = true): DataFrame = {
+    val ids = pieceIdsByteFallback(vocabCounts)
+    val vocab = df
+      .select(explode(TextAnalysis.tokens(col(textCol))).as("word"))
+      .filter(length(col("word")) > 0)
+      .distinct()
+      .select(col("word"), VectorExpressions.byteFallbackIds(
+        VectorExpressions.unigramViterbi(
+          split(col("word"), ""), costsFrom(vocabCounts), maxPieceLen, UnkCost),
+        ids, ByteBase).as("syms"))
+    val base = Bpe.joinBackBySubwords(df, vocab, idCol, textCol, broadcastVocab)
+      .withColumnRenamed("bpe_tokens", "token_ids")
+    if (appendEos)
+      base.withColumn("token_ids", concat(col("token_ids"), array(lit(EosId))))
+    else base
+  }
+
   private val vocabSidecar = "_graft_unigram_sidecar.json"
 
   /** Idempotently persist the trained piece table at `dir` behind the

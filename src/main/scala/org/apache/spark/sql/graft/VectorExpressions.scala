@@ -603,6 +603,69 @@ case class VocabIdsExpr(child: Expression, vocab: Seq[(String, Int)])
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Piece -> id mapping WITH BYTE FALLBACK — SentencePiece's
+  * `--byte_fallback` semantics (the Llama-family tokenizer
+  * convention): a piece found in the vocabulary emits its id (one
+  * hashed O(1) probe, the [[VocabIdsExpr]] device); a piece absent
+  * from it — by the Viterbi kernel's construction always a single
+  * out-of-vocabulary character — expands to its UTF-8 bytes, one
+  * `<0xXX>` id per byte at `byteBase + byteValue`. Every input
+  * therefore maps to at least one id and the output carries no nulls:
+  * segmentation-by-ids is TOTAL over arbitrary text, the property the
+  * fallback exists for. Output positions flatten in piece order. */
+case class ByteFallbackIdsExpr(child: Expression, vocab: Seq[(String, Int)],
+    byteBase: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(vocab.nonEmpty, "empty vocabulary")
+  require(vocab.map(_._1).distinct.length == vocab.length,
+    "duplicate symbol in vocabulary — ids would be ambiguous")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "byte_fallback_ids"
+
+  @transient private lazy val ids: java.util.HashMap[org.apache.spark.unsafe.types.UTF8String, Integer] = {
+    val m = new java.util.HashMap[org.apache.spark.unsafe.types.UTF8String, Integer](vocab.size * 2)
+    vocab.foreach { case (s, i) =>
+      m.put(org.apache.spark.unsafe.types.UTF8String.fromString(s), Integer.valueOf(i))
+    }
+    m
+  }
+
+  def idsIn(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    val out = new scala.collection.mutable.ArrayBuffer[Any](n + 4)
+    var i = 0
+    while (i < n) {
+      val s = arr.getUTF8String(i)
+      val id = ids.get(s)
+      if (id != null) out += id
+      else {
+        // UTF8String already holds the UTF-8 bytes — no re-encode
+        val bs = s.getBytes
+        var j = 0
+        while (j < bs.length) {
+          out += Integer.valueOf(byteBase + (bs(j) & 0xff))
+          j += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override protected def nullSafeEval(a: Any): Any = idsIn(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("byteFallbackIdsMapper", this, classOf[ByteFallbackIdsExpr].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.idsIn($a);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Codegen Bloom-filter membership probe over a string column — the
   * map-side prefilter of the bloom-accelerated decontamination path.
   * The sketch rides inside the expression as a reference object (task
@@ -1391,6 +1454,12 @@ object VectorExpressions {
   /** Codegen hashed subword->id mapping (see [[VocabIdsExpr]]). */
   def vocabIds(syms: Column, vocab: Seq[(String, Int)]): Column =
     ExpressionUtils.column(VocabIdsExpr(ExpressionUtils.expression(syms), vocab))
+
+  /** Codegen hashed piece->id mapping with SentencePiece byte fallback
+    * (see [[ByteFallbackIdsExpr]]). */
+  def byteFallbackIds(syms: Column, vocab: Seq[(String, Int)], byteBase: Int): Column =
+    ExpressionUtils.column(
+      ByteFallbackIdsExpr(ExpressionUtils.expression(syms), vocab, byteBase))
 
   /** Codegen Bloom membership probe (see [[BloomProbeExpr]]). */
   def bloomProbe(s: Column, bloom: org.apache.spark.util.sketch.BloomFilter): Column =

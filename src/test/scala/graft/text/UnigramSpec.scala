@@ -136,6 +136,36 @@ class UnigramSpec extends AnyFunSuite {
     got.foreach { case (d, v) => assert(noEos(d) == v.dropRight(1)) }
   }
 
+  test("byte fallback: OOV chars expand to UTF-8 byte ids, never <unk>; in-vocab pieces unchanged") {
+    val train = Seq((1L, "scan merge scan merge")).toDF("doc_id", "text")
+    val vocab = Unigram.trainVocab(train, rounds = 2, maxPieceLen = 4, topMulti = 20)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val ids = Unigram.pieceIdsByteFallback(vocab).toMap
+    // trained pieces sit after the 256 byte pieces
+    assert(Unigram.pieceIdsByteFallback(vocab).map(_._2) ==
+      (Unigram.ByteBase + Unigram.BytePieces until
+       Unigram.ByteBase + Unigram.BytePieces + vocab.size))
+    // apply to NEW text with chars the training corpus never saw:
+    // ASCII 'q' (1 byte), 'é' (2 bytes), '你' (3 bytes), emoji (4 bytes)
+    val apply = Seq((1L, "scan qé 你 🌍")).toDF("doc_id", "text")
+    val got = Unigram.tokenIdsByteFallback(apply, vocab)
+      .select("token_ids").as[Seq[Int]].head()
+    def bytes(s: String): Seq[Int] =
+      s.getBytes("UTF-8").map(b => Unigram.ByteBase + (b & 0xff)).toSeq
+    // 'scan' segments fully in-vocab (trained on it); the OOV words
+    // expand per char — every id in [3, 258], 1/2/3/4 bytes resp.
+    val scanIds = Unigram.tokenize(apply, vocab)
+      .select("bpe_tokens").as[Seq[String]].head()
+      .takeWhile(p => ids.contains(p)).map(ids)
+    assert(got.startsWith(scanIds) && scanIds.nonEmpty)
+    assert(got.endsWith(bytes("qé") ++ bytes("你") ++ bytes("🌍") :+ Unigram.EosId),
+      s"OOV must byte-expand: $got")
+    assert(bytes("🌍").size == 4 && bytes("你").size == 3 && bytes("qé").size == 3)
+    // totality: no <unk>, no nulls — every id in a defined range
+    assert(got.forall(i => i == Unigram.EosId ||
+      (i >= Unigram.ByteBase && i < Unigram.ByteBase + Unigram.BytePieces + vocab.size)))
+  }
+
   test("vocab artifact: equals the live trainer, reuses, and invalidates on params") {
     val df = Seq.tabulate(30)(i => (i.toLong, "pack merge pack merge scan"))
       .toDF("doc_id", "text")
