@@ -565,14 +565,16 @@ object SparkEntry {
     * `rounds` Viterbi-EM rounds (per-word segmentation under the
     * previous counts' quantized costs -> new weighted counts) —
     * `Unigram.trainVocab` replayed. */
-  private def unigramTrainCtes(rounds: Int, maxPieceLen: Int, topMulti: Int): String = {
+  private def unigramTrainCtes(rounds: Int, maxPieceLen: Int, topMulti: Int,
+      marker: Boolean = false): String = {
+    val mk = if (marker) s"'${graft.text.Unigram.SpMarker}' || " else ""
     val roundCtes = (1 to rounds).map { r =>
       s"""${unigramSegSql(s"useg$r", s"v${r - 1}", maxPieceLen)},
          |v$r AS MATERIALIZED (SELECT piece, sum(cnt) AS n
          |  FROM (SELECT cnt, unnest(ps) AS piece FROM useg$r) GROUP BY 1)""".stripMargin
     }.mkString(",\n")
     s"""t AS (SELECT doc_id, $ToksSql AS toks FROM documents),
-       |uw AS MATERIALIZED (SELECT word, count(*) AS cnt
+       |uw AS MATERIALIZED (SELECT ${mk}word AS word, count(*) AS cnt
        |  FROM (SELECT unnest(toks) AS word FROM t)
        |  WHERE len(word) > 0 GROUP BY 1),
        |usub AS (SELECT substring(word, CAST(ui.i AS INT), CAST(ul.l AS INT)) AS piece, sum(cnt) AS n
@@ -647,11 +649,19 @@ object SparkEntry {
     * the 34-char fixture word), pieces found in the vocabulary map to
     * 259+rank, misses (always single OOV characters) expand to their
     * UTF-8 bytes at 3+byte, `</s>`=2 per document. */
-  private def unigramByteFallbackOracleSql(rounds: Int, maxPieceLen: Int, topMulti: Int): String =
-    s"""WITH ${unigramTrainCtes(rounds, maxPieceLen, topMulti)},
+  /** The byte-fallback APPLY chain shared by the ids and detokenize
+    * oracles: train on `documents` (optionally ▁-marked), segment the
+    * EXTENDED corpus's word table under the final costs (unroll 36 ≥
+    * the longest marked fixture word), map pieces to 259+rank ids,
+    * expand misses to UTF-8 byte ids, flatten per document + `</s>` —
+    * ends at `xagg(doc_id, ids)` with `xt` still in scope. */
+  private def unigramApplyIdsCtes(rounds: Int, maxPieceLen: Int, topMulti: Int,
+      marker: Boolean): String = {
+    val mk = if (marker) s"'${graft.text.Unigram.SpMarker}' || " else ""
+    s"""${unigramTrainCtes(rounds, maxPieceLen, topMulti, marker)},
        |ext AS ($extDocsSqlCte),
        |xt AS (SELECT doc_id, $ToksSql AS toks FROM ext),
-       |xw AS MATERIALIZED (SELECT word, count(*) AS cnt
+       |xw AS MATERIALIZED (SELECT ${mk}word AS word, count(*) AS cnt
        |  FROM (SELECT unnest(toks) AS word FROM xt)
        |  WHERE len(word) > 0 GROUP BY 1),
        |${unigramSegSql("usegX", s"v$rounds", maxPieceLen, wordsCte = "xw", unroll = 36)},
@@ -675,12 +685,16 @@ object SparkEntry {
        |parts AS (SELECT word, i, [id] AS ids FROM wj WHERE id IS NOT NULL
        |          UNION ALL SELECT word, i, ids FROM fb),
        |wid AS (SELECT word, flatten(list(ids ORDER BY i)) AS ids FROM parts GROUP BY word),
-       |xpos AS (SELECT doc_id, u.i AS pos, toks[u.i] AS word
+       |xpos AS (SELECT doc_id, u.i AS pos, ${mk}toks[u.i] AS word
        |         FROM xt, unnest(range(1, len(toks) + 1)) AS u(i)),
        |xagg AS (SELECT p.doc_id,
        |           list_append(flatten(list(w.ids ORDER BY p.pos)), ${graft.text.Unigram.EosId}) AS ids
        |         FROM xpos p JOIN wid w ON w.word = p.word
-       |         GROUP BY p.doc_id)
+       |         GROUP BY p.doc_id)""".stripMargin
+  }
+
+  private def unigramByteFallbackOracleSql(rounds: Int, maxPieceLen: Int, topMulti: Int): String =
+    s"""WITH ${unigramApplyIdsCtes(rounds, maxPieceLen, topMulti, marker = false)}
        |SELECT x.doc_id, CAST(len(a.ids) AS BIGINT) AS n_tokens,
        |       CAST(len(list_filter(a.ids,
        |         y -> y >= ${graft.text.Unigram.ByteBase}
@@ -688,6 +702,30 @@ object SparkEntry {
        |         AS n_fallback,
        |       md5(array_to_string(a.ids, ',')) AS ids_md5
        |FROM xt x JOIN xagg a USING (doc_id) ORDER BY x.doc_id""".stripMargin
+
+  /** Detokenize oracle — the ▁-marked byte-fallback pipeline decoded
+    * back: per id, a trained piece contributes its UTF-8 hex, a byte
+    * piece its raw byte, control ids nothing; the assembled hex
+    * decodes to text, markers become spaces, the dummy-prefix space
+    * trims — compared against the pretokenizer's own normalization of
+    * the original text. */
+  private def unigramDetokenizeOracleSql(rounds: Int, maxPieceLen: Int, topMulti: Int): String =
+    s"""WITH ${unigramApplyIdsCtes(rounds, maxPieceLen, topMulti, marker = true)},
+       |dec AS (SELECT a.doc_id, u.i AS i, a.ids[u.i] AS id
+       |        FROM xagg a, unnest(range(1, len(a.ids) + 1)) AS u(i)),
+       |hexp AS (SELECT d.doc_id, d.i,
+       |           CASE WHEN d.id < ${graft.text.Unigram.ByteBase} THEN ''
+       |                WHEN d.id < ${graft.text.Unigram.ByteBase + graft.text.Unigram.BytePieces}
+       |                  THEN lpad(to_hex(d.id - ${graft.text.Unigram.ByteBase}), 2, '0')
+       |                ELSE hex(encode(v.piece)) END AS hx
+       |         FROM dec d LEFT JOIN vid v ON v.id = d.id),
+       |rt AS (SELECT doc_id,
+       |         ltrim(replace(decode(unhex(string_agg(hx, '' ORDER BY i))),
+       |                       '${graft.text.Unigram.SpMarker}', ' '), ' ') AS text_rt
+       |       FROM hexp GROUP BY doc_id)
+       |SELECT e.doc_id, r.text_rt,
+       |       r.text_rt = $NormSql AS lossless
+       |FROM ext e JOIN rt r USING (doc_id) ORDER BY e.doc_id""".stripMargin
 
   /** UTF-8 encoding of code point `cp` as an INT list, stated as SQL
     * arithmetic (surrogates cannot occur in valid strings; the 4-byte
@@ -1580,6 +1618,32 @@ object SparkEntry {
           size(filter(col("token_ids"),
             x => x.between(lit(lo), lit(hi)))).cast("long").as("n_fallback"),
           md5(concat_ws(",", col("token_ids"))).as("ids_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // The unigram ROUND-TRIP under the driver's hash gate — the full
+    // production SentencePiece shape: ▁-marked training (the
+    // add_dummy_prefix/whitespace-escape convention shipped models
+    // use) + byte fallback, applied to the extended corpus, DECODED
+    // back in one codegen kernel (pieces/bytes assemble, control ids
+    // drop, markers become spaces) and compared against the
+    // pretokenizer's own normalization of the original text —
+    // `lossless` is the observable; exotic byte-fallback chars
+    // included. A regression in EITHER direction of the ▁ pipeline is
+    // a hash mismatch here.
+    "doc_unigram_detokenize" -> ((s, dir) => {
+      val x = extDocs(s, dir)
+      val artDir =
+        s"${System.getProperty("java.io.tmpdir")}/graft_unigram_sp_${dirKey(dir)}"
+      graft.text.Unigram.ensureVocabArtifact(s, docs(s, dir), artDir,
+        rounds = 2, maxPieceLen = 4, topMulti = 150, marker = true)
+      val vocab = graft.text.Unigram.loadVocabCounts(s, artDir)
+      val ids = graft.text.Unigram.tokenIdsByteFallback(x, vocab, marker = true)
+      graft.text.Unigram.detokenize(ids, vocab)
+        .join(x, "doc_id")
+        .select(col("doc_id"), col("text_rt"),
+          (col("text_rt") === graft.text.TextAnalysis.normalizeText(col("text")))
+            .as("lossless"))
         .orderBy(col("doc_id"))
     }),
 
@@ -3790,6 +3854,7 @@ object SparkEntry {
     "doc_unigram_tokenize" -> unigramTokenizeOracleSql(rounds = 2, maxPieceLen = 4, topMulti = 150),
     "doc_unigram_ids" -> unigramIdsOracleSql(rounds = 2, maxPieceLen = 4, topMulti = 150),
     "doc_unigram_byte_fallback" -> unigramByteFallbackOracleSql(rounds = 2, maxPieceLen = 4, topMulti = 150),
+    "doc_unigram_detokenize" -> unigramDetokenizeOracleSql(rounds = 2, maxPieceLen = 4, topMulti = 150),
     "seq_pack_ids" -> seqPackIdsOracleSql(maxIters = 36, budget = 512L, nParts = 8),
 
     // Train→apply: same rounds with the word key carried through, then

@@ -42,6 +42,14 @@ object Unigram {
     * preferred, small enough that sums never approach overflow. */
   val UnkCost = 100000000L
 
+  /** SentencePiece's word-boundary marker U+2581 (LOWER ONE EIGHTH
+    * BLOCK): with `marker = true` every word enters training and
+    * segmentation prefixed with it, so the flattened token stream
+    * retains word boundaries and decode can restore spacing — the
+    * upstream `add_dummy_prefix`/whitespace-escape convention every
+    * shipped SentencePiece model uses. */
+  val SpMarker = "\u2581"
+
   /** Cost quantization: −floor(10⁶ · ln(count/total)) as a Long (floor,
     * not round: `floor` has one definition everywhere, while
     * round-half tie rules differ between Java and SQL engines). The
@@ -60,6 +68,13 @@ object Unigram {
     df.select(explode(TextAnalysis.tokens(col(textCol))).as("word"))
       .filter(length(col("word")) > 0)
       .groupBy("word").agg(count(lit(1)).as("cnt"))
+
+  /** Prefix the word table with [[SpMarker]] when `marker` is on —
+    * applied AFTER the corpus-sized aggregation, so marking costs one
+    * narrow map over the vocab-sized word table. */
+  private def markWords(words: DataFrame, marker: Boolean): DataFrame =
+    if (marker) words.withColumn("word", concat(lit(SpMarker), col("word")))
+    else words
 
   /** Seed vocabulary: substring occurrence counts over the word table.
     * All single chars (total coverage of the corpus alphabet) + the
@@ -112,9 +127,10 @@ object Unigram {
       textCol: String = "text",
       rounds: Int = 2,
       maxPieceLen: Int = 4,
-      topMulti: Int = 150): DataFrame = {
+      topMulti: Int = 150,
+      marker: Boolean = false): DataFrame = {
     val spark = df.sparkSession
-    val words = wordCounts(df, textCol).localCheckpoint()
+    val words = markWords(wordCounts(df, textCol), marker).localCheckpoint()
     var vocab = seedVocab(words, maxPieceLen, topMulti)
     for (_ <- 1 to rounds) vocab = emRound(words, vocab, maxPieceLen)
     spark.createDataFrame(vocab).toDF("piece", "n_count")
@@ -139,6 +155,22 @@ object Unigram {
     vocabCounts.sortBy { case (p, n) => (-n, p) }
       .zipWithIndex.map { case ((p, _), i) => (p, 3 + i) }
 
+  /** The shared word cache of the tokenize family: distinct words of
+    * `df`, each carrying `syms(chars)` where `chars` is the word's
+    * character array — prefixed with [[SpMarker]] when `marker` is on
+    * (the DP then runs over the marked string while the JOIN KEY stays
+    * the raw word, so the positional rejoin is marker-agnostic). */
+  private def wordCache(df: DataFrame, textCol: String, marker: Boolean)(
+      syms: Column => Column): DataFrame = {
+    val chars =
+      if (marker) split(concat(lit(SpMarker), col("word")), "")
+      else split(col("word"), "")
+    df.select(explode(TextAnalysis.tokens(col(textCol))).as("word"))
+      .filter(length(col("word")) > 0)
+      .distinct()
+      .select(col("word"), syms(chars).as("syms"))
+  }
+
   /** Tokenize to TOKEN IDS — the tensor a model consumes, the unigram
     * twin of [[ByteLevel.tokenIds]]: Viterbi segmentation AND the
     * hashed piece→id probe ([[org.apache.spark.sql.graft.VectorExpressions.vocabIds]],
@@ -157,18 +189,15 @@ object Unigram {
       textCol: String = "text",
       maxPieceLen: Int = 4,
       broadcastVocab: Boolean = true,
-      appendEos: Boolean = true): DataFrame = {
+      appendEos: Boolean = true,
+      marker: Boolean = false): DataFrame = {
     val ids = pieceIds(vocabCounts)
-    val vocab = df
-      .select(explode(TextAnalysis.tokens(col(textCol))).as("word"))
-      .filter(length(col("word")) > 0)
-      .distinct()
-      .select(col("word"), transform(
-        VectorExpressions.vocabIds(
-          VectorExpressions.unigramViterbi(
-            split(col("word"), ""), costsFrom(vocabCounts), maxPieceLen, UnkCost),
-          ids),
-        x => coalesce(x, lit(UnkId))).as("syms"))
+    val vocab = wordCache(df, textCol, marker)(chars => transform(
+      VectorExpressions.vocabIds(
+        VectorExpressions.unigramViterbi(
+          chars, costsFrom(vocabCounts), maxPieceLen, UnkCost),
+        ids),
+      x => coalesce(x, lit(UnkId))))
     val base = Bpe.joinBackBySubwords(df, vocab, idCol, textCol, broadcastVocab)
       .withColumnRenamed("bpe_tokens", "token_ids")
     if (appendEos)
@@ -205,22 +234,38 @@ object Unigram {
       textCol: String = "text",
       maxPieceLen: Int = 4,
       broadcastVocab: Boolean = true,
-      appendEos: Boolean = true): DataFrame = {
+      appendEos: Boolean = true,
+      marker: Boolean = false): DataFrame = {
     val ids = pieceIdsByteFallback(vocabCounts)
-    val vocab = df
-      .select(explode(TextAnalysis.tokens(col(textCol))).as("word"))
-      .filter(length(col("word")) > 0)
-      .distinct()
-      .select(col("word"), VectorExpressions.byteFallbackIds(
+    val vocab = wordCache(df, textCol, marker)(chars =>
+      VectorExpressions.byteFallbackIds(
         VectorExpressions.unigramViterbi(
-          split(col("word"), ""), costsFrom(vocabCounts), maxPieceLen, UnkCost),
-        ids, ByteBase).as("syms"))
+          chars, costsFrom(vocabCounts), maxPieceLen, UnkCost),
+        ids, ByteBase))
     val base = Bpe.joinBackBySubwords(df, vocab, idCol, textCol, broadcastVocab)
       .withColumnRenamed("bpe_tokens", "token_ids")
     if (appendEos)
       base.withColumn("token_ids", concat(col("token_ids"), array(lit(EosId))))
     else base
   }
+
+  /** Decode [[tokenIdsByteFallback]] output back to text — the reverse
+    * direction of the ▁-marked pipeline: one codegen kernel
+    * ([[org.apache.spark.sql.graft.UnigramDecodeExpr]]) assembles
+    * piece/byte UTF-8 bytes per id (control ids contribute nothing),
+    * then markers become spaces and the leading dummy-prefix space is
+    * trimmed — with `marker = true` tokenization this reproduces the
+    * NORMALIZED text exactly (lower + collapsed whitespace: the
+    * pretokenizer's own normalization), byte-fallback chars included.
+    * Adds `text_rt` next to `idsCol`. */
+  def detokenize(
+      ids: DataFrame,
+      vocabCounts: Seq[(String, Long)],
+      idsCol: String = "token_ids"): DataFrame =
+    ids.withColumn("text_rt", ltrim(translate(
+      VectorExpressions.unigramDecode(col(idsCol),
+        pieceIdsByteFallback(vocabCounts), ByteBase, BytePieces),
+      SpMarker, " ")))
 
   private val vocabSidecar = "_graft_unigram_sidecar.json"
 
@@ -242,7 +287,8 @@ object Unigram {
       textCol: String = "text",
       rounds: Int = 2,
       maxPieceLen: Int = 4,
-      topMulti: Int = 150): Unit = {
+      topMulti: Int = 150,
+      marker: Boolean = false): Unit = {
     val (nRows, dataHash, hashSum) =
       graft.io.Artifact.hashAgg(df, xxhash64(col(textCol)))
     graft.io.Artifact.ensure(dir, vocabSidecar,
@@ -250,8 +296,9 @@ object Unigram {
         "hsum" -> hashSum,
         "textCol" -> textCol, "rounds" -> rounds.toString,
         "maxPieceLen" -> maxPieceLen.toString,
-        "topMulti" -> topMulti.toString)) {
-      trainVocab(df, textCol, rounds, maxPieceLen, topMulti)
+        "topMulti" -> topMulti.toString,
+        "marker" -> marker.toString)) {
+      trainVocab(df, textCol, rounds, maxPieceLen, topMulti, marker)
         .repartition(1)
         .write.mode("overwrite").parquet(s"$dir/data")
     }
@@ -283,13 +330,11 @@ object Unigram {
       idCol: String = "doc_id",
       textCol: String = "text",
       maxPieceLen: Int = 4,
-      broadcastVocab: Boolean = true): DataFrame = {
-    val vocab = df
-      .select(explode(TextAnalysis.tokens(col(textCol))).as("word"))
-      .filter(length(col("word")) > 0)
-      .distinct()
-      .select(col("word"), VectorExpressions.unigramViterbi(
-        split(col("word"), ""), costsFrom(vocabCounts), maxPieceLen, UnkCost).as("syms"))
+      broadcastVocab: Boolean = true,
+      marker: Boolean = false): DataFrame = {
+    val vocab = wordCache(df, textCol, marker)(chars =>
+      VectorExpressions.unigramViterbi(
+        chars, costsFrom(vocabCounts), maxPieceLen, UnkCost))
     Bpe.joinBackBySubwords(df, vocab, idCol, textCol, broadcastVocab)
   }
 }

@@ -666,6 +666,76 @@ case class ByteFallbackIdsExpr(child: Expression, vocab: Seq[(String, Int)],
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Token ids -> text for the UNIGRAM byte-fallback id layout — the
+  * decode direction of the SentencePiece-family tokenizer as one
+  * codegen kernel: a trained-piece id resolves through the reverse
+  * vocabulary to its piece's UTF-8 bytes (PRECOMPUTED at
+  * construction), a byte-piece id `<0xXX>` contributes its raw byte
+  * (`id - byteBase`), and control ids `0..byteBase-1` contribute
+  * nothing (upstream decode drops control tokens). The assembled byte
+  * sequence UTF-8-decodes to the piece stream — with the
+  * [[graft.text.Unigram.SpMarker]] convention the caller then turns
+  * markers into spaces to restore the original spacing. A foreign or
+  * null id yields null (a decode under the wrong vocabulary must be
+  * visibly wrong, not silently partial). */
+case class UnigramDecodeExpr(child: Expression, vocab: Seq[(String, Int)],
+    byteBase: Int, bytePieces: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(vocab.nonEmpty, "empty vocabulary")
+  require(vocab.map(_._2).distinct.length == vocab.length,
+    "duplicate id in vocabulary — decoding would be ambiguous")
+  require(vocab.forall(_._2 >= byteBase + bytePieces),
+    "trained-piece ids must sit above the byte-piece block")
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(org.apache.spark.sql.types.IntegerType))
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "unigram_decode"
+
+  @transient private lazy val bytesById: java.util.HashMap[Integer, Array[Byte]] = {
+    val m = new java.util.HashMap[Integer, Array[Byte]](vocab.size * 2)
+    vocab.foreach { case (piece, id) =>
+      m.put(Integer.valueOf(id), piece.getBytes("UTF-8"))
+    }
+    m
+  }
+
+  def decode(arr: ArrayData): org.apache.spark.unsafe.types.UTF8String = {
+    val n = arr.numElements()
+    val out = new java.io.ByteArrayOutputStream(n * 3)
+    var i = 0
+    while (i < n) {
+      if (arr.isNullAt(i)) return null
+      val id = arr.getInt(i)
+      if (id >= byteBase && id < byteBase + bytePieces) {
+        out.write(id - byteBase)
+      } else if (id >= 0 && id < byteBase) {
+        // control token: contributes no text
+      } else {
+        val b = bytesById.get(Integer.valueOf(id))
+        if (b == null) return null
+        out.write(b, 0, b.length)
+      }
+      i += 1
+    }
+    org.apache.spark.unsafe.types.UTF8String.fromBytes(out.toByteArray)
+  }
+
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(a: Any): Any = decode(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("unigramDecoder", this, classOf[UnigramDecodeExpr].getName)
+    nullSafeCodeGen(ctx, ev, a => s"""
+      ${ev.value} = $ref.decode($a);
+      ${ev.isNull} = (${ev.value} == null);""")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Codegen Bloom-filter membership probe over a string column — the
   * map-side prefilter of the bloom-accelerated decontamination path.
   * The sketch rides inside the expression as a reference object (task
@@ -1460,6 +1530,12 @@ object VectorExpressions {
   def byteFallbackIds(syms: Column, vocab: Seq[(String, Int)], byteBase: Int): Column =
     ExpressionUtils.column(
       ByteFallbackIdsExpr(ExpressionUtils.expression(syms), vocab, byteBase))
+
+  /** Codegen unigram byte-fallback id decode (see [[UnigramDecodeExpr]]). */
+  def unigramDecode(ids: Column, vocab: Seq[(String, Int)],
+      byteBase: Int, bytePieces: Int): Column =
+    ExpressionUtils.column(
+      UnigramDecodeExpr(ExpressionUtils.expression(ids), vocab, byteBase, bytePieces))
 
   /** Codegen Bloom membership probe (see [[BloomProbeExpr]]). */
   def bloomProbe(s: Column, bloom: org.apache.spark.util.sketch.BloomFilter): Column =

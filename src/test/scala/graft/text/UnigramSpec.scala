@@ -166,6 +166,45 @@ class UnigramSpec extends AnyFunSuite {
       (i >= Unigram.ByteBase && i < Unigram.ByteBase + Unigram.BytePieces + vocab.size)))
   }
 
+  test("▁-marked pipeline round-trips: decode(tokenIds(text)) == normalize(text), byte fallback included") {
+    val train = Seq((1L, "Scan merge scan"), (2L, "merge  join   scan")).toDF("doc_id", "text")
+    val vocab = Unigram.trainVocab(train, rounds = 2, maxPieceLen = 4, topMulti = 30, marker = true)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    // every trained piece either starts with the marker or is word-internal
+    assert(vocab.exists(_._1.startsWith(Unigram.SpMarker)),
+      s"marked training must produce ▁-prefixed pieces: $vocab")
+    // apply to NEW text with spacing, case, and chars training never saw
+    val apply = Seq(
+      (1L, "  Scan   MERGE  join "),          // spacing + case normalize
+      (2L, "scan qé 你 🌍 merge"),             // byte fallback mid-document
+      (3L, "supercalifragilistic scan")       // word longer than any piece
+    ).toDF("doc_id", "text")
+    val ids = Unigram.tokenIdsByteFallback(apply, vocab, marker = true)
+    val got = Unigram.detokenize(ids, vocab)
+      .join(apply, "doc_id")
+      .select(col("doc_id"), col("text_rt"),
+        TextAnalysis.normalizeText(col("text")).as("norm"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    got.foreach { case (d, rt, norm) =>
+      assert(rt == norm, s"doc $d: '$rt' != '$norm'")
+    }
+    assert(got.length == 3)
+    // decode pins: control ids contribute nothing; byte ids assemble
+    // multi-byte chars; a foreign id nulls the whole decode
+    val spark2 = spark
+    import spark2.implicits._
+    val pid = Unigram.pieceIdsByteFallback(vocab)
+    def dec(xs: Seq[Int]): Option[String] =
+      Seq(Tuple1(xs)).toDF("ids")
+        .select(org.apache.spark.sql.graft.VectorExpressions.unigramDecode(
+          col("ids"), pid, Unigram.ByteBase, Unigram.BytePieces).as("t"))
+        .collect().headOption.flatMap(r => Option(r.getString(0)))
+    val emoji = "🌍".getBytes("UTF-8").map(b => Unigram.ByteBase + (b & 0xff)).toSeq
+    assert(dec(Seq(Unigram.BosId) ++ emoji ++ Seq(Unigram.EosId)) == Some("🌍"))
+    assert(dec(Seq(pid.map(_._2).max + 1000)) == None, "foreign id must null the decode")
+    assert(dec(pid.headOption.map(_._2).toSeq) == pid.headOption.map(_._1))
+  }
+
   test("vocab artifact: equals the live trainer, reuses, and invalidates on params") {
     val df = Seq.tabulate(30)(i => (i.toLong, "pack merge pack merge scan"))
       .toDF("doc_id", "text")
