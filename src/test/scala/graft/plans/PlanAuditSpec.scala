@@ -349,6 +349,28 @@ class PlanAuditSpec extends AnyFunSuite {
       s"no interpreted eval in the kernel path:\n$plan")
   }
 
+  test("unigram id emission + decode broadcast the word cache and stay codegen kernels") {
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+    val vocab = Seq(("▁th", 50L), ("e", 40L), ("▁a", 30L), ("n", 20L))
+    val ids = graft.text.Unigram.tokenIdsByteFallback(d, vocab, marker = true)
+    val rt = graft.text.Unigram.detokenize(ids, vocab)
+    // formatted mode: the probe-or-expand kernel lives in the word
+    // cache aggregate's RESULT expressions, which node toString elides
+    val plan = rt.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // the Viterbi + probe-or-expand + decode kernels are all present
+    // as native expressions, and the word cache broadcasts into the
+    // positional join — nothing interpreted, nothing vocab-shuffled
+    assert(plan.contains("byte_fallback_ids"), s"fallback kernel missing:\n$plan")
+    assert(plan.contains("unigram_decode"), s"decode kernel missing:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"word-cache side must broadcast into the positional join:\n$plan")
+    assert(!plan.toLowerCase.contains("batchevalpython"),
+      s"no interpreted eval on the unigram path:\n$plan")
+    assert(!plan.contains("ScalaUDF"),
+      s"no ScalaUDF on the unigram path:\n$plan")
+  }
+
   test("delta-aware IVF probe prunes partitions on the BASE and every DELTA scan") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ivf_delta_plan").toString
     val corpus = spark.read.parquet(s"$sfDir/embeddings.parquet")
