@@ -566,26 +566,68 @@ object SparkEntry {
     * previous counts' quantized costs -> new weighted counts) —
     * `Unigram.trainVocab` replayed. */
   private def unigramTrainCtes(rounds: Int, maxPieceLen: Int, topMulti: Int,
-      marker: Boolean = false): String = {
+      marker: Boolean = false, coveragePermyriad: Int = 10000): String = {
     val mk = if (marker) s"'${graft.text.Unigram.SpMarker}' || " else ""
+    val admitUnk = coveragePermyriad == 10000
     val roundCtes = (1 to rounds).map { r =>
+      val agg =
+        s"""SELECT piece, sum(cnt) AS n
+           |  FROM (SELECT cnt, unnest(ps) AS piece FROM useg$r) GROUP BY 1""".stripMargin
+      // under coverage, UNK-fallback emissions may not re-enter the
+      // vocabulary: keep only pieces of the previous round
+      val body = if (admitUnk) agg
+        else s"""SELECT piece, n FROM ($agg)
+                |  WHERE piece IN (SELECT piece FROM v${r - 1})""".stripMargin
       s"""${unigramSegSql(s"useg$r", s"v${r - 1}", maxPieceLen)},
-         |v$r AS MATERIALIZED (SELECT piece, sum(cnt) AS n
-         |  FROM (SELECT cnt, unnest(ps) AS piece FROM useg$r) GROUP BY 1)""".stripMargin
+         |v$r AS MATERIALIZED ($body)""".stripMargin
     }.mkString(",\n")
+    // character coverage: singles kept while the mass accumulated
+    // BEFORE them is short of coverage (integer permyriad arithmetic,
+    // exactly the Scala trainer's walk); multis may not contain an
+    // excluded char, filtered BEFORE the top-K cut
+    val v0Singles = if (admitUnk)
+      "SELECT piece, n FROM usub WHERE length(piece) = 1"
+    else
+      s"""SELECT piece, n FROM (
+         |    SELECT piece, n,
+         |      coalesce(sum(n) OVER (ORDER BY n DESC, piece
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumb,
+         |      sum(n) OVER () AS tot
+         |    FROM usub WHERE length(piece) = 1)
+         |  WHERE cumb * 10000 < $coveragePermyriad * tot""".stripMargin
+    val v0Multis = if (admitUnk)
+      s"""SELECT piece, n FROM (SELECT piece, n FROM usub WHERE length(piece) > 1
+         |                        ORDER BY n DESC, piece LIMIT $topMulti)""".stripMargin
+    else
+      s"""SELECT piece, n FROM (
+         |    SELECT piece, n FROM usub
+         |    WHERE length(piece) > 1 AND piece NOT IN (
+         |      SELECT DISTINCT piece FROM (
+         |        SELECT piece, unnest(string_split(piece, '')) AS ch
+         |        FROM usub WHERE length(piece) > 1)
+         |      WHERE ch NOT IN (SELECT piece FROM v0s))
+         |    ORDER BY n DESC, piece LIMIT $topMulti)""".stripMargin
+    val v0 = if (admitUnk)
+      s"""v0 AS MATERIALIZED (
+         |  $v0Singles
+         |  UNION ALL
+         |  $v0Multis)""".stripMargin
+    else
+      s"""v0s AS MATERIALIZED (
+         |  $v0Singles),
+         |v0 AS MATERIALIZED (
+         |  SELECT piece, n FROM v0s
+         |  UNION ALL
+         |  $v0Multis)""".stripMargin
     s"""t AS (SELECT doc_id, $ToksSql AS toks FROM documents),
        |uw AS MATERIALIZED (SELECT ${mk}word AS word, count(*) AS cnt
        |  FROM (SELECT unnest(toks) AS word FROM t)
        |  WHERE len(word) > 0 GROUP BY 1),
-       |usub AS (SELECT substring(word, CAST(ui.i AS INT), CAST(ul.l AS INT)) AS piece, sum(cnt) AS n
+       |usub AS MATERIALIZED (SELECT substring(word, CAST(ui.i AS INT), CAST(ul.l AS INT)) AS piece, sum(cnt) AS n
        |  FROM uw, unnest(range(1, length(word) + 1)) AS ui(i),
        |       unnest(range(1, least($maxPieceLen, length(word) - ui.i + 1) + 1)) AS ul(l)
        |  GROUP BY 1),
-       |v0 AS MATERIALIZED (
-       |  SELECT piece, n FROM usub WHERE length(piece) = 1
-       |  UNION ALL
-       |  SELECT piece, n FROM (SELECT piece, n FROM usub WHERE length(piece) > 1
-       |                        ORDER BY n DESC, piece LIMIT $topMulti)),
+       |$v0,
        |$roundCtes""".stripMargin
   }
 
@@ -656,11 +698,15 @@ object SparkEntry {
     * expand misses to UTF-8 byte ids, flatten per document + `</s>` —
     * ends at `xagg(doc_id, ids)` with `xt` still in scope. */
   private def unigramApplyIdsCtes(rounds: Int, maxPieceLen: Int, topMulti: Int,
-      marker: Boolean): String = {
+      marker: Boolean, applyToExt: Boolean = true,
+      coveragePermyriad: Int = 10000): String = {
     val mk = if (marker) s"'${graft.text.Unigram.SpMarker}' || " else ""
-    s"""${unigramTrainCtes(rounds, maxPieceLen, topMulti, marker)},
-       |ext AS ($extDocsSqlCte),
-       |xt AS (SELECT doc_id, $ToksSql AS toks FROM ext),
+    val corpus = if (applyToExt)
+      s"""ext AS ($extDocsSqlCte),
+         |xt AS (SELECT doc_id, $ToksSql AS toks FROM ext)""".stripMargin
+    else "xt AS (SELECT doc_id, toks FROM t)"
+    s"""${unigramTrainCtes(rounds, maxPieceLen, topMulti, marker, coveragePermyriad)},
+       |$corpus,
        |xw AS MATERIALIZED (SELECT ${mk}word AS word, count(*) AS cnt
        |  FROM (SELECT unnest(toks) AS word FROM xt)
        |  WHERE len(word) > 0 GROUP BY 1),
@@ -693,15 +739,31 @@ object SparkEntry {
        |         GROUP BY p.doc_id)""".stripMargin
   }
 
-  private def unigramByteFallbackOracleSql(rounds: Int, maxPieceLen: Int, topMulti: Int): String =
-    s"""WITH ${unigramApplyIdsCtes(rounds, maxPieceLen, topMulti, marker = false)}
-       |SELECT x.doc_id, CAST(len(a.ids) AS BIGINT) AS n_tokens,
+  /** The (n_tokens, n_fallback, ids_md5) projection shared by the
+    * byte-fallback and coverage oracles. */
+  private val unigramIdsFinalSelectSql =
+    s"""SELECT x.doc_id, CAST(len(a.ids) AS BIGINT) AS n_tokens,
        |       CAST(len(list_filter(a.ids,
        |         y -> y >= ${graft.text.Unigram.ByteBase}
        |          AND y <= ${graft.text.Unigram.ByteBase + graft.text.Unigram.BytePieces - 1})) AS BIGINT)
        |         AS n_fallback,
        |       md5(array_to_string(a.ids, ',')) AS ids_md5
        |FROM xt x JOIN xagg a USING (doc_id) ORDER BY x.doc_id""".stripMargin
+
+  private def unigramByteFallbackOracleSql(rounds: Int, maxPieceLen: Int, topMulti: Int): String =
+    s"""WITH ${unigramApplyIdsCtes(rounds, maxPieceLen, topMulti, marker = false)}
+       |$unigramIdsFinalSelectSql""".stripMargin
+
+  /** Character-coverage oracle — train on `documents` with the
+    * coverage cut (rare chars excluded from the seed, kept out through
+    * the EM rounds), apply byte-fallback ids to the SAME corpus: the
+    * excluded in-corpus tail now byte-falls-back, which is the whole
+    * point of the knob. */
+  private def unigramCoverageOracleSql(rounds: Int, maxPieceLen: Int, topMulti: Int,
+      coveragePermyriad: Int): String =
+    s"""WITH ${unigramApplyIdsCtes(rounds, maxPieceLen, topMulti, marker = false,
+             applyToExt = false, coveragePermyriad = coveragePermyriad)}
+       |$unigramIdsFinalSelectSql""".stripMargin
 
   /** Detokenize oracle — the ▁-marked byte-fallback pipeline decoded
     * back: per id, a trained piece contributes its UTF-8 hex, a byte
@@ -1613,6 +1675,32 @@ object SparkEntry {
       val lo = graft.text.Unigram.ByteBase
       val hi = lo + graft.text.Unigram.BytePieces - 1
       graft.text.Unigram.tokenIdsByteFallback(extDocs(s, dir), vocab)
+        .select(col("doc_id"),
+          size(col("token_ids")).cast("long").as("n_tokens"),
+          size(filter(col("token_ids"),
+            x => x.between(lit(lo), lit(hi)))).cast("long").as("n_fallback"),
+          md5(concat_ws(",", col("token_ids"))).as("ids_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // CHARACTER COVERAGE (SentencePiece --character_coverage, here an
+    // integer permyriad): train at 98% character mass — the rare tail
+    // of the corpus alphabet is excluded from the seed and KEPT out
+    // through the EM rounds (UNK emissions do not re-enter; multi-char
+    // pieces cannot smuggle an excluded char back in) — then
+    // byte-fallback-tokenize the SAME corpus: the excluded in-corpus
+    // tail now byte-falls-back, which is the point of the knob (vocab
+    // slots go to useful pieces; coverage of the text stays total).
+    "doc_unigram_coverage" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val artDir =
+        s"${System.getProperty("java.io.tmpdir")}/graft_unigram_cov_${dirKey(dir)}"
+      graft.text.Unigram.ensureVocabArtifact(s, d, artDir,
+        rounds = 2, maxPieceLen = 4, topMulti = 150, coveragePermyriad = 9800)
+      val vocab = graft.text.Unigram.loadVocabCounts(s, artDir)
+      val lo = graft.text.Unigram.ByteBase
+      val hi = lo + graft.text.Unigram.BytePieces - 1
+      graft.text.Unigram.tokenIdsByteFallback(d, vocab)
         .select(col("doc_id"),
           size(col("token_ids")).cast("long").as("n_tokens"),
           size(filter(col("token_ids"),
@@ -3855,6 +3943,7 @@ object SparkEntry {
     "doc_unigram_ids" -> unigramIdsOracleSql(rounds = 2, maxPieceLen = 4, topMulti = 150),
     "doc_unigram_byte_fallback" -> unigramByteFallbackOracleSql(rounds = 2, maxPieceLen = 4, topMulti = 150),
     "doc_unigram_detokenize" -> unigramDetokenizeOracleSql(rounds = 2, maxPieceLen = 4, topMulti = 150),
+    "doc_unigram_coverage" -> unigramCoverageOracleSql(rounds = 2, maxPieceLen = 4, topMulti = 150, coveragePermyriad = 9800),
     "seq_pack_ids" -> seqPackIdsOracleSql(maxIters = 36, budget = 512L, nParts = 8),
 
     // Train→apply: same rounds with the word key carried through, then

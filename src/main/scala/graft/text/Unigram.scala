@@ -77,13 +77,17 @@ object Unigram {
     else words
 
   /** Seed vocabulary: substring occurrence counts over the word table.
-    * All single chars (total coverage of the corpus alphabet) + the
-    * top `topMulti` multi-char substrings by (count desc, piece asc).
+    * Single chars up to `coveragePermyriad`/10000 of character mass
+    * (at the default 10000 the whole corpus alphabet) + the top
+    * `topMulti` multi-char substrings by (count desc, piece asc).
     * Bounded driver artifact by construction. */
   def seedVocab(
       words: DataFrame,
       maxPieceLen: Int = 4,
-      topMulti: Int = 150): Seq[(String, Long)] = {
+      topMulti: Int = 150,
+      coveragePermyriad: Int = 10000): Seq[(String, Long)] = {
+    require(coveragePermyriad > 0 && coveragePermyriad <= 10000,
+      "coverage is a permyriad in (0, 10000]")
     val syms = split(col("word"), "")
     // every (start, len) substring window, counted cnt× per occurrence
     val subs = words
@@ -94,12 +98,36 @@ object Unigram {
             sequence(lit(1), least(lit(maxPieceLen), size(col("s")) - i + 1)),
             l => array_join(slice(col("s"), i, l), ""))))).as("piece"))
       .groupBy("piece").agg(sum(col("cnt")).as("n"))
-    val singles = subs.filter(length(col("piece")) === 1)
-    val multis = subs.filter(length(col("piece")) > 1)
-      .orderBy(col("n").desc, col("piece")).limit(topMulti)
-    singles.unionAll(multis)
+    // character coverage (SentencePiece --character_coverage, here an
+    // integer PERMYRIAD so both sides of the oracle compare in exact
+    // Long arithmetic): walk the alphabet by (count desc, piece) and
+    // keep a char while the mass accumulated BEFORE it is still short
+    // of coverage — the most frequent chars that cover the requested
+    // fraction; the excluded tail is what byte fallback exists for.
+    // The alphabet is bounded, so this is driver-side arithmetic.
+    val singlesAll = subs.filter(length(col("piece")) === 1)
       .orderBy(col("n").desc, col("piece"))
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val total = singlesAll.map(_._2).sum
+    var cumBefore = 0L
+    val singles = singlesAll.filter { case (_, n) =>
+      val keep = cumBefore * 10000L < coveragePermyriad.toLong * total
+      cumBefore += n
+      keep
+    }
+    // a multi-char piece may not smuggle an excluded char back in:
+    // under coverage < 1 the excluded tail must be unreachable in ANY
+    // piece (byte fallback owns it) — filtered BEFORE the top-K cut,
+    // with the covered alphabet as a literal predicate (it is small)
+    val multisDf = subs.filter(length(col("piece")) > 1)
+    val multisEligible =
+      if (coveragePermyriad == 10000) multisDf
+      else multisDf.filter(forall(split(col("piece"), ""),
+        c => c.isin(singles.map(_._1): _*)))
+    val multis = multisEligible
+      .orderBy(col("n").desc, col("piece")).limit(topMulti)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    (singles ++ multis).sortBy { case (p, n) => (-n, p) }
   }
 
   /** One Viterbi-EM round: segment every distinct word under the
@@ -109,14 +137,26 @@ object Unigram {
   def emRound(
       words: DataFrame,
       vocabCounts: Seq[(String, Long)],
-      maxPieceLen: Int = 4): Seq[(String, Long)] =
-    words
+      maxPieceLen: Int = 4,
+      admitUnk: Boolean = true): Seq[(String, Long)] = {
+    val counts = words
       .select(col("cnt"), VectorExpressions.unigramViterbi(
         split(col("word"), ""), costsFrom(vocabCounts), maxPieceLen, UnkCost).as("ps"))
       .select(col("cnt"), explode(col("ps")).as("piece"))
       .groupBy("piece").agg(sum(col("cnt")).as("n"))
       .orderBy(col("n").desc, col("piece"))
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    // under character coverage the excluded chars must STAY excluded:
+    // UNK-fallback emissions do not re-enter the vocabulary (the
+    // SentencePiece behavior — required_chars are fixed at seed time);
+    // without coverage they enter with their counts (the permissive
+    // default every earlier round shipped with)
+    if (admitUnk) counts
+    else {
+      val prev = vocabCounts.map(_._1).toSet
+      counts.filter { case (p, _) => prev(p) }
+    }
+  }
 
   /** Train: seed → `rounds` Viterbi-EM rounds → the final piece table
     * as a DataFrame (piece, n_count), ordered (count desc, piece) —
@@ -128,11 +168,13 @@ object Unigram {
       rounds: Int = 2,
       maxPieceLen: Int = 4,
       topMulti: Int = 150,
-      marker: Boolean = false): DataFrame = {
+      marker: Boolean = false,
+      coveragePermyriad: Int = 10000): DataFrame = {
     val spark = df.sparkSession
+    val admitUnk = coveragePermyriad == 10000
     val words = markWords(wordCounts(df, textCol), marker).localCheckpoint()
-    var vocab = seedVocab(words, maxPieceLen, topMulti)
-    for (_ <- 1 to rounds) vocab = emRound(words, vocab, maxPieceLen)
+    var vocab = seedVocab(words, maxPieceLen, topMulti, coveragePermyriad)
+    for (_ <- 1 to rounds) vocab = emRound(words, vocab, maxPieceLen, admitUnk)
     spark.createDataFrame(vocab).toDF("piece", "n_count")
       .orderBy(col("n_count").desc, col("piece"))
   }
@@ -288,7 +330,8 @@ object Unigram {
       rounds: Int = 2,
       maxPieceLen: Int = 4,
       topMulti: Int = 150,
-      marker: Boolean = false): Unit = {
+      marker: Boolean = false,
+      coveragePermyriad: Int = 10000): Unit = {
     val (nRows, dataHash, hashSum) =
       graft.io.Artifact.hashAgg(df, xxhash64(col(textCol)))
     graft.io.Artifact.ensure(dir, vocabSidecar,
@@ -297,8 +340,9 @@ object Unigram {
         "textCol" -> textCol, "rounds" -> rounds.toString,
         "maxPieceLen" -> maxPieceLen.toString,
         "topMulti" -> topMulti.toString,
-        "marker" -> marker.toString)) {
-      trainVocab(df, textCol, rounds, maxPieceLen, topMulti, marker)
+        "marker" -> marker.toString,
+        "coverage" -> coveragePermyriad.toString)) {
+      trainVocab(df, textCol, rounds, maxPieceLen, topMulti, marker, coveragePermyriad)
         .repartition(1)
         .write.mode("overwrite").parquet(s"$dir/data")
     }

@@ -205,6 +205,47 @@ class UnigramSpec extends AnyFunSuite {
     assert(dec(pid.headOption.map(_._2).toSeq) == pid.headOption.map(_._1))
   }
 
+  test("character coverage: rare chars excluded, kept out through EM, byte-fallback owns them") {
+    // char mass: e-heavy with a rare 'z' tail — 98% cuts 'z' out
+    val df = Seq.tabulate(50)(i =>
+      (i.toLong, if (i == 0) "zeta scan" else "scan merge scan")).toDF("doc_id", "text")
+    val full = Unigram.trainVocab(df, rounds = 2, maxPieceLen = 4, topMulti = 20)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val cov = Unigram.trainVocab(df, rounds = 2, maxPieceLen = 4, topMulti = 20,
+        coveragePermyriad = 9800)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val covChars = cov.flatMap(_._1.toSeq).toSet
+    // full coverage: 'z' reachable through SOME piece (possibly a
+    // multi-char one — EM may drop the single when a multi covers it)
+    assert(full.exists(_._1.contains('z')),
+      s"full coverage must keep the rare char reachable: $full")
+    assert(!covChars.contains('z'),
+      s"98% coverage must exclude the rare char from EVERY piece: $cov")
+    // seed semantics: coverage walks (count desc, piece); the kept
+    // alphabet equals the prefix of chars whose prior mass < 98%
+    val words = df.select(explode(TextAnalysis.tokens(col("text"))).as("word"))
+      .filter(length(col("word")) > 0).groupBy("word").count()
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val charMass = words.flatMap { case (w, c) => w.map(ch => (ch, c)) }
+      .groupBy(_._1).map { case (ch, xs) => (ch, xs.map(_._2).sum) }.toSeq
+      .sortBy { case (ch, n) => (-n, ch) }
+    val total = charMass.map(_._2).sum
+    var cum = 0L
+    val expectKept = charMass.filter { case (_, n) =>
+      val k = cum * 10000L < 9800L * total; cum += n; k
+    }.map(_._1).toSet
+    val seedSingles = Unigram.trainVocab(df, rounds = 0, maxPieceLen = 4,
+        topMulti = 0, coveragePermyriad = 9800)
+      .collect().map(_.getString(0)).filter(_.length == 1).toSet
+    assert(seedSingles == expectKept.map(_.toString),
+      s"seed alphabet must match the coverage walk: $seedSingles vs $expectKept")
+    // tokenizing the SAME corpus now byte-falls-back on the excluded char
+    val ids = Unigram.tokenIdsByteFallback(df.filter(col("doc_id") === 0), cov)
+      .select("token_ids").as[Seq[Int]].head()
+    val zByte = Unigram.ByteBase + ("z".getBytes("UTF-8")(0) & 0xff)
+    assert(ids.contains(zByte), s"excluded char must surface as its byte id: $ids")
+  }
+
   test("vocab artifact: equals the live trainer, reuses, and invalidates on params") {
     val df = Seq.tabulate(30)(i => (i.toLong, "pack merge pack merge scan"))
       .toDF("doc_id", "text")
