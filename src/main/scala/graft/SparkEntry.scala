@@ -789,6 +789,16 @@ object SparkEntry {
        |       r.text_rt = $NormSql AS lossless
        |FROM ext e JOIN rt r USING (doc_id) ORDER BY e.doc_id""".stripMargin
 
+  /** Streaming-tokenize oracle: the ▁-marked, coverage-cut,
+    * byte-fallback apply over the WHOLE corpus as one batch — equal to
+    * the two-micro-batch streaming run because per-batch tokenization
+    * is stateless (the property the oracle pins). */
+  private def unigramStreamTokenizeOracleSql(rounds: Int, maxPieceLen: Int, topMulti: Int,
+      coveragePermyriad: Int): String =
+    s"""WITH ${unigramApplyIdsCtes(rounds, maxPieceLen, topMulti, marker = true,
+             applyToExt = false, coveragePermyriad = coveragePermyriad)}
+       |$unigramIdsFinalSelectSql""".stripMargin
+
   /** UTF-8 encoding of code point `cp` as an INT list, stated as SQL
     * arithmetic (surrogates cannot occur in valid strings; the 4-byte
     * plane covers the rest) — shared by every oracle that re-derives
@@ -1675,6 +1685,51 @@ object SparkEntry {
       val lo = graft.text.Unigram.ByteBase
       val hi = lo + graft.text.Unigram.BytePieces - 1
       graft.text.Unigram.tokenIdsByteFallback(extDocs(s, dir), vocab)
+        .select(col("doc_id"),
+          size(col("token_ids")).cast("long").as("n_tokens"),
+          size(filter(col("token_ids"),
+            x => x.between(lit(lo), lit(hi)))).cast("long").as("n_fallback"),
+          md5(concat_ws(",", col("token_ids"))).as("ids_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // STREAMING tokenization — the crawl loop's last mile: two
+    // micro-batches of documents (corpus split by doc_id parity,
+    // maxFilesPerTrigger=1) tokenize to ids under the SHARED persisted
+    // model artifact in the full production configuration (▁ marker +
+    // 98% character coverage + byte fallback). Tokenization is
+    // stateless per batch — each micro-batch rebuilds its own word
+    // cache, executor state 0 (measured via stream_state) — and the
+    // sink is batch-keyed overwrite (idempotent redelivery). The
+    // oracle replays the BATCH semantics over the whole corpus:
+    // streaming over a partition of the input must equal the batch
+    // run, which is exactly what statelessness buys.
+    "stream_tokenize_ids" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val artDir =
+        s"${System.getProperty("java.io.tmpdir")}/graft_unigram_spcov_${dirKey(dir)}"
+      graft.text.Unigram.ensureVocabArtifact(s, d, artDir,
+        rounds = 2, maxPieceLen = 4, topMulti = 150,
+        marker = true, coveragePermyriad = 9800)
+      val vocab = graft.text.Unigram.loadVocabCounts(s, artDir)
+      val scratch = freshScratchDir(dir, "streamtok")
+      val inDir = s"$scratch/in"
+      d.filter(col("doc_id") % 2 === 0).coalesce(1)
+        .write.mode("overwrite").parquet(inDir)
+      d.filter(col("doc_id") % 2 === 1).coalesce(1)
+        .write.mode("append").parquet(inDir)
+      val stream = s.readStream.schema(d.schema)
+        .option("maxFilesPerTrigger", 1).parquet(inDir)
+      val q = graft.streaming.StreamingIngest.streamingTokenizeIds(
+        stream, vocab, s"$scratch/sink", s"$scratch/chk")
+      q.awaitTermination()
+      SparkEntry.streamStateRows.put("stream_tokenize_ids",
+        q.recentProgress.iterator
+          .map(p => p.stateOperators.map(_.numRowsTotal).sum)
+          .foldLeft(0L)(math.max))
+      val lo = graft.text.Unigram.ByteBase
+      val hi = lo + graft.text.Unigram.BytePieces - 1
+      s.read.option("recursiveFileLookup", "true").parquet(s"$scratch/sink")
         .select(col("doc_id"),
           size(col("token_ids")).cast("long").as("n_tokens"),
           size(filter(col("token_ids"),
@@ -3944,6 +3999,9 @@ object SparkEntry {
     "doc_unigram_byte_fallback" -> unigramByteFallbackOracleSql(rounds = 2, maxPieceLen = 4, topMulti = 150),
     "doc_unigram_detokenize" -> unigramDetokenizeOracleSql(rounds = 2, maxPieceLen = 4, topMulti = 150),
     "doc_unigram_coverage" -> unigramCoverageOracleSql(rounds = 2, maxPieceLen = 4, topMulti = 150, coveragePermyriad = 9800),
+    // streaming over a PARTITION of the corpus == the batch run —
+    // statelessness replayed as plain batch semantics
+    "stream_tokenize_ids" -> unigramStreamTokenizeOracleSql(rounds = 2, maxPieceLen = 4, topMulti = 150, coveragePermyriad = 9800),
     "seq_pack_ids" -> seqPackIdsOracleSql(maxIters = 36, budget = 512L, nParts = 8),
 
     // Train→apply: same rounds with the word key carried through, then

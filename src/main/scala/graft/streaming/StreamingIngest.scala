@@ -184,6 +184,38 @@ object StreamingIngest {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Streaming TOKENIZATION through the persisted tokenizer artifact —
+    * the crawl loop's last mile: every micro-batch of new documents
+    * tokenizes to ids under the SHARED trained model
+    * (`vocabCounts`, loaded once by the caller from
+    * [[graft.text.Unigram.ensureVocabArtifact]]'s store — the same
+    * build-once/probe-many artifact discipline as the dedup and ANN
+    * legs), with the full production configuration available: ▁
+    * marker, character coverage baked into the artifact, byte
+    * fallback making every batch totally tokenizable no matter what
+    * characters the crawl surfaces. Tokenization is STATELESS per
+    * batch (the word cache is rebuilt per micro-batch from its own
+    * distinct words — no executor state, nothing grows over a
+    * months-long crawl), and the sink is batch-id-keyed overwrite, so
+    * at-least-once redelivery is idempotent. Read the sink with
+    * `recursiveFileLookup`. */
+  def streamingTokenizeIds(
+      stream: DataFrame,
+      vocabCounts: Seq[(String, Long)],
+      sinkDir: String,
+      checkpoint: String,
+      marker: Boolean = true): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val tag = s"${pipelineTag(checkpoint)}_b$batchId"
+        graft.text.Unigram
+          .tokenIdsByteFallback(batch, vocabCounts, marker = marker)
+          .write.mode("overwrite").parquet(s"$sinkDir/$tag")
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** STORE-backed streaming incremental NEAR-dup — the
     * [[streamingIncrementalDedup]] shape for the near-duplicate leg of
     * the crawl loop: every micro-batch Jaccard-checks against the

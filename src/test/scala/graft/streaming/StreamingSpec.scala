@@ -34,6 +34,70 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streamingTokenizeIds: multi-batch stream equals the batch run; redelivery idempotent") {
+    implicit val sc = spark.sqlContext
+    val scratch = java.nio.file.Files.createTempDirectory("stream_tok").toString
+    val train = Seq((1L, "Scan merge scan"), (2L, "merge join scan")).toDF("doc_id", "text")
+    val vocab = graft.text.Unigram.trainVocab(train,
+        rounds = 2, maxPieceLen = 4, topMulti = 20, marker = true)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    // two micro-batches (one per addData group under AvailableNow with
+    // maxFilesPerTrigger-free MemoryStream: all pre-start data is one
+    // batch, so split across two pipeline runs sharing the sink root)
+    val apply = Seq(
+      (10L, "scan merge"), (11L, "join qé 你"), (12L, "merge merge scan"))
+    val input = MemoryStream[(Long, String)]
+    input.addData(apply.take(2))
+    val q = StreamingIngest.streamingTokenizeIds(
+      input.toDF().toDF("doc_id", "text"), vocab,
+      s"$scratch/sink", s"$scratch/chk")
+    q.awaitTermination()
+    val input2 = MemoryStream[(Long, String)]
+    input2.addData(apply.drop(2))
+    val q2 = StreamingIngest.streamingTokenizeIds(
+      input2.toDF().toDF("doc_id", "text"), vocab,
+      s"$scratch/sink2", s"$scratch/chk2")
+    q2.awaitTermination()
+    // zero executor state in both runs — stateless by construction
+    Seq(q, q2).foreach { qq =>
+      val st = qq.recentProgress.iterator
+        .map(p => p.stateOperators.map(_.numRowsTotal).sum).foldLeft(0L)(math.max)
+      assert(st == 0L, s"tokenize must keep zero executor state, got $st")
+    }
+    val streamed = spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$scratch/sink", s"$scratch/sink2")
+      .select($"doc_id", $"token_ids").as[(Long, Seq[Int])].collect().toMap
+    // == the batch run over the union (statelessness)
+    val batch = graft.text.Unigram.tokenIdsByteFallback(
+        apply.toDF("doc_id", "text"), vocab, marker = true)
+      .select($"doc_id", $"token_ids").as[(Long, Seq[Int])].collect().toMap
+    assert(streamed == batch,
+      s"streamed partition must equal the batch run: $streamed vs $batch")
+    // redelivery: the same pipeline TAG (tag = md5 of the checkpoint
+    // path) re-processing batch 0 — emulated by clearing the
+    // checkpoint so offsets restart while the tag and sink stay —
+    // rewrites its batch-keyed dir, never duplicates
+    val before = spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$scratch/sink").count()
+    def rmTree(p: java.nio.file.Path): Unit = {
+      import scala.jdk.CollectionConverters._
+      if (java.nio.file.Files.exists(p))
+        java.nio.file.Files.walk(p).iterator.asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.delete)
+    }
+    rmTree(java.nio.file.Paths.get(s"$scratch/chk"))
+    val input3 = MemoryStream[(Long, String)]
+    input3.addData(apply.take(2))
+    val q3 = StreamingIngest.streamingTokenizeIds(
+      input3.toDF().toDF("doc_id", "text"), vocab,
+      s"$scratch/sink", s"$scratch/chk")
+    q3.awaitTermination()
+    val after = spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$scratch/sink").count()
+    assert(after == before,
+      s"batch-keyed overwrite must make redelivery idempotent: $before -> $after")
+  }
+
   test("streamingIncrementalDedup: durable store memory across micro-batches, zero executor state") {
     implicit val sc = spark.sqlContext
     val scratch = java.nio.file.Files.createTempDirectory("sid").toString
