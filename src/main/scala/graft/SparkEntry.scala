@@ -501,8 +501,12 @@ object SparkEntry {
     * least/CASE over the carried dp list, ties to the smallest j =
     * longest piece via the c4-first CASE order) -> unrolled backtrack
     * columns p1..pU -> pieces sliced and ''-filtered. */
+  private val UnigramCountCostSql =
+    "-floor(1000000 * ln(CAST(v.n AS DOUBLE) / t.total))"
+
   private def unigramSegSql(seg: String, vprev: String, maxPieceLen: Int,
-      wordsCte: String = "uw", unroll: Int = UnigramUnroll): String = {
+      wordsCte: String = "uw", unroll: Int = UnigramUnroll,
+      costSql: String = UnigramCountCostSql): String = {
     require(maxPieceLen == 4, "the unrolled 4-slot edge pivot is written for maxPieceLen = 4")
     val U = unroll
     def ak(k: Int) = s"(w.d[-$k].c + e.c$k)"
@@ -537,9 +541,9 @@ object SparkEntry {
        |${seg}_edge AS (
        |  SELECT c.word, c.cnt, c.n, c.i, c.k,
        |    CASE WHEN c.k = 1 AND c.piece IS NOT NULL
-       |           THEN coalesce(CAST(-floor(1000000 * ln(CAST(v.n AS DOUBLE) / t.total)) AS BIGINT),
+       |           THEN coalesce(CAST($costSql AS BIGINT),
        |                         CAST(${graft.text.Unigram.UnkCost} AS BIGINT))
-       |         ELSE CAST(-floor(1000000 * ln(CAST(v.n AS DOUBLE) / t.total)) AS BIGINT) END AS cost
+       |         ELSE CAST($costSql AS BIGINT) END AS cost
        |  FROM ${seg}_cand c CROSS JOIN ${seg}_tot t LEFT JOIN $vprev v ON v.piece = c.piece),
        |${seg}_ep AS MATERIALIZED (
        |  SELECT word, cnt, n, i,
@@ -715,13 +719,23 @@ object SparkEntry {
        |          CAST(${graft.text.Unigram.ByteBase + graft.text.Unigram.BytePieces - 1}
        |               + row_number() OVER (ORDER BY n DESC, piece) AS INT) AS id
        |        FROM v$rounds),
-       |wj AS (SELECT w.word, w.i, w.piece, v.id
+       |${unigramIdsChainCtes(marker, graft.text.Unigram.ByteBase, graft.text.Unigram.EosId)}""".stripMargin
+  }
+
+  /** The piece→ids mapping chain shared by every id-emitting unigram
+    * oracle: positions of `usegX`'s pieces LEFT JOIN `vid` (both
+    * defined by the caller), misses byte-expanded at `byteBase`,
+    * per-word flatten, positional document rejoin, `eosId` appended —
+    * ends at `xagg(doc_id, ids)`. */
+  private def unigramIdsChainCtes(marker: Boolean, byteBase: Int, eosId: Int): String = {
+    val mk = if (marker) s"'${graft.text.Unigram.SpMarker}' || " else ""
+    s"""wj AS (SELECT w.word, w.i, w.piece, v.id
        |       FROM (SELECT s.word, u.i AS i, s.ps[u.i] AS piece
        |             FROM usegX s, unnest(range(1, len(s.ps) + 1)) AS u(i)) w
        |       LEFT JOIN vid v ON v.piece = w.piece),
        |fb AS (SELECT word, i,
        |          flatten(list(list_transform($Utf8OfCpSql,
-       |                         b -> CAST(${graft.text.Unigram.ByteBase} + b AS INT))
+       |                         b -> CAST($byteBase + b AS INT))
        |                       ORDER BY j)) AS ids
        |        FROM (SELECT word, i, u.j AS j,
        |                unicode(substring(piece, CAST(u.j AS INT), 1)) AS cp
@@ -734,9 +748,41 @@ object SparkEntry {
        |xpos AS (SELECT doc_id, u.i AS pos, ${mk}toks[u.i] AS word
        |         FROM xt, unnest(range(1, len(toks) + 1)) AS u(i)),
        |xagg AS (SELECT p.doc_id,
-       |           list_append(flatten(list(w.ids ORDER BY p.pos)), ${graft.text.Unigram.EosId}) AS ids
+       |           list_append(flatten(list(w.ids ORDER BY p.pos)), $eosId) AS ids
        |         FROM xpos p JOIN wid w ON w.word = p.word
        |         GROUP BY p.doc_id)""".stripMargin
+  }
+
+  /** External-model oracle: NO training replay — the fixture model's
+    * (piece, quantized cost, id) rows are inlined as VALUES (computed
+    * by the same loader the query uses), segmentation runs under
+    * `cost = v.n` directly, and the shared ids chain maps pieces to
+    * the MODEL's ids with byte fallback at the model's BYTE block. */
+  private def unigramExtModelOracleSql(maxPieceLen: Int): String = {
+    val model = graft.text.Unigram.externalFixtureModel()
+    val rows = model.zipWithIndex
+      .filter(_._1.ptype == graft.text.Unigram.SpNormal)
+      .map { case (p, i) =>
+        s"('${p.piece.replace("'", "''")}',${graft.text.Unigram.modelCostMicros(p.score)},$i)"
+      }.mkString(",")
+    val eosId = model.indexWhere(p =>
+      p.ptype == graft.text.Unigram.SpControl && p.piece == "</s>")
+    val byteBase = model.indexWhere(_.ptype == graft.text.Unigram.SpByte)
+    s"""WITH mv AS (SELECT * FROM (VALUES $rows) AS m(piece, n, id)),
+       |ext AS ($extDocsSqlCte),
+       |xt AS (SELECT doc_id, $ToksSql AS toks FROM ext),
+       |xw AS MATERIALIZED (SELECT '${graft.text.Unigram.SpMarker}' || word AS word, count(*) AS cnt
+       |  FROM (SELECT unnest(toks) AS word FROM xt)
+       |  WHERE len(word) > 0 GROUP BY 1),
+       |${unigramSegSql("usegX", "mv", maxPieceLen, wordsCte = "xw", unroll = 36,
+             costSql = "v.n")},
+       |vid AS (SELECT piece, CAST(id AS INT) AS id FROM mv),
+       |${unigramIdsChainCtes(marker = true, byteBase = byteBase, eosId = eosId)}
+       |SELECT x.doc_id, CAST(len(a.ids) AS BIGINT) AS n_tokens,
+       |       CAST(len(list_filter(a.ids,
+       |         y -> y >= $byteBase AND y <= ${byteBase + 255})) AS BIGINT) AS n_fallback,
+       |       md5(array_to_string(a.ids, ',')) AS ids_md5
+       |FROM xt x JOIN xagg a USING (doc_id) ORDER BY x.doc_id""".stripMargin
   }
 
   /** The (n_tokens, n_fallback, ids_md5) projection shared by the
@@ -1756,6 +1802,29 @@ object SparkEntry {
       val lo = graft.text.Unigram.ByteBase
       val hi = lo + graft.text.Unigram.BytePieces - 1
       graft.text.Unigram.tokenIdsByteFallback(d, vocab)
+        .select(col("doc_id"),
+          size(col("token_ids")).cast("long").as("n_tokens"),
+          size(filter(col("token_ids"),
+            x => x.between(lit(lo), lit(hi)))).cast("long").as("n_fallback"),
+          md5(concat_ws(",", col("token_ids"))).as("ids_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // EXTERNAL SentencePiece model apply — the user brings a PUBLISHED
+    // unigram tokenizer (every Llama-family model ships a `.model`
+    // ModelProto file; the shipped fixture is that file in the exact
+    // Llama layout, generated deterministically): NORMAL pieces form
+    // the Viterbi lattice at their quantized score costs with the ids
+    // the MODEL assigns, the BYTE block backs out-of-vocabulary
+    // fallback, </s> terminates each document, ▁ convention
+    // throughout. No training anywhere — the unigram twin of
+    // doc_bpe_tokenize_ext's merges.txt path. The oracle inlines the
+    // model rows as VALUES and replays segmentation + id mapping.
+    "doc_unigram_ext_model" -> ((s, dir) => {
+      val model = graft.text.Unigram.externalFixtureModel()
+      val lo = model.indexWhere(_.ptype == graft.text.Unigram.SpByte)
+      val hi = lo + 255
+      graft.text.Unigram.tokenIdsFromModel(extDocs(s, dir), model)
         .select(col("doc_id"),
           size(col("token_ids")).cast("long").as("n_tokens"),
           size(filter(col("token_ids"),
@@ -4002,6 +4071,7 @@ object SparkEntry {
     // streaming over a PARTITION of the corpus == the batch run —
     // statelessness replayed as plain batch semantics
     "stream_tokenize_ids" -> unigramStreamTokenizeOracleSql(rounds = 2, maxPieceLen = 4, topMulti = 150, coveragePermyriad = 9800),
+    "doc_unigram_ext_model" -> unigramExtModelOracleSql(maxPieceLen = 4),
     "seq_pack_ids" -> seqPackIdsOracleSql(maxIters = 36, budget = 512L, nParts = 8),
 
     // Train→apply: same rounds with the word key carried through, then

@@ -309,6 +309,142 @@ object Unigram {
         pieceIdsByteFallback(vocabCounts), ByteBase, BytePieces),
       SpMarker, " ")))
 
+  /** One row of a SentencePiece `ModelProto` pieces list: the piece
+    * string, its score (log-probability), and the piece type
+    * (proto enum: NORMAL=1, UNKNOWN=2, CONTROL=3, BYTE=6 are the ones
+    * a Llama-family model carries). The row's position in the file IS
+    * its id. */
+  final case class SpPiece(piece: String, score: Float, ptype: Int)
+
+  val SpNormal = 1
+  val SpUnknown = 2
+  val SpControl = 3
+  val SpByte = 6
+
+  /** Score → integer lattice cost: round(−10⁶ · score). The model's
+    * float32 scores quantize to the same micro-log units the trainer
+    * uses, so the external-model apply rides the identical
+    * exact-integer Viterbi kernel; rounding (not floor) makes the
+    * recovered cost stable against float32 representation error for
+    * scores that are 10⁻⁶ multiples. */
+  def modelCostMicros(score: Float): Long = Math.round(-score.toDouble * 1e6)
+
+  /** Parse a SentencePiece `.model` file (the `ModelProto` wire
+    * format, public spec `sentencepiece_model.proto`) — the entry
+    * point for a user bringing a PUBLISHED unigram tokenizer: every
+    * Llama-family model ships exactly this file. A minimal proto2
+    * reader: repeated field 1 = `SentencePiece` submessages (field 1
+    * piece string, field 2 float32 score, field 3 type varint with
+    * the proto2 default NORMAL when absent); every other top-level
+    * field (trainer spec, normalizer spec, ...) is skipped by wire
+    * type. Row order is preserved — index = id. */
+  def parseModelProto(b: Array[Byte]): Seq[SpPiece] = {
+    var i = 0
+    def varint(): Long = {
+      var shift = 0; var v = 0L; var cont = true
+      while (cont) {
+        require(i < b.length, "truncated varint in model proto")
+        val x = b(i) & 0xff; i += 1
+        v |= (x & 0x7fL) << shift; shift += 7; cont = (x & 0x80) != 0
+      }
+      v
+    }
+    def skip(wire: Int): Unit = (wire: @unchecked) match {
+      case 0 => varint()
+      case 1 => i += 8
+      case 2 => val l = varint().toInt; i += l
+      case 5 => i += 4
+      case w => throw new IllegalArgumentException(s"unsupported wire type $w in model proto")
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[SpPiece]
+    while (i < b.length) {
+      val tag = varint(); val field = (tag >>> 3).toInt; val wire = (tag & 7).toInt
+      if (field == 1 && wire == 2) {
+        val len = varint().toInt
+        val end = i + len
+        require(end <= b.length, "truncated piece submessage in model proto")
+        var piece = ""; var score = 0.0f; var ptype = SpNormal
+        while (i < end) {
+          val t2 = varint(); val f2 = (t2 >>> 3).toInt; val w2 = (t2 & 7).toInt
+          (f2, w2) match {
+            case (1, 2) =>
+              val l = varint().toInt; piece = new String(b, i, l, "UTF-8"); i += l
+            case (2, 5) =>
+              val bits = (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8) |
+                ((b(i + 2) & 0xff) << 16) | ((b(i + 3) & 0xff) << 24)
+              score = java.lang.Float.intBitsToFloat(bits); i += 4
+            case (3, 0) => ptype = varint().toInt
+            case _ => skip(w2)
+          }
+        }
+        out += SpPiece(piece, score, ptype)
+      } else skip(wire)
+    }
+    out.toSeq
+  }
+
+  /** Load a `.model` file from disk. */
+  def loadModelProto(path: String): Seq[SpPiece] =
+    parseModelProto(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)))
+
+  /** The shipped external SentencePiece model fixture (Llama layout:
+    * `<unk>`, `<s>`, `</s>`, 256 BYTE pieces, ▁-marked normal pieces
+    * in score order), generated deterministically by
+    * `graft.tools.GenSpModel` (a spec re-runs the generator and
+    * byte-compares — reproducible provenance). */
+  def externalFixtureModel(): Seq[SpPiece] = {
+    val in = getClass.getResourceAsStream("/graft/sp/ext_unigram.model")
+    require(in != null, "fixture resource graft/sp/ext_unigram.model not on classpath")
+    try parseModelProto(in.readAllBytes()) finally in.close()
+  }
+
+  /** Tokenize to ids under an EXTERNAL SentencePiece model — the
+    * apply path for a model the user brings ([[loadModelProto]])
+    * rather than one this engine trained: NORMAL pieces form the
+    * Viterbi lattice at their quantized score costs
+    * ([[modelCostMicros]]) with the ids the MODEL assigns (file
+    * position), the BYTE block backs the out-of-vocabulary fallback
+    * (validated contiguous `<0x00>`..`<0xFF>`, the `--byte_fallback`
+    * layout every Llama model carries), `</s>` terminates each
+    * document, and the ▁ marker convention applies throughout. Rides
+    * the identical word-cache kernels as the self-trained path. */
+  def tokenIdsFromModel(
+      df: DataFrame,
+      model: Seq[SpPiece],
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      maxPieceLen: Int = 4,
+      broadcastVocab: Boolean = true,
+      appendEos: Boolean = true): DataFrame = {
+    val idx = model.zipWithIndex
+    val normal = idx.filter(_._1.ptype == SpNormal)
+    require(normal.nonEmpty, "model carries no normal pieces")
+    require(normal.forall { case (p, _) =>
+      p.piece.codePointCount(0, p.piece.length) <= maxPieceLen },
+      s"normal pieces longer than maxPieceLen=$maxPieceLen would silently never match")
+    val costs = normal.map { case (p, _) => (p.piece, modelCostMicros(p.score)) }
+    val ids = normal.map { case (p, i) => (p.piece, i) }
+    val bytes = idx.filter(_._1.ptype == SpByte)
+    require(bytes.size == 256,
+      s"byte-fallback model must carry 256 BYTE pieces, got ${bytes.size}")
+    val byteBase = bytes.head._2
+    bytes.zipWithIndex.foreach { case ((p, id), b) =>
+      require(id == byteBase + b && p.piece == f"<0x$b%02X>",
+        s"BYTE pieces must be contiguous <0x00>..<0xFF>: saw '${p.piece}' at id $id")
+    }
+    val eosId = model.indexWhere(p => p.ptype == SpControl && p.piece == "</s>")
+    require(eosId >= 0, "model must carry a </s> control piece")
+    val vocab = wordCache(df, textCol, marker = true)(chars =>
+      VectorExpressions.byteFallbackIds(
+        VectorExpressions.unigramViterbi(chars, costs, maxPieceLen, UnkCost),
+        ids, byteBase))
+    val base = Bpe.joinBackBySubwords(df, vocab, idCol, textCol, broadcastVocab)
+      .withColumnRenamed("bpe_tokens", "token_ids")
+    if (appendEos)
+      base.withColumn("token_ids", concat(col("token_ids"), array(lit(eosId))))
+    else base
+  }
+
   private val vocabSidecar = "_graft_unigram_sidecar.json"
 
   /** Idempotently persist the trained piece table at `dir` behind the
