@@ -384,6 +384,19 @@ object ScaleProbe {
       // vocab-proportional
       time(s"unigram tokenIds (${vocab.size} pieces)")(noop(
         graft.text.Unigram.tokenIds(dv, vocab)))
+      // external-model apply at PRODUCTION vocabulary size: the fixture
+      // model (~480 pieces) vs a synthetic 32k-piece Llama-sized model
+      // round-tripped through the wire format — per-piece lattice and
+      // id probes are hashed reference objects, so cost must be flat
+      // in vocabulary size
+      val small = graft.text.Unigram.externalFixtureModel()
+      val big = graft.text.Unigram.parseModelProto(
+        graft.tools.GenSpModel.encode(graft.tools.GenSpModel.syntheticModel(32000)))
+      require(big.size == 3 + 256 + 32000, s"synthetic model size ${big.size}")
+      time(s"unigram extModel tokenIds @${small.size} pieces")(noop(
+        graft.text.Unigram.tokenIdsFromModel(dv, small)))
+      time(s"unigram extModel tokenIds @${big.size} pieces")(noop(
+        graft.text.Unigram.tokenIdsFromModel(dv, big)))
     }
 
     // z-order layout stats: raw rows grow with the factor, but the

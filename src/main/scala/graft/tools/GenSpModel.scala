@@ -74,6 +74,44 @@ object GenSpModel {
       .map { case (p, s, _) => (p, s) }
   }
 
+  /** A synthetic model at PRODUCTION vocabulary size (Llama ships 32k
+    * pieces): the fixture's normal pieces extended by deterministic
+    * enumeration of ▁-marked and word-internal strings over the
+    * generator alphabet (splitmix64-scrambled order, descending
+    * pseudo-scores at exact 10⁻⁶ multiples, every piece ≤ 4 code
+    * points). For the scale probe: per-piece lattice and id probes
+    * must stay O(1) at any vocabulary size. */
+  def syntheticModel(nNormal: Int): Seq[(String, Float, Int)] = {
+    val base = normalPieces
+    val have = base.map(_._1).toSet
+    val alpha = "abcdefghijklmnopqrstuvwxyz"
+    def mix(z0: Long): Long = {
+      var z = z0 + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    val extra = scala.collection.mutable.LinkedHashSet.empty[String]
+    var i = 0L
+    while (extra.size < nNormal - base.size) {
+      val h = mix(i)
+      val len = 2 + (h & 3L).toInt % 3 // 2..4 code points incl. marker
+      val marked = (h >>> 2) % 2 == 0
+      val body = (0 until (if (marked) len - 1 else len)).map { k =>
+        alpha(((h >>> (8 + 5 * k)) % 26).toInt)
+      }.mkString
+      val p = if (marked) Marker + body else body
+      if (!have(p)) extra += p
+      i += 1
+    }
+    val startCost = 20000000L // beyond every fixture cost: ranks append
+    val extraPieces = extra.toSeq.zipWithIndex.map { case (p, k) =>
+      (p, (-(startCost + k) / 1e6).toFloat)
+    }
+    val specials = pieces.take(3 + 256)
+    specials ++ (base ++ extraPieces).map { case (p, s) => (p, s, Normal) }
+  }
+
   private def varint(out: java.io.ByteArrayOutputStream, v0: Long): Unit = {
     var v = v0
     while ((v & ~0x7fL) != 0) { out.write(((v & 0x7f) | 0x80).toInt); v >>>= 7 }
