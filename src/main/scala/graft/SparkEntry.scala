@@ -424,10 +424,10 @@ object SparkEntry {
        |       md5(array_to_string(a.subs, ' ')) AS subword_md5
        |FROM ext e JOIN agg a USING (doc_id) ORDER BY e.doc_id""".stripMargin
 
-  /** Token-id oracle: the GPT-2-path subwords mapped through the
-    * vocab id table the fixture induces (inlined VALUES, duplicate
-    * outputs already first-rank-deduped by the generator helper). */
-  private def bpeTokenIdsOracleSql(maxIters: Int): String = {
+  /** The gpt2-path per-document id lists as CTEs ending at
+    * `ids(doc_id, tids)` — shared by the token-ids, windowing, and
+    * packing oracles. */
+  private def gpt2IdsCtes(maxIters: Int): String = {
     val vocab = graft.text.ByteLevel.vocabForMerges(
       graft.text.ByteLevel.externalFixtureMerges())
     val values = vocab.map { case (s, i) =>
@@ -438,11 +438,27 @@ object SparkEntry {
        |         FROM (VALUES $values) AS v(sym, id)),
        |ids AS (SELECT a.doc_id,
        |          list_transform(a.subs, s -> map_extract(v.m, s)[1]) AS tids
-       |        FROM agg a, vmap v)
+       |        FROM agg a, vmap v)""".stripMargin
+  }
+
+  private def bpeTokenIdsOracleSql(maxIters: Int): String =
+    s"""${gpt2IdsCtes(maxIters)}
        |SELECT e.doc_id, CAST(len(i.tids) AS BIGINT) AS n_tokens,
        |       md5(array_to_string(i.tids, ',')) AS ids_md5
        |FROM ext e JOIN ids i USING (doc_id) ORDER BY e.doc_id""".stripMargin
-  }
+
+  /** Token-window oracle: the replayed gpt2 ids sliced into
+    * window/stride chunks with the identical 1-based arithmetic
+    * (tail window kept short). */
+  private def tokenWindowsOracleSql(maxIters: Int, window: Int, stride: Int): String =
+    s"""${gpt2IdsCtes(maxIters)},
+       |win AS (SELECT i.doc_id, CAST(u.k AS INT) AS win_idx,
+       |          list_slice(i.tids, u.k * $stride + 1, u.k * $stride + $window) AS w
+       |        FROM ids i,
+       |             unnest(range(0, (len(i.tids) - 1) // $stride + 1)) AS u(k))
+       |SELECT doc_id, win_idx, CAST(len(w) AS BIGINT) AS n_win,
+       |       md5(array_to_string(w, ',')) AS win_md5
+       |FROM win ORDER BY doc_id, win_idx""".stripMargin
 
   /** Detokenize oracle: the gpt2 ids prefix, then the DECODE direction
     * replayed independently in SQL — each id through the reverse vocab
@@ -1808,6 +1824,29 @@ object SparkEntry {
             x => x.between(lit(lo), lit(hi)))).cast("long").as("n_fallback"),
           md5(concat_ws(",", col("token_ids"))).as("ids_md5"))
         .orderBy(col("doc_id"))
+    }),
+
+    // TOKEN WINDOWS — the chunking step between tokenization and the
+    // model (training context windows, RAG passage chunks): each
+    // document's GPT-2-path ids cut into 64-token windows at stride
+    // 48 (16-token overlap), the tail window kept short — one NARROW
+    // map per document (sequence + slice inside a single projection,
+    // no shuffle, no per-window join), the shape that holds when the
+    // corpus is 100 TB of token arrays. The oracle replays the same
+    // slicing arithmetic over the replayed ids.
+    "doc_token_windows" -> ((s, dir) => {
+      val window = 64
+      val stride = 48
+      graft.text.ByteLevel.tokenIds(extDocs(s, dir),
+          graft.text.ByteLevel.externalFixtureMerges())
+        .select(col("doc_id"), posexplode(transform(
+          sequence(lit(0), floor((size(col("token_ids")) - 1) / lit(stride)).cast("int")),
+          k => slice(col("token_ids"), k * lit(stride) + 1, lit(window))))
+          .as(Seq("win_idx", "win")))
+        .select(col("doc_id"), col("win_idx"),
+          size(col("win")).cast("long").as("n_win"),
+          md5(concat_ws(",", col("win"))).as("win_md5"))
+        .orderBy(col("doc_id"), col("win_idx"))
     }),
 
     // EXTERNAL SentencePiece model apply — the user brings a PUBLISHED
@@ -4072,6 +4111,7 @@ object SparkEntry {
     // statelessness replayed as plain batch semantics
     "stream_tokenize_ids" -> unigramStreamTokenizeOracleSql(rounds = 2, maxPieceLen = 4, topMulti = 150, coveragePermyriad = 9800),
     "doc_unigram_ext_model" -> unigramExtModelOracleSql(maxPieceLen = 4),
+    "doc_token_windows" -> tokenWindowsOracleSql(maxIters = 36, window = 64, stride = 48),
     "seq_pack_ids" -> seqPackIdsOracleSql(maxIters = 36, budget = 512L, nParts = 8),
 
     // Train→apply: same rounds with the word key carried through, then

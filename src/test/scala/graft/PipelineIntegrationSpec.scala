@@ -17,6 +17,40 @@ class PipelineIntegrationSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
   import spark.implicits._
 
+  test("token windows: stride arithmetic covers every token once per overlap; tail kept short") {
+    // replicate the declared query's projection over synthetic id rows
+    val window = 64; val stride = 48
+    val rows = Seq(
+      (1L, List.range(1, 201)),  // 200 tokens -> ceil((200-1)/48)+1 = 5 windows
+      (2L, List.range(1, 65)),   // exactly one full window + 1 overlap start? (64-1)/48=1 -> 2
+      (3L, List.range(1, 11)))   // short doc -> a single short window
+      .toDF("doc_id", "token_ids")
+    val wins = rows
+      .select(col("doc_id"), posexplode(transform(
+        sequence(lit(0), floor((size(col("token_ids")) - 1) / lit(stride)).cast("int")),
+        k => slice(col("token_ids"), k * lit(stride) + 1, lit(window))))
+        .as(Seq("win_idx", "win")))
+      .select("doc_id", "win_idx", "win")
+      .as[(Long, Int, Seq[Int])].collect()
+      .groupBy(_._1).map { case (d, ws) => (d, ws.sortBy(_._2).map(_._3).toSeq) }
+    def expect(ids: Seq[Int]): Seq[Seq[Int]] =
+      (0 to (ids.size - 1) / stride).map(k => ids.slice(k * stride, k * stride + window))
+    Seq(1L, 2L, 3L).foreach { d =>
+      val ids = rows.filter(col("doc_id") === d)
+        .select("token_ids").as[Seq[Int]].head()
+      assert(wins(d) == expect(ids), s"doc $d windows mismatch")
+      // every token appears in at least one window; consecutive
+      // windows overlap by exactly window - stride (when both full)
+      assert(wins(d).flatten.toSet == ids.toSet)
+      wins(d).sliding(2).foreach {
+        case Seq(a, b) if a.size == window =>
+          assert(a.takeRight(window - stride) == b.take(window - stride))
+        case _ =>
+      }
+    }
+    assert(wins(1L).size == 5 && wins(3L) == Seq(List.range(1, 11)))
+  }
+
   test("media → features → exact search and SRP near-dup agree on the planted duplicate") {
     val rng = new scala.util.Random(17)
     // real P6 rasters with random pixels: distinct images land around
