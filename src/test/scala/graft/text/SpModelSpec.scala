@@ -55,6 +55,30 @@ class SpModelSpec extends AnyFunSuite {
       "a ▁-convention model must carry marked pieces")
   }
 
+  test("parser fuzz: randomized piece lists round-trip the wire format exactly") {
+    val rnd = new scala.util.Random(20260814L)
+    val alphabets = Seq("abc", "αβγ", "日本語", "🌍🎉", "▁<>x", "'\"\\")
+    (1 to 50).foreach { _ =>
+      val n = 1 + rnd.nextInt(40)
+      val ps = (1 to n).map { _ =>
+        val a = alphabets(rnd.nextInt(alphabets.size))
+        val cps = a.codePoints().toArray
+        val len = rnd.nextInt(5)
+        val piece = (0 until len).map(_ =>
+          new String(Character.toChars(cps(rnd.nextInt(cps.length))))).mkString
+        val score = java.lang.Float.intBitsToFloat(rnd.nextInt()) match {
+          case f if f.isNaN => -1.5f // NaN != NaN breaks equality; real scores are finite
+          case f => f
+        }
+        val ptype = Seq(1, 1, 1, 2, 3, 6)(rnd.nextInt(6))
+        (piece, score, ptype)
+      }
+      val parsed = Unigram.parseModelProto(graft.tools.GenSpModel.encode(ps))
+      assert(parsed == ps.map { case (p, s, t) => Unigram.SpPiece(p, s, t) },
+        s"round-trip mismatch on $ps")
+    }
+  }
+
   test("tokenIdsFromModel: model ids, byte fallback at model byte ids, </s>, lossless decode") {
     val m = Unigram.externalFixtureModel()
     val df = Seq(
