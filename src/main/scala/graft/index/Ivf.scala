@@ -329,6 +329,20 @@ object Ivf {
     * uncommitted (possibly crashed-attempt) delta into the base and
     * then redelivering its batch would re-add the folded rows; deltas
     * of COMMITTED batches never redeliver and fold safely.
+    *
+    * CONCURRENCY CONTRACT (single-writer, no concurrent probe): the
+    * crash-safety argument above covers a fold that DIES, not one that
+    * races a live reader. A [[searchLayoutDeltaAware]] in another
+    * session that listed the delta dirs before the fold can hit
+    * FileNotFoundException (files moved out from under its scan) or a
+    * partial view mid-fold. Run compaction from the single maintenance
+    * writer (the [[graft.streaming.StreamingIngest.streamingIvfAppend]]
+    * hook runs it inside the micro-batch, where Structured Streaming
+    * already serializes it against that stream's own probes) and quiesce
+    * external probes around a manual fold; a reader that does race it
+    * should treat missing-file failures as transient and re-issue the
+    * probe (the re-listed view is consistent — every row lives in
+    * exactly one place at every instant).
     * Returns the number of delta directories folded. */
   def compactDeltas(
       spark: SparkSession,

@@ -270,7 +270,15 @@ object StreamingIngest {
     * re-added), then appends its delta. The probe-time union width is
     * therefore bounded by `maxDeltaDirs + 1` at every instant, and a
     * mid-stream compaction is invisible to probe results
-    * (spec-pinned). Set `Int.MaxValue` to disable. */
+    * (spec-pinned). Set `Int.MaxValue` to disable.
+    *
+    * CONCURRENCY CONTRACT: the auto-compaction inherits
+    * [[graft.index.Ivf.compactDeltas]]'s single-writer/no-concurrent-
+    * probe assumption. Probes issued from THIS pipeline are safe
+    * (foreachBatch serializes the fold against them); a probe from a
+    * SEPARATE session racing the fold can see a transient
+    * FileNotFoundException and should re-issue — see the contract note
+    * on `compactDeltas`. */
   def streamingIvfAppend(
       stream: DataFrame,
       layoutDir: String,

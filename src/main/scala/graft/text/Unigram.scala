@@ -109,9 +109,16 @@ object Unigram {
       .orderBy(col("n").desc, col("piece"))
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
     val total = singlesAll.map(_._2).sum
+    // exact comparison in 128-bit arithmetic: at the 100 TB regime the
+    // total character mass can exceed Long.MaxValue/10000 (~9.2e14), so
+    // the naive Long products would overflow and silently mis-cut the
+    // alphabet tail. The loop is alphabet-bounded driver arithmetic, so
+    // BigInt costs nothing; the semantics (and the oracle's replay in
+    // DuckDB's native 128-bit HUGEINT products) are unchanged.
     var cumBefore = 0L
+    val covTotal = BigInt(coveragePermyriad) * BigInt(total)
     val singles = singlesAll.filter { case (_, n) =>
-      val keep = cumBefore * 10000L < coveragePermyriad.toLong * total
+      val keep = BigInt(cumBefore) * BigInt(10000) < covTotal
       cumBefore += n
       keep
     }
@@ -349,12 +356,15 @@ object Unigram {
       }
       v
     }
-    def skip(wire: Int): Unit = (wire: @unchecked) match {
-      case 0 => varint()
-      case 1 => i += 8
-      case 2 => val l = varint().toInt; i += l
-      case 5 => i += 4
-      case w => throw new IllegalArgumentException(s"unsupported wire type $w in model proto")
+    def skip(wire: Int): Unit = {
+      (wire: @unchecked) match {
+        case 0 => varint()
+        case 1 => i += 8
+        case 2 => val l = varint().toInt; require(l >= 0, "negative length in model proto"); i += l
+        case 5 => i += 4
+        case w => throw new IllegalArgumentException(s"unsupported wire type $w in model proto")
+      }
+      require(i <= b.length, "truncated skipped field in model proto")
     }
     val out = scala.collection.mutable.ArrayBuffer.empty[SpPiece]
     while (i < b.length) {
@@ -368,8 +378,11 @@ object Unigram {
           val t2 = varint(); val f2 = (t2 >>> 3).toInt; val w2 = (t2 & 7).toInt
           (f2, w2) match {
             case (1, 2) =>
-              val l = varint().toInt; piece = new String(b, i, l, "UTF-8"); i += l
+              val l = varint().toInt
+              require(l >= 0 && i + l <= end, "truncated piece string in model proto")
+              piece = new String(b, i, l, "UTF-8"); i += l
             case (2, 5) =>
+              require(i + 4 <= end, "truncated piece score in model proto")
               val bits = (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8) |
                 ((b(i + 2) & 0xff) << 16) | ((b(i + 3) & 0xff) << 24)
               score = java.lang.Float.intBitsToFloat(bits); i += 4
@@ -377,6 +390,7 @@ object Unigram {
             case _ => skip(w2)
           }
         }
+        require(i == end, "malformed piece submessage in model proto")
         out += SpPiece(piece, score, ptype)
       } else skip(wire)
     }

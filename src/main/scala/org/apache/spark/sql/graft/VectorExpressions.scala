@@ -639,6 +639,12 @@ case class ByteFallbackIdsExpr(child: Expression, vocab: Seq[(String, Int)],
     val out = new scala.collection.mutable.ArrayBuffer[Any](n + 4)
     var i = 0
     while (i < n) {
+      // the declared input type admits nullable elements even though the
+      // intended producer (UnigramViterbiExpr) never emits them — fail
+      // loudly rather than NPE inside getUTF8String
+      if (arr.isNullAt(i))
+        throw new IllegalArgumentException(
+          s"byte_fallback_ids: null token at position $i — input tokens must be non-null")
       val s = arr.getUTF8String(i)
       val id = ids.get(s)
       if (id != null) out += id

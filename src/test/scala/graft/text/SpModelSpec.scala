@@ -79,6 +79,40 @@ class SpModelSpec extends AnyFunSuite {
     }
   }
 
+  test("parser: every truncation of a model either parses a piece-list prefix or fails cleanly") {
+    // a user-supplied .model can arrive truncated or corrupt: the parser
+    // must never ArrayIndexOutOfBounds and never silently mis-parse —
+    // every prefix of the wire bytes either yields an exact PREFIX of
+    // the full piece list (cut fell on a piece boundary) or raises the
+    // parser's own IllegalArgumentException grammar
+    val ps = GenSpModel.pieces.take(12)
+    val full = Unigram.parseModelProto(GenSpModel.encode(ps))
+    val bytes = GenSpModel.encode(ps)
+    (0 until bytes.length).foreach { cut =>
+      val t = java.util.Arrays.copyOf(bytes, cut)
+      try {
+        val got = Unigram.parseModelProto(t)
+        assert(got == full.take(got.size),
+          s"truncation at $cut must yield a prefix of the full list")
+      } catch {
+        case e: IllegalArgumentException =>
+          assert(e.getMessage.contains("model proto"),
+            s"truncation at $cut must fail with the parser's grammar, got: ${e.getMessage}")
+      }
+    }
+    // corrupt inner length: a piece submessage whose string length runs
+    // past the submessage end must trip the bounds require, not read
+    // neighbouring bytes
+    val corrupt = bytes.clone()
+    // find the first piece's string-length byte (tag 0x0a len ... tag 0x0a len)
+    assert((corrupt(0) & 0xff) == 0x0a)
+    val subLen = corrupt(1) & 0xff
+    assert((corrupt(2) & 0xff) == 0x0a)
+    corrupt(3) = (subLen + 100).toByte // string claims to be longer than its submessage
+    val err = intercept[IllegalArgumentException](Unigram.parseModelProto(corrupt))
+    assert(err.getMessage.contains("model proto"))
+  }
+
   test("tokenIdsFromModel: model ids, byte fallback at model byte ids, </s>, lossless decode") {
     val m = Unigram.externalFixtureModel()
     val df = Seq(

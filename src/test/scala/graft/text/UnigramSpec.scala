@@ -166,6 +166,22 @@ class UnigramSpec extends AnyFunSuite {
       (i >= Unigram.ByteBase && i < Unigram.ByteBase + Unigram.BytePieces + vocab.size)))
   }
 
+  test("byte fallback: a null token element fails with a clear message, not NPE") {
+    // the declared input type (array<string> with nullable elements) is
+    // wider than what UnigramViterbiExpr produces — a direct caller
+    // feeding a null element must get the expression's own error
+    val df = Seq(Tuple1(Seq[String]("scan", null, "x"))).toDF("toks")
+    val e = intercept[Exception] {
+      df.select(org.apache.spark.sql.graft.VectorExpressions.byteFallbackIds(
+        col("toks"), Seq(("scan", 300)), Unigram.ByteBase)).collect()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).toSeq
+    assert(chain(e).exists(c => c.isInstanceOf[IllegalArgumentException] &&
+      c.getMessage.contains("null token")),
+      s"expected the byte_fallback_ids null-token error, got: $e")
+  }
+
   test("▁-marked pipeline round-trips: decode(tokenIds(text)) == normalize(text), byte fallback included") {
     val train = Seq((1L, "Scan merge scan"), (2L, "merge  join   scan")).toDF("doc_id", "text")
     val vocab = Unigram.trainVocab(train, rounds = 2, maxPieceLen = 4, topMulti = 30, marker = true)
