@@ -95,7 +95,7 @@ object Bpe {
   private[text] val Sep = "\u0001"
 
   /** Adjacent symbol pairs of `syms` as (a, b) structs. */
-  private def adjacentPairs(syms: Column): Column =
+  private[text] def adjacentPairs(syms: Column): Column =
     transform(slice(syms, lit(1), size(syms) - 1),
       (x, i) => struct(x.as("a"), element_at(syms, i + lit(2)).as("b")))
 

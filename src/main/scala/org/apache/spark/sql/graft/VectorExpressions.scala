@@ -742,6 +742,169 @@ case class UnigramDecodeExpr(child: Expression, vocab: Seq[(String, Int)],
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** BERT's WordPiece greedy longest-match-first segmentation (Schuster &
+  * Nakajima, ICASSP 2012; the released BERT `WordpieceTokenizer`
+  * algorithm) as ONE codegen kernel per DISTINCT word: walk the word
+  * left to right, at each position take the LONGEST vocabulary piece
+  * that matches (continuation positions probe with the `##` prefix);
+  * if no piece matches at some position the ENTIRE word becomes the
+  * unknown token — the published is_bad semantics, not a per-char
+  * fallback. Words longer than `maxInputChars` are unknown outright
+  * (the reference implementation's max_input_chars_per_word guard).
+  * The vocabulary rides as a hashed reference object (O(1) membership
+  * at any vocabulary size); per-position probes are bounded by the
+  * longest piece's character length, never vocabulary size. Input is
+  * the word's character array (code-point faithful — the same
+  * `split(word, "")` device the unigram kernel uses, so surrogate
+  * pairs stay whole and DuckDB's character-indexed `substr` replays
+  * positions exactly). */
+case class WordPieceExpr(
+    child: Expression, vocab: Seq[String], unkToken: String,
+    contPrefix: String, maxInputChars: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(vocab.nonEmpty, "empty vocabulary")
+  require(vocab.distinct.length == vocab.length, "duplicate piece in vocabulary")
+  require(maxInputChars >= 1, s"maxInputChars must be >= 1, got $maxInputChars")
+  require(contPrefix.nonEmpty, "empty continuation prefix")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "wordpiece_greedy"
+
+  @transient private lazy val pieceSet: java.util.HashSet[org.apache.spark.unsafe.types.UTF8String] = {
+    val s = new java.util.HashSet[org.apache.spark.unsafe.types.UTF8String](vocab.size * 2)
+    vocab.foreach(p => s.add(org.apache.spark.unsafe.types.UTF8String.fromString(p)))
+    s
+  }
+  // longest CONTENT a piece can match: its code-point count (the ##
+  // prefix is re-added at probe time, so this over-counts continuation
+  // pieces by the prefix length — a safe upper bound on probe length)
+  @transient private lazy val maxPieceChars: Int =
+    vocab.map(p => p.codePointCount(0, p.length)).max
+  @transient private lazy val prefixU8 =
+    org.apache.spark.unsafe.types.UTF8String.fromString(contPrefix)
+  @transient private lazy val unkU8 =
+    org.apache.spark.unsafe.types.UTF8String.fromString(unkToken)
+
+  def segment(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    val chars = new Array[org.apache.spark.unsafe.types.UTF8String](n)
+    var i = 0
+    while (i < n) {
+      if (arr.isNullAt(i)) return null
+      chars(i) = arr.getUTF8String(i).clone()
+      i += 1
+    }
+    if (n == 0) return new GenericArrayData(Array.empty[Any])
+    if (n > maxInputChars)
+      return new GenericArrayData(Array[Any](unkU8))
+    val out = new java.util.ArrayList[org.apache.spark.unsafe.types.UTF8String]()
+    var start = 0
+    while (start < n) {
+      var end = math.min(n, start + maxPieceChars)
+      var found: org.apache.spark.unsafe.types.UTF8String = null
+      while (end > start && found == null) {
+        val sub = org.apache.spark.unsafe.types.UTF8String
+          .concat(java.util.Arrays.copyOfRange(chars, start, end): _*)
+        val cand =
+          if (start > 0) org.apache.spark.unsafe.types.UTF8String.concat(prefixU8, sub)
+          else sub
+        if (pieceSet.contains(cand)) found = cand
+        else end -= 1
+      }
+      if (found == null)
+        return new GenericArrayData(Array[Any](unkU8)) // is_bad: whole word -> [UNK]
+      out.add(found)
+      start = end
+    }
+    new GenericArrayData(out.toArray.asInstanceOf[Array[Any]])
+  }
+
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(a: Any): Any = segment(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("wordPieceGreedy", this, classOf[WordPieceExpr].getName)
+    nullSafeCodeGen(ctx, ev, a => s"""
+      ${ev.value} = $ref.segment($a);
+      ${ev.isNull} = (${ev.value} == null);""")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Token ids -> text for the BERT WordPiece id layout — the decode
+  * direction of the WordPiece tokenizer as one codegen kernel over a
+  * hashed id -> piece table: control ids (`dropIds` — [PAD]/[CLS]/
+  * [SEP]/[MASK], NOT [UNK]) contribute nothing, a `##`-prefixed piece
+  * appends to the previous word with the prefix stripped, any other
+  * piece starts a new whitespace-separated word, and a foreign id
+  * nulls the result (corrupted input surfaces, never silently
+  * truncates). */
+case class WordPieceDecodeExpr(child: Expression, vocab: Seq[(String, Int)],
+    contPrefix: String, dropIds: Seq[Int])
+    extends UnaryExpression with ExpectsInputTypes {
+  require(vocab.nonEmpty, "empty vocabulary")
+  require(vocab.map(_._2).distinct.length == vocab.length,
+    "duplicate id in vocabulary — decoding would be ambiguous")
+  require(contPrefix.nonEmpty, "empty continuation prefix")
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(org.apache.spark.sql.types.IntegerType))
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "wordpiece_decode"
+
+  @transient private lazy val pieceById: java.util.HashMap[Integer, String] = {
+    val m = new java.util.HashMap[Integer, String](vocab.size * 2)
+    vocab.foreach { case (p, id) => m.put(Integer.valueOf(id), p) }
+    m
+  }
+  @transient private lazy val dropSet: java.util.HashSet[Integer] = {
+    val s = new java.util.HashSet[Integer](dropIds.size * 2)
+    dropIds.foreach(i => s.add(Integer.valueOf(i)))
+    s
+  }
+
+  def decode(arr: ArrayData): org.apache.spark.unsafe.types.UTF8String = {
+    val n = arr.numElements()
+    val sb = new java.lang.StringBuilder(n * 4)
+    var i = 0
+    var wrote = false
+    while (i < n) {
+      if (arr.isNullAt(i)) return null
+      val id = Integer.valueOf(arr.getInt(i))
+      if (!dropSet.contains(id)) {
+        val p = pieceById.get(id)
+        if (p == null) return null
+        if (p.startsWith(contPrefix) && wrote) sb.append(p, contPrefix.length, p.length)
+        else {
+          if (wrote) sb.append(' ')
+          sb.append(p)
+          wrote = true
+        }
+      }
+      i += 1
+    }
+    org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString)
+  }
+
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(a: Any): Any = decode(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("wordPieceDecoder", this, classOf[WordPieceDecodeExpr].getName)
+    nullSafeCodeGen(ctx, ev, a => s"""
+      ${ev.value} = $ref.decode($a);
+      ${ev.isNull} = (${ev.value} == null);""")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Codegen Bloom-filter membership probe over a string column — the
   * map-side prefilter of the bloom-accelerated decontamination path.
   * The sketch rides inside the expression as a reference object (task
@@ -1536,6 +1699,19 @@ object VectorExpressions {
   def byteFallbackIds(syms: Column, vocab: Seq[(String, Int)], byteBase: Int): Column =
     ExpressionUtils.column(
       ByteFallbackIdsExpr(ExpressionUtils.expression(syms), vocab, byteBase))
+
+  /** Codegen WordPiece greedy longest-match segmentation (see
+    * [[WordPieceExpr]]). */
+  def wordPieceGreedy(chars: Column, vocab: Seq[String], unkToken: String,
+      contPrefix: String, maxInputChars: Int): Column =
+    ExpressionUtils.column(WordPieceExpr(
+      ExpressionUtils.expression(chars), vocab, unkToken, contPrefix, maxInputChars))
+
+  /** Codegen WordPiece id decode (see [[WordPieceDecodeExpr]]). */
+  def wordPieceDecode(ids: Column, vocab: Seq[(String, Int)],
+      contPrefix: String, dropIds: Seq[Int]): Column =
+    ExpressionUtils.column(WordPieceDecodeExpr(
+      ExpressionUtils.expression(ids), vocab, contPrefix, dropIds))
 
   /** Codegen unigram byte-fallback id decode (see [[UnigramDecodeExpr]]). */
   def unigramDecode(ids: Column, vocab: Seq[(String, Int)],
