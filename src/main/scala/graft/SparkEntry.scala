@@ -861,6 +861,169 @@ object SparkEntry {
              applyToExt = false, coveragePermyriad = coveragePermyriad)}
        |$unigramIdsFinalSelectSql""".stripMargin
 
+  // ---- WordPiece (BERT-family) oracles -------------------------------
+
+  /** WordPiece round-0 word table: ##-marked symbolization + weighted
+    * counts over `documents` (the training corpus). */
+  private def wpW0Sql: String =
+    s"""wpt AS (SELECT $ToksSql AS toks FROM documents),
+       |w0 AS MATERIALIZED (
+       |  SELECT list_concat([sl[1]], list_transform(sl[2:], c -> '##' || c)) AS syms,
+       |         count(*) AS cnt
+       |  FROM (SELECT string_split(word, '') AS sl
+       |        FROM (SELECT unnest(toks) AS word FROM wpt) WHERE len(word) > 0)
+       |  GROUP BY 1)""".stripMargin
+
+  /** One WordPiece training round: weighted adjacent-pair counts,
+    * weighted symbol-occurrence counts, the likelihood-score argmax
+    * (`n / (n_lhs · n_rhs)` in float64 — exactly the Spark trainer's
+    * cast order), ties to (lhs, rhs); then the shared left fold
+    * applies the single picked merge (the `##` marker of the right
+    * operand drops on merge). An exhausted pair table leaves `s\$r`
+    * empty and the LEFT JOIN passes every word through. */
+  private def wpRoundSql(r: Int): String =
+    s"""p$r AS (SELECT s.syms[i] AS a, s.syms[i+1] AS b, s.cnt
+       |  FROM w${r - 1} s, unnest(range(1, len(s.syms))) AS u(i)),
+       |c$r AS (SELECT a, b, sum(cnt) AS n FROM p$r GROUP BY 1, 2),
+       |u$r AS (SELECT sym, sum(cnt) AS ns
+       |  FROM (SELECT unnest(s.syms) AS sym, s.cnt AS cnt FROM w${r - 1} s)
+       |  GROUP BY 1),
+       |s$r AS MATERIALIZED (
+       |  SELECT c.a, c.b, c.n,
+       |    CAST(c.n AS DOUBLE) / (CAST(ga.ns AS DOUBLE) * CAST(gb.ns AS DOUBLE)) AS score,
+       |    CASE WHEN c.b LIKE '##%' THEN c.a || c.b[3:] ELSE c.a || c.b END AS m
+       |  FROM c$r c JOIN u$r ga ON ga.sym = c.a JOIN u$r gb ON gb.sym = c.b
+       |  ORDER BY score DESC, c.a, c.b LIMIT 1),
+       |w$r AS MATERIALIZED (SELECT s.cnt,
+       |  CASE WHEN m.a IS NULL THEN s.syms ELSE
+       |  list_reduce(list_transform(s.syms, x -> [x]),
+       |    (acc, x) -> CASE WHEN acc[-1] = m.a AND x[1] = m.b
+       |                THEN list_append(acc[1:-2], m.m)
+       |                ELSE list_concat(acc, x) END) END AS syms
+       |  FROM w${r - 1} s LEFT JOIN s$r m ON TRUE)""".stripMargin
+
+  /** The WordPiece trainer oracle: `numMerges` unrolled single-merge
+    * rounds, then every round's pick with a global merge_rank. */
+  private def wpMergesOracleSql(numMerges: Int): String =
+    s"""WITH $wpW0Sql,
+       |${(1 to numMerges).map(wpRoundSql).mkString(",\n")},
+       |sel AS (${(1 to numMerges).map(r =>
+           s"SELECT $r AS rnd, a, b, n, score FROM s$r").mkString(" UNION ALL ")})
+       |SELECT CAST(row_number() OVER (ORDER BY rnd) AS INTEGER) AS merge_rank,
+       |       a AS lhs, b AS rhs, CAST(n AS BIGINT) AS pair_count, score
+       |FROM sel ORDER BY merge_rank""".stripMargin
+
+  /** Shared prefix of the WordPiece apply oracles: the replayed
+    * training rounds, the derived vocabulary (alphabet ∪ merge
+    * outputs), the greedy longest-match-first walk UNROLLED as
+    * `unroll` piece layers over the EXTENDED corpus's distinct words
+    * (per layer: the longest vocab piece at the current position via a
+    * length-unnest join + max, candidate lengths bounded by `lmax` —
+    * the longest possible piece, every piece being a substring of a
+    * training word; an unmatchable position turns the WHOLE word into
+    * [UNK], the published is_bad semantics), then the positional
+    * rejoin ending at `agg(doc_id, subs)`. */
+  private def wpGreedyAggSqlPrefix(numMerges: Int, unroll: Int, lmax: Int): String =
+    s"""WITH ext AS ($extDocsSqlCte),
+       |$wpW0Sql,
+       |${(1 to numMerges).map(wpRoundSql).mkString(",\n")},
+       |sel AS (${(1 to numMerges).map(r =>
+           s"SELECT $r AS rnd, m FROM s$r").mkString(" UNION ALL ")}),
+       |valph AS (SELECT DISTINCT unnest(syms) AS piece FROM w0),
+       |vocab AS MATERIALIZED (SELECT DISTINCT piece FROM
+       |  (SELECT piece FROM valph UNION ALL SELECT m AS piece FROM sel)),
+       |xt AS (SELECT doc_id, $ToksSql AS toks FROM ext),
+       |gw AS (SELECT DISTINCT word FROM (SELECT unnest(toks) AS word FROM xt)
+       |       WHERE len(word) > 0),
+       |g0 AS (SELECT word, length(word) AS len, 1 AS pos,
+       |              CAST([] AS VARCHAR[]) AS out, FALSE AS done FROM gw),
+       |${(1 to unroll).map { k =>
+           s"""bb$k AS (SELECT g.word, max(u.l) AS bl
+              |  FROM g${k - 1} g, unnest(range(1, $lmax + 1)) AS u(l), vocab v
+              |  WHERE NOT g.done AND g.pos + u.l - 1 <= g.len
+              |    AND v.piece = CASE WHEN g.pos = 1
+              |      THEN substring(g.word, g.pos, CAST(u.l AS INT))
+              |      ELSE '##' || substring(g.word, g.pos, CAST(u.l AS INT)) END
+              |  GROUP BY g.word),
+              |g$k AS MATERIALIZED (
+              |  SELECT g.word, g.len,
+              |    CASE WHEN g.done THEN g.pos
+              |         ELSE coalesce(g.pos + b.bl, g.len + 1) END AS pos,
+              |    CASE WHEN g.done THEN g.out
+              |         WHEN b.bl IS NULL THEN ['[UNK]']
+              |         ELSE list_append(g.out, CASE WHEN g.pos = 1
+              |           THEN substring(g.word, g.pos, CAST(b.bl AS INT))
+              |           ELSE '##' || substring(g.word, g.pos, CAST(b.bl AS INT)) END)
+              |    END AS out,
+              |    CASE WHEN g.done OR b.bl IS NULL
+              |           OR g.pos + b.bl > g.len THEN TRUE ELSE FALSE END AS done
+              |  FROM g${k - 1} g LEFT JOIN bb$k b USING (word))""".stripMargin
+         }.mkString(",\n")},
+       |pos AS (SELECT doc_id, i AS pos, toks[i] AS word
+       |        FROM xt, unnest(range(1, len(toks) + 1)) AS u(i)),
+       |dtok AS (SELECT p.doc_id, p.pos, g$unroll.out
+       |         FROM pos p JOIN g$unroll ON g$unroll.word = p.word),
+       |agg AS (SELECT doc_id, flatten(list(out ORDER BY pos)) AS subs
+       |        FROM dtok GROUP BY 1)""".stripMargin
+
+  private def wpTokenizeOracleSql(numMerges: Int, unroll: Int, lmax: Int): String =
+    s"""${wpGreedyAggSqlPrefix(numMerges, unroll, lmax)}
+       |SELECT e.doc_id, CAST(len(a.subs) AS BIGINT) AS n_pieces,
+       |       CAST(len(list_filter(a.subs, x -> x = '[UNK]')) AS BIGINT) AS n_unk,
+       |       md5(array_to_string(a.subs, ' ')) AS pieces_md5
+       |FROM ext e JOIN agg a USING (doc_id) ORDER BY e.doc_id""".stripMargin
+
+  /** The vocab.txt id table + per-document id lists (`wids(doc_id,
+    * tids)`): specials 0–4, alphabet sorted from 5, merge outputs in
+    * first-rank order (duplicate outputs keep their first id), a
+    * `[CLS] … [SEP]` frame per document. */
+  private def wpIdsCtes(numMerges: Int, unroll: Int, lmax: Int): String =
+    s"""${wpGreedyAggSqlPrefix(numMerges, unroll, lmax)},
+       |vid AS MATERIALIZED (
+       |  SELECT piece, CAST(4 + row_number() OVER (ORDER BY grp, ord, piece) AS INT) AS id
+       |  FROM (SELECT 0 AS grp, 0 AS ord, piece FROM valph
+       |        UNION ALL
+       |        SELECT 1 AS grp, min(rnd) AS ord, m AS piece FROM sel
+       |        WHERE m NOT IN (SELECT piece FROM valph) GROUP BY m)),
+       |vmap AS (SELECT map(list(piece), list(id)) AS m FROM
+       |  (SELECT piece, id FROM vid UNION ALL
+       |   SELECT * FROM (VALUES ('[PAD]', 0), ('[UNK]', 1), ('[CLS]', 2),
+       |                         ('[SEP]', 3), ('[MASK]', 4)) AS sp(piece, id))),
+       |wids AS (SELECT a.doc_id,
+       |    list_append(list_prepend(2, list_transform(a.subs,
+       |      s -> map_extract(v.m, s)[1])), 3) AS tids
+       |  FROM agg a, vmap v)""".stripMargin
+
+  private def wpIdsOracleSql(numMerges: Int, unroll: Int, lmax: Int): String =
+    s"""${wpIdsCtes(numMerges, unroll, lmax)}
+       |SELECT e.doc_id, CAST(len(i.tids) AS BIGINT) AS n_tokens,
+       |       CAST(len(list_filter(i.tids, x -> x = 1)) AS BIGINT) AS n_unk,
+       |       md5(array_to_string(i.tids, ',')) AS ids_md5
+       |FROM ext e JOIN wids i USING (doc_id) ORDER BY e.doc_id""".stripMargin
+
+  /** WordPiece decode oracle: control ids (0,2,3,4 — not [UNK]) drop,
+    * ids map back through the reverse vocab, `##` pieces glue to the
+    * previous word, everything else opens a space-separated word. The
+    * `lossless` flag compares against the normalized source text, so
+    * the round-trip itself sits under the hash gate ([UNK] rows are
+    * honestly false). */
+  private def wpDetokenizeOracleSql(numMerges: Int, unroll: Int, lmax: Int): String =
+    s"""${wpIdsCtes(numMerges, unroll, lmax)},
+       |rmap AS (SELECT map(list(id), list(piece)) AS m FROM
+       |  (SELECT piece, id FROM vid UNION ALL VALUES ('[UNK]', 1))),
+       |dp AS (SELECT i.doc_id,
+       |    list_transform(list_filter(i.tids, x -> NOT list_contains([0, 2, 3, 4], x)),
+       |                   x -> map_extract(r.m, x)[1]) AS ps
+       |  FROM wids i, rmap r),
+       |rt AS (SELECT doc_id,
+       |    list_reduce(ps, (acc, x) -> acc ||
+       |      CASE WHEN x LIKE '##%' THEN x[3:] ELSE ' ' || x END) AS text_rt,
+       |    len(list_filter(ps, x -> x = '[UNK]')) AS nu
+       |  FROM dp)
+       |SELECT e.doc_id, r.text_rt, CAST(r.nu AS BIGINT) AS n_unk,
+       |       r.text_rt = $NormSql AS lossless
+       |FROM ext e JOIN rt r USING (doc_id) ORDER BY e.doc_id""".stripMargin
+
   /** UTF-8 encoding of code point `cp` as an INT list, stated as SQL
     * arithmetic (surrogates cannot occur in valid strings; the 4-byte
     * plane covers the rest) — shared by every oracle that re-derives
@@ -1894,6 +2057,105 @@ object SparkEntry {
         .join(x, "doc_id")
         .select(col("doc_id"), col("text_rt"),
           (col("text_rt") === graft.text.TextAnalysis.normalizeText(col("text")))
+            .as("lossless"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // WORDPIECE training (the BERT family — Schuster & Nakajima 2012,
+    // Wu et al. 2016; the THIRD production tokenizer family next to
+    // BPE and unigram): iterative best-pair merges over the
+    // distinct-word table, scored by LIKELIHOOD GAIN
+    // n(a,b)/(n(a)·n(b)) rather than raw frequency, `##` continuation
+    // markers. One merge per round (the published trainer's shape —
+    // the score changes after every merge). Reads through the
+    // persisted merge artifact; the oracle replays every round's
+    // pair/single counts and the float64 argmax exactly.
+    "corpus_wordpiece_merges" -> ((s, dir) => {
+      val artDir =
+        s"${System.getProperty("java.io.tmpdir")}/graft_wordpiece_${dirKey(dir)}"
+      graft.text.WordPiece.ensureMergeArtifact(s, docs(s, dir), artDir,
+        numMerges = 8)
+      graft.text.WordPiece.mergesFromArtifact(s, artDir)
+    }),
+
+    // WORDPIECE inference — NOT merge replay: the released
+    // WordpieceTokenizer greedily takes the LONGEST vocabulary piece
+    // at each position (##-prefixed at continuation positions); a
+    // position matching nothing turns the whole word into [UNK] (the
+    // is_bad semantics). Train on `documents`, apply to the EXTENDED
+    // corpus — whose digits/accents/CJK/emoji are outside the trained
+    // alphabet, exactly where [UNK] fires. One codegen kernel per
+    // DISTINCT word (WordPieceExpr), positional rejoin.
+    "doc_wordpiece_tokenize" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val artDir =
+        s"${System.getProperty("java.io.tmpdir")}/graft_wordpiece_${dirKey(dir)}"
+      graft.text.WordPiece.ensureMergeArtifact(s, d, artDir, numMerges = 8)
+      val merges = graft.text.WordPiece.loadMergePairs(s, artDir)
+      val vocab = graft.text.WordPiece.vocabWithIds(
+        graft.text.WordPiece.alphabetOf(d), merges)
+      graft.text.WordPiece.tokenize(
+          extDocs(s, dir), graft.text.WordPiece.matchPieces(vocab))
+        .select(col("doc_id"),
+          size(col("wp_tokens")).cast("long").as("n_pieces"),
+          size(filter(col("wp_tokens"),
+            x => x === lit(graft.text.WordPiece.UnkToken)))
+            .cast("long").as("n_unk"),
+          md5(concat_ws(" ", col("wp_tokens"))).as("pieces_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // WORDPIECE TOKEN IDS under the BERT vocab.txt conventions:
+    // specials [PAD]=0 [UNK]=1 [CLS]=2 [SEP]=3 [MASK]=4, the alphabet
+    // from 5, merge outputs in rank order (first id wins on
+    // duplicates); every document framed [CLS] … [SEP]. Greedy
+    // segmentation AND the hashed O(1) piece->id probe both run inside
+    // the word cache.
+    "doc_wordpiece_ids" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val artDir =
+        s"${System.getProperty("java.io.tmpdir")}/graft_wordpiece_${dirKey(dir)}"
+      graft.text.WordPiece.ensureMergeArtifact(s, d, artDir, numMerges = 8)
+      val merges = graft.text.WordPiece.loadMergePairs(s, artDir)
+      val vocab = graft.text.WordPiece.vocabWithIds(
+        graft.text.WordPiece.alphabetOf(d), merges)
+      graft.text.WordPiece.tokenIds(extDocs(s, dir), vocab)
+        .select(col("doc_id"),
+          size(col("token_ids")).cast("long").as("n_tokens"),
+          size(filter(col("token_ids"),
+            x => x === lit(graft.text.WordPiece.UnkId)))
+            .cast("long").as("n_unk"),
+          md5(concat_ws(",", col("token_ids"))).as("ids_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // WORDPIECE DECODE — ids back to text as one codegen kernel
+    // (WordPieceDecodeExpr): control ids ([PAD]/[CLS]/[SEP]/[MASK])
+    // drop, ## pieces glue to the previous word, everything else
+    // ([UNK] included) opens a space-separated word. `lossless`
+    // compares against the normalized source, so the round-trip sits
+    // under the driver's hash gate — [UNK]-carrying rows are honestly
+    // false, everything the vocabulary covers comes back exactly.
+    "doc_wordpiece_detokenize" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val x = extDocs(s, dir)
+      val artDir =
+        s"${System.getProperty("java.io.tmpdir")}/graft_wordpiece_${dirKey(dir)}"
+      graft.text.WordPiece.ensureMergeArtifact(s, d, artDir, numMerges = 8)
+      val merges = graft.text.WordPiece.loadMergePairs(s, artDir)
+      val vocab = graft.text.WordPiece.vocabWithIds(
+        graft.text.WordPiece.alphabetOf(d), merges)
+      graft.text.WordPiece.tokenIds(x, vocab)
+        .select(col("doc_id"),
+          graft.text.WordPiece.decodeIds(col("token_ids"), vocab)
+            .as("text_rt"),
+          size(filter(col("token_ids"),
+            i => i === lit(graft.text.WordPiece.UnkId)))
+            .cast("long").as("n_unk"))
+        .join(x, "doc_id")
+        .select(col("doc_id"), col("text_rt"), col("n_unk"),
+          (col("text_rt") ===
+            graft.text.TextAnalysis.normalizeText(col("text")))
             .as("lossless"))
         .orderBy(col("doc_id"))
     }),
@@ -4107,6 +4369,10 @@ object SparkEntry {
     "doc_unigram_byte_fallback" -> unigramByteFallbackOracleSql(rounds = 2, maxPieceLen = 4, topMulti = 150),
     "doc_unigram_detokenize" -> unigramDetokenizeOracleSql(rounds = 2, maxPieceLen = 4, topMulti = 150),
     "doc_unigram_coverage" -> unigramCoverageOracleSql(rounds = 2, maxPieceLen = 4, topMulti = 150, coveragePermyriad = 9800),
+    "corpus_wordpiece_merges" -> wpMergesOracleSql(numMerges = 8),
+    "doc_wordpiece_tokenize" -> wpTokenizeOracleSql(numMerges = 8, unroll = 40, lmax = 10),
+    "doc_wordpiece_ids" -> wpIdsOracleSql(numMerges = 8, unroll = 40, lmax = 10),
+    "doc_wordpiece_detokenize" -> wpDetokenizeOracleSql(numMerges = 8, unroll = 40, lmax = 10),
     // streaming over a PARTITION of the corpus == the batch run —
     // statelessness replayed as plain batch semantics
     "stream_tokenize_ids" -> unigramStreamTokenizeOracleSql(rounds = 2, maxPieceLen = 4, topMulti = 150, coveragePermyriad = 9800),

@@ -148,13 +148,32 @@ object WordPiece {
       .orderBy("merge_rank")
   }
 
+  /** UTF-8 byte order (unsigned) — the order Spark's UTF8String
+    * comparison AND DuckDB's VARCHAR collation use. Driver-side string
+    * sorts must use THIS, not Scala's default UTF-16 `Ordering[String]`
+    * (the two disagree above the BMP: surrogate pairs sort below
+    * U+E000..U+FFFF in UTF-16, above in UTF-8). */
+  private[text] val utf8Order: Ordering[String] = new Ordering[String] {
+    def compare(x: String, y: String): Int = {
+      val a = x.getBytes("UTF-8"); val b = y.getBytes("UTF-8")
+      val n = math.min(a.length, b.length)
+      var i = 0
+      while (i < n) {
+        val d = (a(i) & 0xff) - (b(i) & 0xff)
+        if (d != 0) return d
+        i += 1
+      }
+      a.length - b.length
+    }
+  }
+
   /** The corpus ALPHABET — distinct round-0 symbols (first-position
-    * characters plus their `##` continuations), sorted. Vocab-bounded
-    * collect. */
+    * characters plus their `##` continuations), sorted in UTF-8 byte
+    * order (the oracle's collation). Vocab-bounded collect. */
   def alphabetOf(df: DataFrame, textCol: String = "text"): Seq[String] =
     wordTable(df, textCol)
       .select(explode(col("syms")).as("s")).distinct()
-      .collect().map(_.getString(0)).sorted.toSeq
+      .collect().map(_.getString(0)).sorted(utf8Order).toSeq
 
   /** The vocab.txt a trained WordPiece tokenizer ships, as
     * (piece, id): specials at 0–4 ([[Specials]]), the alphabet sorted
@@ -165,7 +184,8 @@ object WordPiece {
       alphabet: Seq[String], merges: Seq[(String, String)]): Seq[(String, Int)] = {
     val out = ArrayBuffer.empty[String]
     val seen = scala.collection.mutable.Set.empty[String]
-    (Specials ++ alphabet.sorted ++ merges.map { case (a, b) => mergedSym(a, b) })
+    (Specials ++ alphabet.sorted(utf8Order) ++
+        merges.map { case (a, b) => mergedSym(a, b) })
       .foreach { p => if (!seen(p)) { out += p; seen += p } }
     out.toSeq.zipWithIndex
   }

@@ -168,4 +168,17 @@ class WordPieceSpec extends AnyFunSuite {
     WordPiece.ensureMergeArtifact(spark, df, dir, numMerges = 5)
     assert(WordPiece.mergesFromArtifact(spark, dir).count() == 5)
   }
+
+  test("alphabet/vocab sort is UTF-8 byte order (cross-engine collation pin)") {
+    // above the BMP, UTF-16 and UTF-8 orders DISAGREE: U+FFFD sorts
+    // below U+1F30D (a surrogate pair) in UTF-8 byte order, but Scala's
+    // default String ordering puts the surrogate lead (0xD83C) first.
+    val hi = "🌍" // U+1F30D, UTF-8 f0 9f 8c 8d
+    val lo = "�"       // UTF-8 ef bf bd
+    assert(Ordering.String.compare(hi, lo) < 0, "UTF-16 order (sanity)")
+    assert(WordPiece.utf8Order.compare(lo, hi) < 0, "UTF-8 order")
+    val v = WordPiece.vocabWithIds(Seq(hi, lo, "a"), Nil)
+    assert(v.drop(5).map(_._1) == Seq("a", lo, hi),
+      s"alphabet ids must follow UTF-8 byte order, got ${v.drop(5)}")
+  }
 }
