@@ -113,6 +113,26 @@ object SparkEntry {
       .map(i => s"(CAST($a[$i] AS DOUBLE) * CAST($b[$i] AS DOUBLE))")
       .mkString(" + ")
 
+  /** Binary-signature CTEs shared by the knn_hamming_* oracles:
+    * per-dimension MIDRANGE thresholds (order-independent min/max —
+    * bit-identical to [[graft.index.Binary.fitThresholds]] under any
+    * partitioning), the bit_or signature build, and the query row's
+    * signature. The sign bit is special-cased: DuckDB's checked `<<`
+    * overflows at shift 63, so bit 64 is the BIGINT min literal. */
+  private def hammingSigCtes: String =
+    s"""thr AS MATERIALIZED (
+       |  SELECT u.i AS i,
+       |    (CAST(min(e.embedding[u.i]) AS DOUBLE) + CAST(max(e.embedding[u.i]) AS DOUBLE)) / 2.0 AS t
+       |  FROM embeddings e, unnest(range(1, ${EmbDim + 1})) AS u(i) GROUP BY u.i),
+       |sigs AS MATERIALIZED (
+       |  SELECT e.vec_id,
+       |    bit_or(CASE WHEN CAST(e.embedding[t.i] AS DOUBLE) > t.t
+       |           THEN (CASE WHEN t.i - 1 = 63 THEN (-9223372036854775807 - 1)
+       |                 ELSE (CAST(1 AS BIGINT) << (t.i - 1)) END)
+       |           ELSE CAST(0 AS BIGINT) END) AS sig
+       |  FROM embeddings e, thr t GROUP BY e.vec_id),
+       |qs AS (SELECT sig AS qsig FROM sigs WHERE vec_id = 0)""".stripMargin
+
   /** DuckDB normalization/tokenization identical to
     * TextAnalysis.normalizeText / tokens (note the 'g' flag — DuckDB
     * regexp_replace is first-match-only by default). */
@@ -3326,6 +3346,60 @@ object SparkEntry {
         .limit(10)
     }),
 
+    // BINARY (1-bit) signatures + Hamming top-k — the heaviest
+    // compression rung on the quantization ladder (float32 256 B →
+    // one 64-bit word, 32×) and the classic first stage of two-stage
+    // retrieval. Thresholds are per-dimension MIDRANGE (min+max)/2:
+    // order-independent aggregates, so every signature bit is
+    // bit-identical across partitionings and engines (a mean's float
+    // summation order would not be). Signature build is a narrow map;
+    // the scan is bit_count(xor) + TakeOrderedAndProject.
+    "knn_hamming_top10" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val thr = graft.index.Binary.fitThresholds(e, EmbDim)
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0)
+      graft.index.Binary.hammingTopK(
+        graft.index.Binary.signatures(e, thr),
+        graft.index.Binary.signatureOf(q, thr), 10)
+    }),
+
+    // Two-stage retrieval (the production shape at 100 TB): Hamming
+    // shortlist of 50 over the 8-byte signatures, then exact float64
+    // rescore of ONLY those rows — the bounded id set re-enters as an
+    // isin predicate and reaches the parquet scan as a pushed filter
+    // (row-group pruning), so full-precision vectors are read for 50
+    // rows, never rescanned. The oracle replays both stages.
+    "knn_hamming_rescore" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val thr = graft.index.Binary.fitThresholds(e, EmbDim)
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0)
+      graft.index.Binary.hammingRescoreTopK(
+        e, graft.index.Binary.signatures(e, thr), q, thr,
+        k = 10, shortlist = 50)
+    }),
+
+    // The 1-bit stage's accuracy, MEASURED and under the hash gate:
+    // how much of the exact top-10 the 50-id Hamming shortlist
+    // retains. Binary signatures trade recall for a 32× scan; the
+    // number is recorded honestly (isotropic synthetic embeddings are
+    // the hard case for sign bits) rather than assumed.
+    "knn_hamming_recall" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val thr = graft.index.Binary.fitThresholds(e, EmbDim)
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0)
+      val short = graft.index.Binary.hammingTopK(
+        graft.index.Binary.signatures(e, thr),
+        graft.index.Binary.signatureOf(q, thr), 50).select("vec_id")
+      VectorSearch.knnExact(e, q, 10).select("vec_id")
+        .join(short, "vec_id")
+        .agg(count(lit(1)).as("n_hit"))
+        .select(lit(50).as("shortlist"), lit(10).as("k"), col("n_hit"),
+          (col("n_hit").cast("double") / 10.0).as("recall"))
+    }),
+
     // Metadata-filtered hybrid search: the label predicate prunes the
     // scan BELOW the top-k (visible as a parquet PushedFilter).
     "knn_hybrid" -> ((s, dir) => {
@@ -4115,6 +4189,39 @@ object SparkEntry {
          |SELECT e.vec_id AS vec_id, ${l2SqSql("e.embedding", "q.qe")} AS dist
          |FROM embeddings e CROSS JOIN q
          |ORDER BY dist ASC, vec_id ASC LIMIT 10""".stripMargin,
+
+    "knn_hamming_top10" ->
+      s"""WITH $hammingSigCtes
+         |SELECT s.vec_id AS vec_id,
+         |       CAST(bit_count(xor(s.sig, q.qsig)) AS INTEGER) AS hamming
+         |FROM sigs s CROSS JOIN qs q
+         |ORDER BY hamming ASC, vec_id ASC LIMIT 10""".stripMargin,
+
+    "knn_hamming_rescore" ->
+      s"""WITH $hammingSigCtes,
+         |short AS MATERIALIZED (
+         |  SELECT s.vec_id FROM sigs s CROSS JOIN qs q
+         |  ORDER BY CAST(bit_count(xor(s.sig, q.qsig)) AS INTEGER) ASC, s.vec_id ASC
+         |  LIMIT 50),
+         |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+         |SELECT e.vec_id AS vec_id, ${l2SqSql("e.embedding", "q.qe")} AS dist
+         |FROM embeddings e JOIN short USING (vec_id) CROSS JOIN q
+         |ORDER BY dist ASC, vec_id ASC LIMIT 10""".stripMargin,
+
+    "knn_hamming_recall" ->
+      s"""WITH $hammingSigCtes,
+         |short AS MATERIALIZED (
+         |  SELECT s.vec_id FROM sigs s CROSS JOIN qs q
+         |  ORDER BY CAST(bit_count(xor(s.sig, q.qsig)) AS INTEGER) ASC, s.vec_id ASC
+         |  LIMIT 50),
+         |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         |exact AS (SELECT e.vec_id FROM embeddings e CROSS JOIN q
+         |          ORDER BY ${l2SqSql("e.embedding", "q.qe")} ASC, e.vec_id ASC
+         |          LIMIT 10)
+         |SELECT CAST(50 AS INTEGER) AS shortlist, CAST(10 AS INTEGER) AS k,
+         |       count(*) AS n_hit,
+         |       CAST(count(*) AS DOUBLE) / 10.0 AS recall
+         |FROM exact JOIN short USING (vec_id)""".stripMargin,
 
     "knn_join_top5" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 3),

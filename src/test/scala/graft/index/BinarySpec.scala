@@ -1,0 +1,108 @@
+package graft.index
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+import graft.ops.VectorSearch
+
+class BinarySpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val dim = 64
+  private lazy val corpus = {
+    val rng = new scala.util.Random(12)
+    (0L until 300L).map(i => (i, Array.fill(dim)(rng.nextFloat() - 0.5f)))
+      .toDF("vec_id", "embedding")
+  }
+
+  private def refSig(v: Array[Float], thr: Array[Double]): Long = {
+    var s = 0L
+    for (i <- v.indices) if (v(i).toDouble > thr(i)) s |= (1L << i)
+    s
+  }
+
+  test("thresholds are per-dimension midrange and partitioning-invariant") {
+    val thr = Binary.fitThresholds(corpus, dim)
+    assert(thr.length == dim)
+    val rows = corpus.select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).toArray)
+    for (i <- 0 until dim) {
+      val xs = rows.map(_(i).toDouble)
+      assert(thr(i) == (xs.min + xs.max) / 2.0, s"dim $i")
+    }
+    // re-fit under a different partitioning: bit-identical (min/max are
+    // order-independent — the property the midrange choice exists for)
+    val thr2 = Binary.fitThresholds(corpus.repartition(7), dim)
+    assert(thr.sameElements(thr2))
+  }
+
+  test("signature expression equals the driver-side reference, bit 63 included") {
+    val thr = Binary.fitThresholds(corpus, dim)
+    val sigs = Binary.signatures(corpus, thr)
+      .as[(Long, Long)].collect().toMap
+    val vecs = corpus.as[(Long, Array[Float])].collect().toMap
+    vecs.foreach { case (id, v) =>
+      assert(sigs(id) == refSig(v, thr), s"vec $id")
+      assert(sigs(id) == Binary.signatureOf(v.toSeq, thr), s"vec $id driver twin")
+    }
+    // some vector exercises the sign bit (dim 64 -> Long.MinValue term)
+    assert(sigs.values.exists(_ < 0L), "no signature with bit 63 set — dim-64 coverage hole")
+  }
+
+  test("hamming top-k: self-query at distance 0, ties to ascending id, k rows") {
+    val thr = Binary.fitThresholds(corpus, dim)
+    val sigs = Binary.signatures(corpus, thr)
+    val q = corpus.filter(col("vec_id") === 5L)
+      .select(col("embedding")).head().getSeq[Float](0)
+    val top = Binary.hammingTopK(sigs, Binary.signatureOf(q, thr), 10).collect()
+    assert(top.length == 10)
+    assert(top.head.getLong(0) == 5L && top.head.getInt(1) == 0)
+    assert(top.map(_.getInt(1)).toSeq == top.map(_.getInt(1)).toSeq.sorted)
+    // verify against a full driver-side recompute
+    val all = Binary.signatures(corpus, thr).as[(Long, Long)].collect()
+      .map { case (id, s) =>
+        (java.lang.Long.bitCount(s ^ refSig(q.toArray, thr)), id) }
+      .sorted.take(10)
+    assert(top.map(r => (r.getInt(1), r.getLong(0))).toSeq == all.toSeq)
+  }
+
+  test("two-stage rescore: exact distances on the shortlist; shortlist>=n degenerates to exact") {
+    val thr = Binary.fitThresholds(corpus, dim)
+    val sigs = Binary.signatures(corpus, thr)
+    val q = corpus.filter(col("vec_id") === 0L)
+      .select(col("embedding")).head().getSeq[Float](0)
+    // with the shortlist covering the whole corpus, two-stage == exact
+    val full = Binary.hammingRescoreTopK(corpus, sigs, q, thr, k = 10, shortlist = 300)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val exact = VectorSearch.knnExact(corpus, q, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(full.toSeq == exact.toSeq)
+    // with a 50-shortlist, results are the exact rescore OF that shortlist
+    val ids = Binary.hammingTopK(sigs, Binary.signatureOf(q, thr), 50)
+      .collect().map(_.getLong(0)).toSet
+    val two = Binary.hammingRescoreTopK(corpus, sigs, q, thr, k = 10, shortlist = 50)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(two.forall { case (id, _) => ids(id) })
+    val expect = VectorSearch.knnExact(
+      corpus.filter(col("vec_id").isin(ids.toSeq: _*)), q, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(two.toSeq == expect.toSeq)
+  }
+
+  test("rescore stage pushes the shortlist ids into the scan (In filter, no second full scan)") {
+    // parquet-backed corpus so PushedFilters is observable
+    val dirF = java.nio.file.Files.createTempDirectory("bin_resc").toString
+    corpus.write.mode("overwrite").parquet(dirF)
+    val pq = spark.read.parquet(dirF)
+    val thr = Binary.fitThresholds(pq, dim)
+    val sigs = Binary.signatures(pq, thr)
+    val q = pq.filter(col("vec_id") === 0L)
+      .select(col("embedding")).head().getSeq[Float](0)
+    val plan = Binary.hammingRescoreTopK(pq, sigs, q, thr, k = 10, shortlist = 20)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [In(vec_id"),
+      s"shortlist must reach the parquet scan as a pushed In filter:\n$plan")
+  }
+}
