@@ -952,7 +952,15 @@ object SparkEntry {
        |valph AS (SELECT DISTINCT unnest(syms) AS piece FROM w0),
        |vocab AS MATERIALIZED (SELECT DISTINCT piece FROM
        |  (SELECT piece FROM valph UNION ALL SELECT m AS piece FROM sel)),
-       |xt AS (SELECT doc_id, $ToksSql AS toks FROM ext),
+       |${wpGreedyTailSql(unroll, lmax)}""".stripMargin
+
+  /** The greedy-walk tail shared by the trained-vocab and external-
+    * vocab WordPiece oracles: consumes `ext(doc_id, text)` and
+    * `vocab(piece)` CTEs, produces `agg(doc_id, subs)` via `unroll`
+    * longest-match layers (candidate lengths bounded by `lmax`) and
+    * the positional rejoin. */
+  private def wpGreedyTailSql(unroll: Int, lmax: Int): String =
+    s"""xt AS (SELECT doc_id, $ToksSql AS toks FROM ext),
        |gw AS (SELECT DISTINCT word FROM (SELECT unnest(toks) AS word FROM xt)
        |       WHERE len(word) > 0),
        |g0 AS (SELECT word, length(word) AS len, 1 AS pos,
@@ -1043,6 +1051,43 @@ object SparkEntry {
        |SELECT e.doc_id, r.text_rt, CAST(r.nu AS BIGINT) AS n_unk,
        |       r.text_rt = $NormSql AS lossless
        |FROM ext e JOIN rt r USING (doc_id) ORDER BY e.doc_id""".stripMargin
+
+  /** External-vocab WordPiece oracle: the fixture `vocab.txt` inlined
+    * as (piece, id) VALUES (line order = id, the file's own layout —
+    * [UNK]/[CLS]/[SEP] at 11–13, NOT this engine's training
+    * constants), bracketed control entries excluded from the greedy
+    * match set, ids through the file's own map. `lmax` derives from
+    * the fixture's longest matchable content. */
+  private def wpExtVocabOracleSql(unroll: Int): String = {
+    val vocab = graft.text.WordPiece.externalFixtureVocab()
+    require(vocab.forall { case (p, _) => !p.contains("'") },
+      "fixture pieces must be quote-free to inline as SQL literals")
+    val values = vocab.map { case (p, i) => s"('$p',$i)" }.mkString(",")
+    val lmax = vocab.map { case (p, _) =>
+      val content = if (p.startsWith("##")) p.substring(2) else p
+      content.codePointCount(0, content.length)
+    }.max
+    s"""WITH ext AS ($extDocsSqlCte),
+       |vraw AS MATERIALIZED (SELECT * FROM (VALUES $values) AS v(piece, id)),
+       |vocab AS MATERIALIZED (
+       |  SELECT piece FROM vraw
+       |  WHERE NOT (piece LIKE '[%' AND piece LIKE '%]')),
+       |${wpGreedyTailSql(unroll, lmax)},
+       |vmap AS (SELECT map(list(piece), list(id)) AS m FROM vraw),
+       |sp AS (SELECT
+       |    (SELECT id FROM vraw WHERE piece = '[UNK]') AS unk,
+       |    (SELECT id FROM vraw WHERE piece = '[CLS]') AS cls,
+       |    (SELECT id FROM vraw WHERE piece = '[SEP]') AS sep),
+       |wids AS (SELECT a.doc_id,
+       |    list_append(list_prepend(sp.cls, list_transform(a.subs,
+       |      s -> map_extract(v.m, s)[1])), sp.sep) AS tids
+       |  FROM agg a, vmap v, sp)
+       |SELECT e.doc_id, CAST(len(i.tids) AS BIGINT) AS n_tokens,
+       |       CAST(len(list_filter(i.tids, x -> x = sp.unk)) AS BIGINT) AS n_unk,
+       |       md5(array_to_string(i.tids, ',')) AS ids_md5
+       |FROM ext e JOIN wids i USING (doc_id), sp
+       |ORDER BY e.doc_id""".stripMargin
+  }
 
   /** UTF-8 encoding of code point `cp` as an INT list, stated as SQL
     * arithmetic (surrogates cannot occur in valid strings; the 4-byte
@@ -2177,6 +2222,26 @@ object SparkEntry {
           (col("text_rt") ===
             graft.text.TextAnalysis.normalizeText(col("text")))
             .as("lossless"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // BRING-YOUR-OWN WordPiece: a released vocab.txt is the COMPLETE
+    // inference artifact (greedy longest-match needs only the
+    // vocabulary — no merges file exists at inference time). The
+    // shipped fixture uses the bert-base layout: [PAD]=0, an
+    // [unusedN] block, [UNK]/[CLS]/[SEP]/[MASK] at 11–14 — ids that
+    // deliberately DIFFER from this engine's training constants, so a
+    // green hash proves the id plumbing is file-driven. Pure
+    // inference: no training pass, one kernel per distinct word.
+    "doc_wordpiece_ext_vocab" -> ((s, dir) => {
+      val vocab = graft.text.WordPiece.externalFixtureVocab()
+      val unkId = vocab.collectFirst { case ("[UNK]", i) => i }.get
+      graft.text.WordPiece.tokenIdsExternal(extDocs(s, dir), vocab)
+        .select(col("doc_id"),
+          size(col("token_ids")).cast("long").as("n_tokens"),
+          size(filter(col("token_ids"), x => x === lit(unkId)))
+            .cast("long").as("n_unk"),
+          md5(concat_ws(",", col("token_ids"))).as("ids_md5"))
         .orderBy(col("doc_id"))
     }),
 
@@ -4480,6 +4545,7 @@ object SparkEntry {
     "doc_wordpiece_tokenize" -> wpTokenizeOracleSql(numMerges = 8, unroll = 40, lmax = 10),
     "doc_wordpiece_ids" -> wpIdsOracleSql(numMerges = 8, unroll = 40, lmax = 10),
     "doc_wordpiece_detokenize" -> wpDetokenizeOracleSql(numMerges = 8, unroll = 40, lmax = 10),
+    "doc_wordpiece_ext_vocab" -> wpExtVocabOracleSql(unroll = 40),
     // streaming over a PARTITION of the corpus == the batch run —
     // statelessness replayed as plain batch semantics
     "stream_tokenize_ids" -> unigramStreamTokenizeOracleSql(rounds = 2, maxPieceLen = 4, topMulti = 150, coveragePermyriad = 9800),

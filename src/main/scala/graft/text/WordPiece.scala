@@ -197,6 +197,48 @@ object WordPiece {
   def matchPieces(vocabIds: Seq[(String, Int)]): Seq[String] =
     vocabIds.map(_._1).filterNot(Specials.contains)
 
+  /** The matchable set for an EXTERNAL vocabulary: every
+    * `[bracketed]` entry is control ([PAD], [unusedN], [UNK], …) and
+    * never a greedy candidate — the released tokenizer's
+    * never_split/special handling. */
+  def matchPiecesExternal(vocabIds: Seq[(String, Int)]): Seq[String] =
+    vocabIds.map(_._1)
+      .filterNot(p => p.startsWith("[") && p.endsWith("]"))
+
+  private def idOf(vocabIds: Seq[(String, Int)], piece: String): Int =
+    vocabIds.collectFirst { case (p, i) if p == piece => i }
+      .getOrElse(throw new IllegalArgumentException(
+        s"vocabulary has no '$piece' entry"))
+
+  /** Parse a released `vocab.txt` (BERT layout: one piece per line,
+    * the LINE NUMBER is the id; blank trailing lines ignored). */
+  def parseVocabTxt(lines: Iterator[String]): Seq[(String, Int)] = {
+    val pieces = lines.map(_.stripLineEnd).filter(_.nonEmpty).toSeq
+    require(pieces.nonEmpty, "empty vocab.txt")
+    require(pieces.distinct.length == pieces.length,
+      "duplicate piece in vocab.txt — ids would be ambiguous")
+    pieces.zipWithIndex
+  }
+
+  /** Load a `vocab.txt` from disk — the bring-your-own-tokenizer
+    * entry point (bert-base ships exactly this file). */
+  def loadVocabTxt(path: String): Seq[(String, Int)] = {
+    val src = scala.io.Source.fromFile(path, "UTF-8")
+    try parseVocabTxt(src.getLines()) finally src.close()
+  }
+
+  /** The shipped external vocab.txt fixture (bert-base layout:
+    * [PAD], [unused0..9], [UNK]/[CLS]/[SEP]/[MASK] at 11–14, alphabet,
+    * ranked merge outputs), generated deterministically by
+    * `graft.tools.GenWpVocab` (a spec re-runs the generator and
+    * byte-compares — reproducible provenance). */
+  def externalFixtureVocab(): Seq[(String, Int)] = {
+    val in = getClass.getResourceAsStream("/graft/wp/ext_vocab.txt")
+    require(in != null, "fixture resource graft/wp/ext_vocab.txt not on classpath")
+    try parseVocabTxt(scala.io.Source.fromInputStream(in, "UTF-8").getLines())
+    finally in.close()
+  }
+
   /** The shared word cache: distinct words, each segmented ONCE. */
   private def wordCache(df: DataFrame, textCol: String)(
       seg: Column => Column): DataFrame =
@@ -232,18 +274,46 @@ object WordPiece {
       idCol: String = "doc_id",
       textCol: String = "text",
       broadcastVocab: Boolean = true,
-      addSpecials: Boolean = true): DataFrame = {
+      addSpecials: Boolean = true): DataFrame =
+    tokenIdsWith(df, vocabIds, matchPieces(vocabIds),
+      unkId = UnkId, clsId = ClsId, sepId = SepId,
+      idCol, textCol, broadcastVocab, addSpecials)
+
+  /** [[tokenIds]] with every convention taken from the VOCABULARY
+    * rather than this engine's training constants — the entry point
+    * for a released external `vocab.txt`, where `[UNK]`/`[CLS]`/
+    * `[SEP]` sit at whatever line the file puts them (bert-base:
+    * 100–102, after the `[unusedN]` block). */
+  def tokenIdsExternal(
+      df: DataFrame,
+      vocabIds: Seq[(String, Int)],
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      broadcastVocab: Boolean = true,
+      addSpecials: Boolean = true): DataFrame =
+    tokenIdsWith(df, vocabIds, matchPiecesExternal(vocabIds),
+      unkId = idOf(vocabIds, UnkToken),
+      clsId = idOf(vocabIds, "[CLS]"), sepId = idOf(vocabIds, "[SEP]"),
+      idCol, textCol, broadcastVocab, addSpecials)
+
+  private def tokenIdsWith(
+      df: DataFrame,
+      vocabIds: Seq[(String, Int)],
+      pieces: Seq[String],
+      unkId: Int, clsId: Int, sepId: Int,
+      idCol: String, textCol: String,
+      broadcastVocab: Boolean, addSpecials: Boolean): DataFrame = {
     val cache = wordCache(df, textCol)(chars => transform(
       VectorExpressions.vocabIds(
         VectorExpressions.wordPieceGreedy(
-          chars, matchPieces(vocabIds), UnkToken, ContPrefix, MaxInputChars),
+          chars, pieces, UnkToken, ContPrefix, MaxInputChars),
         vocabIds),
-      x => coalesce(x, lit(UnkId))))
+      x => coalesce(x, lit(unkId))))
     val base = Bpe.joinBackBySubwords(df, cache, idCol, textCol, broadcastVocab)
       .withColumnRenamed("bpe_tokens", "token_ids")
     if (addSpecials)
       base.withColumn("token_ids",
-        concat(array(lit(ClsId)), col("token_ids"), array(lit(SepId))))
+        concat(array(lit(clsId)), col("token_ids"), array(lit(sepId))))
     else base
   }
 

@@ -169,6 +169,45 @@ class WordPieceSpec extends AnyFunSuite {
     assert(WordPiece.mergesFromArtifact(spark, dir).count() == 5)
   }
 
+  test("ext vocab fixture regenerates byte-identical from its committed generator") {
+    val resource = {
+      val in = getClass.getResourceAsStream("/graft/wp/ext_vocab.txt")
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    }
+    assert(resource == graft.tools.GenWpVocab.fixtureText(),
+      "fixture drifted from its generator — rerun graft.tools.GenWpVocab")
+  }
+
+  test("in-memory fixture trainer equals the Spark trainer on the same corpus") {
+    val texts = Seq(
+      "scan merge scan merge join group", "filter scan join merge order")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val sparkMerges = WordPiece.learnMerges(df, numMerges = 10)
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    val wc = texts.flatMap(_.split(" ")).groupBy(identity)
+      .map { case (w, g) => (w, g.size.toLong) }.toSeq
+    assert(graft.tools.GenWpVocab.sequentialWordPiece(wc, 10) == sparkMerges,
+      "the fixture generator's trainer must be the spec-pinned likelihood trainer")
+  }
+
+  test("tokenIdsExternal: ids come from the FILE's layout, not the training constants") {
+    val vocab = WordPiece.externalFixtureVocab()
+    // the fixture deliberately parks [UNK]/[CLS]/[SEP] at 11/12/13
+    assert(vocab.collectFirst { case ("[UNK]", i) => i }.get == 11)
+    assert(vocab.collectFirst { case ("[CLS]", i) => i }.get == 12)
+    assert(vocab.collectFirst { case ("[SEP]", i) => i }.get == 13)
+    val df = Seq((1L, "scan merge zzz")).toDF("doc_id", "text")
+    val ids = WordPiece.tokenIdsExternal(df, vocab)
+      .select(col("token_ids")).head().getSeq[Int](0)
+    assert(ids.head == 12 && ids.last == 13, s"[CLS]/[SEP] frame from the file: $ids")
+    assert(ids.contains(11), s"'zzz' (z not in fixture alphabet) -> file [UNK] id: $ids")
+    assert(!ids.exists(i => i >= 1 && i <= 4),
+      s"no id from the internal specials block may appear: $ids")
+    // bracketed entries ([unusedN] included) are never greedy candidates
+    assert(!WordPiece.matchPiecesExternal(vocab).exists(p =>
+      p.startsWith("[") && p.endsWith("]")))
+  }
+
   test("alphabet/vocab sort is UTF-8 byte order (cross-engine collation pin)") {
     // above the BMP, UTF-16 and UTF-8 orders DISAGREE: U+FFFD sorts
     // below U+1F30D (a surrogate pair) in UTF-8 byte order, but Scala's
