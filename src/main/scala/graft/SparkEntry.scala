@@ -423,8 +423,10 @@ object SparkEntry {
   /** Shared prefix of the GPT-2-path oracles: ranks, byte-level
     * word-carrying w0, the unrolled priority layers, and per-doc
     * subword lists (`agg(doc_id, subs)`). */
-  private def gpt2SubwordsSqlPrefix(maxIters: Int): String = {
-    val values = ranksValuesSql(graft.text.ByteLevel.externalFixtureMerges())
+  private def gpt2SubwordsSqlPrefix(maxIters: Int,
+      merges: Seq[(String, String)] =
+        graft.text.ByteLevel.externalFixtureMerges()): String = {
+    val values = ranksValuesSql(merges)
     val pat = graft.text.ByteLevel.PretokenPattern.replace("'", "''")
     s"""WITH ranks AS MATERIALIZED (SELECT * FROM (VALUES $values) AS r(rnk, lhs, rhs)),
        |${byteLevelW0Sql(carryWord = true)},
@@ -459,6 +461,29 @@ object SparkEntry {
        |ids AS (SELECT a.doc_id,
        |          list_transform(a.subs, s -> map_extract(v.m, s)[1]) AS tids
        |        FROM agg a, vmap v)""".stripMargin
+  }
+
+  /** tokenizer.json oracle: merges AND the vocab map both come from
+    * the PARSED fixture (the reader under test feeds the oracle too;
+    * the parse itself is pinned separately by handcrafted-JSON and
+    * byte-compare provenance specs), `<|endoftext|>` appended per
+    * document at the file's added-token id. */
+  private def hfTokenizerOracleSql(maxIters: Int): String = {
+    val m = graft.text.HfTokenizer.externalFixture()
+    val values = m.vocabIds.map { case (s, i) =>
+      s"('${s.replace("'", "''")}',$i)"
+    }.mkString(",")
+    val eosId = m.addedId(graft.text.HfTokenizer.EndOfText).get
+    s"""${gpt2SubwordsSqlPrefix(maxIters, m.merges)},
+       |vmap AS (SELECT map(list(sym ORDER BY id), list(id ORDER BY id)) AS m
+       |         FROM (VALUES $values) AS v(sym, id)),
+       |ids AS (SELECT a.doc_id,
+       |          list_append(list_transform(a.subs, s -> map_extract(v.m, s)[1]),
+       |                      $eosId) AS tids
+       |        FROM agg a, vmap v)
+       |SELECT e.doc_id, CAST(len(i.tids) AS BIGINT) AS n_tokens,
+       |       md5(array_to_string(i.tids, ',')) AS ids_md5
+       |FROM ext e JOIN ids i USING (doc_id) ORDER BY e.doc_id""".stripMargin
   }
 
   private def bpeTokenIdsOracleSql(maxIters: Int): String =
@@ -2290,6 +2315,24 @@ object SparkEntry {
     "doc_bpe_token_ids" -> ((s, dir) => {
       graft.text.ByteLevel.tokenIds(extDocs(s, dir),
           graft.text.ByteLevel.externalFixtureMerges())
+        .select(col("doc_id"),
+          size(col("token_ids")).cast("long").as("n_tokens"),
+          md5(concat_ws(",", col("token_ids"))).as("ids_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // BRING-YOUR-OWN tokenizer.json — the HuggingFace single-file
+    // serialization, the third external-tokenizer format this engine
+    // loads (after merges.txt and the SentencePiece .model proto):
+    // model.vocab is the AUTHORITATIVE id map (never re-derived from
+    // rank conventions), model.merges feed the ranked kernel, the
+    // ByteLevel pre_tokenizer block is validated (any other pipeline
+    // rejects loudly), and <|endoftext|> appends per document at the
+    // file's added-token id. Same plan shape as doc_bpe_token_ids —
+    // one kernel pass per distinct pretoken, hashed O(1) id probe.
+    "doc_hf_tokenizer_json" -> ((s, dir) => {
+      val m = graft.text.HfTokenizer.externalFixture()
+      graft.text.HfTokenizer.tokenIds(extDocs(s, dir), m)
         .select(col("doc_id"),
           size(col("token_ids")).cast("long").as("n_tokens"),
           md5(concat_ws(",", col("token_ids"))).as("ids_md5"))
@@ -4534,6 +4577,7 @@ object SparkEntry {
     // no-ops on converged words) — asserted by BpeExtSpec
     "doc_bpe_tokenize_gpt2" -> bpeGpt2TokenizeOracleSql(maxIters = 36),
     "doc_bpe_token_ids" -> bpeTokenIdsOracleSql(maxIters = 36),
+    "doc_hf_tokenizer_json" -> hfTokenizerOracleSql(maxIters = 36),
     "doc_detokenize" -> detokenizeOracleSql(maxIters = 36),
     "corpus_unigram_vocab" -> unigramVocabOracleSql(rounds = 2, maxPieceLen = 4, topMulti = 150),
     "doc_unigram_tokenize" -> unigramTokenizeOracleSql(rounds = 2, maxPieceLen = 4, topMulti = 150),

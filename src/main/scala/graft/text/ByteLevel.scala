@@ -184,6 +184,20 @@ object ByteLevel {
       broadcastVocab: Boolean = true, maxIters: Int = Bpe.AutoIters,
       eos: Option[String] = None): DataFrame = {
     val vocabIds = vocabForMerges(merges, eos.toSeq)
+    tokenIdsWith(df, merges, vocabIds,
+      eos.map(e => vocabIds.toMap.apply(e)),
+      idCol, textCol, broadcastVocab, maxIters)
+  }
+
+  /** [[tokenIds]] with the id table supplied by the CALLER — the seam
+    * a released `tokenizer.json` feeds ([[HfTokenizer]]): ids come
+    * from the file's own vocab map, never re-derived from this
+    * engine's conventions. `eosId` (when set) appends one terminator
+    * id per DOCUMENT. */
+  def tokenIdsWith(df: DataFrame, merges: Seq[(String, String)],
+      vocabIds: Seq[(String, Int)], eosId: Option[Int],
+      idCol: String = "doc_id", textCol: String = "text",
+      broadcastVocab: Boolean = true, maxIters: Int = Bpe.AutoIters): DataFrame = {
     val (words, bound) = pinnedWordsAndBound(df, textCol, maxIters)
     val vocab = words
       .select(col("word"),
@@ -197,10 +211,9 @@ object ByteLevel {
     // the document terminator every packed pretraining corpus carries
     // (ids are EOS-separated when bins concatenate downstream) — one
     // array append per DOCUMENT, never per token
-    eos.fold(base) { e =>
-      val eosId = vocabIds.toMap.apply(e)
+    eosId.fold(base) { e =>
       base.withColumn("token_ids",
-        concat(col("token_ids"), array(lit(eosId))))
+        concat(col("token_ids"), array(lit(e))))
     }
   }
 
