@@ -399,6 +399,57 @@ object ScaleProbe {
         graft.text.Unigram.tokenIdsFromModel(dv, big)))
     }
 
+    // the WordPiece (BERT-family) pipeline at scale: training rounds
+    // are vocab-bounded (pair/single counts + 1-row argmax + one fold
+    // over the DISTINCT-word table — never corpus-proportional per
+    // round); greedy inference is one kernel per distinct word + the
+    // positional join, and vocabulary size costs only the hashed
+    // piece-set/ids reference objects — apply must be flat from the
+    // 8-merge trained vocab to the 358-piece external fixture
+    if (onlyFilter.forall(_.exists("wordpiece".contains))) {
+      val dv = docsVaried.localCheckpoint()
+      val t0 = System.nanoTime()
+      val merges = graft.text.WordPiece.learnMerges(dv, numMerges = 8)
+        .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+      println(f"[scale] wordpiece train (8 merges) " +
+        f"in ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      val trained = graft.text.WordPiece.vocabWithIds(
+        graft.text.WordPiece.alphabetOf(dv), merges)
+      time(s"wordpiece tokenIds @${trained.size} pieces (trained)")(noop(
+        graft.text.WordPiece.tokenIds(dv, trained)))
+      val ext = graft.text.WordPiece.externalFixtureVocab()
+      time(s"wordpiece tokenIds @${ext.size} pieces (ext vocab.txt)")(noop(
+        graft.text.WordPiece.tokenIdsExternal(dv, ext)))
+    }
+
+    // tokenizer.json apply at scale: must match the native byte-level
+    // ranked path (same kernel, same hashed probes) — the reader adds
+    // parse-time work only, nothing per-row
+    if (onlyFilter.forall(_.exists("hfjson".contains))) {
+      val m = graft.text.HfTokenizer.externalFixture()
+      time(s"hfjson tokenizer.json tokenIds @${m.vocabIds.size} vocab")(noop(
+        graft.text.HfTokenizer.tokenIds(docsVaried, m)))
+    }
+
+    // binary signatures + Hamming retrieval at the replicated vector
+    // corpus: the signature build is one narrow map over the corpus
+    // (8 bytes out per row); the Hamming stage scans ONLY signatures
+    // (bit_count(xor) + TakeOrdered); the rescore touches `shortlist`
+    // full-precision rows via the pushed id filter — stage costs must
+    // separate exactly that way
+    if (onlyFilter.forall(_.exists("hamming".contains))) {
+      val thr = graft.index.Binary.fitThresholds(emb, 64)
+      val sigs = graft.index.Binary.signatures(emb, thr).localCheckpoint()
+      val qsig = graft.index.Binary.signatureOf(query.toSeq, thr)
+      time(s"hamming signature build ($nVec vectors)")(noop(
+        graft.index.Binary.signatures(emb, thr)))
+      time(s"hamming top-10 ($nVec sigs)")(noop(
+        graft.index.Binary.hammingTopK(sigs, qsig, 10)))
+      time(s"hamming->exact rescore (50 of $nVec)")(noop(
+        graft.index.Binary.hammingRescoreTopK(
+          emb, sigs, query.toSeq, thr, k = 10, shortlist = 50)))
+    }
+
     // z-order layout stats: raw rows grow with the factor, but the
     // only window runs over the occupied-cell table (≤ 2^20 rows at
     // any corpus size) — cost must track the one bucketing aggregation

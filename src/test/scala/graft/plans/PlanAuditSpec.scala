@@ -371,6 +371,37 @@ class PlanAuditSpec extends AnyFunSuite {
       s"no ScalaUDF on the unigram path:\n$plan")
   }
 
+  test("wordpiece greedy + ids broadcast the word cache and stay codegen kernels") {
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+    val vocab = graft.text.WordPiece.externalFixtureVocab()
+    val df = graft.text.WordPiece.tokenIdsExternal(d, vocab)
+    // formatted mode: the kernels live in the word cache aggregate's
+    // result expressions, which node toString elides
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("wordpiece_greedy"), s"greedy kernel missing:\n$plan")
+    assert(plan.contains("vocab_ids"), s"hashed id probe missing:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"word-cache side must broadcast into the positional join:\n$plan")
+    assert(!plan.toLowerCase.contains("batchevalpython"),
+      s"no interpreted eval on the wordpiece path:\n$plan")
+    assert(!plan.contains("ScalaUDF"),
+      s"no ScalaUDF on the wordpiece path:\n$plan")
+  }
+
+  test("hamming top-k scans only the 8-byte signatures: narrow project + bounded heap") {
+    val corpus = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val thr = graft.index.Binary.fitThresholds(corpus, 64)
+    val sigs = graft.index.Binary.signatures(corpus, thr)
+    val plan = graft.index.Binary.hammingTopK(sigs, 12345L, 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"top-k not bounded:\n$plan")
+    assert(!plan.contains("Exchange rangepartitioning"), s"global sort crept in:\n$plan")
+    assert(plan.contains("bit_count"), s"hamming must be the codegen bit_count:\n$plan")
+    assert(!plan.contains("ScalaUDF") && !plan.toLowerCase.contains("batchevalpython"),
+      s"signature/hamming path must stay codegen:\n$plan")
+  }
+
   test("delta-aware IVF probe prunes partitions on the BASE and every DELTA scan") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ivf_delta_plan").toString
     val corpus = spark.read.parquet(s"$sfDir/embeddings.parquet")
