@@ -3508,6 +3508,22 @@ object SparkEntry {
           (col("n_hit").cast("double") / 10.0).as("recall"))
     }),
 
+    // DIMENSIONAL TRUNCATION two-stage retrieval (the Matryoshka
+    // shape, Kusupati et al. NeurIPS'22): stage 1 is exact L2 over
+    // only the first 16 of 64 coordinates — a 4× scan-cost cut with
+    // no codebook or training artifact (at scale the prefix lives as
+    // its own narrow column and the wide column prunes away) — stage
+    // 2 rescores the 50 survivors at full dimension through the
+    // pushed id filter. Completes the quantization ladder's cheapest
+    // float rung next to int8/PQ/OPQ/IVF-PQ/binary.
+    "knn_prefix_rescore" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0)
+      VectorSearch.knnPrefixRescore(e, q, prefixDim = 16, k = 10,
+        shortlist = 50)
+    }),
+
     // Metadata-filtered hybrid search: the label predicate prunes the
     // scan BELOW the top-k (visible as a parquet PushedFilter).
     "knn_hybrid" -> ((s, dir) => {
@@ -4312,6 +4328,16 @@ object SparkEntry {
          |  ORDER BY CAST(bit_count(xor(s.sig, q.qsig)) AS INTEGER) ASC, s.vec_id ASC
          |  LIMIT 50),
          |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+         |SELECT e.vec_id AS vec_id, ${l2SqSql("e.embedding", "q.qe")} AS dist
+         |FROM embeddings e JOIN short USING (vec_id) CROSS JOIN q
+         |ORDER BY dist ASC, vec_id ASC LIMIT 10""".stripMargin,
+
+    "knn_prefix_rescore" ->
+      s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         |short AS MATERIALIZED (
+         |  SELECT e.vec_id FROM embeddings e CROSS JOIN q
+         |  ORDER BY ${l2SqSql("e.embedding", "q.qe", dim = 16)} ASC, e.vec_id ASC
+         |  LIMIT 50)
          |SELECT e.vec_id AS vec_id, ${l2SqSql("e.embedding", "q.qe")} AS dist
          |FROM embeddings e JOIN short USING (vec_id) CROSS JOIN q
          |ORDER BY dist ASC, vec_id ASC LIMIT 10""".stripMargin,

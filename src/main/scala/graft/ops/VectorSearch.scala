@@ -265,4 +265,39 @@ object VectorSearch {
       .orderBy(col("rrf_micro").desc, col("doc_id").asc)
       .limit(k)
   }
+
+  /** Two-stage retrieval by DIMENSIONAL TRUNCATION (the Matryoshka
+    * shape — Kusupati et al., NeurIPS 2022: nested representations
+    * where a PREFIX of the embedding is itself a usable embedding):
+    * stage 1 ranks by exact L2 over only the first `prefixDim`
+    * coordinates, stage 2 rescores the `shortlist` survivors at full
+    * dimension. The ladder's cheapest float stage — a d/prefixDim
+    * scan-cost cut with NO codebook, threshold, or training artifact.
+    *
+    * At 100 TB the prefix lives as its own (narrow) column or table —
+    * a parquet scan of prefixDim floats per row, pruning the wide
+    * column entirely; the rescore touches `shortlist` rows via the
+    * pushed id filter, exactly the [[graft.index.Binary]] two-stage
+    * shape. The shortlist id set is bounded (≤ `shortlist`) so the
+    * driver hop is O(shortlist), never corpus-sized. */
+  def knnPrefixRescore(
+      corpus: DataFrame,
+      queryVec: Seq[Float],
+      prefixDim: Int,
+      k: Int,
+      shortlist: Int,
+      idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    require(prefixDim > 0 && prefixDim <= queryVec.length,
+      s"prefixDim $prefixDim out of range for dim ${queryVec.length}")
+    val qPrefix = lit(queryVec.take(prefixDim).toArray)
+    val ids = corpus
+      .select(col(idCol),
+        Distances.l2Sq(slice(col(embCol), 1, prefixDim), qPrefix).as("pdist"))
+      .orderBy(col("pdist").asc, col(idCol).asc)
+      .limit(shortlist)
+      .collect().map(_.getLong(0))
+    knnExact(corpus.filter(col(idCol).isin(ids.toIndexedSeq: _*)),
+      queryVec, k, idCol, embCol)
+  }
 }

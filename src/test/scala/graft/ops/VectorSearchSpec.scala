@@ -175,4 +175,31 @@ class VectorSearchSpec extends AnyFunSuite {
     val bad = VectorSearch.dimViolations(df, 2, "embedding").collect()
     assert(bad.map(_.getLong(0)).toSeq == Seq(2L))
   }
+
+  test("knnPrefixRescore: full-dim prefix degenerates to exact; shortlist ids honor prefix ranking") {
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    val corpus = (0L until 200L).map(i => (i, Array.fill(16)(rng.nextFloat() - 0.5f)))
+      .toDF("vec_id", "embedding")
+    val q = corpus.filter(org.apache.spark.sql.functions.col("vec_id") === 0L)
+      .select("embedding").head().getSeq[Float](0)
+    // prefixDim == dim and shortlist >= n: identical to knnExact
+    val full = VectorSearch.knnPrefixRescore(corpus, q, prefixDim = 16, k = 10, shortlist = 200)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val exact = VectorSearch.knnExact(corpus, q, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(full.toSeq == exact.toSeq)
+    // truncated stage: results are the exact rescore OF the prefix
+    // shortlist (driver recompute of stage 1)
+    val vecs = corpus.as[(Long, Array[Float])].collect().toMap
+    val shortRef = vecs.toSeq.map { case (id, v) =>
+      (l2sqRef(v.take(4), q.take(4).toArray), id) }.sorted.take(30).map(_._2).toSet
+    val two = VectorSearch.knnPrefixRescore(corpus, q, prefixDim = 4, k = 10, shortlist = 30)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(two.forall { case (id, _) => shortRef(id) })
+    val expect = vecs.filter { case (id, _) => shortRef(id) }
+      .map { case (id, v) => (l2sqRef(v, q.toArray), id) }
+      .toSeq.sorted.take(10).map { case (d, id) => (id, d) }
+    assert(two.toSeq == expect)
+  }
 }
