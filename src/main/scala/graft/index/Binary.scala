@@ -101,6 +101,52 @@ object Binary {
       .orderBy(col("hamming").asc, col(idCol).asc)
       .limit(k)
 
+  private val sigSidecar = "_binary_sigs.json"
+
+  /** Persist thresholds + signatures behind the shared
+    * fingerprint-sidecar protocol ([[graft.io.Artifact]]): corpus
+    * content hash + dim, so repeat probes pay an 8-byte-per-row scan
+    * of the persisted table instead of re-reading the full-precision
+    * corpus. The build-once/probe-many shape every other index in
+    * this engine follows (IVF layouts, BM25 postings). */
+  def ensureSignatureArtifact(
+      df: DataFrame,
+      dir: String,
+      dim: Int,
+      idCol: String = "vec_id",
+      embCol: String = "embedding"): Unit = {
+    val (nRows, dataHash, hashSum) = graft.io.Artifact.hashAgg(
+      df, org.apache.spark.sql.functions.xxhash64(
+        col(idCol), col(embCol).cast("array<double>")))
+    graft.io.Artifact.ensure(dir, sigSidecar,
+      graft.io.Artifact.fingerprintJson(nRows, dataHash,
+        "hsum" -> hashSum, "dim" -> dim.toString,
+        "family" -> "binary_midrange")) {
+      val thr = fitThresholds(df, dim, embCol)
+      df.sparkSession.createDataFrame(
+          thr.toIndexedSeq.zipWithIndex.map { case (t, i) => (i, t) })
+        .toDF("pos", "t")
+        .repartition(1)
+        .write.mode("overwrite").parquet(s"$dir/thresholds")
+      signatures(df, thr, idCol, embCol)
+        .write.mode("overwrite").parquet(s"$dir/sigs")
+    }
+  }
+
+  /** The persisted artifact's thresholds (dim doubles) + signature
+    * table — the probe side reads ONLY these. */
+  def thresholdsFromArtifact(
+      spark: org.apache.spark.sql.SparkSession, dir: String): Array[Double] = {
+    val rows = spark.read.parquet(s"$dir/thresholds").collect()
+    val out = new Array[Double](rows.length)
+    rows.foreach(r => out(r.getInt(0)) = r.getDouble(1))
+    out
+  }
+
+  def signaturesFromArtifact(
+      spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/sigs")
+
   /** Two-stage retrieval: Hamming shortlist of `shortlist` ids over
     * the 8-byte signatures, then exact float64 L2 rescore of ONLY
     * those rows — the bounded (≤ `shortlist`) id set returns to the

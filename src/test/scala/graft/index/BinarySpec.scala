@@ -91,6 +91,31 @@ class BinarySpec extends AnyFunSuite {
     assert(two.toSeq == expect.toSeq)
   }
 
+  test("signature artifact: equals the live build, reuses, invalidates on data change") {
+    val dir = java.nio.file.Files.createTempDirectory("bin_art").toString
+    Binary.ensureSignatureArtifact(corpus, dir, dim)
+    val thrArt = Binary.thresholdsFromArtifact(spark, dir)
+    val thrLive = Binary.fitThresholds(corpus, dim)
+    assert(thrArt.sameElements(thrLive))
+    val sigsArt = Binary.signaturesFromArtifact(spark, dir)
+      .as[(Long, Long)].collect().toMap
+    val sigsLive = Binary.signatures(corpus, thrLive)
+      .as[(Long, Long)].collect().toMap
+    assert(sigsArt == sigsLive)
+    // reuse: second ensure must not rewrite
+    val sigFiles = new java.io.File(s"$dir/sigs").listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    val mtimes = sigFiles.map(f => (f.getName, f.lastModified())).toMap
+    Binary.ensureSignatureArtifact(corpus, dir, dim)
+    sigFiles.foreach(f =>
+      assert(f.lastModified() == mtimes(f.getName), "must reuse, not rebuild"))
+    // data change invalidates: one more row -> fresh fingerprint -> rebuild
+    val extended = corpus.unionAll(
+      Seq((999L, Array.fill(dim)(0.25f))).toDF("vec_id", "embedding"))
+    Binary.ensureSignatureArtifact(extended, dir, dim)
+    assert(Binary.signaturesFromArtifact(spark, dir).count() == 301)
+  }
+
   test("rescore stage pushes the shortlist ids into the scan (In filter, no second full scan)") {
     // parquet-backed corpus so PushedFilters is observable
     val dirF = java.nio.file.Files.createTempDirectory("bin_resc").toString
