@@ -2181,9 +2181,7 @@ object SparkEntry {
       val artDir =
         s"${System.getProperty("java.io.tmpdir")}/graft_wordpiece_${dirKey(dir)}"
       graft.text.WordPiece.ensureMergeArtifact(s, d, artDir, numMerges = 8)
-      val merges = graft.text.WordPiece.loadMergePairs(s, artDir)
-      val vocab = graft.text.WordPiece.vocabWithIds(
-        graft.text.WordPiece.alphabetOf(d), merges)
+      val vocab = graft.text.WordPiece.vocabFromArtifact(s, artDir)
       graft.text.WordPiece.tokenize(
           extDocs(s, dir), graft.text.WordPiece.matchPieces(vocab))
         .select(col("doc_id"),
@@ -2206,9 +2204,7 @@ object SparkEntry {
       val artDir =
         s"${System.getProperty("java.io.tmpdir")}/graft_wordpiece_${dirKey(dir)}"
       graft.text.WordPiece.ensureMergeArtifact(s, d, artDir, numMerges = 8)
-      val merges = graft.text.WordPiece.loadMergePairs(s, artDir)
-      val vocab = graft.text.WordPiece.vocabWithIds(
-        graft.text.WordPiece.alphabetOf(d), merges)
+      val vocab = graft.text.WordPiece.vocabFromArtifact(s, artDir)
       graft.text.WordPiece.tokenIds(extDocs(s, dir), vocab)
         .select(col("doc_id"),
           size(col("token_ids")).cast("long").as("n_tokens"),
@@ -2232,9 +2228,7 @@ object SparkEntry {
       val artDir =
         s"${System.getProperty("java.io.tmpdir")}/graft_wordpiece_${dirKey(dir)}"
       graft.text.WordPiece.ensureMergeArtifact(s, d, artDir, numMerges = 8)
-      val merges = graft.text.WordPiece.loadMergePairs(s, artDir)
-      val vocab = graft.text.WordPiece.vocabWithIds(
-        graft.text.WordPiece.alphabetOf(d), merges)
+      val vocab = graft.text.WordPiece.vocabFromArtifact(s, artDir)
       graft.text.WordPiece.tokenIds(x, vocab)
         .select(col("doc_id"),
           graft.text.WordPiece.decodeIds(col("token_ids"), vocab)

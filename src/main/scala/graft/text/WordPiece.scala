@@ -329,10 +329,14 @@ object WordPiece {
 
   private val mergeSidecar = "_wordpiece_merges.json"
 
-  /** Persist the trained merge table behind the shared
-    * fingerprint-sidecar protocol ([[graft.io.Artifact]]) — corpus
-    * content hash + every training parameter; repeat invocations read,
-    * never retrain. */
+  /** Persist the trained merge table AND the corpus alphabet behind
+    * the shared fingerprint-sidecar protocol ([[graft.io.Artifact]]) —
+    * corpus content hash + every training parameter; repeat
+    * invocations read, never retrain. The alphabet rides along because
+    * every apply-side caller needs [[vocabWithIds]], and recomputing
+    * [[alphabetOf]] is a corpus-wide distinct-symbol scan per
+    * invocation — exactly the repeated work the artifact exists to
+    * absorb (measured ~1 s per query at sf0.1). */
   def ensureMergeArtifact(
       spark: SparkSession,
       df: DataFrame,
@@ -345,10 +349,14 @@ object WordPiece {
       graft.io.Artifact.fingerprintJson(nRows, dataHash,
         "hsum" -> hashSum,
         "textCol" -> textCol, "numMerges" -> numMerges.toString,
-        "family" -> "wordpiece")) {
+        "family" -> "wordpiece", "fmt" -> "2")) {
       learnMerges(df, textCol, numMerges)
         .repartition(1)
         .write.mode("overwrite").parquet(s"$dir/data")
+      import spark.implicits._
+      alphabetOf(df, textCol).toDF("sym")
+        .repartition(1)
+        .write.mode("overwrite").parquet(s"$dir/alphabet")
     }
   }
 
@@ -364,4 +372,17 @@ object WordPiece {
       .collect()
       .sortBy(_.getInt(0))
       .map(r => (r.getString(1), r.getString(2))).toSeq
+
+  /** The artifact's persisted alphabet, UTF-8-byte-sorted
+    * (vocab-bounded read; identical to a live [[alphabetOf]] over the
+    * training corpus — spec-pinned). */
+  def alphabetFromArtifact(spark: SparkSession, dir: String): Seq[String] =
+    spark.read.parquet(s"$dir/alphabet")
+      .collect().map(_.getString(0)).sorted(utf8Order).toSeq
+
+  /** The full trained (piece, id) vocabulary from the artifact alone —
+    * the apply-side entry point: no corpus scan, two vocab-bounded
+    * parquet reads. */
+  def vocabFromArtifact(spark: SparkSession, dir: String): Seq[(String, Int)] =
+    vocabWithIds(alphabetFromArtifact(spark, dir), loadMergePairs(spark, dir))
 }

@@ -169,6 +169,18 @@ class WordPieceSpec extends AnyFunSuite {
     assert(WordPiece.mergesFromArtifact(spark, dir).count() == 5)
   }
 
+  test("artifact alphabet + vocab equal the live corpus-scan path") {
+    val dir = java.nio.file.Files.createTempDirectory("wp_art2").toString
+    val df = Seq((1L, "scan merge scan merge join zoo")).toDF("doc_id", "text")
+    WordPiece.ensureMergeArtifact(spark, df, dir, numMerges = 3)
+    assert(WordPiece.alphabetFromArtifact(spark, dir) ==
+      WordPiece.alphabetOf(df))
+    assert(WordPiece.vocabFromArtifact(spark, dir) ==
+      WordPiece.vocabWithIds(WordPiece.alphabetOf(df),
+        WordPiece.learnMerges(df, numMerges = 3).collect()
+          .map(r => (r.getString(1), r.getString(2))).toSeq))
+  }
+
   test("ext vocab fixture regenerates byte-identical from its committed generator") {
     val resource = {
       val in = getClass.getResourceAsStream("/graft/wp/ext_vocab.txt")
