@@ -1590,6 +1590,39 @@ object SparkEntry {
     * [[mediaFeatFixture]]'s pixel-channel formulas. References columns
     * media_id/base/bump/w/h/a/bm of the `ic` CTE and the comprehension
     * variable `d`. */
+  /** CTE chain replaying [[graft.multimodal.Multimodal.dHash]] from the
+    * media-features fixture's id-parameterized pixel formulas: the 9×8
+    * nearest-neighbor gray-sum grid, the 64 row-adjacent comparisons,
+    * and the HUGEINT→signed-BIGINT bit accumulation (bit 63 is the Long
+    * sign bit — the established SimHash-oracle device). Ends with
+    * `dh(media_id, w, h, dhash)`. */
+  private val DHashCteSql =
+    """ip AS (SELECT i AS media_id,
+      |         CASE WHEN i < 80 THEN i ELSE i - 80 END AS base,
+      |         CASE WHEN i < 80 THEN 0 ELSE 1 END AS bump
+      |       FROM range(100) t(i)),
+      |ic AS (SELECT media_id, base, bump,
+      |         8 + base % 23 AS w, 8 + base % 19 AS h,
+      |         5 + base % 11 AS a, 7 + base % 13 AS bm
+      |       FROM ip),
+      |gr AS (SELECT media_id, gx, gy,
+      |         (a*((gx*w)//9) + bm*((gy*h)//8) + 3*base) % 251 + bump
+      |       + (bm*((gx*w)//9) + a*((gy*h)//8) + 5*base) % 241
+      |       + ((a+bm)*((gx*w)//9) + 2*base) % 239 AS gray
+      |       FROM ic, range(9) xs(gx), range(8) ys(gy)),
+      |bt AS (SELECT l.media_id, l.gy*8 + l.gx AS bit
+      |       FROM gr l JOIN gr r ON r.media_id = l.media_id
+      |         AND r.gy = l.gy AND r.gx = l.gx + 1
+      |       WHERE l.gx < 8 AND r.gray > l.gray),
+      |hv AS (SELECT media_id, sum(CAST(1 AS HUGEINT) << bit) AS s
+      |       FROM bt GROUP BY 1),
+      |dh AS (SELECT ic.media_id, ic.w, ic.h,
+      |         CAST(CASE WHEN coalesce(hv.s, 0) < 9223372036854775808
+      |              THEN coalesce(hv.s, 0)
+      |              ELSE coalesce(hv.s, 0) - 18446744073709551616 END
+      |           AS BIGINT) AS dhash
+      |       FROM ic LEFT JOIN hv USING(media_id))""".stripMargin
+
   private val ImgFeatDimSql = {
     val sx = "((((d % 12) // 3) * w) // 4)"
     val sy = "(((d // 12) * h) // 4)"
@@ -1774,6 +1807,39 @@ object SparkEntry {
       val feats = graft.multimodal.Multimodal.extractFeatures(imgs, grid = 4).toDF()
         .select(col("media_id").as("vec_id"), col("embedding"))
       Dedup.embeddingNearDups(feats, minCosine = 0.999)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // 64-bit perceptual DIFFERENCE HASH per image (dHash, the standard
+    // image near-dup signature): real P6 raster bytes → 9×8
+    // nearest-neighbor gray-sum grid → 64 row-adjacent comparisons.
+    // All-integer arithmetic, so the oracle rebuilds the identical
+    // hash from the fixture's id-parameterized pixel formulas —
+    // container bytes to signature, hash-pinned. One narrow map, 8
+    // bytes out per image; at 100 TB the signature table is 32,000,000×
+    // smaller than a 1 MB-image corpus.
+    "media_dhash" -> ((s, dir) => {
+      import s.implicits._
+      val imgs = mediaFeatFixture(s).filter(_.modality == "image")
+      graft.multimodal.Multimodal.dHash(imgs).toDF()
+        .orderBy(col("media_id"))
+    }),
+
+    // Perceptual image near-dup pairs: the banded signature join
+    // (complete for hamming ≤ 3 by pigeonhole — shared with SimHash,
+    // never all-pairs) over the dHash table. The planted red-bump
+    // near-dups (ids 80–99 = ids 0–19 with a uniform +1 brightness
+    // shift) land at hamming 0 — dHash compares ADJACENT pixels, so a
+    // uniform shift cancels — exactly the duplicate class byte-exact
+    // dedup can never see. The oracle replays hashes AND the
+    // brute-force pair truth; banded candidates must equal it exactly.
+    "media_dhash_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val imgs = mediaFeatFixture(s).filter(_.modality == "image")
+      val sigs = graft.multimodal.Multimodal.dHash(imgs).toDF()
+        .select(col("media_id"), col("dhash"))
+      Dedup.sigNearDups(sigs, maxHamming = 3,
+          idCol = "media_id", sigCol = "dhash")
         .orderBy(col("id_a"), col("id_b"))
     }),
 
@@ -4548,6 +4614,29 @@ object SparkEntry {
          |FROM iv a JOIN iv b ON a.media_id < b.media_id
          |WHERE (${dotSql("a.v", "b.v", 48)})
          |        / (sqrt(${dotSql("a.v", "a.v", 48)}) * sqrt(${dotSql("b.v", "b.v", 48)})) >= 0.999
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    // Rebuilds every image's 64-bit dHash from the fixture's pixel
+    // formulas — grid sampling, gray sums, comparisons, and bit packing
+    // all in integer SQL — so the Spark path from real P6 container
+    // bytes to signature must agree bit for bit.
+    "media_dhash" ->
+      s"""WITH $DHashCteSql
+         |SELECT CAST(media_id AS BIGINT) AS media_id,
+         |       CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+         |       dhash
+         |FROM dh ORDER BY media_id""".stripMargin,
+
+    // Brute-force O(n²) pair truth over the replayed hashes at
+    // hamming ≤ 3: the Spark side's banded candidate join (pigeonhole
+    // complete for the threshold) must return exactly this set — the 20
+    // planted +1-brightness near-dups at hamming 0 included.
+    "media_dhash_dedup" ->
+      s"""WITH $DHashCteSql
+         |SELECT a.media_id AS id_a, b.media_id AS id_b,
+         |       CAST(bit_count(xor(a.dhash, b.dhash)) AS INTEGER) AS hamming
+         |FROM dh a JOIN dh b ON a.media_id < b.media_id
+         |WHERE bit_count(xor(a.dhash, b.dhash)) <= 3
          |ORDER BY id_a, id_b""".stripMargin,
 
     // Rederives the √n thresholds from the same histogram with the same

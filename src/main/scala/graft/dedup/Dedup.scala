@@ -431,6 +431,20 @@ object Dedup {
     // the signature is one long, so it rides through the band explode for
     // free and the hamming filter runs inside the self-join — no
     // join-back, no second (or third) signature computation over the text
+    sigNearDups(sigs, maxHamming, idCol, "sig")
+  }
+
+  /** Near-dup pairs over ANY 64-bit signature table (idCol, sigCol) —
+    * the banded-join machinery behind [[simHashNearDups]] as a public
+    * entry point, so other signature producers (image dHash, audio
+    * fingerprints) compose with the same complete-for-the-threshold
+    * candidate generation instead of an all-pairs join. */
+  def sigNearDups(
+      sigTable: DataFrame,
+      maxHamming: Int = 3,
+      idCol: String = "doc_id",
+      sigCol: String = "sig"): DataFrame = {
+    val sigs = sigTable.select(col(idCol), col(sigCol).as("sig"))
     val banded = simHashBanded(sigs, maxHamming, idCol)
     banded.as("a")
       .join(banded.as("b"),

@@ -221,6 +221,61 @@ object Multimodal {
     })
   }
 
+  /** Per-image 64-bit DIFFERENCE HASH (dHash — the standard perceptual
+    * near-dup signature for image corpora, cf. pHash/blockhash family):
+    * nearest-neighbor-sample the raster to a `gridW × gridH` grid of
+    * integer gray values (the channel SUM r+g+b — monotone in
+    * brightness, so no division/rounding enters the comparison), then
+    * bit `gy*(gridW-1)+gx` = 1 iff gray(gx+1, gy) > gray(gx, gy). The
+    * default 9×8 grid yields exactly 64 row-adjacent comparisons. The
+    * hash is invariant under any uniform per-pixel brightness shift
+    * (both sides of every comparison move together) — the visual
+    * near-dup class exact byte dedup can never catch. All-integer
+    * arithmetic end to end, so the oracle replays it exactly.
+    * One narrow map over the corpus, 8 bytes out per image; non-PPM
+    * rows drop (signature ops are image-only). */
+  final case class DHash(media_id: Long, width: Int, height: Int, dhash: Long)
+
+  def dHash(media: Dataset[MediaRecord], gridW: Int = 9, gridH: Int = 8): Dataset[DHash] = {
+    require((gridW - 1) * gridH <= 64,
+      s"dHash bits (gridW-1)*gridH must fit a Long, got ${(gridW - 1) * gridH}")
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap { r =>
+      MediaCodecs.parsePpm(r.content).map { case (info, off) =>
+        val w = info.width
+        val h = info.height
+        val gray = Array.ofDim[Int](gridH * gridW)
+        var gy = 0
+        while (gy < gridH) {
+          val ys = gy * h / gridH
+          var gx = 0
+          while (gx < gridW) {
+            val xs = gx * w / gridW
+            val p = off + 3 * (ys * w + xs)
+            gray(gy * gridW + gx) = (r.content(p) & 0xff) +
+              (r.content(p + 1) & 0xff) + (r.content(p + 2) & 0xff)
+            gx += 1
+          }
+          gy += 1
+        }
+        var bits = 0L
+        var bit = 0
+        gy = 0
+        while (gy < gridH) {
+          var gx = 0
+          while (gx < gridW - 1) {
+            if (gray(gy * gridW + gx + 1) > gray(gy * gridW + gx))
+              bits |= (1L << bit)
+            bit += 1
+            gx += 1
+          }
+          gy += 1
+        }
+        DHash(r.media_id, w, h, bits)
+      }
+    })
+  }
+
   /** Typed metadata access over the JSON `meta` column. */
   def withMeta(df: DataFrame, fields: Map[String, String]): DataFrame =
     fields.foldLeft(df) { case (acc, (name, jsonPath)) =>

@@ -269,4 +269,86 @@ class MultimodalSpec extends AnyFunSuite {
     val small = perPart.filterNot(_._1.contains(99L)).map(_._2).filter(_ > 0)
     assert(small.max.toDouble / (small.sum.toDouble / small.size) <= 2.0)
   }
+
+  // -------------------------------------------------------------- dHash
+
+  /** Independent dHash reference: plain nested loops over the decoded
+    * raster, no shared code with the Dataset path beyond the P6 parser. */
+  private def dHashRef(bytes: Array[Byte]): Long = {
+    val (info, off) = MediaCodecs.parsePpm(bytes).get
+    def gray(gx: Int, gy: Int): Int = {
+      val p = off + 3 * ((gy * info.height / 8) * info.width + (gx * info.width / 9))
+      (bytes(p) & 0xff) + (bytes(p + 1) & 0xff) + (bytes(p + 2) & 0xff)
+    }
+    (0 until 8).flatMap(gy => (0 until 8).map(gx => (gx, gy)))
+      .zipWithIndex
+      .foldLeft(0L) { case (acc, ((gx, gy), bit)) =>
+        if (gray(gx + 1, gy) > gray(gx, gy)) acc | (1L << bit) else acc
+      }
+  }
+
+  test("dHash matches an independent reference on random rasters") {
+    val rnd = new scala.util.Random(414243)
+    val recs = (0 until 30).map { i =>
+      val w = 8 + rnd.nextInt(40)
+      val h = 8 + rnd.nextInt(40)
+      val px = Array.fill(h, w)((rnd.nextInt(256), rnd.nextInt(256), rnd.nextInt(256)))
+      MediaRecord(i.toLong, "image",
+        MediaCodecs.ppmBytes(w, h, (x, y) => px(y)(x)), "{}")
+    }
+    val got = dHash(recs.toDS()).collect().map(d => d.media_id -> d.dhash).toMap
+    recs.foreach { r =>
+      assert(got(r.media_id) == dHashRef(r.content), s"id ${r.media_id}")
+    }
+  }
+
+  test("dHash is invariant under a uniform brightness shift; non-PPM rows drop") {
+    val rnd = new scala.util.Random(515253)
+    val px = Array.fill(20, 30)((rnd.nextInt(200), rnd.nextInt(200), rnd.nextInt(200)))
+    val base = MediaRecord(1L, "image",
+      MediaCodecs.ppmBytes(30, 20, (x, y) => px(y)(x)), "{}")
+    val brighter = MediaRecord(2L, "image",
+      MediaCodecs.ppmBytes(30, 20, (x, y) =>
+        (px(y)(x)._1 + 19, px(y)(x)._2 + 19, px(y)(x)._3 + 19)), "{}")
+    val notPpm = MediaRecord(3L, "image", MediaCodecs.pngBytes(30, 20), "{}")
+    val out = dHash(Seq(base, brighter, notPpm).toDS()).collect()
+    assert(out.map(_.media_id).sorted.toSeq == Seq(1L, 2L), "non-PPM must drop")
+    assert(out(0).dhash == out(1).dhash, "uniform shift must not change dHash")
+  }
+
+  test("dHash grid bound: more than 64 bits is rejected") {
+    intercept[IllegalArgumentException] {
+      dHash(Seq.empty[MediaRecord].toDS(), gridW = 10, gridH = 8)
+    }
+  }
+
+  test("sigNearDups over dHash equals brute force on planted near-dups") {
+    val rnd = new scala.util.Random(616263)
+    // 40 random rasters + 10 brightness-shifted copies of the first 10
+    val recs = (0 until 40).map { i =>
+      val px = Array.fill(16, 16)((rnd.nextInt(220), rnd.nextInt(220), rnd.nextInt(220)))
+      (i.toLong, px)
+    }
+    val rows = recs.map { case (i, px) =>
+      MediaRecord(i, "image", MediaCodecs.ppmBytes(16, 16, (x, y) => px(y)(x)), "{}")
+    } ++ recs.take(10).map { case (i, px) =>
+      MediaRecord(i + 100, "image",
+        MediaCodecs.ppmBytes(16, 16, (x, y) =>
+          (px(y)(x)._1 + 7, px(y)(x)._2 + 7, px(y)(x)._3 + 7)), "{}")
+    }
+    val sigs = dHash(rows.toDS()).toDF().select($"media_id", $"dhash")
+    val got = graft.dedup.Dedup
+      .sigNearDups(sigs, maxHamming = 3, idCol = "media_id", sigCol = "dhash")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val hs = dHash(rows.toDS()).collect().map(d => d.media_id -> d.dhash).toMap
+    val want = (for {
+      a <- hs.keys; b <- hs.keys if a < b
+      d = java.lang.Long.bitCount(hs(a) ^ hs(b)) if d <= 3
+    } yield (a, b, d)).toSet
+    assert(got == want)
+    // every planted (i, i+100) pair is found at hamming 0
+    (0L until 10L).foreach { i =>
+      assert(got.contains((i, i + 100, 0)), s"planted pair $i missing")
+    }
+  }
 }
