@@ -1366,6 +1366,26 @@ object SparkEntry {
     }
   }
 
+  /** Deterministic audio-fingerprint corpus: 100 REAL mono 16-bit PCM
+    * WAVs with id-parameterized sample values — ids 80–99 are ids 0–19
+    * at DOUBLE volume (every sample ×2; |s| ≤ 1500 so 16-bit never
+    * clips), the loudness-normalized-duplicate plant. The oracle
+    * replays the identical integer sample/energy arithmetic from the
+    * id formulas. */
+  private def audioFpFixture(s: SparkSession): org.apache.spark.sql.Dataset[graft.multimodal.Multimodal.MediaRecord] = {
+    import s.implicits._
+    import graft.multimodal.{MediaCodecs, Multimodal}
+    s.range(100).map { id =>
+      val base = (id % 80L).toInt // ids 80–99 clone ids 0–19
+      val vol = if (id < 80) 1 else 2
+      val n = 150 + base % 60
+      val samples = Array.tabulate(n)(j =>
+        (vol * (((j * 37L + base * 101L) % 3001L) - 1500L)).toShort)
+      Multimodal.MediaRecord(id, "audio",
+        MediaCodecs.wavPcmBytes(8000, samples), """{"fmt":"wav"}""")
+    }
+  }
+
   /** Per-tag scratch directories for queries that must materialize
     * through disk (streaming sinks, envelope files). Each new request
     * for a tag deletes that tag's PREVIOUS directory — safe because by
@@ -1623,6 +1643,37 @@ object SparkEntry {
       |           AS BIGINT) AS dhash
       |       FROM ic LEFT JOIN hv USING(media_id))""".stripMargin
 
+  /** CTE chain replaying [[graft.multimodal.Multimodal.audioFingerprint]]
+    * from the audio-fingerprint fixture's id-parameterized PCM formulas:
+    * per-clip sample list, 65 frame-energy slices (1-based INCLUSIVE
+    * `list_slice` = the kernel's `[f·n/65, (f+1)·n/65)` window), 64
+    * adjacent comparisons, HUGEINT→signed-BIGINT packing. Ends with
+    * `afp(media_id, n, fp)`. */
+  private val AudioFpCteSql =
+    """ap AS (SELECT i AS media_id,
+      |         CASE WHEN i < 80 THEN i ELSE i - 80 END AS base,
+      |         CASE WHEN i < 80 THEN 1 ELSE 2 END AS vol
+      |       FROM range(100) t(i)),
+      |sm AS (SELECT media_id, 150 + base % 60 AS n,
+      |         [ vol * (((j*37 + base*101) % 3001) - 1500)
+      |           FOR j IN range(0, 150 + base % 60) ] AS smp
+      |       FROM ap),
+      |en AS (SELECT media_id, n,
+      |         [ list_sum([abs(x) FOR x IN
+      |             list_slice(smp, (f*n)//65 + 1, ((f+1)*n)//65)])
+      |           FOR f IN range(0, 65) ] AS e
+      |       FROM sm),
+      |ahv AS (SELECT media_id, n,
+      |          list_sum([ CASE WHEN e[f+2] > e[f+1]
+      |                     THEN CAST(1 AS HUGEINT) << f
+      |                     ELSE CAST(0 AS HUGEINT) END
+      |                     FOR f IN range(0, 64) ]) AS s
+      |        FROM en),
+      |afp AS (SELECT media_id, n,
+      |          CAST(CASE WHEN s < 9223372036854775808 THEN s
+      |               ELSE s - 18446744073709551616 END AS BIGINT) AS fp
+      |        FROM ahv)""".stripMargin
+
   private val ImgFeatDimSql = {
     val sx = "((((d % 12) // 3) * w) // 4)"
     val sy = "(((d // 12) * h) // 4)"
@@ -1840,6 +1891,32 @@ object SparkEntry {
         .select(col("media_id"), col("dhash"))
       Dedup.sigNearDups(sigs, maxHamming = 3,
           idCol = "media_id", sigCol = "dhash")
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // 64-bit energy-delta AUDIO fingerprint per clip (the Shazam-family
+    // shape reduced to one word): real RIFF/PCM bytes → 65 frame
+    // energies (Σ|sample|, integer) → 64 adjacent comparisons.
+    // Volume-invariant by construction — both sides of every comparison
+    // scale together under uniform gain. The oracle replays sample
+    // values, frame slicing, and bit packing from the id formulas.
+    "media_audio_fp" -> ((s, dir) => {
+      graft.multimodal.Multimodal.audioFingerprint(audioFpFixture(s)).toDF()
+        .orderBy(col("media_id"))
+    }),
+
+    // Audio near-dup pairs over the fingerprints — the same banded
+    // signature join as SimHash/dHash (complete for hamming ≤ 3, never
+    // all-pairs). The planted double-volume clips (ids 80–99 = ids 0–19
+    // at gain 2×) land at hamming 0: the loudness-normalized duplicate
+    // class exact byte dedup cannot see. Oracle: brute-force pair truth
+    // over the replayed fingerprints.
+    "media_audio_fp_dedup" -> ((s, dir) => {
+      val sigs = graft.multimodal.Multimodal
+        .audioFingerprint(audioFpFixture(s)).toDF()
+        .select(col("media_id"), col("fp"))
+      Dedup.sigNearDups(sigs, maxHamming = 3,
+          idCol = "media_id", sigCol = "fp")
         .orderBy(col("id_a"), col("id_b"))
     }),
 
@@ -4637,6 +4714,26 @@ object SparkEntry {
          |       CAST(bit_count(xor(a.dhash, b.dhash)) AS INTEGER) AS hamming
          |FROM dh a JOIN dh b ON a.media_id < b.media_id
          |WHERE bit_count(xor(a.dhash, b.dhash)) <= 3
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    // Rebuilds every clip's energy-delta fingerprint from the fixture's
+    // integer PCM formulas — the Spark path from real RIFF/PCM bytes to
+    // signature must agree bit for bit.
+    "media_audio_fp" ->
+      s"""WITH $AudioFpCteSql
+         |SELECT CAST(media_id AS BIGINT) AS media_id,
+         |       CAST(n AS INTEGER) AS n_samples, fp
+         |FROM afp ORDER BY media_id""".stripMargin,
+
+    // Brute-force pair truth over the replayed fingerprints at
+    // hamming ≤ 3 — the banded Spark join must equal it, planted
+    // double-volume clips at hamming 0 included.
+    "media_audio_fp_dedup" ->
+      s"""WITH $AudioFpCteSql
+         |SELECT a.media_id AS id_a, b.media_id AS id_b,
+         |       CAST(bit_count(xor(a.fp, b.fp)) AS INTEGER) AS hamming
+         |FROM afp a JOIN afp b ON a.media_id < b.media_id
+         |WHERE bit_count(xor(a.fp, b.fp)) <= 3
          |ORDER BY id_a, id_b""".stripMargin,
 
     // Rederives the √n thresholds from the same histogram with the same

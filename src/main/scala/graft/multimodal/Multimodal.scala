@@ -276,6 +276,49 @@ object Multimodal {
     })
   }
 
+  /** Per-clip 64-bit ENERGY-DELTA audio fingerprint (the Shazam-family
+    * shape reduced to one word): split channel-0 PCM into `frames`
+    * contiguous windows, frame energy = Σ|sample| (integer), bit `f` =
+    * 1 iff energy(f+1) > energy(f). Volume-INVARIANT under any positive
+    * uniform gain (both sides of every comparison scale together) — the
+    * re-encoded/normalized-loudness duplicate class byte-exact dedup
+    * can never see, the audio twin of [[dHash]]'s brightness
+    * invariance. All-integer end to end; one narrow map, 8 bytes out
+    * per clip. Non-WAV rows and clips shorter than `frames` samples
+    * drop (signature ops are audio-only, and sub-frame clips have no
+    * stable energy contour). */
+  final case class AudioFp(media_id: Long, n_samples: Int, fp: Long)
+
+  def audioFingerprint(media: Dataset[MediaRecord], frames: Int = 65): Dataset[AudioFp] = {
+    require(frames >= 2 && frames - 1 <= 64,
+      s"fingerprint bits frames-1 must fit a Long, got ${frames - 1}")
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap { r =>
+      MediaCodecs.wavChannel0Samples(r.content)
+        .filter(_.length >= frames)
+        .map { s =>
+          val n = s.length
+          val energy = new Array[Long](frames)
+          var f = 0
+          while (f < frames) {
+            var i = f * n / frames
+            val end = (f + 1) * n / frames
+            var e = 0L
+            while (i < end) { e += math.abs(s(i)).toLong; i += 1 }
+            energy(f) = e
+            f += 1
+          }
+          var bits = 0L
+          f = 0
+          while (f < frames - 1) {
+            if (energy(f + 1) > energy(f)) bits |= (1L << f)
+            f += 1
+          }
+          AudioFp(r.media_id, n, bits)
+        }
+    })
+  }
+
   /** Typed metadata access over the JSON `meta` column. */
   def withMeta(df: DataFrame, fields: Map[String, String]): DataFrame =
     fields.foldLeft(df) { case (acc, (name, jsonPath)) =>

@@ -351,4 +351,51 @@ class MultimodalSpec extends AnyFunSuite {
       assert(got.contains((i, i + 100, 0)), s"planted pair $i missing")
     }
   }
+
+  // -------------------------------------------------- audio fingerprint
+
+  /** Independent energy-delta reference: plain loops over channel-0
+    * samples, no shared code with the Dataset path beyond the parser. */
+  private def audioFpRef(bytes: Array[Byte], frames: Int = 65): Long = {
+    val s = MediaCodecs.wavChannel0Samples(bytes).get
+    val n = s.length
+    val e = (0 until frames).map(f =>
+      (f * n / frames until (f + 1) * n / frames).map(i => math.abs(s(i)).toLong).sum)
+    (0 until frames - 1).foldLeft(0L)((acc, f) =>
+      if (e(f + 1) > e(f)) acc | (1L << f) else acc)
+  }
+
+  test("audioFingerprint matches an independent reference on random clips") {
+    val rnd = new scala.util.Random(717273)
+    val recs = (0 until 30).map { i =>
+      val n = 65 + rnd.nextInt(400)
+      val smp = Array.fill(n)((rnd.nextInt(8001) - 4000).toShort)
+      MediaRecord(i.toLong, "audio", MediaCodecs.wavPcmBytes(8000, smp), "{}")
+    }
+    val got = audioFingerprint(recs.toDS()).collect()
+      .map(a => a.media_id -> (a.n_samples, a.fp)).toMap
+    recs.foreach { r =>
+      val n = MediaCodecs.wavChannel0Samples(r.content).get.length
+      assert(got(r.media_id) == ((n, audioFpRef(r.content))), s"id ${r.media_id}")
+    }
+  }
+
+  test("audioFingerprint is volume-invariant; short and non-WAV rows drop") {
+    val rnd = new scala.util.Random(818283)
+    val smp = Array.fill(300)((rnd.nextInt(2001) - 1000).toShort)
+    val loud = smp.map(s => (s * 3).toShort) // |s| ≤ 1000 → ×3 never clips
+    val out = audioFingerprint(Seq(
+      MediaRecord(1L, "audio", MediaCodecs.wavPcmBytes(8000, smp), "{}"),
+      MediaRecord(2L, "audio", MediaCodecs.wavPcmBytes(8000, loud), "{}"),
+      MediaRecord(3L, "audio",
+        MediaCodecs.wavPcmBytes(8000, Array.fill(64)(5.toShort)), "{}"),
+      MediaRecord(4L, "image", MediaCodecs.pngBytes(8, 8), "{}")
+    ).toDS()).collect().sortBy(_.media_id)
+    assert(out.map(_.media_id).toSeq == Seq(1L, 2L),
+      "sub-frame clips and non-WAV rows must drop")
+    assert(out(0).fp == out(1).fp, "uniform gain must not change the fingerprint")
+    intercept[IllegalArgumentException] {
+      audioFingerprint(Seq.empty[MediaRecord].toDS(), frames = 66)
+    }
+  }
 }
