@@ -113,6 +113,50 @@ object SparkEntry {
       .map(i => s"(CAST($a[$i] AS DOUBLE) * CAST($b[$i] AS DOUBLE))")
       .mkString(" + ")
 
+  /** The knn_mmr oracle: the greedy MMR selection unrolled into one
+    * argmax CTE per pick. `cand`/`sims` materialize ONCE (20 rows /
+    * 380 sim pairs); every later layer is a NOT-IN/IN probe over 1-row
+    * pick CTEs — all MATERIALIZED so DuckDB's multi-consumer CTE
+    * inlining cannot re-evaluate the chain combinatorially. Weights are
+    * the literals 0.7/0.3 on BOTH engines (never λ and 1−λ: decimal
+    * folding of 1.0−0.7 is exact while float64 is not). */
+  private def mmrOracleSql(k: Int, shortlist: Int): String = {
+    val parts = scala.collection.mutable.ArrayBuffer(
+      s"""cand AS MATERIALIZED (
+         |  SELECT e.vec_id, e.embedding,
+         |         (${dotSql("e.embedding", "q.qe")})
+         |           / (sqrt(${dotSql("e.embedding", "e.embedding")}) * sqrt(${dotSql("q.qe", "q.qe")})) AS rel
+         |  FROM embeddings e CROSS JOIN q
+         |  ORDER BY rel DESC, vec_id ASC LIMIT $shortlist)""".stripMargin,
+      s"""sims AS MATERIALIZED (
+         |  SELECT a.vec_id AS ia, b.vec_id AS ib,
+         |         (${dotSql("a.embedding", "b.embedding")})
+         |           / (sqrt(${dotSql("a.embedding", "a.embedding")}) * sqrt(${dotSql("b.embedding", "b.embedding")})) AS s
+         |  FROM cand a JOIN cand b ON a.vec_id <> b.vec_id)""".stripMargin,
+      """p1 AS MATERIALIZED (
+        |  SELECT 1 AS rank, vec_id, rel, 0.7*rel - 0.3*0.0 AS mmr_score
+        |  FROM cand ORDER BY rel DESC, vec_id ASC LIMIT 1)""".stripMargin)
+    for (i <- 2 to k) {
+      val sel = (1 until i).map(j => s"SELECT vec_id FROM p$j").mkString(" UNION ALL ")
+      parts += s"u$i AS MATERIALIZED (SELECT vec_id FROM ($sel))"
+      parts +=
+        s"""m$i AS MATERIALIZED (
+           |  SELECT c.vec_id, c.rel, max(s.s) AS ms
+           |  FROM cand c JOIN sims s ON s.ia = c.vec_id AND s.ib IN (SELECT vec_id FROM u$i)
+           |  WHERE c.vec_id NOT IN (SELECT vec_id FROM u$i)
+           |  GROUP BY c.vec_id, c.rel)""".stripMargin
+      parts +=
+        s"""p$i AS MATERIALIZED (
+           |  SELECT $i AS rank, vec_id, rel, 0.7*rel - 0.3*ms AS mmr_score
+           |  FROM m$i ORDER BY mmr_score DESC, vec_id ASC LIMIT 1)""".stripMargin
+    }
+    val union = (1 to k).map(j => s"SELECT * FROM p$j").mkString(" UNION ALL ")
+    s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+       |${parts.mkString(",\n")}
+       |SELECT CAST(rank AS INTEGER) AS rank, vec_id, rel, mmr_score
+       |FROM ($union) ORDER BY rank""".stripMargin
+  }
+
   /** Binary-signature CTEs shared by the knn_hamming_* oracles:
     * per-dimension MIDRANGE thresholds (order-independent min/max —
     * bit-identical to [[graft.index.Binary.fitThresholds]] under any
@@ -3673,6 +3717,23 @@ object SparkEntry {
         shortlist = 50)
     }),
 
+    // MAXIMAL MARGINAL RELEVANCE diversified retrieval (Carbonell &
+    // Goldstein SIGIR'98) — the RAG de-redundancy step: greedy picks
+    // maximize 0.7·rel − 0.3·max-sim-to-selected, so near-duplicate
+    // passages stop crowding out coverage. Corpus-sized work (cosine
+    // relevance + 20-row shortlist) is the distributed TakeOrdered
+    // path; the inherently-sequential greedy runs on the driver over
+    // the BOUNDED shortlist. The oracle unrolls all 8 greedy layers
+    // relationally (materialized candidate/sim tables + one argmax CTE
+    // per pick — the BPE priority-layer discipline) and matches bit
+    // for bit.
+    "knn_mmr" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0)
+      VectorSearch.knnMmr(e, q, k = 8, shortlist = 20)
+    }),
+
     // Metadata-filtered hybrid search: the label predicate prunes the
     // scan BELOW the top-k (visible as a parquet PushedFilter).
     "knn_hybrid" -> ((s, dir) => {
@@ -4490,6 +4551,8 @@ object SparkEntry {
          |SELECT e.vec_id AS vec_id, ${l2SqSql("e.embedding", "q.qe")} AS dist
          |FROM embeddings e JOIN short USING (vec_id) CROSS JOIN q
          |ORDER BY dist ASC, vec_id ASC LIMIT 10""".stripMargin,
+
+    "knn_mmr" -> mmrOracleSql(k = 8, shortlist = 20),
 
     "knn_hamming_recall" ->
       s"""WITH $hammingSigCtes,

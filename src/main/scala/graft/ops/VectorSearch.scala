@@ -300,4 +300,82 @@ object VectorSearch {
     knnExact(corpus.filter(col(idCol).isin(ids.toIndexedSeq: _*)),
       queryVec, k, idCol, embCol)
   }
+
+  /** MAXIMAL MARGINAL RELEVANCE diversified top-k (Carbonell & Goldstein
+    * SIGIR'98) — the RAG-retrieval de-redundancy step: greedily pick the
+    * candidate maximizing `λ·rel(c) − (1−λ)·max_{s∈S} sim(c, s)`, so
+    * each pick trades query relevance against similarity to what is
+    * ALREADY selected (near-duplicate passages stop crowding out
+    * coverage). Two stages with the two right cost shapes: the
+    * corpus-sized work — cosine relevance + shortlist cut — is the
+    * distributed TakeOrderedAndProject every kNN query uses; the greedy
+    * loop is inherently sequential and runs on the driver over the
+    * BOUNDED shortlist (O(shortlist·k) float64 ops on ≤`shortlist`
+    * collected rows — the [[graft.index.AnnSelector]] discipline), so
+    * nothing corpus-sized ever reaches the driver. The first pick's
+    * max-sim term is 0 (empty selection); ties break to the smaller id.
+    * All float64 arithmetic is left-associative and mirrored exactly by
+    * the unrolled relational oracle layers. */
+  def knnMmr(
+      corpus: DataFrame,
+      queryVec: Seq[Float],
+      k: Int,
+      shortlist: Int,
+      relWeight: Double = 0.7,
+      divWeight: Double = 0.3,
+      idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    require(k >= 1 && shortlist >= k, s"need shortlist >= k >= 1, got $k/$shortlist")
+    // BOTH weights are explicit literals rather than λ / 1−λ: a SQL
+    // oracle folds (1.0 - 0.7) in exact decimal to 0.3 while float64
+    // gives 0.30000000000000004 — the two must quote the same literal
+    require(relWeight >= 0.0 && divWeight >= 0.0,
+      s"weights must be non-negative, got $relWeight/$divWeight")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val q = lit(queryVec.toArray)
+    val cand = corpus
+      .select(col(idCol).cast("long"), col(embCol),
+        Distances.cosine(col(embCol), q).as("rel"))
+      .orderBy(col("rel").desc, col(idCol).asc)
+      .limit(shortlist)
+      .collect()
+    val ids = cand.map(_.getLong(0))
+    val embs = cand.map(_.getSeq[Float](1).toArray)
+    val rel = cand.map(_.getDouble(2))
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    val norms = embs.map(e => math.sqrt(dot(e, e)))
+    def sim(i: Int, j: Int): Double = dot(embs(i), embs(j)) / (norms(i) * norms(j))
+    val selected = scala.collection.mutable.ArrayBuffer.empty[(Int, Double)]
+    val inSel = new Array[Boolean](cand.length)
+    while (selected.length < math.min(k, cand.length)) {
+      var bestIdx = -1
+      var bestScore = Double.NegativeInfinity
+      var c = 0
+      while (c < cand.length) {
+        if (!inSel(c)) {
+          // TRUE max over the selected set (cosine can be negative);
+          // empty selection (the first pick) contributes 0
+          var ms = if (selected.isEmpty) 0.0 else Double.NegativeInfinity
+          selected.foreach { case (s, _) =>
+            val v = sim(c, s); if (v > ms) ms = v
+          }
+          val score = relWeight * rel(c) - divWeight * ms
+          if (score > bestScore || (score == bestScore && bestIdx >= 0 && ids(c) < ids(bestIdx))) {
+            bestIdx = c; bestScore = score
+          }
+        }
+        c += 1
+      }
+      inSel(bestIdx) = true
+      selected += ((bestIdx, bestScore))
+    }
+    selected.toSeq.zipWithIndex
+      .map { case ((c, score), r) => (r + 1, ids(c), rel(c), score) }
+      .toDF("rank", idCol, "rel", "mmr_score")
+  }
 }

@@ -202,4 +202,80 @@ class VectorSearchSpec extends AnyFunSuite {
       .toSeq.sorted.take(10).map { case (d, id) => (id, d) }
     assert(two.toSeq == expect)
   }
+
+  private def cosRef(a: Array[Float], b: Array[Float]): Double = {
+    def dot(x: Array[Float], y: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < x.length) { s += x(i).toDouble * y(i).toDouble; i += 1 }
+      s
+    }
+    dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+  }
+
+  test("knnMmr: zero diversity weight degenerates to cosine top-k") {
+    import spark.implicits._
+    val rng = new scala.util.Random(31)
+    val corpus = (0L until 150L).map(i => (i, Array.fill(8)(rng.nextFloat() - 0.5f)))
+      .toDF("vec_id", "embedding")
+    val q = corpus.filter(org.apache.spark.sql.functions.col("vec_id") === 0L)
+      .select("embedding").head().getSeq[Float](0)
+    val mmr = VectorSearch.knnMmr(corpus, q, k = 6, shortlist = 20,
+      relWeight = 1.0, divWeight = 0.0)
+      .collect().map(r => r.getLong(1))
+    val top = VectorSearch.cosineTopK(corpus, q, 6).collect().map(_.getLong(0))
+    assert(mmr.toSeq == top.toSeq)
+  }
+
+  test("knnMmr: a near-duplicate of the first pick is deferred for diversity") {
+    import spark.implicits._
+    // query axis e0; id 1 ≈ id 2 (near-identical, both highly relevant),
+    // id 3 orthogonal-ish but still relevant — MMR must pick 3 before 2
+    val rows = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)),
+      (1L, Array(0.99f, 0.1f, 0f, 0f)),
+      (2L, Array(0.98f, 0.11f, 0f, 0f)),
+      (3L, Array(0.6f, 0f, 0.8f, 0f)),
+      (4L, Array(0.5f, 0f, 0f, 0.86f))
+    ).toDF("vec_id", "embedding")
+    val q = Seq(1f, 0f, 0f, 0f)
+    // equal weights: the near-dup's ~1.0 self-similarity penalty
+    // outweighs its relevance edge over the orthogonal candidate
+    val picks = VectorSearch.knnMmr(rows, q, k = 4, shortlist = 5,
+        relWeight = 0.5, divWeight = 0.5)
+      .collect().map(r => r.getLong(1)).toSeq
+    assert(picks.head == 0L)
+    assert(picks.contains(3L) &&
+      (!picks.contains(2L) || picks.indexOf(3L) < picks.indexOf(2L)),
+      s"diverse id 3 must beat the near-dup id 2: $picks")
+    // relevance-only ranking would put 2 before 3 — pin the contrast
+    val relOnly = VectorSearch.cosineTopK(rows, q, 4).collect().map(_.getLong(0)).toSeq
+    assert(relOnly.indexOf(2L) < relOnly.indexOf(3L))
+  }
+
+  test("knnMmr matches an independent greedy reference on random vectors") {
+    import spark.implicits._
+    val rng = new scala.util.Random(47)
+    val vecs = (0L until 120L).map(i => (i, Array.fill(12)(rng.nextFloat() - 0.5f)))
+    val corpus = vecs.toDF("vec_id", "embedding")
+    val q = vecs.head._2.toSeq
+    val got = VectorSearch.knnMmr(corpus, q, k = 7, shortlist = 25)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    // reference greedy
+    val qa = q.toArray
+    val rel = vecs.map { case (id, v) => id -> cosRef(v, qa) }.toMap
+    val byId = vecs.toMap
+    val cand = rel.toSeq.sortBy { case (id, r) => (-r, id) }.take(25).map(_._1)
+    val sel = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val expect = (1 to 7).map { rank =>
+      val scored = cand.filterNot(sel.contains).map { c =>
+        val ms = if (sel.isEmpty) 0.0
+          else sel.map(s => cosRef(byId(c), byId(s))).max
+        (c, 0.7 * rel(c) - 0.3 * ms)
+      }
+      val (pick, score) = scored.minBy { case (id, sc) => (-sc, id) }
+      sel += pick
+      (rank, pick, rel(pick), score)
+    }
+    assert(got.toSeq == expect)
+  }
 }
