@@ -1964,6 +1964,47 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // STORE-backed streaming PERCEPTUAL media dedup — the crawl loop's
+    // multimodal leg: seed a 16-byte/image signature store from the
+    // first 50 rasters, stream the full media fixture through per-batch
+    // dHash + banded Hamming verdicts against the store, append novel
+    // signatures as batch-keyed overwrite deltas. Raster bytes never
+    // persist and never shuffle; executor state is ZERO (measured via
+    // stream_state); non-image rows drop with the signature. The
+    // oracle replays the seed store and the single-file micro-batch:
+    // verdict = min-(hamming, id) seed match within ≤ 3.
+    "stream_media_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val scratch = scratchDir("stream_media_dedup")
+      val storeDir = s"$scratch/store"
+      val seedDir =
+        s"${System.getProperty("java.io.tmpdir")}/graft_seedsig_${dirKey(dir)}"
+      val imgs = mediaFeatFixture(s).filter(_.modality == "image")
+      Dedup.ensureSigStore(s,
+        graft.multimodal.Multimodal.dHash(imgs.filter(_.media_id < 50)).toDF()
+          .select(col("media_id"), col("dhash").as("sig")),
+        seedDir)
+      copyRecursively(java.nio.file.Paths.get(seedDir),
+        java.nio.file.Paths.get(storeDir))
+      // the media corpus as ONE parquet file → one deterministic
+      // micro-batch (the stream_incremental replay discipline)
+      val mediaPath = s"$scratch/media"
+      mediaFeatFixture(s).toDF().coalesce(1).write.parquet(mediaPath)
+      val schema = s.read.parquet(mediaPath).schema
+      val stream = s.readStream.schema(schema).parquet(mediaPath)
+      val q = graft.streaming.StreamingIngest.streamingMediaDedup(
+        stream, storeDir, s"$scratch/sink", s"$scratch/chk")
+      q.awaitTermination()
+      SparkEntry.streamStateRows.put("stream_media_dedup",
+        q.recentProgress.iterator
+          .map(p => p.stateOperators.map(_.numRowsTotal).sum)
+          .foldLeft(0L)(math.max))
+      s.read.option("recursiveFileLookup", "true").parquet(s"$scratch/sink")
+        .select(col("media_id"), col("is_novel"), col("near_dup_of"),
+          col("hamming"))
+        .orderBy(col("media_id"))
+    }),
+
     // Temperature-flattened mixture (α = 1/2 exponent sampling, the
     // XLM-R-style rebalance): per-source keep thresholds ∝ √n_s under a
     // 300-doc budget — all integer arithmetic (⌊√n⌋ is exact) the
@@ -4798,6 +4839,26 @@ object SparkEntry {
          |FROM afp a JOIN afp b ON a.media_id < b.media_id
          |WHERE bit_count(xor(a.fp, b.fp)) <= 3
          |ORDER BY id_a, id_b""".stripMargin,
+
+    // Replays the seed signature store (ids < 50) and the single-file
+    // micro-batch's banded-Hamming verdicts: near_dup_of = the seed id
+    // at minimal (hamming, id) within ≤ 3, novel otherwise.
+    "stream_media_dedup" ->
+      s"""WITH $DHashCteSql,
+         |seed AS (SELECT media_id AS s_id, dhash AS ssig FROM dh WHERE media_id < 50),
+         |m AS (SELECT b.media_id, s.s_id,
+         |        CAST(bit_count(xor(b.dhash, s.ssig)) AS INTEGER) AS hm
+         |      FROM dh b JOIN seed s ON bit_count(xor(b.dhash, s.ssig)) <= 3),
+         |r AS (SELECT media_id, s_id, hm,
+         |        row_number() OVER (PARTITION BY media_id ORDER BY hm, s_id) AS rn
+         |      FROM m)
+         |SELECT CAST(d.media_id AS BIGINT) AS media_id,
+         |       CASE WHEN r.s_id IS NULL THEN CAST(1 AS BIGINT)
+         |            ELSE CAST(0 AS BIGINT) END AS is_novel,
+         |       CAST(r.s_id AS BIGINT) AS near_dup_of,
+         |       r.hm AS hamming
+         |FROM dh d LEFT JOIN (SELECT * FROM r WHERE rn = 1) r USING (media_id)
+         |ORDER BY media_id""".stripMargin,
 
     // Rederives the √n thresholds from the same histogram with the same
     // integer floor chain, then replays the md5 deviate filter.

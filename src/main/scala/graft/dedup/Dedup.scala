@@ -456,6 +456,102 @@ object Dedup {
       .distinct()
   }
 
+  /** Near-dup pairs BETWEEN two 64-bit signature tables (crawl batch vs
+    * persisted store — never within either side): both sides band-
+    * explode, candidates share a band key, the exact hamming filter
+    * runs on candidates only. Complete for the threshold by the same
+    * pigeonhole argument as [[sigNearDups]]. Output
+    * `(left id, right id, hamming)`. 100 TB shape: shuffle key = band
+    * value on both sides; with a batch-sized left side the banded left
+    * table broadcasts into the store scan. */
+  def sigNearDupsAgainst(
+      left: DataFrame,
+      right: DataFrame,
+      maxHamming: Int = 3,
+      leftIdCol: String = "id_l",
+      rightIdCol: String = "id_r",
+      sigCol: String = "sig"): DataFrame = {
+    val lb = simHashBanded(
+      left.select(col(leftIdCol), col(sigCol).as("sig")), maxHamming, leftIdCol)
+    val rb = simHashBanded(
+      right.select(col(rightIdCol), col(sigCol).as("sig")), maxHamming, rightIdCol)
+    lb.as("a")
+      .join(rb.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key"))
+      .select(col(s"a.$leftIdCol"), col(s"b.$rightIdCol"),
+        hamming64(col("a.sig"), col("b.sig")).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
+  private val sigStoreSidecar = "_graft_sigstore_sidecar.json"
+
+  /** Idempotently materialize a SIGNATURE STORE at `dir`: rows of
+    * `(s_id, sig)` behind the shared fingerprint-sidecar protocol — the
+    * durable dedup memory for perceptual near-dup crawling (image
+    * dHash, audio fingerprints), 16 bytes per item regardless of media
+    * size. The incremental complement of [[ensureHashStore]] for the
+    * signature legs. */
+  def ensureSigStore(
+      spark: org.apache.spark.sql.SparkSession,
+      sigs: DataFrame,
+      dir: String,
+      idCol: String = "media_id",
+      sigCol: String = "sig"): Unit = {
+    val (nRows, dataHash, hashSum) =
+      graft.io.Artifact.hashAgg(sigs, xxhash64(col(idCol), col(sigCol)))
+    graft.io.Artifact.ensure(dir, sigStoreSidecar,
+      graft.io.Artifact.fingerprintJson(nRows, dataHash,
+        "hsum" -> hashSum, "idCol" -> idCol, "sigCol" -> sigCol)) {
+      sigs.select(col(idCol).cast("long").as("s_id"), col(sigCol).as("sig"))
+        .write.mode("overwrite").parquet(dir)
+    }
+  }
+
+  /** One micro-batch step of STORE-backed incremental SIGNATURE dedup —
+    * the [[incrementalDedupBatch]] shape for perceptual near-dups:
+    * every batch signature gets a verdict against the persisted store
+    * (`is_novel`; `near_dup_of` = the store id at minimal
+    * `(hamming, id)`, so the verdict is deterministic under any
+    * candidate order), and novel rows append as a batch-tag-keyed
+    * OVERWRITE delta (`delta_<tag>`), so at-least-once redelivery
+    * rewrites rather than doubles — a retried batch excludes its own
+    * previous delta from the store view, mirroring the exact-dup leg.
+    * The store is never shuffled beyond the band-key join; verdicts and
+    * the delta are batch-bounded. */
+  def incrementalSigDedupBatch(
+      spark: org.apache.spark.sql.SparkSession,
+      storeDir: String,
+      sigs: DataFrame,
+      batchTag: String,
+      maxHamming: Int = 3,
+      idCol: String = "media_id",
+      sigCol: String = "sig"): DataFrame = {
+    val batchSigs = sigs
+      .select(col(idCol).cast("long").as("b_id"), col(sigCol).as("sig"))
+      // bounded: batch-sized — reused by the probe AND the delta write
+      // (and so the append cannot re-read the store it is writing)
+      .localCheckpoint()
+    val store = spark.read.option("recursiveFileLookup", "true")
+      .parquet(storeDir)
+      .where(!input_file_name().contains(s"/delta_$batchTag/"))
+    val matches = sigNearDupsAgainst(
+        batchSigs, store, maxHamming, "b_id", "s_id")
+      .groupBy(col("b_id"))
+      .agg(min(struct(col("hamming"), col("s_id"))).as("m"))
+    val verdicts = batchSigs.join(broadcast(matches), Seq("b_id"), "left")
+      .select(col("b_id"), col("sig"),
+        when(col("m").isNull, 1L).otherwise(0L).as("is_novel"),
+        col("m.s_id").as("near_dup_of"),
+        col("m.hamming").as("hamming"))
+      .localCheckpoint()
+    verdicts.filter(col("is_novel") === 1L)
+      .select(col("b_id").as("s_id"), col("sig"))
+      .write.mode("overwrite").parquet(s"$storeDir/delta_$batchTag")
+    verdicts.select(col("b_id").as(idCol), col("is_novel"),
+      col("near_dup_of"), col("hamming"))
+  }
+
   /** (idCol, sig, band, key) — every signature exploded into its
     * `maxHamming + 1` band keys (bits distributed as evenly as
     * possible). */

@@ -279,6 +279,43 @@ object StreamingIngest {
     * SEPARATE session racing the fold can see a transient
     * FileNotFoundException and should re-issue — see the contract note
     * on `compactDeltas`. */
+  /** STORE-backed streaming PERCEPTUAL media dedup — the crawl loop's
+    * multimodal leg, completing the incremental set (exact-dup,
+    * near-dup, ANN, tokenize): every micro-batch of media rows
+    * signatures on the executors (image dHash over the real raster
+    * bytes — non-image rows drop with the signature), Hamming-probes
+    * the persisted signature store through the banded join (complete
+    * for the threshold, never all-pairs), and appends its NOVEL
+    * signatures as a batch-keyed overwrite delta
+    * ([[graft.dedup.Dedup.incrementalSigDedupBatch]]). Durable dedup
+    * memory is 16 bytes per seen image regardless of media size —
+    * the raster bytes never persist and never shuffle; executor state
+    * is ZERO. At-least-once redelivery rewrites the same delta and
+    * sink subdir (batch-id-keyed overwrites). Read the sink with
+    * `recursiveFileLookup`. */
+  def streamingMediaDedup(
+      stream: DataFrame,
+      storeDir: String,
+      sinkDir: String,
+      checkpoint: String,
+      maxHamming: Int = 3): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val tag = s"${pipelineTag(checkpoint)}_b$batchId"
+        val spark = batch.sparkSession
+        import spark.implicits._
+        val sigs = graft.multimodal.Multimodal
+          .dHash(batch.as[graft.multimodal.Multimodal.MediaRecord]).toDF()
+          .select(org.apache.spark.sql.functions.col("media_id"),
+            org.apache.spark.sql.functions.col("dhash").as("sig"))
+        graft.dedup.Dedup
+          .incrementalSigDedupBatch(spark, storeDir, sigs, tag, maxHamming)
+          .write.mode("overwrite").parquet(s"$sinkDir/$tag")
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   def streamingIvfAppend(
       stream: DataFrame,
       layoutDir: String,

@@ -206,4 +206,51 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(b2.head.getLong(1) == 0L && b2.head.getLong(2) == 100L,
       s"batch 2 must match batch 1's appended doc, got ${b2.toSeq}")
   }
+
+  // ------------------------------------------------ signature store
+
+  test("signature store: verdicts take the minimal (hamming, id) seed match") {
+    val dir = freshDir("sig")
+    // seed: ids 1 and 2 one bit apart; id 3 far away
+    val seed = Seq((1L, 0L), (2L, 1L), (3L, 0x0f0f0f0f0f0f0f0fL))
+      .toDF("media_id", "sig")
+    Dedup.ensureSigStore(spark, seed, dir)
+    val batch = Seq(
+      (10L, 1L),                  // hamming 0 vs id 2, 1 vs id 1 → dup of 2
+      (11L, 3L),                  // hamming 1 vs id 2 (and 2 vs id 1) → dup of 2
+      (12L, 0x7070707070707070L)) // ≥ 4 from everything → novel
+      .toDF("media_id", "sig")
+    val out = Dedup.incrementalSigDedupBatch(spark, dir, batch, "t1")
+      .orderBy("media_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        if (r.isNullAt(3)) -1 else r.getInt(3)))
+    assert(out.toSeq == Seq(
+      (10L, 0L, 2L, 0), (11L, 0L, 2L, 1), (12L, 1L, -1L, -1)))
+    // the novel signature landed as a delta and dedups the NEXT batch
+    val b2 = Dedup.incrementalSigDedupBatch(spark, dir,
+        Seq((20L, 0x7070707070707071L)).toDF("media_id", "sig"), "t2")
+      .collect()
+    assert(b2.head.getLong(1) == 0L && b2.head.getLong(2) == 12L &&
+      b2.head.getInt(3) == 1, s"batch 2 must match batch 1's delta: ${b2.toSeq}")
+  }
+
+  test("signature store: a redelivered tagged batch rewrites its delta, never doubles") {
+    val dir = freshDir("sig_retry")
+    Dedup.ensureSigStore(spark,
+      Seq((1L, 0L)).toDF("media_id", "sig"), dir)
+    val batch = Seq((10L, 0xff00ff00ff00ff00L)).toDF("media_id", "sig")
+    val first = Dedup.incrementalSigDedupBatch(spark, dir, batch, "tr")
+      .collect()
+    assert(first.head.getLong(1) == 1L)
+    // redelivery of the SAME tag: its own previous delta is excluded
+    // from the store view, so the verdict stays novel (not dup-of-self)
+    val retry = Dedup.incrementalSigDedupBatch(spark, dir, batch, "tr")
+      .collect()
+    assert(retry.head.getLong(1) == 1L,
+      s"retry must not see its own delta: ${retry.toSeq}")
+    // and the store carries exactly one delta row for the tag
+    val store = spark.read.option("recursiveFileLookup", "true").parquet(dir)
+    assert(store.count() == 2L)
+  }
 }
