@@ -450,6 +450,58 @@ object ScaleProbe {
           emb, sigs, query.toSeq, thr, k = 10, shortlist = 50)))
     }
 
+    // perceptual media signatures at corpus scale: dHash is one narrow
+    // map over real raster bytes (8 bytes out/row); the near-dup pair
+    // stage and the store probe scan ONLY signatures through the
+    // banded join — pair volume is content-driven (varied rasters, a
+    // 1-in-50 planted dup), never all-pairs; the incremental batch
+    // probe must stay flat in store size
+    if (onlyFilter.forall(_.exists("mediasig".contains))) {
+      import spark.implicits._
+      val nImg = 5000 * factor / 20
+      val rasters = spark.range(nImg).map { id =>
+        // varied content via the id-parameterized pixel arithmetic;
+        // every 50th image duplicates id-1 at +1 brightness
+        val base = (if (id % 50 == 49) id - 1L else id.toLong).toInt
+        val bump = if (id % 50 == 49) 1 else 0
+        val w = 8 + base % 23
+        val h = 8 + base % 19
+        graft.multimodal.Multimodal.MediaRecord(id, "image",
+          graft.multimodal.MediaCodecs.ppmBytes(w, h, (x, y) =>
+            (((base % 11 + 3) * x + (base % 13 + 5) * y + base) % 251 + bump,
+             ((base % 13 + 5) * x + (base % 11 + 3) * y + 2 * base) % 241,
+             ((base % 7 + 2) * (x + y) + 3 * base) % 239)),
+          "{}")
+      }
+      val sigs = graft.multimodal.Multimodal.dHash(rasters).toDF()
+        .select(col("media_id"), col("dhash").as("sig"))
+        .localCheckpoint()
+      time(s"media dHash build ($nImg rasters)")(noop(
+        graft.multimodal.Multimodal.dHash(rasters).toDF()))
+      time(s"media sig near-dup pairs ($nImg sigs)")(noop(
+        graft.dedup.Dedup.sigNearDups(sigs, maxHamming = 3,
+          idCol = "media_id")))
+      val storeDir = java.nio.file.Files
+        .createTempDirectory("graft_scale_sigstore").toString
+      graft.dedup.Dedup.ensureSigStore(spark, sigs, storeDir)
+      val batch = sigs.limit(1000).withColumn("media_id",
+        col("media_id") + lit(10L * nImg))
+      time(s"media sig batch probe (1k vs $nImg store)")(noop(
+        graft.dedup.Dedup.incrementalSigDedupBatch(
+          spark, storeDir, batch, "scaleprobe")))
+      val nClip = nImg
+      val clips = spark.range(nClip).map { id =>
+        val base = id.toInt
+        val n = 150 + base % 60
+        val smp = Array.tabulate(n)(j =>
+          (((j * 37L + base * 101L) % 3001L) - 1500L).toShort)
+        graft.multimodal.Multimodal.MediaRecord(id, "audio",
+          graft.multimodal.MediaCodecs.wavPcmBytes(8000, smp), "{}")
+      }
+      time(s"audio fingerprint build ($nClip clips)")(noop(
+        graft.multimodal.Multimodal.audioFingerprint(clips).toDF()))
+    }
+
     // z-order layout stats: raw rows grow with the factor, but the
     // only window runs over the occupied-cell table (≤ 2^20 rows at
     // any corpus size) — cost must track the one bucketing aggregation

@@ -418,4 +418,57 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(pruned >= 2,
       s"cluster predicate must prune BOTH the base and the delta scan (found $pruned):\n$scan")
   }
+
+  test("signature near-dup pairs ride the banded join: no cartesian product, codegen hamming") {
+    import spark.implicits._
+    val sigs = List.range(0L, 200L).map(i => (i, i * 0x9e3775b9L))
+      .toDF("media_id", "sig")
+    val plan = graft.dedup.Dedup
+      .sigNearDups(sigs, maxHamming = 3, idCol = "media_id", sigCol = "sig")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"banded join degenerated to all-pairs:\n$plan")
+    assert(plan.contains("bit_count"), s"hamming must be codegen bit_count:\n$plan")
+    assert(!plan.contains("ScalaUDF"), s"signature path must stay codegen:\n$plan")
+  }
+
+  test("incremental sig-store probe broadcasts the batch-bounded sides, never the store") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_plan_sigstore").toString
+    graft.dedup.Dedup.ensureSigStore(spark,
+      List.range(0L, 500L).map(i => (i, i * 0x9e3775b9L)).toDF("media_id", "sig"), dir)
+    val batch = List.range(1000L, 1020L).map(i => (i, i)).toDF("media_id", "sig")
+      .select(col("media_id").as("b_id"), col("sig"))
+    // the verdict pipeline pre-checkpoint (incrementalSigDedupBatch
+    // materializes through localCheckpoint, which hides the join from
+    // the returned plan): band probe → min-match agg → broadcast back
+    val store = spark.read.option("recursiveFileLookup", "true").parquet(dir)
+    val matches = graft.dedup.Dedup
+      .sigNearDupsAgainst(batch, store, 3, "b_id", "s_id")
+      .groupBy(col("b_id"))
+      .agg(min(struct(col("hamming"), col("s_id"))).as("m"))
+    val plan = batch
+      .join(org.apache.spark.sql.functions.broadcast(matches), Seq("b_id"), "left")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"batch-bounded matches must broadcast onto the batch:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"store probe went all-pairs:\n$plan")
+  }
+
+  test("MMR shortlist stage is a bounded TakeOrderedAndProject over the corpus scan") {
+    val corpus = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    // pin the DISTRIBUTED stage (relevance + shortlist cut): the greedy
+    // re-rank consumes only the collected bounded rows
+    val plan = corpus
+      .select(col("vec_id"),
+        graft.functions.Distances.cosine(col("embedding"),
+          lit(Array.fill(64)(0.1f))).as("rel"))
+      .orderBy(col("rel").desc, col("vec_id").asc)
+      .limit(20)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"shortlist stage must be the bounded heap:\n$plan")
+    assert(!plan.contains("Exchange rangepartitioning"),
+      s"global sort crept into the shortlist stage:\n$plan")
+  }
 }
