@@ -450,6 +450,42 @@ object ScaleProbe {
           emb, sigs, query.toSeq, thr, k = 10, shortlist = 50)))
     }
 
+    // HNSW sharded graphs: construction is per-shard SEQUENTIAL (the
+    // genuine mapPartitions case) but parallel across shards, so build
+    // cost per node must stay near-flat between the two sizes (each
+    // shard is O(n_p log n_p) graph work); the probe reads only the
+    // persisted layout and shuffles <= parts*k candidate rows, so it
+    // is graph-walk bounded — near-flat in corpus size.
+    if (onlyFilter.forall(_.exists("hnsw".contains))) {
+      val half = replicate(spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .select("vec_id", "embedding"), "vec_id", factor * 5)
+      val nHalf = half.count()
+      val p = graft.index.Hnsw.Params(m = 8, efConstruction = 64, parts = 16)
+      val dirA = java.nio.file.Files.createTempDirectory("graft_scale_hnsw_a")
+      val dirB = java.nio.file.Files.createTempDirectory("graft_scale_hnsw_b")
+      try {
+        time(s"hnsw build ($nHalf vectors, 16 shards)")(
+          graft.index.Hnsw.ensureLayout(half, dirA.toString, p))
+        time(s"hnsw build ($nVec vectors, 16 shards)")(
+          graft.index.Hnsw.ensureLayout(emb, dirB.toString, p))
+        time(s"hnsw probe top-10 ($nVec vectors)")(noop(
+          graft.index.Hnsw.searchLayout(spark, dirB.toString, query, 10, p)))
+        time(s"hnsw probe top-10 ($nHalf vectors)")(noop(
+          graft.index.Hnsw.searchLayout(spark, dirA.toString, query, 10, p)))
+        // repeat probes hit the executor-resident graph cache: only the
+        // layout scan + the walk remain
+        time(s"hnsw probe top-10 warm ($nVec vectors)")(noop(
+          graft.index.Hnsw.searchLayout(spark, dirB.toString, query, 10, p)))
+      } finally {
+        Seq(dirA, dirB).foreach { d =>
+          val walk = java.nio.file.Files.walk(d)
+          try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+            .forEach(f => java.nio.file.Files.deleteIfExists(f))
+          finally walk.close()
+        }
+      }
+    }
+
     // perceptual media signatures at corpus scale: dHash is one narrow
     // map over real raster bytes (8 bytes out/row); the near-dup pair
     // stage and the store probe scan ONLY signatures through the

@@ -3758,6 +3758,60 @@ object SparkEntry {
         shortlist = 50)
     }),
 
+    // HNSW — the index family the reference actually ships
+    // (/root/reference/lib/hnsw/hnsw.h, Malkov & Yashunin TPAMI'18),
+    // sharded: one deterministic sub-graph per hash shard, built once
+    // behind the fingerprint sidecar, probed by searching every
+    // shard's graph in parallel and merging <= parts*k candidates in a
+    // global TakeOrdered. The graph walk's bucket choices are not
+    // SQL-expressible; the oracle is the EXACT ranking, which the
+    // probe must reproduce end-to-end (recall is additionally pinned
+    // as an invariant by knn_hnsw_check and HnswSpec).
+    "knn_hnsw_top10" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val artDir =
+        s"${System.getProperty("java.io.tmpdir")}/graft_hnsw_${dirKey(dir)}"
+      val p = graft.index.Hnsw.Params(m = 8, efConstruction = 64, parts = 4)
+      graft.index.Hnsw.ensureLayout(e, artDir, p)
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).toArray
+      graft.index.Hnsw.searchLayout(s, artDir, q, 10, p, efSearch = 64)
+    }),
+
+    // Invariant summary for the HNSW path (the knn_lsh_check pattern):
+    // every reported distance equals the exact kernel's value for that
+    // id, the rank column agrees with a recomputed (dist, id) ranking,
+    // at most k rows, and the top-10 intersects the exact top-10 in at
+    // least 9 ids. The build is deterministic, so the summary is a
+    // constant row the oracle pins.
+    "knn_hnsw_check" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val artDir =
+        s"${System.getProperty("java.io.tmpdir")}/graft_hnsw_${dirKey(dir)}"
+      val p = graft.index.Hnsw.Params(m = 8, efConstruction = 64, parts = 4)
+      graft.index.Hnsw.ensureLayout(e, artDir, p)
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).toArray
+      val approx = graft.index.Hnsw.searchLayout(s, artDir, q, 10, p, efSearch = 64)
+      val exact = VectorSearch.knnExact(e, q.toSeq, k = 10)
+      val truth = e.select(col("vec_id"),
+        graft.functions.Distances.l2Sq(col("embedding"), lit(q)).as("true_dist"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("true_dist").asc, col("vec_id").asc)
+      val checked = approx
+        .join(truth, "vec_id")
+        .join(exact.select(col("vec_id"), lit(1).as("in_exact")), Seq("vec_id"), "left")
+        .withColumn("rank_check", row_number().over(w))
+      checked.agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("dist") =!= col("true_dist"), 1L).otherwise(0L)).as("bad_dist"),
+        sum(when(col("rank") =!= col("rank_check"), 1L).otherwise(0L)).as("rank_violations"),
+        sum(when(col("rank") > 10, 1L).otherwise(0L)).as("over_k"),
+        sum(when(col("in_exact").isNotNull, 1L).otherwise(0L)).cast("long").as("recall10_hits"))
+        .select(col("n_rows"), col("bad_dist"), col("rank_violations"), col("over_k"),
+          when(col("recall10_hits") >= 9, 1L).otherwise(0L).as("recall_ok"))
+    }),
+
     // MAXIMAL MARGINAL RELEVANCE diversified retrieval (Carbonell &
     // Goldstein SIGIR'98) — the RAG de-redundancy step: greedy picks
     // maximize 0.7·rel − 0.3·max-sim-to-selected, so near-duplicate
@@ -4592,6 +4646,23 @@ object SparkEntry {
          |SELECT e.vec_id AS vec_id, ${l2SqSql("e.embedding", "q.qe")} AS dist
          |FROM embeddings e JOIN short USING (vec_id) CROSS JOIN q
          |ORDER BY dist ASC, vec_id ASC LIMIT 10""".stripMargin,
+
+    // The HNSW probe must reproduce the exact ranking end-to-end (the
+    // sharded graphs cover the corpus and each shard's beam returns its
+    // true local top-k on this data — recall additionally pinned by
+    // knn_hnsw_check and HnswSpec).
+    "knn_hnsw_top10" ->
+      s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         |d AS (SELECT e.vec_id, ${l2SqSql("e.embedding", "q.qe")} AS dist
+         |      FROM embeddings e CROSS JOIN q)
+         |SELECT vec_id, dist,
+         |       CAST(row_number() OVER (ORDER BY dist ASC, vec_id ASC) AS INTEGER) AS rank
+         |FROM d ORDER BY dist ASC, vec_id ASC LIMIT 10""".stripMargin,
+
+    "knn_hnsw_check" ->
+      """SELECT CAST(10 AS BIGINT) AS n_rows, CAST(0 AS BIGINT) AS bad_dist,
+        |       CAST(0 AS BIGINT) AS rank_violations, CAST(0 AS BIGINT) AS over_k,
+        |       CAST(1 AS BIGINT) AS recall_ok""".stripMargin,
 
     "knn_mmr" -> mmrOracleSql(k = 8, shortlist = 20),
 

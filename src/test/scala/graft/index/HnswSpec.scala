@@ -1,0 +1,149 @@
+package graft.index
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+import graft.ops.VectorSearch
+
+class HnswSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val dim = 16
+  private def corpus(n: Int, seed: Int = 7) = {
+    val rng = new scala.util.Random(seed)
+    (0L until n.toLong).map(i => (i, Array.fill(dim)(rng.nextFloat() - 0.5f)))
+      .toDF("vec_id", "embedding")
+  }
+
+  private def exactTopK(df: org.apache.spark.sql.DataFrame, q: Array[Float], k: Int): Seq[Long] = {
+    val vecs = df.as[(Long, Array[Float])].collect()
+    vecs.map { case (id, v) => (Hnsw.dist(q, v), id) }.sorted.take(k).map(_._2).toSeq
+  }
+
+  test("level draw is deterministic, geometric-shaped, capped") {
+    val p = Hnsw.Params(m = 8)
+    val levels = (0L until 20000L).map(Hnsw.levelOf(_, p.ml))
+    assert(levels == (0L until 20000L).map(Hnsw.levelOf(_, p.ml)))
+    val l0 = levels.count(_ == 0).toDouble / levels.size
+    // P(level = 0) = 1 - m^-1 = 0.875 for m=8; allow generous slack
+    assert(l0 > 0.8 && l0 < 0.95, s"P(l=0)=$l0")
+    assert(levels.max <= 24 && levels.max >= 1)
+  }
+
+  test("two builds over the same corpus are bit-identical (adjacency, levels, parts)") {
+    val c = corpus(400)
+    val p = Hnsw.Params(m = 6, efConstruction = 32, parts = 3)
+    val a = Hnsw.build(c, p).orderBy("vec_id").collect().toSeq
+    val b = Hnsw.build(c.repartition(11), p).orderBy("vec_id").collect().toSeq
+    assert(a == b)
+    assert(a.map(_.getLong(1)).toSet == (0L until 400L).toSet)
+  }
+
+  test("degree bounds hold: layer 0 <= 2m, upper layers <= m after pruning") {
+    val p = Hnsw.Params(m = 4, efConstruction = 24, parts = 2)
+    val rows = Hnsw.build(corpus(500), p)
+      .select(col("vec_id"), col("friends")).as[(Long, Seq[Seq[Long]])].collect()
+    rows.foreach { case (id, fr) =>
+      fr.zipWithIndex.foreach { case (layer, l) =>
+        val cap = if (l == 0) p.mMax0 else p.m
+        assert(layer.length <= cap, s"node $id layer $l degree ${layer.length} > $cap")
+        assert(layer.distinct.length == layer.length, s"node $id layer $l dup edge")
+        assert(!layer.contains(id), s"node $id self-edge at layer $l")
+      }
+    }
+  }
+
+  test("searchKnn over the persisted layout recalls the exact top-10 on seeded data") {
+    val c = corpus(800)
+    val p = Hnsw.Params(m = 8, efConstruction = 64, parts = 4)
+    val dir = java.nio.file.Files.createTempDirectory("hnsw").toString
+    Hnsw.ensureLayout(c, dir, p)
+    val q = c.filter(col("vec_id") === 123L).as[(Long, Array[Float])].head()._2
+    val got = Hnsw.searchLayout(spark, dir, q, 10, p, efSearch = 64)
+      .select("vec_id").as[Long].collect().toSeq
+    val exact = exactTopK(c, q, 10)
+    val recall = got.toSet.intersect(exact.toSet).size
+    assert(recall >= 9, s"recall@10 = $recall: got $got vs exact $exact")
+    assert(got.head == 123L, "the query's own vector must rank first")
+  }
+
+  test("emitted distances are bit-equal to the L2Sq kernel for the same pairs") {
+    val c = corpus(300)
+    val p = Hnsw.Params(m = 6, efConstruction = 32, parts = 2)
+    val dir = java.nio.file.Files.createTempDirectory("hnsw").toString
+    Hnsw.ensureLayout(c, dir, p)
+    val q = c.filter(col("vec_id") === 0L).as[(Long, Array[Float])].head()._2
+    val got = Hnsw.searchLayout(spark, dir, q, 10, p)
+    val kernel = c.select(col("vec_id"),
+      graft.functions.Distances.l2Sq(col("embedding"), lit(q)).as("kd"))
+    val bad = got.join(kernel, "vec_id")
+      .filter(col("dist") =!= col("kd")).count()
+    assert(bad == 0L)
+  }
+
+  test("layout artifact: reused while fresh, rebuilt when the corpus or params change") {
+    val c = corpus(200, seed = 3)
+    val p = Hnsw.Params(m = 4, efConstruction = 16, parts = 2)
+    val dir = java.nio.file.Files.createTempDirectory("hnsw").toString
+    Hnsw.ensureLayout(c, dir, p)
+    val sidecar = java.nio.file.Paths.get(dir, "_hnsw_sidecar.json")
+    val t0 = java.nio.file.Files.getLastModifiedTime(sidecar)
+    Hnsw.ensureLayout(c, dir, p) // fresh -> no rewrite
+    assert(java.nio.file.Files.getLastModifiedTime(sidecar) == t0)
+    Hnsw.ensureLayout(c, dir, Hnsw.Params(m = 6, efConstruction = 16, parts = 2))
+    assert(java.nio.file.Files.getLastModifiedTime(sidecar) != t0, "param change must rebuild")
+    val c2 = corpus(200, seed = 4)
+    val before = java.nio.file.Files.getLastModifiedTime(sidecar)
+    Hnsw.ensureLayout(c2, dir, Hnsw.Params(m = 6, efConstruction = 16, parts = 2))
+    assert(java.nio.file.Files.getLastModifiedTime(sidecar) != before, "data change must rebuild")
+  }
+
+  test("probe groups shards inside scan tasks: results invariant to scan partitioning") {
+    val c = corpus(400, seed = 9)
+    val p = Hnsw.Params(m = 6, efConstruction = 32, parts = 3)
+    val dir = java.nio.file.Files.createTempDirectory("hnsw").toString
+    Hnsw.ensureLayout(c, dir, p)
+    val q = c.filter(col("vec_id") === 7L).as[(Long, Array[Float])].head()._2
+    val viaLayout = Hnsw.searchLayout(spark, dir, q, 10, p).collect().toSeq
+    // same graphs fed as ONE coalesced scan partition (shards combine
+    // into one task; the in-task group-by-part must keep them separate)
+    val one = Hnsw.layout(spark, dir).coalesce(1)
+    val viaOne = Hnsw.searchCandidates(one, Seq((0L, q)), 10, p)
+      .orderBy(col("dist").asc, col("vec_id").asc).limit(10)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(viaLayout.map(_.getLong(0)) == viaOne)
+  }
+
+  test("resident graph cache: repeat probes identical; a data change never serves stale graphs") {
+    val p = Hnsw.Params(m = 4, efConstruction = 16, parts = 2)
+    val dir = java.nio.file.Files.createTempDirectory("hnsw").toString
+    val c1 = corpus(200, seed = 21)
+    Hnsw.ensureLayout(c1, dir, p)
+    val q = c1.filter(col("vec_id") === 5L).as[(Long, Array[Float])].head()._2
+    val first = Hnsw.searchLayout(spark, dir, q, 10, p).collect().toSeq
+    val second = Hnsw.searchLayout(spark, dir, q, 10, p).collect().toSeq
+    assert(first == second)
+    // new corpus under the SAME dir: the sidecar fingerprint changes,
+    // so the cache keys change — results must reflect the new data
+    val c2 = corpus(200, seed = 22)
+    Hnsw.ensureLayout(c2, dir, p)
+    val fresh = Hnsw.searchLayout(spark, dir, q, 10, p)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(fresh == exactTopK(c2, q, 10),
+      "post-rebuild probe must serve the NEW corpus, not cached graphs")
+  }
+
+  test("multi-query candidates: per query at most parts*k rows, each query served") {
+    val c = corpus(300, seed = 5)
+    val p = Hnsw.Params(m = 4, efConstruction = 16, parts = 3)
+    val dir = java.nio.file.Files.createTempDirectory("hnsw").toString
+    Hnsw.ensureLayout(c, dir, p)
+    val vecs = c.filter(col("vec_id").isin(1L, 2L, 3L)).as[(Long, Array[Float])].collect()
+    val cands = Hnsw.searchCandidates(Hnsw.layout(spark, dir), vecs.map(v => (v._1, v._2)).toSeq, 5, p)
+    val perQ = cands.groupBy("q_id").count().as[(Long, Long)].collect().toMap
+    assert(perQ.keySet == Set(1L, 2L, 3L))
+    perQ.values.foreach(n => assert(n <= 3L * 5L))
+  }
+}

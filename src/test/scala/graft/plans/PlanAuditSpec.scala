@@ -402,6 +402,18 @@ class PlanAuditSpec extends AnyFunSuite {
       s"signature/hamming path must stay codegen:\n$plan")
   }
 
+  test("hnsw probe: candidate merge is a bounded TakeOrdered, no cartesian, no global sort") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_hnsw_plan").toString
+    val corpus = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val p = graft.index.Hnsw.Params(m = 4, efConstruction = 16, parts = 2)
+    graft.index.Hnsw.ensureLayout(corpus, dir, p)
+    val df = graft.index.Hnsw.searchLayout(spark, dir, Array.fill(64)(0.1f), 10, p)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"merge not bounded:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian crept in:\n$plan")
+    assert(!plan.contains("Exchange rangepartitioning"), s"global sort crept in:\n$plan")
+  }
+
   test("delta-aware IVF probe prunes partitions on the BASE and every DELTA scan") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ivf_delta_plan").toString
     val corpus = spark.read.parquet(s"$sfDir/embeddings.parquet")
