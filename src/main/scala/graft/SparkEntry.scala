@@ -4274,6 +4274,19 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Interpolated KNESER-NEY bigram scoring (Chen & Goodman '98, the
+    // KenLM smoothing family) — cross-corpus: model statistics (bigram
+    // counts, context totals, continuation-type counts) come from the
+    // English slice, every document scores under them. Per-gram
+    // log-probs quantize to micro-nats before the per-doc integer sum;
+    // the oracle retrains all four model aggregates in SQL and replays
+    // the same float64 expression tree, D = 0.75 literal included.
+    "doc_kn_score" -> ((s, dir) => {
+      val d = docs(s, dir)
+      TextAnalysis.knBigramScores(d, d.filter(col("lang") === "en"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Model-based filtering with TRAINED weights: closed-form
     // multinomial Naive-Bayes log-odds per hashed feature bucket, fit
     // on the corpus itself labeled by its lang column (positive class =
@@ -6391,6 +6404,51 @@ object SparkEntry {
          |        FROM sc GROUP BY 1)
          |SELECT d.doc_id, coalesce(n_bigrams, 0) AS n_bigrams,
          |       coalesce(lm_micro, 0) AS lm_micro
+         |FROM documents d LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // RETRAINS the interpolated Kneser-Ney model in SQL: the four model
+    // aggregates (bigram counts, context totals c(w1.) with
+    // continuation fan-out N1+(w1.), backward types N1+(.w2), and the
+    // (N1+(..) + V) continuation floor) over the lang='en' slice, then
+    // the SAME float64 expression tree per scored gram — D = 0.75
+    // literal, identical division/multiplication shape — quantized to
+    // micro-nats before the per-doc integer sums.
+    "doc_kn_score" ->
+      s"""WITH t AS (SELECT doc_id, lang, $ToksSql AS toks FROM documents),
+         |occS AS (SELECT doc_id, toks[i] || ' ' || toks[i+1] AS gram,
+         |                toks[i] AS w1, toks[i+1] AS w2,
+         |                CAST(count(*) AS BIGINT) AS cnt
+         |         FROM t, unnest(range(1, len(toks))) AS u(i)
+         |         GROUP BY 1, 2, 3, 4),
+         |occT AS (SELECT toks[i] || ' ' || toks[i+1] AS gram,
+         |                toks[i] AS w1, toks[i+1] AS w2
+         |         FROM t, unnest(range(1, len(toks))) AS u(i)
+         |         WHERE lang = 'en'),
+         |bi AS (SELECT gram, CAST(count(*) AS BIGINT) AS bc FROM occT GROUP BY 1),
+         |cxt AS (SELECT w1, CAST(count(*) AS BIGINT) AS cw1,
+         |               CAST(count(DISTINCT w2) AS BIGINT) AS nf
+         |        FROM occT GROUP BY 1),
+         |nbw AS (SELECT w2, CAST(count(DISTINCT w1) AS BIGINT) AS nb
+         |        FROM occT GROUP BY 1),
+         |consts AS (SELECT greatest(
+         |    (SELECT CAST(count(DISTINCT gram) AS BIGINT) FROM occT) +
+         |    (SELECT CAST(count(DISTINCT w) AS BIGINT)
+         |     FROM (SELECT unnest(toks) AS w FROM t WHERE lang = 'en')), 1) AS cont_den),
+         |sc AS (SELECT o.doc_id, o.cnt,
+         |         CAST(floor(ln(
+         |           CASE WHEN cxt.cw1 IS NULL
+         |             THEN CAST(coalesce(nbw.nb, 0) + 1 AS DOUBLE) / CAST(consts.cont_den AS DOUBLE)
+         |             ELSE greatest(CAST(coalesce(bi.bc, 0) AS DOUBLE) - 0.75, 0.0) / CAST(cxt.cw1 AS DOUBLE)
+         |                  + ((0.75 * CAST(cxt.nf AS DOUBLE)) / CAST(cxt.cw1 AS DOUBLE))
+         |                    * (CAST(coalesce(nbw.nb, 0) + 1 AS DOUBLE) / CAST(consts.cont_den AS DOUBLE))
+         |           END) * 1e6) AS BIGINT) AS lp
+         |       FROM occS o LEFT JOIN bi USING (gram) LEFT JOIN cxt USING (w1)
+         |            LEFT JOIN nbw USING (w2) CROSS JOIN consts),
+         |agg AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_bigrams,
+         |               CAST(sum(cnt * lp) AS BIGINT) AS kn_micro
+         |        FROM sc GROUP BY 1)
+         |SELECT d.doc_id, coalesce(n_bigrams, 0) AS n_bigrams,
+         |       coalesce(kn_micro, 0) AS kn_micro
          |FROM documents d LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin,
 
     // RETRAINS the classifier in SQL: per-token md5 bucket (mod 2^20),

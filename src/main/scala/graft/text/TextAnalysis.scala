@@ -574,6 +574,89 @@ object TextAnalysis {
         coalesce(col("lm_micro"), lit(0L)).as("lm_micro"))
   }
 
+  /** Interpolated Kneser–Ney bigram scoring (Kneser & Ney ICASSP'95;
+    * Chen & Goodman '98 eq. 4.25 — the smoothing family KenLM ships and
+    * CCNet-grade quality filtering actually uses, one order down):
+    *
+    *   P(w2|w1) = max(c(w1w2) − D, 0)/c(w1·)
+    *            + (D · N1+(w1·)/c(w1·)) · Pcont(w2)
+    *   Pcont(w2) = (N1+(·w2) + 1) / (N1+(··) + V)
+    *
+    * with the fixed discount D = 0.75 (Chen & Goodman's benchmark
+    * setting; exactly representable in float64, so both engines
+    * compute the identical literal). The continuation distribution
+    * carries an add-one floor so out-of-vocabulary words score
+    * ln(1/(N1+(··)+V)) instead of −∞ (KenLM reserves <unk> mass the
+    * same way, by a different route). A score-side context w1 unseen
+    * in training backs off entirely to Pcont(w2).
+    *
+    * Model statistics are FOUR aggregates over the training corpus —
+    * bigram counts, context totals, and the two continuation-type
+    * counts — each a map-side-combinable groupBy; the score side
+    * LEFT-joins them per distinct (doc, gram) occurrence. Per-gram
+    * log-probs quantize to micro-nats (floor(ln·1e6) — the engine's
+    * established float-determinism device) BEFORE the per-doc sum, so
+    * document scores are order-independent integer sums and replay
+    * bit-identically in the DuckDB oracle.
+    *
+    * `broadcastModel` ships all four model tables — right when the
+    * training corpus is the small curated side (the DSIR shape: target
+    * = thousands of docs, corpus = the 100 TB side); set false to
+    * shuffle when the model itself is web-scale. */
+  def knBigramScores(
+      scoreDf: DataFrame,
+      trainDf: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      discount: Double = 0.75,
+      broadcastModel: Boolean = true): DataFrame = {
+    require(discount > 0 && discount < 1, s"discount must be in (0,1), got $discount")
+    val occ = scoreDf.select(col(idCol), tokens(col(textCol)).as("t"))
+      .select(col(idCol), explode(rawNgrams(col("t"), 2)).as("gram"))
+      .groupBy(col(idCol), col("gram")).agg(count(lit(1)).as("cnt"))
+      .withColumn("w1", substring_index(col("gram"), " ", 1))
+      .withColumn("w2", substring_index(col("gram"), " ", -1))
+    val occT = trainDf.select(tokens(col(textCol)).as("t"))
+      .select(explode(rawNgrams(col("t"), 2)).as("gram"))
+      .withColumn("w1", substring_index(col("gram"), " ", 1))
+      .withColumn("w2", substring_index(col("gram"), " ", -1))
+    val bi = occT.groupBy("gram").agg(count(lit(1)).as("bc"))
+    val cxt = occT.groupBy("w1").agg(count(lit(1)).as("cw1"),
+      count_distinct(col("w2")).as("nf"))
+    val n1bwd = occT.groupBy("w2").agg(count_distinct(col("w1")).as("nb"))
+    val uni = trainDf.select(tokens(col(textCol)).as("t"))
+      .select(explode(col("t")).as("w"))
+      .agg(count_distinct(col("w")).as("v_size"))
+    val n1dd = occT.agg(count_distinct(col("gram")).as("n_types"))
+    val consts = n1dd.crossJoin(uni)
+      .select(greatest(col("n_types") + col("v_size"), lit(1L)).as("cont_den"))
+    val biJ = if (broadcastModel) broadcast(bi) else bi
+    val cxtJ = if (broadcastModel) broadcast(cxt) else cxt
+    val nbJ = if (broadcastModel) broadcast(n1bwd) else n1bwd
+    val d = lit(discount)
+    val pcont = (coalesce(col("nb"), lit(0L)) + lit(1L)).cast("double") /
+      col("cont_den").cast("double")
+    val cw1d = col("cw1").cast("double")
+    val p = when(col("cw1").isNull, pcont)
+      .otherwise(
+        greatest(coalesce(col("bc"), lit(0L)).cast("double") - d, lit(0.0)) / cw1d +
+          ((d * col("nf").cast("double")) / cw1d) * pcont)
+    val scored = occ
+      .join(biJ, Seq("gram"), "left")
+      .join(cxtJ, Seq("w1"), "left")
+      .join(nbJ, Seq("w2"), "left")
+      .crossJoin(broadcast(consts))
+      .withColumn("lp_micro", floor(log(p) * lit(1e6)).cast("long"))
+    scoreDf.select(col(idCol)).join(
+        scored.groupBy(col(idCol)).agg(
+          sum(col("cnt")).as("n_bigrams"),
+          sum(col("cnt") * col("lp_micro")).as("kn_micro")),
+        Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("kn_micro"), lit(0L)).as("kn_micro"))
+  }
+
   /** Hashing-trick document embedding (the fastText / Weinberger
     * feature-hashing construction): token occurrences hash into
     * [[tokenBucket]] buckets, and each output dimension is a ±1-signed

@@ -449,6 +449,71 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(r.getLong(2) == math.floor(math.log(0.5) * 1e6).toLong)
   }
 
+  test("knBigramScores: interpolated KN arithmetic pinned by hand on a tiny corpus") {
+    // train: "aa bb aa cc" -> bigrams: (aa bb), (bb aa), (aa cc)
+    //   c(aa.)=2, N1+(aa.)=2; c(bb.)=1, N1+(bb.)=1
+    //   N1+(.bb)=1, N1+(.aa)=1, N1+(.cc)=1; N1+(..)=3 types; V=3
+    //   cont_den = 3 + 3 = 6
+    val train = Seq((1L, "aa bb aa cc")).toDF("doc_id", "text")
+    val score = Seq((10L, "aa bb"), (11L, "zz aa"), (12L, "aa zz")).toDF("doc_id", "text")
+    val r = TextAnalysis.knBigramScores(score, train)
+      .as[(Long, Long, Long)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    def micro(p: Double) = math.floor(math.log(p) * 1e6).toLong
+    // seen gram "aa bb": max(1-.75,0)/2 + (.75*2/2)*((1+1)/6)
+    val pSeen = 0.25 / 2.0 + ((0.75 * 2.0) / 2.0) * (2.0 / 6.0)
+    assert(r(10L) == (1L, micro(pSeen)))
+    // unseen CONTEXT "zz": full backoff to Pcont(aa) = (1+1)/6
+    assert(r(11L) == (1L, micro(2.0 / 6.0)))
+    // seen context, unseen continuation "zz": 0/2 + (.75*2/2)*((0+1)/6)
+    val pOov = 0.0 / 2.0 + ((0.75 * 2.0) / 2.0) * (1.0 / 6.0)
+    assert(r(12L) == (1L, micro(pOov)))
+  }
+
+  test("knBigramScores: P(.|w1) is a proper distribution over the vocabulary") {
+    val train = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the cat ran to the mat"),
+      (3L, "a dog sat on a rug")).toDF("doc_id", "text")
+    // Σ_w∈V Pcont(w) = (N1+(..) + V)/cont_den = 1 exactly, and the
+    // discounted direct mass + backoff·Pcont telescopes to 1 — so the
+    // vocab sum for a seen context is EXACTLY 1 up to the floor
+    // quantization (each term shrinks by < e^-1e-6). A broken
+    // smoothing (double-counted mass, wrong denominators) lands far
+    // away. The add-one floor allocates EXTRA mass λ/cont_den to any
+    // OOV continuation on top — checked separately below.
+    val vocab = train.select(explode(TextAnalysis.tokens($"text")).as("w"))
+      .distinct().as[String].collect().toSeq
+    val pairs = vocab.zipWithIndex.map { case (w, i) => (i.toLong, s"the $w") }
+    val scored = TextAnalysis.knBigramScores(pairs.toDF("doc_id", "text"), train)
+      .as[(Long, Long, Long)].collect()
+    val total = scored.map { case (_, n, micro) =>
+      assert(n == 1L); math.exp(micro / 1e6)
+    }.sum
+    assert(total > 0.9999 && total <= 1.0000001, s"sum P over vocab = $total")
+    // the OOV continuation gets exactly λ(the)·1/cont_den:
+    // c(the.)=4, N1+(the.)=2 (cat, mat), N1+(..)=12 types, V=10 -> den 22
+    val oov = TextAnalysis.knBigramScores(
+        Seq((99L, "the UNSEEN")).toDF("doc_id", "text"), train)
+      .as[(Long, Long, Long)].collect().head
+    val expected = ((0.75 * 2.0) / 4.0) * (1.0 / 22.0)
+    assert(oov._3 == math.floor(math.log(expected) * 1e6).toLong)
+  }
+
+  test("knBigramScores: broadcast and shuffle model paths agree exactly") {
+    val train = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "dogs run fast in parks")).toDF("doc_id", "text")
+    val score = Seq(
+      (10L, "the cat ran on grass"), (11L, ""), (12L, "zz")).toDF("doc_id", "text")
+    val b = TextAnalysis.knBigramScores(score, train, broadcastModel = true)
+      .as[(Long, Long, Long)].collect().toSet
+    val sh = TextAnalysis.knBigramScores(score, train, broadcastModel = false)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(b == sh)
+    // docs with < 2 tokens score (0, 0)
+    assert(b.contains((11L, 0L, 0L)) && b.contains((12L, 0L, 0L)))
+  }
+
   test("dsirSelect ranks target-like documents above off-domain ones") {
     // target speaks "legal"; corpus has 3 legal-ish and 3 cooking docs
     val target = Seq(
