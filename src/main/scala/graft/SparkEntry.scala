@@ -469,11 +469,12 @@ object SparkEntry {
     * subword lists (`agg(doc_id, subs)`). */
   private def gpt2SubwordsSqlPrefix(maxIters: Int,
       merges: Seq[(String, String)] =
-        graft.text.ByteLevel.externalFixtureMerges()): String = {
+        graft.text.ByteLevel.externalFixtureMerges(),
+      extSql: String = extDocsSqlCte): String = {
     val values = ranksValuesSql(merges)
     val pat = graft.text.ByteLevel.PretokenPattern.replace("'", "''")
     s"""WITH ranks AS MATERIALIZED (SELECT * FROM (VALUES $values) AS r(rnk, lhs, rhs)),
-       |${byteLevelW0Sql(carryWord = true)},
+       |${byteLevelW0Sql(carryWord = true, extSql)},
        |${(1 to maxIters).map(rankedPriorityLayerSql).mkString(",\n")},
        |pos AS (SELECT doc_id, u.i AS pos, ptk[u.i] AS word
        |        FROM (SELECT doc_id, regexp_extract_all(text, '$pat') AS ptk FROM ext),
@@ -493,13 +494,14 @@ object SparkEntry {
   /** The gpt2-path per-document id lists as CTEs ending at
     * `ids(doc_id, tids)` — shared by the token-ids, windowing, and
     * packing oracles. */
-  private def gpt2IdsCtes(maxIters: Int): String = {
+  private def gpt2IdsCtes(maxIters: Int,
+      extSql: String = extDocsSqlCte): String = {
     val vocab = graft.text.ByteLevel.vocabForMerges(
       graft.text.ByteLevel.externalFixtureMerges())
     val values = vocab.map { case (s, i) =>
       s"('${s.replace("'", "''")}',$i)"
     }.mkString(",")
-    s"""${gpt2SubwordsSqlPrefix(maxIters)},
+    s"""${gpt2SubwordsSqlPrefix(maxIters, extSql = extSql)},
        |vmap AS (SELECT map(list(sym ORDER BY id), list(id ORDER BY id)) AS m
        |         FROM (VALUES $values) AS v(sym, id)),
        |ids AS (SELECT a.doc_id,
@@ -535,6 +537,48 @@ object SparkEntry {
        |SELECT e.doc_id, CAST(len(i.tids) AS BIGINT) AS n_tokens,
        |       md5(array_to_string(i.tids, ',')) AS ids_md5
        |FROM ext e JOIN ids i USING (doc_id) ORDER BY e.doc_id""".stripMargin
+
+  /** SFT mask oracle: the turn table rebuilt in SQL (normalized
+    * tokens in `turnLen`-token windows, surrogate key doc·stride +
+    * turn), the gpt2 id machinery replayed over the TURN texts, then
+    * the same framing — role-marker ids prepended (specials after the
+    * merge block, ids computed Scala-side and inlined), EOS appended,
+    * mask 1 exactly on assistant-content ids. Empty turns restore as
+    * [] through the LEFT join, mirroring the Spark side. */
+  private def sftMaskOracleSql(maxIters: Int, turnLen: Int, keyStride: Long): String = {
+    val merges = graft.text.ByteLevel.externalFixtureMerges()
+    val eosId = 256 + merges.size
+    val uId = eosId + 1
+    val aId = eosId + 2
+    val turnExt =
+      s"""WITH raw AS ($extDocsSqlCte),
+         |sft_t AS (SELECT doc_id, $ToksSql AS toks FROM raw),
+         |sft_tr AS (SELECT doc_id, CAST(u.k AS BIGINT) AS turn_idx,
+         |    array_to_string(list_slice(toks,
+         |      CAST(u.k * $turnLen + 1 AS INT),
+         |      CAST(u.k * $turnLen + $turnLen AS INT)), ' ') AS text
+         |  FROM sft_t, unnest(range(0, (len(toks) - 1) // $turnLen + 1)) AS u(k))
+         |SELECT doc_id * $keyStride + turn_idx AS doc_id, text FROM sft_tr""".stripMargin
+    s"""${gpt2IdsCtes(maxIters, extSql = turnExt)},
+       |pt AS (SELECT e.doc_id // $keyStride AS doc_id,
+       |              e.doc_id % $keyStride AS turn_idx,
+       |              coalesce(i.tids, CAST([] AS INTEGER[])) AS tids
+       |       FROM ext e LEFT JOIN ids i USING (doc_id)),
+       |fr AS (SELECT doc_id, turn_idx,
+       |         list_prepend(CASE WHEN turn_idx % 2 = 1 THEN $aId ELSE $uId END, tids) AS ti,
+       |         list_prepend(0, list_transform(tids,
+       |           x -> CASE WHEN turn_idx % 2 = 1 THEN 1 ELSE 0 END)) AS tm
+       |       FROM pt),
+       |asm AS (SELECT doc_id,
+       |          list_append(flatten(list(ti ORDER BY turn_idx)), $eosId) AS ids,
+       |          list_append(flatten(list(tm ORDER BY turn_idx)), 0) AS msk
+       |        FROM fr GROUP BY 1)
+       |SELECT doc_id, CAST(len(ids) AS BIGINT) AS n_tokens,
+       |       CAST(len(list_filter(msk, x -> x = 1)) AS BIGINT) AS n_loss,
+       |       md5(array_to_string(ids, ',')) AS ids_md5,
+       |       md5(array_to_string(msk, ',')) AS mask_md5
+       |FROM asm ORDER BY doc_id""".stripMargin
+  }
 
   /** Token-window oracle: the replayed gpt2 ids sliced into
     * window/stride chunks with the identical 1-based arithmetic
@@ -1170,13 +1214,16 @@ object SparkEntry {
 
   private def byteLevelW0Sql: String = byteLevelW0Sql(carryWord = false)
 
-  private def byteLevelW0Sql(carryWord: Boolean): String = {
+  private def byteLevelW0Sql(carryWord: Boolean): String =
+    byteLevelW0Sql(carryWord, extDocsSqlCte)
+
+  private def byteLevelW0Sql(carryWord: Boolean, extSql: String): String = {
     val pat = graft.text.ByteLevel.PretokenPattern.replace("'", "''")
     val wordSel = if (carryWord) "tok AS word, " else ""
     // UTF-8 encoding of code point cp as an INT list (surrogates cannot
     // occur in valid strings; 4-byte plane covers the rest)
     val utf8 = Utf8OfCpSql
-    s"""ext AS ($extDocsSqlCte),
+    s"""ext AS ($extSql),
        |bmap AS MATERIALIZED (SELECT map(list(b ORDER BY b), list(s ORDER BY b)) AS m
        |        FROM (VALUES ${graft.text.ByteLevel.byteMapValuesSql}) AS t(b, s)),
        |ptoks AS (SELECT tok, count(*) AS cnt
@@ -2600,6 +2647,25 @@ object SparkEntry {
             array_sort(collect_list(struct(col("doc_id"), col("token_ids")))),
             x => x.getField("token_ids"))))).as("ids_md5"))
         .orderBy(col("part"), col("bin_idx"))
+    }),
+
+    // SFT loss masking end-to-end (completion-only loss, the
+    // InstructGPT-family convention): deterministic role-alternating
+    // turns, each turn tokenized SEPARATELY through the ranked
+    // byte-level kernel, framed by added-token role markers,
+    // EOS-terminated, with the mask = 1 exactly on assistant-content
+    // ids. The oracle rebuilds the turn table in SQL, replays the
+    // gpt2 id machinery over it, and re-frames with the same special
+    // ids (HF added-token convention: after the merge block).
+    "seq_sft_mask" -> ((s, dir) => {
+      graft.text.Sft.maskedTokenIds(extDocs(s, dir),
+          graft.text.ByteLevel.externalFixtureMerges())
+        .select(col("doc_id"),
+          size(col("token_ids")).cast("long").as("n_tokens"),
+          size(filter(col("loss_mask"), x => x === 1)).cast("long").as("n_loss"),
+          md5(concat_ws(",", col("token_ids"))).as("ids_md5"),
+          md5(concat_ws(",", col("loss_mask"))).as("mask_md5"))
+        .orderBy(col("doc_id"))
     }),
 
     // Byte-level train→APPLY end-to-end: the rounds learned over the
@@ -5022,6 +5088,8 @@ object SparkEntry {
     "doc_unigram_ext_model" -> unigramExtModelOracleSql(maxPieceLen = 4),
     "doc_token_windows" -> tokenWindowsOracleSql(maxIters = 36, window = 64, stride = 48),
     "seq_pack_ids" -> seqPackIdsOracleSql(maxIters = 36, budget = 512L, nParts = 8),
+
+    "seq_sft_mask" -> sftMaskOracleSql(maxIters = 36, turnLen = 8, keyStride = 1000000L),
 
     // Train→apply: same rounds with the word key carried through, then
     // positional re-tokenization of every document; md5 byte-check.
