@@ -2294,6 +2294,44 @@ object SparkEntry {
     // oracle replays the BATCH semantics over the whole corpus:
     // streaming over a partition of the input must equal the batch
     // run, which is exactly what statelessness buys.
+    // Streaming PACKING with carryover — the trainer-feed binner as a
+    // continuous operator: a partially-filled bin is never flushed at
+    // a batch boundary; its (bin, fill) cursor lives in the
+    // checkpointed flatMapGroupsWithState store and the next batch
+    // keeps filling it. Run as TWO streaming queries over one
+    // checkpoint (deterministic batch order AND durable-state
+    // recovery: the second run restores the pack cursors from the
+    // checkpoint, not from memory). Ids arrive ascending across the
+    // two batches, so the final assignment is bit-identical to the
+    // batch packGreedy — the seq_pack oracle replays it.
+    "stream_pack_ids" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val scratch = freshScratchDir(dir, "streampack")
+      val inDir = s"$scratch/in"
+      val threshold = d.agg(max(col("doc_id"))).head().getLong(0) / 2
+      var stateRows = 0L
+      d.filter(col("doc_id") <= threshold).coalesce(1)
+        .write.mode("overwrite").parquet(inDir)
+      val q1 = graft.streaming.StreamPack.streamingPackIds(
+        s.readStream.schema(d.schema).parquet(inDir),
+        s"$scratch/sink", s"$scratch/chk", budget = 256L, nParts = 8)
+      q1.awaitTermination()
+      stateRows = math.max(stateRows, q1.recentProgress.iterator
+        .map(p => p.stateOperators.map(_.numRowsTotal).sum).foldLeft(0L)(math.max))
+      d.filter(col("doc_id") > threshold).coalesce(1)
+        .write.mode("append").parquet(inDir)
+      val q2 = graft.streaming.StreamPack.streamingPackIds(
+        s.readStream.schema(d.schema).parquet(inDir),
+        s"$scratch/sink", s"$scratch/chk", budget = 256L, nParts = 8)
+      q2.awaitTermination()
+      stateRows = math.max(stateRows, q2.recentProgress.iterator
+        .map(p => p.stateOperators.map(_.numRowsTotal).sum).foldLeft(0L)(math.max))
+      SparkEntry.streamStateRows.put("stream_pack_ids", stateRows)
+      s.read.parquet(s"$scratch/sink")
+        .select(col("doc_id"), col("part"), col("bin_idx"))
+        .orderBy(col("doc_id"))
+    }),
+
     "stream_tokenize_ids" -> ((s, dir) => {
       val d = docs(s, dir)
       val artDir =
@@ -5090,6 +5128,29 @@ object SparkEntry {
     "seq_pack_ids" -> seqPackIdsOracleSql(maxIters = 36, budget = 512L, nParts = 8),
 
     "seq_sft_mask" -> sftMaskOracleSql(maxIters = 36, turnLen = 8, keyStride = 1000000L),
+
+    // The streaming packer's id-ascending two-batch replay equals the
+    // batch packGreedy exactly (carryover across the batch boundary is
+    // what makes them equal — a flushed tail bin would shift every
+    // later bin index), so the oracle IS the batch recurrence.
+    "stream_pack_ids" ->
+      s"""WITH RECURSIVE base AS (
+         |  SELECT doc_id,
+         |         CAST(list_sum([(CAST(strpos('0123456789abcdef', md5(CAST(doc_id AS VARCHAR))[i]) AS BIGINT) - 1)
+         |                        * (CAST(1 AS BIGINT) << (4*(8-i))) FOR i IN range(1, 9)]) % 8 AS INTEGER) AS part,
+         |         CAST(len($ToksSql) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |d AS (SELECT doc_id, part, n_tokens,
+         |             CAST(row_number() OVER (PARTITION BY part ORDER BY doc_id) AS INTEGER) AS rn
+         |      FROM base),
+         |pack(part, rn, doc_id, bin_idx, fill) AS (
+         |  SELECT part, rn, doc_id, CAST(0 AS BIGINT) AS bin_idx, n_tokens AS fill FROM d WHERE rn = 1
+         |  UNION ALL
+         |  SELECT d.part, d.rn, d.doc_id,
+         |         CASE WHEN p.fill + d.n_tokens <= 256 THEN p.bin_idx ELSE p.bin_idx + 1 END,
+         |         CASE WHEN p.fill + d.n_tokens <= 256 THEN p.fill + d.n_tokens ELSE d.n_tokens END
+         |  FROM pack p JOIN d ON d.part = p.part AND d.rn = p.rn + 1)
+         |SELECT doc_id, part, bin_idx FROM pack ORDER BY doc_id""".stripMargin,
 
     // Train→apply: same rounds with the word key carried through, then
     // positional re-tokenization of every document; md5 byte-check.
