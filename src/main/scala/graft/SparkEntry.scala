@@ -538,6 +538,49 @@ object SparkEntry {
        |       md5(array_to_string(i.tids, ',')) AS ids_md5
        |FROM ext e JOIN ids i USING (doc_id) ORDER BY e.doc_id""".stripMargin
 
+  /** Quantized-Lloyd k-means oracle: the full training REPLAYED —
+    * micro-unit quantization, `iters` rounds of (integer-distance
+    * argmin with (dist, cluster) ties → per-dimension floor-division
+    * centroid update, empty clusters keeping their centroid), then the
+    * final assignment. Every value is exact int64, so the replay is
+    * bit-identical; round CTEs are MATERIALIZED (the chained-
+    * derivation discipline — DuckDB inlines multiply-referenced CTEs
+    * exponentially otherwise). */
+  private def quantKMeansOracleSql(k: Int, iters: Int, dim: Int = EmbDim): String = {
+    val qExpr =
+      s"[CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000 + 0.5) AS BIGINT) FOR i IN range(1, ${dim + 1})]"
+    def assignCtes(r: Int, centTbl: String): String =
+      s"""a$r AS MATERIALIZED (
+         |  SELECT q.vec_id, q.qv, c.cluster,
+         |         CAST(list_sum([(q.qv[i] - c.cent[i]) * (q.qv[i] - c.cent[i])
+         |                        FOR i IN range(1, ${dim + 1})]) AS BIGINT) AS dist
+         |  FROM q, $centTbl c),
+         |b$r AS MATERIALIZED (
+         |  SELECT vec_id, qv, cluster, dist
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rk
+         |        FROM a$r)
+         |  WHERE rk = 1)""".stripMargin
+    def updateCtes(r: Int, prevCent: String): String =
+      s"""u$r AS (SELECT cluster, u.i AS pos, CAST(sum(qv[u.i]) AS BIGINT) AS s,
+         |               CAST(count(*) AS BIGINT) AS n
+         |        FROM b$r, unnest(range(1, ${dim + 1})) AS u(i) GROUP BY 1, 2),
+         |v$r AS (SELECT cluster, list((s - ((s % n) + n) % n) // n ORDER BY pos) AS cent
+         |        FROM u$r GROUP BY 1),
+         |c$r AS MATERIALIZED (SELECT p.cluster, coalesce(v.cent, p.cent) AS cent
+         |        FROM $prevCent p LEFT JOIN v$r v USING (cluster))""".stripMargin
+    val rounds = (1 to iters).map { r =>
+      s"${assignCtes(r, s"c${r - 1}")},\n${updateCtes(r, s"c${r - 1}")}"
+    }.mkString(",\n")
+    s"""WITH q AS MATERIALIZED (SELECT vec_id, $qExpr AS qv FROM embeddings),
+       |c0 AS MATERIALIZED (
+       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cluster, qv AS cent
+       |  FROM (SELECT vec_id, qv FROM q ORDER BY vec_id LIMIT $k)),
+       |$rounds,
+       |${assignCtes(iters + 1, s"c$iters")}
+       |SELECT vec_id, cluster, dist AS dist_q
+       |FROM b${iters + 1} ORDER BY vec_id""".stripMargin
+  }
+
   /** SFT mask oracle: the turn table rebuilt in SQL (normalized
     * tokens in `turnLen`-token windows, surrogate key doc·stride +
     * turn), the gpt2 id machinery replayed over the TURN texts, then
@@ -3862,6 +3905,18 @@ object SparkEntry {
         shortlist = 50)
     }),
 
+    // Deterministic k-means — CLUSTERING itself under the hash gate
+    // (the IVF coarse quantizer's ML fit is only invariant-pinned):
+    // Lloyd rounds on the micro-quantized integer grid, where every
+    // distance, argmin and floor-division centroid update is exact
+    // int64 and therefore order-independent across partitionings and
+    // engines. The semantic-clustering primitive SemDeDup-style
+    // pipelines shard by. The oracle replays the entire training.
+    "emb_kmeans" -> ((s, dir) => {
+      graft.ops.QuantKMeans.fitAssign(emb(s, dir), k = 4, iters = 3, dim = EmbDim)
+        .orderBy(col("vec_id"))
+    }),
+
     // HNSW — the index family the reference actually ships
     // (/root/reference/lib/hnsw/hnsw.h, Malkov & Yashunin TPAMI'18),
     // sharded: one deterministic sub-graph per hash shard, built once
@@ -4763,6 +4818,8 @@ object SparkEntry {
          |SELECT e.vec_id AS vec_id, ${l2SqSql("e.embedding", "q.qe")} AS dist
          |FROM embeddings e JOIN short USING (vec_id) CROSS JOIN q
          |ORDER BY dist ASC, vec_id ASC LIMIT 10""".stripMargin,
+
+    "emb_kmeans" -> quantKMeansOracleSql(k = 4, iters = 3),
 
     // The HNSW probe must reproduce the exact ranking end-to-end (the
     // sharded graphs cover the corpus and each shard's beam returns its
