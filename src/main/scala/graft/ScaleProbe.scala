@@ -541,6 +541,28 @@ object ScaleProbe {
     // z-order layout stats: raw rows grow with the factor, but the
     // only window runs over the occupied-cell table (≤ 2^20 rows at
     // any corpus size) — cost must track the one bucketing aggregation
+    // Kneser-Ney scoring in the DSIR shape: the model trains on the
+    // UN-replicated curated slice (broadcast — four small tables), the
+    // replicated corpus scores under it. Cost must be linear in the
+    // score corpus; the model side is constant.
+    time(s"KN bigram score ($nDoc docs, curated model)")(noop(
+      graft.text.TextAnalysis.knBigramScores(
+        docs, spark.read.parquet(s"$sfDir/documents.parquet")
+          .select("doc_id", "text"))))
+
+    // quantized-Lloyd k-means: per round one narrow assignment map
+    // (k*d literals) + one (cluster, dim) integer aggregation — cost
+    // linear in vectors, flat in k*d driver state
+    time(s"quantized kmeans k=4 iters=3 ($nVec vectors)")(noop(
+      graft.ops.QuantKMeans.fitAssign(emb, k = 4, iters = 3, dim = 64)))
+
+    // SFT masking: turn explode (narrow) + word-cache tokenization
+    // (per DISTINCT pretoken) + one per-conversation groupBy — linear
+    // in corpus, sublinear in repeated content
+    time(s"sft mask+ids ($nDoc docs)")(noop(
+      graft.text.Sft.maskedTokenIds(docsVaried,
+        graft.text.ByteLevel.externalFixtureMerges())))
+
     time("zorder layout stats")(noop {
       val ev = replicate(spark.read.parquet(s"$sfDir/events.parquet")
         .select("event_id", "user_id", "value"), "event_id", factor)

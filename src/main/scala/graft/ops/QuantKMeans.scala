@@ -46,13 +46,12 @@ object QuantKMeans {
         x => floor(x.cast("double") * lit(1e6) + lit(0.5)).cast("long")).as("q"))
 
   /** Integer squared distance between the quantized column and a
-    * centroid literal — 64 staged terms, mirrored by the oracle's list
-    * comprehension. */
+    * centroid literal — ONE codegen kernel node per centroid
+    * ([[org.apache.spark.sql.graft.L2SqLongLitExpr]]; the inlined
+    * k·d-term Catalyst tree costs seconds of analyzer/codegen time per
+    * job). Arithmetic mirrored by the oracle's list comprehension. */
   private def distTo(q: Column, cent: Array[Long], dim: Int): Column =
-    (1 to dim).map { i =>
-      val d = element_at(q, i) - lit(cent(i - 1))
-      d * d
-    }.reduce(_ + _)
+    org.apache.spark.sql.graft.VectorExpressions.l2SqLongLit(q, cent)
 
   /** One assignment pass: (idCol, q, cluster) with the (dist, cluster)
     * argmin, ties to the lowest index. Distances stage into columns so
@@ -82,31 +81,71 @@ object QuantKMeans {
       dim: Int,
       idCol: String = "vec_id",
       embCol: String = "embedding"): Array[Array[Long]] = {
-    require(k >= 1 && iters >= 1, s"k=$k iters=$iters must be >= 1")
     val qdf = quantized(df, dim, idCol, embCol)
-    var cents: Array[Array[Long]] = qdf
-      .orderBy(col(idCol)).limit(k)
-      .select(col("q")).collect()
-      .map(_.getSeq[Long](0).toArray)
-    require(cents.length == k, s"need >= $k rows to seed $k clusters")
-    var it = 0
-    while (it < iters) {
-      val sums = assign(qdf, cents, dim, idCol)
-        .select(col("cluster"), posexplode(col("q")).as(Seq("pos", "x")))
-        .groupBy("cluster", "pos")
-        .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
-        .select(col("cluster"), col("pos"),
-          expr("(s - pmod(s, n)) div n").as("v"))
-        .collect()
-      val next = cents.map(_.clone())
-      sums.foreach { r =>
-        next(r.getInt(0))(r.getInt(1)) = r.getLong(2)
-      }
-      cents = next
-      it += 1
-    }
-    cents
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try fitCentroidsOn(qdf, k, iters, dim, idCol)
+    finally qdf.unpersist()
   }
+
+  /** [[fitCentroids]] over an already-quantized (and ideally persisted)
+    * table — the persist boundary matters: without it Catalyst's
+    * projection collapse inlines the 64-element quantize `transform`
+    * into every one of the k·d `element_at` references (a d× arithmetic
+    * and allocation blow-up per row). */
+  private def fitCentroidsOn(
+      qdf: DataFrame,
+      k: Int,
+      iters: Int,
+      dim: Int,
+      idCol: String): Array[Array[Long]] = {
+    require(k >= 1 && iters >= 1, s"k=$k iters=$iters must be >= 1");
+    {
+      var cents: Array[Array[Long]] = qdf
+        .orderBy(col(idCol)).limit(k)
+        .select(col("q")).collect()
+        .map(_.getSeq[Long](0).toArray)
+      require(cents.length == k, s"need >= $k rows to seed $k clusters")
+      var it = 0
+      while (it < iters) {
+        // one hash aggregate with d sum columns — k groups × d cells to
+        // the driver, NO per-dimension explode (a d× row blow-up and a
+        // corpus-sized shuffle per round at scale). Integer sums are
+        // exact; the floor division runs on the driver (Math.floorDiv —
+        // the same floor the oracle's (s - pmod)/n formula computes).
+        val aggCols = (1 to dim).map(i =>
+          sum(element_at(col("q"), i)).as(s"s$i")) :+ count(lit(1)).as("n")
+        val rows = assign(qdf, cents, dim, idCol)
+          .groupBy(col("cluster"))
+          .agg(aggCols.head, aggCols.tail: _*)
+          .collect()
+        val next = cents.map(_.clone())
+        rows.foreach { r =>
+          val cl = r.getInt(0)
+          val n = r.getLong(dim + 1)
+          var i = 0
+          while (i < dim) {
+            next(cl)(i) = Math.floorDiv(r.getLong(i + 1), n)
+            i += 1
+          }
+        }
+        cents = next
+        it += 1
+      }
+      cents
+    }
+  }
+
+  /** One declarative assignment pass under GIVEN centroids —
+    * (idCol, cluster, dist_q). Pure narrow map (centroids are plan
+    * literals); the plan-audit surface for the in-loop stage. */
+  def assignments(
+      df: DataFrame,
+      cents: Array[Array[Long]],
+      dim: Int,
+      idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame =
+    assign(quantized(df, dim, idCol, embCol), cents, dim, idCol)
+      .select(col(idCol), col("cluster"), col("dist_q"))
 
   /** Final assignments under the fitted centroids:
     * (idCol, cluster, dist_q), every value exact integer. */
@@ -117,8 +156,16 @@ object QuantKMeans {
       dim: Int,
       idCol: String = "vec_id",
       embCol: String = "embedding"): DataFrame = {
-    val cents = fitCentroids(df, k, iters, dim, idCol, embCol)
-    assign(quantized(df, dim, idCol, embCol), cents, dim, idCol)
-      .select(col(idCol), col("cluster"), col("dist_q"))
+    val qdf = quantized(df, dim, idCol, embCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the persisted table serves the training rounds AND the final
+    // assignment; unpersist AFTER the result materializes (localCheckpoint
+    // cuts the lineage so the returned frame never recomputes qdf)
+    try {
+      val cents = fitCentroidsOn(qdf, k, iters, dim, idCol)
+      assign(qdf, cents, dim, idCol)
+        .select(col(idCol), col("cluster"), col("dist_q"))
+        .localCheckpoint()
+    } finally qdf.unpersist()
   }
 }

@@ -915,6 +915,48 @@ case class WordPieceDecodeExpr(child: Expression, vocab: Seq[(String, Int)],
   * the UTF-8 bytes) without the per-row String materialization the
   * UDF formulation paid. Null input yields null (filtered rows drop,
   * matching the UDF's `s != null && ...` guard). */
+/** Exact int64 squared-L2 between a long-array column and a FIXED
+  * centroid literal — the quantized-k-means assignment kernel
+  * ([[graft.ops.QuantKMeans]]). One expression node per centroid:
+  * inlining the d subtract-square terms as a Catalyst tree instead
+  * (k·d ≈ 256 `element_at` nodes per row) costs seconds of analyzer/
+  * codegen time PER JOB on the driver — measured as a ~18 s fixed
+  * overhead per Lloyd round at d=64, k=4 — while this kernel is one
+  * tight Java loop over the unsafe array with the centroid as a
+  * task-broadcast reference object. */
+case class L2SqLongLitExpr(child: Expression, cent: Array[Long])
+    extends UnaryExpression with ExpectsInputTypes {
+  require(cent != null && cent.nonEmpty, "empty centroid")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "l2sq_long_lit"
+
+  def distTo(arr: ArrayData): Long = {
+    val n = arr.numElements()
+    require(n == cent.length, s"dim mismatch: $n vs ${cent.length}")
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      val d = arr.getLong(i) - cent(i)
+      s += d * d
+      i += 1
+    }
+    s
+  }
+
+  override protected def nullSafeEval(a: Any): Any =
+    distTo(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("l2sqLongLit", this, classOf[L2SqLongLitExpr].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.distTo($a);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 case class BloomProbeExpr(
     child: Expression, bloom: org.apache.spark.util.sketch.BloomFilter)
     extends UnaryExpression with ExpectsInputTypes {
@@ -1656,6 +1698,10 @@ object VectorExpressions {
   def dot(a: Column, b: Column): Column =
     ExpressionUtils.column(
       DotExpr(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  /** Codegen exact int64 squared-L2 to a fixed centroid literal. */
+  def l2SqLongLit(q: Column, cent: Array[Long]): Column =
+    ExpressionUtils.column(L2SqLongLitExpr(ExpressionUtils.expression(q), cent))
 
   /** Codegen 64-bit SimHash of a token-array column. `hashKind` "xx"
     * (fast default) or "md5" (SQL-oracle-recomputable). */

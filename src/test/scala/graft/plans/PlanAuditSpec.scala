@@ -402,6 +402,41 @@ class PlanAuditSpec extends AnyFunSuite {
       s"signature/hamming path must stay codegen:\n$plan")
   }
 
+  test("KN scoring broadcasts the four model tables and partial-combines the doc sums") {
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+    val df = graft.text.TextAnalysis.knBigramScores(d, d.filter(col("lang") === "en"))
+    val plan = df.queryExecution.executedPlan.toString
+    // the three keyed model joins ship broadcast (the DSIR shape);
+    // consts rides a 1-row broadcast nest
+    assert("BroadcastHashJoin".r.findAllMatchIn(plan).size >= 3,
+      s"model tables must broadcast:\n$plan")
+    assert(plan.contains("partial_sum") || plan.contains("partial_count"),
+      s"doc sums must partial-combine map-side:\n$plan")
+    assert(!plan.contains("ScalaUDF"), s"KN path must stay declarative:\n$plan")
+  }
+
+  test("quantized kmeans: assignment is a pure narrow map over centroid literals") {
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val cents = graft.ops.QuantKMeans.fitCentroids(e, k = 2, iters = 1, dim = 64)
+    assert(cents.length == 2)
+    val df = graft.ops.QuantKMeans.assignments(e, cents, dim = 64)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"the assignment stage must not shuffle (centroids are literals):\n$plan")
+    assert(!plan.contains("ScalaUDF"), s"assignment must stay codegen:\n$plan")
+  }
+
+  test("sft masking: word-cache broadcast, no UDF, one conversation shuffle") {
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+    val df = graft.text.Sft.maskedTokenIds(d,
+      graft.text.ByteLevel.externalFixtureMerges())
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the (word -> ids) cache must broadcast:\n$plan")
+    assert(!plan.contains("ScalaUDF") && !plan.toLowerCase.contains("batchevalpython"),
+      s"masking must stay array expressions:\n$plan")
+  }
+
   test("hnsw probe: candidate merge is a bounded TakeOrdered, no cartesian, no global sort") {
     val dir = java.nio.file.Files.createTempDirectory("graft_hnsw_plan").toString
     val corpus = spark.read.parquet(s"$sfDir/embeddings.parquet")
