@@ -4446,6 +4446,19 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // TRIGRAM interpolated Kneser-Ney — the full order-N recursion of
+    // the KenLM family: raw counts at the top, continuation TYPE
+    // counts at the middle level, the add-one-floored continuation
+    // distribution at the bottom, with the proper two-stage backoff
+    // cascade for unseen contexts. Six model aggregates off the
+    // English slice; the oracle retrains all six and replays the
+    // nested float64 CASE tree.
+    "doc_kn3_score" -> ((s, dir) => {
+      val d = docs(s, dir)
+      TextAnalysis.knTrigramScores(d, d.filter(col("lang") === "en"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Model-based filtering with TRAINED weights: closed-form
     // multinomial Naive-Bayes log-odds per hashed feature bucket, fit
     // on the corpus itself labeled by its lang column (positive class =
@@ -6636,6 +6649,70 @@ object SparkEntry {
          |SELECT d.doc_id, coalesce(n_bigrams, 0) AS n_bigrams,
          |       coalesce(kn_micro, 0) AS kn_micro
          |FROM documents d LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // RETRAINS the trigram KN model in SQL — six aggregates (raw
+    // trigram counts + (w1w2) context totals, the three type-count
+    // tables off the DISTINCT trigram set, the bigram continuation
+    // bottom) and the same nested CASE cascade, D = 0.75 literal,
+    // identical division/multiplication shape at every level.
+    "doc_kn3_score" -> {
+      val pcont =
+        "CAST(coalesce(nbw.nb, 0) + 1 AS DOUBLE) / CAST(consts.cont_den AS DOUBLE)"
+      val p2 =
+        s"""CASE WHEN midC.n2ctx IS NULL THEN $pcont
+           |  ELSE greatest(CAST(coalesce(midT.nmid, 0) AS DOUBLE) - 0.75, 0.0) / CAST(midC.n2ctx AS DOUBLE)
+           |       + ((0.75 * CAST(midC.nfmid AS DOUBLE)) / CAST(midC.n2ctx AS DOUBLE))
+           |         * ($pcont) END""".stripMargin
+      s"""WITH t AS (SELECT doc_id, lang, $ToksSql AS toks FROM documents),
+         |occS AS (SELECT doc_id,
+         |                toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS gram,
+         |                toks[i] AS w1, toks[i+1] AS w2, toks[i+2] AS w3,
+         |                toks[i] || ' ' || toks[i+1] AS g12,
+         |                toks[i+1] || ' ' || toks[i+2] AS g23,
+         |                CAST(count(*) AS BIGINT) AS cnt
+         |         FROM t, unnest(range(1, len(toks) - 1)) AS u(i)
+         |         GROUP BY 1, 2, 3, 4, 5, 6, 7),
+         |occT AS (SELECT toks[i] AS w1, toks[i+1] AS w2, toks[i+2] AS w3,
+         |                toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS gram,
+         |                toks[i] || ' ' || toks[i+1] AS g12,
+         |                toks[i+1] || ' ' || toks[i+2] AS g23
+         |         FROM t, unnest(range(1, len(toks) - 1)) AS u(i)
+         |         WHERE lang = 'en'),
+         |tri AS (SELECT gram, CAST(count(*) AS BIGINT) AS tc FROM occT GROUP BY 1),
+         |ctx2 AS (SELECT g12, CAST(count(*) AS BIGINT) AS c12,
+         |                CAST(count(DISTINCT w3) AS BIGINT) AS nf12
+         |         FROM occT GROUP BY 1),
+         |ty3 AS (SELECT DISTINCT w1, w2, w3, g23 FROM occT),
+         |midT AS (SELECT g23, CAST(count(DISTINCT w1) AS BIGINT) AS nmid
+         |         FROM ty3 GROUP BY 1),
+         |midC AS (SELECT w2, CAST(count(*) AS BIGINT) AS n2ctx,
+         |                CAST(count(DISTINCT w3) AS BIGINT) AS nfmid
+         |         FROM ty3 GROUP BY 1),
+         |occ2 AS (SELECT toks[i] || ' ' || toks[i+1] AS g2, toks[i+1] AS b2
+         |         FROM t, unnest(range(1, len(toks))) AS u(i)
+         |         WHERE lang = 'en'),
+         |nbw AS (SELECT b2 AS w3, CAST(count(*) AS BIGINT) AS nb
+         |        FROM (SELECT DISTINCT g2, b2 FROM occ2) GROUP BY 1),
+         |consts AS (SELECT greatest(
+         |    (SELECT CAST(count(DISTINCT g2) AS BIGINT) FROM occ2) +
+         |    (SELECT CAST(count(DISTINCT w) AS BIGINT)
+         |     FROM (SELECT unnest(toks) AS w FROM t WHERE lang = 'en')), 1) AS cont_den),
+         |sc AS (SELECT o.doc_id, o.cnt,
+         |         CAST(floor(ln(
+         |           CASE WHEN ctx2.c12 IS NULL THEN $p2
+         |             ELSE greatest(CAST(coalesce(tri.tc, 0) AS DOUBLE) - 0.75, 0.0) / CAST(ctx2.c12 AS DOUBLE)
+         |                  + ((0.75 * CAST(ctx2.nf12 AS DOUBLE)) / CAST(ctx2.c12 AS DOUBLE))
+         |                    * ($p2) END) * 1e6) AS BIGINT) AS lp
+         |       FROM occS o LEFT JOIN tri USING (gram) LEFT JOIN ctx2 USING (g12)
+         |            LEFT JOIN midT USING (g23) LEFT JOIN midC USING (w2)
+         |            LEFT JOIN nbw USING (w3) CROSS JOIN consts),
+         |agg AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_trigrams,
+         |               CAST(sum(cnt * lp) AS BIGINT) AS kn3_micro
+         |        FROM sc GROUP BY 1)
+         |SELECT d.doc_id, coalesce(n_trigrams, 0) AS n_trigrams,
+         |       coalesce(kn3_micro, 0) AS kn3_micro
+         |FROM documents d LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin
+    },
 
     // RETRAINS the classifier in SQL: per-token md5 bucket (mod 2^20),
     // per-bucket pos/neg occurrence counts under the lang='en' label,

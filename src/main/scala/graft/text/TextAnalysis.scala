@@ -657,6 +657,102 @@ object TextAnalysis {
         coalesce(col("kn_micro"), lit(0L)).as("kn_micro"))
   }
 
+  /** Interpolated Kneser–Ney TRIGRAM scoring — the full order-N
+    * recursion of the KenLM family (Chen & Goodman '98 §4.1.6: highest
+    * order uses raw counts, every lower order uses CONTINUATION TYPE
+    * counts):
+    *
+    *   P(w3|w1w2) = max(c(w1w2w3)−D,0)/c(w1w2·)
+    *              + (D·N1+(w1w2·)/c(w1w2·)) · P₂(w3|w2)
+    *   P₂(w3|w2)  = max(N1+(·w2w3)−D,0)/N1+(·w2·)
+    *              + (D·N1+(w2·)/N1+(·w2·)) · Pcont(w3)
+    *   Pcont(w3)  = (N1+(·w3) + 1)/(N1+(··) + V)
+    *
+    * where N1+(·w2w3) counts distinct PRECEDING words of the bigram,
+    * N1+(·w2·) its per-middle total, N1+(w2·) the distinct-successor
+    * fan-out within the trigram types, and the bottom level is
+    * [[knBigramScores]]'s add-one-floored continuation distribution
+    * over bigram types. Unseen (w1w2) contexts back off fully to P₂;
+    * unseen middles back off fully to Pcont — the proper cascade.
+    *
+    * Model statistics are SIX aggregates over the training corpus (raw
+    * trigram counts + context totals, three type-count tables off the
+    * DISTINCT trigram set, the bigram continuation bottom) — all
+    * map-side-combinable; the score side LEFT-joins them per distinct
+    * (doc, trigram). Same micro-nat quantization and broadcast/shuffle
+    * seam as the bigram form. */
+  def knTrigramScores(
+      scoreDf: DataFrame,
+      trainDf: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      discount: Double = 0.75,
+      broadcastModel: Boolean = true): DataFrame = {
+    require(discount > 0 && discount < 1, s"discount must be in (0,1), got $discount")
+    def withParts(df: DataFrame): DataFrame = df
+      .withColumn("w1", substring_index(col("gram"), " ", 1))
+      .withColumn("w2", element_at(split(col("gram"), " "), 2))
+      .withColumn("w3", substring_index(col("gram"), " ", -1))
+      .withColumn("g12", concat_ws(" ", col("w1"), col("w2")))
+      .withColumn("g23", concat_ws(" ", col("w2"), col("w3")))
+    val occ = withParts(
+      scoreDf.select(col(idCol), tokens(col(textCol)).as("t"))
+        .select(col(idCol), explode(rawNgrams(col("t"), 3)).as("gram"))
+        .groupBy(col(idCol), col("gram")).agg(count(lit(1)).as("cnt")))
+    val occT3 = withParts(
+      trainDf.select(tokens(col(textCol)).as("t"))
+        .select(explode(rawNgrams(col("t"), 3)).as("gram")))
+    val tri = occT3.groupBy("gram").agg(count(lit(1)).as("tc"))
+    val ctx2 = occT3.groupBy("g12").agg(count(lit(1)).as("c12"),
+      count_distinct(col("w3")).as("nf12"))
+    val types3 = occT3.select("w1", "w2", "w3", "g23").distinct()
+    val midT = types3.groupBy("g23").agg(count_distinct(col("w1")).as("nmid"))
+    val midC = types3.groupBy("w2").agg(count(lit(1)).as("n2ctx"),
+      count_distinct(col("w3")).as("nfmid"))
+    // bottom level: the bigram continuation distribution
+    val occT2 = trainDf.select(tokens(col(textCol)).as("t"))
+      .select(explode(rawNgrams(col("t"), 2)).as("g2"))
+      .withColumn("b2", substring_index(col("g2"), " ", -1))
+    val nbw = occT2.select("g2", "b2").distinct()
+      .groupBy(col("b2").as("w3")).agg(count(lit(1)).as("nb"))
+    val uni = trainDf.select(tokens(col(textCol)).as("t"))
+      .select(explode(col("t")).as("w"))
+      .agg(count_distinct(col("w")).as("v_size"))
+    val n2types = occT2.agg(count_distinct(col("g2")).as("n_types"))
+    val consts = n2types.crossJoin(uni)
+      .select(greatest(col("n_types") + col("v_size"), lit(1L)).as("cont_den"))
+    def side(df: DataFrame): DataFrame = if (broadcastModel) broadcast(df) else df
+    val d = lit(discount)
+    val pcont = (coalesce(col("nb"), lit(0L)) + lit(1L)).cast("double") /
+      col("cont_den").cast("double")
+    val n2d = col("n2ctx").cast("double")
+    val p2 = when(col("n2ctx").isNull, pcont)
+      .otherwise(
+        greatest(coalesce(col("nmid"), lit(0L)).cast("double") - d, lit(0.0)) / n2d +
+          ((d * col("nfmid").cast("double")) / n2d) * pcont)
+    val c12d = col("c12").cast("double")
+    val p3 = when(col("c12").isNull, p2)
+      .otherwise(
+        greatest(coalesce(col("tc"), lit(0L)).cast("double") - d, lit(0.0)) / c12d +
+          ((d * col("nf12").cast("double")) / c12d) * p2)
+    val scored = occ
+      .join(side(tri), Seq("gram"), "left")
+      .join(side(ctx2), Seq("g12"), "left")
+      .join(side(midT), Seq("g23"), "left")
+      .join(side(midC), Seq("w2"), "left")
+      .join(side(nbw), Seq("w3"), "left")
+      .crossJoin(broadcast(consts))
+      .withColumn("lp_micro", floor(log(p3) * lit(1e6)).cast("long"))
+    scoreDf.select(col(idCol)).join(
+        scored.groupBy(col(idCol)).agg(
+          sum(col("cnt")).as("n_trigrams"),
+          sum(col("cnt") * col("lp_micro")).as("kn3_micro")),
+        Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_trigrams"), lit(0L)).as("n_trigrams"),
+        coalesce(col("kn3_micro"), lit(0L)).as("kn3_micro"))
+  }
+
   /** Hashing-trick document embedding (the fastText / Weinberger
     * feature-hashing construction): token occurrences hash into
     * [[tokenBucket]] buckets, and each output dimension is a ±1-signed

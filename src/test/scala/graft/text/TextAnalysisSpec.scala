@@ -514,6 +514,65 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(b.contains((11L, 0L, 0L)) && b.contains((12L, 0L, 0L)))
   }
 
+  test("knTrigramScores: P(.|w1w2) is a proper distribution over the vocabulary") {
+    val train = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the cat ran to the mat"),
+      (3L, "the dog sat on a rug")).toDF("doc_id", "text")
+    // both interpolation levels telescope: top-level discounted mass +
+    // lambda*P2 sums to 1 when P2 sums to 1, which holds when Pcont
+    // sums to 1 over the vocab (it does, exactly — see the bigram KN
+    // spec). Floor quantization only shrinks each term by < e^-1e-6.
+    val vocab = train.select(explode(TextAnalysis.tokens($"text")).as("w"))
+      .distinct().as[String].collect().toSeq
+    val pairs = vocab.zipWithIndex.map { case (w, i) => (i.toLong, s"the cat $w") }
+    val scored = TextAnalysis.knTrigramScores(pairs.toDF("doc_id", "text"), train)
+      .as[(Long, Long, Long)].collect()
+    val total = scored.map { case (_, n, micro) =>
+      assert(n == 1L); math.exp(micro / 1e6)
+    }.sum
+    assert(total > 0.9999 && total <= 1.0000001, s"sum P over vocab = $total")
+  }
+
+  test("knTrigramScores: the backoff cascade — unseen context -> P2, unseen middle -> Pcont") {
+    val train = Seq((1L, "aa bb cc aa bb dd")).toDF("doc_id", "text")
+    // trigram types: (aa bb cc), (bb cc aa), (cc aa bb), (aa bb dd)
+    // bigram types: (aa bb)x2->1, (bb cc), (cc aa), (bb dd) -> 4 types; V=4
+    // cont_den = 4 + 4 = 8; Pcont(cc) = (N1+(.cc)+1)/8 = 2/8
+    def micro(p: Double) = math.floor(math.log(p) * 1e6).toLong
+    // fully unseen context AND middle: P = Pcont(cc) = (1+1)/8
+    val r1 = TextAnalysis.knTrigramScores(
+        Seq((10L, "zz yy cc")).toDF("doc_id", "text"), train)
+      .as[(Long, Long, Long)].collect().head
+    assert(r1._2 == 1L && r1._3 == micro(2.0 / 8.0))
+    // unseen (w1w2) context but SEEN middle bb: full backoff to
+    // P2(cc|bb) = max(N1+(.bb cc)-D,0)/N1+(.bb.) + D*N1+(bb.)/N1+(.bb.)*Pcont(cc)
+    //   ty3 with middle bb: (aa bb cc), (aa bb dd) -> n2ctx=2, nfmid=2
+    //   nmid(bb cc) = |{aa}| = 1
+    val p2 = (1.0 - 0.75) / 2.0 + ((0.75 * 2.0) / 2.0) * (2.0 / 8.0)
+    val r2 = TextAnalysis.knTrigramScores(
+        Seq((11L, "zz bb cc")).toDF("doc_id", "text"), train)
+      .as[(Long, Long, Long)].collect().head
+    assert(r2._3 == micro(p2), s"expected full backoff to P2, got ${r2._3} vs ${micro(p2)}")
+    // seen context (aa bb): P = max(c(aa bb cc)-D,0)/c(aa bb .) + D*N1+(aa bb .)/c * P2
+    val pTop = (1.0 - 0.75) / 2.0 + ((0.75 * 2.0) / 2.0) * p2
+    val r3 = TextAnalysis.knTrigramScores(
+        Seq((12L, "aa bb cc")).toDF("doc_id", "text"), train)
+      .as[(Long, Long, Long)].collect().head
+    assert(r3._3 == micro(pTop))
+  }
+
+  test("knTrigramScores: broadcast and shuffle model paths agree; short docs score zero") {
+    val train = Seq((1L, "the cat sat on the mat today")).toDF("doc_id", "text")
+    val score = Seq((10L, "the cat sat on mats"), (11L, "two words"), (12L, "")).toDF("doc_id", "text")
+    val b = TextAnalysis.knTrigramScores(score, train, broadcastModel = true)
+      .as[(Long, Long, Long)].collect().toSet
+    val sh = TextAnalysis.knTrigramScores(score, train, broadcastModel = false)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(b == sh)
+    assert(b.contains((11L, 0L, 0L)) && b.contains((12L, 0L, 0L)))
+  }
+
   test("dsirSelect ranks target-like documents above off-domain ones") {
     // target speaks "legal"; corpus has 3 legal-ish and 3 cooking docs
     val target = Seq(
