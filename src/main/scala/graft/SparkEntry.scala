@@ -2138,6 +2138,16 @@ object SparkEntry {
         broadcastUnigrams = true)
     }),
 
+    // TextRank keywords (Mihalcea & Tarau '04): integer-micro PageRank
+    // over the bounded window-co-occurrence graph — 5 damped rounds of
+    // exact floor-division contributions, so the iterative ranking
+    // replays bit-identically. Corpus work = the one co-occurrence
+    // aggregation; the walk runs on the vocab-bounded edge set.
+    "corpus_textrank" -> ((s, dir) => {
+      TextAnalysis.textRank(docs(s, dir), window = 3, minCount = 5L,
+        iters = 5, topK = 20)
+    }),
+
     // BPE merge training: one corpus pass builds the distinct-word
     // table; each round is vocab-bounded (pair explode + weighted
     // count + 1-row argmax) with the greedy merge applied as a narrow
@@ -5262,6 +5272,35 @@ object SparkEntry {
     // PMI: identical double ops in identical order (pair prob over the
     // product of unigram probs), micro-quantized ln — ranking and
     // hashing happen on the integer, the tf-idf/BM25 convention.
+    // Replays the co-occurrence graph build (canonical unordered
+    // pairs, min-count cut) and 5 UNROLLED integer PageRank rounds —
+    // the same (r*850000) // (deg*1000000) floor contributions.
+    "corpus_textrank" -> {
+      val rounds = (1 to 5).map { r =>
+        s"""r$r AS MATERIALIZED (
+           |  SELECT adj.v AS node, CAST(150000 + sum((p.r * 850000) // (d.deg * 1000000)) AS BIGINT) AS r
+           |  FROM adj JOIN r${r - 1} p ON p.node = adj.u JOIN deg d ON d.u = adj.u
+           |  GROUP BY 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH t AS (SELECT $ToksSql AS toks FROM documents),
+         |pr AS (SELECT toks[i] AS a, toks[i+d] AS b
+         |       FROM t, unnest(range(1, len(toks)+1)) AS u(i),
+         |              unnest(range(1, 4)) AS v(d)
+         |       WHERE i + d <= len(toks) AND toks[i] <> toks[i+d]),
+         |e AS MATERIALIZED (
+         |  SELECT a, b FROM (
+         |    SELECT CASE WHEN a < b THEN a ELSE b END AS a,
+         |           CASE WHEN a < b THEN b ELSE a END AS b
+         |    FROM pr)
+         |  GROUP BY 1, 2 HAVING count(*) >= 5),
+         |adj AS MATERIALIZED (SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e),
+         |deg AS MATERIALIZED (SELECT u, CAST(count(*) AS BIGINT) AS deg FROM adj GROUP BY 1),
+         |r0 AS (SELECT u AS node, CAST(1000000 AS BIGINT) AS r FROM deg),
+         |$rounds
+         |SELECT node AS token, r AS rank_micro
+         |FROM r5 ORDER BY r DESC, node ASC LIMIT 20""".stripMargin
+    },
+
     "doc_pmi_pairs" ->
       s"""WITH t AS (SELECT $ToksSql AS toks FROM documents),
          |pr AS (SELECT toks[i] AS a, toks[i+d] AS b

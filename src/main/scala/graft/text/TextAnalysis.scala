@@ -1104,6 +1104,66 @@ object TextAnalysis {
     * executor memory, and it also pins the join strategy so the
     * executed plan is identical run-to-run instead of flapping at the
     * AQE broadcast threshold; leave false for open-vocabulary text. */
+  /** TextRank keyword extraction (Mihalcea & Tarau EMNLP'04): PageRank
+    * over the window-co-occurrence token graph, in EXACT integer
+    * micro-units so every iteration is order-independent and replays
+    * bit-identically in a SQL oracle — float PageRank sums depend on
+    * edge-contribution order, exactly the nondeterminism the quantized
+    * k-means ([[graft.ops.QuantKMeans]]) dodges the same way.
+    *
+    * Graph: unordered token pairs co-occurring within `window`
+    * (self-loops dropped), kept when their combined count ≥ `minCount`
+    * — a VOCAB-BOUNDED edge set (the corpus-sized work is the one
+    * co-occurrence aggregation; everything after runs on the bounded
+    * graph, the [[pmiPairs]] discipline). Unweighted undirected edges,
+    * the paper's keyword configuration.
+    *
+    * Iteration (damping 0.85, in micro-units):
+    *   r'(v) = 150000 + Σ_{u∈N(v)} (r(u)·850000) div (deg(u)·1000000)
+    * with floor division — exact int64, every node starts at 10⁶.
+    * Each round is one bounded join + groupBy; lineage is cut per
+    * round (localCheckpoint) so `iters` never compounds the plan. */
+  def textRank(
+      df: DataFrame,
+      textCol: String = "text",
+      window: Int = 3,
+      minCount: Long = 5L,
+      iters: Int = 5,
+      topK: Int = 20): DataFrame = {
+    require(iters >= 1 && topK >= 1, s"iters=$iters topK=$topK must be >= 1")
+    val toks = df.select(tokens(col(textCol)).as("t"))
+    val pairs = toks
+      .select(posexplode(col("t")).as(Seq("pos", "a")), col("t"))
+      .select(col("a"),
+        explode(slice(col("t"), col("pos") + lit(2), lit(window))).as("b"))
+      .filter(col("a") =!= col("b"))
+    val edges = pairs
+      .select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minCount)
+      .localCheckpoint()
+    val adj = edges.select(col("a").as("u"), col("b").as("v"))
+      .unionAll(edges.select(col("b").as("u"), col("a").as("v")))
+    val deg = adj.groupBy("u").agg(count(lit(1)).as("deg")).localCheckpoint()
+    var ranks = deg.select(col("u").as("node"), lit(1000000L).as("r"))
+    var it = 0
+    while (it < iters) {
+      ranks = adj
+        .join(ranks.withColumnRenamed("node", "u"), "u")
+        .join(deg, "u")
+        .select(col("v"), expr("(r * 850000) div (deg * 1000000)").as("c"))
+        .groupBy(col("v"))
+        .agg((lit(150000L) + sum(col("c"))).as("r"))
+        .select(col("v").as("node"), col("r"))
+        .localCheckpoint()
+      it += 1
+    }
+    ranks
+      .orderBy(col("r").desc, col("node").asc)
+      .limit(topK)
+      .select(col("node").as("token"), col("r").as("rank_micro"))
+  }
+
   def pmiPairs(
       df: DataFrame,
       textCol: String = "text",

@@ -514,6 +514,45 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(b.contains((11L, 0L, 0L)) && b.contains((12L, 0L, 0L)))
   }
 
+  test("textRank: a regular graph is an exact integer fixed point at 1e6") {
+    // "a b c a" at window 1 -> triangle (every degree 2): each round
+    // r = 150000 + 2*((1e6*850000) div (2*1e6)) = 150000 + 850000 = 1e6
+    val df = Seq.fill(5)((1L, "aa bb cc aa")).zipWithIndex
+      .map { case ((_, t), i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val r = TextAnalysis.textRank(df, window = 1, minCount = 1L, iters = 5, topK = 10)
+      .as[(String, Long)].collect().toMap
+    assert(r.keySet == Set("aa", "bb", "cc"))
+    assert(r.values.forall(_ == 1000000L), s"regular graph must stay uniform: $r")
+  }
+
+  test("textRank: hand-computed star graph after two exact iterations") {
+    // hub h adjacent to 4 leaves; deg(h)=4, deg(leaf)=1
+    val docs = Seq("hh aa", "hh bb", "hh cc", "hh dd")
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val r = TextAnalysis.textRank(docs, window = 1, minCount = 1L, iters = 2, topK = 10)
+      .as[(String, Long)].collect().toMap
+    // iter1: r(h)=150000+4*850000=3550000; r(leaf)=150000+212500=362500
+    // iter2: r(h)=150000+4*((362500*850000) div 1000000)=150000+4*308125=1382500
+    //        r(leaf)=150000+(3550000*850000) div 4000000=150000+754375=904375
+    assert(r("hh") == 1382500L, s"hub: ${r("hh")}")
+    Seq("aa", "bb", "cc", "dd").foreach(l => assert(r(l) == 904375L, s"leaf $l: ${r(l)}"))
+    assert(r("hh") > r("aa"), "the hub must outrank the leaves")
+  }
+
+  test("textRank: bit-identical across partitionings (integer-walk property)") {
+    val rng = new scala.util.Random(3)
+    val words = Vector("w1", "w2", "w3", "w4", "w5", "w6", "w7", "w8")
+    val docs = (0L until 60L).map(i =>
+      (i, Seq.fill(12)(words(rng.nextInt(words.size))).mkString(" ")))
+      .toDF("doc_id", "text")
+    val a = TextAnalysis.textRank(docs, window = 2, minCount = 3L, iters = 4, topK = 8)
+      .as[(String, Long)].collect().toSeq
+    val b = TextAnalysis.textRank(docs.repartition(17), window = 2, minCount = 3L,
+        iters = 4, topK = 8)
+      .as[(String, Long)].collect().toSeq
+    assert(a == b)
+  }
+
   test("knTrigramScores: P(.|w1w2) is a proper distribution over the vocabulary") {
     val train = Seq(
       (1L, "the cat sat on the mat"),
