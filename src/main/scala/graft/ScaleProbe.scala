@@ -550,6 +550,20 @@ object ScaleProbe {
         docs, spark.read.parquet(s"$sfDir/documents.parquet")
           .select("doc_id", "text"))))
 
+    // trigram KN: six model aggregates off the curated slice, the
+    // score side linear in corpus trigram volume
+    time(s"KN trigram score ($nDoc docs, curated model)")(noop(
+      graft.text.TextAnalysis.knTrigramScores(
+        docs, spark.read.parquet(s"$sfDir/documents.parquet")
+          .select("doc_id", "text"))))
+
+    // TextRank: the one co-occurrence aggregation is corpus-sized; all
+    // 5 walk rounds run on the vocab-bounded edge set — near-flat in
+    // corpus beyond the aggregation
+    time(s"textrank keywords ($nDoc docs)")(noop(
+      graft.text.TextAnalysis.textRank(docs, window = 3, minCount = 5L,
+        iters = 5, topK = 20)))
+
     // quantized-Lloyd k-means: per round one narrow assignment map
     // (k*d literals) + one (cluster, dim) integer aggregation — cost
     // linear in vectors, flat in k*d driver state

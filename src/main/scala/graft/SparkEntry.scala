@@ -3947,6 +3947,25 @@ object SparkEntry {
       graft.index.Hnsw.searchLayout(s, artDir, q, 10, p, efSearch = 64)
     }),
 
+    // HNSW tombstone delete: mark-deleted ids stay in the graph as
+    // ROUTING WAYPOINTS (severing edges breaks small-world paths — the
+    // production semantics) but never surface in results; deletes are
+    // tag-keyed overwrites (idempotent under redelivery) in a SEPARATE
+    // artifact dir so the plain probe's layout stays pristine. Query
+    // vec 0 deletes ITSELF plus two more — the exact top-1 visibly
+    // drops out, which the oracle replays with a NOT IN.
+    "knn_hnsw_delete" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val artDir =
+        s"${System.getProperty("java.io.tmpdir")}/graft_hnswdel_${dirKey(dir)}"
+      val p = graft.index.Hnsw.Params(m = 8, efConstruction = 64, parts = 4)
+      graft.index.Hnsw.ensureLayout(e, artDir, p)
+      graft.index.Hnsw.deleteFromLayout(s, artDir, Seq(0L, 1L, 2L), tag = "q")
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).toArray
+      graft.index.Hnsw.searchLayout(s, artDir, q, 10, p, efSearch = 64)
+    }),
+
     // Invariant summary for the HNSW path (the knn_lsh_check pattern):
     // every reported distance equals the exact kernel's value for that
     // id, the rank column agrees with a recomputed (dist, id) ranking,
@@ -4852,6 +4871,15 @@ object SparkEntry {
       s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
          |d AS (SELECT e.vec_id, ${l2SqSql("e.embedding", "q.qe")} AS dist
          |      FROM embeddings e CROSS JOIN q)
+         |SELECT vec_id, dist,
+         |       CAST(row_number() OVER (ORDER BY dist ASC, vec_id ASC) AS INTEGER) AS rank
+         |FROM d ORDER BY dist ASC, vec_id ASC LIMIT 10""".stripMargin,
+
+    "knn_hnsw_delete" ->
+      s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         |d AS (SELECT e.vec_id, ${l2SqSql("e.embedding", "q.qe")} AS dist
+         |      FROM embeddings e CROSS JOIN q
+         |      WHERE e.vec_id NOT IN (0, 1, 2))
          |SELECT vec_id, dist,
          |       CAST(row_number() OVER (ORDER BY dist ASC, vec_id ASC) AS INTEGER) AS rank
          |FROM d ORDER BY dist ASC, vec_id ASC LIMIT 10""".stripMargin,

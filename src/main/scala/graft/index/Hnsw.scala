@@ -201,8 +201,14 @@ object Hnsw {
     }
 
     /** Full search (paper Algorithm 5): greedy descent, then a
-      * max(ef,k)-beam on layer 0. Returns ≤ k (dist, id) ascending. */
-    def searchKnn(q: Array[Float], k: Int, efSearch: Int): Seq[(Double, Long)] = {
+      * max(ef,k)-beam on layer 0. Returns ≤ k (dist, id) ascending.
+      * `excluded` ids are mark-deleted: they still serve as ROUTING
+      * waypoints (removing graph nodes would sever small-world paths —
+      * the production tombstone semantics) but never appear in
+      * results. */
+    def searchKnn(
+        q: Array[Float], k: Int, efSearch: Int,
+        excluded: Long => Boolean = _ => false): Seq[(Double, Long)] = {
       if (entry == -1) return Seq.empty
       var ep = entry
       var lc = maxLevel
@@ -211,8 +217,10 @@ object Hnsw {
         lc -= 1
       }
       searchLayer(q, ep, math.max(efSearch, k), 0)
-        .take(k)
+        .iterator
         .map { case (d, idx) => (d, ids(idx)) }
+        .filterNot { case (_, id) => excluded(id) }
+        .take(k)
         .toSeq
     }
   }
@@ -307,6 +315,16 @@ object Hnsw {
       "hsum" -> hs, "m" -> p.m.toString, "efC" -> p.efConstruction.toString,
       "parts" -> p.parts.toString)
     graft.io.Artifact.ensure(dir, sidecarName, fp) {
+      // a REBUILD (changed corpus/params) owns the whole dir: stale
+      // tombstones from the previous layout must not exclude ids of
+      // the new corpus
+      val ts = java.nio.file.Paths.get(dir, tombstoneDirName)
+      if (java.nio.file.Files.exists(ts)) {
+        val walk = java.nio.file.Files.walk(ts)
+        try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(f => java.nio.file.Files.deleteIfExists(f))
+        finally walk.close()
+      }
       build(df, p, idCol, embCol)
         .repartition(p.parts, col("part"))
         .write.mode("overwrite").partitionBy("part")
@@ -345,7 +363,8 @@ object Hnsw {
       k: Int,
       p: Params = Params(),
       efSearch: Int = 64,
-      cacheKey: Option[String] = None): DataFrame = {
+      cacheKey: Option[String] = None,
+      tombstoned: Set[Long] = Set.empty): DataFrame = {
     val spark = layoutDf.sparkSession
     import spark.implicits._
     val qs = queries.map { case (qid, v) => (qid, v.toSeq) }
@@ -372,10 +391,44 @@ object Hnsw {
         }
         qs.iterator.flatMap { case (qid, qv) =>
           val q = qv.toArray
-          g.searchKnn(q, k, efSearch).iterator.map { case (d, id) => (qid, id, d) }
+          g.searchKnn(q, k, efSearch, tombstoned.contains)
+            .iterator.map { case (d, id) => (qid, id, d) }
         }
       }
     }.toDF("q_id", "vec_id", "dist")
+  }
+
+  private val tombstoneDirName = "_tombstones"
+
+  /** Mark ids deleted — the tombstone protocol ([[graft.index.Ivf]]'s
+    * shape): each delete batch is a TAG-KEYED OVERWRITE under
+    * `_tombstones/del_<tag>`, so at-least-once redelivery rewrites the
+    * same file instead of double-recording; graph nodes stay in place
+    * as routing waypoints (severing edges would break small-world
+    * paths), probes exclude tombstoned ids from RESULTS only. The
+    * resident graph cache stays valid — exclusion applies at query
+    * time. */
+  def deleteFromLayout(
+      spark: SparkSession,
+      dir: String,
+      ids: Seq[Long],
+      tag: String): Unit = {
+    import spark.implicits._
+    ids.toDF("vec_id").coalesce(1)
+      .write.mode("overwrite")
+      .parquet(s"$dir/$tombstoneDirName/del_$tag")
+  }
+
+  /** All tombstoned ids — bounded by total delete volume (a crawl's
+    * deletes are rare events; a delete-heavy workload should compact
+    * by rebuilding the layout without the dead rows). */
+  def tombstonedIds(spark: SparkSession, dir: String): Set[Long] = {
+    val p = java.nio.file.Paths.get(dir, tombstoneDirName)
+    if (!java.nio.file.Files.exists(p)) return Set.empty
+    spark.read.option("recursiveFileLookup", "true")
+      .parquet(p.toString)
+      .select(col("vec_id").cast("long"))
+      .collect().map(_.getLong(0)).toSet
   }
 
   /** The layout's sidecar fingerprint (the [[graphCache]] key). */
@@ -398,7 +451,8 @@ object Hnsw {
       p: Params = Params(),
       efSearch: Int = 64): DataFrame = {
     val cands = searchCandidates(layout(spark, dir), Seq((0L, query)), k, p,
-      efSearch, cacheKey = sidecarFingerprint(dir))
+      efSearch, cacheKey = sidecarFingerprint(dir),
+      tombstoned = tombstonedIds(spark, dir))
     cands
       .orderBy(col("dist").asc, col("vec_id").asc)
       .limit(k)

@@ -135,6 +135,31 @@ class HnswSpec extends AnyFunSuite {
       "post-rebuild probe must serve the NEW corpus, not cached graphs")
   }
 
+  test("tombstone delete: excluded from results, still routes, rebuild clears, redelivery idempotent") {
+    val c = corpus(400, seed = 31)
+    val p = Hnsw.Params(m = 6, efConstruction = 32, parts = 3)
+    val dir = java.nio.file.Files.createTempDirectory("hnsw").toString
+    Hnsw.ensureLayout(c, dir, p)
+    val q = c.filter(col("vec_id") === 50L).as[(Long, Array[Float])].head()._2
+    val before = Hnsw.searchLayout(spark, dir, q, 10, p)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(before.head == 50L)
+    // delete the query's own id + its runner-up
+    Hnsw.deleteFromLayout(spark, dir, Seq(before.head, before(1)), tag = "t1")
+    val after = Hnsw.searchLayout(spark, dir, q, 10, p)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(!after.contains(before.head) && !after.contains(before(1)))
+    // recall holds: the survivors are exactly the exact-top-10 minus the dead
+    val exact = exactTopK(c, q, 12).filterNot(Set(before.head, before(1))).take(10)
+    assert(after == exact, s"post-delete ranking: $after vs $exact")
+    // redelivery of the SAME tag is idempotent
+    Hnsw.deleteFromLayout(spark, dir, Seq(before.head, before(1)), tag = "t1")
+    assert(Hnsw.tombstonedIds(spark, dir) == Set(before.head, before(1)))
+    // a rebuild (changed corpus) clears stale tombstones
+    Hnsw.ensureLayout(corpus(400, seed = 32), dir, p)
+    assert(Hnsw.tombstonedIds(spark, dir).isEmpty, "rebuild must clear tombstones")
+  }
+
   test("multi-query candidates: per query at most parts*k rows, each query served") {
     val c = corpus(300, seed = 5)
     val p = Hnsw.Params(m = 4, efConstruction = 16, parts = 3)
