@@ -3586,6 +3586,45 @@ object SparkEntry {
     // copy is centroid-assigned with the probe's own arithmetic, so
     // all land in the probed cluster, searchable the moment their
     // batch commits.
+    // Streaming HNSW append — the graph-index leg of the incremental
+    // crawl loop (exact-dup, near-dup, IVF, and now the graph index):
+    // micro-batches land as per-shard DELTA graphs (batch-keyed
+    // overwrite, idempotent under redelivery), the base shards are
+    // never rewritten, and the delta-aware probe searches base ∪
+    // deltas with one TakeOrdered merge. The planted copies of the
+    // query vector stream in AFTER the base build; the oracle ranks
+    // the full union exactly.
+    "stream_hnsw_append" -> ((s, dir) => {
+      val corpus = emb(s, dir)
+      val p = graft.index.Hnsw.Params(m = 8, efConstruction = 64, parts = 4)
+      val baseDir =
+        s"${System.getProperty("java.io.tmpdir")}/graft_hnsw_${dirKey(dir)}"
+      graft.index.Hnsw.ensureLayout(corpus, baseDir, p)
+      val scratch = freshScratchDir(dir, "streamhnsw")
+      val layoutDir = s"$scratch/layout_root"
+      copyDir(baseDir, layoutDir)
+      val planted = corpus.filter(col("vec_id") === 0)
+        .crossJoin(s.range(10))
+        .select((col("id") + lit(4300000L)).as("vec_id"), col("embedding"))
+      val inDir = s"$scratch/in"
+      planted.filter(col("vec_id") < 4300005L).coalesce(1)
+        .write.mode("overwrite").parquet(inDir)
+      planted.filter(col("vec_id") >= 4300005L).coalesce(1)
+        .write.mode("append").parquet(inDir)
+      val stream = s.readStream.schema(planted.schema)
+        .option("maxFilesPerTrigger", 1).parquet(inDir)
+      val q = graft.streaming.StreamingIngest.streamingHnswAppend(
+        stream, layoutDir, s"$scratch/chk", p)
+      q.awaitTermination()
+      SparkEntry.streamStateRows.put("stream_hnsw_append",
+        q.recentProgress.iterator
+          .map(pr => pr.stateOperators.map(_.numRowsTotal).sum)
+          .foldLeft(0L)(math.max))
+      val query = corpus.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).toArray
+      graft.index.Hnsw.searchLayoutDeltaAware(s, layoutDir, query, k = 10, p)
+    }),
+
     "stream_ivf_append" -> ((s, dir) => {
       val corpus = emb(s, dir)
       val base = graft.index.Ivf.buildLayout(s, corpus,
@@ -6071,6 +6110,22 @@ object SparkEntry {
     // ten delta-appended copies — the delta-aware probe must serve
     // both micro-batches' vectors (a lost batch, or a double-applied
     // retry creating duplicate ids, would hash-mismatch here).
+    // The delta-aware graph probe must reproduce the exact ranking
+    // over base ∪ streamed rows: 11 dist-0 rows after the append, so a
+    // delta the probe missed (or a duplicate from a non-idempotent
+    // redelivery) hash-mismatches immediately.
+    "stream_hnsw_append" ->
+      s"""WITH c AS (SELECT vec_id, embedding FROM embeddings
+         |           UNION ALL
+         |           SELECT 4300000 + r.i AS vec_id, e.embedding
+         |           FROM embeddings e CROSS JOIN range(10) r(i) WHERE e.vec_id = 0),
+         |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         |d AS (SELECT c.vec_id, ${l2SqSql("c.embedding", "q.qe")} AS dist
+         |      FROM c CROSS JOIN q)
+         |SELECT vec_id, dist,
+         |       CAST(row_number() OVER (ORDER BY dist ASC, vec_id ASC) AS INTEGER) AS rank
+         |FROM d ORDER BY dist ASC, vec_id ASC LIMIT 10""".stripMargin,
+
     "stream_ivf_append" ->
       s"""WITH c AS (SELECT vec_id, embedding FROM embeddings
          |           UNION ALL

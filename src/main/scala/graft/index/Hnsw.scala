@@ -398,6 +398,114 @@ object Hnsw {
     }.toDF("q_id", "vec_id", "dist")
   }
 
+  private val deltaDirPrefix = "layout_delta_"
+
+  /** Append a batch as a DELTA layout — the IVF delta protocol
+    * ([[graft.index.Ivf.appendDelta]]) applied to graphs: the batch
+    * builds its own small per-shard HNSW graphs under
+    * `layout_delta_<tag>` as a tag-keyed OVERWRITE (at-least-once
+    * redelivery rewrites the same delta instead of double-inserting),
+    * and the base shards are never rewritten — no write amplification
+    * per micro-batch. Probes search base ∪ every delta and merge
+    * ([[searchLayoutDeltaAware]]); [[compactDeltas]] folds deltas into
+    * a canonically rebuilt base. Graph construction is insertion-order
+    * dependent by nature, so a delta graph ≠ the nodes' adjacency
+    * after compaction — but SEARCH results agree wherever the beam is
+    * exact, and the probe-invariance across compaction is spec-pinned
+    * on seeded data. */
+  def appendDelta(
+      spark: SparkSession,
+      dir: String,
+      batch: DataFrame,
+      tag: String,
+      p: Params = Params(),
+      idCol: String = "vec_id",
+      embCol: String = "embedding"): Unit =
+    build(batch, p, idCol, embCol)
+      .repartition(p.parts, col("part"))
+      .write.mode("overwrite").partitionBy("part")
+      .parquet(s"$dir/$deltaDirPrefix$tag")
+
+  /** Tags of the live deltas, sorted (the probe fan-out width — the
+    * compaction policy bounds it). */
+  def deltaTags(dir: String): Seq[String] = {
+    val d = java.nio.file.Paths.get(dir)
+    if (!java.nio.file.Files.exists(d)) return Seq.empty
+    val s = java.nio.file.Files.list(d)
+    try {
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala
+        .map(_.getFileName.toString)
+        .filter(_.startsWith(deltaDirPrefix))
+        .map(_.stripPrefix(deltaDirPrefix))
+        .toSeq.sorted
+    } finally s.close()
+  }
+
+  /** Probe base AND every delta graph, merge ≤ (1+deltas)·parts·k
+    * candidates in one TakeOrdered. Deltas are immutable once written,
+    * so their graphs cache under (dir, tag, part) like the base. */
+  def searchLayoutDeltaAware(
+      spark: SparkSession,
+      dir: String,
+      query: Array[Float],
+      k: Int,
+      p: Params = Params(),
+      efSearch: Int = 64): DataFrame = {
+    val dead = tombstonedIds(spark, dir)
+    val base = searchCandidates(layout(spark, dir), Seq((0L, query)), k, p,
+      efSearch, cacheKey = sidecarFingerprint(dir), tombstoned = dead)
+    val all = deltaTags(dir).foldLeft(base) { (acc, tag) =>
+      acc.unionAll(searchCandidates(
+        spark.read.parquet(s"$dir/$deltaDirPrefix$tag"),
+        Seq((0L, query)), k, p, efSearch,
+        cacheKey = Some(s"$dir#delta#$tag"), tombstoned = dead))
+    }
+    all
+      .orderBy(col("dist").asc, col("vec_id").asc)
+      .limit(k)
+      .select(col("vec_id"), col("dist"),
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("dist").asc, col("vec_id").asc)).as("rank"))
+  }
+
+  /** Fold every delta into a CANONICALLY rebuilt base (all nodes
+    * re-inserted in ascending id — identical to a fresh
+    * [[ensureLayout]] over the union corpus) and refresh the sidecar
+    * fingerprint from the STORED (id, emb) rows — one scan of the
+    * index, never of the original source; float arrays roundtrip
+    * parquet exactly, so a later `ensureLayout(base ∪ appended)` sees
+    * a matching fingerprint and reuses instead of rebuilding. Delta
+    * dirs are deleted last. Single-writer, no concurrent probes — the
+    * [[graft.index.Ivf.compactDeltas]] contract. */
+  def compactDeltas(
+      spark: SparkSession,
+      dir: String,
+      p: Params = Params()): Unit = {
+    val tags = deltaTags(dir)
+    if (tags.isEmpty) return
+    val union = (Seq(s"$dir/layout") ++ tags.map(t => s"$dir/$deltaDirPrefix$t"))
+      .map(spark.read.parquet(_).select(col("vec_id"), col("emb").as("embedding")))
+      .reduce(_ unionAll _)
+    val (n, h, hs) = graft.io.Artifact.hashAgg(
+      union, xxhash64(col("vec_id"), col("embedding").cast("array<double>")))
+    val fp = graft.io.Artifact.fingerprintJson(n, h,
+      "hsum" -> hs, "m" -> p.m.toString, "efC" -> p.efConstruction.toString,
+      "parts" -> p.parts.toString)
+    val rebuilt = build(union, p).repartition(p.parts, col("part"))
+      .localCheckpoint()
+    rebuilt.write.mode("overwrite").partitionBy("part").parquet(s"$dir/layout")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, sidecarName), fp)
+    tags.foreach { t =>
+      val d = java.nio.file.Paths.get(dir, s"$deltaDirPrefix$t")
+      val walk = java.nio.file.Files.walk(d)
+      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => java.nio.file.Files.deleteIfExists(f))
+      finally walk.close()
+    }
+  }
+
   private val tombstoneDirName = "_tombstones"
 
   /** Mark ids deleted — the tombstone protocol ([[graft.index.Ivf]]'s

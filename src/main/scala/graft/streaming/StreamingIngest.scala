@@ -316,6 +316,38 @@ object StreamingIngest {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Streaming HNSW index maintenance — the graph-index leg of the
+    * crawl loop, mirroring [[streamingIvfAppend]]: every micro-batch
+    * of (id, embedding) rows builds its own small per-shard delta
+    * GRAPHS as a batch-keyed OVERWRITE
+    * ([[graft.index.Hnsw.appendDelta]] — redelivery rewrites the same
+    * delta, never double-inserts), the base shards are never rewritten
+    * per batch, and vectors are searchable as soon as their batch
+    * commits ([[graft.index.Hnsw.searchLayoutDeltaAware]]). The
+    * auto-compaction policy bounds the probe fan-out: when the live
+    * delta count reaches `maxDeltaDirs`, the deltas fold into a
+    * canonically rebuilt base BEFORE the new batch lands (the
+    * single-writer foreachBatch serializes compaction against
+    * appends). Executor state is ZERO — all memory is the layout on
+    * disk. */
+  def streamingHnswAppend(
+      stream: DataFrame,
+      layoutDir: String,
+      checkpoint: String,
+      p: graft.index.Hnsw.Params = graft.index.Hnsw.Params(),
+      maxDeltaDirs: Int = 16): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val tag = s"${pipelineTag(checkpoint)}_b$batchId"
+        if (graft.index.Hnsw.deltaTags(layoutDir).size >= maxDeltaDirs)
+          graft.index.Hnsw.compactDeltas(batch.sparkSession, layoutDir, p)
+        graft.index.Hnsw.appendDelta(batch.sparkSession, layoutDir, batch, tag, p)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   def streamingIvfAppend(
       stream: DataFrame,
       layoutDir: String,

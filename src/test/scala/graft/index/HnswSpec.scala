@@ -160,6 +160,60 @@ class HnswSpec extends AnyFunSuite {
     assert(Hnsw.tombstonedIds(spark, dir).isEmpty, "rebuild must clear tombstones")
   }
 
+  test("delta append: searchable immediately, redelivery idempotent, compaction invariant") {
+    val c = corpus(300, seed = 41)
+    val p = Hnsw.Params(m = 6, efConstruction = 32, parts = 3)
+    val dir = java.nio.file.Files.createTempDirectory("hnsw").toString
+    Hnsw.ensureLayout(c, dir, p)
+    val q = c.filter(col("vec_id") === 9L).as[(Long, Array[Float])].head()._2
+    // plant 4 copies of the query vector as an appended batch
+    val batch = c.filter(col("vec_id") === 9L)
+      .crossJoin(spark.range(4))
+      .select((col("id") + 5000000L).as("vec_id"), col("embedding"))
+    Hnsw.appendDelta(spark, dir, batch, tag = "b0", p)
+    Hnsw.appendDelta(spark, dir, batch, tag = "b0", p) // redelivery: same tag overwrites
+    assert(Hnsw.deltaTags(dir) == Seq("b0"))
+    val got = Hnsw.searchLayoutDeltaAware(spark, dir, q, 10, p)
+      .select("vec_id").as[Long].collect().toSeq
+    // 5 dist-0 rows (the original + 4 planted), ids ascending first
+    assert(got.take(5) == Seq(9L, 5000000L, 5000001L, 5000002L, 5000003L),
+      s"append must surface immediately and exactly once: $got")
+    // compaction: canonical rebuild, identical probe result, deltas gone
+    Hnsw.compactDeltas(spark, dir, p)
+    assert(Hnsw.deltaTags(dir).isEmpty)
+    val after = Hnsw.searchLayoutDeltaAware(spark, dir, q, 10, p)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(after == got, "mid-stream compaction must be invisible to probe results")
+    // the refreshed fingerprint matches a fresh ensure over the union:
+    // no rebuild (sidecar untouched)
+    val sidecar = java.nio.file.Paths.get(dir, "_hnsw_sidecar.json")
+    val t0 = java.nio.file.Files.getLastModifiedTime(sidecar)
+    Hnsw.ensureLayout(c.select(col("vec_id"), col("embedding")).unionAll(batch), dir, p)
+    assert(java.nio.file.Files.getLastModifiedTime(sidecar) == t0,
+      "post-compaction fingerprint must equal the union corpus ensure")
+  }
+
+  test("auto-compaction policy bounds the delta fan-out") {
+    val c = corpus(200, seed = 43)
+    val p = Hnsw.Params(m = 4, efConstruction = 16, parts = 2)
+    val dir = java.nio.file.Files.createTempDirectory("hnsw").toString
+    Hnsw.ensureLayout(c, dir, p)
+    // three appends under a maxDeltaDirs=2 policy (the streaming
+    // foreachBatch shape, driven directly)
+    (0 until 3).foreach { i =>
+      val b = c.filter(col("vec_id") === i.toLong)
+        .select((col("vec_id") + 6000000L + i).as("vec_id"), col("embedding"))
+      if (Hnsw.deltaTags(dir).size >= 2) Hnsw.compactDeltas(spark, dir, p)
+      Hnsw.appendDelta(spark, dir, b, tag = s"t$i", p)
+    }
+    assert(Hnsw.deltaTags(dir).size <= 2, s"deltas: ${Hnsw.deltaTags(dir)}")
+    // every appended id still searchable
+    val q = c.filter(col("vec_id") === 0L).as[(Long, Array[Float])].head()._2
+    val got = Hnsw.searchLayoutDeltaAware(spark, dir, q, 5, p)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(got.contains(6000000L), s"compacted append lost: $got")
+  }
+
   test("multi-query candidates: per query at most parts*k rows, each query served") {
     val c = corpus(300, seed = 5)
     val p = Hnsw.Params(m = 4, efConstruction = 16, parts = 3)
