@@ -3507,6 +3507,27 @@ object SparkEntry {
       graft.index.Ivf.searchLayout(s, layout, query, k = 10, nprobe = 1)
     }),
 
+    // IVF with an HNSW COARSE QUANTIZER (the FAISS IVF*_HNSW
+    // composition): the probed clusters come from a graph walk over
+    // the centroids instead of the linear argmin — the production
+    // shape when nlist ~ 1M (sqrt-n lists over a 100 TB corpus) makes
+    // the centroid scan itself the bottleneck. Same planted-copy
+    // construction and the same partition-pruned nprobe=1 data scan as
+    // knn_ivf_pruned; the graph must pick the identical top-1 cluster
+    // for the hash to match.
+    "knn_ivf_hnsw" -> ((s, dir) => {
+      val corpus = emb(s, dir)
+      val planted = corpus.filter(col("vec_id") === 0)
+        .crossJoin(s.range(10))
+        .select((col("id") + lit(2000000L)).as("vec_id"), col("embedding"))
+      val full = corpus.select(col("vec_id"), col("embedding")).union(planted)
+      val layout = graft.index.Ivf.buildLayout(s, full,
+        ivfLayoutDir(dir, "pruned"), nlist = 8, maxIter = 3)
+      val query = corpus.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).toArray
+      graft.index.Ivf.searchLayoutHnswCoarse(s, layout, query, k = 10, nprobe = 1)
+    }),
+
     // Spilled IVF (ScaNN-style multi-assignment): every row lands in
     // its 2 nearest inverted lists, so boundary-straddling neighbors
     // are findable at the SAME nprobe — 2× layout storage traded for
@@ -6077,6 +6098,18 @@ object SparkEntry {
       s"""WITH c AS (SELECT vec_id, embedding FROM embeddings
          |           UNION ALL
          |           SELECT 3000000 + r.i AS vec_id, e.embedding
+         |           FROM embeddings e CROSS JOIN range(10) r(i) WHERE e.vec_id = 0),
+         |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+         |SELECT c.vec_id AS vec_id, ${l2SqSql("c.embedding", "q.qe")} AS dist
+         |FROM c CROSS JOIN q
+         |ORDER BY dist ASC, vec_id ASC LIMIT 10""".stripMargin,
+
+    // Same exact brute force as knn_ivf_pruned: the HNSW coarse
+    // quantizer must route to the identical top-1 cluster.
+    "knn_ivf_hnsw" ->
+      s"""WITH c AS (SELECT vec_id, embedding FROM embeddings
+         |           UNION ALL
+         |           SELECT 2000000 + r.i AS vec_id, e.embedding
          |           FROM embeddings e CROSS JOIN range(10) r(i) WHERE e.vec_id = 0),
          |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
          |SELECT c.vec_id AS vec_id, ${l2SqSql("c.embedding", "q.qe")} AS dist

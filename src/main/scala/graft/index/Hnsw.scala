@@ -258,6 +258,23 @@ object Hnsw {
     g
   }
 
+  /** Driver-side in-memory graph over a SMALL vector set — the seam
+    * for composing HNSW as another index's coarse stage (the FAISS
+    * `IVF..._HNSW` shape: at nlist ~10⁶ the centroid argmin itself
+    * needs sublinear search, [[graft.index.Ivf.probeClustersHnsw]]).
+    * Same deterministic construction as the sharded layout (ascending
+    * id, hash levels, (dist, id) ties). */
+  final class SmallGraph private[index] (g: Graph) {
+    def searchKnn(q: Array[Float], k: Int, efSearch: Int = 64): Seq[(Double, Long)] =
+      g.searchKnn(q, k, efSearch)
+  }
+
+  def smallGraph(points: Seq[(Long, Array[Float])], p: Params = Params()): SmallGraph = {
+    val g = new Graph(p)
+    points.sortBy(_._1).foreach { case (id, v) => g.insert(id, v) }
+    new SmallGraph(g)
+  }
+
   /** Build the sharded graphs and return the layout rows — one
     * deterministic sub-graph per `pmod(xxhash64(id), parts)` shard,
     * nodes inserted in ascending id. The ONE corpus shuffle a build

@@ -148,7 +148,7 @@ object Ivf {
       if (node.hasNonNull("hsum")) node.get("hsum").asText() else "")
   }
 
-  private def probeClustersOf(centroids: Array[Array[Double]], query: Array[Float], nprobe: Int): Seq[Int] = {
+  private[graft] def probeClustersOf(centroids: Array[Array[Double]], query: Array[Float], nprobe: Int): Seq[Int] = {
     val q = query.map(_.toDouble)
     centroids.zipWithIndex
       .map { case (c, i) =>
@@ -547,6 +547,62 @@ object Ivf {
       idCol: String = "vec_id",
       embCol: String = "embedding"): DataFrame = {
     val clusters = probeClustersOf(layout.centroids, query, nprobe)
+    VectorSearch.knnExact(
+      liveRows(spark, layout,
+        spark.read.parquet(layout.dir).filter(col("cluster").isin(clusters: _*)), idCol),
+      query.toSeq, k, idCol, embCol)
+  }
+
+  /** Per-JVM coarse-quantizer graphs, keyed by (layout dir, centroid
+    * content) — centroids are immutable per build, so a rebuilt layout
+    * keys differently; bounded by wholesale clear. */
+  private val coarseGraphs =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.index.Hnsw.SmallGraph]()
+
+  /** Cluster probe via an HNSW graph over the CENTROIDS — the FAISS
+    * `IVF*_HNSW` composition: [[probeClustersOf]]'s linear centroid
+    * argmin is fine at nlist = 8, but a production coarse quantizer at
+    * nlist ~10⁶ (the 100 TB setting: √n lists over 10¹² vectors) needs
+    * sublinear centroid search, and this is exactly how FAISS does it.
+    * The graph builds once per layout (driver-side, nlist nodes) and
+    * caches; search is the deterministic beam walk with the same
+    * (dist, index) tie-break as the exact argmin. With ef ≥ nlist the
+    * walk visits every (connected) centroid, so the choice matches
+    * [[probeClustersOf]] up to the float32 cast of the stored double
+    * centroids — an argmin flip needs two centroids within float
+    * epsilon of the query, which k-means separation rules out in
+    * practice and the hash gate pins per dataset. */
+  def probeClustersHnsw(
+      layout: Layout,
+      query: Array[Float],
+      nprobe: Int,
+      hp: graft.index.Hnsw.Params = graft.index.Hnsw.Params(m = 8, efConstruction = 64, parts = 1),
+      efSearch: Int = 64): Seq[Int] = {
+    val key = layout.dir + "#" +
+      java.util.Arrays.deepHashCode(layout.centroids.asInstanceOf[Array[AnyRef]])
+    var g = coarseGraphs.get(key)
+    if (g == null) {
+      g = graft.index.Hnsw.smallGraph(
+        layout.centroids.zipWithIndex
+          .map { case (c, i) => (i.toLong, c.map(_.toFloat)) }.toSeq, hp)
+      if (coarseGraphs.size >= 64) coarseGraphs.clear()
+      coarseGraphs.put(key, g)
+    }
+    g.searchKnn(query, nprobe, efSearch).map(_._2.toInt)
+  }
+
+  /** [[searchLayout]] with the HNSW coarse quantizer choosing the
+    * probed clusters — the data scan is the identical partition-pruned
+    * path. */
+  def searchLayoutHnswCoarse(
+      spark: SparkSession,
+      layout: Layout,
+      query: Array[Float],
+      k: Int,
+      nprobe: Int,
+      idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    val clusters = probeClustersHnsw(layout, query, nprobe)
     VectorSearch.knnExact(
       liveRows(spark, layout,
         spark.read.parquet(layout.dir).filter(col("cluster").isin(clusters: _*)), idCol),

@@ -214,6 +214,19 @@ class HnswSpec extends AnyFunSuite {
     assert(got.contains(6000000L), s"compacted append lost: $got")
   }
 
+  test("HNSW coarse quantizer agrees with the exact centroid argmin on seeded layouts") {
+    val c = corpus(400, seed = 51).withColumn("label", lit(1))
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+    val dir = java.nio.file.Files.createTempDirectory("ivfcoarse").toString
+    val layout = graft.index.Ivf.buildLayout(spark, c, dir, nlist = 8, maxIter = 3)
+    val vecs = c.as[(Long, Array[Float])].collect()
+    vecs.take(50).foreach { case (id, v) =>
+      val exact = graft.index.Ivf.probeClustersOf(layout.centroids, v, 2)
+      val graph = graft.index.Ivf.probeClustersHnsw(layout, v, 2)
+      assert(graph == exact, s"query $id: graph $graph vs exact $exact")
+    }
+  }
+
   test("multi-query candidates: per query at most parts*k rows, each query served") {
     val c = corpus(300, seed = 5)
     val p = Hnsw.Params(m = 4, efConstruction = 16, parts = 3)
