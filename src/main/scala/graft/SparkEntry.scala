@@ -4535,6 +4535,18 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // SPAN-level KN scoring — quality LOCALIZATION: sliding 32-token
+    // windows every 16 score under the same cross-corpus KN model, so
+    // boilerplate runs and encoding garbage surface as low-scoring
+    // spans inside otherwise-good documents (the CCNet paragraph idea
+    // on token windows). One row per (doc, window).
+    "doc_kn_spans" -> ((s, dir) => {
+      val d = docs(s, dir)
+      TextAnalysis.knSpanScores(d, d.filter(col("lang") === "en"),
+          windowTokens = 32, stride = 16)
+        .orderBy(col("doc_id"), col("win_idx"))
+    }),
+
     // TRIGRAM interpolated Kneser-Ney — the full order-N recursion of
     // the KenLM family: raw counts at the top, continuation TYPE
     // counts at the middle level, the add-one-floored continuation
@@ -6804,6 +6816,52 @@ object SparkEntry {
          |SELECT d.doc_id, coalesce(n_bigrams, 0) AS n_bigrams,
          |       coalesce(kn_micro, 0) AS kn_micro
          |FROM documents d LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // The doc_kn_score model CTEs with the occurrence side keyed by
+    // (doc, window): windows rebuilt with the same stride/len
+    // arithmetic, grams from the window slices, same expression tree.
+    "doc_kn_spans" ->
+      s"""WITH t AS (SELECT doc_id, lang, $ToksSql AS toks FROM documents),
+         |wins AS (SELECT doc_id, CAST(u.k AS INT) AS win_idx,
+         |                list_slice(toks, CAST(u.k * 16 + 1 AS INT),
+         |                           CAST(u.k * 16 + 32 AS INT)) AS wt
+         |         FROM t, unnest(range(0, (len(toks) - 1) // 16 + 1)) AS u(k)),
+         |occS AS (SELECT doc_id, win_idx, wt[i] || ' ' || wt[i+1] AS gram,
+         |                wt[i] AS w1, wt[i+1] AS w2,
+         |                CAST(count(*) AS BIGINT) AS cnt
+         |         FROM wins, unnest(range(1, len(wt))) AS u(i)
+         |         GROUP BY 1, 2, 3, 4, 5),
+         |occT AS (SELECT toks[i] || ' ' || toks[i+1] AS gram,
+         |                toks[i] AS w1, toks[i+1] AS w2
+         |         FROM t, unnest(range(1, len(toks))) AS u(i)
+         |         WHERE lang = 'en'),
+         |bi AS (SELECT gram, CAST(count(*) AS BIGINT) AS bc FROM occT GROUP BY 1),
+         |cxt AS (SELECT w1, CAST(count(*) AS BIGINT) AS cw1,
+         |               CAST(count(DISTINCT w2) AS BIGINT) AS nf
+         |        FROM occT GROUP BY 1),
+         |nbw AS (SELECT w2, CAST(count(DISTINCT w1) AS BIGINT) AS nb
+         |        FROM occT GROUP BY 1),
+         |consts AS (SELECT greatest(
+         |    (SELECT CAST(count(DISTINCT gram) AS BIGINT) FROM occT) +
+         |    (SELECT CAST(count(DISTINCT w) AS BIGINT)
+         |     FROM (SELECT unnest(toks) AS w FROM t WHERE lang = 'en')), 1) AS cont_den),
+         |sc AS (SELECT o.doc_id, o.win_idx, o.cnt,
+         |         CAST(floor(ln(
+         |           CASE WHEN cxt.cw1 IS NULL
+         |             THEN CAST(coalesce(nbw.nb, 0) + 1 AS DOUBLE) / CAST(consts.cont_den AS DOUBLE)
+         |             ELSE greatest(CAST(coalesce(bi.bc, 0) AS DOUBLE) - 0.75, 0.0) / CAST(cxt.cw1 AS DOUBLE)
+         |                  + ((0.75 * CAST(cxt.nf AS DOUBLE)) / CAST(cxt.cw1 AS DOUBLE))
+         |                    * (CAST(coalesce(nbw.nb, 0) + 1 AS DOUBLE) / CAST(consts.cont_den AS DOUBLE))
+         |           END) * 1e6) AS BIGINT) AS lp
+         |       FROM occS o LEFT JOIN bi USING (gram) LEFT JOIN cxt USING (w1)
+         |            LEFT JOIN nbw USING (w2) CROSS JOIN consts),
+         |agg AS (SELECT doc_id, win_idx, CAST(sum(cnt) AS BIGINT) AS n_bigrams,
+         |               CAST(sum(cnt * lp) AS BIGINT) AS kn_micro
+         |        FROM sc GROUP BY 1, 2)
+         |SELECT w.doc_id, w.win_idx, coalesce(n_bigrams, 0) AS n_bigrams,
+         |       coalesce(kn_micro, 0) AS kn_micro
+         |FROM wins w LEFT JOIN agg USING (doc_id, win_idx)
+         |ORDER BY doc_id, win_idx""".stripMargin,
 
     // RETRAINS the trigram KN model in SQL — six aggregates (raw
     // trigram counts + (w1w2) context totals, the three type-count

@@ -603,19 +603,12 @@ object TextAnalysis {
     * training corpus is the small curated side (the DSIR shape: target
     * = thousands of docs, corpus = the 100 TB side); set false to
     * shuffle when the model itself is web-scale. */
-  def knBigramScores(
-      scoreDf: DataFrame,
-      trainDf: DataFrame,
-      idCol: String = "doc_id",
-      textCol: String = "text",
-      discount: Double = 0.75,
-      broadcastModel: Boolean = true): DataFrame = {
-    require(discount > 0 && discount < 1, s"discount must be in (0,1), got $discount")
-    val occ = scoreDf.select(col(idCol), tokens(col(textCol)).as("t"))
-      .select(col(idCol), explode(rawNgrams(col("t"), 2)).as("gram"))
-      .groupBy(col(idCol), col("gram")).agg(count(lit(1)).as("cnt"))
-      .withColumn("w1", substring_index(col("gram"), " ", 1))
-      .withColumn("w2", substring_index(col("gram"), " ", -1))
+  /** The four bigram-KN model tables (see [[knBigramScores]]), shared
+    * by the doc-level and span-level scorers. */
+  private final case class KnModel(
+      bi: DataFrame, cxt: DataFrame, nbw: DataFrame, consts: DataFrame)
+
+  private def knBigramModel(trainDf: DataFrame, textCol: String): KnModel = {
     val occT = trainDf.select(tokens(col(textCol)).as("t"))
       .select(explode(rawNgrams(col("t"), 2)).as("gram"))
       .withColumn("w1", substring_index(col("gram"), " ", 1))
@@ -630,9 +623,15 @@ object TextAnalysis {
     val n1dd = occT.agg(count_distinct(col("gram")).as("n_types"))
     val consts = n1dd.crossJoin(uni)
       .select(greatest(col("n_types") + col("v_size"), lit(1L)).as("cont_den"))
-    val biJ = if (broadcastModel) broadcast(bi) else bi
-    val cxtJ = if (broadcastModel) broadcast(cxt) else cxt
-    val nbJ = if (broadcastModel) broadcast(n1bwd) else n1bwd
+    KnModel(bi, cxt, n1bwd, consts)
+  }
+
+  /** Per-gram micro-nat KN log-prob over an occurrence table carrying
+    * (gram, w1, w2) — the shared score stage. */
+  private def knScoreGrams(
+      occ: DataFrame, m: KnModel, discount: Double,
+      broadcastModel: Boolean): DataFrame = {
+    def side(df: DataFrame): DataFrame = if (broadcastModel) broadcast(df) else df
     val d = lit(discount)
     val pcont = (coalesce(col("nb"), lit(0L)) + lit(1L)).cast("double") /
       col("cont_den").cast("double")
@@ -641,18 +640,82 @@ object TextAnalysis {
       .otherwise(
         greatest(coalesce(col("bc"), lit(0L)).cast("double") - d, lit(0.0)) / cw1d +
           ((d * col("nf").cast("double")) / cw1d) * pcont)
-    val scored = occ
-      .join(biJ, Seq("gram"), "left")
-      .join(cxtJ, Seq("w1"), "left")
-      .join(nbJ, Seq("w2"), "left")
-      .crossJoin(broadcast(consts))
+    occ
+      .join(side(m.bi), Seq("gram"), "left")
+      .join(side(m.cxt), Seq("w1"), "left")
+      .join(side(m.nbw), Seq("w2"), "left")
+      .crossJoin(broadcast(m.consts))
       .withColumn("lp_micro", floor(log(p) * lit(1e6)).cast("long"))
+  }
+
+  def knBigramScores(
+      scoreDf: DataFrame,
+      trainDf: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      discount: Double = 0.75,
+      broadcastModel: Boolean = true): DataFrame = {
+    require(discount > 0 && discount < 1, s"discount must be in (0,1), got $discount")
+    val occ = scoreDf.select(col(idCol), tokens(col(textCol)).as("t"))
+      .select(col(idCol), explode(rawNgrams(col("t"), 2)).as("gram"))
+      .groupBy(col(idCol), col("gram")).agg(count(lit(1)).as("cnt"))
+      .withColumn("w1", substring_index(col("gram"), " ", 1))
+      .withColumn("w2", substring_index(col("gram"), " ", -1))
+    val scored = knScoreGrams(occ, knBigramModel(trainDf, textCol), discount, broadcastModel)
     scoreDf.select(col(idCol)).join(
         scored.groupBy(col(idCol)).agg(
           sum(col("cnt")).as("n_bigrams"),
           sum(col("cnt") * col("lp_micro")).as("kn_micro")),
         Seq(idCol), "left")
       .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("kn_micro"), lit(0L)).as("kn_micro"))
+  }
+
+  /** SPAN-level KN scoring — quality LOCALIZATION: the doc-level score
+    * says a document is bad, the span scores say WHERE (boilerplate
+    * runs, encoding garbage, stitched-in navigation text score far
+    * below the body — the CCNet paragraph-level scoring idea applied
+    * on sliding token windows). Windows of `windowTokens` every
+    * `stride` tokens (tail windows short, the token-windows
+    * convention); each window's bigrams score under the SAME
+    * cross-corpus KN model as [[knBigramScores]], micro-nat quantized
+    * before the per-window integer sums. Output one row per (doc,
+    * window): (idCol, win_idx, n_bigrams, kn_micro).
+    *
+    * 100 TB shape: the window explode multiplies rows by
+    * ~window/stride (a small constant); everything downstream is the
+    * doc-level scorer's plan with (doc, win) as the key. */
+  def knSpanScores(
+      scoreDf: DataFrame,
+      trainDf: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      windowTokens: Int = 32,
+      stride: Int = 16,
+      discount: Double = 0.75,
+      broadcastModel: Boolean = true): DataFrame = {
+    require(windowTokens >= 2 && stride >= 1,
+      s"windowTokens=$windowTokens stride=$stride out of range")
+    val wins = scoreDf.select(col(idCol), tokens(col(textCol)).as("toks"))
+      .select(col(idCol), posexplode(
+        transform(
+          sequence(lit(0),
+            floor((size(col("toks")) - lit(1)) / lit(stride)).cast("int")),
+          k => slice(col("toks"), k * lit(stride) + lit(1), lit(windowTokens))))
+        .as(Seq("win_idx", "wt")))
+    val occ = wins
+      .select(col(idCol), col("win_idx"), explode(rawNgrams(col("wt"), 2)).as("gram"))
+      .groupBy(col(idCol), col("win_idx"), col("gram")).agg(count(lit(1)).as("cnt"))
+      .withColumn("w1", substring_index(col("gram"), " ", 1))
+      .withColumn("w2", substring_index(col("gram"), " ", -1))
+    val scored = knScoreGrams(occ, knBigramModel(trainDf, textCol), discount, broadcastModel)
+    wins.select(col(idCol), col("win_idx")).join(
+        scored.groupBy(col(idCol), col("win_idx")).agg(
+          sum(col("cnt")).as("n_bigrams"),
+          sum(col("cnt") * col("lp_micro")).as("kn_micro")),
+        Seq(idCol, "win_idx"), "left")
+      .select(col(idCol), col("win_idx"),
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
         coalesce(col("kn_micro"), lit(0L)).as("kn_micro"))
   }

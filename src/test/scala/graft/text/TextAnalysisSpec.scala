@@ -553,6 +553,39 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("knSpanScores: one full-doc window degenerates to the doc-level score") {
+    val train = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "dogs run fast in parks")).toDF("doc_id", "text")
+    val score = Seq((10L, "the cat ran on grass"), (11L, "")).toDF("doc_id", "text")
+    val spans = TextAnalysis.knSpanScores(score, train,
+        windowTokens = 1000, stride = 1000)
+      .as[(Long, Int, Long, Long)].collect().toSet
+    val doc = TextAnalysis.knBigramScores(score, train)
+      .as[(Long, Long, Long)].collect()
+      .map(t => (t._1, 0, t._2, t._3)).toSet
+    assert(spans == doc)
+  }
+
+  test("knSpanScores localizes a planted garbage span below the body windows") {
+    val body = Seq.fill(40)("the cat sat on the mat").mkString(" ")
+    val garbage = Seq.fill(16)("zxqv wjfk qpzm grbl").mkString(" ")
+    val train = Seq((1L, body)).toDF("doc_id", "text")
+    val doc = Seq((10L, body + " " + garbage + " " + body)).toDF("doc_id", "text")
+    val spans = TextAnalysis.knSpanScores(doc, train, windowTokens = 32, stride = 32)
+      .as[(Long, Int, Long, Long)].collect()
+    // per-bigram mean micro-score per window
+    val means = spans.filter(_._3 > 0).map(s => (s._2, s._4.toDouble / s._3))
+    val worst = means.minBy(_._2)
+    // the garbage sits around token 240..303 -> windows 7-9 at stride 32
+    assert(worst._1 >= 7 && worst._1 <= 9,
+      s"worst window ${worst._1} should cover the planted span: ${means.sortBy(_._1).toSeq}")
+    val bodyMean = means.filter(m => m._1 < 6).map(_._2).sum /
+      means.count(_._1 < 6)
+    assert(worst._2 < bodyMean - 1e6,
+      s"garbage span must score >= 1 nat/bigram below the body (worst ${worst._2} vs body $bodyMean)")
+  }
+
   test("knTrigramScores: P(.|w1w2) is a proper distribution over the vocabulary") {
     val train = Seq(
       (1L, "the cat sat on the mat"),
