@@ -4547,6 +4547,19 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("win_idx"))
     }),
 
+    // SPAN-quality SCRUB — the action the span scores exist for: drop
+    // non-overlapping 32-token windows whose per-bigram KN mean falls
+    // >1.5 nats below the DOC's own mean (per-doc relative cut — a
+    // uniformly-bad doc is left for the doc gate, not emptied here),
+    // and reassemble the survivors. The verdict is exact integer
+    // cross-multiplication, never a float divide.
+    "doc_kn_scrub" -> ((s, dir) => {
+      val d = docs(s, dir)
+      TextAnalysis.knSpanScrub(d, d.filter(col("lang") === "en"),
+          windowTokens = 32, marginMicro = 1500000L)
+        .orderBy(col("doc_id"))
+    }),
+
     // TRIGRAM interpolated Kneser-Ney — the full order-N recursion of
     // the KenLM family: raw counts at the top, continuation TYPE
     // counts at the middle level, the add-one-floored continuation
@@ -6862,6 +6875,71 @@ object SparkEntry {
          |       coalesce(kn_micro, 0) AS kn_micro
          |FROM wins w LEFT JOIN agg USING (doc_id, win_idx)
          |ORDER BY doc_id, win_idx""".stripMargin,
+
+    // The span machinery at stride = window = 32 plus the keep rule
+    // (exact BIGINT cross-multiplication) and the ordered-window
+    // reassembly; spans MATERIALIZED so the model CTEs evaluate once.
+    "doc_kn_scrub" ->
+      s"""WITH t AS (SELECT doc_id, lang, $ToksSql AS toks FROM documents),
+         |wins AS (SELECT doc_id, CAST(u.k AS INT) AS win_idx,
+         |                list_slice(toks, CAST(u.k * 32 + 1 AS INT),
+         |                           CAST(u.k * 32 + 32 AS INT)) AS wt
+         |         FROM t, unnest(range(0, (len(toks) - 1) // 32 + 1)) AS u(k)),
+         |occS AS (SELECT doc_id, win_idx, wt[i] || ' ' || wt[i+1] AS gram,
+         |                wt[i] AS w1, wt[i+1] AS w2,
+         |                CAST(count(*) AS BIGINT) AS cnt
+         |         FROM wins, unnest(range(1, len(wt))) AS u(i)
+         |         GROUP BY 1, 2, 3, 4, 5),
+         |occT AS (SELECT toks[i] || ' ' || toks[i+1] AS gram,
+         |                toks[i] AS w1, toks[i+1] AS w2
+         |         FROM t, unnest(range(1, len(toks))) AS u(i)
+         |         WHERE lang = 'en'),
+         |bi AS (SELECT gram, CAST(count(*) AS BIGINT) AS bc FROM occT GROUP BY 1),
+         |cxt AS (SELECT w1, CAST(count(*) AS BIGINT) AS cw1,
+         |               CAST(count(DISTINCT w2) AS BIGINT) AS nf
+         |        FROM occT GROUP BY 1),
+         |nbw AS (SELECT w2, CAST(count(DISTINCT w1) AS BIGINT) AS nb
+         |        FROM occT GROUP BY 1),
+         |consts AS (SELECT greatest(
+         |    (SELECT CAST(count(DISTINCT gram) AS BIGINT) FROM occT) +
+         |    (SELECT CAST(count(DISTINCT w) AS BIGINT)
+         |     FROM (SELECT unnest(toks) AS w FROM t WHERE lang = 'en')), 1) AS cont_den),
+         |sc AS (SELECT o.doc_id, o.win_idx, o.cnt,
+         |         CAST(floor(ln(
+         |           CASE WHEN cxt.cw1 IS NULL
+         |             THEN CAST(coalesce(nbw.nb, 0) + 1 AS DOUBLE) / CAST(consts.cont_den AS DOUBLE)
+         |             ELSE greatest(CAST(coalesce(bi.bc, 0) AS DOUBLE) - 0.75, 0.0) / CAST(cxt.cw1 AS DOUBLE)
+         |                  + ((0.75 * CAST(cxt.nf AS DOUBLE)) / CAST(cxt.cw1 AS DOUBLE))
+         |                    * (CAST(coalesce(nbw.nb, 0) + 1 AS DOUBLE) / CAST(consts.cont_den AS DOUBLE))
+         |           END) * 1e6) AS BIGINT) AS lp
+         |       FROM occS o LEFT JOIN bi USING (gram) LEFT JOIN cxt USING (w1)
+         |            LEFT JOIN nbw USING (w2) CROSS JOIN consts),
+         |agg AS (SELECT doc_id, win_idx, CAST(sum(cnt) AS BIGINT) AS n_bigrams,
+         |               CAST(sum(cnt * lp) AS BIGINT) AS kn_micro
+         |        FROM sc GROUP BY 1, 2),
+         |spans AS MATERIALIZED (
+         |  SELECT w.doc_id, w.win_idx, w.wt,
+         |         coalesce(n_bigrams, 0) AS n_bigrams,
+         |         coalesce(kn_micro, 0) AS kn_micro
+         |  FROM wins w LEFT JOIN agg USING (doc_id, win_idx)),
+         |tot AS (SELECT doc_id, CAST(sum(n_bigrams) AS BIGINT) AS sum_n,
+         |               CAST(sum(kn_micro) AS BIGINT) AS sum_kn
+         |        FROM spans GROUP BY 1),
+         |k AS (SELECT s.doc_id, s.win_idx, s.wt,
+         |             (s.n_bigrams = 0 OR
+         |              s.kn_micro * t2.sum_n >=
+         |                (t2.sum_kn - 1500000 * t2.sum_n) * s.n_bigrams) AS keep
+         |      FROM spans s JOIN tot t2 USING (doc_id)),
+         |o AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows,
+         |             CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |             array_to_string(
+         |               flatten(list(wt ORDER BY win_idx) FILTER (WHERE keep)),
+         |               ' ') AS text_scrubbed
+         |      FROM k GROUP BY 1)
+         |SELECT d.doc_id, coalesce(n_windows, 0) AS n_windows,
+         |       coalesce(n_kept, 0) AS n_kept,
+         |       coalesce(text_scrubbed, '') AS text_scrubbed
+         |FROM documents d LEFT JOIN o USING (doc_id) ORDER BY doc_id""".stripMargin,
 
     // RETRAINS the trigram KN model in SQL — six aggregates (raw
     // trigram counts + (w1w2) context totals, the three type-count

@@ -720,6 +720,81 @@ object TextAnalysis {
         coalesce(col("kn_micro"), lit(0L)).as("kn_micro"))
   }
 
+  /** Span-quality SCRUB — the action the span scores exist for: drop
+    * the low-scoring windows and reassemble the survivors (the CCNet
+    * move of keeping good paragraphs of mixed documents, here on
+    * NON-overlapping token windows so every token belongs to exactly
+    * one verdict). A window is dropped when its per-bigram mean KN
+    * score falls more than `marginMicro` micro-nats below the DOC's
+    * own per-bigram mean — a per-doc relative cut, so a uniformly-bad
+    * document is left intact for the doc-level gate rather than
+    * emptied here. The comparison is exact integer cross-
+    * multiplication (kn·ΣN ≥ (ΣKN − margin·ΣN)·n — all positive
+    * multipliers), never a float divide, so the verdict is
+    * bit-identical across engines and partitionings. Windows with no
+    * bigram (≤1 token) are kept. Output one row per input doc:
+    * (idCol, n_windows, n_kept, text_scrubbed).
+    *
+    * Long envelope: |ΣKN| ≲ 2e13 for a 1M-token doc at the −20-nat
+    * floor; the cross products stay under 9e18 for docs to ~30M
+    * tokens — beyond any pretraining document.
+    *
+    * 100 TB shape: [[knSpanScores]]'s plan plus one doc-keyed agg that
+    * carries the window token arrays for reassembly — the tokens
+    * shuffle once, keyed by doc, and the model sides stay broadcast. */
+  def knSpanScrub(
+      scoreDf: DataFrame,
+      trainDf: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      windowTokens: Int = 32,
+      marginMicro: Long = 1500000L,
+      discount: Double = 0.75,
+      broadcastModel: Boolean = true): DataFrame = {
+    require(windowTokens >= 2, s"windowTokens=$windowTokens out of range")
+    require(marginMicro >= 0, s"marginMicro=$marginMicro must be >= 0")
+    val wins = scoreDf.select(col(idCol), tokens(col(textCol)).as("toks"))
+      .select(col(idCol), posexplode(
+        transform(
+          sequence(lit(0),
+            floor((size(col("toks")) - lit(1)) / lit(windowTokens)).cast("int")),
+          k => slice(col("toks"), k * lit(windowTokens) + lit(1), lit(windowTokens))))
+        .as(Seq("win_idx", "wt")))
+    val occ = wins
+      .select(col(idCol), col("win_idx"), explode(rawNgrams(col("wt"), 2)).as("gram"))
+      .groupBy(col(idCol), col("win_idx"), col("gram")).agg(count(lit(1)).as("cnt"))
+      .withColumn("w1", substring_index(col("gram"), " ", 1))
+      .withColumn("w2", substring_index(col("gram"), " ", -1))
+    val scored = knScoreGrams(occ, knBigramModel(trainDf, textCol), discount, broadcastModel)
+      .groupBy(col(idCol), col("win_idx")).agg(
+        sum(col("cnt")).as("n_bigrams"),
+        sum(col("cnt") * col("lp_micro")).as("kn_micro"))
+    val spans = wins.join(scored, Seq(idCol, "win_idx"), "left")
+      .select(col(idCol), col("win_idx"), col("wt"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("kn_micro"), lit(0L)).as("kn_micro"))
+    val totals = spans.groupBy(col(idCol)).agg(
+      sum(col("n_bigrams")).as("sum_n"), sum(col("kn_micro")).as("sum_kn"))
+    val kept = spans.join(totals, Seq(idCol))
+      .withColumn("keep",
+        col("n_bigrams") === 0L ||
+          col("kn_micro") * col("sum_n") >=
+            (col("sum_kn") - lit(marginMicro) * col("sum_n")) * col("n_bigrams"))
+    val out = kept.groupBy(col(idCol)).agg(
+      count(lit(1)).as("n_windows"),
+      sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+      array_join(
+        flatten(array_sort(collect_list(
+          when(col("keep"), struct(col("win_idx"), col("wt")))))
+          .getField("wt")),
+        " ").as("text_scrubbed"))
+    scoreDf.select(col(idCol)).join(out, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("text_scrubbed"), lit("")).as("text_scrubbed"))
+  }
+
   /** Interpolated Kneser–Ney TRIGRAM scoring — the full order-N
     * recursion of the KenLM family (Chen & Goodman '98 §4.1.6: highest
     * order uses raw counts, every lower order uses CONTINUATION TYPE

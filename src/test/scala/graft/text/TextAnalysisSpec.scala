@@ -586,6 +586,42 @@ class TextAnalysisSpec extends AnyFunSuite {
       s"garbage span must score >= 1 nat/bigram below the body (worst ${worst._2} vs body $bodyMean)")
   }
 
+  test("knSpanScrub: clean doc survives intact (round-trips its own tokens)") {
+    val body = Seq.fill(10)("the cat sat on the mat").mkString(" ")
+    val train = Seq((1L, body)).toDF("doc_id", "text")
+    val doc = Seq((10L, body)).toDF("doc_id", "text")
+    val out = TextAnalysis.knSpanScrub(doc, train, windowTokens = 32)
+      .as[(Long, Long, Long, String)].collect()
+    assert(out.length == 1)
+    val (_, nWin, nKept, text) = out.head
+    assert(nWin == nKept, s"clean doc must keep all windows ($nKept/$nWin)")
+    assert(text == body, "reassembly must round-trip the token stream")
+  }
+
+  test("knSpanScrub: planted garbage window is excised, body reassembles around it") {
+    val sent = "the cat sat on the mat you see"          // 8 tokens
+    val body = Seq.fill(8)(sent).mkString(" ")            // 64 tokens = 2 windows
+    val garbage = Seq.fill(8)("zxqv wjfk qpzm grbl").mkString(" ") // 32 tokens = 1 window
+    val train = Seq((1L, Seq.fill(40)(sent).mkString(" "))).toDF("doc_id", "text")
+    val doc = Seq((10L, body + " " + garbage + " " + body)).toDF("doc_id", "text")
+    val out = TextAnalysis.knSpanScrub(doc, train, windowTokens = 32)
+      .as[(Long, Long, Long, String)].collect().head
+    assert(out._2 == 5, s"160 tokens -> 5 windows, got ${out._2}")
+    assert(out._3 == 4, s"exactly the garbage window drops, got ${out._3} kept")
+    assert(out._4 == body + " " + body, "survivors must reassemble in order")
+  }
+
+  test("knSpanScrub: uniformly-bad doc is left intact (per-doc relative cut)") {
+    val train = Seq((1L, Seq.fill(40)("the cat sat on the mat").mkString(" ")))
+      .toDF("doc_id", "text")
+    val junk = Seq.fill(24)("zxqv wjfk qpzm grbl").mkString(" ")
+    val doc = Seq((10L, junk)).toDF("doc_id", "text")
+    val out = TextAnalysis.knSpanScrub(doc, train, windowTokens = 32)
+      .as[(Long, Long, Long, String)].collect().head
+    assert(out._2 == out._3, "uniform junk: no window is relatively bad, all kept")
+    assert(out._4 == junk)
+  }
+
   test("knTrigramScores: P(.|w1w2) is a proper distribution over the vocabulary") {
     val train = Seq(
       (1L, "the cat sat on the mat"),
