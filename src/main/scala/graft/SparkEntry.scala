@@ -4242,6 +4242,31 @@ object SparkEntry {
 
     // Q10 shape: pre-aggregate the fact twice, TakeOrdered to k rows,
     // THEN join the dimension (k-row side broadcasts for free).
+    // Fuzzy entity resolution (PassJoin segment principle): resolve a
+    // deterministically-perturbed probe set (every 97th customer, one
+    // digit substituted) against the full registry at edit distance 1.
+    // Blocking = (segment index, half) equi-join with the probe side
+    // broadcast — provably complete for equal-length k=1 — and the
+    // ORACLE brute-forces probe × registry, so the hash match IS the
+    // completeness proof of the blocked plan.
+    "cust_fuzzy_lookup" -> ((s, dir) => {
+      val cust = tbl(s, dir, "customer")
+      val probes = cust.filter(col("c_custkey") % 97 === 0)
+        .withColumn("cpos", (col("c_custkey") % 9 + 10).cast("int"))
+        .withColumn("old_d", col("c_name").substr(col("cpos"), lit(1)).cast("int"))
+        .withColumn("new_d",
+          (col("old_d") + lit(1) + col("c_custkey") % 9) % 10)
+        .select(col("c_custkey").as("probe_id"),
+          concat(
+            col("c_name").substr(lit(1), col("cpos") - 1),
+            col("new_d").cast("string"),
+            col("c_name").substr(col("cpos") + 1, lit(64))).as("probe_name"))
+      graft.ops.FuzzyJoin.fuzzyLookup(
+          cust.select(col("c_custkey"), col("c_name")), probes,
+          "c_custkey", "c_name", "probe_id", "probe_name", maxDist = 1)
+        .orderBy(col("probe_id"), col("c_custkey"))
+    }),
+
     "tpch_top_customers" -> ((s, dir) =>
       graft.ops.Relational.topCustomersByRevenue(
         tbl(s, dir, "lineitem"), tbl(s, dir, "orders"),
@@ -6372,6 +6397,25 @@ object SparkEntry {
         |JOIN region   ON n_regionkey = r_regionkey
         |WHERE r_name = 'ASIA' AND EXTRACT(year FROM o_orderdate) = 1997
         |GROUP BY 1 ORDER BY revenue_cents DESC, nation""".stripMargin,
+
+    // BRUTE-FORCE all-pairs probe x registry — deliberately NOT the
+    // blocked plan, so the hash match proves the segment blocking
+    // misses no within-threshold pair on this corpus.
+    "cust_fuzzy_lookup" ->
+      """WITH probes AS (
+        |  SELECT c_custkey AS probe_id,
+        |         substr(c_name, 1, cpos - 1) || CAST(new_d AS VARCHAR)
+        |           || substr(c_name, cpos + 1) AS probe_name
+        |  FROM (SELECT c_custkey, c_name,
+        |               CAST(c_custkey % 9 + 10 AS INT) AS cpos,
+        |               (CAST(substr(c_name, CAST(c_custkey % 9 + 10 AS INT), 1) AS BIGINT)
+        |                  + 1 + c_custkey % 9) % 10 AS new_d
+        |        FROM customer WHERE c_custkey % 97 = 0))
+        |SELECT p.probe_id, c.c_custkey,
+        |       CAST(levenshtein(p.probe_name, c.c_name) AS INTEGER) AS dist
+        |FROM probes p CROSS JOIN customer c
+        |WHERE levenshtein(p.probe_name, c.c_name) <= 1
+        |ORDER BY probe_id, c_custkey""".stripMargin,
 
     "tpch_top_customers" ->
       """WITH rev AS (
