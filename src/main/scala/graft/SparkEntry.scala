@@ -183,6 +183,64 @@ object SparkEntry {
   private val NormSql = "lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))"
   private val ToksSql = s"string_split($NormSql, ' ')"
 
+  /** Oracle CTE chain replaying [[graft.text.LogReg]]'s full-batch GD:
+    * the data-derived top-`vocabK` vocabulary, the (bias + relative
+    * frequency) feature table, then `iters` unrolled weight layers —
+    * each one gradient aggregate (per-row contributions floored to
+    * micro-Longs BEFORE the sum, so the reduction is exact integer
+    * arithmetic) and one truncating-division update (DuckDB `//` and
+    * Scala Long `/` both round toward zero). z accumulates strictly
+    * left-to-right in ascending feature order on both engines; the
+    * rational sigmoid is pure +,×,/,abs — no libm variance. Layers
+    * and the feature table are MATERIALIZED (multi-referenced CTE
+    * discipline). Ends with `w<iters>` in scope. */
+  private def lrOracleCtes(
+      iters: Int, vocabK: Int, labelLang: String,
+      lrNum: Long, lrDen: Long): String = {
+    val dim = vocabK + 1
+    val xs = (0 until dim).map(j => f"x$j%02d")
+    val ws = (0 until dim).map(j => f"w$j%02d")
+    val gs = (0 until dim).map(j => f"g$j%02d")
+    val featExprs = (1 to vocabK).map { j =>
+      s"(10.0 * CAST(coalesce(sum(CASE WHEN c.fidx = $j THEN c.cnt END), 0) AS DOUBLE))" +
+        s" / CAST(max(len(t.toks)) AS DOUBLE) AS ${xs(j)}"
+    }.mkString(",\n|     ")
+    val zSum = (0 until dim).map(j => s"(${ws(j)} / 1000000.0) * ${xs(j)}").mkString(" + ")
+    val sb = new StringBuilder
+    sb ++= s"""t AS (SELECT doc_id, lang, $ToksSql AS toks FROM documents),
+       |vc AS (SELECT tok, CAST(count(*) AS BIGINT) AS c
+       |       FROM t, unnest(toks) AS u(tok) GROUP BY 1),
+       |vocab AS MATERIALIZED (
+       |  SELECT tok, CAST(row_number() OVER (ORDER BY c DESC, tok) AS INT) AS fidx
+       |  FROM vc ORDER BY c DESC, tok LIMIT $vocabK),
+       |cnts AS (SELECT dt.doc_id, v.fidx, CAST(count(*) AS BIGINT) AS cnt
+       |         FROM (SELECT doc_id, unnest(toks) AS tok FROM t) dt
+       |         JOIN vocab v USING (tok) GROUP BY 1, 2),
+       |f AS MATERIALIZED (
+       |  SELECT t.doc_id,
+       |     CASE WHEN max(t.lang) = '$labelLang' THEN 1.0 ELSE 0.0 END AS y,
+       |     1.0 AS x00,
+       |     $featExprs
+       |  FROM t LEFT JOIN cnts c USING (doc_id) GROUP BY t.doc_id),
+       |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM f),
+       |w0 AS MATERIALIZED (SELECT ${ws.map(w => s"CAST(0 AS BIGINT) AS $w").mkString(", ")}),
+       |""".stripMargin
+    for (k <- 1 to iters) {
+      val gCols = (0 until dim).map { j =>
+        s"CAST(sum(CAST(floor(1000000.0 * ((y - p) * ${xs(j)})) AS BIGINT)) AS BIGINT) AS ${gs(j)}"
+      }.mkString(", ")
+      val wCols = (0 until dim).map { j =>
+        s"${ws(j)} + ($lrNum * ${gs(j)}) // ($lrDen * n) AS ${ws(j)}"
+      }.mkString(", ")
+      sb ++= s"g$k AS (SELECT $gCols\n"
+      sb ++= s"  FROM (SELECT q.*, 0.5 + (0.5 * (z / (1.0 + abs(z)))) AS p\n"
+      sb ++= s"        FROM (SELECT f.*, $zSum AS z FROM f CROSS JOIN w${k - 1}) q) r),\n"
+      sb ++= s"w$k AS MATERIALIZED (SELECT $wCols FROM w${k - 1} CROSS JOIN g$k CROSS JOIN nn)"
+      sb ++= (if (k < iters) ",\n" else "\n")
+    }
+    sb.toString
+  }
+
   /** Z-order layout-stats oracle: replays ZOrder.layoutStats — the
     * same range-bucket arithmetic, the same unrolled Morton
     * bit-interleave (generated by the same code), the same
@@ -4614,6 +4672,42 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // In-engine logistic-regression TRAINING (the fastText/DCLM
+    // quality-classifier move) as deterministic full-batch GD: rational
+    // sigmoid (no libm variance), per-row gradients floored to micro
+    // Longs BEFORE the reduction (exact integer sum, any partitioning),
+    // truncating-division weight updates. 24 rounds, each ONE narrow
+    // scan + one (dim+1)-column partial agg; weights re-enter as plan
+    // literals. Model persisted behind the fingerprint sidecar. The
+    // lang label is near-noise on this corpus (recorded honestly — the
+    // NB query makes the same modest claim); the spec proves zero
+    // training error on a separable corpus.
+    "corpus_lr_train" -> ((s, dir) => {
+      val artDir =
+        s"${System.getProperty("java.io.tmpdir")}/graft_logreg_${dirKey(dir)}"
+      graft.text.LogReg.ensureModelArtifact(s, docs(s, dir), artDir,
+        labelLang = "en", vocabK = 16, iters = 24)
+      graft.text.LogReg.modelFromArtifact(s, artDir)
+    }),
+
+    // Scoring under the trained LR model (via the shared artifact):
+    // per-doc rational-sigmoid score, prediction, label, verdict — the
+    // measured-accuracy record lives under the hash gate.
+    "doc_lr_score" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val artDir =
+        s"${System.getProperty("java.io.tmpdir")}/graft_logreg_${dirKey(dir)}"
+      graft.text.LogReg.ensureModelArtifact(s, d, artDir,
+        labelLang = "en", vocabK = 16, iters = 24)
+      val (vocab, w) = graft.text.LogReg.loadModel(s, artDir)
+      val feats = graft.text.LogReg.features(d, vocab, col("lang") === "en")
+      graft.text.LogReg.scores(feats, w)
+        .select(col("doc_id"), col("score_micro"),
+          col("pred"), (col("y") === 1.0).as("label"),
+          (col("pred") === (col("y") === 1.0)).as("correct"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Epoch-upsampling mixture: 50/30/20 over three sources within 4
     // epochs — src0 runs 4 full epochs, src1 lands between 2 and 3
     // (deterministic md5-deviate fraction gets the 3rd), src2 between
@@ -7054,6 +7148,31 @@ object SparkEntry {
     // the same add-one-smoothed ln-quantized NB log-odds weights, and
     // the same per-doc score sums — weight table and verdicts must both
     // reproduce from the data for the hash to match.
+    // REPLAYS the whole GD run in SQL: data-derived vocab, feature
+    // table, 24 unrolled weight layers (integer gradient sums,
+    // truncating-division updates), then unpivots the final weights.
+    "corpus_lr_train" -> {
+      val wsel = (1 to 16).map { j =>
+        f"SELECT fidx AS feat_idx, tok AS token, w$j%02d AS weight_micro FROM vocab, w24 WHERE fidx = $j"
+      }.mkString("\n|UNION ALL ")
+      s"""WITH ${lrOracleCtes(24, 16, "en", 2L, 1L)}
+         |SELECT CAST(0 AS INT) AS feat_idx, '<bias>' AS token, w00 AS weight_micro FROM w24
+         |UNION ALL $wsel
+         |ORDER BY feat_idx""".stripMargin
+    },
+
+    // The same chain, final layer applied back over the feature table.
+    "doc_lr_score" -> {
+      val zSum = (0 until 17).map(j => f"(w$j%02d / 1000000.0) * x$j%02d").mkString(" + ")
+      s"""WITH ${lrOracleCtes(24, 16, "en", 2L, 1L)}
+         |SELECT doc_id,
+         |       CAST(floor(1000000.0 * (0.5 + (0.5 * (z / (1.0 + abs(z)))))) AS BIGINT) AS score_micro,
+         |       (z > 0.0) AS pred, (y = 1.0) AS label,
+         |       ((z > 0.0) = (y = 1.0)) AS correct
+         |FROM (SELECT f.doc_id, f.y, $zSum AS z FROM f CROSS JOIN w24) q
+         |ORDER BY doc_id""".stripMargin
+    },
+
     "doc_classifier_score" ->
       s"""WITH t AS (SELECT doc_id, lang, $ToksSql AS toks FROM documents),
          |occ AS (SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
