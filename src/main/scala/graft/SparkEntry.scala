@@ -4325,6 +4325,17 @@ object SparkEntry {
         .orderBy(col("probe_id"), col("c_custkey"))
     }),
 
+    // Fuzzy SELF-dedup of a registry slice (every 7th customer): all
+    // unordered name pairs within edit distance 1 via segment-blocked
+    // self-join; brute-force oracle again proves blocking completeness.
+    "cust_fuzzy_pairs" -> ((s, dir) => {
+      val slice = tbl(s, dir, "customer")
+        .filter(col("c_custkey") % 7 === 0)
+        .select(col("c_custkey"), col("c_name"))
+      graft.ops.FuzzyJoin.fuzzySelfPairs(slice, "c_custkey", "c_name", maxDist = 1)
+        .orderBy(col("id1"), col("id2"))
+    }),
+
     "tpch_top_customers" -> ((s, dir) =>
       graft.ops.Relational.topCustomersByRevenue(
         tbl(s, dir, "lineitem"), tbl(s, dir, "orders"),
@@ -6510,6 +6521,14 @@ object SparkEntry {
         |FROM probes p CROSS JOIN customer c
         |WHERE levenshtein(p.probe_name, c.c_name) <= 1
         |ORDER BY probe_id, c_custkey""".stripMargin,
+
+    "cust_fuzzy_pairs" ->
+      """WITH slice AS (SELECT c_custkey, c_name FROM customer WHERE c_custkey % 7 = 0)
+        |SELECT a.c_custkey AS id1, b.c_custkey AS id2,
+        |       CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS dist
+        |FROM slice a CROSS JOIN slice b
+        |WHERE a.c_custkey < b.c_custkey AND levenshtein(a.c_name, b.c_name) <= 1
+        |ORDER BY id1, id2""".stripMargin,
 
     "tpch_top_customers" ->
       """WITH rev AS (

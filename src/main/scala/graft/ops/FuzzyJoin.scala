@@ -77,4 +77,36 @@ object FuzzyJoin {
       .filter(col("dist") <= lit(maxDist))
       .select(col(probeIdCol), col(registryIdCol), col("dist"))
   }
+
+  /** Registry SELF-dedup: all unordered pairs (id1 < id2) within
+    * `maxDist` edits, via the same segment blocking as a shuffle
+    * equi-join on (seg_idx, seg) — the fuzzy-duplicate-pair operator
+    * for a dirty registry (same completeness tier as [[fuzzyLookup]]:
+    * provable for equal-length k=1). Output: (id1, id2, dist INT).
+    *
+    * 100 TB shape: a hash-partitioned self-equi-join on the segment
+    * key — candidate volume is Σ_seg |bucket|², the classic blocking
+    * trade; hot segments (shared halves) are the skew knob, and the
+    * id1 < id2 cut halves the candidate set before the distance
+    * filter. Never an all-pairs product. */
+  def fuzzySelfPairs(
+      df: DataFrame,
+      idCol: String,
+      nameCol: String,
+      maxDist: Int): DataFrame = {
+    require(maxDist >= 1, s"maxDist must be >= 1, got $maxDist")
+    val k1 = maxDist + 1
+    val segs = segmented(df.select(col(idCol), col(nameCol)), nameCol, k1)
+    val left = segs.select(col("seg_idx"), col("seg"),
+      col(idCol).as("id1"), col(nameCol).as("n1"))
+    val right = segs.select(col("seg_idx"), col("seg"),
+      col(idCol).as("id2"), col(nameCol).as("n2"))
+    left.join(right, Seq("seg_idx", "seg"))
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"), col("n1"), col("n2"))
+      .distinct()
+      .withColumn("dist", levenshtein(col("n1"), col("n2")))
+      .filter(col("dist") <= lit(maxDist))
+      .select(col("id1"), col("id2"), col("dist"))
+  }
 }

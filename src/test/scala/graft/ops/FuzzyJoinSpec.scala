@@ -63,6 +63,19 @@ class FuzzyJoinSpec extends AnyFunSuite {
     assert(got.isEmpty)
   }
 
+  test("fuzzySelfPairs k=1 equal-length: blocked result equals brute force (randomized)") {
+    val rnd = new Random(7)
+    val names = (0 until 250).map(i => (i.toLong, f"SN${rnd.nextInt(3000)}%04d"))
+    val got = FuzzyJoin.fuzzySelfPairs(names.toDF("id", "name"), "id", "name", maxDist = 1)
+      .as[(Long, Long, Int)].collect().toSet
+    val want = (for {
+      (i1, n1) <- names; (i2, n2) <- names if i1 < i2
+      d = ed(n1, n2) if d <= 1
+    } yield (i1, i2, d)).toSet
+    assert(got == want, s"blocked=${got.size} brute=${want.size}")
+    assert(want.nonEmpty, "fixture must actually exercise near-pairs")
+  }
+
   test("fuzzyLookup k=2 finds substitution-pair neighbors (heuristic tier)") {
     val reg = Seq((1L, "ABCDEFGHI"), (2L, "XBCDEFGHX"), (3L, "XXXXEFGHI")).toDF("rid", "rname")
     val prb = Seq((10L, "ABCDEFGHI")).toDF("pid", "pname")
