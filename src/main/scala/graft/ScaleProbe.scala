@@ -697,6 +697,44 @@ object ScaleProbe {
       time(s"tpch star join ${factor}x")(noop(rev))
     }
 
+    // KN span scrub at scale: the spans plan + one doc-keyed reassembly
+    // agg over content-varied replicas — must stay linear in docs
+    {
+      val docsVaried = replicateVaried(factor)
+      val train = docsVaried.filter(col("doc_id") % 5 === 0)
+      time(s"KN span scrub (varied) ${factor}x")(noop(
+        graft.text.TextAnalysis.knSpanScrub(docsVaried, train, windowTokens = 32)))
+    }
+
+    // fuzzy self-pairs at scale: registry names REBUILT from the
+    // shifted keys (replica names distinct — id-only replication would
+    // make every replica set an ed-0 clique and the output quadratic);
+    // the id space is sparse per replica so near-pair volume stays
+    // linear. This is ALSO the fixture that killed the first (PassJoin
+    // segment) blocking: the constant 'Customer#' half put all rows in
+    // one bucket and the join went quadratic — deletion-neighborhood
+    // signatures carry the digits' entropy, so the probe must be flat
+    {
+      val cust = spark.read.parquet(s"$sfDir/customer.parquet").select("c_custkey")
+      val reg = replicate(cust, "c_custkey", factor)
+        .select(col("c_custkey"),
+          format_string("Customer#%09d", col("c_custkey")).as("c_name"))
+      time(s"fuzzy self-pairs ${factor}x")(noop(
+        graft.ops.FuzzyJoin.fuzzySelfPairs(reg, "c_custkey", "c_name", maxDist = 1)))
+    }
+
+    // LR training at scale: 5 GD rounds, each ONE narrow scan + one
+    // 17-column partial agg over the cached feature table — round cost
+    // must track corpus size linearly, weights stay driver-side
+    {
+      val d = replicateVaried(factor).withColumn("lang",
+        when(col("doc_id") % 3 === 0, lit("en")).otherwise(lit("xx")))
+      val vocab = graft.text.LogReg.topVocab(d, 16)
+      val feats = graft.text.LogReg.features(d, vocab, col("lang") === "en")
+      time(s"LR train 5 rounds ${factor}x")(
+        graft.text.LogReg.trainLogistic(feats, vocab.length + 1, iters = 5))
+    }
+
     spark.stop()
   }
 }

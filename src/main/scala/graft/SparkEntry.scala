@@ -2477,6 +2477,37 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Streaming classifier scoring — the quality-gate leg of the crawl
+    // loop: micro-batches score statelessly under the SHARED persisted
+    // LR model (same artifact as corpus_lr_train); batch-keyed
+    // overwrite sink, zero executor state, replay-deterministic.
+    "stream_lr_score" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val artDir =
+        s"${System.getProperty("java.io.tmpdir")}/graft_logreg_${dirKey(dir)}"
+      graft.text.LogReg.ensureModelArtifact(s, d, artDir,
+        labelLang = "en", vocabK = 16, iters = 24)
+      val (vocab, w) = graft.text.LogReg.loadModel(s, artDir)
+      val scratch = freshScratchDir(dir, "streamlr")
+      val inDir = s"$scratch/in"
+      d.filter(col("doc_id") % 2 === 0).coalesce(1)
+        .write.mode("overwrite").parquet(inDir)
+      d.filter(col("doc_id") % 2 === 1).coalesce(1)
+        .write.mode("append").parquet(inDir)
+      val stream = s.readStream.schema(d.schema)
+        .option("maxFilesPerTrigger", 1).parquet(inDir)
+      val q = graft.streaming.StreamingIngest.streamingClassifierScores(
+        stream, vocab, w, s"$scratch/sink", s"$scratch/chk")
+      q.awaitTermination()
+      SparkEntry.streamStateRows.put("stream_lr_score",
+        q.recentProgress.iterator
+          .map(p => p.stateOperators.map(_.numRowsTotal).sum)
+          .foldLeft(0L)(math.max))
+      s.read.option("recursiveFileLookup", "true").parquet(s"$scratch/sink")
+        .select(col("doc_id"), col("score_micro"), col("pred"))
+        .orderBy(col("doc_id"))
+    }),
+
     // CHARACTER COVERAGE (SentencePiece --character_coverage, here an
     // integer permyriad): train at 98% character mass — the rare tail
     // of the corpus alphabet is excluded from the seed and KEPT out
@@ -4699,6 +4730,24 @@ object SparkEntry {
       graft.text.LogReg.ensureModelArtifact(s, docs(s, dir), artDir,
         labelLang = "en", vocabK = 16, iters = 24)
       graft.text.LogReg.modelFromArtifact(s, artDir)
+    }),
+
+    // Classifier-guided data SELECTION (the DCLM/fastText move: train
+    // a quality classifier, keep the top slice by score): top-100 docs
+    // by LR score with deterministic (score DESC, id) tie-break — a
+    // TakeOrdered cut, never a global sort.
+    "corpus_lr_select" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val artDir =
+        s"${System.getProperty("java.io.tmpdir")}/graft_logreg_${dirKey(dir)}"
+      graft.text.LogReg.ensureModelArtifact(s, d, artDir,
+        labelLang = "en", vocabK = 16, iters = 24)
+      val (vocab, w) = graft.text.LogReg.loadModel(s, artDir)
+      val feats = graft.text.LogReg.features(d, vocab, col("lang") === "en")
+      graft.text.LogReg.scores(feats, w)
+        .select(col("doc_id"), col("score_micro"))
+        .orderBy(col("score_micro").desc, col("doc_id").asc)
+        .limit(100)
     }),
 
     // Scoring under the trained LR model (via the shared artifact):
@@ -7178,6 +7227,30 @@ object SparkEntry {
          |SELECT CAST(0 AS INT) AS feat_idx, '<bias>' AS token, w00 AS weight_micro FROM w24
          |UNION ALL $wsel
          |ORDER BY feat_idx""".stripMargin
+    },
+
+    // The same chain, scored and cut to the top-100 with the (score
+    // DESC, id) tie-break.
+    "corpus_lr_select" -> {
+      val zSum = (0 until 17).map(j => f"(w$j%02d / 1000000.0) * x$j%02d").mkString(" + ")
+      s"""WITH ${lrOracleCtes(24, 16, "en", 2L, 1L)}
+         |SELECT doc_id,
+         |       CAST(floor(1000000.0 * (0.5 + (0.5 * (z / (1.0 + abs(z)))))) AS BIGINT) AS score_micro
+         |FROM (SELECT f.doc_id, $zSum AS z FROM f CROSS JOIN w24) q
+         |ORDER BY score_micro DESC, doc_id LIMIT 100""".stripMargin
+    },
+
+    // The streamed union of batch sinks covers every doc exactly once
+    // (scoring is stateless per batch), so the oracle is the same
+    // chain scored over the whole corpus.
+    "stream_lr_score" -> {
+      val zSum = (0 until 17).map(j => f"(w$j%02d / 1000000.0) * x$j%02d").mkString(" + ")
+      s"""WITH ${lrOracleCtes(24, 16, "en", 2L, 1L)}
+         |SELECT doc_id,
+         |       CAST(floor(1000000.0 * (0.5 + (0.5 * (z / (1.0 + abs(z)))))) AS BIGINT) AS score_micro,
+         |       (z > 0.0) AS pred
+         |FROM (SELECT f.doc_id, $zSum AS z FROM f CROSS JOIN w24) q
+         |ORDER BY doc_id""".stripMargin
     },
 
     // The same chain, final layer applied back over the feature table.

@@ -3,57 +3,72 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-/** Fuzzy (edit-distance) entity resolution with partition-signature
-  * blocking — the PassJoin/Ed-Join family's segment principle (Li,
-  * Deng, Feng: PassJoin, PVLDB'11; public algorithm): if
-  * ed(s, t) ≤ k and s is split into k+1 contiguous segments, the k
-  * edits cannot touch every segment, so at least one segment of s
-  * appears unchanged in t. For EQUAL-LENGTH strings and k = 1 the
-  * single edit is necessarily a substitution, the untouched half is
-  * positionally identical, and blocking on (segment index, segment
-  * text) is provably COMPLETE — no candidate within the threshold is
-  * missed. For k ≥ 2 or unequal lengths the positional equi-join is a
-  * (standard, documented) high-recall heuristic: shifted spans from
-  * insert+delete combinations can escape the positional key.
+/** Fuzzy (edit-distance) entity resolution with DELETION-NEIGHBORHOOD
+  * blocking — the FastSS / SymSpell family (Bocek, Hunt, Stiller:
+  * "Fast Similarity Search in Large Dictionaries", U. Zurich TR
+  * ifi-2007.02; public algorithm): a string's signature set is itself
+  * plus every variant with `maxDist` characters deleted. Two strings
+  * within edit distance k ALWAYS share a signature — a substitution
+  * at position i gives del_i(s) = del_i(t); an insertion into s of t
+  * gives del_j(s) = t ∈ sig(t); equality shares the string itself —
+  * so blocking on the signature is provably COMPLETE for ed ≤ k, any
+  * lengths. (The earlier segment/PassJoin formulation is complete
+  * too, but its k+1-way split sends ALL rows of a shared-prefix
+  * registry — serial numbers, `Customer#…` keys — into ONE bucket
+  * and the join goes quadratic; deletion variants carry every
+  * position's entropy, so a constant prefix never forms a hot key.)
   *
-  * The declared query's oracle BRUTE-FORCES probe × registry in
+  * The declared queries' oracles BRUTE-FORCE the pair space in
   * DuckDB, so the hash gate doubles as a completeness proof of the
-  * blocking on the test corpus — the blocked plan must produce
-  * exactly the all-pairs answer.
+  * blocking on the test corpus.
   *
-  * 100 TB shape: the registry side (the big side) takes one narrow
-  * map ×(k+1 segment rows); the probe side (dirty records to resolve)
-  * broadcasts; candidates are a broadcast hash equi-join on
-  * (seg_idx, seg) followed by a bounded distinct — never an all-pairs
-  * product, and the final `levenshtein` filter is a codegen'd Spark
-  * built-in over candidates only.
-  */
+  * 100 TB shape: the signature explode is a narrow map ×(L+1) rows
+  * for k=1 (×O(L²/2) for k=2) — the FastSS trade, sized for SHORT
+  * keys (ids, serials, titles; `maxLen` guards the contract);
+  * candidates are a hash-partitioned equi-join on the signature with
+  * the small (probe) side broadcast, deduped before the exact
+  * `levenshtein` filter (a codegen'd Spark built-in) — never an
+  * all-pairs product, and bucket volume follows signature
+  * frequencies, not prefix skew. */
 object FuzzyJoin {
 
-  /** (seg_idx, seg) rows for each input row: `segments` contiguous
-    * chunks with boundaries floor(i·len/segments) — the same formula
-    * both engines can replay. Rows shorter than `segments` chars are
-    * dropped (they would emit empty segments that match every other
-    * empty segment; within-threshold matches for such stubs are out
-    * of this operator's contract). */
-  private def segmented(df: DataFrame, nameCol: String, segments: Int): DataFrame = {
-    val n = length(col(nameCol))
-    val segs = (0 until segments).map { i =>
-      val start = floor(n * lit(i) / lit(segments)).cast("int") + lit(1)
-      val end = floor(n * lit(i + 1) / lit(segments)).cast("int")
-      struct(lit(i).as("seg_idx"),
-        col(nameCol).substr(start, end - start + lit(1)).as("seg"))
-    }
-    df.filter(n >= lit(segments))
-      .select(col("*"), explode(array(segs: _*)).as("s"))
-      .select(col("*"), col("s.seg_idx").as("seg_idx"), col("s.seg").as("seg"))
-      .drop("s")
+  /** All distinct strings obtained from `s` by deleting at most
+    * `dels` characters (including `s` itself), as a column expression:
+    * dels=1 → [s, del_0(s), …, del_{L-1}(s)]. Implemented with
+    * array-of-positions transforms so it stays codegen. */
+  private def delVariants(name: Column, dels: Int): Column = {
+    require(dels == 1 || dels == 2, s"maxDist must be 1 or 2, got $dels")
+    val del1 = transform(
+      sequence(lit(1), length(name)),
+      i => concat(name.substr(lit(1), i - lit(1)), name.substr(i + lit(1), length(name))))
+    val sigs1 = array_union(array(name), del1)
+    if (dels == 1) sigs1
+    else array_distinct(flatten(transform(sigs1, v =>
+      array_union(array(v), transform(
+        sequence(lit(1), length(v)),
+        i => concat(v.substr(lit(1), i - lit(1)), v.substr(i + lit(1), length(v))))))))
+  }
+
+  /** (sig, …) rows: each input row exploded to its deletion
+    * signatures. Rows longer than `maxLen` chars are rejected — the
+    * signature volume is the FastSS trade and this operator's
+    * contract is short keys. */
+  private def signatures(
+      df: DataFrame, nameCol: String, dels: Int, maxLen: Int): DataFrame = {
+    // the guard lives INSIDE the signature expression (a pruned side
+    // column would never evaluate); nulls normalize to "" first
+    val safe = coalesce(col(nameCol), lit(""))
+    val guarded = coalesce(when(length(safe) <= maxLen, safe),
+      raise_error(concat(
+        lit(s"fuzzy blocking contract: name longer than $maxLen chars: "),
+        safe)).cast("string"))
+    df.select(col("*"), explode(delVariants(guarded, dels)).as("sig"))
   }
 
   /** Resolve each dirty `probes` record against the big `registry`:
     * all registry rows within `maxDist` edits of a probe, found via
-    * segment blocking + exact levenshtein. Output: (probeIdCol,
-    * registryIdCol, dist INT), one row per qualifying pair. */
+    * deletion-neighborhood blocking + exact levenshtein. Output:
+    * (probeIdCol, registryIdCol, dist INT). */
   def fuzzyLookup(
       registry: DataFrame,
       probes: DataFrame,
@@ -61,14 +76,15 @@ object FuzzyJoin {
       registryNameCol: String,
       probeIdCol: String,
       probeNameCol: String,
-      maxDist: Int): DataFrame = {
-    require(maxDist >= 1, s"maxDist must be >= 1, got $maxDist")
-    val k1 = maxDist + 1
-    val reg = segmented(
-      registry.select(col(registryIdCol), col(registryNameCol)), registryNameCol, k1)
-    val prb = segmented(
-      probes.select(col(probeIdCol), col(probeNameCol)), probeNameCol, k1)
-    val cand = reg.join(broadcast(prb), Seq("seg_idx", "seg"))
+      maxDist: Int,
+      maxLen: Int = 64): DataFrame = {
+    val reg = signatures(
+      registry.select(col(registryIdCol), col(registryNameCol)),
+      registryNameCol, maxDist, maxLen)
+    val prb = signatures(
+      probes.select(col(probeIdCol), col(probeNameCol)),
+      probeNameCol, maxDist, maxLen)
+    val cand = reg.join(broadcast(prb), Seq("sig"))
       .select(col(probeIdCol), col(registryIdCol),
         col(probeNameCol), col(registryNameCol))
       .distinct()
@@ -79,29 +95,20 @@ object FuzzyJoin {
   }
 
   /** Registry SELF-dedup: all unordered pairs (id1 < id2) within
-    * `maxDist` edits, via the same segment blocking as a shuffle
-    * equi-join on (seg_idx, seg) — the fuzzy-duplicate-pair operator
-    * for a dirty registry (same completeness tier as [[fuzzyLookup]]:
-    * provable for equal-length k=1). Output: (id1, id2, dist INT).
-    *
-    * 100 TB shape: a hash-partitioned self-equi-join on the segment
-    * key — candidate volume is Σ_seg |bucket|², the classic blocking
-    * trade; hot segments (shared halves) are the skew knob, and the
-    * id1 < id2 cut halves the candidate set before the distance
-    * filter. Never an all-pairs product. */
+    * `maxDist` edits via the same signature blocking as a
+    * hash-partitioned self-equi-join — the fuzzy-duplicate-pair
+    * operator for a dirty registry, complete for ed ≤ maxDist.
+    * Output: (id1, id2, dist INT). */
   def fuzzySelfPairs(
       df: DataFrame,
       idCol: String,
       nameCol: String,
-      maxDist: Int): DataFrame = {
-    require(maxDist >= 1, s"maxDist must be >= 1, got $maxDist")
-    val k1 = maxDist + 1
-    val segs = segmented(df.select(col(idCol), col(nameCol)), nameCol, k1)
-    val left = segs.select(col("seg_idx"), col("seg"),
-      col(idCol).as("id1"), col(nameCol).as("n1"))
-    val right = segs.select(col("seg_idx"), col("seg"),
-      col(idCol).as("id2"), col(nameCol).as("n2"))
-    left.join(right, Seq("seg_idx", "seg"))
+      maxDist: Int,
+      maxLen: Int = 64): DataFrame = {
+    val segs = signatures(df.select(col(idCol), col(nameCol)), nameCol, maxDist, maxLen)
+    val left = segs.select(col("sig"), col(idCol).as("id1"), col(nameCol).as("n1"))
+    val right = segs.select(col("sig"), col(idCol).as("id2"), col(nameCol).as("n2"))
+    left.join(right, Seq("sig"))
       .filter(col("id1") < col("id2"))
       .select(col("id1"), col("id2"), col("n1"), col("n2"))
       .distinct()

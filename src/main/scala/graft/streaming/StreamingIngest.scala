@@ -246,6 +246,37 @@ object StreamingIngest {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Streaming classifier SCORING through the persisted LR model —
+    * the quality-gate leg of the crawl loop: every micro-batch of new
+    * documents scores under the SHARED trained model
+    * ([[graft.text.LogReg.ensureModelArtifact]]'s store, loaded once
+    * by the caller — the same build-once/probe-many artifact
+    * discipline as the tokenizer leg). Scoring is STATELESS per batch
+    * (features are a narrow map, weights are plan literals — no
+    * executor state, nothing grows over a months-long crawl), and the
+    * sink is batch-id-keyed overwrite, so at-least-once redelivery is
+    * idempotent. Read the sink with `recursiveFileLookup`. */
+  def streamingClassifierScores(
+      stream: DataFrame,
+      vocab: Seq[String],
+      weightsMicro: Array[Long],
+      sinkDir: String,
+      checkpoint: String,
+      labelLang: String = "en"): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val tag = s"${pipelineTag(checkpoint)}_b$batchId"
+        graft.text.LogReg.scores(
+            graft.text.LogReg.features(batch, vocab,
+              org.apache.spark.sql.functions.col("lang") === labelLang),
+            weightsMicro)
+          .select("doc_id", "score_micro", "pred")
+          .write.mode("overwrite").parquet(s"$sinkDir/$tag")
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Streaming IVF index maintenance — the embedding leg of the crawl
     * loop, completing the incremental triple (exact-dup store,
     * near-dup store, ANN index): every micro-batch of (id, embedding)

@@ -55,12 +55,25 @@ class FuzzyJoinSpec extends AnyFunSuite {
     assert(got == Set((10L, 1L, 0)))
   }
 
-  test("fuzzyLookup drops names shorter than the segment count (documented contract)") {
-    val reg = Seq((1L, "A"), (2L, "AB")).toDF("rid", "rname")
+  test("fuzzyLookup covers cross-length and single-char pairs (deletion completeness)") {
+    val reg = Seq((1L, "A"), (2L, "AB"), (3L, "XY")).toDF("rid", "rname")
     val prb = Seq((10L, "A")).toDF("pid", "pname")
     val got = FuzzyJoin.fuzzyLookup(reg, prb, "rid", "rname", "pid", "pname", maxDist = 1)
-      .collect()
-    assert(got.isEmpty)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got == Set((10L, 1L, 0), (10L, 2L, 1)))
+  }
+
+  test("fuzzy blocking rejects names beyond the maxLen contract loudly") {
+    val reg = Seq((1L, "X" * 65)).toDF("rid", "rname")
+    val prb = Seq((10L, "XX")).toDF("pid", "pname")
+    val ex = intercept[Exception] {
+      FuzzyJoin.fuzzyLookup(reg, prb, "rid", "rname", "pid", "pname", maxDist = 1)
+        .collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ msgs(e.getCause))
+    assert(msgs(ex).exists(_.contains("fuzzy blocking contract")),
+      s"must fail with the contract message, got: $ex")
   }
 
   test("fuzzySelfPairs k=1 equal-length: blocked result equals brute force (randomized)") {
@@ -76,13 +89,39 @@ class FuzzyJoinSpec extends AnyFunSuite {
     assert(want.nonEmpty, "fixture must actually exercise near-pairs")
   }
 
-  test("fuzzyLookup k=2 finds substitution-pair neighbors (heuristic tier)") {
+  test("fuzzyLookup k=2: 2-deletion neighborhoods find double-substitution pairs") {
     val reg = Seq((1L, "ABCDEFGHI"), (2L, "XBCDEFGHX"), (3L, "XXXXEFGHI")).toDF("rid", "rname")
     val prb = Seq((10L, "ABCDEFGHI")).toDF("pid", "pname")
     val got = FuzzyJoin.fuzzyLookup(reg, prb, "rid", "rname", "pid", "pname", maxDist = 2)
       .as[(Long, Long, Int)].collect().toSet
-    // reg 2 shares the middle third "DEF" -> candidate, dist 2 kept;
-    // reg 3 shares "GHI" -> candidate, dist 4 filtered by the threshold
+    // reg 2 shares the 2-deletion variant "BCDEFGH" -> dist 2 kept;
+    // reg 3 is ed 4 -> outside the threshold
     assert(got == Set((10L, 1L, 0), (10L, 2L, 2)))
+  }
+
+  test("fuzzyLookup k=2 equal to brute force on a randomized short-serial corpus") {
+    val rnd = new Random(11)
+    val registry = (0 until 120).map(i => (i.toLong, f"K${rnd.nextInt(500)}%03d"))
+    val probes = (0 until 25).map { i =>
+      val (_, name) = registry(rnd.nextInt(registry.length))
+      // perturb with 0-2 random edits (substitution or deletion)
+      var s = name
+      (0 until rnd.nextInt(3)).foreach { _ =>
+        val pos = rnd.nextInt(s.length)
+        s = if (rnd.nextBoolean() && s.length > 1) s.take(pos) + s.drop(pos + 1)
+        else s.updated(pos, ('0' + rnd.nextInt(10)).toChar)
+      }
+      (2000L + i, s)
+    }
+    val got = FuzzyJoin.fuzzyLookup(
+        registry.toDF("rid", "rname"), probes.toDF("pid", "pname"),
+        "rid", "rname", "pid", "pname", maxDist = 2)
+      .as[(Long, Long, Int)].collect().toSet
+    val want = (for {
+      (pid, pn) <- probes; (rid, rn) <- registry
+      d = ed(pn, rn) if d <= 2
+    } yield (pid, rid, d)).toSet
+    assert(got == want, s"blocked=${got.size} brute=${want.size}")
+    assert(want.nonEmpty)
   }
 }

@@ -518,4 +518,68 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange rangepartitioning"),
       s"global sort crept into the shortlist stage:\n$plan")
   }
+
+  test("KN span scrub: model tables broadcast, window sums partial-combine, no UDF") {
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+    val plan = graft.text.TextAnalysis
+      .knSpanScrub(d, d.filter(col("lang") === "en"), windowTokens = 32)
+      .queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin".r.findAllMatchIn(plan).size >= 3,
+      s"model tables must broadcast:\n$plan")
+    assert(plan.contains("partial_sum"), s"window sums must partial-combine:\n$plan")
+    assert(!plan.contains("ScalaUDF"), s"scrub path must stay declarative:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"scrub path went all-pairs:\n$plan")
+  }
+
+  test("fuzzy lookup: probe side broadcasts, levenshtein stays codegen, no all-pairs") {
+    val cust = spark.read.parquet(s"$sfDir/customer.parquet")
+    val probes = cust.filter(col("c_custkey") % 97 === 0)
+      .select(col("c_custkey").as("pid"), col("c_name").as("pname"))
+    val plan = graft.ops.FuzzyJoin.fuzzyLookup(
+        cust.select(col("c_custkey"), col("c_name")), probes,
+        "c_custkey", "c_name", "pid", "pname", maxDist = 1)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"probe side must broadcast:\n$plan")
+    assert(plan.contains("levenshtein"), s"distance must be the codegen built-in:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"blocking must prevent all-pairs:\n$plan")
+    assert(!plan.contains("ScalaUDF"), s"fuzzy path must stay codegen:\n$plan")
+  }
+
+  test("fuzzy self-pairs: deletion-signature equi-join, never a cartesian product") {
+    val cust = spark.read.parquet(s"$sfDir/customer.parquet")
+      .filter(col("c_custkey") % 7 === 0)
+      .select(col("c_custkey"), col("c_name"))
+    val plan = graft.ops.FuzzyJoin.fuzzySelfPairs(cust, "c_custkey", "c_name", maxDist = 1)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"self-join must ride the signature equi-key:\n$plan")
+    assert(plan.contains("levenshtein"), s"distance must be the codegen built-in:\n$plan")
+    assert(!plan.contains("ScalaUDF"), s"fuzzy path must stay codegen:\n$plan")
+  }
+
+  test("LR features are one narrow map pass; the gradient agg partial-combines") {
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+    val vocab = graft.text.LogReg.topVocab(d, 4)
+    val feats = graft.text.LogReg.features(d, vocab, col("lang") === "en")
+    val fplan = feats.queryExecution.executedPlan.toString
+    assert(!fplan.contains("Exchange"),
+      s"feature extraction must not shuffle (vocab is a plan literal):\n$fplan")
+    assert(!fplan.contains("ScalaUDF"), s"features must stay codegen:\n$fplan")
+    val scored = graft.text.LogReg.scores(feats, Array.fill(vocab.length + 1)(1000L))
+    val splan = scored.queryExecution.executedPlan.toString
+    assert(!splan.contains("Exchange"), s"scoring must stay a narrow map:\n$splan")
+    val gplan = feats.agg(
+        sum(floor(lit(1e6) * ((col("y") - lit(0.5)) * col("x00")))).as("g"))
+      .queryExecution.executedPlan.toString
+    assert(gplan.contains("partial_sum"),
+      s"gradient reduction must partial-combine map-side:\n$gplan")
+    // the selection cut is a bounded heap, never a global sort
+    val cut = graft.text.LogReg.scores(feats, Array.fill(vocab.length + 1)(1000L))
+      .select(col("doc_id"), col("score_micro"))
+      .orderBy(col("score_micro").desc, col("doc_id").asc).limit(100)
+      .queryExecution.executedPlan.toString
+    assert(cut.contains("TakeOrderedAndProject"),
+      s"classifier selection must be the bounded heap:\n$cut")
+  }
 }

@@ -98,6 +98,68 @@ class StreamingSpec extends AnyFunSuite {
       s"batch-keyed overwrite must make redelivery idempotent: $before -> $after")
   }
 
+  test("streamingClassifierScores: stream equals batch, zero state, redelivery idempotent") {
+    implicit val sc = spark.sqlContext
+    val scratch = java.nio.file.Files.createTempDirectory("stream_lr").toString
+    val corpus = Seq(
+      (1L, "alpha filler common", "en"), (2L, "omega filler common", "xx"),
+      (3L, "alpha common tail", "en"), (4L, "omega common tail", "xx"))
+      .toDF("doc_id", "text", "lang")
+    val vocab = graft.text.LogReg.topVocab(corpus, 4)
+    val w = graft.text.LogReg.trainLogistic(
+      graft.text.LogReg.features(corpus, vocab, $"lang" === "en"),
+      vocab.length + 1, iters = 8)
+    val apply = Seq(
+      (10L, "alpha common", "en"), (11L, "omega common", "xx"),
+      (12L, "alpha omega filler", "en"))
+    val input = MemoryStream[(Long, String, String)]
+    input.addData(apply.take(2))
+    val q = StreamingIngest.streamingClassifierScores(
+      input.toDF().toDF("doc_id", "text", "lang"), vocab, w,
+      s"$scratch/sink", s"$scratch/chk")
+    q.awaitTermination()
+    val input2 = MemoryStream[(Long, String, String)]
+    input2.addData(apply.drop(2))
+    val q2 = StreamingIngest.streamingClassifierScores(
+      input2.toDF().toDF("doc_id", "text", "lang"), vocab, w,
+      s"$scratch/sink2", s"$scratch/chk2")
+    q2.awaitTermination()
+    Seq(q, q2).foreach { qq =>
+      val st = qq.recentProgress.iterator
+        .map(p => p.stateOperators.map(_.numRowsTotal).sum).foldLeft(0L)(math.max)
+      assert(st == 0L, s"scoring must keep zero executor state, got $st")
+    }
+    val streamed = spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$scratch/sink", s"$scratch/sink2")
+      .select($"doc_id", $"score_micro", $"pred")
+      .as[(Long, Long, Boolean)].collect().toSet
+    val batch = graft.text.LogReg.scores(
+        graft.text.LogReg.features(apply.toDF("doc_id", "text", "lang"),
+          vocab, $"lang" === "en"), w)
+      .select($"doc_id", $"score_micro", $"pred")
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(streamed == batch, s"streamed scores must equal the batch run")
+    val before = spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$scratch/sink").count()
+    def rmTree(p: java.nio.file.Path): Unit = {
+      import scala.jdk.CollectionConverters._
+      if (java.nio.file.Files.exists(p))
+        java.nio.file.Files.walk(p).iterator.asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.delete)
+    }
+    rmTree(java.nio.file.Paths.get(s"$scratch/chk"))
+    val input3 = MemoryStream[(Long, String, String)]
+    input3.addData(apply.take(2))
+    val q3 = StreamingIngest.streamingClassifierScores(
+      input3.toDF().toDF("doc_id", "text", "lang"), vocab, w,
+      s"$scratch/sink", s"$scratch/chk")
+    q3.awaitTermination()
+    val after = spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$scratch/sink").count()
+    assert(after == before,
+      s"batch-keyed overwrite must make redelivery idempotent: $before -> $after")
+  }
+
   test("streamingIncrementalDedup: durable store memory across micro-batches, zero executor state") {
     implicit val sc = spark.sqlContext
     val scratch = java.nio.file.Files.createTempDirectory("sid").toString
