@@ -4972,6 +4972,44 @@ object SparkEntry {
     // verdicts (store never shuffled; novel hashes appended for the
     // next batch), executor state stays ZERO. Seeded-fresh per
     // invocation so reruns are deterministic.
+    // STORE-backed streaming fuzzy ENTITY RESOLUTION: the crawl loop's
+    // record-linkage leg — seed a FastSS posting store from the %3==0
+    // customer registry, stream the %7==0 slice through two
+    // micro-batches of best-match verdicts (store ∪ earlier in-batch,
+    // by (distance, id)), append novel names' postings for the next
+    // batch. Executor state ZERO; batch-keyed overwrite deltas.
+    "stream_fuzzy_resolve" -> ((s, dir) => {
+      val scratch = scratchDir("stream_fuzzy_resolve")
+      val storeDir = s"$scratch/store"
+      val seedDir =
+        s"${System.getProperty("java.io.tmpdir")}/graft_seedfuzzy_${dirKey(dir)}"
+      val cust = tbl(s, dir, "customer")
+      graft.ops.FuzzyJoin.ensureFuzzyStore(s,
+        cust.filter(col("c_custkey") % 3 === 0), seedDir, "c_custkey", "c_name")
+      copyRecursively(java.nio.file.Paths.get(seedDir),
+        java.nio.file.Paths.get(storeDir))
+      val slice = cust.filter(col("c_custkey") % 7 === 0)
+        .select(col("c_custkey"), col("c_name"))
+      val inDir = s"$scratch/in"
+      slice.filter(col("c_custkey") % 14 === 0).coalesce(1)
+        .write.mode("overwrite").parquet(inDir)
+      slice.filter(col("c_custkey") % 14 =!= 0).coalesce(1)
+        .write.mode("append").parquet(inDir)
+      val stream = s.readStream.schema(slice.schema)
+        .option("maxFilesPerTrigger", 1).parquet(inDir)
+      val q = graft.streaming.StreamingIngest.streamingFuzzyResolve(
+        stream, storeDir, s"$scratch/sink", s"$scratch/chk",
+        "c_custkey", "c_name")
+      q.awaitTermination()
+      SparkEntry.streamStateRows.put("stream_fuzzy_resolve",
+        q.recentProgress.iterator
+          .map(p => p.stateOperators.map(_.numRowsTotal).sum)
+          .foldLeft(0L)(math.max))
+      s.read.option("recursiveFileLookup", "true").parquet(s"$scratch/sink")
+        .select(col("c_custkey"), col("is_new"), col("dup_of"), col("dist"))
+        .orderBy(col("c_custkey"))
+    }),
+
     "stream_incremental" -> ((s, dir) => {
       val scratch = scratchDir("stream_incremental")
       val storeDir = s"$scratch/store"
@@ -6823,6 +6861,46 @@ object SparkEntry {
     // the %3==0 seed store, then replays the single-file micro-batch's
     // verdicts — store hit → dup_of = store first owner; within-batch
     // duplicate → min batch id; novel first occurrence → is_new.
+    // BRUTE-FORCE replay of the two-micro-batch resolve: batch 0
+    // matches seed ∪ earlier-in-batch; batch 1 additionally matches
+    // batch 0's NOVEL names (the only rows whose postings were
+    // appended). Best match = (distance, id) ascending.
+    "stream_fuzzy_resolve" ->
+      """WITH seed AS (SELECT c_custkey AS sid, c_name AS sn FROM customer WHERE c_custkey % 3 = 0),
+        |b0 AS (SELECT c_custkey AS id, c_name AS n FROM customer
+        |       WHERE c_custkey % 7 = 0 AND c_custkey % 14 = 0),
+        |b1 AS (SELECT c_custkey AS id, c_name AS n FROM customer
+        |       WHERE c_custkey % 7 = 0 AND c_custkey % 14 <> 0),
+        |m0 AS (SELECT x.id, y.sid AS mid, levenshtein(x.n, y.sn) AS dist
+        |       FROM b0 x JOIN seed y ON levenshtein(x.n, y.sn) <= 1
+        |       UNION ALL
+        |       SELECT x.id, y.id AS mid, levenshtein(x.n, y.n) AS dist
+        |       FROM b0 x JOIN b0 y ON y.id < x.id AND levenshtein(x.n, y.n) <= 1),
+        |best0 AS MATERIALIZED (SELECT id, mid, dist FROM
+        |       (SELECT id, mid, dist,
+        |               row_number() OVER (PARTITION BY id ORDER BY dist, mid) AS rn
+        |        FROM m0) WHERE rn = 1),
+        |nov0 AS MATERIALIZED (SELECT x.id, x.n FROM b0 x
+        |       LEFT JOIN best0 ON x.id = best0.id WHERE best0.id IS NULL),
+        |m1 AS (SELECT x.id, y.sid AS mid, levenshtein(x.n, y.sn) AS dist
+        |       FROM b1 x JOIN seed y ON levenshtein(x.n, y.sn) <= 1
+        |       UNION ALL
+        |       SELECT x.id, y.id AS mid, levenshtein(x.n, y.n) AS dist
+        |       FROM b1 x JOIN nov0 y ON levenshtein(x.n, y.n) <= 1
+        |       UNION ALL
+        |       SELECT x.id, y.id AS mid, levenshtein(x.n, y.n) AS dist
+        |       FROM b1 x JOIN b1 y ON y.id < x.id AND levenshtein(x.n, y.n) <= 1),
+        |best1 AS (SELECT id, mid, dist FROM
+        |       (SELECT id, mid, dist,
+        |               row_number() OVER (PARTITION BY id ORDER BY dist, mid) AS rn
+        |        FROM m1) WHERE rn = 1),
+        |v AS (SELECT x.id, b.mid, b.dist FROM b0 x LEFT JOIN best0 b ON x.id = b.id
+        |      UNION ALL
+        |      SELECT x.id, b.mid, b.dist FROM b1 x LEFT JOIN best1 b ON x.id = b.id)
+        |SELECT id AS c_custkey, (mid IS NULL) AS is_new, mid AS dup_of,
+        |       CAST(dist AS INTEGER) AS dist
+        |FROM v ORDER BY c_custkey""".stripMargin,
+
     "stream_incremental" ->
       s"""WITH st AS (SELECT md5($NormSql) AS h, min(doc_id) AS first_id
          |            FROM documents WHERE doc_id % 3 = 0 GROUP BY 1),

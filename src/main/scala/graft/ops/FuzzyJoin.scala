@@ -94,6 +94,100 @@ object FuzzyJoin {
       .select(col(probeIdCol), col(registryIdCol), col("dist"))
   }
 
+  private val storeSidecar = "_graft_fuzzystore_sidecar.json"
+
+  /** Idempotently materialize the FUZZY-REGISTRY STORE for `registry`
+    * at `dir`: the FastSS posting table (sig, store_id, store_name) —
+    * the durable index a crawl loop resolves each new batch against
+    * (the entity-resolution leg of the incremental triple, next to
+    * the exact-dup hash store and the near-dup shingle store). Same
+    * fingerprint-sidecar discipline: covers (id, name) content and
+    * every blocking parameter. Postings are ~(L+1) short rows per
+    * name — an index artifact sized for short keys, never a corpus
+    * copy. */
+  def ensureFuzzyStore(
+      spark: org.apache.spark.sql.SparkSession,
+      registry: DataFrame,
+      dir: String,
+      idCol: String,
+      nameCol: String,
+      maxDist: Int = 1,
+      maxLen: Int = 64): Unit = {
+    val (nRows, dataHash, hashSum) =
+      graft.io.Artifact.hashAgg(registry, xxhash64(col(idCol), col(nameCol)))
+    graft.io.Artifact.ensure(dir, storeSidecar,
+      graft.io.Artifact.fingerprintJson(nRows, dataHash,
+        "hsum" -> hashSum, "idCol" -> idCol, "nameCol" -> nameCol,
+        "maxDist" -> maxDist.toString, "maxLen" -> maxLen.toString)) {
+      signatures(
+          registry.select(col(idCol).cast("long").as("store_id"),
+            col(nameCol).as("store_name")),
+          "store_name", maxDist, maxLen)
+        .select(col("sig"), col("store_id"), col("store_name"))
+        .write.mode("overwrite").parquet(dir)
+    }
+  }
+
+  /** Resolve a crawl `batch` against the persisted fuzzy store AND
+    * against its own earlier rows, then append the NOVEL rows'
+    * postings for the next batch — the incremental-store contract
+    * ([[graft.dedup.Dedup.incrementalDedupBatch]]'s shape for fuzzy
+    * names). Verdict per batch row: `dup_of`/`dist` = the best match
+    * by (distance, id) over store matches ∪ earlier in-batch matches,
+    * `is_new` = no match within `maxDist`. A `batchTag` makes the
+    * posting append an idempotent `delta_<tag>` overwrite (and the
+    * batch never sees its own possibly-partial delta).
+    *
+    * 100 TB shape: the store is the big side and is NEVER shuffled —
+    * batch signatures broadcast into the posting scan, matches come
+    * back batch-bounded; the in-batch leg is [[fuzzySelfPairs]] over
+    * one micro-batch. Executor state zero; durable memory is the
+    * posting artifact. */
+  def incrementalFuzzyResolveBatch(
+      spark: org.apache.spark.sql.SparkSession,
+      storeDir: String,
+      batch: DataFrame,
+      idCol: String,
+      nameCol: String,
+      maxDist: Int = 1,
+      maxLen: Int = 64,
+      batchTag: Option[String] = None): DataFrame = {
+    val b = batch.select(col(idCol).cast("long").as("_bid"), col(nameCol).as("_bn"))
+    val bs = signatures(b, "_bn", maxDist, maxLen)
+    val store0 = spark.read.option("recursiveFileLookup", "true").parquet(storeDir)
+    val store = batchTag.fold(store0)(tag =>
+      store0.where(!input_file_name().contains(s"/delta_$tag/")))
+    val cand = store
+      .join(broadcast(bs.select(col("sig"), col("_bid"), col("_bn"))), Seq("sig"))
+      .select(col("_bid"), col("_bn"), col("store_id"), col("store_name"))
+      .distinct()
+    val storeM = cand
+      .withColumn("d", levenshtein(col("_bn"), col("store_name")))
+      .filter(col("d") <= lit(maxDist))
+      .select(col("_bid"), struct(col("d").as("dist"), col("store_id").as("mid")).as("m"))
+    val inB = fuzzySelfPairs(b, "_bid", "_bn", maxDist, maxLen)
+      .select(col("id2").as("_bid"), struct(col("dist"), col("id1").as("mid")).as("m"))
+    val best = storeM.union(inB).groupBy(col("_bid")).agg(min(col("m")).as("m"))
+    // bounded: batch-sized — materialize once for verdicts AND the
+    // delta append (the append must not re-read the store it writes)
+    val verdicts = b.join(best, Seq("_bid"), "left").localCheckpoint()
+    val novelSigs = signatures(
+        verdicts.filter(col("m").isNull)
+          .select(col("_bid").as("store_id"), col("_bn").as("store_name")),
+        "store_name", maxDist, maxLen)
+      .select(col("sig"), col("store_id"), col("store_name"))
+    batchTag match {
+      case Some(tag) =>
+        novelSigs.write.mode("overwrite").parquet(s"$storeDir/delta_$tag")
+      case None =>
+        novelSigs.write.mode("append").parquet(storeDir)
+    }
+    verdicts.select(col("_bid").as(idCol),
+      col("m").isNull.as("is_new"),
+      col("m.mid").as("dup_of"),
+      col("m.dist").as("dist"))
+  }
+
   /** Registry SELF-dedup: all unordered pairs (id1 < id2) within
     * `maxDist` edits via the same signature blocking as a
     * hash-partitioned self-equi-join — the fuzzy-duplicate-pair

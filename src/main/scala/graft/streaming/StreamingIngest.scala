@@ -246,6 +246,36 @@ object StreamingIngest {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Streaming fuzzy ENTITY RESOLUTION against the persisted FastSS
+    * posting store ([[graft.ops.FuzzyJoin.ensureFuzzyStore]]) — the
+    * entity-resolution leg of the crawl loop's incremental family
+    * (exact-dup, near-dup, ANN, tokenize, score, resolve): every
+    * micro-batch of (id, name) records gets a best-match verdict
+    * against the registry ∪ its own earlier rows, and novel names
+    * append their postings as a batch-keyed `delta_<tag>` OVERWRITE —
+    * idempotent under at-least-once redelivery. Executor state is
+    * ZERO; durable memory is the posting artifact. Read the sink with
+    * `recursiveFileLookup`. */
+  def streamingFuzzyResolve(
+      stream: DataFrame,
+      storeDir: String,
+      sinkDir: String,
+      checkpoint: String,
+      idCol: String,
+      nameCol: String,
+      maxDist: Int = 1): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val tag = s"${pipelineTag(checkpoint)}_b$batchId"
+        graft.ops.FuzzyJoin
+          .incrementalFuzzyResolveBatch(batch.sparkSession, storeDir, batch,
+            idCol, nameCol, maxDist, batchTag = Some(tag))
+          .write.mode("overwrite").parquet(s"$sinkDir/$tag")
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Streaming classifier SCORING through the persisted LR model —
     * the quality-gate leg of the crawl loop: every micro-batch of new
     * documents scores under the SHARED trained model

@@ -89,6 +89,37 @@ class FuzzyJoinSpec extends AnyFunSuite {
     assert(want.nonEmpty, "fixture must actually exercise near-pairs")
   }
 
+  test("incrementalFuzzyResolveBatch: store memory across batches, tagged redelivery idempotent") {
+    val store = java.nio.file.Files.createTempDirectory("fuzzy_store").toString
+    FuzzyJoin.ensureFuzzyStore(spark,
+      Seq((1L, "AAAA"), (2L, "BBBB")).toDF("id", "name"), store, "id", "name")
+    val b0 = Seq((10L, "AAAB"), (11L, "ZZZZ"), (12L, "ZZZY")).toDF("id", "name")
+    val v0 = FuzzyJoin.incrementalFuzzyResolveBatch(
+        spark, store, b0, "id", "name", batchTag = Some("t0"))
+      .collect().map(r => (r.getLong(0), r.getBoolean(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    // 10 resolves to registry 1 (dist 1); 11 is novel; 12 resolves to
+    // the EARLIER in-batch 11 (dist 1)
+    assert(v0 == Set((10L, false, 1L), (11L, true, -1L), (12L, false, 11L)), s"got $v0")
+    // batch 1 sees 11's postings (the only NOVEL row appended)
+    val v1 = FuzzyJoin.incrementalFuzzyResolveBatch(
+        spark, store, Seq((20L, "ZZZZ")).toDF("id", "name"),
+        "id", "name", batchTag = Some("t1"))
+      .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2), r.getInt(3))).toSet
+    assert(v1 == Set((20L, false, 11L, 0)), s"got $v1")
+    val rowsBefore = spark.read.option("recursiveFileLookup", "true").parquet(store).count()
+    // redelivery of batch 0 under the SAME tag: identical verdicts
+    // (own delta excluded from the store view), store row count flat
+    val v0r = FuzzyJoin.incrementalFuzzyResolveBatch(
+        spark, store, b0, "id", "name", batchTag = Some("t0"))
+      .collect().map(r => (r.getLong(0), r.getBoolean(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    assert(v0r == v0, "redelivered batch must reproduce its verdicts")
+    val rowsAfter = spark.read.option("recursiveFileLookup", "true").parquet(store).count()
+    assert(rowsAfter == rowsBefore,
+      s"delta overwrite must keep the store flat: $rowsBefore -> $rowsAfter")
+  }
+
   test("fuzzyLookup k=2: 2-deletion neighborhoods find double-substitution pairs") {
     val reg = Seq((1L, "ABCDEFGHI"), (2L, "XBCDEFGHX"), (3L, "XXXXEFGHI")).toDF("rid", "rname")
     val prb = Seq((10L, "ABCDEFGHI")).toDF("pid", "pname")
