@@ -4367,6 +4367,30 @@ object SparkEntry {
         .orderBy(col("id1"), col("id2"))
     }),
 
+    // Entity CANONICALIZATION — the step after pair-finding: fuzzy
+    // pairs close under the distributed connected-components operator
+    // (transitive A~B~C is ONE entity even when ed(A,C) > threshold),
+    // and every record maps to its entity's min-id canonical record;
+    // singletons canonicalize to themselves. Brute-force pair oracle +
+    // recursive-closure replay.
+    "cust_fuzzy_canon" -> ((s, dir) => {
+      val slice = tbl(s, dir, "customer")
+        .filter(col("c_custkey") % 7 === 0)
+        .select(col("c_custkey"), col("c_name"))
+      val pairs = graft.ops.FuzzyJoin
+        .fuzzySelfPairs(slice, "c_custkey", "c_name", maxDist = 1)
+        .select(col("id1").as("id_a"), col("id2").as("id_b"))
+      val cc = Dedup.connectedComponents(pairs)
+        .withColumnRenamed("id", "c_custkey")
+      slice.select(col("c_custkey")).join(cc, Seq("c_custkey"), "left")
+        .select(col("c_custkey"),
+          coalesce(col("cluster_id"), col("c_custkey")).as("canon_id"))
+        .withColumn("entity_size",
+          count(lit(1)).over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("canon_id"))))
+        .orderBy(col("c_custkey"))
+    }),
+
     "tpch_top_customers" -> ((s, dir) =>
       graft.ops.Relational.topCustomersByRevenue(
         tbl(s, dir, "lineitem"), tbl(s, dir, "orders"),
@@ -6608,6 +6632,23 @@ object SparkEntry {
         |FROM probes p CROSS JOIN customer c
         |WHERE levenshtein(p.probe_name, c.c_name) <= 1
         |ORDER BY probe_id, c_custkey""".stripMargin,
+
+    // Brute-force pairs + the same recursive transitive closure as the
+    // dedup_clusters oracle; singletons canonicalize to themselves.
+    "cust_fuzzy_canon" ->
+      """WITH RECURSIVE slice AS (SELECT c_custkey AS id, c_name AS n
+        |                         FROM customer WHERE c_custkey % 7 = 0),
+        |p AS (SELECT a.id AS id_a, b.id AS id_b FROM slice a JOIN slice b
+        |      ON a.id < b.id AND levenshtein(a.n, b.n) <= 1),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM p UNION SELECT id_b, id_a FROM p),
+        |reach(a, b) AS (SELECT src, dst FROM edges
+        |                UNION
+        |                SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src),
+        |comp AS (SELECT a AS id, LEAST(a, MIN(b)) AS cluster_id FROM reach GROUP BY a)
+        |SELECT s.id AS c_custkey, coalesce(comp.cluster_id, s.id) AS canon_id,
+        |       CAST(count(*) OVER (PARTITION BY coalesce(comp.cluster_id, s.id)) AS BIGINT) AS entity_size
+        |FROM slice s LEFT JOIN comp ON s.id = comp.id
+        |ORDER BY c_custkey""".stripMargin,
 
     "cust_fuzzy_pairs" ->
       """WITH slice AS (SELECT c_custkey, c_name FROM customer WHERE c_custkey % 7 = 0)

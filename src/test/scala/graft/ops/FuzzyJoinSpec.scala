@@ -120,6 +120,19 @@ class FuzzyJoinSpec extends AnyFunSuite {
       s"delta overwrite must keep the store flat: $rowsBefore -> $rowsAfter")
   }
 
+  test("canonicalization closes transitively: A~B~C is one entity though ed(A,C)=2") {
+    // AAAA ~ AAAB ~ AABB chain at ed 1 each; ed(AAAA, AABB) = 2
+    val reg = Seq((1L, "AAAA"), (2L, "AAAB"), (3L, "AABB"), (9L, "ZZZZ"))
+      .toDF("id", "name")
+    val pairs = FuzzyJoin.fuzzySelfPairs(reg, "id", "name", maxDist = 1)
+      .select(col("id1").as("id_a"), col("id2").as("id_b"))
+    val cc = graft.dedup.Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L),
+      s"chain must close into one min-id entity, got $cc")
+    assert(!cc.contains(9L), "singletons stay out of the pair graph")
+  }
+
   test("fuzzyLookup k=2: 2-deletion neighborhoods find double-substitution pairs") {
     val reg = Seq((1L, "ABCDEFGHI"), (2L, "XBCDEFGHX"), (3L, "XXXXEFGHI")).toDF("rid", "rname")
     val prb = Seq((10L, "ABCDEFGHI")).toDF("pid", "pname")
