@@ -4806,6 +4806,18 @@ object SparkEntry {
 
     // Deterministic corpus shuffle: the reproducible training order —
     // md5(id‖salt) range sort, seed-stable under retries and engines.
+    // Weighted sampling WITHOUT replacement (Efraimidis-Spirakis):
+    // top-200 docs by u^(1/w) rank keys, w = token count — the
+    // token-budget-proportional sample. One narrow key map + a
+    // TakeOrdered cut; micro-quantized ln keys, id tie-break.
+    "corpus_weighted_sample" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_toks"))
+      graft.ops.Sampling.weightedSample(d, m = 200,
+          weight = col("n_toks"), salt = "ws")
+        .select(col("doc_id"), col("n_toks"), col("es_key"))
+    }),
+
     "corpus_shuffle" -> ((s, dir) => {
       graft.ops.Sampling.shuffleOrder(docs(s, dir), salt = "sh")
         .select(col("doc_id"), col("shuffle_key"))
@@ -7408,6 +7420,20 @@ object SparkEntry {
          |       coalesce(score_sum, 0) AS score_sum,
          |       coalesce(score_sum, 0) > 0 AS keep
          |FROM documents d LEFT JOIN sc USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // Recomputes the 32-bit deviate (digit-parse twin), u = (dev+0.5)/2^32,
+    // key = floor(1e6 * (ln(u)/w)) — identical op order — then the
+    // top-200 cut with the id tie-break.
+    "corpus_weighted_sample" ->
+      s"""WITH t AS (SELECT doc_id, CAST(len($ToksSql) AS BIGINT) AS n_toks FROM documents),
+         |k AS (SELECT doc_id, n_toks,
+         |  CAST(floor(1000000.0 * (ln(
+         |    (CAST(list_sum([(CAST(strpos('0123456789abcdef', md5(CAST(doc_id AS VARCHAR) || 'ws')[i]) AS BIGINT) - 1)
+         |                    * (CAST(1 AS BIGINT) << (4*(8-i))) FOR i IN range(1, 9)]) AS DOUBLE) + 0.5)
+         |    / 4294967296.0) / CAST(n_toks AS DOUBLE))) AS BIGINT) AS es_key
+         |  FROM t)
+         |SELECT doc_id, n_toks, es_key FROM k
+         |ORDER BY es_key DESC, doc_id LIMIT 200""".stripMargin,
 
     "corpus_shuffle" ->
       """SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || 'sh') AS shuffle_key

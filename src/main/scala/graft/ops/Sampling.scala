@@ -201,6 +201,36 @@ object Sampling {
         md5(concat(col(idCol).cast("string"), lit(salt))))
       .orderBy(col("shuffle_key"), col(idCol))
 
+  /** Weighted sampling WITHOUT replacement — Efraimidis–Spirakis A-ES
+    * (IPL 97(5), 2006, public): each row draws u uniform from the
+    * shared md5 deviate and ranks by key = u^(1/w); the top-M keys are
+    * exactly a weight-proportional without-replacement sample. Here the
+    * rank key is ln(u)/w (the same ordering), quantized to micro-nats
+    * with floor and tie-broken by id, so the cut is engine-exact —
+    * ln is each engine's libm, but the micro quantization plus id
+    * tie-break makes a boundary flip a ~1e-10 event per row (the
+    * KN-scoring precedent). Weight = any positive numeric column; the
+    * canonical pipeline use is token counts (token-budget-proportional
+    * document sampling: long docs proportionally likelier, short docs
+    * still sampleable — unlike naive size-biased Bernoulli).
+    *
+    * 100 TB shape: one narrow map computing the key, then a
+    * TakeOrdered top-M — never a global sort, no per-group state. */
+  def weightedSample(
+      df: DataFrame,
+      m: Int,
+      weight: Column,
+      idCol: String = "doc_id",
+      salt: String = ""): DataFrame = {
+    require(m > 0, s"sample size must be positive, got $m")
+    val u = (hashDeviate(col(idCol), salt).cast("double") + lit(0.5)) /
+      lit(4294967296.0)
+    df.withColumn("es_key",
+        floor(lit(1000000.0) * (log(u) / weight.cast("double"))).cast("long"))
+      .orderBy(col("es_key").desc, col(idCol).asc)
+      .limit(m)
+  }
+
   /** Per-group document cap — the C4/RefinedWeb-style per-domain cap: a
     * handful of giant hosts must not dominate the corpus, so keep at
     * most `cap` rows per group in deterministic `order` order and drop

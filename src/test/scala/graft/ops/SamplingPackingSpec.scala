@@ -194,6 +194,26 @@ class SamplingPackingSpec extends AnyFunSuite {
     assert(top == Seq(("a", 3L), ("b", 3L), ("c", 1L))) // a before b on the tie
   }
 
+  test("weightedSample: deterministic across partitionings, bounded at m") {
+    val d = List.range(0L, 400L).map(i => (i, 1L + i % 50)).toDF("doc_id", "w")
+    val a = Sampling.weightedSample(d.repartition(1), m = 60, weight = $"w", salt = "t")
+      .select("doc_id").as[Long].collect().toSeq
+    val b = Sampling.weightedSample(d.repartition(7), m = 60, weight = $"w", salt = "t")
+      .select("doc_id").as[Long].collect().toSeq
+    assert(a == b, "sample membership and order must be partitioning-invariant")
+    assert(a.length == 60)
+  }
+
+  test("weightedSample is weight-proportional: heavy rows dominate the cut") {
+    // 500 rows of weight 1 vs 500 of weight 40: an unweighted sample of
+    // 100 would split ~50/50; ES must pick heavy rows ~40x as often
+    val d = (List.range(0L, 500L).map((_, 1L)) ++
+      List.range(1000L, 1500L).map((_, 40L))).toDF("doc_id", "w")
+    val heavy = Sampling.weightedSample(d, m = 100, weight = $"w", salt = "p")
+      .filter($"doc_id" >= 1000L).count()
+    assert(heavy >= 85, s"expected the weight-40 stratum to dominate, got $heavy/100")
+  }
+
   test("capPerGroup keeps the first `cap` rows per group in order, drops the rest") {
     // host a: 10 docs, host b: 3, host c: 1 → cap 4 keeps 4 + 3 + 1
     val d = ((1L to 10L).map(i => (i, "a")) ++ Seq((20L, "b"), (21L, "b"), (22L, "b"), (30L, "c")))
