@@ -2917,6 +2917,21 @@ object SparkEntry {
         terms = Seq("spark", "join", "merge", "window"))
     }),
 
+    // Exact PHRASE search over a persisted positional index (IIR §2.4):
+    // the i-th term's postings shift to pos−i and occurrences survive
+    // the k-way (doc, start) equi-join — each term's leg is one pruned
+    // bucket read, the corpus is never rescanned. Brute-force
+    // token-slice oracle proves the index path equals the definition.
+    "doc_phrase_search" -> ((s, dir) => {
+      val key = dirKey(dir)
+      val tmp = System.getProperty("java.io.tmpdir")
+      graft.text.InvertedIndex.ensurePositional(s, docs(s, dir),
+        s"graft_pos_$key", s"$tmp/graft_positional_$key", buckets = 8)
+      graft.text.InvertedIndex.phraseSearch(s, s"graft_pos_$key",
+          Seq("hash", "join"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Johnson–Lindenstrauss sign projection 64 → 16 dims: a fixed
     // deterministic ±1 matrix (no RNG state), strictly left-associative
     // float64 folds micro-quantized per output dim — the oracle bakes
@@ -5695,6 +5710,18 @@ object SparkEntry {
     // the same rows through the persisted posting lists — the matching
     // hash is the equivalence proof (decontaminate_bloom's device).
     "doc_bm25_indexed" -> Bm25OracleSql,
+
+    // Brute-force token-slice scan — deliberately NOT the index plan,
+    // so the hash match proves the positional intersection correct.
+    "doc_phrase_search" ->
+      s"""WITH t AS (SELECT doc_id, $ToksSql AS toks FROM documents),
+         |occ AS (SELECT doc_id,
+         |          CAST(len([i FOR i IN range(1, len(toks))
+         |                    IF toks[i] = 'hash' AND toks[i+1] = 'join']) AS BIGINT)
+         |            AS n_occurrences
+         |        FROM t)
+         |SELECT doc_id, n_occurrences FROM occ
+         |WHERE n_occurrences > 0 ORDER BY doc_id""".stripMargin,
 
     // Hybrid RRF: the BM25 candidate stage is the shared bm25Sql
     // builder at the wider cut; cosine uses the knn_cosine_top10

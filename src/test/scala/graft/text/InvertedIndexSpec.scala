@@ -47,6 +47,38 @@ class InvertedIndexSpec extends AnyFunSuite {
     spark.sql("DROP TABLE IF EXISTS iidx_prune")
   }
 
+  test("phraseSearch equals a brute-force token-slice scan, incl. repeated terms") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "hash join beats sort merge hash join"),   // 2 occurrences
+      (2L, "hash then join later"),                   // adjacency required
+      (3L, "the the the"),                            // repeated-term phrase
+      (4L, "join hash")).toDF("doc_id", "text")       // order matters
+    val dir = freshDir("phrase")
+    InvertedIndex.ensurePositional(spark, docs, "iidx_phrase", dir, buckets = 4)
+    val got = InvertedIndex.phraseSearch(spark, "iidx_phrase", Seq("hash", "join"))
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 2L), s"got $got")
+    val rep = InvertedIndex.phraseSearch(spark, "iidx_phrase", Seq("the", "the"))
+      .as[(Long, Long)].collect().toMap
+    assert(rep == Map(3L -> 2L), s"overlapping repeated-term occurrences: $rep")
+    spark.sql("DROP TABLE IF EXISTS iidx_phrase")
+  }
+
+  test("phrase probe legs are bucket-pruned; no corpus rescan in the plan") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val dir = freshDir("phraseprune")
+    InvertedIndex.ensurePositional(spark, docs, "iidx_pprune", dir, buckets = 8)
+    val plan = InvertedIndex.phraseSearch(spark, "iidx_pprune", Seq("hash", "join"))
+      .queryExecution.executedPlan.toString
+    val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+    val ms = sel.findAllMatchIn(plan).toSeq
+    assert(ms.nonEmpty, s"no bucket pruning in phrase plan:\n$plan")
+    assert(ms.forall(m => m.group(1).toInt < m.group(2).toInt),
+      s"a phrase leg read every bucket:\n$plan")
+    spark.sql("DROP TABLE IF EXISTS iidx_pprune")
+  }
+
   test("sidecar tiers: catalog hit, metadata-only re-register, fingerprint-mismatch rebuild") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(50)
     val dir = freshDir("tiers")
