@@ -2932,6 +2932,19 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Proximity search over the same positional index: exact min token
+    // gap between 'vector' and 'stream' per doc — any within-k
+    // operator is a post-filter on this. Per-doc cost tf_a x tf_b.
+    "doc_proximity_search" -> ((s, dir) => {
+      val key = dirKey(dir)
+      val tmp = System.getProperty("java.io.tmpdir")
+      graft.text.InvertedIndex.ensurePositional(s, docs(s, dir),
+        s"graft_pos_$key", s"$tmp/graft_positional_$key", buckets = 8)
+      graft.text.InvertedIndex.proximitySearch(s, s"graft_pos_$key",
+          "vector", "stream")
+        .orderBy(col("doc_id"))
+    }),
+
     // Johnson–Lindenstrauss sign projection 64 → 16 dims: a fixed
     // deterministic ±1 matrix (no RNG state), strictly left-associative
     // float64 folds micro-quantized per output dim — the oracle bakes
@@ -5710,6 +5723,17 @@ object SparkEntry {
     // the same rows through the persisted posting lists — the matching
     // hash is the equivalence proof (decontaminate_bloom's device).
     "doc_bm25_indexed" -> Bm25OracleSql,
+
+    // Brute-force cross product of the two terms' positions per doc.
+    "doc_proximity_search" ->
+      s"""WITH t AS (SELECT doc_id, $ToksSql AS toks FROM documents),
+         |pa AS (SELECT doc_id, u.i AS p FROM t, unnest(range(1, len(toks) + 1)) AS u(i)
+         |       WHERE toks[i] = 'vector'),
+         |pb AS (SELECT doc_id, u.i AS p FROM t, unnest(range(1, len(toks) + 1)) AS u(i)
+         |       WHERE toks[i] = 'stream')
+         |SELECT pa.doc_id, CAST(min(abs(pa.p - pb.p)) AS INTEGER) AS min_dist
+         |FROM pa JOIN pb USING (doc_id)
+         |GROUP BY 1 ORDER BY doc_id""".stripMargin,
 
     // Brute-force token-slice scan — deliberately NOT the index plan,
     // so the hash match proves the positional intersection correct.

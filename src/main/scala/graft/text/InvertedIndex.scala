@@ -184,6 +184,27 @@ object InvertedIndex {
       .agg(count(lit(1)).cast("long").as("n_occurrences"))
   }
 
+  /** Proximity search over the positional postings: for docs
+    * containing BOTH terms, the minimum token distance between any
+    * occurrence pair (IIR §2.4's within-k operator, reported as the
+    * exact min gap so any k-threshold is a post-filter). Per-doc cost
+    * is tf(a)·tf(b) — bounded by per-doc term frequencies, never
+    * corpus-shaped; both legs are pruned bucket reads. Returns
+    * (doc_id, min_dist). */
+  def proximitySearch(
+      spark: SparkSession,
+      table: String,
+      termA: String,
+      termB: String): DataFrame = {
+    val a = spark.table(table).filter(col("token") === termA)
+      .select(col("doc_id"), col("pos").as("pa"))
+    val b = spark.table(table).filter(col("token") === termB)
+      .select(col("doc_id"), col("pos").as("pb"))
+    a.join(b, Seq("doc_id"))
+      .groupBy(col("doc_id"))
+      .agg(min(abs(col("pa") - col("pb"))).cast("int").as("min_dist"))
+  }
+
   /** BM25 top-`topN` over the persisted postings: the probe filter on
     * the query terms prunes the bucketed scan to the terms' buckets
     * (SelectedBucketsCount in the plan), the pruned postings ARE the

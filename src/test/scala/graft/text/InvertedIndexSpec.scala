@@ -79,6 +79,20 @@ class InvertedIndexSpec extends AnyFunSuite {
     spark.sql("DROP TABLE IF EXISTS iidx_pprune")
   }
 
+  test("proximitySearch reports the exact min gap; misses docs lacking either term") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "vector a b stream far vector stream"),  // min gap 1 (pos 5,6)
+      (2L, "vector only here"),
+      (3L, "stream stream")).toDF("doc_id", "text")
+    val dir = freshDir("prox")
+    InvertedIndex.ensurePositional(spark, docs, "iidx_prox", dir, buckets = 4)
+    val got = InvertedIndex.proximitySearch(spark, "iidx_prox", "vector", "stream")
+      .as[(Long, Int)].collect().toMap
+    assert(got == Map(1L -> 1), s"got $got")
+    spark.sql("DROP TABLE IF EXISTS iidx_prox")
+  }
+
   test("sidecar tiers: catalog hit, metadata-only re-register, fingerprint-mismatch rebuild") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(50)
     val dir = freshDir("tiers")
