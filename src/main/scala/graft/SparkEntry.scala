@@ -2945,6 +2945,21 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Substring (LIKE '%needle%') search via a persisted character-
+    // trigram index (the pg_trgm device): AND-intersection of pruned
+    // trigram buckets -> exact contains verification on candidates
+    // only; occurrence counts by length arithmetic. The needle spans a
+    // token boundary, which no token index could serve.
+    "doc_substring_search" -> ((s, dir) => {
+      val key = dirKey(dir)
+      val tmp = System.getProperty("java.io.tmpdir")
+      graft.text.InvertedIndex.ensureTrigram(s, docs(s, dir),
+        s"graft_tri_$key", s"$tmp/graft_trigram_$key", buckets = 8)
+      graft.text.InvertedIndex.substringSearch(s, s"graft_tri_$key",
+          docs(s, dir), needle = "merge batch")
+        .orderBy(col("doc_id"))
+    }),
+
     // Johnson–Lindenstrauss sign projection 64 → 16 dims: a fixed
     // deterministic ±1 matrix (no RNG state), strictly left-associative
     // float64 folds micro-quantized per output dim — the oracle bakes
@@ -5723,6 +5738,16 @@ object SparkEntry {
     // the same rows through the persisted posting lists — the matching
     // hash is the equivalence proof (decontaminate_bloom's device).
     "doc_bm25_indexed" -> Bm25OracleSql,
+
+    // Brute-force contains scan — deliberately NOT the index plan.
+    // n_hits by the same exact length arithmetic (the diff is a
+    // multiple of 11, so integer division is exact on both engines).
+    "doc_substring_search" ->
+      s"""WITH t AS (SELECT doc_id, $NormSql AS n FROM documents)
+         |SELECT doc_id,
+         |       CAST((len(n) - len(replace(n, 'merge batch', ''))) // 11 AS BIGINT) AS n_hits
+         |FROM t WHERE contains(n, 'merge batch')
+         |ORDER BY doc_id""".stripMargin,
 
     // Brute-force cross product of the two terms' positions per doc.
     "doc_proximity_search" ->

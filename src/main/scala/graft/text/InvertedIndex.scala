@@ -184,6 +184,95 @@ object InvertedIndex {
       .agg(count(lit(1)).cast("long").as("n_occurrences"))
   }
 
+  private val triSidecarName = "_graft_trigram_sidecar.json"
+  private val triDdl = "tri STRING, doc_id BIGINT"
+
+  /** Character-trigram posting table `(tri, doc_id)` — the pg_trgm
+    * device (public): a substring match implies EVERY trigram of the
+    * needle appears in the text, so candidates are an AND-intersection
+    * of pruned posting buckets and only they pay the exact `contains`
+    * verification. Per-doc trigram sets are distinct-collapsed at
+    * build (postings ≈ alphabet-bounded per doc, not length-bounded).
+    * Same sidecar tiers as [[ensure]]. */
+  def ensureTrigram(
+      spark: SparkSession,
+      df: DataFrame,
+      table: String,
+      dir: String,
+      buckets: Int,
+      idCol: String = "doc_id",
+      textCol: String = "text"): Unit = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    val sidecar = java.nio.file.Paths.get(dir, triSidecarName)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    if (spark.catalog.tableExists(table) && java.nio.file.Files.exists(sidecar)) return
+    val (nRows, dataHash, hashSum) = fingerprint(df, idCol, textCol)
+    if (java.nio.file.Files.exists(sidecar)) {
+      val node = mapper.readTree(java.nio.file.Files.readString(sidecar))
+      if (node.get("count").asLong() == nRows &&
+          node.get("hash").asLong() == dataHash &&
+          node.hasNonNull("hsum") && node.get("hsum").asText() == hashSum &&
+          node.get("buckets").asInt() == buckets) {
+        spark.sql(s"DROP TABLE IF EXISTS $table")
+        spark.sql(
+          s"""CREATE TABLE $table ($triDdl) USING PARQUET
+             |CLUSTERED BY (tri) SORTED BY (tri) INTO $buckets BUCKETS
+             |LOCATION '$dir'""".stripMargin)
+        return
+      }
+    }
+    val norm = TextAnalysis.normalizeText(col(textCol))
+    val postings = df
+      .select(col(idCol).cast("long").as("doc_id"),
+        array_distinct(transform(
+          sequence(lit(1), greatest(length(norm) - lit(2), lit(0))),
+          i => norm.substr(i, lit(3)))).as("tris"))
+      .select(col("doc_id"), explode(col("tris")).as("tri"))
+      .select(col("tri"), col("doc_id"))
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    postings.write
+      .mode("overwrite")
+      .option("path", dir)
+      .bucketBy(buckets, "tri")
+      .sortBy("tri")
+      .format("parquet")
+      .saveAsTable(table)
+    java.nio.file.Files.writeString(sidecar,
+      s"""{"count":$nRows,"hash":$dataHash,"hsum":"$hashSum","buckets":$buckets}""")
+  }
+
+  /** Substring (`LIKE '%needle%'`) search: trigram AND-intersection
+    * for candidates, exact `contains` verification — with the
+    * occurrence count derived by length arithmetic so the result is
+    * richer than a boolean. The corpus text is read ONLY for the
+    * candidate ids (broadcast semi join into the scan); returns
+    * (doc_id, n_hits ≥ 1). Needle must be ≥ 3 chars (the pg_trgm
+    * contract). */
+  def substringSearch(
+      spark: SparkSession,
+      table: String,
+      corpus: DataFrame,
+      needle: String,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(needle.length >= 3, s"needle must be >= 3 chars, got '$needle'")
+    val tris = needle.sliding(3).toSeq.distinct
+    val cand = spark.table(table)
+      .filter(col("tri").isin(tris: _*))
+      .groupBy(col("doc_id"))
+      .agg(count_distinct(col("tri")).as("nt"))
+      .filter(col("nt") === tris.size)
+      .select(col("doc_id"))
+    val norm = TextAnalysis.normalizeText(col(textCol))
+    corpus.select(col(idCol).cast("long").as("doc_id"), norm.as("_n"))
+      .join(broadcast(cand), Seq("doc_id"))
+      .withColumn("n_hits",
+        ((length(col("_n")) - length(replace(col("_n"), lit(needle), lit("")))) /
+          lit(needle.length)).cast("long"))
+      .filter(col("n_hits") > 0L)
+      .select(col("doc_id"), col("n_hits"))
+  }
+
   /** Proximity search over the positional postings: for docs
     * containing BOTH terms, the minimum token distance between any
     * occurrence pair (IIR §2.4's within-k operator, reported as the

@@ -93,6 +93,21 @@ class InvertedIndexSpec extends AnyFunSuite {
     spark.sql("DROP TABLE IF EXISTS iidx_prox")
   }
 
+  test("substringSearch: cross-token needles, overlap counts, no false positives") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the merge batch ran a merge batch twice"), // 2 hits
+      (2L, "merge then batch"),                        // near-miss: most trigrams, no match
+      (3L, "MERGE   BATCH normalized"),                // normalization folds case+spaces
+      (4L, "nothing here")).toDF("doc_id", "text")
+    val dir = freshDir("tri")
+    InvertedIndex.ensureTrigram(spark, docs, "iidx_tri", dir, buckets = 4)
+    val got = InvertedIndex.substringSearch(spark, "iidx_tri", docs, "merge batch")
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 2L, 3L -> 1L), s"got $got")
+    spark.sql("DROP TABLE IF EXISTS iidx_tri")
+  }
+
   test("sidecar tiers: catalog hit, metadata-only re-register, fingerprint-mismatch rebuild") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(50)
     val dir = freshDir("tiers")
