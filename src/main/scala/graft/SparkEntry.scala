@@ -1901,6 +1901,37 @@ object SparkEntry {
       VectorSearch.knnExactDf(corpus, query, k = 10)
     }),
 
+    // The SQL-user surface: the same kNN as knn_exact_top10, written
+    // as ONE spark.sql statement over a registered temp view with the
+    // registered codegen l2sq function — a user who only speaks SQL
+    // gets the identical bounded-heap plan and bit-identical results.
+    "sql_knn_top10" -> ((s, dir) => {
+      org.apache.spark.sql.graft.GraftFunctions.register(s)
+      emb(s, dir).createOrReplaceTempView("embeddings_v")
+      s.sql(
+        """SELECT e.vec_id AS vec_id, l2sq(e.embedding, q.qe) AS dist
+          |FROM embeddings_v e CROSS JOIN
+          |     (SELECT embedding AS qe FROM embeddings_v WHERE vec_id = 0) q
+          |ORDER BY dist ASC, vec_id ASC LIMIT 10""".stripMargin)
+    }),
+
+    // SQL-surface text analytics: per-language doc counts + summed
+    // micro-quantized quality through the registered lang_id and
+    // quality_score kernels — one GROUP BY statement a SQL user would
+    // actually write over a curation corpus.
+    "sql_lang_quality" -> ((s, dir) => {
+      org.apache.spark.sql.graft.GraftFunctions.register(s)
+      docs(s, dir)
+        .select(col("doc_id"), TextAnalysis.normalizeText(col("text")).as("n"))
+        .createOrReplaceTempView("docs_norm_v")
+      s.sql(
+        """SELECT lang_id(n) AS lang,
+          |       CAST(count(*) AS BIGINT) AS n_docs,
+          |       CAST(sum(CAST(floor(quality_score(n) * 1000000.0) AS BIGINT)) AS BIGINT) AS q_micro
+          |FROM docs_norm_v
+          |GROUP BY lang ORDER BY lang""".stripMargin)
+    }),
+
     // Extension: batch k-NN similarity join (3 query vectors × corpus,
     // broadcast query side, per-query windowed top-k).
     "knn_join_top5" -> ((s, dir) => {
@@ -5213,6 +5244,42 @@ object SparkEntry {
          |SELECT e.vec_id AS vec_id, ${l2SqSql("e.embedding", "q.qe")} AS dist
          |FROM embeddings e CROSS JOIN q
          |ORDER BY dist ASC, vec_id ASC LIMIT 10""".stripMargin,
+
+    // Same oracle as knn_exact_top10 — the SQL surface must produce
+    // bit-identical distances through the registered function.
+    "sql_knn_top10" ->
+      s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+         |SELECT e.vec_id AS vec_id, ${l2SqSql("e.embedding", "q.qe")} AS dist
+         |FROM embeddings e CROSS JOIN q
+         |ORDER BY dist ASC, vec_id ASC LIMIT 10""".stripMargin,
+
+    // The lang-id CASE twin + the quality formula twin, grouped.
+    "sql_lang_quality" ->
+      s"""WITH t AS (SELECT doc_id, $NormSql AS norm, $ToksSql AS toks FROM documents),
+         |s AS (SELECT doc_id,
+         |  CAST(len(list_filter(toks, x -> x IN ('the','and','of','is','with'))) AS BIGINT) AS score_en,
+         |  CAST(len(list_filter(toks, x -> x IN ('el','la','de','que','con'))) AS BIGINT) AS score_es,
+         |  CAST(len(list_filter(toks, x -> x IN ('der','die','und','ist','mit'))) AS BIGINT) AS score_de,
+         |  CAST(len(list_filter(toks, x -> x IN ('le','la','et','est','avec'))) AS BIGINT) AS score_fr,
+         |  CAST(length(norm) - length(regexp_replace(norm, '[\\x{4e00}-\\x{9fff}]', '', 'g')) AS BIGINT) AS score_zh,
+         |  CAST(len(toks) AS DOUBLE) AS n_tok,
+         |  CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS diversity,
+         |  CAST(len(list_filter(toks, x -> x IN ('the','a','an','and','or','of','to','in','is','on','for','with'))) AS DOUBLE)
+         |    / CAST(len(toks) AS DOUBLE) AS stop
+         |  FROM t),
+         |l AS (SELECT doc_id,
+         |  CASE WHEN greatest(score_en, score_es, score_de, score_fr, score_zh) <= 0 THEN 'und'
+         |       WHEN score_en = greatest(score_en, score_es, score_de, score_fr, score_zh) THEN 'en'
+         |       WHEN score_es = greatest(score_en, score_es, score_de, score_fr, score_zh) THEN 'es'
+         |       WHEN score_de = greatest(score_en, score_es, score_de, score_fr, score_zh) THEN 'de'
+         |       WHEN score_fr = greatest(score_en, score_es, score_de, score_fr, score_zh) THEN 'fr'
+         |       ELSE 'zh' END AS lang,
+         |  least(n_tok / 64.0, 1.0) * 0.4 + diversity * 0.4 +
+         |  (CASE WHEN stop BETWEEN 0.01 AND 0.6 THEN 1.0 ELSE 0.5 END) * 0.2 AS q
+         |  FROM s)
+         |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(CAST(floor(q * 1000000.0) AS BIGINT)) AS BIGINT) AS q_micro
+         |FROM l GROUP BY 1 ORDER BY lang""".stripMargin,
 
     "knn_hamming_top10" ->
       s"""WITH $hammingSigCtes

@@ -582,4 +582,20 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(cut.contains("TakeOrderedAndProject"),
       s"classifier selection must be the bounded heap:\n$cut")
   }
+
+  test("SQL surface: spark.sql kNN through registered l2sq plans the bounded heap") {
+    org.apache.spark.sql.graft.GraftFunctions.register(spark)
+    spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .createOrReplaceTempView("embeddings_pin_v")
+    val plan = spark.sql(
+      """SELECT e.vec_id, l2sq(e.embedding, q.qe) AS dist
+        |FROM embeddings_pin_v e CROSS JOIN
+        |     (SELECT embedding AS qe FROM embeddings_pin_v WHERE vec_id = 0) q
+        |ORDER BY dist ASC, vec_id ASC LIMIT 10""".stripMargin)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"SQL top-k must plan the bounded heap:\n$plan")
+    assert(plan.contains("l2sq"), s"registered codegen kernel missing:\n$plan")
+    assert(!plan.contains("ScalaUDF"), s"SQL path must stay codegen:\n$plan")
+  }
 }
