@@ -37,6 +37,18 @@ object SparkEntry {
   private def emb(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
 
+  /** HNSW build params for the declared queries: `parts` DERIVED from
+    * the corpus row count ([[graft.index.Hnsw.autoParts]]) instead of
+    * hardcoded, so a 100× corpus automatically gets smaller shards
+    * that stay under the scan split size (the probe-time part-count
+    * check would otherwise fail loudly). The count is a parquet
+    * metadata-only job. At the driver fixtures' sizes autoParts floors
+    * at 4 — the engine's historical value, so layouts and hashes are
+    * unchanged. */
+  private def hnswParams(e: DataFrame): graft.index.Hnsw.Params =
+    graft.index.Hnsw.Params(m = 8, efConstruction = 64,
+      parts = graft.index.Hnsw.autoParts(e.count(), EmbDim, m = 8))
+
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
 
@@ -3780,7 +3792,7 @@ object SparkEntry {
     // the full union exactly.
     "stream_hnsw_append" -> ((s, dir) => {
       val corpus = emb(s, dir)
-      val p = graft.index.Hnsw.Params(m = 8, efConstruction = 64, parts = 4)
+      val p = hnswParams(corpus)
       val baseDir =
         s"${System.getProperty("java.io.tmpdir")}/graft_hnsw_${dirKey(dir)}"
       graft.index.Hnsw.ensureLayout(corpus, baseDir, p)
@@ -4163,7 +4175,7 @@ object SparkEntry {
       val e = emb(s, dir)
       val artDir =
         s"${System.getProperty("java.io.tmpdir")}/graft_hnsw_${dirKey(dir)}"
-      val p = graft.index.Hnsw.Params(m = 8, efConstruction = 64, parts = 4)
+      val p = hnswParams(e)
       graft.index.Hnsw.ensureLayout(e, artDir, p)
       val q = e.filter(col("vec_id") === 0)
         .select(col("embedding")).head().getSeq[Float](0).toArray
@@ -4181,7 +4193,7 @@ object SparkEntry {
       val e = emb(s, dir)
       val artDir =
         s"${System.getProperty("java.io.tmpdir")}/graft_hnswdel_${dirKey(dir)}"
-      val p = graft.index.Hnsw.Params(m = 8, efConstruction = 64, parts = 4)
+      val p = hnswParams(e)
       graft.index.Hnsw.ensureLayout(e, artDir, p)
       graft.index.Hnsw.deleteFromLayout(s, artDir, Seq(0L, 1L, 2L), tag = "q")
       val q = e.filter(col("vec_id") === 0)
@@ -4199,7 +4211,7 @@ object SparkEntry {
       val e = emb(s, dir)
       val artDir =
         s"${System.getProperty("java.io.tmpdir")}/graft_hnsw_${dirKey(dir)}"
-      val p = graft.index.Hnsw.Params(m = 8, efConstruction = 64, parts = 4)
+      val p = hnswParams(e)
       graft.index.Hnsw.ensureLayout(e, artDir, p)
       val q = e.filter(col("vec_id") === 0)
         .select(col("embedding")).head().getSeq[Float](0).toArray

@@ -43,7 +43,12 @@ import org.apache.spark.sql.functions._
   * rows. Choose `parts` so one shard's parquet file stays under
   * `spark.sql.files.maxPartitionBytes` (the probe groups rows by part
   * inside each scan partition, so shards may COMBINE into one task but
-  * must not SPLIT across two — 1 B vectors at 64 d ≈ 2 000 parts).
+  * must not SPLIT across two — 1 B vectors at 64 d ≈ 2 000 parts;
+  * [[autoParts]] sizes this from the corpus row count). The invariant
+  * is ENFORCED, not assumed: builds record per-shard node counts in a
+  * `_graft_part_counts.json` sidecar and every probe task `require`s
+  * that the rows it assembled for a shard match — a split shard fails
+  * loudly instead of silently merging partial-graph candidates.
   */
 object Hnsw {
 
@@ -57,6 +62,26 @@ object Hnsw {
     require(parts >= 1, s"parts must be >= 1, got $parts")
     val mMax0: Int = 2 * m
     val ml: Double = 1.0 / math.log(m.toDouble)
+  }
+
+  /** Derive `parts` from the corpus size instead of guessing: one
+    * shard's layout file must stay under the scan split size so a
+    * probe task always sees WHOLE shards ([[searchCandidates]] enforces
+    * it; this sizes it). Bytes/node ≈ the float32 vector + the ≈2·m
+    * layer-0 edges and sparse upper layers + row overhead. The floor of
+    * 4 keeps probe parallelism at small corpora (and matches the
+    * engine's historical default, so fixture-scale layouts are
+    * unchanged); at 1 B × 64 d this lands in the ~2 000-part regime the
+    * header comment estimates. */
+  def autoParts(
+      nRows: Long,
+      dim: Int,
+      m: Int = 8,
+      targetShardBytes: Long = 64L << 20): Int = {
+    require(nRows >= 0 && dim >= 1 && targetShardBytes >= 1)
+    val rowBytes = 4L * dim + 16L * m + 48L
+    math.max(4L, (nRows * rowBytes + targetShardBytes - 1) / targetShardBytes)
+      .min(Int.MaxValue.toLong).toInt
   }
 
   /** Persisted node row: `friends(l)` = neighbor ids at layer l,
@@ -313,6 +338,39 @@ object Hnsw {
   }
 
   private val sidecarName = "_hnsw_sidecar.json"
+  private val partCountsName = "_graft_part_counts.json"
+
+  /** Record each shard's node count next to its parquet files (the
+    * underscore prefix keeps the file invisible to the parquet scan).
+    * [[searchCandidates]] checks assembled row counts against this at
+    * probe time — the enforcement half of the "shards may COMBINE into
+    * one task but must not SPLIT across two" invariant: a silent
+    * partial-graph probe becomes a loud sizing error. */
+  private def writePartCounts(spark: SparkSession, dataDir: String): Unit = {
+    val counts = spark.read.parquet(dataDir)
+      .groupBy(col("part")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val json = counts.map { case (pt, n) => s""""$pt":$n""" }.mkString("{", ",", "}")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dataDir, partCountsName), json)
+  }
+
+  /** The per-shard node counts recorded at build time, if present
+    * (layouts written before the enforcement existed have none — the
+    * probe then runs unchecked, exactly the old behavior). */
+  def partCounts(dataDir: String): Option[Map[Int, Long]] = {
+    val path = java.nio.file.Paths.get(dataDir, partCountsName)
+    if (!java.nio.file.Files.exists(path)) return None
+    val node = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(java.nio.file.Files.readString(path))
+    val m = Map.newBuilder[Int, Long]
+    val it = node.fieldNames()
+    while (it.hasNext) {
+      val k = it.next()
+      m += (k.toInt -> node.get(k).asLong())
+    }
+    Some(m.result())
+  }
 
   /** Persist the layout behind the shared fingerprint sidecar
     * ([[graft.io.Artifact]]): content hash of (id, embedding) + the
@@ -346,7 +404,13 @@ object Hnsw {
         .repartition(p.parts, col("part"))
         .write.mode("overwrite").partitionBy("part")
         .parquet(s"$dir/layout")
+      writePartCounts(df.sparkSession, s"$dir/layout")
     }
+    // heal layouts built before the enforcement sidecar existed: the
+    // fingerprint matches (no rebuild), but the probe-time check needs
+    // the recorded counts — one narrow scan of the layout, once
+    if (partCounts(s"$dir/layout").isEmpty)
+      writePartCounts(df.sparkSession, s"$dir/layout")
   }
 
   /** The persisted layout table. */
@@ -373,7 +437,22 @@ object Hnsw {
     * never the corpus. `queries` is a driver-side (qId → vector) set
     * (the broadcast-small side, like every other probe in this
     * engine). `cacheKey` (the layout's sidecar fingerprint) opts into
-    * the resident-graph reuse. */
+    * the resident-graph reuse.
+    *
+    * `expectedRows` (per-shard node counts from the build-time
+    * [[partCounts]] sidecar) ENFORCES the whole-shard-per-task
+    * invariant: if a shard's parquet file ever exceeds
+    * `spark.sql.files.maxPartitionBytes` and splits across two scan
+    * tasks, each task would otherwise build a PARTIAL graph and the
+    * merged top-k silently loses true neighbors (and a partial graph
+    * could poison the resident cache under the layout's fingerprint
+    * key). The count check turns that cliff into a loud sizing error
+    * BEFORE any graph is built or cached.
+    *
+    * `tombstoned` rides a Spark broadcast — one torrent transfer
+    * shared per executor, NOT a per-task closure payload — so a
+    * delete-heavy store (100k+ dead ids) costs each probe task a
+    * broadcast handle, not a re-serialized Set. */
   def searchCandidates(
       layoutDf: DataFrame,
       queries: Seq[(Long, Array[Float])],
@@ -381,10 +460,12 @@ object Hnsw {
       p: Params = Params(),
       efSearch: Int = 64,
       cacheKey: Option[String] = None,
-      tombstoned: Set[Long] = Set.empty): DataFrame = {
+      tombstoned: Set[Long] = Set.empty,
+      expectedRows: Option[Map[Int, Long]] = None): DataFrame = {
     val spark = layoutDf.sparkSession
     import spark.implicits._
     val qs = queries.map { case (qid, v) => (qid, v.toSeq) }
+    val bcDead = spark.sparkContext.broadcast(tombstoned)
     val nodes = layoutDf
       .select(col("part").cast("int"), col("vec_id"), col("level"),
         col("emb"), col("friends"))
@@ -393,6 +474,14 @@ object Hnsw {
       val byPart = new mutable.HashMap[Int, mutable.ArrayBuffer[NodeRow]]()
       it.foreach(r => byPart.getOrElseUpdate(r.part, mutable.ArrayBuffer.empty) += r)
       byPart.iterator.flatMap { case (part, rows) =>
+        expectedRows.foreach { exp =>
+          val want = exp.getOrElse(part, 0L)
+          require(rows.length.toLong == want,
+            s"HNSW shard $part SPLIT across scan tasks: this task assembled " +
+              s"${rows.length} of $want recorded nodes. A shard's parquet file must " +
+              "be read whole by one task — raise Params.parts (smaller shards; " +
+              "see Hnsw.autoParts) or spark.sql.files.maxPartitionBytes.")
+        }
         val g = cacheKey match {
           case Some(ck) =>
             val key = s"$ck#$part"
@@ -408,7 +497,7 @@ object Hnsw {
         }
         qs.iterator.flatMap { case (qid, qv) =>
           val q = qv.toArray
-          g.searchKnn(q, k, efSearch, tombstoned.contains)
+          g.searchKnn(q, k, efSearch, bcDead.value.contains)
             .iterator.map { case (d, id) => (qid, id, d) }
         }
       }
@@ -437,11 +526,13 @@ object Hnsw {
       tag: String,
       p: Params = Params(),
       idCol: String = "vec_id",
-      embCol: String = "embedding"): Unit =
+      embCol: String = "embedding"): Unit = {
     build(batch, p, idCol, embCol)
       .repartition(p.parts, col("part"))
       .write.mode("overwrite").partitionBy("part")
       .parquet(s"$dir/$deltaDirPrefix$tag")
+    writePartCounts(spark, s"$dir/$deltaDirPrefix$tag")
+  }
 
   /** Tags of the live deltas, sorted (the probe fan-out width — the
     * compaction policy bounds it). */
@@ -471,12 +562,14 @@ object Hnsw {
       efSearch: Int = 64): DataFrame = {
     val dead = tombstonedIds(spark, dir)
     val base = searchCandidates(layout(spark, dir), Seq((0L, query)), k, p,
-      efSearch, cacheKey = sidecarFingerprint(dir), tombstoned = dead)
+      efSearch, cacheKey = sidecarFingerprint(dir), tombstoned = dead,
+      expectedRows = partCounts(s"$dir/layout"))
     val all = deltaTags(dir).foldLeft(base) { (acc, tag) =>
       acc.unionAll(searchCandidates(
         spark.read.parquet(s"$dir/$deltaDirPrefix$tag"),
         Seq((0L, query)), k, p, efSearch,
-        cacheKey = Some(s"$dir#delta#$tag"), tombstoned = dead))
+        cacheKey = Some(s"$dir#delta#$tag"), tombstoned = dead,
+        expectedRows = partCounts(s"$dir/$deltaDirPrefix$tag")))
     }
     all
       .orderBy(col("dist").asc, col("vec_id").asc)
@@ -494,12 +587,20 @@ object Hnsw {
     * parquet exactly, so a later `ensureLayout(base ∪ appended)` sees
     * a matching fingerprint and reuses instead of rebuilding. Delta
     * dirs are deleted last. Single-writer, no concurrent probes — the
-    * [[graft.index.Ivf.compactDeltas]] contract. */
+    * [[graft.index.Ivf.compactDeltas]] contract. `excludeTags` skips
+    * named deltas from the fold (they stay live delta dirs): the
+    * streaming auto-compaction passes the CURRENT batch's tag, so an
+    * at-least-once redelivery — whose uncommitted delta may already be
+    * on disk — never folds that delta into the base right before
+    * [[appendDelta]] rewrites the same tag, which would leave those
+    * vectors in BOTH base and delta (duplicate candidates, and the
+    * next compaction would bake duplicate nodes in permanently). */
   def compactDeltas(
       spark: SparkSession,
       dir: String,
-      p: Params = Params()): Unit = {
-    val tags = deltaTags(dir)
+      p: Params = Params(),
+      excludeTags: Set[String] = Set.empty): Unit = {
+    val tags = deltaTags(dir).filterNot(excludeTags)
     if (tags.isEmpty) return
     val union = (Seq(s"$dir/layout") ++ tags.map(t => s"$dir/$deltaDirPrefix$t"))
       .map(spark.read.parquet(_).select(col("vec_id"), col("emb").as("embedding")))
@@ -512,6 +613,7 @@ object Hnsw {
     val rebuilt = build(union, p).repartition(p.parts, col("part"))
       .localCheckpoint()
     rebuilt.write.mode("overwrite").partitionBy("part").parquet(s"$dir/layout")
+    writePartCounts(spark, s"$dir/layout")
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(dir, sidecarName), fp)
     tags.foreach { t =>
@@ -577,7 +679,8 @@ object Hnsw {
       efSearch: Int = 64): DataFrame = {
     val cands = searchCandidates(layout(spark, dir), Seq((0L, query)), k, p,
       efSearch, cacheKey = sidecarFingerprint(dir),
-      tombstoned = tombstonedIds(spark, dir))
+      tombstoned = tombstonedIds(spark, dir),
+      expectedRows = partCounts(s"$dir/layout"))
     cands
       .orderBy(col("dist").asc, col("vec_id").asc)
       .limit(k)

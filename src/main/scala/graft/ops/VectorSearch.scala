@@ -334,9 +334,18 @@ object VectorSearch {
     val spark = corpus.sparkSession
     import spark.implicits._
     val q = lit(queryVec.toArray)
+    // a zero-norm embedding (or query) has no defined cosine: under
+    // ANSI it's a DIVIDE_BY_ZERO crash, under non-ANSI a NaN that
+    // sorts GREATEST in the DESC ordering, enters the shortlist, and
+    // poisons every greedy comparison (score > best is false for NaN
+    // — bestIdx stays -1 and the loop crashes). Guard the division
+    // and drop the undefined rows up front; same arithmetic as
+    // Distances.cosine wherever the denominator is nonzero.
+    val denom = Distances.norm(col(embCol)) * Distances.norm(q)
     val cand = corpus
       .select(col(idCol).cast("long"), col(embCol),
-        Distances.cosine(col(embCol), q).as("rel"))
+        when(denom =!= lit(0.0), Distances.dot(col(embCol), q) / denom).as("rel"))
+      .filter(col("rel").isNotNull && !isnan(col("rel")))
       .orderBy(col("rel").desc, col(idCol).asc)
       .limit(shortlist)
       .collect()
@@ -371,6 +380,9 @@ object VectorSearch {
         }
         c += 1
       }
+      require(bestIdx >= 0,
+        "knnMmr: no selectable candidate (all scores non-comparable) — " +
+          "the shortlist filter should have made this impossible")
       inSel(bestIdx) = true
       selected += ((bestIdx, bestScore))
     }

@@ -401,8 +401,14 @@ object StreamingIngest {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val tag = s"${pipelineTag(checkpoint)}_b$batchId"
+        // excludeTags = the CURRENT batch's tag: on at-least-once
+        // redelivery the crashed attempt's delta may already exist —
+        // folding it into the base here, right before appendDelta
+        // rewrites the same tag, would double-insert those vectors
+        // (the Ivf leg below has the identical guard)
         if (graft.index.Hnsw.deltaTags(layoutDir).size >= maxDeltaDirs)
-          graft.index.Hnsw.compactDeltas(batch.sparkSession, layoutDir, p)
+          graft.index.Hnsw.compactDeltas(batch.sparkSession, layoutDir, p,
+            excludeTags = Set(tag))
         graft.index.Hnsw.appendDelta(batch.sparkSession, layoutDir, batch, tag, p)
         ()
       }

@@ -241,13 +241,34 @@ object InvertedIndex {
       s"""{"count":$nRows,"hash":$dataHash,"hsum":"$hashSum","buckets":$buckets}""")
   }
 
+  /** The driver-side twin of [[TextAnalysis.normalizeText]] (space
+    * trim, whitespace collapse, ASCII-safe lowercase) — the index and
+    * the verification both run over NORMALIZED text, so a probe's
+    * needle must pass through the same rule or an uppercase/oddly-
+    * spaced needle silently matches nothing. */
+  private[text] def normalizeNeedle(s: String): String = {
+    var a = 0
+    var b = s.length
+    while (a < b && s.charAt(a) == ' ') a += 1
+    while (b > a && s.charAt(b - 1) == ' ') b -= 1
+    s.substring(a, b).replaceAll("\\s+", " ")
+      .toLowerCase(java.util.Locale.ROOT)
+  }
+
   /** Substring (`LIKE '%needle%'`) search: trigram AND-intersection
     * for candidates, exact `contains` verification — with the
     * occurrence count derived by length arithmetic so the result is
     * richer than a boolean. The corpus text is read ONLY for the
     * candidate ids (broadcast semi join into the scan); returns
-    * (doc_id, n_hits ≥ 1). Needle must be ≥ 3 chars (the pg_trgm
-    * contract). */
+    * (doc_id, n_hits ≥ 1). The needle is normalized with the SAME
+    * rule as the indexed text ([[normalizeNeedle]]), and must be ≥ 3
+    * chars after normalization (the pg_trgm contract).
+    *
+    * `n_hits` counts NON-OVERLAPPING occurrences, left to right — the
+    * `replace`-then-length-arithmetic definition ("aaa" occurs ONCE in
+    * "aaaa"), i.e. `String.replace` semantics, not the count of all
+    * start offsets. The declared query's oracle pins exactly this
+    * definition. */
   def substringSearch(
       spark: SparkSession,
       table: String,
@@ -255,8 +276,9 @@ object InvertedIndex {
       needle: String,
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    require(needle.length >= 3, s"needle must be >= 3 chars, got '$needle'")
-    val tris = needle.sliding(3).toSeq.distinct
+    val n = normalizeNeedle(needle)
+    require(n.length >= 3, s"needle must be >= 3 chars after normalization, got '$n'")
+    val tris = n.sliding(3).toSeq.distinct
     val cand = spark.table(table)
       .filter(col("tri").isin(tris: _*))
       .groupBy(col("doc_id"))
@@ -267,8 +289,8 @@ object InvertedIndex {
     corpus.select(col(idCol).cast("long").as("doc_id"), norm.as("_n"))
       .join(broadcast(cand), Seq("doc_id"))
       .withColumn("n_hits",
-        ((length(col("_n")) - length(replace(col("_n"), lit(needle), lit("")))) /
-          lit(needle.length)).cast("long"))
+        ((length(col("_n")) - length(replace(col("_n"), lit(n), lit("")))) /
+          lit(n.length)).cast("long"))
       .filter(col("n_hits") > 0L)
       .select(col("doc_id"), col("n_hits"))
   }

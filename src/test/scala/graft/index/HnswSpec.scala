@@ -214,6 +214,109 @@ class HnswSpec extends AnyFunSuite {
     assert(got.contains(6000000L), s"compacted append lost: $got")
   }
 
+  test("autoParts: floors at 4, scales linearly with corpus bytes, matches the header estimate") {
+    assert(Hnsw.autoParts(2000, 64) == 4, "fixture-scale corpora keep the historical 4")
+    assert(Hnsw.autoParts(0, 64) == 4)
+    // 1B x 64d ~ the ~2000-part regime the scaladoc estimates
+    val big = Hnsw.autoParts(1000000000L, 64)
+    assert(big > 1000 && big < 10000, s"1B x 64d -> $big")
+    // monotone in rows; halving the shard budget doubles the parts
+    assert(Hnsw.autoParts(2000000L, 64) <= Hnsw.autoParts(4000000L, 64))
+    val once = Hnsw.autoParts(100000000L, 64)
+    val twice = Hnsw.autoParts(100000000L, 64, targetShardBytes = 32L << 20)
+    assert(twice >= 2 * once - 2 && twice <= 2 * once + 2, s"$once vs $twice")
+  }
+
+  test("shard-integrity enforcement: a shard split across scan tasks fails loudly, not silently") {
+    val c = corpus(600, seed = 61)
+    val p = Hnsw.Params(m = 4, efConstruction = 16, parts = 2)
+    val dirA = java.nio.file.Files.createTempDirectory("hnswok").toString
+    Hnsw.ensureLayout(c, dirA, p)
+    // forge a layout whose shard rows SPAN files (the exact state a
+    // too-big shard file reaches when the scan splits it): same rows,
+    // same sidecars, but scrambled across 6 parquet files
+    val dirB = java.nio.file.Files.createTempDirectory("hnswsplit").toString
+    Hnsw.layout(spark, dirA).repartition(6)
+      .write.mode("overwrite").parquet(s"$dirB/layout")
+    for (f <- Seq("_hnsw_sidecar.json"))
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(dirA, f), java.nio.file.Paths.get(dirB, f))
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(dirA, "layout", "_graft_part_counts.json"),
+      java.nio.file.Paths.get(dirB, "layout", "_graft_part_counts.json"))
+    val q = c.filter(col("vec_id") === 3L).as[(Long, Array[Float])].head()._2
+    // one task per file so each task holds a strict subset of each shard
+    val confs = Seq("spark.sql.files.maxPartitionBytes" -> "2048",
+      "spark.sql.files.openCostInBytes" -> "0")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val ex = intercept[Exception] {
+        Hnsw.searchLayout(spark, dirB, q, 10, p).collect()
+      }
+      val msgs = Iterator.iterate(ex: Throwable)(_.getCause).takeWhile(_ != null)
+        .map(e => Option(e.getMessage).getOrElse("")).mkString("\n")
+      assert(msgs.contains("SPLIT across scan tasks"), s"wrong failure: $msgs")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+    // the intact layout under the restored default config passes the
+    // same check and serves the exact answer
+    val ok = Hnsw.searchLayout(spark, dirA, q, 10, p)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(ok.head == 3L)
+  }
+
+  test("compactDeltas excludeTags: the redelivered batch's own delta is never folded into the base") {
+    val c = corpus(200, seed = 71)
+    val p = Hnsw.Params(m = 4, efConstruction = 16, parts = 2)
+    val dir = java.nio.file.Files.createTempDirectory("hnswexcl").toString
+    Hnsw.ensureLayout(c, dir, p)
+    val q = c.filter(col("vec_id") === 0L).as[(Long, Array[Float])].head()._2
+    val older = c.filter(col("vec_id") === 1L)
+      .select((col("vec_id") + 7000000L).as("vec_id"), col("embedding"))
+    // the current batch: 3 copies of the query vector — any
+    // double-insert surfaces at the TOP of the ranking
+    val current = c.filter(col("vec_id") === 0L)
+      .crossJoin(spark.range(3))
+      .select((col("id") + 7500000L).as("vec_id"), col("embedding"))
+    Hnsw.appendDelta(spark, dir, older, tag = "a", p)
+    Hnsw.appendDelta(spark, dir, current, tag = "b", p) // the crashed attempt's delta
+    // redelivery replays the foreachBatch body: compaction MUST skip
+    // the current tag, then the append rewrites it
+    Hnsw.compactDeltas(spark, dir, p, excludeTags = Set("b"))
+    assert(Hnsw.deltaTags(dir) == Seq("b"), "excluded delta must survive the fold")
+    Hnsw.appendDelta(spark, dir, current, tag = "b", p)
+    val got = Hnsw.searchLayoutDeltaAware(spark, dir, q, 10, p)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(got == got.distinct, s"double-inserted ids in the ranking: $got")
+    assert(got.take(4) == Seq(0L, 7500000L, 7500001L, 7500002L),
+      s"each planted copy exactly once at the top: $got")
+  }
+
+  test("tombstones ride a broadcast: a 100k-id delete volume probes correctly") {
+    val c = corpus(300, seed = 81)
+    val p = Hnsw.Params(m = 4, efConstruction = 16, parts = 2)
+    val dir = java.nio.file.Files.createTempDirectory("hnswbigdel").toString
+    Hnsw.ensureLayout(c, dir, p)
+    val q = c.filter(col("vec_id") === 10L).as[(Long, Array[Float])].head()._2
+    val before = Hnsw.searchLayout(spark, dir, q, 10, p)
+      .select("vec_id").as[Long].collect().toSeq
+    // two live ids + 100k dead ids the corpus never contained: the
+    // exclusion set is delete-volume-sized, not result-sized — the
+    // shape that used to re-serialize a driver Set into every task and
+    // now ships once per executor as a broadcast
+    val dead = Seq(before.head, before(1)) ++ (1000000L until 1100000L)
+    Hnsw.deleteFromLayout(spark, dir, dead, tag = "bulk")
+    assert(Hnsw.tombstonedIds(spark, dir).size == 100002)
+    val after = Hnsw.searchLayout(spark, dir, q, 10, p)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(!after.contains(before.head) && !after.contains(before(1)))
+    val exact = exactTopK(c, q, 12).filterNot(Set(before.head, before(1))).take(10)
+    assert(after == exact, s"post-bulk-delete ranking: $after vs $exact")
+  }
+
   test("HNSW coarse quantizer agrees with the exact centroid argmin on seeded layouts") {
     val c = corpus(400, seed = 51).withColumn("label", lit(1))
       .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))

@@ -252,6 +252,22 @@ class VectorSearchSpec extends AnyFunSuite {
     assert(relOnly.indexOf(2L) < relOnly.indexOf(3L))
   }
 
+  test("knnMmr: zero-norm embeddings (NaN cosine) are excluded, never crash the greedy loop") {
+    import spark.implicits._
+    val rng = new scala.util.Random(47)
+    // NaN relevance sorts GREATEST under DESC — without the shortlist
+    // filter the zero vector enters first and every score comparison
+    // goes false (bestIdx = -1 crash). It must simply be absent.
+    val rows = ((0L until 20L).map(i => (i, Array.fill(8)(rng.nextFloat() - 0.5f))) :+
+      (99L, Array.fill(8)(0f))).toDF("vec_id", "embedding")
+    val q = rows.filter(org.apache.spark.sql.functions.col("vec_id") === 0L)
+      .collect().head.getSeq[Float](1)
+    val picks = VectorSearch.knnMmr(rows, q, k = 5, shortlist = 21)
+      .collect().map(_.getLong(1)).toSeq
+    assert(picks.length == 5)
+    assert(!picks.contains(99L), s"zero-norm vector in picks: $picks")
+  }
+
   test("knnMmr matches an independent greedy reference on random vectors") {
     import spark.implicits._
     val rng = new scala.util.Random(47)

@@ -108,6 +108,31 @@ class InvertedIndexSpec extends AnyFunSuite {
     spark.sql("DROP TABLE IF EXISTS iidx_tri")
   }
 
+  test("substringSearch: needle is normalized like the indexed text; overlaps count NON-overlapping") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the merge batch ran"),
+      (2L, "aaaa bbbb"), // 'aaa' occurs at offsets 0 and 1 but counts ONCE (replace semantics)
+      (3L, "nothing")).toDF("doc_id", "text")
+    val dir = freshDir("trinorm")
+    InvertedIndex.ensureTrigram(spark, docs, "iidx_trinorm", dir, buckets = 4)
+    // an uppercase, oddly-spaced needle must hit: the probe normalizes
+    // it with the SAME trim/collapse/lowercase rule as the index
+    val upper = InvertedIndex.substringSearch(spark, "iidx_trinorm", docs, "  MERGE   Batch ")
+      .as[(Long, Long)].collect().toMap
+    assert(upper == Map(1L -> 1L), s"got $upper")
+    // the spec-pinned occurrence definition: non-overlapping, left to
+    // right — 'aaa' in 'aaaa' is ONE hit, not two start offsets
+    val overlap = InvertedIndex.substringSearch(spark, "iidx_trinorm", docs, "aaa")
+      .as[(Long, Long)].collect().toMap
+    assert(overlap == Map(2L -> 1L), s"got $overlap")
+    // too-short after normalization fails loudly
+    assertThrows[IllegalArgumentException] {
+      InvertedIndex.substringSearch(spark, "iidx_trinorm", docs, "  ab ")
+    }
+    spark.sql("DROP TABLE IF EXISTS iidx_trinorm")
+  }
+
   test("sidecar tiers: catalog hit, metadata-only re-register, fingerprint-mismatch rebuild") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(50)
     val dir = freshDir("tiers")
