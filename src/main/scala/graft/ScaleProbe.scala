@@ -460,7 +460,15 @@ object ScaleProbe {
       val half = replicate(spark.read.parquet(s"$sfDir/embeddings.parquet")
         .select("vec_id", "embedding"), "vec_id", factor * 5)
       val nHalf = half.count()
-      val p = graft.index.Hnsw.Params(m = 8, efConstruction = 64, parts = 16)
+      // parts = max(integrity floor, build parallelism): autoParts is
+      // the MINIMUM that keeps every shard file under the scan split
+      // size (enforced by the probe-time part-count check); a build may
+      // always choose MORE shards for insert parallelism — 16 here
+      // keeps per-shard sequential construction at ~n/16 inserts
+      val autoP = graft.index.Hnsw.autoParts(nVec, 64)
+      val p = graft.index.Hnsw.Params(m = 8, efConstruction = 64,
+        parts = math.max(autoP, 16))
+      println(s"[scale] hnsw parts: autoParts=$autoP -> using ${math.max(autoP, 16)}")
       val dirA = java.nio.file.Files.createTempDirectory("graft_scale_hnsw_a")
       val dirB = java.nio.file.Files.createTempDirectory("graft_scale_hnsw_b")
       try {

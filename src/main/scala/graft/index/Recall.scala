@@ -25,9 +25,10 @@ import graft.ops.VectorSearch
 object Recall {
 
   final case class Report(lsh: Double, ivf: Double, ivfSpill: Double,
-      pq: Double, opq: Double, nQueries: Int, k: Int, nprobe: Int) {
+      pq: Double, opq: Double, nQueries: Int, k: Int, nprobe: Int,
+      hnsw: Double = 0.0, hnswEf16: Double = 0.0, hnswEf32: Double = 0.0) {
     def json: String =
-      f""""recall":{"lsh_at$k":$lsh%.3f,"ivf_at$k":$ivf%.3f,"ivf_spill_at$k":$ivfSpill%.3f,"pq_adc_at$k":$pq%.3f,"opq_adc_at$k":$opq%.3f,"n_queries":$nQueries,"nprobe":$nprobe}"""
+      f""""recall":{"lsh_at$k":$lsh%.3f,"ivf_at$k":$ivf%.3f,"ivf_spill_at$k":$ivfSpill%.3f,"pq_adc_at$k":$pq%.3f,"opq_adc_at$k":$opq%.3f,"hnsw_at$k":$hnsw%.3f,"hnsw_ef16_at$k":$hnswEf16%.3f,"hnsw_ef32_at$k":$hnswEf32%.3f,"n_queries":$nQueries,"nprobe":$nprobe}"""
   }
 
   /** recall@`k` of LSH (seeded BRP, the [[Ann]] defaults), pruned-IVF
@@ -65,6 +66,24 @@ object Recall {
     val codes = Pq.encode(corpus, cb).persist()
     val opqModel = Pq.fitOpq(corpus, m = 8, k = 64, maxSample = 8192)
     val opqCodes = Pq.encodeOpq(corpus, opqModel).persist()
+    // HNSW: the efSearch frontier (16/32/64) at the engine's build
+    // defaults — the recall-vs-beam-width curve a user must size, now
+    // measured per round like every other index family. The sharded
+    // graphs are built once and probed per-ef; each probe's per-shard
+    // candidates reduce to the global top-k with a per-query window.
+    val dim = qs.head._2.length
+    val hnswP = Hnsw.Params(m = 8, efConstruction = 64,
+      parts = Hnsw.autoParts(corpus.count(), dim))
+    val hnswLayout = Hnsw.build(corpus, hnswP, embCol = "embedding").persist()
+    hnswLayout.count()
+    def hnswTopK(ef: Int): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("q_id")).orderBy(col("dist").asc, col("vec_id").asc)
+      Hnsw.searchCandidates(hnswLayout, qs.toSeq, k, hnswP, efSearch = ef)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= k)
+        .select(col("q_id").as("query_id"), col("vec_id"))
+    }
 
     // one unioned plan per method: each branch is a bounded top-k
     def tagged(name: String, branches: Seq[DataFrame]): DataFrame =
@@ -82,7 +101,10 @@ object Recall {
       tagged("pq", qs.toSeq.map { case (qid, q) =>
         withQid(qid, Pq.search(codes, cb, q, k)) }),
       tagged("opq", qs.toSeq.map { case (qid, q) =>
-        withQid(qid, Pq.searchOpq(opqCodes, opqModel, q, k)) })
+        withQid(qid, Pq.searchOpq(opqCodes, opqModel, q, k)) }),
+      Seq(16, 32, 64).map(ef =>
+        hnswTopK(ef).select(lit(s"hnsw_ef$ef").as("method"),
+          col("query_id"), col("vec_id"))).reduce(_ union _)
     ).reduce(_ union _)
 
     val hits =
@@ -92,11 +114,12 @@ object Recall {
           .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
       } finally {
         gt.unpersist(); assigned.unpersist(); spilled.unpersist()
-        codes.unpersist(); opqCodes.unpersist()
+        codes.unpersist(); opqCodes.unpersist(); hnswLayout.unpersist()
       }
     val denom = (qs.length * k).toDouble
     def of(m: String): Double = hits.getOrElse(m, 0L) / denom
     Report(of("lsh"), of("ivf"), of("spill"), of("pq"), of("opq"),
-      qs.length, k, nprobe)
+      qs.length, k, nprobe,
+      hnsw = of("hnsw_ef64"), hnswEf16 = of("hnsw_ef16"), hnswEf32 = of("hnsw_ef32"))
   }
 }

@@ -213,6 +213,14 @@ class AnnSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     // can only improve (a top-1-assigned row is still in its list)
     assert(r.ivfSpill >= r.ivf,
       s"spilled recall ${r.ivfSpill} fell below plain IVF ${r.ivf}")
+    // the HNSW efSearch frontier: at the build defaults the ef=64 beam
+    // must recall essentially everything (the knn_hnsw_check invariant
+    // measured as a rate), and widening the beam never loses recall
+    info(f"hnsw@10: ef16=${r.hnswEf16}%.3f ef32=${r.hnswEf32}%.3f ef64=${r.hnsw}%.3f")
+    assert(r.hnsw >= 0.90, s"HNSW ef=64 recall degraded: ${r.hnsw}")
+    assert(r.hnswEf16 >= 0.60, s"HNSW ef=16 recall out of band: ${r.hnswEf16}")
+    assert(r.hnsw >= r.hnswEf32 - 0.05 && r.hnswEf32 >= r.hnswEf16 - 0.05,
+      s"efSearch frontier not monotone-ish: ${r.hnswEf16}/${r.hnswEf32}/${r.hnsw}")
     assert(r.lsh <= 1.0 && r.ivf <= 1.0 && r.ivfSpill <= 1.0)
     // the report line Bench embeds must be a valid JSON fragment
     val node = new com.fasterxml.jackson.databind.ObjectMapper()
