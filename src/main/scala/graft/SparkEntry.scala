@@ -1467,6 +1467,29 @@ object SparkEntry {
     * probe equals the scan. */
   private lazy val Bm25OracleSql: String = bm25Sql(20)
 
+  /** Brute-force contains-scan oracle shared by doc_substring_search
+    * (trigram-index path) and sql_substring_search (one-statement SQL
+    * path): deliberately NOT the index plan — matching hashes prove
+    * both index paths equal the definition. */
+  private lazy val SubstringOracleSql: String =
+    s"""WITH t AS (SELECT doc_id, $NormSql AS n FROM documents)
+       |SELECT doc_id,
+       |       CAST((len(n) - len(replace(n, 'merge batch', ''))) // 11 AS BIGINT) AS n_hits
+       |FROM t WHERE contains(n, 'merge batch')
+       |ORDER BY doc_id""".stripMargin
+
+  /** Brute-force token-slice oracle shared by doc_phrase_search and
+    * sql_phrase_search. */
+  private lazy val PhraseOracleSql: String =
+    s"""WITH t AS (SELECT doc_id, $ToksSql AS toks FROM documents),
+       |occ AS (SELECT doc_id,
+       |          CAST(len([i FOR i IN range(1, len(toks))
+       |                    IF toks[i] = 'hash' AND toks[i+1] = 'join']) AS BIGINT)
+       |            AS n_occurrences
+       |        FROM t)
+       |SELECT doc_id, n_occurrences FROM occ
+       |WHERE n_occurrences > 0 ORDER BY doc_id""".stripMargin
+
   /** The same BM25 oracle at an arbitrary cut — shared with the
     * hybrid-RRF retrieval oracle's candidate stage. */
   private def bm25Sql(topN: Int): String =
@@ -1942,6 +1965,80 @@ object SparkEntry {
           |       CAST(sum(CAST(floor(quality_score(n) * 1000000.0) AS BIGINT)) AS BIGINT) AS q_micro
           |FROM docs_norm_v
           |GROUP BY lang ORDER BY lang""".stripMargin)
+    }),
+
+    // SQL-surface retrieval #1: BM25 over the PERSISTED bucketed
+    // postings table as ONE spark.sql statement — the token IN filter
+    // bucket-prunes the scan exactly like the API path's isin, the
+    // corpus stats ride in as literals from the build sidecar, and the
+    // scoring SQL mirrors TextAnalysis.bm25ScoreOcc's expression tree
+    // term for term (same literals the DuckDB oracle quotes), so a
+    // SQL-first user gets bit-identical rankings. Shares
+    // doc_bm25_top20's oracle verbatim — the equivalence proof.
+    "sql_bm25_topk" -> ((s, dir) => {
+      val key = dirKey(dir)
+      val tmp = System.getProperty("java.io.tmpdir")
+      val stats = graft.text.InvertedIndex.ensure(s, docs(s, dir),
+        s"graft_post_$key", s"$tmp/graft_postings_$key", buckets = 8)
+      s.sql(
+        s"""WITH occ AS (SELECT doc_id, dl, token, tf FROM graft_post_$key
+           |             WHERE token IN ('spark', 'join', 'merge', 'window')),
+           |dft AS (SELECT token, count(1) AS dft FROM occ GROUP BY token),
+           |comp AS (SELECT doc_id,
+           |    CAST(floor(ln(1.0 + (CAST(${stats.nDocs} - dft AS DOUBLE) + 0.5) / (CAST(dft AS DOUBLE) + 0.5))
+           |      * ((CAST(tf AS DOUBLE) * 2.2) / (CAST(tf AS DOUBLE) + 1.2
+           |          * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / (CAST(${stats.sumDl} AS DOUBLE) / CAST(${stats.nDocs} AS DOUBLE))))))
+           |      * 1e6) AS BIGINT) AS comp
+           |  FROM occ JOIN dft USING (token))
+           |SELECT doc_id, CAST(sum(comp) AS BIGINT) AS bm25_micro, count(1) AS n_terms
+           |FROM comp GROUP BY doc_id
+           |ORDER BY bm25_micro DESC, doc_id LIMIT 20""".stripMargin)
+    }),
+
+    // SQL-surface retrieval #2: exact phrase search over the persisted
+    // positional index as ONE self-join statement — each leg's token
+    // equality bucket-prunes to one bucket, the adjacency condition is
+    // the textbook pos+1 intersection. Shares doc_phrase_search's
+    // brute-force oracle.
+    "sql_phrase_search" -> ((s, dir) => {
+      val key = dirKey(dir)
+      val tmp = System.getProperty("java.io.tmpdir")
+      graft.text.InvertedIndex.ensurePositional(s, docs(s, dir),
+        s"graft_pos_$key", s"$tmp/graft_positional_$key", buckets = 8)
+      s.sql(
+        s"""SELECT t0.doc_id AS doc_id, CAST(count(1) AS BIGINT) AS n_occurrences
+           |FROM graft_pos_$key t0 JOIN graft_pos_$key t1
+           |  ON t0.doc_id = t1.doc_id AND t1.pos = t0.pos + 1
+           |WHERE t0.token = 'hash' AND t1.token = 'join'
+           |GROUP BY t0.doc_id ORDER BY doc_id""".stripMargin)
+    }),
+
+    // SQL-surface retrieval #3: substring (LIKE '%needle%') search
+    // through the trigram index as ONE statement — the AND-intersected
+    // candidate CTE reads only the needle trigrams' buckets, broadcast
+    // into the corpus scan for exact verification; occurrence count by
+    // the same non-overlapping length arithmetic. Shares
+    // doc_substring_search's brute-force oracle.
+    "sql_substring_search" -> ((s, dir) => {
+      val key = dirKey(dir)
+      val tmp = System.getProperty("java.io.tmpdir")
+      graft.text.InvertedIndex.ensureTrigram(s, docs(s, dir),
+        s"graft_tri_$key", s"$tmp/graft_trigram_$key", buckets = 8)
+      docs(s, dir)
+        .select(col("doc_id").cast("long").as("doc_id"),
+          TextAnalysis.normalizeText(col("text")).as("n"))
+        .createOrReplaceTempView("docs_norm_sub_v")
+      val needle = "merge batch"
+      val tris = needle.sliding(3).toSeq.distinct
+      val triList = tris.map(t => s"'$t'").mkString(", ")
+      s.sql(
+        s"""WITH cand AS (SELECT doc_id FROM graft_tri_$key
+           |              WHERE tri IN ($triList)
+           |              GROUP BY doc_id HAVING count(DISTINCT tri) = ${tris.size}),
+           |hits AS (SELECT /*+ BROADCAST(cand) */ d.doc_id,
+           |           CAST((length(d.n) - length(replace(d.n, '$needle', ''))) / ${needle.length} AS BIGINT) AS n_hits
+           |         FROM docs_norm_sub_v d JOIN cand USING (doc_id))
+           |SELECT doc_id, n_hits FROM hits WHERE n_hits > 0 ORDER BY doc_id""".stripMargin)
     }),
 
     // Extension: batch k-NN similarity join (3 query vectors × corpus,
@@ -5817,16 +5914,15 @@ object SparkEntry {
     // the same rows through the persisted posting lists — the matching
     // hash is the equivalence proof (decontaminate_bloom's device).
     "doc_bm25_indexed" -> Bm25OracleSql,
+    // And the one-statement SQL surface over the same postings table.
+    "sql_bm25_topk" -> Bm25OracleSql,
 
     // Brute-force contains scan — deliberately NOT the index plan.
     // n_hits by the same exact length arithmetic (the diff is a
     // multiple of 11, so integer division is exact on both engines).
-    "doc_substring_search" ->
-      s"""WITH t AS (SELECT doc_id, $NormSql AS n FROM documents)
-         |SELECT doc_id,
-         |       CAST((len(n) - len(replace(n, 'merge batch', ''))) // 11 AS BIGINT) AS n_hits
-         |FROM t WHERE contains(n, 'merge batch')
-         |ORDER BY doc_id""".stripMargin,
+    "doc_substring_search" -> SubstringOracleSql,
+    // The one-statement SQL path must reproduce the identical rows.
+    "sql_substring_search" -> SubstringOracleSql,
 
     // Brute-force cross product of the two terms' positions per doc.
     "doc_proximity_search" ->
@@ -5841,15 +5937,9 @@ object SparkEntry {
 
     // Brute-force token-slice scan — deliberately NOT the index plan,
     // so the hash match proves the positional intersection correct.
-    "doc_phrase_search" ->
-      s"""WITH t AS (SELECT doc_id, $ToksSql AS toks FROM documents),
-         |occ AS (SELECT doc_id,
-         |          CAST(len([i FOR i IN range(1, len(toks))
-         |                    IF toks[i] = 'hash' AND toks[i+1] = 'join']) AS BIGINT)
-         |            AS n_occurrences
-         |        FROM t)
-         |SELECT doc_id, n_occurrences FROM occ
-         |WHERE n_occurrences > 0 ORDER BY doc_id""".stripMargin,
+    "doc_phrase_search" -> PhraseOracleSql,
+    // The one-statement SQL self-join path: identical rows required.
+    "sql_phrase_search" -> PhraseOracleSql,
 
     // Hybrid RRF: the BM25 candidate stage is the shared bm25Sql
     // builder at the wider cut; cosine uses the knn_cosine_top10

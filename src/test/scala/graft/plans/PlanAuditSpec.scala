@@ -598,4 +598,21 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(plan.contains("l2sq"), s"registered codegen kernel missing:\n$plan")
     assert(!plan.contains("ScalaUDF"), s"SQL path must stay codegen:\n$plan")
   }
+
+  test("SQL surface: one-statement BM25/phrase/substring bucket-prune like the API paths") {
+    // the declared sql_* retrieval queries must read ONLY the query
+    // terms' buckets of the persisted index tables — the same
+    // SelectedBucketsCount shape InvertedIndexSpec pins for the API
+    // path, here asserted on the spark.sql plans end to end
+    val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+    for (name <- Seq("sql_bm25_topk", "sql_phrase_search", "sql_substring_search")) {
+      val plan = graft.SparkEntry.queries(name)(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      val ms = sel.findAllMatchIn(plan).toSeq
+      assert(ms.nonEmpty, s"$name: no bucket pruning in plan:\n$plan")
+      ms.foreach(m => assert(m.group(1).toInt < m.group(2).toInt,
+        s"$name read every bucket (${m.group(1)}/${m.group(2)}):\n$plan"))
+      assert(!plan.contains("ScalaUDF"), s"$name must stay codegen:\n$plan")
+    }
+  }
 }
