@@ -56,6 +56,101 @@ object Artifact {
     s"""{"count":$count,"hash":$hash${if (ps.isEmpty) "" else s",$ps"}}"""
   }
 
+  /** Result of [[ensureBucketedTable]]: whether the data was
+    * (re)written, plus the parsed sidecar (build-time stats like a
+    * postings table's corpus counts ride here). */
+  final case class BucketedEnsure(
+      rebuilt: Boolean,
+      sidecar: com.fasterxml.jackson.databind.JsonNode)
+
+  /** The BUCKETED-TABLE variant of the ensure protocol — one shared
+    * implementation of the three-tier sidecar dance that the BM25
+    * postings, positional, and trigram indexes and the relational
+    * bucketed layouts all perform ([[graft.text.InvertedIndex]],
+    * [[graft.ops.Bucketed]]). Tiers, cheapest first:
+    *
+    *   1. table in this session's catalog AND sidecar present →
+    *      reuse, zero data touched (stats come from the sidecar);
+    *   2. sidecar fingerprint (count/hash/hsum/buckets/key) matches
+    *      the input → metadata-only re-registration of an EXTERNAL
+    *      bucketed table over the existing files;
+    *   3. otherwise → `build()` the rows, pay the one bucketed+sorted
+    *      write, record `extras` (build-time stats, raw JSON values)
+    *      in the sidecar — written LAST, so a crashed build never
+    *      looks complete.
+    *
+    * `fingerprint` is by-name: the catalog-hit tier never pays the
+    * input scan. Builds run under the same two-level dir lock as
+    * [[ensure]], so two processes sharing the artifact dir serialize
+    * and the loser reuses the winner's table. */
+  def ensureBucketedTable(
+      spark: org.apache.spark.sql.SparkSession,
+      table: String,
+      dir: String,
+      sidecarName: String,
+      buckets: Int,
+      key: String,
+      ddl: String,
+      fingerprint: => (Long, Long, String),
+      build: () => (DataFrame, Seq[(String, String)])): BucketedEnsure = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val sidecar = Paths.get(dir, sidecarName)
+    def readNode() = mapper.readTree(Files.readString(sidecar))
+    if (spark.catalog.tableExists(table) && Files.exists(sidecar))
+      return BucketedEnsure(rebuilt = false, readNode())
+    val (nRows, dataHash, hashSum) = fingerprint
+    def register(): Unit = {
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      spark.sql(
+        s"""CREATE TABLE $table ($ddl) USING PARQUET
+           |CLUSTERED BY ($key) SORTED BY ($key) INTO $buckets BUCKETS
+           |LOCATION '$dir'""".stripMargin)
+    }
+    def matches(node: com.fasterxml.jackson.databind.JsonNode): Boolean =
+      node.get("count").asLong() == nRows &&
+        node.get("hash").asLong() == dataHash &&
+        node.hasNonNull("hsum") && node.get("hsum").asText() == hashSum &&
+        node.get("buckets").asInt() == buckets &&
+        node.hasNonNull("key") && node.get("key").asText() == key
+    if (Files.exists(sidecar) && matches(readNode())) {
+      register()
+      return BucketedEnsure(rebuilt = false, readNode())
+    }
+    val dirPath = Paths.get(dir).toAbsolutePath.normalize
+    Files.createDirectories(dirPath)
+    dirPath.toString.intern.synchronized {
+      val ch = FileChannel.open(
+        dirPath.resolveSibling(dirPath.getFileName.toString + ".graft_lock"),
+        StandardOpenOption.CREATE, StandardOpenOption.WRITE)
+      val lock = ch.lock()
+      try {
+        if (Files.exists(sidecar) && matches(readNode())) {
+          // raced: the lock winner already rebuilt for this fingerprint
+          register()
+          BucketedEnsure(rebuilt = false, readNode())
+        } else {
+          val (rows, extras) = build()
+          spark.sql(s"DROP TABLE IF EXISTS $table")
+          rows.write
+            .mode("overwrite")
+            .option("path", dir)
+            .bucketBy(buckets, key)
+            .sortBy(key)
+            .format("parquet")
+            .saveAsTable(table)
+          val extraJson = extras.map { case (k, v) => s""","$k":$v""" }.mkString
+          Files.writeString(sidecar,
+            s"""{"count":$nRows,"hash":$dataHash,"hsum":"$hashSum","buckets":$buckets,"key":"$key"$extraJson}""")
+          BucketedEnsure(rebuilt = true, readNode())
+        }
+      } finally {
+        lock.release()
+        ch.close()
+      }
+    }
+  }
+
   /** Idempotently materialize an artifact at `dir`: if the sidecar
     * already holds `fingerprint`, return false (reused); otherwise run
     * `build` under the dir lock, write the sidecar last, return true.

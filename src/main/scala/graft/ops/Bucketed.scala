@@ -55,38 +55,12 @@ object Bucketed {
       dir: String,
       buckets: Int,
       key: String): Boolean = {
-    require(buckets > 0, s"buckets must be positive, got $buckets")
     require(df.columns.contains(key), s"bucket key '$key' not in ${df.columns.mkString(",")}")
-    if (spark.catalog.tableExists(table)) return false
-    val sidecar = java.nio.file.Paths.get(dir, sidecarName)
-    val (nRows, dataHash, hashSum) = fingerprint(df)
-    val ddl = df.schema.toDDL
-    if (java.nio.file.Files.exists(sidecar)) {
-      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-      val node = mapper.readTree(java.nio.file.Files.readString(sidecar))
-      if (node.get("count").asLong() == nRows &&
-          node.get("hash").asLong() == dataHash &&
-          node.hasNonNull("hsum") && node.get("hsum").asText() == hashSum &&
-          node.get("buckets").asInt() == buckets &&
-          node.get("key").asText() == key) {
-        spark.sql(
-          s"""CREATE TABLE $table ($ddl) USING PARQUET
-             |CLUSTERED BY ($key) SORTED BY ($key) INTO $buckets BUCKETS
-             |LOCATION '$dir'""".stripMargin)
-        return false
-      }
-    }
-    spark.sql(s"DROP TABLE IF EXISTS $table")
-    df.write
-      .mode("overwrite")
-      .option("path", dir)
-      .bucketBy(buckets, key)
-      .sortBy(key)
-      .format("parquet")
-      .saveAsTable(table)
-    java.nio.file.Files.writeString(sidecar,
-      s"""{"count":$nRows,"hash":$dataHash,"hsum":"$hashSum","buckets":$buckets,"key":"$key"}""")
-    true
+    graft.io.Artifact.ensureBucketedTable(
+      spark, table, dir, sidecarName, buckets, key,
+      ddl = df.schema.toDDL,
+      fingerprint = fingerprint(df),
+      build = () => (df, Seq.empty)).rebuilt
   }
 
   /** Per-order revenue over a bucketed lineitem joined to co-bucketed

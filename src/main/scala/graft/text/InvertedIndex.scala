@@ -45,9 +45,13 @@ object InvertedIndex {
   private val postingsDdl = "token STRING, doc_id BIGINT, tf BIGINT, dl BIGINT"
 
   /** Idempotently materialize the postings table for `df` at `dir` and
-    * return the corpus stats. Tiers, cheapest first: session catalog
-    * hit (stats from sidecar, zero data touched) → sidecar fingerprint
-    * match (metadata-only external-table registration) → full build. */
+    * return the corpus stats. The three sidecar tiers (catalog hit →
+    * metadata-only re-registration → full build) are the shared
+    * [[graft.io.Artifact.ensureBucketedTable]] protocol; only the
+    * build pass — tokenize, explode, (doc, token) aggregate — lives
+    * here. `dl` is the full token-array size (phantom '' of an empty
+    * text included) so the probe path reproduces bm25TopDocs
+    * bit-for-bit. */
   def ensure(
       spark: SparkSession,
       df: DataFrame,
@@ -56,53 +60,25 @@ object InvertedIndex {
       buckets: Int,
       idCol: String = "doc_id",
       textCol: String = "text"): CorpusStats = {
-    require(buckets > 0, s"buckets must be positive, got $buckets")
-    val sidecar = java.nio.file.Paths.get(dir, sidecarName)
-    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-    if (spark.catalog.tableExists(table) && java.nio.file.Files.exists(sidecar)) {
-      val node = mapper.readTree(java.nio.file.Files.readString(sidecar))
-      return CorpusStats(node.get("nDocs").asLong(), node.get("sumDl").asLong())
-    }
-    val (nRows, dataHash, hashSum) = fingerprint(df, idCol, textCol)
-    if (java.nio.file.Files.exists(sidecar)) {
-      val node = mapper.readTree(java.nio.file.Files.readString(sidecar))
-      if (node.get("count").asLong() == nRows &&
-          node.get("hash").asLong() == dataHash &&
-          node.hasNonNull("hsum") && node.get("hsum").asText() == hashSum &&
-          node.get("buckets").asInt() == buckets) {
-        spark.sql(s"DROP TABLE IF EXISTS $table")
-        spark.sql(
-          s"""CREATE TABLE $table ($postingsDdl) USING PARQUET
-             |CLUSTERED BY (token) SORTED BY (token) INTO $buckets BUCKETS
-             |LOCATION '$dir'""".stripMargin)
-        return CorpusStats(node.get("nDocs").asLong(), node.get("sumDl").asLong())
-      }
-    }
-    // the one paid pass: tokenize, explode, (doc, token) aggregate.
-    // dl is the full token-array size (phantom '' of an empty text
-    // included) so the probe path reproduces bm25TopDocs bit-for-bit.
-    val d = df.select(col(idCol).cast("long").as("doc_id"),
-        TextAnalysis.tokens(col(textCol)).as("t"))
-      .select(col("doc_id"), size(col("t")).cast("long").as("dl"), col("t"))
-    val stats = d.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl")).head()
-    val nDocs = stats.getLong(0)
-    val sumDl = if (stats.isNullAt(1)) 0L else stats.getLong(1)
-    val postings = d
-      .select(col("doc_id"), col("dl"), explode(col("t")).as("token"))
-      .groupBy(col("token"), col("doc_id"), col("dl"))
-      .agg(count(lit(1)).cast("long").as("tf"))
-      .select(col("token"), col("doc_id"), col("tf"), col("dl"))
-    spark.sql(s"DROP TABLE IF EXISTS $table")
-    postings.write
-      .mode("overwrite")
-      .option("path", dir)
-      .bucketBy(buckets, "token")
-      .sortBy("token")
-      .format("parquet")
-      .saveAsTable(table)
-    java.nio.file.Files.writeString(sidecar,
-      s"""{"count":$nRows,"hash":$dataHash,"hsum":"$hashSum","buckets":$buckets,"nDocs":$nDocs,"sumDl":$sumDl}""")
-    CorpusStats(nDocs, sumDl)
+    val r = graft.io.Artifact.ensureBucketedTable(
+      spark, table, dir, sidecarName, buckets, key = "token",
+      ddl = postingsDdl,
+      fingerprint = fingerprint(df, idCol, textCol),
+      build = () => {
+        val d = df.select(col(idCol).cast("long").as("doc_id"),
+            TextAnalysis.tokens(col(textCol)).as("t"))
+          .select(col("doc_id"), size(col("t")).cast("long").as("dl"), col("t"))
+        val stats = d.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl")).head()
+        val nDocs = stats.getLong(0)
+        val sumDl = if (stats.isNullAt(1)) 0L else stats.getLong(1)
+        val postings = d
+          .select(col("doc_id"), col("dl"), explode(col("t")).as("token"))
+          .groupBy(col("token"), col("doc_id"), col("dl"))
+          .agg(count(lit(1)).cast("long").as("tf"))
+          .select(col("token"), col("doc_id"), col("tf"), col("dl"))
+        (postings, Seq("nDocs" -> nDocs.toString, "sumDl" -> sumDl.toString))
+      })
+    CorpusStats(r.sidecar.get("nDocs").asLong(), r.sidecar.get("sumDl").asLong())
   }
 
   private val posSidecarName = "_graft_positional_sidecar.json"
@@ -124,39 +100,18 @@ object InvertedIndex {
       buckets: Int,
       idCol: String = "doc_id",
       textCol: String = "text"): Unit = {
-    require(buckets > 0, s"buckets must be positive, got $buckets")
-    val sidecar = java.nio.file.Paths.get(dir, posSidecarName)
-    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-    if (spark.catalog.tableExists(table) && java.nio.file.Files.exists(sidecar)) return
-    val (nRows, dataHash, hashSum) = fingerprint(df, idCol, textCol)
-    if (java.nio.file.Files.exists(sidecar)) {
-      val node = mapper.readTree(java.nio.file.Files.readString(sidecar))
-      if (node.get("count").asLong() == nRows &&
-          node.get("hash").asLong() == dataHash &&
-          node.hasNonNull("hsum") && node.get("hsum").asText() == hashSum &&
-          node.get("buckets").asInt() == buckets) {
-        spark.sql(s"DROP TABLE IF EXISTS $table")
-        spark.sql(
-          s"""CREATE TABLE $table ($posDdl) USING PARQUET
-             |CLUSTERED BY (token) SORTED BY (token) INTO $buckets BUCKETS
-             |LOCATION '$dir'""".stripMargin)
-        return
-      }
-    }
-    val postings = df
-      .select(col(idCol).cast("long").as("doc_id"),
-        posexplode(TextAnalysis.tokens(col(textCol))).as(Seq("pos", "token")))
-      .select(col("token"), col("doc_id"), col("pos").cast("int").as("pos"))
-    spark.sql(s"DROP TABLE IF EXISTS $table")
-    postings.write
-      .mode("overwrite")
-      .option("path", dir)
-      .bucketBy(buckets, "token")
-      .sortBy("token")
-      .format("parquet")
-      .saveAsTable(table)
-    java.nio.file.Files.writeString(sidecar,
-      s"""{"count":$nRows,"hash":$dataHash,"hsum":"$hashSum","buckets":$buckets}""")
+    graft.io.Artifact.ensureBucketedTable(
+      spark, table, dir, posSidecarName, buckets, key = "token",
+      ddl = posDdl,
+      fingerprint = fingerprint(df, idCol, textCol),
+      build = () => {
+        val postings = df
+          .select(col(idCol).cast("long").as("doc_id"),
+            posexplode(TextAnalysis.tokens(col(textCol))).as(Seq("pos", "token")))
+          .select(col("token"), col("doc_id"), col("pos").cast("int").as("pos"))
+        (postings, Seq.empty)
+      })
+    ()
   }
 
   /** Exact phrase search over the positional postings: the i-th term's
@@ -202,43 +157,22 @@ object InvertedIndex {
       buckets: Int,
       idCol: String = "doc_id",
       textCol: String = "text"): Unit = {
-    require(buckets > 0, s"buckets must be positive, got $buckets")
-    val sidecar = java.nio.file.Paths.get(dir, triSidecarName)
-    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-    if (spark.catalog.tableExists(table) && java.nio.file.Files.exists(sidecar)) return
-    val (nRows, dataHash, hashSum) = fingerprint(df, idCol, textCol)
-    if (java.nio.file.Files.exists(sidecar)) {
-      val node = mapper.readTree(java.nio.file.Files.readString(sidecar))
-      if (node.get("count").asLong() == nRows &&
-          node.get("hash").asLong() == dataHash &&
-          node.hasNonNull("hsum") && node.get("hsum").asText() == hashSum &&
-          node.get("buckets").asInt() == buckets) {
-        spark.sql(s"DROP TABLE IF EXISTS $table")
-        spark.sql(
-          s"""CREATE TABLE $table ($triDdl) USING PARQUET
-             |CLUSTERED BY (tri) SORTED BY (tri) INTO $buckets BUCKETS
-             |LOCATION '$dir'""".stripMargin)
-        return
-      }
-    }
-    val norm = TextAnalysis.normalizeText(col(textCol))
-    val postings = df
-      .select(col(idCol).cast("long").as("doc_id"),
-        array_distinct(transform(
-          sequence(lit(1), greatest(length(norm) - lit(2), lit(0))),
-          i => norm.substr(i, lit(3)))).as("tris"))
-      .select(col("doc_id"), explode(col("tris")).as("tri"))
-      .select(col("tri"), col("doc_id"))
-    spark.sql(s"DROP TABLE IF EXISTS $table")
-    postings.write
-      .mode("overwrite")
-      .option("path", dir)
-      .bucketBy(buckets, "tri")
-      .sortBy("tri")
-      .format("parquet")
-      .saveAsTable(table)
-    java.nio.file.Files.writeString(sidecar,
-      s"""{"count":$nRows,"hash":$dataHash,"hsum":"$hashSum","buckets":$buckets}""")
+    graft.io.Artifact.ensureBucketedTable(
+      spark, table, dir, triSidecarName, buckets, key = "tri",
+      ddl = triDdl,
+      fingerprint = fingerprint(df, idCol, textCol),
+      build = () => {
+        val norm = TextAnalysis.normalizeText(col(textCol))
+        val postings = df
+          .select(col(idCol).cast("long").as("doc_id"),
+            array_distinct(transform(
+              sequence(lit(1), greatest(length(norm) - lit(2), lit(0))),
+              i => norm.substr(i, lit(3)))).as("tris"))
+          .select(col("doc_id"), explode(col("tris")).as("tri"))
+          .select(col("tri"), col("doc_id"))
+        (postings, Seq.empty)
+      })
+    ()
   }
 
   /** The driver-side twin of [[TextAnalysis.normalizeText]] (space
