@@ -1492,8 +1492,13 @@ object SparkEntry {
 
   /** The same BM25 oracle at an arbitrary cut — shared with the
     * hybrid-RRF retrieval oracle's candidate stage. */
-  private def bm25Sql(topN: Int): String =
-    s"""WITH d AS (SELECT doc_id, len($ToksSql) AS dl, $ToksSql AS toks FROM documents),
+  private def bm25Sql(topN: Int): String = bm25SqlOver("documents", topN)
+
+  /** The BM25 oracle over an arbitrary (doc_id, text) relation —
+    * `stream_bm25_append` passes the base ∪ planted union so the
+    * delta-aware probe is scored against a from-scratch definition. */
+  private def bm25SqlOver(src: String, topN: Int): String =
+    s"""WITH d AS (SELECT doc_id, len($ToksSql) AS dl, $ToksSql AS toks FROM $src),
        |occ AS (SELECT doc_id, dl, tok AS token, CAST(count(*) AS BIGINT) AS tf
        |        FROM (SELECT doc_id, dl, unnest(toks) AS tok FROM d)
        |        WHERE tok IN ('spark', 'join', 'merge', 'window')
@@ -3918,6 +3923,45 @@ object SparkEntry {
       graft.index.Hnsw.searchLayoutDeltaAware(s, layoutDir, query, k = 10, p)
     }),
 
+    // Streaming BM25 postings maintenance — the TEXT-index leg of the
+    // incremental-store family (ninth store): three micro-batches of
+    // planted docs land as batch-keyed DELTA posting dirs, the third
+    // batch trips the maxDeltaDirs=2 auto-compaction (which folds the
+    // first two into the bucketed base and MERGES the sidecar's
+    // fingerprint + corpus stats — the mergeable-aggregate device, no
+    // source rescan), and the delta-aware probe scores base ∪ live
+    // delta with exact union stats. The oracle is a from-scratch BM25
+    // over documents ∪ planted — a matching hash proves append,
+    // compaction, stat merging, and probe all exact.
+    "stream_bm25_append" -> ((s, dir) => {
+      val corpus = docs(s, dir).select(col("doc_id"), col("text"))
+      val scratch = freshScratchDir(dir, "streambm25")
+      val idxDir = s"$scratch/postings"
+      val table = s"graft_poststream_${dirKey(dir)}"
+      s.sql(s"DROP TABLE IF EXISTS $table") // stale catalog entry from a prior replay
+      graft.text.InvertedIndex.ensure(s, corpus, table, idxDir, buckets = 8)
+      val planted = corpus.filter(col("doc_id") < 14)
+        .select((col("doc_id") + lit(8000000L)).as("doc_id"), col("text"))
+      val inDir = s"$scratch/in"
+      planted.filter(col("doc_id") < 8000008L).coalesce(1)
+        .write.mode("overwrite").parquet(inDir)
+      planted.filter(col("doc_id") >= 8000008L && col("doc_id") < 8000012L).coalesce(1)
+        .write.mode("append").parquet(inDir)
+      planted.filter(col("doc_id") >= 8000012L).coalesce(1)
+        .write.mode("append").parquet(inDir)
+      val stream = s.readStream.schema(planted.schema)
+        .option("maxFilesPerTrigger", 1).parquet(inDir)
+      val q = graft.streaming.StreamingIngest.streamingPostingsAppend(
+        stream, table, idxDir, s"$scratch/chk", buckets = 8, maxDeltaDirs = 2)
+      q.awaitTermination()
+      SparkEntry.streamStateRows.put("stream_bm25_append",
+        q.recentProgress.iterator
+          .map(pr => pr.stateOperators.map(_.numRowsTotal).sum)
+          .foldLeft(0L)(math.max))
+      graft.text.InvertedIndex.bm25SearchDeltaAware(s, table, idxDir,
+        terms = Seq("spark", "join", "merge", "window"))
+    }),
+
     "stream_ivf_append" -> ((s, dir) => {
       val corpus = emb(s, dir)
       val base = graft.index.Ivf.buildLayout(s, corpus,
@@ -5916,6 +5960,15 @@ object SparkEntry {
     "doc_bm25_indexed" -> Bm25OracleSql,
     // And the one-statement SQL surface over the same postings table.
     "sql_bm25_topk" -> Bm25OracleSql,
+
+    // From-scratch BM25 over documents ∪ the planted stream batches:
+    // the delta-aware probe (base + folded deltas + one live delta,
+    // merged stats) must reproduce it exactly.
+    "stream_bm25_append" -> bm25SqlOver(
+      """(SELECT doc_id, text FROM documents
+        | UNION ALL
+        | SELECT doc_id + 8000000 AS doc_id, text FROM documents WHERE doc_id < 14)""".stripMargin,
+      20),
 
     // Brute-force contains scan — deliberately NOT the index plan.
     // n_hits by the same exact length arithmetic (the diff is a

@@ -415,6 +415,40 @@ object StreamingIngest {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Streaming BM25 postings maintenance — the TEXT-index leg of the
+    * crawl loop, completing the incremental-store family (exact, near,
+    * IVF, HNSW, media, tokenize, LR, fuzzy, and now postings): every
+    * micro-batch of (doc_id, text) rows lands as a batch-keyed DELTA
+    * posting dir ([[graft.text.InvertedIndex.appendDelta]] —
+    * redelivery rewrites the same tag, never double-counts a term),
+    * the bucketed base is never rewritten per batch, and documents are
+    * BM25-searchable with exact merged corpus stats the moment their
+    * batch commits ([[graft.text.InvertedIndex.bm25SearchDeltaAware]]).
+    * Auto-compaction bounds the probe fan-out and — via the mergeable
+    * fingerprint — leaves a sidecar a fresh ensure over the union
+    * corpus will simply reuse. Executor state ZERO. */
+  def streamingPostingsAppend(
+      stream: DataFrame,
+      table: String,
+      dir: String,
+      checkpoint: String,
+      buckets: Int,
+      maxDeltaDirs: Int = 16): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val tag = s"${pipelineTag(checkpoint)}_b$batchId"
+        // excludeTags = the current batch's tag (redelivery safety —
+        // the HNSW/IVF legs' identical guard)
+        if (graft.text.InvertedIndex.deltaTags(dir).size >= maxDeltaDirs)
+          graft.text.InvertedIndex.compactDeltas(batch.sparkSession, table, dir,
+            buckets, excludeTags = Set(tag))
+        graft.text.InvertedIndex.appendDelta(batch.sparkSession, dir, batch, tag)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   def streamingIvfAppend(
       stream: DataFrame,
       layoutDir: String,

@@ -250,6 +250,178 @@ object InvertedIndex {
       .agg(min(abs(col("pa") - col("pb"))).cast("int").as("min_dist"))
   }
 
+  // ---------------------------------------------------------------
+  // Delta protocol — the IVF/HNSW incremental-store shape applied to
+  // the postings table: micro-batches land as per-batch DELTA posting
+  // dirs (tag-keyed OVERWRITE, idempotent under at-least-once
+  // redelivery), the bucketed base is never rewritten per batch, and
+  // probes score base ∪ deltas with MERGED corpus stats. The sidecar
+  // fingerprint aggregates (count, bit_xor, sum of per-row source
+  // hashes) are MERGEABLE, so compaction emits the exact fingerprint
+  // a fresh ensure over the union corpus would compute — no source
+  // text ever rescanned.
+  // ---------------------------------------------------------------
+
+  /** Deltas live BESIDE the bucketed data dir (never inside it — the
+    * registered table's file listing must not see them). */
+  private def deltaRoot(dir: String) = s"${dir}_deltas"
+  private val deltaStatsName = "_graft_delta_stats.json"
+
+  /** Append one batch of (id, text) docs as a delta posting dir:
+    * the batch pays its own tokenize+explode (batch-sized, never
+    * corpus-sized), and the delta's stats json records BOTH the BM25
+    * stat increments (nDocs, sumDl) and the mergeable source
+    * fingerprint terms (count, hash, hsum). Tag-keyed overwrite. */
+  def appendDelta(
+      spark: SparkSession,
+      dir: String,
+      batch: DataFrame,
+      tag: String,
+      idCol: String = "doc_id",
+      textCol: String = "text"): Unit = {
+    val (nRows, dataHash, hashSum) = fingerprint(batch, idCol, textCol)
+    val d = batch.select(col(idCol).cast("long").as("doc_id"),
+        TextAnalysis.tokens(col(textCol)).as("t"))
+      .select(col("doc_id"), size(col("t")).cast("long").as("dl"), col("t"))
+    val stats = d.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl")).head()
+    val nDocs = stats.getLong(0)
+    val sumDl = if (stats.isNullAt(1)) 0L else stats.getLong(1)
+    val postings = d
+      .select(col("doc_id"), col("dl"), explode(col("t")).as("token"))
+      .groupBy(col("token"), col("doc_id"), col("dl"))
+      .agg(count(lit(1)).cast("long").as("tf"))
+      .select(col("token"), col("doc_id"), col("tf"), col("dl"))
+    val out = s"${deltaRoot(dir)}/$tag"
+    postings.write.mode("overwrite").parquet(out)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(out, deltaStatsName),
+      s"""{"count":$nRows,"hash":$dataHash,"hsum":"$hashSum","nDocs":$nDocs,"sumDl":$sumDl}""")
+  }
+
+  /** Tags of the live deltas, sorted (probe fan-out width — bounded by
+    * the compaction policy). A delta is live only once its stats json
+    * exists (written last). */
+  def deltaTags(dir: String): Seq[String] = {
+    val root = java.nio.file.Paths.get(deltaRoot(dir))
+    if (!java.nio.file.Files.exists(root)) return Seq.empty
+    val s = java.nio.file.Files.list(root)
+    try {
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala
+        .filter(p => java.nio.file.Files.exists(p.resolve(deltaStatsName)))
+        .map(_.getFileName.toString)
+        .toSeq.sorted
+    } finally s.close()
+  }
+
+  private def deltaStats(dir: String, tag: String): com.fasterxml.jackson.databind.JsonNode =
+    new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+      java.nio.file.Files.readString(
+        java.nio.file.Paths.get(deltaRoot(dir), tag, deltaStatsName)))
+
+  /** The base table's corpus stats, read from its sidecar — the
+    * probe-time source of truth (a captured value goes stale the
+    * moment an auto-compaction folds deltas into the base). */
+  def sidecarStats(dir: String): CorpusStats = {
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+      java.nio.file.Files.readString(
+        java.nio.file.Paths.get(dir, sidecarName)))
+    CorpusStats(node.get("nDocs").asLong(), node.get("sumDl").asLong())
+  }
+
+  /** Corpus stats over base ∪ live deltas — O(deltas) json reads, no
+    * data touched. */
+  def statsDeltaAware(dir: String): CorpusStats =
+    deltaTags(dir).foldLeft(sidecarStats(dir)) { (acc, tag) =>
+      val n = deltaStats(dir, tag)
+      CorpusStats(acc.nDocs + n.get("nDocs").asLong(), acc.sumDl + n.get("sumDl").asLong())
+    }
+
+  /** BM25 over base ∪ deltas: the base leg is the bucket-pruned table
+    * probe, each delta leg is a batch-sized parquet read with the
+    * token filter pushed, stats are the merged totals, and scoring
+    * routes through the same shared expression tree — so results are
+    * IDENTICAL to a fresh build over the union corpus (spec-pinned and
+    * oracle-proven by stream_bm25_append). */
+  def bm25SearchDeltaAware(
+      spark: SparkSession,
+      table: String,
+      dir: String,
+      terms: Seq[String],
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      topN: Int = 20): DataFrame = {
+    require(terms.nonEmpty, "need at least one query term")
+    val base = spark.table(table)
+    val occ = deltaTags(dir).foldLeft(base) { (acc, tag) =>
+      acc.unionAll(spark.read.schema(base.schema)
+        .parquet(s"${deltaRoot(dir)}/$tag"))
+    }
+      .filter(col("token").isin(terms: _*))
+      .select(col("doc_id"), col("dl"), col("token"), col("tf"))
+    val merged = statsDeltaAware(dir)
+    val statsDf = spark.range(1).select(
+      lit(merged.nDocs).as("n_docs"), lit(merged.sumDl).as("sum_dl"))
+    TextAnalysis.bm25ScoreOcc(occ, statsDf, k1, b, topN, "doc_id")
+  }
+
+  /** Fold every live delta (minus `excludeTags` — the streaming
+    * auto-compaction passes the current batch's tag, the
+    * redelivery-safety contract of [[graft.index.Hnsw.compactDeltas]])
+    * into a rebuilt bucketed base: one bucketed shuffle over
+    * base ∪ delta POSTINGS (tokenization never repeated), and the new
+    * sidecar's fingerprint terms are the MERGED (count, xor, sum) —
+    * bit-equal to what a fresh [[ensure]] over the union source corpus
+    * computes, so the next ensure reuses instead of rebuilding.
+    * Single-writer, no concurrent probes. */
+  def compactDeltas(
+      spark: SparkSession,
+      table: String,
+      dir: String,
+      buckets: Int,
+      excludeTags: Set[String] = Set.empty): Unit = {
+    val tags = deltaTags(dir).filterNot(excludeTags)
+    if (tags.isEmpty) return
+    val sidecar = java.nio.file.Paths.get(dir, sidecarName)
+    val node = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(java.nio.file.Files.readString(sidecar))
+    var cnt = node.get("count").asLong()
+    var hsh = node.get("hash").asLong()
+    var hsum = BigInt(node.get("hsum").asText())
+    var nDocs = node.get("nDocs").asLong()
+    var sumDl = node.get("sumDl").asLong()
+    tags.foreach { tag =>
+      val d = deltaStats(dir, tag)
+      cnt += d.get("count").asLong()
+      hsh ^= d.get("hash").asLong()
+      hsum += BigInt(d.get("hsum").asText())
+      nDocs += d.get("nDocs").asLong()
+      sumDl += d.get("sumDl").asLong()
+    }
+    val base = spark.table(table)
+    val union = tags.foldLeft(base) { (acc, tag) =>
+      acc.unionAll(spark.read.schema(base.schema)
+        .parquet(s"${deltaRoot(dir)}/$tag"))
+    }.localCheckpoint()
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    union.write
+      .mode("overwrite")
+      .option("path", dir)
+      .bucketBy(buckets, "token")
+      .sortBy("token")
+      .format("parquet")
+      .saveAsTable(table)
+    java.nio.file.Files.writeString(sidecar,
+      s"""{"count":$cnt,"hash":$hsh,"hsum":"$hsum","buckets":$buckets,"key":"token","nDocs":$nDocs,"sumDl":$sumDl}""")
+    tags.foreach { t =>
+      val d = java.nio.file.Paths.get(deltaRoot(dir), t)
+      val walk = java.nio.file.Files.walk(d)
+      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => java.nio.file.Files.deleteIfExists(f))
+      finally walk.close()
+    }
+  }
+
   /** BM25 top-`topN` over the persisted postings: the probe filter on
     * the query terms prunes the bucketed scan to the terms' buckets
     * (SelectedBucketsCount in the plan), the pruned postings ARE the

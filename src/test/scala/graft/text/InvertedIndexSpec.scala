@@ -162,6 +162,71 @@ class InvertedIndexSpec extends AnyFunSuite {
     spark.sql("DROP TABLE IF EXISTS iidx_t")
   }
 
+  test("delta append: BM25 over base ∪ deltas equals a fresh build over the union corpus") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val dir = freshDir("delta")
+    InvertedIndex.ensure(spark, docs, "iidx_delta", dir, buckets = 4)
+    // two appended batches: copies of existing docs under new ids —
+    // they shift df_t, n_docs, and avg dl, so stale stats would show
+    import spark.implicits._
+    val b1 = docs.filter(col("doc_id") < 10)
+      .select((col("doc_id") + 8000000L).as("doc_id"), col("text"))
+    val b2 = docs.filter(col("doc_id") >= 10 && col("doc_id") < 15)
+      .select((col("doc_id") + 8100000L).as("doc_id"), col("text"))
+    InvertedIndex.appendDelta(spark, dir, b1, tag = "b1")
+    InvertedIndex.appendDelta(spark, dir, b1, tag = "b1") // redelivery: same tag overwrites
+    InvertedIndex.appendDelta(spark, dir, b2, tag = "b2")
+    assert(InvertedIndex.deltaTags(dir) == Seq("b1", "b2"))
+    val viaDeltas = InvertedIndex.bm25SearchDeltaAware(spark, "iidx_delta", dir, terms)
+      .as[(Long, Long, Long)].collect().toSeq
+    // ground truth: a fresh build over the union corpus
+    val union = docs.select(col("doc_id"), col("text")).unionAll(b1).unionAll(b2)
+    val dir2 = freshDir("deltaref")
+    val refStats = InvertedIndex.ensure(spark, union, "iidx_deltaref", dir2, buckets = 4)
+    val viaFresh = InvertedIndex.bm25Search(spark, "iidx_deltaref", refStats, terms)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(viaDeltas == viaFresh, s"delta-aware != fresh union build:\n$viaDeltas\n$viaFresh")
+    assert(InvertedIndex.statsDeltaAware(dir) == refStats,
+      "merged corpus stats must equal the fresh union build's")
+    spark.sql("DROP TABLE IF EXISTS iidx_delta")
+    spark.sql("DROP TABLE IF EXISTS iidx_deltaref")
+  }
+
+  test("compactDeltas: probe-invariant, deltas gone, merged fingerprint equals a fresh ensure") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(80)
+    val dir = freshDir("compact")
+    InvertedIndex.ensure(spark, docs, "iidx_compact", dir, buckets = 4)
+    val b1 = docs.filter(col("doc_id") < 6)
+      .select((col("doc_id") + 8200000L).as("doc_id"), col("text"))
+    val b2 = docs.filter(col("doc_id") >= 6 && col("doc_id") < 9)
+      .select((col("doc_id") + 8300000L).as("doc_id"), col("text"))
+    InvertedIndex.appendDelta(spark, dir, b1, tag = "c1")
+    InvertedIndex.appendDelta(spark, dir, b2, tag = "c2")
+    val before = InvertedIndex.bm25SearchDeltaAware(spark, "iidx_compact", dir,
+      terms).collect().toSeq
+    // excludeTags: c2 (the "current batch") must survive the fold
+    InvertedIndex.compactDeltas(spark, "iidx_compact", dir, buckets = 4,
+      excludeTags = Set("c2"))
+    assert(InvertedIndex.deltaTags(dir) == Seq("c2"), "excluded delta must stay live")
+    InvertedIndex.compactDeltas(spark, "iidx_compact", dir, buckets = 4)
+    assert(InvertedIndex.deltaTags(dir).isEmpty)
+    val after = InvertedIndex.bm25SearchDeltaAware(spark, "iidx_compact", dir,
+      terms).collect().toSeq
+    assert(after == before, "compaction must be invisible to probe results")
+    // the merged (count, xor, sum) fingerprint is bit-equal to a fresh
+    // ensure over the union source corpus: dropping the catalog entry
+    // forces the sidecar tier, which must RE-REGISTER, not rebuild
+    val sidecar = java.nio.file.Paths.get(dir, "_graft_postings_sidecar.json")
+    val t0 = java.nio.file.Files.getLastModifiedTime(sidecar)
+    spark.sql("DROP TABLE IF EXISTS iidx_compact")
+    val union = docs.select(col("doc_id"), col("text")).unionAll(b1).unionAll(b2)
+    val reused = InvertedIndex.ensure(spark, union, "iidx_compact", dir, buckets = 4)
+    assert(java.nio.file.Files.getLastModifiedTime(sidecar) == t0,
+      "post-compaction fingerprint must equal the union-corpus ensure (no rebuild)")
+    assert(reused == InvertedIndex.sidecarStats(dir))
+    spark.sql("DROP TABLE IF EXISTS iidx_compact")
+  }
+
   test("corpus stats count every doc, not just docs containing query terms") {
     val dir = freshDir("stats")
     import spark.implicits._
