@@ -2046,6 +2046,19 @@ object SparkEntry {
            |SELECT doc_id, n_hits FROM hits WHERE n_hits > 0 ORDER BY doc_id""".stripMargin)
     }),
 
+    // RANGE (radius) search — FAISS range_search: every vector within
+    // squared-L2 <= 2.0 of query vec 0, nearest-first. No top-k bound:
+    // the result is selectivity-sized by contract (epsilon-ball dup
+    // detection / recall harvesting). One narrow codegen scan; the
+    // boundary comparison is exact because both engines compute the
+    // identical left-associative float64 distance.
+    "knn_range" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0)
+      VectorSearch.rangeSearch(e, q, radiusSq = 2.0)
+    }),
+
     // Extension: batch k-NN similarity join (3 query vectors × corpus,
     // broadcast query side, per-query windowed top-k).
     "knn_join_top5" -> ((s, dir) => {
@@ -5397,6 +5410,16 @@ object SparkEntry {
          |SELECT e.vec_id AS vec_id, ${l2SqSql("e.embedding", "q.qe")} AS dist
          |FROM embeddings e CROSS JOIN q
          |ORDER BY dist ASC, vec_id ASC LIMIT 10""".stripMargin,
+
+    // The epsilon-ball with the exact kernel arithmetic; the <= 2.0
+    // boundary is bit-exact on both engines (identical left-assoc
+    // float64 distance), so membership can never disagree.
+    "knn_range" ->
+      s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         |d AS (SELECT e.vec_id AS vec_id, ${l2SqSql("e.embedding", "q.qe")} AS dist
+         |      FROM embeddings e CROSS JOIN q)
+         |SELECT vec_id, dist FROM d WHERE dist <= 2.0
+         |ORDER BY dist ASC, vec_id ASC""".stripMargin,
 
     // Same oracle as knn_exact_top10 — the SQL surface must produce
     // bit-identical distances through the registered function.

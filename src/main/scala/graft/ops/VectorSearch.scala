@@ -37,6 +37,30 @@ object VectorSearch {
       .limit(k)
   }
 
+  /** RANGE (radius) search — the FAISS `range_search` shape: every
+    * vector within squared-L2 ≤ `radiusSq` of the query,
+    * nearest-first, (dist, id) ties. Unlike top-k there is no result
+    * bound by construction — output scales with the radius's
+    * selectivity, which IS the operator's contract (duplicate
+    * detection, recall harvesting, epsilon-ball joins). 100 TB shape:
+    * one narrow codegen scan (kernel + comparison, both
+    * whole-stage-codegen) and the only exchange is the presentation
+    * sort over the selectivity-bounded matches — the corpus itself is
+    * never shuffled. */
+  def rangeSearch(
+      corpus: DataFrame,
+      queryVec: Seq[Float],
+      radiusSq: Double,
+      idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    require(radiusSq >= 0.0, s"radiusSq must be >= 0, got $radiusSq")
+    val q = lit(queryVec.toArray)
+    corpus
+      .select(col(idCol), Distances.l2Sq(col(embCol), q).as("dist"))
+      .filter(col("dist") <= lit(radiusSq))
+      .orderBy(col("dist").asc, col(idCol).asc)
+  }
+
   /** Exact k-NN where the query vector itself comes from a (1-row)
     * DataFrame — broadcast the query side, never the corpus. */
   def knnExactDf(

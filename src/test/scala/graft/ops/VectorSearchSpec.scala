@@ -252,6 +252,29 @@ class VectorSearchSpec extends AnyFunSuite {
     assert(relOnly.indexOf(2L) < relOnly.indexOf(3L))
   }
 
+  test("rangeSearch: exactly the epsilon-ball, nearest-first, radius 0 returns the query itself") {
+    import spark.implicits._
+    val rng = new scala.util.Random(53)
+    val corpus = (0L until 200L).map(i => (i, Array.fill(8)(rng.nextFloat() - 0.5f)))
+      .toDF("vec_id", "embedding")
+    val q = corpus.filter(org.apache.spark.sql.functions.col("vec_id") === 7L)
+      .collect().head.getSeq[Float](1)
+    val r = 0.3
+    val got = VectorSearch.rangeSearch(corpus, q, r)
+      .as[(Long, Double)].collect().toSeq
+    // reference: full distance table, filter, sort
+    val all = corpus.as[(Long, Array[Float])].collect().map { case (id, v) =>
+      var s = 0.0; var i = 0
+      while (i < v.length) { val d = v(i).toDouble - q(i).toDouble; s += d * d; i += 1 }
+      (id, s)
+    }
+    val want = all.filter(_._2 <= r).sortBy(t => (t._2, t._1)).toSeq
+    assert(got == want, s"epsilon-ball mismatch: $got vs $want")
+    assert(got.head._1 == 7L && got.head._2 == 0.0)
+    val self = VectorSearch.rangeSearch(corpus, q, 0.0).as[(Long, Double)].collect().toSeq
+    assert(self == Seq((7L, 0.0)))
+  }
+
   test("knnMmr: zero-norm embeddings (NaN cosine) are excluded, never crash the greedy loop") {
     import spark.implicits._
     val rng = new scala.util.Random(47)
