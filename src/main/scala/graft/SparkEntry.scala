@@ -1490,6 +1490,39 @@ object SparkEntry {
        |SELECT doc_id, n_occurrences FROM occ
        |WHERE n_occurrences > 0 ORDER BY doc_id""".stripMargin
 
+  /** Brute-force positions-cross-product oracle shared by
+    * doc_proximity_search (positional-index path) and
+    * sql_proximity_search (one-statement SQL path). */
+  private lazy val ProximityOracleSql: String =
+    s"""WITH t AS (SELECT doc_id, $ToksSql AS toks FROM documents),
+       |pa AS (SELECT doc_id, u.i AS p FROM t, unnest(range(1, len(toks) + 1)) AS u(i)
+       |       WHERE toks[i] = 'vector'),
+       |pb AS (SELECT doc_id, u.i AS p FROM t, unnest(range(1, len(toks) + 1)) AS u(i)
+       |       WHERE toks[i] = 'stream')
+       |SELECT pa.doc_id, CAST(min(abs(pa.p - pb.p)) AS INTEGER) AS min_dist
+       |FROM pa JOIN pb USING (doc_id)
+       |GROUP BY 1 ORDER BY doc_id""".stripMargin
+
+  /** Brute-force all-pairs probe × registry oracle shared by
+    * cust_fuzzy_lookup (API blocking path) and sql_fuzzy_lookup
+    * (one-statement SQL blocking path): deliberately NOT blocked, so
+    * each hash match is a completeness proof of that path's blocking. */
+  private lazy val FuzzyLookupOracleSql: String =
+    """WITH probes AS (
+      |  SELECT c_custkey AS probe_id,
+      |         substr(c_name, 1, cpos - 1) || CAST(new_d AS VARCHAR)
+      |           || substr(c_name, cpos + 1) AS probe_name
+      |  FROM (SELECT c_custkey, c_name,
+      |               CAST(c_custkey % 9 + 10 AS INT) AS cpos,
+      |               (CAST(substr(c_name, CAST(c_custkey % 9 + 10 AS INT), 1) AS BIGINT)
+      |                  + 1 + c_custkey % 9) % 10 AS new_d
+      |        FROM customer WHERE c_custkey % 97 = 0))
+      |SELECT p.probe_id, c.c_custkey,
+      |       CAST(levenshtein(p.probe_name, c.c_name) AS INTEGER) AS dist
+      |FROM probes p CROSS JOIN customer c
+      |WHERE levenshtein(p.probe_name, c.c_name) <= 1
+      |ORDER BY probe_id, c_custkey""".stripMargin
+
   /** The same BM25 oracle at an arbitrary cut — shared with the
     * hybrid-RRF retrieval oracle's candidate stage. */
   private def bm25Sql(topN: Int): String = bm25SqlOver("documents", topN)
@@ -1762,6 +1795,16 @@ object SparkEntry {
     val model = opqCache.computeIfAbsent(dir,
       _ => graft.index.Pq.fitOpq(corpus, m = 8, k = 64, maxSample = 8192))
     (model, graft.index.Pq.encodeOpq(corpus, model))
+  }
+
+  /** SQ8 sibling of [[pqIndex]]: same memo discipline. The fit is one
+    * exact distributed min/max aggregation — no sample, no seed. */
+  private val sqCache =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.index.Sq.SqModel]()
+
+  private def sqIndex(dir: String, corpus: DataFrame): (graft.index.Sq.SqModel, DataFrame) = {
+    val model = sqCache.computeIfAbsent(dir, _ => graft.index.Sq.fit(corpus))
+    (model, graft.index.Sq.encode(corpus, model))
   }
 
   /** Memoized IVF-PQ composition per sf-dir: the coarse quantizer, the
@@ -2044,6 +2087,67 @@ object SparkEntry {
            |           CAST((length(d.n) - length(replace(d.n, '$needle', ''))) / ${needle.length} AS BIGINT) AS n_hits
            |         FROM docs_norm_sub_v d JOIN cand USING (doc_id))
            |SELECT doc_id, n_hits FROM hits WHERE n_hits > 0 ORDER BY doc_id""".stripMargin)
+    }),
+
+    // SQL-surface retrieval #4: proximity (within-k) search over the
+    // persisted positional index as ONE self-join statement — both
+    // term legs bucket-prune to one bucket each, the min token gap is
+    // a plain GROUP BY. Shares doc_proximity_search's brute-force
+    // positions-cross-product oracle.
+    "sql_proximity_search" -> ((s, dir) => {
+      val key = dirKey(dir)
+      val tmp = System.getProperty("java.io.tmpdir")
+      graft.text.InvertedIndex.ensurePositional(s, docs(s, dir),
+        s"graft_pos_$key", s"$tmp/graft_positional_$key", buckets = 8)
+      s.sql(
+        s"""SELECT a.doc_id AS doc_id, CAST(min(abs(a.pos - b.pos)) AS INT) AS min_dist
+           |FROM graft_pos_$key a JOIN graft_pos_$key b ON a.doc_id = b.doc_id
+           |WHERE a.token = 'vector' AND b.token = 'stream'
+           |GROUP BY a.doc_id ORDER BY doc_id""".stripMargin)
+    }),
+
+    // SQL-surface entity resolution: the FastSS deletion-neighborhood
+    // lookup as ONE spark.sql statement. The k=1 signature sets are
+    // pure Spark SQL (transform/sequence lambdas — fully codegen, no
+    // UDF), the candidate equi-join broadcasts the probe side, and the
+    // exact filter is the built-in levenshtein. Shares
+    // cust_fuzzy_lookup's BRUTE-FORCE probe×registry oracle, so the
+    // hash match is a machine-checked completeness proof of the SQL
+    // blocking too. (The API path's maxLen raise_error guard is the
+    // library contract; a SQL user writing this statement owns the
+    // short-key trade explicitly.)
+    "sql_fuzzy_lookup" -> ((s, dir) => {
+      tbl(s, dir, "customer").select(col("c_custkey"), col("c_name"))
+        .createOrReplaceTempView("cust_fuzzy_v")
+      s.sql(
+        """WITH probes AS (
+          |  SELECT c_custkey AS probe_id,
+          |         concat(substring(c_name, 1, cpos - 1), CAST(new_d AS STRING),
+          |                substring(c_name, cpos + 1, 64)) AS probe_name
+          |  FROM (SELECT c_custkey, c_name,
+          |               CAST(c_custkey % 9 + 10 AS INT) AS cpos,
+          |               (CAST(substring(c_name, CAST(c_custkey % 9 + 10 AS INT), 1) AS BIGINT)
+          |                  + 1 + c_custkey % 9) % 10 AS new_d
+          |        FROM cust_fuzzy_v WHERE c_custkey % 97 = 0)),
+          |reg AS (SELECT c_custkey, c_name,
+          |          explode(array_union(array(c_name),
+          |            transform(sequence(1, length(c_name)),
+          |              i -> concat(substring(c_name, 1, i - 1),
+          |                          substring(c_name, i + 1, length(c_name)))))) AS sig
+          |        FROM cust_fuzzy_v),
+          |prb AS (SELECT probe_id, probe_name,
+          |          explode(array_union(array(probe_name),
+          |            transform(sequence(1, length(probe_name)),
+          |              i -> concat(substring(probe_name, 1, i - 1),
+          |                          substring(probe_name, i + 1, length(probe_name)))))) AS sig
+          |        FROM probes),
+          |cand AS (SELECT /*+ BROADCAST(prb) */ DISTINCT
+          |           prb.probe_id, prb.probe_name, reg.c_custkey, reg.c_name
+          |         FROM reg JOIN prb USING (sig))
+          |SELECT probe_id, c_custkey,
+          |       CAST(levenshtein(probe_name, c_name) AS INT) AS dist
+          |FROM cand WHERE levenshtein(probe_name, c_name) <= 1
+          |ORDER BY probe_id, c_custkey""".stripMargin)
     }),
 
     // RANGE (radius) search — FAISS range_search: every vector within
@@ -4069,6 +4173,24 @@ object SparkEntry {
         corpus, query, k = 10)
     }),
 
+    // Scalar quantization (SQ8) + exact re-rank: the 4×-compression
+    // rung of the quantization ladder (1-bit 64× < PQ/OPQ 32× < SQ8 4×
+    // < exact) — per-dimension min/max linear byte codes, ADC scan
+    // through the SAME codegen table-lookup kernel as PQ (m = dim,
+    // k = 256), exact re-rank of the shortlist. SQ8's distortion is
+    // low enough (measured recall: bench `sq8_adc_at10`) that a small
+    // shortlist recovers exact top-10, so it shares the brute-force
+    // oracle. The fit is ONE exact distributed min/max aggregation —
+    // seedless, sampleless, bit-reproducible.
+    "knn_sq8_rerank" -> ((s, dir) => {
+      val corpus = emb(s, dir)
+      val (model, enc) = sqIndex(dir, corpus)
+      val query = corpus.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).toArray
+      graft.index.Sq.searchRerank(enc, corpus, model, query, k = 10,
+        shortlist = 200)
+    }),
+
     // Recall-targeted index selection ("give me ≥0.9 recall@10 at
     // minimum probe cost"): AnnSelector MEASURES the recall/scan-cost
     // frontier of every approximate config (LSH, pruned IVF at several
@@ -6001,15 +6123,9 @@ object SparkEntry {
     "sql_substring_search" -> SubstringOracleSql,
 
     // Brute-force cross product of the two terms' positions per doc.
-    "doc_proximity_search" ->
-      s"""WITH t AS (SELECT doc_id, $ToksSql AS toks FROM documents),
-         |pa AS (SELECT doc_id, u.i AS p FROM t, unnest(range(1, len(toks) + 1)) AS u(i)
-         |       WHERE toks[i] = 'vector'),
-         |pb AS (SELECT doc_id, u.i AS p FROM t, unnest(range(1, len(toks) + 1)) AS u(i)
-         |       WHERE toks[i] = 'stream')
-         |SELECT pa.doc_id, CAST(min(abs(pa.p - pb.p)) AS INTEGER) AS min_dist
-         |FROM pa JOIN pb USING (doc_id)
-         |GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    "doc_proximity_search" -> ProximityOracleSql,
+    // The one-statement SQL self-join path: identical rows required.
+    "sql_proximity_search" -> ProximityOracleSql,
 
     // Brute-force token-slice scan — deliberately NOT the index plan,
     // so the hash match proves the positional intersection correct.
@@ -6809,6 +6925,16 @@ object SparkEntry {
          |FROM embeddings e CROSS JOIN q
          |ORDER BY dist ASC, vec_id ASC LIMIT 10""".stripMargin,
 
+    // SQ8 + re-rank converges to exact top-10 too (4× compression
+    // keeps per-dimension resolution, so a 200-code shortlist covers
+    // the true neighbors with wide margin — measured ADC recall in the
+    // bench record's sq8_adc_at10)
+    "knn_sq8_rerank" ->
+      s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+         |SELECT e.vec_id AS vec_id, ${l2SqSql("e.embedding", "q.qe")} AS dist
+         |FROM embeddings e CROSS JOIN q
+         |ORDER BY dist ASC, vec_id ASC LIMIT 10""".stripMargin,
+
     // Invariant summary (selection itself is not SQL-expressible): the
     // self-query is a guaranteed dist-0 candidate under every config,
     // the selector must find a ≥0.9-recall config cheaper than the
@@ -6950,21 +7076,9 @@ object SparkEntry {
     // BRUTE-FORCE all-pairs probe x registry — deliberately NOT the
     // blocked plan, so the hash match proves the segment blocking
     // misses no within-threshold pair on this corpus.
-    "cust_fuzzy_lookup" ->
-      """WITH probes AS (
-        |  SELECT c_custkey AS probe_id,
-        |         substr(c_name, 1, cpos - 1) || CAST(new_d AS VARCHAR)
-        |           || substr(c_name, cpos + 1) AS probe_name
-        |  FROM (SELECT c_custkey, c_name,
-        |               CAST(c_custkey % 9 + 10 AS INT) AS cpos,
-        |               (CAST(substr(c_name, CAST(c_custkey % 9 + 10 AS INT), 1) AS BIGINT)
-        |                  + 1 + c_custkey % 9) % 10 AS new_d
-        |        FROM customer WHERE c_custkey % 97 = 0))
-        |SELECT p.probe_id, c.c_custkey,
-        |       CAST(levenshtein(p.probe_name, c.c_name) AS INTEGER) AS dist
-        |FROM probes p CROSS JOIN customer c
-        |WHERE levenshtein(p.probe_name, c.c_name) <= 1
-        |ORDER BY probe_id, c_custkey""".stripMargin,
+    "cust_fuzzy_lookup" -> FuzzyLookupOracleSql,
+    // The one-statement SQL blocking path: identical rows required.
+    "sql_fuzzy_lookup" -> FuzzyLookupOracleSql,
 
     // Brute-force pairs + the same recursive transitive closure as the
     // dedup_clusters oracle; singletons canonicalize to themselves.

@@ -26,9 +26,10 @@ object Recall {
 
   final case class Report(lsh: Double, ivf: Double, ivfSpill: Double,
       pq: Double, opq: Double, nQueries: Int, k: Int, nprobe: Int,
-      hnsw: Double = 0.0, hnswEf16: Double = 0.0, hnswEf32: Double = 0.0) {
+      hnsw: Double = 0.0, hnswEf16: Double = 0.0, hnswEf32: Double = 0.0,
+      sq8: Double = 0.0) {
     def json: String =
-      f""""recall":{"lsh_at$k":$lsh%.3f,"ivf_at$k":$ivf%.3f,"ivf_spill_at$k":$ivfSpill%.3f,"pq_adc_at$k":$pq%.3f,"opq_adc_at$k":$opq%.3f,"hnsw_at$k":$hnsw%.3f,"hnsw_ef16_at$k":$hnswEf16%.3f,"hnsw_ef32_at$k":$hnswEf32%.3f,"n_queries":$nQueries,"nprobe":$nprobe}"""
+      f""""recall":{"lsh_at$k":$lsh%.3f,"ivf_at$k":$ivf%.3f,"ivf_spill_at$k":$ivfSpill%.3f,"pq_adc_at$k":$pq%.3f,"opq_adc_at$k":$opq%.3f,"sq8_adc_at$k":$sq8%.3f,"hnsw_at$k":$hnsw%.3f,"hnsw_ef16_at$k":$hnswEf16%.3f,"hnsw_ef32_at$k":$hnswEf32%.3f,"n_queries":$nQueries,"nprobe":$nprobe}"""
   }
 
   /** recall@`k` of LSH (seeded BRP, the [[Ann]] defaults), pruned-IVF
@@ -66,6 +67,10 @@ object Recall {
     val codes = Pq.encode(corpus, cb).persist()
     val opqModel = Pq.fitOpq(corpus, m = 8, k = 64, maxSample = 8192)
     val opqCodes = Pq.encodeOpq(corpus, opqModel).persist()
+    // SQ8: raw ADC top-k at 4× compression — the ladder rung between
+    // OPQ and exact whose measured recall sizes its rerank shortlist
+    val sqModel = Sq.fit(corpus)
+    val sqCodes = Sq.encode(corpus, sqModel).persist()
     // HNSW: the efSearch frontier (16/32/64) at the engine's build
     // defaults — the recall-vs-beam-width curve a user must size, now
     // measured per round like every other index family. The sharded
@@ -102,6 +107,8 @@ object Recall {
         withQid(qid, Pq.search(codes, cb, q, k)) }),
       tagged("opq", qs.toSeq.map { case (qid, q) =>
         withQid(qid, Pq.searchOpq(opqCodes, opqModel, q, k)) }),
+      tagged("sq8", qs.toSeq.map { case (qid, q) =>
+        withQid(qid, Sq.search(sqCodes, sqModel, q, k)) }),
       Seq(16, 32, 64).map(ef =>
         hnswTopK(ef).select(lit(s"hnsw_ef$ef").as("method"),
           col("query_id"), col("vec_id"))).reduce(_ union _)
@@ -114,12 +121,14 @@ object Recall {
           .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
       } finally {
         gt.unpersist(); assigned.unpersist(); spilled.unpersist()
-        codes.unpersist(); opqCodes.unpersist(); hnswLayout.unpersist()
+        codes.unpersist(); opqCodes.unpersist(); sqCodes.unpersist()
+        hnswLayout.unpersist()
       }
     val denom = (qs.length * k).toDouble
     def of(m: String): Double = hits.getOrElse(m, 0L) / denom
     Report(of("lsh"), of("ivf"), of("spill"), of("pq"), of("opq"),
       qs.length, k, nprobe,
-      hnsw = of("hnsw_ef64"), hnswEf16 = of("hnsw_ef16"), hnswEf32 = of("hnsw_ef32"))
+      hnsw = of("hnsw_ef64"), hnswEf16 = of("hnsw_ef16"), hnswEf32 = of("hnsw_ef32"),
+      sq8 = of("sq8"))
   }
 }

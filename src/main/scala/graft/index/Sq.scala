@@ -1,0 +1,166 @@
+package graft.index
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Scalar quantization (SQ8) — the simplest rung of the ANN
+  * compression ladder (the FAISS `ScalarQuantizer` QT_8bit idea,
+  * Jégou et al.'s uniform-quantizer baseline): each dimension is
+  * linearly mapped to one unsigned byte between its corpus-wide min
+  * and max, so a d-dim float32 vector (4·d bytes) becomes d bytes — a
+  * 4× compression with far lower distortion than PQ's 32× (the codes
+  * keep per-dimension resolution instead of sharing a centroid per
+  * subspace). The family completes the engine's quantization ladder:
+  * 1-bit signatures (64× — [[Binary]]) < PQ/OPQ (32× — [[Pq]]) <
+  * SQ8 (4× — this) < exact float32.
+  *
+  * Where it fits at 100 TB: SQ8 is the right choice when the codes
+  * must fit in cluster memory but recall matters more than maximal
+  * compression — its ADC top-k is usually exact-or-nearly-exact
+  * (measured per round in the bench recall dict: `sq8_adc_at10`),
+  * so the rerank shortlist can be small.
+  *
+  * Search uses asymmetric distance computation exactly like PQ: one
+  * per-query table with 256 entries per dimension
+  * (`t[d·256 + c] = (recon_d(c) − q_d)²`), then the per-row scan is d
+  * byte-indexed lookups — which is precisely [[Pq]]'s ADC shape with
+  * m = dim subspaces of k = 256, so the scan reuses the SAME codegen
+  * kernel ([[org.apache.spark.sql.graft.VectorExpressions.pqAdc]]):
+  * no new expression, no new plan shape, same bounded
+  * TakeOrderedAndProject.
+  *
+  * The trainer is one distributed aggregation (per-dimension min/max
+  * — exact, no sampling, no seed), so fits are bit-reproducible by
+  * construction and the model is 2·d floats.
+  */
+object Sq {
+
+  /** Per-dimension quantization bounds: codes map [vmin(d), vmax(d)]
+    * linearly onto [0, 255]. */
+  final case class SqModel(dim: Int, vmin: Array[Float], vmax: Array[Float]) {
+    require(vmin.length == dim && vmax.length == dim,
+      s"bounds arrays must have length $dim")
+  }
+
+  /** Exact per-dimension min/max over the corpus: posexplode to
+    * (dim, value) pairs, then ONE partial-aggregated groupBy — the
+    * map-side combine reduces every task to ≤ dim rows before the
+    * (dim-row) shuffle, so the explode never materializes. The collect
+    * is dim-bounded. */
+  def fit(df: DataFrame, embCol: String = "embedding"): SqModel = {
+    val rows = df
+      .select(posexplode(col(embCol)).as(Seq("d", "x")))
+      .groupBy(col("d"))
+      .agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
+      .collect()
+    require(rows.nonEmpty, "cannot fit SQ8 on an empty corpus")
+    val dim = rows.length
+    val vmin = new Array[Float](dim)
+    val vmax = new Array[Float](dim)
+    rows.foreach { r =>
+      val d = r.getInt(0)
+      vmin(d) = r.getFloat(1)
+      vmax(d) = r.getFloat(2)
+    }
+    SqModel(dim, vmin, vmax)
+  }
+
+  /** One dimension's byte code: round-to-nearest on the linear map to
+    * [0, 255], clamped (query-time vectors may exceed the training
+    * range); a degenerate dimension (vmin == vmax) codes to 0. All
+    * arithmetic in float64 with an explicit floor(x + 0.5) so encode
+    * is deterministic across JVMs. */
+  private def codeOf(x: Float, lo: Float, hi: Float): Byte = {
+    if (hi <= lo) 0.toByte
+    else {
+      val t = (x.toDouble - lo) * 255.0 / (hi.toDouble - lo)
+      val c = math.floor(t + 0.5)
+      (if (c < 0.0) 0 else if (c > 255.0) 255 else c.toInt).toByte
+    }
+  }
+
+  /** Reconstruction of one code: the linear map back (the quantizer's
+    * cell representative). */
+  private def reconOf(c: Int, lo: Float, hi: Float): Double =
+    if (hi <= lo) lo.toDouble
+    else lo.toDouble + c * (hi.toDouble - lo) / 255.0
+
+  /** Encode every row to `dim` one-byte codes (build step; broadcast
+    * model, per-partition amortized — [[Pq.encode]]'s shape). Output:
+    * (idCol, codes binary). */
+  def encode(
+      df: DataFrame,
+      model: SqModel,
+      idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(model)
+    val ds: Dataset[(Long, Array[Float])] =
+      df.select(col(idCol).cast("long"), col(embCol)).as[(Long, Array[Float])]
+    ds.mapPartitions { it =>
+      val m = bc.value
+      it.map { case (id, v) =>
+        require(v.length == m.dim, s"vector dim ${v.length} != model dim ${m.dim}")
+        val codes = new Array[Byte](m.dim)
+        var d = 0
+        while (d < m.dim) { codes(d) = codeOf(v(d), m.vmin(d), m.vmax(d)); d += 1 }
+        (id, codes)
+      }
+    }.toDF(idCol, "codes")
+  }
+
+  /** ADC lookup table for one query: `t[d·256 + c] = (recon_d(c) − q_d)²`
+    * — dim·256 doubles (32 KB at dim 16), embedded per query like the
+    * PQ table. */
+  def adcTable(model: SqModel, query: Array[Float]): Array[Double] = {
+    require(query.length == model.dim,
+      s"query dim ${query.length} != ${model.dim}")
+    val table = new Array[Double](model.dim * 256)
+    var d = 0
+    while (d < model.dim) {
+      var c = 0
+      while (c < 256) {
+        val diff = reconOf(c, model.vmin(d), model.vmax(d)) - query(d)
+        table(d * 256 + c) = diff * diff
+        c += 1
+      }
+      d += 1
+    }
+    table
+  }
+
+  /** Approximate top-k by SQ8 ADC over the encoded corpus — the same
+    * codegen table-lookup scan and bounded TakeOrderedAndProject as
+    * [[Pq.search]] (it IS that kernel, at m = dim, k = 256). */
+  def search(
+      encoded: DataFrame,
+      model: SqModel,
+      query: Array[Float],
+      k: Int,
+      idCol: String = "vec_id"): DataFrame = {
+    val table = adcTable(model, query)
+    encoded
+      .select(col(idCol),
+        org.apache.spark.sql.graft.VectorExpressions
+          .pqAdc(col("codes"), table, 256).as("dist"))
+      .orderBy(col("dist").asc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** SQ8 ADC shortlist + exact re-rank — the standard compressed-scan
+    * pipeline, sharing [[Pq.rerankShortlist]]. With SQ8's low
+    * distortion the true neighbors sit inside a modest shortlist, so
+    * the result equals exact top-k (oracle-verified at every SF). */
+  def searchRerank(
+      encoded: DataFrame,
+      corpus: DataFrame,
+      model: SqModel,
+      query: Array[Float],
+      k: Int,
+      shortlist: Int = 100,
+      idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame =
+    Pq.rerankShortlist(search(encoded, model, query, shortlist, idCol),
+      corpus, query, k, idCol, embCol)
+}

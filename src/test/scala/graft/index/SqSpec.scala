@@ -1,0 +1,99 @@
+package graft.index
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+import graft.ops.VectorSearch
+
+class SqSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val dim = 16
+  private lazy val corpus = {
+    val rng = new scala.util.Random(37)
+    (0L until 400L).map(i => (i, Array.fill(dim)(rng.nextFloat() * 4f - 2f)))
+      .toDF("vec_id", "embedding")
+  }
+
+  test("fit is the exact per-dim min/max and partitioning-invariant") {
+    val m = Sq.fit(corpus)
+    assert(m.dim == dim)
+    val rows = corpus.select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).toArray)
+    for (d <- 0 until dim) {
+      assert(m.vmin(d) == rows.map(_(d)).min, s"dim $d vmin")
+      assert(m.vmax(d) == rows.map(_(d)).max, s"dim $d vmax")
+    }
+    val m2 = Sq.fit(corpus.repartition(7))
+    assert(m.vmin.sameElements(m2.vmin) && m.vmax.sameElements(m2.vmax),
+      "min/max must be order-independent")
+  }
+
+  test("encode: one byte per dim, bounds map to 0/255, reconstruction error within half a cell") {
+    val m = Sq.fit(corpus)
+    val codes = Sq.encode(corpus, m).as[(Long, Array[Byte])].collect().toMap
+    val vecs = corpus.as[(Long, Array[Float])].collect().toMap
+    assert(codes.values.forall(_.length == dim))
+    vecs.foreach { case (id, v) =>
+      val c = codes(id)
+      for (d <- 0 until dim) {
+        val lo = m.vmin(d).toDouble; val hi = m.vmax(d).toDouble
+        val cell = (hi - lo) / 255.0
+        val recon = lo + (c(d) & 0xFF) * cell
+        assert(math.abs(recon - v(d)) <= cell / 2 + 1e-9,
+          s"vec $id dim $d: recon $recon vs ${v(d)} (cell $cell)")
+        // the extreme values must hit the code range's ends
+        if (v(d) == m.vmin(d)) assert((c(d) & 0xFF) == 0)
+        if (v(d) == m.vmax(d)) assert((c(d) & 0xFF) == 255)
+      }
+    }
+  }
+
+  test("encode handles a degenerate (constant) dimension without dividing by zero") {
+    val flat = (0L until 50L).map(i => (i, Array.fill(4)(1.5f)))
+      .toDF("vec_id", "embedding")
+    val m = Sq.fit(flat)
+    val codes = Sq.encode(flat, m).as[(Long, Array[Byte])].collect()
+    assert(codes.forall(_._2.forall(_ == 0.toByte)))
+    // and the ADC table reconstructs the constant exactly
+    val t = Sq.adcTable(m, Array.fill(4)(1.5f))
+    assert(t(0) == 0.0)
+  }
+
+  test("ADC search: self-query first at distance 0; rerank equals exact top-k") {
+    val m = Sq.fit(corpus)
+    val enc = Sq.encode(corpus, m)
+    val q = corpus.filter(col("vec_id") === 7L)
+      .select(col("embedding")).head().getSeq[Float](0).toArray
+    val adc = Sq.search(enc, m, q, 10).collect()
+    assert(adc.length == 10)
+    assert(adc.head.getLong(0) == 7L, "self-query must rank first under ADC")
+
+    val reranked = Sq.searchRerank(enc, corpus, m, q, k = 10, shortlist = 50)
+      .select("vec_id", "dist").as[(Long, Double)].collect().toSeq
+    val exact = VectorSearch.knnExact(corpus, q.toSeq, 10)
+      .select("vec_id", "dist").as[(Long, Double)].collect().toSeq
+    assert(reranked == exact, "SQ8 shortlist + exact rerank must equal exact top-k")
+  }
+
+  test("ADC scan plans the bounded heap through the codegen kernel, no UDF") {
+    val m = Sq.fit(corpus)
+    val enc = Sq.encode(corpus, m)
+    val q = corpus.filter(col("vec_id") === 0L)
+      .select(col("embedding")).head().getSeq[Float](0).toArray
+    val plan = Sq.search(enc, m, q, 10).queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"bounded heap missing:\n$plan")
+    assert(plan.contains("pq_adc"), s"codegen ADC kernel missing:\n$plan")
+    assert(!plan.contains("ScalaUDF"), s"must stay codegen:\n$plan")
+  }
+
+  test("measured recall: SQ8 ADC@10 is at least PQ ADC@10 on the shared fixture") {
+    // 4× compression with per-dim resolution must not recall worse
+    // than 32× PQ on the same corpus — the ladder's monotonicity
+    val r = Recall.measure(corpus, nQueries = 5, k = 10)
+    assert(r.sq8 >= r.pq, s"sq8 ${r.sq8} < pq ${r.pq}")
+    assert(r.sq8 >= 0.9, s"sq8 ADC recall ${r.sq8} unexpectedly low at dim16/400 rows")
+  }
+}

@@ -615,4 +615,25 @@ class PlanAuditSpec extends AnyFunSuite {
       assert(!plan.contains("ScalaUDF"), s"$name must stay codegen:\n$plan")
     }
   }
+
+  test("SQL surface: proximity self-join bucket-prunes; fuzzy lookup broadcasts, no cartesian") {
+    val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+    val prox = graft.SparkEntry.queries("sql_proximity_search")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    val ms = sel.findAllMatchIn(prox).toSeq
+    assert(ms.nonEmpty, s"sql_proximity_search: no bucket pruning in plan:\n$prox")
+    ms.foreach(m => assert(m.group(1).toInt < m.group(2).toInt,
+      s"sql_proximity_search read every bucket (${m.group(1)}/${m.group(2)}):\n$prox"))
+    assert(!prox.contains("ScalaUDF"), s"must stay codegen:\n$prox")
+
+    // the SQL blocking path must be a broadcast equi-join on the
+    // signature — never the oracle's all-pairs cross product
+    val fz = graft.SparkEntry.queries("sql_fuzzy_lookup")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(fz.contains("BroadcastHashJoin"),
+      s"sql_fuzzy_lookup: probe side must broadcast:\n$fz")
+    assert(!fz.contains("CartesianProduct"),
+      s"sql_fuzzy_lookup must never plan all-pairs:\n$fz")
+    assert(!fz.contains("ScalaUDF"), s"must stay codegen:\n$fz")
+  }
 }
