@@ -616,7 +616,8 @@ object SparkEntry {
     * bit-identical; round CTEs are MATERIALIZED (the chained-
     * derivation discipline — DuckDB inlines multiply-referenced CTEs
     * exponentially otherwise). */
-  private def quantKMeansOracleSql(k: Int, iters: Int, dim: Int = EmbDim): String = {
+  private def quantKMeansOracleSql(k: Int, iters: Int, dim: Int = EmbDim,
+      finalSelect: Option[String] = None): String = {
     val qExpr =
       s"[CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000 + 0.5) AS BIGINT) FOR i IN range(1, ${dim + 1})]"
     def assignCtes(r: Int, centTbl: String): String =
@@ -647,8 +648,9 @@ object SparkEntry {
        |  FROM (SELECT vec_id, qv FROM q ORDER BY vec_id LIMIT $k)),
        |$rounds,
        |${assignCtes(iters + 1, s"c$iters")}
-       |SELECT vec_id, cluster, dist AS dist_q
-       |FROM b${iters + 1} ORDER BY vec_id""".stripMargin
+       |${finalSelect.getOrElse(
+           s"""SELECT vec_id, cluster, dist AS dist_q
+              |FROM b${iters + 1} ORDER BY vec_id""".stripMargin)}""".stripMargin
   }
 
   /** SFT mask oracle: the turn table rebuilt in SQL (normalized
@@ -4438,6 +4440,22 @@ object SparkEntry {
         .orderBy(col("vec_id"))
     }),
 
+    // Embedding OUTLIER detection — the curation step after
+    // clustering: the 20 vectors farthest from their own (nearest)
+    // centroid under the deterministic quantized k-means model, i.e.
+    // the points no cluster explains — encoding garbage, off-
+    // distribution content, mislabeled modalities. Exact integer
+    // distances make the ranking engine-invariant; the cut is a
+    // bounded TakeOrdered, and the oracle replays the full training
+    // then takes the same top-20. At 100 TB this is one narrow
+    // assignment map (centroids are plan literals) + a k-row heap —
+    // no shuffle beyond the training rounds' k·d-cell aggregates.
+    "emb_outliers" -> ((s, dir) => {
+      graft.ops.QuantKMeans.fitAssign(emb(s, dir), k = 4, iters = 3, dim = EmbDim)
+        .orderBy(col("dist_q").desc, col("vec_id").asc)
+        .limit(20)
+    }),
+
     // HNSW — the index family the reference actually ships
     // (/root/reference/lib/hnsw/hnsw.h, Malkov & Yashunin TPAMI'18),
     // sharded: one deterministic sub-graph per hash shard, built once
@@ -5608,6 +5626,13 @@ object SparkEntry {
          |ORDER BY dist ASC, vec_id ASC LIMIT 10""".stripMargin,
 
     "emb_kmeans" -> quantKMeansOracleSql(k = 4, iters = 3),
+
+    // The same full training replay, cut to the 20 farthest-from-own-
+    // centroid vectors (dist DESC, id ASC) — the outlier ranking.
+    "emb_outliers" -> quantKMeansOracleSql(k = 4, iters = 3,
+      finalSelect = Some(
+        """SELECT vec_id, cluster, dist AS dist_q
+          |FROM b4 ORDER BY dist_q DESC, vec_id ASC LIMIT 20""".stripMargin)),
 
     // The HNSW probe must reproduce the exact ranking end-to-end (the
     // sharded graphs cover the corpus and each shard's beam returns its

@@ -96,4 +96,18 @@ class QuantKMeansSpec extends AnyFunSuite {
     assert(c2(0)(0) == Math.floorDiv(-300000L + -400001L, 2L),
       s"negative floor division must floor, not truncate: ${c2(0)(0)}")
   }
+
+  test("outlier cut: farthest-from-own-centroid ranking matches brute force, bounded heap") {
+    val rng = new scala.util.Random(11)
+    val rows = (0L until 200L).map(i => (i, Array.fill(dim)(rng.nextFloat() - 0.5f)))
+    val d = df(rows)
+    val all = QuantKMeans.fitAssign(d, k = 3, iters = 2, dim = dim)
+    val top = all.orderBy(col("dist_q").desc, col("vec_id").asc).limit(5)
+    val expected = all.as[(Long, Int, Long)].collect()
+      .sortBy { case (id, _, dist) => (-dist, id) }.take(5).toSeq
+    assert(top.as[(Long, Int, Long)].collect().toSeq == expected)
+    val plan = top.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"outlier cut must be the bounded heap:\n$plan")
+  }
 }
