@@ -1482,8 +1482,13 @@ object SparkEntry {
 
   /** Brute-force token-slice oracle shared by doc_phrase_search and
     * sql_phrase_search. */
-  private lazy val PhraseOracleSql: String =
-    s"""WITH t AS (SELECT doc_id, $ToksSql AS toks FROM documents),
+  private lazy val PhraseOracleSql: String = phraseSqlOver("documents")
+
+  /** The same phrase oracle over an arbitrary (doc_id, text) relation —
+    * `stream_phrase_append` passes the base ∪ planted union so the
+    * delta-aware probe is checked against a from-scratch definition. */
+  private def phraseSqlOver(src: String): String =
+    s"""WITH t AS (SELECT doc_id, $ToksSql AS toks FROM $src),
        |occ AS (SELECT doc_id,
        |          CAST(len([i FOR i IN range(1, len(toks))
        |                    IF toks[i] = 'hash' AND toks[i+1] = 'join']) AS BIGINT)
@@ -4081,6 +4086,49 @@ object SparkEntry {
         terms = Seq("spark", "join", "merge", "window"))
     }),
 
+    // Streaming POSITIONAL-index maintenance — the phrase-query leg of
+    // the incremental text-index family: the 12 lowest-id docs whose
+    // normalized text contains 'hash join' re-land (id-shifted) as
+    // three micro-batches of positional deltas, the third batch trips
+    // the maxDeltaDirs=2 auto-compaction (folding the first two into
+    // the bucketed base with MERGED fingerprints — no source rescan),
+    // and the delta-aware phrase probe intersects base ∪ live delta.
+    // The oracle is a from-scratch token-slice scan over documents ∪
+    // planted, so a matching hash proves append, compaction, and the
+    // positional intersection over mixed base/delta postings all exact.
+    "stream_phrase_append" -> ((s, dir) => {
+      val corpus = docs(s, dir).select(col("doc_id"), col("text"))
+      val scratch = freshScratchDir(dir, "streamphrase")
+      val idxDir = s"$scratch/positional"
+      val table = s"graft_posstream_${dirKey(dir)}"
+      s.sql(s"DROP TABLE IF EXISTS $table") // stale catalog entry from a prior replay
+      graft.text.InvertedIndex.ensurePositional(s, corpus, table, idxDir, buckets = 8)
+      val planted = corpus
+        .filter(graft.text.TextAnalysis.normalizeText(col("text")).contains("hash join"))
+        .orderBy(col("doc_id")).limit(12)
+        .select((col("doc_id") + lit(8200000L)).as("doc_id"), col("text"))
+        .localCheckpoint() // 12 rows; reused by the three batch writes
+      val inDir = s"$scratch/in"
+      planted.filter(col("doc_id") % 3 === 0).coalesce(1)
+        .write.mode("overwrite").parquet(inDir)
+      planted.filter(col("doc_id") % 3 === 1).coalesce(1)
+        .write.mode("append").parquet(inDir)
+      planted.filter(col("doc_id") % 3 === 2).coalesce(1)
+        .write.mode("append").parquet(inDir)
+      val stream = s.readStream.schema(planted.schema)
+        .option("maxFilesPerTrigger", 1).parquet(inDir)
+      val q = graft.streaming.StreamingIngest.streamingPositionalAppend(
+        stream, table, idxDir, s"$scratch/chk", buckets = 8, maxDeltaDirs = 2)
+      q.awaitTermination()
+      SparkEntry.streamStateRows.put("stream_phrase_append",
+        q.recentProgress.iterator
+          .map(pr => pr.stateOperators.map(_.numRowsTotal).sum)
+          .foldLeft(0L)(math.max))
+      graft.text.InvertedIndex.phraseSearchDeltaAware(s, table, idxDir,
+          Seq("hash", "join"))
+        .orderBy(col("doc_id"))
+    }),
+
     "stream_ivf_append" -> ((s, dir) => {
       val corpus = emb(s, dir)
       val base = graft.index.Ivf.buildLayout(s, corpus,
@@ -6139,6 +6187,17 @@ object SparkEntry {
         | UNION ALL
         | SELECT doc_id + 8000000 AS doc_id, text FROM documents WHERE doc_id < 14)""".stripMargin,
       20),
+
+    // From-scratch phrase scan over documents ∪ the planted stream
+    // batches: the delta-aware positional probe (base + folded deltas
+    // + one live delta) must reproduce it exactly.
+    "stream_phrase_append" -> phraseSqlOver(
+      s"""(SELECT doc_id, text FROM documents
+         | UNION ALL
+         | SELECT doc_id + 8200000 AS doc_id, text FROM
+         |   (SELECT doc_id, text FROM documents
+         |    WHERE contains($NormSql, 'hash join')
+         |    ORDER BY doc_id LIMIT 12))""".stripMargin),
 
     // Brute-force contains scan — deliberately NOT the index plan.
     // n_hits by the same exact length arithmetic (the diff is a

@@ -449,6 +449,33 @@ object StreamingIngest {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Streaming maintenance of the POSITIONAL index — the phrase-query
+    * leg of the incremental text-index family: each micro-batch lands
+    * as a tag-keyed positional delta dir (idempotent overwrite), and
+    * crossing `maxDeltaDirs` live deltas triggers a compaction that
+    * excludes the current batch's tag (redelivery safety — the
+    * HNSW/IVF/postings legs' identical guard). */
+  def streamingPositionalAppend(
+      stream: DataFrame,
+      table: String,
+      dir: String,
+      checkpoint: String,
+      buckets: Int,
+      maxDeltaDirs: Int = 16): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val tag = s"${pipelineTag(checkpoint)}_b$batchId"
+        if (graft.text.InvertedIndex.deltaTags(dir).size >= maxDeltaDirs)
+          graft.text.InvertedIndex.compactPositionalDeltas(
+            batch.sparkSession, table, dir, buckets, excludeTags = Set(tag))
+        graft.text.InvertedIndex.appendPositionalDelta(
+          batch.sparkSession, dir, batch, tag)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   def streamingIvfAppend(
       stream: DataFrame,
       layoutDir: String,

@@ -128,10 +128,16 @@ object InvertedIndex {
   def phraseSearch(
       spark: SparkSession,
       table: String,
-      phrase: Seq[String]): DataFrame = {
+      phrase: Seq[String]): DataFrame =
+    phraseOver(spark.table(table), phrase)
+
+  /** The positional intersection over an arbitrary (token, doc_id,
+    * pos) relation — shared by the bucketed-table probe and the
+    * delta-aware base ∪ deltas probe. */
+  private def phraseOver(postings: DataFrame, phrase: Seq[String]): DataFrame = {
     require(phrase.nonEmpty, "need at least one phrase term")
     val legs = phrase.zipWithIndex.map { case (t, i) =>
-      spark.table(table).filter(col("token") === t)
+      postings.filter(col("token") === t)
         .select(col("doc_id"), (col("pos") - lit(i)).as("start"))
     }
     legs.reduceLeft((a, b) => a.join(b, Seq("doc_id", "start")))
@@ -413,6 +419,110 @@ object InvertedIndex {
       .saveAsTable(table)
     java.nio.file.Files.writeString(sidecar,
       s"""{"count":$cnt,"hash":$hsh,"hsum":"$hsum","buckets":$buckets,"key":"token","nDocs":$nDocs,"sumDl":$sumDl}""")
+    tags.foreach { t =>
+      val d = java.nio.file.Paths.get(deltaRoot(dir), t)
+      val walk = java.nio.file.Files.walk(d)
+      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => java.nio.file.Files.deleteIfExists(f))
+      finally walk.close()
+    }
+  }
+
+  // ---------------------------------------------------------------
+  // Positional-index deltas — the same protocol applied to the
+  // (token, doc_id, pos) table: batch-tagged delta dirs beside the
+  // bucketed base, delta-aware phrase probes over base ∪ deltas, and
+  // a compaction whose merged fingerprint equals a fresh
+  // ensurePositional over the union corpus. Positional postings carry
+  // no corpus stats, so the delta json holds only the mergeable
+  // fingerprint terms.
+  // ---------------------------------------------------------------
+
+  /** Append one batch of (id, text) docs as a positional delta dir:
+    * the batch pays its own tokenize + posexplode (batch-sized), the
+    * stats json records the mergeable source fingerprint terms.
+    * Tag-keyed overwrite — idempotent under at-least-once redelivery. */
+  def appendPositionalDelta(
+      spark: SparkSession,
+      dir: String,
+      batch: DataFrame,
+      tag: String,
+      idCol: String = "doc_id",
+      textCol: String = "text"): Unit = {
+    val (nRows, dataHash, hashSum) = fingerprint(batch, idCol, textCol)
+    val postings = batch
+      .select(col(idCol).cast("long").as("doc_id"),
+        posexplode(TextAnalysis.tokens(col(textCol))).as(Seq("pos", "token")))
+      .select(col("token"), col("doc_id"), col("pos").cast("int").as("pos"))
+    val out = s"${deltaRoot(dir)}/$tag"
+    postings.write.mode("overwrite").parquet(out)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(out, deltaStatsName),
+      s"""{"count":$nRows,"hash":$dataHash,"hsum":"$hashSum"}""")
+  }
+
+  /** The positional postings over base ∪ live deltas: the base leg is
+    * the bucket-prunable registered table, each delta leg is a
+    * batch-sized parquet read with the token filter pushed. */
+  private def positionalWithDeltas(
+      spark: SparkSession, table: String, dir: String): DataFrame = {
+    val base = spark.table(table)
+    deltaTags(dir).foldLeft(base) { (acc, tag) =>
+      acc.unionAll(spark.read.schema(base.schema)
+        .parquet(s"${deltaRoot(dir)}/$tag"))
+    }
+  }
+
+  /** Exact phrase search over base ∪ deltas — identical results to a
+    * fresh positional build over the union corpus (oracle-proven by
+    * stream_phrase_append). */
+  def phraseSearchDeltaAware(
+      spark: SparkSession,
+      table: String,
+      dir: String,
+      phrase: Seq[String]): DataFrame =
+    phraseOver(positionalWithDeltas(spark, table, dir), phrase)
+
+  /** Fold every live positional delta (minus `excludeTags` — the
+    * redelivery-safety contract) into a rebuilt bucketed base; the new
+    * sidecar's fingerprint terms are the merged (count, xor, sum), so
+    * the next ensurePositional over the union corpus reuses instead of
+    * rebuilding. Single-writer, no concurrent probes. */
+  def compactPositionalDeltas(
+      spark: SparkSession,
+      table: String,
+      dir: String,
+      buckets: Int,
+      excludeTags: Set[String] = Set.empty): Unit = {
+    val tags = deltaTags(dir).filterNot(excludeTags)
+    if (tags.isEmpty) return
+    val sidecar = java.nio.file.Paths.get(dir, posSidecarName)
+    val node = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(java.nio.file.Files.readString(sidecar))
+    var cnt = node.get("count").asLong()
+    var hsh = node.get("hash").asLong()
+    var hsum = BigInt(node.get("hsum").asText())
+    tags.foreach { tag =>
+      val d = deltaStats(dir, tag)
+      cnt += d.get("count").asLong()
+      hsh ^= d.get("hash").asLong()
+      hsum += BigInt(d.get("hsum").asText())
+    }
+    val base = spark.table(table)
+    val union = tags.foldLeft(base) { (acc, tag) =>
+      acc.unionAll(spark.read.schema(base.schema)
+        .parquet(s"${deltaRoot(dir)}/$tag"))
+    }.localCheckpoint()
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    union.write
+      .mode("overwrite")
+      .option("path", dir)
+      .bucketBy(buckets, "token")
+      .sortBy("token")
+      .format("parquet")
+      .saveAsTable(table)
+    java.nio.file.Files.writeString(sidecar,
+      s"""{"count":$cnt,"hash":$hsh,"hsum":"$hsum","buckets":$buckets,"key":"token"}""")
     tags.foreach { t =>
       val d = java.nio.file.Paths.get(deltaRoot(dir), t)
       val walk = java.nio.file.Files.walk(d)

@@ -227,6 +227,52 @@ class InvertedIndexSpec extends AnyFunSuite {
     spark.sql("DROP TABLE IF EXISTS iidx_compact")
   }
 
+  test("positional deltas: phrase over base ∪ deltas equals a fresh build; compaction invariant") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(100)
+    val dir = freshDir("posdelta")
+    InvertedIndex.ensurePositional(spark, docs, "iidx_posd", dir, buckets = 4)
+    val b1 = Seq((9000001L, "hash join beats sort merge hash join"),
+      (9000002L, "hash then join later")).toDF("doc_id", "text")
+    val b2 = Seq((9000003L, "another hash join here")).toDF("doc_id", "text")
+    InvertedIndex.appendPositionalDelta(spark, dir, b1, tag = "p1")
+    InvertedIndex.appendPositionalDelta(spark, dir, b1, tag = "p1") // redelivery overwrite
+    InvertedIndex.appendPositionalDelta(spark, dir, b2, tag = "p2")
+    assert(InvertedIndex.deltaTags(dir) == Seq("p1", "p2"))
+    val viaDeltas = InvertedIndex.phraseSearchDeltaAware(
+      spark, "iidx_posd", dir, Seq("hash", "join")).as[(Long, Long)].collect().toMap
+    // planted docs visible with exact occurrence counts; the
+    // non-adjacent doc must not appear at all
+    assert(viaDeltas(9000001L) == 2L)
+    assert(!viaDeltas.contains(9000002L))
+    assert(viaDeltas(9000003L) == 1L)
+    // ground truth: fresh positional build over the union corpus
+    val union = docs.select(col("doc_id"), col("text")).unionAll(b1).unionAll(b2)
+    val dir2 = freshDir("posdeltaref")
+    InvertedIndex.ensurePositional(spark, union, "iidx_posdref", dir2, buckets = 4)
+    val viaFresh = InvertedIndex.phraseSearch(spark, "iidx_posdref", Seq("hash", "join"))
+      .as[(Long, Long)].collect().toMap
+    assert(viaDeltas == viaFresh, s"delta-aware != fresh union build:\n$viaDeltas\n$viaFresh")
+    // compaction: exclude the "current" tag, then fold everything; probe invariant
+    InvertedIndex.compactPositionalDeltas(spark, "iidx_posd", dir, buckets = 4,
+      excludeTags = Set("p2"))
+    assert(InvertedIndex.deltaTags(dir) == Seq("p2"), "excluded delta must stay live")
+    InvertedIndex.compactPositionalDeltas(spark, "iidx_posd", dir, buckets = 4)
+    assert(InvertedIndex.deltaTags(dir).isEmpty)
+    val after = InvertedIndex.phraseSearchDeltaAware(
+      spark, "iidx_posd", dir, Seq("hash", "join")).as[(Long, Long)].collect().toMap
+    assert(after == viaDeltas, "compaction must be invisible to probe results")
+    // merged fingerprint equals a fresh ensurePositional over the union
+    val sidecar = java.nio.file.Paths.get(dir, "_graft_positional_sidecar.json")
+    val t0 = java.nio.file.Files.getLastModifiedTime(sidecar)
+    spark.sql("DROP TABLE IF EXISTS iidx_posd")
+    InvertedIndex.ensurePositional(spark, union, "iidx_posd", dir, buckets = 4)
+    assert(java.nio.file.Files.getLastModifiedTime(sidecar) == t0,
+      "post-compaction fingerprint must equal the union-corpus ensure (no rebuild)")
+    spark.sql("DROP TABLE IF EXISTS iidx_posd")
+    spark.sql("DROP TABLE IF EXISTS iidx_posdref")
+  }
+
   test("corpus stats count every doc, not just docs containing query terms") {
     val dir = freshDir("stats")
     import spark.implicits._
