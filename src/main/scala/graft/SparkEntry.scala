@@ -1473,8 +1473,13 @@ object SparkEntry {
     * (trigram-index path) and sql_substring_search (one-statement SQL
     * path): deliberately NOT the index plan — matching hashes prove
     * both index paths equal the definition. */
-  private lazy val SubstringOracleSql: String =
-    s"""WITH t AS (SELECT doc_id, $NormSql AS n FROM documents)
+  private lazy val SubstringOracleSql: String = substringSqlOver("documents")
+
+  /** The same substring oracle over an arbitrary (doc_id, text)
+    * relation — `stream_substring_append` passes the base ∪ planted
+    * union. */
+  private def substringSqlOver(src: String): String =
+    s"""WITH t AS (SELECT doc_id, $NormSql AS n FROM $src)
        |SELECT doc_id,
        |       CAST((len(n) - len(replace(n, 'merge batch', ''))) // 11 AS BIGINT) AS n_hits
        |FROM t WHERE contains(n, 'merge batch')
@@ -4129,6 +4134,47 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Streaming TRIGRAM-index maintenance — the substring-search leg,
+    // completing the incremental protocol across all THREE text
+    // indexes (BM25 postings, positional, trigram): planted docs
+    // containing the needle re-land as three micro-batches of trigram
+    // deltas (compaction at maxDeltaDirs=2), and the delta-aware probe
+    // AND-intersects base ∪ live delta candidates before exact
+    // verification over the union corpus. From-scratch contains-scan
+    // oracle over documents ∪ planted.
+    "stream_substring_append" -> ((s, dir) => {
+      val corpus = docs(s, dir).select(col("doc_id"), col("text"))
+      val scratch = freshScratchDir(dir, "streamtri")
+      val idxDir = s"$scratch/trigram"
+      val table = s"graft_tristream_${dirKey(dir)}"
+      s.sql(s"DROP TABLE IF EXISTS $table") // stale catalog entry from a prior replay
+      graft.text.InvertedIndex.ensureTrigram(s, corpus, table, idxDir, buckets = 8)
+      val planted = corpus
+        .filter(graft.text.TextAnalysis.normalizeText(col("text")).contains("merge batch"))
+        .orderBy(col("doc_id")).limit(12)
+        .select((col("doc_id") + lit(8300000L)).as("doc_id"), col("text"))
+        .localCheckpoint() // ≤ 12 rows; reused by the three batch writes
+      val inDir = s"$scratch/in"
+      planted.filter(col("doc_id") % 3 === 0).coalesce(1)
+        .write.mode("overwrite").parquet(inDir)
+      planted.filter(col("doc_id") % 3 === 1).coalesce(1)
+        .write.mode("append").parquet(inDir)
+      planted.filter(col("doc_id") % 3 === 2).coalesce(1)
+        .write.mode("append").parquet(inDir)
+      val stream = s.readStream.schema(planted.schema)
+        .option("maxFilesPerTrigger", 1).parquet(inDir)
+      val q = graft.streaming.StreamingIngest.streamingTrigramAppend(
+        stream, table, idxDir, s"$scratch/chk", buckets = 8, maxDeltaDirs = 2)
+      q.awaitTermination()
+      SparkEntry.streamStateRows.put("stream_substring_append",
+        q.recentProgress.iterator
+          .map(pr => pr.stateOperators.map(_.numRowsTotal).sum)
+          .foldLeft(0L)(math.max))
+      graft.text.InvertedIndex.substringSearchDeltaAware(s, table, idxDir,
+          corpus.unionAll(planted), needle = "merge batch")
+        .orderBy(col("doc_id"))
+    }),
+
     "stream_ivf_append" -> ((s, dir) => {
       val corpus = emb(s, dir)
       val base = graft.index.Ivf.buildLayout(s, corpus,
@@ -6197,6 +6243,17 @@ object SparkEntry {
          | SELECT doc_id + 8200000 AS doc_id, text FROM
          |   (SELECT doc_id, text FROM documents
          |    WHERE contains($NormSql, 'hash join')
+         |    ORDER BY doc_id LIMIT 12))""".stripMargin),
+
+    // From-scratch contains scan over documents ∪ the planted stream
+    // batches: the delta-aware trigram candidates + exact verification
+    // over the union corpus must reproduce it exactly.
+    "stream_substring_append" -> substringSqlOver(
+      s"""(SELECT doc_id, text FROM documents
+         | UNION ALL
+         | SELECT doc_id + 8300000 AS doc_id, text FROM
+         |   (SELECT doc_id, text FROM documents
+         |    WHERE contains($NormSql, 'merge batch')
          |    ORDER BY doc_id LIMIT 12))""".stripMargin),
 
     // Brute-force contains scan — deliberately NOT the index plan.

@@ -476,6 +476,29 @@ object StreamingIngest {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Streaming maintenance of the TRIGRAM (substring) index — the
+    * third text-index leg; identical delta/compaction discipline. */
+  def streamingTrigramAppend(
+      stream: DataFrame,
+      table: String,
+      dir: String,
+      checkpoint: String,
+      buckets: Int,
+      maxDeltaDirs: Int = 16): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val tag = s"${pipelineTag(checkpoint)}_b$batchId"
+        if (graft.text.InvertedIndex.deltaTags(dir).size >= maxDeltaDirs)
+          graft.text.InvertedIndex.compactTrigramDeltas(
+            batch.sparkSession, table, dir, buckets, excludeTags = Set(tag))
+        graft.text.InvertedIndex.appendTrigramDelta(
+          batch.sparkSession, dir, batch, tag)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   def streamingIvfAppend(
       stream: DataFrame,
       layoutDir: String,

@@ -104,13 +104,7 @@ object InvertedIndex {
       spark, table, dir, posSidecarName, buckets, key = "token",
       ddl = posDdl,
       fingerprint = fingerprint(df, idCol, textCol),
-      build = () => {
-        val postings = df
-          .select(col(idCol).cast("long").as("doc_id"),
-            posexplode(TextAnalysis.tokens(col(textCol))).as(Seq("pos", "token")))
-          .select(col("token"), col("doc_id"), col("pos").cast("int").as("pos"))
-        (postings, Seq.empty)
-      })
+      build = () => (positionalPostingsOf(df, idCol, textCol), Seq.empty))
     ()
   }
 
@@ -167,17 +161,7 @@ object InvertedIndex {
       spark, table, dir, triSidecarName, buckets, key = "tri",
       ddl = triDdl,
       fingerprint = fingerprint(df, idCol, textCol),
-      build = () => {
-        val norm = TextAnalysis.normalizeText(col(textCol))
-        val postings = df
-          .select(col(idCol).cast("long").as("doc_id"),
-            array_distinct(transform(
-              sequence(lit(1), greatest(length(norm) - lit(2), lit(0))),
-              i => norm.substr(i, lit(3)))).as("tris"))
-          .select(col("doc_id"), explode(col("tris")).as("tri"))
-          .select(col("tri"), col("doc_id"))
-        (postings, Seq.empty)
-      })
+      build = () => (trigramPostingsOf(df, idCol, textCol), Seq.empty))
     ()
   }
 
@@ -215,11 +199,22 @@ object InvertedIndex {
       corpus: DataFrame,
       needle: String,
       idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text"): DataFrame =
+    substringOver(spark.table(table), corpus, needle, idCol, textCol)
+
+  /** The trigram-candidate + exact-verify pipeline over an arbitrary
+    * (tri, doc_id) relation — shared by the bucketed-table probe and
+    * the delta-aware base ∪ deltas probe. */
+  private def substringOver(
+      postings: DataFrame,
+      corpus: DataFrame,
+      needle: String,
+      idCol: String,
+      textCol: String): DataFrame = {
     val n = normalizeNeedle(needle)
     require(n.length >= 3, s"needle must be >= 3 chars after normalization, got '$n'")
     val tris = n.sliding(3).toSeq.distinct
-    val cand = spark.table(table)
+    val cand = postings
       .filter(col("tri").isin(tris: _*))
       .groupBy(col("doc_id"))
       .agg(count_distinct(col("tri")).as("nt"))
@@ -429,31 +424,43 @@ object InvertedIndex {
   }
 
   // ---------------------------------------------------------------
-  // Positional-index deltas — the same protocol applied to the
-  // (token, doc_id, pos) table: batch-tagged delta dirs beside the
-  // bucketed base, delta-aware phrase probes over base ∪ deltas, and
-  // a compaction whose merged fingerprint equals a fresh
-  // ensurePositional over the union corpus. Positional postings carry
-  // no corpus stats, so the delta json holds only the mergeable
-  // fingerprint terms.
+  // Positional- and trigram-index deltas — the same protocol applied
+  // to the (token, doc_id, pos) and (tri, doc_id) tables: batch-tagged
+  // delta dirs beside the bucketed base, delta-aware probes over
+  // base ∪ deltas, and a compaction whose merged fingerprint equals a
+  // fresh ensure over the union corpus. Neither table carries corpus
+  // stats, so the delta json holds only the mergeable fingerprint
+  // terms and both compactions share one implementation.
   // ---------------------------------------------------------------
 
-  /** Append one batch of (id, text) docs as a positional delta dir:
-    * the batch pays its own tokenize + posexplode (batch-sized), the
-    * stats json records the mergeable source fingerprint terms.
-    * Tag-keyed overwrite — idempotent under at-least-once redelivery. */
-  def appendPositionalDelta(
-      spark: SparkSession,
-      dir: String,
-      batch: DataFrame,
-      tag: String,
-      idCol: String = "doc_id",
-      textCol: String = "text"): Unit = {
-    val (nRows, dataHash, hashSum) = fingerprint(batch, idCol, textCol)
-    val postings = batch
-      .select(col(idCol).cast("long").as("doc_id"),
+  /** The positional posting rows of one (id, text) relation — shared
+    * by [[ensurePositional]]'s build and [[appendPositionalDelta]]. */
+  private def positionalPostingsOf(
+      df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).cast("long").as("doc_id"),
         posexplode(TextAnalysis.tokens(col(textCol))).as(Seq("pos", "token")))
       .select(col("token"), col("doc_id"), col("pos").cast("int").as("pos"))
+
+  /** The distinct-trigram posting rows of one (id, text) relation —
+    * shared by [[ensureTrigram]]'s build and [[appendTrigramDelta]]. */
+  private def trigramPostingsOf(
+      df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val norm = TextAnalysis.normalizeText(col(textCol))
+    df.select(col(idCol).cast("long").as("doc_id"),
+        array_distinct(transform(
+          sequence(lit(1), greatest(length(norm) - lit(2), lit(0))),
+          i => norm.substr(i, lit(3)))).as("tris"))
+      .select(col("doc_id"), explode(col("tris")).as("tri"))
+      .select(col("tri"), col("doc_id"))
+  }
+
+  /** Append one batch as a tag-keyed delta dir holding `postings`,
+    * with the batch's mergeable source-fingerprint terms in the stats
+    * json (written last). Idempotent overwrite under redelivery. */
+  private def appendSimpleDelta(
+      dir: String, tag: String, postings: DataFrame,
+      batchFingerprint: (Long, Long, String)): Unit = {
+    val (nRows, dataHash, hashSum) = batchFingerprint
     val out = s"${deltaRoot(dir)}/$tag"
     postings.write.mode("overwrite").parquet(out)
     java.nio.file.Files.writeString(
@@ -461,10 +468,34 @@ object InvertedIndex {
       s"""{"count":$nRows,"hash":$dataHash,"hsum":"$hashSum"}""")
   }
 
-  /** The positional postings over base ∪ live deltas: the base leg is
-    * the bucket-prunable registered table, each delta leg is a
-    * batch-sized parquet read with the token filter pushed. */
-  private def positionalWithDeltas(
+  /** Positional delta: the batch pays its own tokenize + posexplode
+    * (batch-sized, never corpus-sized). */
+  def appendPositionalDelta(
+      spark: SparkSession,
+      dir: String,
+      batch: DataFrame,
+      tag: String,
+      idCol: String = "doc_id",
+      textCol: String = "text"): Unit =
+    appendSimpleDelta(dir, tag, positionalPostingsOf(batch, idCol, textCol),
+      fingerprint(batch, idCol, textCol))
+
+  /** Trigram delta: the batch pays its own normalize + trigram
+    * explode (batch-sized). */
+  def appendTrigramDelta(
+      spark: SparkSession,
+      dir: String,
+      batch: DataFrame,
+      tag: String,
+      idCol: String = "doc_id",
+      textCol: String = "text"): Unit =
+    appendSimpleDelta(dir, tag, trigramPostingsOf(batch, idCol, textCol),
+      fingerprint(batch, idCol, textCol))
+
+  /** Postings over base ∪ live deltas: the base leg is the
+    * bucket-prunable registered table, each delta leg is a batch-sized
+    * parquet read with the probe filter pushed. */
+  private def withDeltas(
       spark: SparkSession, table: String, dir: String): DataFrame = {
     val base = spark.table(table)
     deltaTags(dir).foldLeft(base) { (acc, tag) =>
@@ -481,22 +512,39 @@ object InvertedIndex {
       table: String,
       dir: String,
       phrase: Seq[String]): DataFrame =
-    phraseOver(positionalWithDeltas(spark, table, dir), phrase)
+    phraseOver(withDeltas(spark, table, dir), phrase)
 
-  /** Fold every live positional delta (minus `excludeTags` — the
-    * redelivery-safety contract) into a rebuilt bucketed base; the new
-    * sidecar's fingerprint terms are the merged (count, xor, sum), so
-    * the next ensurePositional over the union corpus reuses instead of
-    * rebuilding. Single-writer, no concurrent probes. */
-  def compactPositionalDeltas(
+  /** Substring search over base ∪ deltas: candidates AND-intersect the
+    * union postings, verification runs over the caller's (union)
+    * corpus — identical results to a fresh trigram build (oracle-
+    * proven by stream_substring_append). */
+  def substringSearchDeltaAware(
+      spark: SparkSession,
+      table: String,
+      dir: String,
+      corpus: DataFrame,
+      needle: String,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    substringOver(withDeltas(spark, table, dir), corpus, needle, idCol, textCol)
+
+  /** Fold every live delta (minus `excludeTags` — the redelivery-
+    * safety contract) of a stats-free posting table into a rebuilt
+    * bucketed base; the new sidecar's fingerprint terms are the merged
+    * (count, xor, sum), so the next ensure over the union corpus
+    * reuses instead of rebuilding. Single-writer, no concurrent
+    * probes. Shared by the positional and trigram compactions. */
+  private def compactSimpleDeltas(
       spark: SparkSession,
       table: String,
       dir: String,
       buckets: Int,
-      excludeTags: Set[String] = Set.empty): Unit = {
+      sidecarFile: String,
+      key: String,
+      excludeTags: Set[String]): Unit = {
     val tags = deltaTags(dir).filterNot(excludeTags)
     if (tags.isEmpty) return
-    val sidecar = java.nio.file.Paths.get(dir, posSidecarName)
+    val sidecar = java.nio.file.Paths.get(dir, sidecarFile)
     val node = new com.fasterxml.jackson.databind.ObjectMapper()
       .readTree(java.nio.file.Files.readString(sidecar))
     var cnt = node.get("count").asLong()
@@ -517,12 +565,12 @@ object InvertedIndex {
     union.write
       .mode("overwrite")
       .option("path", dir)
-      .bucketBy(buckets, "token")
-      .sortBy("token")
+      .bucketBy(buckets, key)
+      .sortBy(key)
       .format("parquet")
       .saveAsTable(table)
     java.nio.file.Files.writeString(sidecar,
-      s"""{"count":$cnt,"hash":$hsh,"hsum":"$hsum","buckets":$buckets,"key":"token"}""")
+      s"""{"count":$cnt,"hash":$hsh,"hsum":"$hsum","buckets":$buckets,"key":"$key"}""")
     tags.foreach { t =>
       val d = java.nio.file.Paths.get(deltaRoot(dir), t)
       val walk = java.nio.file.Files.walk(d)
@@ -531,6 +579,24 @@ object InvertedIndex {
       finally walk.close()
     }
   }
+
+  def compactPositionalDeltas(
+      spark: SparkSession,
+      table: String,
+      dir: String,
+      buckets: Int,
+      excludeTags: Set[String] = Set.empty): Unit =
+    compactSimpleDeltas(spark, table, dir, buckets, posSidecarName, "token",
+      excludeTags)
+
+  def compactTrigramDeltas(
+      spark: SparkSession,
+      table: String,
+      dir: String,
+      buckets: Int,
+      excludeTags: Set[String] = Set.empty): Unit =
+    compactSimpleDeltas(spark, table, dir, buckets, triSidecarName, "tri",
+      excludeTags)
 
   /** BM25 top-`topN` over the persisted postings: the probe filter on
     * the query terms prunes the bucketed scan to the terms' buckets

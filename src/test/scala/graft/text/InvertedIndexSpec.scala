@@ -273,6 +273,50 @@ class InvertedIndexSpec extends AnyFunSuite {
     spark.sql("DROP TABLE IF EXISTS iidx_posdref")
   }
 
+  test("trigram deltas: substring over base ∪ deltas equals a fresh build; compaction invariant") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(100)
+    val dir = freshDir("tridelta")
+    InvertedIndex.ensureTrigram(spark, docs, "iidx_trid", dir, buckets = 4)
+    val b1 = Seq((9100001L, "we merge batch outputs then merge batch again"),
+      (9100002L, "merge the batch separately")).toDF("doc_id", "text")
+    val b2 = Seq((9100003L, "one merge batch here")).toDF("doc_id", "text")
+    InvertedIndex.appendTrigramDelta(spark, dir, b1, tag = "t1")
+    InvertedIndex.appendTrigramDelta(spark, dir, b1, tag = "t1") // redelivery overwrite
+    InvertedIndex.appendTrigramDelta(spark, dir, b2, tag = "t2")
+    val union = docs.select(col("doc_id"), col("text")).unionAll(b1).unionAll(b2)
+    val viaDeltas = InvertedIndex.substringSearchDeltaAware(
+        spark, "iidx_trid", dir, union, "merge batch")
+      .as[(Long, Long)].collect().toMap
+    assert(viaDeltas(9100001L) == 2L)
+    assert(!viaDeltas.contains(9100002L), "trigram candidate must fail exact verification")
+    assert(viaDeltas(9100003L) == 1L)
+    val dir2 = freshDir("trideltaref")
+    InvertedIndex.ensureTrigram(spark, union, "iidx_tridref", dir2, buckets = 4)
+    val viaFresh = InvertedIndex.substringSearch(
+        spark, "iidx_tridref", union, "merge batch")
+      .as[(Long, Long)].collect().toMap
+    assert(viaDeltas == viaFresh, s"delta-aware != fresh union build:\n$viaDeltas\n$viaFresh")
+    InvertedIndex.compactTrigramDeltas(spark, "iidx_trid", dir, buckets = 4,
+      excludeTags = Set("t2"))
+    assert(InvertedIndex.deltaTags(dir) == Seq("t2"), "excluded delta must stay live")
+    InvertedIndex.compactTrigramDeltas(spark, "iidx_trid", dir, buckets = 4)
+    assert(InvertedIndex.deltaTags(dir).isEmpty)
+    val after = InvertedIndex.substringSearchDeltaAware(
+        spark, "iidx_trid", dir, union, "merge batch")
+      .as[(Long, Long)].collect().toMap
+    assert(after == viaDeltas, "compaction must be invisible to probe results")
+    // merged fingerprint equals a fresh ensureTrigram over the union
+    val sidecar = java.nio.file.Paths.get(dir, "_graft_trigram_sidecar.json")
+    val t0 = java.nio.file.Files.getLastModifiedTime(sidecar)
+    spark.sql("DROP TABLE IF EXISTS iidx_trid")
+    InvertedIndex.ensureTrigram(spark, union, "iidx_trid", dir, buckets = 4)
+    assert(java.nio.file.Files.getLastModifiedTime(sidecar) == t0,
+      "post-compaction fingerprint must equal the union-corpus ensure (no rebuild)")
+    spark.sql("DROP TABLE IF EXISTS iidx_trid")
+    spark.sql("DROP TABLE IF EXISTS iidx_tridref")
+  }
+
   test("corpus stats count every doc, not just docs containing query terms") {
     val dir = freshDir("stats")
     import spark.implicits._
