@@ -3044,6 +3044,41 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Tokenizer FERTILITY report — the per-language efficiency metric
+    // a tokenizer owner tracks before committing a vocab (subwords per
+    // whitespace word = fertility; normalized chars per subword =
+    // compression): the GPT-2-path token ids and the lang-ID kernel
+    // fuse in one corpus pass, then a lang-keyed integer aggregate.
+    // Ratios are micro-quantized BIGINT floor divisions (both engines
+    // positive-truncate identically), so the report is hash-exact.
+    // At 100 TB: one tokenize pass + a ≤6-group aggregate.
+    "corpus_fertility" -> ((s, dir) => {
+      val norm = graft.text.TextAnalysis.normalizeText(col("text"))
+      // tokenIds reduces to (doc_id, token_ids); the text-derived
+      // metrics ride a second narrow scan joined back by doc_id — one
+      // doc-keyed equi-join, both sides pre-reduced to counts
+      val sub = graft.text.ByteLevel.tokenIds(extDocs(s, dir),
+          graft.text.ByteLevel.externalFixtureMerges())
+        .select(col("doc_id"), size(col("token_ids")).cast("long").as("n_sub"))
+      extDocs(s, dir)
+        .select(col("doc_id"),
+          graft.text.TextAnalysis.languageId(col("text")).as("lang"),
+          length(norm).cast("long").as("n_chars"),
+          size(graft.text.TextAnalysis.tokens(col("text"))).cast("long").as("n_words"))
+        .join(sub, Seq("doc_id"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_words")).as("sum_words"),
+          sum(col("n_sub")).as("sum_subwords"),
+          sum(col("n_chars")).as("sum_chars"))
+        .select(col("lang"), col("n_docs"), col("sum_words"), col("sum_subwords"),
+          expr("CAST((sum_subwords * 1000000) DIV sum_words AS BIGINT)")
+            .as("fertility_micro"),
+          expr("CAST((sum_chars * 1000000) DIV greatest(sum_subwords, 1) AS BIGINT)")
+            .as("cps_micro"))
+        .orderBy(col("lang"))
+    }),
+
     // BRING-YOUR-OWN tokenizer.json — the HuggingFace single-file
     // serialization, the third external-tokenizer format this engine
     // loads (after merges.txt and the SentencePiece .model proto):
@@ -6080,6 +6115,39 @@ object SparkEntry {
     // no-ops on converged words) — asserted by BpeExtSpec
     "doc_bpe_tokenize_gpt2" -> bpeGpt2TokenizeOracleSql(maxIters = 36),
     "doc_bpe_token_ids" -> bpeTokenIdsOracleSql(maxIters = 36),
+
+    // Fertility report: the gpt2 id machinery + the lang-id CASE twin
+    // (sql_lang_quality's device), grouped per language with
+    // micro-quantized floor-division ratios.
+    "corpus_fertility" ->
+      s"""${gpt2IdsCtes(36)},
+         |f AS (SELECT e.doc_id, $NormSql AS norm,
+         |             CAST(len(i.tids) AS BIGINT) AS n_sub
+         |      FROM ext e JOIN ids i USING (doc_id)),
+         |g AS (SELECT doc_id, norm, string_split(norm, ' ') AS toks, n_sub FROM f),
+         |sc AS (SELECT doc_id, n_sub,
+         |  CAST(length(norm) AS BIGINT) AS n_chars,
+         |  CAST(len(toks) AS BIGINT) AS n_words,
+         |  CAST(len(list_filter(toks, x -> x IN ('the','and','of','is','with'))) AS BIGINT) AS score_en,
+         |  CAST(len(list_filter(toks, x -> x IN ('el','la','de','que','con'))) AS BIGINT) AS score_es,
+         |  CAST(len(list_filter(toks, x -> x IN ('der','die','und','ist','mit'))) AS BIGINT) AS score_de,
+         |  CAST(len(list_filter(toks, x -> x IN ('le','la','et','est','avec'))) AS BIGINT) AS score_fr,
+         |  CAST(length(norm) - length(regexp_replace(norm, '[\\x{4e00}-\\x{9fff}]', '', 'g')) AS BIGINT) AS score_zh
+         |  FROM g),
+         |l AS (SELECT doc_id, n_chars, n_words, n_sub,
+         |  CASE WHEN greatest(score_en, score_es, score_de, score_fr, score_zh) <= 0 THEN 'und'
+         |       WHEN score_en = greatest(score_en, score_es, score_de, score_fr, score_zh) THEN 'en'
+         |       WHEN score_es = greatest(score_en, score_es, score_de, score_fr, score_zh) THEN 'es'
+         |       WHEN score_de = greatest(score_en, score_es, score_de, score_fr, score_zh) THEN 'de'
+         |       WHEN score_fr = greatest(score_en, score_es, score_de, score_fr, score_zh) THEN 'fr'
+         |       ELSE 'zh' END AS lang
+         |  FROM sc)
+         |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(n_words) AS BIGINT) AS sum_words,
+         |       CAST(sum(n_sub) AS BIGINT) AS sum_subwords,
+         |       CAST((sum(n_sub) * 1000000) // sum(n_words) AS BIGINT) AS fertility_micro,
+         |       CAST((sum(n_chars) * 1000000) // greatest(sum(n_sub), 1) AS BIGINT) AS cps_micro
+         |FROM l GROUP BY 1 ORDER BY lang""".stripMargin,
     "doc_hf_tokenizer_json" -> hfTokenizerOracleSql(maxIters = 36),
     "doc_detokenize" -> detokenizeOracleSql(maxIters = 36),
     "corpus_unigram_vocab" -> unigramVocabOracleSql(rounds = 2, maxPieceLen = 4, topMulti = 150),
