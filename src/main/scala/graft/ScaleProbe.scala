@@ -98,6 +98,69 @@ object ScaleProbe {
       graft.index.Pq.search(codesCached, cb, query, k = 10)))
     codesCached.unpersist()
 
+    // SQ8: the fit is ONE exact per-dim min/max aggregation (a linear
+    // narrow scan with map-side combine to ≤ dim rows), encode a
+    // narrow map (1 byte/dim out), and the ADC scan the same
+    // table-lookup TakeOrdered shape as PQ at m=dim — all three must
+    // track the corpus linearly with no driver-side surprises
+    if (onlyFilter.forall(_.exists("sq8".contains))) {
+      val t0 = System.nanoTime()
+      val sqm = graft.index.Sq.fit(emb)
+      println(f"[scale] sq8 fit (min/max agg, $nVec vectors) " +
+        f"${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      val sqCodes = graft.index.Sq.encode(emb, sqm)
+      time(s"sq8 encode ($nVec vectors)")(noop(sqCodes))
+      val sqCached = sqCodes.persist()
+      sqCached.count()
+      time(s"sq8 ADC scan top-10 ($nVec codes)")(noop(
+        graft.index.Sq.search(sqCached, sqm, query, k = 10)))
+      time(s"sq8 rerank 200 -> exact 10")(noop(
+        graft.index.Sq.searchRerank(sqCached, emb, sqm, query, k = 10,
+          shortlist = 200)))
+      sqCached.unpersist()
+    }
+
+    // incremental text-index appends: the batch stays FIXED while the
+    // indexed corpus grows with the factor — the established
+    // incremental-store asymmetry. Append cost must track the BATCH
+    // (its own tokenize/explode + a batch-sized write); the
+    // delta-aware probes must track the pruned posting legs + the
+    // batch-sized delta reads, never the corpus text
+    if (onlyFilter.forall(_.exists("textdelta".contains))) {
+      // spread the fixture (the varied crossJoin inherits the base
+      // file's few partitions — a 1-task build would measure one core)
+      val dv = replicateVaried(factor).repartition(cpus.toInt).localCheckpoint()
+      val batch = spark.read.parquet(s"$sfDir/documents.parquet")
+        .limit(500)
+        .select((col("doc_id") + lit(9500000L)).as("doc_id"), col("text"))
+        .localCheckpoint()
+      val posDir = java.nio.file.Files
+        .createTempDirectory(s"probe_posidx_$factor").toString
+      time(s"textdelta positional build (${factor}x varied)")(
+        graft.text.InvertedIndex.ensurePositional(
+          spark, dv, s"probe_pos_$factor", posDir, buckets = 8))
+      time("textdelta positional append (500-doc batch)")(
+        graft.text.InvertedIndex.appendPositionalDelta(
+          spark, posDir, batch, tag = "probe"))
+      time(s"textdelta phrase probe base∪delta (${factor}x)")(noop(
+        graft.text.InvertedIndex.phraseSearchDeltaAware(
+          spark, s"probe_pos_$factor", posDir, Seq("hash", "join"))))
+      val triDir = java.nio.file.Files
+        .createTempDirectory(s"probe_triidx_$factor").toString
+      time(s"textdelta trigram build (${factor}x varied)")(
+        graft.text.InvertedIndex.ensureTrigram(
+          spark, dv, s"probe_tri_$factor", triDir, buckets = 8))
+      time("textdelta trigram append (500-doc batch)")(
+        graft.text.InvertedIndex.appendTrigramDelta(
+          spark, triDir, batch, tag = "probe"))
+      time(s"textdelta substring probe base∪delta (${factor}x)")(noop(
+        graft.text.InvertedIndex.substringSearchDeltaAware(
+          spark, s"probe_tri_$factor", triDir, dv.unionAll(batch),
+          needle = "merge batch")))
+      spark.sql(s"DROP TABLE IF EXISTS probe_pos_$factor")
+      spark.sql(s"DROP TABLE IF EXISTS probe_tri_$factor")
+    }
+
     // near-dup probes replicate at the doc factor: every replica pair IS
     // a true duplicate, so output volume grows quadratically in the
     // replication factor and would dominate the timing at 200×

@@ -442,17 +442,27 @@ object InvertedIndex {
       .select(col("token"), col("doc_id"), col("pos").cast("int").as("pos"))
 
   /** The distinct-trigram posting rows of one (id, text) relation —
-    * shared by [[ensureTrigram]]'s build and [[appendTrigramDelta]]. */
+    * shared by [[ensureTrigram]]'s build and [[appendTrigramDelta]].
+    *
+    * The normalization MUST be staged into its own column before the
+    * trigram `transform`: higher-order functions are interpreted (no
+    * codegen, no subexpression hoisting), so a lambda body containing
+    * the regex normalization re-runs the regex PER ELEMENT — O(len²·
+    * regex) per document (measured: the 20× ScaleProbe trigram build
+    * never finished). With `_n` an attribute, the lambda is a pure
+    * substr; the regex runs once per row. The two references to `_n`
+    * (sequence bound + lambda) keep CollapseProject from inlining the
+    * expensive expression back in. */
   private def trigramPostingsOf(
-      df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val norm = TextAnalysis.normalizeText(col(textCol))
+      df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol).cast("long").as("doc_id"),
+        TextAnalysis.normalizeText(col(textCol)).as("_n"))
+      .select(col("doc_id"),
         array_distinct(transform(
-          sequence(lit(1), greatest(length(norm) - lit(2), lit(0))),
-          i => norm.substr(i, lit(3)))).as("tris"))
+          sequence(lit(1), greatest(length(col("_n")) - lit(2), lit(0))),
+          i => col("_n").substr(i, lit(3)))).as("tris"))
       .select(col("doc_id"), explode(col("tris")).as("tri"))
       .select(col("tri"), col("doc_id"))
-  }
 
   /** Append one batch as a tag-keyed delta dir holding `postings`,
     * with the batch's mergeable source-fingerprint terms in the stats
