@@ -4621,6 +4621,29 @@ object SparkEntry {
       graft.index.Hnsw.searchLayout(s, artDir, q, 10, p, efSearch = 64)
     }),
 
+    // BATCH probe over the same persisted HNSW layout: a 5-query table
+    // served in ONE pass — each shard's resident graph walks all
+    // queries (per-task graph assembly amortized across the batch),
+    // then a bounded per-query window ranks ≤ parts·k·|Q| candidates.
+    // The oracle is the exact per-query ranking (knn_join_agg's
+    // brute-force shape), which the beam at efSearch=64 must reproduce
+    // end-to-end — a 5× harder exactness pin than the single-query
+    // probe.
+    "knn_hnsw_batch" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val artDir =
+        s"${System.getProperty("java.io.tmpdir")}/graft_hnsw_${dirKey(dir)}"
+      val p = hnswParams(e)
+      graft.index.Hnsw.ensureLayout(e, artDir, p)
+      // bounded collect: the 5 probe vectors
+      val qs = e.filter(col("vec_id") < 5)
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+        .sortBy(_._1).toSeq
+      graft.index.Hnsw.searchLayoutBatch(s, artDir, qs, k = 10, p,
+        efSearch = 64)
+    }),
+
     // HNSW tombstone delete: mark-deleted ids stay in the graph as
     // ROUTING WAYPOINTS (severing edges breaks small-world paths — the
     // production semantics) but never surface in results; deletes are
@@ -5790,6 +5813,18 @@ object SparkEntry {
          |SELECT vec_id, dist,
          |       CAST(row_number() OVER (ORDER BY dist ASC, vec_id ASC) AS INTEGER) AS rank
          |FROM d ORDER BY dist ASC, vec_id ASC LIMIT 10""".stripMargin,
+
+    // Exact per-query brute force — the graph walk must reproduce the
+    // full (query_id, vec_id, dist, rank) relation for all 5 queries.
+    "knn_hnsw_batch" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
+         |d AS (SELECT q.query_id, e.vec_id, ${l2SqSql("e.embedding", "q.qe")} AS dist
+         |      FROM embeddings e CROSS JOIN q),
+         |r AS (SELECT query_id, vec_id, dist,
+         |             CAST(row_number() OVER (PARTITION BY query_id ORDER BY dist ASC, vec_id ASC) AS INTEGER) AS rank
+         |      FROM d)
+         |SELECT query_id, vec_id, dist, rank FROM r WHERE rank <= 10
+         |ORDER BY query_id ASC, rank ASC""".stripMargin,
 
     "knn_hnsw_delete" ->
       s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),

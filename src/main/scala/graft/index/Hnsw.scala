@@ -688,4 +688,33 @@ object Hnsw {
         row_number().over(org.apache.spark.sql.expressions.Window
           .orderBy(col("dist").asc, col("vec_id").asc)).as("rank"))
   }
+
+  /** BATCH top-k over the persisted layout — a query table served in
+    * ONE pass: every shard's graph walks all queries while resident
+    * (amortizing the per-task graph assembly across the whole batch),
+    * then a per-query window ranks the ≤ parts·k·|Q| candidate rows.
+    * Output (query_id, vec_id, dist, rank) — [[graft.ops.VectorSearch.knnJoinAgg]]'s
+    * shape, ((dist, id) ascending ties per query). Same integrity
+    * enforcement, tombstone broadcast, and resident-graph cache as the
+    * single-query probe. */
+  def searchLayoutBatch(
+      spark: SparkSession,
+      dir: String,
+      queries: Seq[(Long, Array[Float])],
+      k: Int,
+      p: Params = Params(),
+      efSearch: Int = 64): DataFrame = {
+    val cands = searchCandidates(layout(spark, dir), queries, k, p,
+      efSearch, cacheKey = sidecarFingerprint(dir),
+      tombstoned = tombstonedIds(spark, dir),
+      expectedRows = partCounts(s"$dir/layout"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("dist").asc, col("vec_id").asc)
+    cands
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id").as("query_id"), col("vec_id"), col("dist"),
+        col("rank"))
+      .orderBy(col("query_id").asc, col("rank").asc)
+  }
 }

@@ -341,4 +341,25 @@ class HnswSpec extends AnyFunSuite {
     assert(perQ.keySet == Set(1L, 2L, 3L))
     perQ.values.foreach(n => assert(n <= 3L * 5L))
   }
+
+  test("batch layout probe: per-query results equal the single-query probe and exact top-k") {
+    val c = corpus(500, seed = 9)
+    val p = Hnsw.Params(m = 8, efConstruction = 64, parts = 3)
+    val dir = java.nio.file.Files.createTempDirectory("hnswb").toString
+    Hnsw.ensureLayout(c, dir, p)
+    val qs = c.filter(col("vec_id") < 4).as[(Long, Array[Float])].collect()
+      .sortBy(_._1).toSeq
+    val batch = Hnsw.searchLayoutBatch(spark, dir, qs, k = 10, p, efSearch = 64)
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    assert(batch.length == qs.length * 10)
+    qs.foreach { case (qid, q) =>
+      val mine = batch.filter(_._1 == qid).sortBy(_._4).map(_._2)
+      // equals the single-query probe over the same layout…
+      val single = Hnsw.searchLayout(spark, dir, q, 10, p, efSearch = 64)
+        .select("vec_id").as[Long].collect().toSeq
+      assert(mine == single, s"query $qid: batch != single probe")
+      // …and the exact ranking on this seeded corpus
+      assert(mine == exactTopK(c, q, 10), s"query $qid: batch != exact")
+    }
+  }
 }
