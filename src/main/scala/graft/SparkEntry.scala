@@ -2175,6 +2175,23 @@ object SparkEntry {
       VectorSearch.rangeSearch(e, q, radiusSq = 2.0)
     }),
 
+    // Range search on the SQL surface: ONE spark.sql statement through
+    // the registered l2sq codegen kernel — the epsilon-ball WHERE is a
+    // plain predicate over the scan (no top-k bound by contract), and
+    // the boundary comparison is exact because both engines compute
+    // the identical left-associative float64 distance. Shares
+    // knn_range's oracle.
+    "sql_range_search" -> ((s, dir) => {
+      org.apache.spark.sql.graft.GraftFunctions.register(s)
+      emb(s, dir).createOrReplaceTempView("embeddings_range_v")
+      s.sql(
+        """SELECT e.vec_id AS vec_id, l2sq(e.embedding, q.qe) AS dist
+          |FROM embeddings_range_v e CROSS JOIN
+          |     (SELECT embedding AS qe FROM embeddings_range_v WHERE vec_id = 0) q
+          |WHERE l2sq(e.embedding, q.qe) <= 2.0
+          |ORDER BY dist ASC, vec_id ASC""".stripMargin)
+    }),
+
     // Extension: batch k-NN similarity join (3 query vectors × corpus,
     // broadcast query side, per-query windowed top-k).
     "knn_join_top5" -> ((s, dir) => {
@@ -5723,6 +5740,15 @@ object SparkEntry {
     // boundary is bit-exact on both engines (identical left-assoc
     // float64 distance), so membership can never disagree.
     "knn_range" ->
+      s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         |d AS (SELECT e.vec_id AS vec_id, ${l2SqSql("e.embedding", "q.qe")} AS dist
+         |      FROM embeddings e CROSS JOIN q)
+         |SELECT vec_id, dist FROM d WHERE dist <= 2.0
+         |ORDER BY dist ASC, vec_id ASC""".stripMargin,
+
+    // The one-statement SQL epsilon-ball through the registered
+    // kernel: identical rows and boundary required.
+    "sql_range_search" ->
       s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
          |d AS (SELECT e.vec_id AS vec_id, ${l2SqSql("e.embedding", "q.qe")} AS dist
          |      FROM embeddings e CROSS JOIN q)
