@@ -4532,6 +4532,28 @@ object SparkEntry {
         graft.index.Binary.signatureOf(q, thr), 10)
     }),
 
+    // The SQL surface over the persisted binary signatures: ONE
+    // statement — bit_count(sig ^ qsig) over the 8-byte/row table,
+    // bounded TakeOrdered — with the query signature computed by the
+    // same driver-side twin and inlined as a literal. Shares
+    // knn_hamming_top10's oracle (bit-identical distances required).
+    "sql_hamming_top10" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val artDir =
+        s"${System.getProperty("java.io.tmpdir")}/graft_binsig_${dirKey(dir)}"
+      graft.index.Binary.ensureSignatureArtifact(e, artDir, EmbDim)
+      val thr = graft.index.Binary.thresholdsFromArtifact(s, artDir)
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0)
+      val qsig = graft.index.Binary.signatureOf(q, thr)
+      graft.index.Binary.signaturesFromArtifact(s, artDir)
+        .createOrReplaceTempView("binsig_v")
+      s.sql(
+        s"""SELECT vec_id, CAST(bit_count(sig ^ ${qsig}L) AS INT) AS hamming
+           |FROM binsig_v
+           |ORDER BY hamming ASC, vec_id ASC LIMIT 10""".stripMargin)
+    }),
+
     // Two-stage retrieval (the production shape at 100 TB): Hamming
     // shortlist of 50 over the 8-byte signatures, then exact float64
     // rescore of ONLY those rows — the bounded id set re-enters as an
@@ -5792,6 +5814,15 @@ object SparkEntry {
          |FROM l GROUP BY 1 ORDER BY lang""".stripMargin,
 
     "knn_hamming_top10" ->
+      s"""WITH $hammingSigCtes
+         |SELECT s.vec_id AS vec_id,
+         |       CAST(bit_count(xor(s.sig, q.qsig)) AS INTEGER) AS hamming
+         |FROM sigs s CROSS JOIN qs q
+         |ORDER BY hamming ASC, vec_id ASC LIMIT 10""".stripMargin,
+
+    // The one-statement SQL path over the persisted signatures must
+    // reproduce the identical ranking and distances.
+    "sql_hamming_top10" ->
       s"""WITH $hammingSigCtes
          |SELECT s.vec_id AS vec_id,
          |       CAST(bit_count(xor(s.sig, q.qsig)) AS INTEGER) AS hamming

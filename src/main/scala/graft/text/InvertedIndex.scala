@@ -380,48 +380,9 @@ object InvertedIndex {
       table: String,
       dir: String,
       buckets: Int,
-      excludeTags: Set[String] = Set.empty): Unit = {
-    val tags = deltaTags(dir).filterNot(excludeTags)
-    if (tags.isEmpty) return
-    val sidecar = java.nio.file.Paths.get(dir, sidecarName)
-    val node = new com.fasterxml.jackson.databind.ObjectMapper()
-      .readTree(java.nio.file.Files.readString(sidecar))
-    var cnt = node.get("count").asLong()
-    var hsh = node.get("hash").asLong()
-    var hsum = BigInt(node.get("hsum").asText())
-    var nDocs = node.get("nDocs").asLong()
-    var sumDl = node.get("sumDl").asLong()
-    tags.foreach { tag =>
-      val d = deltaStats(dir, tag)
-      cnt += d.get("count").asLong()
-      hsh ^= d.get("hash").asLong()
-      hsum += BigInt(d.get("hsum").asText())
-      nDocs += d.get("nDocs").asLong()
-      sumDl += d.get("sumDl").asLong()
-    }
-    val base = spark.table(table)
-    val union = tags.foldLeft(base) { (acc, tag) =>
-      acc.unionAll(spark.read.schema(base.schema)
-        .parquet(s"${deltaRoot(dir)}/$tag"))
-    }.localCheckpoint()
-    spark.sql(s"DROP TABLE IF EXISTS $table")
-    union.write
-      .mode("overwrite")
-      .option("path", dir)
-      .bucketBy(buckets, "token")
-      .sortBy("token")
-      .format("parquet")
-      .saveAsTable(table)
-    java.nio.file.Files.writeString(sidecar,
-      s"""{"count":$cnt,"hash":$hsh,"hsum":"$hsum","buckets":$buckets,"key":"token","nDocs":$nDocs,"sumDl":$sumDl}""")
-    tags.foreach { t =>
-      val d = java.nio.file.Paths.get(deltaRoot(dir), t)
-      val walk = java.nio.file.Files.walk(d)
-      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-        .forEach(f => java.nio.file.Files.deleteIfExists(f))
-      finally walk.close()
-    }
-  }
+      excludeTags: Set[String] = Set.empty): Unit =
+    compactSimpleDeltas(spark, table, dir, buckets, sidecarName, "token",
+      excludeTags, extraLongKeys = Seq("nDocs", "sumDl"))
 
   // ---------------------------------------------------------------
   // Positional- and trigram-index deltas — the same protocol applied
@@ -539,11 +500,14 @@ object InvertedIndex {
     substringOver(withDeltas(spark, table, dir), corpus, needle, idCol, textCol)
 
   /** Fold every live delta (minus `excludeTags` — the redelivery-
-    * safety contract) of a stats-free posting table into a rebuilt
-    * bucketed base; the new sidecar's fingerprint terms are the merged
-    * (count, xor, sum), so the next ensure over the union corpus
-    * reuses instead of rebuilding. Single-writer, no concurrent
-    * probes. Shared by the positional and trigram compactions. */
+    * safety contract) of a posting table into a rebuilt bucketed base;
+    * the new sidecar's fingerprint terms are the merged (count, xor,
+    * sum), so the next ensure over the union corpus reuses instead of
+    * rebuilding. `extraLongKeys` are additive build-time stats carried
+    * by BOTH the base sidecar and every delta's stats json (the BM25
+    * table's nDocs/sumDl) — merged by summation and re-emitted.
+    * Single-writer, no concurrent probes. Shared by the BM25,
+    * positional, and trigram compactions. */
   private def compactSimpleDeltas(
       spark: SparkSession,
       table: String,
@@ -551,7 +515,8 @@ object InvertedIndex {
       buckets: Int,
       sidecarFile: String,
       key: String,
-      excludeTags: Set[String]): Unit = {
+      excludeTags: Set[String],
+      extraLongKeys: Seq[String] = Seq.empty): Unit = {
     val tags = deltaTags(dir).filterNot(excludeTags)
     if (tags.isEmpty) return
     val sidecar = java.nio.file.Paths.get(dir, sidecarFile)
@@ -560,11 +525,14 @@ object InvertedIndex {
     var cnt = node.get("count").asLong()
     var hsh = node.get("hash").asLong()
     var hsum = BigInt(node.get("hsum").asText())
+    val extras = scala.collection.mutable.LinkedHashMap(
+      extraLongKeys.map(k => k -> node.get(k).asLong()): _*)
     tags.foreach { tag =>
       val d = deltaStats(dir, tag)
       cnt += d.get("count").asLong()
       hsh ^= d.get("hash").asLong()
       hsum += BigInt(d.get("hsum").asText())
+      extraLongKeys.foreach(k => extras(k) += d.get(k).asLong())
     }
     val base = spark.table(table)
     val union = tags.foldLeft(base) { (acc, tag) =>
@@ -579,8 +547,9 @@ object InvertedIndex {
       .sortBy(key)
       .format("parquet")
       .saveAsTable(table)
+    val extraJson = extras.map { case (k, v) => s""","$k":$v""" }.mkString
     java.nio.file.Files.writeString(sidecar,
-      s"""{"count":$cnt,"hash":$hsh,"hsum":"$hsum","buckets":$buckets,"key":"$key"}""")
+      s"""{"count":$cnt,"hash":$hsh,"hsum":"$hsum","buckets":$buckets,"key":"$key"$extraJson}""")
     tags.foreach { t =>
       val d = java.nio.file.Paths.get(deltaRoot(dir), t)
       val walk = java.nio.file.Files.walk(d)
