@@ -4104,6 +4104,49 @@ object SparkEntry {
       graft.index.Hnsw.searchLayoutDeltaAware(s, layoutDir, query, k = 10, p)
     }),
 
+    // Streaming SQ8 code-store maintenance — the quantized-vector leg
+    // of the incremental-store family: new vectors encode under the
+    // PERSISTED min/max model (the FAISS trained-index contract — the
+    // quantizer never retrains per batch), land as tag-keyed delta
+    // code dirs (idempotent under redelivery), the second batch trips
+    // the maxDeltaDirs=1 auto-compaction (mergeable-fingerprint fold,
+    // no source rescan), and the delta-aware ADC probe + exact rerank
+    // over base ∪ live delta equals exact top-10 over the union —
+    // which is exactly what the brute-force oracle computes.
+    "stream_sq8_append" -> ((s, dir) => {
+      val corpus = emb(s, dir)
+      val baseDir =
+        s"${System.getProperty("java.io.tmpdir")}/graft_sq8_${dirKey(dir)}"
+      graft.index.Sq.ensureCodesArtifact(corpus, baseDir)
+      val scratch = freshScratchDir(dir, "streamsq8")
+      val codesDir = s"$scratch/sq8"
+      copyDir(baseDir, codesDir)
+      val planted = corpus.filter(col("vec_id") === 0)
+        .crossJoin(s.range(10))
+        .select((col("id") + lit(4400000L)).as("vec_id"), col("embedding"))
+      val inDir = s"$scratch/in"
+      planted.filter(col("vec_id") < 4400005L).coalesce(1)
+        .write.mode("overwrite").parquet(inDir)
+      planted.filter(col("vec_id") >= 4400005L).coalesce(1)
+        .write.mode("append").parquet(inDir)
+      val stream = s.readStream.schema(planted.schema)
+        .option("maxFilesPerTrigger", 1).parquet(inDir)
+      val q = graft.streaming.StreamingIngest.streamingSq8Append(
+        stream, codesDir, s"$scratch/chk", maxDeltaDirs = 1)
+      q.awaitTermination()
+      SparkEntry.streamStateRows.put("stream_sq8_append",
+        q.recentProgress.iterator
+          .map(pr => pr.stateOperators.map(_.numRowsTotal).sum)
+          .foldLeft(0L)(math.max))
+      val model = graft.index.Sq.modelFromArtifact(s, codesDir)
+      val query = corpus.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).toArray
+      graft.index.Sq.searchRerank(
+        graft.index.Sq.codesWithDeltas(s, codesDir),
+        corpus.select(col("vec_id"), col("embedding")).unionAll(planted),
+        model, query, k = 10, shortlist = 200)
+    }),
+
     // Streaming BM25 postings maintenance — the TEXT-index leg of the
     // incremental-store family (ninth store): three micro-batches of
     // planted docs land as batch-keyed DELTA posting dirs, the third
@@ -7190,6 +7233,20 @@ object SparkEntry {
          |SELECT vec_id, dist,
          |       CAST(row_number() OVER (ORDER BY dist ASC, vec_id ASC) AS INTEGER) AS rank
          |FROM d ORDER BY dist ASC, vec_id ASC LIMIT 10""".stripMargin,
+
+    // Exact top-10 over base ∪ planted: the delta-aware ADC + rerank
+    // must reproduce it (rerank-equals-exact with the planted dist-0
+    // copies guaranteed inside any shortlist).
+    "stream_sq8_append" ->
+      s"""WITH c AS (SELECT vec_id, embedding FROM embeddings
+         |           UNION ALL
+         |           SELECT 4400000 + r.i AS vec_id, e.embedding
+         |           FROM embeddings e CROSS JOIN range(10) r(i) WHERE e.vec_id = 0),
+         |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         |d AS (SELECT c.vec_id, ${l2SqSql("c.embedding", "q.qe")} AS dist
+         |      FROM c CROSS JOIN q)
+         |SELECT vec_id, dist FROM d
+         |ORDER BY dist ASC, vec_id ASC LIMIT 10""".stripMargin,
 
     "stream_ivf_append" ->
       s"""WITH c AS (SELECT vec_id, embedding FROM embeddings

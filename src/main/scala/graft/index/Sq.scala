@@ -163,4 +163,136 @@ object Sq {
       embCol: String = "embedding"): DataFrame =
     Pq.rerankShortlist(search(encoded, model, query, shortlist, idCol),
       corpus, query, k, idCol, embCol)
+
+  // --------------------------------------------------- persisted index
+
+  private val codesSidecar = "_sq8_codes.json"
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  /** Persist the model bounds + codes behind the fingerprint-sidecar
+    * protocol — the build-once/probe-many shape of every other index
+    * family. The sidecar's (count, hash, hsum) terms are MERGEABLE,
+    * so [[compactDeltas]] can fold appended batches without rescanning
+    * the source corpus. */
+  def ensureCodesArtifact(
+      df: DataFrame,
+      dir: String,
+      idCol: String = "vec_id",
+      embCol: String = "embedding"): Unit = {
+    val (nRows, dataHash, hashSum) = graft.io.Artifact.hashAgg(
+      df, xxhash64(col(idCol), col(embCol).cast("array<double>")))
+    graft.io.Artifact.ensure(dir, codesSidecar,
+      graft.io.Artifact.fingerprintJson(nRows, dataHash,
+        "hsum" -> hashSum, "family" -> "sq8_minmax")) {
+      val model = fit(df, embCol)
+      df.sparkSession.createDataFrame(
+          (0 until model.dim).map(d => (d, model.vmin(d), model.vmax(d))))
+        .toDF("pos", "lo", "hi")
+        .repartition(1)
+        .write.mode("overwrite").parquet(s"$dir/bounds")
+      encode(df, model, idCol, embCol)
+        .write.mode("overwrite").parquet(s"$dir/codes")
+    }
+  }
+
+  /** The persisted artifact's quantization model (dim rows). */
+  def modelFromArtifact(
+      spark: org.apache.spark.sql.SparkSession, dir: String): SqModel = {
+    val rows = spark.read.parquet(s"$dir/bounds").collect()
+    val vmin = new Array[Float](rows.length)
+    val vmax = new Array[Float](rows.length)
+    rows.foreach { r =>
+      vmin(r.getInt(0)) = r.getFloat(1); vmax(r.getInt(0)) = r.getFloat(2)
+    }
+    SqModel(rows.length, vmin, vmax)
+  }
+
+  private def deltaTags(dir: String): Seq[String] = {
+    val root = java.nio.file.Paths.get(dir)
+    if (!java.nio.file.Files.exists(root)) return Seq.empty
+    val s = java.nio.file.Files.list(root)
+    try {
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala
+        .filter(p => java.nio.file.Files.isDirectory(p) &&
+          p.getFileName.toString.startsWith("delta_") &&
+          java.nio.file.Files.exists(p.resolve("_stats.json")))
+        .map(_.getFileName.toString.stripPrefix("delta_"))
+        .toSeq.sorted
+    } finally s.close()
+  }
+
+  /** Codes over base ∪ live deltas — the probe's input. */
+  def codesWithDeltas(
+      spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val base = spark.read.parquet(s"$dir/codes")
+    deltaTags(dir).foldLeft(base) { (acc, tag) =>
+      acc.unionAll(spark.read.schema(base.schema)
+        .parquet(s"$dir/delta_$tag/codes"))
+    }
+  }
+
+  /** Append a batch of new vectors ENCODED UNDER THE PERSISTED MODEL
+    * (the FAISS trained-index contract: adding vectors never retrains
+    * the quantizer — out-of-range values clamp, the re-rank stage
+    * absorbs any extra distortion). Tag-keyed overwrite: idempotent
+    * under at-least-once redelivery. The delta's stats json carries
+    * the batch's mergeable fingerprint terms for [[compactDeltas]]. */
+  def appendDelta(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      batch: DataFrame,
+      tag: String,
+      idCol: String = "vec_id",
+      embCol: String = "embedding"): Unit = {
+    val (nRows, dataHash, hashSum) = graft.io.Artifact.hashAgg(
+      batch, xxhash64(col(idCol), col(embCol).cast("array<double>")))
+    val model = modelFromArtifact(spark, dir)
+    encode(batch, model, idCol, embCol)
+      .write.mode("overwrite").parquet(s"$dir/delta_$tag/codes")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, s"delta_$tag", "_stats.json"),
+      s"""{"count":$nRows,"hash":$dataHash,"hsum":"$hashSum"}""")
+  }
+
+  def deltaDirCount(dir: String): Int = deltaTags(dir).size
+
+  /** Fold live deltas (minus `excludeTags` — redelivery safety) into
+    * the base codes dir and merge the sidecar fingerprint, so a later
+    * [[ensureCodesArtifact]] over the union corpus reuses instead of
+    * rebuilding. The MODEL is untouched (trained-index contract). */
+  def compactDeltas(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      excludeTags: Set[String] = Set.empty): Unit = {
+    val tags = deltaTags(dir).filterNot(excludeTags)
+    if (tags.isEmpty) return
+    val sidecar = java.nio.file.Paths.get(dir, codesSidecar)
+    val node = mapper.readTree(java.nio.file.Files.readString(sidecar))
+    var cnt = node.get("count").asLong()
+    var hsh = node.get("hash").asLong()
+    var hsum = BigInt(node.get("hsum").asText())
+    tags.foreach { tag =>
+      val d = mapper.readTree(java.nio.file.Files.readString(
+        java.nio.file.Paths.get(dir, s"delta_$tag", "_stats.json")))
+      cnt += d.get("count").asLong()
+      hsh ^= d.get("hash").asLong()
+      hsum += BigInt(d.get("hsum").asText())
+    }
+    val base = spark.read.parquet(s"$dir/codes")
+    val union = tags.foldLeft(base) { (acc, tag) =>
+      acc.unionAll(spark.read.schema(base.schema)
+        .parquet(s"$dir/delta_$tag/codes"))
+    }.localCheckpoint()
+    union.write.mode("overwrite").parquet(s"$dir/codes")
+    java.nio.file.Files.writeString(sidecar,
+      s"""{"count":$cnt,"hash":$hsh,"hsum":"$hsum","family":"sq8_minmax"}""")
+    tags.foreach { t =>
+      val d = java.nio.file.Paths.get(dir, s"delta_$t")
+      val walk = java.nio.file.Files.walk(d)
+      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => java.nio.file.Files.deleteIfExists(f))
+      finally walk.close()
+    }
+  }
 }

@@ -499,6 +499,29 @@ object StreamingIngest {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Streaming maintenance of the SQ8 code store — new vectors encode
+    * under the PERSISTED quantization model (the trained-index
+    * contract) and land as tag-keyed delta code dirs; crossing
+    * `maxDeltaDirs` triggers a compaction that excludes the current
+    * batch's tag (redelivery safety). */
+  def streamingSq8Append(
+      stream: DataFrame,
+      dir: String,
+      checkpoint: String,
+      maxDeltaDirs: Int = 16): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val tag = s"${pipelineTag(checkpoint)}_b$batchId"
+        if (graft.index.Sq.deltaDirCount(dir) >= maxDeltaDirs)
+          graft.index.Sq.compactDeltas(batch.sparkSession, dir,
+            excludeTags = Set(tag))
+        graft.index.Sq.appendDelta(batch.sparkSession, dir, batch, tag)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   def streamingIvfAppend(
       stream: DataFrame,
       layoutDir: String,

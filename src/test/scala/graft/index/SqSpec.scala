@@ -89,6 +89,45 @@ class SqSpec extends AnyFunSuite {
     assert(!plan.contains("ScalaUDF"), s"must stay codegen:\n$plan")
   }
 
+  test("codes artifact + deltas: append under the fixed model, redelivery idempotent, compaction invariant") {
+    val artDir = java.nio.file.Files.createTempDirectory("sq8art").toString
+    Sq.ensureCodesArtifact(corpus, artDir)
+    val model = Sq.modelFromArtifact(spark, artDir)
+    assert(model.dim == dim)
+    val b1 = corpus.filter(col("vec_id") < 3)
+      .select((col("vec_id") + 9000000L).as("vec_id"), col("embedding"))
+    val b2 = corpus.filter(col("vec_id") >= 3 && col("vec_id") < 5)
+      .select((col("vec_id") + 9100000L).as("vec_id"), col("embedding"))
+    Sq.appendDelta(spark, artDir, b1, tag = "b1")
+    Sq.appendDelta(spark, artDir, b1, tag = "b1") // redelivery: same tag overwrites
+    Sq.appendDelta(spark, artDir, b2, tag = "b2")
+    assert(Sq.deltaDirCount(artDir) == 2)
+    val union = corpus.unionAll(b1).unionAll(b2)
+    val q = corpus.filter(col("vec_id") === 1L)
+      .select(col("embedding")).head().getSeq[Float](0).toArray
+    val before = Sq.searchRerank(Sq.codesWithDeltas(spark, artDir), union,
+      model, q, k = 10, shortlist = 50).as[(Long, Double)].collect().toSeq
+    val exact = VectorSearch.knnExact(union, q.toSeq, 10)
+      .as[(Long, Double)].collect().toSeq
+    assert(before == exact, "delta-aware ADC + rerank must equal exact over the union")
+    // planted copy of vec 1 at 9000001 must appear at dist 0
+    assert(before.count(_._2 == 0.0) >= 2)
+    // compaction: excluded tag survives, full fold is probe-invariant,
+    // and the merged fingerprint equals a fresh ensure over the union
+    Sq.compactDeltas(spark, artDir, excludeTags = Set("b2"))
+    assert(Sq.deltaDirCount(artDir) == 1)
+    Sq.compactDeltas(spark, artDir)
+    assert(Sq.deltaDirCount(artDir) == 0)
+    val after = Sq.searchRerank(Sq.codesWithDeltas(spark, artDir), union,
+      model, q, k = 10, shortlist = 50).as[(Long, Double)].collect().toSeq
+    assert(after == before, "compaction must be invisible to probe results")
+    val sidecar = java.nio.file.Paths.get(artDir, "_sq8_codes.json")
+    val t0 = java.nio.file.Files.getLastModifiedTime(sidecar)
+    Sq.ensureCodesArtifact(union, artDir)
+    assert(java.nio.file.Files.getLastModifiedTime(sidecar) == t0,
+      "post-compaction fingerprint must equal the union-corpus ensure (no rebuild)")
+  }
+
   test("measured recall: SQ8 ADC@10 is at least PQ ADC@10 on the shared fixture") {
     // 4× compression with per-dim resolution must not recall worse
     // than 32× PQ on the same corpus — the ladder's monotonicity
