@@ -1819,6 +1819,20 @@ object SparkEntry {
     (model, graft.index.Sq.encode(corpus, model))
   }
 
+  /** IVF-SQ8 sibling of [[ivfPqIndex]]: same memo discipline, the SQ8
+    * model reused from [[sqIndex]]'s cache. */
+  private val ivfSqCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (graft.index.Ivf.Index, graft.index.Sq.SqModel, String)]()
+
+  private def ivfSqIndex(dir: String, corpus: DataFrame): (graft.index.Ivf.Index, graft.index.Sq.SqModel, String) =
+    ivfSqCache.computeIfAbsent(dir, { _ =>
+      val ivf = graft.index.Ivf.fit(corpus, nlist = 8, maxIter = 3)
+      val (model, _) = sqIndex(dir, corpus)
+      val codesDir = ivfLayoutDir(dir, "ivfsq")
+      graft.index.Sq.writeIvfSqCodes(ivf, model, corpus, codesDir)
+      (ivf, model, codesDir)
+    })
+
   /** Memoized IVF-PQ composition per sf-dir: the coarse quantizer, the
     * codebooks, and the cluster-partitioned code layout are built once
     * per process (the seeded fits make rebuilds identical), so warm
@@ -4474,6 +4488,22 @@ object SparkEntry {
       val query = corpus.filter(col("vec_id") === 0)
         .select(col("embedding")).head().getSeq[Float](0).toArray
       val short = graft.index.Pq.searchIvfPq(s, codesDir, ivf, cb, query,
+        shortlist = 1000, nprobe = 8)
+      graft.index.Pq.rerankShortlist(short, corpus, query, k = 10)
+    }),
+
+    // IVF-SQ8 — the FAISS IndexIVFScalarQuantizer composition: SQ8
+    // codes partitioned by IVF cluster, a probe prunes partitions
+    // BEFORE the ADC scan (IO shrinks multiplicatively) and keeps
+    // per-dimension resolution where IVF-PQ shares subspace centroids.
+    // Same rerank-equals-exact contract as knn_ivfpq_rerank, so it
+    // shares the brute-force oracle.
+    "knn_ivfsq_rerank" -> ((s, dir) => {
+      val corpus = emb(s, dir)
+      val (ivf, model, codesDir) = ivfSqIndex(dir, corpus)
+      val query = corpus.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).toArray
+      val short = graft.index.Sq.searchIvfSq(s, codesDir, ivf, model, query,
         shortlist = 1000, nprobe = 8)
       graft.index.Pq.rerankShortlist(short, corpus, query, k = 10)
     }),
@@ -7276,6 +7306,16 @@ object SparkEntry {
     // IVF-PQ with exhaustive probe + re-rank also converges to exact
     // top-10 — same brute-force oracle as the flat-PQ path.
     "knn_ivfpq_rerank" ->
+      s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+         |SELECT e.vec_id AS vec_id, ${l2SqSql("e.embedding", "q.qe")} AS dist
+         |FROM embeddings e CROSS JOIN q
+         |ORDER BY dist ASC, vec_id ASC LIMIT 10""".stripMargin,
+
+    // IVF-SQ8 + re-rank converges to the same exact top-10 (all
+    // clusters probed at nprobe=nlist — the pruning structure is
+    // exercised, the contract never depends on it; SQ8's 1000-code
+    // shortlist covers with wide margin)
+    "knn_ivfsq_rerank" ->
       s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
          |SELECT e.vec_id AS vec_id, ${l2SqSql("e.embedding", "q.qe")} AS dist
          |FROM embeddings e CROSS JOIN q

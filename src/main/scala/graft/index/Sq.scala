@@ -164,6 +164,59 @@ object Sq {
     Pq.rerankShortlist(search(encoded, model, query, shortlist, idCol),
       corpus, query, k, idCol, embCol)
 
+  /** IVF-SQ8: the FAISS IndexIVFScalarQuantizer composition — SQ8
+    * codes written partitioned by the IVF cluster id, so a probe
+    * prunes to nprobe/nlist of the (already 4×-compressed) codes
+    * before the ADC scan; IO shrinks multiplicatively, and the codes
+    * keep per-dimension resolution where IVF-PQ shares centroids.
+    * Returns nothing; probe via [[searchIvfSq]]. */
+  def writeIvfSqCodes(
+      ivf: Ivf.Index,
+      model: SqModel,
+      df: DataFrame,
+      dir: String,
+      idCol: String = "vec_id",
+      embCol: String = "embedding"): Unit = {
+    // carry the cluster through the encode pass (re-joining by id
+    // would rerun assignment plus a full shuffle — Pq.writeIvfPqCodes'
+    // contract)
+    val assigned = Ivf.assign(ivf, df, embCol)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(model)
+    assigned.select(col(idCol).cast("long"), col(embCol), col("cluster"))
+      .as[(Long, Array[Float], Int)]
+      .mapPartitions { it =>
+        val m = bc.value
+        it.map { case (id, v, cluster) =>
+          require(v.length == m.dim, s"vector dim ${v.length} != model dim ${m.dim}")
+          val codes = new Array[Byte](m.dim)
+          var d = 0
+          while (d < m.dim) { codes(d) = codeOf(v(d), m.vmin(d), m.vmax(d)); d += 1 }
+          (id, codes, cluster)
+        }
+      }
+      .toDF(idCol, "codes", "cluster")
+      .write.mode("overwrite").partitionBy("cluster").parquet(dir)
+  }
+
+  /** Partition-pruned ADC shortlist over the IVF-SQ8 layout — follow
+    * with [[Pq.rerankShortlist]] for the exact stage. */
+  def searchIvfSq(
+      spark: org.apache.spark.sql.SparkSession,
+      layoutDir: String,
+      ivf: Ivf.Index,
+      model: SqModel,
+      query: Array[Float],
+      shortlist: Int,
+      nprobe: Int,
+      idCol: String = "vec_id"): DataFrame = {
+    val clusters = Ivf.probeClusters(ivf, query, nprobe)
+    val codes = spark.read.parquet(layoutDir)
+      .filter(col("cluster").isin(clusters: _*))
+    search(codes, model, query, shortlist, idCol)
+  }
+
   // --------------------------------------------------- persisted index
 
   private val codesSidecar = "_sq8_codes.json"

@@ -128,6 +128,28 @@ class SqSpec extends AnyFunSuite {
       "post-compaction fingerprint must equal the union-corpus ensure (no rebuild)")
   }
 
+  test("IVF-SQ8: probe prunes partitions before the ADC scan; rerank equals exact") {
+    val ivf = Ivf.fit(corpus, nlist = 4, maxIter = 3)
+    val m = Sq.fit(corpus)
+    val dir = java.nio.file.Files.createTempDirectory("ivfsq").toString
+    Sq.writeIvfSqCodes(ivf, m, corpus, dir)
+    val q = corpus.filter(col("vec_id") === 3L)
+      .select(col("embedding")).head().getSeq[Float](0).toArray
+    // nprobe < nlist: the scan must read only the probed clusters
+    val pruned = Sq.searchIvfSq(spark, dir, ivf, m, q, shortlist = 20, nprobe = 2)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("pq_adc"), s"codegen ADC kernel missing:\n$plan")
+    // partition pruning: the cluster IN filter reaches the scan
+    assert(plan.contains("cluster"), s"cluster predicate missing:\n$plan")
+    // at nprobe=nlist the shortlist covers everything: rerank == exact
+    val short = Sq.searchIvfSq(spark, dir, ivf, m, q, shortlist = 100, nprobe = 4)
+    val reranked = Pq.rerankShortlist(short, corpus, q, k = 10)
+      .select("vec_id", "dist").as[(Long, Double)].collect().toSeq
+    val exact = VectorSearch.knnExact(corpus, q.toSeq, 10)
+      .select("vec_id", "dist").as[(Long, Double)].collect().toSeq
+    assert(reranked == exact)
+  }
+
   test("measured recall: SQ8 ADC@10 is at least PQ ADC@10 on the shared fixture") {
     // 4× compression with per-dim resolution must not recall worse
     // than 32× PQ on the same corpus — the ladder's monotonicity
