@@ -617,7 +617,7 @@ object SparkEntry {
     * derivation discipline — DuckDB inlines multiply-referenced CTEs
     * exponentially otherwise). */
   private def quantKMeansOracleSql(k: Int, iters: Int, dim: Int = EmbDim,
-      finalSelect: Option[String] = None): String = {
+      finalSelect: Option[String => String] = None): String = {
     val qExpr =
       s"[CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000 + 0.5) AS BIGINT) FOR i IN range(1, ${dim + 1})]"
     def assignCtes(r: Int, centTbl: String): String =
@@ -648,7 +648,7 @@ object SparkEntry {
        |  FROM (SELECT vec_id, qv FROM q ORDER BY vec_id LIMIT $k)),
        |$rounds,
        |${assignCtes(iters + 1, s"c$iters")}
-       |${finalSelect.getOrElse(
+       |${finalSelect.map(_(s"b${iters + 1}")).getOrElse(
            s"""SELECT vec_id, cluster, dist AS dist_q
               |FROM b${iters + 1} ORDER BY vec_id""".stripMargin)}""".stripMargin
   }
@@ -2149,7 +2149,7 @@ object SparkEntry {
         """WITH probes AS (
           |  SELECT c_custkey AS probe_id,
           |         concat(substring(c_name, 1, cpos - 1), CAST(new_d AS STRING),
-          |                substring(c_name, cpos + 1, 64)) AS probe_name
+          |                substring(c_name, cpos + 1, length(c_name))) AS probe_name
           |  FROM (SELECT c_custkey, c_name,
           |               CAST(c_custkey % 9 + 10 AS INT) AS cpos,
           |               (CAST(substring(c_name, CAST(c_custkey % 9 + 10 AS INT), 1) AS BIGINT)
@@ -3103,7 +3103,7 @@ object SparkEntry {
           sum(col("n_sub")).as("sum_subwords"),
           sum(col("n_chars")).as("sum_chars"))
         .select(col("lang"), col("n_docs"), col("sum_words"), col("sum_subwords"),
-          expr("CAST((sum_subwords * 1000000) DIV sum_words AS BIGINT)")
+          expr("CAST((sum_subwords * 1000000) DIV greatest(sum_words, 1) AS BIGINT)")
             .as("fertility_micro"),
           expr("CAST((sum_chars * 1000000) DIV greatest(sum_subwords, 1) AS BIGINT)")
             .as("cps_micro"))
@@ -5928,9 +5928,11 @@ object SparkEntry {
     // The same full training replay, cut to the 20 farthest-from-own-
     // centroid vectors (dist DESC, id ASC) — the outlier ranking.
     "emb_outliers" -> quantKMeansOracleSql(k = 4, iters = 3,
-      finalSelect = Some(
-        """SELECT vec_id, cluster, dist AS dist_q
-          |FROM b4 ORDER BY dist_q DESC, vec_id ASC LIMIT 20""".stripMargin)),
+      // final table name supplied by the builder: changing iters at
+      // this call site can never silently query a stale round table
+      finalSelect = Some(finalTbl =>
+        s"""SELECT vec_id, cluster, dist AS dist_q
+           |FROM $finalTbl ORDER BY dist_q DESC, vec_id ASC LIMIT 20""".stripMargin)),
 
     // The HNSW probe must reproduce the exact ranking end-to-end (the
     // sharded graphs cover the corpus and each shard's beam returns its
@@ -6326,7 +6328,7 @@ object SparkEntry {
          |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
          |       CAST(sum(n_words) AS BIGINT) AS sum_words,
          |       CAST(sum(n_sub) AS BIGINT) AS sum_subwords,
-         |       CAST((sum(n_sub) * 1000000) // sum(n_words) AS BIGINT) AS fertility_micro,
+         |       CAST((sum(n_sub) * 1000000) // greatest(sum(n_words), 1) AS BIGINT) AS fertility_micro,
          |       CAST((sum(n_chars) * 1000000) // greatest(sum(n_sub), 1) AS BIGINT) AS cps_micro
          |FROM l GROUP BY 1 ORDER BY lang""".stripMargin,
     "doc_hf_tokenizer_json" -> hfTokenizerOracleSql(maxIters = 36),

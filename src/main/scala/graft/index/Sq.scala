@@ -55,6 +55,14 @@ object Sq {
       .collect()
     require(rows.nonEmpty, "cannot fit SQ8 on an empty corpus")
     val dim = rows.length
+    // dim is inferred as the distinct-position count, so ragged or
+    // sparse-dim input (a position with no coverage) must fail loudly
+    // here — not as a bare ArrayIndexOutOfBounds below, or worse,
+    // silent 0.0f bounds for an uncovered dimension
+    val seen = rows.map(_.getInt(0)).sorted
+    require(seen.sameElements(0 until dim),
+      s"SQ8 fit needs every dimension 0..${dim - 1} covered; the corpus has " +
+        s"ragged embedding lengths (observed positions: ${seen.mkString(",")})")
     val vmin = new Array[Float](dim)
     val vmax = new Array[Float](dim)
     rows.foreach { r =>
