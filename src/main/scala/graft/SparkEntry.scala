@@ -2133,18 +2133,28 @@ object SparkEntry {
     }),
 
     // SQL-surface entity resolution: the FastSS deletion-neighborhood
-    // lookup as ONE spark.sql statement. The k=1 signature sets are
-    // pure Spark SQL (transform/sequence lambdas — fully codegen, no
-    // UDF), the candidate equi-join broadcasts the probe side, and the
-    // exact filter is the built-in levenshtein. Shares
+    // lookup as ONE spark.sql statement over the PERSISTED signature
+    // store ([[graft.ops.FuzzyJoin.ensureFuzzyStore]]'s table — the
+    // same artifact the streaming resolver probes). Only the
+    // probe-sized side explodes its deletion signatures per statement
+    // (pure Spark SQL transform/sequence lambdas — fully codegen, no
+    // UDF); the registry leg is a plain scan of the prebuilt posting
+    // table, so per-query work scales with the probes, never the
+    // registry (the build-once/probe-many contract; previously this
+    // statement re-exploded all |registry|·(len+1) signatures per
+    // execution). The candidate equi-join broadcasts the probe side;
+    // the exact filter is the built-in levenshtein. Shares
     // cust_fuzzy_lookup's BRUTE-FORCE probe×registry oracle, so the
-    // hash match is a machine-checked completeness proof of the SQL
-    // blocking too. (The API path's maxLen raise_error guard is the
-    // library contract; a SQL user writing this statement owns the
-    // short-key trade explicitly.)
+    // hash match is a machine-checked completeness proof of the
+    // persisted blocking too.
     "sql_fuzzy_lookup" -> ((s, dir) => {
       tbl(s, dir, "customer").select(col("c_custkey"), col("c_name"))
         .createOrReplaceTempView("cust_fuzzy_v")
+      val storeDir =
+        s"${System.getProperty("java.io.tmpdir")}/graft_fuzzysql_${dirKey(dir)}"
+      graft.ops.FuzzyJoin.ensureFuzzyStore(s,
+        tbl(s, dir, "customer"), storeDir, "c_custkey", "c_name")
+      s.read.parquet(storeDir).createOrReplaceTempView("cust_fuzzy_store_v")
       s.sql(
         """WITH probes AS (
           |  SELECT c_custkey AS probe_id,
@@ -2155,12 +2165,6 @@ object SparkEntry {
           |               (CAST(substring(c_name, CAST(c_custkey % 9 + 10 AS INT), 1) AS BIGINT)
           |                  + 1 + c_custkey % 9) % 10 AS new_d
           |        FROM cust_fuzzy_v WHERE c_custkey % 97 = 0)),
-          |reg AS (SELECT c_custkey, c_name,
-          |          explode(array_union(array(c_name),
-          |            transform(sequence(1, length(c_name)),
-          |              i -> concat(substring(c_name, 1, i - 1),
-          |                          substring(c_name, i + 1, length(c_name)))))) AS sig
-          |        FROM cust_fuzzy_v),
           |prb AS (SELECT probe_id, probe_name,
           |          explode(array_union(array(probe_name),
           |            transform(sequence(1, length(probe_name)),
@@ -2168,8 +2172,9 @@ object SparkEntry {
           |                          substring(probe_name, i + 1, length(probe_name)))))) AS sig
           |        FROM probes),
           |cand AS (SELECT /*+ BROADCAST(prb) */ DISTINCT
-          |           prb.probe_id, prb.probe_name, reg.c_custkey, reg.c_name
-          |         FROM reg JOIN prb USING (sig))
+          |           prb.probe_id, prb.probe_name,
+          |           reg.store_id AS c_custkey, reg.store_name AS c_name
+          |         FROM cust_fuzzy_store_v reg JOIN prb USING (sig))
           |SELECT probe_id, c_custkey,
           |       CAST(levenshtein(probe_name, c_name) AS INT) AS dist
           |FROM cand WHERE levenshtein(probe_name, c_name) <= 1
