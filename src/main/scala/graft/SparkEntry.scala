@@ -2211,6 +2211,76 @@ object SparkEntry {
           |ORDER BY dist ASC, vec_id ASC""".stripMargin)
     }),
 
+    // SQL route to the persisted SQ8 ANN layout — closing the gap where
+    // a SQL-first user could reach the exact scan, the binary table and
+    // every text index but not the quantized code layouts. ONE
+    // spark.sql statement: the registered sq8_adc kernel (the SAME
+    // PqAdcExpr codegen scan as the API path — the table is built at
+    // plan time through the shared Sq.adcTableD core) shortlists 200
+    // ids over the persisted 4×-compressed codes, and the exact-rerank
+    // join touches full-precision vectors for 200 rows only. The
+    // bounds/query literals are D-suffixed doubles (exact float64
+    // round-trip). Equals exact top-10 (the knn_sq8_rerank contract),
+    // so it shares the brute-force oracle.
+    "sql_sq8_topk" -> ((s, dir) => {
+      org.apache.spark.sql.graft.GraftFunctions.register(s)
+      val corpus = emb(s, dir)
+      val baseDir =
+        s"${System.getProperty("java.io.tmpdir")}/graft_sq8_${dirKey(dir)}"
+      graft.index.Sq.ensureCodesArtifact(corpus, baseDir)
+      val model = graft.index.Sq.modelFromArtifact(s, baseDir)
+      val query = corpus.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).toArray
+      def dArr(a: Array[Double]): String =
+        a.map(v => s"${v}D").mkString("array(", ",", ")")
+      graft.index.Sq.codesWithDeltas(s, baseDir)
+        .createOrReplaceTempView("sq8_codes_v")
+      corpus.createOrReplaceTempView("embeddings_sq8_v")
+      s.sql(
+        s"""WITH short AS (
+           |  SELECT vec_id FROM sq8_codes_v
+           |  ORDER BY sq8_adc(codes, ${dArr(model.vmin.map(_.toDouble))},
+           |                   ${dArr(model.vmax.map(_.toDouble))},
+           |                   ${dArr(query.map(_.toDouble))}) ASC, vec_id ASC
+           |  LIMIT 200)
+           |SELECT e.vec_id AS vec_id, l2sq(e.embedding, q.qe) AS dist
+           |FROM embeddings_sq8_v e
+           |JOIN short USING (vec_id)
+           |CROSS JOIN (SELECT embedding AS qe FROM embeddings_sq8_v
+           |            WHERE vec_id = 0) q
+           |ORDER BY dist ASC, vec_id ASC LIMIT 10""".stripMargin)
+    }),
+
+    // SQL route to the persisted IVF layout: ONE spark.sql statement
+    // whose `cluster IN (...)` predicate (clusters ranked driver-side
+    // from the sidecar centroids, nprobe=1 of 8) is PARTITION PRUNING
+    // on the cluster-partitioned parquet — the statement reads 1/8 of
+    // the data (plan-pinned by SqlAnnSpec). Same planted-copy
+    // construction as knn_ivf_pruned, so the pruned probe still equals
+    // the brute-force oracle over the full planted corpus.
+    "sql_ivf_topk" -> ((s, dir) => {
+      org.apache.spark.sql.graft.GraftFunctions.register(s)
+      val corpus = emb(s, dir)
+      val planted = corpus.filter(col("vec_id") === 0)
+        .crossJoin(s.range(10))
+        .select((col("id") + lit(2000000L)).as("vec_id"), col("embedding"))
+      val full = corpus.select(col("vec_id"), col("embedding")).union(planted)
+      val layout = graft.index.Ivf.buildLayout(s, full,
+        ivfLayoutDir(dir, "pruned"), nlist = 8, maxIter = 3)
+      val query = corpus.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).toArray
+      val clusters = graft.index.Ivf.probeClustersOf(layout.centroids, query, 1)
+      s.read.parquet(layout.dir).createOrReplaceTempView("ivf_sql_layout_v")
+      corpus.createOrReplaceTempView("embeddings_ivfsql_v")
+      s.sql(
+        s"""SELECT t.vec_id AS vec_id, l2sq(t.embedding, q.qe) AS dist
+           |FROM ivf_sql_layout_v t
+           |CROSS JOIN (SELECT embedding AS qe FROM embeddings_ivfsql_v
+           |            WHERE vec_id = 0) q
+           |WHERE t.cluster IN (${clusters.mkString(", ")})
+           |ORDER BY dist ASC, vec_id ASC LIMIT 10""".stripMargin)
+    }),
+
     // Extension: batch k-NN similarity join (3 query vectors × corpus,
     // broadcast query side, per-query windowed top-k).
     "knn_join_top5" -> ((s, dir) => {
@@ -7354,6 +7424,29 @@ object SparkEntry {
       s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
          |SELECT e.vec_id AS vec_id, ${l2SqSql("e.embedding", "q.qe")} AS dist
          |FROM embeddings e CROSS JOIN q
+         |ORDER BY dist ASC, vec_id ASC LIMIT 10""".stripMargin,
+
+    // The one-statement SQL route over the persisted SQ8 codes: ADC
+    // shortlist + exact rerank equals exact top-10 (knn_sq8_rerank's
+    // contract), so it shares the brute-force oracle.
+    "sql_sq8_topk" ->
+      s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+         |SELECT e.vec_id AS vec_id, ${l2SqSql("e.embedding", "q.qe")} AS dist
+         |FROM embeddings e CROSS JOIN q
+         |ORDER BY dist ASC, vec_id ASC LIMIT 10""".stripMargin,
+
+    // The one-statement SQL route over the persisted IVF layout: same
+    // planted corpus and exact brute force as knn_ivf_pruned (all
+    // dist-0 rows share the query's cluster, so the nprobe=1
+    // partition-pruned statement reproduces it).
+    "sql_ivf_topk" ->
+      s"""WITH c AS (SELECT vec_id, embedding FROM embeddings
+         |           UNION ALL
+         |           SELECT 2000000 + r.i AS vec_id, e.embedding
+         |           FROM embeddings e CROSS JOIN range(10) r(i) WHERE e.vec_id = 0),
+         |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+         |SELECT c.vec_id AS vec_id, ${l2SqSql("c.embedding", "q.qe")} AS dist
+         |FROM c CROSS JOIN q
          |ORDER BY dist ASC, vec_id ASC LIMIT 10""".stripMargin,
 
     // Invariant summary (selection itself is not SQL-expressible): the

@@ -87,12 +87,6 @@ object Sq {
     }
   }
 
-  /** Reconstruction of one code: the linear map back (the quantizer's
-    * cell representative). */
-  private def reconOf(c: Int, lo: Float, hi: Float): Double =
-    if (hi <= lo) lo.toDouble
-    else lo.toDouble + c * (hi.toDouble - lo) / 255.0
-
   /** Encode every row to `dim` one-byte codes (build step; broadcast
     * model, per-partition amortized — [[Pq.encode]]'s shape). Output:
     * (idCol, codes binary). */
@@ -121,15 +115,30 @@ object Sq {
   /** ADC lookup table for one query: `t[d·256 + c] = (recon_d(c) − q_d)²`
     * — dim·256 doubles (32 KB at dim 16), embedded per query like the
     * PQ table. */
-  def adcTable(model: SqModel, query: Array[Float]): Array[Double] = {
-    require(query.length == model.dim,
-      s"query dim ${query.length} != ${model.dim}")
-    val table = new Array[Double](model.dim * 256)
+  def adcTable(model: SqModel, query: Array[Float]): Array[Double] =
+    adcTableD(model.vmin.map(_.toDouble), model.vmax.map(_.toDouble),
+      query.map(_.toDouble))
+
+  /** The double-typed ADC-table core — the float entry point above and
+    * the SQL surface's `sq8_adc` function
+    * ([[org.apache.spark.sql.graft.GraftFunctions]]) both route here,
+    * so the two paths can never diverge bit-wise (float→double
+    * conversion is exact, and every op below runs in float64 on both
+    * routes). */
+  def adcTableD(lo: Array[Double], hi: Array[Double], q: Array[Double]): Array[Double] = {
+    require(lo.length == hi.length && lo.length == q.length,
+      s"sq8_adc: lo/hi/query lengths must agree, got ${lo.length}/${hi.length}/${q.length}")
+    require(lo.nonEmpty, "sq8_adc: empty bounds")
+    val dim = lo.length
+    val table = new Array[Double](dim * 256)
     var d = 0
-    while (d < model.dim) {
+    while (d < dim) {
+      val l = lo(d)
+      val h = hi(d)
       var c = 0
       while (c < 256) {
-        val diff = reconOf(c, model.vmin(d), model.vmax(d)) - query(d)
+        val recon = if (h <= l) l else l + c * (h - l) / 255.0
+        val diff = recon - q(d)
         table(d * 256 + c) = diff * diff
         c += 1
       }

@@ -27,6 +27,22 @@ object GraftFunctions {
       s"$fn: argument must be an integer literal, got $other")
   }
 
+  /** A FOLDABLE array-of-double argument, evaluated at plan time (the
+    * same constant-at-parse contract as [[intArg]] — these feed tables
+    * that are baked into the codegen kernel per query). */
+  private def doubleArrayArg(e: Expression, fn: String): Array[Double] = {
+    import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
+    require(e.foldable, s"$fn: array argument must be a literal/foldable expression, got $e")
+    val arr = e.eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    require(arr != null, s"$fn: array argument must not be null")
+    e.dataType match {
+      case ArrayType(DoubleType, _) => arr.toDoubleArray()
+      case ArrayType(FloatType, _) => arr.toFloatArray().map(_.toDouble)
+      case other => throw new IllegalArgumentException(
+        s"$fn: array argument must be array<double> or array<float>, got $other")
+    }
+  }
+
   /** (name, builder, usage) for every graft SQL function. */
   private val functions: Seq[(String, Seq[Expression] => Expression, String)] = Seq(
     ("l2sq",
@@ -58,7 +74,21 @@ object GraftFunctions {
       "quality_score(normText) - fused one-pass [0,1] quality score of NORMALIZED text"),
     ("repetition_stats",
       { case Seq(a) => RepetitionExpr(a) },
-      "repetition_stats(tokens) - struct(dup_2gram_frac, top_2gram_frac, dup_3gram_frac) of a token array"))
+      "repetition_stats(tokens) - struct(dup_2gram_frac, top_2gram_frac, dup_3gram_frac) of a token array"),
+    // The SQL route to the persisted SQ8 code layout: lo/hi are the
+    // artifact's per-dimension bounds, q the query vector — all three
+    // must be literal arrays (the ADC table is built ONCE at plan time,
+    // through the same graft.index.Sq.adcTableD core as the API path,
+    // then scans as the PqAdcExpr codegen kernel at m=dim, k=256).
+    ("sq8_adc",
+      { case Seq(codes, lo, hi, q) =>
+        val table = graft.index.Sq.adcTableD(
+          doubleArrayArg(lo, "sq8_adc"),
+          doubleArrayArg(hi, "sq8_adc"),
+          doubleArrayArg(q, "sq8_adc"))
+        PqAdcExpr(codes, table.toIndexedSeq, 256) },
+      "sq8_adc(codes, loArr, hiArr, qArr) - SQ8 asymmetric L2 distance of a byte-codes " +
+        "column to literal query qArr under literal per-dimension bounds [loArr, hiArr]"))
 
   private def info(name: String, usage: String): ExpressionInfo =
     new ExpressionInfo("graft", null, name, usage,
