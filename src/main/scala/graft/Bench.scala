@@ -90,6 +90,20 @@ object Bench {
   final case class Samples(cold: Seq[Run], warm: Seq[Run]) {
     def coldMin: Double = cold.map(_.secs).min
     def warmMin: Double = if (warm.nonEmpty) warm.map(_.secs).min else coldMin
+    // Medians ride the record NEXT TO the minima (r13 adjudication
+    // lesson: an environment-contention window inflates whole queries
+    // for several consecutive samples, so min-vs-median divergence in
+    // the record itself flags a contaminated sweep without needing the
+    // raw sample arrays parsed).
+    def coldMedian: Double = medianOf(cold.map(_.secs))
+    def warmMedian: Double =
+      if (warm.nonEmpty) medianOf(warm.map(_.secs)) else coldMedian
+  }
+
+  private def medianOf(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    val n = s.length
+    if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
   }
 
   /** The per-run record: every sample and every plan fingerprint, so the
@@ -475,7 +489,16 @@ object Bench {
       else m.map { case (k, v) => "\"" + k + "\":" + v }
         .mkString(",\"stream_state\":{", ",", "}")
     }
+    // per-query warm medians (and the median total): a clean sweep has
+    // median ≈ min; a contention window shows as median ≫ min right in
+    // the record (the r13 ten-query adjudication, made self-evident)
+    val medianDict = results
+      .map { case (name, s) => "\"" + name + "\":" + r3(s.warmMedian) }
+      .mkString("{", ",", "}")
+    val totalWarmMedian = results.map(_._2.warmMedian).sum
     val extra = recall.fold("")("," + _.json) +
+      s""","total_warm_median":${r3(totalWarmMedian)}""" +
+      s""","queries_warm_median":$medianDict""" +
       s""","order_seed":$orderSeed,""" + samplesJson(results) + streamState
     val detail = detailLine(totalWarm, totalCold, minima, sfDir, warmRuns, coldRuns, extra)
     println(detail) // first line: full per-query detail for humans/logs

@@ -27,9 +27,9 @@ object Recall {
   final case class Report(lsh: Double, ivf: Double, ivfSpill: Double,
       pq: Double, opq: Double, nQueries: Int, k: Int, nprobe: Int,
       hnsw: Double = 0.0, hnswEf16: Double = 0.0, hnswEf32: Double = 0.0,
-      sq8: Double = 0.0) {
+      sq8: Double = 0.0, ivfSq: Double = 0.0) {
     def json: String =
-      f""""recall":{"lsh_at$k":$lsh%.3f,"ivf_at$k":$ivf%.3f,"ivf_spill_at$k":$ivfSpill%.3f,"pq_adc_at$k":$pq%.3f,"opq_adc_at$k":$opq%.3f,"sq8_adc_at$k":$sq8%.3f,"hnsw_at$k":$hnsw%.3f,"hnsw_ef16_at$k":$hnswEf16%.3f,"hnsw_ef32_at$k":$hnswEf32%.3f,"n_queries":$nQueries,"nprobe":$nprobe}"""
+      f""""recall":{"lsh_at$k":$lsh%.3f,"ivf_at$k":$ivf%.3f,"ivf_spill_at$k":$ivfSpill%.3f,"pq_adc_at$k":$pq%.3f,"opq_adc_at$k":$opq%.3f,"sq8_adc_at$k":$sq8%.3f,"ivfsq_at$k":$ivfSq%.3f,"hnsw_at$k":$hnsw%.3f,"hnsw_ef16_at$k":$hnswEf16%.3f,"hnsw_ef32_at$k":$hnswEf32%.3f,"n_queries":$nQueries,"nprobe":$nprobe}"""
   }
 
   /** recall@`k` of LSH (seeded BRP, the [[Ann]] defaults), pruned-IVF
@@ -71,6 +71,13 @@ object Recall {
     // OPQ and exact whose measured recall sizes its rerank shortlist
     val sqModel = Sq.fit(corpus)
     val sqCodes = Sq.encode(corpus, sqModel).persist()
+    // IVF-SQ8 composition (the FAISS IndexIVFScalarQuantizer shape) at
+    // the SAME nprobe as the ivf row: its recall compounds list pruning
+    // × ADC distortion — the nprobe-dependent operating point a user
+    // sizes the composition by (the declared knn_ivfsq_rerank query
+    // runs at nprobe = nlist, i.e. unpruned/exact mode)
+    val sqAssigned = assigned.select(col("vec_id"), col("cluster"))
+      .join(sqCodes, "vec_id").persist()
     // HNSW: the efSearch frontier (16/32/64) at the engine's build
     // defaults — the recall-vs-beam-width curve a user must size, now
     // measured per round like every other index family. The sharded
@@ -109,6 +116,10 @@ object Recall {
         withQid(qid, Pq.searchOpq(opqCodes, opqModel, q, k)) }),
       tagged("sq8", qs.toSeq.map { case (qid, q) =>
         withQid(qid, Sq.search(sqCodes, sqModel, q, k)) }),
+      tagged("ivfsq", qs.toSeq.map { case (qid, q) =>
+        val probed = Ivf.probeClusters(ivfIndex, q, nprobe)
+        withQid(qid, Sq.search(
+          sqAssigned.filter(col("cluster").isin(probed: _*)), sqModel, q, k)) }),
       Seq(16, 32, 64).map(ef =>
         hnswTopK(ef).select(lit(s"hnsw_ef$ef").as("method"),
           col("query_id"), col("vec_id"))).reduce(_ union _)
@@ -122,13 +133,13 @@ object Recall {
       } finally {
         gt.unpersist(); assigned.unpersist(); spilled.unpersist()
         codes.unpersist(); opqCodes.unpersist(); sqCodes.unpersist()
-        hnswLayout.unpersist()
+        sqAssigned.unpersist(); hnswLayout.unpersist()
       }
     val denom = (qs.length * k).toDouble
     def of(m: String): Double = hits.getOrElse(m, 0L) / denom
     Report(of("lsh"), of("ivf"), of("spill"), of("pq"), of("opq"),
       qs.length, k, nprobe,
       hnsw = of("hnsw_ef64"), hnswEf16 = of("hnsw_ef16"), hnswEf32 = of("hnsw_ef32"),
-      sq8 = of("sq8"))
+      sq8 = of("sq8"), ivfSq = of("ivfsq"))
   }
 }

@@ -62,6 +62,17 @@ class BenchLineSpec extends AnyFunSuite {
     assert(node.get("queries").get("q2").asDouble() == 2.0)
   }
 
+  test("medians: odd count takes the middle, even averages, warm falls back to cold") {
+    val s = Bench.Samples(
+      cold = Seq(Bench.Run(2.0, "aa"), Bench.Run(1.0, "aa")),
+      warm = Seq(Bench.Run(0.5, "aa"), Bench.Run(9.0, "aa"), Bench.Run(0.6, "aa")))
+    assert(s.warmMedian == 0.6) // one contaminated 9.0 sample cannot move it
+    assert(s.coldMedian == 1.5)
+    assert(s.warmMin == 0.5)
+    val noWarm = Bench.Samples(cold = Seq(Bench.Run(3.0, "aa")), warm = Nil)
+    assert(noWarm.warmMedian == 3.0)
+  }
+
   test("samples record per-run GC time arrays") {
     val samples = Seq("q1" -> Bench.Samples(
       cold = Seq(Bench.Run(1.0, "aa", gcMs = 42L)),

@@ -222,11 +222,23 @@ class AnnSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     assert(r.hnsw >= r.hnswEf32 - 0.05 && r.hnswEf32 >= r.hnswEf16 - 0.05,
       s"efSearch frontier not monotone-ish: ${r.hnswEf16}/${r.hnswEf32}/${r.hnsw}")
     assert(r.lsh <= 1.0 && r.ivf <= 1.0 && r.ivfSpill <= 1.0)
+    // the IVF-SQ8 composition probes the SAME clusters as the ivf row,
+    // so its recall is bounded above by ivf (a global-top-k member in a
+    // probed list always ranks into the exact within-list top-k) and
+    // can fall below it only by SQ8's ADC distortion — which is small
+    // (sq8_adc ~0.98 measured), hence the tight lower band
+    info(f"ivfsq(nprobe=2/8)@10=${r.ivfSq}%.3f (ivf=${r.ivf}%.3f, sq8=${r.sq8}%.3f)")
+    assert(r.ivfSq <= r.ivf + 1e-9,
+      s"IVF-SQ8 recall ${r.ivfSq} exceeds its pruning ceiling ${r.ivf}")
+    assert(r.ivfSq >= r.ivf - 0.10,
+      s"IVF-SQ8 recall ${r.ivfSq} fell more than ADC distortion below IVF ${r.ivf}")
     // the report line Bench embeds must be a valid JSON fragment
     val node = new com.fasterxml.jackson.databind.ObjectMapper()
       .readTree(s"{${r.json}}")
     assert(node.get("recall").get("lsh_at10").asDouble() == (r.lsh * 1000).round / 1000.0)
     assert(node.get("recall").get("ivf_spill_at10").asDouble() ==
       (r.ivfSpill * 1000).round / 1000.0)
+    assert(node.get("recall").get("ivfsq_at10").asDouble() ==
+      (r.ivfSq * 1000).round / 1000.0)
   }
 }
