@@ -102,13 +102,70 @@ object Binary {
       .limit(k)
 
   private val sigSidecar = "_binary_sigs.json"
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  private def sidecarNodeOf(dir: String): Option[com.fasterxml.jackson.databind.JsonNode] = {
+    val p = java.nio.file.Paths.get(dir, sigSidecar)
+    if (java.nio.file.Files.exists(p))
+      Some(mapper.readTree(java.nio.file.Files.readString(p)))
+    else None
+  }
+
+  /** The current BASE signature location: `sigs` for a never-compacted
+    * artifact, the sidecar's committed `sigs_v<N>` after a tombstone
+    * compaction (the engine-wide versioned-swap protocol). */
+  def sigsPath(dir: String): String = {
+    val v = sidecarNodeOf(dir).filter(_.hasNonNull("v"))
+      .map(_.get("v").asInt()).getOrElse(0)
+    if (v > 0) s"$dir/sigs_v$v" else s"$dir/sigs"
+  }
+
+  private def deadTombTags(dir: String): Set[String] =
+    sidecarNodeOf(dir).filter(_.has("deadTombs")).map { n =>
+      import scala.jdk.CollectionConverters._
+      n.get("deadTombs").elements().asScala.map(_.asText()).toSet
+    }.getOrElse(Set.empty)
+
+  private def listDirs(dir: String): Seq[String] = {
+    val root = java.nio.file.Paths.get(dir)
+    if (!java.nio.file.Files.exists(root)) return Seq.empty
+    val s = java.nio.file.Files.list(root)
+    try {
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala
+        .filter(java.nio.file.Files.isDirectory(_))
+        .map(_.getFileName.toString).toSeq
+    } finally s.close()
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    if (!java.nio.file.Files.exists(p)) return
+    val walk = java.nio.file.Files.walk(p)
+    try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+      .forEach(f => java.nio.file.Files.deleteIfExists(f))
+    finally walk.close()
+  }
+
+  private def liveTombTags(dir: String): Seq[String] = {
+    val dead = deadTombTags(dir)
+    listDirs(dir)
+      .filter(n => n.startsWith("tomb_") &&
+        java.nio.file.Files.exists(
+          java.nio.file.Paths.get(dir, n, "_stats.json")))
+      .map(_.stripPrefix("tomb_"))
+      .filterNot(dead)
+      .sorted
+  }
 
   /** Persist thresholds + signatures behind the shared
     * fingerprint-sidecar protocol ([[graft.io.Artifact]]): corpus
     * content hash + dim, so repeat probes pay an 8-byte-per-row scan
     * of the persisted table instead of re-reading the full-precision
     * corpus. The build-once/probe-many shape every other index in
-    * this engine follows (IVF layouts, BM25 postings). */
+    * this engine follows (IVF layouts, BM25 postings). Field-subset
+    * sidecar match: a tombstone-compacted store (whose sidecar also
+    * carries the version pointer) still matches a fresh ensure over
+    * the post-delete corpus and is reused. */
   def ensureSignatureArtifact(
       df: DataFrame,
       dir: String,
@@ -118,10 +175,12 @@ object Binary {
     val (nRows, dataHash, hashSum) = graft.io.Artifact.hashAgg(
       df, org.apache.spark.sql.functions.xxhash64(
         col(idCol), col(embCol).cast("array<double>")))
-    graft.io.Artifact.ensure(dir, sigSidecar,
-      graft.io.Artifact.fingerprintJson(nRows, dataHash,
-        "hsum" -> hashSum, "dim" -> dim.toString,
-        "family" -> "binary_midrange")) {
+    graft.io.Artifact.ensureJson(dir, sigSidecar, Seq(
+      "count" -> nRows.toString,
+      "hash" -> dataHash.toString,
+      "hsum" -> graft.io.Artifact.jsonStr(hashSum),
+      "dim" -> graft.io.Artifact.jsonStr(dim.toString),
+      "family" -> graft.io.Artifact.jsonStr("binary_midrange"))) {
       val thr = fitThresholds(df, dim, embCol)
       df.sparkSession.createDataFrame(
           thr.toIndexedSeq.zipWithIndex.map { case (t, i) => (i, t) })
@@ -130,7 +189,35 @@ object Binary {
         .write.mode("overwrite").parquet(s"$dir/thresholds")
       signatures(df, thr, idCol, embCol)
         .write.mode("overwrite").parquet(s"$dir/sigs")
+      // a rebuild means the corpus changed — stale versions/tombstones go
+      listDirs(dir).filter(n => n.startsWith("sigs_v") || n.startsWith("tomb_"))
+        .foreach(n => deleteRecursively(java.nio.file.Paths.get(dir, n)))
     }
+  }
+
+  /** DELETE a batch of vectors from the signature store: a tag-keyed
+    * tombstone (ids + the batch's mergeable fingerprint terms, derived
+    * from the provided FULL rows — the delete-is-inverse-of-append
+    * contract shared with the SQ8/posting stores). Thresholds are
+    * NEVER refit (trained-index contract: the quantizer attests the
+    * training corpus, deletes don't move it). Idempotent overwrite;
+    * rows must be live. Probes via [[liveSignatures]] exclude the ids
+    * immediately; [[compactSignatures]] drops them physically. */
+  def deleteFromArtifact(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      batch: DataFrame,
+      tag: String,
+      idCol: String = "vec_id",
+      embCol: String = "embedding"): Unit = {
+    val (nRows, dataHash, hashSum) = graft.io.Artifact.hashAgg(
+      batch, org.apache.spark.sql.functions.xxhash64(
+        col(idCol), col(embCol).cast("array<double>")))
+    batch.select(col(idCol).cast("long").as(idCol)).distinct()
+      .write.mode("overwrite").parquet(s"$dir/tomb_$tag/ids")
+    graft.io.Artifact.writeAtomic(
+      java.nio.file.Paths.get(dir, s"tomb_$tag", "_stats.json"),
+      s"""{"count":$nRows,"hash":$dataHash,"hsum":"$hashSum"}""")
   }
 
   /** The persisted artifact's thresholds (dim doubles) + signature
@@ -143,9 +230,67 @@ object Binary {
     out
   }
 
+  /** The RAW persisted signature table (tombstones not applied — use
+    * [[liveSignatures]] on a store that takes deletes). */
   def signaturesFromArtifact(
       spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/sigs")
+    spark.read.parquet(sigsPath(dir))
+
+  /** Signatures minus live tombstones — the probe input of a store
+    * with deletes: one broadcast anti-join of the (tiny) tombstoned id
+    * set over the 8-byte-per-row scan. */
+  def liveSignatures(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      idCol: String = "vec_id"): DataFrame = {
+    val base = signaturesFromArtifact(spark, dir)
+    val tags = liveTombTags(dir)
+    if (tags.isEmpty) base
+    else base.join(
+      broadcast(tags.map(t => spark.read.parquet(s"$dir/tomb_$t/ids"))
+        .reduce(_ unionAll _).distinct().select(col(idCol))),
+      Seq(idCol), "left_anti")
+  }
+
+  /** Physically drop tombstoned rows into a NEW `sigs_v<N+1>` version
+    * (old base keeps serving until the one atomic sidecar-replace
+    * COMMIT — the shared versioned-swap protocol), subtract the
+    * consumed tombstones' fingerprint terms (a fresh ensure over the
+    * post-delete corpus then REUSES the store), and GC last,
+    * best-effort. Single-writer, no concurrent probes. */
+  def compactSignatures(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      idCol: String = "vec_id"): Unit = {
+    val tags = liveTombTags(dir)
+    if (tags.isEmpty) return
+    val sidecar = java.nio.file.Paths.get(dir, sigSidecar)
+    val node = mapper.readTree(java.nio.file.Files.readString(sidecar))
+    var cnt = node.get("count").asLong()
+    var hsh = node.get("hash").asLong()
+    var hsum = BigInt(node.get("hsum").asText())
+    tags.foreach { t =>
+      val d = mapper.readTree(java.nio.file.Files.readString(
+        java.nio.file.Paths.get(dir, s"tomb_$t", "_stats.json")))
+      cnt -= d.get("count").asLong()
+      hsh ^= d.get("hash").asLong()
+      hsum -= BigInt(d.get("hsum").asText())
+    }
+    val survivors = liveSignatures(spark, dir, idCol)
+    val vOld = if (node.hasNonNull("v")) node.get("v").asInt() else 0
+    val vNew = vOld + 1
+    val newDir = s"$dir/sigs_v$vNew"
+    deleteRecursively(java.nio.file.Paths.get(newDir))
+    survivors.write.mode("overwrite").parquet(newDir)
+    def arr(s: Seq[String]) = s.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val dim = node.get("dim").asText()
+    val dead = (deadTombTags(dir).filter(t =>
+      java.nio.file.Files.exists(java.nio.file.Paths.get(dir, s"tomb_$t"))) ++
+      tags).toSeq.sorted
+    graft.io.Artifact.writeAtomic(sidecar,
+      s"""{"count":$cnt,"hash":$hsh,"hsum":"$hsum","dim":"$dim","family":"binary_midrange","v":$vNew,"deadTombs":${arr(dead)}}""")
+    deleteRecursively(java.nio.file.Paths.get(
+      if (vOld > 0) s"$dir/sigs_v$vOld" else s"$dir/sigs"))
+    dead.foreach(t => deleteRecursively(java.nio.file.Paths.get(dir, s"tomb_$t")))
+  }
 
   /** Two-stage retrieval: Hamming shortlist of `shortlist` ids over
     * the 8-byte signatures, then exact float64 L2 rescore of ONLY

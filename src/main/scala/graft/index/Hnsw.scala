@@ -550,6 +550,39 @@ object Hnsw {
     } finally s.close()
   }
 
+  private def duBytes(path: java.nio.file.Path): Long = {
+    if (!java.nio.file.Files.exists(path)) return 0L
+    val walk = java.nio.file.Files.walk(path)
+    try {
+      import scala.jdk.CollectionConverters._
+      walk.iterator().asScala
+        .filter(java.nio.file.Files.isRegularFile(_))
+        .map(java.nio.file.Files.size(_)).sum
+    } finally walk.close()
+  }
+
+  /** Bytes of the live delta graph dirs / of the base shards — the
+    * size-ratio compaction policy's inputs (fold when deltas reach a
+    * fixed fraction of the base, so each canonical-rebuild fold costs
+    * IO proportional to the deltas it folds, not an O(base) rewrite
+    * every fixed number of micro-batches). */
+  def deltaBytes(dir: String): Long =
+    deltaTags(dir)
+      .map(t => duBytes(java.nio.file.Paths.get(dir, s"$deltaDirPrefix$t"))).sum
+
+  def baseBytes(dir: String): Long = {
+    val d = java.nio.file.Paths.get(dir)
+    if (!java.nio.file.Files.exists(d)) return 0L
+    val s = java.nio.file.Files.list(d)
+    try {
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala
+        .filter(p => java.nio.file.Files.isDirectory(p) &&
+          p.getFileName.toString.startsWith("part="))
+        .map(duBytes).sum
+    } finally s.close()
+  }
+
   /** Probe base AND every delta graph, merge ≤ (1+deltas)·parts·k
     * candidates in one TakeOrdered. Deltas are immutable once written,
     * so their graphs cache under (dir, tag, part) like the base. */

@@ -300,6 +300,25 @@ object Ivf {
     Option(new java.io.File(layout.dir).listFiles()).getOrElse(Array.empty)
       .count(f => f.isDirectory && f.getName.startsWith(deltaDirPrefix))
 
+  private def duBytesOf(f: java.io.File): Long =
+    if (!f.exists()) 0L
+    else if (f.isFile) f.length()
+    else Option(f.listFiles()).getOrElse(Array.empty).map(duBytesOf).sum
+
+  /** Bytes of the live delta dirs / of the base inverted lists — the
+    * size-ratio compaction policy's inputs (IVF's fold is O(delta)
+    * file moves either way; the ratio trigger just amortizes the
+    * per-fold fixed cost over proportionally more appended bytes). */
+  def deltaBytes(layout: Layout): Long =
+    Option(new java.io.File(layout.dir).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith(deltaDirPrefix))
+      .map(duBytesOf).sum
+
+  def baseBytes(layout: Layout): Long =
+    Option(new java.io.File(layout.dir).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("cluster="))
+      .map(duBytesOf).sum
+
   /** All delta rows of a layout (None when no delta dirs exist). Each
     * delta dir is its own cluster-partitioned table, so they are read
     * per-dir and unioned — a single multi-root read would trip

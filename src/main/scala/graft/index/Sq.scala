@@ -239,11 +239,45 @@ object Sq {
   private val codesSidecar = "_sq8_codes.json"
   private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
 
+  private def sidecarNodeOf(dir: String): Option[com.fasterxml.jackson.databind.JsonNode] = {
+    val p = java.nio.file.Paths.get(dir, codesSidecar)
+    if (java.nio.file.Files.exists(p))
+      Some(mapper.readTree(java.nio.file.Files.readString(p)))
+    else None
+  }
+
+  private def jsonStringSet(
+      node: com.fasterxml.jackson.databind.JsonNode, key: String): Set[String] =
+    if (node == null || !node.has(key)) Set.empty
+    else {
+      import scala.jdk.CollectionConverters._
+      node.get(key).elements().asScala.map(_.asText()).toSet
+    }
+
+  private def foldedTags(dir: String): Set[String] =
+    sidecarNodeOf(dir).map(jsonStringSet(_, "folded")).getOrElse(Set.empty)
+
+  private def deadTombTags(dir: String): Set[String] =
+    sidecarNodeOf(dir).map(jsonStringSet(_, "deadTombs")).getOrElse(Set.empty)
+
+  /** The current BASE codes location: `codes` for a never-compacted
+    * artifact, the sidecar's committed `codes_v<N>` after a
+    * compaction (the versioned-swap protocol — see [[compactDeltas]]). */
+  def codesPath(dir: String): String = {
+    val v = sidecarNodeOf(dir).filter(_.hasNonNull("v"))
+      .map(_.get("v").asInt()).getOrElse(0)
+    if (v > 0) s"$dir/codes_v$v" else s"$dir/codes"
+  }
+
   /** Persist the model bounds + codes behind the fingerprint-sidecar
     * protocol — the build-once/probe-many shape of every other index
     * family. The sidecar's (count, hash, hsum) terms are MERGEABLE,
     * so [[compactDeltas]] can fold appended batches without rescanning
-    * the source corpus. */
+    * the source corpus — and the match is FIELD-SUBSET
+    * ([[graft.io.Artifact.ensureJson]]), so a compacted sidecar (which
+    * additionally carries the version pointer and folded lists) still
+    * matches a fresh ensure over the same post-delete corpus and is
+    * reused, never rebuilt. */
   def ensureCodesArtifact(
       df: DataFrame,
       dir: String,
@@ -251,9 +285,11 @@ object Sq {
       embCol: String = "embedding"): Unit = {
     val (nRows, dataHash, hashSum) = graft.io.Artifact.hashAgg(
       df, xxhash64(col(idCol), col(embCol).cast("array<double>")))
-    graft.io.Artifact.ensure(dir, codesSidecar,
-      graft.io.Artifact.fingerprintJson(nRows, dataHash,
-        "hsum" -> hashSum, "family" -> "sq8_minmax")) {
+    graft.io.Artifact.ensureJson(dir, codesSidecar, Seq(
+      "count" -> nRows.toString,
+      "hash" -> dataHash.toString,
+      "hsum" -> graft.io.Artifact.jsonStr(hashSum),
+      "family" -> graft.io.Artifact.jsonStr("sq8_minmax"))) {
       val model = fit(df, embCol)
       df.sparkSession.createDataFrame(
           (0 until model.dim).map(d => (d, model.vmin(d), model.vmax(d))))
@@ -262,7 +298,34 @@ object Sq {
         .write.mode("overwrite").parquet(s"$dir/bounds")
       encode(df, model, idCol, embCol)
         .write.mode("overwrite").parquet(s"$dir/codes")
+      // a REBUILD means the corpus changed: stale version dirs, deltas
+      // and tombstones belong to the old corpus (the fresh build's own
+      // `codes` dir matches none of these prefixes)
+      Seq("codes_v", "delta_", "tomb_").foreach { prefix =>
+        listDirs(dir).filter(_.startsWith(prefix))
+          .foreach(n => deleteRecursively(java.nio.file.Paths.get(dir, n)))
+      }
     }
+  }
+
+  private def listDirs(dir: String): Seq[String] = {
+    val root = java.nio.file.Paths.get(dir)
+    if (!java.nio.file.Files.exists(root)) return Seq.empty
+    val s = java.nio.file.Files.list(root)
+    try {
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala
+        .filter(java.nio.file.Files.isDirectory(_))
+        .map(_.getFileName.toString).toSeq
+    } finally s.close()
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    if (!java.nio.file.Files.exists(p)) return
+    val walk = java.nio.file.Files.walk(p)
+    try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+      .forEach(f => java.nio.file.Files.deleteIfExists(f))
+    finally walk.close()
   }
 
   /** The persisted artifact's quantization model (dim rows). */
@@ -278,28 +341,114 @@ object Sq {
   }
 
   private def deltaTags(dir: String): Seq[String] = {
-    val root = java.nio.file.Paths.get(dir)
-    if (!java.nio.file.Files.exists(root)) return Seq.empty
-    val s = java.nio.file.Files.list(root)
-    try {
-      import scala.jdk.CollectionConverters._
-      s.iterator().asScala
-        .filter(p => java.nio.file.Files.isDirectory(p) &&
-          p.getFileName.toString.startsWith("delta_") &&
-          java.nio.file.Files.exists(p.resolve("_stats.json")))
-        .map(_.getFileName.toString.stripPrefix("delta_"))
-        .toSeq.sorted
-    } finally s.close()
+    val folded = foldedTags(dir)
+    listDirs(dir)
+      .filter(n => n.startsWith("delta_") &&
+        java.nio.file.Files.exists(
+          java.nio.file.Paths.get(dir, n, "_stats.json")))
+      .map(_.stripPrefix("delta_"))
+      .filterNot(folded)
+      .sorted
   }
 
-  /** Codes over base ∪ live deltas — the probe's input. */
+  /** One live tombstone batch: deleted ids + the legs it covers + the
+    * batch's mergeable fingerprint terms (see [[deleteVectors]]). */
+  private final case class Tomb(tag: String, covered: Set[String],
+      count: Long, hash: Long, hsum: BigInt)
+
+  private def liveTombs(dir: String): Seq[Tomb] = {
+    val dead = deadTombTags(dir)
+    listDirs(dir)
+      .filter(n => n.startsWith("tomb_") &&
+        java.nio.file.Files.exists(
+          java.nio.file.Paths.get(dir, n, "_stats.json")))
+      .map(_.stripPrefix("tomb_"))
+      .filterNot(dead)
+      .sorted
+      .map { tag =>
+        val n = mapper.readTree(java.nio.file.Files.readString(
+          java.nio.file.Paths.get(dir, s"tomb_$tag", "_stats.json")))
+        Tomb(tag, jsonStringSet(n, "covered"),
+          n.get("count").asLong(), n.get("hash").asLong(),
+          BigInt(n.get("hsum").asText()))
+      }
+  }
+
+  /** DELETE a batch of vectors from the code store — the HNSW/IVF
+    * tombstone pattern applied to the SQ8 artifact. The batch must be
+    * the vectors' FULL rows (id + embedding: delete is the inverse of
+    * append, and the embedding re-derives the mergeable fingerprint
+    * terms), and each row must be LIVE — present exactly once across
+    * base ∪ current deltas, not already tombstoned. Tag-keyed
+    * OVERWRITE (idempotent under redelivery); the tombstone records
+    * the legs it COVERS (base + live delta tags now), so a vector
+    * re-appended later under a new tag is served again. Probes
+    * anti-join each leg with only its covering tombstones; compaction
+    * physically drops the rows and subtracts the terms. */
+  def deleteVectors(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      batch: DataFrame,
+      tag: String,
+      idCol: String = "vec_id",
+      embCol: String = "embedding"): Unit = {
+    val (nRows, dataHash, hashSum) = graft.io.Artifact.hashAgg(
+      batch, xxhash64(col(idCol), col(embCol).cast("array<double>")))
+    val covered = ("base" +: deltaTags(dir))
+      .map(t => "\"" + t + "\"").mkString("[", ",", "]")
+    batch.select(col(idCol).cast("long").as(idCol)).distinct()
+      .write.mode("overwrite").parquet(s"$dir/tomb_$tag/ids")
+    graft.io.Artifact.writeAtomic(
+      java.nio.file.Paths.get(dir, s"tomb_$tag", "_stats.json"),
+      s"""{"count":$nRows,"hash":$dataHash,"hsum":"$hashSum","covered":$covered}""")
+  }
+
+  private def maskFor(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      tombs: Seq[Tomb], leg: String, idCol: String): Option[DataFrame] = {
+    val covering = tombs.filter(_.covered.contains(leg))
+    if (covering.isEmpty) None
+    else Some(covering.map(t =>
+        spark.read.parquet(s"$dir/tomb_${t.tag}/ids"))
+      .reduce(_ unionAll _).distinct()
+      .select(col(idCol)))
+  }
+
+  private def applyMask(df: DataFrame, mask: Option[DataFrame], idCol: String): DataFrame =
+    mask.fold(df)(m => df.join(broadcast(m), Seq(idCol), "left_anti"))
+
+  /** Codes over (base ∪ live deltas) − covering tombstones — the
+    * probe's input. Each leg anti-joins only the (broadcast, tiny)
+    * tombstones covering it, so a vector re-appended after its delete
+    * is live again. */
   def codesWithDeltas(
-      spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
-    val base = spark.read.parquet(s"$dir/codes")
-    deltaTags(dir).foldLeft(base) { (acc, tag) =>
-      acc.unionAll(spark.read.schema(base.schema)
-        .parquet(s"$dir/delta_$tag/codes"))
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      idCol: String = "vec_id"): DataFrame = {
+    val tombs = liveTombs(dir)
+    val base = spark.read.parquet(codesPath(dir))
+    val baseLeg = applyMask(base, maskFor(spark, dir, tombs, "base", idCol), idCol)
+    deltaTags(dir).foldLeft(baseLeg) { (acc, tag) =>
+      acc.unionAll(applyMask(
+        spark.read.schema(base.schema).parquet(s"$dir/delta_$tag/codes"),
+        maskFor(spark, dir, tombs, tag, idCol), idCol))
     }
+  }
+
+  /** Base/delta byte sizes for the size-ratio compaction policy. */
+  def baseBytes(dir: String): Long = duBytes(codesPath(dir))
+  def deltaBytes(dir: String): Long =
+    deltaTags(dir).map(t => duBytes(s"$dir/delta_$t")).sum
+
+  private def duBytes(path: String): Long = {
+    val p = java.nio.file.Paths.get(path)
+    if (!java.nio.file.Files.exists(p)) return 0L
+    val walk = java.nio.file.Files.walk(p)
+    try {
+      import scala.jdk.CollectionConverters._
+      walk.iterator().asScala
+        .filter(java.nio.file.Files.isRegularFile(_))
+        .map(java.nio.file.Files.size(_)).sum
+    } finally walk.close()
   }
 
   /** Append a batch of new vectors ENCODED UNDER THE PERSISTED MODEL
@@ -327,16 +476,28 @@ object Sq {
 
   def deltaDirCount(dir: String): Int = deltaTags(dir).size
 
-  /** Fold live deltas (minus `excludeTags` — redelivery safety) into
-    * the base codes dir and merge the sidecar fingerprint, so a later
-    * [[ensureCodesArtifact]] over the union corpus reuses instead of
-    * rebuilding. The MODEL is untouched (trained-index contract). */
+  /** Fold live deltas (minus `excludeTags` — redelivery safety) and
+    * tombstones into a NEW base codes version: per-leg tombstone
+    * anti-joins drop deleted rows physically, the folded codes land in
+    * a fresh `codes_v<N+1>` dir while the old base keeps serving (no
+    * localCheckpoint pinning, no in-place overwrite — the versioned
+    * atomic-swap protocol shared with the posting-table compactions),
+    * and the COMMIT is one atomic sidecar replace carrying the merged
+    * fingerprint + version pointer + folded/consumed lists. Tombstones
+    * whose covered legs all folded are CONSUMED (terms subtracted), so
+    * a later [[ensureCodesArtifact]] over the post-delete union corpus
+    * reuses instead of rebuilding. The MODEL is untouched
+    * (trained-index contract). GC runs last, best-effort; a crash
+    * leaves dirs the committed lists already exclude. Single-writer,
+    * no concurrent probes. */
   def compactDeltas(
       spark: org.apache.spark.sql.SparkSession,
       dir: String,
-      excludeTags: Set[String] = Set.empty): Unit = {
+      excludeTags: Set[String] = Set.empty,
+      idCol: String = "vec_id"): Unit = {
     val tags = deltaTags(dir).filterNot(excludeTags)
-    if (tags.isEmpty) return
+    val tombs = liveTombs(dir)
+    if (tags.isEmpty && tombs.isEmpty) return
     val sidecar = java.nio.file.Paths.get(dir, codesSidecar)
     val node = mapper.readTree(java.nio.file.Files.readString(sidecar))
     var cnt = node.get("count").asLong()
@@ -349,20 +510,39 @@ object Sq {
       hsh ^= d.get("hash").asLong()
       hsum += BigInt(d.get("hsum").asText())
     }
-    val base = spark.read.parquet(s"$dir/codes")
-    val union = tags.foldLeft(base) { (acc, tag) =>
-      acc.unionAll(spark.read.schema(base.schema)
-        .parquet(s"$dir/delta_$tag/codes"))
-    }.localCheckpoint()
-    union.write.mode("overwrite").parquet(s"$dir/codes")
-    java.nio.file.Files.writeString(sidecar,
-      s"""{"count":$cnt,"hash":$hsh,"hsum":"$hsum","family":"sq8_minmax"}""")
-    tags.foreach { t =>
-      val d = java.nio.file.Paths.get(dir, s"delta_$t")
-      val walk = java.nio.file.Files.walk(d)
-      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-        .forEach(f => java.nio.file.Files.deleteIfExists(f))
-      finally walk.close()
+    val liveNow = deltaTags(dir).toSet
+    val consumed = tombs.filter(_.covered.forall(c =>
+      c == "base" || tags.contains(c) || !liveNow.contains(c)))
+    consumed.foreach { t =>
+      cnt -= t.count
+      hsh ^= t.hash
+      hsum -= t.hsum
     }
+    val base = spark.read.parquet(codesPath(dir))
+    val union = (
+      applyMask(base, maskFor(spark, dir, tombs, "base", idCol), idCol) +:
+        tags.map(t => applyMask(
+          spark.read.schema(base.schema).parquet(s"$dir/delta_$t/codes"),
+          maskFor(spark, dir, tombs, t, idCol), idCol))
+      ).reduce(_ unionAll _)
+    val vOld = if (node.hasNonNull("v")) node.get("v").asInt() else 0
+    val vNew = vOld + 1
+    val newDir = s"$dir/codes_v$vNew"
+    deleteRecursively(java.nio.file.Paths.get(newDir)) // crashed prior attempt
+    union.write.mode("overwrite").parquet(newDir)
+    // ---- COMMIT: one atomic sidecar replace ----
+    def onDisk(prefix: String)(t: String): Boolean =
+      java.nio.file.Files.exists(java.nio.file.Paths.get(dir, s"$prefix$t"))
+    val folded = (foldedTags(dir).filter(onDisk("delta_")) ++ tags).toSeq.sorted
+    val dead = (deadTombTags(dir).filter(onDisk("tomb_")) ++
+      consumed.map(_.tag)).toSeq.sorted
+    def arr(s: Seq[String]) = s.map("\"" + _ + "\"").mkString("[", ",", "]")
+    graft.io.Artifact.writeAtomic(sidecar,
+      s"""{"count":$cnt,"hash":$hsh,"hsum":"$hsum","family":"sq8_minmax","v":$vNew,"folded":${arr(folded)},"deadTombs":${arr(dead)}}""")
+    // ---- GC (best-effort; the committed lists already exclude these) ----
+    deleteRecursively(java.nio.file.Paths.get(
+      if (vOld > 0) s"$dir/codes_v$vOld" else s"$dir/codes"))
+    folded.foreach(t => deleteRecursively(java.nio.file.Paths.get(dir, s"delta_$t")))
+    dead.foreach(t => deleteRecursively(java.nio.file.Paths.get(dir, s"tomb_$t")))
   }
 }

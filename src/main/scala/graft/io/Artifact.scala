@@ -56,6 +56,68 @@ object Artifact {
     s"""{"count":$count,"hash":$hash${if (ps.isEmpty) "" else s",$ps"}}"""
   }
 
+  /** ATOMIC file replace: write a sibling temp file, then
+    * `ATOMIC_MOVE` it over the target. Every sidecar/commit write in
+    * the artifact protocol routes here — a sidecar is either the old
+    * complete json or the new complete json at every instant, never a
+    * torn write (the commit-point guarantee the versioned compactions
+    * rely on). */
+  def writeAtomic(path: java.nio.file.Path, content: String): Unit = {
+    val tmp = path.resolveSibling(path.getFileName.toString + ".tmp")
+    Files.writeString(tmp, content)
+    Files.move(tmp, path,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Field-subset variant of [[ensure]] for artifacts whose sidecar
+    * accretes EXTRA state over its lifetime (a compaction's version
+    * pointer + folded-delta list): the artifact is up to date iff the
+    * sidecar parses as json and every `expected` (key, raw-json-value)
+    * pair matches — unknown extra fields are ignored, so a compacted
+    * store still fingerprint-matches a fresh ensure over the same
+    * (post-delete) corpus and is REUSED, not rebuilt. On build the
+    * sidecar is written (atomically) with exactly the expected fields.
+    * Raw values: numbers bare (`"123"`), strings quoted
+    * ([[jsonStr]]). */
+  def ensureJson(dir: String, sidecarName: String,
+      expected: Seq[(String, String)])(build: => Unit): Boolean = {
+    val dirPath = Paths.get(dir).toAbsolutePath.normalize
+    Files.createDirectories(dirPath)
+    val sidecar = dirPath.resolve(sidecarName)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    def upToDate: Boolean = Files.exists(sidecar) && {
+      try {
+        val node = mapper.readTree(Files.readString(sidecar))
+        expected.forall { case (k, raw) =>
+          node.has(k) && node.get(k).toString == raw }
+      } catch { case _: Throwable => false }
+    }
+    if (upToDate) return false
+    dirPath.toString.intern.synchronized {
+      val ch = FileChannel.open(
+        dirPath.resolveSibling(dirPath.getFileName.toString + ".graft_lock"),
+        StandardOpenOption.CREATE, StandardOpenOption.WRITE)
+      val lock = ch.lock()
+      try {
+        if (upToDate) false
+        else {
+          build
+          writeAtomic(sidecar,
+            expected.map { case (k, raw) => s""""$k":$raw""" }
+              .mkString("{", ",", "}"))
+          true
+        }
+      } finally {
+        lock.release()
+        ch.close()
+      }
+    }
+  }
+
+  /** Raw-json string value for [[ensureJson]] fields. */
+  def jsonStr(s: String): String = "\"" + s + "\""
+
   /** Result of [[ensureBucketedTable]]: whether the data was
     * (re)written, plus the parsed sidecar (build-time stats like a
     * postings table's corpus counts ride here). */
@@ -101,11 +163,16 @@ object Artifact {
       return BucketedEnsure(rebuilt = false, readNode())
     val (nRows, dataHash, hashSum) = fingerprint
     def register(): Unit = {
+      // a compacted store's base lives at the sidecar's version sibling
+      // (`<dir>_v<N>`); an uncompacted one at the dir root
+      val node = readNode()
+      val v = if (node.hasNonNull("v")) node.get("v").asInt() else 0
+      val location = if (v > 0) s"${dir}_v$v" else dir
       spark.sql(s"DROP TABLE IF EXISTS $table")
       spark.sql(
         s"""CREATE TABLE $table ($ddl) USING PARQUET
            |CLUSTERED BY ($key) SORTED BY ($key) INTO $buckets BUCKETS
-           |LOCATION '$dir'""".stripMargin)
+           |LOCATION '$location'""".stripMargin)
     }
     def matches(node: com.fasterxml.jackson.databind.JsonNode): Boolean =
       node.get("count").asLong() == nRows &&
@@ -139,8 +206,31 @@ object Artifact {
             .sortBy(key)
             .format("parquet")
             .saveAsTable(table)
+          // a REBUILD means the corpus changed: stale version siblings,
+          // delta dirs and tombstones belong to the old corpus and
+          // would poison delta-aware probes over the fresh base
+          val parent = dirPath.getParent
+          val stem = dirPath.getFileName.toString
+          if (parent != null && Files.exists(parent)) {
+            val s = Files.list(parent)
+            try {
+              import scala.jdk.CollectionConverters._
+              s.iterator().asScala
+                .filter { p =>
+                  val n = p.getFileName.toString
+                  n.matches(java.util.regex.Pattern.quote(stem) + "_v\\d+") ||
+                    n == s"${stem}_deltas" || n == s"${stem}_tombstones"
+                }
+                .toSeq.foreach { p =>
+                  val walk = Files.walk(p)
+                  try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+                    .forEach(f => Files.deleteIfExists(f))
+                  finally walk.close()
+                }
+            } finally s.close()
+          }
           val extraJson = extras.map { case (k, v) => s""","$k":$v""" }.mkString
-          Files.writeString(sidecar,
+          writeAtomic(sidecar,
             s"""{"count":$nRows,"hash":$dataHash,"hsum":"$hashSum","buckets":$buckets,"key":"$key"$extraJson}""")
           BucketedEnsure(rebuilt = true, readNode())
         }

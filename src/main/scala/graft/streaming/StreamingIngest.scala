@@ -391,12 +391,27 @@ object StreamingIngest {
     * single-writer foreachBatch serializes compaction against
     * appends). Executor state is ZERO — all memory is the layout on
     * disk. */
+  /** The SIZE-RATIO compaction policy shared by the six incremental
+    * index families: fold when the live deltas have grown to `ratio` ×
+    * base bytes — each fold's IO is then PROPORTIONAL to the delta
+    * bytes it folds (the base it rewrites is at most deltas/ratio), so
+    * total compaction IO stays linear in stream length, where a pure
+    * count trigger makes it quadratic (an O(base) rewrite every fixed
+    * number of micro-batches) — OR when the delta-dir count reaches
+    * `maxDeltaDirs`, the probe fan-out bound (many tiny deltas cost
+    * probe latency even when their bytes are negligible). */
+  private def shouldCompact(deltaCount: Int, maxDeltaDirs: Int,
+      deltaBytes: => Long, baseBytes: => Long, ratio: Double): Boolean =
+    deltaCount > 0 && (deltaCount >= maxDeltaDirs ||
+      deltaBytes.toDouble >= ratio * math.max(baseBytes, 1L).toDouble)
+
   def streamingHnswAppend(
       stream: DataFrame,
       layoutDir: String,
       checkpoint: String,
       p: graft.index.Hnsw.Params = graft.index.Hnsw.Params(),
-      maxDeltaDirs: Int = 16): StreamingQuery =
+      maxDeltaDirs: Int = 16,
+      compactBytesRatio: Double = 1.0): StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -406,7 +421,9 @@ object StreamingIngest {
         // folding it into the base here, right before appendDelta
         // rewrites the same tag, would double-insert those vectors
         // (the Ivf leg below has the identical guard)
-        if (graft.index.Hnsw.deltaTags(layoutDir).size >= maxDeltaDirs)
+        if (shouldCompact(graft.index.Hnsw.deltaTags(layoutDir).size, maxDeltaDirs,
+            graft.index.Hnsw.deltaBytes(layoutDir),
+            graft.index.Hnsw.baseBytes(layoutDir), compactBytesRatio))
           graft.index.Hnsw.compactDeltas(batch.sparkSession, layoutDir, p,
             excludeTags = Set(tag))
         graft.index.Hnsw.appendDelta(batch.sparkSession, layoutDir, batch, tag, p)
@@ -433,14 +450,17 @@ object StreamingIngest {
       dir: String,
       checkpoint: String,
       buckets: Int,
-      maxDeltaDirs: Int = 16): StreamingQuery =
+      maxDeltaDirs: Int = 16,
+      compactBytesRatio: Double = 1.0): StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val tag = s"${pipelineTag(checkpoint)}_b$batchId"
         // excludeTags = the current batch's tag (redelivery safety —
         // the HNSW/IVF legs' identical guard)
-        if (graft.text.InvertedIndex.deltaTags(dir).size >= maxDeltaDirs)
+        if (shouldCompact(graft.text.InvertedIndex.deltaTags(dir).size, maxDeltaDirs,
+            graft.text.InvertedIndex.deltaBytes(dir),
+            graft.text.InvertedIndex.baseBytes(dir), compactBytesRatio))
           graft.text.InvertedIndex.compactDeltas(batch.sparkSession, table, dir,
             buckets, excludeTags = Set(tag))
         graft.text.InvertedIndex.appendDelta(batch.sparkSession, dir, batch, tag)
@@ -461,12 +481,15 @@ object StreamingIngest {
       dir: String,
       checkpoint: String,
       buckets: Int,
-      maxDeltaDirs: Int = 16): StreamingQuery =
+      maxDeltaDirs: Int = 16,
+      compactBytesRatio: Double = 1.0): StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val tag = s"${pipelineTag(checkpoint)}_b$batchId"
-        if (graft.text.InvertedIndex.deltaTags(dir).size >= maxDeltaDirs)
+        if (shouldCompact(graft.text.InvertedIndex.deltaTags(dir).size, maxDeltaDirs,
+            graft.text.InvertedIndex.deltaBytes(dir),
+            graft.text.InvertedIndex.baseBytes(dir), compactBytesRatio))
           graft.text.InvertedIndex.compactPositionalDeltas(
             batch.sparkSession, table, dir, buckets, excludeTags = Set(tag))
         graft.text.InvertedIndex.appendPositionalDelta(
@@ -484,12 +507,15 @@ object StreamingIngest {
       dir: String,
       checkpoint: String,
       buckets: Int,
-      maxDeltaDirs: Int = 16): StreamingQuery =
+      maxDeltaDirs: Int = 16,
+      compactBytesRatio: Double = 1.0): StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val tag = s"${pipelineTag(checkpoint)}_b$batchId"
-        if (graft.text.InvertedIndex.deltaTags(dir).size >= maxDeltaDirs)
+        if (shouldCompact(graft.text.InvertedIndex.deltaTags(dir).size, maxDeltaDirs,
+            graft.text.InvertedIndex.deltaBytes(dir),
+            graft.text.InvertedIndex.baseBytes(dir), compactBytesRatio))
           graft.text.InvertedIndex.compactTrigramDeltas(
             batch.sparkSession, table, dir, buckets, excludeTags = Set(tag))
         graft.text.InvertedIndex.appendTrigramDelta(
@@ -508,12 +534,15 @@ object StreamingIngest {
       stream: DataFrame,
       dir: String,
       checkpoint: String,
-      maxDeltaDirs: Int = 16): StreamingQuery =
+      maxDeltaDirs: Int = 16,
+      compactBytesRatio: Double = 1.0): StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val tag = s"${pipelineTag(checkpoint)}_b$batchId"
-        if (graft.index.Sq.deltaDirCount(dir) >= maxDeltaDirs)
+        if (shouldCompact(graft.index.Sq.deltaDirCount(dir), maxDeltaDirs,
+            graft.index.Sq.deltaBytes(dir),
+            graft.index.Sq.baseBytes(dir), compactBytesRatio))
           graft.index.Sq.compactDeltas(batch.sparkSession, dir,
             excludeTags = Set(tag))
         graft.index.Sq.appendDelta(batch.sparkSession, dir, batch, tag)
@@ -527,13 +556,18 @@ object StreamingIngest {
       layoutDir: String,
       checkpoint: String,
       embCol: String = "embedding",
-      maxDeltaDirs: Int = 16): StreamingQuery =
+      maxDeltaDirs: Int = 16,
+      compactBytesRatio: Double = 1.0): StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val tag = s"${pipelineTag(checkpoint)}_b$batchId"
         val layout = graft.index.Ivf.loadLayout(layoutDir)
-        if (graft.index.Ivf.deltaDirCount(layout) >= maxDeltaDirs)
+        // IVF's fold is O(delta) file moves either way; the ratio
+        // trigger just amortizes the per-fold fixed cost
+        if (shouldCompact(graft.index.Ivf.deltaDirCount(layout), maxDeltaDirs,
+            graft.index.Ivf.deltaBytes(layout),
+            graft.index.Ivf.baseBytes(layout), compactBytesRatio))
           graft.index.Ivf.compactDeltas(batch.sparkSession, layout, embCol,
             excludeTags = Set(tag))
         graft.index.Ivf.appendDelta(layout, batch, tag, embCol)

@@ -261,12 +261,155 @@ object InvertedIndex {
   // hashes) are MERGEABLE, so compaction emits the exact fingerprint
   // a fresh ensure over the union corpus would compute — no source
   // text ever rescanned.
+  //
+  // DELETES are first-class (the reference's O5, vectordb.cpp:74-80,
+  // extended to the posting stores): a delete batch is a TAG-KEYED
+  // tombstone dir holding the deleted doc ids plus the batch's
+  // mergeable fingerprint terms and BM25 stat decrements, recorded
+  // against the legs (base + live delta tags) it COVERS at delete
+  // time. Probes anti-join each leg with only the tombstones covering
+  // it — so a doc re-appended AFTER its delete (a new, uncovered
+  // delta tag) is live again, the delete/append ordering a global
+  // mask would get wrong. Compaction physically drops tombstoned
+  // rows, CONSUMES every tombstone whose covered legs are all folded
+  // (subtracting its terms — the new sidecar attests exactly the
+  // post-delete corpus, so a fresh ensure over it REUSES), and keeps
+  // the rest.
+  //
+  // Compaction itself is a VERSIONED ATOMIC SWAP, never an in-place
+  // overwrite: the folded base is written to a fresh sibling
+  // `<dir>_v<N>` while the old base keeps serving (no
+  // localCheckpoint pinning, no read-under-write), and the COMMIT
+  // POINT is one atomic sidecar replace that simultaneously carries
+  // the merged fingerprint, the version pointer, the folded delta
+  // tags and the consumed tombstone tags. A crash before the commit
+  // leaves the old state fully live; a crash after it (before GC)
+  // leaves stale dirs that probes already skip (they read the folded/
+  // deadTombs lists) and the next compaction garbage-collects.
   // ---------------------------------------------------------------
 
   /** Deltas live BESIDE the bucketed data dir (never inside it — the
     * registered table's file listing must not see them). */
   private def deltaRoot(dir: String) = s"${dir}_deltas"
   private val deltaStatsName = "_graft_delta_stats.json"
+  private def tombRoot(dir: String) = s"${dir}_tombstones"
+  private val tombStatsName = "_graft_tomb_stats.json"
+
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+  private val allSidecarNames = Seq(sidecarName, posSidecarName, triSidecarName)
+
+  /** The store's sidecar node, whichever of the three index families
+    * owns `dir` (a dir hosts exactly one posting table). */
+  private def sidecarNode(dir: String): Option[com.fasterxml.jackson.databind.JsonNode] =
+    allSidecarNames.iterator
+      .map(n => java.nio.file.Paths.get(dir, n))
+      .find(java.nio.file.Files.exists(_))
+      .map(p => mapper.readTree(java.nio.file.Files.readString(p)))
+
+  private def jsonStringSet(
+      node: com.fasterxml.jackson.databind.JsonNode, key: String): Set[String] =
+    if (node == null || !node.has(key)) Set.empty
+    else {
+      import scala.jdk.CollectionConverters._
+      node.get(key).elements().asScala.map(_.asText()).toSet
+    }
+
+  /** Delta tags the COMMITTED sidecar says are already folded into the
+    * current base version — still on disk only inside the
+    * commit-to-GC crash window; probes and compactions must skip
+    * them or rows double-count. */
+  private def foldedTags(dir: String): Set[String] =
+    sidecarNode(dir).map(jsonStringSet(_, "folded")).getOrElse(Set.empty)
+
+  /** Tombstone tags already consumed by a committed compaction (their
+    * rows physically dropped, their terms subtracted) — a still-on-
+    * disk dir in this set is GC debt, not a live tombstone. */
+  private def deadTombTags(dir: String): Set[String] =
+    sidecarNode(dir).map(jsonStringSet(_, "deadTombs")).getOrElse(Set.empty)
+
+  /** One live tombstone batch: the deleted ids' dir tag, the legs it
+    * covers, and the batch's mergeable terms. */
+  private final case class Tomb(tag: String, covered: Set[String],
+      count: Long, hash: Long, hsum: BigInt, nDocs: Long, sumDl: Long)
+
+  private def liveTombs(dir: String): Seq[Tomb] = {
+    val root = java.nio.file.Paths.get(tombRoot(dir))
+    if (!java.nio.file.Files.exists(root)) return Seq.empty
+    val dead = deadTombTags(dir)
+    val s = java.nio.file.Files.list(root)
+    val tags = try {
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala
+        .filter(p => java.nio.file.Files.exists(p.resolve(tombStatsName)))
+        .map(_.getFileName.toString)
+        .filterNot(dead)
+        .toSeq.sorted
+    } finally s.close()
+    tags.map { tag =>
+      val n = mapper.readTree(java.nio.file.Files.readString(
+        java.nio.file.Paths.get(tombRoot(dir), tag, tombStatsName)))
+      Tomb(tag, jsonStringSet(n, "covered"),
+        n.get("count").asLong(), n.get("hash").asLong(),
+        BigInt(n.get("hsum").asText()),
+        n.get("nDocs").asLong(), n.get("sumDl").asLong())
+    }
+  }
+
+  /** DELETE a batch of docs from a posting store (any of the three
+    * families — BM25 stat decrements ride along and are simply unused
+    * by the positional/trigram compactions). The batch must be the
+    * docs' FULL rows (id + text — delete is the inverse of append,
+    * and a takedown pipeline has the row because it is scrubbing the
+    * raw corpus too): the text re-derives the mergeable fingerprint
+    * terms and the dl decrement with the exact build-time arithmetic,
+    * so a compaction that consumes this tombstone leaves a sidecar a
+    * fresh ensure over the post-delete corpus will REUSE.
+    *
+    * CONTRACT: each deleted row must be LIVE (present exactly once
+    * across base ∪ current deltas, not already tombstoned) — the
+    * terms are subtracted once, so deleting a phantom would corrupt
+    * the fingerprint arithmetic. Tag-keyed OVERWRITE: at-least-once
+    * redelivery rewrites the same tombstone, never double-subtracts.
+    * The tombstone records the legs it covers (base + the delta tags
+    * live right now); a delta appended LATER is not covered, so
+    * re-adding a deleted doc revives it. Cost: one batch-sized
+    * tokenize + two tiny writes — never an index scan. */
+  def deleteDocs(
+      spark: SparkSession,
+      dir: String,
+      batch: DataFrame,
+      tag: String,
+      idCol: String = "doc_id",
+      textCol: String = "text"): Unit = {
+    val (nRows, dataHash, hashSum) = fingerprint(batch, idCol, textCol)
+    val d = batch.select(col(idCol).cast("long").as("doc_id"),
+      size(TextAnalysis.tokens(col(textCol))).cast("long").as("dl"))
+    val stats = d.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl")).head()
+    val nDocs = stats.getLong(0)
+    val sumDl = if (stats.isNullAt(1)) 0L else stats.getLong(1)
+    val covered = ("base" +: deltaTags(dir))
+      .map(t => "\"" + t + "\"").mkString("[", ",", "]")
+    val out = s"${tombRoot(dir)}/$tag"
+    d.select(col("doc_id")).distinct()
+      .write.mode("overwrite").parquet(out)
+    graft.io.Artifact.writeAtomic(
+      java.nio.file.Paths.get(out, tombStatsName),
+      s"""{"count":$nRows,"hash":$dataHash,"hsum":"$hashSum","nDocs":$nDocs,"sumDl":$sumDl,"covered":$covered}""")
+  }
+
+  /** The tombstoned doc ids covering one leg, as a broadcast anti-join
+    * (None when no tombstone covers it). */
+  private def maskFor(
+      spark: SparkSession, dir: String, tombs: Seq[Tomb], leg: String): Option[DataFrame] = {
+    val covering = tombs.filter(_.covered.contains(leg))
+    if (covering.isEmpty) None
+    else Some(covering.map(t =>
+        spark.read.parquet(s"${tombRoot(dir)}/${t.tag}"))
+      .reduce(_ unionAll _).distinct())
+  }
+
+  private def applyMask(df: DataFrame, mask: Option[DataFrame]): DataFrame =
+    mask.fold(df)(m => df.join(broadcast(m), Seq("doc_id"), "left_anti"))
 
   /** Append one batch of (id, text) docs as a delta posting dir:
     * the batch pays its own tokenize+explode (batch-sized, never
@@ -294,56 +437,95 @@ object InvertedIndex {
       .select(col("token"), col("doc_id"), col("tf"), col("dl"))
     val out = s"${deltaRoot(dir)}/$tag"
     postings.write.mode("overwrite").parquet(out)
-    java.nio.file.Files.writeString(
+    graft.io.Artifact.writeAtomic(
       java.nio.file.Paths.get(out, deltaStatsName),
       s"""{"count":$nRows,"hash":$dataHash,"hsum":"$hashSum","nDocs":$nDocs,"sumDl":$sumDl}""")
   }
 
   /** Tags of the live deltas, sorted (probe fan-out width — bounded by
     * the compaction policy). A delta is live only once its stats json
-    * exists (written last). */
+    * exists (written last), and a committed-but-not-yet-GC'd folded
+    * delta (sidecar `folded` list) is NOT live — its rows are already
+    * in the current base version. */
   def deltaTags(dir: String): Seq[String] = {
     val root = java.nio.file.Paths.get(deltaRoot(dir))
     if (!java.nio.file.Files.exists(root)) return Seq.empty
+    val folded = foldedTags(dir)
     val s = java.nio.file.Files.list(root)
     try {
       import scala.jdk.CollectionConverters._
       s.iterator().asScala
         .filter(p => java.nio.file.Files.exists(p.resolve(deltaStatsName)))
         .map(_.getFileName.toString)
+        .filterNot(folded)
         .toSeq.sorted
     } finally s.close()
   }
 
   private def deltaStats(dir: String, tag: String): com.fasterxml.jackson.databind.JsonNode =
-    new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+    mapper.readTree(
       java.nio.file.Files.readString(
         java.nio.file.Paths.get(deltaRoot(dir), tag, deltaStatsName)))
+
+  /** Total bytes of the current BASE version's data files — the
+    * denominator of the size-ratio compaction policy. */
+  def baseBytes(dir: String): Long = {
+    val v = sidecarNode(dir).filter(_.hasNonNull("v")).map(_.get("v").asInt()).getOrElse(0)
+    duBytes(if (v > 0) s"${dir}_v$v" else dir)
+  }
+
+  /** Total bytes of the live delta dirs — the numerator of the
+    * size-ratio compaction policy (fold when deltas have grown to a
+    * fixed fraction of the base, so each fold's IO is proportional to
+    * the delta bytes it folds and total compaction IO stays LINEAR in
+    * stream length — a count trigger makes it quadratic). */
+  def deltaBytes(dir: String): Long =
+    deltaTags(dir).map(t => duBytes(s"${deltaRoot(dir)}/$t")).sum
+
+  private def duBytes(path: String): Long = {
+    val p = java.nio.file.Paths.get(path)
+    if (!java.nio.file.Files.exists(p)) return 0L
+    val walk = java.nio.file.Files.walk(p)
+    try {
+      import scala.jdk.CollectionConverters._
+      walk.iterator().asScala
+        .filter(java.nio.file.Files.isRegularFile(_))
+        .map(java.nio.file.Files.size(_)).sum
+    } finally walk.close()
+  }
 
   /** The base table's corpus stats, read from its sidecar — the
     * probe-time source of truth (a captured value goes stale the
     * moment an auto-compaction folds deltas into the base). */
   def sidecarStats(dir: String): CorpusStats = {
-    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+    val node = mapper.readTree(
       java.nio.file.Files.readString(
         java.nio.file.Paths.get(dir, sidecarName)))
     CorpusStats(node.get("nDocs").asLong(), node.get("sumDl").asLong())
   }
 
-  /** Corpus stats over base ∪ live deltas — O(deltas) json reads, no
-    * data touched. */
-  def statsDeltaAware(dir: String): CorpusStats =
-    deltaTags(dir).foldLeft(sidecarStats(dir)) { (acc, tag) =>
+  /** Corpus stats over (base ∪ live deltas) − live tombstones —
+    * O(deltas + tombstones) json reads, no data touched. Each live
+    * tombstone's decrement applies exactly once (its docs are live in
+    * exactly one covered leg — the [[deleteDocs]] contract). */
+  def statsDeltaAware(dir: String): CorpusStats = {
+    val added = deltaTags(dir).foldLeft(sidecarStats(dir)) { (acc, tag) =>
       val n = deltaStats(dir, tag)
       CorpusStats(acc.nDocs + n.get("nDocs").asLong(), acc.sumDl + n.get("sumDl").asLong())
     }
+    liveTombs(dir).foldLeft(added) { (acc, t) =>
+      CorpusStats(acc.nDocs - t.nDocs, acc.sumDl - t.sumDl)
+    }
+  }
 
-  /** BM25 over base ∪ deltas: the base leg is the bucket-pruned table
-    * probe, each delta leg is a batch-sized parquet read with the
-    * token filter pushed, stats are the merged totals, and scoring
-    * routes through the same shared expression tree — so results are
-    * IDENTICAL to a fresh build over the union corpus (spec-pinned and
-    * oracle-proven by stream_bm25_append). */
+  /** BM25 over (base ∪ deltas) − tombstones: the base leg is the
+    * bucket-pruned table probe, each delta leg is a batch-sized
+    * parquet read with the token filter pushed, each leg anti-joins
+    * only the (broadcast, tiny) tombstones COVERING it, stats are the
+    * merged totals, and scoring routes through the same shared
+    * expression tree — so results are IDENTICAL to a fresh build over
+    * the post-delete union corpus (spec-pinned and oracle-proven by
+    * stream_bm25_append / doc_bm25_delete). */
   def bm25SearchDeltaAware(
       spark: SparkSession,
       table: String,
@@ -353,11 +535,7 @@ object InvertedIndex {
       b: Double = 0.75,
       topN: Int = 20): DataFrame = {
     require(terms.nonEmpty, "need at least one query term")
-    val base = spark.table(table)
-    val occ = deltaTags(dir).foldLeft(base) { (acc, tag) =>
-      acc.unionAll(spark.read.schema(base.schema)
-        .parquet(s"${deltaRoot(dir)}/$tag"))
-    }
+    val occ = withDeltas(spark, table, dir)
       .filter(col("token").isin(terms: _*))
       .select(col("doc_id"), col("dl"), col("token"), col("tf"))
     val merged = statsDeltaAware(dir)
@@ -382,7 +560,7 @@ object InvertedIndex {
       buckets: Int,
       excludeTags: Set[String] = Set.empty): Unit =
     compactSimpleDeltas(spark, table, dir, buckets, sidecarName, "token",
-      excludeTags, extraLongKeys = Seq("nDocs", "sumDl"))
+      postingsDdl, excludeTags, extraLongKeys = Seq("nDocs", "sumDl"))
 
   // ---------------------------------------------------------------
   // Positional- and trigram-index deltas — the same protocol applied
@@ -434,7 +612,7 @@ object InvertedIndex {
     val (nRows, dataHash, hashSum) = batchFingerprint
     val out = s"${deltaRoot(dir)}/$tag"
     postings.write.mode("overwrite").parquet(out)
-    java.nio.file.Files.writeString(
+    graft.io.Artifact.writeAtomic(
       java.nio.file.Paths.get(out, deltaStatsName),
       s"""{"count":$nRows,"hash":$dataHash,"hsum":"$hashSum"}""")
   }
@@ -463,15 +641,21 @@ object InvertedIndex {
     appendSimpleDelta(dir, tag, trigramPostingsOf(batch, idCol, textCol),
       fingerprint(batch, idCol, textCol))
 
-  /** Postings over base ∪ live deltas: the base leg is the
-    * bucket-prunable registered table, each delta leg is a batch-sized
-    * parquet read with the probe filter pushed. */
+  /** Postings over (base ∪ live deltas) − covering tombstones: the
+    * base leg is the bucket-prunable registered table, each delta leg
+    * is a batch-sized parquet read with the probe filter pushed, and
+    * each leg anti-joins only the tombstones that COVER it (broadcast
+    * tiny sets) — so a doc re-appended after its delete (an uncovered
+    * later tag) is served again. */
   private def withDeltas(
       spark: SparkSession, table: String, dir: String): DataFrame = {
     val base = spark.table(table)
-    deltaTags(dir).foldLeft(base) { (acc, tag) =>
-      acc.unionAll(spark.read.schema(base.schema)
-        .parquet(s"${deltaRoot(dir)}/$tag"))
+    val tombs = liveTombs(dir)
+    val baseLeg = applyMask(base, maskFor(spark, dir, tombs, "base"))
+    deltaTags(dir).foldLeft(baseLeg) { (acc, tag) =>
+      acc.unionAll(applyMask(
+        spark.read.schema(base.schema).parquet(s"${deltaRoot(dir)}/$tag"),
+        maskFor(spark, dir, tombs, tag)))
     }
   }
 
@@ -499,15 +683,35 @@ object InvertedIndex {
       textCol: String = "text"): DataFrame =
     substringOver(withDeltas(spark, table, dir), corpus, needle, idCol, textCol)
 
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    if (!java.nio.file.Files.exists(p)) return
+    val walk = java.nio.file.Files.walk(p)
+    try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+      .forEach(f => java.nio.file.Files.deleteIfExists(f))
+    finally walk.close()
+  }
+
   /** Fold every live delta (minus `excludeTags` — the redelivery-
-    * safety contract) of a posting table into a rebuilt bucketed base;
-    * the new sidecar's fingerprint terms are the merged (count, xor,
-    * sum), so the next ensure over the union corpus reuses instead of
-    * rebuilding. `extraLongKeys` are additive build-time stats carried
-    * by BOTH the base sidecar and every delta's stats json (the BM25
-    * table's nDocs/sumDl) — merged by summation and re-emitted.
-    * Single-writer, no concurrent probes. Shared by the BM25,
-    * positional, and trigram compactions. */
+    * safety contract) and every tombstone into a rebuilt bucketed
+    * base: per-leg tombstone anti-joins drop deleted rows physically,
+    * the folded base lands in a FRESH sibling version dir
+    * (`<dir>_v<N+1>`) while the old base keeps serving (no
+    * localCheckpoint pinning, no in-place overwrite), and the COMMIT
+    * is ONE atomic sidecar replace carrying the merged fingerprint,
+    * the version pointer, the folded tags and the consumed tombstone
+    * tags — at every instant the store is either wholly the old state
+    * or wholly the new one. Tombstones whose covered legs all folded
+    * are CONSUMED (terms subtracted — the sidecar then attests exactly
+    * the post-delete corpus, so a fresh ensure over it REUSES);
+    * tombstones covering a still-live (excluded) delta stay live.
+    * `extraLongKeys` are additive build-time stats carried by the
+    * sidecar, every delta stats json, and every tombstone (the BM25
+    * table's nDocs/sumDl) — merged by summation. GC of the old
+    * version / folded deltas / consumed tombstones runs LAST and is
+    * best-effort: a crash leaves dirs the committed lists already
+    * exclude, collected by the next compaction. Single-writer, no
+    * concurrent probes. Shared by the BM25, positional, and trigram
+    * compactions. */
   private def compactSimpleDeltas(
       spark: SparkSession,
       table: String,
@@ -515,13 +719,14 @@ object InvertedIndex {
       buckets: Int,
       sidecarFile: String,
       key: String,
+      ddl: String,
       excludeTags: Set[String],
       extraLongKeys: Seq[String] = Seq.empty): Unit = {
     val tags = deltaTags(dir).filterNot(excludeTags)
-    if (tags.isEmpty) return
+    val tombs = liveTombs(dir)
+    if (tags.isEmpty && tombs.isEmpty) return
     val sidecar = java.nio.file.Paths.get(dir, sidecarFile)
-    val node = new com.fasterxml.jackson.databind.ObjectMapper()
-      .readTree(java.nio.file.Files.readString(sidecar))
+    val node = mapper.readTree(java.nio.file.Files.readString(sidecar))
     var cnt = node.get("count").asLong()
     var hsh = node.get("hash").asLong()
     var hsum = BigInt(node.get("hsum").asText())
@@ -534,29 +739,74 @@ object InvertedIndex {
       hsum += BigInt(d.get("hsum").asText())
       extraLongKeys.foreach(k => extras(k) += d.get(k).asLong())
     }
+    // a tombstone is consumed when every covered leg is folding now,
+    // was folded earlier (its dir is gone), or is the base; one whose
+    // covered tag sits in excludeTags stays live — its terms subtract
+    // at the compaction that folds that leg
+    val liveNow = deltaTags(dir).toSet
+    val consumed = tombs.filter(_.covered.forall(c =>
+      c == "base" || tags.contains(c) || !liveNow.contains(c)))
+    consumed.foreach { t =>
+      cnt -= t.count
+      hsh ^= t.hash
+      hsum -= t.hsum
+      extraLongKeys.foreach {
+        case "nDocs" => extras("nDocs") -= t.nDocs
+        case "sumDl" => extras("sumDl") -= t.sumDl
+        case _ => ()
+      }
+    }
     val base = spark.table(table)
-    val union = tags.foldLeft(base) { (acc, tag) =>
-      acc.unionAll(spark.read.schema(base.schema)
-        .parquet(s"${deltaRoot(dir)}/$tag"))
-    }.localCheckpoint()
-    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val union = (
+      applyMask(base, maskFor(spark, dir, tombs, "base")) +:
+        tags.map(t => applyMask(
+          spark.read.schema(base.schema).parquet(s"${deltaRoot(dir)}/$t"),
+          maskFor(spark, dir, tombs, t)))
+      ).reduce(_ unionAll _)
+    val vOld = if (node.hasNonNull("v")) node.get("v").asInt() else 0
+    val vNew = vOld + 1
+    val newDir = s"${dir}_v$vNew"
+    deleteRecursively(java.nio.file.Paths.get(newDir)) // crashed prior attempt
+    val tmpTable = s"${table}__compact"
+    spark.sql(s"DROP TABLE IF EXISTS $tmpTable")
     union.write
       .mode("overwrite")
-      .option("path", dir)
+      .option("path", newDir)
       .bucketBy(buckets, key)
       .sortBy(key)
       .format("parquet")
-      .saveAsTable(table)
+      .saveAsTable(tmpTable)
+    spark.sql(s"DROP TABLE IF EXISTS $tmpTable") // external: files stay
+    // ---- COMMIT: one atomic sidecar replace ----
+    def onDisk(root: String)(t: String): Boolean =
+      java.nio.file.Files.exists(java.nio.file.Paths.get(root, t))
+    val folded = (foldedTags(dir).filter(onDisk(deltaRoot(dir))) ++ tags).toSeq.sorted
+    val dead = (deadTombTags(dir).filter(onDisk(tombRoot(dir))) ++
+      consumed.map(_.tag)).toSeq.sorted
+    def arr(s: Seq[String]) = s.map("\"" + _ + "\"").mkString("[", ",", "]")
     val extraJson = extras.map { case (k, v) => s""","$k":$v""" }.mkString
-    java.nio.file.Files.writeString(sidecar,
-      s"""{"count":$cnt,"hash":$hsh,"hsum":"$hsum","buckets":$buckets,"key":"$key"$extraJson}""")
-    tags.foreach { t =>
-      val d = java.nio.file.Paths.get(deltaRoot(dir), t)
-      val walk = java.nio.file.Files.walk(d)
-      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-        .forEach(f => java.nio.file.Files.deleteIfExists(f))
-      finally walk.close()
+    graft.io.Artifact.writeAtomic(sidecar,
+      s"""{"count":$cnt,"hash":$hsh,"hsum":"$hsum","buckets":$buckets,"key":"$key","v":$vNew,"folded":${arr(folded)},"deadTombs":${arr(dead)}$extraJson}""")
+    // this session's catalog follows the committed version
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    spark.sql(
+      s"""CREATE TABLE $table ($ddl) USING PARQUET
+         |CLUSTERED BY ($key) SORTED BY ($key) INTO $buckets BUCKETS
+         |LOCATION '$newDir'""".stripMargin)
+    // ---- GC (best-effort; the committed lists already exclude these) ----
+    if (vOld > 0) deleteRecursively(java.nio.file.Paths.get(s"${dir}_v$vOld"))
+    else {
+      // v0 data lives flat at the dir root next to the sidecar
+      val s = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala
+          .filter(p => p.getFileName.toString != sidecarFile)
+          .toSeq.foreach(deleteRecursively)
+      } finally s.close()
     }
+    folded.foreach(t => deleteRecursively(java.nio.file.Paths.get(deltaRoot(dir), t)))
+    dead.foreach(t => deleteRecursively(java.nio.file.Paths.get(tombRoot(dir), t)))
   }
 
   def compactPositionalDeltas(
@@ -566,7 +816,7 @@ object InvertedIndex {
       buckets: Int,
       excludeTags: Set[String] = Set.empty): Unit =
     compactSimpleDeltas(spark, table, dir, buckets, posSidecarName, "token",
-      excludeTags)
+      posDdl, excludeTags)
 
   def compactTrigramDeltas(
       spark: SparkSession,
@@ -575,7 +825,7 @@ object InvertedIndex {
       buckets: Int,
       excludeTags: Set[String] = Set.empty): Unit =
     compactSimpleDeltas(spark, table, dir, buckets, triSidecarName, "tri",
-      excludeTags)
+      triDdl, excludeTags)
 
   /** BM25 top-`topN` over the persisted postings: the probe filter on
     * the query terms prunes the bucketed scan to the terms' buckets
