@@ -4375,6 +4375,79 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // TAKEDOWN (GDPR / opt-out / contaminated-source) leg for the BM25
+    // posting store — the reference treats delete as first-class (O5,
+    // /root/reference/src/vectordb.cpp:74-80); this extends it to the
+    // incremental text indexes. A delete batch is a tag-keyed
+    // tombstone (batch-sized tokenize + two tiny writes — never an
+    // index scan) recording the legs it covers; the delta-aware probe
+    // masks each leg with only its covering tombstones, so the doc
+    // re-appended UNDER A LATER TAG revives — the delete/append
+    // ordering a global mask would get wrong. The oracle is a
+    // from-scratch BM25 over documents minus the net-deleted docs, so
+    // a matching hash proves deletion, revival ordering, and the
+    // nDocs/sumDl stat decrements all exact.
+    "doc_bm25_delete" -> ((s, dir) => {
+      val corpus = docs(s, dir).select(col("doc_id"), col("text"))
+      val key = dirKey(dir)
+      val idxDir = s"${System.getProperty("java.io.tmpdir")}/graft_bm25del_$key"
+      val table = s"graft_bm25del_$key"
+      graft.text.InvertedIndex.ensure(s, corpus, table, idxDir, buckets = 8)
+      graft.text.InvertedIndex.deleteDocs(s, idxDir,
+        corpus.filter(col("doc_id").isin(2L, 7L, 12L)), tag = "del")
+      graft.text.InvertedIndex.appendDelta(s, idxDir,
+        corpus.filter(col("doc_id") === 7L), tag = "re")
+      graft.text.InvertedIndex.bm25SearchDeltaAware(s, table, idxDir,
+        terms = Seq("spark", "join", "merge", "window"))
+    }),
+
+    // Takedown leg for the POSITIONAL index: the two lowest-id docs
+    // containing the probe phrase are deleted, the second re-appended
+    // under a later tag (revival), and the delta-aware phrase probe
+    // must reproduce a from-scratch token-slice scan over documents
+    // minus the net-deleted doc.
+    "doc_phrase_delete" -> ((s, dir) => {
+      val corpus = docs(s, dir).select(col("doc_id"), col("text"))
+      val key = dirKey(dir)
+      val idxDir = s"${System.getProperty("java.io.tmpdir")}/graft_posdel_$key"
+      val table = s"graft_posdel_$key"
+      graft.text.InvertedIndex.ensurePositional(s, corpus, table, idxDir, buckets = 8)
+      // bounded: exactly two ids come back to the driver
+      val ids = corpus
+        .filter(graft.text.TextAnalysis.normalizeText(col("text")).contains("hash join"))
+        .orderBy(col("doc_id")).limit(2)
+        .select(col("doc_id")).collect().map(_.getLong(0)).sorted.toSeq
+      graft.text.InvertedIndex.deleteDocs(s, idxDir,
+        corpus.filter(col("doc_id").isin(ids: _*)), tag = "del")
+      graft.text.InvertedIndex.appendPositionalDelta(s, idxDir,
+        corpus.filter(col("doc_id") === ids.last), tag = "re")
+      graft.text.InvertedIndex.phraseSearchDeltaAware(s, table, idxDir,
+          Seq("hash", "join"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Takedown leg for the TRIGRAM (substring) index — same shape; the
+    // exact-verify stage runs over the post-delete corpus, so both the
+    // candidate masking and the verification see the deletion.
+    "doc_substring_delete" -> ((s, dir) => {
+      val corpus = docs(s, dir).select(col("doc_id"), col("text"))
+      val key = dirKey(dir)
+      val idxDir = s"${System.getProperty("java.io.tmpdir")}/graft_tridel_$key"
+      val table = s"graft_tridel_$key"
+      graft.text.InvertedIndex.ensureTrigram(s, corpus, table, idxDir, buckets = 8)
+      val ids = corpus
+        .filter(graft.text.TextAnalysis.normalizeText(col("text")).contains("merge batch"))
+        .orderBy(col("doc_id")).limit(2)
+        .select(col("doc_id")).collect().map(_.getLong(0)).sorted.toSeq
+      graft.text.InvertedIndex.deleteDocs(s, idxDir,
+        corpus.filter(col("doc_id").isin(ids: _*)), tag = "del")
+      graft.text.InvertedIndex.appendTrigramDelta(s, idxDir,
+        corpus.filter(col("doc_id") === ids.last), tag = "re")
+      graft.text.InvertedIndex.substringSearchDeltaAware(s, table, idxDir,
+          corpus.filter(col("doc_id") =!= ids.head), needle = "merge batch")
+        .orderBy(col("doc_id"))
+    }),
+
     "stream_ivf_append" -> ((s, dir) => {
       val corpus = emb(s, dir)
       val base = graft.index.Ivf.buildLayout(s, corpus,
@@ -4485,6 +4558,41 @@ object SparkEntry {
         .select(col("embedding")).head().getSeq[Float](0).toArray
       graft.index.Sq.searchRerank(enc, corpus, model, query, k = 10,
         shortlist = 200)
+    }),
+
+    // TAKEDOWN leg for the persisted SQ8 code store (the reference's
+    // O5 extended to the quantized index): the query's three nearest
+    // non-self neighbors are tombstoned (tag-keyed batch write, codes
+    // untouched, model untouched — the trained-index contract), five
+    // planted copies of the query append UNDER A LATER TAG (so the
+    // tombstone does not cover them), and the masked delta-aware ADC +
+    // exact rerank must equal exact top-10 over the post-delete ∪
+    // planted corpus — which is precisely what the oracle rebuilds
+    // from scratch.
+    "knn_sq8_delete" -> ((s, dir) => {
+      val corpus = emb(s, dir)
+      val key = dirKey(dir)
+      val sqDir = s"${System.getProperty("java.io.tmpdir")}/graft_sq8del_$key"
+      graft.index.Sq.ensureCodesArtifact(corpus, sqDir)
+      val query = corpus.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).toArray
+      // bounded: the exact top-4 comes back, self drops out -> 3 ids
+      val delIds = VectorSearch.knnExact(corpus, query.toSeq, 4)
+        .select(col("vec_id")).collect().map(_.getLong(0))
+        .filter(_ != 0L).toIndexedSeq
+      graft.index.Sq.deleteVectors(s, sqDir,
+        corpus.filter(col("vec_id").isin(delIds: _*)), tag = "del")
+      val planted = corpus.filter(col("vec_id") === 0)
+        .crossJoin(s.range(5))
+        .select((col("id") + lit(4600000L)).as("vec_id"), col("embedding"))
+      graft.index.Sq.appendDelta(s, sqDir, planted, tag = "re")
+      val model = graft.index.Sq.modelFromArtifact(s, sqDir)
+      val live = corpus.select(col("vec_id"), col("embedding"))
+        .filter(!col("vec_id").isin(delIds: _*))
+        .unionAll(planted)
+      graft.index.Sq.searchRerank(
+        graft.index.Sq.codesWithDeltas(s, sqDir), live, model, query,
+        k = 10, shortlist = 1000)
     }),
 
     // Recall-targeted index selection ("give me ≥0.9 recall@10 at
@@ -4742,6 +4850,33 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_hit"))
         .select(lit(50).as("shortlist"), lit(10).as("k"), col("n_hit"),
           (col("n_hit").cast("double") / 10.0).as("recall"))
+    }),
+
+    // TAKEDOWN leg for the persisted BINARY signature store: the two
+    // nearest non-self signatures are tombstoned (thresholds NEVER
+    // refit — the trained-index contract, so the oracle's sig CTEs
+    // over the FULL corpus stay valid), and the live-signature probe
+    // must reproduce a from-scratch Hamming ranking over the
+    // survivors. Delete = one tag-keyed batch write; the 8-byte scan
+    // gains one broadcast anti-join of a two-row id set.
+    "knn_hamming_delete" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val artDir =
+        s"${System.getProperty("java.io.tmpdir")}/graft_bindel_${dirKey(dir)}"
+      graft.index.Binary.ensureSignatureArtifact(e, artDir, EmbDim)
+      val thr = graft.index.Binary.thresholdsFromArtifact(s, artDir)
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0)
+      val qsig = graft.index.Binary.signatureOf(q, thr)
+      // bounded: raw top-3 comes back, self (rank 1 — hamming 0 at the
+      // minimal id) drops out -> 2 ids, deterministic per corpus
+      val delIds = graft.index.Binary.hammingTopK(
+          graft.index.Binary.signaturesFromArtifact(s, artDir), qsig, 3)
+        .collect().map(_.getLong(0)).filter(_ != 0L).toIndexedSeq
+      graft.index.Binary.deleteFromArtifact(s, artDir,
+        e.filter(col("vec_id").isin(delIds: _*)), tag = "del")
+      graft.index.Binary.hammingTopK(
+        graft.index.Binary.liveSignatures(s, artDir), qsig, 10)
     }),
 
     // DIMENSIONAL TRUNCATION two-stage retrieval (the Matryoshka
@@ -5968,6 +6103,40 @@ object SparkEntry {
          |FROM sigs s CROSS JOIN qs q
          |ORDER BY hamming ASC, vec_id ASC LIMIT 10""".stripMargin,
 
+    // From-scratch Hamming ranking over the survivors: thresholds stay
+    // fit on the FULL corpus (the trained-index contract — deletes
+    // never refit), the deleted ids are exactly the raw top-3 minus
+    // the self row, and the live probe must reproduce the ranking.
+    "knn_hamming_delete" ->
+      s"""WITH $hammingSigCtes,
+         |h AS MATERIALIZED (
+         |  SELECT s.vec_id AS vec_id,
+         |         CAST(bit_count(xor(s.sig, q.qsig)) AS INTEGER) AS hamming
+         |  FROM sigs s CROSS JOIN qs q),
+         |del AS (SELECT vec_id FROM h ORDER BY hamming ASC, vec_id ASC LIMIT 3)
+         |SELECT vec_id, hamming FROM h
+         |WHERE vec_id NOT IN (SELECT vec_id FROM del WHERE vec_id <> 0)
+         |ORDER BY hamming ASC, vec_id ASC LIMIT 10""".stripMargin,
+
+    // From-scratch exact top-10 over (corpus − the query's 3 nearest
+    // non-self neighbors) ∪ 5 planted copies appended AFTER the
+    // delete: the masked SQ8 ADC + exact rerank must reproduce it.
+    "knn_sq8_delete" ->
+      s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         |dists AS MATERIALIZED (
+         |  SELECT e.vec_id AS vec_id, ${l2SqSql("e.embedding", "q.qe")} AS dist
+         |  FROM embeddings e CROSS JOIN q),
+         |del AS (SELECT vec_id FROM dists WHERE vec_id <> 0
+         |        ORDER BY dist ASC, vec_id ASC LIMIT 3),
+         |c AS (SELECT e.vec_id, e.embedding FROM embeddings e
+         |      WHERE e.vec_id NOT IN (SELECT vec_id FROM del)
+         |      UNION ALL
+         |      SELECT 4600000 + r.i AS vec_id, e.embedding
+         |      FROM embeddings e CROSS JOIN range(5) r(i) WHERE e.vec_id = 0)
+         |SELECT c.vec_id AS vec_id, ${l2SqSql("c.embedding", "q.qe")} AS dist
+         |FROM c CROSS JOIN q
+         |ORDER BY dist ASC, vec_id ASC LIMIT 10""".stripMargin,
+
     // The one-statement SQL path over the persisted signatures must
     // reproduce the identical ranking and distances.
     "sql_hamming_top10" ->
@@ -6559,6 +6728,30 @@ object SparkEntry {
         | UNION ALL
         | SELECT doc_id + 8000000 AS doc_id, text FROM documents WHERE doc_id < 14)""".stripMargin,
       20),
+
+    // From-scratch BM25 over documents minus the NET-deleted docs
+    // (2 and 12 stay deleted; 7 was re-appended under a later tag and
+    // must be revived with exact stats).
+    "doc_bm25_delete" -> bm25SqlOver(
+      "(SELECT doc_id, text FROM documents WHERE doc_id NOT IN (2, 12))", 20),
+
+    // From-scratch phrase scan over documents minus the net-deleted
+    // doc (the LOWEST-id 'hash join' doc; the second was revived).
+    "doc_phrase_delete" -> phraseSqlOver(
+      s"""(SELECT doc_id, text FROM documents
+         | WHERE doc_id NOT IN (
+         |   SELECT doc_id FROM documents
+         |   WHERE contains($NormSql, 'hash join')
+         |   ORDER BY doc_id LIMIT 1))""".stripMargin),
+
+    // From-scratch contains scan over documents minus the net-deleted
+    // doc (the LOWEST-id 'merge batch' doc; the second was revived).
+    "doc_substring_delete" -> substringSqlOver(
+      s"""(SELECT doc_id, text FROM documents
+         | WHERE doc_id NOT IN (
+         |   SELECT doc_id FROM documents
+         |   WHERE contains($NormSql, 'merge batch')
+         |   ORDER BY doc_id LIMIT 1))""".stripMargin),
 
     // From-scratch phrase scan over documents ∪ the planted stream
     // batches: the delta-aware positional probe (base + folded deltas

@@ -415,7 +415,10 @@ object Sq {
   }
 
   private def applyMask(df: DataFrame, mask: Option[DataFrame], idCol: String): DataFrame =
-    mask.fold(df)(m => df.join(broadcast(m), Seq(idCol), "left_anti"))
+    // re-select in the input's column order: a USING join fronts the
+    // join key, and the leg union downstream is POSITIONAL
+    mask.fold(df)(m => df.join(broadcast(m), Seq(idCol), "left_anti")
+      .select(df.columns.map(col).toIndexedSeq: _*))
 
   /** Codes over (base ∪ live deltas) − covering tombstones — the
     * probe's input. Each leg anti-joins only the (broadcast, tiny)

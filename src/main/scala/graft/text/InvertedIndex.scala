@@ -409,7 +409,10 @@ object InvertedIndex {
   }
 
   private def applyMask(df: DataFrame, mask: Option[DataFrame]): DataFrame =
-    mask.fold(df)(m => df.join(broadcast(m), Seq("doc_id"), "left_anti"))
+    // re-select in the input's column order: a USING join fronts the
+    // join key, and the leg union downstream is POSITIONAL
+    mask.fold(df)(m => df.join(broadcast(m), Seq("doc_id"), "left_anti")
+      .select(df.columns.map(col).toIndexedSeq: _*))
 
   /** Append one batch of (id, text) docs as a delta posting dir:
     * the batch pays its own tokenize+explode (batch-sized, never
