@@ -161,6 +161,64 @@ object ScaleProbe {
       spark.sql(s"DROP TABLE IF EXISTS probe_tri_$factor")
     }
 
+    // COMPACTION IO under the size-ratio policy vs a pure count
+    // policy: a fixed 500-doc batch appends 12 times into a BM25
+    // posting store; the ratio policy (fold when Σdelta ≥ base) folds
+    // at geometrically-spaced points, so its per-fold write IO is
+    // proportional to the DELTA bytes it folds (base ≈ delta at fold
+    // time) and total compaction IO stays a constant multiple of the
+    // appended bytes; the count policy (fold every 4 batches) rewrites
+    // an ever-growing base on a fixed cadence — total IO grows with
+    // stream length. The probe prints both totals so the asymmetry is
+    // a recorded number, not an argument.
+    if (onlyFilter.forall(_.exists("compactio".contains))) {
+      val seed = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id"), col("text")).limit(2000).localCheckpoint()
+      def batchN(i: Int) = seed
+        .select((col("doc_id") + lit(9600000L + i * 10000L)).as("doc_id"), col("text"))
+      def du(p: java.nio.file.Path): Long = {
+        if (!java.nio.file.Files.exists(p)) return 0L
+        val w = java.nio.file.Files.walk(p)
+        try {
+          import scala.jdk.CollectionConverters._
+          w.iterator().asScala
+            .filter(java.nio.file.Files.isRegularFile(_))
+            .map(java.nio.file.Files.size(_)).sum
+        } finally w.close()
+      }
+      def runPolicy(name: String, foldWhen: (String, Int) => Boolean): Unit = {
+        val ident = name.replaceAll("[^A-Za-z0-9]", "")
+        val dir = java.nio.file.Files
+          .createTempDirectory(s"probe_cio_$ident").toString + "/postings"
+        val table = s"probe_cio_${ident}_$factor"
+        spark.sql(s"DROP TABLE IF EXISTS $table")
+        graft.text.InvertedIndex.ensure(spark, seed, table, dir, buckets = 8)
+        var foldIo = 0L
+        var appended = 0L
+        var folds = 0
+        val t0 = System.nanoTime()
+        for (i <- 1 to 12) {
+          val tag = f"b$i%02d"
+          graft.text.InvertedIndex.appendDelta(spark, dir, batchN(i), tag = tag)
+          appended += du(java.nio.file.Paths.get(s"${dir}_deltas/$tag"))
+          if (foldWhen(dir, i)) {
+            graft.text.InvertedIndex.compactDeltas(spark, table, dir, buckets = 8)
+            foldIo += graft.text.InvertedIndex.baseBytes(dir) // the new version's write
+            folds += 1
+          }
+        }
+        println(f"[scale] compaction IO $name%-12s folds=$folds " +
+          f"fold-write=${foldIo / 1e6}%8.1f MB appended=${appended / 1e6}%8.1f MB " +
+          f"write/appended=${foldIo.toDouble / math.max(appended, 1L)}%5.2f " +
+          f"(${(System.nanoTime() - t0) / 1e9}%6.2f s)")
+        spark.sql(s"DROP TABLE IF EXISTS $table")
+      }
+      runPolicy("size-ratio", (dir, _) =>
+        graft.text.InvertedIndex.deltaBytes(dir) >=
+          graft.text.InvertedIndex.baseBytes(dir))
+      runPolicy("count-4", (_, i) => i % 4 == 0)
+    }
+
     // near-dup probes replicate at the doc factor: every replica pair IS
     // a true duplicate, so output volume grows quadratically in the
     // replication factor and would dominate the timing at 200×
