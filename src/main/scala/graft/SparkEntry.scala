@@ -4393,6 +4393,9 @@ object SparkEntry {
       val idxDir = s"${System.getProperty("java.io.tmpdir")}/graft_bm25del_$key"
       val table = s"graft_bm25del_$key"
       graft.text.InvertedIndex.ensure(s, corpus, table, idxDir, buckets = 8)
+      // replay determinism: a re-run must not see the previous run's
+      // re-append delta among the tombstone's covered legs
+      graft.text.InvertedIndex.dropMutations(idxDir)
       graft.text.InvertedIndex.deleteDocs(s, idxDir,
         corpus.filter(col("doc_id").isin(2L, 7L, 12L)), tag = "del")
       graft.text.InvertedIndex.appendDelta(s, idxDir,
@@ -4412,6 +4415,7 @@ object SparkEntry {
       val idxDir = s"${System.getProperty("java.io.tmpdir")}/graft_posdel_$key"
       val table = s"graft_posdel_$key"
       graft.text.InvertedIndex.ensurePositional(s, corpus, table, idxDir, buckets = 8)
+      graft.text.InvertedIndex.dropMutations(idxDir) // replay determinism
       // bounded: exactly two ids come back to the driver
       val ids = corpus
         .filter(graft.text.TextAnalysis.normalizeText(col("text")).contains("hash join"))
@@ -4435,6 +4439,7 @@ object SparkEntry {
       val idxDir = s"${System.getProperty("java.io.tmpdir")}/graft_tridel_$key"
       val table = s"graft_tridel_$key"
       graft.text.InvertedIndex.ensureTrigram(s, corpus, table, idxDir, buckets = 8)
+      graft.text.InvertedIndex.dropMutations(idxDir) // replay determinism
       val ids = corpus
         .filter(graft.text.TextAnalysis.normalizeText(col("text")).contains("merge batch"))
         .orderBy(col("doc_id")).limit(2)
@@ -4574,6 +4579,7 @@ object SparkEntry {
       val key = dirKey(dir)
       val sqDir = s"${System.getProperty("java.io.tmpdir")}/graft_sq8del_$key"
       graft.index.Sq.ensureCodesArtifact(corpus, sqDir)
+      graft.index.Sq.dropMutations(sqDir) // replay determinism
       val query = corpus.filter(col("vec_id") === 0)
         .select(col("embedding")).head().getSeq[Float](0).toArray
       // bounded: the exact top-4 comes back, self drops out -> 3 ids
@@ -4864,6 +4870,7 @@ object SparkEntry {
       val artDir =
         s"${System.getProperty("java.io.tmpdir")}/graft_bindel_${dirKey(dir)}"
       graft.index.Binary.ensureSignatureArtifact(e, artDir, EmbDim)
+      graft.index.Binary.dropMutations(artDir) // replay determinism
       val thr = graft.index.Binary.thresholdsFromArtifact(s, artDir)
       val q = e.filter(col("vec_id") === 0)
         .select(col("embedding")).head().getSeq[Float](0)

@@ -195,6 +195,13 @@ object Binary {
     }
   }
 
+  /** Drop every tombstone dir, returning the store to the BASE
+    * snapshot its sidecar attests — the replay helper mirroring
+    * [[graft.text.InvertedIndex.dropMutations]]. */
+  def dropMutations(dir: String): Unit =
+    listDirs(dir).filter(_.startsWith("tomb_"))
+      .foreach(n => deleteRecursively(java.nio.file.Paths.get(dir, n)))
+
   /** DELETE a batch of vectors from the signature store: a tag-keyed
     * tombstone (ids + the batch's mergeable fingerprint terms, derived
     * from the provided FULL rows — the delete-is-inverse-of-append

@@ -372,12 +372,51 @@ object Hnsw {
     Some(m.result())
   }
 
+  private def sidecarNodeOf(dir: String): Option[com.fasterxml.jackson.databind.JsonNode] = {
+    val p = java.nio.file.Paths.get(dir, sidecarName)
+    if (!java.nio.file.Files.exists(p)) return None
+    try Some(new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(java.nio.file.Files.readString(p)))
+    catch { case _: Throwable => None }
+  }
+
+  /** The current BASE layout location: `layout` for a never-compacted
+    * artifact, the sidecar's committed `layout_v<N>` after a
+    * compaction (the engine-wide versioned atomic-swap protocol —
+    * [[compactDeltas]]). */
+  def layoutPath(dir: String): String = {
+    val v = sidecarNodeOf(dir).filter(_.hasNonNull("v"))
+      .map(_.get("v").asInt()).getOrElse(0)
+    if (v > 0) s"$dir/layout_v$v" else s"$dir/layout"
+  }
+
+  /** Delta tags the committed sidecar says are already folded into the
+    * current base version — on disk only inside the commit-to-GC crash
+    * window; probes must skip them or nodes double-count. */
+  private def foldedTags(dir: String): Set[String] =
+    sidecarNodeOf(dir).filter(_.has("folded")).map { n =>
+      import scala.jdk.CollectionConverters._
+      n.get("folded").elements().asScala.map(_.asText()).toSet
+    }.getOrElse(Set.empty)
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    if (!java.nio.file.Files.exists(p)) return
+    val walk = java.nio.file.Files.walk(p)
+    try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+      .forEach(f => java.nio.file.Files.deleteIfExists(f))
+    finally walk.close()
+  }
+
   /** Persist the layout behind the shared fingerprint sidecar
     * ([[graft.io.Artifact]]): content hash of (id, embedding) + the
     * structural params. One parquet file per shard
     * (`repartition(part)` before `partitionBy("part")`), so a probe
     * task always sees whole shards. Idempotent; reused across
-    * processes until the corpus or params change. */
+    * processes until the corpus or params change. Field-subset sidecar
+    * match ([[graft.io.Artifact.ensureJson]]): a compacted sidecar —
+    * which additionally carries the version pointer and folded list —
+    * still matches a fresh ensure over the union corpus and is
+    * REUSED. */
   def ensureLayout(
       df: DataFrame,
       dir: String,
@@ -386,19 +425,24 @@ object Hnsw {
       embCol: String = "embedding"): Unit = {
     val (n, h, hs) = graft.io.Artifact.hashAgg(
       df, xxhash64(col(idCol), col(embCol).cast("array<double>")))
-    val fp = graft.io.Artifact.fingerprintJson(n, h,
-      "hsum" -> hs, "m" -> p.m.toString, "efC" -> p.efConstruction.toString,
-      "parts" -> p.parts.toString)
-    graft.io.Artifact.ensure(dir, sidecarName, fp) {
+    graft.io.Artifact.ensureJson(dir, sidecarName,
+      fingerprintFields(n, h, hs, p)) {
       // a REBUILD (changed corpus/params) owns the whole dir: stale
-      // tombstones from the previous layout must not exclude ids of
-      // the new corpus
-      val ts = java.nio.file.Paths.get(dir, tombstoneDirName)
-      if (java.nio.file.Files.exists(ts)) {
-        val walk = java.nio.file.Files.walk(ts)
-        try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-          .forEach(f => java.nio.file.Files.deleteIfExists(f))
-        finally walk.close()
+      // tombstones, deltas and version dirs from the previous layout
+      // must not leak into the new corpus's probes
+      val root = java.nio.file.Paths.get(dir)
+      if (java.nio.file.Files.exists(root)) {
+        val s = java.nio.file.Files.list(root)
+        try {
+          import scala.jdk.CollectionConverters._
+          s.iterator().asScala
+            .filter { q =>
+              val nm = q.getFileName.toString
+              nm == tombstoneDirName || nm.startsWith(deltaDirPrefix) ||
+                nm.matches("layout_v\\d+")
+            }
+            .toSeq.foreach(deleteRecursively)
+        } finally s.close()
       }
       build(df, p, idCol, embCol)
         .repartition(p.parts, col("part"))
@@ -409,13 +453,25 @@ object Hnsw {
     // heal layouts built before the enforcement sidecar existed: the
     // fingerprint matches (no rebuild), but the probe-time check needs
     // the recorded counts — one narrow scan of the layout, once
-    if (partCounts(s"$dir/layout").isEmpty)
-      writePartCounts(df.sparkSession, s"$dir/layout")
+    if (partCounts(layoutPath(dir)).isEmpty)
+      writePartCounts(df.sparkSession, layoutPath(dir))
   }
+
+  /** The sidecar's fingerprint fields — the exact raw-json values the
+    * pre-round-14 string sidecars carried, so existing artifacts still
+    * match and never rebuild. */
+  private def fingerprintFields(
+      n: Long, h: Long, hs: String, p: Params): Seq[(String, String)] = Seq(
+    "count" -> n.toString,
+    "hash" -> h.toString,
+    "hsum" -> graft.io.Artifact.jsonStr(hs),
+    "m" -> graft.io.Artifact.jsonStr(p.m.toString),
+    "efC" -> graft.io.Artifact.jsonStr(p.efConstruction.toString),
+    "parts" -> graft.io.Artifact.jsonStr(p.parts.toString))
 
   /** The persisted layout table. */
   def layout(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/layout")
+    spark.read.parquet(layoutPath(dir))
 
   /** Executor-resident shard-graph cache, keyed by (layout content
     * fingerprint, shard id): the first probe of a layout pays graph
@@ -535,10 +591,13 @@ object Hnsw {
   }
 
   /** Tags of the live deltas, sorted (the probe fan-out width — the
-    * compaction policy bounds it). */
+    * compaction policy bounds it). A committed-but-not-yet-GC'd folded
+    * delta (sidecar `folded` list) is NOT live — its nodes are already
+    * in the current base version. */
   def deltaTags(dir: String): Seq[String] = {
     val d = java.nio.file.Paths.get(dir)
     if (!java.nio.file.Files.exists(d)) return Seq.empty
+    val folded = foldedTags(dir)
     val s = java.nio.file.Files.list(d)
     try {
       import scala.jdk.CollectionConverters._
@@ -546,6 +605,7 @@ object Hnsw {
         .map(_.getFileName.toString)
         .filter(_.startsWith(deltaDirPrefix))
         .map(_.stripPrefix(deltaDirPrefix))
+        .filterNot(folded)
         .toSeq.sorted
     } finally s.close()
   }
@@ -570,18 +630,8 @@ object Hnsw {
     deltaTags(dir)
       .map(t => duBytes(java.nio.file.Paths.get(dir, s"$deltaDirPrefix$t"))).sum
 
-  def baseBytes(dir: String): Long = {
-    val d = java.nio.file.Paths.get(dir)
-    if (!java.nio.file.Files.exists(d)) return 0L
-    val s = java.nio.file.Files.list(d)
-    try {
-      import scala.jdk.CollectionConverters._
-      s.iterator().asScala
-        .filter(p => java.nio.file.Files.isDirectory(p) &&
-          p.getFileName.toString.startsWith("part="))
-        .map(duBytes).sum
-    } finally s.close()
-  }
+  def baseBytes(dir: String): Long =
+    duBytes(java.nio.file.Paths.get(layoutPath(dir)))
 
   /** Probe base AND every delta graph, merge ≤ (1+deltas)·parts·k
     * candidates in one TakeOrdered. Deltas are immutable once written,
@@ -596,7 +646,7 @@ object Hnsw {
     val dead = tombstonedIds(spark, dir)
     val base = searchCandidates(layout(spark, dir), Seq((0L, query)), k, p,
       efSearch, cacheKey = sidecarFingerprint(dir), tombstoned = dead,
-      expectedRows = partCounts(s"$dir/layout"))
+      expectedRows = partCounts(layoutPath(dir)))
     val all = deltaTags(dir).foldLeft(base) { (acc, tag) =>
       acc.unionAll(searchCandidates(
         spark.read.parquet(s"$dir/$deltaDirPrefix$tag"),
@@ -635,27 +685,38 @@ object Hnsw {
       excludeTags: Set[String] = Set.empty): Unit = {
     val tags = deltaTags(dir).filterNot(excludeTags)
     if (tags.isEmpty) return
-    val union = (Seq(s"$dir/layout") ++ tags.map(t => s"$dir/$deltaDirPrefix$t"))
+    val oldBase = layoutPath(dir)
+    val union = (Seq(oldBase) ++ tags.map(t => s"$dir/$deltaDirPrefix$t"))
       .map(spark.read.parquet(_).select(col("vec_id"), col("emb").as("embedding")))
       .reduce(_ unionAll _)
     val (n, h, hs) = graft.io.Artifact.hashAgg(
       union, xxhash64(col("vec_id"), col("embedding").cast("array<double>")))
-    val fp = graft.io.Artifact.fingerprintJson(n, h,
-      "hsum" -> hs, "m" -> p.m.toString, "efC" -> p.efConstruction.toString,
-      "parts" -> p.parts.toString)
-    val rebuilt = build(union, p).repartition(p.parts, col("part"))
-      .localCheckpoint()
-    rebuilt.write.mode("overwrite").partitionBy("part").parquet(s"$dir/layout")
-    writePartCounts(spark, s"$dir/layout")
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(dir, sidecarName), fp)
-    tags.foreach { t =>
-      val d = java.nio.file.Paths.get(dir, s"$deltaDirPrefix$t")
-      val walk = java.nio.file.Files.walk(d)
-      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-        .forEach(f => java.nio.file.Files.deleteIfExists(f))
-      finally walk.close()
-    }
+    // the canonical rebuild lands in a FRESH version dir while the old
+    // base keeps serving — no localCheckpoint pinning, no in-place
+    // overwrite; the COMMIT below is one atomic sidecar replace (the
+    // engine-wide versioned-swap protocol)
+    val node = sidecarNodeOf(dir)
+    val vOld = node.filter(_.hasNonNull("v")).map(_.get("v").asInt()).getOrElse(0)
+    val vNew = vOld + 1
+    val newDir = s"$dir/layout_v$vNew"
+    deleteRecursively(java.nio.file.Paths.get(newDir)) // crashed prior attempt
+    build(union, p).repartition(p.parts, col("part"))
+      .write.mode("overwrite").partitionBy("part").parquet(newDir)
+    writePartCounts(spark, newDir)
+    // ---- COMMIT: merged fingerprint + version pointer + folded list ----
+    def onDisk(t: String): Boolean =
+      java.nio.file.Files.exists(java.nio.file.Paths.get(dir, s"$deltaDirPrefix$t"))
+    val folded = (foldedTags(dir).filter(onDisk) ++ tags).toSeq.sorted
+    val fields = fingerprintFields(n, h, hs, p) ++ Seq(
+      "v" -> vNew.toString,
+      "folded" -> folded.map("\"" + _ + "\"").mkString("[", ",", "]"))
+    graft.io.Artifact.writeAtomic(
+      java.nio.file.Paths.get(dir, sidecarName),
+      fields.map { case (k, raw) => s""""$k":$raw""" }.mkString("{", ",", "}"))
+    // ---- GC (best-effort; the committed lists already exclude these) ----
+    deleteRecursively(java.nio.file.Paths.get(oldBase))
+    folded.foreach(t =>
+      deleteRecursively(java.nio.file.Paths.get(dir, s"$deltaDirPrefix$t")))
   }
 
   private val tombstoneDirName = "_tombstones"
@@ -713,7 +774,7 @@ object Hnsw {
     val cands = searchCandidates(layout(spark, dir), Seq((0L, query)), k, p,
       efSearch, cacheKey = sidecarFingerprint(dir),
       tombstoned = tombstonedIds(spark, dir),
-      expectedRows = partCounts(s"$dir/layout"))
+      expectedRows = partCounts(layoutPath(dir)))
     cands
       .orderBy(col("dist").asc, col("vec_id").asc)
       .limit(k)
@@ -740,7 +801,7 @@ object Hnsw {
     val cands = searchCandidates(layout(spark, dir), queries, k, p,
       efSearch, cacheKey = sidecarFingerprint(dir),
       tombstoned = tombstonedIds(spark, dir),
-      expectedRows = partCounts(s"$dir/layout"))
+      expectedRows = partCounts(layoutPath(dir)))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("q_id")).orderBy(col("dist").asc, col("vec_id").asc)
     cands

@@ -403,6 +403,13 @@ object Sq {
       s"""{"count":$nRows,"hash":$dataHash,"hsum":"$hashSum","covered":$covered}""")
   }
 
+  /** Drop every delta and tombstone dir, returning the store to the
+    * BASE snapshot its sidecar attests — the replay helper mirroring
+    * [[graft.text.InvertedIndex.dropMutations]]. */
+  def dropMutations(dir: String): Unit =
+    listDirs(dir).filter(n => n.startsWith("delta_") || n.startsWith("tomb_"))
+      .foreach(n => deleteRecursively(java.nio.file.Paths.get(dir, n)))
+
   private def maskFor(
       spark: org.apache.spark.sql.SparkSession, dir: String,
       tombs: Seq[Tomb], leg: String, idCol: String): Option[DataFrame] = {

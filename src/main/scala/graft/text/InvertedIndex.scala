@@ -397,6 +397,20 @@ object InvertedIndex {
       s"""{"count":$nRows,"hash":$dataHash,"hsum":"$hashSum","nDocs":$nDocs,"sumDl":$sumDl,"covered":$covered}""")
   }
 
+  /** Drop every delta and tombstone dir, returning the store to the
+    * BASE snapshot its sidecar attests (the sidecar/base data are
+    * untouched — deletes and appends never modify them until a
+    * compaction folds). Replay helper for harnesses that re-run a
+    * delete/append scenario against a persisted store: without the
+    * reset, a re-run's tombstone would record the PREVIOUS run's
+    * re-append delta among its covered legs and mask it — correct
+    * covered-leg semantics, wrong scenario. Single-writer, like every
+    * other mutation. */
+  def dropMutations(dir: String): Unit = {
+    deleteRecursively(java.nio.file.Paths.get(deltaRoot(dir)))
+    deleteRecursively(java.nio.file.Paths.get(tombRoot(dir)))
+  }
+
   /** The tombstoned doc ids covering one leg, as a broadcast anti-join
     * (None when no tombstone covers it). */
   private def maskFor(

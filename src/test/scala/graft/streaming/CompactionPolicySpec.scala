@@ -51,6 +51,41 @@ class CompactionPolicySpec extends AnyFunSuite {
     assert(graft.index.Sq.codesWithDeltas(spark, dir).count() == 20L + 1500L)
   }
 
+  test("HNSW compaction is a versioned atomic swap: new layout_v1, old dir GC'd, probes invariant, ensure reuses") {
+    import graft.index.Hnsw
+    val dir = tmp("cps_hnsw")
+    val base = vecs(0 until 150)
+    val p = Hnsw.Params(m = 4, efConstruction = 16, parts = 2)
+    Hnsw.ensureLayout(base, dir, p)
+    val batch = vecs(5000 until 5040)
+    Hnsw.appendDelta(spark, dir, batch, tag = "d1", p)
+    val q = base.filter(col("vec_id") === 7L)
+      .select(col("embedding")).head().getSeq[Float](0).toArray
+    def probe() = Hnsw.searchLayoutDeltaAware(spark, dir, q, 5, p, efSearch = 64)
+      .select("vec_id", "dist").as[(Long, Double)].collect().toSeq
+    val want = probe()
+    Hnsw.compactDeltas(spark, dir, p)
+    assert(probe() == want, "probe invariant across the versioned compaction")
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/layout_v1")))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/layout")),
+      "old base version must be GC'd")
+    assert(Hnsw.deltaTags(dir).isEmpty)
+    // crash window B: a folded delta resurrected on disk stays invisible
+    Hnsw.appendDelta(spark, dir, batch, tag = "d1", p)
+    assert(Hnsw.deltaTags(dir).isEmpty,
+      "a sidecar-folded delta dir must not be live")
+    assert(probe() == want)
+    // a fresh ensure over the union corpus field-matches the compacted
+    // sidecar and REUSES the v1 layout (no rebuild)
+    val t0 = java.nio.file.Files.getLastModifiedTime(
+      java.nio.file.Paths.get(s"$dir/layout_v1"))
+    Hnsw.ensureLayout(base.unionAll(batch), dir, p)
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/layout_v1")) &&
+      java.nio.file.Files.getLastModifiedTime(
+        java.nio.file.Paths.get(s"$dir/layout_v1")) == t0,
+      "ensure over the union corpus must reuse the compacted layout")
+  }
+
   test("tiny batches over a big base: no ratio fold; the count cap still bounds fan-out") {
     val dir = tmp("cps_count")
     graft.index.Sq.ensureCodesArtifact(vecs(0 until 2000), dir)
