@@ -4992,6 +4992,32 @@ object SparkEntry {
       graft.index.Hnsw.searchLayout(s, artDir, q, 10, p, efSearch = 64)
     }),
 
+    // PHYSICAL tombstone reclaim for the sharded HNSW layout — the
+    // compaction leg knn_hnsw_delete's logical delete was missing
+    // (every other store physically drops at compaction; without this
+    // a delete-heavy graph keeps dead routing waypoints forever): the
+    // shared base is copied, three ids are tombstoned, and
+    // compactDeltas(dropTombstoned = true) canonically REBUILDS the
+    // graph without them (versioned atomic swap, tombstone table
+    // removed after the commit). The post-compaction probe pays NO
+    // exclusion and must still equal the brute-force oracle over the
+    // survivors — proving the rebuild dropped exactly the dead nodes.
+    "knn_hnsw_compact" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val p = hnswParams(e)
+      val baseDir =
+        s"${System.getProperty("java.io.tmpdir")}/graft_hnsw_${dirKey(dir)}"
+      graft.index.Hnsw.ensureLayout(e, baseDir, p)
+      val scratch = freshScratchDir(dir, "hnswcompact")
+      val work = s"$scratch/art"
+      copyDir(baseDir, work)
+      graft.index.Hnsw.deleteFromLayout(s, work, Seq(0L, 1L, 2L), tag = "q")
+      graft.index.Hnsw.compactDeltas(s, work, p, dropTombstoned = true)
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).toArray
+      graft.index.Hnsw.searchLayout(s, work, q, 10, p, efSearch = 64)
+    }),
+
     // Invariant summary for the HNSW path (the knn_lsh_check pattern):
     // every reported distance equals the exact kernel's value for that
     // id, the rank column agrees with a recomputed (dist, id) ranking,
@@ -6210,6 +6236,18 @@ object SparkEntry {
          |ORDER BY query_id ASC, rank ASC""".stripMargin,
 
     "knn_hnsw_delete" ->
+      s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         |d AS (SELECT e.vec_id, ${l2SqSql("e.embedding", "q.qe")} AS dist
+         |      FROM embeddings e CROSS JOIN q
+         |      WHERE e.vec_id NOT IN (0, 1, 2))
+         |SELECT vec_id, dist,
+         |       CAST(row_number() OVER (ORDER BY dist ASC, vec_id ASC) AS INTEGER) AS rank
+         |FROM d ORDER BY dist ASC, vec_id ASC LIMIT 10""".stripMargin,
+
+    // The canonical rebuild WITHOUT the tombstoned nodes must probe to
+    // the same survivors-only brute force — identical oracle to the
+    // mask-based knn_hnsw_delete, but the engine pays no exclusion.
+    "knn_hnsw_compact" ->
       s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
          |d AS (SELECT e.vec_id, ${l2SqSql("e.embedding", "q.qe")} AS dist
          |      FROM embeddings e CROSS JOIN q

@@ -677,18 +677,41 @@ object Hnsw {
     * on disk — never folds that delta into the base right before
     * [[appendDelta]] rewrites the same tag, which would leave those
     * vectors in BOTH base and delta (duplicate candidates, and the
-    * next compaction would bake duplicate nodes in permanently). */
+    * next compaction would bake duplicate nodes in permanently).
+    * `dropTombstoned = true` additionally rebuilds WITHOUT the
+    * tombstoned nodes and removes the tombstone table — the physical
+    * delete (the reclaim leg of [[deleteFromLayout]]'s logical
+    * delete), after which probes pay no exclusion at all. */
   def compactDeltas(
       spark: SparkSession,
       dir: String,
       p: Params = Params(),
-      excludeTags: Set[String] = Set.empty): Unit = {
+      excludeTags: Set[String] = Set.empty,
+      dropTombstoned: Boolean = false): Unit = {
     val tags = deltaTags(dir).filterNot(excludeTags)
-    if (tags.isEmpty) return
+    val dead = if (dropTombstoned) tombstonedIds(spark, dir) else Set.empty[Long]
+    if (tags.isEmpty && dead.isEmpty) return
     val oldBase = layoutPath(dir)
-    val union = (Seq(oldBase) ++ tags.map(t => s"$dir/$deltaDirPrefix$t"))
+    val unionAllRows = (Seq(oldBase) ++ tags.map(t => s"$dir/$deltaDirPrefix$t"))
       .map(spark.read.parquet(_).select(col("vec_id"), col("emb").as("embedding")))
       .reduce(_ unionAll _)
+    // dropTombstoned: the canonical rebuild EXCLUDES the dead nodes —
+    // the physical-drop leg of the delete story (every other store
+    // compacts its tombstones away; without this a delete-heavy HNSW
+    // keeps dead routing waypoints forever). The exclusion is a
+    // broadcast anti-join against the tombstone table (never an isin
+    // literal — a delete-heavy store has 100k+ dead ids). The
+    // surviving rows ARE what the new fingerprint attests, so a later
+    // ensureLayout over the live corpus reuses; the tombstone dir is
+    // removed AFTER the atomic commit (crash window: anti-joining ids
+    // that no longer exist is a no-op).
+    val union =
+      if (dead.isEmpty) unionAllRows
+      else unionAllRows.join(
+        broadcast(spark.read.option("recursiveFileLookup", "true")
+          .parquet(s"$dir/$tombstoneDirName")
+          .select(col("vec_id").cast("long").as("vec_id")).distinct()),
+        Seq("vec_id"), "left_anti")
     val (n, h, hs) = graft.io.Artifact.hashAgg(
       union, xxhash64(col("vec_id"), col("embedding").cast("array<double>")))
     // the canonical rebuild lands in a FRESH version dir while the old
@@ -717,6 +740,8 @@ object Hnsw {
     deleteRecursively(java.nio.file.Paths.get(oldBase))
     folded.foreach(t =>
       deleteRecursively(java.nio.file.Paths.get(dir, s"$deltaDirPrefix$t")))
+    if (dead.nonEmpty)
+      deleteRecursively(java.nio.file.Paths.get(dir, tombstoneDirName))
   }
 
   private val tombstoneDirName = "_tombstones"
@@ -741,8 +766,9 @@ object Hnsw {
   }
 
   /** All tombstoned ids — bounded by total delete volume (a crawl's
-    * deletes are rare events; a delete-heavy workload should compact
-    * by rebuilding the layout without the dead rows). */
+    * deletes are rare events; a delete-heavy workload reclaims via
+    * `compactDeltas(dropTombstoned = true)`, which rebuilds the layout
+    * without the dead rows and drops this table). */
   def tombstonedIds(spark: SparkSession, dir: String): Set[Long] = {
     val p = java.nio.file.Paths.get(dir, tombstoneDirName)
     if (!java.nio.file.Files.exists(p)) return Set.empty

@@ -86,6 +86,39 @@ class CompactionPolicySpec extends AnyFunSuite {
       "ensure over the union corpus must reuse the compacted layout")
   }
 
+  test("HNSW dropTombstoned compaction physically reclaims: dead nodes gone, probe = exact over survivors, ensure reuses") {
+    import graft.index.Hnsw
+    import graft.ops.VectorSearch
+    val dir = tmp("cps_hnswdrop")
+    val base = vecs(0 until 150)
+    val p = Hnsw.Params(m = 4, efConstruction = 16, parts = 2)
+    Hnsw.ensureLayout(base, dir, p)
+    Hnsw.deleteFromLayout(spark, dir, Seq(3L, 9L, 14L), tag = "t")
+    val q = base.filter(col("vec_id") === 7L)
+      .select(col("embedding")).head().getSeq[Float](0).toArray
+    val live = base.filter(!col("vec_id").isin(3L, 9L, 14L))
+    val want = VectorSearch.knnExact(live, q.toSeq, 5)
+      .select("vec_id").as[Long].collect().toSeq
+    Hnsw.compactDeltas(spark, dir, p, dropTombstoned = true)
+    // dead nodes physically gone, tombstone table removed
+    assert(Hnsw.layout(spark, dir)
+      .filter(col("vec_id").isin(3L, 9L, 14L)).count() == 0L)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir, "_tombstones")))
+    // the rebuilt graph probes to the survivors-only exact ranking
+    val got = Hnsw.searchLayout(spark, dir, q, 5, p, efSearch = 64)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(got == want)
+    // a fresh ensure over the LIVE corpus matches the committed
+    // fingerprint and reuses the compacted version
+    val vdir = java.nio.file.Paths.get(Hnsw.layoutPath(dir))
+    val t0 = java.nio.file.Files.getLastModifiedTime(vdir)
+    Hnsw.ensureLayout(live, dir, p)
+    assert(java.nio.file.Files.getLastModifiedTime(
+      java.nio.file.Paths.get(Hnsw.layoutPath(dir))) == t0,
+      "ensure over the live corpus must reuse the reclaimed layout")
+  }
+
   test("tiny batches over a big base: no ratio fold; the count cap still bounds fan-out") {
     val dir = tmp("cps_count")
     graft.index.Sq.ensureCodesArtifact(vecs(0 until 2000), dir)
