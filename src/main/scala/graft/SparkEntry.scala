@@ -4453,6 +4453,47 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // TAKEDOWN on the incremental exact-dedup HASH STORE: a scrubbed
+    // document's content hash is derived data and must go too (the
+    // GDPR leg of the dedup story — without it a re-crawl of deleted
+    // content is wrongly suppressed as "already seen"). The two
+    // lowest-id UNIQUE-content docs anchor the scenario: the first is
+    // taken down (its (h, first_id) pair tombstoned — covered legs =
+    // base + live deltas, one batch-sized write), then a later batch
+    // re-crawls both contents — the deleted one must report NOVEL and
+    // re-enter the store (its new delta leg is not covered), the live
+    // one must dedupe against its original owner — and a second batch
+    // must dedupe the re-crawled content against its NEW owner. The
+    // oracle derives the same verdicts relationally from documents.
+    "dedup_store_delete" -> ((s, dir) => {
+      val corpus = docs(s, dir).select(col("doc_id"), col("text"))
+      val store =
+        s"${System.getProperty("java.io.tmpdir")}/graft_hashdel_${dirKey(dir)}"
+      graft.dedup.Dedup.ensureHashStore(s, corpus, store)
+      graft.dedup.Dedup.dropHashStoreMutations(store) // replay determinism
+      // bounded: exactly two (id, text) rows come back
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(graft.text.TextAnalysis.normalizeText(col("text")))
+      val uniq = corpus
+        .withColumn("_c", count(lit(1)).over(w))
+        .filter(col("_c") === 1)
+        .orderBy(col("doc_id")).limit(2)
+        .select(col("doc_id"), col("text")).collect()
+      val (delId, delText) = (uniq(0).getLong(0), uniq(0).getString(1))
+      val (keepId, keepText) = (uniq(1).getLong(0), uniq(1).getString(1))
+      graft.dedup.Dedup.deleteFromHashStore(s, store,
+        corpus.filter(col("doc_id") === delId), tag = "del")
+      import s.implicits._
+      val v1 = graft.dedup.Dedup.incrementalDedupBatch(s, store,
+        Seq((9100000L + delId, delText), (9100000L + keepId, keepText))
+          .toDF("doc_id", "text"),
+        batchTag = Some("re"))
+      val v2 = graft.dedup.Dedup.incrementalDedupBatch(s, store,
+        Seq((9200000L + delId, delText)).toDF("doc_id", "text"),
+        batchTag = Some("re2"))
+      v1.unionAll(v2).orderBy(col("doc_id"))
+    }),
+
     "stream_ivf_append" -> ((s, dir) => {
       val corpus = emb(s, dir)
       val base = graft.index.Ivf.buildLayout(s, corpus,
@@ -6773,6 +6814,29 @@ object SparkEntry {
         | UNION ALL
         | SELECT doc_id + 8000000 AS doc_id, text FROM documents WHERE doc_id < 14)""".stripMargin,
       20),
+
+    // The takedown life cycle derived relationally: d1/d2 = the two
+    // lowest-id unique-normalized-content docs; d1's re-crawl is novel
+    // (its pair was tombstoned), d2's dedupes to its original owner,
+    // and the second re-crawl of d1's content dedupes to the NEW owner
+    // recorded by the first re-crawl.
+    "dedup_store_delete" ->
+      s"""WITH u AS (SELECT doc_id FROM (
+         |      SELECT doc_id, count(*) OVER (PARTITION BY $NormSql) AS c
+         |      FROM documents)
+         |    WHERE c = 1 ORDER BY doc_id LIMIT 2),
+         |d1 AS (SELECT min(doc_id) AS id FROM u),
+         |d2 AS (SELECT max(doc_id) AS id FROM u)
+         |SELECT CAST(9100000 + d1.id AS BIGINT) AS doc_id,
+         |       CAST(1 AS BIGINT) AS is_new, CAST(NULL AS BIGINT) AS dup_of
+         |FROM d1
+         |UNION ALL
+         |SELECT CAST(9100000 + d2.id AS BIGINT), CAST(0 AS BIGINT),
+         |       CAST(d2.id AS BIGINT) FROM d2
+         |UNION ALL
+         |SELECT CAST(9200000 + d1.id AS BIGINT), CAST(0 AS BIGINT),
+         |       CAST(9100000 + d1.id AS BIGINT) FROM d1
+         |ORDER BY doc_id""".stripMargin,
 
     // From-scratch BM25 over documents minus the NET-deleted docs
     // (2 and 12 stay deleted; 7 was re-appended under a later tag and

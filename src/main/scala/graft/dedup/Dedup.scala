@@ -75,6 +75,255 @@ object Dedup {
     }
   }
 
+  // ---- hash-store takedown protocol (the engine-wide tombstone shape:
+  // covered legs, versioned atomic compaction) ----------------------------
+
+  private val storeStateName = "_graft_store_state.json"
+  private val storeMapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  /** Committed store state after a compaction: current base version,
+    * folded delta tags, consumed tombstone tags. Absent file = legacy
+    * layout (seed files at the dir root, no folds). */
+  private final case class StoreState(v: Int, folded: Set[String], deadTombs: Set[String])
+
+  private def storeState(dir: String): StoreState = {
+    val p = java.nio.file.Paths.get(dir, storeStateName)
+    if (!java.nio.file.Files.exists(p)) return StoreState(0, Set.empty, Set.empty)
+    try {
+      val n = storeMapper.readTree(java.nio.file.Files.readString(p))
+      import scala.jdk.CollectionConverters._
+      def set(k: String) = if (n.has(k))
+        n.get(k).elements().asScala.map(_.asText()).toSet else Set.empty[String]
+      StoreState(if (n.hasNonNull("v")) n.get("v").asInt() else 0,
+        set("folded"), set("deadTombs"))
+    } catch { case _: Throwable => StoreState(0, Set.empty, Set.empty) }
+  }
+
+  private def storeTombRoot(dir: String) = s"$dir/_tombstones"
+
+  private final case class StoreTomb(tag: String, covered: Set[String])
+
+  private def liveStoreTombs(dir: String): Seq[StoreTomb] = {
+    val root = java.nio.file.Paths.get(storeTombRoot(dir))
+    if (!java.nio.file.Files.exists(root)) return Seq.empty
+    val dead = storeState(dir).deadTombs
+    val s = java.nio.file.Files.list(root)
+    val tags = try {
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala
+        .filter(p => java.nio.file.Files.exists(p.resolve("_stats.json")))
+        .map(_.getFileName.toString).filterNot(dead).toSeq.sorted
+    } finally s.close()
+    tags.map { tag =>
+      val n = storeMapper.readTree(java.nio.file.Files.readString(
+        java.nio.file.Paths.get(storeTombRoot(dir), tag, "_stats.json")))
+      import scala.jdk.CollectionConverters._
+      StoreTomb(tag, n.get("covered").elements().asScala.map(_.asText()).toSet)
+    }
+  }
+
+  private def deleteStoreDir(p: java.nio.file.Path): Unit = {
+    if (!java.nio.file.Files.exists(p)) return
+    val walk = java.nio.file.Files.walk(p)
+    try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+      .forEach(f => java.nio.file.Files.deleteIfExists(f))
+    finally walk.close()
+  }
+
+  /** Live delta tags of the hash store (dirs named `delta_<tag>`,
+    * minus the committed folded list). */
+  private def hashStoreDeltaTags(dir: String): Seq[String] = {
+    val root = java.nio.file.Paths.get(dir)
+    if (!java.nio.file.Files.exists(root)) return Seq.empty
+    val folded = storeState(dir).folded
+    val s = java.nio.file.Files.list(root)
+    try {
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala
+        .filter(java.nio.file.Files.isDirectory(_))
+        .map(_.getFileName.toString)
+        .filter(_.startsWith("delta_"))
+        .map(_.stripPrefix("delta_"))
+        .filterNot(folded)
+        .toSeq.sorted
+    } finally s.close()
+  }
+
+  /** TAKEDOWN from the hash store (GDPR/opt-out: the content hash of a
+    * scrubbed document is derived data and must go too). The batch is
+    * the deleted docs' FULL rows; the tombstone records the exact
+    * `(h, first_id)` pairs those docs OWN — a doc that was itself a
+    * dup never entered the store, so masking its (never-stored) pair
+    * is a harmless no-op and the caller needn't know who owned what.
+    * Covered legs = base + live delta tags NOW, so content re-crawled
+    * AFTER the takedown (a later delta tag) is served again — the
+    * engine-wide delete/append ordering. Conservative by design: if a
+    * still-live doc duplicated the deleted first owner, the store
+    * forgets the content and a re-crawl reports it novel (it may
+    * re-admit a duplicate; it can never wrongly suppress).
+    * Tag-keyed idempotent overwrite. Like the streaming appends,
+    * deletes invalidate the SEED sidecar by design — the mutation log
+    * owns the store after seeding. */
+  def deleteFromHashStore(
+      spark: org.apache.spark.sql.SparkSession,
+      storeDir: String,
+      batch: DataFrame,
+      tag: String,
+      idCol: String = "doc_id",
+      textCol: String = "text"): Unit = {
+    val covered = ("base" +: hashStoreDeltaTags(storeDir))
+      .map(t => "\"" + t + "\"").mkString("[", ",", "]")
+    val out = s"${storeTombRoot(storeDir)}/$tag"
+    batch.select(
+        graft.text.TextAnalysis.fingerprintMd5(col(textCol)).as("h"),
+        col(idCol).cast("long").as("first_id"))
+      .distinct()
+      .write.mode("overwrite").parquet(s"$out/pairs")
+    graft.io.Artifact.writeAtomic(
+      java.nio.file.Paths.get(out, "_stats.json"),
+      s"""{"covered":$covered}""")
+  }
+
+  /** The source leg of a store row, derived from its file path: a
+    * `delta_<tag>` subdir row carries its tag, anything else is the
+    * base. */
+  private def legOf: Column =
+    when(input_file_name().rlike("/delta_[^/]+/"),
+      regexp_extract(input_file_name(), "/delta_([^/]+)/", 1))
+      .otherwise(lit("base"))
+
+  /** The hash store as a DataFrame — the seed/current base plus live
+    * `delta_*` batch-append legs, MINUS tombstoned pairs (each pair
+    * masked only on the legs its tombstone covers: one broadcast
+    * anti-join on (leg, h, first_id); with no tombstones and no
+    * compaction history this is exactly the original single recursive
+    * scan, same plan). `excludeTag` drops one delta leg — the retried
+    * batch's own (possibly partial) delta. */
+  private def readHashStore(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      excludeTags: Set[String] = Set.empty): DataFrame = {
+    val st = storeState(dir)
+    val raw =
+      if (st.v == 0)
+        spark.read.option("recursiveFileLookup", "true").parquet(dir)
+      else {
+        val base = spark.read.parquet(s"$dir/base_v${st.v}")
+        hashStoreDeltaTags(dir).filterNot(excludeTags).foldLeft(base) { (acc, t) =>
+          acc.unionAll(spark.read.schema(base.schema).parquet(s"$dir/delta_$t"))
+        }
+      }
+    // leg cuts apply on the raw SCAN (input_file_name is per-row scan
+    // context — meaningless after the mask join below). At v=0 the
+    // recursive scan must also skip any base_v* dir a CRASHED
+    // compaction attempt left behind (uncommitted data — the state
+    // file is the commit point)
+    val cut = (excludeTags ++ st.folded).toSeq.sorted.map(t => s"/delta_$t/")
+    val filtered =
+      if (st.v == 0)
+        cut.foldLeft(raw.where(!input_file_name().rlike("/base_v\\d+/")))(
+          (acc, frag) => acc.where(!input_file_name().contains(frag)))
+      else raw // versioned base: exclusions already leg-level above
+    val tombs = liveStoreTombs(dir)
+    if (tombs.isEmpty) filtered
+    else {
+      val pairs = tombs.map { t =>
+        spark.read.parquet(s"${storeTombRoot(dir)}/${t.tag}/pairs")
+          .withColumn("_leg", explode(lit(t.covered.toSeq.sorted.toArray)))
+      }.reduce(_ unionAll _)
+      filtered.withColumn("_leg", legOf)
+        .join(broadcast(pairs), Seq("_leg", "h", "first_id"), "left_anti")
+        .select(col("h"), col("first_id"))
+    }
+  }
+
+  /** Fold live deltas and consumed tombstones into a fresh base
+    * version — the engine-wide VERSIONED ATOMIC SWAP applied to the
+    * hash store: survivors land in `base_v<N+1>` while the old base
+    * keeps serving, the commit is one atomic `_graft_store_state.json`
+    * replace (version pointer + folded + consumed lists), GC runs
+    * last and best-effort. A tombstone is consumed when every covered
+    * leg folded; one covering a still-live (excluded) delta stays.
+    * Single-writer, no concurrent probes. */
+  def compactHashStore(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      excludeTags: Set[String] = Set.empty): Unit = {
+    val tags = hashStoreDeltaTags(dir).filterNot(excludeTags)
+    val tombs = liveStoreTombs(dir)
+    if (tags.isEmpty && tombs.isEmpty) return
+    val st = storeState(dir)
+    val liveNow = hashStoreDeltaTags(dir).toSet
+    val consumed = tombs.filter(_.covered.forall(c =>
+      c == "base" || tags.contains(c) || !liveNow.contains(c)))
+    // survivors: the masked union minus any excluded delta legs (they
+    // stay live delta dirs and keep their own tombstone coverage)
+    val survivors = readHashStore(spark, dir, excludeTags)
+    // the new version number skips past ANY base_v* debris a crashed
+    // attempt left: a version path is written exactly once, so a
+    // session's cached file listing of an old/debris path can never
+    // alias the fresh data (the stale-FileStatusCache trap)
+    val onDiskMax = {
+      val s = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.map(_.getFileName.toString)
+          .collect { case nm if nm.matches("base_v\\d+") =>
+            nm.stripPrefix("base_v").toInt }
+          .foldLeft(0)(math.max)
+      } finally s.close()
+    }
+    val vNew = math.max(st.v, onDiskMax) + 1
+    val newDir = s"$dir/base_v$vNew"
+    // build under an UNDERSCORE temp (invisible to the v=0 recursive
+    // scan — a crashed half-written attempt must not even be LISTED,
+    // because an unreadable partial parquet would break the read at
+    // footer time, before any row filter), then rename into place;
+    // the renamed-but-uncommitted window is covered by the base_v row
+    // filter in [[readHashStore]]
+    val building = java.nio.file.Paths.get(s"$dir/_building_base_v$vNew")
+    deleteStoreDir(building)
+    survivors.write.mode("overwrite").parquet(building.toString)
+    java.nio.file.Files.move(building, java.nio.file.Paths.get(newDir))
+    // ---- COMMIT ----
+    def deltaOnDisk(t: String) =
+      java.nio.file.Files.exists(java.nio.file.Paths.get(dir, s"delta_$t"))
+    def tombOnDisk(t: String) =
+      java.nio.file.Files.exists(java.nio.file.Paths.get(storeTombRoot(dir), t))
+    val folded = (st.folded.filter(deltaOnDisk) ++ tags).toSeq.sorted
+    val dead = (st.deadTombs.filter(tombOnDisk) ++ consumed.map(_.tag)).toSeq.sorted
+    def arr(s: Seq[String]) = s.map("\"" + _ + "\"").mkString("[", ",", "]")
+    graft.io.Artifact.writeAtomic(
+      java.nio.file.Paths.get(dir, storeStateName),
+      s"""{"v":$vNew,"folded":${arr(folded)},"deadTombs":${arr(dead)}}""")
+    // ---- GC ----
+    // every base_v* EXCEPT the just-committed version goes (the old
+    // committed version AND any crashed-attempt debris), and at v=0
+    // the legacy flat root files too
+    val gc = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+    try {
+      import scala.jdk.CollectionConverters._
+      gc.iterator().asScala
+        .filter { p =>
+          val nm = p.getFileName.toString
+          (nm.matches("base_v\\d+") && nm != s"base_v$vNew") ||
+            (st.v == 0 && !nm.startsWith("_") && !nm.startsWith(".") &&
+              !nm.startsWith("delta_") && !nm.startsWith("base_v"))
+        }
+        .toSeq.foreach(deleteStoreDir)
+    } finally gc.close()
+    folded.foreach(t => deleteStoreDir(java.nio.file.Paths.get(dir, s"delta_$t")))
+    dead.foreach(t => deleteStoreDir(java.nio.file.Paths.get(storeTombRoot(dir), t)))
+  }
+
+  /** Drop every delta and tombstone dir — the replay-reset helper
+    * mirroring [[graft.text.InvertedIndex.dropMutations]] (the base
+    * snapshot and its seed sidecar are untouched). */
+  def dropHashStoreMutations(dir: String): Unit = {
+    hashStoreDeltaTags(dir).foreach(t =>
+      deleteStoreDir(java.nio.file.Paths.get(dir, s"delta_$t")))
+    deleteStoreDir(java.nio.file.Paths.get(storeTombRoot(dir)))
+  }
+
   /** Novelty check of a crawl `batch` against a persisted hash store
     * ([[ensureHashStore]]): every batch row annotated with
     * `is_new` (1 = content unseen in the corpus) and `dup_of` (the
@@ -87,13 +336,6 @@ object Dedup {
     * batch. Two broadcasts of batch-bounded tables; zero wide exchange.
     * A null batch text hashes to null and never matches — it reports
     * as novel, the contract every row keeps one output row. */
-  /** The hash store as a DataFrame: the seed parquet under `dir` plus
-    * any `delta_*` batch-append subdirectories (the idempotent append
-    * layout of [[incrementalDedupBatch]] — recursiveFileLookup picks
-    * both up; the `_`-prefixed sidecar is ignored by the reader). */
-  private def readHashStore(
-      spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
-    spark.read.option("recursiveFileLookup", "true").parquet(dir)
 
   def newAgainstStore(
       spark: org.apache.spark.sql.SparkSession,
@@ -164,10 +406,9 @@ object Dedup {
     // a RETRIED tagged batch must not see its own previous (possibly
     // partial) delta: self-matches would flip every novel verdict to
     // "dup of itself" and the delta overwrite would then erase the
-    // hashes — exclude the own-tag subdir from the store view
-    val store = batchTag.fold(readHashStore(spark, storeDir))(tag =>
-      readHashStore(spark, storeDir)
-        .where(!input_file_name().contains(s"/delta_$tag/")))
+    // hashes — the own-tag leg is excluded INSIDE the store view
+    // (scan-level, before any tombstone mask join)
+    val store = readHashStore(spark, storeDir, batchTag.toSet)
     val probes = bh.select("h").distinct()
     // min-collapse after the semi join (batch-bounded): robust against
     // duplicate store rows even where an untagged caller double-appended
