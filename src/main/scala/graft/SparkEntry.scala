@@ -4494,6 +4494,65 @@ object SparkEntry {
       v1.unionAll(v2).orderBy(col("doc_id"))
     }),
 
+    // TAKEDOWN on the incremental NEAR-dup shingle store — the scrubbed
+    // doc's shingle postings and size row are derived data too. Doc 0
+    // (always store-resident: store = doc_id % 3 == 0) is taken down;
+    // a re-crawl of its text must match only the SURVIVING near-dups
+    // (or report novel), a control probe of doc 3's text must keep
+    // matching, and after the novel re-crawl re-enters the store a
+    // second re-crawl must near-dup against the NEW owner at exact
+    // Jaccard 0. The oracle replays every branch relationally over
+    // documents (including the data-dependent "was the first re-crawl
+    // novel" split).
+    "neardup_store_delete" -> ((s, dir) => {
+      val corpus = docs(s, dir).select(col("doc_id"), col("text"))
+      val store =
+        s"${System.getProperty("java.io.tmpdir")}/graft_sheddel_${dirKey(dir)}"
+      graft.dedup.Dedup.ensureShingleStore(
+        s, corpus.filter(col("doc_id") % 3 === 0), store)
+      graft.dedup.Dedup.dropShingleStoreMutations(store) // replay determinism
+      import s.implicits._
+      graft.dedup.Dedup.deleteFromShingleStore(
+        s, store, Seq(0L).toDF("doc_id"), tag = "del")
+      // bounded: two texts come back to build the probe batches
+      val text0 = corpus.filter(col("doc_id") === 0L)
+        .select(col("text")).head().getString(0)
+      val text3 = corpus.filter(col("doc_id") === 3L)
+        .select(col("text")).head().getString(0)
+      val v1 = graft.dedup.Dedup.incrementalNearDupBatch(s, store,
+        Seq((9300000L, text0), (9300003L, text3)).toDF("doc_id", "text"),
+        batchTag = "re")
+      val v2 = graft.dedup.Dedup.incrementalNearDupBatch(s, store,
+        Seq((9400000L, text0)).toDF("doc_id", "text"), batchTag = "re2")
+      v1.unionAll(v2).orderBy(col("doc_id"))
+    }),
+
+    // TAKEDOWN on the persisted FUZZY SIGNATURE store — the entity-
+    // resolution leg of the derived-data scrub: customer 3's deletion-
+    // neighborhood postings are tombstoned, and a resolve batch
+    // carrying the EXACT names of customers 3 and 6 must fall through
+    // to the best SURVIVING match for 3 (an ed-1 neighbor, relational
+    // min over (dist, id)) while 6 keeps resolving exactly — with the
+    // in-batch leg (earlier batch rows are candidates too) replayed by
+    // the oracle verbatim.
+    "fuzzy_store_delete" -> ((s, dir) => {
+      val cust = tbl(s, dir, "customer")
+      val store =
+        s"${System.getProperty("java.io.tmpdir")}/graft_fuzzdel_${dirKey(dir)}"
+      graft.ops.FuzzyJoin.ensureFuzzyStore(s,
+        cust.filter(col("c_custkey") % 3 === 0), store, "c_custkey", "c_name")
+      graft.ops.FuzzyJoin.dropFuzzyStoreMutations(store) // replay determinism
+      import s.implicits._
+      graft.ops.FuzzyJoin.deleteFromFuzzyStore(s, store,
+        Seq(3L).toDF("store_id"), tag = "del")
+      val batch = cust.filter(col("c_custkey").isin(3L, 6L))
+        .select((col("c_custkey") + lit(9500000L)).as("id"),
+          col("c_name").as("name"))
+      graft.ops.FuzzyJoin.incrementalFuzzyResolveBatch(s, store, batch,
+          "id", "name", batchTag = Some("re"))
+        .orderBy(col("id"))
+    }),
+
     "stream_ivf_append" -> ((s, dir) => {
       val corpus = emb(s, dir)
       val base = graft.index.Ivf.buildLayout(s, corpus,
@@ -6814,6 +6873,75 @@ object SparkEntry {
         | UNION ALL
         | SELECT doc_id + 8000000 AS doc_id, text FROM documents WHERE doc_id < 14)""".stripMargin,
       20),
+
+    // Brute-force replay of the masked resolve: store legs = %3
+    // registry minus the tombstoned 3; in-batch legs = earlier batch
+    // rows; best = min (dist, mid) per probe.
+    "fuzzy_store_delete" ->
+      """WITH seed AS (SELECT c_custkey AS sid, c_name AS sn FROM customer
+        |              WHERE c_custkey % 3 = 0 AND c_custkey <> 3),
+        |b AS (SELECT c_custkey + 9500000 AS id, c_name AS n FROM customer
+        |      WHERE c_custkey IN (3, 6)),
+        |m AS (SELECT x.id, y.sid AS mid, levenshtein(x.n, y.sn) AS dist
+        |      FROM b x JOIN seed y ON levenshtein(x.n, y.sn) <= 1
+        |      UNION ALL
+        |      SELECT x.id, y.id AS mid, levenshtein(x.n, y.n) AS dist
+        |      FROM b x JOIN b y ON y.id < x.id AND levenshtein(x.n, y.n) <= 1),
+        |best AS (SELECT id, mid, dist FROM
+        |      (SELECT id, mid, dist,
+        |              row_number() OVER (PARTITION BY id ORDER BY dist, mid) AS rn
+        |       FROM m) WHERE rn = 1)
+        |SELECT x.id AS id, (b2.mid IS NULL) AS is_new, b2.mid AS dup_of,
+        |       CAST(b2.dist AS INTEGER) AS dist
+        |FROM b x LEFT JOIN best b2 ON x.id = b2.id ORDER BY id""".stripMargin,
+
+    // The shingle-store takedown life cycle relationally: probes of doc
+    // 0's and doc 3's texts against the %3 store MINUS doc 0, then the
+    // second re-crawl's verdict split on whether the first was novel
+    // (matched nothing surviving) — if so it near-dups the re-added
+    // copy at exact Jaccard 0.
+    "neardup_store_delete" ->
+      s"""WITH t AS (SELECT doc_id, $ToksSql AS toks FROM documents),
+         |corp AS (SELECT doc_id AS c_id,
+         |    unnest(list_distinct([array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks) - 1)])) AS s
+         |  FROM t WHERE doc_id % 3 = 0 AND doc_id <> 0 AND len(toks) >= 3),
+         |csz AS (SELECT c_id, CAST(count(*) AS BIGINT) AS c_size FROM corp GROUP BY 1),
+         |p0 AS (SELECT unnest(list_distinct([array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks) - 1)])) AS s
+         |       FROM t WHERE doc_id = 0 AND len(toks) >= 3),
+         |p0z AS (SELECT CAST(count(*) AS BIGINT) AS b_size FROM p0),
+         |s0 AS (SELECT i.c_id,
+         |         1.0 - CAST(i.n_inter AS DOUBLE) / CAST(p0z.b_size + csz.c_size - i.n_inter AS DOUBLE) AS jd
+         |       FROM (SELECT c_id, CAST(count(*) AS BIGINT) AS n_inter
+         |             FROM p0 JOIN corp USING (s) GROUP BY 1) i
+         |       JOIN csz USING (c_id) CROSS JOIN p0z
+         |       WHERE 1.0 - CAST(i.n_inter AS DOUBLE) / CAST(p0z.b_size + csz.c_size - i.n_inter AS DOUBLE) <= 0.5),
+         |n0 AS (SELECT min(c_id) AS id FROM s0),
+         |j0 AS (SELECT s0.jd AS jd FROM s0 JOIN n0 ON s0.c_id = n0.id),
+         |p3 AS (SELECT unnest(list_distinct([array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks) - 1)])) AS s
+         |       FROM t WHERE doc_id = 3 AND len(toks) >= 3),
+         |p3z AS (SELECT CAST(count(*) AS BIGINT) AS b_size FROM p3),
+         |s3 AS (SELECT i.c_id,
+         |         1.0 - CAST(i.n_inter AS DOUBLE) / CAST(p3z.b_size + csz.c_size - i.n_inter AS DOUBLE) AS jd
+         |       FROM (SELECT c_id, CAST(count(*) AS BIGINT) AS n_inter
+         |             FROM p3 JOIN corp USING (s) GROUP BY 1) i
+         |       JOIN csz USING (c_id) CROSS JOIN p3z
+         |       WHERE 1.0 - CAST(i.n_inter AS DOUBLE) / CAST(p3z.b_size + csz.c_size - i.n_inter AS DOUBLE) <= 0.5),
+         |n3 AS (SELECT min(c_id) AS id FROM s3),
+         |j3 AS (SELECT s3.jd AS jd FROM s3 JOIN n3 ON s3.c_id = n3.id)
+         |SELECT CAST(9300000 AS BIGINT) AS doc_id,
+         |       CAST(CASE WHEN (SELECT id FROM n0) IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_novel,
+         |       CAST((SELECT id FROM n0) AS BIGINT) AS near_dup_of,
+         |       (SELECT jd FROM j0) AS jaccard_dist
+         |UNION ALL
+         |SELECT CAST(9300003 AS BIGINT), CAST(0 AS BIGINT),
+         |       CAST((SELECT id FROM n3) AS BIGINT), (SELECT jd FROM j3)
+         |UNION ALL
+         |SELECT CAST(9400000 AS BIGINT), CAST(0 AS BIGINT),
+         |       CAST(CASE WHEN (SELECT id FROM n0) IS NULL THEN 9300000
+         |            ELSE (SELECT id FROM n0) END AS BIGINT),
+         |       CASE WHEN (SELECT id FROM n0) IS NULL THEN 0.0
+         |            ELSE (SELECT jd FROM j0) END
+         |ORDER BY doc_id""".stripMargin,
 
     // The takedown life cycle derived relationally: d1/d2 = the two
     // lowest-id unique-normalized-content docs; d1's re-crawl is novel

@@ -76,59 +76,14 @@ object Dedup {
   }
 
   // ---- hash-store takedown protocol (the engine-wide tombstone shape:
-  // covered legs, versioned atomic compaction) ----------------------------
+  // covered legs, versioned atomic compaction — machinery shared via
+  // [[graft.io.MutableStore]]) ---------------------------------------------
 
-  private val storeStateName = "_graft_store_state.json"
-  private val storeMapper = new com.fasterxml.jackson.databind.ObjectMapper()
-
-  /** Committed store state after a compaction: current base version,
-    * folded delta tags, consumed tombstone tags. Absent file = legacy
-    * layout (seed files at the dir root, no folds). */
-  private final case class StoreState(v: Int, folded: Set[String], deadTombs: Set[String])
-
-  private def storeState(dir: String): StoreState = {
-    val p = java.nio.file.Paths.get(dir, storeStateName)
-    if (!java.nio.file.Files.exists(p)) return StoreState(0, Set.empty, Set.empty)
-    try {
-      val n = storeMapper.readTree(java.nio.file.Files.readString(p))
-      import scala.jdk.CollectionConverters._
-      def set(k: String) = if (n.has(k))
-        n.get(k).elements().asScala.map(_.asText()).toSet else Set.empty[String]
-      StoreState(if (n.hasNonNull("v")) n.get("v").asInt() else 0,
-        set("folded"), set("deadTombs"))
-    } catch { case _: Throwable => StoreState(0, Set.empty, Set.empty) }
-  }
-
-  private def storeTombRoot(dir: String) = s"$dir/_tombstones"
-
-  private final case class StoreTomb(tag: String, covered: Set[String])
-
-  private def liveStoreTombs(dir: String): Seq[StoreTomb] = {
-    val root = java.nio.file.Paths.get(storeTombRoot(dir))
-    if (!java.nio.file.Files.exists(root)) return Seq.empty
-    val dead = storeState(dir).deadTombs
-    val s = java.nio.file.Files.list(root)
-    val tags = try {
-      import scala.jdk.CollectionConverters._
-      s.iterator().asScala
-        .filter(p => java.nio.file.Files.exists(p.resolve("_stats.json")))
-        .map(_.getFileName.toString).filterNot(dead).toSeq.sorted
-    } finally s.close()
-    tags.map { tag =>
-      val n = storeMapper.readTree(java.nio.file.Files.readString(
-        java.nio.file.Paths.get(storeTombRoot(dir), tag, "_stats.json")))
-      import scala.jdk.CollectionConverters._
-      StoreTomb(tag, n.get("covered").elements().asScala.map(_.asText()).toSet)
-    }
-  }
-
-  private def deleteStoreDir(p: java.nio.file.Path): Unit = {
-    if (!java.nio.file.Files.exists(p)) return
-    val walk = java.nio.file.Files.walk(p)
-    try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-      .forEach(f => java.nio.file.Files.deleteIfExists(f))
-    finally walk.close()
-  }
+  private def storeState(dir: String) = graft.io.MutableStore.state(dir)
+  private def storeTombRoot(dir: String) = graft.io.MutableStore.tombRoot(dir)
+  private def liveStoreTombs(dir: String) = graft.io.MutableStore.liveTombs(dir)
+  private def deleteStoreDir(p: java.nio.file.Path): Unit =
+    graft.io.MutableStore.deleteDir(p)
 
   /** Live delta tags of the hash store (dirs named `delta_<tag>`,
     * minus the committed folded list). */
@@ -184,13 +139,8 @@ object Dedup {
       s"""{"covered":$covered}""")
   }
 
-  /** The source leg of a store row, derived from its file path: a
-    * `delta_<tag>` subdir row carries its tag, anything else is the
-    * base. */
-  private def legOf: Column =
-    when(input_file_name().rlike("/delta_[^/]+/"),
-      regexp_extract(input_file_name(), "/delta_([^/]+)/", 1))
-      .otherwise(lit("base"))
+  /** The source leg of a store row, derived from its file path. */
+  private def legOf: Column = graft.io.MutableStore.legOf
 
   /** The hash store as a DataFrame — the seed/current base plus live
     * `delta_*` batch-append legs, MINUS tombstoned pairs (each pair
@@ -291,10 +241,7 @@ object Dedup {
       java.nio.file.Files.exists(java.nio.file.Paths.get(storeTombRoot(dir), t))
     val folded = (st.folded.filter(deltaOnDisk) ++ tags).toSeq.sorted
     val dead = (st.deadTombs.filter(tombOnDisk) ++ consumed.map(_.tag)).toSeq.sorted
-    def arr(s: Seq[String]) = s.map("\"" + _ + "\"").mkString("[", ",", "]")
-    graft.io.Artifact.writeAtomic(
-      java.nio.file.Paths.get(dir, storeStateName),
-      s"""{"v":$vNew,"folded":${arr(folded)},"deadTombs":${arr(dead)}}""")
+    graft.io.MutableStore.commitState(dir, vNew, folded, dead)
     // ---- GC ----
     // every base_v* EXCEPT the just-committed version goes (the old
     // committed version AND any crashed-attempt debris), and at v=0
@@ -477,6 +424,170 @@ object Dedup {
     }
   }
 
+  /** TAKEDOWN from the shingle store: a scrubbed document's shingle
+    * postings and size row are derived data and must go too. Ids-only
+    * contract (postings are keyed by doc id — no content needed);
+    * covered legs = base + live delta tags now, so a doc re-crawled
+    * AFTER the takedown (a later delta) near-dup-serves again.
+    * Tag-keyed idempotent overwrite; one tiny write, never a posting
+    * scan. */
+  def deleteFromShingleStore(
+      spark: org.apache.spark.sql.SparkSession,
+      storeDir: String,
+      ids: DataFrame,
+      tag: String,
+      idCol: String = "doc_id"): Unit = {
+    val covered = ("base" +: shingleStoreDeltaTags(storeDir))
+      .map(t => "\"" + t + "\"").mkString("[", ",", "]")
+    val out = s"${storeTombRoot(storeDir)}/$tag"
+    ids.select(col(idCol).cast("long").as("c_id")).distinct()
+      .write.mode("overwrite").parquet(s"$out/ids")
+    graft.io.Artifact.writeAtomic(
+      java.nio.file.Paths.get(out, "_stats.json"),
+      s"""{"covered":$covered}""")
+  }
+
+  /** Live delta tags of the shingle store — the `sh` part is
+    * authoritative (appends write both parts under the same tag). */
+  private def shingleStoreDeltaTags(dir: String): Seq[String] = {
+    val root = java.nio.file.Paths.get(dir, "sh")
+    if (!java.nio.file.Files.exists(root)) return Seq.empty
+    val folded = storeState(dir).folded
+    val s = java.nio.file.Files.list(root)
+    try {
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala
+        .filter(java.nio.file.Files.isDirectory(_))
+        .map(_.getFileName.toString)
+        .filter(_.startsWith("delta_"))
+        .map(_.stripPrefix("delta_"))
+        .filterNot(folded)
+        .toSeq.sorted
+    } finally s.close()
+  }
+
+  /** One part (`sh`/`sizes`) of the shingle store, leg-masked: the
+    * current base version plus live delta legs, minus tombstoned doc
+    * ids on the legs each tombstone covers (broadcast anti-join on
+    * (leg, c_id); the no-mutation fast path is the original single
+    * recursive scan). */
+  private def readShinglePart(
+      spark: org.apache.spark.sql.SparkSession, dir: String, part: String,
+      excludeTags: Set[String]): DataFrame = {
+    val st = storeState(dir)
+    val raw =
+      if (st.v == 0)
+        spark.read.option("recursiveFileLookup", "true").parquet(s"$dir/$part")
+      else {
+        val base = spark.read.parquet(s"$dir/${part}_v${st.v}")
+        shingleStoreDeltaTags(dir).filterNot(excludeTags).foldLeft(base) { (acc, t) =>
+          acc.unionAll(spark.read.schema(base.schema).parquet(s"$dir/$part/delta_$t"))
+        }
+      }
+    val cut = (excludeTags ++ st.folded).toSeq.sorted.map(t => s"/delta_$t/")
+    val filtered =
+      if (st.v == 0)
+        cut.foldLeft(raw.where(!input_file_name().rlike("/base_v\\d+/")))(
+          (acc, frag) => acc.where(!input_file_name().contains(frag)))
+      else raw
+    val tombs = liveStoreTombs(dir)
+    if (tombs.isEmpty) filtered
+    else {
+      val ids = tombs.map { t =>
+        spark.read.parquet(s"${storeTombRoot(dir)}/${t.tag}/ids")
+          .withColumn("_leg", explode(lit(t.covered.toSeq.sorted.toArray)))
+      }.reduce(_ unionAll _)
+      val cols = filtered.columns
+      filtered.withColumn("_leg", legOf)
+        .join(broadcast(ids), Seq("_leg", "c_id"), "left_anti")
+        .select(cols.map(col).toIndexedSeq: _*)
+    }
+  }
+
+  /** Fold live deltas + consumed tombstones of BOTH parts into fresh
+    * versioned part dirs (`sh_v<N>` / `sizes_v<N>`, built under
+    * underscore temps, renamed in, never a reused path) and COMMIT
+    * with one atomic state replace — the engine-wide versioned-swap
+    * protocol. Single-writer, no concurrent probes. */
+  def compactShingleStore(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      excludeTags: Set[String] = Set.empty): Unit = {
+    val tags = shingleStoreDeltaTags(dir).filterNot(excludeTags)
+    val tombs = liveStoreTombs(dir)
+    if (tags.isEmpty && tombs.isEmpty) return
+    val st = storeState(dir)
+    val liveNow = shingleStoreDeltaTags(dir).toSet
+    val consumed = tombs.filter(_.covered.forall(c =>
+      c == "base" || tags.contains(c) || !liveNow.contains(c)))
+    val onDiskMax = {
+      val s = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.map(_.getFileName.toString)
+          .collect { case nm if nm.matches("(sh|sizes)_v\\d+") =>
+            nm.replaceAll("^[a-z]+_v", "").toInt }
+          .foldLeft(0)(math.max)
+      } finally s.close()
+    }
+    val vNew = math.max(st.v, onDiskMax) + 1
+    Seq("sh", "sizes").foreach { part =>
+      val building = java.nio.file.Paths.get(s"$dir/_building_${part}_v$vNew")
+      deleteStoreDir(building)
+      readShinglePart(spark, dir, part, excludeTags)
+        .write.mode("overwrite").parquet(building.toString)
+      java.nio.file.Files.move(building,
+        java.nio.file.Paths.get(s"$dir/${part}_v$vNew"))
+    }
+    // ---- COMMIT ----
+    def deltaOnDisk(t: String) =
+      java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "sh", s"delta_$t"))
+    def tombOnDisk(t: String) =
+      java.nio.file.Files.exists(java.nio.file.Paths.get(storeTombRoot(dir), t))
+    val folded = (st.folded.filter(deltaOnDisk) ++ tags).toSeq.sorted
+    val dead = (st.deadTombs.filter(tombOnDisk) ++ consumed.map(_.tag)).toSeq.sorted
+    graft.io.MutableStore.commitState(dir, vNew, folded, dead)
+    // ---- GC ----
+    val gc = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+    try {
+      import scala.jdk.CollectionConverters._
+      gc.iterator().asScala
+        .filter { p =>
+          val nm = p.getFileName.toString
+          nm.matches("(sh|sizes)_v\\d+") && !nm.endsWith(s"_v$vNew")
+        }
+        .toSeq.foreach(deleteStoreDir)
+    } finally gc.close()
+    if (st.v == 0) Seq("sh", "sizes").foreach { part =>
+      // legacy base FILES go; still-live (excluded) delta subdirs stay
+      val root = java.nio.file.Paths.get(dir, part)
+      if (java.nio.file.Files.exists(root)) {
+        val s = java.nio.file.Files.list(root)
+        try {
+          import scala.jdk.CollectionConverters._
+          s.iterator().asScala
+            .filter(!_.getFileName.toString.startsWith("delta_"))
+            .toSeq.foreach(deleteStoreDir)
+        } finally s.close()
+      }
+    }
+    folded.foreach { t =>
+      deleteStoreDir(java.nio.file.Paths.get(dir, "sh", s"delta_$t"))
+      deleteStoreDir(java.nio.file.Paths.get(dir, "sizes", s"delta_$t"))
+    }
+    dead.foreach(t => deleteStoreDir(java.nio.file.Paths.get(storeTombRoot(dir), t)))
+  }
+
+  /** Replay-reset: drop every delta and tombstone dir of the shingle
+    * store (base snapshot + seed sidecar untouched). */
+  def dropShingleStoreMutations(dir: String): Unit = {
+    shingleStoreDeltaTags(dir).foreach { t =>
+      deleteStoreDir(java.nio.file.Paths.get(dir, "sh", s"delta_$t"))
+      deleteStoreDir(java.nio.file.Paths.get(dir, "sizes", s"delta_$t"))
+    }
+    deleteStoreDir(java.nio.file.Paths.get(storeTombRoot(dir)))
+  }
+
   /** Near-duplicate check of a crawl `batch` against a persisted
     * shingle store ([[ensureShingleStore]]): every batch row annotated
     * with `is_novel` (1 = no corpus doc within `maxJaccardDist`),
@@ -506,15 +617,11 @@ object Dedup {
         explode(wordShingles(col(textCol), shingleN)).as("s"))
       .select(col("b_id"), md5(col("s")).as("sh"))
     val bsz = bsh.groupBy("b_id").agg(count(lit(1)).as("b_size"))
-    // seed postings plus any delta_* batch-append subdirs (the
-    // [[incrementalNearDupBatch]] idempotent layout); a retried batch
-    // excludes its OWN delta so it cannot self-match and then erase it
-    def readPart(part: String): DataFrame = {
-      val all = spark.read.option("recursiveFileLookup", "true")
-        .parquet(s"$storeDir/$part")
-      excludeTag.fold(all)(tag =>
-        all.where(!input_file_name().contains(s"/delta_$tag/")))
-    }
+    // current base version plus live delta_* legs, minus covering
+    // tombstones ([[readShinglePart]]); a retried batch excludes its
+    // OWN delta so it cannot self-match and then erase it
+    def readPart(part: String): DataFrame =
+      readShinglePart(spark, storeDir, part, excludeTag.toSet)
     val store = readPart("sh")
     val hits = store.join(broadcast(bsh.select("sh").distinct()), "sh")
     val inter = hits.join(broadcast(bsh), "sh")

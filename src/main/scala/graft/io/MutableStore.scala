@@ -1,0 +1,124 @@
+package graft.io
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Shared machinery of the MUTABLE-STORE protocol — the tombstone +
+  * versioned-atomic-compaction shape every incremental store in this
+  * engine follows (posting tables, SQ8 codes, binary signatures, the
+  * dedup hash/shingle stores, the fuzzy signature store):
+  *
+  *  - mutations are TAG-KEYED dirs (idempotent overwrite under
+  *    at-least-once redelivery): `delta_<tag>` appends,
+  *    `_tombstones/<tag>` deletes recording the LEGS they cover
+  *    (base + delta tags live at delete time — a later append is not
+  *    covered, so delete-then-re-add revives);
+  *  - probes mask each leg with only its covering tombstones
+  *    (broadcast anti-joins; the no-mutation fast path is the store's
+  *    original scan);
+  *  - compaction folds deltas + consumed tombstones into a FRESH
+  *    version path (built under an `_`-prefixed temp — invisible to
+  *    recursive listings even half-written — then renamed in; a
+  *    version path is NEVER reused, so cached file listings cannot
+  *    alias fresh data), and COMMITS with one atomic replace of the
+  *    state json carrying the version pointer + folded + consumed
+  *    lists; GC runs last, best-effort.
+  */
+private[graft] object MutableStore {
+
+  val stateName = "_graft_store_state.json"
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  /** Committed state: current base version (0 = legacy/initial
+    * layout), folded delta tags, consumed tombstone tags. */
+  final case class State(v: Int, folded: Set[String], deadTombs: Set[String])
+
+  def state(dir: String): State = {
+    val p = java.nio.file.Paths.get(dir, stateName)
+    if (!java.nio.file.Files.exists(p)) return State(0, Set.empty, Set.empty)
+    try {
+      val n = mapper.readTree(java.nio.file.Files.readString(p))
+      import scala.jdk.CollectionConverters._
+      def set(k: String) = if (n.has(k))
+        n.get(k).elements().asScala.map(_.asText()).toSet else Set.empty[String]
+      State(if (n.hasNonNull("v")) n.get("v").asInt() else 0,
+        set("folded"), set("deadTombs"))
+    } catch { case _: Throwable => State(0, Set.empty, Set.empty) }
+  }
+
+  def tombRoot(dir: String): String = s"$dir/_tombstones"
+
+  /** One live tombstone batch and the legs it covers. */
+  final case class Tomb(tag: String, covered: Set[String])
+
+  def liveTombs(dir: String): Seq[Tomb] = {
+    val root = java.nio.file.Paths.get(tombRoot(dir))
+    if (!java.nio.file.Files.exists(root)) return Seq.empty
+    val dead = state(dir).deadTombs
+    val s = java.nio.file.Files.list(root)
+    val tags = try {
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala
+        .filter(p => java.nio.file.Files.exists(p.resolve("_stats.json")))
+        .map(_.getFileName.toString).filterNot(dead).toSeq.sorted
+    } finally s.close()
+    tags.map { tag =>
+      val n = mapper.readTree(java.nio.file.Files.readString(
+        java.nio.file.Paths.get(tombRoot(dir), tag, "_stats.json")))
+      import scala.jdk.CollectionConverters._
+      Tomb(tag, n.get("covered").elements().asScala.map(_.asText()).toSet)
+    }
+  }
+
+  /** Write a tombstone's stats json (LAST — a tombstone is live only
+    * once it exists). `covered` = base + the live delta tags NOW. */
+  def writeTombStats(dir: String, tag: String, covered: Seq[String]): Unit =
+    Artifact.writeAtomic(
+      java.nio.file.Paths.get(tombRoot(dir), tag, "_stats.json"),
+      covered.map(t => "\"" + t + "\"")
+        .mkString("""{"covered":[""", ",", "]}"))
+
+  /** Atomically commit a new store state. */
+  def commitState(dir: String, v: Int, folded: Seq[String], deadTombs: Seq[String]): Unit = {
+    def arr(s: Seq[String]) = s.map("\"" + _ + "\"").mkString("[", ",", "]")
+    Artifact.writeAtomic(
+      java.nio.file.Paths.get(dir, stateName),
+      s"""{"v":$v,"folded":${arr(folded.sorted)},"deadTombs":${arr(deadTombs.sorted)}}""")
+  }
+
+  /** The source leg of a store row, derived from its file path. */
+  def legOf: Column =
+    when(input_file_name().rlike("/delta_[^/]+/"),
+      regexp_extract(input_file_name(), "/delta_([^/]+)/", 1))
+      .otherwise(lit("base"))
+
+  def deleteDir(p: java.nio.file.Path): Unit = {
+    if (!java.nio.file.Files.exists(p)) return
+    val walk = java.nio.file.Files.walk(p)
+    try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+      .forEach(f => java.nio.file.Files.deleteIfExists(f))
+    finally walk.close()
+  }
+
+  /** Highest `<prefix><N>` version dir on disk (committed or debris) —
+    * the next version must skip past BOTH. */
+  def maxOnDiskVersion(dir: String, prefixes: Seq[String]): Int = {
+    val root = java.nio.file.Paths.get(dir)
+    if (!java.nio.file.Files.exists(root)) return 0
+    val s = java.nio.file.Files.list(root)
+    try {
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala.map(_.getFileName.toString)
+        .collect { case nm if prefixes.exists(p => nm.matches(
+            java.util.regex.Pattern.quote(p) + "\\d+")) =>
+          nm.replaceAll("^\\D+", "").toInt }
+        .foldLeft(0)(math.max)
+    } finally s.close()
+  }
+
+  /** A tombstone is consumed when every covered leg is the base, is
+    * folding now, or folded earlier (its dir is gone). */
+  def consumedTombs(tombs: Seq[Tomb], folding: Seq[String], liveNow: Set[String]): Seq[Tomb] =
+    tombs.filter(_.covered.forall(c =>
+      c == "base" || folding.contains(c) || !liveNow.contains(c)))
+}

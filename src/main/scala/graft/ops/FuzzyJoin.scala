@@ -128,6 +128,143 @@ object FuzzyJoin {
     }
   }
 
+  // ---- fuzzy-store takedown (the engine-wide mutable-store protocol,
+  // machinery shared via [[graft.io.MutableStore]]) ------------------------
+
+  import graft.io.MutableStore
+
+  /** Live delta tags of the fuzzy store. */
+  private def storeDeltaTags(dir: String): Seq[String] = {
+    val root = java.nio.file.Paths.get(dir)
+    if (!java.nio.file.Files.exists(root)) return Seq.empty
+    val folded = MutableStore.state(dir).folded
+    val s = java.nio.file.Files.list(root)
+    try {
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala
+        .filter(java.nio.file.Files.isDirectory(_))
+        .map(_.getFileName.toString)
+        .filter(_.startsWith("delta_"))
+        .map(_.stripPrefix("delta_"))
+        .filterNot(folded)
+        .toSeq.sorted
+    } finally s.close()
+  }
+
+  /** TAKEDOWN from the fuzzy signature store: a scrubbed entity's
+    * deletion-neighborhood postings are derived data too. Ids-only
+    * contract (postings are keyed by store_id); covered legs = base +
+    * live delta tags now, so an entity re-registered AFTER the
+    * takedown (a later delta) resolves again. Tag-keyed idempotent
+    * overwrite — one tiny write, never a posting scan. */
+  def deleteFromFuzzyStore(
+      spark: org.apache.spark.sql.SparkSession,
+      storeDir: String,
+      ids: DataFrame,
+      tag: String,
+      idCol: String = "store_id"): Unit = {
+    val covered = "base" +: storeDeltaTags(storeDir)
+    ids.select(col(idCol).cast("long").as("store_id")).distinct()
+      .write.mode("overwrite")
+      .parquet(s"${MutableStore.tombRoot(storeDir)}/$tag/ids")
+    MutableStore.writeTombStats(storeDir, tag, covered)
+  }
+
+  /** The fuzzy store, leg-masked: current base version plus live delta
+    * legs, minus tombstoned store_ids on the legs each tombstone
+    * covers (broadcast anti-join; the no-mutation fast path is the
+    * original single recursive scan). */
+  private def readFuzzyStore(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      excludeTags: Set[String]): DataFrame = {
+    val st = MutableStore.state(dir)
+    val raw =
+      if (st.v == 0)
+        spark.read.option("recursiveFileLookup", "true").parquet(dir)
+      else {
+        val base = spark.read.parquet(s"$dir/base_v${st.v}")
+        storeDeltaTags(dir).filterNot(excludeTags).foldLeft(base) { (acc, t) =>
+          acc.unionAll(spark.read.schema(base.schema).parquet(s"$dir/delta_$t"))
+        }
+      }
+    val cut = (excludeTags ++ st.folded).toSeq.sorted.map(t => s"/delta_$t/")
+    val filtered =
+      if (st.v == 0)
+        cut.foldLeft(raw.where(!input_file_name().rlike("/base_v\\d+/")))(
+          (acc, frag) => acc.where(!input_file_name().contains(frag)))
+      else raw
+    val tombs = MutableStore.liveTombs(dir)
+    if (tombs.isEmpty) filtered
+    else {
+      val ids = tombs.map { t =>
+        spark.read.parquet(s"${MutableStore.tombRoot(dir)}/${t.tag}/ids")
+          .withColumn("_leg", explode(lit(t.covered.toSeq.sorted.toArray)))
+      }.reduce(_ unionAll _)
+      val cols = filtered.columns
+      filtered.withColumn("_leg", MutableStore.legOf)
+        .join(broadcast(ids), Seq("_leg", "store_id"), "left_anti")
+        .select(cols.map(col).toIndexedSeq: _*)
+    }
+  }
+
+  /** Fold live deltas + consumed tombstones into a fresh versioned
+    * base (`base_v<N>`, built under an underscore temp, renamed in,
+    * never a reused path), committed with one atomic state replace —
+    * the engine-wide versioned-swap protocol. Single-writer. */
+  def compactFuzzyStore(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      excludeTags: Set[String] = Set.empty): Unit = {
+    val tags = storeDeltaTags(dir).filterNot(excludeTags)
+    val tombs = MutableStore.liveTombs(dir)
+    if (tags.isEmpty && tombs.isEmpty) return
+    val st = MutableStore.state(dir)
+    val consumed = MutableStore.consumedTombs(tombs, tags,
+      storeDeltaTags(dir).toSet)
+    val vNew = math.max(st.v,
+      MutableStore.maxOnDiskVersion(dir, Seq("base_v"))) + 1
+    val building = java.nio.file.Paths.get(s"$dir/_building_base_v$vNew")
+    MutableStore.deleteDir(building)
+    readFuzzyStore(spark, dir, excludeTags)
+      .write.mode("overwrite").parquet(building.toString)
+    java.nio.file.Files.move(building,
+      java.nio.file.Paths.get(s"$dir/base_v$vNew"))
+    // ---- COMMIT ----
+    def deltaOnDisk(t: String) =
+      java.nio.file.Files.exists(java.nio.file.Paths.get(dir, s"delta_$t"))
+    def tombOnDisk(t: String) =
+      java.nio.file.Files.exists(
+        java.nio.file.Paths.get(MutableStore.tombRoot(dir), t))
+    val folded = (st.folded.filter(deltaOnDisk) ++ tags).toSeq.sorted
+    val dead = (st.deadTombs.filter(tombOnDisk) ++ consumed.map(_.tag)).toSeq.sorted
+    MutableStore.commitState(dir, vNew, folded, dead)
+    // ---- GC ----
+    val gc = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+    try {
+      import scala.jdk.CollectionConverters._
+      gc.iterator().asScala
+        .filter { p =>
+          val nm = p.getFileName.toString
+          (nm.matches("base_v\\d+") && nm != s"base_v$vNew") ||
+            (st.v == 0 && !nm.startsWith("_") && !nm.startsWith(".") &&
+              !nm.startsWith("delta_") && !nm.startsWith("base_v"))
+        }
+        .toSeq.foreach(MutableStore.deleteDir)
+    } finally gc.close()
+    folded.foreach(t =>
+      MutableStore.deleteDir(java.nio.file.Paths.get(dir, s"delta_$t")))
+    dead.foreach(t => MutableStore.deleteDir(
+      java.nio.file.Paths.get(MutableStore.tombRoot(dir), t)))
+  }
+
+  /** Replay-reset: drop every delta and tombstone dir (base snapshot +
+    * seed sidecar untouched). */
+  def dropFuzzyStoreMutations(dir: String): Unit = {
+    storeDeltaTags(dir).foreach(t =>
+      MutableStore.deleteDir(java.nio.file.Paths.get(dir, s"delta_$t")))
+    MutableStore.deleteDir(java.nio.file.Paths.get(MutableStore.tombRoot(dir)))
+  }
+
   /** Resolve a crawl `batch` against the persisted fuzzy store AND
     * against its own earlier rows, then append the NOVEL rows'
     * postings for the next batch — the incremental-store contract
@@ -154,9 +291,9 @@ object FuzzyJoin {
       batchTag: Option[String] = None): DataFrame = {
     val b = batch.select(col(idCol).cast("long").as("_bid"), col(nameCol).as("_bn"))
     val bs = signatures(b, "_bn", maxDist, maxLen)
-    val store0 = spark.read.option("recursiveFileLookup", "true").parquet(storeDir)
-    val store = batchTag.fold(store0)(tag =>
-      store0.where(!input_file_name().contains(s"/delta_$tag/")))
+    // current base version plus live delta legs, minus covering
+    // tombstones; the retried batch's own delta leg is excluded
+    val store = readFuzzyStore(spark, storeDir, batchTag.toSet)
     val cand = store
       .join(broadcast(bs.select(col("sig"), col("_bid"), col("_bn"))), Seq("sig"))
       .select(col("_bid"), col("_bn"), col("store_id"), col("store_name"))

@@ -61,6 +61,50 @@ class HashStoreDeleteSpec extends AnyFunSuite {
       s"content re-added after the takedown must dedupe against the new owner: ${v2(300L)}")
   }
 
+  test("shingle store takedown: postings masked, re-crawl re-enters, compaction drops physically") {
+    val docs = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog tonight"),
+      (3L, "a completely different document about spark joins here"),
+      (6L, "the quick brown fox jumps over the lazy dog today")) // near-dup of 0
+      .toDF("doc_id", "text")
+    val dir = tmp("shdel")
+    Dedup.ensureShingleStore(spark, docs, dir)
+    def probe(batch: org.apache.spark.sql.DataFrame): Map[Long, (Long, Option[Long])] =
+      Dedup.nearDupsAgainstShingleStore(spark, dir, batch, maxJaccardDist = 0.5)
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(1), if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    val b = Seq((100L, "the quick brown fox jumps over the lazy dog tonight"))
+      .toDF("doc_id", "text")
+    assert(probe(b)(100L)._2 == Some(0L), "pre-delete: matches doc 0")
+    // take down doc 0: the probe must now match the NEXT nearest (6)
+    Dedup.deleteFromShingleStore(spark, dir, Seq(0L).toDF("doc_id"), tag = "t1")
+    assert(probe(b)(100L)._2 == Some(6L),
+      s"post-delete: must match the surviving near-dup 6, got ${probe(b)(100L)}")
+    // take down 6 too -> novel
+    Dedup.deleteFromShingleStore(spark, dir, Seq(6L).toDF("doc_id"), tag = "t2")
+    assert(probe(b)(100L) == (1L, None))
+    // re-crawl of the content AFTER the takedown re-enters the store
+    val rv = Dedup.incrementalNearDupBatch(spark, dir,
+      Seq((200L, "the quick brown fox jumps over the lazy dog tonight"))
+        .toDF("doc_id", "text"), batchTag = "re")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(rv(200L) == 1L)
+    assert(probe(b)(100L)._2 == Some(200L),
+      "content re-added after the takedown must near-dup against the new owner")
+    // compaction: physical drop + versioned parts + probe invariance
+    val want = probe(b)
+    Dedup.compactShingleStore(spark, dir)
+    assert(probe(b) == want)
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/sh_v1")))
+    assert(spark.read.parquet(s"$dir/sh_v1")
+      .filter(col("c_id").isin(0L, 6L)).count() == 0L,
+      "tombstoned postings must be physically dropped")
+    assert(spark.read.parquet(s"$dir/sh_v1")
+      .filter(col("c_id") === 200L).count() > 0L,
+      "re-added doc's postings must be folded in")
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/_tombstones/t1")))
+  }
+
   test("compaction: physical drop, versioned swap, probe invariance, crash windows") {
     val dir = tmp("hscomp")
     Dedup.ensureHashStore(spark, corpus, dir)
