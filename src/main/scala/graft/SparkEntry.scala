@@ -4553,6 +4553,34 @@ object SparkEntry {
         .orderBy(col("id"))
     }),
 
+    // TAKEDOWN on the perceptual SIGNATURE store (the media leg of the
+    // derived-data scrub, exercised over the embedding midrange
+    // signatures so the oracle shares the hammingSigCtes machinery):
+    // the store holds the %3 corpus signatures, the self signature
+    // (s_id 0) is tombstoned, and a re-ingest of vec 0's signature
+    // must match only the SURVIVING nearest (min (hamming, id) within
+    // ≤ 3) or report novel — the oracle replays the masked ranking.
+    "sigstore_delete" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val artDir =
+        s"${System.getProperty("java.io.tmpdir")}/graft_binsig_${dirKey(dir)}"
+      graft.index.Binary.ensureSignatureArtifact(e, artDir, EmbDim)
+      val thr = graft.index.Binary.thresholdsFromArtifact(s, artDir)
+      val sigs = graft.index.Binary.signatures(e, thr)
+      val store =
+        s"${System.getProperty("java.io.tmpdir")}/graft_sigdel_${dirKey(dir)}"
+      graft.dedup.Dedup.ensureSigStore(s,
+        sigs.filter(col("vec_id") % 3 === 0), store, idCol = "vec_id")
+      graft.dedup.Dedup.dropSigStoreMutations(store) // replay determinism
+      import s.implicits._
+      graft.dedup.Dedup.deleteFromSigStore(s, store,
+        Seq(0L).toDF("s_id"), tag = "del")
+      val batch = sigs.filter(col("vec_id") === 0)
+        .select((col("vec_id") + lit(9600000L)).as("vec_id"), col("sig"))
+      graft.dedup.Dedup.incrementalSigDedupBatch(s, store, batch,
+        batchTag = "re", maxHamming = 3, idCol = "vec_id")
+    }),
+
     "stream_ivf_append" -> ((s, dir) => {
       val corpus = emb(s, dir)
       val base = graft.index.Ivf.buildLayout(s, corpus,
@@ -6873,6 +6901,24 @@ object SparkEntry {
         | UNION ALL
         | SELECT doc_id + 8000000 AS doc_id, text FROM documents WHERE doc_id < 14)""".stripMargin,
       20),
+
+    // The masked signature ranking relationally: %3 store minus the
+    // tombstoned s_id 0, min (hamming, id) within <= 3 or novel.
+    "sigstore_delete" ->
+      s"""WITH $hammingSigCtes,
+         |st AS (SELECT vec_id AS s_id, sig FROM sigs
+         |       WHERE vec_id % 3 = 0 AND vec_id <> 0),
+         |m AS (SELECT st.s_id AS s_id,
+         |        CAST(bit_count(xor(st.sig, q.qsig)) AS INTEGER) AS hm
+         |      FROM st CROSS JOIN qs q
+         |      WHERE bit_count(xor(st.sig, q.qsig)) <= 3),
+         |best AS (SELECT s_id, hm FROM
+         |      (SELECT s_id, hm, row_number() OVER (ORDER BY hm, s_id) AS rn
+         |       FROM m) WHERE rn = 1)
+         |SELECT CAST(9600000 AS BIGINT) AS vec_id,
+         |       CAST(CASE WHEN (SELECT count(*) FROM best) = 0 THEN 1 ELSE 0 END AS BIGINT) AS is_novel,
+         |       CAST((SELECT s_id FROM best) AS BIGINT) AS near_dup_of,
+         |       (SELECT hm FROM best) AS hamming""".stripMargin,
 
     // Brute-force replay of the masked resolve: store legs = %3
     // registry minus the tombstoned 3; in-batch legs = earlier batch

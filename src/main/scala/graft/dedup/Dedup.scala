@@ -151,14 +151,24 @@ object Dedup {
     * batch's own (possibly partial) delta. */
   private def readHashStore(
       spark: org.apache.spark.sql.SparkSession, dir: String,
-      excludeTags: Set[String] = Set.empty): DataFrame = {
+      excludeTags: Set[String] = Set.empty): DataFrame =
+    readFlatStore(spark, dir, excludeTags, hashStoreDeltaTags(dir),
+      tombData = "pairs", maskKeys = Seq("h", "first_id"))
+
+  /** The shared FLAT-LAYOUT store read (seed files at the dir root —
+    * or the committed `base_v<N>` — plus `delta_*` legs), leg-masked:
+    * each tombstone's key rows anti-join only the legs it covers. */
+  private def readFlatStore(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      excludeTags: Set[String], liveDeltaTags: Seq[String],
+      tombData: String, maskKeys: Seq[String]): DataFrame = {
     val st = storeState(dir)
     val raw =
       if (st.v == 0)
         spark.read.option("recursiveFileLookup", "true").parquet(dir)
       else {
         val base = spark.read.parquet(s"$dir/base_v${st.v}")
-        hashStoreDeltaTags(dir).filterNot(excludeTags).foldLeft(base) { (acc, t) =>
+        liveDeltaTags.filterNot(excludeTags).foldLeft(base) { (acc, t) =>
           acc.unionAll(spark.read.schema(base.schema).parquet(s"$dir/delta_$t"))
         }
       }
@@ -176,13 +186,14 @@ object Dedup {
     val tombs = liveStoreTombs(dir)
     if (tombs.isEmpty) filtered
     else {
-      val pairs = tombs.map { t =>
-        spark.read.parquet(s"${storeTombRoot(dir)}/${t.tag}/pairs")
+      val keys = tombs.map { t =>
+        spark.read.parquet(s"${storeTombRoot(dir)}/${t.tag}/$tombData")
           .withColumn("_leg", explode(lit(t.covered.toSeq.sorted.toArray)))
       }.reduce(_ unionAll _)
+      val cols = filtered.columns
       filtered.withColumn("_leg", legOf)
-        .join(broadcast(pairs), Seq("_leg", "h", "first_id"), "left_anti")
-        .select(col("h"), col("first_id"))
+        .join(broadcast(keys), "_leg" +: maskKeys, "left_anti")
+        .select(cols.map(col).toIndexedSeq: _*)
     }
   }
 
@@ -197,39 +208,34 @@ object Dedup {
   def compactHashStore(
       spark: org.apache.spark.sql.SparkSession,
       dir: String,
-      excludeTags: Set[String] = Set.empty): Unit = {
+      excludeTags: Set[String] = Set.empty): Unit =
+    compactFlatStore(spark, dir, excludeTags,
+      ex => readHashStore(spark, dir, ex))
+
+  /** The shared FLAT-LAYOUT compaction: fold live deltas + consumed
+    * tombstones into a fresh `base_v<N>` (built under an underscore
+    * temp — invisible to recursive listings even half-written — then
+    * renamed in; the version number skips past any debris so a
+    * version path is NEVER reused and cached file listings cannot
+    * alias fresh data), COMMIT with one atomic state replace, GC last
+    * and best-effort. */
+  private def compactFlatStore(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      excludeTags: Set[String],
+      read: Set[String] => DataFrame): Unit = {
     val tags = hashStoreDeltaTags(dir).filterNot(excludeTags)
     val tombs = liveStoreTombs(dir)
     if (tags.isEmpty && tombs.isEmpty) return
     val st = storeState(dir)
-    val liveNow = hashStoreDeltaTags(dir).toSet
-    val consumed = tombs.filter(_.covered.forall(c =>
-      c == "base" || tags.contains(c) || !liveNow.contains(c)))
+    val consumed = graft.io.MutableStore.consumedTombs(
+      tombs, tags, hashStoreDeltaTags(dir).toSet)
     // survivors: the masked union minus any excluded delta legs (they
     // stay live delta dirs and keep their own tombstone coverage)
-    val survivors = readHashStore(spark, dir, excludeTags)
-    // the new version number skips past ANY base_v* debris a crashed
-    // attempt left: a version path is written exactly once, so a
-    // session's cached file listing of an old/debris path can never
-    // alias the fresh data (the stale-FileStatusCache trap)
-    val onDiskMax = {
-      val s = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
-      try {
-        import scala.jdk.CollectionConverters._
-        s.iterator().asScala.map(_.getFileName.toString)
-          .collect { case nm if nm.matches("base_v\\d+") =>
-            nm.stripPrefix("base_v").toInt }
-          .foldLeft(0)(math.max)
-      } finally s.close()
-    }
-    val vNew = math.max(st.v, onDiskMax) + 1
+    val survivors = read(excludeTags)
+    val vNew = math.max(st.v,
+      graft.io.MutableStore.maxOnDiskVersion(dir, Seq("base_v"))) + 1
     val newDir = s"$dir/base_v$vNew"
-    // build under an UNDERSCORE temp (invisible to the v=0 recursive
-    // scan — a crashed half-written attempt must not even be LISTED,
-    // because an unreadable partial parquet would break the read at
-    // footer time, before any row filter), then rename into place;
-    // the renamed-but-uncommitted window is covered by the base_v row
-    // filter in [[readHashStore]]
     val building = java.nio.file.Paths.get(s"$dir/_building_base_v$vNew")
     deleteStoreDir(building)
     survivors.write.mode("overwrite").parquet(building.toString)
@@ -856,6 +862,40 @@ object Dedup {
     }
   }
 
+  /** TAKEDOWN from the perceptual-signature store — the media leg of
+    * the derived-data scrub: a scrubbed asset's dHash/audio signature
+    * row is masked immediately and physically dropped at compaction.
+    * Ids-only contract; covered legs = base + live delta tags now, so
+    * a re-ingested asset (a later delta) matches again. */
+  def deleteFromSigStore(
+      spark: org.apache.spark.sql.SparkSession,
+      storeDir: String,
+      ids: DataFrame,
+      tag: String,
+      idCol: String = "s_id"): Unit = {
+    val covered = "base" +: hashStoreDeltaTags(storeDir)
+    ids.select(col(idCol).cast("long").as("s_id")).distinct()
+      .write.mode("overwrite").parquet(s"${storeTombRoot(storeDir)}/$tag/ids")
+    graft.io.MutableStore.writeTombStats(storeDir, tag, covered)
+  }
+
+  private def readSigStore(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      excludeTags: Set[String]): DataFrame =
+    readFlatStore(spark, dir, excludeTags, hashStoreDeltaTags(dir),
+      tombData = "ids", maskKeys = Seq("s_id"))
+
+  def compactSigStore(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      excludeTags: Set[String] = Set.empty): Unit =
+    compactFlatStore(spark, dir, excludeTags,
+      ex => readSigStore(spark, dir, ex))
+
+  /** Replay-reset for the signature store — deltas + tombstones go,
+    * base snapshot and seed sidecar stay. */
+  def dropSigStoreMutations(dir: String): Unit = dropHashStoreMutations(dir)
+
   /** One micro-batch step of STORE-backed incremental SIGNATURE dedup —
     * the [[incrementalDedupBatch]] shape for perceptual near-dups:
     * every batch signature gets a verdict against the persisted store
@@ -880,9 +920,9 @@ object Dedup {
       // bounded: batch-sized — reused by the probe AND the delta write
       // (and so the append cannot re-read the store it is writing)
       .localCheckpoint()
-    val store = spark.read.option("recursiveFileLookup", "true")
-      .parquet(storeDir)
-      .where(!input_file_name().contains(s"/delta_$batchTag/"))
+    // current base version plus live delta legs, minus covering
+    // tombstones; the retried batch's own delta leg is excluded
+    val store = readSigStore(spark, storeDir, Set(batchTag))
     val matches = sigNearDupsAgainst(
         batchSigs, store, maxHamming, "b_id", "s_id")
       .groupBy(col("b_id"))

@@ -105,6 +105,33 @@ class HashStoreDeleteSpec extends AnyFunSuite {
     assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/_tombstones/t1")))
   }
 
+  test("signature store takedown: mask, next-best, re-ingest revives, compaction drops") {
+    val sigs = Seq(
+      (0L, 0x0F0FL), (3L, 0x0F0EL), // hamming(0,3) = 1
+      (6L, 0x7777_0000_0000_0000L)) // far from both
+      .toDF("media_id", "sig")
+    val dir = tmp("sigdel")
+    Dedup.ensureSigStore(spark, sigs, dir)
+    def verdict(tag: String, id: Long = 100L): (Long, Option[Long]) =
+      Dedup.incrementalSigDedupBatch(spark, dir,
+          Seq((id, 0x0F0FL)).toDF("media_id", "sig"), batchTag = tag)
+        .collect().map(r => (r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)))).head
+    assert(verdict("p0") == (0L, Some(0L)))
+    Dedup.dropSigStoreMutations(dir)
+    Dedup.deleteFromSigStore(spark, dir, Seq(0L).toDF("s_id"), tag = "t1")
+    assert(verdict("p1") == (0L, Some(3L)), "falls through to the hamming-1 neighbor")
+    Dedup.deleteFromSigStore(spark, dir, Seq(3L).toDF("s_id"), tag = "t2")
+    assert(verdict("p2") == (1L, None)) // novel -> appended under delta_p2
+    assert(verdict("p3", 200L) == (0L, Some(100L)),
+      "a signature re-ingested after its takedown must match again")
+    Dedup.compactSigStore(spark, dir)
+    assert(verdict("p4", 300L) == (0L, Some(100L)))
+    val ids = spark.read.parquet(s"$dir/base_v1").select("s_id")
+      .as[Long].collect().toSet
+    assert(!ids.contains(0L) && !ids.contains(3L) && ids.contains(100L))
+  }
+
   test("compaction: physical drop, versioned swap, probe invariance, crash windows") {
     val dir = tmp("hscomp")
     Dedup.ensureHashStore(spark, corpus, dir)
