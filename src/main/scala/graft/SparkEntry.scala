@@ -2281,6 +2281,40 @@ object SparkEntry {
            |ORDER BY dist ASC, vec_id ASC LIMIT 10""".stripMargin)
     }),
 
+    // SQL route to the PQ code layout — the 32×-compression rung of
+    // the quantized SQL family (sql_sq8_topk is the 4× rung): ONE
+    // spark.sql statement whose registered pq_adc kernel builds the
+    // ADC table at plan time from the literal flattened codebook
+    // (through the SAME Pq.adcTableFlat float core as the API path —
+    // bit-identical by construction, spec-asserted) and scans the
+    // codes with the PqAdcExpr codegen kernel; exact rerank of the
+    // 1000-code shortlist equals exact top-10 (knn_pq_rerank's
+    // shortlist policy), so it shares the brute-force oracle.
+    "sql_pq_topk" -> ((s, dir) => {
+      org.apache.spark.sql.graft.GraftFunctions.register(s)
+      val corpus = emb(s, dir)
+      val (cb, enc) = pqIndex(dir, corpus)
+      val query = corpus.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).toArray
+      // exact float-widened doubles: the literal round-trips losslessly
+      def fArr(a: Array[Float]): String =
+        a.map(v => s"${v.toDouble}D").mkString("array(", ",", ")")
+      enc.createOrReplaceTempView("pq_codes_v")
+      corpus.createOrReplaceTempView("embeddings_pq_v")
+      s.sql(
+        s"""WITH short AS (
+           |  SELECT vec_id FROM pq_codes_v
+           |  ORDER BY pq_adc(codes, ${fArr(graft.index.Pq.flatCentroids(cb))},
+           |                  ${fArr(query)}, 8) ASC, vec_id ASC
+           |  LIMIT 1000)
+           |SELECT e.vec_id AS vec_id, l2sq(e.embedding, q.qe) AS dist
+           |FROM embeddings_pq_v e
+           |JOIN short USING (vec_id)
+           |CROSS JOIN (SELECT embedding AS qe FROM embeddings_pq_v
+           |            WHERE vec_id = 0) q
+           |ORDER BY dist ASC, vec_id ASC LIMIT 10""".stripMargin)
+    }),
+
     // Extension: batch k-NN similarity join (3 query vectors × corpus,
     // broadcast query side, per-query windowed top-k).
     "knn_join_top5" -> ((s, dir) => {
@@ -4375,6 +4409,100 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // CDC MUTATION STREAM on the BM25 posting store — ONE feed carrying
+    // both appends and takedowns (op ∈ {add, del}), the shape a crawl
+    // pipeline actually emits (upserts and GDPR deletes interleave;
+    // nobody runs two ordered streams). Four micro-batches: adds land,
+    // a mixed delete batch tombstones two base docs and one
+    // just-streamed doc, a later batch REVIVES one deleted doc, and the
+    // final batch trips the maxDeltaDirs=2 auto-compaction — which
+    // folds the deltas, physically drops the tombstoned rows, and
+    // CONSUMES the tombstone, leaving a sidecar attesting exactly the
+    // survivor corpus. The oracle is a from-scratch BM25 over the
+    // survivors, so a matching hash proves the delete/append/revive
+    // ordering, the stat decrements, and the fold all exact.
+    "stream_bm25_delete" -> ((s, dir) => {
+      val corpus = docs(s, dir).select(col("doc_id"), col("text"))
+      val scratch = freshScratchDir(dir, "streambm25mut")
+      val idxDir = s"$scratch/postings"
+      val table = s"graft_postmut_${dirKey(dir)}"
+      s.sql(s"DROP TABLE IF EXISTS $table") // stale catalog entry from a prior replay
+      graft.text.InvertedIndex.ensure(s, corpus, table, idxDir, buckets = 8)
+      def op(o: String)(df: DataFrame): DataFrame =
+        df.select(lit(o).as("op"), col("doc_id"), col("text"))
+      val planted = corpus.filter(col("doc_id") < 8)
+        .select((col("doc_id") + lit(8500000L)).as("doc_id"), col("text"))
+      val b0 = op("add")(planted.filter(col("doc_id") < 8500006L))
+      val b1 = op("del")(corpus.filter(col("doc_id").isin(2L, 9L)))
+        .unionAll(op("del")(planted.filter(col("doc_id") === 8500001L)))
+      val b2 = op("add")(corpus.filter(col("doc_id") === 9L)) // revival
+      val b3 = op("add")(planted.filter(col("doc_id") >= 8500006L))
+      val inDir = s"$scratch/in"
+      b0.coalesce(1).write.mode("overwrite").parquet(inDir)
+      b1.coalesce(1).write.mode("append").parquet(inDir)
+      b2.coalesce(1).write.mode("append").parquet(inDir)
+      b3.coalesce(1).write.mode("append").parquet(inDir)
+      val stream = s.readStream.schema(b0.schema)
+        .option("maxFilesPerTrigger", 1).parquet(inDir)
+      val q = graft.streaming.StreamingIngest.streamingPostingsMutations(
+        stream, table, idxDir, s"$scratch/chk", buckets = 8, maxDeltaDirs = 2)
+      q.awaitTermination()
+      graft.text.InvertedIndex.bm25SearchDeltaAware(s, table, idxDir,
+        terms = Seq("spark", "join", "merge", "window"))
+    }),
+
+    // CDC mutation stream on the SQ8 code store — the vector-side twin:
+    // the query's three nearest non-self neighbors arrive as a delete
+    // batch (with one just-streamed planted copy), the nearest is
+    // revived by a later batch, and the final batch trips compaction
+    // (physical drop + tombstone consumption under the untouched
+    // quantizer). Masked delta-aware ADC + exact rerank must equal
+    // exact top-10 over the survivor corpus — which the oracle
+    // rebuilds from scratch.
+    "stream_sq8_delete" -> ((s, dir) => {
+      val corpus = emb(s, dir)
+      val baseDir =
+        s"${System.getProperty("java.io.tmpdir")}/graft_sq8_${dirKey(dir)}"
+      graft.index.Sq.ensureCodesArtifact(corpus, baseDir)
+      val scratch = freshScratchDir(dir, "streamsq8mut")
+      val codesDir = s"$scratch/sq8"
+      copyDir(baseDir, codesDir)
+      val query = corpus.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).toArray
+      // bounded: the exact top-4 comes back, self drops out -> 3 ids
+      val delIds = VectorSearch.knnExact(corpus, query.toSeq, 4)
+        .select(col("vec_id")).collect().map(_.getLong(0))
+        .filter(_ != 0L).toIndexedSeq
+      val planted = corpus.filter(col("vec_id") === 0)
+        .crossJoin(s.range(6))
+        .select((col("id") + lit(4800000L)).as("vec_id"), col("embedding"))
+      def op(o: String)(df: DataFrame): DataFrame =
+        df.select(lit(o).as("op"), col("vec_id"), col("embedding"))
+      val base2 = corpus.select(col("vec_id"), col("embedding"))
+      val b0 = op("add")(planted.filter(col("vec_id") < 4800004L))
+      val b1 = op("del")(base2.filter(col("vec_id").isin(delIds: _*)))
+        .unionAll(op("del")(planted.filter(col("vec_id") === 4800001L)))
+      val b2 = op("add")(base2.filter(col("vec_id") === delIds.head)) // revival
+      val b3 = op("add")(planted.filter(col("vec_id") >= 4800004L))
+      val inDir = s"$scratch/in"
+      b0.coalesce(1).write.mode("overwrite").parquet(inDir)
+      b1.coalesce(1).write.mode("append").parquet(inDir)
+      b2.coalesce(1).write.mode("append").parquet(inDir)
+      b3.coalesce(1).write.mode("append").parquet(inDir)
+      val stream = s.readStream.schema(b0.schema)
+        .option("maxFilesPerTrigger", 1).parquet(inDir)
+      val q = graft.streaming.StreamingIngest.streamingSq8Mutations(
+        stream, codesDir, s"$scratch/chk", maxDeltaDirs = 2)
+      q.awaitTermination()
+      val model = graft.index.Sq.modelFromArtifact(s, codesDir)
+      val live = base2
+        .filter(!col("vec_id").isin(delIds.tail: _*))
+        .unionAll(planted.filter(col("vec_id") =!= 4800001L))
+      graft.index.Sq.searchRerank(
+        graft.index.Sq.codesWithDeltas(s, codesDir), live, model, query,
+        k = 10, shortlist = 1000)
+    }),
+
     // TAKEDOWN (GDPR / opt-out / contaminated-source) leg for the BM25
     // posting store — the reference treats delete as first-class (O5,
     // /root/reference/src/vectordb.cpp:74-80); this extends it to the
@@ -6298,6 +6426,32 @@ object SparkEntry {
          |FROM c CROSS JOIN q
          |ORDER BY dist ASC, vec_id ASC LIMIT 10""".stripMargin,
 
+    // Exact top-10 over the CDC survivors: the top-3 non-self
+    // neighbors were deleted, the NEAREST of them revived by a later
+    // add batch (so only the other two stay deleted), and planted copy
+    // 4800001 was deleted after streaming in.
+    "stream_sq8_delete" ->
+      s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         |dists AS MATERIALIZED (
+         |  SELECT e.vec_id AS vec_id, ${l2SqSql("e.embedding", "q.qe")} AS dist
+         |  FROM embeddings e CROSS JOIN q),
+         |del AS MATERIALIZED (
+         |  SELECT vec_id, dist FROM dists WHERE vec_id <> 0
+         |  ORDER BY dist ASC, vec_id ASC LIMIT 3),
+         |revived AS (SELECT vec_id FROM del
+         |            ORDER BY dist ASC, vec_id ASC LIMIT 1),
+         |net AS (SELECT vec_id FROM del
+         |        WHERE vec_id NOT IN (SELECT vec_id FROM revived)),
+         |c AS (SELECT e.vec_id, e.embedding FROM embeddings e
+         |      WHERE e.vec_id NOT IN (SELECT vec_id FROM net)
+         |      UNION ALL
+         |      SELECT 4800000 + r.i AS vec_id, e.embedding
+         |      FROM embeddings e CROSS JOIN range(6) r(i)
+         |      WHERE e.vec_id = 0 AND r.i <> 1)
+         |SELECT c.vec_id AS vec_id, ${l2SqSql("c.embedding", "q.qe")} AS dist
+         |FROM c CROSS JOIN q
+         |ORDER BY dist ASC, vec_id ASC LIMIT 10""".stripMargin,
+
     // The one-statement SQL path over the persisted signatures must
     // reproduce the identical ranking and distances.
     "sql_hamming_top10" ->
@@ -6900,6 +7054,17 @@ object SparkEntry {
       """(SELECT doc_id, text FROM documents
         | UNION ALL
         | SELECT doc_id + 8000000 AS doc_id, text FROM documents WHERE doc_id < 14)""".stripMargin,
+      20),
+
+    // From-scratch BM25 over the CDC survivors: doc 2 stays deleted,
+    // doc 9 was deleted then revived by a later add batch, planted
+    // copy 8500001 was deleted after streaming in; everything else
+    // (base ∪ planted) is live with exact merged stats.
+    "stream_bm25_delete" -> bm25SqlOver(
+      """(SELECT doc_id, text FROM documents WHERE doc_id <> 2
+        | UNION ALL
+        | SELECT doc_id + 8500000 AS doc_id, text FROM documents
+        | WHERE doc_id < 8 AND doc_id <> 1)""".stripMargin,
       20),
 
     // The masked signature ranking relationally: %3 store minus the
@@ -7869,6 +8034,14 @@ object SparkEntry {
     // exercised, the contract never depends on it; SQ8's 1000-code
     // shortlist covers with wide margin)
     "knn_ivfsq_rerank" ->
+      s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+         |SELECT e.vec_id AS vec_id, ${l2SqSql("e.embedding", "q.qe")} AS dist
+         |FROM embeddings e CROSS JOIN q
+         |ORDER BY dist ASC, vec_id ASC LIMIT 10""".stripMargin,
+
+    // The one-statement PQ route converges to the same exact top-10
+    // (identical shortlist policy as knn_pq_rerank)
+    "sql_pq_topk" ->
       s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
          |SELECT e.vec_id AS vec_id, ${l2SqSql("e.embedding", "q.qe")} AS dist
          |FROM embeddings e CROSS JOIN q

@@ -140,17 +140,49 @@ object Pq {
     * the query's s-th subvector and centroid c of subspace s. */
   def adcTable(cb: Codebooks, query: Array[Float]): Array[Double] = {
     require(query.length == cb.dim, s"query dim ${query.length} != ${cb.dim}")
+    adcTableFlat(flatCentroids(cb), cb.m, cb.k, query)
+  }
+
+  /** The codebooks flattened subspace-major — centroid j of code c of
+    * subspace s at `flat((s*k + c)*dsub + j)` — the literal-array form
+    * the SQL route ships into a `pq_adc(...)` statement. */
+  def flatCentroids(cb: Codebooks): Array[Float] = {
     val dsub = cb.dim / cb.m
-    val table = new Array[Double](cb.m * cb.k)
+    val flat = new Array[Float](cb.m * cb.k * dsub)
     var s = 0
     while (s < cb.m) {
       var c = 0
       while (c < cb.centroids(s).length) {
+        System.arraycopy(cb.centroids(s)(c), 0, flat, (s * cb.k + c) * dsub, dsub)
+        c += 1
+      }
+      s += 1
+    }
+    flat
+  }
+
+  /** The ADC table from a FLATTENED codebook — the ONE float arithmetic
+    * core shared by the API path ([[adcTable]]) and the SQL route's
+    * plan-time builder (`pq_adc`, GraftFunctions), so both paths are
+    * bit-identical by construction: float subtract, float square,
+    * float64 accumulate, exactly the per-centroid order of the original
+    * loop. */
+  def adcTableFlat(flat: Array[Float], m: Int, k: Int, query: Array[Float]): Array[Double] = {
+    val dsub = query.length / m
+    require(dsub * m == query.length,
+      s"pq_adc: query dim ${query.length} is not a multiple of m=$m")
+    require(flat.length == m * k * dsub,
+      s"pq_adc: flat codebook length ${flat.length} != m*k*dsub = ${m * k * dsub}")
+    val table = new Array[Double](m * k)
+    var s = 0
+    while (s < m) {
+      var c = 0
+      while (c < k) {
         var sum = 0.0
         var j = 0
-        val cen = cb.centroids(s)(c)
-        while (j < dsub) { val d = cen(j) - query(s * dsub + j); sum += d * d; j += 1 }
-        table(s * cb.k + c) = sum
+        val off = (s * k + c) * dsub
+        while (j < dsub) { val d = flat(off + j) - query(s * dsub + j); sum += d * d; j += 1 }
+        table(s * k + c) = sum
         c += 1
       }
       s += 1

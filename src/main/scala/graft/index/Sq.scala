@@ -384,17 +384,25 @@ object Sq {
     * the legs it COVERS (base + live delta tags now), so a vector
     * re-appended later under a new tag is served again. Probes
     * anti-join each leg with only its covering tombstones; compaction
-    * physically drops the rows and subtracts the terms. */
+    * physically drops the rows and subtracts the terms.
+    *
+    * `excludeCovered`: delta tags the tombstone must NOT cover — a
+    * CDC mutation batch passes its OWN tag so (a) a same-batch
+    * delete+re-add leaves the re-add live (adds win within a batch)
+    * and (b) an at-least-once redelivery, where the crashed attempt's
+    * append delta for this tag already sits on disk, cannot record it
+    * as covered and mask the batch's own appends. */
   def deleteVectors(
       spark: org.apache.spark.sql.SparkSession,
       dir: String,
       batch: DataFrame,
       tag: String,
       idCol: String = "vec_id",
-      embCol: String = "embedding"): Unit = {
+      embCol: String = "embedding",
+      excludeCovered: Set[String] = Set.empty): Unit = {
     val (nRows, dataHash, hashSum) = graft.io.Artifact.hashAgg(
       batch, xxhash64(col(idCol), col(embCol).cast("array<double>")))
-    val covered = ("base" +: deltaTags(dir))
+    val covered = ("base" +: deltaTags(dir).filterNot(excludeCovered))
       .map(t => "\"" + t + "\"").mkString("[", ",", "]")
     batch.select(col(idCol).cast("long").as(idCol)).distinct()
       .write.mode("overwrite").parquet(s"$dir/tomb_$tag/ids")

@@ -551,6 +551,87 @@ object StreamingIngest {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** CDC MUTATION stream for the BM25 posting store — one feed
+    * carrying both appends and takedowns: each micro-batch of
+    * (op, doc_id, text) rows, op ∈ {"add", "del"}, applies its
+    * deletes as ONE tag-keyed tombstone and its adds as ONE tag-keyed
+    * delta, sharing the batch tag. Deletes cover only the legs live
+    * BEFORE this batch (`excludeCovered` = the batch's own tag), so
+    * within a batch ADDS WIN — a same-batch delete+re-add of a doc
+    * leaves it live — and an at-least-once redelivery, where the
+    * crashed attempt's delta already sits on disk under this tag,
+    * cannot mask its own appends. Delete rows must be the docs' FULL
+    * live rows (delete is the inverse of append — the text re-derives
+    * the fingerprint terms and stat decrements).
+    *
+    * Redelivery × compaction: if the crashed attempt's tombstone was
+    * already CONSUMED by the compaction below (its covered legs all
+    * folded — rows physically dropped, terms subtracted), the rerun's
+    * rewrite lands in `deadTombs` and stays invisible; the committed
+    * state is already the post-delete corpus, and the next
+    * compaction garbage-collects the rewritten dir. */
+  def streamingPostingsMutations(
+      stream: DataFrame,
+      table: String,
+      dir: String,
+      checkpoint: String,
+      buckets: Int,
+      maxDeltaDirs: Int = 16,
+      compactBytesRatio: Double = 1.0): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val tag = s"${pipelineTag(checkpoint)}_b$batchId"
+        if (shouldCompact(graft.text.InvertedIndex.deltaTags(dir).size, maxDeltaDirs,
+            graft.text.InvertedIndex.deltaBytes(dir),
+            graft.text.InvertedIndex.baseBytes(dir), compactBytesRatio))
+          graft.text.InvertedIndex.compactDeltas(batch.sparkSession, table, dir,
+            buckets, excludeTags = Set(tag))
+        val dels = batch.filter(col("op") === "del").select("doc_id", "text")
+        val adds = batch.filter(col("op") === "add").select("doc_id", "text")
+        if (!dels.isEmpty)
+          graft.text.InvertedIndex.deleteDocs(batch.sparkSession, dir, dels, tag,
+            excludeCovered = Set(tag))
+        if (!adds.isEmpty)
+          graft.text.InvertedIndex.appendDelta(batch.sparkSession, dir, adds, tag)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** CDC MUTATION stream for the SQ8 code store — the vector-side twin
+    * of [[streamingPostingsMutations]]: (op, vec_id, embedding) rows,
+    * deletes tombstone the legs live before the batch (adds win within
+    * a batch; redelivery cannot mask its own appends), adds encode
+    * under the PERSISTED quantizer (trained-index contract) as a
+    * tag-keyed delta. Same redelivery × compaction reasoning. */
+  def streamingSq8Mutations(
+      stream: DataFrame,
+      dir: String,
+      checkpoint: String,
+      maxDeltaDirs: Int = 16,
+      compactBytesRatio: Double = 1.0): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val tag = s"${pipelineTag(checkpoint)}_b$batchId"
+        if (shouldCompact(graft.index.Sq.deltaDirCount(dir), maxDeltaDirs,
+            graft.index.Sq.deltaBytes(dir),
+            graft.index.Sq.baseBytes(dir), compactBytesRatio))
+          graft.index.Sq.compactDeltas(batch.sparkSession, dir,
+            excludeTags = Set(tag))
+        val dels = batch.filter(col("op") === "del").select("vec_id", "embedding")
+        val adds = batch.filter(col("op") === "add").select("vec_id", "embedding")
+        if (!dels.isEmpty)
+          graft.index.Sq.deleteVectors(batch.sparkSession, dir, dels, tag,
+            excludeCovered = Set(tag))
+        if (!adds.isEmpty)
+          graft.index.Sq.appendDelta(batch.sparkSession, dir, adds, tag)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   def streamingIvfAppend(
       stream: DataFrame,
       layoutDir: String,

@@ -373,21 +373,29 @@ object InvertedIndex {
     * The tombstone records the legs it covers (base + the delta tags
     * live right now); a delta appended LATER is not covered, so
     * re-adding a deleted doc revives it. Cost: one batch-sized
-    * tokenize + two tiny writes — never an index scan. */
+    * tokenize + two tiny writes — never an index scan.
+    *
+    * `excludeCovered`: delta tags the tombstone must NOT cover — a
+    * CDC mutation batch passes its OWN tag so (a) a same-batch
+    * delete+re-add leaves the re-add live (adds win within a batch)
+    * and (b) an at-least-once redelivery, where the crashed attempt's
+    * append delta for this tag already sits on disk, cannot record it
+    * as covered and mask the batch's own appends. */
   def deleteDocs(
       spark: SparkSession,
       dir: String,
       batch: DataFrame,
       tag: String,
       idCol: String = "doc_id",
-      textCol: String = "text"): Unit = {
+      textCol: String = "text",
+      excludeCovered: Set[String] = Set.empty): Unit = {
     val (nRows, dataHash, hashSum) = fingerprint(batch, idCol, textCol)
     val d = batch.select(col(idCol).cast("long").as("doc_id"),
       size(TextAnalysis.tokens(col(textCol))).cast("long").as("dl"))
     val stats = d.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl")).head()
     val nDocs = stats.getLong(0)
     val sumDl = if (stats.isNullAt(1)) 0L else stats.getLong(1)
-    val covered = ("base" +: deltaTags(dir))
+    val covered = ("base" +: deltaTags(dir).filterNot(excludeCovered))
       .map(t => "\"" + t + "\"").mkString("[", ",", "]")
     val out = s"${tombRoot(dir)}/$tag"
     d.select(col("doc_id")).distinct()

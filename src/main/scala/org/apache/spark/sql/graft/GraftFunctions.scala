@@ -88,7 +88,29 @@ object GraftFunctions {
           doubleArrayArg(q, "sq8_adc"))
         PqAdcExpr(codes, table.toIndexedSeq, 256) },
       "sq8_adc(codes, loArr, hiArr, qArr) - SQ8 asymmetric L2 distance of a byte-codes " +
-        "column to literal query qArr under literal per-dimension bounds [loArr, hiArr]"))
+        "column to literal query qArr under literal per-dimension bounds [loArr, hiArr]"),
+    // The SQL route to the persisted PQ code layout: cbFlat is the
+    // codebook flattened subspace-major (Pq.flatCentroids), q the
+    // query — both literal arrays of EXACT float-widened doubles (a
+    // float's double widening round-trips losslessly through the SQL
+    // literal, so narrowing back with .toFloat reproduces the training
+    // floats bit-for-bit). The ADC table is built ONCE at plan time
+    // through the same Pq.adcTableFlat float core as the API path,
+    // then scans as the PqAdcExpr codegen kernel.
+    ("pq_adc",
+      { case Seq(codes, cbFlat, q, m) =>
+        val mi = intArg(m, "pq_adc")
+        val qArr = doubleArrayArg(q, "pq_adc").map(_.toFloat)
+        val flat = doubleArrayArg(cbFlat, "pq_adc").map(_.toFloat)
+        require(mi >= 1, s"pq_adc: m must be >= 1, got $mi")
+        val dsub = qArr.length / mi
+        require(dsub >= 1 && dsub * mi == qArr.length,
+          s"pq_adc: query dim ${qArr.length} is not a multiple of m=$mi")
+        val k = flat.length / (mi * dsub)
+        val table = graft.index.Pq.adcTableFlat(flat, mi, k, qArr)
+        PqAdcExpr(codes, table.toIndexedSeq, k) },
+      "pq_adc(codes, cbFlatArr, qArr, m) - PQ asymmetric L2 distance of an m-byte codes " +
+        "column to literal query qArr under the literal flattened codebook cbFlatArr"))
 
   private def info(name: String, usage: String): ExpressionInfo =
     new ExpressionInfo("graft", null, name, usage,

@@ -74,6 +74,49 @@ class SqlAnnSpec extends AnyFunSuite {
     assert(full.as[(Long, Double)].collect().toSeq == exact)
   }
 
+  test("pq_adc SQL kernel is bit-identical to the API ADC scan and reranks to exact top-k") {
+    org.apache.spark.sql.graft.GraftFunctions.register(spark)
+    import graft.index.Pq
+    val cb = Pq.fit(corpus, m = 4, k = 16, maxSample = 256)
+    val enc = Pq.encode(corpus, cb)
+    val q = corpus.filter(col("vec_id") === 3L)
+      .select(col("embedding")).head().getSeq[Float](0).toArray
+    enc.createOrReplaceTempView("pq_spec_codes_v")
+    corpus.createOrReplaceTempView("pq_spec_emb_v")
+    // exact float-widened doubles round-trip losslessly through literals
+    def fArr(a: Array[Float]): String =
+      a.map(v => s"${v.toDouble}D").mkString("array(", ",", ")")
+    val flat = fArr(Pq.flatCentroids(cb))
+    val qd = fArr(q)
+
+    val sqlAdc = spark.sql(
+      s"""SELECT vec_id, pq_adc(codes, $flat, $qd, 4) AS dist
+         |FROM pq_spec_codes_v ORDER BY dist ASC, vec_id ASC LIMIT 25""".stripMargin)
+    val plan = sqlAdc.queryExecution.executedPlan.toString
+    assert(plan.contains("pq_adc"), s"expected the pq_adc codegen kernel in:\n$plan")
+    assert(!plan.contains("ScalaUDF"), "SQL PQ route must not fall back to a UDF")
+    val apiAdc = Pq.search(enc, cb, q, 25)
+    assert(sqlAdc.as[(Long, Double)].collect().toSeq ==
+      apiAdc.as[(Long, Double)].collect().toSeq,
+      "SQL pq_adc distances must be bit-identical to the API ADC scan")
+
+    // one-statement shortlist + exact rerank equals exact top-k (the
+    // shortlist covers the tiny corpus entirely, so equality is exact
+    // regardless of ADC recall)
+    val full = spark.sql(
+      s"""WITH short AS (
+         |  SELECT vec_id FROM pq_spec_codes_v
+         |  ORDER BY pq_adc(codes, $flat, $qd, 4) ASC, vec_id ASC LIMIT 300)
+         |SELECT e.vec_id AS vec_id, l2sq(e.embedding, q.qe) AS dist
+         |FROM pq_spec_emb_v e
+         |JOIN short USING (vec_id)
+         |CROSS JOIN (SELECT embedding AS qe FROM pq_spec_emb_v WHERE vec_id = 3) q
+         |ORDER BY dist ASC, vec_id ASC LIMIT 10""".stripMargin)
+    val exact = VectorSearch.knnExact(corpus, q.toSeq, 10)
+      .select("vec_id", "dist").as[(Long, Double)].collect().toSeq
+    assert(full.as[(Long, Double)].collect().toSeq == exact)
+  }
+
   test("sq8_adc rejects non-foldable and mis-typed arguments loudly") {
     org.apache.spark.sql.graft.GraftFunctions.register(spark)
     corpus.createOrReplaceTempView("sq8_spec_emb_v")

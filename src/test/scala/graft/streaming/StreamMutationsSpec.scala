@@ -1,0 +1,203 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+import graft.text.InvertedIndex
+import graft.index.Sq
+import graft.ops.VectorSearch
+
+/** CDC MUTATION streams — one feed carrying both appends and takedowns
+  * (op ∈ {add, del}) applied per micro-batch to the incremental
+  * stores: lifecycle correctness (delete, revive, same-batch upsert,
+  * compaction-time physical drop + tombstone consumption), the
+  * adds-win-within-a-batch rule, and redelivery idempotence of the
+  * paired tombstone+delta tag writes. */
+class StreamMutationsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val corpusRows: Seq[(Long, String)] = Seq(
+    (0L, "spark joins merge windows for streams"),
+    (1L, "the merge of spark windows and joins"),
+    (2L, "postings merge under spark"),
+    (3L, "windows stream past the join"),
+    (4L, "a quiet document about nothing relevant"),
+    (5L, "merge merge merge says the spark join"),
+    (6L, "hash join under a window of spark"),
+    (7L, "the last spark document mentions merge"))
+
+  private def corpus = corpusRows.toDF("doc_id", "text")
+
+  private var n = 0
+  private def scratch(name: String): String = {
+    n += 1
+    val d = java.nio.file.Files.createTempDirectory(s"$name$n")
+    d.toFile.deleteOnExit()
+    d.toString
+  }
+
+  private def probe(table: String, dir: String): Seq[(Long, Long)] =
+    InvertedIndex.bm25SearchDeltaAware(spark, table, dir,
+        terms = Seq("spark", "merge", "join"))
+      .orderBy(col("doc_id"))
+      .select(col("doc_id"), col("bm25_micro"))
+      .as[(Long, Long)].collect().toSeq
+
+  private def freshOver(df: DataFrame): Seq[(Long, Long)] = {
+    val root = scratch("iimutfresh")
+    val t2 = s"iimutfresh_tbl_${n}_${System.nanoTime()}"
+    val stats = InvertedIndex.ensure(spark, df, t2, s"$root/postings", buckets = 4)
+    InvertedIndex.bm25Search(spark, t2, stats, Seq("spark", "merge", "join"))
+      .orderBy(col("doc_id"))
+      .select(col("doc_id"), col("bm25_micro"))
+      .as[(Long, Long)].collect().toSeq
+  }
+
+  /** Write each batch as ONE file so maxFilesPerTrigger=1 replays the
+    * exact micro-batch sequence. */
+  private def writeBatches(inDir: String, batches: Seq[DataFrame]): Unit =
+    batches.zipWithIndex.foreach { case (b, i) =>
+      b.coalesce(1).write.mode(if (i == 0) "overwrite" else "append").parquet(inDir)
+    }
+
+  private def opDf(o: String)(df: DataFrame): DataFrame =
+    df.select((lit(o).as("op") +: df.columns.map(col).toIndexedSeq): _*)
+
+  test("BM25 CDC lifecycle: delete, revive, compaction-time physical drop + consumption") {
+    val root = scratch("iimut")
+    val table = s"iimut_tbl_${n}_${System.nanoTime()}"
+    val dir = s"$root/postings"
+    InvertedIndex.ensure(spark, corpus, table, dir, buckets = 4)
+    val p = Seq(
+      (100L, "streamed spark document about a merge"),
+      (101L, "another streamed join under spark"),
+      (102L, "final streamed merge window")).toDF("doc_id", "text")
+    val batches = Seq(
+      opDf("add")(p.filter(col("doc_id") < 102L)),               // b0
+      opDf("del")(corpus.filter(col("doc_id").isin(4L, 5L)))     // b1: two base +
+        .unionAll(opDf("del")(p.filter(col("doc_id") === 100L))), //     one delta doc
+      opDf("add")(corpus.filter(col("doc_id") === 5L)),          // b2: revival
+      opDf("add")(p.filter(col("doc_id") === 102L)))             // b3: trips compaction
+    val inDir = s"$root/in"
+    writeBatches(inDir, batches)
+    val stream = spark.readStream.schema(batches.head.schema)
+      .option("maxFilesPerTrigger", 1).parquet(inDir)
+    val q = StreamingIngest.streamingPostingsMutations(
+      stream, table, dir, s"$root/chk", buckets = 4, maxDeltaDirs = 2)
+    q.awaitTermination()
+
+    // survivors: base − {4} (5 revived), planted − {100}
+    val survivors = corpus.filter(col("doc_id") =!= 4L)
+      .unionAll(p.filter(col("doc_id") =!= 100L))
+    assert(probe(table, dir) == freshOver(survivors),
+      "CDC probe must equal a fresh build over the survivors")
+    // b3's processing compacted b0+b2 and CONSUMED the tombstone:
+    // deleted rows physically gone from the folded base
+    assert(spark.table(table).filter(col("doc_id").isin(4L, 100L)).count() == 0L,
+      "compaction during the mutation stream must physically drop tombstoned rows")
+    assert(InvertedIndex.deltaTags(dir) == Seq(InvertedIndex.deltaTags(dir).head)
+      && InvertedIndex.deltaTags(dir).head.endsWith("_b3"),
+      "only the final batch's delta should remain live")
+    assert(q.recentProgress.forall(_.stateOperators.isEmpty),
+      "foreachBatch mutations must carry no state-store state")
+  }
+
+  test("same-batch del+add of one doc_id is an UPSERT: the add wins") {
+    val root = scratch("iiup")
+    val table = s"iiup_tbl_${n}_${System.nanoTime()}"
+    val dir = s"$root/postings"
+    InvertedIndex.ensure(spark, corpus, table, dir, buckets = 4)
+    val updated = Seq((2L, "rewritten spark join text entirely new"))
+      .toDF("doc_id", "text")
+    val batch = opDf("del")(corpus.filter(col("doc_id") === 2L))
+      .unionAll(opDf("add")(updated))
+    val inDir = s"$root/in"
+    writeBatches(inDir, Seq(batch))
+    val q = StreamingIngest.streamingPostingsMutations(
+      spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1).parquet(inDir),
+      table, dir, s"$root/chk", buckets = 4)
+    q.awaitTermination()
+    val want = freshOver(corpus.filter(col("doc_id") =!= 2L).unionAll(updated))
+    assert(probe(table, dir) == want,
+      "a same-batch delete+add must leave the NEW text live (adds win)")
+  }
+
+  test("redelivery: re-applying a mutation batch under its tag is idempotent") {
+    val root = scratch("iire")
+    val table = s"iire_tbl_${n}_${System.nanoTime()}"
+    val dir = s"$root/postings"
+    InvertedIndex.ensure(spark, corpus, table, dir, buckets = 4)
+    val adds = Seq((200L, "redelivered spark merge doc")).toDF("doc_id", "text")
+    val dels = corpus.filter(col("doc_id") === 3L)
+    def applyBatch(): Unit = {
+      // the foreachBatch body's exact mutation pair, same tag both runs
+      InvertedIndex.deleteDocs(spark, dir, dels, tag = "t_b0",
+        excludeCovered = Set("t_b0"))
+      InvertedIndex.appendDelta(spark, dir, adds, tag = "t_b0")
+    }
+    applyBatch()
+    val want = probe(table, dir)
+    assert(want == freshOver(corpus.filter(col("doc_id") =!= 3L).unionAll(adds)))
+    applyBatch() // at-least-once redelivery
+    assert(probe(table, dir) == want,
+      "a redelivered batch must rewrite its tombstone+delta, never double-apply")
+    // the tombstone must NOT cover the batch's own delta even though
+    // that delta existed on disk when the rerun's deleteDocs executed
+    assert(probe(table, dir).exists(_._1 == 200L),
+      "redelivery must not mask the batch's own appends")
+  }
+
+  private val dim = 8
+  private lazy val vecCorpus = {
+    val rng = new scala.util.Random(91)
+    (0L until 200L).map(i => (i, Array.fill(dim)(rng.nextFloat() * 4f - 2f)))
+      .toDF("vec_id", "embedding").localCheckpoint()
+  }
+
+  test("SQ8 CDC lifecycle: delete, revive, compaction under the untouched quantizer") {
+    val root = scratch("sqmut")
+    val dir = s"$root/sq8"
+    Sq.ensureCodesArtifact(vecCorpus, dir)
+    val query = vecCorpus.filter(col("vec_id") === 3L)
+      .select(col("embedding")).head().getSeq[Float](0).toArray
+    val delIds = VectorSearch.knnExact(vecCorpus, query.toSeq, 4)
+      .select("vec_id").as[Long].collect().filter(_ != 3L).take(3).toIndexedSeq
+    val planted = vecCorpus.filter(col("vec_id") === 3L)
+      .crossJoin(spark.range(3))
+      .select((col("id") + lit(9000L)).as("vec_id"), col("embedding"))
+    val base2 = vecCorpus.select(col("vec_id"), col("embedding"))
+    val batches = Seq(
+      opDf("add")(planted.filter(col("vec_id") < 9002L)),
+      opDf("del")(base2.filter(col("vec_id").isin(delIds: _*)))
+        .unionAll(opDf("del")(planted.filter(col("vec_id") === 9000L))),
+      opDf("add")(base2.filter(col("vec_id") === delIds.head)), // revival
+      opDf("add")(planted.filter(col("vec_id") === 9002L)))     // trips compaction
+    val inDir = s"$root/in"
+    writeBatches(inDir, batches)
+    val q = StreamingIngest.streamingSq8Mutations(
+      spark.readStream.schema(batches.head.schema)
+        .option("maxFilesPerTrigger", 1).parquet(inDir),
+      dir, s"$root/chk", maxDeltaDirs = 2)
+    q.awaitTermination()
+
+    val live = base2.filter(!col("vec_id").isin(delIds.tail: _*))
+      .unionAll(planted.filter(col("vec_id") =!= 9000L))
+    val m = Sq.modelFromArtifact(spark, dir)
+    val got = Sq.searchRerank(Sq.codesWithDeltas(spark, dir), live, m, query,
+        k = 6, shortlist = 80)
+      .select("vec_id", "dist").as[(Long, Double)].collect().toSeq
+    val want = VectorSearch.knnExact(live, query.toSeq, 6)
+      .select("vec_id", "dist").as[(Long, Double)].collect().toSeq
+    assert(got == want,
+      s"CDC SQ8 rerank must equal exact over survivors\ngot  $got\nwant $want")
+    // compaction happened during the stream: versioned swap committed
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/codes_v1")),
+      "the final batch must have triggered the versioned compaction")
+    assert(Sq.deltaDirCount(dir) == 1,
+      "only the final batch's delta should remain live")
+  }
+}
