@@ -2315,6 +2315,37 @@ object SparkEntry {
            |ORDER BY dist ASC, vec_id ASC LIMIT 10""".stripMargin)
     }),
 
+    // SQL route to the OPQ code layout — the SAME registered pq_adc
+    // kernel serves it: OPQ's only query-time difference is the
+    // learned rotation, applied driver-side to the query before the
+    // literal reaches the statement (exactly what the API path's
+    // searchOpq does), so the quantized SQL family is now complete
+    // (PQ / OPQ / SQ8 / IVF / Hamming / exact / range).
+    "sql_opq_topk" -> ((s, dir) => {
+      org.apache.spark.sql.graft.GraftFunctions.register(s)
+      val corpus = emb(s, dir)
+      val (model, enc) = opqIndex(dir, corpus)
+      val query = corpus.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).toArray
+      val qRot = graft.index.Pq.rotateQuery(model, query)
+      def fArr(a: Array[Float]): String =
+        a.map(v => s"${v.toDouble}D").mkString("array(", ",", ")")
+      enc.createOrReplaceTempView("opq_codes_v")
+      corpus.createOrReplaceTempView("embeddings_opq_v")
+      s.sql(
+        s"""WITH short AS (
+           |  SELECT vec_id FROM opq_codes_v
+           |  ORDER BY pq_adc(codes, ${fArr(graft.index.Pq.flatCentroids(model.cb))},
+           |                  ${fArr(qRot)}, 8) ASC, vec_id ASC
+           |  LIMIT 1000)
+           |SELECT e.vec_id AS vec_id, l2sq(e.embedding, q.qe) AS dist
+           |FROM embeddings_opq_v e
+           |JOIN short USING (vec_id)
+           |CROSS JOIN (SELECT embedding AS qe FROM embeddings_opq_v
+           |            WHERE vec_id = 0) q
+           |ORDER BY dist ASC, vec_id ASC LIMIT 10""".stripMargin)
+    }),
+
     // Extension: batch k-NN similarity join (3 query vectors × corpus,
     // broadcast query side, per-query windowed top-k).
     "knn_join_top5" -> ((s, dir) => {
@@ -8042,6 +8073,14 @@ object SparkEntry {
     // The one-statement PQ route converges to the same exact top-10
     // (identical shortlist policy as knn_pq_rerank)
     "sql_pq_topk" ->
+      s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+         |SELECT e.vec_id AS vec_id, ${l2SqSql("e.embedding", "q.qe")} AS dist
+         |FROM embeddings e CROSS JOIN q
+         |ORDER BY dist ASC, vec_id ASC LIMIT 10""".stripMargin,
+
+    // The one-statement OPQ route converges to the same exact top-10
+    // (rotation applied driver-side; identical shortlist policy)
+    "sql_opq_topk" ->
       s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
          |SELECT e.vec_id AS vec_id, ${l2SqSql("e.embedding", "q.qe")} AS dist
          |FROM embeddings e CROSS JOIN q

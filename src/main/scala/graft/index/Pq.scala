@@ -404,6 +404,13 @@ object Pq {
     }.toDF(idCol, "codes")
   }
 
+  /** The model's learned rotation applied to one query vector — the
+    * driver-side step a SQL-route caller runs before shipping the
+    * rotated query literal into a `pq_adc(...)` statement (the API
+    * path's [[searchOpq]] does exactly this). */
+  def rotateQuery(model: OpqModel, query: Array[Float]): Array[Float] =
+    rotateOne(model.rotation, query)
+
   /** ADC top-k over OPQ codes: rotate the query, then the identical
     * codegen table-lookup scan as [[search]] — same cost, higher recall. */
   def searchOpq(
