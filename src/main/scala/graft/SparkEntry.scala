@@ -4534,6 +4534,29 @@ object SparkEntry {
         k = 10, shortlist = 1000)
     }),
 
+    // STORE INTROSPECTION — the engine's DESCRIBE INDEX: after a
+    // scripted mutation lifecycle (one append delta, one delete batch)
+    // the describe row set must report the committed version, the live
+    // mutation legs, and the MERGED delta-aware corpus stats — the
+    // exact numbers the next BM25 probe scores with. The oracle
+    // recomputes n_docs/sum_dl from the survivor corpus definition, so
+    // a matching hash proves the introspection surface is wired to the
+    // same arithmetic as the probes, not to file counts.
+    "store_describe" -> ((s, dir) => {
+      val corpus = docs(s, dir).select(col("doc_id"), col("text"))
+      val key = dirKey(dir)
+      val idxDir = s"${System.getProperty("java.io.tmpdir")}/graft_descr_$key"
+      val table = s"graft_descr_$key"
+      graft.text.InvertedIndex.ensure(s, corpus, table, idxDir, buckets = 8)
+      graft.text.InvertedIndex.dropMutations(idxDir) // replay determinism
+      val planted = corpus.filter(col("doc_id") < 5)
+        .select((col("doc_id") + lit(8600000L)).as("doc_id"), col("text"))
+      graft.text.InvertedIndex.appendDelta(s, idxDir, planted, tag = "a1")
+      graft.text.InvertedIndex.deleteDocs(s, idxDir,
+        corpus.filter(col("doc_id").isin(3L, 4L)), tag = "d1")
+      graft.text.InvertedIndex.describeStore(s, idxDir).orderBy(col("metric"))
+    }),
+
     // TAKEDOWN (GDPR / opt-out / contaminated-source) leg for the BM25
     // posting store — the reference treats delete as first-class (O5,
     // /root/reference/src/vectordb.cpp:74-80); this extends it to the
@@ -7086,6 +7109,22 @@ object SparkEntry {
         | UNION ALL
         | SELECT doc_id + 8000000 AS doc_id, text FROM documents WHERE doc_id < 14)""".stripMargin,
       20),
+
+    // The describe surface recomputed from the survivor corpus: base
+    // version 0 (never compacted), one live delta, one live tombstone,
+    // and n_docs/sum_dl over (documents − {3,4}) ∪ the 5 planted docs.
+    "store_describe" ->
+      s"""WITH d AS (SELECT doc_id, len($ToksSql) AS dl FROM (
+         |  SELECT doc_id, text FROM documents WHERE doc_id NOT IN (3, 4)
+         |  UNION ALL
+         |  SELECT doc_id + 8600000 AS doc_id, text FROM documents
+         |  WHERE doc_id < 5))
+         |SELECT 'base_version' AS metric, CAST(0 AS BIGINT) AS value
+         |UNION ALL SELECT 'live_deltas', CAST(1 AS BIGINT)
+         |UNION ALL SELECT 'live_tombstones', CAST(1 AS BIGINT)
+         |UNION ALL SELECT 'n_docs', (SELECT CAST(count(*) AS BIGINT) FROM d)
+         |UNION ALL SELECT 'sum_dl', (SELECT CAST(sum(dl) AS BIGINT) FROM d)
+         |ORDER BY metric""".stripMargin,
 
     // From-scratch BM25 over the CDC survivors: doc 2 stays deleted,
     // doc 9 was deleted then revived by a later add batch, planted

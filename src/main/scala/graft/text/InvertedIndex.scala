@@ -543,6 +543,28 @@ object InvertedIndex {
     }
   }
 
+  /** Operational introspection of a posting store — the engine's
+    * DESCRIBE INDEX (FAISS ntotal / ES _stats shape): one row per
+    * metric over the committed state and the live mutation legs.
+    * `n_docs`/`sum_dl` are the merged delta-aware corpus stats — the
+    * numbers the next BM25 probe will actually score with — so the
+    * output ties to the corpus definition, not to file counts, and an
+    * oracle can recompute it from the survivor corpus. */
+  def describeStore(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val v = sidecarNode(dir)
+      .map(n => if (n.hasNonNull("v")) n.get("v").asLong() else 0L)
+      .getOrElse(0L)
+    val stats = statsDeltaAware(dir)
+    Seq(
+      ("base_version", v),
+      ("live_deltas", deltaTags(dir).size.toLong),
+      ("live_tombstones", liveTombs(dir).size.toLong),
+      ("n_docs", stats.nDocs),
+      ("sum_dl", stats.sumDl)
+    ).toDF("metric", "value")
+  }
+
   /** BM25 over (base ∪ deltas) − tombstones: the base leg is the
     * bucket-pruned table probe, each delta leg is a batch-sized
     * parquet read with the token filter pushed, each leg anti-joins

@@ -149,6 +149,33 @@ class InvertedIndexDeleteSpec extends AnyFunSuite {
     assert(probe(table, dir) == want)
   }
 
+  test("describeStore reports version, live legs, and probe-consistent stats across a compaction") {
+    val (table, dir) = freshStore()
+    InvertedIndex.ensure(spark, corpus, table, dir, buckets = 4)
+    InvertedIndex.appendDelta(spark, dir,
+      Seq((100L, "spark merge extra doc")).toDF("doc_id", "text"), tag = "d1")
+    InvertedIndex.deleteDocs(spark, dir,
+      corpus.filter(col("doc_id") === 4L), tag = "t1")
+    def describe(): Map[String, Long] =
+      InvertedIndex.describeStore(spark, dir)
+        .as[(String, Long)].collect().toMap
+    val before = describe()
+    assert(before("base_version") == 0L && before("live_deltas") == 1L &&
+      before("live_tombstones") == 1L)
+    // n_docs/sum_dl are the merged delta-aware stats the probe scores with
+    assert(before("n_docs") == corpusRows.size + 1L - 1L)
+    assert(before("n_docs") == InvertedIndex.statsDeltaAware(dir).nDocs)
+    assert(before("sum_dl") == InvertedIndex.statsDeltaAware(dir).sumDl)
+
+    InvertedIndex.compactDeltas(spark, table, dir, buckets = 4)
+    val after = describe()
+    assert(after("base_version") == 1L && after("live_deltas") == 0L &&
+      after("live_tombstones") == 0L,
+      s"compaction must fold legs and bump the version, got $after")
+    assert(after("n_docs") == before("n_docs") && after("sum_dl") == before("sum_dl"),
+      "the corpus stats must be invariant across a compaction")
+  }
+
   test("positional + trigram stores: delete equals fresh build; compaction invariant") {
     // positional
     val (pt, pd) = freshStore()
