@@ -599,6 +599,72 @@ object StreamingIngest {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** CDC mutation stream for the POSITIONAL index — the phrase-query
+    * leg of the mutation family: same covered-leg tombstone + delta
+    * pairing (and the same adds-win / redelivery reasoning) as
+    * [[streamingPostingsMutations]], over positional postings. */
+  def streamingPositionalMutations(
+      stream: DataFrame,
+      table: String,
+      dir: String,
+      checkpoint: String,
+      buckets: Int,
+      maxDeltaDirs: Int = 16,
+      compactBytesRatio: Double = 1.0): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val tag = s"${pipelineTag(checkpoint)}_b$batchId"
+        if (shouldCompact(graft.text.InvertedIndex.deltaTags(dir).size, maxDeltaDirs,
+            graft.text.InvertedIndex.deltaBytes(dir),
+            graft.text.InvertedIndex.baseBytes(dir), compactBytesRatio))
+          graft.text.InvertedIndex.compactPositionalDeltas(
+            batch.sparkSession, table, dir, buckets, excludeTags = Set(tag))
+        val dels = batch.filter(col("op") === "del").select("doc_id", "text")
+        val adds = batch.filter(col("op") === "add").select("doc_id", "text")
+        if (!dels.isEmpty)
+          graft.text.InvertedIndex.deleteDocs(batch.sparkSession, dir, dels, tag,
+            excludeCovered = Set(tag))
+        if (!adds.isEmpty)
+          graft.text.InvertedIndex.appendPositionalDelta(
+            batch.sparkSession, dir, adds, tag)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** CDC mutation stream for the TRIGRAM (substring) index — the third
+    * text-index leg of the mutation family; identical discipline. */
+  def streamingTrigramMutations(
+      stream: DataFrame,
+      table: String,
+      dir: String,
+      checkpoint: String,
+      buckets: Int,
+      maxDeltaDirs: Int = 16,
+      compactBytesRatio: Double = 1.0): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val tag = s"${pipelineTag(checkpoint)}_b$batchId"
+        if (shouldCompact(graft.text.InvertedIndex.deltaTags(dir).size, maxDeltaDirs,
+            graft.text.InvertedIndex.deltaBytes(dir),
+            graft.text.InvertedIndex.baseBytes(dir), compactBytesRatio))
+          graft.text.InvertedIndex.compactTrigramDeltas(
+            batch.sparkSession, table, dir, buckets, excludeTags = Set(tag))
+        val dels = batch.filter(col("op") === "del").select("doc_id", "text")
+        val adds = batch.filter(col("op") === "add").select("doc_id", "text")
+        if (!dels.isEmpty)
+          graft.text.InvertedIndex.deleteDocs(batch.sparkSession, dir, dels, tag,
+            excludeCovered = Set(tag))
+        if (!adds.isEmpty)
+          graft.text.InvertedIndex.appendTrigramDelta(
+            batch.sparkSession, dir, adds, tag)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** CDC MUTATION stream for the SQ8 code store — the vector-side twin
     * of [[streamingPostingsMutations]]: (op, vec_id, embedding) rows,
     * deletes tombstone the legs live before the batch (adds win within

@@ -555,14 +555,18 @@ object InvertedIndex {
     val v = sidecarNode(dir)
       .map(n => if (n.hasNonNull("v")) n.get("v").asLong() else 0L)
       .getOrElse(0L)
-    val stats = statsDeltaAware(dir)
-    Seq(
+    // the corpus-stat rows exist only on the BM25 store (the
+    // positional/trigram sidecars carry no nDocs/sumDl)
+    val stats =
+      if (java.nio.file.Files.exists(java.nio.file.Paths.get(dir, sidecarName)))
+        { val st = statsDeltaAware(dir)
+          Seq(("n_docs", st.nDocs), ("sum_dl", st.sumDl)) }
+      else Seq.empty
+    (Seq(
       ("base_version", v),
       ("live_deltas", deltaTags(dir).size.toLong),
-      ("live_tombstones", liveTombs(dir).size.toLong),
-      ("n_docs", stats.nDocs),
-      ("sum_dl", stats.sumDl)
-    ).toDF("metric", "value")
+      ("live_tombstones", liveTombs(dir).size.toLong)
+    ) ++ stats).toDF("metric", "value")
   }
 
   /** BM25 over (base ∪ deltas) − tombstones: the base leg is the

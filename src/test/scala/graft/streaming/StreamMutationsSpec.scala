@@ -151,6 +151,55 @@ class StreamMutationsSpec extends AnyFunSuite {
       "redelivery must not mask the batch's own appends")
   }
 
+  test("positional CDC: same-batch update, delete, revive — phrase probe exact") {
+    val root = scratch("posmut")
+    val table = s"posmut_tbl_${n}_${System.nanoTime()}"
+    val dir = s"$root/positional"
+    InvertedIndex.ensurePositional(spark, corpus, table, dir, buckets = 4)
+    // doc 6 is the only 'hash join' doc; CDC: delete it, then a later
+    // batch re-adds it, and a third batch adds a NEW 'hash join' doc
+    val batches = Seq(
+      opDf("del")(corpus.filter(col("doc_id") === 6L)),
+      opDf("add")(corpus.filter(col("doc_id") === 6L)),
+      opDf("add")(Seq((300L, "another hash join arrives")).toDF("doc_id", "text")))
+    val inDir = s"$root/in"
+    writeBatches(inDir, batches)
+    val q = StreamingIngest.streamingPositionalMutations(
+      spark.readStream.schema(batches.head.schema)
+        .option("maxFilesPerTrigger", 1).parquet(inDir),
+      table, dir, s"$root/chk", buckets = 4, maxDeltaDirs = 2)
+    q.awaitTermination()
+    val got = InvertedIndex.phraseSearchDeltaAware(spark, table, dir,
+        Seq("hash", "join"))
+      .as[(Long, Long)].collect().toSeq.sorted
+    assert(got == Seq((6L, 1L), (300L, 1L)),
+      s"revived doc 6 and streamed doc 300 must both phrase-match, got $got")
+  }
+
+  test("trigram CDC: delete removes the only needle doc; a later add restores matches") {
+    val root = scratch("trimut")
+    val table = s"trimut_tbl_${n}_${System.nanoTime()}"
+    val dir = s"$root/trigram"
+    InvertedIndex.ensureTrigram(spark, corpus, table, dir, buckets = 4)
+    val batches = Seq(
+      opDf("del")(corpus.filter(col("doc_id") === 5L)), // only 'merge merge' doc
+      opDf("add")(Seq((400L, "the merge merge pattern returns")).toDF("doc_id", "text")))
+    val inDir = s"$root/in"
+    writeBatches(inDir, batches)
+    val q = StreamingIngest.streamingTrigramMutations(
+      spark.readStream.schema(batches.head.schema)
+        .option("maxFilesPerTrigger", 1).parquet(inDir),
+      table, dir, s"$root/chk", buckets = 4)
+    q.awaitTermination()
+    val live = corpus.filter(col("doc_id") =!= 5L)
+      .unionAll(Seq((400L, "the merge merge pattern returns")).toDF("doc_id", "text"))
+    val got = InvertedIndex.substringSearchDeltaAware(spark, table, dir,
+        live, "merge merge")
+      .as[(Long, Long)].collect().toSeq.sorted
+    assert(got.map(_._1) == Seq(400L),
+      s"only the streamed doc may substring-match after the takedown, got $got")
+  }
+
   private val dim = 8
   private lazy val vecCorpus = {
     val rng = new scala.util.Random(91)
