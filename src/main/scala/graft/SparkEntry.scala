@@ -4317,6 +4317,14 @@ object SparkEntry {
       val idxDir = s"$scratch/postings"
       val table = s"graft_poststream_${dirKey(dir)}"
       s.sql(s"DROP TABLE IF EXISTS $table") // stale catalog entry from a prior replay
+      // shared-base copy (the stream_phrase_append device): build the
+      // base ONCE in the per-sf location every BM25 query shares, copy
+      // files, and let the sidecar tier re-register metadata-only — a
+      // replay pays one dir copy, not a corpus-sized tokenize
+      val tmp = System.getProperty("java.io.tmpdir")
+      graft.text.InvertedIndex.ensure(s, corpus,
+        s"graft_post_${dirKey(dir)}", s"$tmp/graft_postings_${dirKey(dir)}", buckets = 8)
+      copyDir(s"$tmp/graft_postings_${dirKey(dir)}", idxDir)
       graft.text.InvertedIndex.ensure(s, corpus, table, idxDir, buckets = 8)
       val planted = corpus.filter(col("doc_id") < 14)
         .select((col("doc_id") + lit(8000000L)).as("doc_id"), col("text"))
@@ -4458,6 +4466,11 @@ object SparkEntry {
       val idxDir = s"$scratch/postings"
       val table = s"graft_postmut_${dirKey(dir)}"
       s.sql(s"DROP TABLE IF EXISTS $table") // stale catalog entry from a prior replay
+      // shared-base copy — see stream_bm25_append
+      val tmp = System.getProperty("java.io.tmpdir")
+      graft.text.InvertedIndex.ensure(s, corpus,
+        s"graft_post_${dirKey(dir)}", s"$tmp/graft_postings_${dirKey(dir)}", buckets = 8)
+      copyDir(s"$tmp/graft_postings_${dirKey(dir)}", idxDir)
       graft.text.InvertedIndex.ensure(s, corpus, table, idxDir, buckets = 8)
       def op(o: String)(df: DataFrame): DataFrame =
         df.select(lit(o).as("op"), col("doc_id"), col("text"))
