@@ -1559,6 +1559,48 @@ object SparkEntry {
        |SELECT doc_id, CAST(sum(comp) AS BIGINT) AS bm25_micro, CAST(count(*) AS BIGINT) AS n_terms
        |FROM comp GROUP BY 1 ORDER BY bm25_micro DESC, doc_id LIMIT $topN""".stripMargin
 
+  /** The batch-probe query table shared by doc_bm25_batch and its
+    * oracle generator, so the fixture cannot drift. */
+  private val Bm25BatchQueries: Seq[(Long, Seq[String])] = Seq(
+    0L -> Seq("spark", "join", "merge", "window"),
+    1L -> Seq("stream", "hash"),
+    2L -> Seq("vector", "merge", "batch"))
+
+  /** Oracle for the batched BM25 probe: ONE shared occ/df/score
+    * derivation over the union of every query's terms (df per token is
+    * query-independent — the same value each single-query replay
+    * computes), then one ranked leg per query, unioned. The scoring
+    * arithmetic is textually identical to [[bm25SqlOver]]'s (k1=1.2,
+    * b=0.75). */
+  private def bm25BatchOracleSql(queries: Seq[(Long, Seq[String])], topN: Int): String = {
+    val all = queries.flatMap(_._2).distinct.map(t => s"'$t'").mkString(", ")
+    val legs = queries.map { case (qid, terms) =>
+      val termList = terms.map(t => s"'$t'").mkString(", ")
+      s"""SELECT CAST($qid AS BIGINT) AS query_id, doc_id, bm25_micro, n_terms,
+         |       CAST(row_number() OVER (ORDER BY bm25_micro DESC, doc_id) AS INTEGER) AS rank
+         |FROM (SELECT doc_id, CAST(sum(comp) AS BIGINT) AS bm25_micro,
+         |             CAST(count(*) AS BIGINT) AS n_terms
+         |      FROM comp WHERE token IN ($termList) GROUP BY doc_id)
+         |QUALIFY rank <= $topN""".stripMargin
+    }
+    s"""WITH d AS (SELECT doc_id, len($ToksSql) AS dl, $ToksSql AS toks FROM documents),
+       |occ AS MATERIALIZED (
+       |  SELECT doc_id, dl, tok AS token, CAST(count(*) AS BIGINT) AS tf
+       |  FROM (SELECT doc_id, dl, unnest(toks) AS tok FROM d)
+       |  WHERE tok IN ($all)
+       |  GROUP BY 1, 2, 3),
+       |dft AS MATERIALIZED (SELECT token, CAST(count(*) AS BIGINT) AS dft FROM occ GROUP BY 1),
+       |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl FROM d),
+       |comp AS MATERIALIZED (SELECT doc_id, token,
+       |    CAST(floor((ln(1.0 + (CAST(n_docs - dft AS DOUBLE) + 0.5) / (CAST(dft AS DOUBLE) + 0.5))
+       |      * ((CAST(tf AS DOUBLE) * 2.2) / (CAST(tf AS DOUBLE) + 1.2
+       |          * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))))
+       |      * 1e6) AS BIGINT) AS comp
+       |  FROM occ JOIN dft USING (token), st)
+       |${legs.mkString("\nUNION ALL\n")}
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   /** Planted-PII suffix for doc_pii_scrub — shared by the Spark query
     * and the oracle SQL so the fixture cannot drift. */
   private val PiiSuffix = " contact bob.smith+spam@example-corp.io or 555-867-5309 now"
@@ -3395,6 +3437,23 @@ object SparkEntry {
         s"graft_post_$key", s"$tmp/graft_postings_$key", buckets = 8)
       graft.text.InvertedIndex.bm25Search(s, s"graft_post_$key", stats,
         terms = Seq("spark", "join", "merge", "window"))
+    }),
+
+    // BATCHED BM25 — a whole query table served by ONE bucket-pruned
+    // posting probe (the text-side twin of knn_hnsw_batch): three term
+    // sets probe together, per-token df is computed once from the
+    // union-probed occurrences, and each query's rows must equal its
+    // single-query result bit-for-bit — the oracle replays every query
+    // from scratch and unions them. At 100 TB this amortizes the probe
+    // and df aggregation across the batch; per-query marginal cost is
+    // a broadcast fan-out, not a scan.
+    "doc_bm25_batch" -> ((s, dir) => {
+      val key = dirKey(dir)
+      val tmp = System.getProperty("java.io.tmpdir")
+      graft.text.InvertedIndex.ensure(s, docs(s, dir),
+        s"graft_post_$key", s"$tmp/graft_postings_$key", buckets = 8)
+      graft.text.InvertedIndex.bm25SearchBatch(s, s"graft_post_$key",
+        s"$tmp/graft_postings_$key", Bm25BatchQueries, topN = 10)
     }),
 
     // Exact PHRASE search over a persisted positional index (IIR §2.4):
@@ -7111,6 +7170,11 @@ object SparkEntry {
     // the same rows through the persisted posting lists — the matching
     // hash is the equivalence proof (decontaminate_bloom's device).
     "doc_bm25_indexed" -> Bm25OracleSql,
+
+    // Every query of the batch replayed from scratch and unioned — a
+    // matching hash proves the shared-probe batch path equals N
+    // independent single-query probes bit-for-bit.
+    "doc_bm25_batch" -> bm25BatchOracleSql(Bm25BatchQueries, topN = 10),
     // And the one-statement SQL surface over the same postings table.
     "sql_bm25_topk" -> Bm25OracleSql,
 

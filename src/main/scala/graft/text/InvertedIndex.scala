@@ -595,6 +595,37 @@ object InvertedIndex {
     TextAnalysis.bm25ScoreOcc(occ, statsDf, k1, b, topN, "doc_id")
   }
 
+  /** BATCHED BM25 — a whole query table served by ONE delta-aware
+    * posting probe (the text-side twin of the batch HNSW probe): the
+    * union of every query's terms bucket-prunes a single occ scan,
+    * per-token df is computed once, and each query's rows equal its
+    * single-query [[bm25SearchDeltaAware]] result bit-for-bit
+    * (identical scoring arithmetic — oracle-proven). At scale this
+    * amortizes the probe and the df aggregation across the batch: the
+    * per-query marginal cost is one broadcast-join fan-out, not a scan. */
+  def bm25SearchBatch(
+      spark: SparkSession,
+      table: String,
+      dir: String,
+      queries: Seq[(Long, Seq[String])],
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      topN: Int = 20): DataFrame = {
+    require(queries.nonEmpty && queries.forall(_._2.nonEmpty),
+      "need at least one query, each with at least one term")
+    import spark.implicits._
+    val allTerms = queries.flatMap(_._2).distinct
+    val occ = withDeltas(spark, table, dir)
+      .filter(col("token").isin(allTerms: _*))
+      .select(col("doc_id"), col("dl"), col("token"), col("tf"))
+    val merged = statsDeltaAware(dir)
+    val statsDf = spark.range(1).select(
+      lit(merged.nDocs).as("n_docs"), lit(merged.sumDl).as("sum_dl"))
+    val qt = queries.flatMap { case (qid, ts) => ts.distinct.map(t => (qid, t)) }
+      .toDF("query_id", "token")
+    TextAnalysis.bm25ScoreOccBatch(occ, qt, statsDf, k1, b, topN)
+  }
+
   /** Fold every live delta (minus `excludeTags` — the streaming
     * auto-compaction passes the current batch's tag, the
     * redelivery-safety contract of [[graft.index.Hnsw.compactDeltas]])

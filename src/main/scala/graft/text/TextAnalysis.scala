@@ -1206,6 +1206,45 @@ object TextAnalysis {
       .limit(topN)
   }
 
+  /** Batched BM25 over ONE probed occurrence set — N query term-sets
+    * amortize a single posting probe (the text-side twin of the batch
+    * HNSW probe): `queryTerms` (query_id, token) is broadcast, per-token
+    * df is computed ONCE from the union-probed occ (a token's df does
+    * not depend on which query asked), and each (query, doc) score uses
+    * the IDENTICAL idf/tfNorm/floor arithmetic as [[bm25ScoreOcc]] — so
+    * every query's rows equal its single-query result bit-for-bit
+    * (oracle-proven). Per-query top-N via one bounded window. */
+  private[text] def bm25ScoreOccBatch(
+      occ: DataFrame,
+      queryTerms: DataFrame,
+      stats: DataFrame,
+      k1: Double,
+      b: Double,
+      topN: Int): DataFrame = {
+    val dft = occ.groupBy("token").agg(count(lit(1)).as("dft"))
+    val idf = log(lit(1.0) +
+      ((col("n_docs") - col("dft")).cast("double") + lit(0.5)) /
+        (col("dft").cast("double") + lit(0.5)))
+    val tfNorm = (col("tf").cast("double") * lit(k1 + 1.0)) /
+      (col("tf").cast("double") + lit(k1) *
+        (lit(1.0 - b) + lit(b) * (col("dl").cast("double") /
+          (col("sum_dl").cast("double") / col("n_docs").cast("double")))))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("bm25_micro").desc, col("doc_id"))
+    occ
+      .join(broadcast(queryTerms), "token")
+      .join(broadcast(dft), "token")
+      .crossJoin(broadcast(stats))
+      .withColumn("comp", floor(idf * tfNorm * lit(1e6)).cast("long"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("comp")).cast("long").as("bm25_micro"),
+        count(lit(1)).as("n_terms"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topN)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Token frequency-of-frequency spectrum (the Zipf profile): how many
     * distinct tokens occur exactly c times. Two aggregations, each a
     * massive reduction — wordcount partial-aggregates the hot Zipf head

@@ -47,6 +47,26 @@ class InvertedIndexSpec extends AnyFunSuite {
     spark.sql("DROP TABLE IF EXISTS iidx_prune")
   }
 
+  test("batched BM25 equals N single-query probes bit-for-bit, one shared probe") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val dir = freshDir("batch")
+    InvertedIndex.ensure(spark, docs, "iidx_batch", dir, buckets = 8)
+    val queries: Seq[(Long, Seq[String])] = Seq(
+      0L -> terms, 1L -> Seq("stream", "hash"), 2L -> Seq("vector", "merge"))
+    val got = InvertedIndex.bm25SearchBatch(spark, "iidx_batch", dir, queries, topN = 10)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getInt(4)))
+      .toSeq
+    val want = queries.flatMap { case (qid, ts) =>
+      InvertedIndex.bm25SearchDeltaAware(spark, "iidx_batch", dir, ts, topN = 10)
+        .collect().zipWithIndex
+        .map { case (r, i) => (qid, r.getLong(0), r.getLong(1), r.getLong(2), i + 1) }
+    }
+    assert(got == want,
+      s"batch rows must equal the single-query probes\ngot  ${got.take(5)}…\nwant ${want.take(5)}…")
+    spark.sql("DROP TABLE IF EXISTS iidx_batch")
+  }
+
   test("phraseSearch equals a brute-force token-slice scan, incl. repeated terms") {
     import spark.implicits._
     val docs = Seq(
