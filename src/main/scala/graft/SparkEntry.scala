@@ -2323,6 +2323,28 @@ object SparkEntry {
            |ORDER BY dist ASC, vec_id ASC LIMIT 10""".stripMargin)
     }),
 
+    // BATCH IVF probe — a query table served by ONE partition-pruned
+    // scan (the IVF twin of knn_hnsw_batch): three queries' probed
+    // clusters union into a single `cluster IN` read, a broadcast
+    // pair-predicate keeps each query inside its OWN probed clusters,
+    // and per-query top-10 runs through the bounded TopKAggregator.
+    // Ten exact copies of each query are planted so every true top-10
+    // lives in its query's nprobe=1 cluster — the pruned batch result
+    // EQUALS per-query exact brute force, which the oracle replays.
+    "knn_ivf_batch" -> ((s, dir) => {
+      val corpus = emb(s, dir)
+      val planted = corpus.filter(col("vec_id") < 3)
+        .crossJoin(s.range(10))
+        .select((col("vec_id") * 100 + col("id") + lit(4900000L)).as("vec_id"),
+          col("embedding"))
+      val full = corpus.select(col("vec_id"), col("embedding")).union(planted)
+      val layout = graft.index.Ivf.buildLayout(s, full,
+        ivfLayoutDir(dir, "batch"), nlist = 8, maxIter = 3)
+      val queries = corpus.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+      graft.index.Ivf.searchLayoutBatch(s, layout, queries, k = 10, nprobe = 1)
+    }),
+
     // SQL route to the PQ code layout — the 32×-compression rung of
     // the quantized SQL family (sql_sq8_topk is the 4× rung): ONE
     // spark.sql statement whose registered pq_adc kernel builds the
@@ -6630,6 +6652,22 @@ object SparkEntry {
          |SELECT vec_id, dist,
          |       CAST(row_number() OVER (ORDER BY dist ASC, vec_id ASC) AS INTEGER) AS rank
          |FROM d ORDER BY dist ASC, vec_id ASC LIMIT 10""".stripMargin,
+
+    // Exact per-query brute force over corpus ∪ planted — the pruned
+    // batch probe must reproduce the full relation for all 3 queries.
+    "knn_ivf_batch" ->
+      s"""WITH p AS (SELECT e.vec_id * 100 + r.i + 4900000 AS vec_id, e.embedding
+         |           FROM embeddings e CROSS JOIN range(10) r(i) WHERE e.vec_id < 3),
+         |c AS (SELECT vec_id, embedding FROM embeddings
+         |      UNION ALL SELECT vec_id, embedding FROM p),
+         |q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 3),
+         |d AS (SELECT q.query_id, c.vec_id, ${l2SqSql("c.embedding", "q.qe")} AS dist
+         |      FROM c CROSS JOIN q),
+         |r AS (SELECT query_id, vec_id, dist,
+         |             CAST(row_number() OVER (PARTITION BY query_id ORDER BY dist ASC, vec_id ASC) AS INTEGER) AS rank
+         |      FROM d)
+         |SELECT query_id, vec_id, dist, rank FROM r WHERE rank <= 10
+         |ORDER BY query_id ASC, rank ASC""".stripMargin,
 
     // Exact per-query brute force — the graph walk must reproduce the
     // full (query_id, vec_id, dist, rank) relation for all 5 queries.

@@ -554,6 +554,41 @@ object Ivf {
       Seq(idCol), "left_anti")
   }
 
+  /** BATCH probe of a persisted layout — a query table served by ONE
+    * partition-pruned scan: each query's probed clusters are ranked
+    * driver-side (the query table is a batch, not a corpus — bounded
+    * collect), the scan reads the UNION of everyone's clusters once
+    * (`cluster IN` partition pruning), a broadcast pair-predicate
+    * restricts each query's candidates to its OWN probed clusters, and
+    * per-query top-k runs through the bounded TopKAggregator (map-side
+    * partial: shuffle is |partitions|·|Q|·k, never |scan|·|Q|). At
+    * scale this amortizes the probe IO across the batch — N separate
+    * probes re-read every shared cluster N times; this reads each
+    * exactly once. Returns (query_id, vec_id, dist, rank). */
+  def searchLayoutBatch(
+      spark: SparkSession,
+      layout: Layout,
+      queries: DataFrame,
+      k: Int,
+      nprobe: Int,
+      qIdCol: String = "query_id",
+      qEmbCol: String = "q_embedding",
+      idCol: String = "vec_id"): DataFrame = {
+    import spark.implicits._
+    val qRows = queries.select(col(qIdCol).cast("long"), col(qEmbCol)).collect()
+    val probed: Seq[(Long, Seq[Float], Seq[Int])] = qRows.toIndexedSeq.map { r =>
+      val emb = r.getSeq[Float](1)
+      (r.getLong(0), emb, probeClustersOf(layout.centroids, emb.toArray, nprobe))
+    }
+    val union = probed.flatMap(_._3).distinct
+    val scan = liveRows(spark, layout,
+      spark.read.parquet(layout.dir).filter(col("cluster").isin(union: _*)), idCol)
+    val qDf = probed.toDF(qIdCol, qEmbCol, "q_clusters")
+    graft.ops.VectorSearch.knnJoinAgg(qDf, scan, k,
+      qIdCol = qIdCol, qEmbCol = qEmbCol, idCol = idCol,
+      pairPredicate = Some(array_contains(col("q_clusters"), col("cluster"))))
+  }
+
   /** Probe a persisted layout: centroid ranking driver-side, `cluster IN`
     * partition pruning, exact kernel within the probed inverted lists
     * (tombstoned rows excluded — see [[deleteFromLayout]]). */

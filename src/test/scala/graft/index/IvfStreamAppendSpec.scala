@@ -238,4 +238,27 @@ class IvfStreamAppendSpec extends AnyFunSuite {
       .select("vec_id").as[Long].collect().toSet
     assert(!afterBase.contains(3L) && !afterBase.contains(301L))
   }
+
+  test("batch probe equals per-query searchLayout; tombstones excluded; one shared scan") {
+    val layout = freshLayout("ivfbatch")
+    // two queries landing in DIFFERENT clusters — the union scan reads
+    // both, but each query must stay inside its own probed cluster
+    val queries = Seq(
+      (0L, Seq(0.0f, 0.0f)), (1L, Seq(10.0f, 10.0f)))
+      .toDF("query_id", "q_embedding")
+    def batch(): Seq[(Long, Long, Double, Int)] =
+      Ivf.searchLayoutBatch(spark, layout, queries, k = 3, nprobe = 1)
+        .as[(Long, Long, Double, Int)].collect().toSeq
+    def single(q: Array[Float]): Seq[(Long, Double)] =
+      Ivf.searchLayout(spark, layout, q, k = 3, nprobe = 1)
+        .select("vec_id", "dist").as[(Long, Double)].collect().toSeq
+    val want = single(Array(0.0f, 0.0f)).zipWithIndex.map { case ((id, d), i) => (0L, id, d, i + 1) } ++
+      single(Array(10.0f, 10.0f)).zipWithIndex.map { case ((id, d), i) => (1L, id, d, i + 1) }
+    assert(batch() == want,
+      s"batch probe must equal the per-query probes\ngot  ${batch()}\nwant $want")
+    // a tombstoned vector disappears from the batch result too
+    Ivf.deleteFromLayout(layout, Seq(1L).toDF("vec_id"))
+    assert(!batch().exists(_._2 == 1L),
+      "tombstoned vector must be excluded from the batch probe")
+  }
 }
