@@ -2323,6 +2323,24 @@ object SparkEntry {
            |ORDER BY dist ASC, vec_id ASC LIMIT 10""".stripMargin)
     }),
 
+    // BATCH SQ8 probe — N queries served by ONE pass over the 4×-
+    // compressed codes: the scan computes one codegen ADC column per
+    // query, stack unpivots, one bounded window cuts per-query
+    // shortlists (identical to each single-probe shortlist by
+    // construction), and the exact rerank joins the true vectors once
+    // for all queries. With the true neighbors inside every shortlist
+    // the result equals per-query exact top-10, which the oracle
+    // replays for all three queries.
+    "knn_sq8_batch" -> ((s, dir) => {
+      val corpus = emb(s, dir)
+      val (model, enc) = sqIndex(dir, corpus)
+      val queries = corpus.filter(col("vec_id") < 3)
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toIndexedSeq
+      graft.index.Sq.searchRerankBatch(enc, corpus, model, queries,
+        k = 10, shortlist = 1000)
+    }),
+
     // BATCH IVF probe — a query table served by ONE partition-pruned
     // scan (the IVF twin of knn_hnsw_batch): three queries' probed
     // clusters union into a single `cluster IN` read, a broadcast
@@ -6652,6 +6670,18 @@ object SparkEntry {
          |SELECT vec_id, dist,
          |       CAST(row_number() OVER (ORDER BY dist ASC, vec_id ASC) AS INTEGER) AS rank
          |FROM d ORDER BY dist ASC, vec_id ASC LIMIT 10""".stripMargin,
+
+    // Exact per-query brute force — the one-scan batch ADC + rerank
+    // must reproduce the full relation for all 3 queries.
+    "knn_sq8_batch" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 3),
+         |d AS (SELECT q.query_id, e.vec_id, ${l2SqSql("e.embedding", "q.qe")} AS dist
+         |      FROM embeddings e CROSS JOIN q),
+         |r AS (SELECT query_id, vec_id, dist,
+         |             CAST(row_number() OVER (PARTITION BY query_id ORDER BY dist ASC, vec_id ASC) AS INTEGER) AS rank
+         |      FROM d)
+         |SELECT query_id, vec_id, dist, rank FROM r WHERE rank <= 10
+         |ORDER BY query_id ASC, rank ASC""".stripMargin,
 
     // Exact per-query brute force over corpus ∪ planted — the pruned
     // batch probe must reproduce the full relation for all 3 queries.

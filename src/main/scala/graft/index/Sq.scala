@@ -181,6 +181,54 @@ object Sq {
     Pq.rerankShortlist(search(encoded, model, query, shortlist, idCol),
       corpus, query, k, idCol, embCol)
 
+  /** BATCH SQ8 probe — N queries served by ONE pass over the codes:
+    * the scan computes N codegen ADC columns (each query's plan-time
+    * table rides its own PqAdcExpr), `stack` unpivots them to
+    * (query_id, adist) rows, per-query shortlists come from one
+    * bounded window (the per-query (adist, id) order is IDENTICAL to
+    * the single-query [[search]] order, so each shortlist equals the
+    * single-probe shortlist), and the exact rerank joins the true
+    * vectors once for ALL queries. N separate probes scan the codes N
+    * times; this scans them once. Returns (query_id, vec_id, dist,
+    * rank) with dist the exact float64 distance. */
+  def searchRerankBatch(
+      encoded: DataFrame,
+      corpus: DataFrame,
+      model: SqModel,
+      queries: Seq[(Long, Array[Float])],
+      k: Int,
+      shortlist: Int = 100,
+      idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    require(queries.nonEmpty, "need at least one query")
+    val spark = encoded.sparkSession
+    import spark.implicits._
+    val adcCols = queries.map { case (qid, q) =>
+      org.apache.spark.sql.graft.VectorExpressions
+        .pqAdc(col("codes"), adcTable(model, q), 256).as(s"_adc_$qid") }
+    val pairs = queries.map { case (qid, _) => s"${qid}L, `_adc_$qid`" }.mkString(", ")
+    val stacked = encoded
+      .select((col(idCol) +: adcCols): _*)
+      .selectExpr(idCol, s"stack(${queries.size}, $pairs) AS (query_id, adist)")
+    val wShort = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("adist").asc, col(idCol).asc)
+    val short = stacked.withColumn("srank", row_number().over(wShort))
+      .filter(col("srank") <= shortlist)
+      .select(col("query_id"), col(idCol))
+    val qDf = queries.map { case (qid, q) => (qid, q.toSeq) }
+      .toDF("query_id", "q_embedding")
+    val wFinal = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("dist").asc, col(idCol).asc)
+    corpus.select(col(idCol), col(embCol))
+      .join(broadcast(short), Seq(idCol))
+      .join(broadcast(qDf), Seq("query_id"))
+      .select(col("query_id"), col(idCol),
+        graft.functions.Distances.l2Sq(col(embCol), col("q_embedding")).as("dist"))
+      .withColumn("rank", row_number().over(wFinal))
+      .filter(col("rank") <= k)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** IVF-SQ8: the FAISS IndexIVFScalarQuantizer composition — SQ8
     * codes written partitioned by the IVF cluster id, so a probe
     * prunes to nprobe/nlist of the (already 4×-compressed) codes

@@ -150,6 +150,27 @@ class SqSpec extends AnyFunSuite {
     assert(reranked == exact)
   }
 
+  test("batch probe equals per-query searchRerank; one codes scan, no UDF") {
+    val m = Sq.fit(corpus)
+    val enc = Sq.encode(corpus, m).localCheckpoint()
+    val queries = (0L until 3L).map { qid =>
+      qid -> corpus.filter(col("vec_id") === qid)
+        .select(col("embedding")).head().getSeq[Float](0).toArray
+    }
+    val df = Sq.searchRerankBatch(enc, corpus, m, queries, k = 5, shortlist = 60)
+    val got = df.as[(Long, Long, Double, Int)].collect().toSeq
+    val want = queries.flatMap { case (qid, q) =>
+      Sq.searchRerank(enc, corpus, m, q, k = 5, shortlist = 60)
+        .select("vec_id", "dist").as[(Long, Double)].collect()
+        .zipWithIndex.map { case ((id, d), i) => (qid, id, d, i + 1) }
+    }
+    assert(got == want,
+      s"batch rows must equal the single-query probes\ngot  $got\nwant $want")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("ScalaUDF"), "batch ADC must stay codegen")
+    assert(plan.contains("pq_adc"), "the ADC kernel must appear in the plan")
+  }
+
   test("measured recall: SQ8 ADC@10 is at least PQ ADC@10 on the shared fixture") {
     // 4× compression with per-dim resolution must not recall worse
     // than 32× PQ on the same corpus — the ladder's monotonicity
