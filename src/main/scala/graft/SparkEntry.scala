@@ -5627,6 +5627,19 @@ object SparkEntry {
         Seq(0.5 -> "p50_milli", 0.9 -> "p90_milli", 0.99 -> "p99_milli"))
     }),
 
+    // The SKETCH-BASED quantile path for continuous domains (the scale
+    // companion the exactQuantiles doc promises): percentile_approx —
+    // Spark's mergeable Greenwald-Khanna summary, map-side partial like
+    // the HLL/CMS/MG family — bounds-checked against the exact rank
+    // definition in the same job (events_sketch_check style). The
+    // verdict row is constant when the sketch honors its documented
+    // n/accuracy rank bound and monotonicity, so the oracle pins it.
+    "events_approx_quantiles" -> ((s, dir) => {
+      graft.ops.EventAnalytics.approxQuantilesReport(
+        events(s, dir), col("value"),
+        qs = Seq(0.1, 0.5, 0.9, 0.99), accuracy = 1000)
+    }),
+
     // Same counting-sort quantile operator over another table: document
     // length distribution per source — the corpus-report form of the
     // stat (sequence-length planning for packing/truncation budgets).
@@ -8422,6 +8435,12 @@ object SparkEntry {
         |       CAST(min(CASE WHEN cum >= ceil(n * 0.9) THEN vm END) AS BIGINT) AS p90_chars,
         |       CAST(min(CASE WHEN cum >= ceil(n * 0.99) THEN vm END) AS BIGINT) AS p99_chars
         |FROM cc GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // The sketch's contract as constants: 4 targets, non-empty input,
+    // zero rank-bound violations, monotone estimates.
+    "events_approx_quantiles" ->
+      """SELECT CAST(4 AS BIGINT) AS n_quantiles, CAST(1 AS BIGINT) AS nonempty,
+        |       CAST(0 AS BIGINT) AS rank_violations, CAST(1 AS BIGINT) AS monotone""".stripMargin,
 
     "events_quantiles" ->
       """WITH em AS (SELECT event_type, CAST(floor(value * 1000) AS BIGINT) AS vm FROM events),
