@@ -4646,6 +4646,39 @@ object SparkEntry {
         k = 10, shortlist = 1000)
     }),
 
+    // CROSS-STORE TAKEDOWN AUDIT — the GDPR driver: ONE victim row set
+    // scrubs every text index in a loop over stores (deleteDocs is one
+    // implementation for all three families), and the audit asserts
+    // the honest residual — the doc's posting-row count over each
+    // store's PROBED view (base ∪ deltas − tombstones) — is exactly
+    // zero, with had_rows proving the doc was indexed before the
+    // takedown. The verdict is constant, so the oracle pins it. Cost
+    // per store: one batch-sized tombstone write, never an index scan.
+    "takedown_all_stores" -> ((s, dir) => {
+      import s.implicits._
+      val corpus = docs(s, dir).select(col("doc_id"), col("text"))
+      val key = dirKey(dir)
+      val tmp = System.getProperty("java.io.tmpdir")
+      val stores = Seq(
+        ("bm25", s"graft_bm25del_$key", s"$tmp/graft_bm25del_$key"),
+        ("positional", s"graft_posdel_$key", s"$tmp/graft_posdel_$key"),
+        ("trigram", s"graft_tridel_$key", s"$tmp/graft_tridel_$key"))
+      graft.text.InvertedIndex.ensure(s, corpus, stores(0)._2, stores(0)._3, buckets = 8)
+      graft.text.InvertedIndex.ensurePositional(s, corpus, stores(1)._2, stores(1)._3, buckets = 8)
+      graft.text.InvertedIndex.ensureTrigram(s, corpus, stores(2)._2, stores(2)._3, buckets = 8)
+      stores.foreach(st => graft.text.InvertedIndex.dropMutations(st._3)) // replay determinism
+      val victim = corpus.filter(col("doc_id") === 6L)
+      val before = stores.map(st =>
+        graft.text.InvertedIndex.docResidual(s, st._2, st._3, 6L))
+      stores.foreach(st =>
+        graft.text.InvertedIndex.deleteDocs(s, st._3, victim, tag = "gdpr"))
+      val after = stores.map(st =>
+        graft.text.InvertedIndex.docResidual(s, st._2, st._3, 6L))
+      stores.map(_._1).zip(before.zip(after)).map { case (name, (b, a)) =>
+        (name, if (b > 0) 1L else 0L, a)
+      }.toDF("store", "had_rows", "residual_rows").orderBy(col("store"))
+    }),
+
     // STORE INTROSPECTION — the engine's DESCRIBE INDEX: after a
     // scripted mutation lifecycle (one append delta, one delete batch)
     // the describe row set must report the committed version, the live
@@ -7267,6 +7300,14 @@ object SparkEntry {
         | UNION ALL
         | SELECT doc_id + 8000000 AS doc_id, text FROM documents WHERE doc_id < 14)""".stripMargin,
       20),
+
+    // One takedown call must zero the victim's probed residual in every
+    // store, and the doc must have been indexed beforehand.
+    "takedown_all_stores" ->
+      """SELECT 'bm25' AS store, CAST(1 AS BIGINT) AS had_rows, CAST(0 AS BIGINT) AS residual_rows
+        |UNION ALL SELECT 'positional', CAST(1 AS BIGINT), CAST(0 AS BIGINT)
+        |UNION ALL SELECT 'trigram', CAST(1 AS BIGINT), CAST(0 AS BIGINT)
+        |ORDER BY store""".stripMargin,
 
     // The describe surface recomputed from the survivor corpus: base
     // version 0 (never compacted), one live delta, one live tombstone,

@@ -595,6 +595,14 @@ object InvertedIndex {
     TextAnalysis.bm25ScoreOcc(occ, statsDf, k1, b, topN, "doc_id")
   }
 
+  /** The posting rows a doc still contributes to the PROBED view
+    * (base ∪ live deltas − covering tombstones) — the residual a
+    * takedown audit checks. Zero means no probe of any kind can
+    * surface the doc from this store; works on all three index
+    * families (they share the masked-union machinery). */
+  def docResidual(spark: SparkSession, table: String, dir: String, docId: Long): Long =
+    withDeltas(spark, table, dir).filter(col("doc_id") === docId).count()
+
   /** BATCHED BM25 — a whole query table served by ONE delta-aware
     * posting probe (the text-side twin of the batch HNSW probe): the
     * union of every query's terms bucket-prunes a single occ scan,
