@@ -184,13 +184,16 @@ object Sq {
   /** BATCH SQ8 probe — N queries served by ONE pass over the codes:
     * the scan computes N codegen ADC columns (each query's plan-time
     * table rides its own PqAdcExpr), `stack` unpivots them to
-    * (query_id, adist) rows, per-query shortlists come from one
-    * bounded window (the per-query (adist, id) order is IDENTICAL to
-    * the single-query [[search]] order, so each shortlist equals the
-    * single-probe shortlist), and the exact rerank joins the true
-    * vectors once for ALL queries. N separate probes scan the codes N
-    * times; this scans them once. Returns (query_id, vec_id, dist,
-    * rank) with dist the exact float64 distance. */
+    * (query_id, adist) rows, per-query shortlists come from the
+    * bounded [[graft.ops.TopKAggregator]] (map-side partial top-k —
+    * the shuffle is |partitions|·|Q|·shortlist rows, NEVER the
+    * corpus-sized stacked relation a per-query window would move; the
+    * retained set under the aggregator's (adist, id) order is
+    * IDENTICAL to the single-query [[search]] order, so each shortlist
+    * equals the single-probe shortlist), and the exact rerank joins
+    * the true vectors once for ALL queries. N separate probes scan the
+    * codes N times; this scans them once. Returns (query_id, vec_id,
+    * dist, rank) with dist the exact float64 distance. */
   def searchRerankBatch(
       encoded: DataFrame,
       corpus: DataFrame,
@@ -210,11 +213,13 @@ object Sq {
     val stacked = encoded
       .select((col(idCol) +: adcCols): _*)
       .selectExpr(idCol, s"stack(${queries.size}, $pairs) AS (query_id, adist)")
-    val wShort = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id")).orderBy(col("adist").asc, col(idCol).asc)
-    val short = stacked.withColumn("srank", row_number().over(wShort))
-      .filter(col("srank") <= shortlist)
-      .select(col("query_id"), col(idCol))
+    val short = stacked
+      .select(col("query_id"), col(idCol).cast("long"), col("adist"))
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1).mapValues(t => (t._2, t._3))
+      .agg(new graft.ops.TopKAggregator(shortlist).toColumn.name("topk"))
+      .flatMap { case (qid, arr) => arr.iterator.map { case (id, _) => (qid, id) } }
+      .toDF("query_id", idCol)
     val qDf = queries.map { case (qid, q) => (qid, q.toSeq) }
       .toDF("query_id", "q_embedding")
     val wFinal = org.apache.spark.sql.expressions.Window
