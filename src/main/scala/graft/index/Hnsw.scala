@@ -583,6 +583,22 @@ object Hnsw {
       p: Params = Params(),
       idCol: String = "vec_id",
       embCol: String = "embedding"): Unit = {
+    // LOUD GUARD (the Ivf.requireNotTombstoned contract): the layout's
+    // tombstones are a GLOBAL id mask — an appended id that is
+    // currently tombstoned would be silently hidden by every probe,
+    // and clearing its tombstone would resurrect the old node next to
+    // the new one. Revival path: compactDeltas(dropTombstoned = true),
+    // then re-add. The tombstone set is small (deletes) and already
+    // driver-resident.
+    val dead = tombstonedIds(spark, dir)
+    if (dead.nonEmpty) {
+      val clash = batch.select(col(idCol).cast("long").as(idCol))
+        .filter(col(idCol).isin(dead.toSeq: _*)).limit(1).collect()
+      require(clash.isEmpty,
+        s"appendDelta: id ${clash.headOption.map(_.getLong(0)).getOrElse(-1L)} is " +
+          s"tombstoned in $dir — a global-mask probe would silently hide the re-add; " +
+          "run compactDeltas(dropTombstoned = true) to reclaim, then re-add")
+    }
     build(batch, p, idCol, embCol)
       .repartition(p.parts, col("part"))
       .write.mode("overwrite").partitionBy("part")

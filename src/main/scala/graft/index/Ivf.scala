@@ -234,10 +234,34 @@ object Ivf {
     * [[buildLayout]] treats as "rebuild" — never a silently stale probe.
     * Standard IVF caveat: heavy appends under distribution drift skew
     * the inverted lists; rebuild when drift matters. */
+  /** LOUD GUARD shared by both append paths: an appended id that is
+    * currently tombstoned would be SILENTLY MASKED by every probe's
+    * global anti-join — and naively clearing its tombstone instead
+    * would resurrect the old base row next to the new one (duplicate).
+    * The layout's tombstones are a global id mask (unlike the
+    * posting/SQ8 stores' covered-leg tombstones, under which re-adds
+    * revive); the supported revival path here is [[compactLayout]]
+    * (physical drop + tombstone clear), THEN re-add. Batch-sized
+    * semi-join against the small broadcast tombstone table. */
+  private def requireNotTombstoned(layout: Layout, rows: DataFrame, idCol: String): Unit = {
+    val tombPath = new java.io.File(layout.dir, tombstoneDirName)
+    if (!tombPath.exists()) return
+    val spark = rows.sparkSession
+    val clash = rows.select(col(idCol).cast("long").as(idCol)).distinct()
+      .join(broadcast(spark.read.parquet(tombPath.toString)
+        .select(col(idCol)).distinct()), Seq(idCol), "left_semi")
+      .limit(1).collect()
+    require(clash.isEmpty,
+      s"append: id ${clash.headOption.map(_.getLong(0)).getOrElse(-1L)} is tombstoned in " +
+        s"${layout.dir} — a global-mask probe would silently hide the re-add; run " +
+        "compactLayout to physically reclaim deleted rows, then re-add")
+  }
+
   def appendToLayout(
       layout: Layout,
       rows: DataFrame,
       embCol: String = "embedding"): Layout = {
+    requireNotTombstoned(layout, rows, "vec_id")
     // pin the batch ONCE: writing and fingerprinting from two separate
     // evaluations of `rows` would let a nondeterministic input store one
     // dataset while the sidecar attests another — exactly the silent
@@ -287,6 +311,7 @@ object Ivf {
       rows: DataFrame,
       tag: String,
       embCol: String = "embedding"): Long = {
+    requireNotTombstoned(layout, rows, "vec_id") // see the guard's doc
     val assigned = assignByCentroids(layout, rows, embCol).localCheckpoint()
     assigned.write.mode("overwrite").partitionBy("cluster")
       .parquet(s"${layout.dir}/$deltaDirPrefix$tag")

@@ -160,6 +160,30 @@ class HnswSpec extends AnyFunSuite {
     assert(Hnsw.tombstonedIds(spark, dir).isEmpty, "rebuild must clear tombstones")
   }
 
+  test("re-adding a tombstoned id fails LOUD; compact(dropTombstoned)-then-re-add revives") {
+    val c = corpus(300, seed = 61)
+    val p = Hnsw.Params(m = 6, efConstruction = 32, parts = 3)
+    val dir = java.nio.file.Files.createTempDirectory("hnsw").toString
+    Hnsw.ensureLayout(c, dir, p)
+    val q = c.filter(col("vec_id") === 7L).as[(Long, Array[Float])].head()._2
+    Hnsw.deleteFromLayout(spark, dir, Seq(7L), tag = "t1")
+    val readd = c.filter(col("vec_id") === 7L)
+      .select(col("vec_id"), col("embedding"))
+    // the global tombstone mask would silently hide the re-add
+    val e = intercept[IllegalArgumentException] {
+      Hnsw.appendDelta(spark, dir, readd, tag = "re", p)
+    }
+    assert(e.getMessage.contains("tombstoned"))
+    // supported revival: physical reclaim, then re-add
+    Hnsw.compactDeltas(spark, dir, p, dropTombstoned = true)
+    assert(Hnsw.tombstonedIds(spark, dir).isEmpty)
+    Hnsw.appendDelta(spark, dir, readd, tag = "re", p)
+    val got = Hnsw.searchLayoutDeltaAware(spark, dir, q, 5, p)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(got.count(_ == 7L) == 1 && got.head == 7L,
+      s"revived id must be served exactly once at rank 1, got $got")
+  }
+
   test("delta append: searchable immediately, redelivery idempotent, compaction invariant") {
     val c = corpus(300, seed = 41)
     val p = Hnsw.Params(m = 6, efConstruction = 32, parts = 3)

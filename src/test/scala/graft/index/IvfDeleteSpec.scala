@@ -103,6 +103,33 @@ class IvfDeleteSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     assert(!Ivf.compactLayout(spark, layout, maxTombstoneFraction = 0.01))
   }
 
+  test("re-adding a tombstoned id fails LOUD; compact-then-re-add revives exactly once") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("ivf_readd").toString + "/corpus"
+    val layout = Ivf.buildLayout(spark, emb, dir, nlist = 8, maxIter = 3)
+    Ivf.appendToLayout(layout, planted(3, 6200000L))
+    val q = queryVec(2)
+    Ivf.deleteFromLayout(layout, Seq(6200000L).toDF("vec_id"))
+    // the layout's tombstones are a GLOBAL mask: a silent re-add would
+    // be hidden by every probe (and un-masking would resurrect the old
+    // row) — both append paths must reject it loudly
+    val e1 = intercept[IllegalArgumentException] {
+      Ivf.appendToLayout(layout, planted(1, 6200000L))
+    }
+    assert(e1.getMessage.contains("tombstoned"))
+    val e2 = intercept[IllegalArgumentException] {
+      Ivf.appendDelta(layout, planted(1, 6200000L), "t_readd")
+    }
+    assert(e2.getMessage.contains("tombstoned"))
+    // the supported revival path: physical reclaim, then re-add
+    assert(Ivf.compactLayout(spark, layout, maxTombstoneFraction = 0.0))
+    Ivf.appendToLayout(layout, planted(1, 6200000L))
+    val got = Ivf.searchLayout(spark, layout, q, k = 5, nprobe = 1).collect()
+      .map(_.getLong(0)).toSeq
+    assert(got.count(_ == 6200000L) == 1,
+      s"revived id must be served exactly once, got $got")
+  }
+
   test("post-delete probe equals exact search over the shrunken corpus") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("ivf_del_eq").toString + "/corpus"
