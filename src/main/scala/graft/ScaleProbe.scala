@@ -120,6 +120,50 @@ object ScaleProbe {
       sqCached.unpersist()
     }
 
+    // batch-probe amortization: N queries through ONE scan/probe vs N
+    // single probes over the same store — the wall-clock ratio is the
+    // point (the batch path must approach 1× the single-probe cost,
+    // not N×: one codes scan computing N ADC columns; one bucket-
+    // pruned posting probe sharing one df aggregation)
+    if (onlyFilter.forall(_.exists("batchprobe".contains))) {
+      val sqm = graft.index.Sq.fit(emb)
+      // DISK-backed codes — the honest 100 TB condition: a persisted
+      // code table each single probe re-reads from storage (a
+      // memory-cached table flatters the singles: their codegen
+      // TakeOrdered is nearly free once IO is removed)
+      val sqDir = java.nio.file.Files
+        .createTempDirectory(s"probe_sqbatch_$factor").toString + "/codes"
+      graft.index.Sq.encode(emb, sqm).write.parquet(sqDir)
+      val sqDisk = spark.read.parquet(sqDir)
+      val qs = (0 until 8).map(i =>
+        (i.toLong, Array.tabulate(64)(d => 0.1f + 0.01f * ((i + d) % 7))))
+      time(s"batchprobe sq8 8q ONE scan ($nVec codes)")(noop(
+        graft.index.Sq.searchRerankBatch(sqDisk, emb, sqm, qs,
+          k = 10, shortlist = 200)))
+      time("batchprobe sq8 8q singles x8")(
+        qs.foreach { case (_, q) => noop(
+          graft.index.Sq.searchRerank(sqDisk, emb, sqm, q,
+            k = 10, shortlist = 200)) })
+
+      val dv = replicateVaried(factor).repartition(cpus.toInt).localCheckpoint()
+      val bmDir = java.nio.file.Files
+        .createTempDirectory(s"probe_bmbatch_$factor").toString + "/postings"
+      val bmTable = s"probe_bmbatch_$factor"
+      spark.sql(s"DROP TABLE IF EXISTS $bmTable")
+      graft.text.InvertedIndex.ensure(spark, dv, bmTable, bmDir, buckets = 8)
+      // the varied fixture prefixes each replica group's tokens, so
+      // query i probes group i's postings — 8 disjoint term sets
+      val termSets = (0L until 8L).map(i =>
+        i -> Seq(s"g${i}_spark", s"g${i}_join", s"g${i}_merge", s"g${i}_window"))
+      time(s"batchprobe bm25 8q ONE probe (${factor}x)")(noop(
+        graft.text.InvertedIndex.bm25SearchBatch(spark, bmTable, bmDir,
+          termSets, topN = 10)))
+      time("batchprobe bm25 8q singles x8")(
+        termSets.foreach { case (_, ts) => noop(
+          graft.text.InvertedIndex.bm25SearchDeltaAware(spark, bmTable, bmDir,
+            ts, topN = 10)) })
+    }
+
     // incremental text-index appends: the batch stays FIXED while the
     // indexed corpus grows with the factor — the established
     // incremental-store asymmetry. Append cost must track the BATCH

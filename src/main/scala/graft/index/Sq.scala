@@ -183,15 +183,17 @@ object Sq {
 
   /** BATCH SQ8 probe — N queries served by ONE pass over the codes:
     * the scan computes N codegen ADC columns (each query's plan-time
-    * table rides its own PqAdcExpr), `stack` unpivots them to
-    * (query_id, adist) rows, per-query shortlists come from the
-    * bounded [[graft.ops.TopKAggregator]] (map-side partial top-k —
-    * the shuffle is |partitions|·|Q|·shortlist rows, NEVER the
-    * corpus-sized stacked relation a per-query window would move; the
-    * retained set under the aggregator's (adist, id) order is
-    * IDENTICAL to the single-query [[search]] order, so each shortlist
-    * equals the single-probe shortlist), and the exact rerank joins
-    * the true vectors once for ALL queries. N separate probes scan the
+    * table rides its own PqAdcExpr) into a NARROW (id, N dists) frame
+    * materialized once (`localCheckpoint` — 8·(N+1) bytes/row, about
+    * one extra codes-copy at N=8, spillable; bound the batch width and
+    * compose waves for very large N), then N codegen TakeOrdered
+    * passes cut the per-query shortlists from that frame — every stage
+    * whole-stage codegen, no row-by-row tuple serialization (a
+    * stack+aggregator unpivot was measured SLOWER than N single probes
+    * at 400k codes: the generator + Dataset encode cost on |corpus|·N
+    * rows dominates). Each shortlist's (adist, id) order is IDENTICAL
+    * to the single-query [[search]] order; the exact rerank joins the
+    * true vectors once for ALL queries. N separate probes scan the
     * codes N times; this scans them once. Returns (query_id, vec_id,
     * dist, rank) with dist the exact float64 distance. */
   def searchRerankBatch(
@@ -209,17 +211,15 @@ object Sq {
     val adcCols = queries.map { case (qid, q) =>
       org.apache.spark.sql.graft.VectorExpressions
         .pqAdc(col("codes"), adcTable(model, q), 256).as(s"_adc_$qid") }
-    val pairs = queries.map { case (qid, _) => s"${qid}L, `_adc_$qid`" }.mkString(", ")
-    val stacked = encoded
+    val scored = encoded
       .select((col(idCol) +: adcCols): _*)
-      .selectExpr(idCol, s"stack(${queries.size}, $pairs) AS (query_id, adist)")
-    val short = stacked
-      .select(col("query_id"), col(idCol).cast("long"), col("adist"))
-      .as[(Long, Long, Double)]
-      .groupByKey(_._1).mapValues(t => (t._2, t._3))
-      .agg(new graft.ops.TopKAggregator(shortlist).toColumn.name("topk"))
-      .flatMap { case (qid, arr) => arr.iterator.map { case (id, _) => (qid, id) } }
-      .toDF("query_id", idCol)
+      .localCheckpoint() // ONE codes scan feeds all N shortlist cuts
+    val short = queries.map { case (qid, _) =>
+      scored.select(lit(qid).as("query_id"), col(idCol),
+          col(s"_adc_$qid").as("adist"))
+        .orderBy(col("adist").asc, col(idCol).asc)
+        .limit(shortlist)
+    }.reduce(_ unionAll _).select(col("query_id"), col(idCol))
     val qDf = queries.map { case (qid, q) => (qid, q.toSeq) }
       .toDF("query_id", "q_embedding")
     val wFinal = org.apache.spark.sql.expressions.Window

