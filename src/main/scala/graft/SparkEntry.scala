@@ -1502,6 +1502,34 @@ object SparkEntry {
        |SELECT doc_id, n_occurrences FROM occ
        |WHERE n_occurrences > 0 ORDER BY doc_id""".stripMargin
 
+  /** The batch-probe phrase table shared by doc_phrase_batch and its
+    * oracle generator (a phrase with zero matches contributes zero
+    * rows on BOTH engines, so presence in the corpus is not required
+    * for the twin to hold). */
+  private val PhraseBatchQueries: Seq[(Long, Seq[String])] = Seq(
+    0L -> Seq("hash", "join"),
+    1L -> Seq("merge", "batch"),
+    2L -> Seq("vector", "stream"))
+
+  /** Oracle for the batched phrase probe: one token-slice replay per
+    * phrase (the [[phraseSqlOver]] arithmetic, parameterized), unioned
+    * under its query_id. */
+  private def phraseBatchOracleSql(phrases: Seq[(Long, Seq[String])]): String = {
+    val legs = phrases.map { case (qid, p) =>
+      val cond = p.zipWithIndex
+        .map { case (t, i) => s"toks[i+$i] = '$t'" }.mkString(" AND ")
+      s"""SELECT CAST($qid AS BIGINT) AS query_id, doc_id, n_occurrences
+         |FROM (SELECT doc_id,
+         |        CAST(len([i FOR i IN range(1, len(toks) - ${p.size - 2})
+         |                  IF $cond]) AS BIGINT) AS n_occurrences
+         |      FROM t)
+         |WHERE n_occurrences > 0""".stripMargin
+    }
+    s"""WITH t AS (SELECT doc_id, $ToksSql AS toks FROM documents)
+       |${legs.mkString("\nUNION ALL\n")}
+       |ORDER BY query_id, doc_id""".stripMargin
+  }
+
   /** Brute-force positions-cross-product oracle shared by
     * doc_proximity_search (positional-index path) and
     * sql_proximity_search (one-statement SQL path). */
@@ -3494,6 +3522,22 @@ object SparkEntry {
         s"graft_post_$key", s"$tmp/graft_postings_$key", buckets = 8)
       graft.text.InvertedIndex.bm25SearchBatch(s, s"graft_post_$key",
         s"$tmp/graft_postings_$key", Bm25BatchQueries, topN = 10)
+    }),
+
+    // BATCHED phrase search — N phrases served by ONE delta-aware
+    // positional probe: the union of every phrase's terms bucket-prunes
+    // a single postings read (materialized once, bounded by the probed
+    // slice), and each phrase's adjacency intersection runs over that
+    // frame. The oracle replays every phrase's token-slice definition
+    // from scratch and unions them — a matching hash proves the shared
+    // probe changes nothing.
+    "doc_phrase_batch" -> ((s, dir) => {
+      val key = dirKey(dir)
+      val tmp = System.getProperty("java.io.tmpdir")
+      graft.text.InvertedIndex.ensurePositional(s, docs(s, dir),
+        s"graft_pos_$key", s"$tmp/graft_positional_$key", buckets = 8)
+      graft.text.InvertedIndex.phraseSearchBatch(s, s"graft_pos_$key",
+        s"$tmp/graft_positional_$key", PhraseBatchQueries)
     }),
 
     // Exact PHRASE search over a persisted positional index (IIR §2.4):
@@ -7289,6 +7333,9 @@ object SparkEntry {
     // matching hash proves the shared-probe batch path equals N
     // independent single-query probes bit-for-bit.
     "doc_bm25_batch" -> bm25BatchOracleSql(Bm25BatchQueries, topN = 10),
+
+    // Per-phrase token-slice replays, unioned under their query ids.
+    "doc_phrase_batch" -> phraseBatchOracleSql(PhraseBatchQueries),
     // And the one-statement SQL surface over the same postings table.
     "sql_bm25_topk" -> Bm25OracleSql,
 

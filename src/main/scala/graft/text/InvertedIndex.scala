@@ -139,6 +139,36 @@ object InvertedIndex {
       .agg(count(lit(1)).cast("long").as("n_occurrences"))
   }
 
+  /** BATCHED phrase search — N phrases served by ONE delta-aware
+    * positional probe: the union of every phrase's terms bucket-prunes
+    * a single postings read, materialized once (`localCheckpoint` —
+    * bounded by the PROBED postings, the term-selective slice, never
+    * the corpus), and each phrase's adjacency intersection then runs
+    * over that frame (batch-sized joins). N separate probes re-read
+    * every shared term's bucket N times; this reads each exactly once.
+    * Each phrase's rows equal its single-probe
+    * [[phraseSearchDeltaAware]] result (same intersection over the
+    * same postings — oracle-proven). Returns (query_id, doc_id,
+    * n_occurrences). */
+  def phraseSearchBatch(
+      spark: SparkSession,
+      table: String,
+      dir: String,
+      phrases: Seq[(Long, Seq[String])]): DataFrame = {
+    require(phrases.nonEmpty && phrases.forall(_._2.nonEmpty),
+      "need at least one phrase, each with at least one term")
+    val allTerms = phrases.flatMap(_._2).distinct
+    val probed = withDeltas(spark, table, dir)
+      .filter(col("token").isin(allTerms: _*))
+      .select(col("token"), col("doc_id"), col("pos"))
+      .localCheckpoint() // ONE probe feeds every phrase's intersection
+    phrases.map { case (qid, phrase) =>
+      phraseOver(probed, phrase)
+        .select(lit(qid).as("query_id"), col("doc_id"), col("n_occurrences"))
+    }.reduce(_ unionAll _)
+      .orderBy(col("query_id"), col("doc_id"))
+  }
+
   private val triSidecarName = "_graft_trigram_sidecar.json"
   private val triDdl = "tri STRING, doc_id BIGINT"
 

@@ -67,6 +67,25 @@ class InvertedIndexSpec extends AnyFunSuite {
     spark.sql("DROP TABLE IF EXISTS iidx_batch")
   }
 
+  test("batched phrase probe equals per-phrase singles, one shared probe") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val dir = freshDir("phbatch")
+    InvertedIndex.ensurePositional(spark, docs, "iidx_phbatch", dir, buckets = 8)
+    val phrases: Seq[(Long, Seq[String])] = Seq(
+      0L -> Seq("hash", "join"), 1L -> Seq("merge", "batch"),
+      2L -> Seq("no", "such", "phrase", "anywhere"))
+    val got = InvertedIndex.phraseSearchBatch(spark, "iidx_phbatch", dir, phrases)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val want = phrases.flatMap { case (qid, p) =>
+      InvertedIndex.phraseSearchDeltaAware(spark, "iidx_phbatch", dir, p)
+        .orderBy(org.apache.spark.sql.functions.col("doc_id"))
+        .collect().map(r => (qid, r.getLong(0), r.getLong(1)))
+    }
+    assert(got == want, s"batch phrase rows must equal the single probes")
+    assert(!got.exists(_._1 == 2L), "a match-less phrase contributes zero rows")
+    spark.sql("DROP TABLE IF EXISTS iidx_phbatch")
+  }
+
   test("phraseSearch equals a brute-force token-slice scan, incl. repeated terms") {
     import spark.implicits._
     val docs = Seq(
