@@ -1530,6 +1530,28 @@ object SparkEntry {
        |ORDER BY query_id, doc_id""".stripMargin
   }
 
+  /** The batch-probe needle table shared by doc_substring_batch and
+    * its oracle generator (needles pre-normalized; the match-less one
+    * contributes zero rows on both engines). */
+  private val SubstringBatchQueries: Seq[(Long, String)] = Seq(
+    0L -> "merge batch",
+    1L -> "hash join",
+    2L -> "zzz qqq xxx")
+
+  /** Oracle for the batched substring probe: one contains/replace-count
+    * replay per needle (the [[substringSqlOver]] arithmetic,
+    * parameterized), unioned under its query_id. */
+  private def substringBatchOracleSql(needles: Seq[(Long, String)]): String = {
+    val legs = needles.map { case (qid, n) =>
+      s"""SELECT CAST($qid AS BIGINT) AS query_id, doc_id,
+         |       CAST((len(n) - len(replace(n, '$n', ''))) // ${n.length} AS BIGINT) AS n_hits
+         |FROM t WHERE contains(n, '$n')""".stripMargin
+    }
+    s"""WITH t AS (SELECT doc_id, $NormSql AS n FROM documents)
+       |${legs.mkString("\nUNION ALL\n")}
+       |ORDER BY query_id, doc_id""".stripMargin
+  }
+
   /** Brute-force positions-cross-product oracle shared by
     * doc_proximity_search (positional-index path) and
     * sql_proximity_search (one-statement SQL path). */
@@ -3573,6 +3595,23 @@ object SparkEntry {
     // trigram buckets -> exact contains verification on candidates
     // only; occurrence counts by length arithmetic. The needle spans a
     // token boundary, which no token index could serve.
+    // BATCHED substring search — N needles through ONE delta-aware
+    // trigram probe and ONE corpus verification pass (the third leg of
+    // the text-index batch family): the union of every needle's
+    // trigrams prunes one postings read, each needle's
+    // AND-intersection cuts candidates from that frame, and a single
+    // normalized corpus join verifies every (needle, candidate) pair.
+    // Per-needle replay oracle; the match-less needle contributes zero
+    // rows on both engines.
+    "doc_substring_batch" -> ((s, dir) => {
+      val key = dirKey(dir)
+      val tmp = System.getProperty("java.io.tmpdir")
+      graft.text.InvertedIndex.ensureTrigram(s, docs(s, dir),
+        s"graft_tri_$key", s"$tmp/graft_trigram_$key", buckets = 8)
+      graft.text.InvertedIndex.substringSearchBatch(s, s"graft_tri_$key",
+        s"$tmp/graft_trigram_$key", docs(s, dir), SubstringBatchQueries)
+    }),
+
     "doc_substring_search" -> ((s, dir) => {
       val key = dirKey(dir)
       val tmp = System.getProperty("java.io.tmpdir")
@@ -7543,6 +7582,9 @@ object SparkEntry {
     // n_hits by the same exact length arithmetic (the diff is a
     // multiple of 11, so integer division is exact on both engines).
     "doc_substring_search" -> SubstringOracleSql,
+
+    // Per-needle contains/replace-count replays under their query ids.
+    "doc_substring_batch" -> substringBatchOracleSql(SubstringBatchQueries),
     // The one-statement SQL path must reproduce the identical rows.
     "sql_substring_search" -> SubstringOracleSql,
 

@@ -260,6 +260,55 @@ object InvertedIndex {
       .select(col("doc_id"), col("n_hits"))
   }
 
+  /** BATCHED substring search — N needles served by ONE delta-aware
+    * trigram probe and ONE corpus verification pass: the union of
+    * every needle's trigrams prunes a single postings read
+    * (materialized once, bounded by the probed slice), each needle's
+    * AND-intersection cuts its candidates from that frame, and one
+    * corpus join verifies every (needle, candidate) pair with the
+    * exact replace-count — the corpus text is normalized and read
+    * once, not N times. Each needle's rows equal its single-probe
+    * result (same candidates, same verification arithmetic —
+    * oracle-proven). Returns (query_id, doc_id, n_hits). */
+  def substringSearchBatch(
+      spark: SparkSession,
+      table: String,
+      dir: String,
+      corpus: DataFrame,
+      needles: Seq[(Long, String)],
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(needles.nonEmpty, "need at least one needle")
+    import spark.implicits._
+    val norms = needles.map { case (qid, s) => (qid, normalizeNeedle(s)) }
+    norms.foreach { case (qid, n) => require(n.length >= 3,
+      s"needle of query $qid must be >= 3 chars after normalization, got '$n'") }
+    val allTris = norms.flatMap(_._2.sliding(3)).distinct
+    val probed = withDeltas(spark, table, dir)
+      .filter(col("tri").isin(allTris: _*))
+      .select(col("tri"), col("doc_id"))
+      .localCheckpoint() // ONE probe feeds every needle's intersection
+    val cands = norms.map { case (qid, n) =>
+      val tris = n.sliding(3).toSeq.distinct
+      probed.filter(col("tri").isin(tris: _*))
+        .groupBy(col("doc_id"))
+        .agg(count_distinct(col("tri")).as("nt"))
+        .filter(col("nt") === tris.size)
+        .select(lit(qid).as("query_id"), col("doc_id"))
+    }.reduce(_ unionAll _)
+    val nDf = norms.toDF("query_id", "_needle")
+    val norm = TextAnalysis.normalizeText(col(textCol))
+    corpus.select(col(idCol).cast("long").as("doc_id"), norm.as("_n"))
+      .join(broadcast(cands), Seq("doc_id"))
+      .join(broadcast(nDf), Seq("query_id"))
+      .withColumn("n_hits",
+        ((length(col("_n")) - length(replace(col("_n"), col("_needle"), lit("")))) /
+          length(col("_needle"))).cast("long"))
+      .filter(col("n_hits") > 0L)
+      .select(col("query_id"), col("doc_id"), col("n_hits"))
+      .orderBy(col("query_id"), col("doc_id"))
+  }
+
   /** Proximity search over the positional postings: for docs
     * containing BOTH terms, the minimum token distance between any
     * occurrence pair (IIR §2.4's within-k operator, reported as the

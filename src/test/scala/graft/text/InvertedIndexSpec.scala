@@ -86,6 +86,25 @@ class InvertedIndexSpec extends AnyFunSuite {
     spark.sql("DROP TABLE IF EXISTS iidx_phbatch")
   }
 
+  test("batched substring probe equals per-needle singles, one probe + one verify pass") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val dir = freshDir("subbatch")
+    InvertedIndex.ensureTrigram(spark, docs, "iidx_subbatch", dir, buckets = 8)
+    val needles: Seq[(Long, String)] = Seq(
+      0L -> "merge batch", 1L -> "hash join", 2L -> "zzz qqq xxx")
+    val got = InvertedIndex.substringSearchBatch(
+        spark, "iidx_subbatch", dir, docs, needles)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val want = needles.flatMap { case (qid, n) =>
+      InvertedIndex.substringSearchDeltaAware(spark, "iidx_subbatch", dir, docs, n)
+        .orderBy(org.apache.spark.sql.functions.col("doc_id"))
+        .collect().map(r => (qid, r.getLong(0), r.getLong(1)))
+    }
+    assert(got == want, "batch substring rows must equal the single probes")
+    assert(!got.exists(_._1 == 2L), "a match-less needle contributes zero rows")
+    spark.sql("DROP TABLE IF EXISTS iidx_subbatch")
+  }
+
   test("phraseSearch equals a brute-force token-slice scan, incl. repeated terms") {
     import spark.implicits._
     val docs = Seq(
