@@ -3441,6 +3441,28 @@ object SparkEntry {
         .orderBy(col("part"), col("bin_idx"))
     }),
 
+    // FIM (fill-in-the-middle, Bavarian et al. 2022 — PSM format):
+    // the infilling-training transform — each document splits at
+    // deterministic char points (1/3, 2/3) and reorders to
+    // <PRE>prefix<SUF>suffix<MID>middle, so the model learns to
+    // generate the middle conditioned on both sides. Pure whole-stage
+    // codegen string arithmetic (substr on column-derived offsets,
+    // one narrow scan, no shuffle); the oracle replays the identical
+    // integer-division split math.
+    "doc_fim_transform" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val len = length(col("text"))
+      val c1 = (len / 3).cast("int")
+      val c2 = (len * 2 / 3).cast("int")
+      d.select(col("doc_id"),
+          concat(
+            lit("<PRE>"), col("text").substr(lit(1), c1),
+            lit("<SUF>"), col("text").substr(c2 + 1, len - c2),
+            lit("<MID>"), col("text").substr(c1 + 1, c2 - c1)).as("fim_text"),
+          (c2 - c1).cast("long").as("n_mid_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
     // SFT loss masking end-to-end (completion-only loss, the
     // InstructGPT-family convention): deterministic role-alternating
     // turns, each turn tokenized SEPARATELY through the ranked
@@ -7246,6 +7268,18 @@ object SparkEntry {
     "seq_pack_ids" -> seqPackIdsOracleSql(maxIters = 36, budget = 512L, nParts = 8),
 
     "seq_sft_mask" -> sftMaskOracleSql(maxIters = 36, turnLen = 8, keyStride = 1000000L),
+
+    // The identical integer-division split math over the raw text.
+    "doc_fim_transform" ->
+      """WITH s AS (SELECT doc_id, text,
+        |             len(text) // 3 AS c1, (len(text) * 2) // 3 AS c2
+        |           FROM documents)
+        |SELECT doc_id,
+        |       '<PRE>' || substr(text, 1, c1)
+        |         || '<SUF>' || substr(text, c2 + 1)
+        |         || '<MID>' || substr(text, c1 + 1, c2 - c1) AS fim_text,
+        |       CAST(c2 - c1 AS BIGINT) AS n_mid_chars
+        |FROM s ORDER BY doc_id""".stripMargin,
 
     // The streaming packer's id-ascending two-batch replay equals the
     // batch packGreedy exactly (carryover across the batch boundary is
