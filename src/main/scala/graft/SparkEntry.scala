@@ -4462,6 +4462,80 @@ object SparkEntry {
       graft.index.Hnsw.searchLayoutDeltaAware(s, layoutDir, query, k = 10, p)
     }),
 
+    // CDC mutation stream on the persisted IVF layout — the
+    // GLOBAL-MASK variant of the mutation family (covered-leg revival
+    // does not apply here; same-batch add+delete pairs net out, and
+    // re-adding an earlier delete fails loudly via the append guard):
+    // 15 planted copies stream in, a later batch deletes five of them
+    // (tombstoning JUST-STREAMED delta rows — the interplay the delete
+    // path documents), and the delta-aware pruned probe must equal
+    // exact top-10 over the survivors — which the oracle rebuilds.
+    "stream_ivf_delete" -> ((s, dir) => {
+      val corpus = emb(s, dir)
+      val base = graft.index.Ivf.buildLayout(s, corpus,
+        ivfLayoutDir(dir, "appendbase"), nlist = 8, maxIter = 3)
+      val scratch = freshScratchDir(dir, "streamivfmut")
+      val layoutDir = s"$scratch/layout"
+      copyDir(base.dir, layoutDir)
+      // add rows carry the layout's FULL base schema (incl. label)
+      def op(o: String)(df: DataFrame): DataFrame =
+        df.select(lit(o).as("op"), col("vec_id"), col("embedding"), col("label"))
+      val planted = corpus.filter(col("vec_id") === 0)
+        .crossJoin(s.range(15))
+        .select((col("id") + lit(5100000L)).as("vec_id"), col("embedding"),
+          col("label"))
+      val b0 = op("add")(planted)
+      val b1 = op("del")(planted.filter(col("vec_id") < 5100005L))
+      val inDir = s"$scratch/in"
+      b0.coalesce(1).write.mode("overwrite").parquet(inDir)
+      b1.coalesce(1).write.mode("append").parquet(inDir)
+      val stream = s.readStream.schema(b0.schema)
+        .option("maxFilesPerTrigger", 1).parquet(inDir)
+      val q = graft.streaming.StreamingIngest.streamingIvfMutations(
+        stream, layoutDir, s"$scratch/chk")
+      q.awaitTermination()
+      val query = corpus.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).toArray
+      graft.index.Ivf.searchLayoutDeltaAware(s,
+        graft.index.Ivf.loadLayout(layoutDir), query, k = 10, nprobe = 1)
+    }),
+
+    // CDC mutation stream on the sharded HNSW layout — the graph-index
+    // leg of the global-mask variant: five planted copies stream in,
+    // a later batch deletes two of them PLUS two base ids (a mixed
+    // takedown), and the delta-aware probe must reproduce the
+    // survivors-only brute force.
+    "stream_hnsw_delete" -> ((s, dir) => {
+      val corpus = emb(s, dir)
+      val p = hnswParams(corpus)
+      val baseDir =
+        s"${System.getProperty("java.io.tmpdir")}/graft_hnsw_${dirKey(dir)}"
+      graft.index.Hnsw.ensureLayout(corpus, baseDir, p)
+      val scratch = freshScratchDir(dir, "streamhnswmut")
+      val layoutDir = s"$scratch/layout_root"
+      copyDir(baseDir, layoutDir)
+      def op(o: String)(df: DataFrame): DataFrame =
+        df.select(lit(o).as("op"), col("vec_id"), col("embedding"))
+      val planted = corpus.filter(col("vec_id") === 0)
+        .crossJoin(s.range(5))
+        .select((col("id") + lit(5200000L)).as("vec_id"), col("embedding"))
+      val b0 = op("add")(planted)
+      val b1 = op("del")(planted.filter(col("vec_id") < 5200002L))
+        .unionAll(op("del")(corpus.filter(col("vec_id").isin(1L, 2L))
+          .select(col("vec_id"), col("embedding"))))
+      val inDir = s"$scratch/in"
+      b0.coalesce(1).write.mode("overwrite").parquet(inDir)
+      b1.coalesce(1).write.mode("append").parquet(inDir)
+      val stream = s.readStream.schema(b0.schema)
+        .option("maxFilesPerTrigger", 1).parquet(inDir)
+      val q = graft.streaming.StreamingIngest.streamingHnswMutations(
+        stream, layoutDir, s"$scratch/chk", p)
+      q.awaitTermination()
+      val query = corpus.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).toArray
+      graft.index.Hnsw.searchLayoutDeltaAware(s, layoutDir, query, k = 10, p)
+    }),
+
     // Streaming SQ8 code-store maintenance — the quantized-vector leg
     // of the incremental-store family: new vectors encode under the
     // PERSISTED min/max model (the FAISS trained-index contract — the
@@ -8367,6 +8441,35 @@ object SparkEntry {
          |           UNION ALL
          |           SELECT 4300000 + r.i AS vec_id, e.embedding
          |           FROM embeddings e CROSS JOIN range(10) r(i) WHERE e.vec_id = 0),
+         |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         |d AS (SELECT c.vec_id, ${l2SqSql("c.embedding", "q.qe")} AS dist
+         |      FROM c CROSS JOIN q)
+         |SELECT vec_id, dist,
+         |       CAST(row_number() OVER (ORDER BY dist ASC, vec_id ASC) AS INTEGER) AS rank
+         |FROM d ORDER BY dist ASC, vec_id ASC LIMIT 10""".stripMargin,
+
+    // Exact top-10 over (corpus ∪ planted) − the five CDC-deleted
+    // copies — the global-mask mutation stream's survivor contract.
+    "stream_ivf_delete" ->
+      s"""WITH c AS (SELECT vec_id, embedding FROM embeddings
+         |           UNION ALL
+         |           SELECT 5100000 + r.i AS vec_id, e.embedding
+         |           FROM embeddings e CROSS JOIN range(15) r(i) WHERE e.vec_id = 0),
+         |live AS (SELECT * FROM c WHERE vec_id NOT BETWEEN 5100000 AND 5100004),
+         |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+         |SELECT live.vec_id AS vec_id, ${l2SqSql("live.embedding", "q.qe")} AS dist
+         |FROM live CROSS JOIN q
+         |ORDER BY dist ASC, vec_id ASC LIMIT 10""".stripMargin,
+
+    // Survivors-only brute force after the mixed takedown (two planted
+    // copies + two base ids), with the graph probe's rank column.
+    "stream_hnsw_delete" ->
+      s"""WITH c AS (SELECT vec_id, embedding FROM embeddings
+         |           WHERE vec_id NOT IN (1, 2)
+         |           UNION ALL
+         |           SELECT 5200000 + r.i AS vec_id, e.embedding
+         |           FROM embeddings e CROSS JOIN range(5) r(i)
+         |           WHERE e.vec_id = 0 AND r.i >= 2),
          |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
          |d AS (SELECT c.vec_id, ${l2SqSql("c.embedding", "q.qe")} AS dist
          |      FROM c CROSS JOIN q)

@@ -698,6 +698,88 @@ object StreamingIngest {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** CDC mutation stream for the persisted IVF layout — the
+    * GLOBAL-MASK families' variant of [[streamingPostingsMutations]]:
+    * IVF (and HNSW) tombstones mask ids globally, so the batch
+    * semantics differ from the covered-leg stores and are made
+    * explicit here. Within a batch, adds that the SAME batch also
+    * deletes are NETTED OUT before anything lands (last-op-wins, and
+    * the only redelivery-safe choice: landing the add first would
+    * leave a tombstone that poisons the redelivered append through
+    * the not-tombstoned guard). Deletes of ids absent from the layout
+    * are ignored (delete is idempotent). Re-adding an id deleted by
+    * an EARLIER batch fails loudly via the append guard — the
+    * supported revival path is compactLayout, then re-add. */
+  def streamingIvfMutations(
+      stream: DataFrame,
+      layoutDir: String,
+      checkpoint: String,
+      embCol: String = "embedding",
+      maxDeltaDirs: Int = 16,
+      compactBytesRatio: Double = 1.0): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val tag = s"${pipelineTag(checkpoint)}_b$batchId"
+        val layout = graft.index.Ivf.loadLayout(layoutDir)
+        if (shouldCompact(graft.index.Ivf.deltaDirCount(layout), maxDeltaDirs,
+            graft.index.Ivf.deltaBytes(layout),
+            graft.index.Ivf.baseBytes(layout), compactBytesRatio))
+          graft.index.Ivf.compactDeltas(batch.sparkSession, layout, embCol,
+            excludeTags = Set(tag))
+        val dels = batch.filter(col("op") === "del").select("vec_id")
+        // adds keep the batch's FULL row schema minus op (the layout's
+        // delta rows must carry every base column — label etc. — for
+        // the positional base ∪ delta union)
+        val adds = batch.filter(col("op") === "add").drop("op")
+          .join(broadcast(dels), Seq("vec_id"), "left_anti") // net out same-batch pairs
+        if (!adds.isEmpty)
+          graft.index.Ivf.appendDelta(layout, adds, tag, embCol)
+        if (!dels.isEmpty)
+          graft.index.Ivf.deleteFromLayout(layout, dels)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** CDC mutation stream for the sharded HNSW layout — same
+    * global-mask semantics as [[streamingIvfMutations]] (net-out of
+    * same-batch add+delete pairs; phantom deletes ignored; re-add of
+    * an earlier batch's delete fails loudly — revival path is
+    * compactDeltas(dropTombstoned = true), then re-add). Delete ids
+    * come to the driver (batch-sized) for the tag-keyed tombstone
+    * write. */
+  def streamingHnswMutations(
+      stream: DataFrame,
+      layoutDir: String,
+      checkpoint: String,
+      p: graft.index.Hnsw.Params = graft.index.Hnsw.Params(),
+      maxDeltaDirs: Int = 16,
+      compactBytesRatio: Double = 1.0): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val tag = s"${pipelineTag(checkpoint)}_b$batchId"
+        if (shouldCompact(graft.index.Hnsw.deltaTags(layoutDir).size, maxDeltaDirs,
+            graft.index.Hnsw.deltaBytes(layoutDir),
+            graft.index.Hnsw.baseBytes(layoutDir), compactBytesRatio))
+          graft.index.Hnsw.compactDeltas(batch.sparkSession, layoutDir, p,
+            excludeTags = Set(tag))
+        val dels = batch.filter(col("op") === "del").select("vec_id")
+        val adds = batch.filter(col("op") === "add")
+          .select(col("vec_id"), col("embedding"))
+          .join(broadcast(dels), Seq("vec_id"), "left_anti")
+        if (!adds.isEmpty)
+          graft.index.Hnsw.appendDelta(batch.sparkSession, layoutDir, adds, tag, p)
+        val delIds = dels.distinct().collect().map(_.getLong(0)).toIndexedSeq
+        if (delIds.nonEmpty)
+          graft.index.Hnsw.deleteFromLayout(batch.sparkSession, layoutDir, delIds,
+            tag = tag)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   def streamingIvfAppend(
       stream: DataFrame,
       layoutDir: String,

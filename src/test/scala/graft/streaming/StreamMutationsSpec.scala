@@ -207,6 +207,49 @@ class StreamMutationsSpec extends AnyFunSuite {
       .toDF("vec_id", "embedding").localCheckpoint()
   }
 
+  test("IVF CDC (global mask): same-batch add+del nets out; delete of a streamed row; re-add fails loud") {
+    import graft.index.Ivf
+    val root = scratch("ivfcdc")
+    val corpus2 = Seq(
+      (1L, Seq(0.0f, 0.1f)), (2L, Seq(0.1f, 0.0f)), (3L, Seq(0.2f, 0.2f)),
+      (4L, Seq(10.0f, 10.1f)), (5L, Seq(10.1f, 10.0f)), (6L, Seq(10.2f, 10.2f))
+    ).toDF("vec_id", "embedding")
+    val layout = Ivf.buildLayout(spark, corpus2, s"$root/layout", nlist = 2, maxIter = 5)
+    def op(o: String)(rows: (Long, Seq[Float])*): DataFrame =
+      rows.toDF("vec_id", "embedding")
+        .select(lit(o).as("op"), col("vec_id"), col("embedding"))
+    // b0: add 101 and 102; same batch also deletes 102 (nets out) and
+    //     deletes base id 3
+    val b0 = op("add")((101L, Seq(0.05f, 0.05f)), (102L, Seq(0.06f, 0.04f)))
+      .unionAll(op("del")((102L, Seq(0.06f, 0.04f)), (3L, Seq(0.2f, 0.2f))))
+    // b1: delete the JUST-STREAMED 101
+    val b1 = op("del")((101L, Seq(0.05f, 0.05f)))
+    val inDir = s"$root/in"
+    writeBatches(inDir, Seq(b0, b1))
+    val q = StreamingIngest.streamingIvfMutations(
+      spark.readStream.schema(b0.schema)
+        .option("maxFilesPerTrigger", 1).parquet(inDir),
+      layout.dir, s"$root/chk")
+    q.awaitTermination()
+    val got = Ivf.searchLayoutDeltaAware(
+        spark, Ivf.loadLayout(layout.dir), Array(0.0f, 0.0f), k = 6, nprobe = 1)
+      .select("vec_id").as[Long].collect().toSet
+    assert(got == Set(1L, 2L),
+      s"survivors of the near cluster must be exactly 1 and 2, got $got")
+    // re-adding the earlier-deleted 101 must fail LOUD mid-stream
+    val b2 = op("add")((101L, Seq(0.05f, 0.05f)))
+    writeBatches(s"$root/in2", Seq(b2))
+    val q2 = StreamingIngest.streamingIvfMutations(
+      spark.readStream.schema(b2.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$root/in2"),
+      layout.dir, s"$root/chk2")
+    val e = intercept[Exception] { q2.awaitTermination() }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("tombstoned")),
+      s"the append guard must surface through the stream, got: ${messages(e)}")
+  }
+
   test("SQ8 CDC lifecycle: delete, revive, compaction under the untouched quantizer") {
     val root = scratch("sqmut")
     val dir = s"$root/sq8"
