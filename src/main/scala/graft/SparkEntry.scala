@@ -1552,6 +1552,31 @@ object SparkEntry {
        |ORDER BY query_id, doc_id""".stripMargin
   }
 
+  /** The batch-probe term-pair table shared by doc_proximity_batch
+    * and its oracle generator. */
+  private val ProximityBatchQueries: Seq[(Long, (String, String))] = Seq(
+    0L -> ("vector", "stream"),
+    1L -> ("hash", "join"),
+    2L -> ("merge", "window"))
+
+  /** Oracle for the batched proximity probe: one positions-cross-
+    * product replay per pair (the [[ProximityOracleSql]] arithmetic,
+    * parameterized), unioned under its query_id. */
+  private def proximityBatchOracleSql(pairs: Seq[(Long, (String, String))]): String = {
+    val legs = pairs.map { case (qid, (ta, tb)) =>
+      s"""SELECT CAST($qid AS BIGINT) AS query_id, doc_id,
+         |       CAST(min(abs(pa.p - pb.p)) AS INTEGER) AS min_dist
+         |FROM (SELECT doc_id, u.i AS p FROM t, unnest(range(1, len(toks) + 1)) AS u(i)
+         |      WHERE toks[i] = '$ta') pa
+         |JOIN (SELECT doc_id, u.i AS p FROM t, unnest(range(1, len(toks) + 1)) AS u(i)
+         |      WHERE toks[i] = '$tb') pb USING (doc_id)
+         |GROUP BY doc_id""".stripMargin
+    }
+    s"""WITH t AS (SELECT doc_id, $ToksSql AS toks FROM documents)
+       |${legs.mkString("\nUNION ALL\n")}
+       |ORDER BY query_id, doc_id""".stripMargin
+  }
+
   /** Brute-force positions-cross-product oracle shared by
     * doc_proximity_search (positional-index path) and
     * sql_proximity_search (one-statement SQL path). */
@@ -3610,6 +3635,40 @@ object SparkEntry {
       graft.text.InvertedIndex.proximitySearch(s, s"graft_pos_$key",
           "vector", "stream")
         .orderBy(col("doc_id"))
+    }),
+
+    // BATCHED proximity — N term pairs through ONE delta-aware
+    // positional probe (the fourth retrieval-batch leg): the union of
+    // every pair's terms prunes one postings read, each pair's min-gap
+    // join runs over that frame. Per-pair replay oracle.
+    "doc_proximity_batch" -> ((s, dir) => {
+      val key = dirKey(dir)
+      val tmp = System.getProperty("java.io.tmpdir")
+      graft.text.InvertedIndex.ensurePositional(s, docs(s, dir),
+        s"graft_pos_$key", s"$tmp/graft_positional_$key", buckets = 8)
+      graft.text.InvertedIndex.proximitySearchBatch(s, s"graft_pos_$key",
+        s"$tmp/graft_positional_$key", ProximityBatchQueries)
+    }),
+
+    // BATCHED Hamming search — N query signatures through ONE pass
+    // over the persisted 8-byte signature table (the binary rung of
+    // the batch family, the SQ8 batch device): the scan computes N
+    // bit_count columns into a narrow frame materialized once, then N
+    // codegen TakeOrdered cuts. The oracle replays each query's
+    // signature ranking relationally.
+    "knn_hamming_batch" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val artDir =
+        s"${System.getProperty("java.io.tmpdir")}/graft_binsig_${dirKey(dir)}"
+      graft.index.Binary.ensureSignatureArtifact(e, artDir, EmbDim)
+      val thr = graft.index.Binary.thresholdsFromArtifact(s, artDir)
+      val queries = e.filter(col("vec_id") < 3)
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(r => (r.getLong(0),
+          graft.index.Binary.signatureOf(r.getSeq[Float](1), thr)))
+        .toIndexedSeq
+      graft.index.Binary.hammingTopKBatch(
+        graft.index.Binary.signaturesFromArtifact(s, artDir), queries, 10)
     }),
 
     // Substring (LIKE '%needle%') search via a persisted character-
@@ -7698,6 +7757,24 @@ object SparkEntry {
 
     // Brute-force cross product of the two terms' positions per doc.
     "doc_proximity_search" -> ProximityOracleSql,
+
+    // Per-pair positions-cross-product replays under their query ids.
+    "doc_proximity_batch" -> proximityBatchOracleSql(ProximityBatchQueries),
+
+    // Each query's signature ranking replayed relationally over the
+    // shared signature CTEs — the one-scan batch must reproduce all
+    // three rankings.
+    "knn_hamming_batch" ->
+      s"""WITH $hammingSigCtes,
+         |qb AS (SELECT vec_id AS query_id, sig AS qsig FROM sigs WHERE vec_id < 3),
+         |d AS (SELECT qb.query_id, s.vec_id,
+         |        CAST(bit_count(xor(s.sig, qb.qsig)) AS INTEGER) AS hamming
+         |      FROM sigs s CROSS JOIN qb),
+         |r AS (SELECT query_id, vec_id, hamming,
+         |        row_number() OVER (PARTITION BY query_id ORDER BY hamming, vec_id) AS rn
+         |      FROM d)
+         |SELECT query_id, vec_id, hamming FROM r WHERE rn <= 10
+         |ORDER BY query_id, hamming, vec_id""".stripMargin,
     // The one-statement SQL self-join path: identical rows required.
     "sql_proximity_search" -> ProximityOracleSql,
 

@@ -101,6 +101,34 @@ object Binary {
       .orderBy(col("hamming").asc, col(idCol).asc)
       .limit(k)
 
+  /** BATCHED Hamming top-k — N query signatures served by ONE pass
+    * over the 8-byte signature table: the scan computes N
+    * `bit_count(sig XOR qsig_i)` columns into a narrow frame
+    * materialized once, then N codegen TakeOrdered cuts (the SQ8
+    * batch-probe device — per-query (hamming, id) order identical to
+    * the single-query [[hammingTopK]]). N separate probes scan the
+    * signatures N times; this scans them once. Returns
+    * (query_id, vec_id, hamming). */
+  def hammingTopKBatch(
+      sigs: DataFrame,
+      queries: Seq[(Long, Long)],
+      k: Int,
+      idCol: String = "vec_id"): DataFrame = {
+    require(queries.nonEmpty, "need at least one query signature")
+    val hamCols = queries.map { case (qid, qsig) =>
+      bit_count(col("sig").bitwiseXOR(lit(qsig))).as(s"_h_$qid") }
+    val scored = sigs
+      .select((col(idCol) +: hamCols): _*)
+      .localCheckpoint() // ONE signature scan feeds all N cuts
+    queries.map { case (qid, _) =>
+      scored.select(lit(qid).as("query_id"), col(idCol),
+          col(s"_h_$qid").as("hamming"))
+        .orderBy(col("hamming").asc, col(idCol).asc)
+        .limit(k)
+    }.reduce(_ unionAll _)
+      .orderBy(col("query_id"), col("hamming"), col(idCol))
+  }
+
   private val sigSidecar = "_binary_sigs.json"
   private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
 

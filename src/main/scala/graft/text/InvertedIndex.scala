@@ -260,6 +260,36 @@ object InvertedIndex {
       .select(col("doc_id"), col("n_hits"))
   }
 
+  /** BATCHED proximity search — N (termA, termB) queries served by
+    * ONE delta-aware positional probe: the union of every pair's
+    * terms bucket-prunes a single postings read (materialized once,
+    * bounded by the probed slice), and each pair's min-gap join runs
+    * over that frame — the per-doc tf(a)·tf(b) cost unchanged. Each
+    * query's rows equal its single-probe result. Returns
+    * (query_id, doc_id, min_dist). */
+  def proximitySearchBatch(
+      spark: SparkSession,
+      table: String,
+      dir: String,
+      pairs: Seq[(Long, (String, String))]): DataFrame = {
+    require(pairs.nonEmpty, "need at least one term pair")
+    val allTerms = pairs.flatMap { case (_, (a, b)) => Seq(a, b) }.distinct
+    val probed = withDeltas(spark, table, dir)
+      .filter(col("token").isin(allTerms: _*))
+      .select(col("token"), col("doc_id"), col("pos"))
+      .localCheckpoint() // ONE probe feeds every pair's min-gap join
+    pairs.map { case (qid, (ta, tb)) =>
+      val a = probed.filter(col("token") === ta)
+        .select(col("doc_id"), col("pos").as("pa"))
+      val b = probed.filter(col("token") === tb)
+        .select(col("doc_id"), col("pos").as("pb"))
+      a.join(b, Seq("doc_id"))
+        .groupBy(col("doc_id"))
+        .agg(min(abs(col("pa") - col("pb"))).cast("int").as("min_dist"))
+        .select(lit(qid).as("query_id"), col("doc_id"), col("min_dist"))
+    }.reduce(_ unionAll _).orderBy(col("query_id"), col("doc_id"))
+  }
+
   /** BATCHED substring search — N needles served by ONE delta-aware
     * trigram probe and ONE corpus verification pass: the union of
     * every needle's trigrams prunes a single postings read

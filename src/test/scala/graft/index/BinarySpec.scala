@@ -68,6 +68,23 @@ class BinarySpec extends AnyFunSuite {
     assert(top.map(r => (r.getInt(1), r.getLong(0))).toSeq == all.toSeq)
   }
 
+  test("batched hamming probe equals per-query singles, one signature scan") {
+    val thr = Binary.fitThresholds(corpus, dim)
+    val sigs = Binary.signatures(corpus, thr)
+    val queries = (0L until 3L).map { qid =>
+      val v = corpus.filter(col("vec_id") === qid)
+        .select(col("embedding")).head().getSeq[Float](0).toArray
+      qid -> refSig(v, thr)
+    }
+    val got = Binary.hammingTopKBatch(sigs, queries, k = 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    val want = queries.flatMap { case (qid, qsig) =>
+      Binary.hammingTopK(sigs, qsig, k = 7)
+        .collect().map(r => (qid, r.getLong(0), r.getInt(1)))
+    }
+    assert(got == want, "batch hamming rows must equal the single probes")
+  }
+
   test("two-stage rescore: exact distances on the shortlist; shortlist>=n degenerates to exact") {
     val thr = Binary.fitThresholds(corpus, dim)
     val sigs = Binary.signatures(corpus, thr)

@@ -86,6 +86,23 @@ class InvertedIndexSpec extends AnyFunSuite {
     spark.sql("DROP TABLE IF EXISTS iidx_phbatch")
   }
 
+  test("batched proximity probe equals per-pair singles, one shared probe") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val dir = freshDir("proxbatch")
+    InvertedIndex.ensurePositional(spark, docs, "iidx_proxbatch", dir, buckets = 8)
+    val pairs: Seq[(Long, (String, String))] = Seq(
+      0L -> ("vector", "stream"), 1L -> ("hash", "join"))
+    val got = InvertedIndex.proximitySearchBatch(spark, "iidx_proxbatch", dir, pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    val want = pairs.flatMap { case (qid, (a, b)) =>
+      InvertedIndex.proximitySearch(spark, "iidx_proxbatch", a, b)
+        .orderBy(org.apache.spark.sql.functions.col("doc_id"))
+        .collect().map(r => (qid, r.getLong(0), r.getInt(1)))
+    }
+    assert(got == want, "batch proximity rows must equal the single probes")
+    spark.sql("DROP TABLE IF EXISTS iidx_proxbatch")
+  }
+
   test("batched substring probe equals per-needle singles, one probe + one verify pass") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val dir = freshDir("subbatch")
