@@ -115,6 +115,8 @@ object Binary {
       k: Int,
       idCol: String = "vec_id"): DataFrame = {
     require(queries.nonEmpty, "need at least one query signature")
+    require(queries.map(_._1).distinct.size == queries.size,
+      "duplicate query ids in the batch (per-query columns are id-keyed)")
     val hamCols = queries.map { case (qid, qsig) =>
       bit_count(col("sig").bitwiseXOR(lit(qsig))).as(s"_h_$qid") }
     val scored = sigs

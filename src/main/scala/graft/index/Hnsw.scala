@@ -588,12 +588,18 @@ object Hnsw {
     // currently tombstoned would be silently hidden by every probe,
     // and clearing its tombstone would resurrect the old node next to
     // the new one. Revival path: compactDeltas(dropTombstoned = true),
-    // then re-add. The tombstone set is small (deletes) and already
-    // driver-resident.
-    val dead = tombstonedIds(spark, dir)
-    if (dead.nonEmpty) {
-      val clash = batch.select(col(idCol).cast("long").as(idCol))
-        .filter(col(idCol).isin(dead.toSeq: _*)).limit(1).collect()
+    // then re-add. Broadcast semi-join against the tombstone table —
+    // NEVER an isin literal (this file's own compaction rule: a
+    // delete-heavy store has 100k+ dead ids; an In expression that
+    // size blows up plan/codegen on every micro-batch).
+    val tombPath = java.nio.file.Paths.get(dir, tombstoneDirName)
+    if (java.nio.file.Files.exists(tombPath)) {
+      val clash = batch.select(col(idCol).cast("long").as(idCol)).distinct()
+        .join(broadcast(spark.read.option("recursiveFileLookup", "true")
+          .parquet(tombPath.toString)
+          .select(col("vec_id").cast("long").as(idCol)).distinct()),
+          Seq(idCol), "left_semi")
+        .limit(1).collect()
       require(clash.isEmpty,
         s"appendDelta: id ${clash.headOption.map(_.getLong(0)).getOrElse(-1L)} is " +
           s"tombstoned in $dir — a global-mask probe would silently hide the re-add; " +
@@ -769,14 +775,34 @@ object Hnsw {
     * as routing waypoints (severing edges would break small-world
     * paths), probes exclude tombstoned ids from RESULTS only. The
     * resident graph cache stays valid — exclusion applies at query
-    * time. */
+    * time.
+    *
+    * Requested ids are filtered to LIVE ones — present in base ∪ live
+    * delta graphs and not already tombstoned — so phantom and
+    * repeated deletes are IGNORED (idempotent, the
+    * [[graft.index.Ivf.deleteFromLayout]] contract) and a stale
+    * tombstone can never poison a later legitimate add of a
+    * never-present id through [[appendDelta]]'s guard. The presence
+    * check is one pushed-predicate scan sized by the DELETE BATCH. */
   def deleteFromLayout(
       spark: SparkSession,
       dir: String,
       ids: Seq[Long],
       tag: String): Unit = {
     import spark.implicits._
-    ids.toDF("vec_id").coalesce(1)
+    val requested = ids.distinct.filterNot(tombstonedIds(spark, dir))
+    if (requested.isEmpty) return
+    // presence check via a broadcast semi-join, never an isin literal
+    // (a bulk takedown's delete batch can be 100k+ ids — an In
+    // expression that size blows up the plan)
+    val present = (Seq(layoutPath(dir)) ++
+        deltaTags(dir).map(t => s"$dir/$deltaDirPrefix$t"))
+      .map(spark.read.parquet(_).select(col("vec_id").cast("long").as("vec_id")))
+      .reduce(_ unionAll _)
+      .join(broadcast(requested.toDF("vec_id")), Seq("vec_id"), "left_semi")
+      .distinct().as[Long].collect().toSeq.sorted
+    if (present.isEmpty) return
+    present.toDF("vec_id").coalesce(1)
       .write.mode("overwrite")
       .parquet(s"$dir/$tombstoneDirName/del_$tag")
   }

@@ -601,6 +601,8 @@ object Ivf {
       idCol: String = "vec_id"): DataFrame = {
     import spark.implicits._
     val qRows = queries.select(col(qIdCol).cast("long"), col(qEmbCol)).collect()
+    require(qRows.map(_.getLong(0)).distinct.length == qRows.length,
+      "duplicate query ids in the batch")
     val probed: Seq[(Long, Seq[Float], Seq[Int])] = qRows.toIndexedSeq.map { r =>
       val emb = r.getSeq[Float](1)
       (r.getLong(0), emb, probeClustersOf(layout.centroids, emb.toArray, nprobe))

@@ -206,6 +206,8 @@ object Sq {
       idCol: String = "vec_id",
       embCol: String = "embedding"): DataFrame = {
     require(queries.nonEmpty, "need at least one query")
+    require(queries.map(_._1).distinct.size == queries.size,
+      "duplicate query ids in the batch (per-query columns are id-keyed)")
     val spark = encoded.sparkSession
     import spark.implicits._
     val adcCols = queries.map { case (qid, q) =>

@@ -110,6 +110,55 @@ object EventAnalytics {
       .orderBy(col("bin"))
   }
 
+  /** Approximate quantiles through Spark's built-in MERGEABLE sketch
+    * (`percentile_approx` — Greenwald-Khanna style QuantileSummaries,
+    * partial-aggregated map-side like the HLL/CMS/MG family), verified
+    * against the exact rank definition in the same job. TIE-AWARE: an
+    * element's rank under duplicates is the RANGE
+    * [count(v < est) + 1, count(v <= est)], and the sketch's
+    * n/accuracy bound holds for SOME rank of the returned element —
+    * so a violation exists only when that whole range misses
+    * [q·n − bound, q·n + bound] (a max-rank-only check would flag
+    * duplicate-heavy data the sketch actually handled perfectly).
+    * Estimates must also be monotone. The exact-rank check is ONE
+    * distributed conditional-sum pass — at 100 TB the sketch is the
+    * operator and the check is the monitor, a single extra narrow
+    * scan. Output is a single-row BIGINT verdict — constants when the
+    * sketch honors its contract, so an oracle pins them; empty or
+    * all-null input reports nonempty = 0 with zero violations. */
+  def approxQuantilesReport(
+      df: DataFrame,
+      valueCol: Column,
+      qs: Seq[Double],
+      accuracy: Int): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0.0 && q < 1.0), "targets must be in (0,1)")
+    val spark = df.sparkSession
+    import spark.implicits._
+    def verdict(nonempty: Long, violations: Long, monotone: Long): DataFrame =
+      Seq((qs.size.toLong, nonempty, violations, monotone))
+        .toDF("n_quantiles", "nonempty", "rank_violations", "monotone")
+    val vals = df.select(valueCol.cast("double").as("v")).where(col("v").isNotNull)
+    val head = vals.agg(
+      percentile_approx(col("v"), lit(qs.toArray), lit(accuracy)).as("qv"),
+      count(lit(1)).as("n")).head()
+    val n = head.getLong(1)
+    if (n == 0L || head.isNullAt(0)) return verdict(0L, 0L, 1L)
+    val est = head.getSeq[Double](0)
+    val rankCols = est.zipWithIndex.flatMap { case (v, i) => Seq(
+      sum(when(col("v") <= lit(v), 1L).otherwise(0L)).as(s"hi$i"),
+      sum(when(col("v") < lit(v), 1L).otherwise(0L)).as(s"lo$i")) }
+    val ranks = vals.agg(rankCols.head, rankCols.tail: _*).head()
+    val bound = n.toDouble / accuracy + 1.0
+    val violations = qs.indices.count { i =>
+      val hiRank = ranks.getLong(2 * i).toDouble      // max rank under ties
+      val loRank = ranks.getLong(2 * i + 1).toDouble + 1.0 // min rank
+      val target = qs(i) * n
+      hiRank < target - bound || loRank > target + bound
+    }
+    val monotone = est.zip(est.drop(1)).forall { case (a, b) => a <= b }
+    verdict(1L, violations.toLong, if (monotone) 1L else 0L)
+  }
+
   /** Exact per-group quantiles of an integer-quantized measure, the
     * counting-sort way: aggregate to a (group, value) histogram first
     * (shuffle carries one row per DISTINCT value, not per event), then
@@ -121,45 +170,8 @@ object EventAnalytics {
     * both engines reproduce bit-for-bit on integers — unlike
     * interpolating percentiles, whose float blend is engine-specific.
     * (The sketch-based scale path for continuous domains is
-    * approx_percentile, bounds-checked in events_sketch_check style.) */
-  /** Approximate quantiles through Spark's built-in MERGEABLE sketch
-    * (`percentile_approx` — Greenwald-Khanna style QuantileSummaries,
-    * partial-aggregated map-side like the HLL/CMS/MG family), verified
-    * against the exact rank definition in the same job: for each target
-    * q the reported value's exact rank must sit within n/accuracy of
-    * q·n (the operator's documented bound, +1 for the discrete rank of
-    * an actual element), and the reported quantiles must be monotone.
-    * The exact-rank check is ONE distributed conditional-sum pass — at
-    * 100 TB the sketch is the operator and the check is the monitor, a
-    * single extra narrow scan. Output is a single-row BIGINT verdict —
-    * constants when the sketch honors its contract, so an oracle pins
-    * them. */
-  def approxQuantilesReport(
-      df: DataFrame,
-      valueCol: Column,
-      qs: Seq[Double],
-      accuracy: Int): DataFrame = {
-    require(qs.nonEmpty && qs.forall(q => q > 0.0 && q < 1.0), "targets must be in (0,1)")
-    val spark = df.sparkSession
-    import spark.implicits._
-    val vals = df.select(valueCol.cast("double").as("v")).where(col("v").isNotNull)
-    val head = vals.agg(
-      percentile_approx(col("v"), lit(qs.toArray), lit(accuracy)).as("qv"),
-      count(lit(1)).as("n")).head()
-    val est = head.getSeq[Double](0)
-    val n = head.getLong(1)
-    val rankCols = est.zipWithIndex.map { case (v, i) =>
-      sum(when(col("v") <= lit(v), 1L).otherwise(0L)).as(s"r$i") }
-    val ranks = vals.agg(rankCols.head, rankCols.tail: _*).head()
-    val bound = n.toDouble / accuracy + 1.0
-    val violations = qs.indices.count { i =>
-      math.abs(ranks.getLong(i).toDouble - qs(i) * n) > bound }
-    val monotone = est.zip(est.drop(1)).forall { case (a, b) => a <= b }
-    Seq((qs.size.toLong, if (n > 0) 1L else 0L, violations.toLong,
-        if (monotone) 1L else 0L))
-      .toDF("n_quantiles", "nonempty", "rank_violations", "monotone")
-  }
-
+    * [[approxQuantilesReport]], bounds-checked in events_sketch_check
+    * style.) */
   def exactQuantiles(
       df: DataFrame,
       groupCol: String,

@@ -551,18 +551,31 @@ object StreamingIngest {
       .trigger(Trigger.AvailableNow())
       .start()
 
-  /** CDC MUTATION stream for the BM25 posting store — one feed
-    * carrying both appends and takedowns: each micro-batch of
-    * (op, doc_id, text) rows, op ∈ {"add", "del"}, applies its
-    * deletes as ONE tag-keyed tombstone and its adds as ONE tag-keyed
-    * delta, sharing the batch tag. Deletes cover only the legs live
-    * BEFORE this batch (`excludeCovered` = the batch's own tag), so
-    * within a batch ADDS WIN — a same-batch delete+re-add of a doc
-    * leaves it live — and an at-least-once redelivery, where the
-    * crashed attempt's delta already sits on disk under this tag,
-    * cannot mask its own appends. Delete rows must be the docs' FULL
-    * live rows (delete is the inverse of append — the text re-derives
-    * the fingerprint terms and stat decrements).
+  /** The ONE body behind the three text-index CDC mutation streams —
+    * each micro-batch of (op, doc_id, text) rows, op ∈ {"add", "del"},
+    * applies its deletes as ONE tag-keyed tombstone and its adds as
+    * ONE tag-keyed delta, sharing the batch tag. Deletes cover only
+    * the legs live BEFORE this batch (`excludeCovered` = the batch's
+    * own tag), so within a batch ADDS WIN: a same-batch delete+re-add
+    * of a doc is the UPSERT shape — the ONLY way an append-only
+    * posting store can take an update (a bare add of an already-live
+    * doc_id would duplicate it) — and an at-least-once redelivery,
+    * where the crashed attempt's delta already sits on disk under
+    * this tag, cannot mask its own appends. NOTE the deliberate
+    * asymmetry with the global-mask families
+    * ([[streamingIvfMutations]] / [[streamingHnswMutations]], where
+    * same-batch pairs net out and the DELETE wins): a feed that means
+    * add-then-delete ordering against a text store must put the two
+    * ops in separate batches.
+    *
+    * FEED CONTRACT (the [[graft.text.InvertedIndex.deleteDocs]]
+    * contract, surfaced here): every delete row must be the doc's
+    * FULL, currently-LIVE row — the text re-derives the fingerprint
+    * terms and stat decrements, which are subtracted exactly once.
+    * Re-delivering a delete for an ALREADY-DELETED doc under a
+    * different batch (a new tombstone tag) or deleting a never-indexed
+    * doc double-/mis-subtracts the corpus stats silently; same-tag
+    * redelivery (the checkpoint's own retry path) is safe.
     *
     * Redelivery × compaction: if the crashed attempt's tombstone was
     * already CONSUMED by the compaction below (its covered legs all
@@ -570,6 +583,37 @@ object StreamingIngest {
     * rewrite lands in `deadTombs` and stays invisible; the committed
     * state is already the post-delete corpus, and the next
     * compaction garbage-collects the rewritten dir. */
+  private def textMutationStream(
+      stream: DataFrame,
+      dir: String,
+      checkpoint: String,
+      maxDeltaDirs: Int,
+      compactBytesRatio: Double)(
+      compact: (DataFrame, Set[String]) => Unit)(
+      append: (DataFrame, String) => Unit): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val tag = s"${pipelineTag(checkpoint)}_b$batchId"
+        if (shouldCompact(graft.text.InvertedIndex.deltaTags(dir).size, maxDeltaDirs,
+            graft.text.InvertedIndex.deltaBytes(dir),
+            graft.text.InvertedIndex.baseBytes(dir), compactBytesRatio))
+          compact(batch, Set(tag))
+        val dels = batch.filter(col("op") === "del").select("doc_id", "text")
+        val adds = batch.filter(col("op") === "add").select("doc_id", "text")
+        if (!dels.isEmpty)
+          graft.text.InvertedIndex.deleteDocs(batch.sparkSession, dir, dels, tag,
+            excludeCovered = Set(tag))
+        if (!adds.isEmpty)
+          append(adds, tag)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** CDC MUTATION stream for the BM25 posting store — see
+    * [[textMutationStream]] for the shared semantics and the feed
+    * contract. */
   def streamingPostingsMutations(
       stream: DataFrame,
       table: String,
@@ -578,31 +622,14 @@ object StreamingIngest {
       buckets: Int,
       maxDeltaDirs: Int = 16,
       compactBytesRatio: Double = 1.0): StreamingQuery =
-    stream.writeStream
-      .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val tag = s"${pipelineTag(checkpoint)}_b$batchId"
-        if (shouldCompact(graft.text.InvertedIndex.deltaTags(dir).size, maxDeltaDirs,
-            graft.text.InvertedIndex.deltaBytes(dir),
-            graft.text.InvertedIndex.baseBytes(dir), compactBytesRatio))
-          graft.text.InvertedIndex.compactDeltas(batch.sparkSession, table, dir,
-            buckets, excludeTags = Set(tag))
-        val dels = batch.filter(col("op") === "del").select("doc_id", "text")
-        val adds = batch.filter(col("op") === "add").select("doc_id", "text")
-        if (!dels.isEmpty)
-          graft.text.InvertedIndex.deleteDocs(batch.sparkSession, dir, dels, tag,
-            excludeCovered = Set(tag))
-        if (!adds.isEmpty)
-          graft.text.InvertedIndex.appendDelta(batch.sparkSession, dir, adds, tag)
-        ()
-      }
-      .trigger(Trigger.AvailableNow())
-      .start()
+    textMutationStream(stream, dir, checkpoint, maxDeltaDirs, compactBytesRatio)(
+      (b, ex) => graft.text.InvertedIndex.compactDeltas(
+        b.sparkSession, table, dir, buckets, excludeTags = ex))(
+      (adds, tag) => graft.text.InvertedIndex.appendDelta(
+        adds.sparkSession, dir, adds, tag))
 
   /** CDC mutation stream for the POSITIONAL index — the phrase-query
-    * leg of the mutation family: same covered-leg tombstone + delta
-    * pairing (and the same adds-win / redelivery reasoning) as
-    * [[streamingPostingsMutations]], over positional postings. */
+    * leg; see [[textMutationStream]]. */
   def streamingPositionalMutations(
       stream: DataFrame,
       table: String,
@@ -611,30 +638,14 @@ object StreamingIngest {
       buckets: Int,
       maxDeltaDirs: Int = 16,
       compactBytesRatio: Double = 1.0): StreamingQuery =
-    stream.writeStream
-      .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val tag = s"${pipelineTag(checkpoint)}_b$batchId"
-        if (shouldCompact(graft.text.InvertedIndex.deltaTags(dir).size, maxDeltaDirs,
-            graft.text.InvertedIndex.deltaBytes(dir),
-            graft.text.InvertedIndex.baseBytes(dir), compactBytesRatio))
-          graft.text.InvertedIndex.compactPositionalDeltas(
-            batch.sparkSession, table, dir, buckets, excludeTags = Set(tag))
-        val dels = batch.filter(col("op") === "del").select("doc_id", "text")
-        val adds = batch.filter(col("op") === "add").select("doc_id", "text")
-        if (!dels.isEmpty)
-          graft.text.InvertedIndex.deleteDocs(batch.sparkSession, dir, dels, tag,
-            excludeCovered = Set(tag))
-        if (!adds.isEmpty)
-          graft.text.InvertedIndex.appendPositionalDelta(
-            batch.sparkSession, dir, adds, tag)
-        ()
-      }
-      .trigger(Trigger.AvailableNow())
-      .start()
+    textMutationStream(stream, dir, checkpoint, maxDeltaDirs, compactBytesRatio)(
+      (b, ex) => graft.text.InvertedIndex.compactPositionalDeltas(
+        b.sparkSession, table, dir, buckets, excludeTags = ex))(
+      (adds, tag) => graft.text.InvertedIndex.appendPositionalDelta(
+        adds.sparkSession, dir, adds, tag))
 
   /** CDC mutation stream for the TRIGRAM (substring) index — the third
-    * text-index leg of the mutation family; identical discipline. */
+    * text-index leg; see [[textMutationStream]]. */
   def streamingTrigramMutations(
       stream: DataFrame,
       table: String,
@@ -643,34 +654,22 @@ object StreamingIngest {
       buckets: Int,
       maxDeltaDirs: Int = 16,
       compactBytesRatio: Double = 1.0): StreamingQuery =
-    stream.writeStream
-      .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val tag = s"${pipelineTag(checkpoint)}_b$batchId"
-        if (shouldCompact(graft.text.InvertedIndex.deltaTags(dir).size, maxDeltaDirs,
-            graft.text.InvertedIndex.deltaBytes(dir),
-            graft.text.InvertedIndex.baseBytes(dir), compactBytesRatio))
-          graft.text.InvertedIndex.compactTrigramDeltas(
-            batch.sparkSession, table, dir, buckets, excludeTags = Set(tag))
-        val dels = batch.filter(col("op") === "del").select("doc_id", "text")
-        val adds = batch.filter(col("op") === "add").select("doc_id", "text")
-        if (!dels.isEmpty)
-          graft.text.InvertedIndex.deleteDocs(batch.sparkSession, dir, dels, tag,
-            excludeCovered = Set(tag))
-        if (!adds.isEmpty)
-          graft.text.InvertedIndex.appendTrigramDelta(
-            batch.sparkSession, dir, adds, tag)
-        ()
-      }
-      .trigger(Trigger.AvailableNow())
-      .start()
+    textMutationStream(stream, dir, checkpoint, maxDeltaDirs, compactBytesRatio)(
+      (b, ex) => graft.text.InvertedIndex.compactTrigramDeltas(
+        b.sparkSession, table, dir, buckets, excludeTags = ex))(
+      (adds, tag) => graft.text.InvertedIndex.appendTrigramDelta(
+        adds.sparkSession, dir, adds, tag))
 
   /** CDC MUTATION stream for the SQ8 code store — the vector-side twin
     * of [[streamingPostingsMutations]]: (op, vec_id, embedding) rows,
     * deletes tombstone the legs live before the batch (adds win within
     * a batch; redelivery cannot mask its own appends), adds encode
     * under the PERSISTED quantizer (trained-index contract) as a
-    * tag-keyed delta. Same redelivery × compaction reasoning. */
+    * tag-keyed delta. Same redelivery × compaction reasoning — and the
+    * same FEED CONTRACT as [[textMutationStream]]: delete rows must be
+    * currently-LIVE full rows, exactly once per deletion (a delete
+    * re-delivered under a DIFFERENT batch tag, or of a never-indexed
+    * id, mis-subtracts the fingerprint terms silently). */
   def streamingSq8Mutations(
       stream: DataFrame,
       dir: String,

@@ -157,6 +157,8 @@ object InvertedIndex {
       phrases: Seq[(Long, Seq[String])]): DataFrame = {
     require(phrases.nonEmpty && phrases.forall(_._2.nonEmpty),
       "need at least one phrase, each with at least one term")
+    require(phrases.map(_._1).distinct.size == phrases.size,
+      "duplicate query ids in the batch")
     val allTerms = phrases.flatMap(_._2).distinct
     val probed = withDeltas(spark, table, dir)
       .filter(col("token").isin(allTerms: _*))
@@ -273,6 +275,8 @@ object InvertedIndex {
       dir: String,
       pairs: Seq[(Long, (String, String))]): DataFrame = {
     require(pairs.nonEmpty, "need at least one term pair")
+    require(pairs.map(_._1).distinct.size == pairs.size,
+      "duplicate query ids in the batch")
     val allTerms = pairs.flatMap { case (_, (a, b)) => Seq(a, b) }.distinct
     val probed = withDeltas(spark, table, dir)
       .filter(col("token").isin(allTerms: _*))
@@ -309,6 +313,8 @@ object InvertedIndex {
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     require(needles.nonEmpty, "need at least one needle")
+    require(needles.map(_._1).distinct.size == needles.size,
+      "duplicate query ids in the batch")
     import spark.implicits._
     val norms = needles.map { case (qid, s) => (qid, normalizeNeedle(s)) }
     norms.foreach { case (qid, n) => require(n.length >= 3,
@@ -730,6 +736,8 @@ object InvertedIndex {
       topN: Int = 20): DataFrame = {
     require(queries.nonEmpty && queries.forall(_._2.nonEmpty),
       "need at least one query, each with at least one term")
+    require(queries.map(_._1).distinct.size == queries.size,
+      "duplicate query ids in the batch")
     import spark.implicits._
     val allTerms = queries.flatMap(_._2).distinct
     val occ = withDeltas(spark, table, dir)

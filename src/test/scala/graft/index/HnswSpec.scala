@@ -327,13 +327,15 @@ class HnswSpec extends AnyFunSuite {
     val q = c.filter(col("vec_id") === 10L).as[(Long, Array[Float])].head()._2
     val before = Hnsw.searchLayout(spark, dir, q, 10, p)
       .select("vec_id").as[Long].collect().toSeq
-    // two live ids + 100k dead ids the corpus never contained: the
-    // exclusion set is delete-volume-sized, not result-sized — the
-    // shape that used to re-serialize a driver Set into every task and
-    // now ships once per executor as a broadcast
+    // two live ids + 100k ids the corpus never contained, in ONE bulk
+    // request: the presence filter must drop every phantom (a phantom
+    // tombstone would poison a later legitimate add of that id through
+    // the append guard) while the request-sized id set rides a
+    // broadcast semi-join, never an isin literal
     val dead = Seq(before.head, before(1)) ++ (1000000L until 1100000L)
     Hnsw.deleteFromLayout(spark, dir, dead, tag = "bulk")
-    assert(Hnsw.tombstonedIds(spark, dir).size == 100002)
+    assert(Hnsw.tombstonedIds(spark, dir) == Set(before.head, before(1)),
+      "phantom deletes must be ignored; only live ids become tombstones")
     val after = Hnsw.searchLayout(spark, dir, q, 10, p)
       .select("vec_id").as[Long].collect().toSeq
     assert(!after.contains(before.head) && !after.contains(before(1)))
