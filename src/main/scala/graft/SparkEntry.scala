@@ -4917,6 +4917,26 @@ object SparkEntry {
       }.toDF("store", "had_rows", "residual_rows").orderBy(col("store"))
     }),
 
+    // Vector-side DESCRIBE INDEX — the SQ8 store's introspection
+    // surface after a scripted lifecycle (one append delta, one delete
+    // batch): committed version, live mutation legs, and the
+    // delta-aware live code count the next ADC probe will scan. The
+    // oracle recomputes n_codes from the corpus definition.
+    "sq8_store_describe" -> ((s, dir) => {
+      val corpus = emb(s, dir)
+      val key = dirKey(dir)
+      val sqDir = s"${System.getProperty("java.io.tmpdir")}/graft_sq8del_$key"
+      graft.index.Sq.ensureCodesArtifact(corpus, sqDir)
+      graft.index.Sq.dropMutations(sqDir) // replay determinism
+      val planted = corpus.filter(col("vec_id") === 0)
+        .crossJoin(s.range(5))
+        .select((col("id") + lit(5300000L)).as("vec_id"), col("embedding"))
+      graft.index.Sq.appendDelta(s, sqDir, planted, tag = "a1")
+      graft.index.Sq.deleteVectors(s, sqDir,
+        corpus.filter(col("vec_id").isin(7L, 8L)), tag = "d1")
+      graft.index.Sq.describeStore(s, sqDir).orderBy(col("metric"))
+    }),
+
     // STORE INTROSPECTION — the engine's DESCRIBE INDEX: after a
     // scripted mutation lifecycle (one append delta, one delete batch)
     // the describe row set must report the committed version, the live
@@ -7561,6 +7581,16 @@ object SparkEntry {
         |UNION ALL SELECT 'positional', CAST(1 AS BIGINT), CAST(0 AS BIGINT)
         |UNION ALL SELECT 'trigram', CAST(1 AS BIGINT), CAST(0 AS BIGINT)
         |ORDER BY store""".stripMargin,
+
+    // The SQ8 describe recomputed from the corpus definition: never
+    // compacted, one delta (+5 planted), one tombstone (−2 deleted).
+    "sq8_store_describe" ->
+      """SELECT 'base_version' AS metric, CAST(0 AS BIGINT) AS value
+        |UNION ALL SELECT 'live_deltas', CAST(1 AS BIGINT)
+        |UNION ALL SELECT 'live_tombstones', CAST(1 AS BIGINT)
+        |UNION ALL SELECT 'n_codes',
+        |  (SELECT CAST(count(*) + 3 AS BIGINT) FROM embeddings)
+        |ORDER BY metric""".stripMargin,
 
     // The describe surface recomputed from the survivor corpus: base
     // version 0 (never compacted), one live delta, one live tombstone,

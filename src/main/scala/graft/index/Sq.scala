@@ -324,6 +324,34 @@ object Sq {
     if (v > 0) s"$dir/codes_v$v" else s"$dir/codes"
   }
 
+  /** Operational introspection of the SQ8 code store — the vector-side
+    * twin of [[graft.text.InvertedIndex.describeStore]]: one row per
+    * metric over the committed state and the live mutation legs.
+    * `n_codes` is the delta-aware live count (sidecar base count +
+    * delta counts − live tombstone counts — the rows the next probe
+    * will actually scan), so the output ties to the corpus definition
+    * and an oracle can recompute it. Json reads only, no data
+    * touched. */
+  def describeStore(
+      spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val node = sidecarNodeOf(dir)
+    val v = node.filter(_.hasNonNull("v")).map(_.get("v").asLong()).getOrElse(0L)
+    val baseCount = node.map(_.get("count").asLong()).getOrElse(0L)
+    val deltaCount = deltaTags(dir).map { t =>
+      mapper.readTree(java.nio.file.Files.readString(
+        java.nio.file.Paths.get(dir, s"delta_$t", "_stats.json")))
+        .get("count").asLong()
+    }.sum
+    val tombs = liveTombs(dir)
+    Seq(
+      ("base_version", v),
+      ("live_deltas", deltaTags(dir).size.toLong),
+      ("live_tombstones", tombs.size.toLong),
+      ("n_codes", baseCount + deltaCount - tombs.map(_.count).sum)
+    ).toDF("metric", "value")
+  }
+
   /** Persist the model bounds + codes behind the fingerprint-sidecar
     * protocol — the build-once/probe-many shape of every other index
     * family. The sidecar's (count, hash, hsum) terms are MERGEABLE,

@@ -36,6 +36,32 @@ class SqDeleteSpec extends AnyFunSuite {
       .select("vec_id", "dist").as[(Long, Double)].collect().toSeq
   }
 
+  test("describeStore reports version, live legs, and the probe-consistent code count") {
+    val dir = tmp("sqdescr")
+    Sq.ensureCodesArtifact(corpus, dir)
+    Sq.appendDelta(spark, dir,
+      corpus.filter(col("vec_id") === 0L)
+        .select((col("vec_id") + 900L).as("vec_id"), col("embedding")), tag = "a1")
+    Sq.deleteVectors(spark, dir,
+      corpus.filter(col("vec_id").isin(5L, 6L)), tag = "d1")
+    def describe(): Map[String, Long] =
+      Sq.describeStore(spark, dir).as[(String, Long)].collect().toMap
+    val before = describe()
+    assert(before("base_version") == 0L && before("live_deltas") == 1L &&
+      before("live_tombstones") == 1L)
+    assert(before("n_codes") == 200L + 1L - 2L)
+    // the described count IS what the probe scans
+    assert(before("n_codes") == Sq.codesWithDeltas(spark, dir).count())
+
+    Sq.compactDeltas(spark, dir)
+    val after = describe()
+    assert(after("base_version") == 1L && after("live_deltas") == 0L &&
+      after("live_tombstones") == 0L,
+      s"compaction must fold legs and bump the version, got $after")
+    assert(after("n_codes") == before("n_codes"),
+      "the live code count must be invariant across a compaction")
+  }
+
   test("SQ8 delete masks; re-append revives; compaction drops, versions, and a fresh ensure REUSES") {
     val dir = tmp("sqdel")
     Sq.ensureCodesArtifact(corpus, dir)

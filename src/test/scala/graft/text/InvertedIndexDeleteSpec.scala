@@ -174,6 +174,18 @@ class InvertedIndexDeleteSpec extends AnyFunSuite {
       s"compaction must fold legs and bump the version, got $after")
     assert(after("n_docs") == before("n_docs") && after("sum_dl") == before("sum_dl"),
       "the corpus stats must be invariant across a compaction")
+
+    // positional/trigram stores have no corpus-stat rows: the describe
+    // must report version + legs and OMIT n_docs/sum_dl, not throw
+    val (pt, pd) = freshStore()
+    InvertedIndex.ensurePositional(spark, corpus, pt, pd, buckets = 4)
+    InvertedIndex.appendPositionalDelta(spark, pd,
+      corpus.filter(col("doc_id") === 0L), tag = "p1")
+    val posDescr = InvertedIndex.describeStore(spark, pd)
+      .as[(String, Long)].collect().toMap
+    assert(posDescr == Map(
+      "base_version" -> 0L, "live_deltas" -> 1L, "live_tombstones" -> 0L),
+      s"positional describe must omit the BM25 stat rows, got $posDescr")
   }
 
   test("positional + trigram stores: delete equals fresh build; compaction invariant") {
