@@ -115,6 +115,10 @@ object Binary {
       k: Int,
       idCol: String = "vec_id"): DataFrame = {
     require(queries.nonEmpty, "need at least one query signature")
+    require(queries.size <= graft.index.Sq.maxBatchWidth,
+      s"batch width ${queries.size} exceeds ${graft.index.Sq.maxBatchWidth}: each " +
+        "query adds one bit_count column and one TakeOrdered cut — compose waves " +
+        "instead (the Sq.searchRerankBatch contract)")
     require(queries.map(_._1).distinct.size == queries.size,
       "duplicate query ids in the batch (per-query columns are id-keyed)")
     val hamCols = queries.map { case (qid, qsig) =>

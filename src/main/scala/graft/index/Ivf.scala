@@ -589,7 +589,12 @@ object Ivf {
     * partial: shuffle is |partitions|·|Q|·k, never |scan|·|Q|). At
     * scale this amortizes the probe IO across the batch — N separate
     * probes re-read every shared cluster N times; this reads each
-    * exactly once. Returns (query_id, vec_id, dist, rank). */
+    * exactly once. Returns (query_id, vec_id, dist, rank).
+    *
+    * SCOPE: base layout + tombstone mask ONLY — streamed `_delta_*`
+    * legs (see the streaming IVF appends) are NOT probed by the batch
+    * family; compact deltas into the layout first, or use the
+    * delta-aware single-query probe when deltas must be visible. */
   def searchLayoutBatch(
       spark: SparkSession,
       layout: Layout,

@@ -35,6 +35,12 @@ import org.apache.spark.sql.functions._
   */
 object Sq {
 
+  /** Hard cap on [[searchRerankBatch]]'s width — the documented safe
+    * range for one wave (N ADC columns in one codegen select + N
+    * TakeOrdered cuts over the checkpointed frame). Callers with more
+    * queries compose waves. */
+  val maxBatchWidth = 64
+
   /** Per-dimension quantization bounds: codes map [vmin(d), vmax(d)]
     * linearly onto [0, 255]. */
   final case class SqModel(dim: Int, vmin: Array[Float], vmax: Array[Float]) {
@@ -206,6 +212,11 @@ object Sq {
       idCol: String = "vec_id",
       embCol: String = "embedding"): DataFrame = {
     require(queries.nonEmpty, "need at least one query")
+    require(queries.size <= maxBatchWidth,
+      s"batch width ${queries.size} exceeds $maxBatchWidth: each query adds one " +
+        "codegen ADC column (dim·256 doubles of plan constants) and one TakeOrdered " +
+        "cut — wider batches degrade the plan; compose waves of ≤" +
+        s"$maxBatchWidth queries instead")
     require(queries.map(_._1).distinct.size == queries.size,
       "duplicate query ids in the batch (per-query columns are id-keyed)")
     val spark = encoded.sparkSession

@@ -132,6 +132,10 @@ object EventAnalytics {
       qs: Seq[Double],
       accuracy: Int): DataFrame = {
     require(qs.nonEmpty && qs.forall(q => q > 0.0 && q < 1.0), "targets must be in (0,1)")
+    // the monotonicity verdict compares adjacent estimates, so the
+    // targets must arrive ascending — an unsorted list would pair the
+    // estimates wrong and report a phantom sketch-contract violation
+    require(qs == qs.sorted, s"quantile targets must be ascending, got $qs")
     val spark = df.sparkSession
     import spark.implicits._
     def verdict(nonempty: Long, violations: Long, monotone: Long): DataFrame =
