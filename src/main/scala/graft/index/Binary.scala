@@ -180,16 +180,43 @@ object Binary {
     finally walk.close()
   }
 
-  private def liveTombTags(dir: String): Seq[String] = {
-    val dead = deadTombTags(dir)
+  /** One committed-state snapshot (single sidecar read) — the
+    * [[graft.index.Sq]] snapshot contract applied to the (delta-less)
+    * signature store: base version + live tombstone tags resolve
+    * atomically, lagged GC keeps the named dirs readable through one
+    * subsequent compaction commit. */
+  private final case class Snap(
+      node: Option[com.fasterxml.jackson.databind.JsonNode],
+      v: Int, tombTags: Seq[String]) {
+    def sigsPathOf(dir: String): String =
+      if (v > 0) s"$dir/sigs_v$v" else s"$dir/sigs"
+    def dead: Set[String] = node.filter(_.has("deadTombs")).map { n =>
+      import scala.jdk.CollectionConverters._
+      n.get("deadTombs").elements().asScala.map(_.asText()).toSet
+    }.getOrElse(Set.empty)
+  }
+
+  private def snapOf(dir: String): Snap = {
+    val node = sidecarNodeOf(dir)
+    val v = node.filter(_.hasNonNull("v")).map(_.get("v").asInt()).getOrElse(0)
+    val dead = node.filter(_.has("deadTombs")).map { n =>
+      import scala.jdk.CollectionConverters._
+      n.get("deadTombs").elements().asScala.map(_.asText()).toSet
+    }.getOrElse(Set.empty[String])
+    val tombTags = graft.io.MutableStore.optStringSeq(node, "liveTombs")
+      .getOrElse(listedTombTags(dir).filterNot(dead))
+    Snap(node, v, tombTags)
+  }
+
+  private def listedTombTags(dir: String): Seq[String] =
     listDirs(dir)
       .filter(n => n.startsWith("tomb_") &&
         java.nio.file.Files.exists(
           java.nio.file.Paths.get(dir, n, "_stats.json")))
       .map(_.stripPrefix("tomb_"))
-      .filterNot(dead)
       .sorted
-  }
+
+  private def liveTombTags(dir: String): Seq[String] = snapOf(dir).tombTags
 
   /** Persist thresholds + signatures behind the shared
     * fingerprint-sidecar protocol ([[graft.io.Artifact]]): corpus
@@ -232,9 +259,13 @@ object Binary {
   /** Drop every tombstone dir, returning the store to the BASE
     * snapshot its sidecar attests — the replay helper mirroring
     * [[graft.text.InvertedIndex.dropMutations]]. */
-  def dropMutations(dir: String): Unit =
+  def dropMutations(dir: String): Unit = {
     listDirs(dir).filter(_.startsWith("tomb_"))
       .foreach(n => deleteRecursively(java.nio.file.Paths.get(dir, n)))
+    graft.io.MutableStore.patchStringArrays(
+      java.nio.file.Paths.get(dir, sigSidecar),
+      "liveTombs" -> Seq.empty, "deadTombs" -> Seq.empty)
+  }
 
   /** DELETE a batch of vectors from the signature store: a tag-keyed
     * tombstone (ids + the batch's mergeable fingerprint terms, derived
@@ -259,6 +290,13 @@ object Binary {
     graft.io.Artifact.writeAtomic(
       java.nio.file.Paths.get(dir, s"tomb_$tag", "_stats.json"),
       s"""{"count":$nRows,"hash":$dataHash,"hsum":"$hashSum"}""")
+    // COMMIT: live once the state names it; a consumed (dead) tag is a
+    // redelivered batch — debris, never re-committed (the Sq contract)
+    val s = snapOf(dir)
+    if (!s.dead.contains(tag))
+      graft.io.MutableStore.patchStringArrays(
+        java.nio.file.Paths.get(dir, sigSidecar),
+        "liveTombs" -> (s.tombTags :+ tag).distinct)
   }
 
   /** The persisted artifact's thresholds (dim doubles) + signature
@@ -283,32 +321,49 @@ object Binary {
   def liveSignatures(
       spark: org.apache.spark.sql.SparkSession, dir: String,
       idCol: String = "vec_id"): DataFrame = {
-    val base = signaturesFromArtifact(spark, dir)
-    val tags = liveTombTags(dir)
-    if (tags.isEmpty) base
+    val s = snapOf(dir) // snapshot-pinned: base path + tomb set from ONE read
+    val base = spark.read.parquet(s.sigsPathOf(dir))
+    if (s.tombTags.isEmpty) base
     else base.join(
-      broadcast(tags.map(t => spark.read.parquet(s"$dir/tomb_$t/ids"))
+      broadcast(s.tombTags.map(t => spark.read.parquet(s"$dir/tomb_$t/ids"))
         .reduce(_ unionAll _).distinct().select(col(idCol))),
       Seq(idCol), "left_anti")
   }
 
-  /** Physically drop tombstoned rows into a NEW `sigs_v<N+1>` version
-    * (old base keeps serving until the one atomic sidecar-replace
-    * COMMIT — the shared versioned-swap protocol), subtract the
-    * consumed tombstones' fingerprint terms (a fresh ensure over the
-    * post-delete corpus then REUSES the store), and GC last,
-    * best-effort. Single-writer, no concurrent probes. */
+  /** Physically drop tombstoned rows into a NEW `sigs_v<N>` version —
+    * built under an underscore temp, renamed into a NEVER-REUSED
+    * version path ([[graft.io.MutableStore.maxOnDiskVersion]] skips
+    * crashed-attempt debris), committed by one atomic sidecar replace
+    * carrying the subtracted fingerprint terms (a fresh ensure over
+    * the post-delete corpus then REUSES the store) + the emptied
+    * liveTombs list. GC is LAGGED to the next compaction's start (the
+    * Sq/posting-store contract), so a snapshot-pinned probe outlives
+    * one concurrent commit. Single-writer compactor; concurrent probes
+    * safe. */
   def compactSignatures(
       spark: org.apache.spark.sql.SparkSession, dir: String,
       idCol: String = "vec_id"): Unit = {
-    val tags = liveTombTags(dir)
-    if (tags.isEmpty) return
+    val s = snapOf(dir)
+    if (s.tombTags.isEmpty) return
+    val vNew = math.max(s.v,
+      graft.io.MutableStore.maxOnDiskVersion(dir, Seq("sigs_v"))) + 1
+    // lagged GC of the PREVIOUS commit's superseded dirs + debris
+    val keepBase = if (s.v > 0) s"sigs_v${s.v}" else "sigs"
+    listDirs(dir).foreach { n =>
+      val p = java.nio.file.Paths.get(dir, n)
+      if (n.startsWith("_building_")) deleteRecursively(p)
+      else if ((n.matches("sigs_v\\d+") || n == "sigs") && n != keepBase)
+        deleteRecursively(p)
+      else if (n.startsWith("tomb_") && s.dead.contains(n.stripPrefix("tomb_")))
+        deleteRecursively(p)
+    }
     val sidecar = java.nio.file.Paths.get(dir, sigSidecar)
-    val node = mapper.readTree(java.nio.file.Files.readString(sidecar))
+    val node = s.node.getOrElse(
+      throw new IllegalStateException(s"no $sigSidecar under $dir"))
     var cnt = node.get("count").asLong()
     var hsh = node.get("hash").asLong()
     var hsum = BigInt(node.get("hsum").asText())
-    tags.foreach { t =>
+    s.tombTags.foreach { t =>
       val d = mapper.readTree(java.nio.file.Files.readString(
         java.nio.file.Paths.get(dir, s"tomb_$t", "_stats.json")))
       cnt -= d.get("count").asLong()
@@ -316,21 +371,19 @@ object Binary {
       hsum -= BigInt(d.get("hsum").asText())
     }
     val survivors = liveSignatures(spark, dir, idCol)
-    val vOld = if (node.hasNonNull("v")) node.get("v").asInt() else 0
-    val vNew = vOld + 1
-    val newDir = s"$dir/sigs_v$vNew"
-    deleteRecursively(java.nio.file.Paths.get(newDir))
-    survivors.write.mode("overwrite").parquet(newDir)
-    def arr(s: Seq[String]) = s.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val building = java.nio.file.Paths.get(dir, s"_building_sigs_v$vNew")
+    deleteRecursively(building)
+    survivors.write.mode("overwrite").parquet(building.toString)
+    java.nio.file.Files.move(building,
+      java.nio.file.Paths.get(dir, s"sigs_v$vNew"))
+    def arr(x: Seq[String]) = x.map("\"" + _ + "\"").mkString("[", ",", "]")
     val dim = node.get("dim").asText()
-    val dead = (deadTombTags(dir).filter(t =>
+    val dead = (s.dead.filter(t =>
       java.nio.file.Files.exists(java.nio.file.Paths.get(dir, s"tomb_$t"))) ++
-      tags).toSeq.sorted
+      s.tombTags).toSeq.sorted
     graft.io.Artifact.writeAtomic(sidecar,
-      s"""{"count":$cnt,"hash":$hsh,"hsum":"$hsum","dim":"$dim","family":"binary_midrange","v":$vNew,"deadTombs":${arr(dead)}}""")
-    deleteRecursively(java.nio.file.Paths.get(
-      if (vOld > 0) s"$dir/sigs_v$vOld" else s"$dir/sigs"))
-    dead.foreach(t => deleteRecursively(java.nio.file.Paths.get(dir, s"tomb_$t")))
+      s"""{"count":$cnt,"hash":$hsh,"hsum":"$hsum","dim":"$dim","family":"binary_midrange","v":$vNew,"deadTombs":${arr(dead)},"liveTombs":[]}""")
+    // NO GC here — lagged to the next compaction (pinned-probe retention)
   }
 
   /** Two-stage retrieval: Hamming shortlist of `shortlist` ids over

@@ -399,6 +399,90 @@ object Hnsw {
       n.get("folded").elements().asScala.map(_.asText()).toSet
     }.getOrElse(Set.empty)
 
+  /** One committed-state SNAPSHOT of the layout store, resolved from a
+    * SINGLE sidecar read — the engine-wide snapshot-pinned-probe
+    * contract ([[graft.index.Sq]]): base version path, live delta
+    * tags, and the live tombstone-batch tags all come from one atomic
+    * read, so a probe can never see a torn mix of two commits; lagged
+    * compaction GC keeps every dir a snapshot names readable through
+    * ONE subsequent commit. `tombCommitted` distinguishes a sidecar
+    * that CARRIES the liveTombs field (committed mode) from a legacy
+    * one (listing fallback; also the pre-first-mutation state). */
+  private final case class Snap(
+      node: Option[com.fasterxml.jackson.databind.JsonNode],
+      v: Int,
+      live: Seq[String],
+      tombTags: Seq[String],
+      tombCommitted: Boolean) {
+    def layoutPathOf(dir: String): String =
+      if (v > 0) s"$dir/layout_v$v" else s"$dir/layout"
+    def folded: Set[String] = node.filter(_.has("folded")).map { n =>
+      import scala.jdk.CollectionConverters._
+      n.get("folded").elements().asScala.map(_.asText()).toSet
+    }.getOrElse(Set.empty)
+    /** Stable probe-cache key: layout path + content fingerprint (the
+      * mutation-state fields deliberately excluded — a delta append or
+      * tombstone patch must not evict the resident base graphs). */
+    def cacheKeyOf(dir: String): Option[String] = node.map(n =>
+      s"${layoutPathOf(dir)}#c=${n.get("count").asLong()}" +
+        s"#h=${n.get("hash").asLong()}#s=${if (n.has("hsum")) n.get("hsum").asText() else ""}")
+  }
+
+  private def snapOf(dir: String): Snap = {
+    val node = sidecarNodeOf(dir)
+    val v = node.filter(_.hasNonNull("v")).map(_.get("v").asInt()).getOrElse(0)
+    val folded = node.filter(_.has("folded")).map { n =>
+      import scala.jdk.CollectionConverters._
+      n.get("folded").elements().asScala.map(_.asText()).toSet
+    }.getOrElse(Set.empty[String])
+    val live = graft.io.MutableStore.optStringSeq(node, "live")
+      .getOrElse(listedDeltaTags(dir).filterNot(folded))
+    val committed = graft.io.MutableStore.optStringSeq(node, "liveTombs")
+    Snap(node, v, live,
+      committed.getOrElse(listedTombTags(dir)), committed.isDefined)
+  }
+
+  private def sidecarPath(dir: String): java.nio.file.Path =
+    java.nio.file.Paths.get(dir, sidecarName)
+
+  private def listedDeltaTags(dir: String): Seq[String] = {
+    val d = java.nio.file.Paths.get(dir)
+    if (!java.nio.file.Files.exists(d)) return Seq.empty
+    val s = java.nio.file.Files.list(d)
+    try {
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala
+        .map(_.getFileName.toString)
+        .filter(_.startsWith(deltaDirPrefix))
+        .map(_.stripPrefix(deltaDirPrefix))
+        .toSeq.sorted
+    } finally s.close()
+  }
+
+  /** On-disk tombstone-batch tags (`_tombstones/del_<tag>`). */
+  private def listedTombTags(dir: String): Seq[String] = {
+    val root = java.nio.file.Paths.get(dir, tombstoneDirName)
+    if (!java.nio.file.Files.exists(root)) return Seq.empty
+    val s = java.nio.file.Files.list(root)
+    try {
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala
+        .map(_.getFileName.toString)
+        .filter(_.startsWith("del_"))
+        .map(_.stripPrefix("del_"))
+        .toSeq.sorted
+    } finally s.close()
+  }
+
+  private def tombstonedIdsOf(spark: SparkSession, dir: String, s: Snap): Set[Long] = {
+    if (s.tombTags.isEmpty) return Set.empty
+    s.tombTags
+      .map(t => spark.read.parquet(s"$dir/$tombstoneDirName/del_$t"))
+      .reduce(_ unionAll _)
+      .select(col("vec_id").cast("long"))
+      .collect().map(_.getLong(0)).toSet
+  }
+
   private def deleteRecursively(p: java.nio.file.Path): Unit = {
     if (!java.nio.file.Files.exists(p)) return
     val walk = java.nio.file.Files.walk(p)
@@ -592,13 +676,15 @@ object Hnsw {
     // NEVER an isin literal (this file's own compaction rule: a
     // delete-heavy store has 100k+ dead ids; an In expression that
     // size blows up plan/codegen on every micro-batch).
-    val tombPath = java.nio.file.Paths.get(dir, tombstoneDirName)
-    if (java.nio.file.Files.exists(tombPath)) {
+    val snapAtGuard = snapOf(dir)
+    if (snapAtGuard.tombTags.nonEmpty) {
+      import spark.implicits._
+      val deadDf = snapAtGuard.tombTags
+        .map(t => spark.read.parquet(s"$dir/$tombstoneDirName/del_$t"))
+        .reduce(_ unionAll _)
+        .select(col("vec_id").cast("long").as(idCol)).distinct()
       val clash = batch.select(col(idCol).cast("long").as(idCol)).distinct()
-        .join(broadcast(spark.read.option("recursiveFileLookup", "true")
-          .parquet(tombPath.toString)
-          .select(col("vec_id").cast("long").as(idCol)).distinct()),
-          Seq(idCol), "left_semi")
+        .join(broadcast(deadDf), Seq(idCol), "left_semi")
         .limit(1).collect()
       require(clash.isEmpty,
         s"appendDelta: id ${clash.headOption.map(_.getLong(0)).getOrElse(-1L)} is " +
@@ -610,27 +696,20 @@ object Hnsw {
       .write.mode("overwrite").partitionBy("part")
       .parquet(s"$dir/$deltaDirPrefix$tag")
     writePartCounts(spark, s"$dir/$deltaDirPrefix$tag")
+    // COMMIT the mutation (the Sq.appendDelta contract): live once the
+    // state names it; a committed-FOLDED tag is a redelivered batch
+    // whose nodes are in the base — debris, never re-committed
+    val s = snapOf(dir)
+    if (!s.folded.contains(tag))
+      graft.io.MutableStore.patchStringArrays(sidecarPath(dir),
+        "live" -> (s.live :+ tag).distinct)
   }
 
   /** Tags of the live deltas, sorted (the probe fan-out width — the
     * compaction policy bounds it). A committed-but-not-yet-GC'd folded
     * delta (sidecar `folded` list) is NOT live — its nodes are already
     * in the current base version. */
-  def deltaTags(dir: String): Seq[String] = {
-    val d = java.nio.file.Paths.get(dir)
-    if (!java.nio.file.Files.exists(d)) return Seq.empty
-    val folded = foldedTags(dir)
-    val s = java.nio.file.Files.list(d)
-    try {
-      import scala.jdk.CollectionConverters._
-      s.iterator().asScala
-        .map(_.getFileName.toString)
-        .filter(_.startsWith(deltaDirPrefix))
-        .map(_.stripPrefix(deltaDirPrefix))
-        .filterNot(folded)
-        .toSeq.sorted
-    } finally s.close()
-  }
+  def deltaTags(dir: String): Seq[String] = snapOf(dir).live
 
   private def duBytes(path: java.nio.file.Path): Long = {
     if (!java.nio.file.Files.exists(path)) return 0L
@@ -665,11 +744,13 @@ object Hnsw {
       k: Int,
       p: Params = Params(),
       efSearch: Int = 64): DataFrame = {
-    val dead = tombstonedIds(spark, dir)
-    val base = searchCandidates(layout(spark, dir), Seq((0L, query)), k, p,
-      efSearch, cacheKey = sidecarFingerprint(dir), tombstoned = dead,
-      expectedRows = partCounts(layoutPath(dir)))
-    val all = deltaTags(dir).foldLeft(base) { (acc, tag) =>
+    val s = snapOf(dir) // snapshot-pinned: ONE committed-state read
+    val dead = tombstonedIdsOf(spark, dir, s)
+    val basePath = s.layoutPathOf(dir)
+    val base = searchCandidates(spark.read.parquet(basePath), Seq((0L, query)), k, p,
+      efSearch, cacheKey = s.cacheKeyOf(dir), tombstoned = dead,
+      expectedRows = partCounts(basePath))
+    val all = s.live.foldLeft(base) { (acc, tag) =>
       acc.unionAll(searchCandidates(
         spark.read.parquet(s"$dir/$deltaDirPrefix$tag"),
         Seq((0L, query)), k, p, efSearch,
@@ -710,10 +791,16 @@ object Hnsw {
       p: Params = Params(),
       excludeTags: Set[String] = Set.empty,
       dropTombstoned: Boolean = false): Unit = {
-    val tags = deltaTags(dir).filterNot(excludeTags)
-    val dead = if (dropTombstoned) tombstonedIds(spark, dir) else Set.empty[Long]
+    val s = snapOf(dir)
+    val tags = s.live.filterNot(excludeTags)
+    val dead = if (dropTombstoned) tombstonedIdsOf(spark, dir, s) else Set.empty[Long]
     if (tags.isEmpty && dead.isEmpty) return
-    val oldBase = layoutPath(dir)
+    // never-reuse allocation BEFORE debris GC: a crashed attempt's
+    // renamed-but-uncommitted layout_v<X> must still bump the counter
+    val vNew = math.max(s.v,
+      graft.io.MutableStore.maxOnDiskVersion(dir, Seq("layout_v"))) + 1
+    gcPrior(dir, s)
+    val oldBase = s.layoutPathOf(dir)
     val unionAllRows = (Seq(oldBase) ++ tags.map(t => s"$dir/$deltaDirPrefix$t"))
       .map(spark.read.parquet(_).select(col("vec_id"), col("emb").as("embedding")))
       .reduce(_ unionAll _)
@@ -721,49 +808,85 @@ object Hnsw {
     // the physical-drop leg of the delete story (every other store
     // compacts its tombstones away; without this a delete-heavy HNSW
     // keeps dead routing waypoints forever). The exclusion is a
-    // broadcast anti-join against the tombstone table (never an isin
-    // literal — a delete-heavy store has 100k+ dead ids). The
+    // broadcast anti-join against the live tombstone batches (never an
+    // isin literal — a delete-heavy store has 100k+ dead ids). The
     // surviving rows ARE what the new fingerprint attests, so a later
-    // ensureLayout over the live corpus reuses; the tombstone dir is
-    // removed AFTER the atomic commit (crash window: anti-joining ids
-    // that no longer exist is a no-op).
+    // ensureLayout over the live corpus reuses; the consumed tombstone
+    // dirs survive until the next compaction's gcPrior (lagged GC) but
+    // the committed state no longer names them.
     val union =
       if (dead.isEmpty) unionAllRows
       else unionAllRows.join(
-        broadcast(spark.read.option("recursiveFileLookup", "true")
-          .parquet(s"$dir/$tombstoneDirName")
+        broadcast(s.tombTags
+          .map(t => spark.read.parquet(s"$dir/$tombstoneDirName/del_$t"))
+          .reduce(_ unionAll _)
           .select(col("vec_id").cast("long").as("vec_id")).distinct()),
         Seq("vec_id"), "left_anti")
     val (n, h, hs) = graft.io.Artifact.hashAgg(
       union, xxhash64(col("vec_id"), col("embedding").cast("array<double>")))
-    // the canonical rebuild lands in a FRESH version dir while the old
-    // base keeps serving — no localCheckpoint pinning, no in-place
-    // overwrite; the COMMIT below is one atomic sidecar replace (the
-    // engine-wide versioned-swap protocol)
-    val node = sidecarNodeOf(dir)
-    val vOld = node.filter(_.hasNonNull("v")).map(_.get("v").asInt()).getOrElse(0)
-    val vNew = vOld + 1
-    val newDir = s"$dir/layout_v$vNew"
-    deleteRecursively(java.nio.file.Paths.get(newDir)) // crashed prior attempt
+    // the canonical rebuild is BUILT UNDER AN UNDERSCORE TEMP (invisible
+    // to recursive listings even half-written), renamed into a version
+    // path that is never reused, while the old base keeps serving; the
+    // COMMIT below is one atomic sidecar replace (the engine-wide
+    // versioned-swap protocol)
+    val building = java.nio.file.Paths.get(dir, s"_building_layout_v$vNew")
+    deleteRecursively(building)
     build(union, p).repartition(p.parts, col("part"))
-      .write.mode("overwrite").partitionBy("part").parquet(newDir)
-    writePartCounts(spark, newDir)
-    // ---- COMMIT: merged fingerprint + version pointer + folded list ----
+      .write.mode("overwrite").partitionBy("part").parquet(building.toString)
+    writePartCounts(spark, building.toString)
+    java.nio.file.Files.move(building,
+      java.nio.file.Paths.get(dir, s"layout_v$vNew"))
+    // ---- COMMIT: merged fingerprint + version pointer + leg lists ----
     def onDisk(t: String): Boolean =
       java.nio.file.Files.exists(java.nio.file.Paths.get(dir, s"$deltaDirPrefix$t"))
-    val folded = (foldedTags(dir).filter(onDisk) ++ tags).toSeq.sorted
+    def arr(x: Seq[String]) = x.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val folded = (s.folded.filter(onDisk) ++ tags).toSeq.sorted
+    val liveLeft = s.live.filterNot(tags.contains(_)).sorted
+    val tombsLeft = if (dropTombstoned) Seq.empty[String] else s.tombTags
     val fields = fingerprintFields(n, h, hs, p) ++ Seq(
       "v" -> vNew.toString,
-      "folded" -> folded.map("\"" + _ + "\"").mkString("[", ",", "]"))
+      "folded" -> arr(folded),
+      "live" -> arr(liveLeft),
+      "liveTombs" -> arr(tombsLeft))
     graft.io.Artifact.writeAtomic(
       java.nio.file.Paths.get(dir, sidecarName),
       fields.map { case (k, raw) => s""""$k":$raw""" }.mkString("{", ",", "}"))
-    // ---- GC (best-effort; the committed lists already exclude these) ----
-    deleteRecursively(java.nio.file.Paths.get(oldBase))
-    folded.foreach(t =>
-      deleteRecursively(java.nio.file.Paths.get(dir, s"$deltaDirPrefix$t")))
-    if (dead.nonEmpty)
-      deleteRecursively(java.nio.file.Paths.get(dir, tombstoneDirName))
+    // NO GC here — lagged to the next compaction's gcPrior, so probes
+    // pinned on the pre-commit snapshot keep every dir they named
+  }
+
+  /** LAGGED GC (the [[graft.index.Sq]] contract): collect the dirs the
+    * PREVIOUS commit superseded — its state already excludes them —
+    * plus crashed-attempt debris, at the START of each compaction.
+    * Every dir the CURRENT committed state names survives until the
+    * next compaction, so a snapshot-pinned probe outlives one
+    * concurrent commit. Consumed tombstone batches are the on-disk
+    * `del_<tag>` dirs the committed liveTombs list no longer names —
+    * only decidable in committed mode (a legacy sidecar has no list;
+    * its tombstones are all live by definition). */
+  private def gcPrior(dir: String, s: Snap): Unit = {
+    val root = java.nio.file.Paths.get(dir)
+    if (!java.nio.file.Files.exists(root)) return
+    val keepBase = if (s.v > 0) s"layout_v${s.v}" else "layout"
+    val ls = java.nio.file.Files.list(root)
+    val names = try {
+      import scala.jdk.CollectionConverters._
+      ls.iterator().asScala.map(_.getFileName.toString).toSeq
+    } finally ls.close()
+    names.foreach { nm =>
+      val pth = java.nio.file.Paths.get(dir, nm)
+      if (nm.startsWith("_building_")) deleteRecursively(pth)
+      else if ((nm.matches("layout_v\\d+") || nm == "layout") && nm != keepBase)
+        deleteRecursively(pth)
+      else if (nm.startsWith(deltaDirPrefix) &&
+          s.folded.contains(nm.stripPrefix(deltaDirPrefix)))
+        deleteRecursively(pth)
+    }
+    if (s.tombCommitted) {
+      val liveSet = s.tombTags.toSet
+      listedTombTags(dir).filterNot(liveSet).foreach(t =>
+        deleteRecursively(java.nio.file.Paths.get(dir, tombstoneDirName, s"del_$t")))
+    }
   }
 
   private val tombstoneDirName = "_tombstones"
@@ -790,13 +913,14 @@ object Hnsw {
       ids: Seq[Long],
       tag: String): Unit = {
     import spark.implicits._
-    val requested = ids.distinct.filterNot(tombstonedIds(spark, dir))
+    val s = snapOf(dir)
+    val requested = ids.distinct.filterNot(tombstonedIdsOf(spark, dir, s))
     if (requested.isEmpty) return
     // presence check via a broadcast semi-join, never an isin literal
     // (a bulk takedown's delete batch can be 100k+ ids — an In
     // expression that size blows up the plan)
-    val present = (Seq(layoutPath(dir)) ++
-        deltaTags(dir).map(t => s"$dir/$deltaDirPrefix$t"))
+    val present = (Seq(s.layoutPathOf(dir)) ++
+        s.live.map(t => s"$dir/$deltaDirPrefix$t"))
       .map(spark.read.parquet(_).select(col("vec_id").cast("long").as("vec_id")))
       .reduce(_ unionAll _)
       .join(broadcast(requested.toDF("vec_id")), Seq("vec_id"), "left_semi")
@@ -805,28 +929,17 @@ object Hnsw {
     present.toDF("vec_id").coalesce(1)
       .write.mode("overwrite")
       .parquet(s"$dir/$tombstoneDirName/del_$tag")
+    // COMMIT: the tombstone batch is live once the state names it
+    graft.io.MutableStore.patchStringArrays(sidecarPath(dir),
+      "liveTombs" -> (s.tombTags :+ tag).distinct)
   }
 
   /** All tombstoned ids — bounded by total delete volume (a crawl's
     * deletes are rare events; a delete-heavy workload reclaims via
     * `compactDeltas(dropTombstoned = true)`, which rebuilds the layout
     * without the dead rows and drops this table). */
-  def tombstonedIds(spark: SparkSession, dir: String): Set[Long] = {
-    val p = java.nio.file.Paths.get(dir, tombstoneDirName)
-    if (!java.nio.file.Files.exists(p)) return Set.empty
-    spark.read.option("recursiveFileLookup", "true")
-      .parquet(p.toString)
-      .select(col("vec_id").cast("long"))
-      .collect().map(_.getLong(0)).toSet
-  }
-
-  /** The layout's sidecar fingerprint (the [[graphCache]] key). */
-  private def sidecarFingerprint(dir: String): Option[String] = {
-    val path = java.nio.file.Paths.get(dir, sidecarName)
-    if (java.nio.file.Files.exists(path))
-      Some(java.nio.file.Files.readString(path))
-    else None
-  }
+  def tombstonedIds(spark: SparkSession, dir: String): Set[Long] =
+    tombstonedIdsOf(spark, dir, snapOf(dir))
 
   /** Single-query top-k over the persisted layout: per-shard beam
     * searches + a global TakeOrdered over ≤ parts·k candidates.
@@ -839,10 +952,12 @@ object Hnsw {
       k: Int,
       p: Params = Params(),
       efSearch: Int = 64): DataFrame = {
-    val cands = searchCandidates(layout(spark, dir), Seq((0L, query)), k, p,
-      efSearch, cacheKey = sidecarFingerprint(dir),
-      tombstoned = tombstonedIds(spark, dir),
-      expectedRows = partCounts(layoutPath(dir)))
+    val s = snapOf(dir) // snapshot-pinned: ONE committed-state read
+    val basePath = s.layoutPathOf(dir)
+    val cands = searchCandidates(spark.read.parquet(basePath), Seq((0L, query)), k, p,
+      efSearch, cacheKey = s.cacheKeyOf(dir),
+      tombstoned = tombstonedIdsOf(spark, dir, s),
+      expectedRows = partCounts(basePath))
     cands
       .orderBy(col("dist").asc, col("vec_id").asc)
       .limit(k)
@@ -866,10 +981,12 @@ object Hnsw {
       k: Int,
       p: Params = Params(),
       efSearch: Int = 64): DataFrame = {
-    val cands = searchCandidates(layout(spark, dir), queries, k, p,
-      efSearch, cacheKey = sidecarFingerprint(dir),
-      tombstoned = tombstonedIds(spark, dir),
-      expectedRows = partCounts(layoutPath(dir)))
+    val s = snapOf(dir) // snapshot-pinned: ONE committed-state read
+    val basePath = s.layoutPathOf(dir)
+    val cands = searchCandidates(spark.read.parquet(basePath), queries, k, p,
+      efSearch, cacheKey = s.cacheKeyOf(dir),
+      tombstoned = tombstonedIdsOf(spark, dir, s),
+      expectedRows = partCounts(basePath))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("q_id")).orderBy(col("dist").asc, col("vec_id").asc)
     cands

@@ -326,6 +326,45 @@ object Sq {
   private def deadTombTags(dir: String): Set[String] =
     sidecarNodeOf(dir).map(jsonStringSet(_, "deadTombs")).getOrElse(Set.empty)
 
+  /** One committed-state SNAPSHOT of the code store, resolved from a
+    * SINGLE sidecar read plus the immutable per-tag stats jsons it
+    * names — the concurrent-reader contract: a probe built from one
+    * snapshot serves wholly the state some commit left behind, never a
+    * torn mix (directory listings can interleave with a compaction
+    * commit; one atomic sidecar read cannot). Data dirs named by a
+    * snapshot stay readable through ONE subsequent compaction commit —
+    * compaction GC is LAGGED (a commit's superseded dirs are collected
+    * at the START of the next compaction, not at its own end), so a
+    * probe outlives at most one concurrent commit by construction.
+    * Sidecars written before the committed-live-leg protocol carry no
+    * `live`/`liveTombs` fields; the snapshot then falls back to the
+    * legacy listing resolution (single-writer stores only). */
+  private final case class Snap(
+      node: Option[com.fasterxml.jackson.databind.JsonNode],
+      v: Int,
+      live: Seq[String],
+      tombs: Seq[Tomb]) {
+    def codesPathOf(dir: String): String =
+      if (v > 0) s"$dir/codes_v$v" else s"$dir/codes"
+    def folded: Set[String] = node.map(jsonStringSet(_, "folded")).getOrElse(Set.empty)
+    def dead: Set[String] = node.map(jsonStringSet(_, "deadTombs")).getOrElse(Set.empty)
+  }
+
+  private def snapOf(dir: String): Snap = {
+    val node = sidecarNodeOf(dir)
+    val v = node.filter(_.hasNonNull("v")).map(_.get("v").asInt()).getOrElse(0)
+    val folded = node.map(jsonStringSet(_, "folded")).getOrElse(Set.empty)
+    val dead = node.map(jsonStringSet(_, "deadTombs")).getOrElse(Set.empty)
+    val live = graft.io.MutableStore.optStringSeq(node, "live")
+      .getOrElse(listedDeltaTags(dir).filterNot(folded))
+    val tombTags = graft.io.MutableStore.optStringSeq(node, "liveTombs")
+      .getOrElse(listedTombTags(dir).filterNot(dead))
+    Snap(node, v, live, tombTags.map(readTomb(dir, _)))
+  }
+
+  private def sidecarPath(dir: String): java.nio.file.Path =
+    java.nio.file.Paths.get(dir, codesSidecar)
+
   /** The current BASE codes location: `codes` for a never-compacted
     * artifact, the sidecar's committed `codes_v<N>` after a
     * compaction (the versioned-swap protocol — see [[compactDeltas]]). */
@@ -346,20 +385,18 @@ object Sq {
   def describeStore(
       spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val node = sidecarNodeOf(dir)
-    val v = node.filter(_.hasNonNull("v")).map(_.get("v").asLong()).getOrElse(0L)
-    val baseCount = node.map(_.get("count").asLong()).getOrElse(0L)
-    val deltaCount = deltaTags(dir).map { t =>
+    val s = snapOf(dir) // ONE committed-state read — the report is torn-proof
+    val baseCount = s.node.map(_.get("count").asLong()).getOrElse(0L)
+    val deltaCount = s.live.map { t =>
       mapper.readTree(java.nio.file.Files.readString(
         java.nio.file.Paths.get(dir, s"delta_$t", "_stats.json")))
         .get("count").asLong()
     }.sum
-    val tombs = liveTombs(dir)
     Seq(
-      ("base_version", v),
-      ("live_deltas", deltaTags(dir).size.toLong),
-      ("live_tombstones", tombs.size.toLong),
-      ("n_codes", baseCount + deltaCount - tombs.map(_.count).sum)
+      ("base_version", s.v.toLong),
+      ("live_deltas", s.live.size.toLong),
+      ("live_tombstones", s.tombs.size.toLong),
+      ("n_codes", baseCount + deltaCount - s.tombs.map(_.count).sum)
     ).toDF("metric", "value")
   }
 
@@ -434,39 +471,41 @@ object Sq {
     SqModel(rows.length, vmin, vmax)
   }
 
-  private def deltaTags(dir: String): Seq[String] = {
-    val folded = foldedTags(dir)
+  /** Live delta tags per the COMMITTED state (one sidecar read). */
+  private def deltaTags(dir: String): Seq[String] = snapOf(dir).live
+
+  /** Legacy (pre-protocol) listing resolution — also the build-time
+    * inventory for ensure's stale-dir cleanup. */
+  private def listedDeltaTags(dir: String): Seq[String] =
     listDirs(dir)
       .filter(n => n.startsWith("delta_") &&
         java.nio.file.Files.exists(
           java.nio.file.Paths.get(dir, n, "_stats.json")))
       .map(_.stripPrefix("delta_"))
-      .filterNot(folded)
       .sorted
-  }
+
+  private def listedTombTags(dir: String): Seq[String] =
+    listDirs(dir)
+      .filter(n => n.startsWith("tomb_") &&
+        java.nio.file.Files.exists(
+          java.nio.file.Paths.get(dir, n, "_stats.json")))
+      .map(_.stripPrefix("tomb_"))
+      .sorted
 
   /** One live tombstone batch: deleted ids + the legs it covers + the
     * batch's mergeable fingerprint terms (see [[deleteVectors]]). */
   private final case class Tomb(tag: String, covered: Set[String],
       count: Long, hash: Long, hsum: BigInt)
 
-  private def liveTombs(dir: String): Seq[Tomb] = {
-    val dead = deadTombTags(dir)
-    listDirs(dir)
-      .filter(n => n.startsWith("tomb_") &&
-        java.nio.file.Files.exists(
-          java.nio.file.Paths.get(dir, n, "_stats.json")))
-      .map(_.stripPrefix("tomb_"))
-      .filterNot(dead)
-      .sorted
-      .map { tag =>
-        val n = mapper.readTree(java.nio.file.Files.readString(
-          java.nio.file.Paths.get(dir, s"tomb_$tag", "_stats.json")))
-        Tomb(tag, jsonStringSet(n, "covered"),
-          n.get("count").asLong(), n.get("hash").asLong(),
-          BigInt(n.get("hsum").asText()))
-      }
+  private def readTomb(dir: String, tag: String): Tomb = {
+    val n = mapper.readTree(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(dir, s"tomb_$tag", "_stats.json")))
+    Tomb(tag, jsonStringSet(n, "covered"),
+      n.get("count").asLong(), n.get("hash").asLong(),
+      BigInt(n.get("hsum").asText()))
   }
+
+  private def liveTombs(dir: String): Seq[Tomb] = snapOf(dir).tombs
 
   /** DELETE a batch of vectors from the code store — the HNSW/IVF
     * tombstone pattern applied to the SQ8 artifact. The batch must be
@@ -496,21 +535,35 @@ object Sq {
       excludeCovered: Set[String] = Set.empty): Unit = {
     val (nRows, dataHash, hashSum) = graft.io.Artifact.hashAgg(
       batch, xxhash64(col(idCol), col(embCol).cast("array<double>")))
-    val covered = ("base" +: deltaTags(dir).filterNot(excludeCovered))
+    val s = snapOf(dir)
+    val covered = ("base" +: s.live.filterNot(excludeCovered))
       .map(t => "\"" + t + "\"").mkString("[", ",", "]")
     batch.select(col(idCol).cast("long").as(idCol)).distinct()
       .write.mode("overwrite").parquet(s"$dir/tomb_$tag/ids")
     graft.io.Artifact.writeAtomic(
       java.nio.file.Paths.get(dir, s"tomb_$tag", "_stats.json"),
       s"""{"count":$nRows,"hash":$dataHash,"hsum":"$hashSum","covered":$covered}""")
+    // COMMIT the mutation: the tombstone is live once the state names
+    // it. A tag the state already CONSUMED (deadTombs) is a redelivered
+    // batch whose terms were already subtracted — debris, never
+    // re-committed (double-subtract at the next consumption)
+    if (!s.dead.contains(tag))
+      graft.io.MutableStore.patchStringArrays(sidecarPath(dir),
+        "liveTombs" -> (s.tombs.map(_.tag) :+ tag).distinct)
   }
 
   /** Drop every delta and tombstone dir, returning the store to the
     * BASE snapshot its sidecar attests — the replay helper mirroring
     * [[graft.text.InvertedIndex.dropMutations]]. */
-  def dropMutations(dir: String): Unit =
+  def dropMutations(dir: String): Unit = {
     listDirs(dir).filter(n => n.startsWith("delta_") || n.startsWith("tomb_"))
       .foreach(n => deleteRecursively(java.nio.file.Paths.get(dir, n)))
+    // the committed state must agree with the wiped disk (folded/dead
+    // debris went with the rest; GC at the next compaction sees none)
+    graft.io.MutableStore.patchStringArrays(sidecarPath(dir),
+      "live" -> Seq.empty, "liveTombs" -> Seq.empty,
+      "folded" -> Seq.empty, "deadTombs" -> Seq.empty)
+  }
 
   private def maskFor(
       spark: org.apache.spark.sql.SparkSession, dir: String,
@@ -532,17 +585,22 @@ object Sq {
   /** Codes over (base ∪ live deltas) − covering tombstones — the
     * probe's input. Each leg anti-joins only the (broadcast, tiny)
     * tombstones covering it, so a vector re-appended after its delete
-    * is live again. */
+    * is live again. SNAPSHOT-PINNED: the whole leg set (base version
+    * path, live delta tags, covering tombstones) resolves from ONE
+    * committed sidecar read, and lagged GC keeps every named dir
+    * readable through one subsequent compaction commit — a probe built
+    * here serves wholly the pinned state even if a compaction commits
+    * before it executes (spec: SnapshotPinSpec). */
   def codesWithDeltas(
       spark: org.apache.spark.sql.SparkSession, dir: String,
       idCol: String = "vec_id"): DataFrame = {
-    val tombs = liveTombs(dir)
-    val base = spark.read.parquet(codesPath(dir))
-    val baseLeg = applyMask(base, maskFor(spark, dir, tombs, "base", idCol), idCol)
-    deltaTags(dir).foldLeft(baseLeg) { (acc, tag) =>
+    val s = snapOf(dir)
+    val base = spark.read.parquet(s.codesPathOf(dir))
+    val baseLeg = applyMask(base, maskFor(spark, dir, s.tombs, "base", idCol), idCol)
+    s.live.foldLeft(baseLeg) { (acc, tag) =>
       acc.unionAll(applyMask(
         spark.read.schema(base.schema).parquet(s"$dir/delta_$tag/codes"),
-        maskFor(spark, dir, tombs, tag, idCol), idCol))
+        maskFor(spark, dir, s.tombs, tag, idCol), idCol))
     }
   }
 
@@ -584,34 +642,71 @@ object Sq {
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(dir, s"delta_$tag", "_stats.json"),
       s"""{"count":$nRows,"hash":$dataHash,"hsum":"$hashSum"}""")
+    // COMMIT the mutation: the delta is live once the state names it.
+    // A tag the committed state already FOLDED is a redelivered batch
+    // whose rows are in the base — the rewritten dir is debris (GC'd
+    // at the next compaction), never re-committed (double-count)
+    val s = snapOf(dir)
+    if (!s.folded.contains(tag))
+      graft.io.MutableStore.patchStringArrays(sidecarPath(dir),
+        "live" -> (s.live :+ tag).distinct)
   }
 
   def deltaDirCount(dir: String): Int = deltaTags(dir).size
 
+  /** LAGGED GC of the dirs the PREVIOUS commit superseded (its state
+    * already excludes them) plus crashed-attempt debris — runs at the
+    * START of each compaction, never at its own end, so every dir the
+    * current committed state names survives until the NEXT compaction
+    * and a snapshot-pinned probe outlives one concurrent commit. */
+  private def gcPrior(dir: String, s: Snap): Unit = {
+    val keepBase = if (s.v > 0) s"codes_v${s.v}" else "codes"
+    listDirs(dir).foreach { n =>
+      val p = java.nio.file.Paths.get(dir, n)
+      if (n.startsWith("_building_")) deleteRecursively(p)
+      else if ((n.matches("codes_v\\d+") || n == "codes") && n != keepBase)
+        deleteRecursively(p)
+      else if (n.startsWith("delta_") && s.folded.contains(n.stripPrefix("delta_")))
+        deleteRecursively(p)
+      else if (n.startsWith("tomb_") && s.dead.contains(n.stripPrefix("tomb_")))
+        deleteRecursively(p)
+    }
+  }
+
   /** Fold live deltas (minus `excludeTags` — redelivery safety) and
     * tombstones into a NEW base codes version: per-leg tombstone
-    * anti-joins drop deleted rows physically, the folded codes land in
-    * a fresh `codes_v<N+1>` dir while the old base keeps serving (no
-    * localCheckpoint pinning, no in-place overwrite — the versioned
-    * atomic-swap protocol shared with the posting-table compactions),
-    * and the COMMIT is one atomic sidecar replace carrying the merged
-    * fingerprint + version pointer + folded/consumed lists. Tombstones
+    * anti-joins drop deleted rows physically, the folded codes are
+    * BUILT UNDER AN UNDERSCORE TEMP (invisible to recursive listings
+    * even half-written), renamed into a `codes_v<N>` path that is
+    * NEVER REUSED ([[graft.io.MutableStore.maxOnDiskVersion]] skips
+    * past crashed-attempt debris), and the COMMIT is one atomic
+    * sidecar replace carrying the merged fingerprint + version pointer
+    * + folded/consumed lists + the surviving live legs. Tombstones
     * whose covered legs all folded are CONSUMED (terms subtracted), so
     * a later [[ensureCodesArtifact]] over the post-delete union corpus
     * reuses instead of rebuilding. The MODEL is untouched
-    * (trained-index contract). GC runs last, best-effort; a crash
-    * leaves dirs the committed lists already exclude. Single-writer,
-    * no concurrent probes. */
+    * (trained-index contract). GC is LAGGED ([[gcPrior]]): this
+    * commit's superseded dirs survive until the next compaction, so a
+    * snapshot-pinned probe built before this commit still serves its
+    * wholly-old state. Single-writer (one compactor at a time);
+    * concurrent PROBES are safe — the snapshot contract. */
   def compactDeltas(
       spark: org.apache.spark.sql.SparkSession,
       dir: String,
       excludeTags: Set[String] = Set.empty,
       idCol: String = "vec_id"): Unit = {
-    val tags = deltaTags(dir).filterNot(excludeTags)
-    val tombs = liveTombs(dir)
+    val s = snapOf(dir)
+    val tags = s.live.filterNot(excludeTags)
+    val tombs = s.tombs
     if (tags.isEmpty && tombs.isEmpty) return
-    val sidecar = java.nio.file.Paths.get(dir, codesSidecar)
-    val node = mapper.readTree(java.nio.file.Files.readString(sidecar))
+    // never-reuse allocation BEFORE debris GC: a crashed attempt's
+    // renamed-but-uncommitted codes_v<X> must still bump the counter
+    val vNew = math.max(s.v,
+      graft.io.MutableStore.maxOnDiskVersion(dir, Seq("codes_v"))) + 1
+    gcPrior(dir, s)
+    val sidecar = sidecarPath(dir)
+    val node = s.node.getOrElse(
+      throw new IllegalStateException(s"no $codesSidecar under $dir"))
     var cnt = node.get("count").asLong()
     var hsh = node.get("hash").asLong()
     var hsum = BigInt(node.get("hsum").asText())
@@ -622,39 +717,37 @@ object Sq {
       hsh ^= d.get("hash").asLong()
       hsum += BigInt(d.get("hsum").asText())
     }
-    val liveNow = deltaTags(dir).toSet
     val consumed = tombs.filter(_.covered.forall(c =>
-      c == "base" || tags.contains(c) || !liveNow.contains(c)))
+      c == "base" || tags.contains(c) || !s.live.contains(c)))
     consumed.foreach { t =>
       cnt -= t.count
       hsh ^= t.hash
       hsum -= t.hsum
     }
-    val base = spark.read.parquet(codesPath(dir))
+    val base = spark.read.parquet(s.codesPathOf(dir))
     val union = (
       applyMask(base, maskFor(spark, dir, tombs, "base", idCol), idCol) +:
         tags.map(t => applyMask(
           spark.read.schema(base.schema).parquet(s"$dir/delta_$t/codes"),
           maskFor(spark, dir, tombs, t, idCol), idCol))
       ).reduce(_ unionAll _)
-    val vOld = if (node.hasNonNull("v")) node.get("v").asInt() else 0
-    val vNew = vOld + 1
-    val newDir = s"$dir/codes_v$vNew"
-    deleteRecursively(java.nio.file.Paths.get(newDir)) // crashed prior attempt
-    union.write.mode("overwrite").parquet(newDir)
+    val building = java.nio.file.Paths.get(dir, s"_building_codes_v$vNew")
+    deleteRecursively(building)
+    union.write.mode("overwrite").parquet(building.toString)
+    java.nio.file.Files.move(building,
+      java.nio.file.Paths.get(dir, s"codes_v$vNew"))
     // ---- COMMIT: one atomic sidecar replace ----
     def onDisk(prefix: String)(t: String): Boolean =
       java.nio.file.Files.exists(java.nio.file.Paths.get(dir, s"$prefix$t"))
-    val folded = (foldedTags(dir).filter(onDisk("delta_")) ++ tags).toSeq.sorted
-    val dead = (deadTombTags(dir).filter(onDisk("tomb_")) ++
+    val folded = (s.folded.filter(onDisk("delta_")) ++ tags).toSeq.sorted
+    val dead = (s.dead.filter(onDisk("tomb_")) ++
       consumed.map(_.tag)).toSeq.sorted
-    def arr(s: Seq[String]) = s.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val liveLeft = s.live.filterNot(tags.contains(_)).sorted
+    val tombsLeft = tombs.map(_.tag).filterNot(consumed.map(_.tag).contains(_)).sorted
+    def arr(x: Seq[String]) = x.map("\"" + _ + "\"").mkString("[", ",", "]")
     graft.io.Artifact.writeAtomic(sidecar,
-      s"""{"count":$cnt,"hash":$hsh,"hsum":"$hsum","family":"sq8_minmax","v":$vNew,"folded":${arr(folded)},"deadTombs":${arr(dead)}}""")
-    // ---- GC (best-effort; the committed lists already exclude these) ----
-    deleteRecursively(java.nio.file.Paths.get(
-      if (vOld > 0) s"$dir/codes_v$vOld" else s"$dir/codes"))
-    folded.foreach(t => deleteRecursively(java.nio.file.Paths.get(dir, s"delta_$t")))
-    dead.foreach(t => deleteRecursively(java.nio.file.Paths.get(dir, s"tomb_$t")))
+      s"""{"count":$cnt,"hash":$hsh,"hsum":"$hsum","family":"sq8_minmax","v":$vNew,"folded":${arr(folded)},"deadTombs":${arr(dead)},"live":${arr(liveLeft)},"liveTombs":${arr(tombsLeft)}}""")
+    // NO GC here — lagged to the next compaction's gcPrior, so probes
+    // pinned on the pre-commit snapshot keep every dir they named
   }
 }

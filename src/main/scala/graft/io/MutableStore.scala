@@ -109,9 +109,12 @@ private[graft] object MutableStore {
     try {
       import scala.jdk.CollectionConverters._
       s.iterator().asScala.map(_.getFileName.toString)
-        .collect { case nm if prefixes.exists(p => nm.matches(
-            java.util.regex.Pattern.quote(p) + "\\d+")) =>
-          nm.replaceAll("^\\D+", "").toInt }
+        .flatMap(nm => prefixes.collectFirst {
+          // strip the PREFIX, not "leading non-digits" — a prefix may
+          // itself contain digits (e.g. a `graft_bm25del_x_v` stem)
+          case p if nm.matches(java.util.regex.Pattern.quote(p) + "\\d+") =>
+            nm.substring(p.length).toInt
+        })
         .foldLeft(0)(math.max)
     } finally s.close()
   }
@@ -121,4 +124,39 @@ private[graft] object MutableStore {
   def consumedTombs(tombs: Seq[Tomb], folding: Seq[String], liveNow: Set[String]): Seq[Tomb] =
     tombs.filter(_.covered.forall(c =>
       c == "base" || folding.contains(c) || !liveNow.contains(c)))
+
+  /** A sorted string-array field of a committed state/sidecar json —
+    * None when the FIELD is absent (a sidecar written before the
+    * committed-live-leg protocol; callers then fall back to the legacy
+    * directory-listing resolution). */
+  def optStringSeq(
+      node: Option[com.fasterxml.jackson.databind.JsonNode],
+      key: String): Option[Seq[String]] =
+    node.filter(_.has(key)).map { n =>
+      import scala.jdk.CollectionConverters._
+      n.get(key).elements().asScala.map(_.asText()).toSeq.sorted
+    }
+
+  /** Atomically PATCH string-array fields of an existing json file
+    * (read → set → one atomic replace) — the MUTATION-COMMIT primitive
+    * of the snapshot-pinned-probe protocol: an append/delete records
+    * its tag in the owning sidecar's `live`/`liveTombs` list AFTER its
+    * leg dir is fully written, so a mutation is live exactly when the
+    * committed state names it and a probe resolves its WHOLE leg set
+    * from ONE sidecar read (no directory listing can be torn against a
+    * concurrent commit). Single-writer like every mutation; a crash
+    * between the leg write and this patch leaves the leg invisible —
+    * at-least-once redelivery rewrites both. No-op when the file does
+    * not exist (never-ensured store → legacy listing resolution). */
+  def patchStringArrays(
+      path: java.nio.file.Path, updates: (String, Seq[String])*): Unit = {
+    if (!java.nio.file.Files.exists(path)) return
+    val node = mapper.readTree(java.nio.file.Files.readString(path))
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    updates.foreach { case (k, vs) =>
+      val arr = node.putArray(k)
+      vs.sorted.foreach(arr.add)
+    }
+    Artifact.writeAtomic(path, node.toString)
+  }
 }

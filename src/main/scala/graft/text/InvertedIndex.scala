@@ -447,27 +447,109 @@ object InvertedIndex {
   private final case class Tomb(tag: String, covered: Set[String],
       count: Long, hash: Long, hsum: BigInt, nDocs: Long, sumDl: Long)
 
-  private def liveTombs(dir: String): Seq[Tomb] = {
+  private def readTomb(dir: String, tag: String): Tomb = {
+    val n = mapper.readTree(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(tombRoot(dir), tag, tombStatsName)))
+    Tomb(tag, jsonStringSet(n, "covered"),
+      n.get("count").asLong(), n.get("hash").asLong(),
+      BigInt(n.get("hsum").asText()),
+      n.get("nDocs").asLong(), n.get("sumDl").asLong())
+  }
+
+  /** One committed-state SNAPSHOT of a posting store, resolved from a
+    * SINGLE sidecar read plus the immutable per-tag stats jsons it
+    * names — the engine-wide snapshot-pinned-probe contract
+    * ([[graft.index.Sq]]): base version, live delta tags and live
+    * tombstones come from one atomic read, so a probe can never see a
+    * torn mix of two commits; lagged compaction GC keeps every dir a
+    * snapshot names readable through ONE subsequent commit. Sidecars
+    * written before the protocol (no `live`/`liveTombs` fields) fall
+    * back to the legacy listing resolution. */
+  private final case class Snap(
+      node: Option[com.fasterxml.jackson.databind.JsonNode],
+      v: Int,
+      live: Seq[String],
+      tombs: Seq[Tomb]) {
+    def basePathOf(dir: String): String = if (v > 0) s"${dir}_v$v" else dir
+    def folded: Set[String] =
+      node.map(jsonStringSet(_, "folded")).getOrElse(Set.empty)
+    def dead: Set[String] =
+      node.map(jsonStringSet(_, "deadTombs")).getOrElse(Set.empty)
+    def stateKey: (Int, Seq[String], Seq[String]) = (v, live, tombs.map(_.tag))
+  }
+
+  private def snapOf(dir: String): Snap = {
+    val node = sidecarNode(dir)
+    val v = node.filter(_.hasNonNull("v")).map(_.get("v").asInt()).getOrElse(0)
+    val folded = node.map(jsonStringSet(_, "folded")).getOrElse(Set.empty[String])
+    val dead = node.map(jsonStringSet(_, "deadTombs")).getOrElse(Set.empty[String])
+    val live = graft.io.MutableStore.optStringSeq(node, "live")
+      .getOrElse(listedDeltaTags(dir).filterNot(folded))
+    val tombTags = graft.io.MutableStore.optStringSeq(node, "liveTombs")
+      .getOrElse(listedTombTags(dir).filterNot(dead))
+    Snap(node, v, live, tombTags.map(readTomb(dir, _)))
+  }
+
+  /** The owning sidecar's path (a dir hosts exactly one posting
+    * table), if the store was ever ensured. */
+  private def sidecarPath(dir: String): java.nio.file.Path =
+    allSidecarNames.iterator
+      .map(n => java.nio.file.Paths.get(dir, n))
+      .find(java.nio.file.Files.exists(_))
+      .getOrElse(java.nio.file.Paths.get(dir, sidecarName))
+
+  private def listedTombTags(dir: String): Seq[String] = {
     val root = java.nio.file.Paths.get(tombRoot(dir))
     if (!java.nio.file.Files.exists(root)) return Seq.empty
-    val dead = deadTombTags(dir)
     val s = java.nio.file.Files.list(root)
-    val tags = try {
+    try {
       import scala.jdk.CollectionConverters._
       s.iterator().asScala
         .filter(p => java.nio.file.Files.exists(p.resolve(tombStatsName)))
         .map(_.getFileName.toString)
-        .filterNot(dead)
         .toSeq.sorted
     } finally s.close()
-    tags.map { tag =>
-      val n = mapper.readTree(java.nio.file.Files.readString(
-        java.nio.file.Paths.get(tombRoot(dir), tag, tombStatsName)))
-      Tomb(tag, jsonStringSet(n, "covered"),
-        n.get("count").asLong(), n.get("hash").asLong(),
-        BigInt(n.get("hsum").asText()),
-        n.get("nDocs").asLong(), n.get("sumDl").asLong())
+  }
+
+  private def liveTombs(dir: String): Seq[Tomb] = snapOf(dir).tombs
+
+  /** The catalog table's current resolved location, normalized to a
+    * filesystem path (None when unresolvable — validation then rests
+    * on the double state read alone). */
+  private def tableLocation(spark: SparkSession, table: String): Option[String] =
+    try {
+      val id = spark.sessionState.sqlParser.parseTableIdentifier(table)
+      val loc = spark.sessionState.catalog.getTableMetadata(id).location
+      Some(java.nio.file.Paths.get(loc).normalize.toString)
+    } catch { case _: Throwable => None }
+
+  /** Pin one committed snapshot TOGETHER with the catalog-resolved
+    * base relation — the posting stores' base is a registered bucketed
+    * table, so `spark.table` resolves through the catalog, which a
+    * concurrent compaction commit re-points. The pin is optimistic:
+    * resolve state → resolve table → re-read state, and accept only
+    * when the state is unchanged AND the resolved location is the
+    * snapshot's base path (a commit interleaving anywhere in between
+    * fails one of the two checks and retries against the newer state).
+    * Once pinned, the analyzed relation holds the old location and
+    * lagged GC keeps its files (and every delta/tombstone dir the
+    * snapshot names) readable through one subsequent commit. */
+  private def pinned[A](spark: SparkSession, table: String, dir: String)
+      (build: (DataFrame, Snap) => A): A = {
+    var attempt = 0
+    while (attempt < 8) {
+      val s0 = snapOf(dir)
+      val base = spark.table(table)
+      val loc = tableLocation(spark, table)
+      val expected = java.nio.file.Paths.get(s0.basePathOf(dir)).normalize.toString
+      val s1 = snapOf(dir)
+      if (s1.stateKey == s0.stateKey && loc.forall(_ == expected))
+        return build(base, s0)
+      attempt += 1
     }
+    throw new IllegalStateException(
+      s"could not pin a consistent snapshot of $table at $dir after 8 attempts " +
+        "(a compaction is committing continuously?)")
   }
 
   /** DELETE a batch of docs from a posting store (any of the three
@@ -510,7 +592,8 @@ object InvertedIndex {
     val stats = d.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl")).head()
     val nDocs = stats.getLong(0)
     val sumDl = if (stats.isNullAt(1)) 0L else stats.getLong(1)
-    val covered = ("base" +: deltaTags(dir).filterNot(excludeCovered))
+    val s = snapOf(dir)
+    val covered = ("base" +: s.live.filterNot(excludeCovered))
       .map(t => "\"" + t + "\"").mkString("[", ",", "]")
     val out = s"${tombRoot(dir)}/$tag"
     d.select(col("doc_id")).distinct()
@@ -518,6 +601,11 @@ object InvertedIndex {
     graft.io.Artifact.writeAtomic(
       java.nio.file.Paths.get(out, tombStatsName),
       s"""{"count":$nRows,"hash":$dataHash,"hsum":"$hashSum","nDocs":$nDocs,"sumDl":$sumDl,"covered":$covered}""")
+    // COMMIT: live once the state names it; a consumed (dead) tag is a
+    // redelivered batch whose terms were already subtracted — debris
+    if (!s.dead.contains(tag))
+      graft.io.MutableStore.patchStringArrays(sidecarPath(dir),
+        "liveTombs" -> (s.tombs.map(_.tag) :+ tag).distinct)
   }
 
   /** Drop every delta and tombstone dir, returning the store to the
@@ -532,6 +620,10 @@ object InvertedIndex {
   def dropMutations(dir: String): Unit = {
     deleteRecursively(java.nio.file.Paths.get(deltaRoot(dir)))
     deleteRecursively(java.nio.file.Paths.get(tombRoot(dir)))
+    // the committed state must agree with the wiped disk
+    graft.io.MutableStore.patchStringArrays(sidecarPath(dir),
+      "live" -> Seq.empty, "liveTombs" -> Seq.empty,
+      "folded" -> Seq.empty, "deadTombs" -> Seq.empty)
   }
 
   /** The tombstoned doc ids covering one leg, as a broadcast anti-join
@@ -580,24 +672,35 @@ object InvertedIndex {
     graft.io.Artifact.writeAtomic(
       java.nio.file.Paths.get(out, deltaStatsName),
       s"""{"count":$nRows,"hash":$dataHash,"hsum":"$hashSum","nDocs":$nDocs,"sumDl":$sumDl}""")
+    commitDeltaTag(dir, tag)
+  }
+
+  /** COMMIT a freshly written delta: live once the state names it. A
+    * committed-FOLDED tag is a redelivered batch whose rows are in the
+    * base — debris, never re-committed (double-count). */
+  private def commitDeltaTag(dir: String, tag: String): Unit = {
+    val s = snapOf(dir)
+    if (!s.folded.contains(tag))
+      graft.io.MutableStore.patchStringArrays(sidecarPath(dir),
+        "live" -> (s.live :+ tag).distinct)
   }
 
   /** Tags of the live deltas, sorted (probe fan-out width — bounded by
-    * the compaction policy). A delta is live only once its stats json
-    * exists (written last), and a committed-but-not-yet-GC'd folded
-    * delta (sidecar `folded` list) is NOT live — its rows are already
-    * in the current base version. */
-  def deltaTags(dir: String): Seq[String] = {
+    * the compaction policy), per the COMMITTED state (one sidecar
+    * read). A delta is live only once the state names it. */
+  def deltaTags(dir: String): Seq[String] = snapOf(dir).live
+
+  /** Legacy listing resolution (pre-protocol sidecars) — a delta dir
+    * counts only once its stats json exists (written last). */
+  private def listedDeltaTags(dir: String): Seq[String] = {
     val root = java.nio.file.Paths.get(deltaRoot(dir))
     if (!java.nio.file.Files.exists(root)) return Seq.empty
-    val folded = foldedTags(dir)
     val s = java.nio.file.Files.list(root)
     try {
       import scala.jdk.CollectionConverters._
       s.iterator().asScala
         .filter(p => java.nio.file.Files.exists(p.resolve(deltaStatsName)))
         .map(_.getFileName.toString)
-        .filterNot(folded)
         .toSeq.sorted
     } finally s.close()
   }
@@ -648,12 +751,17 @@ object InvertedIndex {
     * O(deltas + tombstones) json reads, no data touched. Each live
     * tombstone's decrement applies exactly once (its docs are live in
     * exactly one covered leg — the [[deleteDocs]] contract). */
-  def statsDeltaAware(dir: String): CorpusStats = {
-    val added = deltaTags(dir).foldLeft(sidecarStats(dir)) { (acc, tag) =>
+  def statsDeltaAware(dir: String): CorpusStats = statsOf(dir, snapOf(dir))
+
+  private def statsOf(dir: String, s: Snap): CorpusStats = {
+    val node = s.node.getOrElse(
+      throw new IllegalStateException(s"no sidecar under $dir"))
+    val base = CorpusStats(node.get("nDocs").asLong(), node.get("sumDl").asLong())
+    val added = s.live.foldLeft(base) { (acc, tag) =>
       val n = deltaStats(dir, tag)
       CorpusStats(acc.nDocs + n.get("nDocs").asLong(), acc.sumDl + n.get("sumDl").asLong())
     }
-    liveTombs(dir).foldLeft(added) { (acc, t) =>
+    s.tombs.foldLeft(added) { (acc, t) =>
       CorpusStats(acc.nDocs - t.nDocs, acc.sumDl - t.sumDl)
     }
   }
@@ -667,20 +775,18 @@ object InvertedIndex {
     * oracle can recompute it from the survivor corpus. */
   def describeStore(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val v = sidecarNode(dir)
-      .map(n => if (n.hasNonNull("v")) n.get("v").asLong() else 0L)
-      .getOrElse(0L)
+    val s = snapOf(dir) // ONE committed-state read — the report is torn-proof
     // the corpus-stat rows exist only on the BM25 store (the
     // positional/trigram sidecars carry no nDocs/sumDl)
     val stats =
       if (java.nio.file.Files.exists(java.nio.file.Paths.get(dir, sidecarName)))
-        { val st = statsDeltaAware(dir)
+        { val st = statsOf(dir, s)
           Seq(("n_docs", st.nDocs), ("sum_dl", st.sumDl)) }
       else Seq.empty
     (Seq(
-      ("base_version", v),
-      ("live_deltas", deltaTags(dir).size.toLong),
-      ("live_tombstones", liveTombs(dir).size.toLong)
+      ("base_version", s.v.toLong),
+      ("live_deltas", s.live.size.toLong),
+      ("live_tombstones", s.tombs.size.toLong)
     ) ++ stats).toDF("metric", "value")
   }
 
@@ -701,13 +807,17 @@ object InvertedIndex {
       b: Double = 0.75,
       topN: Int = 20): DataFrame = {
     require(terms.nonEmpty, "need at least one query term")
-    val occ = withDeltas(spark, table, dir)
-      .filter(col("token").isin(terms: _*))
-      .select(col("doc_id"), col("dl"), col("token"), col("tf"))
-    val merged = statsDeltaAware(dir)
-    val statsDf = spark.range(1).select(
-      lit(merged.nDocs).as("n_docs"), lit(merged.sumDl).as("sum_dl"))
-    TextAnalysis.bm25ScoreOcc(occ, statsDf, k1, b, topN, "doc_id")
+    pinned(spark, table, dir) { (base, s) =>
+      // occ AND stats from the SAME pinned snapshot — scoring with one
+      // commit's postings and another's corpus stats would be torn
+      val occ = withDeltasOf(spark, base, dir, s)
+        .filter(col("token").isin(terms: _*))
+        .select(col("doc_id"), col("dl"), col("token"), col("tf"))
+      val merged = statsOf(dir, s)
+      val statsDf = spark.range(1).select(
+        lit(merged.nDocs).as("n_docs"), lit(merged.sumDl).as("sum_dl"))
+      TextAnalysis.bm25ScoreOcc(occ, statsDf, k1, b, topN, "doc_id")
+    }
   }
 
   /** The posting rows a doc still contributes to the PROBED view
@@ -740,15 +850,17 @@ object InvertedIndex {
       "duplicate query ids in the batch")
     import spark.implicits._
     val allTerms = queries.flatMap(_._2).distinct
-    val occ = withDeltas(spark, table, dir)
-      .filter(col("token").isin(allTerms: _*))
-      .select(col("doc_id"), col("dl"), col("token"), col("tf"))
-    val merged = statsDeltaAware(dir)
-    val statsDf = spark.range(1).select(
-      lit(merged.nDocs).as("n_docs"), lit(merged.sumDl).as("sum_dl"))
-    val qt = queries.flatMap { case (qid, ts) => ts.distinct.map(t => (qid, t)) }
-      .toDF("query_id", "token")
-    TextAnalysis.bm25ScoreOccBatch(occ, qt, statsDf, k1, b, topN)
+    pinned(spark, table, dir) { (base, s) =>
+      val occ = withDeltasOf(spark, base, dir, s)
+        .filter(col("token").isin(allTerms: _*))
+        .select(col("doc_id"), col("dl"), col("token"), col("tf"))
+      val merged = statsOf(dir, s)
+      val statsDf = spark.range(1).select(
+        lit(merged.nDocs).as("n_docs"), lit(merged.sumDl).as("sum_dl"))
+      val qt = queries.flatMap { case (qid, ts) => ts.distinct.map(t => (qid, t)) }
+        .toDF("query_id", "token")
+      TextAnalysis.bm25ScoreOccBatch(occ, qt, statsDf, k1, b, topN)
+    }
   }
 
   /** Fold every live delta (minus `excludeTags` — the streaming
@@ -822,6 +934,7 @@ object InvertedIndex {
     graft.io.Artifact.writeAtomic(
       java.nio.file.Paths.get(out, deltaStatsName),
       s"""{"count":$nRows,"hash":$dataHash,"hsum":"$hashSum"}""")
+    commitDeltaTag(dir, tag)
   }
 
   /** Positional delta: the batch pays its own tokenize + posexplode
@@ -855,14 +968,17 @@ object InvertedIndex {
     * tiny sets) — so a doc re-appended after its delete (an uncovered
     * later tag) is served again. */
   private def withDeltas(
-      spark: SparkSession, table: String, dir: String): DataFrame = {
-    val base = spark.table(table)
-    val tombs = liveTombs(dir)
-    val baseLeg = applyMask(base, maskFor(spark, dir, tombs, "base"))
-    deltaTags(dir).foldLeft(baseLeg) { (acc, tag) =>
+      spark: SparkSession, table: String, dir: String): DataFrame =
+    pinned(spark, table, dir)((base, s) => withDeltasOf(spark, base, dir, s))
+
+  /** The masked base ∪ delta union over one PINNED snapshot. */
+  private def withDeltasOf(
+      spark: SparkSession, base: DataFrame, dir: String, s: Snap): DataFrame = {
+    val baseLeg = applyMask(base, maskFor(spark, dir, s.tombs, "base"))
+    s.live.foldLeft(baseLeg) { (acc, tag) =>
       acc.unionAll(applyMask(
         spark.read.schema(base.schema).parquet(s"${deltaRoot(dir)}/$tag"),
-        maskFor(spark, dir, tombs, tag)))
+        maskFor(spark, dir, s.tombs, tag)))
     }
   }
 
@@ -929,11 +1045,22 @@ object InvertedIndex {
       ddl: String,
       excludeTags: Set[String],
       extraLongKeys: Seq[String] = Seq.empty): Unit = {
-    val tags = deltaTags(dir).filterNot(excludeTags)
-    val tombs = liveTombs(dir)
+    val snap = snapOf(dir)
+    val tags = snap.live.filterNot(excludeTags)
+    val tombs = snap.tombs
     if (tags.isEmpty && tombs.isEmpty) return
+    // never-reuse allocation BEFORE debris GC: a crashed attempt's
+    // renamed-but-uncommitted `<dir>_v<X>` sibling still bumps the
+    // counter, so a version path can never alias fresh data
+    val dirPath = java.nio.file.Paths.get(dir).toAbsolutePath.normalize
+    val parent = dirPath.getParent.toString
+    val stem = dirPath.getFileName.toString
+    val vNew = math.max(snap.v, graft.io.MutableStore.maxOnDiskVersion(
+      parent, Seq(s"${stem}_v"))) + 1
+    gcPriorSimple(dir, sidecarFile, snap)
     val sidecar = java.nio.file.Paths.get(dir, sidecarFile)
-    val node = mapper.readTree(java.nio.file.Files.readString(sidecar))
+    val node = snap.node.getOrElse(
+      throw new IllegalStateException(s"no $sidecarFile under $dir"))
     var cnt = node.get("count").asLong()
     var hsh = node.get("hash").asLong()
     var hsum = BigInt(node.get("hsum").asText())
@@ -950,9 +1077,8 @@ object InvertedIndex {
     // was folded earlier (its dir is gone), or is the base; one whose
     // covered tag sits in excludeTags stays live — its terms subtract
     // at the compaction that folds that leg
-    val liveNow = deltaTags(dir).toSet
     val consumed = tombs.filter(_.covered.forall(c =>
-      c == "base" || tags.contains(c) || !liveNow.contains(c)))
+      c == "base" || tags.contains(c) || !snap.live.contains(c)))
     consumed.foreach { t =>
       cnt -= t.count
       hsh ^= t.hash
@@ -970,50 +1096,83 @@ object InvertedIndex {
           spark.read.schema(base.schema).parquet(s"${deltaRoot(dir)}/$t"),
           maskFor(spark, dir, tombs, t)))
       ).reduce(_ unionAll _)
-    val vOld = if (node.hasNonNull("v")) node.get("v").asInt() else 0
-    val vNew = vOld + 1
+    // BUILD UNDER AN UNDERSCORE TEMP sibling (invisible to recursive
+    // listings even half-written), then rename into the never-reused
+    // version path — the MutableStore protocol Dedup/FuzzyJoin pioneered
     val newDir = s"${dir}_v$vNew"
-    deleteRecursively(java.nio.file.Paths.get(newDir)) // crashed prior attempt
+    val building = java.nio.file.Paths.get(parent, s"_building_${stem}_v$vNew")
+    deleteRecursively(building)
     val tmpTable = s"${table}__compact"
     spark.sql(s"DROP TABLE IF EXISTS $tmpTable")
     union.write
       .mode("overwrite")
-      .option("path", newDir)
+      .option("path", building.toString)
       .bucketBy(buckets, key)
       .sortBy(key)
       .format("parquet")
       .saveAsTable(tmpTable)
     spark.sql(s"DROP TABLE IF EXISTS $tmpTable") // external: files stay
+    java.nio.file.Files.move(building, java.nio.file.Paths.get(newDir))
     // ---- COMMIT: one atomic sidecar replace ----
     def onDisk(root: String)(t: String): Boolean =
       java.nio.file.Files.exists(java.nio.file.Paths.get(root, t))
-    val folded = (foldedTags(dir).filter(onDisk(deltaRoot(dir))) ++ tags).toSeq.sorted
-    val dead = (deadTombTags(dir).filter(onDisk(tombRoot(dir))) ++
+    val folded = (snap.folded.filter(onDisk(deltaRoot(dir))) ++ tags).toSeq.sorted
+    val dead = (snap.dead.filter(onDisk(tombRoot(dir))) ++
       consumed.map(_.tag)).toSeq.sorted
+    val liveLeft = snap.live.filterNot(tags.contains(_)).sorted
+    val tombsLeft = tombs.map(_.tag).filterNot(consumed.map(_.tag).contains(_)).sorted
     def arr(s: Seq[String]) = s.map("\"" + _ + "\"").mkString("[", ",", "]")
     val extraJson = extras.map { case (k, v) => s""","$k":$v""" }.mkString
     graft.io.Artifact.writeAtomic(sidecar,
-      s"""{"count":$cnt,"hash":$hsh,"hsum":"$hsum","buckets":$buckets,"key":"$key","v":$vNew,"folded":${arr(folded)},"deadTombs":${arr(dead)}$extraJson}""")
-    // this session's catalog follows the committed version
-    spark.sql(s"DROP TABLE IF EXISTS $table")
-    spark.sql(
-      s"""CREATE TABLE $table ($ddl) USING PARQUET
-         |CLUSTERED BY ($key) SORTED BY ($key) INTO $buckets BUCKETS
-         |LOCATION '$newDir'""".stripMargin)
-    // ---- GC (best-effort; the committed lists already exclude these) ----
-    if (vOld > 0) deleteRecursively(java.nio.file.Paths.get(s"${dir}_v$vOld"))
-    else {
-      // v0 data lives flat at the dir root next to the sidecar
-      val s = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+      s"""{"count":$cnt,"hash":$hsh,"hsum":"$hsum","buckets":$buckets,"key":"$key","v":$vNew,"folded":${arr(folded)},"deadTombs":${arr(dead)},"live":${arr(liveLeft)},"liveTombs":${arr(tombsLeft)}$extraJson}""")
+    // this session's catalog follows the committed version — ONE
+    // catalog call (no drop-then-create window for concurrent name
+    // resolution), then a refresh to drop the cached file listing
+    spark.sql(s"ALTER TABLE $table SET LOCATION '$newDir'")
+    spark.sql(s"REFRESH TABLE $table")
+    // NO GC here — lagged to the next compaction's gcPriorSimple, so
+    // probes pinned on the pre-commit snapshot keep every dir they named
+  }
+
+  /** LAGGED GC for the posting stores (the [[graft.index.Sq]]
+    * contract): collect the dirs the PREVIOUS commit superseded — its
+    * state already excludes them — plus crashed-attempt debris, at the
+    * START of each compaction. Version dirs are SIBLINGS
+    * (`<dir>_v<N>`); the v0 base data lives flat at the dir root next
+    * to the sidecar and is collected once a versioned base is
+    * committed. */
+  private def gcPriorSimple(dir: String, sidecarFile: String, s: Snap): Unit = {
+    val dirPath = java.nio.file.Paths.get(dir).toAbsolutePath.normalize
+    val parent = dirPath.getParent
+    val stem = dirPath.getFileName.toString
+    if (java.nio.file.Files.exists(parent)) {
+      val ls = java.nio.file.Files.list(parent)
+      val names = try {
+        import scala.jdk.CollectionConverters._
+        ls.iterator().asScala.map(_.getFileName.toString).toSeq
+      } finally ls.close()
+      names.foreach { nm =>
+        val keep = s"${stem}_v${s.v}"
+        if (nm.startsWith(s"_building_${stem}_v"))
+          deleteRecursively(parent.resolve(nm))
+        else if (nm.matches(java.util.regex.Pattern.quote(stem) + "_v\\d+") && nm != keep)
+          deleteRecursively(parent.resolve(nm))
+      }
+    }
+    if (s.v > 0) {
+      // the flat v0 root data (everything but the sidecars) is debris
+      val ls = java.nio.file.Files.list(dirPath)
       try {
         import scala.jdk.CollectionConverters._
-        s.iterator().asScala
-          .filter(p => p.getFileName.toString != sidecarFile)
+        ls.iterator().asScala
+          .filter(p => !allSidecarNames.contains(p.getFileName.toString))
           .toSeq.foreach(deleteRecursively)
-      } finally s.close()
+      } finally ls.close()
     }
-    folded.foreach(t => deleteRecursively(java.nio.file.Paths.get(deltaRoot(dir), t)))
-    dead.foreach(t => deleteRecursively(java.nio.file.Paths.get(tombRoot(dir), t)))
+    s.folded.foreach(t =>
+      deleteRecursively(java.nio.file.Paths.get(deltaRoot(dir), t)))
+    s.dead.foreach(t =>
+      deleteRecursively(java.nio.file.Paths.get(tombRoot(dir), t)))
   }
 
   def compactPositionalDeltas(

@@ -92,8 +92,11 @@ class SqDeleteSpec extends AnyFunSuite {
     Sq.compactDeltas(spark, dir)
     assert(topk(dir, live2, query) == before, "probe invariant across compaction")
     assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/codes_v1")))
-    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/codes")),
-      "old base version must be GC'd")
+    // GC is LAGGED: the superseded base survives its own commit (a
+    // snapshot-pinned probe may still be reading it) and is collected
+    // at the START of the next compaction
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/codes")),
+      "superseded base must be RETAINED until the next compaction (lagged GC)")
     assert(spark.read.parquet(Sq.codesPath(dir))
       .filter(col("vec_id") === delIds(1)).count() == 0L,
       "tombstoned row must be physically dropped")
@@ -107,6 +110,19 @@ class SqDeleteSpec extends AnyFunSuite {
         java.nio.file.Paths.get(s"$dir/codes_v1")) == fp,
       "fresh ensure over the post-delete corpus must REUSE the compacted store")
     assert(topk(dir, live2, query) == before)
+
+    // the NEXT compaction's lagged GC collects the superseded dirs:
+    // after it, the flat v0 base is gone, v1 is retained (the newly
+    // superseded version — one more round of retention), v2 committed
+    Sq.appendDelta(spark, dir,
+      corpus.filter(col("vec_id") === 0L)
+        .select((col("vec_id") + 7000L).as("vec_id"), col("embedding")), tag = "t3")
+    Sq.compactDeltas(spark, dir)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/codes")),
+      "the v0 base must be GC'd by the NEXT compaction")
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/codes_v1")),
+      "the just-superseded v1 is retained until the following compaction")
+    assert(Sq.codesPath(dir) == s"$dir/codes_v2")
   }
 
   test("SQ8 crash windows: uncommitted version dir invisible; folded delta on disk skipped") {
@@ -123,7 +139,12 @@ class SqDeleteSpec extends AnyFunSuite {
     java.nio.file.Files.createDirectories(ghost)
     java.nio.file.Files.writeString(ghost.resolve("junk.parquet"), "junk")
     assert(topk(dir, live, query) == want, "uncommitted version must be invisible")
-    Sq.compactDeltas(spark, dir) // overwrites the leftover, commits v1
+    // never-reuse: the compaction skips PAST the debris number (the
+    // ghost is GC'd, its version is not recycled) and commits v2
+    Sq.compactDeltas(spark, dir)
+    assert(Sq.codesPath(dir) == s"$dir/codes_v2",
+      "a crashed attempt's version number must never be reused")
+    assert(!java.nio.file.Files.exists(ghost), "debris must be GC'd")
     assert(topk(dir, live, query) == want)
     // window B: folded delta resurrected on disk — sidecar must mask it
     Sq.appendDelta(spark, dir, batch, tag = "d1")
@@ -154,7 +175,9 @@ class SqDeleteSpec extends AnyFunSuite {
 
     Binary.compactSignatures(spark, dir)
     assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/sigs_v1")))
-    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/sigs")))
+    // lagged GC: the superseded base is retained until the NEXT
+    // compaction (snapshot-pinned probes may still read it)
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/sigs")))
     assert(Binary.signaturesFromArtifact(spark, dir)
       .filter(col("vec_id").isin(delIds: _*)).count() == 0L)
     assert(Binary.hammingTopK(Binary.liveSignatures(spark, dir),

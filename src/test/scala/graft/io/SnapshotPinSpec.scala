@@ -1,0 +1,190 @@
+package graft.io
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+import graft.index.{Hnsw, Sq}
+import graft.text.InvertedIndex
+
+/** The SNAPSHOT-PINNED PROBE contract, end to end: a probe DataFrame
+  * resolves its whole leg set (base version path, live delta tags,
+  * live tombstones) from ONE committed sidecar read, and compaction GC
+  * is LAGGED (a commit's superseded dirs are collected at the START of
+  * the next compaction). Consequences proven here, per store family:
+  *
+  *  - a probe built BEFORE a delete + compaction commit and executed
+  *    AFTER it serves the WHOLLY-OLD state (the deleted row is still
+  *    in its result — no torn mix of old legs and new tombstones, no
+  *    FileNotFound from GC'd dirs);
+  *  - a probe built after the commit serves the WHOLLY-NEW state and
+  *    equals a from-scratch build over the survivor corpus;
+  *  - the retention bound: the NEXT compaction collects the dirs the
+  *    previous commit superseded (a pinned probe outlives exactly one
+  *    concurrent commit — the documented contract);
+  *  - never-reuse versioning: a crashed attempt's version-dir debris
+  *    bumps the allocator past itself and is GC'd, so a version path
+  *    can never alias fresh data.
+  */
+class SnapshotPinSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def tmp(name: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(name)
+    d.toFile.deleteOnExit()
+    d.toString
+  }
+
+  // ------------------------------------------------- posting store
+
+  test("posting store: probe pinned before a delete+compaction commit serves wholly-old; fresh probe wholly-new") {
+    val docs = Seq(
+      (0L, "zebra apple"), (1L, "zebra banana banana"), (2L, "apple banana"),
+      (3L, "zebra cherry"), (4L, "cherry apple zebra zebra")
+    ).toDF("doc_id", "text")
+    val dir = tmp("pin_bm25")
+    val table = "pin_bm25_t"
+    InvertedIndex.ensure(spark, docs, table, dir, buckets = 4)
+    val delta = Seq((10L, "zebra durian")).toDF("doc_id", "text")
+    InvertedIndex.appendDelta(spark, dir, delta, tag = "a1")
+
+    def probe() = InvertedIndex
+      .bm25SearchDeltaAware(spark, table, dir, Seq("zebra"))
+      .as[(Long, Long, Long)].collect().toSeq
+    def probeDf() = InvertedIndex
+      .bm25SearchDeltaAware(spark, table, dir, Seq("zebra"))
+
+    val wantOld = probe()
+    assert(wantOld.exists(_._1 == 3L), "fixture: doc 3 matches the query")
+    val pinned = probeDf() // built now, executed only after the commit
+
+    // a delete and a full compaction COMMIT land while it is in flight
+    InvertedIndex.deleteDocs(spark, dir,
+      docs.filter(col("doc_id") === 3L), tag = "d1")
+    InvertedIndex.compactDeltas(spark, table, dir, buckets = 4)
+
+    assert(pinned.as[(Long, Long, Long)].collect().toSeq == wantOld,
+      "the pinned probe must serve the WHOLLY-OLD state across the commit " +
+        "(old base files + old delta leg + old stats; no torn mix)")
+
+    val fresh = probe()
+    assert(!fresh.exists(_._1 == 3L), "fresh probe must not see the deleted doc")
+    assert(fresh != wantOld, "the commit changed stats — results must differ")
+    // wholly-new = a from-scratch build over the survivor corpus
+    val dir2 = tmp("pin_bm25_ref")
+    InvertedIndex.ensure(spark,
+      docs.filter(col("doc_id") =!= 3L).unionAll(delta),
+      "pin_bm25_ref_t", dir2, buckets = 4)
+    val want2 = InvertedIndex
+      .bm25SearchDeltaAware(spark, "pin_bm25_ref_t", dir2, Seq("zebra"))
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(fresh == want2, "fresh probe must equal the from-scratch build")
+
+    // RETENTION BOUND: the next compaction collects what this one kept
+    assert(java.nio.file.Files.list(java.nio.file.Paths.get(dir)).count() > 1,
+      "the superseded v0 base data must still be at the dir root (lagged GC)")
+    InvertedIndex.appendDelta(spark, dir,
+      Seq((11L, "zebra elderberry")).toDF("doc_id", "text"), tag = "a2")
+    InvertedIndex.compactDeltas(spark, table, dir, buckets = 4)
+    val rootLeft = {
+      val ls = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+      try {
+        import scala.jdk.CollectionConverters._
+        ls.iterator().asScala.map(_.getFileName.toString).toSeq
+      } finally ls.close()
+    }
+    assert(rootLeft.forall(_.endsWith("_sidecar.json")),
+      s"the v0 root data must be GC'd by the NEXT compaction, left: $rootLeft")
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"${dir}_deltas/a1")),
+      "the folded a1 delta dir must be GC'd by the NEXT compaction")
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"${dir}_v1")),
+      "the just-superseded v1 base is retained one more round")
+  }
+
+  test("posting store: never-reuse versioning skips past crashed-attempt sibling debris") {
+    val docs = Seq((0L, "kiwi mango"), (1L, "mango papaya")).toDF("doc_id", "text")
+    val dir = tmp("pin_bm25_crash")
+    val table = "pin_crash_t"
+    InvertedIndex.ensure(spark, docs, table, dir, buckets = 2)
+    InvertedIndex.appendDelta(spark, dir,
+      Seq((5L, "mango lime")).toDF("doc_id", "text"), tag = "b1")
+    // a crashed attempt renamed its build in but never committed
+    val ghost = java.nio.file.Paths.get(s"${dir}_v3")
+    java.nio.file.Files.createDirectories(ghost)
+    java.nio.file.Files.writeString(ghost.resolve("junk.parquet"), "junk")
+    def probe() = InvertedIndex
+      .bm25SearchDeltaAware(spark, table, dir, Seq("mango"))
+      .as[(Long, Long, Long)].collect().toSeq
+    val want = probe()
+    InvertedIndex.compactDeltas(spark, table, dir, buckets = 2)
+    assert(!java.nio.file.Files.exists(ghost), "debris must be GC'd")
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"${dir}_v4")),
+      "the committed version must skip PAST the debris number, never reuse it")
+    assert(probe() == want, "probe invariant across the compaction")
+  }
+
+  // ------------------------------------------------- SQ8 code store
+
+  test("sq8 store: probe pinned before a delete+compaction commit serves wholly-old; fresh probe wholly-new") {
+    val rng = new scala.util.Random(11)
+    val corpus = (0L until 60L)
+      .map(i => (i, Array.fill(6)(rng.nextFloat())))
+      .toDF("vec_id", "embedding").localCheckpoint()
+    val dir = tmp("pin_sq8")
+    Sq.ensureCodesArtifact(corpus, dir)
+    Sq.appendDelta(spark, dir,
+      corpus.filter(col("vec_id") === 0L)
+        .select((col("vec_id") + 500L).as("vec_id"), col("embedding")), tag = "a1")
+
+    def ids() = Sq.codesWithDeltas(spark, dir)
+      .select("vec_id").as[Long].collect().toSet
+    val wantOld = ids()
+    assert(wantOld.contains(7L) && wantOld.contains(500L))
+    val pinned = Sq.codesWithDeltas(spark, dir) // in flight across the commit
+
+    Sq.deleteVectors(spark, dir, corpus.filter(col("vec_id") === 7L), tag = "d1")
+    Sq.compactDeltas(spark, dir)
+
+    assert(pinned.select("vec_id").as[Long].collect().toSet == wantOld,
+      "pinned codes probe must serve the wholly-old state (deleted id present)")
+    val fresh = ids()
+    assert(fresh == wantOld - 7L, "fresh probe must serve the wholly-new state")
+  }
+
+  // ------------------------------------------------- HNSW layout
+
+  test("hnsw layout: probe pinned before a delete+reclaim commit serves wholly-old; fresh probe wholly-new") {
+    val rng = new scala.util.Random(23)
+    val corpus = (0L until 80L)
+      .map(i => (i, Array.fill(6)(rng.nextFloat())))
+      .toDF("vec_id", "embedding").localCheckpoint()
+    val dir = tmp("pin_hnsw")
+    val p = Hnsw.Params(m = 4, efConstruction = 16, parts = 2)
+    Hnsw.ensureLayout(corpus, dir, p)
+    val q = corpus.filter(col("vec_id") === 5L)
+      .select(col("embedding")).head().getSeq[Float](0).toArray
+
+    def probeDf() = Hnsw.searchLayout(spark, dir, q, 5, p, efSearch = 64)
+    def probe() = probeDf().select("vec_id", "dist")
+      .as[(Long, Double)].collect().toSeq
+    val wantOld = probe()
+    assert(wantOld.head._1 == 5L)
+    val pinned = probeDf() // in flight across the commit
+
+    // delete the query vector itself, then physically reclaim
+    Hnsw.deleteFromLayout(spark, dir, Seq(5L), tag = "t1")
+    Hnsw.compactDeltas(spark, dir, p, dropTombstoned = true)
+
+    assert(pinned.select("vec_id", "dist").as[(Long, Double)].collect().toSeq
+      == wantOld,
+      "pinned layout probe must serve the wholly-old state (v0 files retained)")
+    val fresh = probe()
+    assert(!fresh.exists(_._1 == 5L), "fresh probe must not see the reclaimed id")
+    assert(fresh == graft.ops.VectorSearch
+      .knnExact(corpus.filter(col("vec_id") =!= 5L), q.toSeq, 5)
+      .select("vec_id", "dist").as[(Long, Double)].collect().toSeq,
+      "fresh probe must equal exact top-k over the survivors")
+  }
+}

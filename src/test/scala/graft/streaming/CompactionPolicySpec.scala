@@ -67,8 +67,10 @@ class CompactionPolicySpec extends AnyFunSuite {
     Hnsw.compactDeltas(spark, dir, p)
     assert(probe() == want, "probe invariant across the versioned compaction")
     assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/layout_v1")))
-    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/layout")),
-      "old base version must be GC'd")
+    // lagged GC: the superseded base is RETAINED until the next
+    // compaction (a snapshot-pinned probe may still be reading it)
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/layout")),
+      "superseded base must survive its own commit (lagged GC)")
     assert(Hnsw.deltaTags(dir).isEmpty)
     // crash window B: a folded delta resurrected on disk stays invisible
     Hnsw.appendDelta(spark, dir, batch, tag = "d1", p)
@@ -103,8 +105,11 @@ class CompactionPolicySpec extends AnyFunSuite {
     // dead nodes physically gone, tombstone table removed
     assert(Hnsw.layout(spark, dir)
       .filter(col("vec_id").isin(3L, 9L, 14L)).count() == 0L)
-    assert(!java.nio.file.Files.exists(
-      java.nio.file.Paths.get(dir, "_tombstones")))
+    // the consumed tombstone batches are no longer named by the
+    // committed state (probes pay no exclusion); their dirs linger as
+    // GC debt until the next compaction — lagged GC
+    assert(Hnsw.tombstonedIds(spark, dir).isEmpty,
+      "committed state must no longer name the consumed tombstones")
     // the rebuilt graph probes to the survivors-only exact ranking
     val got = Hnsw.searchLayout(spark, dir, q, 5, p, efSearch = 64)
       .select("vec_id").as[Long].collect().toSeq
