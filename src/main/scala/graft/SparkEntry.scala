@@ -5261,6 +5261,141 @@ object SparkEntry {
         batchTag = "re", maxHamming = 3, idCol = "vec_id")
     }),
 
+    // CDC mutation stream on the incremental EXACT-DEDUP HASH STORE
+    // (r14 VERDICT task 4) — one (op, doc_id, text) feed drives the
+    // full derived-store lifecycle: a dup re-crawl, a SAME-BATCH
+    // takedown + re-crawl (covered-leg upsert: the add wins and
+    // becomes the content's new owner), a later re-crawl deduping to
+    // that new owner ACROSS the auto-compaction (which physically
+    // drops the tombstoned pair and folds the new one in), and a final
+    // re-crawl off the compacted base. The oracle replays every
+    // verdict relationally from documents.
+    "stream_dedup_delete" -> ((s, dir) => {
+      val corpus = docs(s, dir).select(col("doc_id"), col("text"))
+      val seed =
+        s"${System.getProperty("java.io.tmpdir")}/graft_hashmut_${dirKey(dir)}"
+      graft.dedup.Dedup.ensureHashStore(s, corpus, seed)
+      val scratch = freshScratchDir(dir, "streamdedupmut")
+      val store = s"$scratch/store"
+      copyDir(seed, store)
+      // the two lowest-id unique-content docs (dedup_store_delete's device)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(graft.text.TextAnalysis.normalizeText(col("text")))
+      val uniq = corpus
+        .withColumn("_c", count(lit(1)).over(w))
+        .filter(col("_c") === 1)
+        .orderBy(col("doc_id")).limit(2)
+        .select(col("doc_id"), col("text")).collect()
+      val (delId, delText) = (uniq(0).getLong(0), uniq(0).getString(1))
+      val (keepId, keepText) = (uniq(1).getLong(0), uniq(1).getString(1))
+      import s.implicits._
+      def batchDf(rows: Seq[(String, Long, String)]): DataFrame =
+        rows.toDF("op", "doc_id", "text")
+      val b0 = batchDf(Seq(
+        ("add", 9150000L + delId, delText), ("add", 9150000L + keepId, keepText)))
+      val b1 = batchDf(Seq( // same-batch takedown + re-crawl: the add wins
+        ("del", delId, delText), ("add", 9160000L + delId, delText)))
+      val b2 = batchDf(Seq(("add", 9170000L + delId, delText)))
+      val b3 = batchDf(Seq(("add", 9180000L + delId, delText)))
+      val inDir = s"$scratch/in"
+      b0.coalesce(1).write.mode("overwrite").parquet(inDir)
+      b1.coalesce(1).write.mode("append").parquet(inDir)
+      b2.coalesce(1).write.mode("append").parquet(inDir)
+      b3.coalesce(1).write.mode("append").parquet(inDir)
+      val stream = s.readStream.schema(b0.schema)
+        .option("maxFilesPerTrigger", 1).parquet(inDir)
+      val q = graft.streaming.StreamingIngest.streamingDedupMutations(
+        stream, store, s"$scratch/sink", s"$scratch/chk", maxDeltaDirs = 2)
+      q.awaitTermination()
+      s.read.option("recursiveFileLookup", "true").parquet(s"$scratch/sink")
+        .orderBy(col("doc_id"))
+    }),
+
+    // CDC mutation stream on the FUZZY SIGNATURE STORE — the
+    // entity-resolution twin: registry id 3 is taken down in the SAME
+    // batch a fresh name within its old neighborhood streams in (the
+    // add reports NOVEL — upsert), later re-crawls of that name
+    // resolve to the NEW owner across the auto-compaction. Names are
+    // the registry name + 'X' (edit distance ≥ 2 from every surviving
+    // fixed-format customer name, exactly 1 from the masked one), so
+    // every verdict is a constant the oracle pins.
+    "stream_fuzzy_delete" -> ((s, dir) => {
+      val cust = tbl(s, dir, "customer")
+      val seed =
+        s"${System.getProperty("java.io.tmpdir")}/graft_fuzzmut_${dirKey(dir)}"
+      graft.ops.FuzzyJoin.ensureFuzzyStore(s,
+        cust.filter(col("c_custkey") % 3 === 0), seed, "c_custkey", "c_name")
+      val scratch = freshScratchDir(dir, "streamfuzzymut")
+      val store = s"$scratch/store"
+      copyDir(seed, store)
+      val name3 = cust.filter(col("c_custkey") === 3L)
+        .select(col("c_name")).head().getString(0)
+      val name6 = cust.filter(col("c_custkey") === 6L)
+        .select(col("c_name")).head().getString(0)
+      import s.implicits._
+      def batchDf(rows: Seq[(String, Long, String)]): DataFrame =
+        rows.toDF("op", "id", "name")
+      val b0 = batchDf(Seq(("add", 9510006L, name6)))
+      val b1 = batchDf(Seq( // same-batch takedown + novel neighbor: add wins
+        ("del", 3L, name3), ("add", 9520003L, name3 + "X")))
+      val b2 = batchDf(Seq(("add", 9530003L, name3 + "X")))
+      val b3 = batchDf(Seq(("add", 9540003L, name3 + "X")))
+      val inDir = s"$scratch/in"
+      b0.coalesce(1).write.mode("overwrite").parquet(inDir)
+      b1.coalesce(1).write.mode("append").parquet(inDir)
+      b2.coalesce(1).write.mode("append").parquet(inDir)
+      b3.coalesce(1).write.mode("append").parquet(inDir)
+      val stream = s.readStream.schema(b0.schema)
+        .option("maxFilesPerTrigger", 1).parquet(inDir)
+      val q = graft.streaming.StreamingIngest.streamingFuzzyMutations(
+        stream, store, s"$scratch/sink", s"$scratch/chk",
+        idCol = "id", nameCol = "name", maxDeltaDirs = 2)
+      q.awaitTermination()
+      s.read.option("recursiveFileLookup", "true").parquet(s"$scratch/sink")
+        .orderBy(col("id"))
+    }),
+
+    // CDC mutation stream on the NEAR-DUP SHINGLE STORE — the Jaccard
+    // twin: doc 0 is taken down in the SAME batch a re-crawl of its
+    // text streams in (covered-leg upsert; whether the re-crawl is
+    // NOVEL depends on whether any surviving %3 doc is within Jaccard
+    // 0.5 of text0 — a data fact the oracle replays relationally,
+    // including the downstream consequences for the later re-crawls
+    // across the auto-compaction).
+    "stream_neardup_delete" -> ((s, dir) => {
+      val corpus = docs(s, dir).select(col("doc_id"), col("text"))
+      val seed =
+        s"${System.getProperty("java.io.tmpdir")}/graft_shedmut_${dirKey(dir)}"
+      graft.dedup.Dedup.ensureShingleStore(
+        s, corpus.filter(col("doc_id") % 3 === 0), seed)
+      val scratch = freshScratchDir(dir, "streamneardupmut")
+      val store = s"$scratch/store"
+      copyDir(seed, store)
+      val text0 = corpus.filter(col("doc_id") === 0L)
+        .select(col("text")).head().getString(0)
+      val text3 = corpus.filter(col("doc_id") === 3L)
+        .select(col("text")).head().getString(0)
+      import s.implicits._
+      def batchDf(rows: Seq[(String, Long, String)]): DataFrame =
+        rows.toDF("op", "doc_id", "text")
+      val b0 = batchDf(Seq(("add", 9310003L, text3)))
+      val b1 = batchDf(Seq(("del", 0L, text0), ("add", 9320000L, text0)))
+      val b2 = batchDf(Seq(("add", 9330000L, text0)))
+      val b3 = batchDf(Seq(("add", 9340000L, text0)))
+      val inDir = s"$scratch/in"
+      b0.coalesce(1).write.mode("overwrite").parquet(inDir)
+      b1.coalesce(1).write.mode("append").parquet(inDir)
+      b2.coalesce(1).write.mode("append").parquet(inDir)
+      b3.coalesce(1).write.mode("append").parquet(inDir)
+      val stream = s.readStream.schema(b0.schema)
+        .option("maxFilesPerTrigger", 1).parquet(inDir)
+      val q = graft.streaming.StreamingIngest.streamingNearDupMutations(
+        stream, store, s"$scratch/sink", s"$scratch/chk", maxDeltaDirs = 2)
+      q.awaitTermination()
+      s.read.option("recursiveFileLookup", "true").parquet(s"$scratch/sink")
+        .orderBy(col("doc_id"))
+    }),
+
     "stream_ivf_append" -> ((s, dir) => {
       val corpus = emb(s, dir)
       val base = graft.index.Ivf.buildLayout(s, corpus,
@@ -7812,6 +7947,114 @@ object SparkEntry {
          |UNION ALL
          |SELECT CAST(9400000 AS BIGINT), CAST(0 AS BIGINT),
          |       CAST(CASE WHEN (SELECT id FROM n0) IS NULL THEN 9300000
+         |            ELSE (SELECT id FROM n0) END AS BIGINT),
+         |       CASE WHEN (SELECT id FROM n0) IS NULL THEN 0.0
+         |            ELSE (SELECT jd FROM j0) END
+         |ORDER BY doc_id""".stripMargin,
+
+    // The CDC hash-store lifecycle relationally: d1/d2 = the two
+    // lowest-id unique-content docs; batch 0's re-crawls dedupe to the
+    // originals, batch 1's SAME-BATCH takedown + re-crawl reports
+    // NOVEL (covered-leg upsert — the add wins and owns the content),
+    // and batches 2/3 dedupe to that new owner across the compaction.
+    "stream_dedup_delete" ->
+      s"""WITH u AS (SELECT doc_id FROM (
+         |      SELECT doc_id, count(*) OVER (PARTITION BY $NormSql) AS c
+         |      FROM documents)
+         |    WHERE c = 1 ORDER BY doc_id LIMIT 2),
+         |d1 AS (SELECT min(doc_id) AS id FROM u),
+         |d2 AS (SELECT max(doc_id) AS id FROM u)
+         |SELECT CAST(9150000 + d1.id AS BIGINT) AS doc_id,
+         |       CAST(0 AS BIGINT) AS is_new, CAST(d1.id AS BIGINT) AS dup_of
+         |FROM d1
+         |UNION ALL
+         |SELECT CAST(9150000 + d2.id AS BIGINT), CAST(0 AS BIGINT),
+         |       CAST(d2.id AS BIGINT) FROM d2
+         |UNION ALL
+         |SELECT CAST(9160000 + d1.id AS BIGINT), CAST(1 AS BIGINT),
+         |       CAST(NULL AS BIGINT) FROM d1
+         |UNION ALL
+         |SELECT CAST(9170000 + d1.id AS BIGINT), CAST(0 AS BIGINT),
+         |       CAST(9160000 + d1.id AS BIGINT) FROM d1
+         |UNION ALL
+         |SELECT CAST(9180000 + d1.id AS BIGINT), CAST(0 AS BIGINT),
+         |       CAST(9160000 + d1.id AS BIGINT) FROM d1
+         |ORDER BY doc_id""".stripMargin,
+
+    // The CDC fuzzy-store lifecycle: every verdict is a constant — the
+    // suffixed name is ed ≥ 2 from every surviving fixed-format
+    // customer name and exactly 1 from the masked one, so the
+    // same-batch takedown + add is NOVEL and the later re-crawls
+    // resolve to it at distance 0 across the compaction.
+    "stream_fuzzy_delete" ->
+      """SELECT CAST(9510006 AS BIGINT) AS id, FALSE AS is_new,
+        |       CAST(6 AS BIGINT) AS dup_of, CAST(0 AS INTEGER) AS dist
+        |UNION ALL
+        |SELECT CAST(9520003 AS BIGINT), TRUE, CAST(NULL AS BIGINT),
+        |       CAST(NULL AS INTEGER)
+        |UNION ALL
+        |SELECT CAST(9530003 AS BIGINT), FALSE, CAST(9520003 AS BIGINT),
+        |       CAST(0 AS INTEGER)
+        |UNION ALL
+        |SELECT CAST(9540003 AS BIGINT), FALSE, CAST(9520003 AS BIGINT),
+        |       CAST(0 AS INTEGER)
+        |ORDER BY id""".stripMargin,
+
+    // The CDC shingle-store lifecycle relationally: batch 0 probes
+    // text3 against the FULL %3 store (the takedown lands later), the
+    // same-batch takedown + re-crawl of text0 probes the MASKED store
+    // (novel-or-not is a data fact), and the later re-crawls' verdicts
+    // split on that fact — if the re-crawl was novel they near-dup its
+    // re-added copy at exact Jaccard 0, else they keep matching the
+    // surviving neighbor.
+    "stream_neardup_delete" ->
+      s"""WITH t AS (SELECT doc_id, $ToksSql AS toks FROM documents),
+         |corpf AS (SELECT doc_id AS c_id,
+         |    unnest(list_distinct([array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks) - 1)])) AS s
+         |  FROM t WHERE doc_id % 3 = 0 AND len(toks) >= 3),
+         |cszf AS (SELECT c_id, CAST(count(*) AS BIGINT) AS c_size FROM corpf GROUP BY 1),
+         |corp AS (SELECT * FROM corpf WHERE c_id <> 0),
+         |csz AS (SELECT c_id, c_size FROM cszf WHERE c_id <> 0),
+         |p3 AS (SELECT unnest(list_distinct([array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks) - 1)])) AS s
+         |       FROM t WHERE doc_id = 3 AND len(toks) >= 3),
+         |p3z AS (SELECT CAST(count(*) AS BIGINT) AS b_size FROM p3),
+         |s3 AS (SELECT i.c_id,
+         |         1.0 - CAST(i.n_inter AS DOUBLE) / CAST(p3z.b_size + cszf.c_size - i.n_inter AS DOUBLE) AS jd
+         |       FROM (SELECT c_id, CAST(count(*) AS BIGINT) AS n_inter
+         |             FROM p3 JOIN corpf USING (s) GROUP BY 1) i
+         |       JOIN cszf USING (c_id) CROSS JOIN p3z
+         |       WHERE 1.0 - CAST(i.n_inter AS DOUBLE) / CAST(p3z.b_size + cszf.c_size - i.n_inter AS DOUBLE) <= 0.5),
+         |n3 AS (SELECT min(c_id) AS id FROM s3),
+         |j3 AS (SELECT s3.jd AS jd FROM s3 JOIN n3 ON s3.c_id = n3.id),
+         |p0 AS (SELECT unnest(list_distinct([array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks) - 1)])) AS s
+         |       FROM t WHERE doc_id = 0 AND len(toks) >= 3),
+         |p0z AS (SELECT CAST(count(*) AS BIGINT) AS b_size FROM p0),
+         |s0 AS (SELECT i.c_id,
+         |         1.0 - CAST(i.n_inter AS DOUBLE) / CAST(p0z.b_size + csz.c_size - i.n_inter AS DOUBLE) AS jd
+         |       FROM (SELECT c_id, CAST(count(*) AS BIGINT) AS n_inter
+         |             FROM p0 JOIN corp USING (s) GROUP BY 1) i
+         |       JOIN csz USING (c_id) CROSS JOIN p0z
+         |       WHERE 1.0 - CAST(i.n_inter AS DOUBLE) / CAST(p0z.b_size + csz.c_size - i.n_inter AS DOUBLE) <= 0.5),
+         |n0 AS (SELECT min(c_id) AS id FROM s0),
+         |j0 AS (SELECT s0.jd AS jd FROM s0 JOIN n0 ON s0.c_id = n0.id)
+         |SELECT CAST(9310003 AS BIGINT) AS doc_id,
+         |       CAST(0 AS BIGINT) AS is_novel,
+         |       CAST((SELECT id FROM n3) AS BIGINT) AS near_dup_of,
+         |       (SELECT jd FROM j3) AS jaccard_dist
+         |UNION ALL
+         |SELECT CAST(9320000 AS BIGINT),
+         |       CAST(CASE WHEN (SELECT id FROM n0) IS NULL THEN 1 ELSE 0 END AS BIGINT),
+         |       CAST((SELECT id FROM n0) AS BIGINT),
+         |       (SELECT jd FROM j0)
+         |UNION ALL
+         |SELECT CAST(9330000 AS BIGINT), CAST(0 AS BIGINT),
+         |       CAST(CASE WHEN (SELECT id FROM n0) IS NULL THEN 9320000
+         |            ELSE (SELECT id FROM n0) END AS BIGINT),
+         |       CASE WHEN (SELECT id FROM n0) IS NULL THEN 0.0
+         |            ELSE (SELECT jd FROM j0) END
+         |UNION ALL
+         |SELECT CAST(9340000 AS BIGINT), CAST(0 AS BIGINT),
+         |       CAST(CASE WHEN (SELECT id FROM n0) IS NULL THEN 9320000
          |            ELSE (SELECT id FROM n0) END AS BIGINT),
          |       CASE WHEN (SELECT id FROM n0) IS NULL THEN 0.0
          |            ELSE (SELECT jd FROM j0) END

@@ -125,8 +125,13 @@ object Dedup {
       batch: DataFrame,
       tag: String,
       idCol: String = "doc_id",
-      textCol: String = "text"): Unit = {
-    val covered = ("base" +: hashStoreDeltaTags(storeDir))
+      textCol: String = "text",
+      excludeCovered: Set[String] = Set.empty): Unit = {
+    // excludeCovered: a CDC mutation batch passes its OWN delta tag so
+    // a same-batch delete+re-add leaves the re-add live (adds win) and
+    // an at-least-once redelivery cannot mask its own appends — the
+    // engine-wide covered-leg contract (InvertedIndex.deleteDocs)
+    val covered = ("base" +: hashStoreDeltaTags(storeDir).filterNot(excludeCovered))
       .map(t => "\"" + t + "\"").mkString("[", ",", "]")
     val out = s"${storeTombRoot(storeDir)}/$tag"
     batch.select(
@@ -271,6 +276,14 @@ object Dedup {
   /** Drop every delta and tombstone dir — the replay-reset helper
     * mirroring [[graft.text.InvertedIndex.dropMutations]] (the base
     * snapshot and its seed sidecar are untouched). */
+  /** Policy feeds for the streaming auto-compaction (count + the
+    * size-ratio trigger every streaming leg uses). */
+  def hashStoreDeltaCount(dir: String): Int = hashStoreDeltaTags(dir).size
+  def hashStoreBaseBytes(dir: String): Long =
+    graft.io.MutableStore.flatBaseBytes(dir)
+  def hashStoreDeltaBytes(dir: String): Long =
+    graft.io.MutableStore.flatDeltaBytes(dir, hashStoreDeltaTags(dir))
+
   def dropHashStoreMutations(dir: String): Unit = {
     hashStoreDeltaTags(dir).foreach(t =>
       deleteStoreDir(java.nio.file.Paths.get(dir, s"delta_$t")))
@@ -442,8 +455,10 @@ object Dedup {
       storeDir: String,
       ids: DataFrame,
       tag: String,
-      idCol: String = "doc_id"): Unit = {
-    val covered = ("base" +: shingleStoreDeltaTags(storeDir))
+      idCol: String = "doc_id",
+      excludeCovered: Set[String] = Set.empty): Unit = {
+    // excludeCovered: the CDC batch's own tag — adds win within a batch
+    val covered = ("base" +: shingleStoreDeltaTags(storeDir).filterNot(excludeCovered))
       .map(t => "\"" + t + "\"").mkString("[", ",", "]")
     val out = s"${storeTombRoot(storeDir)}/$tag"
     ids.select(col(idCol).cast("long").as("c_id")).distinct()
@@ -586,6 +601,25 @@ object Dedup {
 
   /** Replay-reset: drop every delta and tombstone dir of the shingle
     * store (base snapshot + seed sidecar untouched). */
+  /** Policy feeds for the streaming auto-compaction of the shingle
+    * store (both parts; delta dirs live INSIDE the part dirs). */
+  def shingleStoreDeltaCount(dir: String): Int = shingleStoreDeltaTags(dir).size
+  def shingleStoreBaseBytes(dir: String): Long = {
+    val st = storeState(dir)
+    Seq("sh", "sizes").map { part =>
+      if (st.v > 0)
+        graft.io.MutableStore.duBytes(java.nio.file.Paths.get(dir, s"${part}_v${st.v}"))
+      else
+        graft.io.MutableStore.duBytes(java.nio.file.Paths.get(dir, part)) -
+          shingleStorePartDeltaBytes(dir, part)
+    }.sum
+  }
+  def shingleStoreDeltaBytes(dir: String): Long =
+    Seq("sh", "sizes").map(shingleStorePartDeltaBytes(dir, _)).sum
+  private def shingleStorePartDeltaBytes(dir: String, part: String): Long =
+    shingleStoreDeltaTags(dir).map(t => graft.io.MutableStore.duBytes(
+      java.nio.file.Paths.get(dir, part, s"delta_$t"))).sum
+
   def dropShingleStoreMutations(dir: String): Unit = {
     shingleStoreDeltaTags(dir).foreach { t =>
       deleteStoreDir(java.nio.file.Paths.get(dir, "sh", s"delta_$t"))

@@ -137,6 +137,45 @@ private[graft] object MutableStore {
       n.get(key).elements().asScala.map(_.asText()).toSeq.sorted
     }
 
+  /** Recursive on-disk byte size — the numerator/denominator feeds of
+    * the size-ratio compaction policies. */
+  def duBytes(path: java.nio.file.Path): Long = {
+    if (!java.nio.file.Files.exists(path)) return 0L
+    val walk = java.nio.file.Files.walk(path)
+    try {
+      import scala.jdk.CollectionConverters._
+      walk.iterator().asScala
+        .filter(java.nio.file.Files.isRegularFile(_))
+        .map(java.nio.file.Files.size(_)).sum
+    } finally walk.close()
+  }
+
+  /** Base bytes of a FLAT-layout store (seed files at the dir root, or
+    * the committed `base_v<N>` dir after a compaction). */
+  def flatBaseBytes(dir: String): Long = {
+    val st = state(dir)
+    if (st.v > 0) duBytes(java.nio.file.Paths.get(dir, s"base_v${st.v}"))
+    else {
+      val root = java.nio.file.Paths.get(dir)
+      if (!java.nio.file.Files.exists(root)) return 0L
+      val s = java.nio.file.Files.list(root)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala
+          .filter { p =>
+            val nm = p.getFileName.toString
+            !nm.startsWith("delta_") && !nm.startsWith("base_v") &&
+              !nm.startsWith("_") && !nm.startsWith(".")
+          }
+          .map(duBytes).sum
+      } finally s.close()
+    }
+  }
+
+  /** Live delta bytes of a flat-layout store. */
+  def flatDeltaBytes(dir: String, liveTags: Seq[String]): Long =
+    liveTags.map(t => duBytes(java.nio.file.Paths.get(dir, s"delta_$t"))).sum
+
   /** Atomically PATCH string-array fields of an existing json file
     * (read → set → one atomic replace) — the MUTATION-COMMIT primitive
     * of the snapshot-pinned-probe protocol: an append/delete records

@@ -162,8 +162,10 @@ object FuzzyJoin {
       storeDir: String,
       ids: DataFrame,
       tag: String,
-      idCol: String = "store_id"): Unit = {
-    val covered = "base" +: storeDeltaTags(storeDir)
+      idCol: String = "store_id",
+      excludeCovered: Set[String] = Set.empty): Unit = {
+    // excludeCovered: the CDC batch's own tag — adds win within a batch
+    val covered = "base" +: storeDeltaTags(storeDir).filterNot(excludeCovered)
     ids.select(col(idCol).cast("long").as("store_id")).distinct()
       .write.mode("overwrite")
       .parquet(s"${MutableStore.tombRoot(storeDir)}/$tag/ids")
@@ -256,6 +258,12 @@ object FuzzyJoin {
     dead.foreach(t => MutableStore.deleteDir(
       java.nio.file.Paths.get(MutableStore.tombRoot(dir), t)))
   }
+
+  /** Policy feeds for the streaming auto-compaction. */
+  def fuzzyStoreDeltaCount(dir: String): Int = storeDeltaTags(dir).size
+  def fuzzyStoreBaseBytes(dir: String): Long = MutableStore.flatBaseBytes(dir)
+  def fuzzyStoreDeltaBytes(dir: String): Long =
+    MutableStore.flatDeltaBytes(dir, storeDeltaTags(dir))
 
   /** Replay-reset: drop every delta and tombstone dir (base snapshot +
     * seed sidecar untouched). */

@@ -779,6 +779,138 @@ object StreamingIngest {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** CDC MUTATION stream for the incremental EXACT-DEDUP HASH STORE —
+    * the derived-store leg of the mutation family (r14 VERDICT task 4):
+    * ONE (op ∈ add/del, doc_id, text) feed maintains the store a crawl
+    * pipeline dedups against. COVERED-LEG semantics (the text-store
+    * model, NOT the global-mask one): a delete tombstones the docs'
+    * (hash, first_id) pairs on the legs live BEFORE the batch
+    * (`excludeCovered` = own tag), so a same-batch delete+re-crawl is
+    * an UPSERT — the add wins, reports NOVEL, and its fresh pair
+    * becomes the content's new owner — and an at-least-once redelivery
+    * can never mask its own appends. Adds run through
+    * [[graft.dedup.Dedup.incrementalDedupBatch]] (verdicts land in
+    * `sinkDir/<tag>`, batch-keyed overwrite; novel pairs append as the
+    * batch's delta). Auto-compaction folds under the shared count +
+    * size-ratio policy, excluding the in-flight tag.
+    *
+    * FEED CONTRACT ([[graft.dedup.Dedup.deleteFromHashStore]]): delete
+    * rows are the scrubbed docs' FULL (id, text) rows; deleting a doc
+    * that was itself a dup is a harmless no-op (conservative — the
+    * store may re-admit a duplicate, never wrongly suppress). */
+  def streamingDedupMutations(
+      stream: DataFrame,
+      storeDir: String,
+      sinkDir: String,
+      checkpoint: String,
+      maxDeltaDirs: Int = 16,
+      compactBytesRatio: Double = 1.0): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val tag = s"${pipelineTag(checkpoint)}_b$batchId"
+        if (shouldCompact(graft.dedup.Dedup.hashStoreDeltaCount(storeDir),
+            maxDeltaDirs, graft.dedup.Dedup.hashStoreDeltaBytes(storeDir),
+            graft.dedup.Dedup.hashStoreBaseBytes(storeDir), compactBytesRatio))
+          graft.dedup.Dedup.compactHashStore(batch.sparkSession, storeDir,
+            excludeTags = Set(tag))
+        val dels = batch.filter(col("op") === "del").select("doc_id", "text")
+        if (!dels.isEmpty)
+          graft.dedup.Dedup.deleteFromHashStore(batch.sparkSession, storeDir,
+            dels, tag, excludeCovered = Set(tag))
+        val adds = batch.filter(col("op") === "add").select("doc_id", "text")
+        if (!adds.isEmpty)
+          graft.dedup.Dedup
+            .incrementalDedupBatch(batch.sparkSession, storeDir, adds,
+              batchTag = Some(tag))
+            .write.mode("overwrite").parquet(s"$sinkDir/$tag")
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** CDC mutation stream for the NEAR-DUP SHINGLE STORE — the same
+    * covered-leg upsert semantics as [[streamingDedupMutations]]
+    * applied to the Jaccard leg: deletes tombstone doc ids' shingle
+    * postings + size rows on pre-batch legs only, adds Jaccard-check
+    * and append their novel docs' postings
+    * ([[graft.dedup.Dedup.incrementalNearDupBatch]]). Delete rows need
+    * only the doc ids (postings are keyed by c_id). */
+  def streamingNearDupMutations(
+      stream: DataFrame,
+      storeDir: String,
+      sinkDir: String,
+      checkpoint: String,
+      maxJaccardDist: Double = 0.5,
+      shingleN: Int = 3,
+      maxDeltaDirs: Int = 16,
+      compactBytesRatio: Double = 1.0): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val tag = s"${pipelineTag(checkpoint)}_b$batchId"
+        if (shouldCompact(graft.dedup.Dedup.shingleStoreDeltaCount(storeDir),
+            maxDeltaDirs, graft.dedup.Dedup.shingleStoreDeltaBytes(storeDir),
+            graft.dedup.Dedup.shingleStoreBaseBytes(storeDir), compactBytesRatio))
+          graft.dedup.Dedup.compactShingleStore(batch.sparkSession, storeDir,
+            excludeTags = Set(tag))
+        val dels = batch.filter(col("op") === "del").select("doc_id")
+        if (!dels.isEmpty)
+          graft.dedup.Dedup.deleteFromShingleStore(batch.sparkSession, storeDir,
+            dels, tag, excludeCovered = Set(tag))
+        val adds = batch.filter(col("op") === "add").select("doc_id", "text")
+        if (!adds.isEmpty)
+          graft.dedup.Dedup
+            .incrementalNearDupBatch(batch.sparkSession, storeDir, adds,
+              batchTag = tag, maxJaccardDist = maxJaccardDist,
+              shingleN = shingleN)
+            .write.mode("overwrite").parquet(s"$sinkDir/$tag")
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** CDC mutation stream for the FUZZY SIGNATURE STORE — the
+    * entity-resolution leg of the mutation family, same covered-leg
+    * upsert semantics: deletes tombstone registry ids' signature
+    * neighborhoods on pre-batch legs only (feed carries the STORE id
+    * to take down), adds resolve against the masked registry and
+    * append their novel names' signatures
+    * ([[graft.ops.FuzzyJoin.incrementalFuzzyResolveBatch]]). */
+  def streamingFuzzyMutations(
+      stream: DataFrame,
+      storeDir: String,
+      sinkDir: String,
+      checkpoint: String,
+      idCol: String,
+      nameCol: String,
+      maxDist: Int = 1,
+      maxDeltaDirs: Int = 16,
+      compactBytesRatio: Double = 1.0): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val tag = s"${pipelineTag(checkpoint)}_b$batchId"
+        if (shouldCompact(graft.ops.FuzzyJoin.fuzzyStoreDeltaCount(storeDir),
+            maxDeltaDirs, graft.ops.FuzzyJoin.fuzzyStoreDeltaBytes(storeDir),
+            graft.ops.FuzzyJoin.fuzzyStoreBaseBytes(storeDir), compactBytesRatio))
+          graft.ops.FuzzyJoin.compactFuzzyStore(batch.sparkSession, storeDir,
+            excludeTags = Set(tag))
+        val dels = batch.filter(col("op") === "del").select(idCol)
+        if (!dels.isEmpty)
+          graft.ops.FuzzyJoin.deleteFromFuzzyStore(batch.sparkSession, storeDir,
+            dels, tag, idCol = idCol, excludeCovered = Set(tag))
+        val adds = batch.filter(col("op") === "add").select(idCol, nameCol)
+        if (!adds.isEmpty)
+          graft.ops.FuzzyJoin
+            .incrementalFuzzyResolveBatch(batch.sparkSession, storeDir, adds,
+              idCol, nameCol, maxDist, batchTag = Some(tag))
+            .write.mode("overwrite").parquet(s"$sinkDir/$tag")
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   def streamingIvfAppend(
       stream: DataFrame,
       layoutDir: String,

@@ -292,4 +292,113 @@ class StreamMutationsSpec extends AnyFunSuite {
     assert(Sq.deltaDirCount(dir) == 1,
       "only the final batch's delta should remain live")
   }
+
+  // ------------------------------------------- derived-store CDC legs
+
+  test("dedup hash-store CDC: same-batch takedown+re-crawl is an UPSERT — the add wins and owns the content") {
+    val root = scratch("hashmut")
+    val store = s"$root/store"
+    graft.dedup.Dedup.ensureHashStore(spark, corpus, store)
+    val reText = corpusRows(2)._2
+    val batch = opDf("del")(corpus.filter(col("doc_id") === 2L))
+      .unionAll(opDf("add")(Seq((902L, reText)).toDF("doc_id", "text")))
+    val inDir = s"$root/in"
+    writeBatches(inDir, Seq(batch))
+    val q = StreamingIngest.streamingDedupMutations(
+      spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1).parquet(inDir),
+      store, s"$root/sink", s"$root/chk")
+    q.awaitTermination()
+    val verdicts = spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$root/sink")
+      .select("doc_id", "is_new", "dup_of")
+      .as[(Long, Long, Option[Long])].collect().toSeq
+    assert(verdicts == Seq((902L, 1L, None)),
+      "the same-batch re-crawl must report NOVEL (adds win over the takedown)")
+    // the content's new owner serves later probes
+    val v2 = graft.dedup.Dedup.newAgainstStore(spark, store,
+        Seq((903L, reText)).toDF("doc_id", "text"))
+      .as[(Long, Long, Option[Long])].collect().toSeq
+    assert(v2 == Seq((903L, 0L, Some(902L))),
+      "a later re-crawl must dedupe to the new owner")
+  }
+
+  test("dedup hash-store CDC redelivery: the tombstone+delta pair rewrites idempotently") {
+    val root = scratch("hashre")
+    val store = s"$root/store"
+    graft.dedup.Dedup.ensureHashStore(spark, corpus, store)
+    val dels = corpus.filter(col("doc_id") === 2L)
+    val adds = Seq((902L, corpusRows(2)._2)).toDF("doc_id", "text")
+    def applyBatch(): Seq[(Long, Long, Option[Long])] = {
+      // the foreachBatch body's exact mutation pair, same tag both runs
+      graft.dedup.Dedup.deleteFromHashStore(spark, store, dels, tag = "t_b0",
+        excludeCovered = Set("t_b0"))
+      graft.dedup.Dedup.incrementalDedupBatch(spark, store, adds,
+          batchTag = Some("t_b0"))
+        .as[(Long, Long, Option[Long])].collect().toSeq
+    }
+    val first = applyBatch()
+    assert(first == Seq((902L, 1L, None)))
+    assert(applyBatch() == first,
+      "a redelivered batch must rewrite its tombstone+delta, never " +
+        "double-apply or mask its own append")
+    val v2 = graft.dedup.Dedup.newAgainstStore(spark, store,
+        Seq((903L, corpusRows(2)._2)).toDF("doc_id", "text"))
+      .as[(Long, Long, Option[Long])].collect().toSeq
+    assert(v2 == Seq((903L, 0L, Some(902L))))
+  }
+
+  test("fuzzy-store CDC: same-batch takedown+novel neighbor is an upsert; later resolves hit the new owner") {
+    val root = scratch("fuzzmut")
+    val store = s"$root/store"
+    val registry = (1L to 9L).map(i => (i, f"name-$i%04d")).toDF("id", "name")
+    graft.ops.FuzzyJoin.ensureFuzzyStore(spark, registry, store, "id", "name")
+    val b0 = Seq(("del", 3L, "name-0003"), ("add", 930L, "name-0003X"))
+      .toDF("op", "id", "name")
+    val b1 = Seq(("add", 931L, "name-0003X")).toDF("op", "id", "name")
+    val inDir = s"$root/in"
+    writeBatches(inDir, Seq(b0, b1))
+    val q = StreamingIngest.streamingFuzzyMutations(
+      spark.readStream.schema(b0.schema)
+        .option("maxFilesPerTrigger", 1).parquet(inDir),
+      store, s"$root/sink", s"$root/chk", idCol = "id", nameCol = "name")
+    q.awaitTermination()
+    val verdicts = spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$root/sink")
+      .select("id", "is_new", "dup_of", "dist")
+      .as[(Long, Boolean, Option[Long], Option[Int])].collect().toSeq
+      .sortBy(_._1)
+    assert(verdicts == Seq(
+      (930L, true, None, None),        // the masked 3 can't match; X pushes others to ed 2
+      (931L, false, Some(930L), Some(0))), // the new owner resolves later batches
+      s"got $verdicts")
+  }
+
+  test("neardup shingle-store CDC: same-batch takedown+re-crawl; later probe near-dups the re-added copy") {
+    val root = scratch("shedmut")
+    val store = s"$root/store"
+    graft.dedup.Dedup.ensureShingleStore(spark, corpus, store)
+    val text0 = corpusRows.head._2
+    val b0 = opDf("del")(corpus.filter(col("doc_id") === 0L).select("doc_id"))
+      .withColumn("text", lit(text0))
+      .select("op", "doc_id", "text")
+      .unionAll(Seq(("add", 900L, text0)).toDF("op", "doc_id", "text"))
+    val b1 = Seq(("add", 901L, text0)).toDF("op", "doc_id", "text")
+    val inDir = s"$root/in"
+    writeBatches(inDir, Seq(b0, b1))
+    val q = StreamingIngest.streamingNearDupMutations(
+      spark.readStream.schema(b0.schema)
+        .option("maxFilesPerTrigger", 1).parquet(inDir),
+      store, s"$root/sink", s"$root/chk")
+    q.awaitTermination()
+    val verdicts = spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$root/sink")
+      .select("doc_id", "is_novel", "near_dup_of")
+      .as[(Long, Long, Option[Long])].collect().toSeq
+      .sortBy(_._1)
+    assert(verdicts == Seq(
+      (900L, 1L, None),         // the only Jaccard-0.5 neighbor was masked
+      (901L, 0L, Some(900L))),  // the re-added copy owns the text now
+      s"got $verdicts")
+  }
 }
