@@ -1920,6 +1920,11 @@ object SparkEntry {
     (org.apache.spark.ml.feature.BucketedRandomProjectionLSHModel,
       graft.index.Ivf.Index, Seq[graft.index.AnnSelector.Point])]()
 
+  /** Memoized nprobe recall curve per sf-dir (seeded + deterministic —
+    * a BUILD step like the selector frontier). */
+  private val curveCache = new java.util.concurrent.ConcurrentHashMap[String,
+    Seq[graft.index.Recall.CurvePoint]]()
+
   private def opqIndex(dir: String, corpus: DataFrame): (graft.index.Pq.OpqModel, DataFrame) = {
     val model = opqCache.computeIfAbsent(dir,
       _ => graft.index.Pq.fitOpq(corpus, m = 8, k = 64, maxSample = 8192))
@@ -5581,6 +5586,67 @@ object SparkEntry {
           lit(if (point.scanFrac < 1.0) 1L else 0L).as("cheaper"))
     }),
 
+    // The nprobe RECALL CURVE, measured and selected over (r14 VERDICT
+    // task 5): ivf and ivfsq recall@10 at nprobe ∈ {1,2,4,8} — the
+    // curve the bench records per round — plus the cheapest-meeting
+    // selection at target 0.9. The output is the curve's INVARIANTS
+    // (the selection itself is not SQL-expressible; the values land in
+    // BENCH_DETAIL's recall dict): candidate sets at larger nprobe are
+    // supersets (probed lists are rank-prefixes), so ivf recall is
+    // MONOTONE in nprobe and exactly 1.0 at nprobe = nlist; ivfsq
+    // ranks the same pruned candidates by ADC so it can only lose true
+    // neighbors (ivfsq ≤ ivf pointwise); the selected point must meet
+    // the target, nothing cheaper on the curve may meet it, and a
+    // probe under the selected config must find the self-query at
+    // distance 0.
+    "knn_curve_select" -> ((s, dir) => {
+      val corpus = emb(s, dir).select("vec_id", "embedding")
+      val curve = curveCache.computeIfAbsent(dir, _ =>
+        graft.index.Recall.ivfCurve(corpus, nQueries = 10, k = 10, nlist = 8))
+      val byNp = curve.groupBy(_.family).map { case (f, ps) =>
+        f -> ps.sortBy(_.nprobe) }
+      val ivf = byNp("ivf")
+      val ivfsq = byNp("ivfsq")
+      def monotone(ps: Seq[graft.index.Recall.CurvePoint]): Boolean =
+        ps.zip(ps.drop(1)).forall { case (a, b) => a.recall <= b.recall }
+      val chosen = graft.index.Recall.selectFromCurve(curve, 0.9)
+      val meets = chosen.exists(_.recall >= 0.9)
+      val cheapestOk = chosen.exists(c =>
+        !curve.exists(p => p.scanFrac < c.scanFrac && p.recall >= 0.9))
+      // end-to-end: probe the self-query under the selected config
+      val query = corpus.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).toArray
+      val ivfIndex = graft.index.Ivf.fit(corpus, nlist = 8, maxIter = 3)
+      val assigned = graft.index.Ivf.assign(ivfIndex, corpus)
+        .select("vec_id", "embedding", "cluster")
+      val np = chosen.map(_.nprobe).getOrElse(8)
+      val selfFound = chosen.map { c =>
+        val cands =
+          if (c.family == "ivf")
+            graft.index.Ivf.search(ivfIndex, assigned, query, 10, np)
+          else {
+            val m = graft.index.Sq.fit(corpus)
+            val probed = graft.index.Ivf.probeClusters(ivfIndex, query, np)
+            val enc = assigned.select(col("vec_id"), col("cluster"))
+              .join(graft.index.Sq.encode(corpus, m), "vec_id")
+            graft.index.Sq.search(
+              enc.filter(col("cluster").isin(probed: _*)), m, query, 10)
+          }
+        cands.filter(col("vec_id") === 0).count() == 1L
+      }.getOrElse(false)
+      import s.implicits._
+      Seq((
+        curve.size.toLong,
+        if (monotone(ivf)) 1L else 0L,
+        if (ivf.last.nprobe == 8 && ivf.last.recall == 1.0) 1L else 0L,
+        if (ivf.zip(ivfsq).forall { case (a, b) => b.recall <= a.recall }) 1L else 0L,
+        if (meets) 1L else 0L,
+        if (cheapestOk) 1L else 0L,
+        if (selfFound) 1L else 0L
+      )).toDF("n_points", "ivf_monotone", "ivf_full_exact", "ivfsq_le_ivf",
+        "chosen_meets", "chosen_cheapest", "self_found")
+    }),
+
     // Selector-routed BATCH ANN: a query TABLE (the 12 lowest-id
     // corpus vectors — planted exact copies, so the oracle can demand
     // self-retrieval) served under the recall-targeted config the
@@ -9070,6 +9136,18 @@ object SparkEntry {
     "knn_at_recall" ->
       """SELECT CAST(10 AS BIGINT) AS n_rows, CAST(1 AS BIGINT) AS self_found,
         |       CAST(1 AS BIGINT) AS recall_ok, CAST(1 AS BIGINT) AS cheaper""".stripMargin,
+
+    // Curve invariants (the curve VALUES live in the bench recall
+    // dict; selection itself is not SQL-expressible): 8 points, ivf
+    // monotone in nprobe with exactly 1.0 at nprobe = nlist, ivfsq
+    // bounded by ivf pointwise, the selected point meets 0.9 with
+    // nothing cheaper meeting it, and the self-query probes back at
+    // distance 0 under the selected config.
+    "knn_curve_select" ->
+      """SELECT CAST(8 AS BIGINT) AS n_points, CAST(1 AS BIGINT) AS ivf_monotone,
+        |       CAST(1 AS BIGINT) AS ivf_full_exact, CAST(1 AS BIGINT) AS ivfsq_le_ivf,
+        |       CAST(1 AS BIGINT) AS chosen_meets, CAST(1 AS BIGINT) AS chosen_cheapest,
+        |       CAST(1 AS BIGINT) AS self_found""".stripMargin,
 
     // Per-query invariants of the batch path: every planted-copy query
     // must come back with a full k rows and find itself at distance 0

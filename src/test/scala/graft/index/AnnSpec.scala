@@ -192,6 +192,39 @@ class AnnSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     }
   }
 
+  test("ivfCurve: ivf monotone to exactly 1.0 at full width, ivfsq bounded by ivf, selection cheapest-meeting") {
+    val curve = Recall.ivfCurve(emb.select("vec_id", "embedding"),
+      nQueries = 10, k = 10, nlist = 8, probes = Seq(1, 2, 4, 8))
+    assert(curve.size == 8)
+    val ivf = curve.filter(_.family == "ivf").sortBy(_.nprobe)
+    val ivfsq = curve.filter(_.family == "ivfsq").sortBy(_.nprobe)
+    info(ivf.map(p => f"ivf_np${p.nprobe}=${p.recall}%.3f@${p.scanFrac}%.3f").mkString(" "))
+    info(ivfsq.map(p => f"ivfsq_np${p.nprobe}=${p.recall}%.3f@${p.scanFrac}%.3f").mkString(" "))
+    // probed lists are rank-prefixes: candidates at larger nprobe are a
+    // superset and a true-top-k member always survives the exact cut
+    assert(ivf.zip(ivf.drop(1)).forall { case (a, b) => a.recall <= b.recall },
+      s"ivf curve not monotone: $ivf")
+    assert(ivf.last.recall == 1.0, "nprobe = nlist probes everything — exact")
+    // same pruned candidates ranked by ADC can only LOSE true neighbors
+    assert(ivf.zip(ivfsq).forall { case (a, b) => b.recall <= a.recall },
+      s"ivfsq exceeded ivf somewhere: $ivfsq vs $ivf")
+    // scan fractions: monotone in nprobe, full width reads everything
+    // (of the 4x-compressed codes on the ivfsq leg)
+    assert(ivf.last.scanFrac == 1.0 && ivfsq.last.scanFrac == 0.25)
+    // selection: cheapest point meeting the target, replayable from the
+    // recorded curve values alone
+    val chosen = Recall.selectFromCurve(curve, 0.9).get
+    assert(chosen.recall >= 0.9)
+    assert(!curve.exists(p => p.recall >= 0.9 && p.scanFrac < chosen.scanFrac),
+      s"a cheaper meeting point exists: chose $chosen of $curve")
+    // an impossible target falls through to the caller's exact fallback
+    assert(Recall.selectFromCurve(curve, 1.1).isEmpty)
+    // synthetic replay: the same selection from recorded values only
+    val recorded = curve.map(p =>
+      Recall.CurvePoint(p.family, p.nprobe, p.recall, p.scanFrac))
+    assert(Recall.selectFromCurve(recorded, 0.9) == Some(chosen))
+  }
+
   test("Recall.measure: seeded LSH/pruned-IVF recall@10 floors hold") {
     val r = Recall.measure(emb.select("vec_id", "embedding"),
       nQueries = 10, k = 10, nlist = 8, nprobe = 2)
