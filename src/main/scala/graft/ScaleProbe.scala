@@ -263,6 +263,130 @@ object ScaleProbe {
       runPolicy("count-4", (_, i) => i % 4 == 0)
     }
 
+    // CDC MUTATION-STREAM cost vs base size (r14 VERDICT task 7): the
+    // same 4-batch (add/del) feed applied to a small and a factor-sized
+    // base — per-batch cost must be BATCH-proportional, flat in base
+    // size (the delete leg is a batch-sized tokenize/encode + two tiny
+    // writes, never an index scan; auto-compaction is disabled here —
+    // its IO is the compactio probe's subject).
+    if (onlyFilter.forall(_.exists("cdcstream".contains))) {
+      def runBm25Stream(label: String, base: DataFrame): Unit = {
+        val ident = label.replaceAll("[^A-Za-z0-9]", "")
+        val root = java.nio.file.Files
+          .createTempDirectory(s"probe_cdc_$ident").toString
+        val dir = s"$root/postings"
+        val table = s"probe_cdc_${ident}_$factor"
+        spark.sql(s"DROP TABLE IF EXISTS $table")
+        graft.text.InvertedIndex.ensure(spark, base, table, dir, buckets = 8)
+        val seed = base.limit(500).localCheckpoint()
+        def shifted(off: Long) = seed
+          .select((col("doc_id") + lit(off)).as("doc_id"), col("text"))
+        def op(o: String)(df: DataFrame) =
+          df.select(lit(o).as("op"), col("doc_id"), col("text"))
+        val b0 = op("add")(shifted(990000000L))
+        val b1 = op("del")(shifted(990000000L).limit(250))
+          .unionAll(op("add")(shifted(991000000L)))
+        val b2 = op("add")(shifted(992000000L))
+        val b3 = op("del")(shifted(992000000L).limit(250))
+        val inDir = s"$root/in"
+        Seq(b0, b1, b2, b3).zipWithIndex.foreach { case (b, i) =>
+          b.coalesce(1).write.mode(if (i == 0) "overwrite" else "append")
+            .parquet(inDir) }
+        val t0 = System.nanoTime()
+        graft.streaming.StreamingIngest.streamingPostingsMutations(
+          spark.readStream.schema(b0.schema)
+            .option("maxFilesPerTrigger", 1).parquet(inDir),
+          table, dir, s"$root/chk", buckets = 8,
+          maxDeltaDirs = 1000, compactBytesRatio = 1e9)
+          .awaitTermination()
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"[scale] cdcstream bm25 $label%-10s 4 batches ${sec}%7.2f s " +
+          f"(${sec / 4}%5.2f s/batch)")
+        spark.sql(s"DROP TABLE IF EXISTS $table")
+      }
+      val docsSmall = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select("doc_id", "text")
+      runBm25Stream("base=1x", docsSmall)
+      runBm25Stream(s"base=${factor}x", docs)
+
+      def runSq8Stream(label: String, base: DataFrame): Unit = {
+        val ident = label.replaceAll("[^A-Za-z0-9]", "")
+        val root = java.nio.file.Files
+          .createTempDirectory(s"probe_cdcsq_$ident").toString
+        val dir = s"$root/sq8"
+        graft.index.Sq.ensureCodesArtifact(base, dir)
+        val seed = base.limit(2000).localCheckpoint()
+        def shifted(off: Long) = seed
+          .select((col("vec_id") + lit(off)).as("vec_id"), col("embedding"))
+        def op(o: String)(df: DataFrame) =
+          df.select(lit(o).as("op"), col("vec_id"), col("embedding"))
+        val b0 = op("add")(shifted(990000000L))
+        val b1 = op("del")(shifted(990000000L).limit(1000))
+          .unionAll(op("add")(shifted(991000000L)))
+        val b2 = op("add")(shifted(992000000L))
+        val b3 = op("del")(shifted(992000000L).limit(1000))
+        val inDir = s"$root/in"
+        Seq(b0, b1, b2, b3).zipWithIndex.foreach { case (b, i) =>
+          b.coalesce(1).write.mode(if (i == 0) "overwrite" else "append")
+            .parquet(inDir) }
+        val t0 = System.nanoTime()
+        graft.streaming.StreamingIngest.streamingSq8Mutations(
+          spark.readStream.schema(b0.schema)
+            .option("maxFilesPerTrigger", 1).parquet(inDir),
+          dir, s"$root/chk",
+          maxDeltaDirs = 1000, compactBytesRatio = 1e9)
+          .awaitTermination()
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"[scale] cdcstream sq8  $label%-10s 4 batches ${sec}%7.2f s " +
+          f"(${sec / 4}%5.2f s/batch)")
+      }
+      val embSmallBase = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .select("vec_id", "embedding")
+      runSq8Stream("base=1x", embSmallBase)
+      runSq8Stream(s"base=${factor * 10}x", emb)
+    }
+
+    // HNSW delta-probe FAN-OUT (r14 VERDICT task 8): probe latency vs
+    // live-delta count — searchLayoutDeltaAware pays one scan +
+    // graph-assembly leg per live delta, so the curve pins the
+    // ratio/cap compaction choice with data. COLD = first probe at that
+    // fan-out (pays per-delta graph assembly into the resident cache),
+    // WARM = repeat probe (cache hits; the steady serving state).
+    if (onlyFilter.forall(_.exists("hnswfan".contains))) {
+      val base = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .select("vec_id", "embedding").localCheckpoint()
+      val nBase = base.count()
+      val dim = base.head().getSeq[Float](1).length
+      val p = graft.index.Hnsw.Params(m = 8, efConstruction = 64,
+        parts = graft.index.Hnsw.autoParts(nBase, dim))
+      val root = java.nio.file.Files
+        .createTempDirectory("probe_hnswfan").toString
+      val dir = s"$root/hnsw"
+      graft.index.Hnsw.ensureLayout(base, dir, p)
+      val q = base.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).toArray
+      val deltaSeed = base.limit(1000).localCheckpoint()
+      var appended = 0
+      Seq(2, 8, 16).foreach { d =>
+        while (appended < d) {
+          appended += 1
+          graft.index.Hnsw.appendDelta(spark, dir,
+            deltaSeed.select(
+              (col("vec_id") + lit(900000000L + appended * 10000L)).as("vec_id"),
+              col("embedding")),
+            tag = f"fan$appended%02d", p)
+        }
+        def probeOnce(): Double = {
+          val t0 = System.nanoTime()
+          graft.index.Hnsw.searchLayoutDeltaAware(spark, dir, q, 10, p).collect()
+          (System.nanoTime() - t0) / 1e9
+        }
+        val cold = probeOnce()
+        val warm = Seq(probeOnce(), probeOnce()).min
+        println(f"[scale] hnsw delta fan-out d=$d%-3d cold=$cold%6.2f s warm=$warm%6.2f s")
+      }
+    }
+
     // near-dup probes replicate at the doc factor: every replica pair IS
     // a true duplicate, so output volume grows quadratically in the
     // replication factor and would dominate the timing at 200×

@@ -235,17 +235,42 @@ object Dedup {
     val st = storeState(dir)
     val consumed = graft.io.MutableStore.consumedTombs(
       tombs, tags, hashStoreDeltaTags(dir).toSet)
-    // survivors: the masked union minus any excluded delta legs (they
-    // stay live delta dirs and keep their own tombstone coverage)
-    val survivors = read(excludeTags)
     val vNew = math.max(st.v,
       graft.io.MutableStore.maxOnDiskVersion(dir, Seq("base_v"))) + 1
+    // LAGGED GC (the engine-wide snapshot-pinned-probe retention): the
+    // PREVIOUS commit's superseded dirs — base versions other than the
+    // committed one, crashed-attempt debris, the legacy v0 root files
+    // once a versioned base is committed, folded deltas, consumed
+    // tombstones — are collected HERE, at the next compaction's start,
+    // never at a commit's own end, so a probe that pinned its file set
+    // before this commit keeps reading through it.
+    val gc = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+    try {
+      import scala.jdk.CollectionConverters._
+      gc.iterator().asScala
+        .filter { p =>
+          val nm = p.getFileName.toString
+          nm.startsWith("_building_") ||
+            (nm.matches("base_v\\d+") && nm != s"base_v${st.v}") ||
+            (st.v > 0 && !nm.startsWith("_") && !nm.startsWith(".") &&
+              !nm.startsWith("delta_") && !nm.startsWith("base_v"))
+        }
+        .toSeq.foreach(deleteStoreDir)
+    } finally gc.close()
+    st.folded.foreach(t => deleteStoreDir(java.nio.file.Paths.get(dir, s"delta_$t")))
+    st.deadTombs.foreach(t =>
+      deleteStoreDir(java.nio.file.Paths.get(storeTombRoot(dir), t)))
+    // survivors AFTER the GC: the masked union minus any excluded delta
+    // legs (they stay live delta dirs and keep their own tombstone
+    // coverage); its eager file listing must not see debris this
+    // compaction is about to collect
+    val survivors = read(excludeTags)
     val newDir = s"$dir/base_v$vNew"
     val building = java.nio.file.Paths.get(s"$dir/_building_base_v$vNew")
     deleteStoreDir(building)
     survivors.write.mode("overwrite").parquet(building.toString)
     java.nio.file.Files.move(building, java.nio.file.Paths.get(newDir))
-    // ---- COMMIT ----
+    // ---- COMMIT (no GC after it — lagged to the next compaction) ----
     def deltaOnDisk(t: String) =
       java.nio.file.Files.exists(java.nio.file.Paths.get(dir, s"delta_$t"))
     def tombOnDisk(t: String) =
@@ -253,24 +278,6 @@ object Dedup {
     val folded = (st.folded.filter(deltaOnDisk) ++ tags).toSeq.sorted
     val dead = (st.deadTombs.filter(tombOnDisk) ++ consumed.map(_.tag)).toSeq.sorted
     graft.io.MutableStore.commitState(dir, vNew, folded, dead)
-    // ---- GC ----
-    // every base_v* EXCEPT the just-committed version goes (the old
-    // committed version AND any crashed-attempt debris), and at v=0
-    // the legacy flat root files too
-    val gc = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
-    try {
-      import scala.jdk.CollectionConverters._
-      gc.iterator().asScala
-        .filter { p =>
-          val nm = p.getFileName.toString
-          (nm.matches("base_v\\d+") && nm != s"base_v$vNew") ||
-            (st.v == 0 && !nm.startsWith("_") && !nm.startsWith(".") &&
-              !nm.startsWith("delta_") && !nm.startsWith("base_v"))
-        }
-        .toSeq.foreach(deleteStoreDir)
-    } finally gc.close()
-    folded.foreach(t => deleteStoreDir(java.nio.file.Paths.get(dir, s"delta_$t")))
-    dead.foreach(t => deleteStoreDir(java.nio.file.Paths.get(storeTombRoot(dir), t)))
   }
 
   /** Drop every delta and tombstone dir — the replay-reset helper
@@ -552,6 +559,42 @@ object Dedup {
       } finally s.close()
     }
     val vNew = math.max(st.v, onDiskMax) + 1
+    // LAGGED GC (the engine-wide snapshot-pinned-probe retention): the
+    // PREVIOUS commit's superseded part versions, crashed-attempt
+    // debris, legacy v0 part files once a versioned base is committed,
+    // folded delta subdirs and consumed tombstones — collected at the
+    // NEXT compaction's start, never at a commit's own end, BEFORE the
+    // survivor reads list their files.
+    val gc = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+    try {
+      import scala.jdk.CollectionConverters._
+      gc.iterator().asScala
+        .filter { p =>
+          val nm = p.getFileName.toString
+          nm.startsWith("_building_") ||
+            (nm.matches("(sh|sizes)_v\\d+") && !nm.endsWith(s"_v${st.v}"))
+        }
+        .toSeq.foreach(deleteStoreDir)
+    } finally gc.close()
+    if (st.v > 0) Seq("sh", "sizes").foreach { part =>
+      // legacy base FILES go; still-live delta subdirs stay
+      val root = java.nio.file.Paths.get(dir, part)
+      if (java.nio.file.Files.exists(root)) {
+        val ls = java.nio.file.Files.list(root)
+        try {
+          import scala.jdk.CollectionConverters._
+          ls.iterator().asScala
+            .filter(!_.getFileName.toString.startsWith("delta_"))
+            .toSeq.foreach(deleteStoreDir)
+        } finally ls.close()
+      }
+    }
+    st.folded.foreach { t =>
+      deleteStoreDir(java.nio.file.Paths.get(dir, "sh", s"delta_$t"))
+      deleteStoreDir(java.nio.file.Paths.get(dir, "sizes", s"delta_$t"))
+    }
+    st.deadTombs.foreach(t =>
+      deleteStoreDir(java.nio.file.Paths.get(storeTombRoot(dir), t)))
     Seq("sh", "sizes").foreach { part =>
       val building = java.nio.file.Paths.get(s"$dir/_building_${part}_v$vNew")
       deleteStoreDir(building)
@@ -560,7 +603,7 @@ object Dedup {
       java.nio.file.Files.move(building,
         java.nio.file.Paths.get(s"$dir/${part}_v$vNew"))
     }
-    // ---- COMMIT ----
+    // ---- COMMIT (no GC after it — lagged to the next compaction) ----
     def deltaOnDisk(t: String) =
       java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "sh", s"delta_$t"))
     def tombOnDisk(t: String) =
@@ -568,35 +611,6 @@ object Dedup {
     val folded = (st.folded.filter(deltaOnDisk) ++ tags).toSeq.sorted
     val dead = (st.deadTombs.filter(tombOnDisk) ++ consumed.map(_.tag)).toSeq.sorted
     graft.io.MutableStore.commitState(dir, vNew, folded, dead)
-    // ---- GC ----
-    val gc = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
-    try {
-      import scala.jdk.CollectionConverters._
-      gc.iterator().asScala
-        .filter { p =>
-          val nm = p.getFileName.toString
-          nm.matches("(sh|sizes)_v\\d+") && !nm.endsWith(s"_v$vNew")
-        }
-        .toSeq.foreach(deleteStoreDir)
-    } finally gc.close()
-    if (st.v == 0) Seq("sh", "sizes").foreach { part =>
-      // legacy base FILES go; still-live (excluded) delta subdirs stay
-      val root = java.nio.file.Paths.get(dir, part)
-      if (java.nio.file.Files.exists(root)) {
-        val s = java.nio.file.Files.list(root)
-        try {
-          import scala.jdk.CollectionConverters._
-          s.iterator().asScala
-            .filter(!_.getFileName.toString.startsWith("delta_"))
-            .toSeq.foreach(deleteStoreDir)
-        } finally s.close()
-      }
-    }
-    folded.foreach { t =>
-      deleteStoreDir(java.nio.file.Paths.get(dir, "sh", s"delta_$t"))
-      deleteStoreDir(java.nio.file.Paths.get(dir, "sizes", s"delta_$t"))
-    }
-    dead.foreach(t => deleteStoreDir(java.nio.file.Paths.get(storeTombRoot(dir), t)))
   }
 
   /** Replay-reset: drop every delta and tombstone dir of the shingle

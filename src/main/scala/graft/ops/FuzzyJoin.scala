@@ -225,13 +225,34 @@ object FuzzyJoin {
       storeDeltaTags(dir).toSet)
     val vNew = math.max(st.v,
       MutableStore.maxOnDiskVersion(dir, Seq("base_v"))) + 1
+    // LAGGED GC (the engine-wide snapshot-pinned-probe retention): the
+    // PREVIOUS commit's superseded dirs and crashed-attempt debris are
+    // collected at the NEXT compaction's start, never at a commit's
+    // own end — and BEFORE the survivor read lists its files.
+    val gc = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+    try {
+      import scala.jdk.CollectionConverters._
+      gc.iterator().asScala
+        .filter { p =>
+          val nm = p.getFileName.toString
+          nm.startsWith("_building_") ||
+            (nm.matches("base_v\\d+") && nm != s"base_v${st.v}") ||
+            (st.v > 0 && !nm.startsWith("_") && !nm.startsWith(".") &&
+              !nm.startsWith("delta_") && !nm.startsWith("base_v"))
+        }
+        .toSeq.foreach(MutableStore.deleteDir)
+    } finally gc.close()
+    st.folded.foreach(t =>
+      MutableStore.deleteDir(java.nio.file.Paths.get(dir, s"delta_$t")))
+    st.deadTombs.foreach(t => MutableStore.deleteDir(
+      java.nio.file.Paths.get(MutableStore.tombRoot(dir), t)))
     val building = java.nio.file.Paths.get(s"$dir/_building_base_v$vNew")
     MutableStore.deleteDir(building)
     readFuzzyStore(spark, dir, excludeTags)
       .write.mode("overwrite").parquet(building.toString)
     java.nio.file.Files.move(building,
       java.nio.file.Paths.get(s"$dir/base_v$vNew"))
-    // ---- COMMIT ----
+    // ---- COMMIT (no GC after it — lagged to the next compaction) ----
     def deltaOnDisk(t: String) =
       java.nio.file.Files.exists(java.nio.file.Paths.get(dir, s"delta_$t"))
     def tombOnDisk(t: String) =
@@ -240,23 +261,6 @@ object FuzzyJoin {
     val folded = (st.folded.filter(deltaOnDisk) ++ tags).toSeq.sorted
     val dead = (st.deadTombs.filter(tombOnDisk) ++ consumed.map(_.tag)).toSeq.sorted
     MutableStore.commitState(dir, vNew, folded, dead)
-    // ---- GC ----
-    val gc = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
-    try {
-      import scala.jdk.CollectionConverters._
-      gc.iterator().asScala
-        .filter { p =>
-          val nm = p.getFileName.toString
-          (nm.matches("base_v\\d+") && nm != s"base_v$vNew") ||
-            (st.v == 0 && !nm.startsWith("_") && !nm.startsWith(".") &&
-              !nm.startsWith("delta_") && !nm.startsWith("base_v"))
-        }
-        .toSeq.foreach(MutableStore.deleteDir)
-    } finally gc.close()
-    folded.foreach(t =>
-      MutableStore.deleteDir(java.nio.file.Paths.get(dir, s"delta_$t")))
-    dead.foreach(t => MutableStore.deleteDir(
-      java.nio.file.Paths.get(MutableStore.tombRoot(dir), t)))
   }
 
   /** Policy feeds for the streaming auto-compaction. */

@@ -405,12 +405,18 @@ object StreamingIngest {
     deltaCount > 0 && (deltaCount >= maxDeltaDirs ||
       deltaBytes.toDouble >= ratio * math.max(baseBytes, 1L).toDouble)
 
+  // HNSW fan-out cap = 8, not the family-wide 16: the delta-aware
+  // probe pays one scan + graph-assembly leg per live delta and the
+  // measured latency curve cliffs past 8 (ScaleProbe `hnswfan` at 20x:
+  // warm 0.45 s at 2 deltas, 1.25 s at 8, 4.08 s at 16 — superlinear),
+  // so the count cap folds before the cliff even when the size-ratio
+  // trigger hasn't fired.
   def streamingHnswAppend(
       stream: DataFrame,
       layoutDir: String,
       checkpoint: String,
       p: graft.index.Hnsw.Params = graft.index.Hnsw.Params(),
-      maxDeltaDirs: Int = 16,
+      maxDeltaDirs: Int = 8,
       compactBytesRatio: Double = 1.0): StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
@@ -747,13 +753,14 @@ object StreamingIngest {
     * an earlier batch's delete fails loudly — revival path is
     * compactDeltas(dropTombstoned = true), then re-add). Delete ids
     * come to the driver (batch-sized) for the tag-keyed tombstone
-    * write. */
+    * write. Fan-out cap 8 — see [[streamingHnswAppend]]'s measured
+    * rationale. */
   def streamingHnswMutations(
       stream: DataFrame,
       layoutDir: String,
       checkpoint: String,
       p: graft.index.Hnsw.Params = graft.index.Hnsw.Params(),
-      maxDeltaDirs: Int = 16,
+      maxDeltaDirs: Int = 8,
       compactBytesRatio: Double = 1.0): StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpoint)

@@ -102,7 +102,10 @@ class HashStoreDeleteSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$dir/sh_v1")
       .filter(col("c_id") === 200L).count() > 0L,
       "re-added doc's postings must be folded in")
-    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/_tombstones/t1")))
+    // lagged GC: the consumed tombstone dir survives its own commit —
+    // the committed state already excludes it (probes pay no mask)
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/_tombstones/t1")),
+      "consumed tombstone dir is retained until the next compaction")
   }
 
   test("signature store takedown: mask, next-best, re-ingest revives, compaction drops") {
@@ -172,13 +175,47 @@ class HashStoreDeleteSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getLong(1))).toSet
     assert(baseRows.exists(_._2 == 500L), "folded delta row must be in the new base")
     assert(!baseRows.exists(_._2 == 3L), "tombstoned pair must be dropped")
-    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/delta_b1")))
-    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/_tombstones/t1")))
+    // LAGGED GC: the just-folded delta and just-consumed tombstone dirs
+    // survive their own commit (a snapshot-pinned probe may still read
+    // them) — the committed state already excludes both — and are
+    // collected at the NEXT compaction's start
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/delta_b1")),
+      "folded delta dir is retained until the next compaction")
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/_tombstones/t1")),
+      "consumed tombstone dir is retained until the next compaction")
 
     // crash window B: a folded delta resurrected on disk is skipped
     Dedup.incrementalDedupBatch(spark, dir,
       Seq((500L, "new stream doc")).toDF("doc_id", "text"), batchTag = Some("b1"))
     assert(verdicts(dir, probe) == want,
       "a state-file-folded delta dir must not double-count")
+
+    // RETENTION BOUND: the NEXT compaction collects what this one kept
+    // (the resurrected-but-folded b1 dir, the consumed tombstone, the
+    // superseded base version)
+    Dedup.incrementalDedupBatch(spark, dir,
+      Seq((600L, "another stream doc")).toDF("doc_id", "text"), batchTag = Some("b2"))
+    Dedup.compactHashStore(spark, dir)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/delta_b1")),
+      "the NEXT compaction collects the folded delta")
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/_tombstones/t1")),
+      "the NEXT compaction collects the consumed tombstone")
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/base_v2")),
+      "the JUST-superseded version is retained one more round (lagged GC)")
+    // while the v0 root files — superseded by the FIRST compaction —
+    // are collected by this one
+    val rootData = {
+      val ls = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+      try {
+        import scala.jdk.CollectionConverters._
+        ls.iterator().asScala.map(_.getFileName.toString)
+          .filter(n => !n.startsWith("_") && !n.startsWith(".") &&
+            !n.startsWith("delta_") && !n.startsWith("base_v")).toSeq
+      } finally ls.close()
+    }
+    assert(rootData.isEmpty,
+      s"the v0 root files must be collected by the next compaction: $rootData")
+    val want3 = verdicts(dir, probe)
+    assert(want3(101L) == (0L, Some(500L)) && want3(102L) == (0L, Some(1L)))
   }
 }
