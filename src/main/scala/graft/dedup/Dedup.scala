@@ -206,10 +206,11 @@ object Dedup {
     * version — the engine-wide VERSIONED ATOMIC SWAP applied to the
     * hash store: survivors land in `base_v<N+1>` while the old base
     * keeps serving, the commit is one atomic `_graft_store_state.json`
-    * replace (version pointer + folded + consumed lists), GC runs
-    * last and best-effort. A tombstone is consumed when every covered
-    * leg folded; one covering a still-live (excluded) delta stays.
-    * Single-writer, no concurrent probes. */
+    * replace (version pointer + folded + consumed lists), GC LAGGED
+    * to the next compaction's start (pinned-probe retention). A
+    * tombstone is consumed when every covered leg folded; one covering
+    * a still-live (excluded) delta stays. Single-writer compactor;
+    * concurrent probes keep the file sets their plans listed. */
   def compactHashStore(
       spark: org.apache.spark.sql.SparkSession,
       dir: String,
@@ -536,7 +537,8 @@ object Dedup {
     * versioned part dirs (`sh_v<N>` / `sizes_v<N>`, built under
     * underscore temps, renamed in, never a reused path) and COMMIT
     * with one atomic state replace — the engine-wide versioned-swap
-    * protocol. Single-writer, no concurrent probes. */
+    * protocol, GC lagged to the next compaction's start. Single-writer
+    * compactor; concurrent probes keep their listed file sets. */
   def compactShingleStore(
       spark: org.apache.spark.sql.SparkSession,
       dir: String,

@@ -772,8 +772,9 @@ object Hnsw {
     * index, never of the original source; float arrays roundtrip
     * parquet exactly, so a later `ensureLayout(base ∪ appended)` sees
     * a matching fingerprint and reuses instead of rebuilding. Delta
-    * dirs are deleted last. Single-writer, no concurrent probes — the
-    * [[graft.index.Ivf.compactDeltas]] contract. `excludeTags` skips
+    * dirs survive until the next compaction's lagged GC. Single-writer
+    * compactor; concurrent probes are safe — they pin one committed
+    * snapshot. `excludeTags` skips
     * named deltas from the fold (they stay live delta dirs): the
     * streaming auto-compaction passes the CURRENT batch's tag, so an
     * at-least-once redelivery — whose uncommitted delta may already be

@@ -871,7 +871,8 @@ object InvertedIndex {
     * sidecar's fingerprint terms are the MERGED (count, xor, sum) —
     * bit-equal to what a fresh [[ensure]] over the union source corpus
     * computes, so the next ensure reuses instead of rebuilding.
-    * Single-writer, no concurrent probes. */
+    * Single-writer compactor; concurrent PROBES are safe — they pin
+    * one committed snapshot and lagged GC retains its dirs. */
   def compactDeltas(
       spark: SparkSession,
       table: String,
@@ -1030,11 +1031,11 @@ object InvertedIndex {
     * `extraLongKeys` are additive build-time stats carried by the
     * sidecar, every delta stats json, and every tombstone (the BM25
     * table's nDocs/sumDl) — merged by summation. GC of the old
-    * version / folded deltas / consumed tombstones runs LAST and is
-    * best-effort: a crash leaves dirs the committed lists already
-    * exclude, collected by the next compaction. Single-writer, no
-    * concurrent probes. Shared by the BM25, positional, and trigram
-    * compactions. */
+    * version / folded deltas / consumed tombstones is LAGGED to the
+    * START of the next compaction: a snapshot-pinned probe built
+    * before this commit keeps every dir it named. Single-writer
+    * compactor; concurrent probes are safe (the snapshot contract).
+    * Shared by the BM25, positional, and trigram compactions. */
   private def compactSimpleDeltas(
       spark: SparkSession,
       table: String,
