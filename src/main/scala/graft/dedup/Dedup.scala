@@ -85,23 +85,47 @@ object Dedup {
   private def deleteStoreDir(p: java.nio.file.Path): Unit =
     graft.io.MutableStore.deleteDir(p)
 
-  /** Live delta tags of the hash store (dirs named `delta_<tag>`,
-    * minus the committed folded list). */
-  private def hashStoreDeltaTags(dir: String): Seq[String] = {
-    val root = java.nio.file.Paths.get(dir)
-    if (!java.nio.file.Files.exists(root)) return Seq.empty
-    val folded = storeState(dir).folded
-    val s = java.nio.file.Files.list(root)
-    try {
-      import scala.jdk.CollectionConverters._
-      s.iterator().asScala
-        .filter(java.nio.file.Files.isDirectory(_))
-        .map(_.getFileName.toString)
-        .filter(_.startsWith("delta_"))
-        .map(_.stripPrefix("delta_"))
-        .filterNot(folded)
-        .toSeq.sorted
-    } finally s.close()
+  /** Live delta tags of the hash store — the COMMITTED live list when
+    * the state carries one (the snapshot contract), else the legacy
+    * listing minus the folded list. */
+  private def hashStoreDeltaTags(dir: String): Seq[String] =
+    hashStoreDeltaTagsOf(dir, storeState(dir))
+
+  private def hashStoreDeltaTagsOf(
+      dir: String, st: graft.io.MutableStore.State): Seq[String] =
+    st.live.getOrElse {
+      val root = java.nio.file.Paths.get(dir)
+      if (!java.nio.file.Files.exists(root)) return Seq.empty
+      val s = java.nio.file.Files.list(root)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala
+          .filter(java.nio.file.Files.isDirectory(_))
+          .map(_.getFileName.toString)
+          .filter(_.startsWith("delta_"))
+          .map(_.stripPrefix("delta_"))
+          .filterNot(st.folded)
+          .toSeq.sorted
+      } finally s.close()
+    }
+
+  /** COMMIT a mutation tag into the store state's live lists (creating
+    * the state for a never-compacted store). A tag the state already
+    * FOLDED (or consumed) is a redelivered batch whose rows are in the
+    * base — debris for the next GC, never re-committed. */
+  private def commitMutationTag(
+      dir: String, tag: String, isTomb: Boolean,
+      liveOf: graft.io.MutableStore.State => Seq[String]): Unit = {
+    val st = storeState(dir)
+    val live = liveOf(st)
+    val tombs = graft.io.MutableStore.liveTombTagsOf(dir, st)
+    if (isTomb) {
+      if (!st.deadTombs.contains(tag))
+        graft.io.MutableStore.commitLiveLists(
+          dir, live, (tombs :+ tag).distinct.sorted)
+    } else if (!st.folded.contains(tag))
+      graft.io.MutableStore.commitLiveLists(
+        dir, (live :+ tag).distinct.sorted, tombs)
   }
 
   /** TAKEDOWN from the hash store (GDPR/opt-out: the content hash of a
@@ -142,6 +166,9 @@ object Dedup {
     graft.io.Artifact.writeAtomic(
       java.nio.file.Paths.get(out, "_stats.json"),
       s"""{"covered":$covered}""")
+    // COMMIT: the tombstone is live once the state names it
+    commitMutationTag(storeDir, tag, isTomb = true,
+      hashStoreDeltaTagsOf(storeDir, _))
   }
 
   /** The source leg of a store row, derived from its file path. */
@@ -156,18 +183,20 @@ object Dedup {
     * batch's own (possibly partial) delta. */
   private def readHashStore(
       spark: org.apache.spark.sql.SparkSession, dir: String,
-      excludeTags: Set[String] = Set.empty): DataFrame =
-    readFlatStore(spark, dir, excludeTags, hashStoreDeltaTags(dir),
+      excludeTags: Set[String] = Set.empty): DataFrame = {
+    val st = storeState(dir) // ONE state read resolves the whole leg set
+    readFlatStore(spark, dir, excludeTags, st, hashStoreDeltaTagsOf(dir, st),
       tombData = "pairs", maskKeys = Seq("h", "first_id"))
+  }
 
   /** The shared FLAT-LAYOUT store read (seed files at the dir root —
     * or the committed `base_v<N>` — plus `delta_*` legs), leg-masked:
     * each tombstone's key rows anti-join only the legs it covers. */
   private def readFlatStore(
       spark: org.apache.spark.sql.SparkSession, dir: String,
-      excludeTags: Set[String], liveDeltaTags: Seq[String],
+      excludeTags: Set[String], st: graft.io.MutableStore.State,
+      liveDeltaTags: Seq[String],
       tombData: String, maskKeys: Seq[String]): DataFrame = {
-    val st = storeState(dir)
     val raw =
       if (st.v == 0)
         spark.read.option("recursiveFileLookup", "true").parquet(dir)
@@ -181,14 +210,26 @@ object Dedup {
     // context — meaningless after the mask join below). At v=0 the
     // recursive scan must also skip any base_v* dir a CRASHED
     // compaction attempt left behind (uncommitted data — the state
-    // file is the commit point)
-    val cut = (excludeTags ++ st.folded).toSeq.sorted.map(t => s"/delta_$t/")
+    // file is the commit point). With a COMMITTED live list, delta
+    // legs are WHITELISTED: a delta dir the state does not name (an
+    // uncommitted crashed append) is not live yet, by definition.
     val filtered =
-      if (st.v == 0)
-        cut.foldLeft(raw.where(!input_file_name().rlike("/base_v\\d+/")))(
-          (acc, frag) => acc.where(!input_file_name().contains(frag)))
-      else raw // versioned base: exclusions already leg-level above
-    val tombs = liveStoreTombs(dir)
+      if (st.v == 0) {
+        val noGhostBase = raw.where(!input_file_name().rlike("/base_v\\d+/"))
+        st.live match {
+          case Some(liveTags) =>
+            val isDelta = input_file_name().rlike("/delta_[^/]+/")
+            val allowed = liveTags.filterNot(excludeTags)
+              .map(t => input_file_name().contains(s"/delta_$t/"))
+              .reduceOption(_ || _).getOrElse(lit(false))
+            noGhostBase.where(!isDelta || allowed)
+          case None =>
+            val cut = (excludeTags ++ st.folded).toSeq.sorted.map(t => s"/delta_$t/")
+            cut.foldLeft(noGhostBase)(
+              (acc, frag) => acc.where(!input_file_name().contains(frag)))
+        }
+      } else raw // versioned base: exclusions already leg-level above
+    val tombs = graft.io.MutableStore.liveTombsOf(dir, st)
     if (tombs.isEmpty) filtered
     else {
       val keys = tombs.map { t =>
@@ -278,7 +319,9 @@ object Dedup {
       java.nio.file.Files.exists(java.nio.file.Paths.get(storeTombRoot(dir), t))
     val folded = (st.folded.filter(deltaOnDisk) ++ tags).toSeq.sorted
     val dead = (st.deadTombs.filter(tombOnDisk) ++ consumed.map(_.tag)).toSeq.sorted
-    graft.io.MutableStore.commitState(dir, vNew, folded, dead)
+    val liveLeft = hashStoreDeltaTagsOf(dir, st).filterNot(tags.contains(_)).sorted
+    val tombsLeft = tombs.map(_.tag).filterNot(consumed.map(_.tag).contains(_)).sorted
+    graft.io.MutableStore.commitState(dir, vNew, folded, dead, liveLeft, tombsLeft)
   }
 
   /** Drop every delta and tombstone dir — the replay-reset helper
@@ -296,6 +339,10 @@ object Dedup {
     hashStoreDeltaTags(dir).foreach(t =>
       deleteStoreDir(java.nio.file.Paths.get(dir, s"delta_$t")))
     deleteStoreDir(java.nio.file.Paths.get(storeTombRoot(dir)))
+    // the committed state must agree with the wiped disk
+    graft.io.MutableStore.patchStringArrays(
+      java.nio.file.Paths.get(dir, graft.io.MutableStore.stateName),
+      "live" -> Seq.empty, "liveTombs" -> Seq.empty)
   }
 
   /** Novelty check of a crawl `batch` against a persisted hash store
@@ -401,6 +448,9 @@ object Dedup {
     batchTag match {
       case Some(tag) =>
         novel.write.mode("overwrite").parquet(s"$storeDir/delta_$tag")
+        // COMMIT: the delta is live once the state names it
+        commitMutationTag(storeDir, tag, isTomb = false,
+          hashStoreDeltaTagsOf(storeDir, _))
       case None =>
         novel.write.mode("append").parquet(storeDir)
     }
@@ -474,26 +524,33 @@ object Dedup {
     graft.io.Artifact.writeAtomic(
       java.nio.file.Paths.get(out, "_stats.json"),
       s"""{"covered":$covered}""")
+    commitMutationTag(storeDir, tag, isTomb = true,
+      shingleStoreDeltaTagsOf(storeDir, _))
   }
 
-  /** Live delta tags of the shingle store — the `sh` part is
-    * authoritative (appends write both parts under the same tag). */
-  private def shingleStoreDeltaTags(dir: String): Seq[String] = {
-    val root = java.nio.file.Paths.get(dir, "sh")
-    if (!java.nio.file.Files.exists(root)) return Seq.empty
-    val folded = storeState(dir).folded
-    val s = java.nio.file.Files.list(root)
-    try {
-      import scala.jdk.CollectionConverters._
-      s.iterator().asScala
-        .filter(java.nio.file.Files.isDirectory(_))
-        .map(_.getFileName.toString)
-        .filter(_.startsWith("delta_"))
-        .map(_.stripPrefix("delta_"))
-        .filterNot(folded)
-        .toSeq.sorted
-    } finally s.close()
-  }
+  /** Live delta tags of the shingle store — the COMMITTED live list
+    * when the state carries one, else the legacy `sh`-part listing
+    * (appends write both parts under the same tag). */
+  private def shingleStoreDeltaTags(dir: String): Seq[String] =
+    shingleStoreDeltaTagsOf(dir, storeState(dir))
+
+  private def shingleStoreDeltaTagsOf(
+      dir: String, st: graft.io.MutableStore.State): Seq[String] =
+    st.live.getOrElse {
+      val root = java.nio.file.Paths.get(dir, "sh")
+      if (!java.nio.file.Files.exists(root)) return Seq.empty
+      val s = java.nio.file.Files.list(root)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala
+          .filter(java.nio.file.Files.isDirectory(_))
+          .map(_.getFileName.toString)
+          .filter(_.startsWith("delta_"))
+          .map(_.stripPrefix("delta_"))
+          .filterNot(st.folded)
+          .toSeq.sorted
+      } finally s.close()
+    }
 
   /** One part (`sh`/`sizes`) of the shingle store, leg-masked: the
     * current base version plus live delta legs, minus tombstoned doc
@@ -502,24 +559,36 @@ object Dedup {
     * recursive scan). */
   private def readShinglePart(
       spark: org.apache.spark.sql.SparkSession, dir: String, part: String,
-      excludeTags: Set[String]): DataFrame = {
-    val st = storeState(dir)
+      excludeTags: Set[String],
+      stOpt: Option[graft.io.MutableStore.State] = None): DataFrame = {
+    val st = stOpt.getOrElse(storeState(dir)) // callers with two parts pass ONE read
     val raw =
       if (st.v == 0)
         spark.read.option("recursiveFileLookup", "true").parquet(s"$dir/$part")
       else {
         val base = spark.read.parquet(s"$dir/${part}_v${st.v}")
-        shingleStoreDeltaTags(dir).filterNot(excludeTags).foldLeft(base) { (acc, t) =>
+        shingleStoreDeltaTagsOf(dir, st).filterNot(excludeTags).foldLeft(base) { (acc, t) =>
           acc.unionAll(spark.read.schema(base.schema).parquet(s"$dir/$part/delta_$t"))
         }
       }
-    val cut = (excludeTags ++ st.folded).toSeq.sorted.map(t => s"/delta_$t/")
     val filtered =
-      if (st.v == 0)
-        cut.foldLeft(raw.where(!input_file_name().rlike("/base_v\\d+/")))(
-          (acc, frag) => acc.where(!input_file_name().contains(frag)))
-      else raw
-    val tombs = liveStoreTombs(dir)
+      if (st.v == 0) {
+        val noGhost = raw.where(!input_file_name().rlike("/base_v\\d+/"))
+        st.live match {
+          case Some(liveTags) =>
+            // committed-live WHITELIST: an unnamed delta dir is not live
+            val isDelta = input_file_name().rlike("/delta_[^/]+/")
+            val allowed = liveTags.filterNot(excludeTags)
+              .map(t => input_file_name().contains(s"/delta_$t/"))
+              .reduceOption(_ || _).getOrElse(lit(false))
+            noGhost.where(!isDelta || allowed)
+          case None =>
+            val cut = (excludeTags ++ st.folded).toSeq.sorted.map(t => s"/delta_$t/")
+            cut.foldLeft(noGhost)(
+              (acc, frag) => acc.where(!input_file_name().contains(frag)))
+        }
+      } else raw
+    val tombs = graft.io.MutableStore.liveTombsOf(dir, st)
     if (tombs.isEmpty) filtered
     else {
       val ids = tombs.map { t =>
@@ -612,7 +681,9 @@ object Dedup {
       java.nio.file.Files.exists(java.nio.file.Paths.get(storeTombRoot(dir), t))
     val folded = (st.folded.filter(deltaOnDisk) ++ tags).toSeq.sorted
     val dead = (st.deadTombs.filter(tombOnDisk) ++ consumed.map(_.tag)).toSeq.sorted
-    graft.io.MutableStore.commitState(dir, vNew, folded, dead)
+    val liveLeft = shingleStoreDeltaTagsOf(dir, st).filterNot(tags.contains(_)).sorted
+    val tombsLeft = tombs.map(_.tag).filterNot(consumed.map(_.tag).contains(_)).sorted
+    graft.io.MutableStore.commitState(dir, vNew, folded, dead, liveLeft, tombsLeft)
   }
 
   /** Replay-reset: drop every delta and tombstone dir of the shingle
@@ -642,6 +713,9 @@ object Dedup {
       deleteStoreDir(java.nio.file.Paths.get(dir, "sizes", s"delta_$t"))
     }
     deleteStoreDir(java.nio.file.Paths.get(storeTombRoot(dir)))
+    graft.io.MutableStore.patchStringArrays(
+      java.nio.file.Paths.get(dir, graft.io.MutableStore.stateName),
+      "live" -> Seq.empty, "liveTombs" -> Seq.empty)
   }
 
   /** Near-duplicate check of a crawl `batch` against a persisted
@@ -675,9 +749,11 @@ object Dedup {
     val bsz = bsh.groupBy("b_id").agg(count(lit(1)).as("b_size"))
     // current base version plus live delta_* legs, minus covering
     // tombstones ([[readShinglePart]]); a retried batch excludes its
-    // OWN delta so it cannot self-match and then erase it
+    // OWN delta so it cannot self-match and then erase it. BOTH parts
+    // resolve against ONE committed-state read (snapshot contract)
+    val shSt = Some(storeState(storeDir))
     def readPart(part: String): DataFrame =
-      readShinglePart(spark, storeDir, part, excludeTag.toSet)
+      readShinglePart(spark, storeDir, part, excludeTag.toSet, shSt)
     val store = readPart("sh")
     val hits = store.join(broadcast(bsh.select("sh").distinct()), "sh")
     val inter = hits.join(broadcast(bsh), "sh")
@@ -750,6 +826,9 @@ object Dedup {
     novelSh.write.mode("overwrite").parquet(s"$storeDir/sh/delta_$batchTag")
     novelSh.groupBy("c_id").agg(count(lit(1)).as("c_size"))
       .write.mode("overwrite").parquet(s"$storeDir/sizes/delta_$batchTag")
+    // COMMIT after BOTH parts are written (the delta is one unit)
+    commitMutationTag(storeDir, batchTag, isTomb = false,
+      shingleStoreDeltaTagsOf(storeDir, _))
     verdicts
   }
 
@@ -927,13 +1006,17 @@ object Dedup {
     ids.select(col(idCol).cast("long").as("s_id")).distinct()
       .write.mode("overwrite").parquet(s"${storeTombRoot(storeDir)}/$tag/ids")
     graft.io.MutableStore.writeTombStats(storeDir, tag, covered)
+    commitMutationTag(storeDir, tag, isTomb = true,
+      hashStoreDeltaTagsOf(storeDir, _))
   }
 
   private def readSigStore(
       spark: org.apache.spark.sql.SparkSession, dir: String,
-      excludeTags: Set[String]): DataFrame =
-    readFlatStore(spark, dir, excludeTags, hashStoreDeltaTags(dir),
+      excludeTags: Set[String]): DataFrame = {
+    val st = storeState(dir) // ONE state read resolves the whole leg set
+    readFlatStore(spark, dir, excludeTags, st, hashStoreDeltaTagsOf(dir, st),
       tombData = "ids", maskKeys = Seq("s_id"))
+  }
 
   def compactSigStore(
       spark: org.apache.spark.sql.SparkSession,
@@ -986,6 +1069,8 @@ object Dedup {
     verdicts.filter(col("is_novel") === 1L)
       .select(col("b_id").as("s_id"), col("sig"))
       .write.mode("overwrite").parquet(s"$storeDir/delta_$batchTag")
+    commitMutationTag(storeDir, batchTag, isTomb = false,
+      hashStoreDeltaTagsOf(storeDir, _))
     verdicts.select(col("b_id").as(idCol), col("is_novel"),
       col("near_dup_of"), col("hamming"))
   }

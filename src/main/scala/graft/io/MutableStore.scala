@@ -30,20 +30,49 @@ private[graft] object MutableStore {
   private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
 
   /** Committed state: current base version (0 = legacy/initial
-    * layout), folded delta tags, consumed tombstone tags. */
-  final case class State(v: Int, folded: Set[String], deadTombs: Set[String])
+    * layout), folded delta tags, consumed tombstone tags, and — when
+    * the store has taken a mutation since the protocol landed — the
+    * COMMITTED live delta / live tombstone tag lists (the
+    * snapshot-pinned-probe contract: a mutation is live exactly when
+    * the state names it; `None` = legacy store, resolve by listing).
+    * One [[state]] call is ONE atomic read of the json — a probe that
+    * derives its whole leg set from a single State can never see a
+    * torn mix of two commits. */
+  final case class State(v: Int, folded: Set[String], deadTombs: Set[String],
+      live: Option[Seq[String]] = None, liveTombs: Option[Seq[String]] = None)
 
   def state(dir: String): State = {
     val p = java.nio.file.Paths.get(dir, stateName)
-    if (!java.nio.file.Files.exists(p)) return State(0, Set.empty, Set.empty)
+    if (!java.nio.file.Files.exists(p))
+      return State(0, Set.empty, Set.empty)
     try {
       val n = mapper.readTree(java.nio.file.Files.readString(p))
       import scala.jdk.CollectionConverters._
       def set(k: String) = if (n.has(k))
         n.get(k).elements().asScala.map(_.asText()).toSet else Set.empty[String]
+      def opt(k: String) = if (n.has(k))
+        Some(n.get(k).elements().asScala.map(_.asText()).toSeq.sorted) else None
       State(if (n.hasNonNull("v")) n.get("v").asInt() else 0,
-        set("folded"), set("deadTombs"))
+        set("folded"), set("deadTombs"), opt("live"), opt("liveTombs"))
     } catch { case _: Throwable => State(0, Set.empty, Set.empty) }
+  }
+
+  /** COMMIT a mutation into the state file's live-tag lists — creating
+    * the file (v = 0, empty fold lists) for a store that never
+    * compacted. The write is one atomic replace, so probes reading the
+    * state see the old or new commit, never a tear. Single-writer like
+    * every mutation. */
+  def commitLiveLists(
+      dir: String, live: Seq[String], liveTombs: Seq[String]): Unit = {
+    val p = java.nio.file.Paths.get(dir, stateName)
+    if (java.nio.file.Files.exists(p))
+      patchStringArrays(p, "live" -> live, "liveTombs" -> liveTombs)
+    else {
+      def arr(s: Seq[String]) = s.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+      java.nio.file.Files.createDirectories(p.getParent)
+      Artifact.writeAtomic(p,
+        s"""{"v":0,"folded":[],"deadTombs":[],"live":${arr(live)},"liveTombs":${arr(liveTombs)}}""")
+    }
   }
 
   def tombRoot(dir: String): String = s"$dir/_tombstones"
@@ -51,24 +80,37 @@ private[graft] object MutableStore {
   /** One live tombstone batch and the legs it covers. */
   final case class Tomb(tag: String, covered: Set[String])
 
-  def liveTombs(dir: String): Seq[Tomb] = {
-    val root = java.nio.file.Paths.get(tombRoot(dir))
-    if (!java.nio.file.Files.exists(root)) return Seq.empty
-    val dead = state(dir).deadTombs
-    val s = java.nio.file.Files.list(root)
-    val tags = try {
-      import scala.jdk.CollectionConverters._
-      s.iterator().asScala
-        .filter(p => java.nio.file.Files.exists(p.resolve("_stats.json")))
-        .map(_.getFileName.toString).filterNot(dead).toSeq.sorted
-    } finally s.close()
-    tags.map { tag =>
+  def liveTombs(dir: String): Seq[Tomb] = liveTombsOf(dir, state(dir))
+
+  /** Live tombstones resolved against ONE already-read state — the
+    * committed liveTombs list when the state carries it, the legacy
+    * listing (minus deadTombs) otherwise. Per-tag stats jsons are
+    * immutable once written (tag-keyed overwrite rewrites identical
+    * content), so reading them after the one state read cannot tear. */
+  def liveTombsOf(dir: String, st: State): Seq[Tomb] =
+    liveTombTagsOf(dir, st).map { tag =>
       val n = mapper.readTree(java.nio.file.Files.readString(
         java.nio.file.Paths.get(tombRoot(dir), tag, "_stats.json")))
       import scala.jdk.CollectionConverters._
       Tomb(tag, n.get("covered").elements().asScala.map(_.asText()).toSet)
     }
-  }
+
+  /** Live tombstone TAGS against one already-read state — committed
+    * list when present, legacy listing (minus deadTombs) otherwise. */
+  def liveTombTagsOf(dir: String, st: State): Seq[String] =
+    st.liveTombs.getOrElse {
+      val root = java.nio.file.Paths.get(tombRoot(dir))
+      if (!java.nio.file.Files.exists(root)) Seq.empty[String]
+      else {
+        val s = java.nio.file.Files.list(root)
+        try {
+          import scala.jdk.CollectionConverters._
+          s.iterator().asScala
+            .filter(p => java.nio.file.Files.exists(p.resolve("_stats.json")))
+            .map(_.getFileName.toString).filterNot(st.deadTombs).toSeq.sorted
+        } finally s.close()
+      }
+    }
 
   /** Write a tombstone's stats json (LAST — a tombstone is live only
     * once it exists). `covered` = base + the live delta tags NOW. */
@@ -78,12 +120,15 @@ private[graft] object MutableStore {
       covered.map(t => "\"" + t + "\"")
         .mkString("""{"covered":[""", ",", "]}"))
 
-  /** Atomically commit a new store state. */
-  def commitState(dir: String, v: Int, folded: Seq[String], deadTombs: Seq[String]): Unit = {
+  /** Atomically commit a new store state (a compaction's commit point:
+    * version pointer + folded/consumed lists + the surviving live
+    * legs). */
+  def commitState(dir: String, v: Int, folded: Seq[String], deadTombs: Seq[String],
+      live: Seq[String] = Seq.empty, liveTombs: Seq[String] = Seq.empty): Unit = {
     def arr(s: Seq[String]) = s.map("\"" + _ + "\"").mkString("[", ",", "]")
     Artifact.writeAtomic(
       java.nio.file.Paths.get(dir, stateName),
-      s"""{"v":$v,"folded":${arr(folded.sorted)},"deadTombs":${arr(deadTombs.sorted)}}""")
+      s"""{"v":$v,"folded":${arr(folded.sorted)},"deadTombs":${arr(deadTombs.sorted)},"live":${arr(live.sorted)},"liveTombs":${arr(liveTombs.sorted)}}""")
   }
 
   /** The source leg of a store row, derived from its file path. */

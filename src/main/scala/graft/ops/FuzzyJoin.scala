@@ -134,21 +134,42 @@ object FuzzyJoin {
   import graft.io.MutableStore
 
   /** Live delta tags of the fuzzy store. */
-  private def storeDeltaTags(dir: String): Seq[String] = {
-    val root = java.nio.file.Paths.get(dir)
-    if (!java.nio.file.Files.exists(root)) return Seq.empty
-    val folded = MutableStore.state(dir).folded
-    val s = java.nio.file.Files.list(root)
-    try {
-      import scala.jdk.CollectionConverters._
-      s.iterator().asScala
-        .filter(java.nio.file.Files.isDirectory(_))
-        .map(_.getFileName.toString)
-        .filter(_.startsWith("delta_"))
-        .map(_.stripPrefix("delta_"))
-        .filterNot(folded)
-        .toSeq.sorted
-    } finally s.close()
+  private def storeDeltaTags(dir: String): Seq[String] =
+    storeDeltaTagsOf(dir, MutableStore.state(dir))
+
+  /** Live delta tags against one already-read state — the COMMITTED
+    * live list when present (snapshot contract), else the legacy
+    * listing minus the folded list. */
+  private def storeDeltaTagsOf(dir: String, st: MutableStore.State): Seq[String] =
+    st.live.getOrElse {
+      val root = java.nio.file.Paths.get(dir)
+      if (!java.nio.file.Files.exists(root)) return Seq.empty
+      val s = java.nio.file.Files.list(root)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala
+          .filter(java.nio.file.Files.isDirectory(_))
+          .map(_.getFileName.toString)
+          .filter(_.startsWith("delta_"))
+          .map(_.stripPrefix("delta_"))
+          .filterNot(st.folded)
+          .toSeq.sorted
+      } finally s.close()
+    }
+
+  /** COMMIT a mutation tag into the store state's live lists (the
+    * engine-wide snapshot contract; see
+    * [[graft.io.MutableStore.commitLiveLists]]). Folded/consumed tags
+    * are never re-committed (redelivered batches). */
+  private def commitMutationTag(dir: String, tag: String, isTomb: Boolean): Unit = {
+    val st = MutableStore.state(dir)
+    val live = storeDeltaTagsOf(dir, st)
+    val tombs = MutableStore.liveTombTagsOf(dir, st)
+    if (isTomb) {
+      if (!st.deadTombs.contains(tag))
+        MutableStore.commitLiveLists(dir, live, (tombs :+ tag).distinct.sorted)
+    } else if (!st.folded.contains(tag))
+      MutableStore.commitLiveLists(dir, (live :+ tag).distinct.sorted, tombs)
   }
 
   /** TAKEDOWN from the fuzzy signature store: a scrubbed entity's
@@ -170,6 +191,8 @@ object FuzzyJoin {
       .write.mode("overwrite")
       .parquet(s"${MutableStore.tombRoot(storeDir)}/$tag/ids")
     MutableStore.writeTombStats(storeDir, tag, covered)
+    // COMMIT: the tombstone is live once the state names it
+    commitMutationTag(storeDir, tag, isTomb = true)
   }
 
   /** The fuzzy store, leg-masked: current base version plus live delta
@@ -179,23 +202,34 @@ object FuzzyJoin {
   private def readFuzzyStore(
       spark: org.apache.spark.sql.SparkSession, dir: String,
       excludeTags: Set[String]): DataFrame = {
-    val st = MutableStore.state(dir)
+    val st = MutableStore.state(dir) // ONE read resolves the whole leg set
     val raw =
       if (st.v == 0)
         spark.read.option("recursiveFileLookup", "true").parquet(dir)
       else {
         val base = spark.read.parquet(s"$dir/base_v${st.v}")
-        storeDeltaTags(dir).filterNot(excludeTags).foldLeft(base) { (acc, t) =>
+        storeDeltaTagsOf(dir, st).filterNot(excludeTags).foldLeft(base) { (acc, t) =>
           acc.unionAll(spark.read.schema(base.schema).parquet(s"$dir/delta_$t"))
         }
       }
-    val cut = (excludeTags ++ st.folded).toSeq.sorted.map(t => s"/delta_$t/")
     val filtered =
-      if (st.v == 0)
-        cut.foldLeft(raw.where(!input_file_name().rlike("/base_v\\d+/")))(
-          (acc, frag) => acc.where(!input_file_name().contains(frag)))
-      else raw
-    val tombs = MutableStore.liveTombs(dir)
+      if (st.v == 0) {
+        val noGhost = raw.where(!input_file_name().rlike("/base_v\\d+/"))
+        st.live match {
+          case Some(liveTags) =>
+            // committed-live WHITELIST: an unnamed delta dir is not live
+            val isDelta = input_file_name().rlike("/delta_[^/]+/")
+            val allowed = liveTags.filterNot(excludeTags)
+              .map(t => input_file_name().contains(s"/delta_$t/"))
+              .reduceOption(_ || _).getOrElse(lit(false))
+            noGhost.where(!isDelta || allowed)
+          case None =>
+            val cut = (excludeTags ++ st.folded).toSeq.sorted.map(t => s"/delta_$t/")
+            cut.foldLeft(noGhost)(
+              (acc, frag) => acc.where(!input_file_name().contains(frag)))
+        }
+      } else raw
+    val tombs = MutableStore.liveTombsOf(dir, st)
     if (tombs.isEmpty) filtered
     else {
       val ids = tombs.map { t =>
@@ -260,8 +294,21 @@ object FuzzyJoin {
         java.nio.file.Paths.get(MutableStore.tombRoot(dir), t))
     val folded = (st.folded.filter(deltaOnDisk) ++ tags).toSeq.sorted
     val dead = (st.deadTombs.filter(tombOnDisk) ++ consumed.map(_.tag)).toSeq.sorted
-    MutableStore.commitState(dir, vNew, folded, dead)
+    val liveLeft = storeDeltaTagsOf(dir, st).filterNot(tags.contains(_)).sorted
+    val tombsLeft = tombs.map(_.tag).filterNot(consumed.map(_.tag).contains(_)).sorted
+    MutableStore.commitState(dir, vNew, folded, dead, liveLeft, tombsLeft)
   }
+
+  /** The persisted fuzzy store as a LAZY DataFrame — current base
+    * version ∪ committed live deltas, minus covering tombstones,
+    * resolved from ONE committed-state read (the snapshot-pinned-probe
+    * contract: a view built here serves wholly the pinned state even
+    * if a compaction commits before it executes — lagged GC keeps its
+    * files readable through one concurrent commit). Columns
+    * (sig, store_id, store_name). */
+  def fuzzyStoreView(
+      spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    readFuzzyStore(spark, dir, Set.empty)
 
   /** Policy feeds for the streaming auto-compaction. */
   def fuzzyStoreDeltaCount(dir: String): Int = storeDeltaTags(dir).size
@@ -275,6 +322,9 @@ object FuzzyJoin {
     storeDeltaTags(dir).foreach(t =>
       MutableStore.deleteDir(java.nio.file.Paths.get(dir, s"delta_$t")))
     MutableStore.deleteDir(java.nio.file.Paths.get(MutableStore.tombRoot(dir)))
+    MutableStore.patchStringArrays(
+      java.nio.file.Paths.get(dir, MutableStore.stateName),
+      "live" -> Seq.empty, "liveTombs" -> Seq.empty)
   }
 
   /** Resolve a crawl `batch` against the persisted fuzzy store AND
@@ -328,6 +378,7 @@ object FuzzyJoin {
     batchTag match {
       case Some(tag) =>
         novelSigs.write.mode("overwrite").parquet(s"$storeDir/delta_$tag")
+        commitMutationTag(storeDir, tag, isTomb = false)
       case None =>
         novelSigs.write.mode("append").parquet(storeDir)
     }

@@ -153,6 +153,66 @@ class SnapshotPinSpec extends AnyFunSuite {
     assert(fresh == wantOld - 7L, "fresh probe must serve the wholly-new state")
   }
 
+  // ------------------------------------------------- dedup hash store
+
+  test("hash store: probe pinned before a delete+compaction commit serves wholly-old; fresh probe wholly-new") {
+    import graft.dedup.Dedup
+    val docs = Seq(
+      (0L, "alpha beta"), (1L, "gamma delta"), (2L, "epsilon zeta"),
+      (3L, "eta theta")).toDF("doc_id", "text")
+    val dir = tmp("pin_hash")
+    Dedup.ensureHashStore(spark, docs, dir)
+    // one committed mutation so the state file exists with live lists
+    Dedup.incrementalDedupBatch(spark, dir,
+      Seq((10L, "iota kappa")).toDF("doc_id", "text"), batchTag = Some("a1"))
+    val probeBatch = Seq((100L, "gamma delta"), (101L, "iota kappa"))
+      .toDF("doc_id", "text")
+    def verdicts(df: org.apache.spark.sql.DataFrame): Map[Long, (Long, Option[Long])] =
+      df.collect().map(r => r.getLong(0) ->
+        (r.getLong(1), if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    val wantOld = verdicts(Dedup.newAgainstStore(spark, dir, probeBatch))
+    assert(wantOld(100L) == (0L, Some(1L)) && wantOld(101L) == (0L, Some(10L)))
+    val pinned = Dedup.newAgainstStore(spark, dir, probeBatch) // in flight
+
+    Dedup.deleteFromHashStore(spark, dir,
+      docs.filter(col("doc_id") === 1L), tag = "d1")
+    Dedup.compactHashStore(spark, dir)
+
+    assert(verdicts(pinned) == wantOld,
+      "pinned hash-store probe must serve the wholly-old state " +
+        "(the deleted pair still matching)")
+    val fresh = verdicts(Dedup.newAgainstStore(spark, dir, probeBatch))
+    assert(fresh(100L) == (1L, None),
+      "fresh probe must see the takedown (content novel again)")
+    assert(fresh(101L) == (0L, Some(10L)))
+  }
+
+  // ------------------------------------------------- fuzzy signature store
+
+  test("fuzzy store: view pinned before a delete+compaction commit serves wholly-old; fresh view wholly-new") {
+    import graft.ops.FuzzyJoin
+    val registry = (1L to 9L).map(i => (i, f"name-$i%04d")).toDF("id", "name")
+    val dir = tmp("pin_fuzzy")
+    FuzzyJoin.ensureFuzzyStore(spark, registry, dir, "id", "name")
+    // a committed append + a committed delete — live mutation legs
+    FuzzyJoin.incrementalFuzzyResolveBatch(spark, dir,
+      Seq((50L, "zzz-unique-zzz")).toDF("id", "name"),
+      "id", "name", batchTag = Some("a1")).collect()
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select("store_id").distinct().as[Long].collect().toSet
+    val wantOld = ids(FuzzyJoin.fuzzyStoreView(spark, dir))
+    assert(wantOld.contains(3L) && wantOld.contains(50L))
+    val pinned = FuzzyJoin.fuzzyStoreView(spark, dir) // in flight
+
+    FuzzyJoin.deleteFromFuzzyStore(spark, dir, Seq(3L).toDF("store_id"), tag = "d1")
+    FuzzyJoin.compactFuzzyStore(spark, dir)
+
+    assert(ids(pinned) == wantOld,
+      "pinned fuzzy store view must serve the wholly-old state (id 3 present)")
+    assert(ids(FuzzyJoin.fuzzyStoreView(spark, dir)) == wantOld - 3L,
+      "fresh view must serve the wholly-new state")
+  }
+
   // ------------------------------------------------- HNSW layout
 
   test("hnsw layout: probe pinned before a delete+reclaim commit serves wholly-old; fresh probe wholly-new") {
