@@ -1841,7 +1841,7 @@ object Dedup {
       .withColumnRenamed("id", idCol)
       .write.mode("overwrite").parquet(dataDir)
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
-    java.nio.file.Files.writeString(sidecar,
+    graft.io.Artifact.writeAtomic(sidecar,
       s"""{"count":$nRows,"hash":$hash,"hsum":"$hashSum"}""")
     spark.read.parquet(dataDir)
   }

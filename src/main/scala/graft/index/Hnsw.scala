@@ -351,7 +351,7 @@ object Hnsw {
       .groupBy(col("part")).agg(count(lit(1)).as("n"))
       .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
     val json = counts.map { case (pt, n) => s""""$pt":$n""" }.mkString("{", ",", "}")
-    java.nio.file.Files.writeString(
+    graft.io.Artifact.writeAtomic(
       java.nio.file.Paths.get(dataDir, partCountsName), json)
   }
 

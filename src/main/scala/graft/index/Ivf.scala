@@ -130,7 +130,7 @@ object Ivf {
     writePartitioned(index, df, dir, embCol)
     val centroids = index.model.clusterCenters.map(_.toArray)
     val centroidJson = centroids.map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
-    java.nio.file.Files.writeString(sidecar,
+    graft.io.Artifact.writeAtomic(sidecar,
       s"""{"count":$nRows,"hash":$dataHash,"hsum":"$hashSum","centroids":$centroidJson}""")
     Layout(dir, centroids)
   }
@@ -277,7 +277,7 @@ object Ivf {
     // xor and sum are both order-independent, so the sidecar fingerprint
     // stays maintainable incrementally: xor toggles, sum adds
     val hsum = storedHsum(node).add(new java.math.BigInteger(sNew))
-    java.nio.file.Files.writeString(sidecar,
+    graft.io.Artifact.writeAtomic(sidecar,
       s"""{"count":$count,"hash":$hash,"hsum":"$hsum","centroids":${node.get("centroids").toString}}""")
     layout
   }
@@ -368,6 +368,20 @@ object Ivf {
     * xor toggles, sum adds — fingerprinted BEFORE the moves from the
     * same files); a crash between moves and sidecar write leaves the
     * reuse check conservative (mismatch → rebuild), probes correct.
+    *
+    * CONCURRENCY: this fold (and [[compactLayout]]'s in-place partition
+    * overwrite) is the engine's ONE stop-the-world maintenance op —
+    * single-writer AND no concurrent probes, unlike every other store
+    * family (those serve snapshot-pinned probes through their
+    * compactions). The exactly-one-place crash invariant above is WHY:
+    * moves have no single commit point a reader could pin, and the
+    * alternatives trade it away (copy+commit double-serves rows in the
+    * crash window; a versioned base makes each fold O(base), killing
+    * the O(delta) move advantage). The multi-reader path at 100 TB is
+    * a manifest-file layout (Iceberg-style per-snapshot file lists)
+    * rather than directory listings — out of scope here; schedule this
+    * fold in a maintenance window, as deployments do for partition
+    * rewrites.
     * `excludeTags` skips named deltas — the streaming auto-compaction
     * hook passes the IN-FLIGHT batch's tag, because folding an
     * uncommitted (possibly crashed-attempt) delta into the base and
@@ -433,7 +447,7 @@ object Ivf {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val node = mapper.readTree(java.nio.file.Files.readString(sidecar))
     val hsum = storedHsum(node).add(new java.math.BigInteger(sNew))
-    java.nio.file.Files.writeString(sidecar,
+    graft.io.Artifact.writeAtomic(sidecar,
       s"""{"count":${node.get("count").asLong() + nNew},"hash":${node.get("hash").asLong() ^ hNew},"hsum":"$hsum","centroids":${node.get("centroids").toString}}""")
     dirs.length
   }
@@ -516,7 +530,7 @@ object Ivf {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val node = mapper.readTree(java.nio.file.Files.readString(sidecar))
     val hsum = storedHsum(node).subtract(new java.math.BigInteger(sDel))
-    java.nio.file.Files.writeString(sidecar,
+    graft.io.Artifact.writeAtomic(sidecar,
       s"""{"count":${node.get("count").asLong() - nDel},"hash":${node.get("hash").asLong() ^ hDel},"hsum":"$hsum","centroids":${node.get("centroids").toString}}""")
     nDel + nDeltaDel
   }

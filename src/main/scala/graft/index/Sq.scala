@@ -639,7 +639,7 @@ object Sq {
     val model = modelFromArtifact(spark, dir)
     encode(batch, model, idCol, embCol)
       .write.mode("overwrite").parquet(s"$dir/delta_$tag/codes")
-    java.nio.file.Files.writeString(
+    graft.io.Artifact.writeAtomic(
       java.nio.file.Paths.get(dir, s"delta_$tag", "_stats.json"),
       s"""{"count":$nRows,"hash":$dataHash,"hsum":"$hashSum"}""")
     // COMMIT the mutation: the delta is live once the state names it.

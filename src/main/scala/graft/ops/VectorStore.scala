@@ -153,7 +153,8 @@ final class VectorStore private (
   /** Scale-path sink/source: Parquet with dim/nextId in a sidecar. */
   def saveParquet(dir: String): Unit = {
     data.write.mode("overwrite").parquet(s"$dir/vectors")
-    Files.writeString(Paths.get(s"$dir/_meta.json"), s"""{"dim": $dim, "nextId": $cursor}""")
+    graft.io.Artifact.writeAtomic(
+      Paths.get(s"$dir/_meta.json"), s"""{"dim": $dim, "nextId": $cursor}""")
   }
 }
 
