@@ -605,10 +605,11 @@ object Ivf {
     * probes re-read every shared cluster N times; this reads each
     * exactly once. Returns (query_id, vec_id, dist, rank).
     *
-    * SCOPE: base layout + tombstone mask ONLY — streamed `_delta_*`
-    * legs (see the streaming IVF appends) are NOT probed by the batch
-    * family; compact deltas into the layout first, or use the
-    * delta-aware single-query probe when deltas must be visible. */
+    * DELTA-AWARE like the single-query probe: streamed `_delta_*` legs
+    * join the scan pruned by the same union of probed clusters (they
+    * share the cluster-partitioned disk layout), and the tombstone
+    * anti-join applies to the whole union — a vector appended by the
+    * last micro-batch is batch-probeable immediately. */
   def searchLayoutBatch(
       spark: SparkSession,
       layout: Layout,
@@ -627,8 +628,15 @@ object Ivf {
       (r.getLong(0), emb, probeClustersOf(layout.centroids, emb.toArray, nprobe))
     }
     val union = probed.flatMap(_._3).distinct
-    val scan = liveRows(spark, layout,
-      spark.read.parquet(layout.dir).filter(col("cluster").isin(union: _*)), idCol)
+    val basePruned = spark.read.parquet(layout.dir)
+      .filter(col("cluster").isin(union: _*))
+    val raw = deltaRows(spark, layout) match {
+      case Some(d) =>
+        basePruned.unionByName(d.filter(col("cluster").isin(union: _*))
+          .select(basePruned.columns.map(col).toIndexedSeq: _*))
+      case None => basePruned
+    }
+    val scan = liveRows(spark, layout, raw, idCol)
     val qDf = probed.toDF(qIdCol, qEmbCol, "q_clusters")
     graft.ops.VectorSearch.knnJoinAgg(qDf, scan, k,
       qIdCol = qIdCol, qEmbCol = qEmbCol, idCol = idCol,

@@ -57,6 +57,31 @@ class IvfStreamAppendSpec extends AnyFunSuite {
       "foreachBatch IVF append must carry no state-store state")
   }
 
+  test("batch probe is delta-aware: streamed appends and their tombstones visible without a compaction") {
+    val layout = freshLayout("ivfbatchdelta")
+    Ivf.appendDelta(layout,
+      Seq((301L, Seq(0.05f, 0.05f)), (302L, Seq(10.05f, 10.05f)))
+        .toDF("vec_id", "embedding"), "t_b0")
+    Ivf.deleteFromLayout(layout, Seq(2L).toDF("vec_id"))
+    val queries = Seq(
+      (0L, Seq(0.0f, 0.0f)), (1L, Seq(10.0f, 10.0f))).toDF("query_id", "q_embedding")
+    val got = Ivf.searchLayoutBatch(spark, layout, queries, k = 4, nprobe = 1)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSeq
+    val q0 = got.filter(_._1 == 0L).map(_._2).toSet
+    val q1 = got.filter(_._1 == 1L).map(_._2).toSet
+    assert(q0.contains(301L) && q1.contains(302L),
+      s"delta-appended vectors must be batch-probeable, got q0=$q0 q1=$q1")
+    assert(!q0.contains(2L), "tombstoned id must be excluded from the batch probe")
+    // equality with the delta-aware single-query probe, per query
+    val singles = Seq(
+      0L -> Array(0.0f, 0.0f), 1L -> Array(10.0f, 10.0f)).flatMap { case (qid, q) =>
+      Ivf.searchLayoutDeltaAware(spark, layout, q, k = 4, nprobe = 1)
+        .select("vec_id").as[Long].collect().toSeq.map(qid -> _)
+    }.toSet
+    assert(got.toSet == singles,
+      s"batch results must equal per-query delta-aware singles\nbatch  $got\nsingle $singles")
+  }
+
   test("delta_<tag> retry idempotency: redelivering a batch rewrites, never doubles") {
     val layout = freshLayout("ivfretry")
     val rows = Seq((201L, Seq(0.03f, 0.03f)), (202L, Seq(0.04f, 0.02f)))
