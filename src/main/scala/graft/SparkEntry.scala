@@ -2316,7 +2316,12 @@ object SparkEntry {
         s"${System.getProperty("java.io.tmpdir")}/graft_fuzzysql_${dirKey(dir)}"
       graft.ops.FuzzyJoin.ensureFuzzyStore(s,
         tbl(s, dir, "customer"), storeDir, "c_custkey", "c_name")
-      s.read.parquet(storeDir).createOrReplaceTempView("cust_fuzzy_store_v")
+      // the MASKED snapshot view, not a raw dir scan: base version ∪
+      // committed live deltas − covering tombstones, so the SQL route
+      // stays correct on a store that has taken mutations (here the
+      // store is pristine and the view IS the plain scan — same plan)
+      graft.ops.FuzzyJoin.fuzzyStoreView(s, storeDir)
+        .createOrReplaceTempView("cust_fuzzy_store_v")
       s.sql(
         """WITH probes AS (
           |  SELECT c_custkey AS probe_id,
