@@ -150,7 +150,8 @@ object Dedup {
       tag: String,
       idCol: String = "doc_id",
       textCol: String = "text",
-      excludeCovered: Set[String] = Set.empty): Unit = {
+      excludeCovered: Set[String] = Set.empty): Unit =
+      graft.io.MutableStore.withWriterLock(storeDir, "deleteFromHashStore") {
     // excludeCovered: a CDC mutation batch passes its OWN delta tag so
     // a same-batch delete+re-add leaves the re-add live (adds win) and
     // an at-least-once redelivery cannot mask its own appends — the
@@ -270,7 +271,8 @@ object Dedup {
       spark: org.apache.spark.sql.SparkSession,
       dir: String,
       excludeTags: Set[String],
-      read: Set[String] => DataFrame): Unit = {
+      read: Set[String] => DataFrame): Unit =
+      graft.io.MutableStore.withWriterLock(dir, "compactFlatStore") {
     val tags = hashStoreDeltaTags(dir).filterNot(excludeTags)
     val tombs = liveStoreTombs(dir)
     if (tags.isEmpty && tombs.isEmpty) return
@@ -286,6 +288,12 @@ object Dedup {
     // tombstones — are collected HERE, at the next compaction's start,
     // never at a commit's own end, so a probe that pinned its file set
     // before this commit keeps reading through it.
+    // retention-aware: anything the CURRENT snapshot or a protected
+    // prior still names survives (gcRetention = 1 → historical window)
+    val (protectedRefs, _) = graft.io.MutableStore.splitPriors(st.priors)
+    val keepBases = (Set(st.v) ++ protectedRefs.map(_.v)).map(v => s"base_v$v")
+    val keepDelta = hashStoreDeltaTagsOf(dir, st).toSet ++ protectedRefs.flatMap(_.live)
+    val keepTombs = tombs.map(_.tag).toSet ++ protectedRefs.flatMap(_.tombs)
     val gc = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
     try {
       import scala.jdk.CollectionConverters._
@@ -293,14 +301,16 @@ object Dedup {
         .filter { p =>
           val nm = p.getFileName.toString
           nm.startsWith("_building_") ||
-            (nm.matches("base_v\\d+") && nm != s"base_v${st.v}") ||
-            (st.v > 0 && !nm.startsWith("_") && !nm.startsWith(".") &&
+            (nm.matches("base_v\\d+") && !keepBases.contains(nm)) ||
+            (st.v > 0 && !protectedRefs.exists(_.v == 0) &&
+              !nm.startsWith("_") && !nm.startsWith(".") &&
               !nm.startsWith("delta_") && !nm.startsWith("base_v"))
         }
         .toSeq.foreach(deleteStoreDir)
     } finally gc.close()
-    st.folded.foreach(t => deleteStoreDir(java.nio.file.Paths.get(dir, s"delta_$t")))
-    st.deadTombs.foreach(t =>
+    st.folded.filterNot(keepDelta).foreach(t =>
+      deleteStoreDir(java.nio.file.Paths.get(dir, s"delta_$t")))
+    st.deadTombs.filterNot(keepTombs).foreach(t =>
       deleteStoreDir(java.nio.file.Paths.get(storeTombRoot(dir), t)))
     // survivors AFTER the GC: the masked union minus any excluded delta
     // legs (they stay live delta dirs and keep their own tombstone
@@ -321,7 +331,10 @@ object Dedup {
     val dead = (st.deadTombs.filter(tombOnDisk) ++ consumed.map(_.tag)).toSeq.sorted
     val liveLeft = hashStoreDeltaTagsOf(dir, st).filterNot(tags.contains(_)).sorted
     val tombsLeft = tombs.map(_.tag).filterNot(consumed.map(_.tag).contains(_)).sorted
-    graft.io.MutableStore.commitState(dir, vNew, folded, dead, liveLeft, tombsLeft)
+    graft.io.MutableStore.commitState(dir, vNew, folded, dead, liveLeft, tombsLeft,
+      priors = graft.io.MutableStore.pushPrior(protectedRefs,
+        graft.io.MutableStore.SnapRef(
+          st.v, hashStoreDeltaTagsOf(dir, st), tombs.map(_.tag))))
   }
 
   /** Drop every delta and tombstone dir — the replay-reset helper
@@ -335,7 +348,8 @@ object Dedup {
   def hashStoreDeltaBytes(dir: String): Long =
     graft.io.MutableStore.flatDeltaBytes(dir, hashStoreDeltaTags(dir))
 
-  def dropHashStoreMutations(dir: String): Unit = {
+  def dropHashStoreMutations(dir: String): Unit =
+      graft.io.MutableStore.withWriterLock(dir, "dropMutations") {
     hashStoreDeltaTags(dir).foreach(t =>
       deleteStoreDir(java.nio.file.Paths.get(dir, s"delta_$t")))
     deleteStoreDir(java.nio.file.Paths.get(storeTombRoot(dir)))
@@ -416,7 +430,8 @@ object Dedup {
       batch: DataFrame,
       idCol: String = "doc_id",
       textCol: String = "text",
-      batchTag: Option[String] = None): DataFrame = {
+      batchTag: Option[String] = None): DataFrame =
+      graft.io.MutableStore.withWriterLock(storeDir, "incrementalDedupBatch") {
     val bh = batch.select(col(idCol).cast("long").as("_bid"),
       graft.text.TextAnalysis.fingerprintMd5(col(textCol)).as("h"))
     val w = Window.partitionBy(col("h")).orderBy(col("_bid").asc)
@@ -514,7 +529,8 @@ object Dedup {
       ids: DataFrame,
       tag: String,
       idCol: String = "doc_id",
-      excludeCovered: Set[String] = Set.empty): Unit = {
+      excludeCovered: Set[String] = Set.empty): Unit =
+      graft.io.MutableStore.withWriterLock(storeDir, "deleteFromShingleStore") {
     // excludeCovered: the CDC batch's own tag — adds win within a batch
     val covered = ("base" +: shingleStoreDeltaTags(storeDir).filterNot(excludeCovered))
       .map(t => "\"" + t + "\"").mkString("[", ",", "]")
@@ -611,7 +627,8 @@ object Dedup {
   def compactShingleStore(
       spark: org.apache.spark.sql.SparkSession,
       dir: String,
-      excludeTags: Set[String] = Set.empty): Unit = {
+      excludeTags: Set[String] = Set.empty): Unit =
+      graft.io.MutableStore.withWriterLock(dir, "compactShingleStore") {
     val tags = shingleStoreDeltaTags(dir).filterNot(excludeTags)
     val tombs = liveStoreTombs(dir)
     if (tags.isEmpty && tombs.isEmpty) return
@@ -636,6 +653,12 @@ object Dedup {
     // folded delta subdirs and consumed tombstones — collected at the
     // NEXT compaction's start, never at a commit's own end, BEFORE the
     // survivor reads list their files.
+    // retention-aware: anything the CURRENT snapshot or a protected
+    // prior still names survives (gcRetention = 1 → historical window)
+    val (protectedRefs, _) = graft.io.MutableStore.splitPriors(st.priors)
+    val keepVs = Set(st.v) ++ protectedRefs.map(_.v)
+    val keepDelta = shingleStoreDeltaTagsOf(dir, st).toSet ++ protectedRefs.flatMap(_.live)
+    val keepTombs = tombs.map(_.tag).toSet ++ protectedRefs.flatMap(_.tombs)
     val gc = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
     try {
       import scala.jdk.CollectionConverters._
@@ -643,11 +666,12 @@ object Dedup {
         .filter { p =>
           val nm = p.getFileName.toString
           nm.startsWith("_building_") ||
-            (nm.matches("(sh|sizes)_v\\d+") && !nm.endsWith(s"_v${st.v}"))
+            (nm.matches("(sh|sizes)_v\\d+") &&
+              !keepVs.contains(nm.replaceAll("^[a-z]+_v", "").toInt))
         }
         .toSeq.foreach(deleteStoreDir)
     } finally gc.close()
-    if (st.v > 0) Seq("sh", "sizes").foreach { part =>
+    if (st.v > 0 && !protectedRefs.exists(_.v == 0)) Seq("sh", "sizes").foreach { part =>
       // legacy base FILES go; still-live delta subdirs stay
       val root = java.nio.file.Paths.get(dir, part)
       if (java.nio.file.Files.exists(root)) {
@@ -660,11 +684,11 @@ object Dedup {
         } finally ls.close()
       }
     }
-    st.folded.foreach { t =>
+    st.folded.filterNot(keepDelta).foreach { t =>
       deleteStoreDir(java.nio.file.Paths.get(dir, "sh", s"delta_$t"))
       deleteStoreDir(java.nio.file.Paths.get(dir, "sizes", s"delta_$t"))
     }
-    st.deadTombs.foreach(t =>
+    st.deadTombs.filterNot(keepTombs).foreach(t =>
       deleteStoreDir(java.nio.file.Paths.get(storeTombRoot(dir), t)))
     Seq("sh", "sizes").foreach { part =>
       val building = java.nio.file.Paths.get(s"$dir/_building_${part}_v$vNew")
@@ -683,7 +707,10 @@ object Dedup {
     val dead = (st.deadTombs.filter(tombOnDisk) ++ consumed.map(_.tag)).toSeq.sorted
     val liveLeft = shingleStoreDeltaTagsOf(dir, st).filterNot(tags.contains(_)).sorted
     val tombsLeft = tombs.map(_.tag).filterNot(consumed.map(_.tag).contains(_)).sorted
-    graft.io.MutableStore.commitState(dir, vNew, folded, dead, liveLeft, tombsLeft)
+    graft.io.MutableStore.commitState(dir, vNew, folded, dead, liveLeft, tombsLeft,
+      priors = graft.io.MutableStore.pushPrior(protectedRefs,
+        graft.io.MutableStore.SnapRef(
+          st.v, shingleStoreDeltaTagsOf(dir, st), tombs.map(_.tag))))
   }
 
   /** Replay-reset: drop every delta and tombstone dir of the shingle
@@ -707,7 +734,8 @@ object Dedup {
     shingleStoreDeltaTags(dir).map(t => graft.io.MutableStore.duBytes(
       java.nio.file.Paths.get(dir, part, s"delta_$t"))).sum
 
-  def dropShingleStoreMutations(dir: String): Unit = {
+  def dropShingleStoreMutations(dir: String): Unit =
+      graft.io.MutableStore.withWriterLock(dir, "dropMutations") {
     shingleStoreDeltaTags(dir).foreach { t =>
       deleteStoreDir(java.nio.file.Paths.get(dir, "sh", s"delta_$t"))
       deleteStoreDir(java.nio.file.Paths.get(dir, "sizes", s"delta_$t"))
@@ -809,7 +837,8 @@ object Dedup {
       maxJaccardDist: Double = 0.5,
       idCol: String = "doc_id",
       textCol: String = "text",
-      shingleN: Int = 3): DataFrame = {
+      shingleN: Int = 3): DataFrame =
+      graft.io.MutableStore.withWriterLock(storeDir, "incrementalNearDupBatch") {
     val verdicts = nearDupsAgainstShingleStore(
         spark, storeDir, batch, maxJaccardDist, idCol, textCol, shingleN,
         excludeTag = Some(batchTag))
@@ -1001,7 +1030,8 @@ object Dedup {
       storeDir: String,
       ids: DataFrame,
       tag: String,
-      idCol: String = "s_id"): Unit = {
+      idCol: String = "s_id"): Unit =
+      graft.io.MutableStore.withWriterLock(storeDir, "deleteFromSigStore") {
     val covered = "base" +: hashStoreDeltaTags(storeDir)
     ids.select(col(idCol).cast("long").as("s_id")).distinct()
       .write.mode("overwrite").parquet(s"${storeTombRoot(storeDir)}/$tag/ids")
@@ -1047,7 +1077,8 @@ object Dedup {
       batchTag: String,
       maxHamming: Int = 3,
       idCol: String = "media_id",
-      sigCol: String = "sig"): DataFrame = {
+      sigCol: String = "sig"): DataFrame =
+      graft.io.MutableStore.withWriterLock(storeDir, "incrementalSigDedupBatch") {
     val batchSigs = sigs
       .select(col(idCol).cast("long").as("b_id"), col(sigCol).as("sig"))
       // bounded: batch-sized — reused by the probe AND the delta write

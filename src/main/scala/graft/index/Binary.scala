@@ -135,6 +135,24 @@ object Binary {
       .orderBy(col("query_id"), col("hamming"), col(idCol))
   }
 
+  /** [[hammingTopKBatch]] for ANY batch width: waves of
+    * ≤ [[graft.index.Sq.maxBatchWidth]] queries, results unioned —
+    * the Sq.searchRerankBatchWaved composition applied to the binary
+    * rung. */
+  def hammingTopKBatchWaved(
+      sigs: DataFrame,
+      queries: Seq[(Long, Long)],
+      k: Int,
+      idCol: String = "vec_id"): DataFrame = {
+    require(queries.nonEmpty, "need at least one query signature")
+    require(queries.map(_._1).distinct.size == queries.size,
+      "duplicate query ids in the batch (per-query columns are id-keyed)")
+    queries.grouped(graft.index.Sq.maxBatchWidth).toSeq
+      .map(w => hammingTopKBatch(sigs, w, k, idCol))
+      .reduce(_ unionAll _)
+      .orderBy(col("query_id"), col("hamming"), col(idCol))
+  }
+
   private val sigSidecar = "_binary_sigs.json"
   private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
 
@@ -259,7 +277,8 @@ object Binary {
   /** Drop every tombstone dir, returning the store to the BASE
     * snapshot its sidecar attests — the replay helper mirroring
     * [[graft.text.InvertedIndex.dropMutations]]. */
-  def dropMutations(dir: String): Unit = {
+  def dropMutations(dir: String): Unit =
+      graft.io.MutableStore.withWriterLock(dir, "dropMutations") {
     listDirs(dir).filter(_.startsWith("tomb_"))
       .foreach(n => deleteRecursively(java.nio.file.Paths.get(dir, n)))
     graft.io.MutableStore.patchStringArrays(
@@ -281,7 +300,8 @@ object Binary {
       batch: DataFrame,
       tag: String,
       idCol: String = "vec_id",
-      embCol: String = "embedding"): Unit = {
+      embCol: String = "embedding"): Unit =
+      graft.io.MutableStore.withWriterLock(dir, "deleteFromArtifact") {
     val (nRows, dataHash, hashSum) = graft.io.Artifact.hashAgg(
       batch, org.apache.spark.sql.functions.xxhash64(
         col(idCol), col(embCol).cast("array<double>")))
@@ -342,19 +362,26 @@ object Binary {
     * safe. */
   def compactSignatures(
       spark: org.apache.spark.sql.SparkSession, dir: String,
-      idCol: String = "vec_id"): Unit = {
+      idCol: String = "vec_id"): Unit =
+      graft.io.MutableStore.withWriterLock(dir, "compactSignatures") {
     val s = snapOf(dir)
     if (s.tombTags.isEmpty) return
     val vNew = math.max(s.v,
       graft.io.MutableStore.maxOnDiskVersion(dir, Seq("sigs_v"))) + 1
-    // lagged GC of the PREVIOUS commit's superseded dirs + debris
-    val keepBase = if (s.v > 0) s"sigs_v${s.v}" else "sigs"
+    // retention-aware lagged GC of superseded dirs + debris: anything
+    // the CURRENT snapshot or a protected prior still names survives
+    val (protectedRefs, _) = graft.io.MutableStore.splitPriors(
+      graft.io.MutableStore.optStringSeq(s.node, "priors").getOrElse(Seq.empty))
+    def baseOf(v: Int) = if (v > 0) s"sigs_v$v" else "sigs"
+    val keepBases = (Set(s.v) ++ protectedRefs.map(_.v)).map(baseOf)
+    val keepTombs = s.tombTags.toSet ++ protectedRefs.flatMap(_.tombs)
     listDirs(dir).foreach { n =>
       val p = java.nio.file.Paths.get(dir, n)
       if (n.startsWith("_building_")) deleteRecursively(p)
-      else if ((n.matches("sigs_v\\d+") || n == "sigs") && n != keepBase)
+      else if ((n.matches("sigs_v\\d+") || n == "sigs") && !keepBases.contains(n))
         deleteRecursively(p)
-      else if (n.startsWith("tomb_") && s.dead.contains(n.stripPrefix("tomb_")))
+      else if (n.startsWith("tomb_") && s.dead.contains(n.stripPrefix("tomb_")) &&
+          !keepTombs.contains(n.stripPrefix("tomb_")))
         deleteRecursively(p)
     }
     val sidecar = java.nio.file.Paths.get(dir, sigSidecar)
@@ -381,8 +408,10 @@ object Binary {
     val dead = (s.dead.filter(t =>
       java.nio.file.Files.exists(java.nio.file.Paths.get(dir, s"tomb_$t"))) ++
       s.tombTags).toSeq.sorted
+    val priors = graft.io.MutableStore.pushPrior(protectedRefs,
+      graft.io.MutableStore.SnapRef(s.v, Seq.empty, s.tombTags))
     graft.io.Artifact.writeAtomic(sidecar,
-      s"""{"count":$cnt,"hash":$hsh,"hsum":"$hsum","dim":"$dim","family":"binary_midrange","v":$vNew,"deadTombs":${arr(dead)},"liveTombs":[]}""")
+      s"""{"count":$cnt,"hash":$hsh,"hsum":"$hsum","dim":"$dim","family":"binary_midrange","v":$vNew,"deadTombs":${arr(dead)},"liveTombs":[],"priors":${arr(priors)}}""")
     // NO GC here — lagged to the next compaction (pinned-probe retention)
   }
 

@@ -666,7 +666,8 @@ object Hnsw {
       tag: String,
       p: Params = Params(),
       idCol: String = "vec_id",
-      embCol: String = "embedding"): Unit = {
+      embCol: String = "embedding"): Unit =
+      graft.io.MutableStore.withWriterLock(dir, "appendDelta") {
     // LOUD GUARD (the Ivf.requireNotTombstoned contract): the layout's
     // tombstones are a GLOBAL id mask — an appended id that is
     // currently tombstoned would be silently hidden by every probe,
@@ -791,7 +792,8 @@ object Hnsw {
       dir: String,
       p: Params = Params(),
       excludeTags: Set[String] = Set.empty,
-      dropTombstoned: Boolean = false): Unit = {
+      dropTombstoned: Boolean = false): Unit =
+      graft.io.MutableStore.withWriterLock(dir, "compactDeltas") {
     val s = snapOf(dir)
     val tags = s.live.filterNot(excludeTags)
     val dead = if (dropTombstoned) tombstonedIdsOf(spark, dir, s) else Set.empty[Long]
@@ -800,7 +802,9 @@ object Hnsw {
     // renamed-but-uncommitted layout_v<X> must still bump the counter
     val vNew = math.max(s.v,
       graft.io.MutableStore.maxOnDiskVersion(dir, Seq("layout_v"))) + 1
-    gcPrior(dir, s)
+    val (protectedRefs, _) = graft.io.MutableStore.splitPriors(
+      graft.io.MutableStore.optStringSeq(s.node, "priors").getOrElse(Seq.empty))
+    gcPrior(dir, s, protectedRefs)
     val oldBase = s.layoutPathOf(dir)
     val unionAllRows = (Seq(oldBase) ++ tags.map(t => s"$dir/$deltaDirPrefix$t"))
       .map(spark.read.parquet(_).select(col("vec_id"), col("emb").as("embedding")))
@@ -844,11 +848,14 @@ object Hnsw {
     val folded = (s.folded.filter(onDisk) ++ tags).toSeq.sorted
     val liveLeft = s.live.filterNot(tags.contains(_)).sorted
     val tombsLeft = if (dropTombstoned) Seq.empty[String] else s.tombTags
+    val priors = graft.io.MutableStore.pushPrior(protectedRefs,
+      graft.io.MutableStore.SnapRef(s.v, s.live, s.tombTags))
     val fields = fingerprintFields(n, h, hs, p) ++ Seq(
       "v" -> vNew.toString,
       "folded" -> arr(folded),
       "live" -> arr(liveLeft),
-      "liveTombs" -> arr(tombsLeft))
+      "liveTombs" -> arr(tombsLeft),
+      "priors" -> arr(priors))
     graft.io.Artifact.writeAtomic(
       java.nio.file.Paths.get(dir, sidecarName),
       fields.map { case (k, raw) => s""""$k":$raw""" }.mkString("{", ",", "}"))
@@ -865,10 +872,16 @@ object Hnsw {
     * `del_<tag>` dirs the committed liveTombs list no longer names —
     * only decidable in committed mode (a legacy sidecar has no list;
     * its tombstones are all live by definition). */
-  private def gcPrior(dir: String, s: Snap): Unit = {
+  private def gcPrior(dir: String, s: Snap,
+      protectedRefs: Seq[graft.io.MutableStore.SnapRef] = Seq.empty): Unit = {
     val root = java.nio.file.Paths.get(dir)
     if (!java.nio.file.Files.exists(root)) return
-    val keepBase = if (s.v > 0) s"layout_v${s.v}" else "layout"
+    // retention-aware: anything the CURRENT snapshot or a protected
+    // prior still names survives (gcRetention = 1 → historical window)
+    def baseOf(v: Int) = if (v > 0) s"layout_v$v" else "layout"
+    val keepBases = (Set(s.v) ++ protectedRefs.map(_.v)).map(baseOf)
+    val keepDelta = s.live.toSet ++ protectedRefs.flatMap(_.live)
+    val keepTombs = s.tombTags.toSet ++ protectedRefs.flatMap(_.tombs)
     val ls = java.nio.file.Files.list(root)
     val names = try {
       import scala.jdk.CollectionConverters._
@@ -877,15 +890,15 @@ object Hnsw {
     names.foreach { nm =>
       val pth = java.nio.file.Paths.get(dir, nm)
       if (nm.startsWith("_building_")) deleteRecursively(pth)
-      else if ((nm.matches("layout_v\\d+") || nm == "layout") && nm != keepBase)
+      else if ((nm.matches("layout_v\\d+") || nm == "layout") && !keepBases.contains(nm))
         deleteRecursively(pth)
       else if (nm.startsWith(deltaDirPrefix) &&
-          s.folded.contains(nm.stripPrefix(deltaDirPrefix)))
+          s.folded.contains(nm.stripPrefix(deltaDirPrefix)) &&
+          !keepDelta.contains(nm.stripPrefix(deltaDirPrefix)))
         deleteRecursively(pth)
     }
     if (s.tombCommitted) {
-      val liveSet = s.tombTags.toSet
-      listedTombTags(dir).filterNot(liveSet).foreach(t =>
+      listedTombTags(dir).filterNot(keepTombs).foreach(t =>
         deleteRecursively(java.nio.file.Paths.get(dir, tombstoneDirName, s"del_$t")))
     }
   }
@@ -912,7 +925,8 @@ object Hnsw {
       spark: SparkSession,
       dir: String,
       ids: Seq[Long],
-      tag: String): Unit = {
+      tag: String): Unit =
+      graft.io.MutableStore.withWriterLock(dir, "deleteFromLayout") {
     import spark.implicits._
     val s = snapOf(dir)
     val requested = ids.distinct.filterNot(tombstonedIdsOf(spark, dir, s))

@@ -37,11 +37,16 @@ object Recall {
   }
 
   /** One operating point of the nprobe RECALL CURVE: an index family
-    * at a probe width, its measured recall@k, and its measured scan
-    * cost (expected fraction of corpus rows the probe reads — the
-    * number a user trades recall against). */
+    * at a probe width, its measured recall@k, and its measured cost —
+    * split into the two honest units: `scanFrac` = expected fraction
+    * of corpus ROWS the probe reads (identical for ivf and ivfsq: the
+    * SQ8 leg scans codes of the same probed lists), and `costFrac` =
+    * the BYTE-cost proxy the selection trades recall against (the
+    * ivfsq leg's rows are 4×-compressed codes, so its byte cost is a
+    * quarter of the exact leg's at equal scanFrac). */
   final case class CurvePoint(
-      family: String, nprobe: Int, recall: Double, scanFrac: Double)
+      family: String, nprobe: Int, recall: Double,
+      scanFrac: Double, costFrac: Double)
 
   /** The IVF / IVF-SQ8 nprobe recall curve — recall@`k` and measured
     * scan fraction at every `probes` width, for both the exact-distance
@@ -110,21 +115,24 @@ object Recall {
     probes.flatMap { p =>
       val frac = fracOf(p)
       Seq(
-        CurvePoint("ivf", p, hits.getOrElse(s"ivf_np$p", 0L) / denom, frac),
-        // the SQ8 leg scans 4×-compressed codes of the same lists
-        CurvePoint("ivfsq", p, hits.getOrElse(s"ivfsq_np$p", 0L) / denom, frac / 4.0))
+        CurvePoint("ivf", p, hits.getOrElse(s"ivf_np$p", 0L) / denom, frac, frac),
+        // the SQ8 leg scans the SAME rows (codes of the same probed
+        // lists) — its byte cost is what shrinks 4×
+        CurvePoint("ivfsq", p, hits.getOrElse(s"ivfsq_np$p", 0L) / denom,
+          frac, frac / 4.0))
     }
   }
 
-  /** The cheapest curve point meeting `targetRecall` (ties to the
-    * smaller nprobe, then family name) — the recall-target loop closed
-    * over the RECORDED curve, so an operator can replay the selection
-    * from the bench record. None when no point clears the target (the
-    * caller's fallback is the exact scan at recall 1, cost 1). */
+  /** The cheapest curve point meeting `targetRecall` — cheapest by
+    * `costFrac`, the byte-cost proxy (ties to the smaller nprobe, then
+    * family name) — the recall-target loop closed over the RECORDED
+    * curve, so an operator can replay the selection from the bench
+    * record. None when no point clears the target (the caller's
+    * fallback is the exact scan at recall 1, cost 1). */
   def selectFromCurve(
       curve: Seq[CurvePoint], targetRecall: Double): Option[CurvePoint] =
     curve.filter(_.recall >= targetRecall)
-      .sortBy(p => (p.scanFrac, p.nprobe, p.family))
+      .sortBy(p => (p.costFrac, p.nprobe, p.family))
       .headOption
 
   /** recall@`k` of LSH (seeded BRP, the [[Ann]] defaults), pruned-IVF

@@ -247,6 +247,33 @@ object Sq {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** [[searchRerankBatch]] for ANY batch width: N > [[maxBatchWidth]]
+    * queries are composed as ceil(N / width) WAVES of ≤ width, each
+    * wave one bounded batch plan, results unioned — the loud width
+    * `require` becomes an implementation detail. Per-wave cost is the
+    * measured batch shape (one codes scan + ≤64 codegen cuts); total
+    * cost is waves × that, the same asymptote as one huge batch
+    * without the plan-width cliff. Results are EXACTLY per-query
+    * singles (each wave already is). */
+  def searchRerankBatchWaved(
+      encoded: DataFrame,
+      corpus: DataFrame,
+      model: SqModel,
+      queries: Seq[(Long, Array[Float])],
+      k: Int,
+      shortlist: Int = 100,
+      idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    require(queries.nonEmpty, "need at least one query")
+    require(queries.map(_._1).distinct.size == queries.size,
+      "duplicate query ids in the batch (per-query columns are id-keyed)")
+    queries.grouped(maxBatchWidth).toSeq
+      .map(w => searchRerankBatch(encoded, corpus, model, w, k, shortlist,
+        idCol, embCol))
+      .reduce(_ unionAll _)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** IVF-SQ8: the FAISS IndexIVFScalarQuantizer composition — SQ8
     * codes written partitioned by the IVF cluster id, so a probe
     * prunes to nprobe/nlist of the (already 4×-compressed) codes
@@ -532,7 +559,8 @@ object Sq {
       tag: String,
       idCol: String = "vec_id",
       embCol: String = "embedding",
-      excludeCovered: Set[String] = Set.empty): Unit = {
+      excludeCovered: Set[String] = Set.empty): Unit =
+      graft.io.MutableStore.withWriterLock(dir, "deleteVectors") {
     val (nRows, dataHash, hashSum) = graft.io.Artifact.hashAgg(
       batch, xxhash64(col(idCol), col(embCol).cast("array<double>")))
     val s = snapOf(dir)
@@ -555,7 +583,8 @@ object Sq {
   /** Drop every delta and tombstone dir, returning the store to the
     * BASE snapshot its sidecar attests — the replay helper mirroring
     * [[graft.text.InvertedIndex.dropMutations]]. */
-  def dropMutations(dir: String): Unit = {
+  def dropMutations(dir: String): Unit =
+      graft.io.MutableStore.withWriterLock(dir, "dropMutations") {
     listDirs(dir).filter(n => n.startsWith("delta_") || n.startsWith("tomb_"))
       .foreach(n => deleteRecursively(java.nio.file.Paths.get(dir, n)))
     // the committed state must agree with the wiped disk (folded/dead
@@ -633,7 +662,8 @@ object Sq {
       batch: DataFrame,
       tag: String,
       idCol: String = "vec_id",
-      embCol: String = "embedding"): Unit = {
+      embCol: String = "embedding"): Unit =
+      graft.io.MutableStore.withWriterLock(dir, "appendDelta") {
     val (nRows, dataHash, hashSum) = graft.io.Artifact.hashAgg(
       batch, xxhash64(col(idCol), col(embCol).cast("array<double>")))
     val model = modelFromArtifact(spark, dir)
@@ -659,16 +689,24 @@ object Sq {
     * START of each compaction, never at its own end, so every dir the
     * current committed state names survives until the NEXT compaction
     * and a snapshot-pinned probe outlives one concurrent commit. */
-  private def gcPrior(dir: String, s: Snap): Unit = {
-    val keepBase = if (s.v > 0) s"codes_v${s.v}" else "codes"
+  private def gcPrior(dir: String, s: Snap,
+      protectedRefs: Seq[graft.io.MutableStore.SnapRef] = Seq.empty): Unit = {
+    // retention-aware: anything the CURRENT snapshot or a protected
+    // prior still names survives (gcRetention = 1 → historical window)
+    def baseOf(v: Int) = if (v > 0) s"codes_v$v" else "codes"
+    val keepBases = (Set(s.v) ++ protectedRefs.map(_.v)).map(baseOf)
+    val keepDelta = s.live.toSet ++ protectedRefs.flatMap(_.live)
+    val keepTombs = s.tombs.map(_.tag).toSet ++ protectedRefs.flatMap(_.tombs)
     listDirs(dir).foreach { n =>
       val p = java.nio.file.Paths.get(dir, n)
       if (n.startsWith("_building_")) deleteRecursively(p)
-      else if ((n.matches("codes_v\\d+") || n == "codes") && n != keepBase)
+      else if ((n.matches("codes_v\\d+") || n == "codes") && !keepBases.contains(n))
         deleteRecursively(p)
-      else if (n.startsWith("delta_") && s.folded.contains(n.stripPrefix("delta_")))
+      else if (n.startsWith("delta_") && s.folded.contains(n.stripPrefix("delta_")) &&
+          !keepDelta.contains(n.stripPrefix("delta_")))
         deleteRecursively(p)
-      else if (n.startsWith("tomb_") && s.dead.contains(n.stripPrefix("tomb_")))
+      else if (n.startsWith("tomb_") && s.dead.contains(n.stripPrefix("tomb_")) &&
+          !keepTombs.contains(n.stripPrefix("tomb_")))
         deleteRecursively(p)
     }
   }
@@ -694,7 +732,8 @@ object Sq {
       spark: org.apache.spark.sql.SparkSession,
       dir: String,
       excludeTags: Set[String] = Set.empty,
-      idCol: String = "vec_id"): Unit = {
+      idCol: String = "vec_id"): Unit =
+      graft.io.MutableStore.withWriterLock(dir, "compactDeltas") {
     val s = snapOf(dir)
     val tags = s.live.filterNot(excludeTags)
     val tombs = s.tombs
@@ -703,7 +742,9 @@ object Sq {
     // renamed-but-uncommitted codes_v<X> must still bump the counter
     val vNew = math.max(s.v,
       graft.io.MutableStore.maxOnDiskVersion(dir, Seq("codes_v"))) + 1
-    gcPrior(dir, s)
+    val (protectedRefs, _) = graft.io.MutableStore.splitPriors(
+      s.node.map(jsonStringSet(_, "priors")).getOrElse(Set.empty).toSeq)
+    gcPrior(dir, s, protectedRefs)
     val sidecar = sidecarPath(dir)
     val node = s.node.getOrElse(
       throw new IllegalStateException(s"no $codesSidecar under $dir"))
@@ -745,8 +786,10 @@ object Sq {
     val liveLeft = s.live.filterNot(tags.contains(_)).sorted
     val tombsLeft = tombs.map(_.tag).filterNot(consumed.map(_.tag).contains(_)).sorted
     def arr(x: Seq[String]) = x.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val priors = graft.io.MutableStore.pushPrior(protectedRefs,
+      graft.io.MutableStore.SnapRef(s.v, s.live, tombs.map(_.tag)))
     graft.io.Artifact.writeAtomic(sidecar,
-      s"""{"count":$cnt,"hash":$hsh,"hsum":"$hsum","family":"sq8_minmax","v":$vNew,"folded":${arr(folded)},"deadTombs":${arr(dead)},"live":${arr(liveLeft)},"liveTombs":${arr(tombsLeft)}}""")
+      s"""{"count":$cnt,"hash":$hsh,"hsum":"$hsum","family":"sq8_minmax","v":$vNew,"folded":${arr(folded)},"deadTombs":${arr(dead)},"live":${arr(liveLeft)},"liveTombs":${arr(tombsLeft)},"priors":${arr(priors)}}""")
     // NO GC here — lagged to the next compaction's gcPrior, so probes
     // pinned on the pre-commit snapshot keep every dir they named
   }

@@ -22,12 +22,109 @@ import org.apache.spark.sql.functions._
   *    version path is NEVER reused, so cached file listings cannot
   *    alias fresh data), and COMMITS with one atomic replace of the
   *    state json carrying the version pointer + folded + consumed
-  *    lists; GC runs last, best-effort.
+  *    lists; GC is LAGGED behind [[gcRetention]] prior commits;
+  *  - every mutation/compaction flow holds the store's WRITER LEASE
+  *    ([[withWriterLock]]) — the single-writer contract is enforced,
+  *    not documented: a second writer fails loudly instead of
+  *    silently dropping a live tag in an interleaved
+  *    read-modify-write, and the commit primitives themselves refuse
+  *    to run outside a lease.
   */
 private[graft] object MutableStore {
 
   val stateName = "_graft_store_state.json"
   private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  // ------------------------------------------------------ writer lease
+  //
+  // The protocol is SINGLE-WRITER per store: every mutation/compaction
+  // is a read(state) → write(legs) → commit(state) cycle, and two of
+  // them interleaving would silently drop a live tag from the committed
+  // lists. The lease makes the contract ENFORCED rather than
+  // documented: a mutation flow runs inside [[withWriterLock]], which
+  // atomically creates a sibling `__writer_lock` file (CREATE_NEW — the
+  // filesystem arbitrates between processes); a second writer fails
+  // LOUDLY instead of losing an update. Reentrant within a thread
+  // (compactions call commit primitives), and a crashed writer's stale
+  // lock is stolen after `ttlMs` via an atomic rename (exactly one
+  // stealer can win the move).
+
+  private val held = new ThreadLocal[scala.collection.mutable.Set[String]] {
+    override def initialValue() = scala.collection.mutable.Set.empty[String]
+  }
+
+  private def lockPath(dir: String): java.nio.file.Path = {
+    val d = java.nio.file.Paths.get(dir).toAbsolutePath.normalize
+    d.getParent.resolve(d.getFileName.toString + "__writer_lock")
+  }
+
+  /** Fails loudly when a state-committing primitive runs OUTSIDE a
+    * writer lease — the guard that keeps every mutation path wired
+    * through [[withWriterLock]] (a new flow that forgets the lease
+    * breaks its own spec instead of silently racing). */
+  private def assertWriter(what: String): Unit =
+    if (held.get().isEmpty)
+      throw new IllegalStateException(
+        s"$what outside a writer lease — every mutation/compaction flow " +
+          "must run inside MutableStore.withWriterLock(dir) " +
+          "(single-writer protocol, enforced)")
+
+  /** Run `body` holding the store's writer lease. Default TTL 10 min:
+    * long enough for any single compaction here, short enough that a
+    * crashed writer's debris never wedges a deployment. */
+  def withWriterLock[A](
+      dir: String, owner: String = "", ttlMs: Long = 10L * 60L * 1000L)(body: => A): A = {
+    val lock = lockPath(dir)
+    val key = lock.toString
+    if (held.get().contains(key)) return body // reentrant
+    var attempts = 0
+    var acquired = false
+    while (!acquired) {
+      try {
+        java.nio.file.Files.createDirectories(lock.getParent)
+        val tag = s"$owner@${java.lang.management.ManagementFactory.getRuntimeMXBean.getName}" +
+          s" thread=${Thread.currentThread().getId} since=${System.currentTimeMillis()}"
+        java.nio.file.Files.write(lock, tag.getBytes("UTF-8"),
+          java.nio.file.StandardOpenOption.CREATE_NEW,
+          java.nio.file.StandardOpenOption.WRITE)
+        acquired = true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          val age =
+            try System.currentTimeMillis() -
+              java.nio.file.Files.getLastModifiedTime(lock).toMillis
+            catch { case _: Throwable => Long.MaxValue } // vanished → retry create
+          if (age > ttlMs) {
+            // expired (crashed writer): steal via atomic move to a
+            // unique debris name — of N concurrent stealers exactly one
+            // move succeeds, everyone then races CREATE_NEW again
+            val debris = lock.resolveSibling(
+              s"${lock.getFileName}_expired_${System.nanoTime()}")
+            try {
+              java.nio.file.Files.move(lock, debris)
+              java.nio.file.Files.deleteIfExists(debris)
+            } catch { case _: Throwable => () }
+            attempts += 1
+            if (attempts > 8)
+              throw new IllegalStateException(
+                s"could not acquire the writer lease at $lock after $attempts steals")
+          } else {
+            val holder =
+              try new String(java.nio.file.Files.readAllBytes(lock), "UTF-8")
+              catch { case _: Throwable => "<unreadable>" }
+            throw new IllegalStateException(
+              s"store $dir already has a live writer ($holder) — the mutable-store " +
+                s"protocol is single-writer; lease expires ${ttlMs - age} ms from now")
+          }
+      }
+    }
+    held.get().add(key)
+    try body
+    finally {
+      held.get().remove(key)
+      try java.nio.file.Files.deleteIfExists(lock) catch { case _: Throwable => () }
+    }
+  }
 
   /** Committed state: current base version (0 = legacy/initial
     * layout), folded delta tags, consumed tombstone tags, and — when
@@ -39,12 +136,18 @@ private[graft] object MutableStore {
     * derives its whole leg set from a single State can never see a
     * torn mix of two commits. */
   final case class State(v: Int, folded: Set[String], deadTombs: Set[String],
-      live: Option[Seq[String]] = None, liveTombs: Option[Seq[String]] = None)
+      live: Option[Seq[String]] = None, liveTombs: Option[Seq[String]] = None,
+      priors: Seq[String] = Seq.empty)
 
   def state(dir: String): State = {
     val p = java.nio.file.Paths.get(dir, stateName)
     if (!java.nio.file.Files.exists(p))
       return State(0, Set.empty, Set.empty)
+    // an EXISTING state file that fails to parse is a loud error, not a
+    // silent fallback: degrading to State(0, ...) would resolve the
+    // legacy base path (`dir` instead of `dir_v<N>`) — serving the
+    // WRONG data. Unreachable under atomic writes + the writer lease,
+    // so reaching it means the store dir was corrupted externally.
     try {
       val n = mapper.readTree(java.nio.file.Files.readString(p))
       import scala.jdk.CollectionConverters._
@@ -52,9 +155,17 @@ private[graft] object MutableStore {
         n.get(k).elements().asScala.map(_.asText()).toSet else Set.empty[String]
       def opt(k: String) = if (n.has(k))
         Some(n.get(k).elements().asScala.map(_.asText()).toSeq.sorted) else None
-      State(if (n.hasNonNull("v")) n.get("v").asInt() else 0,
-        set("folded"), set("deadTombs"), opt("live"), opt("liveTombs"))
-    } catch { case _: Throwable => State(0, Set.empty, Set.empty) }
+      // every writer stamps "v" — a parseable file without it is as
+      // corrupt as an unparseable one
+      require(n.hasNonNull("v"), s"state file $p carries no version field")
+      State(n.get("v").asInt(),
+        set("folded"), set("deadTombs"), opt("live"), opt("liveTombs"),
+        opt("priors").getOrElse(Seq.empty))
+    } catch { case e: Throwable =>
+      throw new IllegalStateException(
+        s"corrupt store state at $p — refusing to fall back to the legacy " +
+          "v=0 layout, which could resolve a superseded base path", e)
+    }
   }
 
   /** COMMIT a mutation into the state file's live-tag lists — creating
@@ -64,6 +175,7 @@ private[graft] object MutableStore {
     * every mutation. */
   def commitLiveLists(
       dir: String, live: Seq[String], liveTombs: Seq[String]): Unit = {
+    assertWriter(s"commitLiveLists($dir)")
     val p = java.nio.file.Paths.get(dir, stateName)
     if (java.nio.file.Files.exists(p))
       patchStringArrays(p, "live" -> live, "liveTombs" -> liveTombs)
@@ -114,21 +226,25 @@ private[graft] object MutableStore {
 
   /** Write a tombstone's stats json (LAST — a tombstone is live only
     * once it exists). `covered` = base + the live delta tags NOW. */
-  def writeTombStats(dir: String, tag: String, covered: Seq[String]): Unit =
+  def writeTombStats(dir: String, tag: String, covered: Seq[String]): Unit = {
+    assertWriter(s"writeTombStats($dir, $tag)")
     Artifact.writeAtomic(
       java.nio.file.Paths.get(tombRoot(dir), tag, "_stats.json"),
       covered.map(t => "\"" + t + "\"")
         .mkString("""{"covered":[""", ",", "]}"))
+  }
 
   /** Atomically commit a new store state (a compaction's commit point:
     * version pointer + folded/consumed lists + the surviving live
     * legs). */
   def commitState(dir: String, v: Int, folded: Seq[String], deadTombs: Seq[String],
-      live: Seq[String] = Seq.empty, liveTombs: Seq[String] = Seq.empty): Unit = {
+      live: Seq[String] = Seq.empty, liveTombs: Seq[String] = Seq.empty,
+      priors: Seq[String] = Seq.empty): Unit = {
+    assertWriter(s"commitState($dir)")
     def arr(s: Seq[String]) = s.map("\"" + _ + "\"").mkString("[", ",", "]")
     Artifact.writeAtomic(
       java.nio.file.Paths.get(dir, stateName),
-      s"""{"v":$v,"folded":${arr(folded.sorted)},"deadTombs":${arr(deadTombs.sorted)},"live":${arr(live.sorted)},"liveTombs":${arr(liveTombs.sorted)}}""")
+      s"""{"v":$v,"folded":${arr(folded.sorted)},"deadTombs":${arr(deadTombs.sorted)},"live":${arr(live.sorted)},"liveTombs":${arr(liveTombs.sorted)},"priors":${arr(priors.sorted)}}""")
   }
 
   /** The source leg of a store row, derived from its file path. */
@@ -163,6 +279,58 @@ private[graft] object MutableStore {
         .foldLeft(0)(math.max)
     } finally s.close()
   }
+
+  // -------------------------------------------------- GC retention
+  //
+  // Lagged GC generalized from "exactly one commit" to a RETENTION
+  // KNOB (the Iceberg snapshot-expiry analogue): every compaction
+  // commit pushes the PRE-compaction snapshot's reference set
+  // (version + live delta tags + live tombstone tags) onto the
+  // sidecar's `priors` list, and the NEXT compaction's GC protects the
+  // newest `gcRetention - 1` entries, dropping only the refs of older
+  // ones (minus anything a protected/current snapshot still names).
+  // Default 1 = the engine's historical behavior: a pinned probe
+  // survives exactly one concurrent commit. Retention R = a probe
+  // survives R consecutive commits.
+
+  /** How many PRIOR compaction commits a pinned probe must survive.
+    * Process-wide (the maintenance writer's policy, like
+    * spark.sql.shuffle.partitions); set >1 when long-running probes
+    * overlap a compaction-heavy mutation stream. */
+  @volatile var gcRetention: Int = 1
+
+  /** One retained prior snapshot's reference set. */
+  final case class SnapRef(v: Int, live: Seq[String], tombs: Seq[String])
+
+  /** `priors` entries are strings (they ride the same sorted
+    * string-array sidecar machinery as every other committed list);
+    * tags are sanitized batch ids, never containing '|' or ','. The
+    * leading zero-padded version keeps the sorted array NEWEST-LAST,
+    * so decode order is deterministic. */
+  def encodeRef(r: SnapRef): String =
+    f"${r.v}%09d|${r.live.mkString(",")}|${r.tombs.mkString(",")}"
+
+  def decodeRef(s: String): SnapRef = {
+    val parts = s.split("\\|", -1)
+    require(parts.length == 3, s"malformed prior-snapshot ref: $s")
+    def tags(x: String) = if (x.isEmpty) Seq.empty[String] else x.split(",").toSeq
+    SnapRef(parts(0).toInt, tags(parts(1)), tags(parts(2)))
+  }
+
+  /** Split a committed `priors` list (any order on disk) into the
+    * retention-PROTECTED newest entries and the DUE-for-GC rest. */
+  def splitPriors(priors: Seq[String]): (Seq[SnapRef], Seq[SnapRef]) = {
+    val refs = priors.map(decodeRef).sortBy(-_.v)
+    val keep = math.max(0, gcRetention - 1)
+    (refs.take(keep), refs.drop(keep))
+  }
+
+  /** The `priors` list a compaction COMMITS: the pre-compaction
+    * snapshot pushed on top of the still-protected entries (GC at this
+    * compaction's start already dropped the rest). */
+  def pushPrior(
+      protectedRefs: Seq[SnapRef], pre: SnapRef): Seq[String] =
+    (pre +: protectedRefs).take(math.max(1, gcRetention)).map(encodeRef).sorted
 
   /** A tombstone is consumed when every covered leg is the base, is
     * folding now, or folded earlier (its dir is gone). */
@@ -234,6 +402,7 @@ private[graft] object MutableStore {
     * not exist (never-ensured store → legacy listing resolution). */
   def patchStringArrays(
       path: java.nio.file.Path, updates: (String, Seq[String])*): Unit = {
+    assertWriter(s"patchStringArrays($path)")
     if (!java.nio.file.Files.exists(path)) return
     val node = mapper.readTree(java.nio.file.Files.readString(path))
       .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]

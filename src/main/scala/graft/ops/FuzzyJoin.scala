@@ -184,7 +184,8 @@ object FuzzyJoin {
       ids: DataFrame,
       tag: String,
       idCol: String = "store_id",
-      excludeCovered: Set[String] = Set.empty): Unit = {
+      excludeCovered: Set[String] = Set.empty): Unit =
+      graft.io.MutableStore.withWriterLock(storeDir, "deleteFromFuzzyStore") {
     // excludeCovered: the CDC batch's own tag — adds win within a batch
     val covered = "base" +: storeDeltaTags(storeDir).filterNot(excludeCovered)
     ids.select(col(idCol).cast("long").as("store_id")).distinct()
@@ -250,7 +251,8 @@ object FuzzyJoin {
   def compactFuzzyStore(
       spark: org.apache.spark.sql.SparkSession,
       dir: String,
-      excludeTags: Set[String] = Set.empty): Unit = {
+      excludeTags: Set[String] = Set.empty): Unit =
+      graft.io.MutableStore.withWriterLock(dir, "compactFuzzyStore") {
     val tags = storeDeltaTags(dir).filterNot(excludeTags)
     val tombs = MutableStore.liveTombs(dir)
     if (tags.isEmpty && tombs.isEmpty) return
@@ -263,6 +265,12 @@ object FuzzyJoin {
     // PREVIOUS commit's superseded dirs and crashed-attempt debris are
     // collected at the NEXT compaction's start, never at a commit's
     // own end — and BEFORE the survivor read lists its files.
+    // retention-aware: anything the CURRENT snapshot or a protected
+    // prior still names survives (gcRetention = 1 → historical window)
+    val (protectedRefs, _) = MutableStore.splitPriors(st.priors)
+    val keepBases = (Set(st.v) ++ protectedRefs.map(_.v)).map(v => s"base_v$v")
+    val keepDelta = storeDeltaTagsOf(dir, st).toSet ++ protectedRefs.flatMap(_.live)
+    val keepTombs = tombs.map(_.tag).toSet ++ protectedRefs.flatMap(_.tombs)
     val gc = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
     try {
       import scala.jdk.CollectionConverters._
@@ -270,15 +278,16 @@ object FuzzyJoin {
         .filter { p =>
           val nm = p.getFileName.toString
           nm.startsWith("_building_") ||
-            (nm.matches("base_v\\d+") && nm != s"base_v${st.v}") ||
-            (st.v > 0 && !nm.startsWith("_") && !nm.startsWith(".") &&
+            (nm.matches("base_v\\d+") && !keepBases.contains(nm)) ||
+            (st.v > 0 && !protectedRefs.exists(_.v == 0) &&
+              !nm.startsWith("_") && !nm.startsWith(".") &&
               !nm.startsWith("delta_") && !nm.startsWith("base_v"))
         }
         .toSeq.foreach(MutableStore.deleteDir)
     } finally gc.close()
-    st.folded.foreach(t =>
+    st.folded.filterNot(keepDelta).foreach(t =>
       MutableStore.deleteDir(java.nio.file.Paths.get(dir, s"delta_$t")))
-    st.deadTombs.foreach(t => MutableStore.deleteDir(
+    st.deadTombs.filterNot(keepTombs).foreach(t => MutableStore.deleteDir(
       java.nio.file.Paths.get(MutableStore.tombRoot(dir), t)))
     val building = java.nio.file.Paths.get(s"$dir/_building_base_v$vNew")
     MutableStore.deleteDir(building)
@@ -296,7 +305,9 @@ object FuzzyJoin {
     val dead = (st.deadTombs.filter(tombOnDisk) ++ consumed.map(_.tag)).toSeq.sorted
     val liveLeft = storeDeltaTagsOf(dir, st).filterNot(tags.contains(_)).sorted
     val tombsLeft = tombs.map(_.tag).filterNot(consumed.map(_.tag).contains(_)).sorted
-    MutableStore.commitState(dir, vNew, folded, dead, liveLeft, tombsLeft)
+    MutableStore.commitState(dir, vNew, folded, dead, liveLeft, tombsLeft,
+      priors = MutableStore.pushPrior(protectedRefs,
+        MutableStore.SnapRef(st.v, storeDeltaTagsOf(dir, st), tombs.map(_.tag))))
   }
 
   /** The persisted fuzzy store as a LAZY DataFrame — current base
@@ -318,7 +329,8 @@ object FuzzyJoin {
 
   /** Replay-reset: drop every delta and tombstone dir (base snapshot +
     * seed sidecar untouched). */
-  def dropFuzzyStoreMutations(dir: String): Unit = {
+  def dropFuzzyStoreMutations(dir: String): Unit =
+      graft.io.MutableStore.withWriterLock(dir, "dropMutations") {
     storeDeltaTags(dir).foreach(t =>
       MutableStore.deleteDir(java.nio.file.Paths.get(dir, s"delta_$t")))
     MutableStore.deleteDir(java.nio.file.Paths.get(MutableStore.tombRoot(dir)))
@@ -350,7 +362,8 @@ object FuzzyJoin {
       nameCol: String,
       maxDist: Int = 1,
       maxLen: Int = 64,
-      batchTag: Option[String] = None): DataFrame = {
+      batchTag: Option[String] = None): DataFrame =
+      graft.io.MutableStore.withWriterLock(storeDir, "incrementalFuzzyResolveBatch") {
     val b = batch.select(col(idCol).cast("long").as("_bid"), col(nameCol).as("_bn"))
     val bs = signatures(b, "_bn", maxDist, maxLen)
     // current base version plus live delta legs, minus covering

@@ -534,6 +534,11 @@ object InvertedIndex {
     * Once pinned, the analyzed relation holds the old location and
     * lagged GC keeps its files (and every delta/tombstone dir the
     * snapshot names) readable through one subsequent commit. */
+  /** Optimistic-pin retries observed process-wide (ScaleProbe's
+    * pin-overhead row: under a compaction-heavy mutation loop this
+    * should stay ~one retry per actual commit, never the 8-cap). */
+  private[graft] val pinRetries = new java.util.concurrent.atomic.AtomicLong(0L)
+
   private def pinned[A](spark: SparkSession, table: String, dir: String)
       (build: (DataFrame, Snap) => A): A = {
     var attempt = 0
@@ -541,10 +546,16 @@ object InvertedIndex {
       val s0 = snapOf(dir)
       val base = spark.table(table)
       val loc = tableLocation(spark, table)
-      val expected = java.nio.file.Paths.get(s0.basePathOf(dir)).normalize.toString
+      // absolutize like the catalog side (tableLocation resolves a URI,
+      // which is always absolute) — with a RELATIVE store dir a bare
+      // normalize can never equal the catalog location and the retry
+      // loop would exhaust even with no concurrent commit
+      val expected = java.nio.file.Paths.get(s0.basePathOf(dir))
+        .toAbsolutePath.normalize.toString
       val s1 = snapOf(dir)
       if (s1.stateKey == s0.stateKey && loc.forall(_ == expected))
         return build(base, s0)
+      pinRetries.incrementAndGet()
       attempt += 1
     }
     throw new IllegalStateException(
@@ -585,7 +596,8 @@ object InvertedIndex {
       tag: String,
       idCol: String = "doc_id",
       textCol: String = "text",
-      excludeCovered: Set[String] = Set.empty): Unit = {
+      excludeCovered: Set[String] = Set.empty): Unit =
+      graft.io.MutableStore.withWriterLock(dir, "deleteDocs") {
     val (nRows, dataHash, hashSum) = fingerprint(batch, idCol, textCol)
     val d = batch.select(col(idCol).cast("long").as("doc_id"),
       size(TextAnalysis.tokens(col(textCol))).cast("long").as("dl"))
@@ -617,7 +629,8 @@ object InvertedIndex {
     * re-append delta among its covered legs and mask it — correct
     * covered-leg semantics, wrong scenario. Single-writer, like every
     * other mutation. */
-  def dropMutations(dir: String): Unit = {
+  def dropMutations(dir: String): Unit =
+      graft.io.MutableStore.withWriterLock(dir, "dropMutations") {
     deleteRecursively(java.nio.file.Paths.get(deltaRoot(dir)))
     deleteRecursively(java.nio.file.Paths.get(tombRoot(dir)))
     // the committed state must agree with the wiped disk
@@ -654,7 +667,8 @@ object InvertedIndex {
       batch: DataFrame,
       tag: String,
       idCol: String = "doc_id",
-      textCol: String = "text"): Unit = {
+      textCol: String = "text"): Unit =
+      graft.io.MutableStore.withWriterLock(dir, "appendDelta") {
     val (nRows, dataHash, hashSum) = fingerprint(batch, idCol, textCol)
     val d = batch.select(col(idCol).cast("long").as("doc_id"),
         TextAnalysis.tokens(col(textCol)).as("t"))
@@ -928,7 +942,8 @@ object InvertedIndex {
     * json (written last). Idempotent overwrite under redelivery. */
   private def appendSimpleDelta(
       dir: String, tag: String, postings: DataFrame,
-      batchFingerprint: (Long, Long, String)): Unit = {
+      batchFingerprint: (Long, Long, String)): Unit =
+      graft.io.MutableStore.withWriterLock(dir, "appendSimpleDelta") {
     val (nRows, dataHash, hashSum) = batchFingerprint
     val out = s"${deltaRoot(dir)}/$tag"
     postings.write.mode("overwrite").parquet(out)
@@ -1045,7 +1060,8 @@ object InvertedIndex {
       key: String,
       ddl: String,
       excludeTags: Set[String],
-      extraLongKeys: Seq[String] = Seq.empty): Unit = {
+      extraLongKeys: Seq[String] = Seq.empty): Unit =
+      graft.io.MutableStore.withWriterLock(dir, "compactDeltas") {
     val snap = snapOf(dir)
     val tags = snap.live.filterNot(excludeTags)
     val tombs = snap.tombs
@@ -1058,7 +1074,11 @@ object InvertedIndex {
     val stem = dirPath.getFileName.toString
     val vNew = math.max(snap.v, graft.io.MutableStore.maxOnDiskVersion(
       parent, Seq(s"${stem}_v"))) + 1
-    gcPriorSimple(dir, sidecarFile, snap)
+    // retention-aware lagged GC: protect the newest (gcRetention - 1)
+    // prior snapshots' refs, drop the rest
+    val (protectedRefs, _) = graft.io.MutableStore.splitPriors(
+      snap.node.map(jsonStringSet(_, "priors")).getOrElse(Set.empty).toSeq)
+    gcPriorSimple(dir, sidecarFile, snap, protectedRefs)
     val sidecar = java.nio.file.Paths.get(dir, sidecarFile)
     val node = snap.node.getOrElse(
       throw new IllegalStateException(s"no $sidecarFile under $dir"))
@@ -1124,8 +1144,12 @@ object InvertedIndex {
     val tombsLeft = tombs.map(_.tag).filterNot(consumed.map(_.tag).contains(_)).sorted
     def arr(s: Seq[String]) = s.map("\"" + _ + "\"").mkString("[", ",", "]")
     val extraJson = extras.map { case (k, v) => s""","$k":$v""" }.mkString
+    // the PRE-compaction snapshot joins the retained priors — its refs
+    // stay GC-protected for gcRetention commits
+    val priors = graft.io.MutableStore.pushPrior(protectedRefs,
+      graft.io.MutableStore.SnapRef(snap.v, snap.live, tombs.map(_.tag)))
     graft.io.Artifact.writeAtomic(sidecar,
-      s"""{"count":$cnt,"hash":$hsh,"hsum":"$hsum","buckets":$buckets,"key":"$key","v":$vNew,"folded":${arr(folded)},"deadTombs":${arr(dead)},"live":${arr(liveLeft)},"liveTombs":${arr(tombsLeft)}$extraJson}""")
+      s"""{"count":$cnt,"hash":$hsh,"hsum":"$hsum","buckets":$buckets,"key":"$key","v":$vNew,"folded":${arr(folded)},"deadTombs":${arr(dead)},"live":${arr(liveLeft)},"liveTombs":${arr(tombsLeft)},"priors":${arr(priors)}$extraJson}""")
     // this session's catalog follows the committed version — ONE
     // catalog call (no drop-then-create window for concurrent name
     // resolution), then a refresh to drop the cached file listing
@@ -1142,7 +1166,14 @@ object InvertedIndex {
     * (`<dir>_v<N>`); the v0 base data lives flat at the dir root next
     * to the sidecar and is collected once a versioned base is
     * committed. */
-  private def gcPriorSimple(dir: String, sidecarFile: String, s: Snap): Unit = {
+  private def gcPriorSimple(dir: String, sidecarFile: String, s: Snap,
+      protectedRefs: Seq[graft.io.MutableStore.SnapRef] = Seq.empty): Unit = {
+    // anything the CURRENT snapshot or a retention-PROTECTED prior
+    // still names survives; with gcRetention = 1 (protected empty) this
+    // reduces exactly to the historical one-commit window
+    val keepVersions = (Set(s.v) ++ protectedRefs.map(_.v)).map(v => s"${dir}_v$v")
+    val keepDelta = s.live.toSet ++ protectedRefs.flatMap(_.live)
+    val keepTombs = s.tombs.map(_.tag).toSet ++ protectedRefs.flatMap(_.tombs)
     val dirPath = java.nio.file.Paths.get(dir).toAbsolutePath.normalize
     val parent = dirPath.getParent
     val stem = dirPath.getFileName.toString
@@ -1153,14 +1184,14 @@ object InvertedIndex {
         ls.iterator().asScala.map(_.getFileName.toString).toSeq
       } finally ls.close()
       names.foreach { nm =>
-        val keep = s"${stem}_v${s.v}"
         if (nm.startsWith(s"_building_${stem}_v"))
           deleteRecursively(parent.resolve(nm))
-        else if (nm.matches(java.util.regex.Pattern.quote(stem) + "_v\\d+") && nm != keep)
+        else if (nm.matches(java.util.regex.Pattern.quote(stem) + "_v\\d+") &&
+            !keepVersions.contains(s"${dir}_v${nm.substring(stem.length + 2)}"))
           deleteRecursively(parent.resolve(nm))
       }
     }
-    if (s.v > 0) {
+    if (s.v > 0 && !protectedRefs.exists(_.v == 0)) {
       // the flat v0 root data (everything but the sidecars) is debris
       val ls = java.nio.file.Files.list(dirPath)
       try {
@@ -1170,9 +1201,9 @@ object InvertedIndex {
           .toSeq.foreach(deleteRecursively)
       } finally ls.close()
     }
-    s.folded.foreach(t =>
+    s.folded.filterNot(keepDelta).foreach(t =>
       deleteRecursively(java.nio.file.Paths.get(deltaRoot(dir), t)))
-    s.dead.foreach(t =>
+    s.dead.filterNot(keepTombs).foreach(t =>
       deleteRecursively(java.nio.file.Paths.get(tombRoot(dir), t)))
   }
 

@@ -198,8 +198,8 @@ class AnnSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     assert(curve.size == 8)
     val ivf = curve.filter(_.family == "ivf").sortBy(_.nprobe)
     val ivfsq = curve.filter(_.family == "ivfsq").sortBy(_.nprobe)
-    info(ivf.map(p => f"ivf_np${p.nprobe}=${p.recall}%.3f@${p.scanFrac}%.3f").mkString(" "))
-    info(ivfsq.map(p => f"ivfsq_np${p.nprobe}=${p.recall}%.3f@${p.scanFrac}%.3f").mkString(" "))
+    info(ivf.map(p => f"ivf_np${p.nprobe}=${p.recall}%.3f@${p.costFrac}%.3f").mkString(" "))
+    info(ivfsq.map(p => f"ivfsq_np${p.nprobe}=${p.recall}%.3f@${p.costFrac}%.3f").mkString(" "))
     // probed lists are rank-prefixes: candidates at larger nprobe are a
     // superset and a true-top-k member always survives the exact cut
     assert(ivf.zip(ivf.drop(1)).forall { case (a, b) => a.recall <= b.recall },
@@ -208,20 +208,24 @@ class AnnSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     // same pruned candidates ranked by ADC can only LOSE true neighbors
     assert(ivf.zip(ivfsq).forall { case (a, b) => b.recall <= a.recall },
       s"ivfsq exceeded ivf somewhere: $ivfsq vs $ivf")
-    // scan fractions: monotone in nprobe, full width reads everything
-    // (of the 4x-compressed codes on the ivfsq leg)
-    assert(ivf.last.scanFrac == 1.0 && ivfsq.last.scanFrac == 0.25)
-    // selection: cheapest point meeting the target, replayable from the
-    // recorded curve values alone
+    // cost units are honest: both families READ the same rows at a
+    // width (scanFrac identical; full width reads everything), the
+    // ivfsq BYTE cost is exactly a quarter (4x-compressed codes)
+    assert(ivf.zip(ivfsq).forall { case (a, b) => a.scanFrac == b.scanFrac })
+    assert(ivf.last.scanFrac == 1.0 && ivfsq.last.scanFrac == 1.0)
+    assert(ivf.last.costFrac == 1.0 && ivfsq.last.costFrac == 0.25)
+    assert(ivfsq.forall(p => p.costFrac == p.scanFrac / 4.0))
+    // selection: cheapest (by byte cost) point meeting the target,
+    // replayable from the recorded curve values alone
     val chosen = Recall.selectFromCurve(curve, 0.9).get
     assert(chosen.recall >= 0.9)
-    assert(!curve.exists(p => p.recall >= 0.9 && p.scanFrac < chosen.scanFrac),
+    assert(!curve.exists(p => p.recall >= 0.9 && p.costFrac < chosen.costFrac),
       s"a cheaper meeting point exists: chose $chosen of $curve")
     // an impossible target falls through to the caller's exact fallback
     assert(Recall.selectFromCurve(curve, 1.1).isEmpty)
     // synthetic replay: the same selection from recorded values only
     val recorded = curve.map(p =>
-      Recall.CurvePoint(p.family, p.nprobe, p.recall, p.scanFrac))
+      Recall.CurvePoint(p.family, p.nprobe, p.recall, p.scanFrac, p.costFrac))
     assert(Recall.selectFromCurve(recorded, 0.9) == Some(chosen))
   }
 

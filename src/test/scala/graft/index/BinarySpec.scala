@@ -85,6 +85,27 @@ class BinarySpec extends AnyFunSuite {
     assert(got == want, "batch hamming rows must equal the single probes")
   }
 
+  test("wave compositor: a 100-wide hamming batch equals per-query singles (width cap internalized)") {
+    val thr = Binary.fitThresholds(corpus, dim)
+    val sigs = Binary.signatures(corpus, thr).localCheckpoint()
+    // 100 queries > maxBatchWidth=64 → two waves under the hood
+    val queries = (0L until 100L).map { qid =>
+      val v = corpus.filter(col("vec_id") === qid % 20L)
+        .select(col("embedding")).head().getSeq[Float](0).toArray
+      qid -> (refSig(v, thr) ^ qid) // perturb so queries differ
+    }
+    intercept[IllegalArgumentException] {
+      Binary.hammingTopKBatch(sigs, queries, k = 5) // the raw cap stays loud
+    }
+    val got = Binary.hammingTopKBatchWaved(sigs, queries, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    val want = queries.flatMap { case (qid, qsig) =>
+      Binary.hammingTopK(sigs, qsig, k = 5)
+        .collect().map(r => (qid, r.getLong(0), r.getInt(1)))
+    }
+    assert(got == want, "waved batch rows must equal the single probes")
+  }
+
   test("two-stage rescore: exact distances on the shortlist; shortlist>=n degenerates to exact") {
     val thr = Binary.fitThresholds(corpus, dim)
     val sigs = Binary.signatures(corpus, thr)

@@ -178,6 +178,30 @@ class SqSpec extends AnyFunSuite {
     assert(scoredPlan.contains("pq_adc"), "the ADC kernel must appear in the scored-frame plan")
   }
 
+  test("wave compositor: a 66-wide ADC batch equals per-query singles (width cap internalized)") {
+    val m = Sq.fit(corpus)
+    val enc = Sq.encode(corpus, m).localCheckpoint()
+    // 66 > maxBatchWidth=64 → two waves (64 + 2) under the hood
+    val queries = (0L until 66L).map { qid =>
+      qid -> corpus.filter(col("vec_id") === qid % 10L)
+        .select(col("embedding")).head().getSeq[Float](0)
+        .zipWithIndex.map { case (x, i) =>
+          x + (qid * (i + 1)).toFloat * 1e-3f }.toArray // distinct queries
+    }
+    intercept[IllegalArgumentException] {
+      Sq.searchRerankBatch(enc, corpus, m, queries, k = 3) // cap stays loud
+    }
+    val got = Sq.searchRerankBatchWaved(enc, corpus, m, queries,
+        k = 3, shortlist = 40)
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    val want = queries.flatMap { case (qid, q) =>
+      Sq.searchRerank(enc, corpus, m, q, k = 3, shortlist = 40)
+        .select("vec_id", "dist").as[(Long, Double)].collect()
+        .zipWithIndex.map { case ((id, d), i) => (qid, id, d, i + 1) }
+    }
+    assert(got == want, "waved batch rows must equal the single-query probes")
+  }
+
   test("measured recall: SQ8 ADC@10 is at least PQ ADC@10 on the shared fixture") {
     // 4× compression with per-dim resolution must not recall worse
     // than 32× PQ on the same corpus — the ladder's monotonicity

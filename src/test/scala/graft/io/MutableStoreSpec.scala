@@ -28,15 +28,17 @@ class MutableStoreSpec extends AnyFunSuite {
     val dir = tmp()
     assert(MutableStore.state(dir) ==
       MutableStore.State(0, Set.empty, Set.empty, None, None))
-    MutableStore.commitLiveLists(dir, Seq("b1"), Seq.empty)
-    val s1 = MutableStore.state(dir)
-    assert(s1.v == 0 && s1.live == Some(Seq("b1")) && s1.liveTombs == Some(Seq()))
-    MutableStore.commitLiveLists(dir, Seq("b1", "b2"), Seq("t1"))
-    val s2 = MutableStore.state(dir)
-    assert(s2.live == Some(Seq("b1", "b2")) && s2.liveTombs == Some(Seq("t1")))
-    // a compaction's full commit carries version + fold lists + live legs
-    MutableStore.commitState(dir, v = 1, folded = Seq("b1", "b2"),
-      deadTombs = Seq("t1"), live = Seq.empty, liveTombs = Seq.empty)
+    MutableStore.withWriterLock(dir) {
+      MutableStore.commitLiveLists(dir, Seq("b1"), Seq.empty)
+      val s1 = MutableStore.state(dir)
+      assert(s1.v == 0 && s1.live == Some(Seq("b1")) && s1.liveTombs == Some(Seq()))
+      MutableStore.commitLiveLists(dir, Seq("b1", "b2"), Seq("t1"))
+      val s2 = MutableStore.state(dir)
+      assert(s2.live == Some(Seq("b1", "b2")) && s2.liveTombs == Some(Seq("t1")))
+      // a compaction's full commit carries version + fold lists + live legs
+      MutableStore.commitState(dir, v = 1, folded = Seq("b1", "b2"),
+        deadTombs = Seq("t1"), live = Seq.empty, liveTombs = Seq.empty)
+    }
     val s3 = MutableStore.state(dir)
     assert(s3.v == 1 && s3.folded == Set("b1", "b2") &&
       s3.deadTombs == Set("t1") &&
@@ -45,18 +47,96 @@ class MutableStoreSpec extends AnyFunSuite {
 
   test("patchStringArrays replaces fields atomically and no-ops on a missing file") {
     val dir = tmp()
-    val missing = java.nio.file.Paths.get(dir, "nope.json")
-    MutableStore.patchStringArrays(missing, "live" -> Seq("x")) // must not create
-    assert(!java.nio.file.Files.exists(missing))
-    val p = java.nio.file.Paths.get(dir, "s.json")
-    Artifact.writeAtomic(p, """{"v":3,"keep":"me","live":["a"]}""")
-    MutableStore.patchStringArrays(p, "live" -> Seq("b", "a"), "liveTombs" -> Seq.empty)
-    val n = new com.fasterxml.jackson.databind.ObjectMapper()
-      .readTree(java.nio.file.Files.readString(p))
-    assert(n.get("v").asInt() == 3 && n.get("keep").asText() == "me",
-      "untouched fields survive the patch")
-    assert(n.get("live").toString == """["a","b"]""", "arrays are sorted")
-    assert(n.get("liveTombs").size() == 0)
+    MutableStore.withWriterLock(dir) {
+      val missing = java.nio.file.Paths.get(dir, "nope.json")
+      MutableStore.patchStringArrays(missing, "live" -> Seq("x")) // must not create
+      assert(!java.nio.file.Files.exists(missing))
+      val p = java.nio.file.Paths.get(dir, "s.json")
+      Artifact.writeAtomic(p, """{"v":3,"keep":"me","live":["a"]}""")
+      MutableStore.patchStringArrays(p, "live" -> Seq("b", "a"), "liveTombs" -> Seq.empty)
+      val n = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(java.nio.file.Files.readString(p))
+      assert(n.get("v").asInt() == 3 && n.get("keep").asText() == "me",
+        "untouched fields survive the patch")
+      assert(n.get("live").toString == """["a","b"]""", "arrays are sorted")
+      assert(n.get("liveTombs").size() == 0)
+    }
+  }
+
+  test("writer lease: a state-committing primitive OUTSIDE a lease fails loudly") {
+    val dir = tmp()
+    val e = intercept[IllegalStateException] {
+      MutableStore.commitLiveLists(dir, Seq("b1"), Seq.empty)
+    }
+    assert(e.getMessage.contains("writer lease"))
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir, MutableStore.stateName)),
+      "the rejected commit must not have written anything")
+  }
+
+  test("writer lease: two interleaved writers — the second fails loudly, naming the holder") {
+    val dir = tmp()
+    // writer A holds the lease on another thread and parks inside it
+    val aInside = new java.util.concurrent.CountDownLatch(1)
+    val aRelease = new java.util.concurrent.CountDownLatch(1)
+    val a = new Thread(() => MutableStore.withWriterLock(dir, "writerA") {
+      aInside.countDown(); aRelease.await()
+    })
+    a.start()
+    assert(aInside.await(10, java.util.concurrent.TimeUnit.SECONDS))
+    // writer B (this thread) must be rejected, not silently interleave
+    val e = intercept[IllegalStateException] {
+      MutableStore.withWriterLock(dir, "writerB") { fail("must not run") }
+    }
+    assert(e.getMessage.contains("single-writer") && e.getMessage.contains("writerA"))
+    aRelease.countDown(); a.join()
+    // released: the next writer acquires normally
+    MutableStore.withWriterLock(dir, "writerB") {
+      MutableStore.commitLiveLists(dir, Seq("ok"), Seq.empty)
+    }
+    assert(MutableStore.state(dir).live == Some(Seq("ok")))
+  }
+
+  test("writer lease: a crashed writer's stale lock is stolen after the TTL") {
+    val dir = tmp()
+    val d = java.nio.file.Paths.get(dir).toAbsolutePath.normalize
+    val lock = d.getParent.resolve(d.getFileName.toString + "__writer_lock")
+    java.nio.file.Files.write(lock, "crashed@dead-jvm".getBytes("UTF-8"))
+    // fresh lock blocks
+    intercept[IllegalStateException] {
+      MutableStore.withWriterLock(dir, "b") { fail("must not run") }
+    }
+    // age it past the TTL → the next writer steals and proceeds
+    java.nio.file.Files.setLastModifiedTime(lock,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 11L * 60L * 1000L))
+    var ran = false
+    MutableStore.withWriterLock(dir, "b") { ran = true }
+    assert(ran, "expired lease must be stolen, not wedge the store forever")
+    assert(!java.nio.file.Files.exists(lock), "lease released on exit")
+  }
+
+  test("writer lease: reentrant within a thread (compactions call commit primitives)") {
+    val dir = tmp()
+    MutableStore.withWriterLock(dir, "outer") {
+      MutableStore.withWriterLock(dir, "inner") {
+        MutableStore.commitLiveLists(dir, Seq("x"), Seq.empty)
+      }
+      // inner exit must NOT release the outer hold
+      MutableStore.commitLiveLists(dir, Seq("x", "y"), Seq.empty)
+    }
+    assert(MutableStore.state(dir).live == Some(Seq("x", "y")))
+  }
+
+  test("an existing-but-unparsable state file throws loudly instead of degrading to v=0") {
+    val dir = tmp()
+    val p = java.nio.file.Paths.get(dir, MutableStore.stateName)
+    java.nio.file.Files.writeString(p, "{torn gar[bage")
+    val e = intercept[IllegalStateException] { MutableStore.state(dir) }
+    assert(e.getMessage.contains("corrupt store state"))
+    // parseable but versionless is equally corrupt (every writer stamps v)
+    java.nio.file.Files.writeString(p, """{"live":["a"]}""")
+    intercept[IllegalStateException] { MutableStore.state(dir) }
   }
 
   test("a legacy state json (no live fields) reads as None — listing fallback stays reachable") {
@@ -81,7 +161,9 @@ class MutableStoreSpec extends AnyFunSuite {
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir, "base_v2"))
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(dir, "base_v2", "p.parquet"), "22")
-    MutableStore.commitState(dir, 2, Seq.empty, Seq.empty)
+    MutableStore.withWriterLock(dir) {
+      MutableStore.commitState(dir, 2, Seq.empty, Seq.empty)
+    }
     assert(MutableStore.flatBaseBytes(dir) == 2L,
       "after a commit the base is the committed version dir")
   }
