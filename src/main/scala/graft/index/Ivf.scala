@@ -243,13 +243,15 @@ object Ivf {
     * revive); the supported revival path here is [[compactLayout]]
     * (physical drop + tombstone clear), THEN re-add. Batch-sized
     * semi-join against the small broadcast tombstone table. */
-  private def requireNotTombstoned(layout: Layout, rows: DataFrame, idCol: String): Unit = {
-    val tombPath = new java.io.File(layout.dir, tombstoneDirName)
-    if (!tombPath.exists()) return
+  private def requireNotTombstoned(
+      layout: Layout, rows: DataFrame, idCol: String,
+      snap: Option[IvfSnap] = None): Unit = {
     val spark = rows.sparkSession
+    val mask = maskOf(spark, layout.dir,
+      snap.getOrElse(snapOf(layout.dir)), idCol)
+    if (mask.isEmpty) return
     val clash = rows.select(col(idCol).cast("long").as(idCol)).distinct()
-      .join(broadcast(spark.read.parquet(tombPath.toString)
-        .select(col(idCol)).distinct()), Seq(idCol), "left_semi")
+      .join(broadcast(mask.get), Seq(idCol), "left_semi")
       .limit(1).collect()
     require(clash.isEmpty,
       s"append: id ${clash.headOption.map(_.getLong(0)).getOrElse(-1L)} is tombstoned in " +
@@ -260,14 +262,59 @@ object Ivf {
   def appendToLayout(
       layout: Layout,
       rows: DataFrame,
-      embCol: String = "embedding"): Layout = {
-    requireNotTombstoned(layout, rows, "vec_id")
+      embCol: String = "embedding"): Layout =
+      graft.io.MutableStore.withWriterLock(layout.dir, "appendToLayout") {
+    val s = snapOf(layout.dir)
+    requireNotTombstoned(layout, rows, "vec_id", Some(s))
     // pin the batch ONCE: writing and fingerprinting from two separate
     // evaluations of `rows` would let a nondeterministic input store one
     // dataset while the sidecar attests another — exactly the silent
     // staleness the fingerprint exists to rule out
     val assigned = assignByCentroids(layout, rows, embCol).localCheckpoint()
-    assigned.write.mode("append").partitionBy("cluster").parquet(layout.dir)
+    if (s.v == 0)
+      // legacy resolution lists the root `cluster=K/` dirs — a direct
+      // append is visible the moment its files land
+      assigned.write.mode("append").partitionBy("cluster").parquet(layout.dir)
+    else {
+      // manifest version: a root append would be invisible to pinned
+      // probes, so the batch lands as fresh files under a never-reused
+      // fold tree and COMMITS via manifest+state swap (nothing removed
+      // — pure addition; an O(batch) write either way)
+      val dir = layout.dir
+      val st = graft.io.MutableStore.state(dir)
+      val (protectedRefs, _) = graft.io.MutableStore.splitPriors(st.priors)
+      val vNew = (Seq(s.v,
+        graft.io.MutableStore.maxOnDiskVersion(dir, Seq(foldDirPrefix))) ++
+        Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+          .map(_.getName)
+          .collect { case nm if nm.startsWith(manifestPrefix) && nm.endsWith(".json") =>
+            nm.stripPrefix(manifestPrefix).stripSuffix(".json").toInt })
+        .max + 1
+      gcLayout(dir, st, protectedRefs)
+      val building = java.nio.file.Paths.get(dir, s"_building_$foldDirPrefix$vNew")
+      graft.io.MutableStore.deleteDir(building)
+      assigned.write.mode("overwrite").partitionBy("cluster")
+        .parquet(building.toString)
+      java.nio.file.Files.move(building,
+        java.nio.file.Paths.get(dir, s"$foldDirPrefix$vNew"))
+      val root = java.nio.file.Paths.get(dir)
+      val newFiles = Option(
+        new java.io.File(dir, s"$foldDirPrefix$vNew").listFiles())
+        .getOrElse(Array.empty)
+        .filter(f => f.isDirectory && f.getName.startsWith("cluster="))
+        .flatMap(c => Option(c.listFiles()).getOrElse(Array.empty)
+          .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+          .map(f => root.relativize(f.toPath).toString))
+        .toSeq
+      writeManifest(dir, vNew, Manifest(
+        files = s.baseFiles.getOrElse(Seq.empty) ++ newFiles,
+        removed = Seq.empty, removedDirs = Seq.empty))
+      graft.io.MutableStore.commitState(dir, vNew,
+        folded = s.folded.toSeq.sorted, deadTombs = s.deadTombs.toSeq.sorted,
+        live = s.live, liveTombs = s.tombTags,
+        priors = graft.io.MutableStore.pushPrior(protectedRefs,
+          graft.io.MutableStore.SnapRef(s.v, s.live, s.tombTags)))
+    }
     val (nNew, hNew, sNew) = fingerprint(assigned, embCol)
     val sidecar = java.nio.file.Paths.get(layout.dir, centroidFile)
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -288,6 +335,271 @@ object Ivf {
 
   private val tombstoneDirName = "_tombstones"
   private val deltaDirPrefix = "_delta_"
+  private val tombTagPrefix = "tomb_"
+  // underscore-prefixed: invisible to the legacy v0 root listing (the
+  // manifest reads its files EXPLICITLY, like the _delta_ legs)
+  private val foldDirPrefix = "_fold_v"
+  private val manifestPrefix = "_manifest_v"
+
+  // ----------------------------------------------------------------
+  // SNAPSHOT-PINNED LAYOUT PROTOCOL (r16) — the manifest design the
+  // move-fold's own doc named: every committed version `v >= 1` has an
+  // IMMUTABLE per-version manifest (`_manifest_v<N>.json`, the exact
+  // relative data-file list composing the base), the layout state
+  // (version pointer + live delta tags + live tombstone tags) commits
+  // through the shared [[graft.io.MutableStore]] state json, and a
+  // probe resolves its WHOLE file set from ONE atomic state read —
+  // wholly-old or wholly-new, never torn. Folds REWRITE only the
+  // touched clusters into a fresh `fold_v<N>/` tree (O(touched), never
+  // O(base)) and commit by manifest+state swap; the files a commit
+  // superseded ride the manifest's `removed` lists and are collected
+  // LAGGED, at a later compaction's start, behind the engine-wide
+  // [[graft.io.MutableStore.gcRetention]] knob. This removes the
+  // engine's one stop-the-world maintenance op: IVF probes now pin
+  // like every other store family (the reference's implicit per-query
+  // snapshot, vectordb.cpp:180-218, under concurrency).
+  // Layouts never mutated through the protocol (no state json) keep
+  // the original directory-listing resolution and plan shape.
+  // ----------------------------------------------------------------
+
+  /** One committed snapshot of a persisted layout, resolved from a
+    * SINGLE state read: base file list (None = legacy v0 listing),
+    * live delta tags, live tombstone-batch tags. */
+  private[graft] final case class IvfSnap(
+      v: Int,
+      folded: Set[String],
+      deadTombs: Set[String],
+      baseFiles: Option[Seq[String]],
+      live: Seq[String],
+      tombTags: Seq[String]) {
+    def key: (Int, Seq[String], Seq[String]) = (v, live, tombTags)
+  }
+
+  private def stateFileExists(dir: String): Boolean =
+    java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir, graft.io.MutableStore.stateName))
+
+  private def manifestPath(dir: String, v: Int): java.nio.file.Path =
+    java.nio.file.Paths.get(dir, s"$manifestPrefix$v.json")
+
+  /** The immutable file list of version `v` (+ what that version
+    * superseded, for lagged GC). Paths are relative to the layout
+    * dir. */
+  private final case class Manifest(
+      files: Seq[String], removed: Seq[String], removedDirs: Seq[String])
+
+  private def readManifest(dir: String, v: Int): Manifest = {
+    val node = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(java.nio.file.Files.readString(manifestPath(dir, v)))
+    import scala.jdk.CollectionConverters._
+    def arr(k: String) = if (!node.has(k)) Seq.empty[String]
+    else node.get(k).elements().asScala.map(_.asText()).toSeq
+    Manifest(arr("files"), arr("removed"), arr("removedDirs"))
+  }
+
+  private def writeManifest(dir: String, v: Int, m: Manifest): Unit = {
+    def arr(s: Seq[String]) =
+      s.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    graft.io.Artifact.writeAtomic(manifestPath(dir, v),
+      s"""{"files":${arr(m.files)},"removed":${arr(m.removed)},"removedDirs":${arr(m.removedDirs)}}""")
+  }
+
+  /** Relative data-file paths currently composing the LEGACY (v = 0)
+    * base: everything under the root `cluster=K/` dirs. */
+  private def legacyBaseFiles(dir: String): Seq[String] = {
+    val root = java.nio.file.Paths.get(dir)
+    Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("cluster="))
+      .flatMap(c => Option(c.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+        .map(f => root.relativize(f.toPath).toString))
+      .toSeq.sorted
+  }
+
+  /** The cluster id encoded in a manifest-relative file path. */
+  private def clusterOfPath(p: String): Int = {
+    val m = "cluster=(\\d+)".r.findFirstMatchIn(p)
+      .getOrElse(throw new IllegalStateException(s"no cluster component in $p"))
+    m.group(1).toInt
+  }
+
+  /** The partition-discovery ROOT of a manifest-relative path: "" for
+    * root-resident `cluster=K/...` files, `fold_v<N>` for rewritten
+    * ones — each read passes its root as `basePath`, so the `cluster`
+    * partition column survives an explicit-file-list scan. */
+  private def rootOfPath(p: String): String = {
+    val i = p.indexOf("cluster=")
+    require(i >= 0, s"no cluster component in $p")
+    p.substring(0, math.max(0, i - 1))
+  }
+
+  private def listedDeltaTags(dir: String): Seq[String] =
+    Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith(deltaDirPrefix))
+      .map(_.getName.stripPrefix(deltaDirPrefix)).toSeq.sorted
+
+  private def listedTombTags(dir: String): Seq[String] = {
+    val root = new java.io.File(dir, tombstoneDirName)
+    Option(root.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith(tombTagPrefix))
+      .map(_.getName.stripPrefix(tombTagPrefix)).toSeq.sorted
+  }
+
+  /** Legacy flat tombstone FILES (the pre-protocol append-mode table,
+    * directly under `_tombstones/`) — always part of the mask. */
+  private def legacyTombFiles(dir: String): Seq[String] =
+    Option(new java.io.File(dir, tombstoneDirName).listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+      .map(_.getPath).toSeq.sorted
+
+  private[graft] def snapOf(dir: String): IvfSnap = {
+    if (!stateFileExists(dir))
+      return IvfSnap(0, Set.empty, Set.empty, None,
+        listedDeltaTags(dir), listedTombTags(dir))
+    val st = graft.io.MutableStore.state(dir)
+    IvfSnap(st.v, st.folded, st.deadTombs,
+      if (st.v >= 1) Some(readManifest(dir, st.v).files) else None,
+      st.live.getOrElse(listedDeltaTags(dir).filterNot(st.folded)),
+      st.liveTombs.getOrElse(listedTombTags(dir).filterNot(st.deadTombs)))
+  }
+
+  /** Pin one committed snapshot: resolve → build → re-resolve, accept
+    * only when unchanged (a commit interleaving anywhere in between
+    * retries against the newer state — the engine-wide optimistic
+    * pin). */
+  private def pinned[A](dir: String)(build: IvfSnap => A): A = {
+    var attempt = 0
+    while (attempt < 8) {
+      val s0 = snapOf(dir)
+      val out = build(s0)
+      if (snapOf(dir).key == s0.key) return out
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"could not pin a consistent snapshot of the IVF layout at $dir " +
+        "after 8 attempts (a compaction is committing continuously?)")
+  }
+
+  /** The BASE scan of a pinned snapshot, pruned to `clusters` when
+    * given: legacy snapshots keep the original partition-pruned
+    * directory scan (identical plan shape); manifest snapshots prune
+    * at the FILE LIST level (no directory listing at all — the
+    * Iceberg-style read) and recover the `cluster` partition column
+    * via one `basePath` read per referenced root (a fold rewrites a
+    * touched cluster wholly, so a cluster's files always share one
+    * root; roots per probe <= min(nprobe, fold generations)). */
+  private def baseScanOf(
+      spark: SparkSession, dir: String, s: IvfSnap,
+      clusters: Option[Seq[Int]]): DataFrame = s.baseFiles match {
+    case None =>
+      val df = spark.read.parquet(dir)
+      clusters.map(cs => df.filter(col("cluster").isin(cs: _*))).getOrElse(df)
+    case Some(all) =>
+      val wanted = clusters.map(_.toSet)
+      val picked = wanted match {
+        case Some(cs) => all.filter(p => cs.contains(clusterOfPath(p)))
+        case None => all
+      }
+      // probed clusters can be file-less; fall back to the full list
+      // (still a bounded explicit-file read) so the scan has a schema
+      val files = if (picked.nonEmpty) picked else all
+      require(files.nonEmpty, s"manifest v${s.v} of $dir lists no files")
+      val legs = files.groupBy(rootOfPath).toSeq.sortBy(_._1).map {
+        case (root, fs) =>
+          val basePath = if (root.isEmpty) dir else s"$dir/$root"
+          spark.read.option("basePath", basePath)
+            .parquet(fs.map(f => s"$dir/$f"): _*)
+      }
+      val df = legs.reduce(_ unionByName _)
+      clusters.map(cs => df.filter(col("cluster").isin(cs: _*))).getOrElse(df)
+  }
+
+  /** Live delta legs of a pinned snapshot (cluster-pruned), unioned
+    * onto `base`'s column order. None when the snapshot has none. */
+  private def deltaScanOf(
+      spark: SparkSession, dir: String, s: IvfSnap,
+      clusters: Option[Seq[Int]]): Option[DataFrame] = {
+    if (s.live.isEmpty) return None
+    val legs = s.live.map { t =>
+      val df = spark.read.parquet(s"$dir/$deltaDirPrefix$t")
+      clusters.map(cs => df.filter(col("cluster").isin(cs: _*))).getOrElse(df)
+    }
+    Some(legs.reduce(_ unionByName _))
+  }
+
+  /** The layout's LIVE rows as ONE pinned DataFrame (base ∪ live
+    * deltas, minus the global mask) — the read-side twin of the probe
+    * path, for audits, exports, and the physical-reclaim checks. */
+  def layoutRows(
+      spark: SparkSession, layout: Layout,
+      idCol: String = "vec_id"): DataFrame =
+    pinned(layout.dir) { s =>
+      val base = baseScanOf(spark, layout.dir, s, None)
+      val all = deltaScanOf(spark, layout.dir, s, None) match {
+        case Some(d) =>
+          base.unionByName(d.select(base.columns.map(col).toIndexedSeq: _*))
+        case None => base
+      }
+      applyMask(all, maskOf(spark, layout.dir, s, idCol), idCol)
+    }
+
+  /** The pinned GLOBAL id mask: legacy flat tombstone files plus the
+    * snapshot's live tombstone-batch dirs. */
+  private def maskOf(
+      spark: SparkSession, dir: String, s: IvfSnap,
+      idCol: String): Option[DataFrame] = {
+    val legacy = legacyTombFiles(dir)
+    val legs =
+      (if (legacy.nonEmpty) Seq(spark.read.parquet(legacy: _*)) else Seq.empty) ++
+        s.tombTags.map(t =>
+          spark.read.parquet(s"$dir/$tombstoneDirName/$tombTagPrefix$t/ids"))
+    if (legs.isEmpty) None
+    else Some(legs.map(_.select(col(idCol))).reduce(_ unionAll _).distinct())
+  }
+
+  private def applyMask(
+      df: DataFrame, mask: Option[DataFrame], idCol: String): DataFrame =
+    mask.map(m => df.join(broadcast(m), Seq(idCol), "left_anti")).getOrElse(df)
+
+  /** Lagged, retention-aware GC at a compaction's start: versions
+    * retired past [[graft.io.MutableStore.gcRetention]] release the
+    * files their commit superseded (each version's manifest carries
+    * its own `removed` lists); crashed-attempt debris (fold dirs and
+    * manifests NEWER than the committed version — never referenced by
+    * any snapshot) goes unconditionally. */
+  private def gcLayout(
+      dir: String, st: graft.io.MutableStore.State,
+      protectedRefs: Seq[graft.io.MutableStore.SnapRef]): Unit = {
+    val minKeep = (Seq(st.v) ++ protectedRefs.map(_.v)).min
+    val root = new java.io.File(dir)
+    Option(root.listFiles()).getOrElse(Array.empty).foreach { f =>
+      val nm = f.getName
+      if (nm.startsWith(s"_building_$foldDirPrefix"))
+        graft.io.MutableStore.deleteDir(f.toPath)
+      else if (nm.startsWith(foldDirPrefix) &&
+          nm.stripPrefix(foldDirPrefix).forall(_.isDigit) &&
+          nm.stripPrefix(foldDirPrefix).toInt > st.v)
+        graft.io.MutableStore.deleteDir(f.toPath) // crashed-attempt debris
+      else if (nm.startsWith(manifestPrefix) && nm.endsWith(".json")) {
+        val v = nm.stripPrefix(manifestPrefix).stripSuffix(".json").toInt
+        if (v > st.v) java.nio.file.Files.deleteIfExists(f.toPath) // debris
+        else if (v <= minKeep) {
+          // this version's commit is older than every retained
+          // snapshot: release what it superseded
+          val m = readManifest(dir, v)
+          (m.removed ++ m.removedDirs).foreach(p =>
+            graft.io.MutableStore.deleteDir(
+              java.nio.file.Paths.get(dir, p)))
+          if (v < minKeep) java.nio.file.Files.deleteIfExists(f.toPath)
+          else if (m.removed.nonEmpty || m.removedDirs.nonEmpty)
+            // keep the manifest (its snapshot is retained) but blank
+            // the collected lists so a later GC pass is a no-op
+            writeManifest(dir, v, Manifest(m.files, Seq.empty, Seq.empty))
+        }
+      }
+    }
+  }
 
   /** Batch-keyed IDEMPOTENT append — the streaming-side O2 for the
     * partitioned index: the batch's rows, assigned to their nearest
@@ -310,20 +622,28 @@ object Ivf {
       layout: Layout,
       rows: DataFrame,
       tag: String,
-      embCol: String = "embedding"): Long = {
-    requireNotTombstoned(layout, rows, "vec_id") // see the guard's doc
+      embCol: String = "embedding"): Long =
+      graft.io.MutableStore.withWriterLock(layout.dir, "appendDelta") {
+    val s = snapOf(layout.dir)
+    requireNotTombstoned(layout, rows, "vec_id", Some(s)) // see the guard's doc
     val assigned = assignByCentroids(layout, rows, embCol).localCheckpoint()
     assigned.write.mode("overwrite").partitionBy("cluster")
       .parquet(s"${layout.dir}/$deltaDirPrefix$tag")
+    // COMMIT the mutation (snapshot-pin protocol): the delta is live
+    // once the state names it. A tag the committed state already FOLDED
+    // is a redelivered batch whose rows are base-resident — debris,
+    // never re-committed (double-count).
+    if (!s.folded.contains(tag))
+      graft.io.MutableStore.commitLiveLists(layout.dir,
+        (s.live :+ tag).distinct.sorted, s.tombTags)
     assigned.count()
   }
 
-  /** Number of pending `_delta_<tag>` directories — what a probe's
-    * union width grows with, and the quantity the streaming
-    * auto-compaction policy bounds. */
-  def deltaDirCount(layout: Layout): Int =
-    Option(new java.io.File(layout.dir).listFiles()).getOrElse(Array.empty)
-      .count(f => f.isDirectory && f.getName.startsWith(deltaDirPrefix))
+  /** Number of LIVE delta legs — what a probe's union width grows
+    * with, and the quantity the streaming auto-compaction policy
+    * bounds. Committed-state resolution (folded dirs linger on disk
+    * until retention GC and must not count). */
+  def deltaDirCount(layout: Layout): Int = snapOf(layout.dir).live.size
 
   private def duBytesOf(f: java.io.File): Long =
     if (!f.exists()) 0L
@@ -335,121 +655,149 @@ object Ivf {
     * file moves either way; the ratio trigger just amortizes the
     * per-fold fixed cost over proportionally more appended bytes). */
   def deltaBytes(layout: Layout): Long =
-    Option(new java.io.File(layout.dir).listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith(deltaDirPrefix))
-      .map(duBytesOf).sum
+    snapOf(layout.dir).live
+      .map(t => duBytesOf(new java.io.File(layout.dir, s"$deltaDirPrefix$t")))
+      .sum
 
-  def baseBytes(layout: Layout): Long =
-    Option(new java.io.File(layout.dir).listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("cluster="))
-      .map(duBytesOf).sum
-
-  /** All delta rows of a layout (None when no delta dirs exist). Each
-    * delta dir is its own cluster-partitioned table, so they are read
-    * per-dir and unioned — a single multi-root read would trip
-    * partition discovery ("conflicting directory structures"). */
-  def deltaRows(spark: SparkSession, layout: Layout): Option[DataFrame] = {
-    val dirs = Option(new java.io.File(layout.dir).listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith(deltaDirPrefix))
-      .sortBy(_.getName)
-    if (dirs.isEmpty) None
-    else Some(dirs.map(d => spark.read.parquet(d.getPath))
-      .reduce(_ unionByName _))
+  def baseBytes(layout: Layout): Long = snapOf(layout.dir).baseFiles match {
+    case None =>
+      Option(new java.io.File(layout.dir).listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isDirectory && f.getName.startsWith("cluster="))
+        .map(duBytesOf).sum
+    case Some(files) =>
+      files.map(f => new java.io.File(layout.dir, f).length()).sum
   }
 
-  /** Fold streamed deltas into the base layout — the compaction leg of
-    * the streaming-append protocol, for when delta-dir count grows
-    * past listing comfort. Mechanics: per-cluster part FILES are
-    * MOVED (atomic rename, unique target names) from each
-    * `_delta_<tag>/cluster=N/` into the base `cluster=N/`, so at every
-    * instant each row lives in exactly one place — a crash mid-fold
-    * leaves some rows served from base and the rest from their delta,
-    * never both. The sidecar then updates compositionally (count adds,
-    * xor toggles, sum adds — fingerprinted BEFORE the moves from the
-    * same files); a crash between moves and sidecar write leaves the
-    * reuse check conservative (mismatch → rebuild), probes correct.
+  /** All LIVE delta rows of a layout (None when the committed state
+    * names none — folded dirs linger until retention GC and must not
+    * re-count). Each delta dir is its own cluster-partitioned table,
+    * so they are read per-dir and unioned — a single multi-root read
+    * would trip partition discovery ("conflicting directory
+    * structures"). */
+  def deltaRows(spark: SparkSession, layout: Layout): Option[DataFrame] =
+    deltaScanOf(spark, layout.dir, snapOf(layout.dir), None)
+
+  /** Fold streamed deltas into the base layout — SNAPSHOT-SAFE under
+    * concurrent probes (r16; previously the engine's one stop-the-world
+    * op — the in-place file move this manifest design replaces).
+    * Mechanics: only the clusters the folded deltas TOUCH are
+    * rewritten — base(touched) ∪ delta rows land as fresh files under
+    * an underscore temp, renamed into a never-reused `fold_v<N>/`
+    * tree — so fold cost is O(touched + delta), never O(base), and the
+    * rewrite also merges the small per-batch delta files (the LSM
+    * economics: at 100 TB the size-ratio trigger amortizes rewrite IO
+    * against proportionally more appended bytes). The COMMIT is the
+    * manifest+state swap: `_manifest_v<N>.json` (untouched old files +
+    * new fold files, written first) then one atomic state replace. A
+    * probe pinned on the old state keeps every file and delta dir its
+    * snapshot names — the superseded paths ride the new manifest's
+    * `removed` lists and are collected LAGGED at a later compaction's
+    * start, behind [[graft.io.MutableStore.gcRetention]].
     *
-    * CONCURRENCY: this fold (and [[compactLayout]]'s in-place partition
-    * overwrite) is the engine's ONE stop-the-world maintenance op —
-    * single-writer AND no concurrent probes, unlike every other store
-    * family (those serve snapshot-pinned probes through their
-    * compactions). The exactly-one-place crash invariant above is WHY:
-    * moves have no single commit point a reader could pin, and the
-    * alternatives trade it away (copy+commit double-serves rows in the
-    * crash window; a versioned base makes each fold O(base), killing
-    * the O(delta) move advantage). The multi-reader path at 100 TB is
-    * a manifest-file layout (Iceberg-style per-snapshot file lists)
-    * rather than directory listings — out of scope here; schedule this
-    * fold in a maintenance window, as deployments do for partition
-    * rewrites.
+    * The sidecar fingerprint updates compositionally from the LIVE
+    * delta rows (count adds, xor toggles, sum adds — tombstone-masked
+    * rows never entered the sidecar arithmetic, see
+    * [[deleteFromLayout]]); tombstones are NOT consumed here (the
+    * layout's mask is GLOBAL — an id's rows can live in untouched
+    * clusters; [[compactLayout]] is the reclaim leg). A crash anywhere
+    * before the state commit leaves debris the next compaction's GC
+    * collects and probes on the old state, correct.
+    *
     * `excludeTags` skips named deltas — the streaming auto-compaction
     * hook passes the IN-FLIGHT batch's tag, because folding an
     * uncommitted (possibly crashed-attempt) delta into the base and
     * then redelivering its batch would re-add the folded rows; deltas
     * of COMMITTED batches never redeliver and fold safely.
-    *
-    * CONCURRENCY CONTRACT (single-writer, no concurrent probe): the
-    * crash-safety argument above covers a fold that DIES, not one that
-    * races a live reader. A [[searchLayoutDeltaAware]] in another
-    * session that listed the delta dirs before the fold can hit
-    * FileNotFoundException (files moved out from under its scan) or a
-    * partial view mid-fold. Run compaction from the single maintenance
-    * writer (the [[graft.streaming.StreamingIngest.streamingIvfAppend]]
-    * hook runs it inside the micro-batch, where Structured Streaming
-    * already serializes it against that stream's own probes) and quiesce
-    * external probes around a manual fold; a reader that does race it
-    * should treat missing-file failures as transient and re-issue the
-    * probe (the re-listed view is consistent — every row lives in
-    * exactly one place at every instant).
-    * Returns the number of delta directories folded. */
+    * Returns the number of delta legs folded. */
   def compactDeltas(
       spark: SparkSession,
       layout: Layout,
       embCol: String = "embedding",
       idCol: String = "vec_id",
-      excludeTags: Set[String] = Set.empty): Int = {
-    val excluded = excludeTags.map(deltaDirPrefix + _)
-    val dirs = Option(new java.io.File(layout.dir).listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith(deltaDirPrefix) &&
-        !excluded(f.getName))
-      .sortBy(_.getName)
-    if (dirs.isEmpty) return 0
-    val rows = dirs.map(d => spark.read.parquet(d.getPath)).reduce(_ unionByName _)
+      excludeTags: Set[String] = Set.empty): Int =
+      graft.io.MutableStore.withWriterLock(layout.dir, "compactDeltas") {
+    val dir = layout.dir
+    val s = snapOf(dir)
+    val tags = s.live.filterNot(excludeTags)
+    if (tags.isEmpty) return 0
+    val st = graft.io.MutableStore.state(dir) // priors ride the state json
+    val (protectedRefs, _) = graft.io.MutableStore.splitPriors(st.priors)
+    // never-reuse allocation BEFORE debris GC: crashed-attempt fold
+    // dirs AND manifests still bump the counter
+    val vNew = (Seq(s.v,
+      graft.io.MutableStore.maxOnDiskVersion(dir, Seq(foldDirPrefix))) ++
+      Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+        .map(_.getName)
+        .collect { case nm if nm.startsWith(manifestPrefix) && nm.endsWith(".json") =>
+          nm.stripPrefix(manifestPrefix).stripSuffix(".json").toInt })
+      .max + 1
+    gcLayout(dir, st, protectedRefs)
+    val deltaDf = tags
+      .map(t => spark.read.parquet(s"$dir/$deltaDirPrefix$t"))
+      .reduce(_ unionByName _)
     // fingerprint only LIVE delta rows: a delta row deleted via
     // [[deleteFromLayout]] never entered the sidecar arithmetic (delta
     // deletes write tombstones only), so folding it into the count/
     // hash/hsum here would make the sidecar attest a corpus containing
-    // deleted rows — every later [[buildLayout]] against the true live
-    // corpus would mismatch and silently full-rebuild. The tombstones
-    // themselves are kept (the moved files still contain the dead rows;
-    // probes keep anti-joining them until [[compactLayout]] rewrites).
-    val (nNew, hNew, sNew) = fingerprint(liveRows(spark, layout, rows, idCol), embCol)
-    dirs.foreach { d =>
-      Option(d.listFiles()).getOrElse(Array.empty)
-        .filter(c => c.isDirectory && c.getName.startsWith("cluster="))
-        .foreach { c =>
-          val target = java.nio.file.Paths.get(layout.dir, c.getName)
-          java.nio.file.Files.createDirectories(target)
-          Option(c.listFiles()).getOrElse(Array.empty)
+    // deleted rows. The masked rows are still REWRITTEN (the mask is a
+    // global probe-side anti-join until compactLayout reclaims).
+    val (nNew, hNew, sNew) = fingerprint(
+      applyMask(deltaDf, maskOf(spark, dir, s, idCol), idCol), embCol)
+    val touched: Set[Int] = tags.flatMap { t =>
+      Option(new java.io.File(dir, s"$deltaDirPrefix$t").listFiles())
+        .getOrElse(Array.empty)
+        .filter(f => f.isDirectory && f.getName.startsWith("cluster="))
+        .map(_.getName.stripPrefix("cluster=").toInt)
+    }.toSet
+    val oldFiles = s.baseFiles.getOrElse(legacyBaseFiles(dir))
+    val (oldTouched, untouched) =
+      oldFiles.partition(p => touched.contains(clusterOfPath(p)))
+    val newFiles: Seq[String] =
+      if (touched.isEmpty) Seq.empty
+      else {
+        val baseTouched =
+          if (oldTouched.isEmpty) None
+          else Some(baseScanOf(spark, dir, s, Some(touched.toSeq.sorted)))
+        val merged = (baseTouched.toSeq :+ deltaDf
+          .select(baseTouched.getOrElse(deltaDf).columns.map(col).toIndexedSeq: _*))
+          .reduce(_ unionByName _)
+        val building = java.nio.file.Paths.get(dir, s"_building_$foldDirPrefix$vNew")
+        graft.io.MutableStore.deleteDir(building)
+        merged.write.mode("overwrite").partitionBy("cluster")
+          .parquet(building.toString)
+        java.nio.file.Files.move(building,
+          java.nio.file.Paths.get(dir, s"$foldDirPrefix$vNew"))
+        val root = java.nio.file.Paths.get(dir)
+        Option(new java.io.File(dir, s"$foldDirPrefix$vNew").listFiles())
+          .getOrElse(Array.empty)
+          .filter(f => f.isDirectory && f.getName.startsWith("cluster="))
+          .flatMap(c => Option(c.listFiles()).getOrElse(Array.empty)
             .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
-            .foreach { f =>
-              java.nio.file.Files.move(f.toPath,
-                target.resolve(s"${d.getName.stripPrefix("_")}_${f.getName}"))
-            }
-        }
-      // the emptied delta dir (and its marker files) goes last
-      val walk = java.nio.file.Files.walk(d.toPath)
-      try walk.sorted(java.util.Comparator.reverseOrder())
-        .forEach(p => java.nio.file.Files.delete(p))
-      finally walk.close()
-    }
-    val sidecar = java.nio.file.Paths.get(layout.dir, centroidFile)
+            .map(f => root.relativize(f.toPath).toString))
+          .toSeq
+      }
+    // manifest FIRST (immutable once the state points at it), state
+    // commit LAST — the single atomic commit point
+    writeManifest(dir, vNew, Manifest(
+      files = untouched ++ newFiles,
+      removed = oldTouched,
+      removedDirs = tags.map(deltaDirPrefix + _)))
+    val sidecar = java.nio.file.Paths.get(dir, centroidFile)
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val node = mapper.readTree(java.nio.file.Files.readString(sidecar))
     val hsum = storedHsum(node).add(new java.math.BigInteger(sNew))
     graft.io.Artifact.writeAtomic(sidecar,
       s"""{"count":${node.get("count").asLong() + nNew},"hash":${node.get("hash").asLong() ^ hNew},"hsum":"$hsum","centroids":${node.get("centroids").toString}}""")
-    dirs.length
+    def onDisk(t: String): Boolean =
+      java.nio.file.Files.exists(java.nio.file.Paths.get(dir, s"$deltaDirPrefix$t"))
+    graft.io.MutableStore.commitState(dir, vNew,
+      folded = (s.folded.filter(onDisk) ++ tags).toSeq.sorted,
+      deadTombs = s.deadTombs.toSeq.sorted,
+      live = s.live.filterNot(tags.contains(_)).sorted,
+      liveTombs = s.tombTags,
+      priors = graft.io.MutableStore.pushPrior(protectedRefs,
+        graft.io.MutableStore.SnapRef(s.v, s.live, s.tombTags)))
+    tags.length
   }
 
   /** [[searchLayout]] over base ∪ streamed deltas: both sides prune to
@@ -467,16 +815,17 @@ object Ivf {
       idCol: String = "vec_id",
       embCol: String = "embedding"): DataFrame = {
     val clusters = probeClustersOf(layout.centroids, query, nprobe)
-    val base = spark.read.parquet(layout.dir)
-      .filter(col("cluster").isin(clusters: _*))
-    val scan = deltaRows(spark, layout) match {
-      case Some(d) =>
-        base.unionByName(d.filter(col("cluster").isin(clusters: _*))
-          .select(base.columns.map(col).toIndexedSeq: _*))
-      case None => base
+    pinned(layout.dir) { s =>
+      val base = baseScanOf(spark, layout.dir, s, Some(clusters))
+      val scan = deltaScanOf(spark, layout.dir, s, Some(clusters)) match {
+        case Some(d) =>
+          base.unionByName(d.select(base.columns.map(col).toIndexedSeq: _*))
+        case None => base
+      }
+      VectorSearch.knnExact(
+        applyMask(scan, maskOf(spark, layout.dir, s, idCol), idCol),
+        query.toSeq, k, idCol, embCol)
     }
-    VectorSearch.knnExact(
-      liveRows(spark, layout, scan, idCol), query.toSeq, k, idCol, embCol)
   }
 
   /** Logical delete from a persisted layout (the reference's O5 for the
@@ -499,11 +848,15 @@ object Ivf {
       layout: Layout,
       ids: DataFrame,
       idCol: String = "vec_id",
-      embCol: String = "embedding"): Long = {
+      embCol: String = "embedding",
+      tag: String = ""): Long =
+      graft.io.MutableStore.withWriterLock(layout.dir, "deleteFromLayout") {
     val spark = ids.sparkSession
-    val tombPath = s"${layout.dir}/$tombstoneDirName"
+    val dir = layout.dir
+    val s = snapOf(dir)
+    val mask = maskOf(spark, dir, s, idCol)
     val requested = ids.select(col(idCol).cast("long").as(idCol)).distinct()
-    val affected = liveRows(spark, layout, spark.read.parquet(layout.dir), idCol)
+    val affected = applyMask(baseScanOf(spark, dir, s, None), mask, idCol)
       .join(broadcast(requested), Seq(idCol), "left_semi")
       .localCheckpoint() // one evaluation feeds both the write and the xor
     // delta-appended rows are tombstoned too (the streaming-append
@@ -513,84 +866,115 @@ object Ivf {
     // not re-count here) anti-joins against `affected` — the
     // batch-bounded requested∩live-in-base set — NOT against all base
     // ids, which would broadcast a corpus-sized id table at scale.
-    val deltaAffected = deltaRows(spark, layout).map(
-      _.join(broadcast(requested), Seq(idCol), "left_semi")
-        .join(broadcast(affected.select(col(idCol))), Seq(idCol), "left_anti")
+    val deltaAffected = deltaScanOf(spark, dir, s, None).map(d =>
+      applyMask(d.join(broadcast(requested), Seq(idCol), "left_semi")
+          .join(broadcast(affected.select(col(idCol))), Seq(idCol), "left_anti"),
+          mask, idCol)
         .select(col(idCol)).distinct().localCheckpoint())
     val (nDel, hDel, sDel) = fingerprint(affected, embCol)
-    val nDeltaDel = deltaAffected.map { d =>
-      val live = liveRows(spark, layout, d, idCol).localCheckpoint()
-      val n = live.count()
-      if (n > 0L) live.write.mode("append").parquet(tombPath)
-      n
-    }.getOrElse(0L)
-    if (nDel == 0L) return nDeltaDel
-    affected.select(col(idCol)).write.mode("append").parquet(tombPath)
-    val sidecar = java.nio.file.Paths.get(layout.dir, centroidFile)
-    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-    val node = mapper.readTree(java.nio.file.Files.readString(sidecar))
-    val hsum = storedHsum(node).subtract(new java.math.BigInteger(sDel))
-    graft.io.Artifact.writeAtomic(sidecar,
-      s"""{"count":${node.get("count").asLong() - nDel},"hash":${node.get("hash").asLong() ^ hDel},"hsum":"$hsum","centroids":${node.get("centroids").toString}}""")
+    val nDeltaDel = deltaAffected.map(_.count()).getOrElse(0L)
+    if (nDel + nDeltaDel == 0L) return 0L
+    // ONE tag-keyed tombstone batch (idempotent overwrite under
+    // at-least-once redelivery), live once the committed state names it
+    val t = if (tag.nonEmpty) tag else s"auto${System.nanoTime()}"
+    (affected.select(col(idCol)) +: deltaAffected.toSeq)
+      .reduce(_ unionAll _).distinct()
+      .write.mode("overwrite")
+      .parquet(s"$dir/$tombstoneDirName/$tombTagPrefix$t/ids")
+    if (nDel > 0L) {
+      val sidecar = java.nio.file.Paths.get(dir, centroidFile)
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val node = mapper.readTree(java.nio.file.Files.readString(sidecar))
+      val hsum = storedHsum(node).subtract(new java.math.BigInteger(sDel))
+      graft.io.Artifact.writeAtomic(sidecar,
+        s"""{"count":${node.get("count").asLong() - nDel},"hash":${node.get("hash").asLong() ^ hDel},"hsum":"$hsum","centroids":${node.get("centroids").toString}}""")
+    }
+    // COMMIT (a tag the state already CONSUMED is redelivered debris)
+    if (!s.deadTombs.contains(t))
+      graft.io.MutableStore.commitLiveLists(dir,
+        s.live, (s.tombTags :+ t).distinct.sorted)
     nDel + nDeltaDel
   }
 
   /** Physically remove tombstoned rows once they exceed
-    * `maxTombstoneFraction` of the layout: ONLY the clusters that
-    * contain a tombstoned row are rewritten (dynamic partition
-    * overwrite), then the tombstone table is dropped. Probes are
-    * correct through every crash window — an already-compacted
-    * tombstone anti-joins to nothing. Returns true when a compaction
-    * ran. */
+    * `maxTombstoneFraction` of the layout — the RECLAIM leg, now
+    * SNAPSHOT-SAFE (r16): only the clusters containing a tombstoned
+    * row are rewritten (survivors land under a fresh `fold_v<N>/`
+    * tree, never an in-place partition overwrite), the commit is the
+    * manifest+state swap, every consumed tombstone batch and legacy
+    * tombstone file rides the new manifest's removed lists for lagged,
+    * retention-aware GC — a probe pinned on the old state keeps its
+    * whole file set, mask included. Deltas fold first (a tombstoned
+    * row's data file in a delta dir must not outlive its mask).
+    * Returns true when a compaction ran. */
   def compactLayout(
       spark: SparkSession,
       layout: Layout,
       maxTombstoneFraction: Double = 0.1,
-      idCol: String = "vec_id"): Boolean = {
-    val tombPath = s"${layout.dir}/$tombstoneDirName"
-    if (!new java.io.File(tombPath).exists()) return false
-    // fold pending streamed deltas into the base FIRST: the rewrite
-    // below scans only base partitions (underscore-prefixed _delta_*
-    // dirs are invisible to it), so dropping the tombstone table while
-    // a tombstoned row's data file still lives in a delta dir would
-    // RESURRECT that row on the next delta-aware probe. After the fold
-    // every live row is base-resident and the final tombstone drop is
-    // safe.
-    compactDeltas(spark, layout, idCol = idCol)
-    val tomb = spark.read.parquet(tombPath).select(col(idCol)).distinct()
-    val data = spark.read.parquet(layout.dir)
+      idCol: String = "vec_id"): Boolean =
+      graft.io.MutableStore.withWriterLock(layout.dir, "compactLayout") {
+    val dir = layout.dir
+    compactDeltas(spark, layout, idCol = idCol) // reentrant under the lease
+    val s = snapOf(dir)
+    val mask = maskOf(spark, dir, s, idCol)
+    if (mask.isEmpty) return false
+    val tomb = mask.get.localCheckpoint()
+    val base = baseScanOf(spark, dir, s, None)
     val nTomb = tomb.count()
-    if (nTomb == 0L || nTomb.toDouble / math.max(data.count(), 1L) <= maxTombstoneFraction)
+    if (nTomb == 0L || nTomb.toDouble / math.max(base.count(), 1L) <= maxTombstoneFraction)
       return false
-    val affectedClusters = data.join(broadcast(tomb), Seq(idCol), "left_semi")
-      .select("cluster").distinct().collect().map(_.getInt(0))
-    val survivors = data
-      .filter(col("cluster").isin(affectedClusters.toIndexedSeq: _*))
-      .join(broadcast(tomb), Seq(idCol), "left_anti")
-      .localCheckpoint() // pin before the overwrite reads-under-write
-    val prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try survivors.write.mode("overwrite").partitionBy("cluster").parquet(layout.dir)
-    finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-    // tombstones drop LAST: a crash above re-runs compaction harmlessly
-    val dirFile = new java.io.File(tombPath)
-    dirFile.listFiles().foreach(_.delete())
-    dirFile.delete()
+    val st = graft.io.MutableStore.state(dir)
+    val (protectedRefs, _) = graft.io.MutableStore.splitPriors(st.priors)
+    val vNew = (Seq(s.v,
+      graft.io.MutableStore.maxOnDiskVersion(dir, Seq(foldDirPrefix))) ++
+      Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+        .map(_.getName)
+        .collect { case nm if nm.startsWith(manifestPrefix) && nm.endsWith(".json") =>
+          nm.stripPrefix(manifestPrefix).stripSuffix(".json").toInt })
+      .max + 1
+    gcLayout(dir, st, protectedRefs)
+    val affectedClusters = base.join(broadcast(tomb), Seq(idCol), "left_semi")
+      .select("cluster").distinct().collect().map(_.getInt(0)).toSeq.sorted
+    val oldFiles = s.baseFiles.getOrElse(legacyBaseFiles(dir))
+    val (oldTouched, untouched) =
+      oldFiles.partition(p => affectedClusters.contains(clusterOfPath(p)))
+    val newFiles: Seq[String] =
+      if (affectedClusters.isEmpty) Seq.empty
+      else {
+        val survivors = baseScanOf(spark, dir, s, Some(affectedClusters))
+          .join(broadcast(tomb), Seq(idCol), "left_anti")
+        val building = java.nio.file.Paths.get(dir, s"_building_$foldDirPrefix$vNew")
+        graft.io.MutableStore.deleteDir(building)
+        survivors.write.mode("overwrite").partitionBy("cluster")
+          .parquet(building.toString)
+        java.nio.file.Files.move(building,
+          java.nio.file.Paths.get(dir, s"$foldDirPrefix$vNew"))
+        val root = java.nio.file.Paths.get(dir)
+        Option(new java.io.File(dir, s"$foldDirPrefix$vNew").listFiles())
+          .getOrElse(Array.empty)
+          .filter(f => f.isDirectory && f.getName.startsWith("cluster="))
+          .flatMap(c => Option(c.listFiles()).getOrElse(Array.empty)
+            .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+            .map(f => root.relativize(f.toPath).toString))
+          .toSeq
+      }
+    // consumed masks (tag dirs + legacy flat files) ride the removed
+    // lists — pinned probes keep anti-joining them until retention GC
+    val tombRel = java.nio.file.Paths.get(dir)
+    val legacyRemoved = legacyTombFiles(dir)
+      .map(p => tombRel.relativize(java.nio.file.Paths.get(p)).toString)
+    writeManifest(dir, vNew, Manifest(
+      files = untouched ++ newFiles,
+      removed = oldTouched ++ legacyRemoved,
+      removedDirs = s.tombTags.map(t => s"$tombstoneDirName/$tombTagPrefix$t")))
+    graft.io.MutableStore.commitState(dir, vNew,
+      folded = s.folded.toSeq.sorted,
+      deadTombs = (s.deadTombs ++ s.tombTags).toSeq.sorted,
+      live = s.live,
+      liveTombs = Seq.empty,
+      priors = graft.io.MutableStore.pushPrior(protectedRefs,
+        graft.io.MutableStore.SnapRef(s.v, s.live, s.tombTags)))
     true
-  }
-
-  /** Anti-join the tombstone set (if any) — the small side broadcasts;
-    * the layout scan itself is never reshuffled. */
-  private def liveRows(
-      spark: SparkSession,
-      layout: Layout,
-      df: DataFrame,
-      idCol: String): DataFrame = {
-    val tombPath = new java.io.File(layout.dir, tombstoneDirName)
-    if (!tombPath.exists()) df
-    else df.join(
-      broadcast(spark.read.parquet(tombPath.toString).select(col(idCol)).distinct()),
-      Seq(idCol), "left_anti")
   }
 
   /** BATCH probe of a persisted layout — a query table served by ONE
@@ -628,15 +1012,16 @@ object Ivf {
       (r.getLong(0), emb, probeClustersOf(layout.centroids, emb.toArray, nprobe))
     }
     val union = probed.flatMap(_._3).distinct
-    val basePruned = spark.read.parquet(layout.dir)
-      .filter(col("cluster").isin(union: _*))
-    val raw = deltaRows(spark, layout) match {
-      case Some(d) =>
-        basePruned.unionByName(d.filter(col("cluster").isin(union: _*))
-          .select(basePruned.columns.map(col).toIndexedSeq: _*))
-      case None => basePruned
+    val scan = pinned(layout.dir) { s =>
+      val basePruned = baseScanOf(spark, layout.dir, s, Some(union))
+      val raw = deltaScanOf(spark, layout.dir, s, Some(union)) match {
+        case Some(d) =>
+          basePruned.unionByName(
+            d.select(basePruned.columns.map(col).toIndexedSeq: _*))
+        case None => basePruned
+      }
+      applyMask(raw, maskOf(spark, layout.dir, s, idCol), idCol)
     }
-    val scan = liveRows(spark, layout, raw, idCol)
     val qDf = probed.toDF(qIdCol, qEmbCol, "q_clusters")
     graft.ops.VectorSearch.knnJoinAgg(qDf, scan, k,
       qIdCol = qIdCol, qEmbCol = qEmbCol, idCol = idCol,
@@ -655,10 +1040,12 @@ object Ivf {
       idCol: String = "vec_id",
       embCol: String = "embedding"): DataFrame = {
     val clusters = probeClustersOf(layout.centroids, query, nprobe)
-    VectorSearch.knnExact(
-      liveRows(spark, layout,
-        spark.read.parquet(layout.dir).filter(col("cluster").isin(clusters: _*)), idCol),
-      query.toSeq, k, idCol, embCol)
+    pinned(layout.dir) { s =>
+      VectorSearch.knnExact(
+        applyMask(baseScanOf(spark, layout.dir, s, Some(clusters)),
+          maskOf(spark, layout.dir, s, idCol), idCol),
+        query.toSeq, k, idCol, embCol)
+    }
   }
 
   /** Per-JVM coarse-quantizer graphs, keyed by (layout dir, centroid
@@ -711,10 +1098,12 @@ object Ivf {
       idCol: String = "vec_id",
       embCol: String = "embedding"): DataFrame = {
     val clusters = probeClustersHnsw(layout, query, nprobe)
-    VectorSearch.knnExact(
-      liveRows(spark, layout,
-        spark.read.parquet(layout.dir).filter(col("cluster").isin(clusters: _*)), idCol),
-      query.toSeq, k, idCol, embCol)
+    pinned(layout.dir) { s =>
+      VectorSearch.knnExact(
+        applyMask(baseScanOf(spark, layout.dir, s, Some(clusters)),
+          maskOf(spark, layout.dir, s, idCol), idCol),
+        query.toSeq, k, idCol, embCol)
+    }
   }
 
   /** Hybrid (filtered) probe of a partitioned layout: the metadata
@@ -735,10 +1124,12 @@ object Ivf {
       idCol: String = "vec_id",
       embCol: String = "embedding"): DataFrame = {
     val clusters = probeClustersOf(layout.centroids, query, nprobe)
-    VectorSearch.knnExact(
-      liveRows(spark, layout,
-        spark.read.parquet(layout.dir)
-          .filter(col("cluster").isin(clusters: _*) && predicate), idCol),
-      query.toSeq, k, idCol, embCol)
+    pinned(layout.dir) { s =>
+      VectorSearch.knnExact(
+        applyMask(baseScanOf(spark, layout.dir, s, Some(clusters))
+            .filter(predicate),
+          maskOf(spark, layout.dir, s, idCol), idCol),
+        query.toSeq, k, idCol, embCol)
+    }
   }
 }

@@ -75,29 +75,36 @@ class IvfDeleteSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     assert(!Ivf.compactLayout(spark, layout, maxTombstoneFraction = 0.9))
     assert(new java.io.File(s"$dir/_tombstones").exists())
 
-    // record per-cluster file states; the planted copies all live in ONE
-    // cluster, so every other cluster's files must survive untouched
-    def clusterFiles(): Map[String, Long] =
-      new java.io.File(dir).listFiles().filter(_.getName.startsWith("cluster="))
-        .flatMap(d => d.listFiles().map(f => s"${d.getName}/${f.getName}" -> f.lastModified()))
-        .toMap
-    val filesBefore = clusterFiles()
-
     assert(Ivf.compactLayout(spark, layout, maxTombstoneFraction = 0.01))
-    assert(!new java.io.File(s"$dir/_tombstones").exists(),
-      "compaction must drop the tombstone table")
-    val filesAfter = clusterFiles()
-    val touched = filesAfter.keySet.union(filesBefore.keySet)
-      .filter(k => filesBefore.get(k) != filesAfter.get(k))
-      .map(_.split("/")(0)).toSet
-    assert(touched.size == 1, s"only the affected cluster may be rewritten, got $touched")
+    // the reclaim CONSUMES the mask at the commit point; the tombstone
+    // dirs themselves are retained until lagged GC (the snapshot-pin
+    // contract — a probe pinned pre-commit still anti-joins them)
+    val st = graft.io.MutableStore.state(dir)
+    assert(st.liveTombs == Some(Seq()),
+      "compaction must consume every live tombstone batch")
+    // only the affected cluster is rewritten: the fresh fold tree holds
+    // exactly one cluster dir; untouched clusters keep their old files
+    // (referenced by the new manifest in place — nothing moved)
+    val folds = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("_fold_v"))
+    assert(folds.length == 1)
+    val rewritten = folds.head.listFiles().filter(_.getName.startsWith("cluster="))
+    assert(rewritten.length == 1,
+      s"only the affected cluster may be rewritten, got ${rewritten.mkString(",")}")
 
     val after = Ivf.searchLayout(spark, layout, q, k = 11, nprobe = 8).collect()
       .map(r => (r.getLong(0), r.getDouble(1))).toSeq
     assert(after == before, "compaction must not change probe results")
-    // physical removal: the deleted ids are gone from the data files
-    val raw = spark.read.parquet(dir).filter(col("vec_id") >= 7000000L).count()
+    // physical removal: the deleted ids are gone from the LIVE file set
+    // (the superseded pre-reclaim files survive on disk for pinned
+    // probes until lagged GC, so the check reads through the manifest)
+    val raw = Ivf.layoutRows(spark, layout)
+      .filter(col("vec_id") >= 7000000L).count()
     assert(raw == 10, s"expected the 10 surviving copies physically, got $raw")
+    // …and the fresh fold files carry ONLY survivors (no mask needed)
+    val foldRows = spark.read.parquet(folds.head.getPath)
+      .filter(col("vec_id") >= 7000000L).count()
+    assert(foldRows == 10, s"fold tree must hold survivors only, got $foldRows")
 
     // second compaction with no tombstones is a no-op
     assert(!Ivf.compactLayout(spark, layout, maxTombstoneFraction = 0.01))

@@ -213,6 +213,113 @@ class SnapshotPinSpec extends AnyFunSuite {
       "fresh view must serve the wholly-new state")
   }
 
+  // ------------------------------------------------- IVF layout
+
+  test("ivf layout: probe pinned before a delete+fold+reclaim commit serves wholly-old; fresh probe wholly-new") {
+    import graft.index.Ivf
+    val rng = new scala.util.Random(31)
+    val corpus = (0L until 120L)
+      .map(i => (i, Array.fill(6)(rng.nextFloat())))
+      .toDF("vec_id", "embedding").localCheckpoint()
+    val dir = tmp("pin_ivf") + "/corpus"
+    val layout = Ivf.buildLayout(spark, corpus, dir, nlist = 4, maxIter = 3)
+    val q = corpus.filter(col("vec_id") === 7L)
+      .select(col("embedding")).head().getSeq[Float](0).toArray
+    // a live streamed delta joins the snapshot (exact copies of the
+    // query → they land in the probed cluster by construction)
+    val planted = corpus.filter(col("vec_id") === 7L)
+      .crossJoin(spark.range(3))
+      .select((col("id") + 9000000L).as("vec_id"), col("embedding"))
+    Ivf.appendDelta(layout, planted, tag = "a1")
+
+    def probeDf() = Ivf.searchLayoutDeltaAware(spark, layout, q, 5, nprobe = 4)
+    def probe() = probeDf().select("vec_id", "dist")
+      .as[(Long, Double)].collect().toSeq
+    val wantOld = probe()
+    assert(wantOld.map(_._1).contains(9000000L), "fixture: delta rows probed")
+    val pinnedProbe = probeDf() // built now, executed only after the commit
+
+    // a delete + FOLD commit while it is in flight — previously the
+    // engine's one stop-the-world op
+    Ivf.deleteFromLayout(layout, Seq(7L, 9000001L).toDF("vec_id"), tag = "d1")
+    Ivf.compactDeltas(spark, layout)
+
+    assert(pinnedProbe.select("vec_id", "dist").as[(Long, Double)].collect().toSeq
+      == wantOld,
+      "the pinned probe must serve the WHOLLY-OLD state across the fold " +
+        "commit (old manifest files + old delta leg; no torn mix)")
+
+    // a probe pinned ACROSS THE RECLAIM commit too (its own window:
+    // post-fold state, evaluated once before and once after)
+    val pinned2 = probeDf()
+    val wantMasked = pinned2.select("vec_id", "dist")
+      .as[(Long, Double)].collect().toSeq
+    assert(Ivf.compactLayout(spark, layout, maxTombstoneFraction = 0.0))
+    assert(pinned2.select("vec_id", "dist").as[(Long, Double)].collect().toSeq
+      == wantMasked,
+      "a probe pinned across the RECLAIM commit serves its own state too")
+
+    val fresh = probe()
+    assert(!fresh.exists(r => r._1 == 7L || r._1 == 9000001L),
+      "fresh probe must not see the reclaimed ids")
+    assert(fresh == graft.ops.VectorSearch.knnExact(
+        corpus.filter(col("vec_id") =!= 7L)
+          .unionByName(planted.filter(col("vec_id") =!= 9000001L)),
+        q.toSeq, 5)
+      .select("vec_id", "dist").as[(Long, Double)].collect().toSeq,
+      "fresh probe must equal exact top-k over the survivor union")
+  }
+
+  test("ivf layout: never-reuse versioning skips crashed fold debris; lagged GC collects superseded files") {
+    import graft.index.Ivf
+    val rng = new scala.util.Random(37)
+    val corpus = (0L until 60L)
+      .map(i => (i, Array.fill(4)(rng.nextFloat())))
+      .toDF("vec_id", "embedding").localCheckpoint()
+    val dir = tmp("pin_ivf_crash") + "/corpus"
+    val layout = Ivf.buildLayout(spark, corpus, dir, nlist = 2, maxIter = 3)
+    val q = corpus.filter(col("vec_id") === 3L)
+      .select(col("embedding")).head().getSeq[Float](0).toArray
+    Ivf.appendDelta(layout,
+      corpus.filter(col("vec_id") === 3L)
+        .select((col("vec_id") + 9100000L).as("vec_id"), col("embedding")),
+      tag = "c1")
+    // a crashed attempt renamed its fold in AND wrote its manifest but
+    // never committed the state
+    val ghost = java.nio.file.Paths.get(dir, "_fold_v5")
+    java.nio.file.Files.createDirectories(ghost.resolve("cluster=0"))
+    java.nio.file.Files.writeString(
+      ghost.resolve("cluster=0").resolve("junk.parquet"), "junk")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "_manifest_v5.json"),
+      """{"files":["_fold_v5/cluster=0/junk.parquet"],"removed":[],"removedDirs":[]}""")
+    def probe() = Ivf.searchLayoutDeltaAware(spark, layout, q, 4, nprobe = 2)
+      .select("vec_id", "dist").as[(Long, Double)].collect().toSeq
+    val want = probe()
+    Ivf.compactDeltas(spark, layout)
+    assert(!java.nio.file.Files.exists(ghost), "fold debris must be GC'd")
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir, "_manifest_v5.json")),
+      "manifest debris must be GC'd")
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir, "_manifest_v6.json")),
+      "the committed version must skip PAST the debris number, never reuse it")
+    assert(probe() == want, "probe invariant across the fold")
+    // lagged GC: the folded delta dir survives THIS commit…
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir, "_delta_c1")),
+      "the folded delta dir is retained one more round (pinned probes)")
+    // …and is collected at the NEXT compaction's start
+    Ivf.appendDelta(layout,
+      corpus.filter(col("vec_id") === 4L)
+        .select((col("vec_id") + 9100010L).as("vec_id"), col("embedding")),
+      tag = "c2")
+    Ivf.compactDeltas(spark, layout)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir, "_delta_c1")),
+      "the superseded delta dir must be collected by the NEXT compaction")
+  }
+
   // ------------------------------------------------- HNSW layout
 
   test("hnsw layout: probe pinned before a delete+reclaim commit serves wholly-old; fresh probe wholly-new") {
