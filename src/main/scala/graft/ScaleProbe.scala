@@ -387,6 +387,79 @@ object ScaleProbe {
       }
     }
 
+    // SNAPSHOT-PIN OVERHEAD (r15 VERDICT task 8): the micro cost of the
+    // optimistic pin (double state read + catalog-location validation)
+    // on a bm25 probe, and the retry rate under a compaction-heavy
+    // concurrent mutation loop — the 8-attempt cap must never be the
+    // operative bound (expected: ≲1 retry per actual commit).
+    if (onlyFilter.forall(_.exists("pinoverhead".contains))) {
+      val root = java.nio.file.Files
+        .createTempDirectory("probe_pin").toString
+      val dir = s"$root/postings"
+      val docsPin = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id"), col("text")).localCheckpoint()
+      graft.text.InvertedIndex.ensure(spark, docsPin, "probe_pin_t", dir, buckets = 8)
+      def probeOnce(): Double = {
+        val t0 = System.nanoTime()
+        graft.text.InvertedIndex.bm25SearchDeltaAware(
+          spark, "probe_pin_t", dir, Seq("spark", "join")).collect()
+        (System.nanoTime() - t0) / 1e9
+      }
+      probeOnce() // warm
+      val quiet = (0 until 10).map(_ => probeOnce()).min
+      // a compaction-heavy writer loop races 40 probes
+      graft.text.InvertedIndex.pinRetries.set(0L)
+      val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+      var commits = 0
+      val writer = new Thread(() => {
+        var i = 0
+        while (!stop.get() && i < 64) {
+          i += 1
+          graft.text.InvertedIndex.appendDelta(spark, dir,
+            docsPin.limit(50)
+              .select((col("doc_id") + lit(800000L + i * 1000L)).as("doc_id"),
+                col("text")),
+            tag = f"pin$i%02d")
+          graft.text.InvertedIndex.compactDeltas(
+            spark, "probe_pin_t", dir, buckets = 8)
+          commits += 1
+        }
+      })
+      writer.start()
+      val contended = (0 until 40).map(_ => probeOnce()).min
+      stop.set(true); writer.join()
+      val retries = graft.text.InvertedIndex.pinRetries.get()
+      println(f"[scale] pin overhead bm25 quiet=$quiet%6.3f s contended-min=$contended%6.3f s " +
+        f"retries=$retries over 40 probes vs $commits commits")
+    }
+
+    // WAVE-COMPOSITOR OVERHEAD (r15 VERDICT task 4): a 128-wide batch
+    // as two ≤64 waves vs the per-wave batch shape — the union must
+    // cost ~2 waves, not a fresh plan cliff.
+    if (onlyFilter.forall(_.exists("waveprobe".contains))) {
+      val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .select("vec_id", "embedding").localCheckpoint()
+      val dim = e.head().getSeq[Float](1).length
+      val thr = graft.index.Binary.fitThresholds(e, dim)
+      val sigs = graft.index.Binary.signatures(e, thr).localCheckpoint()
+      val qs = e.filter(col("vec_id") < 128).collect()
+        .map(r => (r.getLong(0),
+          graft.index.Binary.signatureOf(r.getSeq[Float](1), thr)))
+        .toIndexedSeq
+      def t(body: => Unit): Double = {
+        val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+      }
+      def oneWave() = noop(
+        graft.index.Binary.hammingTopKBatch(sigs, qs.take(64), 10))
+      def waved() = noop(
+        graft.index.Binary.hammingTopKBatchWaved(sigs, qs, 10))
+      oneWave(); waved() // warm
+      val w1 = Seq(t(oneWave()), t(oneWave())).min
+      val w128 = Seq(t(waved()), t(waved())).min
+      println(f"[scale] wave compositor hamming 64q=$w1%6.2f s " +
+        f"128q(2 waves)=$w128%6.2f s ratio=${w128 / w1}%4.2f (expect ~2)")
+    }
+
     // near-dup probes replicate at the doc factor: every replica pair IS
     // a true duplicate, so output volume grows quadratically in the
     // replication factor and would dominate the timing at 200×

@@ -189,6 +189,22 @@ object SparkEntry {
        |  FROM embeddings e, thr t GROUP BY e.vec_id),
        |qs AS (SELECT sig AS qsig FROM sigs WHERE vec_id = 0)""".stripMargin
 
+  /** Each query's signature ranking replayed relationally over the
+    * shared signature CTEs — shared verbatim by the API batch
+    * (knn_hamming_batch) and its one-statement SQL route
+    * (sql_hamming_batch): the equivalence proof. */
+  private def hammingBatchOracleSql: String =
+    s"""WITH $hammingSigCtes,
+       |qb AS (SELECT vec_id AS query_id, sig AS qsig FROM sigs WHERE vec_id < 3),
+       |d AS (SELECT qb.query_id, s.vec_id,
+       |        CAST(bit_count(xor(s.sig, qb.qsig)) AS INTEGER) AS hamming
+       |      FROM sigs s CROSS JOIN qb),
+       |r AS (SELECT query_id, vec_id, hamming,
+       |        row_number() OVER (PARTITION BY query_id ORDER BY hamming, vec_id) AS rn
+       |      FROM d)
+       |SELECT query_id, vec_id, hamming FROM r WHERE rn <= 10
+       |ORDER BY query_id, hamming, vec_id""".stripMargin
+
   /** DuckDB normalization/tokenization identical to
     * TextAnalysis.normalizeText / tokens (note the 'g' flag — DuckDB
     * regexp_replace is first-match-only by default). */
@@ -1829,6 +1845,12 @@ object SparkEntry {
     java.security.MessageDigest.getInstance("MD5")
       .digest(dir.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
 
+  /** A SQL string literal with quotes escaped — every inline
+    * VALUES/IN list built from fixture terms goes through this, so a
+    * term carrying a single quote can neither break the statement nor
+    * inject into it. */
+  private def sqlLit(s: String): String = "'" + s.replace("'", "''") + "'"
+
   private def scratchDir(tag: String): String = {
     val fresh = java.nio.file.Files.createTempDirectory(s"graft_$tag")
     val prev = scratchDirs.put(tag, fresh)
@@ -2206,9 +2228,9 @@ object SparkEntry {
       val stats = graft.text.InvertedIndex.ensure(s, docs(s, dir),
         s"graft_post_$key", s"$tmp/graft_postings_$key", buckets = 8)
       val qRows = Bm25BatchQueries.flatMap { case (qid, ts) =>
-        ts.distinct.map(t => s"(CAST($qid AS BIGINT), '$t')") }.mkString(", ")
+        ts.distinct.map(t => s"(CAST($qid AS BIGINT), ${sqlLit(t)})") }.mkString(", ")
       val allTerms = Bm25BatchQueries.flatMap(_._2).distinct
-        .map(t => s"'$t'").mkString(", ")
+        .map(sqlLit).mkString(", ")
       s.sql(
         s"""WITH q AS (SELECT * FROM VALUES $qRows AS q(query_id, token)),
            |occ AS (SELECT doc_id, dl, token, tf FROM graft_post_$key
@@ -2229,6 +2251,125 @@ object SparkEntry {
            |SELECT query_id, doc_id, bm25_micro, n_terms, rank
            |FROM ranked WHERE rank <= 10
            |ORDER BY query_id, rank""".stripMargin)
+    }),
+
+    // SQL route for the BATCH PHRASE probe (r15 VERDICT task 3): ONE
+    // statement serving a whole phrase TABLE — the phrases land as an
+    // inline VALUES relation carrying (query_id, token, slot, len),
+    // the union of every phrase's terms bucket-prunes ONE positional
+    // probe, and an occurrence is a (query, doc, start) group whose
+    // matched slots cover the phrase (the k-way pos−slot alignment as
+    // a GROUP BY — the same candidate set the API path's equi-join
+    // builds). Distinct-term phrases (the fixture's shape; a repeated
+    // term would need per-slot multiplicity). Shares doc_phrase_batch's
+    // token-slice replay oracle.
+    "sql_phrase_batch" -> ((s, dir) => {
+      val key = dirKey(dir)
+      val tmp = System.getProperty("java.io.tmpdir")
+      graft.text.InvertedIndex.ensurePositional(s, docs(s, dir),
+        s"graft_pos_$key", s"$tmp/graft_positional_$key", buckets = 8)
+      val qRows = PhraseBatchQueries.flatMap { case (qid, terms) =>
+        terms.zipWithIndex.map { case (t, i) =>
+          s"(CAST($qid AS BIGINT), ${sqlLit(t)}, $i, ${terms.size})" }
+      }.mkString(", ")
+      val allTerms = PhraseBatchQueries.flatMap(_._2).distinct
+        .map(sqlLit).mkString(", ")
+      s.sql(
+        s"""WITH q AS (SELECT * FROM VALUES $qRows AS q(query_id, token, idx, qlen)),
+           |occ AS (SELECT token, doc_id, pos FROM graft_pos_$key
+           |        WHERE token IN ($allTerms)),
+           |starts AS (SELECT q.query_id, occ.doc_id
+           |  FROM occ JOIN q USING (token)
+           |  GROUP BY q.query_id, q.qlen, occ.doc_id, occ.pos - q.idx
+           |  HAVING count(DISTINCT q.idx) = q.qlen)
+           |SELECT query_id, doc_id, CAST(count(*) AS BIGINT) AS n_occurrences
+           |FROM starts GROUP BY query_id, doc_id
+           |ORDER BY query_id, doc_id""".stripMargin)
+    }),
+
+    // SQL route for the BATCH SUBSTRING probe (r15 VERDICT task 3):
+    // ONE statement serving a needle TABLE — every needle's trigrams
+    // ride one inline VALUES relation, their union bucket-prunes ONE
+    // trigram-index probe, per-needle AND-intersection cuts candidates
+    // from that frame (HAVING count of matched trigrams = the
+    // needle's), and a single broadcast join against the normalized
+    // corpus verifies every (needle, candidate) pair with the same
+    // length arithmetic as the API path. Shares doc_substring_batch's
+    // per-needle replay oracle (the match-less needle contributes zero
+    // rows on both engines).
+    "sql_substring_batch" -> ((s, dir) => {
+      val key = dirKey(dir)
+      val tmp = System.getProperty("java.io.tmpdir")
+      graft.text.InvertedIndex.ensureTrigram(s, docs(s, dir),
+        s"graft_tri_$key", s"$tmp/graft_trigram_$key", buckets = 8)
+      docs(s, dir)
+        .select(col("doc_id").cast("long").as("doc_id"),
+          TextAnalysis.normalizeText(col("text")).as("n"))
+        .createOrReplaceTempView("docs_norm_subb_v")
+      val triRows = SubstringBatchQueries.flatMap { case (qid, needle) =>
+        val tris = needle.sliding(3).toSeq.distinct
+        tris.map(t =>
+          s"(CAST($qid AS BIGINT), ${sqlLit(t)}, ${tris.size})")
+      }.mkString(", ")
+      val qnRows = SubstringBatchQueries.map { case (qid, needle) =>
+        s"(CAST($qid AS BIGINT), ${sqlLit(needle)}, ${needle.length})"
+      }.mkString(", ")
+      val allTris = SubstringBatchQueries.flatMap(_._2.sliding(3)).distinct
+        .map(sqlLit).mkString(", ")
+      s.sql(
+        s"""WITH qt AS (SELECT * FROM VALUES $triRows AS qt(query_id, tri, ntris)),
+           |qn AS (SELECT * FROM VALUES $qnRows AS qn(query_id, needle, nlen)),
+           |cand AS (SELECT qt.query_id, g.doc_id
+           |         FROM graft_tri_$key g JOIN qt ON g.tri = qt.tri
+           |         WHERE g.tri IN ($allTris)
+           |         GROUP BY qt.query_id, g.doc_id
+           |         HAVING count(DISTINCT g.tri) = max(qt.ntris)),
+           |hits AS (SELECT /*+ BROADCAST(cand) */ c.query_id, d.doc_id,
+           |           CAST((length(d.n) - length(replace(d.n, qn.needle, ''))) / qn.nlen AS BIGINT) AS n_hits
+           |         FROM docs_norm_subb_v d
+           |         JOIN cand c ON c.doc_id = d.doc_id
+           |         JOIN qn ON qn.query_id = c.query_id)
+           |SELECT query_id, doc_id, n_hits FROM hits WHERE n_hits > 0
+           |ORDER BY query_id, doc_id""".stripMargin)
+    }),
+
+    // SQL route for the BATCH HAMMING probe (r15 VERDICT task 3): a
+    // query TABLE of 8-byte signatures served by ONE materialization
+    // of the narrow (vec_id, N bit_count columns) frame — CACHE TABLE,
+    // the SQL twin of hammingTopKBatch's localCheckpoint — then N
+    // codegen TakeOrdered shortlists unioned (the sql_knn_batch
+    // device on the binary rung). Shares knn_hamming_batch's
+    // relational signature-ranking oracle.
+    "sql_hamming_batch" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val artDir =
+        s"${System.getProperty("java.io.tmpdir")}/graft_binsig_${dirKey(dir)}"
+      graft.index.Binary.ensureSignatureArtifact(e, artDir, EmbDim)
+      val thr = graft.index.Binary.thresholdsFromArtifact(s, artDir)
+      val queries = e.filter(col("vec_id") < 3)
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(r => (r.getLong(0),
+          graft.index.Binary.signatureOf(r.getSeq[Float](1), thr)))
+        .toIndexedSeq
+      graft.index.Binary.signaturesFromArtifact(s, artDir)
+        .createOrReplaceTempView("binsig_sql_v")
+      val hamCols = queries.map { case (qid, qsig) =>
+        s"CAST(bit_count(sig ^ ${qsig}L) AS INT) AS _h$qid" }.mkString(", ")
+      s.sql("UNCACHE TABLE IF EXISTS binsig_scored_v")
+      s.catalog.dropTempView("binsig_scored_v")
+      s.sql(s"CACHE TABLE binsig_scored_v AS SELECT vec_id, $hamCols FROM binsig_sql_v")
+      val legs = queries.map { case (qid, _) =>
+        s"""SELECT CAST($qid AS BIGINT) AS query_id, vec_id, _h$qid AS hamming FROM
+           |  (SELECT vec_id, _h$qid FROM binsig_scored_v
+           |   ORDER BY _h$qid ASC, vec_id ASC LIMIT 10)""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      val out = s.sql(
+        s"""SELECT query_id, vec_id, hamming FROM ($legs)
+           |ORDER BY query_id ASC, hamming ASC, vec_id ASC""".stripMargin)
+        .localCheckpoint() // pin, then release the cached frame
+      s.sql("UNCACHE TABLE IF EXISTS binsig_scored_v")
+      s.catalog.dropTempView("binsig_scored_v")
+      out
     }),
 
     // SQL-surface retrieval #2: exact phrase search over the persisted
@@ -2266,13 +2407,13 @@ object SparkEntry {
         .createOrReplaceTempView("docs_norm_sub_v")
       val needle = "merge batch"
       val tris = needle.sliding(3).toSeq.distinct
-      val triList = tris.map(t => s"'$t'").mkString(", ")
+      val triList = tris.map(sqlLit).mkString(", ")
       s.sql(
         s"""WITH cand AS (SELECT doc_id FROM graft_tri_$key
            |              WHERE tri IN ($triList)
            |              GROUP BY doc_id HAVING count(DISTINCT tri) = ${tris.size}),
            |hits AS (SELECT /*+ BROADCAST(cand) */ d.doc_id,
-           |           CAST((length(d.n) - length(replace(d.n, '$needle', ''))) / ${needle.length} AS BIGINT) AS n_hits
+           |           CAST((length(d.n) - length(replace(d.n, ${sqlLit(needle)}, ''))) / ${needle.length} AS BIGINT) AS n_hits
            |         FROM docs_norm_sub_v d JOIN cand USING (doc_id))
            |SELECT doc_id, n_hits FROM hits WHERE n_hits > 0 ORDER BY doc_id""".stripMargin)
     }),
@@ -2457,7 +2598,7 @@ object SparkEntry {
         s"""SELECT CAST($qid AS BIGINT) AS query_id, vec_id FROM
            |  (SELECT vec_id FROM sq8_scored_v ORDER BY _d$qid ASC, vec_id ASC LIMIT 1000)""".stripMargin
       }.mkString("\nUNION ALL\n")
-      s.sql(
+      val out = s.sql(
         s"""WITH short AS ($shortLegs),
            |q AS (SELECT vec_id AS query_id, embedding AS qe
            |      FROM embeddings_sq8b_v WHERE vec_id < 3),
@@ -2471,6 +2612,13 @@ object SparkEntry {
            |      FROM d)
            |SELECT query_id, vec_id, dist, rank FROM r WHERE rank <= 10
            |ORDER BY query_id ASC, rank ASC""".stripMargin)
+        // pin the (shortlist-bounded) result, then RELEASE the cached
+        // ADC frame — without this the corpus-width materialization
+        // lingers in executor memory for the rest of the session
+        .localCheckpoint()
+      s.sql("UNCACHE TABLE IF EXISTS sq8_scored_v")
+      s.catalog.dropTempView("sq8_scored_v")
+      out
     }),
 
     // SQL route to the persisted IVF layout: ONE spark.sql statement
@@ -5617,7 +5765,7 @@ object SparkEntry {
       val chosen = graft.index.Recall.selectFromCurve(curve, 0.9)
       val meets = chosen.exists(_.recall >= 0.9)
       val cheapestOk = chosen.exists(c =>
-        !curve.exists(p => p.scanFrac < c.scanFrac && p.recall >= 0.9))
+        !curve.exists(p => p.costFrac < c.costFrac && p.recall >= 0.9))
       // end-to-end: probe the self-query under the selected config
       val query = corpus.filter(col("vec_id") === 0)
         .select(col("embedding")).head().getSeq[Float](0).toArray
@@ -8207,6 +8355,10 @@ object SparkEntry {
 
     // Per-needle contains/replace-count replays under their query ids.
     "doc_substring_batch" -> substringBatchOracleSql(SubstringBatchQueries),
+    // The one-statement SQL batch routes share the API batch oracles
+    // verbatim — the equivalence proof (r15 VERDICT task 3).
+    "sql_substring_batch" -> substringBatchOracleSql(SubstringBatchQueries),
+    "sql_phrase_batch" -> phraseBatchOracleSql(PhraseBatchQueries),
     // The one-statement SQL path must reproduce the identical rows.
     "sql_substring_search" -> SubstringOracleSql,
 
@@ -8219,17 +8371,9 @@ object SparkEntry {
     // Each query's signature ranking replayed relationally over the
     // shared signature CTEs — the one-scan batch must reproduce all
     // three rankings.
-    "knn_hamming_batch" ->
-      s"""WITH $hammingSigCtes,
-         |qb AS (SELECT vec_id AS query_id, sig AS qsig FROM sigs WHERE vec_id < 3),
-         |d AS (SELECT qb.query_id, s.vec_id,
-         |        CAST(bit_count(xor(s.sig, qb.qsig)) AS INTEGER) AS hamming
-         |      FROM sigs s CROSS JOIN qb),
-         |r AS (SELECT query_id, vec_id, hamming,
-         |        row_number() OVER (PARTITION BY query_id ORDER BY hamming, vec_id) AS rn
-         |      FROM d)
-         |SELECT query_id, vec_id, hamming FROM r WHERE rn <= 10
-         |ORDER BY query_id, hamming, vec_id""".stripMargin,
+    "knn_hamming_batch" -> hammingBatchOracleSql,
+    // The one-statement SQL batch route shares the oracle verbatim.
+    "sql_hamming_batch" -> hammingBatchOracleSql,
     // The one-statement SQL self-join path: identical rows required.
     "sql_proximity_search" -> ProximityOracleSql,
 

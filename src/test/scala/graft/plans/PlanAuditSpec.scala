@@ -605,13 +605,20 @@ class PlanAuditSpec extends AnyFunSuite {
     // SelectedBucketsCount shape InvertedIndexSpec pins for the API
     // path, here asserted on the spark.sql plans end to end
     val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
-    for (name <- Seq("sql_bm25_topk", "sql_phrase_search", "sql_substring_search")) {
+    // the substring BATCH's needle-union trigram set legitimately hashes
+    // into every bucket at this fixture (≈25 distinct trigrams over 8
+    // buckets) — there the pin is the pruned-scan FORM + pushed filter,
+    // not a strict bucket subset
+    val subsetExempt = Set("sql_substring_batch")
+    for (name <- Seq("sql_bm25_topk", "sql_phrase_search", "sql_substring_search",
+        "sql_bm25_batch", "sql_phrase_batch", "sql_substring_batch")) {
       val plan = graft.SparkEntry.queries(name)(spark, sfDir)
         .queryExecution.executedPlan.toString
       val ms = sel.findAllMatchIn(plan).toSeq
       assert(ms.nonEmpty, s"$name: no bucket pruning in plan:\n$plan")
-      ms.foreach(m => assert(m.group(1).toInt < m.group(2).toInt,
-        s"$name read every bucket (${m.group(1)}/${m.group(2)}):\n$plan"))
+      if (!subsetExempt(name))
+        ms.foreach(m => assert(m.group(1).toInt < m.group(2).toInt,
+          s"$name read every bucket (${m.group(1)}/${m.group(2)}):\n$plan"))
       assert(!plan.contains("ScalaUDF"), s"$name must stay codegen:\n$plan")
     }
   }
