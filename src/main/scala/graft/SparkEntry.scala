@@ -205,6 +205,23 @@ object SparkEntry {
        |SELECT query_id, vec_id, hamming FROM r WHERE rn <= 10
        |ORDER BY query_id, hamming, vec_id""".stripMargin
 
+  /** Exact per-query brute force over corpus ∪ planted — shared
+    * verbatim by the pruned API batch (knn_ivf_batch) and its
+    * one-statement SQL route (sql_ivf_batch). */
+  private def knnIvfBatchOracleSql: String =
+    s"""WITH p AS (SELECT e.vec_id * 100 + r.i + 4900000 AS vec_id, e.embedding
+       |           FROM embeddings e CROSS JOIN range(10) r(i) WHERE e.vec_id < 3),
+       |c AS (SELECT vec_id, embedding FROM embeddings
+       |      UNION ALL SELECT vec_id, embedding FROM p),
+       |q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 3),
+       |d AS (SELECT q.query_id, c.vec_id, ${l2SqSql("c.embedding", "q.qe")} AS dist
+       |      FROM c CROSS JOIN q),
+       |r AS (SELECT query_id, vec_id, dist,
+       |             CAST(row_number() OVER (PARTITION BY query_id ORDER BY dist ASC, vec_id ASC) AS INTEGER) AS rank
+       |      FROM d)
+       |SELECT query_id, vec_id, dist, rank FROM r WHERE rank <= 10
+       |ORDER BY query_id ASC, rank ASC""".stripMargin
+
   /** DuckDB normalization/tokenization identical to
     * TextAnalysis.normalizeText / tokens (note the 'g' flag — DuckDB
     * regexp_replace is first-match-only by default). */
@@ -2331,6 +2348,79 @@ object SparkEntry {
            |         JOIN qn ON qn.query_id = c.query_id)
            |SELECT query_id, doc_id, n_hits FROM hits WHERE n_hits > 0
            |ORDER BY query_id, doc_id""".stripMargin)
+    }),
+
+    // SQL route for the BATCH PROXIMITY probe: ONE statement serving a
+    // term-pair TABLE — the pairs ride an inline VALUES relation, the
+    // union of every pair's terms bucket-prunes ONE positional probe,
+    // and each pair's min token gap is a three-way join + GROUP BY over
+    // that pruned frame (the API path's shape as SQL). Shares
+    // doc_proximity_batch's positions-cross-product replay oracle.
+    "sql_proximity_batch" -> ((s, dir) => {
+      val key = dirKey(dir)
+      val tmp = System.getProperty("java.io.tmpdir")
+      graft.text.InvertedIndex.ensurePositional(s, docs(s, dir),
+        s"graft_pos_$key", s"$tmp/graft_positional_$key", buckets = 8)
+      val qRows = ProximityBatchQueries.map { case (qid, (ta, tb)) =>
+        s"(CAST($qid AS BIGINT), ${sqlLit(ta)}, ${sqlLit(tb)})" }.mkString(", ")
+      val allTerms = ProximityBatchQueries
+        .flatMap { case (_, (a, b)) => Seq(a, b) }.distinct
+        .map(sqlLit).mkString(", ")
+      s.sql(
+        s"""WITH q AS (SELECT * FROM VALUES $qRows AS q(query_id, ta, tb)),
+           |occ AS (SELECT token, doc_id, pos FROM graft_pos_$key
+           |        WHERE token IN ($allTerms))
+           |SELECT q.query_id, a.doc_id,
+           |       CAST(min(abs(a.pos - b.pos)) AS INT) AS min_dist
+           |FROM q
+           |JOIN occ a ON a.token = q.ta
+           |JOIN occ b ON b.token = q.tb AND b.doc_id = a.doc_id
+           |GROUP BY q.query_id, a.doc_id
+           |ORDER BY query_id, doc_id""".stripMargin)
+    }),
+
+    // SQL route for the BATCH IVF probe: the query table's probed
+    // clusters are ranked driver-side from the sidecar centroids (a
+    // batch-bounded computation, exactly the API path's), inlined as a
+    // VALUES relation, and ONE statement reads the UNION of everyone's
+    // clusters once (`cluster IN` partition pruning on the layout
+    // parquet), keeps each query inside its OWN clusters via
+    // array_contains against the broadcast query rows, and ranks with
+    // a per-query window over the pruned frame. Shares knn_ivf_batch's
+    // layout fixture and exact brute-force oracle.
+    "sql_ivf_batch" -> ((s, dir) => {
+      org.apache.spark.sql.graft.GraftFunctions.register(s)
+      val corpus = emb(s, dir)
+      val planted = corpus.filter(col("vec_id") < 3)
+        .crossJoin(s.range(10))
+        .select((col("vec_id") * 100 + col("id") + lit(4900000L)).as("vec_id"),
+          col("embedding"))
+      val full = corpus.select(col("vec_id"), col("embedding")).union(planted)
+      val layout = graft.index.Ivf.buildLayout(s, full,
+        ivfLayoutDir(dir, "batch"), nlist = 8, maxIter = 3)
+      val qcl = corpus.filter(col("vec_id") < 3)
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(r => r.getLong(0) -> graft.index.Ivf.probeClustersOf(
+          layout.centroids, r.getSeq[Float](1).toArray, 1))
+        .toIndexedSeq
+      val union = qcl.flatMap(_._2).distinct
+      val qcRows = qcl.map { case (qid, cs) =>
+        s"(CAST($qid AS BIGINT), array(${cs.mkString(", ")}))" }.mkString(", ")
+      s.read.parquet(layout.dir).createOrReplaceTempView("ivf_sqlb_layout_v")
+      corpus.createOrReplaceTempView("embeddings_ivfb_v")
+      s.sql(
+        s"""WITH qc AS (SELECT * FROM VALUES $qcRows AS qc(query_id, qcl)),
+           |q AS (SELECT e.vec_id AS query_id, e.embedding AS qe, qc.qcl
+           |      FROM embeddings_ivfb_v e JOIN qc ON qc.query_id = e.vec_id),
+           |d AS (SELECT q.query_id, t.vec_id, l2sq(t.embedding, q.qe) AS dist
+           |      FROM ivf_sqlb_layout_v t JOIN q ON array_contains(q.qcl, t.cluster)
+           |      WHERE t.cluster IN (${union.mkString(", ")})),
+           |r AS (SELECT query_id, vec_id, dist,
+           |             row_number() OVER (PARTITION BY query_id
+           |               ORDER BY dist ASC, vec_id ASC) AS rank
+           |      FROM d)
+           |SELECT query_id, vec_id, dist, rank FROM r WHERE rank <= 10
+           |ORDER BY query_id ASC, rank ASC""".stripMargin)
     }),
 
     // SQL route for the BATCH HAMMING probe (r15 VERDICT task 3): a
@@ -7449,20 +7539,10 @@ object SparkEntry {
          |ORDER BY query_id ASC, rank ASC""".stripMargin,
 
     // Exact per-query brute force over corpus ∪ planted — the pruned
-    // batch probe must reproduce the full relation for all 3 queries.
-    "knn_ivf_batch" ->
-      s"""WITH p AS (SELECT e.vec_id * 100 + r.i + 4900000 AS vec_id, e.embedding
-         |           FROM embeddings e CROSS JOIN range(10) r(i) WHERE e.vec_id < 3),
-         |c AS (SELECT vec_id, embedding FROM embeddings
-         |      UNION ALL SELECT vec_id, embedding FROM p),
-         |q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 3),
-         |d AS (SELECT q.query_id, c.vec_id, ${l2SqSql("c.embedding", "q.qe")} AS dist
-         |      FROM c CROSS JOIN q),
-         |r AS (SELECT query_id, vec_id, dist,
-         |             CAST(row_number() OVER (PARTITION BY query_id ORDER BY dist ASC, vec_id ASC) AS INTEGER) AS rank
-         |      FROM d)
-         |SELECT query_id, vec_id, dist, rank FROM r WHERE rank <= 10
-         |ORDER BY query_id ASC, rank ASC""".stripMargin,
+    // batch probe must reproduce the full relation for all 3 queries
+    // (shared verbatim by the one-statement SQL route).
+    "sql_ivf_batch" -> knnIvfBatchOracleSql,
+    "knn_ivf_batch" -> knnIvfBatchOracleSql,
 
     // Exact per-query brute force — the graph walk must reproduce the
     // full (query_id, vec_id, dist, rank) relation for all 5 queries.
@@ -8367,6 +8447,8 @@ object SparkEntry {
 
     // Per-pair positions-cross-product replays under their query ids.
     "doc_proximity_batch" -> proximityBatchOracleSql(ProximityBatchQueries),
+    // The one-statement SQL batch route shares the oracle verbatim.
+    "sql_proximity_batch" -> proximityBatchOracleSql(ProximityBatchQueries),
 
     // Each query's signature ranking replayed relationally over the
     // shared signature CTEs — the one-scan batch must reproduce all

@@ -625,13 +625,23 @@ class PlanAuditSpec extends AnyFunSuite {
 
   test("SQL surface: proximity self-join bucket-prunes; fuzzy lookup broadcasts, no cartesian") {
     val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
-    val prox = graft.SparkEntry.queries("sql_proximity_search")(spark, sfDir)
+    for (name <- Seq("sql_proximity_search", "sql_proximity_batch")) {
+      val prox = graft.SparkEntry.queries(name)(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      val ms = sel.findAllMatchIn(prox).toSeq
+      assert(ms.nonEmpty, s"$name: no bucket pruning in plan:\n$prox")
+      ms.foreach(m => assert(m.group(1).toInt < m.group(2).toInt,
+        s"$name read every bucket (${m.group(1)}/${m.group(2)}):\n$prox"))
+      assert(!prox.contains("ScalaUDF"), s"must stay codegen:\n$prox")
+    }
+
+    // the SQL batch IVF route must plan its cluster IN union as a
+    // PARTITION filter on the layout scan (file-level pruning)
+    val ivfb = graft.SparkEntry.queries("sql_ivf_batch")(spark, sfDir)
       .queryExecution.executedPlan.toString
-    val ms = sel.findAllMatchIn(prox).toSeq
-    assert(ms.nonEmpty, s"sql_proximity_search: no bucket pruning in plan:\n$prox")
-    ms.foreach(m => assert(m.group(1).toInt < m.group(2).toInt,
-      s"sql_proximity_search read every bucket (${m.group(1)}/${m.group(2)}):\n$prox"))
-    assert(!prox.contains("ScalaUDF"), s"must stay codegen:\n$prox")
+    assert(ivfb.contains("PartitionFilters: [") && ivfb.contains("cluster"),
+      s"sql_ivf_batch: cluster IN must be a partition filter:\n$ivfb")
+    assert(!ivfb.contains("ScalaUDF"), s"must stay codegen:\n$ivfb")
 
     // the SQL blocking path must be a broadcast equi-join on the
     // signature — never the oracle's all-pairs cross product
