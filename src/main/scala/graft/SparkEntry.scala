@@ -5890,6 +5890,165 @@ object SparkEntry {
         "chosen_meets", "chosen_cheapest", "self_found")
     }),
 
+    // IVF snapshot pinning (r15 VERDICT task 1) as a declared query:
+    // a delta-aware probe is BUILT, then a delete + FOLD COMMIT land
+    // on the layout (previously the engine's one stop-the-world op),
+    // then the probe executes — it must serve the WHOLLY-OLD state
+    // (the deleted ids still ranked; old manifest files + delta leg
+    // intact under lagged GC), while a fresh probe serves wholly-new =
+    // exact top-k over the survivor union. The summary pins both, as
+    // provable invariants (the knn_curve_select device).
+    "knn_ivf_pinned" -> ((s, dir) => {
+      import s.implicits._
+      val corpus = emb(s, dir)
+      val base = graft.index.Ivf.buildLayout(s, corpus,
+        ivfLayoutDir(dir, "appendbase"), nlist = 8, maxIter = 3)
+      val scratch = freshScratchDir(dir, "pinivf")
+      val layoutDir = s"$scratch/layout"
+      copyDir(base.dir, layoutDir)
+      val layout = graft.index.Ivf.loadLayout(layoutDir)
+      val query = corpus.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).toArray
+      // 12 exact copies: after two deletes, self + 10 survivors at
+      // distance 0 fill the whole top-10 INSIDE the probed cluster, so
+      // the nprobe=1 probe provably equals exact over the union
+      val planted = corpus.filter(col("vec_id") === 0)
+        .crossJoin(s.range(12))
+        .select((col("id") + lit(5600000L)).as("vec_id"), col("embedding"),
+          col("label"))
+      graft.index.Ivf.appendDelta(layout, planted, tag = "pin_a1")
+      def probeDf() = graft.index.Ivf.searchLayoutDeltaAware(
+        s, layout, query, k = 10, nprobe = 1)
+      def rows(df: DataFrame) = df.select("vec_id", "dist")
+        .as[(Long, Double)].collect().toSeq
+      val wantOld = rows(probeDf())
+      val pinnedProbe = probeDf() // built now, executed after the commits
+      // a delete + FOLD commit interleave mid-probe
+      graft.index.Ivf.deleteFromLayout(layout,
+        Seq(5600001L, 5600002L).toDF("vec_id"), tag = "pin_d1")
+      graft.index.Ivf.compactDeltas(s, layout)
+      val pinnedServesOld = rows(pinnedProbe) == wantOld
+      val fresh = rows(probeDf())
+      val survivors = corpus.select(col("vec_id"), col("embedding"))
+        .unionByName(planted.select(col("vec_id"), col("embedding"))
+          .filter(!col("vec_id").isin(5600001L, 5600002L)))
+      val freshServesNew = fresh == rows(graft.ops.VectorSearch
+        .knnExact(survivors, query.toSeq, 10))
+      Seq((
+        wantOld.size.toLong,
+        if (wantOld.map(_._1).contains(5600001L)) 1L else 0L,
+        if (pinnedServesOld) 1L else 0L,
+        if (!fresh.exists(r => r._1 == 5600001L || r._1 == 5600002L)) 1L else 0L,
+        if (freshServesNew) 1L else 0L
+      )).toDF("n_rows", "delta_probed", "pinned_serves_old",
+        "deleted_hidden", "fresh_serves_new")
+    }),
+
+    // The GC RETENTION knob (r15 VERDICT task 2) as a declared query:
+    // under retention=2 a pinned store view survives TWO interleaved
+    // compaction commits and is collected exactly at the third; under
+    // the default retention=1 the same interleaving loses the pinned
+    // snapshot's files (the documented historical bound). Runs the
+    // full lifecycle on two scratch fuzzy stores.
+    "store_gc_retention" -> ((s, dir) => {
+      import s.implicits._
+      val scratch = freshScratchDir(dir, "retq")
+      val registry = (1L to 9L).map(i => (i, f"name-$i%04d")).toDF("id", "name")
+      def fixture(sub: String): String = {
+        val d = s"$scratch/$sub"
+        graft.ops.FuzzyJoin.ensureFuzzyStore(s, registry, d, "id", "name")
+        graft.ops.FuzzyJoin.incrementalFuzzyResolveBatch(s, d,
+          Seq((50L, "zzz-unique-zzz")).toDF("id", "name"),
+          "id", "name", batchTag = Some("a1")).collect()
+        graft.ops.FuzzyJoin.compactFuzzyStore(s, d) // → v1
+        d
+      }
+      def commit(d: String, id: Long, tag: String): Unit = {
+        graft.ops.FuzzyJoin.incrementalFuzzyResolveBatch(s, d,
+          Seq((id, s"uniq$id" * 3)).toDF("id", "name"),
+          "id", "name", batchTag = Some(tag)).collect()
+        graft.ops.FuzzyJoin.compactFuzzyStore(s, d)
+      }
+      def ids(df: DataFrame): Set[Long] =
+        df.select("store_id").distinct().as[Long].collect().toSet
+      val prev = graft.io.MutableStore.gcRetention
+      val (survives, collected, freshOk, boundR1) = try {
+        graft.io.MutableStore.gcRetention = 2
+        val d2 = fixture("r2")
+        val wantOld = ids(graft.ops.FuzzyJoin.fuzzyStoreView(s, d2))
+        val pinnedView = graft.ops.FuzzyJoin.fuzzyStoreView(s, d2)
+        commit(d2, 60L, "a2"); commit(d2, 61L, "a3")
+        val survives = ids(pinnedView) == wantOld
+        commit(d2, 62L, "a4") // third commit unprotects v1
+        val collected = !java.nio.file.Files.exists(
+          java.nio.file.Paths.get(d2, "base_v1"))
+        val freshOk = ids(graft.ops.FuzzyJoin.fuzzyStoreView(s, d2)) ==
+          wantOld ++ Set(60L, 61L, 62L)
+        graft.io.MutableStore.gcRetention = 1
+        val d1 = fixture("r1")
+        val want1 = ids(graft.ops.FuzzyJoin.fuzzyStoreView(s, d1))
+        val pinned1 = graft.ops.FuzzyJoin.fuzzyStoreView(s, d1)
+        commit(d1, 60L, "a2"); commit(d1, 61L, "a3")
+        val got1 = try Some(ids(pinned1)) catch { case _: Throwable => None }
+        (survives, collected, freshOk, got1 != Some(want1))
+      } finally graft.io.MutableStore.gcRetention = prev
+      Seq((
+        if (survives) 1L else 0L,
+        if (collected) 1L else 0L,
+        if (freshOk) 1L else 0L,
+        if (boundR1) 1L else 0L
+      )).toDF("r2_pinned_survives_two_commits", "r2_collected_at_third",
+        "r2_fresh_serves_new", "r1_bound_documented")
+    }),
+
+    // The WRITER LEASE (r15 VERDICT task 5) as a declared query: the
+    // single-writer contract is ENFORCED — a commit primitive outside
+    // a lease is rejected loudly, a second interleaved writer is
+    // rejected naming the holder, a crashed writer's stale lock is
+    // stolen after the TTL, and the post-steal commit lands.
+    "store_writer_lease" -> ((s, dir) => {
+      import s.implicits._
+      val scratch = freshScratchDir(dir, "leaseq")
+      val storeDir = s"$scratch/store"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(storeDir))
+      val outsideRejected = try {
+        graft.io.MutableStore.commitLiveLists(storeDir, Seq("x"), Seq.empty); 0L
+      } catch {
+        case e: IllegalStateException if e.getMessage.contains("writer lease") => 1L
+      }
+      val aInside = new java.util.concurrent.CountDownLatch(1)
+      val aRelease = new java.util.concurrent.CountDownLatch(1)
+      val holder = new Thread(() =>
+        graft.io.MutableStore.withWriterLock(storeDir, "writerA") {
+          aInside.countDown(); aRelease.await()
+        })
+      holder.start(); aInside.await()
+      val secondRejected = try {
+        graft.io.MutableStore.withWriterLock(storeDir, "writerB")(0L)
+      } catch {
+        case e: IllegalStateException
+            if e.getMessage.contains("single-writer") &&
+              e.getMessage.contains("writerA") => 1L
+      }
+      aRelease.countDown(); holder.join()
+      // crashed writer: stale lock aged past the TTL is stolen
+      val d = java.nio.file.Paths.get(storeDir).toAbsolutePath.normalize
+      val lock = d.getParent.resolve(d.getFileName.toString + "__writer_lock")
+      java.nio.file.Files.write(lock, "crashed@dead-jvm".getBytes("UTF-8"))
+      java.nio.file.Files.setLastModifiedTime(lock,
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() - 11L * 60L * 1000L))
+      val stolen = graft.io.MutableStore.withWriterLock(storeDir, "writerC") {
+        graft.io.MutableStore.commitLiveLists(storeDir, Seq("ok"), Seq.empty); 1L
+      }
+      val committed =
+        if (graft.io.MutableStore.state(storeDir).live == Some(Seq("ok"))) 1L
+        else 0L
+      Seq((outsideRejected, secondRejected, stolen, committed))
+        .toDF("commit_outside_lease_rejected", "second_writer_rejected",
+          "expired_lease_stolen", "post_steal_commit_lands")
+    }),
+
     // Selector-routed BATCH ANN: a query TABLE (the 12 lowest-id
     // corpus vectors — planted exact copies, so the oracle can demand
     // self-retrieval) served under the recall-targeted config the
@@ -9379,6 +9538,31 @@ object SparkEntry {
         |       CAST(1 AS BIGINT) AS ivf_full_exact, CAST(1 AS BIGINT) AS ivfsq_le_ivf,
         |       CAST(1 AS BIGINT) AS chosen_meets, CAST(1 AS BIGINT) AS chosen_cheapest,
         |       CAST(1 AS BIGINT) AS self_found""".stripMargin,
+
+    // Snapshot-pin invariants are provable for ANY corpus (wholly-old
+    // serving across the commit, wholly-new = exact over survivors),
+    // so the expected summary is constant (the knn_lsh_check device).
+    "knn_ivf_pinned" ->
+      """SELECT CAST(10 AS BIGINT) AS n_rows, CAST(1 AS BIGINT) AS delta_probed,
+        |       CAST(1 AS BIGINT) AS pinned_serves_old,
+        |       CAST(1 AS BIGINT) AS deleted_hidden,
+        |       CAST(1 AS BIGINT) AS fresh_serves_new""".stripMargin,
+
+    // Retention-knob invariants hold by the GC protocol itself, so the
+    // expected summary is constant.
+    "store_gc_retention" ->
+      """SELECT CAST(1 AS BIGINT) AS r2_pinned_survives_two_commits,
+        |       CAST(1 AS BIGINT) AS r2_collected_at_third,
+        |       CAST(1 AS BIGINT) AS r2_fresh_serves_new,
+        |       CAST(1 AS BIGINT) AS r1_bound_documented""".stripMargin,
+
+    // Writer-lease invariants hold by the lock protocol itself, so the
+    // expected summary is constant.
+    "store_writer_lease" ->
+      """SELECT CAST(1 AS BIGINT) AS commit_outside_lease_rejected,
+        |       CAST(1 AS BIGINT) AS second_writer_rejected,
+        |       CAST(1 AS BIGINT) AS expired_lease_stolen,
+        |       CAST(1 AS BIGINT) AS post_steal_commit_lands""".stripMargin,
 
     // Per-query invariants of the batch path: every planted-copy query
     // must come back with a full k rows and find itself at distance 0

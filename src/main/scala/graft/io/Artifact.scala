@@ -167,7 +167,12 @@ object Artifact {
       // (`<dir>_v<N>`); an uncompacted one at the dir root
       val node = readNode()
       val v = if (node.hasNonNull("v")) node.get("v").asInt() else 0
-      val location = if (v > 0) s"${dir}_v$v" else dir
+      // ABSOLUTE location: the catalog qualifies a relative LOCATION
+      // against the warehouse dir, while every sidecar/delta path in
+      // this store resolves against the process cwd — a relative dir
+      // would split the store across two trees
+      val location = Paths.get(if (v > 0) s"${dir}_v$v" else dir)
+        .toAbsolutePath.normalize
       spark.sql(s"DROP TABLE IF EXISTS $table")
       spark.sql(
         s"""CREATE TABLE $table ($ddl) USING PARQUET
@@ -201,7 +206,9 @@ object Artifact {
           spark.sql(s"DROP TABLE IF EXISTS $table")
           rows.write
             .mode("overwrite")
-            .option("path", dir)
+            // ABSOLUTE path: the catalog qualifies a relative one
+            // against the warehouse dir, splitting the store in two
+            .option("path", dirPath.toString)
             .bucketBy(buckets, key)
             .sortBy(key)
             .format("parquet")

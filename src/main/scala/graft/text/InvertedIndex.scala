@@ -1153,7 +1153,11 @@ object InvertedIndex {
     // this session's catalog follows the committed version — ONE
     // catalog call (no drop-then-create window for concurrent name
     // resolution), then a refresh to drop the cached file listing
-    spark.sql(s"ALTER TABLE $table SET LOCATION '$newDir'")
+    // ABSOLUTE location (the ensureBucketedTable contract): a relative
+    // path here would be warehouse-qualified by the catalog while every
+    // other store path resolves against the cwd
+    spark.sql(s"ALTER TABLE $table SET LOCATION " +
+      s"'${java.nio.file.Paths.get(newDir).toAbsolutePath.normalize}'")
     spark.sql(s"REFRESH TABLE $table")
     // NO GC here — lagged to the next compaction's gcPriorSimple, so
     // probes pinned on the pre-commit snapshot keep every dir they named

@@ -103,6 +103,30 @@ class SnapshotPinSpec extends AnyFunSuite {
       "the just-superseded v1 base is retained one more round")
   }
 
+  test("posting store: a RELATIVE store dir pins — the catalog-location check absolutizes both sides") {
+    // regression (r15 ADVICE): pinned() compared the catalog's ABSOLUTE
+    // resolved location against a bare-normalized store path, so a
+    // relative dir could never validate and every probe exhausted the
+    // 8-attempt loop even with no concurrent commit
+    val rel = s"target/tmp_relpin_${System.nanoTime()}"
+    try {
+      val docs = Seq((0L, "lychee fig"), (1L, "fig date")).toDF("doc_id", "text")
+      InvertedIndex.ensure(spark, docs, "relpin_t", rel, buckets = 2)
+      InvertedIndex.appendDelta(spark, rel,
+        Seq((5L, "fig guava")).toDF("doc_id", "text"), tag = "r1")
+      val got = InvertedIndex
+        .bm25SearchDeltaAware(spark, "relpin_t", rel, Seq("fig"))
+        .as[(Long, Long, Long)].collect().toSeq
+      assert(got.map(_._1).toSet == Set(0L, 1L, 5L),
+        s"relative-dir probe must pin and serve all fig docs, got $got")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS relpin_t")
+      Seq(rel, s"${rel}_deltas", s"${rel}_tombstones", s"${rel}__writer_lock")
+        .foreach(p => MutableStore.deleteDir(
+          java.nio.file.Paths.get(p).toAbsolutePath))
+    }
+  }
+
   test("posting store: never-reuse versioning skips past crashed-attempt sibling debris") {
     val docs = Seq((0L, "kiwi mango"), (1L, "mango papaya")).toDF("doc_id", "text")
     val dir = tmp("pin_bm25_crash")
