@@ -290,7 +290,7 @@ object Dedup {
     // before this commit keeps reading through it.
     // retention-aware: anything the CURRENT snapshot or a protected
     // prior still names survives (gcRetention = 1 → historical window)
-    val (protectedRefs, _) = graft.io.MutableStore.splitPriors(st.priors)
+    val (protectedRefs, _) = graft.io.MutableStore.splitPriors(dir, st.priors)
     val keepBases = (Set(st.v) ++ protectedRefs.map(_.v)).map(v => s"base_v$v")
     val keepDelta = hashStoreDeltaTagsOf(dir, st).toSet ++ protectedRefs.flatMap(_.live)
     val keepTombs = tombs.map(_.tag).toSet ++ protectedRefs.flatMap(_.tombs)
@@ -332,7 +332,7 @@ object Dedup {
     val liveLeft = hashStoreDeltaTagsOf(dir, st).filterNot(tags.contains(_)).sorted
     val tombsLeft = tombs.map(_.tag).filterNot(consumed.map(_.tag).contains(_)).sorted
     graft.io.MutableStore.commitState(dir, vNew, folded, dead, liveLeft, tombsLeft,
-      priors = graft.io.MutableStore.pushPrior(protectedRefs,
+      priors = graft.io.MutableStore.pushPrior(dir, protectedRefs,
         graft.io.MutableStore.SnapRef(
           st.v, hashStoreDeltaTagsOf(dir, st), tombs.map(_.tag))))
   }
@@ -655,7 +655,7 @@ object Dedup {
     // survivor reads list their files.
     // retention-aware: anything the CURRENT snapshot or a protected
     // prior still names survives (gcRetention = 1 → historical window)
-    val (protectedRefs, _) = graft.io.MutableStore.splitPriors(st.priors)
+    val (protectedRefs, _) = graft.io.MutableStore.splitPriors(dir, st.priors)
     val keepVs = Set(st.v) ++ protectedRefs.map(_.v)
     val keepDelta = shingleStoreDeltaTagsOf(dir, st).toSet ++ protectedRefs.flatMap(_.live)
     val keepTombs = tombs.map(_.tag).toSet ++ protectedRefs.flatMap(_.tombs)
@@ -708,7 +708,7 @@ object Dedup {
     val liveLeft = shingleStoreDeltaTagsOf(dir, st).filterNot(tags.contains(_)).sorted
     val tombsLeft = tombs.map(_.tag).filterNot(consumed.map(_.tag).contains(_)).sorted
     graft.io.MutableStore.commitState(dir, vNew, folded, dead, liveLeft, tombsLeft,
-      priors = graft.io.MutableStore.pushPrior(protectedRefs,
+      priors = graft.io.MutableStore.pushPrior(dir, protectedRefs,
         graft.io.MutableStore.SnapRef(
           st.v, shingleStoreDeltaTagsOf(dir, st), tombs.map(_.tag))))
   }

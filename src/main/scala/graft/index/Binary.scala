@@ -370,7 +370,7 @@ object Binary {
       graft.io.MutableStore.maxOnDiskVersion(dir, Seq("sigs_v"))) + 1
     // retention-aware lagged GC of superseded dirs + debris: anything
     // the CURRENT snapshot or a protected prior still names survives
-    val (protectedRefs, _) = graft.io.MutableStore.splitPriors(
+    val (protectedRefs, _) = graft.io.MutableStore.splitPriors(dir,
       graft.io.MutableStore.optStringSeq(s.node, "priors").getOrElse(Seq.empty))
     def baseOf(v: Int) = if (v > 0) s"sigs_v$v" else "sigs"
     val keepBases = (Set(s.v) ++ protectedRefs.map(_.v)).map(baseOf)
@@ -408,7 +408,7 @@ object Binary {
     val dead = (s.dead.filter(t =>
       java.nio.file.Files.exists(java.nio.file.Paths.get(dir, s"tomb_$t"))) ++
       s.tombTags).toSeq.sorted
-    val priors = graft.io.MutableStore.pushPrior(protectedRefs,
+    val priors = graft.io.MutableStore.pushPrior(dir, protectedRefs,
       graft.io.MutableStore.SnapRef(s.v, Seq.empty, s.tombTags))
     graft.io.Artifact.writeAtomic(sidecar,
       s"""{"count":$cnt,"hash":$hsh,"hsum":"$hsum","dim":"$dim","family":"binary_midrange","v":$vNew,"deadTombs":${arr(dead)},"liveTombs":[],"priors":${arr(priors)}}""")

@@ -802,7 +802,7 @@ object Hnsw {
     // renamed-but-uncommitted layout_v<X> must still bump the counter
     val vNew = math.max(s.v,
       graft.io.MutableStore.maxOnDiskVersion(dir, Seq("layout_v"))) + 1
-    val (protectedRefs, _) = graft.io.MutableStore.splitPriors(
+    val (protectedRefs, _) = graft.io.MutableStore.splitPriors(dir,
       graft.io.MutableStore.optStringSeq(s.node, "priors").getOrElse(Seq.empty))
     gcPrior(dir, s, protectedRefs)
     val oldBase = s.layoutPathOf(dir)
@@ -848,7 +848,7 @@ object Hnsw {
     val folded = (s.folded.filter(onDisk) ++ tags).toSeq.sorted
     val liveLeft = s.live.filterNot(tags.contains(_)).sorted
     val tombsLeft = if (dropTombstoned) Seq.empty[String] else s.tombTags
-    val priors = graft.io.MutableStore.pushPrior(protectedRefs,
+    val priors = graft.io.MutableStore.pushPrior(dir, protectedRefs,
       graft.io.MutableStore.SnapRef(s.v, s.live, s.tombTags))
     val fields = fingerprintFields(n, h, hs, p) ++ Seq(
       "v" -> vNew.toString,

@@ -282,7 +282,7 @@ object Ivf {
       // — pure addition; an O(batch) write either way)
       val dir = layout.dir
       val st = graft.io.MutableStore.state(dir)
-      val (protectedRefs, _) = graft.io.MutableStore.splitPriors(st.priors)
+      val (protectedRefs, _) = graft.io.MutableStore.splitPriors(dir, st.priors)
       val vNew = (Seq(s.v,
         graft.io.MutableStore.maxOnDiskVersion(dir, Seq(foldDirPrefix))) ++
         Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
@@ -312,7 +312,7 @@ object Ivf {
       graft.io.MutableStore.commitState(dir, vNew,
         folded = s.folded.toSeq.sorted, deadTombs = s.deadTombs.toSeq.sorted,
         live = s.live, liveTombs = s.tombTags,
-        priors = graft.io.MutableStore.pushPrior(protectedRefs,
+        priors = graft.io.MutableStore.pushPrior(dir, protectedRefs,
           graft.io.MutableStore.SnapRef(s.v, s.live, s.tombTags)))
     }
     val (nNew, hNew, sNew) = fingerprint(assigned, embCol)
@@ -721,7 +721,7 @@ object Ivf {
     val tags = s.live.filterNot(excludeTags)
     if (tags.isEmpty) return 0
     val st = graft.io.MutableStore.state(dir) // priors ride the state json
-    val (protectedRefs, _) = graft.io.MutableStore.splitPriors(st.priors)
+    val (protectedRefs, _) = graft.io.MutableStore.splitPriors(dir, st.priors)
     // never-reuse allocation BEFORE debris GC: crashed-attempt fold
     // dirs AND manifests still bump the counter
     val vNew = (Seq(s.v,
@@ -795,7 +795,7 @@ object Ivf {
       deadTombs = s.deadTombs.toSeq.sorted,
       live = s.live.filterNot(tags.contains(_)).sorted,
       liveTombs = s.tombTags,
-      priors = graft.io.MutableStore.pushPrior(protectedRefs,
+      priors = graft.io.MutableStore.pushPrior(dir, protectedRefs,
         graft.io.MutableStore.SnapRef(s.v, s.live, s.tombTags)))
     tags.length
   }
@@ -924,7 +924,7 @@ object Ivf {
     if (nTomb == 0L || nTomb.toDouble / math.max(base.count(), 1L) <= maxTombstoneFraction)
       return false
     val st = graft.io.MutableStore.state(dir)
-    val (protectedRefs, _) = graft.io.MutableStore.splitPriors(st.priors)
+    val (protectedRefs, _) = graft.io.MutableStore.splitPriors(dir, st.priors)
     val vNew = (Seq(s.v,
       graft.io.MutableStore.maxOnDiskVersion(dir, Seq(foldDirPrefix))) ++
       Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
@@ -972,7 +972,7 @@ object Ivf {
       deadTombs = (s.deadTombs ++ s.tombTags).toSeq.sorted,
       live = s.live,
       liveTombs = Seq.empty,
-      priors = graft.io.MutableStore.pushPrior(protectedRefs,
+      priors = graft.io.MutableStore.pushPrior(dir, protectedRefs,
         graft.io.MutableStore.SnapRef(s.v, s.live, s.tombTags)))
     true
   }

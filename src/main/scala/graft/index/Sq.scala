@@ -742,7 +742,7 @@ object Sq {
     // renamed-but-uncommitted codes_v<X> must still bump the counter
     val vNew = math.max(s.v,
       graft.io.MutableStore.maxOnDiskVersion(dir, Seq("codes_v"))) + 1
-    val (protectedRefs, _) = graft.io.MutableStore.splitPriors(
+    val (protectedRefs, _) = graft.io.MutableStore.splitPriors(dir,
       s.node.map(jsonStringSet(_, "priors")).getOrElse(Set.empty).toSeq)
     gcPrior(dir, s, protectedRefs)
     val sidecar = sidecarPath(dir)
@@ -786,7 +786,7 @@ object Sq {
     val liveLeft = s.live.filterNot(tags.contains(_)).sorted
     val tombsLeft = tombs.map(_.tag).filterNot(consumed.map(_.tag).contains(_)).sorted
     def arr(x: Seq[String]) = x.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val priors = graft.io.MutableStore.pushPrior(protectedRefs,
+    val priors = graft.io.MutableStore.pushPrior(dir, protectedRefs,
       graft.io.MutableStore.SnapRef(s.v, s.live, tombs.map(_.tag)))
     graft.io.Artifact.writeAtomic(sidecar,
       s"""{"count":$cnt,"hash":$hsh,"hsum":"$hsum","family":"sq8_minmax","v":$vNew,"folded":${arr(folded)},"deadTombs":${arr(dead)},"live":${arr(liveLeft)},"liveTombs":${arr(tombsLeft)},"priors":${arr(priors)}}""")

@@ -293,11 +293,41 @@ private[graft] object MutableStore {
   // survives exactly one concurrent commit. Retention R = a probe
   // survives R consecutive commits.
 
-  /** How many PRIOR compaction commits a pinned probe must survive.
-    * Process-wide (the maintenance writer's policy, like
+  /** How many PRIOR compaction commits a pinned probe must survive —
+    * the PROCESS-WIDE default (the maintenance writer's policy, like
     * spark.sql.shuffle.partitions); set >1 when long-running probes
-    * overlap a compaction-heavy mutation stream. */
+    * overlap a compaction-heavy mutation stream. A PER-STORE policy
+    * ([[setGcRetention]]) overrides it. */
   @volatile var gcRetention: Int = 1
+
+  private def retentionFile(dir: String): java.nio.file.Path = {
+    val d = java.nio.file.Paths.get(dir).toAbsolutePath.normalize
+    d.getParent.resolve(d.getFileName.toString + "__gc_retention")
+  }
+
+  /** PERSIST a per-store retention policy (a sibling sidecar, so it
+    * survives processes and applies to whichever maintenance writer
+    * compacts next); None clears back to the process default. */
+  def setGcRetention(dir: String, n: Option[Int]): Unit = n match {
+    case Some(v) =>
+      require(v >= 1, s"retention must be >= 1, got $v")
+      Artifact.writeAtomic(retentionFile(dir), v.toString)
+    case None =>
+      java.nio.file.Files.deleteIfExists(retentionFile(dir))
+  }
+
+  /** The retention governing `dir`'s GC: its persisted per-store
+    * policy when set, the process default otherwise. */
+  def gcRetentionOf(dir: String): Int = {
+    val p = retentionFile(dir)
+    if (!java.nio.file.Files.exists(p)) gcRetention
+    else
+      try math.max(1, java.nio.file.Files.readString(p).trim.toInt)
+      catch {
+        case e: Throwable => throw new IllegalStateException(
+          s"corrupt per-store retention policy at $p", e)
+      }
+  }
 
   /** One retained prior snapshot's reference set. */
   final case class SnapRef(v: Int, live: Seq[String], tombs: Seq[String])
@@ -318,10 +348,11 @@ private[graft] object MutableStore {
   }
 
   /** Split a committed `priors` list (any order on disk) into the
-    * retention-PROTECTED newest entries and the DUE-for-GC rest. */
-  def splitPriors(priors: Seq[String]): (Seq[SnapRef], Seq[SnapRef]) = {
+    * retention-PROTECTED newest entries and the DUE-for-GC rest,
+    * under `dir`'s governing retention. */
+  def splitPriors(dir: String, priors: Seq[String]): (Seq[SnapRef], Seq[SnapRef]) = {
     val refs = priors.map(decodeRef).sortBy(-_.v)
-    val keep = math.max(0, gcRetention - 1)
+    val keep = math.max(0, gcRetentionOf(dir) - 1)
     (refs.take(keep), refs.drop(keep))
   }
 
@@ -329,8 +360,9 @@ private[graft] object MutableStore {
     * snapshot pushed on top of the still-protected entries (GC at this
     * compaction's start already dropped the rest). */
   def pushPrior(
-      protectedRefs: Seq[SnapRef], pre: SnapRef): Seq[String] =
-    (pre +: protectedRefs).take(math.max(1, gcRetention)).map(encodeRef).sorted
+      dir: String, protectedRefs: Seq[SnapRef], pre: SnapRef): Seq[String] =
+    (pre +: protectedRefs).take(math.max(1, gcRetentionOf(dir)))
+      .map(encodeRef).sorted
 
   /** A tombstone is consumed when every covered leg is the base, is
     * folding now, or folded earlier (its dir is gone). */

@@ -267,7 +267,7 @@ object FuzzyJoin {
     // own end — and BEFORE the survivor read lists its files.
     // retention-aware: anything the CURRENT snapshot or a protected
     // prior still names survives (gcRetention = 1 → historical window)
-    val (protectedRefs, _) = MutableStore.splitPriors(st.priors)
+    val (protectedRefs, _) = MutableStore.splitPriors(dir, st.priors)
     val keepBases = (Set(st.v) ++ protectedRefs.map(_.v)).map(v => s"base_v$v")
     val keepDelta = storeDeltaTagsOf(dir, st).toSet ++ protectedRefs.flatMap(_.live)
     val keepTombs = tombs.map(_.tag).toSet ++ protectedRefs.flatMap(_.tombs)
@@ -306,7 +306,7 @@ object FuzzyJoin {
     val liveLeft = storeDeltaTagsOf(dir, st).filterNot(tags.contains(_)).sorted
     val tombsLeft = tombs.map(_.tag).filterNot(consumed.map(_.tag).contains(_)).sorted
     MutableStore.commitState(dir, vNew, folded, dead, liveLeft, tombsLeft,
-      priors = MutableStore.pushPrior(protectedRefs,
+      priors = MutableStore.pushPrior(dir, protectedRefs,
         MutableStore.SnapRef(st.v, storeDeltaTagsOf(dir, st), tombs.map(_.tag))))
   }
 

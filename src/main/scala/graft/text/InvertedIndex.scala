@@ -1076,7 +1076,7 @@ object InvertedIndex {
       parent, Seq(s"${stem}_v"))) + 1
     // retention-aware lagged GC: protect the newest (gcRetention - 1)
     // prior snapshots' refs, drop the rest
-    val (protectedRefs, _) = graft.io.MutableStore.splitPriors(
+    val (protectedRefs, _) = graft.io.MutableStore.splitPriors(dir,
       snap.node.map(jsonStringSet(_, "priors")).getOrElse(Set.empty).toSeq)
     gcPriorSimple(dir, sidecarFile, snap, protectedRefs)
     val sidecar = java.nio.file.Paths.get(dir, sidecarFile)
@@ -1146,7 +1146,7 @@ object InvertedIndex {
     val extraJson = extras.map { case (k, v) => s""","$k":$v""" }.mkString
     // the PRE-compaction snapshot joins the retained priors — its refs
     // stay GC-protected for gcRetention commits
-    val priors = graft.io.MutableStore.pushPrior(protectedRefs,
+    val priors = graft.io.MutableStore.pushPrior(dir, protectedRefs,
       graft.io.MutableStore.SnapRef(snap.v, snap.live, tombs.map(_.tag)))
     graft.io.Artifact.writeAtomic(sidecar,
       s"""{"count":$cnt,"hash":$hsh,"hsum":"$hsum","buckets":$buckets,"key":"$key","v":$vNew,"folded":${arr(folded)},"deadTombs":${arr(dead)},"live":${arr(liveLeft)},"liveTombs":${arr(tombsLeft)},"priors":${arr(priors)}$extraJson}""")

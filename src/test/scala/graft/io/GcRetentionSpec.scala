@@ -114,6 +114,33 @@ class GcRetentionSpec extends AnyFunSuite {
     }
   }
 
+  test("PER-STORE retention policy: a persisted override beats the process default, per store") {
+    import graft.ops.FuzzyJoin
+    // global default stays 1; THIS store persists a policy of 2
+    val dir = fuzzyFixture("retper_fuzzy")
+    MutableStore.setGcRetention(dir, Some(2))
+    try {
+      val wantOld = ids(FuzzyJoin.fuzzyStoreView(spark, dir))
+      val pinned = FuzzyJoin.fuzzyStoreView(spark, dir) // pinned at v1
+      fuzzyCommit(dir, 60L, "a2")
+      fuzzyCommit(dir, 61L, "a3")
+      assert(ids(pinned) == wantOld,
+        "the store's persisted retention=2 must protect the pinned " +
+          "snapshot through two commits even though the process default is 1")
+      // a SIBLING store without the policy keeps the default-1 bound
+      val other = fuzzyFixture("retper_other")
+      val wantO = ids(FuzzyJoin.fuzzyStoreView(spark, other))
+      val pinnedO = FuzzyJoin.fuzzyStoreView(spark, other)
+      fuzzyCommit(other, 60L, "a2")
+      fuzzyCommit(other, 61L, "a3")
+      val gotO = try Some(ids(pinnedO)) catch { case _: Throwable => None }
+      assert(gotO != Some(wantO), "the un-policied store keeps the default bound")
+      // clearing the policy restores the default for the next GC
+      MutableStore.setGcRetention(dir, None)
+      assert(MutableStore.gcRetentionOf(dir) == MutableStore.gcRetention)
+    } finally MutableStore.setGcRetention(dir, None)
+  }
+
   // ------------------------------------------------- posting store
 
   private def postingCommit(
