@@ -387,6 +387,48 @@ object ScaleProbe {
       }
     }
 
+    // IVF MANIFEST FOLD cost (r15 VERDICT task 1): the fold rewrites
+    // ONLY the touched clusters — measured as written-bytes / base
+    // bytes ≈ the touched fraction (1/nlist here: the delta is exact
+    // copies of one vector, all landing in one cluster), never the
+    // full base the old move-fold's replacement was feared to cost.
+    if (onlyFilter.forall(_.exists("ivffold".contains))) {
+      val base = replicate(spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .select("vec_id", "embedding"), "vec_id", factor).localCheckpoint()
+      val root = java.nio.file.Files
+        .createTempDirectory("probe_ivffold").toString
+      val dir = s"$root/layout"
+      val layout = graft.index.Ivf.buildLayout(spark, base, dir,
+        nlist = 8, maxIter = 3)
+      val q = base.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0)
+      val delta = base.filter(col("vec_id") === 0).crossJoin(spark.range(5000))
+        .select((col("id") + lit(970000000L)).as("vec_id"), col("embedding"))
+      graft.index.Ivf.appendDelta(layout, delta, tag = "f1")
+      val baseB = graft.index.Ivf.baseBytes(layout)
+      val t0 = System.nanoTime()
+      graft.index.Ivf.compactDeltas(spark, layout)
+      val sec = (System.nanoTime() - t0) / 1e9
+      def du(p: java.nio.file.Path): Long = {
+        if (!java.nio.file.Files.exists(p)) return 0L
+        val w = java.nio.file.Files.walk(p)
+        try {
+          import scala.jdk.CollectionConverters._
+          w.iterator().asScala.filter(java.nio.file.Files.isRegularFile(_))
+            .map(java.nio.file.Files.size(_)).sum
+        } finally w.close()
+      }
+      val written = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.startsWith("_fold_v")).map(f => du(f.toPath)).sum
+      // probe correctness across the fold, for free
+      val got = graft.index.Ivf.searchLayoutDeltaAware(
+        spark, layout, q.toArray, 10, nprobe = 1).collect()
+      require(got.length == 10 && got.head.getDouble(1) == 0.0)
+      println(f"[scale] ivf manifest fold base=${baseB / 1e6}%8.1f MB " +
+        f"written=${written / 1e6}%8.1f MB frac=${written.toDouble / baseB}%5.2f " +
+        f"(expect ~1/8 + delta) in $sec%6.2f s")
+    }
+
     // SNAPSHOT-PIN OVERHEAD (r15 VERDICT task 8): the micro cost of the
     // optimistic pin (double state read + catalog-location validation)
     // on a bm25 probe, and the retry rate under a compaction-heavy

@@ -360,6 +360,15 @@ object Ivf {
   // snapshot, vectordb.cpp:180-218, under concurrency).
   // Layouts never mutated through the protocol (no state json) keep
   // the original directory-listing resolution and plan shape.
+  //
+  // Known growth path at extreme file counts: the manifest is ONE
+  // json listing every base file — O(files) to read and rewrite per
+  // commit. Fine to millions of entries (a probe parses it once per
+  // pin); past that the Iceberg answer is a manifest LIST pointing at
+  // per-cluster manifest files, which this layout's cluster grouping
+  // maps onto directly (each cluster's files are rewritten wholesale,
+  // so per-cluster manifests would change one file per touched
+  // cluster). The commit-point and GC protocol would be unchanged.
   // ----------------------------------------------------------------
 
   /** One committed snapshot of a persisted layout, resolved from a
