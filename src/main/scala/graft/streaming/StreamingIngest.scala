@@ -741,7 +741,10 @@ object StreamingIngest {
         if (!adds.isEmpty)
           graft.index.Ivf.appendDelta(layout, adds, tag, embCol)
         if (!dels.isEmpty)
-          graft.index.Ivf.deleteFromLayout(layout, dels)
+          // batch-keyed tombstone tag: an at-least-once redelivery
+          // OVERWRITES its own batch dir (and the already-masked ids
+          // filter to an empty affected set — no double-xor either way)
+          graft.index.Ivf.deleteFromLayout(layout, dels, tag = s"${tag}_del")
         ()
       }
       .trigger(Trigger.AvailableNow())
