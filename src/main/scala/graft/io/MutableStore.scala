@@ -316,21 +316,43 @@ private[graft] object MutableStore {
       java.nio.file.Files.deleteIfExists(retentionFile(dir))
   }
 
-  /** The retention governing `dir`'s GC: its persisted per-store
-    * policy when set, the process default otherwise. */
-  def gcRetentionOf(dir: String): Int = {
+  /** PERSIST a TIME-based per-store retention policy (the Iceberg
+    * snapshot-expiry TTL form): a prior snapshot's refs stay
+    * GC-protected until `ttlMs` has passed since the commit that
+    * superseded it — the natural knob when the bound is "probes never
+    * run longer than X", independent of how often compactions land. */
+  def setGcRetentionTtl(dir: String, ttlMs: Long): Unit = {
+    require(ttlMs >= 0, s"ttl must be >= 0, got $ttlMs")
+    Artifact.writeAtomic(retentionFile(dir), s"ttl:$ttlMs")
+  }
+
+  /** `dir`'s governing policy: Left(n prior commits) or Right(ttl ms).
+    * Per-store file when set, the process default otherwise. */
+  def gcPolicyOf(dir: String): Either[Int, Long] = {
     val p = retentionFile(dir)
-    if (!java.nio.file.Files.exists(p)) gcRetention
+    if (!java.nio.file.Files.exists(p)) Left(gcRetention)
     else
-      try math.max(1, java.nio.file.Files.readString(p).trim.toInt)
-      catch {
+      try {
+        val s = java.nio.file.Files.readString(p).trim
+        if (s.startsWith("ttl:")) Right(math.max(0L, s.stripPrefix("ttl:").toLong))
+        else Left(math.max(1, s.toInt))
+      } catch {
         case e: Throwable => throw new IllegalStateException(
           s"corrupt per-store retention policy at $p", e)
       }
   }
 
-  /** One retained prior snapshot's reference set. */
-  final case class SnapRef(v: Int, live: Seq[String], tombs: Seq[String])
+  /** The commit-count retention governing `dir` (TTL policies have no
+    * single count; callers needing one use [[gcPolicyOf]]). */
+  def gcRetentionOf(dir: String): Int =
+    gcPolicyOf(dir).swap.getOrElse(gcRetention)
+
+  /** One retained prior snapshot's reference set. `supersededAtMs` is
+    * the wall-clock of the commit that retired it (feeds the TTL
+    * policy; 0 for entries written before the stamp existed — they
+    * expire immediately under TTL, the conservative legacy bound). */
+  final case class SnapRef(v: Int, live: Seq[String], tombs: Seq[String],
+      supersededAtMs: Long = 0L)
 
   /** `priors` entries are strings (they ride the same sorted
     * string-array sidecar machinery as every other committed list);
@@ -338,31 +360,53 @@ private[graft] object MutableStore {
     * leading zero-padded version keeps the sorted array NEWEST-LAST,
     * so decode order is deterministic. */
   def encodeRef(r: SnapRef): String =
-    f"${r.v}%09d|${r.live.mkString(",")}|${r.tombs.mkString(",")}"
+    f"${r.v}%09d|${r.live.mkString(",")}|${r.tombs.mkString(",")}|${r.supersededAtMs}"
 
   def decodeRef(s: String): SnapRef = {
     val parts = s.split("\\|", -1)
-    require(parts.length == 3, s"malformed prior-snapshot ref: $s")
+    require(parts.length == 3 || parts.length == 4,
+      s"malformed prior-snapshot ref: $s")
     def tags(x: String) = if (x.isEmpty) Seq.empty[String] else x.split(",").toSeq
-    SnapRef(parts(0).toInt, tags(parts(1)), tags(parts(2)))
+    SnapRef(parts(0).toInt, tags(parts(1)), tags(parts(2)),
+      if (parts.length == 4) parts(3).toLong else 0L)
   }
+
+  /** Hard cap on retained priors under a TTL policy — bounds the
+    * sidecar list if compactions land faster than snapshots expire. */
+  private val maxTtlPriors = 64
 
   /** Split a committed `priors` list (any order on disk) into the
     * retention-PROTECTED newest entries and the DUE-for-GC rest,
-    * under `dir`'s governing retention. */
+    * under `dir`'s governing policy (N prior commits, or TTL since
+    * the superseding commit). */
   def splitPriors(dir: String, priors: Seq[String]): (Seq[SnapRef], Seq[SnapRef]) = {
     val refs = priors.map(decodeRef).sortBy(-_.v)
-    val keep = math.max(0, gcRetentionOf(dir) - 1)
-    (refs.take(keep), refs.drop(keep))
+    gcPolicyOf(dir) match {
+      case Left(n) =>
+        val keep = math.max(0, n - 1)
+        (refs.take(keep), refs.drop(keep))
+      case Right(ttl) =>
+        val now = System.currentTimeMillis()
+        val (young, old) = refs.partition(r => now - r.supersededAtMs <= ttl)
+        (young.take(maxTtlPriors), old ++ young.drop(maxTtlPriors))
+    }
   }
 
   /** The `priors` list a compaction COMMITS: the pre-compaction
     * snapshot pushed on top of the still-protected entries (GC at this
-    * compaction's start already dropped the rest). */
+    * compaction's start already dropped the rest), commit-stamped for
+    * the TTL policy. */
   def pushPrior(
-      dir: String, protectedRefs: Seq[SnapRef], pre: SnapRef): Seq[String] =
-    (pre +: protectedRefs).take(math.max(1, gcRetentionOf(dir)))
-      .map(encodeRef).sorted
+      dir: String, protectedRefs: Seq[SnapRef], pre: SnapRef): Seq[String] = {
+    val stamped =
+      if (pre.supersededAtMs > 0L) pre
+      else pre.copy(supersededAtMs = System.currentTimeMillis())
+    val cap = gcPolicyOf(dir) match {
+      case Left(n) => math.max(1, n)
+      case Right(_) => maxTtlPriors
+    }
+    (stamped +: protectedRefs).take(cap).map(encodeRef).sorted
+  }
 
   /** A tombstone is consumed when every covered leg is the base, is
     * folding now, or folded earlier (its dir is gone). */

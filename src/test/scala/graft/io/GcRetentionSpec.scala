@@ -141,6 +141,33 @@ class GcRetentionSpec extends AnyFunSuite {
     } finally MutableStore.setGcRetention(dir, None)
   }
 
+  test("TTL retention policy: a long TTL protects across MANY commits; expiry (ttl=0) restores the tight bound") {
+    import graft.ops.FuzzyJoin
+    val dir = fuzzyFixture("retttl_fuzzy")
+    MutableStore.setGcRetentionTtl(dir, 60L * 60L * 1000L) // 1 h
+    try {
+      val wantOld = ids(FuzzyJoin.fuzzyStoreView(spark, dir))
+      val pinned = FuzzyJoin.fuzzyStoreView(spark, dir) // pinned at v1
+      // three consecutive commits — far past any count-based default
+      fuzzyCommit(dir, 60L, "a2")
+      fuzzyCommit(dir, 61L, "a3")
+      fuzzyCommit(dir, 62L, "a4")
+      assert(ids(pinned) == wantOld,
+        "a 1 h TTL must protect the pinned snapshot through every commit " +
+          "inside the window, however many land")
+      assert(java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "base_v1")))
+      // flip to ttl=0: every prior is past its window → the next
+      // compaction collects them all
+      MutableStore.setGcRetentionTtl(dir, 0L)
+      fuzzyCommit(dir, 63L, "a5")
+      assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "base_v1")),
+        "at ttl=0 every expired prior's files are collected at the next compaction")
+      // fresh views keep serving the current state throughout
+      assert(ids(FuzzyJoin.fuzzyStoreView(spark, dir)) ==
+        wantOld ++ Set(60L, 61L, 62L, 63L))
+    } finally MutableStore.setGcRetention(dir, None)
+  }
+
   // ------------------------------------------------- posting store
 
   private def postingCommit(
